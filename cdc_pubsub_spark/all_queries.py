@@ -1,0 +1,18 @@
+"""Import every operator module so the registry is fully populated.
+
+``import cdc_pubsub_spark.all_queries`` is the one-liner that brings the
+whole declared surface (SURVEY.md §2.B) into :data:`~cdc_pubsub_spark.registry.REGISTRY`.
+"""
+
+from __future__ import annotations
+
+import importlib
+
+_MODULES = [
+    "cdc_pubsub_spark.operators.aggregates",
+]
+
+for _m in _MODULES:
+    importlib.import_module(_m)
+
+from cdc_pubsub_spark.registry import REGISTRY  # noqa: E402,F401

@@ -1,0 +1,287 @@
+"""Aggregation operators (SURVEY.md §2.B "Aggregations").
+
+All pure DataFrame API — hash aggregation with map-side partial aggregation
+is Catalyst's default physical strategy, so every groupBy here does a
+partial agg before the shuffle (the 100 TB-scale behavior we want: shuffle
+carries one row per (partition, group), not per input row).
+
+Determinism: every floating aggregate is rounded to 2 decimals so the
+DuckDB oracle hash matches bit-for-bit (SURVEY.md §7 risk 1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_pubsub_spark.registry import register
+from cdc_pubsub_spark.tables import load
+
+
+@register(
+    "agg_hash_groupby",
+    category="aggregates",
+    oracle="""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      round(sum(l_quantity), 2)                                           AS sum_qty,
+      round(sum(l_extendedprice), 2)                                      AS sum_base_price,
+      round(sum(l_extendedprice * (1 - l_discount)), 2)                   AS sum_disc_price,
+      round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)     AS sum_charge,
+      round(avg(l_quantity), 2)                                           AS avg_qty,
+      round(avg(l_extendedprice), 2)                                      AS avg_price,
+      round(avg(l_discount), 2)                                           AS avg_disc,
+      count(*)                                                            AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def agg_hash_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-style pricing summary — the engine's flagship query.
+
+    Exercises the whole batch stack: parquet scan (with the shipdate
+    predicate pushed to the reader), projection, hash aggregate with
+    map-side combine, and a 6-group sort. Mirrors the reference's role as
+    the canonical "process every change event" pipeline (reference
+    publisher.go:137-214 processes each line exactly once; here each
+    lineitem row contributes to exactly one group).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 2).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "agg_distinct",
+    category="aggregates",
+    oracle="""
+    SELECT
+      o_orderstatus,
+      count(DISTINCT o_custkey)              AS distinct_customers,
+      round(sum(DISTINCT o_totalprice), 2)   AS sum_distinct_price,
+      count(*)                               AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) / SUM(DISTINCT) per group.
+
+    Spark plans distinct aggregates as a two-stage expand+agg; at scale the
+    expand doubles shuffle volume, which is why approx_count_distinct
+    (see agg_approx_distinct) is the 100 TB path.
+    """
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("distinct_customers"),
+        F.round(F.sum_distinct(F.col("o_totalprice")), 2).alias("sum_distinct_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "agg_rollup",
+    category="aggregates",
+    oracle="""
+    SELECT
+      coalesce(r_name, 'ALL')          AS region_name,
+      coalesce(n_name, 'ALL')          AS nation_name,
+      round(sum(c_acctbal), 2)         AS total_acctbal,
+      count(*)                         AS n_customers
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP (region, nation) totals over customer balances.
+
+    The dim joins are broadcast (nation=25, region=5 rows) so the only
+    shuffle is the rollup aggregation itself.
+    """
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    joined = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("ALL")).alias("region_name"),
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation_name"),
+            "total_acctbal",
+            "n_customers",
+        )
+    )
+
+
+@register(
+    "agg_cube",
+    category="aggregates",
+    oracle="""
+    SELECT
+      coalesce(o_orderstatus, 'ALL')    AS status,
+      coalesce(o_orderpriority, 'ALL')  AS priority,
+      count(*)                          AS n_orders,
+      round(sum(o_totalprice), 2)       AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all 2^2 grouping-set combinations."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    category="aggregates",
+    oracle="""
+    SELECT
+      coalesce(l_returnflag, 'ALL')  AS returnflag,
+      coalesce(l_linestatus, 'ALL')  AS linestatus,
+      round(sum(l_quantity), 2)      AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL entry point (SURVEY.md §3.4:
+    ``spark.sql`` parses into the same Catalyst pipeline as the DataFrame
+    API — this query deliberately exercises that second entry point)."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT
+          coalesce(l_returnflag, 'ALL')  AS returnflag,
+          coalesce(l_linestatus, 'ALL')  AS linestatus,
+          round(sum(l_quantity), 2)      AS sum_qty
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register(
+    "agg_having_filtered",
+    category="aggregates",
+    oracle="""
+    SELECT
+      o_custkey,
+      count(*)                                                   AS n_orders,
+      count(*) FILTER (WHERE o_orderstatus = 'F')                AS n_finished,
+      round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 2) AS open_price
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) >= 12
+    """,
+)
+def agg_having_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING + conditional (FILTER WHERE) aggregates.
+
+    Conditional aggs are expressed as agg-over-when, which Catalyst folds
+    into the same single hash-agg pass — one shuffle, no join.
+    """
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
+            F.round(
+                F.sum(F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice"))), 2
+            ).alias("open_price"),
+        )
+        .filter(F.col("n_orders") >= 12)
+    )
+
+
+@register(
+    "agg_stats",
+    category="aggregates",
+    oracle="""
+    SELECT
+      l_returnflag,
+      round(min(l_extendedprice), 2)                       AS min_price,
+      round(max(l_extendedprice), 2)                       AS max_price,
+      round(avg(l_extendedprice), 2)                       AS avg_price,
+      round(stddev_samp(l_extendedprice), 2)               AS std_price,
+      round(var_samp(l_quantity), 2)                       AS var_qty,
+      round(corr(l_quantity, l_extendedprice), 2) + 0.0    AS corr_qty_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (stddev/variance/correlation), rounded."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("std_price"),
+        F.round(F.var_samp("l_quantity"), 2).alias("var_qty"),
+        # + 0.0 on both sides: IEEE -0.0 + 0.0 = +0.0, so near-zero negative
+        # correlations canonicalize identically in Spark and DuckDB.
+        (F.round(F.corr("l_quantity", "l_extendedprice"), 2) + F.lit(0.0)).alias(
+            "corr_qty_price"
+        ),
+    )
+
+
+@register(
+    "agg_approx_distinct",
+    category="aggregates",
+    oracle=None,  # HLL sketch result is implementation-defined; rows-only check.
+    bench=True,
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) vs exact, with relative error.
+
+    At 100 TB the exact COUNT(DISTINCT) expand+shuffle is the bottleneck;
+    the HLL sketch is one pass, mergeable, constant memory — the scale
+    answer. Returned columns include both so the harness (and tests) can
+    assert |approx - exact| / exact < 5%.
+    """
+    events = load(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )

@@ -1,0 +1,36 @@
+"""Parquet table loading (the engine's scan layer).
+
+``spark.read.parquet`` gives us the vectorized columnar reader with
+predicate pushdown / column pruning for free — callers express filters and
+projections declaratively and Catalyst pushes them into the scan
+(verify with ``df.explain``: ``PushedFilters`` / ``ReadSchema``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cdc_pubsub_spark.registry import TABLES
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver testdata table (TESTDATA.md) as a DataFrame."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        # TIMESTAMP(NANOS) read as long (see session.py); convert to a real
+        # timestamp at microsecond precision. Integer division truncates,
+        # exactly like DuckDB's ns->us cast, so oracles stay bit-identical.
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+        )
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load(spark, sf_dir, t) for t in TABLES}

@@ -1,0 +1,28 @@
+"""Oracle-differential tests: every SQL-oracled query in the registry is
+hash-compared against DuckDB at sf0.01 — a local replica of the driver's
+correctness gate."""
+
+from __future__ import annotations
+
+import pytest
+
+import cdc_pubsub_spark.all_queries  # noqa: F401
+from cdc_pubsub_spark.registry import REGISTRY
+
+from .parity import assert_parity
+
+SQL_ORACLED = sorted(n for n, s in REGISTRY.items() if s.oracle is not None)
+ROWS_ONLY = sorted(n for n, s in REGISTRY.items() if s.oracle is None)
+
+
+@pytest.mark.parametrize("name", SQL_ORACLED)
+def test_oracle_parity(spark, sf_correct, name):
+    assert_parity(spark, name, sf_correct)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_runs(spark, sf_dir, name):
+    """Rows-only queries must at least run and return a stable schema."""
+    df = REGISTRY[name].fn(spark, sf_dir)
+    assert len(df.columns) > 0
+    assert df.count() >= 0
