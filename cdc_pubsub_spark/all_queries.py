@@ -10,6 +10,13 @@ import importlib
 
 _MODULES = [
     "cdc_pubsub_spark.operators.aggregates",
+    "cdc_pubsub_spark.operators.scans",
+    "cdc_pubsub_spark.operators.filters",
+    "cdc_pubsub_spark.operators.joins",
+    "cdc_pubsub_spark.operators.windows",
+    "cdc_pubsub_spark.operators.sorts",
+    "cdc_pubsub_spark.operators.setops",
+    "cdc_pubsub_spark.functions.scalar",
 ]
 
 for _m in _MODULES:

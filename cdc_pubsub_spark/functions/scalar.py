@@ -1,0 +1,273 @@
+"""Scalar function operators (SURVEY.md §2.B "Scalar functions").
+
+All JVM-side builtins inside whole-stage codegen — zero Python in the hot
+path. The regex family lifts its semantics from the reference's routing
+regexes (publisher.go:133-134); string concat mirrors the topicPrefix
+transform (options.go:66-72); the map builder mirrors the per-message
+attribute map (publisher.go:177-180).
+
+Oracle dialect notes (Spark ↔ DuckDB): `split(s,' ')[0]` ↔
+`string_split(s,' ')[1]` (0- vs 1-based), `get_json_object` ↔
+`json_extract_string`, DuckDB `regexp_replace` needs the 'g' flag to match
+Spark's replace-all, Spark `floor` returns BIGINT vs DuckDB DOUBLE (cast).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_pubsub_spark.registry import register
+from cdc_pubsub_spark.tables import load
+
+
+@register(
+    "fn_string",
+    category="functions",
+    oracle="""
+    SELECT
+      p_partkey,
+      upper(p_name)                              AS name_upper,
+      lower(p_type)                              AS type_lower,
+      length(p_name)                             AS name_len,
+      replace(p_name, ' ', '_')                  AS name_snake,
+      lpad(p_brand, 10, '#')                     AS brand_pad,
+      concat(p_type, ':', p_brand)               AS type_brand,
+      substr(p_name, 1, 4)                       AS name_head,
+      trim(p_name)                               AS name_trim,
+      string_split(p_name, ' ')[1]               AS first_word
+    FROM part
+    WHERE p_partkey <= 500
+    """,
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function battery over part names.
+
+    concat(prefix, name) is exactly the reference's topic-name transform
+    (topicPrefix + table, options.go:66-72).
+    """
+    part = load(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.length("p_name").alias("name_len"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.lpad("p_brand", 10, "#").alias("brand_pad"),
+        F.concat(F.col("p_type"), F.lit(":"), F.col("p_brand")).alias("type_brand"),
+        F.substring("p_name", 1, 4).alias("name_head"),
+        F.trim(F.col("p_name")).alias("name_trim"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("first_word"),
+    )
+
+
+@register(
+    "fn_regex",
+    category="functions",
+    oracle="""
+    SELECT
+      p_partkey,
+      regexp_extract(p_brand, '#(\\d+)', 1)                  AS brand_num,
+      regexp_matches(p_brand, '#1\\d$')                      AS is_brand_1x,
+      regexp_replace(p_name, '[aeiou]', '*', 'g')            AS name_devoweled
+    FROM part
+    WHERE p_partkey <= 500
+    """,
+)
+def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex extract / match / replace-all.
+
+    The extract-group-N pattern is the reference's entire routing layer
+    (generalFile regex groups, publisher.go:133); cdc_route_path applies
+    the verbatim pattern — this query covers the function family.
+    """
+    part = load(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
+    return part.select(
+        "p_partkey",
+        F.regexp_extract("p_brand", r"#(\d+)", 1).alias("brand_num"),
+        F.col("p_brand").rlike(r"#1\d$").alias("is_brand_1x"),
+        F.regexp_replace("p_name", "[aeiou]", "*").alias("name_devoweled"),
+    )
+
+
+@register(
+    "fn_date",
+    category="functions",
+    oracle="""
+    SELECT
+      o_orderkey,
+      year(o_orderdate)                                   AS yr,
+      month(o_orderdate)                                  AS mo,
+      quarter(o_orderdate)                                AS qtr,
+      dayofyear(o_orderdate)                              AS doy,
+      date_trunc('month', o_orderdate)                    AS month_start,
+      strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus_30d,
+      date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_95
+    FROM orders
+    WHERE o_orderkey <= 2000
+    """,
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function battery over order dates.
+
+    The reference routes on a `YYYY-MM-DD` path segment (daily partition,
+    publisher.go:133); date_trunc/year/month are the engine's analytic
+    generalization of that daily bucketing.
+    """
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.dayofyear("o_orderdate").alias("doy"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        # date string (not DATE type): Spark DATE and DuckDB DATE surface
+        # as different pandas types (date vs midnight Timestamp) and would
+        # hash differently.
+        F.date_format(F.date_add(F.col("o_orderdate").cast("date"), 30), "yyyy-MM-dd").alias(
+            "plus_30d"
+        ),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_95"
+        ),
+    )
+
+
+@register(
+    "fn_math",
+    category="functions",
+    oracle="""
+    SELECT
+      o_orderkey,
+      round(o_totalprice, 0)                         AS price_round0,
+      CAST(floor(o_totalprice) AS BIGINT)            AS price_floor,
+      CAST(ceil(o_totalprice) AS BIGINT)             AS price_ceil,
+      round(abs(o_totalprice - 100000), 2)           AS dist_from_100k,
+      round(sqrt(o_totalprice), 4)                   AS price_sqrt,
+      round(ln(o_totalprice), 4)                     AS price_ln,
+      round(log10(o_totalprice), 4)                  AS price_log10,
+      o_orderkey % 7                                 AS key_mod7,
+      CAST(power(2, o_orderkey % 10) AS BIGINT)      AS pow2
+    FROM orders
+    WHERE o_orderkey <= 2000
+    """,
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math function battery over order prices."""
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    return orders.select(
+        "o_orderkey",
+        F.round("o_totalprice", 0).alias("price_round0"),
+        F.floor("o_totalprice").cast("bigint").alias("price_floor"),
+        F.ceil("o_totalprice").cast("bigint").alias("price_ceil"),
+        F.round(F.abs(F.col("o_totalprice") - 100000), 2).alias("dist_from_100k"),
+        F.round(F.sqrt("o_totalprice"), 4).alias("price_sqrt"),
+        F.round(F.log("o_totalprice"), 4).alias("price_ln"),
+        F.round(F.log10("o_totalprice"), 4).alias("price_log10"),
+        (F.col("o_orderkey") % 7).alias("key_mod7"),
+        F.pow(F.lit(2), F.col("o_orderkey") % 10).cast("bigint").alias("pow2"),
+    )
+
+
+@register(
+    "fn_conditional",
+    category="functions",
+    oracle="""
+    SELECT
+      c_custkey,
+      coalesce(nullif(c_mktsegment, 'BUILDING'), 'SUPPRESSED') AS segment_masked,
+      round(greatest(c_acctbal, 0), 2)                         AS bal_floor0,
+      round(least(c_acctbal, 5000), 2)                         AS bal_cap5k,
+      (c_acctbal IS NULL)                                      AS bal_is_null
+    FROM customer
+    WHERE c_custkey <= 1000
+    """,
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """coalesce / nullif / greatest / least (null-handling surface)."""
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 1000)
+    return cust.select(
+        "c_custkey",
+        F.coalesce(
+            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("SUPPRESSED")
+        ).alias("segment_masked"),
+        F.round(F.greatest(F.col("c_acctbal"), F.lit(0.0)), 2).alias("bal_floor0"),
+        F.round(F.least(F.col("c_acctbal"), F.lit(5000.0)), 2).alias("bal_cap5k"),
+        F.col("c_acctbal").isNull().alias("bal_is_null"),
+    )
+
+
+@register(
+    "fn_array",
+    category="functions",
+    oracle="""
+    SELECT
+      vec_id,
+      len(embedding)                                           AS dim,
+      round(CAST(embedding[1] AS DOUBLE), 4)                   AS first_component,
+      round(CAST(embedding[64] AS DOUBLE), 4)                  AS last_component,
+      round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))) / len(embedding), 4) AS mean_component
+    FROM embeddings
+    WHERE vec_id <= 200
+    """,
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions over the embedding vectors.
+
+    `aggregate` (fold) runs JVM-side over the array — the same mechanism
+    llmops uses for dot products. Elements are cast to double BEFORE
+    summing on both sides so the fold accumulates identically (float32
+    partial sums would diverge from DuckDB in the last bits).
+    """
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") <= 200)
+    dsum = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 4).alias("first_component"),
+        F.round(F.element_at("embedding", 64).cast("double"), 4).alias("last_component"),
+        F.round(dsum / F.size("embedding"), 4).alias("mean_component"),
+    )
+
+
+@register(
+    "fn_map_json",
+    category="functions",
+    oracle="""
+    SELECT event_id, 'event_type' AS attr_key, event_type AS attr_value
+    FROM events WHERE event_id <= 500
+    UNION ALL
+    SELECT event_id, 'user', CAST(user_id AS VARCHAR)
+    FROM events WHERE event_id <= 500
+    UNION ALL
+    SELECT event_id, 'k', json_extract_string(props, '$.k')
+    FROM events WHERE event_id <= 500
+    """,
+)
+def fn_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a per-record attribute map, explode it to rows, with one
+    JSON-extracted attribute.
+
+    This is the reference's message-attribute map (publisher.go:177-180:
+    `{path: ..., table: ...}` on every record) built with create_map and
+    flattened with explode — Spark's generator node (Generate) handles
+    the 1-row→N-rows expansion that bufio line-splitting does in the
+    reference (publisher.go:182-202).
+    """
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") <= 500)
+    attrs = F.create_map(
+        F.lit("event_type"),
+        F.col("event_type"),
+        F.lit("user"),
+        F.col("user_id").cast("string"),
+        F.lit("k"),
+        F.get_json_object(F.col("props"), "$.k"),
+    )
+    return (
+        ev.select("event_id", F.explode(attrs).alias("attr_key", "attr_value"))
+    )

@@ -1,0 +1,377 @@
+"""Join operators (SURVEY.md §2.B "Joins").
+
+Strategy notes for 100 TB scale, encoded in each query:
+
+- Dimension tables (region 5, nation 25, supplier, part) are always
+  `broadcast()` — no shuffle of the fact side, the single most important
+  join decision at scale.
+- Fact-fact equi-joins (orders ⋈ lineitem) shuffle on the join key; AQE
+  handles skew splitting (session.py enables skewJoin).
+- Semi/anti joins express EXISTS/NOT EXISTS without materializing the
+  right side per match — Spark keeps only the key set.
+- The as-of join is implemented as union+window (a single sort-merge pass)
+  rather than a range join — O(n log n) instead of O(n·m), the only shape
+  that survives a 100 TB event stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cdc_pubsub_spark.registry import register
+from cdc_pubsub_spark.tables import load
+
+
+@register(
+    "join_inner_hash",
+    category="joins",
+    oracle="""
+    SELECT
+      c_mktsegment,
+      count(*)                    AS n_orders,
+      round(sum(o_totalprice), 2) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def join_inner_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ orders equi-join, revenue per market segment.
+
+    Left unhinted: AQE picks broadcast-hash while customer fits, falls
+    back to shuffled hash/SMJ beyond the threshold — the right default
+    for a fact-dim join whose dim grows with scale factor.
+    """
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "join_broadcast",
+    category="joins",
+    oracle="""
+    SELECT r_name, count(*) AS n_nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-dim broadcast join (region is 5 rows at every scale factor).
+
+    Explicit `broadcast()` hint: the 100 TB plan must never shuffle the
+    big side against a 5-row table.
+    """
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_nations"))
+    )
+
+
+@register(
+    "join_multiway",
+    category="joins",
+    oracle="""
+    SELECT
+      r_name,
+      n_name,
+      round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      count(*)                                          AS n_lineitems
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY r_name, n_name
+    """,
+)
+def join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-way star join (TPC-H-Q5 shape): region⋈nation⋈customer⋈orders⋈lineitem.
+
+    Join order is written smallest-out (dims broadcast onto customer,
+    then one shuffle each for orders and lineitem on their keys); the
+    o_orderstatus filter is pushed below the lineitem join so the big
+    fact join sees only 'F' orders.
+    """
+    region = load(spark, sf_dir, "region")
+    nation = load(spark, sf_dir, "nation")
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    lineitem = load(spark, sf_dir, "lineitem")
+    cust_dim = (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "n_name", "r_name")
+    )
+    return (
+        orders.join(cust_dim, orders.o_custkey == cust_dim.c_custkey)
+        .join(lineitem, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "join_left_outer",
+    category="joins",
+    oracle="""
+    SELECT
+      c_custkey,
+      count(o_orderkey)                         AS n_orders,
+      round(coalesce(sum(o_totalprice), 0), 2)  AS revenue
+    FROM customer
+    LEFT JOIN orders ON o_custkey = c_custkey
+    WHERE c_custkey <= 500
+    GROUP BY c_custkey
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join: customers with and without orders (null-aware agg).
+
+    count(o_orderkey) counts only matched rows; customers with zero
+    orders survive with revenue 0 — the null-preserving semantics an
+    inner join would destroy.
+    """
+    customer = load(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 500)
+    orders = load(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "join_full_outer",
+    category="joins",
+    oracle="""
+    WITH lo AS (
+      SELECT c_custkey AS k, c_acctbal FROM customer WHERE c_custkey <= 100
+    ), hi AS (
+      SELECT o_custkey AS k, round(sum(o_totalprice), 2) AS spent
+      FROM orders WHERE o_custkey BETWEEN 80 AND 180 GROUP BY o_custkey
+    )
+    SELECT
+      coalesce(lo.k, hi.k)            AS custkey,
+      round(coalesce(c_acctbal, 0), 2) AS acctbal,
+      coalesce(spent, 0)              AS spent,
+      (lo.k IS NULL)                  AS only_right,
+      (hi.k IS NULL)                  AS only_left
+    FROM lo FULL OUTER JOIN hi ON lo.k = hi.k
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join over partially-overlapping key ranges.
+
+    Both unmatched sides survive with null indicators — exercised on
+    deliberately disjoint-ish ranges so all three match classes
+    (left-only / both / right-only) appear in the result.
+    """
+    lo = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 100)
+        .select(F.col("c_custkey").alias("lk"), "c_acctbal")
+    )
+    hi = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey").between(80, 180))
+        .groupBy(F.col("o_custkey").alias("rk"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("spent"))
+    )
+    return lo.join(hi, lo.lk == hi.rk, "full").select(
+        F.coalesce(F.col("lk"), F.col("rk")).alias("custkey"),
+        F.round(F.coalesce(F.col("c_acctbal"), F.lit(0.0)), 2).alias("acctbal"),
+        F.coalesce(F.col("spent"), F.lit(0.0)).alias("spent"),
+        F.col("lk").isNull().alias("only_right"),
+        F.col("rk").isNull().alias("only_left"),
+    )
+
+
+@register(
+    "join_semi",
+    category="joins",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer
+    WHERE EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_orderstatus = 'F'
+    )
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers with at least one finished order (EXISTS).
+
+    Semi join ships only the key column of the right side and
+    deduplicates it — at scale this is a broadcast of distinct keys, not
+    a join materialization.
+    """
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_mktsegment")
+
+
+@register(
+    "join_anti",
+    category="joins",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no orders at all (NOT EXISTS)."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_mktsegment")
+
+
+@register(
+    "join_theta_range",
+    category="joins",
+    oracle="""
+    SELECT
+      p_size,
+      count(*)                   AS n_matches,
+      round(avg(l_quantity), 2)  AS avg_qty
+    FROM part
+    JOIN lineitem
+      ON l_quantity BETWEEN p_size - 2 AND p_size + 2
+    WHERE p_partkey <= 100 AND l_orderkey <= 1000
+    GROUP BY p_size
+    """,
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (theta/range) join: lineitems within ±2 of part size.
+
+    Physical plan: broadcast-nested-loop with the small (filtered) part
+    side broadcast. Pure theta joins don't hash-partition; the scale
+    path is (a) keep the broadcast side small, or (b) discretize the
+    range into buckets and turn it into an equi-join on bucket id — the
+    same banding trick MinHashLSH uses (llmops.dedup_near).
+    """
+    part = load(spark, sf_dir, "part").filter(F.col("p_partkey") <= 100)
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 1000)
+    cond = (F.col("l_quantity") >= F.col("p_size") - 2) & (
+        F.col("l_quantity") <= F.col("p_size") + 2
+    )
+    return (
+        F.broadcast(part)
+        .join(li, cond)
+        .groupBy("p_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+        )
+    )
+
+
+@register(
+    "join_cross",
+    category="joins",
+    oracle="""
+    SELECT r_name, count(*) AS n_pairs, count(DISTINCT s_suppkey) AS n_suppliers
+    FROM region CROSS JOIN supplier
+    GROUP BY r_name
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product (region × supplier), counted per region.
+
+    crossJoin is explicit in the API by design — accidental cartesian
+    products are the classic scale killer; here the 5-row side is
+    broadcast so cost is |supplier| × 5.
+    """
+    region = load(spark, sf_dir, "region")
+    supplier = load(spark, sf_dir, "supplier")
+    return (
+        F.broadcast(region)
+        .crossJoin(supplier)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("s_suppkey").alias("n_suppliers"),
+        )
+    )
+
+
+@register(
+    "join_asof",
+    category="joins",
+    oracle="""
+    WITH w AS (
+      SELECT
+        event_type,
+        value,
+        last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+          OVER (PARTITION BY user_id
+                ORDER BY CAST(ts AS TIMESTAMP), event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_purchase_value
+      FROM events
+    )
+    SELECT
+      event_type,
+      count(*)                                          AS n_events,
+      count(prior_purchase_value)                       AS n_with_prior,
+      round(avg(value - prior_purchase_value), 2)       AS avg_delta
+    FROM w
+    GROUP BY event_type
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event matched to the latest strictly-prior
+    'purchase' event of the same user.
+
+    Implemented as a single window pass (`last(..., ignorenulls=True)`
+    over rows-preceding) instead of a range join: O(n log n) with one
+    shuffle on user_id, versus the O(n·m) per-key range join a naive
+    formulation produces. This is the canonical scalable merge-asof on
+    Spark, and the CDC "state as of timestamp" semantic
+    (reference README.md:27, `WITH updated` cursor ordering).
+    """
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = F.last(
+        F.when(F.col("event_type") == "purchase", F.col("value")), ignorenulls=True
+    ).over(w)
+    return (
+        ev.withColumn("prior_purchase_value", prior)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("prior_purchase_value").alias("n_with_prior"),
+            F.round(F.avg(F.col("value") - F.col("prior_purchase_value")), 2).alias(
+                "avg_delta"
+            ),
+        )
+    )

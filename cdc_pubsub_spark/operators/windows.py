@@ -1,0 +1,218 @@
+"""Window-function operators (SURVEY.md §2.B "Window functions").
+
+Window evaluation shuffles once on the partition key and sorts within
+partitions; every query here bounds its key range so results stay
+hash-comparable, and orders on a unique tiebreak column so ranks are
+deterministic (SURVEY.md §2.B determinism rules).
+
+The lag/lead pair is the batch form of the CDC before/after diff the
+reference transports (wrapped envelopes carry prior-state implicitly via
+the `updated` cursor — reference README.md:27).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cdc_pubsub_spark.functions.rounding import r2
+from cdc_pubsub_spark.registry import register
+from cdc_pubsub_spark.tables import load
+
+
+@register(
+    "win_rank",
+    category="windows",
+    oracle="""
+    SELECT
+      o_custkey,
+      o_orderkey,
+      o_orderpriority,
+      rank()       OVER (PARTITION BY o_custkey ORDER BY o_orderpriority)              AS rnk,
+      dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority)              AS drnk,
+      row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority, o_orderkey)  AS rn
+    FROM orders
+    WHERE o_custkey <= 100
+    """,
+)
+def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / row_number per customer.
+
+    rank and dense_rank rank by priority alone (real ties → gap vs no-gap
+    semantics differ); row_number adds the unique o_orderkey tiebreak so
+    it is total-ordered and deterministic.
+    """
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 100)
+    w_ties = Window.partitionBy("o_custkey").orderBy("o_orderpriority")
+    w_total = Window.partitionBy("o_custkey").orderBy("o_orderpriority", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderpriority",
+        F.rank().over(w_ties).alias("rnk"),
+        F.dense_rank().over(w_ties).alias("drnk"),
+        F.row_number().over(w_total).alias("rn"),
+    )
+
+
+@register(
+    "win_lag_lead",
+    category="windows",
+    oracle="""
+    SELECT
+      event_id,
+      round(value, 2) AS value_r,
+      round(lag(value)  OVER w, 2) AS prev_value,
+      round(lead(value) OVER w, 2) AS next_value,
+      CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+        - lag(CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)) OVER w AS gap_sec
+    FROM events
+    WHERE user_id <= 20
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    """,
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lag/lead of event values and inter-event gap seconds.
+
+    The before/after diff of a change stream, expressed as one window
+    pass — the Spark shape of reading a CDC envelope's prior state.
+    """
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") <= 20)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp("ts")
+    return ev.select(
+        "event_id",
+        F.round("value", 2).alias("value_r"),
+        F.round(F.lag("value").over(w), 2).alias("prev_value"),
+        F.round(F.lead("value").over(w), 2).alias("next_value"),
+        (epoch - F.lag(epoch).over(w)).alias("gap_sec"),
+    )
+
+
+@register(
+    "win_running_frame",
+    category="windows",
+    oracle="""
+    SELECT
+      o_custkey,
+      o_orderkey,
+      round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)  AS running_revenue,
+      floor(avg(o_totalprice) OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) * 100 + 0.5) / 100 AS trailing3_avg
+    FROM orders
+    WHERE o_custkey <= 100
+    """,
+)
+def win_running_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running revenue + trailing-3 moving average (ROWS frames)."""
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2
+        ).alias("running_revenue"),
+        # avg over a 2-3 row frame creates exact decimal midpoints (x/2);
+        # r2's floor formula rounds identically on both engines.
+        r2(F.avg("o_totalprice").over(w.rowsBetween(-2, 0))).alias("trailing3_avg"),
+    )
+
+
+@register(
+    "win_range_frame",
+    category="windows",
+    oracle="""
+    SELECT
+      o_custkey,
+      o_orderkey,
+      round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+            ORDER BY o_totalprice
+            RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW), 2) AS near_price_sum
+    FROM orders
+    WHERE o_custkey <= 100
+    """,
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over a numeric ordering key: sum of order prices within
+    $10k below each order's price (peers included — RANGE, not ROWS)."""
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 100)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-10000, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("near_price_sum"),
+    )
+
+
+@register(
+    "win_ntile_pct",
+    category="windows",
+    oracle="""
+    SELECT
+      o_orderkey,
+      ntile(4)       OVER w                       AS quartile,
+      round(percent_rank() OVER w, 4)             AS pct_rank,
+      round(cume_dist()    OVER w, 4)             AS cume
+    FROM orders
+    WHERE o_custkey <= 50
+    WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def win_ntile_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile / percent_rank / cume_dist over order totals (global window,
+    total-ordered on (price, orderkey) so bucket assignment is exact)."""
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 50)
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cume"),
+    )
+
+
+@register(
+    "topk_per_group",
+    category="windows",
+    oracle="""
+    SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price_r, rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+      WHERE o_custkey <= 200
+    )
+    WHERE rn <= 3
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer (windowed top-k).
+
+    row_number + filter is the scalable per-group top-k: Spark pushes the
+    rank filter into the window sort (WindowGroupLimit in the physical
+    plan) so each partition keeps only k rows — no full materialization.
+    """
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 200)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("price_r"),
+            "rn",
+        )
+    )
