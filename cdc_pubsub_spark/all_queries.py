@@ -17,6 +17,8 @@ _MODULES = [
     "cdc_pubsub_spark.operators.sorts",
     "cdc_pubsub_spark.operators.setops",
     "cdc_pubsub_spark.functions.scalar",
+    "cdc_pubsub_spark.functions.udf",
+    "cdc_pubsub_spark.sources.cdc",
 ]
 
 for _m in _MODULES:

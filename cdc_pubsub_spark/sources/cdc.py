@@ -1,0 +1,337 @@
+"""CDC layer: the faithful Spark reimplementation of the reference bridge.
+
+The reference (bobvawter/cdc-pubsub) receives CockroachDB changefeed HTTP
+posts and routes them by URL path; its entire semantic surface is:
+
+- the wrapped JSON envelope it transports (README.md:5-27, publisher.go:131):
+  ``{"after": {...}, "key": [...], "updated": "<33-digit HLC>"}``
+- the path regexes that extract (topic, date, hlc, uniquer, table,
+  schema_id) — publisher.go:133 (``generalFile``) and the typo-broken
+  ``resolvedFile`` at publisher.go:134 (we implement the *intended*
+  pattern, see SURVEY.md §2.A13)
+- the dispatch order: resolved → general → 404 (publisher.go:152-165)
+- upsert-by-key semantics: a later ``updated`` HLC supersedes, ``after:
+  null`` deletes (changefeed contract, README.md:27)
+
+Fixtures are synthesized deterministically from the ``orders`` table
+(FIXTURES.md §3) with identical expressions in Spark and the DuckDB
+oracle, so every CDC operator carries an exact SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from cdc_pubsub_spark.functions.rounding import r2
+from cdc_pubsub_spark.registry import register
+from cdc_pubsub_spark.tables import load
+
+# Path regexes. GENERAL_FILE is lifted semantically from the reference
+# (publisher.go:133): groups = (topic, date, hlc33, uniquer, table,
+# schema_id). RESOLVED_FILE is the reference's *intent* — its actual
+# pattern has a typo (`(\d{33)`, publisher.go:134) and never matches; we
+# implement the corrected form per SURVEY.md §2.A13.
+GENERAL_FILE = r"/([^/]*)/(\d{4}-\d{2}-\d{2})/(\d{33})-(.+)-([^-]+)-([^-]+).ndjson$"
+RESOLVED_FILE = r"/([^/]*)/(\d{4}-\d{2}-\d{2})/(\d{33})\.RESOLVED$"
+
+# 33-digit HLC synthesis: lpad(epoch_ms(orderdate)*1e6 + orderkey*10 +
+# version). Monotone in (orderdate, orderkey, version), pure function of
+# the source row — FIXTURES.md §4 determinism rules.
+_HLC_SQL = "lpad(CAST(epoch_ms(o_orderdate) * 1000000 + o_orderkey * 10 + {v} AS VARCHAR), 33, '0')"
+
+
+def _hlc33(version: int) -> F.Column:
+    # cast: parquet yields TIMESTAMP_NTZ; unix_millis wants TIMESTAMP.
+    # Session tz is UTC (session.py) so the cast is a pure reinterpret and
+    # matches DuckDB's epoch_ms over the naive timestamp.
+    num = (
+        F.unix_millis(F.col("o_orderdate").cast("timestamp")) * F.lit(1000000)
+        + F.col("o_orderkey") * 10
+        + F.lit(version)
+    )
+    return F.lpad(num.cast("string"), 33, "0")
+
+
+@register(
+    "cdc_parse_envelope",
+    category="cdc",
+    oracle=rf"""
+    WITH lines AS (
+      SELECT
+        o_orderkey,
+        concat(
+          '{{"after": {{"o_orderkey": ', o_orderkey,
+          ', "o_custkey": ', o_custkey,
+          ', "o_orderstatus": "', o_orderstatus,
+          '", "o_totalprice": ', printf('%.2f', o_totalprice),
+          '}}, "key": [', o_orderkey,
+          '], "updated": "', {_HLC_SQL.format(v=0)}, '"}}'
+        ) AS line
+      FROM orders WHERE o_orderkey <= 2000
+    )
+    SELECT
+      CAST(json_extract_string(line, '$.after.o_orderkey') AS BIGINT)   AS key_orderkey,
+      CAST(json_extract_string(line, '$.after.o_custkey') AS BIGINT)    AS custkey,
+      json_extract_string(line, '$.after.o_orderstatus')                AS status,
+      round(CAST(json_extract_string(line, '$.after.o_totalprice') AS DOUBLE), 2) AS totalprice,
+      json_extract_string(line, '$.updated')                            AS updated,
+      CAST(json_extract(line, '$.key[0]') AS BIGINT)                    AS key0
+    FROM lines
+    """,
+)
+def cdc_parse_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize wrapped-envelope NDJSON lines from orders, then parse
+    them back into typed columns with from_json.
+
+    The reference never parses payloads (publisher.go:193-196 treats them
+    as opaque bytes); the engine parses lazily ONLY at the point of typed
+    access — this operator is that point, using `from_json` with an
+    explicit envelope StructType so Catalyst can prune unused fields at
+    100 TB (JSON field pruning works schema-first).
+    """
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    line = F.concat(
+        F.lit('{"after": {"o_orderkey": '),
+        F.col("o_orderkey").cast("string"),
+        F.lit(', "o_custkey": '),
+        F.col("o_custkey").cast("string"),
+        F.lit(', "o_orderstatus": "'),
+        F.col("o_orderstatus"),
+        F.lit('", "o_totalprice": '),
+        F.format_string("%.2f", F.col("o_totalprice")),
+        F.lit('}, "key": ['),
+        F.col("o_orderkey").cast("string"),
+        F.lit('], "updated": "'),
+        _hlc33(0),
+        F.lit('"}'),
+    )
+    envelope_schema = T.StructType(
+        [
+            T.StructField(
+                "after",
+                T.StructType(
+                    [
+                        T.StructField("o_orderkey", T.LongType()),
+                        T.StructField("o_custkey", T.LongType()),
+                        T.StructField("o_orderstatus", T.StringType()),
+                        T.StructField("o_totalprice", T.DoubleType()),
+                    ]
+                ),
+            ),
+            T.StructField("key", T.ArrayType(T.LongType())),
+            T.StructField("updated", T.StringType()),
+            T.StructField("resolved", T.StringType()),
+        ]
+    )
+    parsed = orders.select(F.from_json(line, envelope_schema).alias("env"))
+    return parsed.select(
+        F.col("env.after.o_orderkey").alias("key_orderkey"),
+        F.col("env.after.o_custkey").alias("custkey"),
+        F.col("env.after.o_orderstatus").alias("status"),
+        F.round(F.col("env.after.o_totalprice"), 2).alias("totalprice"),
+        F.col("env.updated").alias("updated"),
+        F.element_at(F.col("env.key"), 1).alias("key0"),
+    )
+
+
+@register(
+    "cdc_route_path",
+    category="cdc",
+    oracle=rf"""
+    WITH paths AS (
+      SELECT
+        o_orderkey,
+        CASE
+          WHEN o_orderkey % 100 = 0 THEN
+            concat('/v1/orders-topic/', strftime(o_orderdate, '%Y-%m-%d'), '/',
+                   {_HLC_SQL.format(v=0)}, '.RESOLVED')
+          WHEN o_orderkey % 97 = 0 THEN concat('/v1/healthz-', o_orderkey)
+          ELSE
+            concat('/v1/orders-topic/', strftime(o_orderdate, '%Y-%m-%d'), '/',
+                   {_HLC_SQL.format(v=0)}, '-',
+                   substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8),
+                   '-orders-1.ndjson')
+        END AS path
+      FROM orders WHERE o_orderkey <= 2000
+    )
+    SELECT
+      o_orderkey,
+      CASE
+        WHEN regexp_matches(path, '/([^/]*)/(\d{{4}}-\d{{2}}-\d{{2}})/(\d{{33}})\.RESOLVED$') THEN 'resolved'
+        WHEN regexp_matches(path, '/([^/]*)/(\d{{4}}-\d{{2}}-\d{{2}})/(\d{{33}})-(.+)-([^-]+)-([^-]+).ndjson$') THEN 'general'
+        ELSE 'unmatched'
+      END AS route,
+      CASE
+        WHEN regexp_matches(path, '/([^/]*)/(\d{{4}}-\d{{2}}-\d{{2}})/(\d{{33}})\.RESOLVED$')
+          THEN regexp_extract(path, '/([^/]*)/(\d{{4}}-\d{{2}}-\d{{2}})/(\d{{33}})\.RESOLVED$', 1)
+        WHEN regexp_matches(path, '/([^/]*)/(\d{{4}}-\d{{2}}-\d{{2}})/(\d{{33}})-(.+)-([^-]+)-([^-]+).ndjson$')
+          THEN regexp_extract(path, '/([^/]*)/(\d{{4}}-\d{{2}}-\d{{2}})/(\d{{33}})-(.+)-([^-]+)-([^-]+).ndjson$', 1)
+      END AS topic,
+      CASE
+        WHEN regexp_matches(path, '/([^/]*)/(\d{{4}}-\d{{2}}-\d{{2}})/(\d{{33}})\.RESOLVED$')
+          THEN regexp_extract(path, '/([^/]*)/(\d{{4}}-\d{{2}}-\d{{2}})/(\d{{33}})\.RESOLVED$', 2)
+        WHEN regexp_matches(path, '/([^/]*)/(\d{{4}}-\d{{2}}-\d{{2}})/(\d{{33}})-(.+)-([^-]+)-([^-]+).ndjson$')
+          THEN regexp_extract(path, '/([^/]*)/(\d{{4}}-\d{{2}}-\d{{2}})/(\d{{33}})-(.+)-([^-]+)-([^-]+).ndjson$', 2)
+      END AS date_part,
+      CASE
+        WHEN regexp_matches(path, '/([^/]*)/(\d{{4}}-\d{{2}}-\d{{2}})/(\d{{33}})\.RESOLVED$')
+          THEN regexp_extract(path, '/([^/]*)/(\d{{4}}-\d{{2}}-\d{{2}})/(\d{{33}})\.RESOLVED$', 3)
+        WHEN regexp_matches(path, '/([^/]*)/(\d{{4}}-\d{{2}}-\d{{2}})/(\d{{33}})-(.+)-([^-]+)-([^-]+).ndjson$')
+          THEN regexp_extract(path, '/([^/]*)/(\d{{4}}-\d{{2}}-\d{{2}})/(\d{{33}})-(.+)-([^-]+)-([^-]+).ndjson$', 3)
+      END AS hlc,
+      CASE
+        WHEN regexp_matches(path, '/([^/]*)/(\d{{4}}-\d{{2}}-\d{{2}})/(\d{{33}})\.RESOLVED$') THEN 'RESOLVED'
+        WHEN regexp_matches(path, '/([^/]*)/(\d{{4}}-\d{{2}}-\d{{2}})/(\d{{33}})-(.+)-([^-]+)-([^-]+).ndjson$')
+          THEN regexp_extract(path, '/([^/]*)/(\d{{4}}-\d{{2}}-\d{{2}})/(\d{{33}})-(.+)-([^-]+)-([^-]+).ndjson$', 5)
+      END AS table_attr,
+      CASE
+        WHEN regexp_matches(path, '/([^/]*)/(\d{{4}}-\d{{2}}-\d{{2}})/(\d{{33}})-(.+)-([^-]+)-([^-]+).ndjson$')
+         AND NOT regexp_matches(path, '/([^/]*)/(\d{{4}}-\d{{2}}-\d{{2}})/(\d{{33}})\.RESOLVED$')
+          THEN regexp_extract(path, '/([^/]*)/(\d{{4}}-\d{{2}}-\d{{2}})/(\d{{33}})-(.+)-([^-]+)-([^-]+).ndjson$', 6)
+      END AS schema_id
+    FROM paths
+    """,
+)
+def cdc_route_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize changefeed URL paths and route them through the
+    reference's dispatch: resolved → general → unmatched (404).
+
+    Applies the generalFile regex (publisher.go:133) and the *corrected*
+    resolvedFile pattern (publisher.go:134 is typo-dead; SURVEY.md
+    §2.A13). Resolved paths get table_attr='RESOLVED' exactly as
+    publisher.go:155-157 intended. All regex work is JVM-side
+    `regexp_extract` — one codegen'd pass, no UDF.
+    """
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    date_s = F.date_format("o_orderdate", "yyyy-MM-dd")
+    uniquer = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8)
+    path = (
+        F.when(
+            F.col("o_orderkey") % 100 == 0,
+            F.concat(
+                F.lit("/v1/orders-topic/"), date_s, F.lit("/"), _hlc33(0), F.lit(".RESOLVED")
+            ),
+        )
+        .when(
+            F.col("o_orderkey") % 97 == 0,
+            F.concat(F.lit("/v1/healthz-"), F.col("o_orderkey").cast("string")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("/v1/orders-topic/"),
+                date_s,
+                F.lit("/"),
+                _hlc33(0),
+                F.lit("-"),
+                uniquer,
+                F.lit("-orders-1.ndjson"),
+            )
+        )
+    )
+    df = orders.select("o_orderkey", path.alias("path"))
+    is_resolved = F.col("path").rlike(RESOLVED_FILE)
+    is_general = F.col("path").rlike(GENERAL_FILE)
+    route = (
+        F.when(is_resolved, "resolved")
+        .when(is_general, "general")
+        .otherwise("unmatched")
+    )
+
+    def gx(pattern: str, i: int) -> F.Column:
+        return F.regexp_extract("path", pattern, i)
+
+    return df.select(
+        "o_orderkey",
+        route.alias("route"),
+        F.when(is_resolved, gx(RESOLVED_FILE, 1))
+        .when(is_general, gx(GENERAL_FILE, 1))
+        .alias("topic"),
+        F.when(is_resolved, gx(RESOLVED_FILE, 2))
+        .when(is_general, gx(GENERAL_FILE, 2))
+        .alias("date_part"),
+        F.when(is_resolved, gx(RESOLVED_FILE, 3))
+        .when(is_general, gx(GENERAL_FILE, 3))
+        .alias("hlc"),
+        F.when(is_resolved, F.lit("RESOLVED"))
+        .when(is_general, gx(GENERAL_FILE, 5))
+        .alias("table_attr"),
+        F.when(is_general & ~is_resolved, gx(GENERAL_FILE, 6)).alias("schema_id"),
+    )
+
+
+@register(
+    "cdc_upsert_materialize",
+    category="cdc",
+    oracle=rf"""
+    WITH changes AS (
+      SELECT o_orderkey AS key, o_orderstatus AS status,
+             o_totalprice AS price, {_HLC_SQL.format(v=0)} AS updated,
+             FALSE AS is_delete
+      FROM orders WHERE o_orderkey <= 3000
+      UNION ALL
+      SELECT o_orderkey, 'U',
+             floor(o_totalprice * 1.1 * 100 + 0.5) / 100, {_HLC_SQL.format(v=1)},
+             FALSE
+      FROM orders WHERE o_orderkey <= 3000 AND o_orderkey % 3 = 0
+      UNION ALL
+      SELECT o_orderkey, NULL, NULL, {_HLC_SQL.format(v=2)}, TRUE
+      FROM orders WHERE o_orderkey <= 3000 AND o_orderkey % 10 = 0
+    ),
+    latest AS (
+      SELECT *, row_number() OVER (PARTITION BY key ORDER BY updated DESC) AS rn
+      FROM changes
+    )
+    SELECT key, status, round(price, 2) AS price
+    FROM latest
+    WHERE rn = 1 AND NOT is_delete
+    """,
+)
+def cdc_upsert_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay a synthesized change stream (insert → update → delete
+    versions per key) into the latest-row-per-key materialized table.
+
+    This is the consumer-side point of the whole CDC bridge: at-least-once
+    delivery + HLC ordering ⇒ the materialized state is row_number()=1
+    over (key ORDER BY updated DESC), with tombstones (`after: null`,
+    README.md:27) dropped. One shuffle on the key; at 100 TB this runs
+    incrementally per micro-batch in foreachBatch (streaming.sinks) —
+    the batch form here is the oracle-checkable twin.
+    """
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 3000)
+    inserts = orders.select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+        _hlc33(0).alias("updated"),
+        F.lit(False).alias("is_delete"),
+    )
+    updates = (
+        orders.filter(F.col("o_orderkey") % 3 == 0)
+        .select(
+            F.col("o_orderkey").alias("key"),
+            F.lit("U").alias("status"),
+            r2(F.col("o_totalprice") * 1.1).alias("price"),
+            _hlc33(1).alias("updated"),
+            F.lit(False).alias("is_delete"),
+        )
+    )
+    deletes = (
+        orders.filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            F.col("o_orderkey").alias("key"),
+            F.lit(None).cast("string").alias("status"),
+            F.lit(None).cast("double").alias("price"),
+            _hlc33(2).alias("updated"),
+            F.lit(True).alias("is_delete"),
+        )
+    )
+    changes = inserts.unionByName(updates).unionByName(deletes)
+    w = Window.partitionBy("key").orderBy(F.col("updated").desc())
+    return (
+        changes.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & ~F.col("is_delete"))
+        .select("key", "status", F.round("price", 2).alias("price"))
+    )
