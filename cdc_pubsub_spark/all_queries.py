@@ -19,6 +19,10 @@ _MODULES = [
     "cdc_pubsub_spark.functions.scalar",
     "cdc_pubsub_spark.functions.udf",
     "cdc_pubsub_spark.sources.cdc",
+    "cdc_pubsub_spark.llmops.dedup",
+    "cdc_pubsub_spark.llmops.similarity",
+    "cdc_pubsub_spark.llmops.text",
+    "cdc_pubsub_spark.llmops.multimodal",
 ]
 
 for _m in _MODULES:

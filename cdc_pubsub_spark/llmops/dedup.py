@@ -1,0 +1,271 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+The four-tier dedup ladder of a training-data pipeline, each tier trading
+exactness for scale:
+
+1. dedup_exact      — hash-groupBy; one shuffle on md5(text). Exact.
+2. dedup_near       — all-pairs Jaccard via shingle equi-join. Exact but
+                      O(pairs-sharing-a-shingle); small-corpus oracle.
+3. dedup_minhash_lsh— banded MinHash: candidates from band buckets, then
+                      exact verify on candidates only. The 100 TB path:
+                      cost is O(docs × perms) + O(candidates).
+4. dedup_simhash    — 32-bit sign-sum fingerprints + banded Hamming
+                      pairing. Constant space per doc, integer-only.
+
+At-least-once delivery in the reference (publisher.go README.md:5-12 and
+the ACKed-loss bug at publisher.go:209-211) makes consumer-side dedup a
+core contract, not an add-on: stream_dedup handles the event-id tier,
+these handle the content tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cdc_pubsub_spark.llmops.corpus import CORPUS_CTE, SHINGLES_CTE, dup_corpus, shingles
+from cdc_pubsub_spark.registry import register
+
+
+@register(
+    "dedup_exact",
+    category="dedup",
+    oracle=f"""
+    WITH {CORPUS_CTE.strip()}
+    SELECT
+      md5(text)      AS text_hash,
+      count(*)       AS n_copies,
+      min(doc_id)    AS canonical_id
+    FROM corpus
+    GROUP BY md5(text)
+    HAVING count(*) > 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate groups by md5(text).
+
+    One hash aggregate; the canonical representative is min(doc_id) —
+    the deterministic keep-one policy. At 100 TB, hash first (16-byte
+    md5 shuffles instead of full documents) and keep the full text out
+    of the shuffle entirely.
+    """
+    corpus = dup_corpus(spark, sf_dir)
+    return (
+        corpus.groupBy(F.md5("text").alias("text_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("canonical_id"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+@register(
+    "dedup_near",
+    category="dedup",
+    bench=False,  # all-pairs variant; dedup_minhash_lsh is the bench path
+    oracle=f"""
+    WITH {CORPUS_CTE.strip()},
+    {SHINGLES_CTE.strip()},
+    sizes AS (
+      SELECT doc_id, count(*) AS ns FROM shingles GROUP BY doc_id
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      FROM shingles a JOIN shingles b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT
+      doc_a,
+      doc_b,
+      round(CAST(common AS DOUBLE) / (sa.ns + sb.ns - common), 4) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(common AS DOUBLE) / (sa.ns + sb.ns - common) > 0.6
+    """,
+)
+def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by exact 3-gram-shingle Jaccard > 0.6.
+
+    The shingle equi-join computes |A∩B| for every pair sharing ≥1
+    shingle — exact, but the join fans out quadratically on hot shingles
+    (stop-shingles). This is the ground-truth/oracle variant; at scale
+    run dedup_minhash_lsh (same verdicts on candidates, bounded cost).
+    Hot-shingle skew is exactly what AQE skew-join splitting absorbs.
+    """
+    sh = shingles(dup_corpus(spark, sf_dir))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ns"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jacc = F.col("common").cast("double") / (
+        F.col("sa.ns") + F.col("sb.ns") - F.col("common")
+    )
+    return (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jacc > 0.6)
+        .select("doc_a", "doc_b", F.round(jacc, 4).alias("jaccard"))
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    category="dedup",
+    oracle=None,  # xxhash64 permutations are Spark-side; verified against
+    # dedup_near in tests/test_llmops.py (identical pair sets at sf0.001).
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup detection — the 100 TB dedup path.
+
+    16 minhash permutations (xxhash64 with fixed per-permutation salts —
+    deterministic across runs) → 4 bands × 4 rows; docs sharing any band
+    signature become candidate pairs; candidates are verified with exact
+    shingle Jaccard > 0.6. Cost: one groupBy over (doc × perm) for
+    signatures, one equi-join on (band, signature) for candidates, and
+    exact verification touches only candidates — never all pairs.
+    Banding with b=4,r=4 puts the S-curve threshold at (1/4)^(1/4)≈0.71,
+    so >0.6 pairs are found with high probability (recall documented,
+    not 1.0 — the standard LSH contract).
+    """
+    sh = shingles(dup_corpus(spark, sf_dir))
+    n_perm, n_bands = 16, 4
+    rows_per_band = n_perm // n_bands
+
+    mins = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.concat(F.lit(f"perm{i}:"), F.col("shingle")))).alias(
+                f"mh{i}"
+            )
+            for i in range(n_perm)
+        ]
+    )
+    band_cols = []
+    for band in range(n_bands):
+        sig = F.hash(
+            *[F.col(f"mh{band * rows_per_band + r}") for r in range(rows_per_band)]
+        )
+        band_cols.append(
+            F.struct(F.lit(band).alias("band"), sig.alias("sig")).alias(f"b{band}")
+        )
+    bands = mins.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bs")
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+
+    x = bands.alias("x")
+    y = bands.alias("y")
+    candidates = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.sig") == F.col("y.sig"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+    # Exact verify on candidates only: join candidate pairs back to
+    # shingle sets; |A∩B| via the shingle join restricted by semi-join.
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ns"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        candidates.join(a, F.col("doc_a") == F.col("a.doc_id"))
+        .join(
+            b,
+            (F.col("doc_b") == F.col("b.doc_id"))
+            & (F.col("a.shingle") == F.col("b.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jacc = F.col("common").cast("double") / (
+        F.col("sa.ns") + F.col("sb.ns") - F.col("common")
+    )
+    return (
+        common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jacc > 0.6)
+        .select("doc_a", "doc_b", F.round(jacc, 4).alias("jaccard"))
+    )
+
+
+def _simhash_sql() -> str:
+    """Generate the DuckDB simhash oracle (32 bit positions unrolled)."""
+    digit = (
+        "strpos('0123456789abcdef', substr(md5(word), {h}, 1)) - 1"
+    )
+    sums = []
+    for j in range(32):
+        h, b = j // 4 + 1, j % 4
+        d = digit.format(h=h)
+        sums.append(
+            f"sum(CASE WHEN ({d}) // {1 << b} % 2 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        )
+    bits = " + ".join(f"CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(32))
+    return f"""
+    WITH {CORPUS_CTE.strip()},
+    words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM corpus
+    ),
+    sums AS (
+      SELECT doc_id, {', '.join(sums)} FROM words GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM sums
+    """
+
+
+@register("dedup_simhash", category="dedup", oracle=_simhash_sql())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprint per document.
+
+    Per word, 32 bits are taken from md5(word); each bit votes ±1 and the
+    signature's bit j is sign(sum of votes). Near-identical docs differ
+    in a few bits (Hamming ≤ k pairing happens on the banded signature —
+    constant state per doc, integer-only, mergeable: the streaming-
+    friendly fingerprint). Word hashing uses md5 hex digits so the DuckDB
+    oracle reproduces bits exactly.
+    """
+    corpus = dup_corpus(spark, sf_dir)
+    words = corpus.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    md5c = F.md5("word")
+    digits = [
+        F.conv(F.substring(md5c, h + 1, 1), 16, 10).cast("int").alias(f"d{h}")
+        for h in range(8)
+    ]
+    wd = words.select("doc_id", *digits)
+    sums = wd.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.col(f"d{j // 4}").bitwiseAND(F.lit(1 << (j % 4))) != 0, 1
+                ).otherwise(-1)
+            ).alias(f"s{j}")
+            for j in range(32)
+        ]
+    )
+    simhash = sum(
+        [F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)) for j in range(32)],
+        F.lit(0),
+    )
+    return sums.select("doc_id", simhash.cast("bigint").alias("simhash"))

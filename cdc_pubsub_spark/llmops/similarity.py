@@ -1,0 +1,298 @@
+"""Similarity-search operators over the embeddings table.
+
+Vector math is expressed with JVM-side higher-order functions
+(`zip_with` + `aggregate`) — no Python in the scoring loop. Elements are
+cast to double *before* any arithmetic so the left-to-right fold is
+bit-identical to the DuckDB oracle's list_transform/list_sum.
+
+Scale design: brute-force top-k is the correctness baseline (one pass,
+one TakeOrdered). The LSH-bucketed variant (sim_ann_lsh) is the
+1000-executor path: random-hyperplane signatures turn the scan into an
+equi-join on bucket id — the same banding idea as dedup_minhash_lsh.
+Ranking uses the 4-decimal-rounded cosine (ties broken by vec_id) so
+order is stable across engines regardless of last-ulp float noise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from cdc_pubsub_spark.registry import register
+from cdc_pubsub_spark.tables import load
+
+# DuckDB-side cosine between two FLOAT[] lists, double-cast per element.
+_COS_SQL = """
+    list_sum(list_transform(list_zip({a}, {b}),
+             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+"""
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+@register(
+    "sim_cosine_topk",
+    category="similarity",
+    oracle=f"""
+    WITH probe AS (
+      SELECT embedding AS pvec FROM embeddings WHERE vec_id = 1
+    ),
+    scored AS (
+      SELECT
+        vec_id,
+        label,
+        round({_COS_SQL.format(a="embedding", b="pvec")}, 4) AS cos_sim
+      FROM embeddings, probe
+      WHERE vec_id <> 1
+    )
+    SELECT vec_id, label, cos_sim,
+           row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rnk
+    FROM scored
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 10
+    """,
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 against the vec_id=1 probe vector.
+
+    The probe is a 1-row broadcast (crossJoin with a 1-row side stays
+    broadcast under AQE); scoring is one codegen'd pass over the table;
+    top-k is TakeOrdered on the rounded score — O(n) scan, O(k) memory,
+    no global sort. This is the exact baseline an ANN index is measured
+    against (sim_ann_lsh).
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 1).select(
+        F.col("embedding").alias("pvec")
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != 1)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("pvec")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(10)
+        .withColumn("rnk", F.row_number().over(w))
+    )
+
+
+@register(
+    "knn_majority_label",
+    category="similarity",
+    oracle=f"""
+    WITH probes AS (
+      SELECT vec_id AS probe_id, embedding AS pvec
+      FROM embeddings WHERE vec_id <= 20
+    ),
+    scored AS (
+      SELECT
+        probe_id,
+        e.vec_id,
+        e.label,
+        round({_COS_SQL.format(a="e.embedding", b="pvec")}, 4) AS cos_sim
+      FROM embeddings e, probes
+      WHERE e.vec_id <> probe_id
+    ),
+    knn AS (
+      SELECT probe_id, label
+      FROM (
+        SELECT probe_id, label,
+               row_number() OVER (PARTITION BY probe_id
+                                  ORDER BY cos_sim DESC, vec_id) AS rn
+        FROM scored
+      ) WHERE rn <= 10
+    ),
+    votes AS (
+      SELECT probe_id, label, count(*) AS n_votes
+      FROM knn GROUP BY probe_id, label
+    )
+    SELECT probe_id, label AS pred_label, n_votes
+    FROM (
+      SELECT probe_id, label, n_votes,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY n_votes DESC, label) AS rn
+      FROM votes
+    ) WHERE rn = 1
+    """,
+)
+def knn_majority_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN (k=10) majority-label classification for 20 probe vectors.
+
+    probes × candidates is a broadcast crossJoin (probe side is tiny by
+    construction); per-probe top-k via windowed row_number on the rounded
+    score; majority vote = row_number over (votes desc, label) — every
+    tie deterministically broken.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") <= 20).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pvec")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("pvec")), 4).alias("cos_sim"),
+        )
+    )
+    w_knn = Window.partitionBy("probe_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    knn = scored.withColumn("rn", F.row_number().over(w_knn)).filter(F.col("rn") <= 10)
+    votes = knn.groupBy("probe_id", "label").agg(F.count(F.lit(1)).alias("n_votes"))
+    w_maj = Window.partitionBy("probe_id").orderBy(
+        F.col("n_votes").desc(), F.col("label")
+    )
+    return (
+        votes.withColumn("rn", F.row_number().over(w_maj))
+        .filter(F.col("rn") == 1)
+        .select("probe_id", F.col("label").alias("pred_label"), "n_votes")
+    )
+
+
+@register(
+    "dedup_embed_cosine",
+    category="dedup",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+      FROM embeddings WHERE vec_id <= 500
+      UNION ALL
+      SELECT vec_id + 100000,
+             list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.01)
+      FROM embeddings WHERE vec_id <= 500 AND vec_id % 10 = 0
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({_COS_SQL.format(a="a.vec", b="b.vec")}, 4) AS cos_sim
+    FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+    WHERE {_COS_SQL.format(a="a.vec", b="b.vec")} > 0.99
+    """,
+)
+def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos > 0.99).
+
+    Corpus plants scaled copies (×1.01) — cosine-identical by
+    construction, the scale-invariance property the detector must catch.
+    All-pairs here (bounded corpus); the production path buckets by LSH
+    signature first, identical to dedup_minhash_lsh's band join.
+    """
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") <= 500)
+    base = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("vec")
+    )
+    copies = (
+        emb.filter(F.col("vec_id") % 10 == 0)
+        .select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.transform("embedding", lambda x: x.cast("double") * 1.01).alias("vec"),
+        )
+    )
+    corpus = base.unionByName(copies)
+    a = corpus.alias("a")
+    b = corpus.alias("b")
+    cos = cosine(F.col("a.vec"), F.col("b.vec"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(cos > 0.99)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 4).alias("cos_sim"),
+        )
+    )
+
+
+@register(
+    "sim_ann_lsh",
+    category="similarity",
+    oracle=None,  # ANN recall is probabilistic; exactness is checked in
+    # tests/test_llmops.py against sim_cosine_topk (recall ≥ 0.5 on k=10).
+)
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbors via random-hyperplane LSH buckets.
+
+    4 signed projections (deterministic pseudo-random hyperplanes derived
+    from xxhash64(dim, seed) — no RNG state, reproducible on any cluster)
+    → a 4-bit bucket id per vector (16 buckets — sized so buckets hold
+    ~n/16 candidates at this corpus scale; at 100 TB raise the plane
+    count so bucket size stays near the target candidate budget). Query
+    cost: only candidates in the probe's bucket are scored — at 1000
+    executors the bucket join is an equi-shuffle, never a full cross
+    product. Returns the probe's bucket top-10 with exact cosine scores
+    (rounded), vec_id-tiebroken.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    n_planes = 4
+
+    # Deterministic hyperplane component for (plane p, dim i):
+    # normalized xxhash64 of "p:i" → [-1, 1). Built as an array literal
+    # column per plane, broadcast by codegen (64 doubles each).
+    def plane(p: int) -> Column:
+        comps = [
+            (F.xxhash64(F.lit(f"plane{p}:dim{i}")) % 10000).cast("double") / 10000.0
+            for i in range(64)
+        ]
+        return F.array(*comps)
+
+    def bucket(vec: Column) -> Column:
+        bits = [
+            F.when(
+                F.aggregate(
+                    F.zip_with(vec, plane(p), lambda x, h: x.cast("double") * h),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                > 0,
+                F.lit(1 << p),
+            ).otherwise(F.lit(0))
+            for p in range(n_planes)
+        ]
+        return sum(bits[1:], bits[0])
+
+    bucketed = emb.select("vec_id", "label", "embedding", bucket(F.col("embedding")).alias("bkt"))
+    probe = bucketed.filter(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("pvec"),
+        F.col("bkt").alias("pbkt"),
+    )
+    cands = bucketed.join(
+        F.broadcast(probe),
+        (F.col("bkt") == F.col("pbkt")) & (F.col("vec_id") != F.col("probe_id")),
+    )
+    scored = cands.select(
+        "vec_id",
+        "label",
+        F.round(cosine(F.col("embedding"), F.col("pvec")), 4).alias("cos_sim"),
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id")).limit(10)

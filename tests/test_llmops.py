@@ -1,0 +1,76 @@
+"""Semantic checks for the approximate/rows-only operators: the driver
+only row-counts these, so the real guarantees are asserted here."""
+
+from __future__ import annotations
+
+import pytest
+
+import cdc_pubsub_spark.all_queries  # noqa: F401
+from cdc_pubsub_spark.registry import REGISTRY
+
+
+def _pairs(df):
+    return {(r["doc_a"], r["doc_b"]) for r in df.collect()}
+
+
+def test_minhash_lsh_matches_exact_near_dup(spark, sf_dir):
+    """LSH candidates, after exact verification, must be a subset of the
+    exact all-pairs result with decent recall (b=4, r=4 at τ>0.6)."""
+    exact = _pairs(REGISTRY["dedup_near"].fn(spark, sf_dir))
+    lsh = _pairs(REGISTRY["dedup_minhash_lsh"].fn(spark, sf_dir))
+    assert exact, "exact near-dup pairs should exist (planted corpus)"
+    assert lsh <= exact, "LSH-verified pairs must never include false positives"
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.8, f"LSH recall {recall:.2f} below 0.8"
+
+
+def test_ann_lsh_overlaps_brute_force(spark, sf_dir):
+    """Bucketed ANN top-10 should share members with the exact top-10."""
+    exact = [r["vec_id"] for r in REGISTRY["sim_cosine_topk"].fn(spark, sf_dir).collect()]
+    ann = [r["vec_id"] for r in REGISTRY["sim_ann_lsh"].fn(spark, sf_dir).collect()]
+    assert len(ann) > 0, "probe bucket must not be empty"
+    # ANN scores exact cosine within the bucket, so any shared candidate
+    # ranks identically; require non-trivial overlap.
+    overlap = len(set(exact) & set(ann))
+    assert overlap >= 2, f"ANN top-10 shares only {overlap} of exact top-10"
+
+
+def test_approx_distinct_within_tolerance(spark, sf_dir):
+    rows = REGISTRY["agg_approx_distinct"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        rel_err = abs(r["approx_users"] - r["exact_users"]) / max(r["exact_users"], 1)
+        assert rel_err < 0.05, f"{r['event_type']}: HLL rel err {rel_err:.3f}"
+
+
+def test_simhash_near_dups_are_close(spark, sf_dir):
+    """Planted near-copies (doc_id+2_000_000) must land within small
+    Hamming distance of their originals; random pairs must not."""
+    sig = {r["doc_id"]: r["simhash"] for r in REGISTRY["dedup_simhash"].fn(spark, sf_dir).collect()}
+    planted = [(d, d + 2000000) for d in sig if d < 1000000 and d + 2000000 in sig]
+    assert planted, "planted near-dups missing"
+    hams = [bin(sig[a] ^ sig[b]).count("1") for a, b in planted]
+    # Appending 3 words to a ~60-word doc flips low-margin bits: expect a
+    # small mean distance, clearly separated from the random baseline
+    # (~16 of 32 bits for unrelated docs).
+    base_ids = sorted(d for d in sig if d < 1000000)
+    rand = [
+        bin(sig[a] ^ sig[b]).count("1")
+        for a, b in zip(base_ids[: len(planted)], base_ids[::-1][: len(planted)])
+        if a != b
+    ]
+    mean_planted = sum(hams) / len(hams)
+    mean_rand = sum(rand) / len(rand)
+    assert mean_planted < 8, f"planted near-dup mean hamming {mean_planted:.1f}"
+    assert mean_planted < mean_rand / 2, (
+        f"no separation: planted {mean_planted:.1f} vs random {mean_rand:.1f}"
+    )
+    exact_copies = [(d, d + 1000000) for d in sig if d < 1000000 and d + 1000000 in sig]
+    assert all(sig[a] == sig[b] for a, b in exact_copies), "exact copies must hash equal"
+
+
+def test_decode_stub_deterministic(spark, sf_dir):
+    a = REGISTRY["multimodal_decode_stub"].fn(spark, sf_dir).collect()
+    b = REGISTRY["multimodal_decode_stub"].fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert all(r["decoded_ok"] for r in a)
