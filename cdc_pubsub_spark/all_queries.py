@@ -23,6 +23,7 @@ _MODULES = [
     "cdc_pubsub_spark.llmops.similarity",
     "cdc_pubsub_spark.llmops.text",
     "cdc_pubsub_spark.llmops.multimodal",
+    "cdc_pubsub_spark.streaming.ops",
 ]
 
 for _m in _MODULES:

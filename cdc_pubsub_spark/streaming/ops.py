@@ -1,0 +1,382 @@
+"""Streaming operators (SURVEY.md §2.B "Streaming-only").
+
+Every SQL-oracled operator here runs a REAL Structured Streaming query
+(file source → micro-batches → state store → memory sink) to completion
+under Trigger.AvailableNow, then hands the sink table to the driver's
+DuckDB comparison — the oracle is the batch twin over identical rows
+(sound by prefix consistency, SIGMOD'18; SURVEY.md §5.2).
+
+Watermark semantics implement the *intent* of the reference's RESOLVED
+frontier (publisher.go:134 is typo-dead; SURVEY.md §2.A13): a watermark is
+exactly the "no earlier event will arrive" promise a RESOLVED timestamp
+makes, and dedup-within-watermark is the consumer-side obligation its
+at-least-once delivery creates (README.md:5-12, and the ACK-on-failure
+bug publisher.go:209-211 that makes dedup doubly essential).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_pubsub_spark.registry import register
+from cdc_pubsub_spark.streaming.harness import (
+    BASE,
+    read_event_stream,
+    run_to_completion,
+    write_events_ndjson,
+)
+
+
+@register("stream_file_source", category="streaming", oracle=None, bench=False)
+def stream_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDJSON landing-dir stream → memory sink, counted per type.
+
+    The engine's A1 (HTTP ingest → file landing dir, SURVEY.md §2.A):
+    files are discovered per micro-batch, offsets checkpointed — the
+    changefeed's resume-from-checkpoint contract without custom code.
+    """
+    input_dir = write_events_ndjson(spark, sf_dir, "file_source")
+    stream = read_event_stream(spark, input_dir)
+    counted = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    return run_to_completion(counted, "file_source", "complete")
+
+
+@register(
+    "stream_tumbling",
+    category="streaming",
+    bench=False,
+    oracle="""
+    SELECT
+      CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT) * 3600 AS window_start_s,
+      count(*)             AS n_events,
+      round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour tumbling-window aggregation over the event stream.
+
+    `window(ts, '1 hour')` with watermark; the oracle is the batch
+    date-trunc twin. Window start surfaces as epoch seconds — integer,
+    engine-neutral, no timestamp-type skew.
+    """
+    input_dir = write_events_ndjson(spark, sf_dir, "tumbling")
+    stream = read_event_stream(spark, input_dir).withWatermark("ts", "1 hour")
+    agg = stream.groupBy(F.window("ts", "1 hour")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    out = run_to_completion(agg, "tumbling", "complete")
+    return out.select(
+        F.unix_timestamp(F.col("window.start")).alias("window_start_s"),
+        "n_events",
+        "total_value",
+    )
+
+
+@register(
+    "stream_sliding",
+    category="streaming",
+    bench=False,
+    oracle="""
+    SELECT
+      (CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 900) AS BIGINT) - k) * 900 AS window_start_s,
+      count(*)             AS n_events,
+      round(sum(value), 2) AS total_value
+    FROM events, unnest([0, 1, 2, 3]) AS t(k)
+    GROUP BY 1
+    """,
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour window sliding every 15 minutes (4 windows per event).
+
+    The oracle materializes the 4 covering windows per event explicitly —
+    the same expansion `window(ts, '1 hour', '15 minutes')` performs
+    inside the streaming aggregation.
+    """
+    input_dir = write_events_ndjson(spark, sf_dir, "sliding")
+    stream = read_event_stream(spark, input_dir).withWatermark("ts", "1 hour")
+    agg = stream.groupBy(F.window("ts", "1 hour", "15 minutes")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    out = run_to_completion(agg, "sliding", "complete")
+    return out.select(
+        F.unix_timestamp(F.col("window.start")).alias("window_start_s"),
+        "n_events",
+        "total_value",
+    )
+
+
+@register(
+    "stream_session",
+    category="streaming",
+    bench=False,
+    oracle="""
+    WITH ordered AS (
+      SELECT
+        user_id,
+        epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                  - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                    OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                  >= 1800000000
+             OR lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                    OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                IS NULL
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    islands AS (
+      SELECT user_id, ts_us,
+             sum(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts_us
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM ordered
+    )
+    SELECT user_id, min(ts_us) AS session_start_us, count(*) AS n_events
+    FROM islands
+    GROUP BY user_id, session_id
+    """,
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 30-minute inactivity gap.
+
+    `session_window` merges events whose gap is strictly < 30 min (an
+    event at exactly lastEvent+30min starts a new session); the oracle's
+    gaps-and-islands SQL uses `gap >= 30min → new island` — the same
+    boundary (SURVEY.md §7 risk 3). Session state lives in the state
+    store keyed by user; at scale this is the operator whose state the
+    RocksDB store exists for.
+    """
+    input_dir = write_events_ndjson(spark, sf_dir, "session")
+    stream = read_event_stream(spark, input_dir).withWatermark("ts", "1 hour")
+    agg = stream.groupBy(
+        F.session_window("ts", "30 minutes"), F.col("user_id")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    out = run_to_completion(agg, "session", "complete")
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+        "n_events",
+    )
+
+
+@register(
+    "stream_dedup",
+    category="streaming",
+    bench=False,
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once restoration over an at-least-once stream.
+
+    Input is every event DUPLICATED (the delivery guarantee the reference
+    actually provides — and its publisher.go:209-211 bug means consumers
+    can't even trust the ACK); dropDuplicatesWithinWatermark on event_id
+    restores the original stream, proven by the oracle being the plain
+    batch aggregate over the un-duplicated table. Dedup state is bounded
+    by the watermark — the property that makes this viable forever on an
+    unbounded stream.
+    """
+    input_dir = write_events_ndjson(spark, sf_dir, "dedup", duplicate=True)
+    stream = (
+        read_event_stream(spark, input_dir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    sink = run_to_completion(stream, "dedup", "append")
+    return sink.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@register("stream_late_data", category="streaming", oracle=None, bench=False)
+def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data drop semantics: events arriving behind the watermark are
+    excluded from closed windows.
+
+    File A (recent event times) arrives first and advances the watermark
+    to max(A) - 1 day; a one-line kicker batch propagates it (Spark
+    applies a new watermark to operators one batch after computing it);
+    the late file (the oldest day of events) then arrives entirely behind
+    the established watermark and is dropped
+    (numRowsDroppedByWatermark > 0). The sink holds only windows closed
+    below the watermark, none containing late rows (asserted in
+    tests/test_streaming.py). This is the engine's RESOLVED contract:
+    after the frontier, earlier data is authoritatively final.
+    """
+    input_dir = write_events_ndjson(
+        spark, sf_dir, "late_data", late_cutoff_days=1
+    )
+    stream = read_event_stream(spark, input_dir, max_files_per_trigger=1)
+    agg = (
+        stream.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = run_to_completion(agg, "late_data", "append")
+    return out.select(
+        F.unix_timestamp(F.col("window.start")).alias("window_start_s"), "n_events"
+    )
+
+
+@register("stream_stateful", category="streaming", oracle=None, bench=False)
+def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom per-user state machine via applyInPandasWithState.
+
+    Arbitrary stateful processing — the generalization of the reference's
+    in-process topic cache (publisher.go:99-129: state keyed by name,
+    created on first touch, reused after). State schema is explicit
+    (n_events, n_transitions, last_type); output is one snapshot row per
+    key per batch, latest version wins. Equivalence with the batch
+    twin is asserted in tests/test_streaming.py.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    input_dir = write_events_ndjson(spark, sf_dir, "stateful")
+    stream = read_event_stream(spark, input_dir)
+
+    def track(key, pdfs, state):
+        (user_id,) = key
+        if state.exists:
+            n, trans, last, version = state.get
+        else:
+            n, trans, last, version = 0, 0, "", 0
+        chunks = [pdf for pdf in pdfs]
+        batch = pd.concat(chunks).sort_values(["ts", "event_id"])
+        for et in batch["event_type"]:
+            n += 1
+            if last != "" and et != last:
+                trans += 1
+            last = et
+        version += 1
+        state.update((n, trans, last, version))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "n_transitions": [trans],
+                "last_type": [last],
+                "version": [version],
+            }
+        )
+
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        track,
+        outputStructType="user_id bigint, n_events bigint, n_transitions bigint, "
+        "last_type string, version int",
+        stateStructType="n bigint, trans bigint, last string, version int",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = run_to_completion(out, "stateful", "append")
+    # Latest snapshot per user (single AvailableNow batch → version 1,
+    # but the max-version select keeps this correct under maxFilesPerTrigger).
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("version").desc())
+    return (
+        sink.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "n_transitions", "last_type")
+    )
+
+
+@register("stream_stream_join", category="streaming", oracle=None, bench=False)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream self-join: each purchase joined to error events of
+    the same user within the following 10 minutes.
+
+    Both sides carry watermarks and the join condition bounds event time,
+    so Spark can expire join state — the requirement for an unbounded
+    stream-stream join to hold bounded state.
+    """
+    input_dir = write_events_ndjson(spark, sf_dir, "ssjoin")
+    base = read_event_stream(spark, input_dir)
+    purchases = (
+        base.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    errors = (
+        read_event_stream(spark, input_dir)
+        .filter(F.col("event_type") == "error")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("e_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+        )
+    )
+    joined = purchases.join(
+        errors,
+        (F.col("p_user") == F.col("e_user"))
+        & (F.col("e_ts") >= F.col("p_ts"))
+        & (F.col("e_ts") <= F.col("p_ts") + F.expr("INTERVAL 10 MINUTES")),
+    ).select("p_user", "p_id", "e_id")
+    sink = run_to_completion(joined, "ssjoin", "append")
+    return sink.groupBy("p_user").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+@register("sink_pubsub_emulated", category="streaming", oracle=None, bench=False)
+def sink_pubsub_emulated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pub/Sub-emulating sink: per-topic fan-out with message attributes
+    and a per-batch commit barrier, via foreachBatch.
+
+    Faithful to the reference pipeline A6-A9 (publisher.go:177-213):
+    topic = prefix + routing key (options.go:66-72), every message carries
+    the attrs map {path, table} (publisher.go:177-180), and the batch is
+    committed atomically — with the CORRECT semantics the reference
+    drops: a failed publish fails the micro-batch, which replays from the
+    checkpoint (at-least-once), instead of ACKing loss
+    (publisher.go:209-211, SURVEY.md §2.A9). partitionBy(topic) directories
+    are the topic fan-out; downstream consumers read only their topic's
+    partition (partition pruning = per-topic subscriptions).
+    """
+    input_dir = write_events_ndjson(spark, sf_dir, "pubsub_sink")
+    out_dir = os.path.join(BASE, "pubsub_sink", "topics")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    stream = read_event_stream(spark, input_dir)
+
+    def publish(batch_df: DataFrame, batch_id: int) -> None:
+        enriched = batch_df.withColumn(
+            "topic", F.concat(F.lit("events-"), F.col("event_type"))
+        ).withColumn(
+            "attrs",
+            F.create_map(
+                F.lit("path"),
+                F.concat(F.lit("/v1/events-"), F.col("event_type")),
+                F.lit("table"),
+                F.lit("events"),
+            ),
+        )
+        # The write IS the commit barrier: if it throws, the micro-batch
+        # fails and replays from the checkpoint — at-least-once restored.
+        enriched.write.mode("append").partitionBy("topic").parquet(out_dir)
+
+    run_to_completion(stream, "pubsub_sink", foreach_batch=publish)
+    back = spark.read.parquet(out_dir)
+    return back.groupBy("topic").agg(
+        F.count(F.lit(1)).alias("n_messages"),
+        F.countDistinct("event_id").alias("n_distinct"),
+    )

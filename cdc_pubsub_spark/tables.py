@@ -26,9 +26,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # TIMESTAMP(NANOS) read as long (see session.py); convert to a real
         # timestamp at microsecond precision. Integer division truncates,
         # exactly like DuckDB's ns->us cast, so oracles stay bit-identical.
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
-        )
+        # `div` = integral division. A double division here would be wrong:
+        # epoch-nanos (~1.7e18) exceed 2^53, so float math loses the low
+        # bits and the truncation lands ±1 µs off DuckDB's ns→us cast.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

@@ -1,0 +1,112 @@
+"""Batch-twin equivalence tests for the rows-only streaming operators
+(the SQL-oracled ones are covered by the parity suite, which runs the
+real streams against their batch-twin oracles)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+import cdc_pubsub_spark.all_queries  # noqa: F401
+from cdc_pubsub_spark.registry import REGISTRY
+from cdc_pubsub_spark.tables import load
+
+
+def test_stateful_matches_batch_twin(spark, sf_dir):
+    """applyInPandasWithState result == batch window computation."""
+    got = {
+        r["user_id"]: (r["n_events"], r["n_transitions"], r["last_type"])
+        for r in REGISTRY["stream_stateful"].fn(spark, sf_dir).collect()
+    }
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    twin = (
+        ev.withColumn("prev", F.lag("event_type").over(w))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(
+                    F.col("prev").isNotNull() & (F.col("prev") != F.col("event_type")), 1
+                ).otherwise(0)
+            ).alias("n_transitions"),
+            F.max_by("event_type", F.struct("ts", "event_id")).alias("last_type"),
+        )
+    )
+    want = {
+        r["user_id"]: (r["n_events"], r["n_transitions"], r["last_type"])
+        for r in twin.collect()
+    }
+    assert got == want
+
+
+def test_stream_stream_join_matches_batch_twin(spark, sf_dir):
+    got = {
+        r["p_user"]: r["n_pairs"]
+        for r in REGISTRY["stream_stream_join"].fn(spark, sf_dir).collect()
+    }
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts")
+    )
+    twin = (
+        p.join(
+            e,
+            (F.col("p_user") == F.col("e_user"))
+            & (F.col("e_ts") >= F.col("p_ts"))
+            & (F.col("e_ts") <= F.col("p_ts") + F.expr("INTERVAL 10 MINUTES")),
+        )
+        .groupBy("p_user")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    want = {r["p_user"]: r["n_pairs"] for r in twin.collect()}
+    assert got == want
+
+
+def test_late_data_dropped(spark, sf_dir):
+    """No emitted window may contain day-0 (late-arriving) events, and
+    every emitted window must agree with the on-time batch subset."""
+    out = {
+        r["window_start_s"]: r["n_events"]
+        for r in REGISTRY["stream_late_data"].fn(spark, sf_dir).collect()
+    }
+    assert out, "some closed windows must be emitted"
+    ev = load(spark, sf_dir, "events")
+    t0 = ev.agg(F.min(F.col("ts").cast("timestamp"))).collect()[0][0]
+    import datetime
+
+    cutoff = t0 + datetime.timedelta(days=1)
+    on_time = (
+        ev.filter(F.col("ts").cast("timestamp") >= F.lit(cutoff))
+        .groupBy((F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / 3600) * 3600).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    want = {r["w"]: r["n"] for r in on_time.collect()}
+    late_windows = set()
+    late = (
+        ev.filter(F.col("ts").cast("timestamp") < F.lit(cutoff))
+        .select((F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / 3600) * 3600).alias("w"))
+        .distinct()
+    )
+    late_windows = {r["w"] for r in late.collect()}
+    for w_start, n in out.items():
+        assert w_start not in late_windows, f"late window {w_start} emitted"
+        assert want.get(w_start) == n, f"window {w_start}: {n} != {want.get(w_start)}"
+
+
+def test_pubsub_sink_fanout_complete(spark, sf_dir):
+    """Every event lands in exactly one topic partition, none lost —
+    the at-least-once + idempotent-write contract (fixing ref A9)."""
+    res = {r["topic"]: (r["n_messages"], r["n_distinct"]) for r in
+           REGISTRY["sink_pubsub_emulated"].fn(spark, sf_dir).collect()}
+    ev = load(spark, sf_dir, "events")
+    want = {
+        f"events-{r['event_type']}": r["n"]
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert {t: n for t, (n, _) in res.items()} == want
+    for t, (n, nd) in res.items():
+        assert n == nd, f"{t}: duplicate messages in sink"
