@@ -96,7 +96,11 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     run dedup_minhash_lsh (same verdicts on candidates, bounded cost).
     Hot-shingle skew is exactly what AQE skew-join splitting absorbs.
     """
-    sh = shingles(dup_corpus(spark, sf_dir))
+    # persist: the shingle set feeds three consumers (sizes, both join
+    # sides); caching materializes the explode+distinct once. At cluster
+    # scale this is a StorageLevel.MEMORY_AND_DISK persist of a
+    # corpus-sized intermediate — standard for multi-use dedup stages.
+    sh = shingles(dup_corpus(spark, sf_dir)).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ns"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -143,7 +147,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     so >0.6 pairs are found with high probability (recall documented,
     not 1.0 — the standard LSH contract).
     """
-    sh = shingles(dup_corpus(spark, sf_dir))
+    sh = shingles(dup_corpus(spark, sf_dir)).persist()
     n_perm, n_bands = 16, 4
     rows_per_band = n_perm // n_bands
 
@@ -248,17 +252,23 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     corpus = dup_corpus(spark, sf_dir)
     words = corpus.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
-    md5c = F.md5("word")
-    digits = [
-        F.conv(F.substring(md5c, h + 1, 1), 16, 10).cast("int").alias(f"d{h}")
-        for h in range(8)
-    ]
-    wd = words.select("doc_id", *digits)
+    # One conv over the first 8 md5 hex chars yields the same 32 bits the
+    # oracle assembles digit-by-digit: hex digit h (1-indexed) holds bits
+    # 4h-4..4h-1 big-endian, i.e. bit j of the word-hash = bit
+    # (4*(j//4) + 3 - ... ) — laid out so that digit d{h} = (wh >>
+    # (28 - 4h)) & 15; the oracle's (digit >> (j%4)) & 1 therefore equals
+    # (wh >> (28 - 4*(j//4) + j%4)) & 1 here.
+    wh = F.conv(F.substring(F.md5("word"), 1, 8), 16, 10).cast("bigint")
+    wd = words.select("doc_id", wh.alias("wh"))
     sums = wd.groupBy("doc_id").agg(
         *[
             F.sum(
                 F.when(
-                    F.col(f"d{j // 4}").bitwiseAND(F.lit(1 << (j % 4))) != 0, 1
+                    F.col("wh").bitwiseAND(
+                        F.lit(1 << (28 - 4 * (j // 4) + (j % 4)))
+                    )
+                    != 0,
+                    1,
                 ).otherwise(-1)
             ).alias(f"s{j}")
             for j in range(32)

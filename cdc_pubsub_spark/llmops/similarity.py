@@ -153,17 +153,25 @@ def knn_majority_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie deterministically broken.
     """
     emb = load(spark, sf_dir, "embeddings")
+    # Norms precomputed per side (once per vector, not once per pair).
     probes = emb.filter(F.col("vec_id") <= 20).select(
-        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pvec")
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("pvec"),
+        _norm(F.col("embedding")).alias("pnrm"),
     )
+    cands = emb.withColumn("cnrm", _norm(F.col("embedding")))
     scored = (
-        emb.crossJoin(F.broadcast(probes))
+        cands.crossJoin(F.broadcast(probes))
         .filter(F.col("vec_id") != F.col("probe_id"))
         .select(
             "probe_id",
             "vec_id",
             "label",
-            F.round(cosine(F.col("embedding"), F.col("pvec")), 4).alias("cos_sim"),
+            F.round(
+                _dot(F.col("embedding"), F.col("pvec"))
+                / (F.col("cnrm") * F.col("pnrm")),
+                4,
+            ).alias("cos_sim"),
         )
     )
     w_knn = Window.partitionBy("probe_id").orderBy(
@@ -218,10 +226,15 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("embedding", lambda x: x.cast("double") * 1.01).alias("vec"),
         )
     )
-    corpus = base.unionByName(copies)
+    # Precompute each vector's norm once: the pair stage then evaluates
+    # only the dot product — one 64-element fold per pair instead of
+    # three (the norm folds would otherwise be recomputed |pairs| times).
+    # Values are identical to the oracle's inline form: same vector, same
+    # left-to-right double fold.
+    corpus = base.unionByName(copies).withColumn("nrm", _norm(F.col("vec")))
     a = corpus.alias("a")
     b = corpus.alias("b")
-    cos = cosine(F.col("a.vec"), F.col("b.vec"))
+    cos = _dot(F.col("a.vec"), F.col("b.vec")) / (F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .filter(cos > 0.99)
@@ -255,14 +268,17 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     n_planes = 4
 
-    # Deterministic hyperplane component for (plane p, dim i):
-    # normalized xxhash64 of "p:i" → [-1, 1). Built as an array literal
-    # column per plane, broadcast by codegen (64 doubles each).
+    # Deterministic hyperplane component for (plane p, dim i): md5-derived
+    # pseudo-random double in [-1, 1). Computed driver-side (hashlib) and
+    # shipped as array literals — 64 constants per plane instead of 64
+    # hash expressions per plane per row, keeping the codegen'd plan tiny.
+    import hashlib
+
     def plane(p: int) -> Column:
-        comps = [
-            (F.xxhash64(F.lit(f"plane{p}:dim{i}")) % 10000).cast("double") / 10000.0
-            for i in range(64)
-        ]
+        comps = []
+        for i in range(64):
+            h = int(hashlib.md5(f"plane{p}:dim{i}".encode()).hexdigest()[:8], 16)
+            comps.append(F.lit(h % 20000 / 10000.0 - 1.0))
         return F.array(*comps)
 
     def bucket(vec: Column) -> Column:

@@ -1,0 +1,74 @@
+"""Physical-plan pins: every scale claim made in an operator docstring is
+asserted against the actual Catalyst plan. A regression that silently
+turns a broadcast into a shuffle or defeats pushdown fails here long
+before it would show up as a 100 TB incident."""
+
+from __future__ import annotations
+
+import cdc_pubsub_spark.all_queries  # noqa: F401
+from cdc_pubsub_spark.plans.inspect import (
+    count_exchanges,
+    has_pushed_filters,
+    read_schema_columns,
+    uses,
+)
+from cdc_pubsub_spark.registry import REGISTRY
+
+
+def q(name, spark, sf_dir):
+    return REGISTRY[name].fn(spark, sf_dir)
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = q("filter_compound", spark, sf_dir)
+    assert has_pushed_filters(df), "compound predicate must push to parquet"
+
+
+def test_flagship_prunes_columns(spark, sf_dir):
+    df = q("agg_hash_groupby", spark, sf_dir)
+    cols = read_schema_columns(df, "lineitem")
+    assert cols, "lineitem scan not found"
+    # 7 needed columns out of 11 — l_orderkey/partkey/suppkey/linenumber
+    # must NOT be read.
+    assert "l_orderkey" not in cols and "l_partkey" not in cols, cols
+    assert "l_quantity" in cols and "l_shipdate" in cols, cols
+
+
+def test_broadcast_join_is_broadcast(spark, sf_dir):
+    df = q("join_broadcast", spark, sf_dir)
+    assert uses(df, "BroadcastHashJoin"), "region join must broadcast"
+    df2 = q("join_multiway", spark, sf_dir)
+    assert uses(df2, "BroadcastHashJoin"), "dims in star join must broadcast"
+
+
+def test_global_topk_avoids_full_sort(spark, sf_dir):
+    df = q("sort_multikey_limit", spark, sf_dir)
+    assert uses(df, "TakeOrderedAndProject"), "orderBy+limit must be TakeOrdered"
+
+
+def test_per_group_topk_uses_group_limit(spark, sf_dir):
+    df = q("topk_per_group", spark, sf_dir)
+    assert uses(df, "WindowGroupLimit"), "rank filter must push into window sort"
+
+
+def test_semi_anti_join_shapes(spark, sf_dir):
+    assert uses(q("join_semi", spark, sf_dir), "LeftSemi")
+    assert uses(q("join_anti", spark, sf_dir), "LeftAnti")
+
+
+def test_theta_join_broadcasts_small_side(spark, sf_dir):
+    df = q("join_theta_range", spark, sf_dir)
+    assert uses(df, "BroadcastNestedLoopJoin"), "theta join must broadcast the dim"
+
+
+def test_single_agg_single_shuffle(spark, sf_dir):
+    """The flagship agg must shuffle exactly once (partial -> final)."""
+    df = q("agg_hash_groupby", spark, sf_dir)
+    assert count_exchanges(df) <= 2, "flagship should not cascade shuffles"
+
+
+def test_scalar_fns_no_shuffle(spark, sf_dir):
+    """Pure projection ops must be shuffle-free narrow plans."""
+    for name in ("proj_arith", "fn_string", "fn_math", "text_quality_score"):
+        df = q(name, spark, sf_dir)
+        assert count_exchanges(df) == 0, f"{name} must not shuffle"
