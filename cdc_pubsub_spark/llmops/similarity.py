@@ -302,9 +302,14 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("pvec"),
         F.col("bkt").alias("pbkt"),
     )
+    # Multi-probe: also scan buckets at Hamming distance 1 from the
+    # probe's bucket (flip any one hyperplane verdict). Standard
+    # multi-probe LSH — recall rises from p^k to p^k + k·p^(k-1)(1-p)
+    # while still touching only (k+1)/2^k of the corpus.
     cands = bucketed.join(
         F.broadcast(probe),
-        (F.col("bkt") == F.col("pbkt")) & (F.col("vec_id") != F.col("probe_id")),
+        (F.bit_count(F.col("bkt").bitwiseXOR(F.col("pbkt"))) <= 1)
+        & (F.col("vec_id") != F.col("probe_id")),
     )
     scored = cands.select(
         "vec_id",
