@@ -37,6 +37,23 @@ from cdc_pubsub_spark.tables import load
 GENERAL_FILE = r"/([^/]*)/(\d{4}-\d{2}-\d{2})/(\d{33})-(.+)-([^-]+)-([^-]+).ndjson$"
 RESOLVED_FILE = r"/([^/]*)/(\d{4}-\d{2}-\d{2})/(\d{33})\.RESOLVED$"
 
+def auth_filter(df, keys: tuple[str, ...], key_col: str = "sharedKey"):
+    """Admit rows whose shared key is in the configured key set.
+
+    Faithful to the reference's auth check (publisher.go:143-150,
+    options.go:50-56): multiple keys are accepted simultaneously (key
+    rotation, README.md:77-78), and — matching the reference exactly —
+    an EMPTY key set admits everything (the Go range-loop over zero keys
+    never rejects; dumpOnly/testing mode). Returns (admitted, rejected):
+    the rejected branch is the 401 path, kept as a dead-letter DataFrame
+    instead of being dropped.
+    """
+    if not keys:
+        return df, df.limit(0)
+    pred = F.col(key_col).isin(*keys)
+    return df.filter(pred), df.filter(~pred | F.col(key_col).isNull())
+
+
 # 33-digit HLC synthesis: lpad(epoch_ms(orderdate)*1e6 + orderkey*10 +
 # version). Monotone in (orderdate, orderkey, version), pure function of
 # the source row — FIXTURES.md §4 determinism rules.

@@ -1,0 +1,126 @@
+"""Reference-fidelity tests: path-regex cases lifted from the reference's
+routing layer (publisher.go:133-134), the auth accept/reject matrix
+(publisher.go:143-150), and hypothesis property tests for the HLC and
+envelope determinism rules (SURVEY.md §5.2)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from cdc_pubsub_spark.sources.cdc import GENERAL_FILE, RESOLVED_FILE, auth_filter
+
+GENERAL = re.compile(GENERAL_FILE)
+RESOLVED = re.compile(RESOLVED_FILE)
+
+HLC = "2024010100000000000000000000000001"[:33]
+
+
+class TestPathRegexFidelity:
+    """Cases derived from publisher.go:133 (generalFile) semantics."""
+
+    def test_general_file_groups(self):
+        path = f"/v1/my-topic/2020-08-26/{HLC}-e5d21d04-orders-1.ndjson"
+        m = GENERAL.search(path)
+        assert m
+        assert m.group(1) == "my-topic"
+        assert m.group(2) == "2020-08-26"
+        assert m.group(3) == HLC
+        assert m.group(4) == "e5d21d04"
+        assert m.group(5) == "orders"
+        assert m.group(6) == "1"
+
+    def test_general_rejects_short_hlc(self):
+        assert not GENERAL.search("/v1/t/2020-08-26/123-u-orders-1.ndjson")
+
+    def test_general_rejects_bad_date(self):
+        assert not GENERAL.search(f"/v1/t/2020-8-26/{HLC}-u-orders-1.ndjson")
+
+    def test_greedy_uniquer_with_dashes(self):
+        # (.+) is greedy: a dashed uniquer folds extra segments into group
+        # 4, leaving the LAST two dash-separated fields as table/schema —
+        # the same backtracking the reference's RE2 pattern performs.
+        m = GENERAL.search(f"/v1/t/2020-08-26/{HLC}-a-b-c-orders-1.ndjson")
+        assert m and m.group(4) == "a-b-c" and m.group(5) == "orders"
+
+    def test_resolved_intended_pattern_matches(self):
+        # The reference's own resolvedFile regex (publisher.go:134) has a
+        # typo — `(\d{33)` — and never matches; the engine implements the
+        # documented INTENT (SURVEY.md §2.A13). This case would 404 in
+        # the reference; it must route as a watermark here.
+        m = RESOLVED.search(f"/v1/t/2020-08-26/{HLC}.RESOLVED")
+        assert m and m.group(3) == HLC
+
+    def test_reference_typo_reproduced_as_dead(self):
+        # Document the divergence: the verbatim broken pattern (with the
+        # missing brace) indeed never matches a real resolved path.
+        broken = re.compile(r"/([^/]*)/(\d{4}-\d{2}-\d{2})/(\d\{33)\.RESOLVED$")
+        assert not broken.search(f"/v1/t/2020-08-26/{HLC}.RESOLVED")
+
+    def test_resolved_checked_before_general(self):
+        # Dispatch order (publisher.go:152-165): a RESOLVED path must not
+        # accidentally satisfy the general pattern.
+        assert not GENERAL.search(f"/v1/t/2020-08-26/{HLC}.RESOLVED")
+
+
+class TestAuthMatrix:
+    """publisher.go:143-150 accept/reject matrix (FIXTURES.md §3)."""
+
+    KEYS = ("xyzzy", "rotated")
+
+    @pytest.fixture()
+    def requests(self, spark):
+        return spark.createDataFrame(
+            [(1, "xyzzy"), (2, "rotated"), (3, "wrong"), (4, None)],
+            "req_id int, sharedKey string",
+        )
+
+    def test_valid_keys_admitted(self, requests):
+        ok, bad = auth_filter(requests, self.KEYS)
+        assert {r["req_id"] for r in ok.collect()} == {1, 2}
+
+    def test_invalid_and_missing_rejected(self, requests):
+        ok, bad = auth_filter(requests, self.KEYS)
+        assert {r["req_id"] for r in bad.collect()} == {3, 4}
+
+    def test_no_keys_admits_all(self, requests):
+        ok, bad = auth_filter(requests, ())
+        assert ok.count() == 4 and bad.count() == 0
+
+
+class TestHLCProperties:
+    """Property tests for the 33-digit HLC synthesis/decoding contract."""
+
+    @given(
+        ms=st.integers(min_value=0, max_value=4_000_000_000_000),
+        logical=st.integers(min_value=0, max_value=999_999),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_roundtrip(self, ms, logical):
+        hlc = str(ms * 1_000_000 + logical).zfill(33)
+        assert len(hlc) == 33
+        v = int(hlc)
+        assert v // 1_000_000 == ms
+        assert v % 1_000_000 == logical
+
+    @given(
+        a=st.tuples(
+            st.integers(min_value=0, max_value=4_000_000_000_000),
+            st.integers(min_value=0, max_value=999_999),
+        ),
+        b=st.tuples(
+            st.integers(min_value=0, max_value=4_000_000_000_000),
+            st.integers(min_value=0, max_value=999_999),
+        ),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_string_order_is_hlc_order(self, a, b):
+        """Zero-padded decimal strings sort exactly like (wall, logical)
+        tuples — the property cdc_upsert_materialize's ORDER BY updated
+        DESC depends on."""
+        ha = str(a[0] * 1_000_000 + a[1]).zfill(33)
+        hb = str(b[0] * 1_000_000 + b[1]).zfill(33)
+        assert (ha < hb) == (a < b)
