@@ -267,6 +267,37 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_percentile",
+    category="aggregates",
+    oracle="""
+    SELECT
+      l_returnflag,
+      round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
+      round(quantile_cont(l_extendedprice, 0.50), 2) AS p50,
+      round(quantile_cont(l_extendedprice, 0.75), 2) AS p75
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation) per return flag.
+
+    `percentile()` buffers each group's values — exact but O(group) memory,
+    fine for bounded groups. At 100 TB with huge groups, switch to
+    `approx_percentile` (t-digest: mergeable, constant memory, map-side
+    combinable) and accept the documented error bound; this query is the
+    exact baseline such a sketch is validated against.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    pcts = F.percentile("l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.element_at(pcts, 1), 2).alias("p25"),
+        F.round(F.element_at(pcts, 2), 2).alias("p50"),
+        F.round(F.element_at(pcts, 3), 2).alias("p75"),
+    )
+
+
+@register(
     "agg_approx_distinct",
     category="aggregates",
     oracle=None,  # HLL sketch result is implementation-defined; rows-only check.

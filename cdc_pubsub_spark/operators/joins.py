@@ -16,6 +16,8 @@ Strategy notes for 100 TB scale, encoded in each query:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -317,6 +319,123 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
             F.countDistinct("s_suppkey").alias("n_suppliers"),
+        )
+    )
+
+
+@register(
+    "join_skew_salted",
+    category="joins",
+    oracle="""
+    WITH fact AS (
+      SELECT event_id,
+             CASE WHEN user_id % 10 <> 0 THEN 0 ELSE user_id END AS hot_key,
+             value
+      FROM events
+    ),
+    dim AS (
+      SELECT DISTINCT CASE WHEN user_id % 10 <> 0 THEN 0 ELSE user_id END AS hot_key
+      FROM events
+    )
+    SELECT f.hot_key, count(*) AS n, round(sum(f.value), 2) AS total_value
+    FROM fact f JOIN dim d ON f.hot_key = d.hot_key
+    GROUP BY f.hot_key
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join via explicit salting.
+
+    The fact side is deliberately skewed (~90% of rows collapse onto
+    hot_key 0 — the shape of a hot tenant/topic at 100 TB). The salt
+    decomposes the hot key across 16 shuffle partitions: the fact side
+    gets a deterministic salt (event_id % 16), the dim side explodes ×16,
+    and the join runs on (key, salt) — identical result to the unsalted
+    join (the oracle), but no single reducer receives the whole hot key.
+    This is the manual fallback for the cases AQE skew-join splitting
+    can't reach (it only splits sort-merge joins post-shuffle).
+    """
+    n_salt = 16
+    ev = load(spark, sf_dir, "events")
+    hot_key = F.when(F.col("user_id") % 10 != 0, F.lit(0)).otherwise(F.col("user_id"))
+    fact = ev.select(
+        hot_key.alias("hot_key"),
+        (F.col("event_id") % n_salt).alias("salt"),
+        "value",
+    )
+    dim = (
+        ev.select(hot_key.alias("hot_key"))
+        .distinct()
+        .select(
+            "hot_key",
+            F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))).alias("salt"),
+        )
+    )
+    return (
+        fact.join(dim, ["hot_key", "salt"])
+        .groupBy("hot_key")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "join_bucketed_colocated",
+    category="joins",
+    bench=False,  # includes a one-time bucketed-table write (fixture IO)
+    oracle="""
+    SELECT o_orderpriority,
+           count(*)                                          AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free fact-fact join via bucketed tables.
+
+    Both sides are written `bucketBy(8, key)` + sorted — Spark's bucketed
+    layout co-locates equal keys in equal bucket files, so the sort-merge
+    join reads both sides bucket-by-bucket with NO shuffle exchange
+    (pinned in tests/test_plans.py). This is the 100 TB answer for a
+    repeatedly-joined fact pair: pay the partitioned write once, skip the
+    dominant shuffle on every subsequent join. The merge hint keeps AQE
+    from substituting a broadcast at toy scale so the plan under test is
+    the one that matters at scale.
+    """
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    sfx = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    t_orders, t_li = f"bkt_orders_{sfx}", f"bkt_lineitem_{sfx}"
+
+    def ensure_bucketed(table: str, df: DataFrame, key: str) -> None:
+        # Idempotent create (the reference's ensureTopic shape,
+        # publisher.go:99-129): if the catalog lacks the table, clear any
+        # stale location left by a previous session before writing — the
+        # in-memory catalog doesn't survive restarts but the warehouse
+        # dir does.
+        if spark.catalog.tableExists(table):
+            return
+        import shutil
+
+        loc = os.path.join("/tmp/cdc_pubsub_spark_warehouse", table.lower())
+        shutil.rmtree(loc, ignore_errors=True)
+        df.write.mode("overwrite").bucketBy(8, key).sortBy(key).saveAsTable(table)
+
+    ensure_bucketed(t_orders, orders, "o_orderkey")
+    ensure_bucketed(t_li, li, "l_orderkey")
+    bo = spark.table(t_orders)
+    bl = spark.table(t_li)
+    return (
+        bo.hint("merge")
+        .join(bl, bo.o_orderkey == bl.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
         )
     )
 

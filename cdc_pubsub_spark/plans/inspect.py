@@ -53,11 +53,19 @@ def read_schema_columns(df: DataFrame, table_hint: str) -> list[str]:
 
 
 def count_exchanges(df: DataFrame) -> int:
-    """Number of shuffle exchanges in the (pre-AQE) physical plan."""
+    """Number of distinct shuffle exchanges in the (pre-AQE) physical plan.
+
+    Counts the detail entries `(N) Exchange` of the formatted plan —
+    shuffle exchanges only (BroadcastExchange/ReusedExchange excluded,
+    and reused subtrees counted once, matching actual shuffle work).
+    """
+    import re
+
     plan = formatted_plan(df)
     return sum(
-        1 for line in plan.splitlines() if "Exchange hashpartitioning" in line
-        or "Exchange rangepartitioning" in line
+        1
+        for line in plan.splitlines()
+        if re.match(r"^\(\d+\) Exchange\b", line.strip())
     )
 
 

@@ -49,6 +49,9 @@ def get_spark(app_name: str = "cdc-pubsub-spark", cpus: int | None = None) -> Sp
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        # Warehouse for bucketed tables (join_bucketed_colocated) — kept
+        # out of the repo tree.
+        .config("spark.sql.warehouse.dir", "/tmp/cdc_pubsub_spark_warehouse")
         .config("spark.sql.execution.pyspark.udf.faulthandler.enabled", "false")
     )
     return builder.getOrCreate()

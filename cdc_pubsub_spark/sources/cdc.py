@@ -279,6 +279,40 @@ def cdc_route_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def synth_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic change stream from orders: every key gets a v0
+    insert; keys ÷3 a v1 update (price ×1.1); keys ÷10 a v2 tombstone
+    (`after: null`, README.md:27). Columns: key, status, price, updated
+    (33-digit HLC), is_delete, ver. Pure function of the source table
+    (FIXTURES.md §4)."""
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 3000)
+    inserts = orders.select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+        _hlc33(0).alias("updated"),
+        F.lit(False).alias("is_delete"),
+        F.lit(0).alias("ver"),
+    )
+    updates = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("key"),
+        F.lit("U").alias("status"),
+        r2(F.col("o_totalprice") * 1.1).alias("price"),
+        _hlc33(1).alias("updated"),
+        F.lit(False).alias("is_delete"),
+        F.lit(1).alias("ver"),
+    )
+    deletes = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        F.col("o_orderkey").alias("key"),
+        F.lit(None).cast("string").alias("status"),
+        F.lit(None).cast("double").alias("price"),
+        _hlc33(2).alias("updated"),
+        F.lit(True).alias("is_delete"),
+        F.lit(2).alias("ver"),
+    )
+    return inserts.unionByName(updates).unionByName(deletes)
+
+
 @register(
     "cdc_upsert_materialize",
     category="cdc",
@@ -317,35 +351,7 @@ def cdc_upsert_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     incrementally per micro-batch in foreachBatch (streaming.sinks) —
     the batch form here is the oracle-checkable twin.
     """
-    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 3000)
-    inserts = orders.select(
-        F.col("o_orderkey").alias("key"),
-        F.col("o_orderstatus").alias("status"),
-        F.col("o_totalprice").alias("price"),
-        _hlc33(0).alias("updated"),
-        F.lit(False).alias("is_delete"),
-    )
-    updates = (
-        orders.filter(F.col("o_orderkey") % 3 == 0)
-        .select(
-            F.col("o_orderkey").alias("key"),
-            F.lit("U").alias("status"),
-            r2(F.col("o_totalprice") * 1.1).alias("price"),
-            _hlc33(1).alias("updated"),
-            F.lit(False).alias("is_delete"),
-        )
-    )
-    deletes = (
-        orders.filter(F.col("o_orderkey") % 10 == 0)
-        .select(
-            F.col("o_orderkey").alias("key"),
-            F.lit(None).cast("string").alias("status"),
-            F.lit(None).cast("double").alias("price"),
-            _hlc33(2).alias("updated"),
-            F.lit(True).alias("is_delete"),
-        )
-    )
-    changes = inserts.unionByName(updates).unionByName(deletes)
+    changes = synth_changes(spark, sf_dir)
     w = Window.partitionBy("key").orderBy(F.col("updated").desc())
     return (
         changes.withColumn("rn", F.row_number().over(w))

@@ -338,6 +338,118 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.groupBy("p_user").agg(F.count(F.lit(1)).alias("n_pairs"))
 
 
+@register("stream_cdc_upsert", category="streaming", oracle=None, bench=False)
+def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CDC materialization: envelope NDJSON stream →
+    foreachBatch MERGE into a versioned state table.
+
+    The end-to-end consumer the whole bridge exists to feed: wrapped
+    envelopes (README.md:27) arrive in HLC order across three
+    micro-batches (inserts → updates → tombstones, one file each,
+    maxFilesPerTrigger=1); each batch merges into the keyed state by
+    `row_number()=1 OVER (key ORDER BY updated DESC)`. State is written
+    to a fresh versioned directory per batch (state_v{n}) and the
+    previous version is read back — the atomic-swap pattern that keeps a
+    reader-visible table consistent under failure/replay (a replayed
+    batch rewrites the same version deterministically: exactly-once
+    effects from at-least-once delivery + idempotent merge). Final state
+    must equal the batch twin cdc_upsert_materialize
+    (tests/test_streaming.py).
+    """
+    from pyspark.sql import types as T
+    from pyspark.sql.window import Window
+
+    from cdc_pubsub_spark.sources.cdc import synth_changes
+
+    root = os.path.join(BASE, "cdc_upsert")
+    shutil.rmtree(root, ignore_errors=True)
+    input_dir = os.path.join(root, "input")
+    os.makedirs(input_dir)
+
+    changes = synth_changes(spark, sf_dir)
+    line = F.to_json(
+        F.struct(
+            F.when(
+                ~F.col("is_delete"),
+                F.struct(F.col("status"), F.col("price")),
+            ).alias("after"),
+            F.array(F.col("key")).alias("key"),
+            F.col("updated"),
+        ),
+        {"ignoreNullFields": "false"},
+    )
+    import time as _time
+
+    now = _time.time()
+    for ver in (0, 1, 2):
+        vdir = os.path.join(root, f"v{ver}")
+        changes.filter(F.col("ver") == ver).select(line.alias("value")).coalesce(
+            1
+        ).write.text(vdir)
+        part = next(p for p in os.listdir(vdir) if p.startswith("part-"))
+        dst = os.path.join(input_dir, f"{ver:02d}-changes.ndjson")
+        shutil.move(os.path.join(vdir, part), dst)
+        os.utime(dst, (now + ver * 10, now + ver * 10))
+
+    envelope = T.StructType(
+        [
+            T.StructField(
+                "after",
+                T.StructType(
+                    [
+                        T.StructField("status", T.StringType()),
+                        T.StructField("price", T.DoubleType()),
+                    ]
+                ),
+            ),
+            T.StructField("key", T.ArrayType(T.LongType())),
+            T.StructField("updated", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema("value string")
+        .option("maxFilesPerTrigger", 1)
+        .text(input_dir)
+        .select(F.from_json("value", envelope).alias("env"))
+        .select(
+            F.element_at("env.key", 1).alias("key"),
+            F.col("env.after.status").alias("status"),
+            F.col("env.after.price").alias("price"),
+            F.col("env.updated").alias("updated"),
+            F.col("env.after").isNull().alias("is_delete"),
+        )
+    )
+
+    state_base = os.path.join(root, "state")
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        prev_dir = os.path.join(state_base, f"v{batch_id - 1}")
+        new_dir = os.path.join(state_base, f"v{batch_id}")
+        if os.path.exists(prev_dir):
+            merged = spark.read.parquet(prev_dir).unionByName(batch_df)
+        else:
+            merged = batch_df
+        w = Window.partitionBy("key").orderBy(F.col("updated").desc())
+        latest = (
+            merged.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        # Deterministic overwrite of this batch's version dir: replaying
+        # the batch after a crash rewrites identical content (idempotent).
+        latest.write.mode("overwrite").parquet(new_dir)
+
+    run_to_completion(stream, "cdc_upsert", foreach_batch=merge)
+
+    versions = sorted(
+        int(d[1:]) for d in os.listdir(state_base) if d.startswith("v")
+    )
+    final = spark.read.parquet(os.path.join(state_base, f"v{versions[-1]}"))
+    return final.filter(~F.col("is_delete")).select(
+        "key", "status", F.round("price", 2).alias("price")
+    )
+
+
 @register("sink_pubsub_emulated", category="streaming", oracle=None, bench=False)
 def sink_pubsub_emulated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pub/Sub-emulating sink: per-topic fan-out with message attributes

@@ -67,6 +67,16 @@ def test_single_agg_single_shuffle(spark, sf_dir):
     assert count_exchanges(df) <= 2, "flagship should not cascade shuffles"
 
 
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    """The co-located fact-fact join must read bucket-aligned files and
+    sort-merge with zero shuffle exchanges before the final aggregate."""
+    df = q("join_bucketed_colocated", spark, sf_dir)
+    assert uses(df, "SortMergeJoin"), "merge hint must yield SMJ"
+    # Exactly one exchange: the post-join aggregation. The join itself
+    # must not shuffle either side.
+    assert count_exchanges(df) <= 1, "bucketed join sides must not shuffle"
+
+
 def test_scalar_fns_no_shuffle(spark, sf_dir):
     """Pure projection ops must be shuffle-free narrow plans."""
     for name in ("proj_arith", "fn_string", "fn_math", "text_quality_score"):

@@ -97,6 +97,51 @@ def test_late_data_dropped(spark, sf_dir):
         assert want.get(w_start) == n, f"window {w_start}: {n} != {want.get(w_start)}"
 
 
+def test_stream_cdc_upsert_matches_batch_twin(spark, sf_dir):
+    """Incremental per-batch MERGE must converge to the same materialized
+    table as the one-shot batch upsert."""
+    got = {
+        r["key"]: (r["status"], r["price"])
+        for r in REGISTRY["stream_cdc_upsert"].fn(spark, sf_dir).collect()
+    }
+    want = {
+        r["key"]: (r["status"], r["price"])
+        for r in REGISTRY["cdc_upsert_materialize"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_graceful_drain_at_batch_boundary(spark, sf_dir):
+    """A12 (server.go:75,87-98): stop() drains at a micro-batch boundary —
+    the sink never holds a partial batch, and stopped queries report
+    inactive (the healthz 503 analog, A11 server.go:65-73)."""
+    from cdc_pubsub_spark.streaming.harness import (
+        read_event_stream,
+        write_events_ndjson,
+    )
+
+    input_dir = write_events_ndjson(spark, sf_dir, "drain")
+    stream = read_event_stream(spark, input_dir)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("drain_sink")
+        .option(
+            "checkpointLocation", "/tmp/cdc_pubsub_spark_stream/drain/ck_drain"
+        )
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.isActive  # healthz OK while live
+    q.awaitTermination()
+    assert not q.isActive  # healthz 503 after drain
+    assert q.exception() is None
+    n_sink = spark.table("drain_sink").count()
+    from cdc_pubsub_spark.tables import load as _load
+
+    assert n_sink == _load(spark, sf_dir, "events").count()
+
+
 def test_pubsub_sink_fanout_complete(spark, sf_dir):
     """Every event lands in exactly one topic partition, none lost —
     the at-least-once + idempotent-write contract (fixing ref A9)."""
