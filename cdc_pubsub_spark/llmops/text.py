@@ -54,6 +54,43 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_token_bpe_regex",
+    category="text",
+    oracle="""
+    WITH tokens AS (
+      SELECT unnest(regexp_extract_all(text, ' ?[a-z]+|[0-9]+|[^a-z0-9 ]+')) AS token
+      FROM documents WHERE doc_id <= 2000
+    )
+    SELECT token, count(*) AS n
+    FROM tokens
+    GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 20
+    """,
+)
+def text_token_bpe_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style regex pre-tokenization (GPT-2-shaped pattern, RE2-safe).
+
+    The ` ?[a-z]+` alternative keeps the leading space attached to each
+    word — the BPE convention that makes token counts match a trained
+    tokenizer's pre-tokenization pass. regexp_extract_all runs in
+    codegen; counting a 100 TB corpus's token histogram is one explode +
+    vocab-sized hash aggregate (same shuffle shape as text_token_counts).
+    """
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") <= 2000)
+    toks = F.regexp_extract_all(
+        "text", F.lit(" ?[a-z]+|[0-9]+|[^a-z0-9 ]+"), 0
+    )
+    return (
+        docs.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(20)
+    )
+
+
+@register(
     "text_lang_stats",
     category="text",
     oracle="""

@@ -181,6 +181,41 @@ def win_ntile_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "win_first_last",
+    category="windows",
+    oracle="""
+    SELECT
+      o_custkey,
+      o_orderkey,
+      round(first_value(o_totalprice) OVER w, 2) AS first_price,
+      round(last_value(o_totalprice)
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2)
+        AS final_price,
+      round(nth_value(o_totalprice, 2) OVER w, 2) AS second_price
+    FROM orders
+    WHERE o_custkey <= 100
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over each customer's order
+    history — the CDC first/current/nth-state projection. last_value uses
+    the full-partition frame (the default running frame would just echo
+    the current row — the classic last_value trap)."""
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 100)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.first("o_totalprice").over(w), 2).alias("first_price"),
+        F.round(F.last("o_totalprice").over(w_full), 2).alias("final_price"),
+        F.round(F.nth_value("o_totalprice", 2).over(w), 2).alias("second_price"),
+    )
+
+
+@register(
     "topk_per_group",
     category="windows",
     oracle="""
