@@ -43,6 +43,18 @@ def get_spark(app_name: str = "cdc-pubsub-spark", cpus: int | None = None) -> Sp
         .config("spark.sql.session.timeZone", "UTC")
         # Broadcast threshold: dims (region/nation/supplier/part) always fit.
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # RocksDB state store: streaming state spills to local disk instead
+        # of living on the JVM heap — the only viable backend when session/
+        # dedup/join state reaches 100 TB-scale key cardinalities. Changelog
+        # checkpointing keeps commit cost proportional to the delta.
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        .config(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+            "true",
+        )
         # events.parquet carries TIMESTAMP(NANOS) which the vectorized reader
         # rejects; read as long and convert in tables.load (micros truncation
         # matches DuckDB's ns->us cast, keeping oracle parity).
