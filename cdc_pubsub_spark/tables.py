@@ -17,10 +17,35 @@ from pyspark.sql import types as T
 from cdc_pubsub_spark.registry import TABLES
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Set the runtime confs every query depends on.
+
+    The driver (and any embedding application) may hand us a
+    SparkSession built without our session.py factory; these four are
+    correctness-critical and all runtime-settable:
+    - nanosAsLong: events.parquet is TIMESTAMP(NANOS); without this every
+      events scan throws PARQUET_TYPE_ILLEGAL.
+    - UTC session tz: timestamp results must match the tz-naive DuckDB
+      oracle regardless of host timezone.
+    - AQE + Arrow: performance posture assumed by the operator docstrings.
+    """
+    for k, v in (
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # read-only in some environments; best effort
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver testdata table (TESTDATA.md) as a DataFrame."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         # TIMESTAMP(NANOS) read as long (see session.py); convert to a real
