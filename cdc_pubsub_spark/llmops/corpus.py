@@ -43,11 +43,11 @@ def dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.unionByName(exact).unionByName(near)
 
 
-def shingles(corpus: DataFrame, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per doc: (doc_id, shingle).
+def shingle_array(corpus: DataFrame, n: int = 3) -> DataFrame:
+    """Per-doc word n-gram shingle array: (doc_id, grams array<string>).
 
-    Array-native (transform over sequence) — the shingle list is built
-    inside codegen, then exploded once. Docs shorter than n words are
+    Built entirely inside codegen (transform over sequence) — one narrow
+    map pass, no explode, no shuffle. Docs shorter than n words are
     dropped (guard against Spark's descending `sequence`).
     """
     words = F.split(F.col("text"), " ")
@@ -55,9 +55,16 @@ def shingles(corpus: DataFrame, n: int = 3) -> DataFrame:
         f"transform(sequence(0, size(split(text, ' ')) - {n}), "
         f"i -> concat_ws(' ', slice(split(text, ' '), i + 1, {n})))"
     )
+    return corpus.filter(F.size(words) >= n).select(
+        "doc_id", grams.alias("grams")
+    )
+
+
+def shingles(corpus: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, shingle) rows."""
     return (
-        corpus.filter(F.size(words) >= n)
-        .select("doc_id", F.explode(grams).alias("shingle"))
+        shingle_array(corpus, n)
+        .select("doc_id", F.explode("grams").alias("shingle"))
         .distinct()
     )
 

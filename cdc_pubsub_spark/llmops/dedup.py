@@ -24,7 +24,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from cdc_pubsub_spark.llmops.corpus import CORPUS_CTE, SHINGLES_CTE, dup_corpus, shingles
+from cdc_pubsub_spark.llmops.corpus import (
+    CORPUS_CTE,
+    SHINGLES_CTE,
+    dup_corpus,
+    shingle_array,
+    shingles,
+)
 from cdc_pubsub_spark.registry import register
 
 
@@ -140,25 +146,46 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     16 minhash permutations (xxhash64 with fixed per-permutation salts —
     deterministic across runs) → 4 bands × 4 rows; docs sharing any band
     signature become candidate pairs; candidates are verified with exact
-    shingle Jaccard > 0.6. Cost: one groupBy over (doc × perm) for
-    signatures, one equi-join on (band, signature) for candidates, and
-    exact verification touches only candidates — never all pairs.
-    Banding with b=4,r=4 puts the S-curve threshold at (1/4)^(1/4)≈0.71,
-    so >0.6 pairs are found with high probability (recall documented,
-    not 1.0 — the standard LSH contract).
+    shingle Jaccard > 0.6. Cost shape: signatures are ZERO-shuffle
+    (array_min ∘ transform over the per-row shingle array, all codegen),
+    candidates are one equi-join on (band, signature), and verification
+    is row-local array_intersect on candidate pairs only — never all
+    pairs, never a shingle explode. Banding with b=4,r=4 puts the
+    S-curve threshold at (1/4)^(1/4)≈0.71, so >0.6 pairs are found with
+    high probability (recall documented, not 1.0 — the standard LSH
+    contract).
     """
-    sh = shingles(dup_corpus(spark, sf_dir)).persist()
     n_perm, n_bands = 16, 4
     rows_per_band = n_perm // n_bands
 
-    mins = sh.groupBy("doc_id").agg(
+    # Signatures are computed entirely map-side: per doc, each permutation
+    # is array_min(transform(grams, xxhash64(salt || g))) over the in-row
+    # shingle array — ZERO shuffles for the signature stage (min over the
+    # shingle multiset equals min over the set, so no distinct needed).
+    # The only shuffles in the whole pipeline are the band-bucket
+    # candidate join and the verification join — both equi-joins on small
+    # intermediates. This is the shape that makes MinHash the 100 TB path.
+    arrs = shingle_array(dup_corpus(spark, sf_dir))
+    # SQL-parsed lambdas, NOT Python-built ones: `grams` is itself the
+    # product of a SQL-parsed HOF lambda, and after CollapseProject the
+    # two lambda layers nest. Mixing parser-named and Python-auto-named
+    # lambda variables in that nest mis-binds — hashes came out wrong AND
+    # build-dependent (caught by tests/test_llmops.py's determinism
+    # regression). Parser-side variables (`i` inner, `s` outer) bind by
+    # name, correctly.
+    # Two-arg xxhash64(s, perm) salts by hashing the perm index alongside
+    # the shingle — no per-hash string concat/alloc. persist(): the
+    # signature table (|docs| × 17 longs) feeds both sides of the band
+    # self-join; without it the whole signature computation runs twice.
+    mins = arrs.select(
+        "doc_id",
         *[
-            F.min(F.xxhash64(F.concat(F.lit(f"perm{i}:"), F.col("shingle")))).alias(
+            F.expr(f"array_min(transform(grams, s -> xxhash64(s, {i})))").alias(
                 f"mh{i}"
             )
             for i in range(n_perm)
-        ]
-    )
+        ],
+    ).persist()
     band_cols = []
     for band in range(n_bands):
         sig = F.hash(
@@ -186,29 +213,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    # Exact verify on candidates only: join candidate pairs back to
-    # shingle sets; |A∩B| via the shingle join restricted by semi-join.
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ns"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (
-        candidates.join(a, F.col("doc_a") == F.col("a.doc_id"))
-        .join(
-            b,
-            (F.col("doc_b") == F.col("b.doc_id"))
-            & (F.col("a.shingle") == F.col("b.shingle")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jacc = F.col("common").cast("double") / (
-        F.col("sa.ns") + F.col("sb.ns") - F.col("common")
-    )
+    # Exact verify on candidates only: bring each side's distinct-gram
+    # array and compute |A∩B| with array_intersect per pair — row-local,
+    # no shingle explode, no aggregation. Each verify row costs
+    # O(|A|+|B|) hash-set work inside codegen.
+    sets = arrs.select(
+        "doc_id", F.array_distinct("grams").alias("gset")
+    ).persist()
+    a = sets.alias("a")
+    b = sets.alias("b")
+    common = F.size(F.array_intersect(F.col("a.gset"), F.col("b.gset")))
+    union = F.size(F.col("a.gset")) + F.size(F.col("b.gset")) - common
+    jacc = common.cast("double") / union
     return (
-        common.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        candidates.join(a, F.col("doc_a") == F.col("a.doc_id"))
+        .join(b, F.col("doc_b") == F.col("b.doc_id"))
         .filter(jacc > 0.6)
         .select("doc_a", "doc_b", F.round(jacc, 4).alias("jaccard"))
     )

@@ -69,6 +69,36 @@ def test_simhash_near_dups_are_close(spark, sf_dir):
     assert all(sig[a] == sig[b] for a, b in exact_copies), "exact copies must hash equal"
 
 
+def test_minhash_signatures_deterministic_and_exact(spark, sf_dir):
+    """Regression: rebuilding the minhash plan must give identical
+    signatures (a Python-lambda-over-SQL-lambda nest once made them
+    build-dependent), and array-min signatures must equal the exploded
+    ground truth."""
+    from pyspark.sql import functions as F
+
+    from cdc_pubsub_spark.llmops.corpus import dup_corpus, shingle_array
+
+    def build():
+        arrs = shingle_array(dup_corpus(spark, sf_dir))
+        return arrs.select(
+            "doc_id",
+            F.expr("array_min(transform(grams, s -> xxhash64(s, 0)))").alias("mh0"),
+        )
+
+    a = {r["doc_id"]: r["mh0"] for r in build().collect()}
+    b = {r["doc_id"]: r["mh0"] for r in build().collect()}
+    assert a == b, "signatures must not depend on plan build"
+
+    arrs = shingle_array(dup_corpus(spark, sf_dir))
+    gt = (
+        arrs.select("doc_id", F.explode("grams").alias("g"))
+        .groupBy("doc_id")
+        .agg(F.min(F.xxhash64(F.col("g"), F.lit(0))).alias("m"))
+    )
+    want = {r["doc_id"]: r["m"] for r in gt.collect()}
+    assert a == want, "array-min signature must equal exploded ground truth"
+
+
 def test_decode_stub_deterministic(spark, sf_dir):
     a = REGISTRY["multimodal_decode_stub"].fn(spark, sf_dir).collect()
     b = REGISTRY["multimodal_decode_stub"].fn(spark, sf_dir).collect()
