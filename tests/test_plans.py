@@ -5,9 +5,12 @@ before it would show up as a 100 TB incident."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 import cdc_pubsub_spark.all_queries  # noqa: F401
 from cdc_pubsub_spark.plans.inspect import (
     count_exchanges,
+    formatted_plan,
     has_pushed_filters,
     read_schema_columns,
     uses,
@@ -75,6 +78,20 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     # Exactly one exchange: the post-join aggregation. The join itself
     # must not shuffle either side.
     assert count_exchanges(df) <= 1, "bucketed join sides must not shuffle"
+
+
+def test_partitioned_sink_prunes_on_read(spark, sf_dir):
+    """Reading one topic partition back from the fan-out sink must prune
+    to that partition's directory (the per-topic-subscription property:
+    a consumer of one topic never scans another's files)."""
+    REGISTRY["sink_partitioned"].fn(spark, sf_dir).collect()  # materialize sink
+    import tempfile, os
+
+    out = os.path.join(tempfile.gettempdir(), "cdc_pubsub_spark_sink_partitioned")
+    back = spark.read.parquet(out).filter(F.col("o_orderstatus") == "F")
+    plan = formatted_plan(back)
+    scan_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "o_orderstatus" in scan_line, f"no partition filter pushed: {scan_line}"
 
 
 def test_scalar_fns_no_shuffle(spark, sf_dir):
