@@ -164,6 +164,114 @@ def sample_hash_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "profile_columns",
+    category="advanced",
+    oracle="""
+    SELECT 'o_orderkey' AS col, count(*) AS n, count(o_orderkey) AS n_nonnull,
+           count(DISTINCT o_orderkey) AS n_distinct,
+           round(min(o_orderkey), 2) AS min_v, round(max(o_orderkey), 2) AS max_v
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', count(*), count(o_custkey), count(DISTINCT o_custkey),
+           round(min(o_custkey), 2), round(max(o_custkey), 2)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(*), count(o_totalprice), count(DISTINCT o_totalprice),
+           round(min(o_totalprice), 2), round(max(o_totalprice), 2)
+    FROM orders
+    """,
+)
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling: null/distinct/min/max per column in ONE scan.
+
+    The engine's ANALYZE TABLE analogue (feeds CBO statistics, SURVEY.md
+    §4.2): all per-column aggregates compute in a single pass and unpivot
+    to one row per column — never one scan per column (the oracle's
+    UNION ALL shape is what NOT to execute; Spark computes the single-
+    pass plan and reshapes).
+    """
+    orders = load(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n"),
+            F.count(c).alias(f"{c}__nonnull"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.round(F.min(c).cast("double"), 2).alias(f"{c}__min"),
+            F.round(F.max(c).cast("double"), 2).alias(f"{c}__max"),
+        ]
+    wide = orders.agg(*aggs)
+    per_col = [
+        F.struct(
+            F.lit(c).alias("col"),
+            F.col(f"{c}__n").alias("n"),
+            F.col(f"{c}__nonnull").alias("n_nonnull"),
+            F.col(f"{c}__distinct").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_v"),
+            F.col(f"{c}__max").alias("max_v"),
+        )
+        for c in cols
+    ]
+    return wide.select(F.explode(F.array(*per_col)).alias("p")).select("p.*")
+
+
+@register(
+    "ts_gap_fill",
+    category="advanced",
+    oracle="""
+    WITH bounds AS (
+      SELECT
+        CAST(floor(epoch(min(CAST(ts AS TIMESTAMP))) / 86400) AS BIGINT) * 86400 AS d0,
+        CAST(floor(epoch(max(CAST(ts AS TIMESTAMP))) / 86400) AS BIGINT) * 86400 AS d1
+      FROM events WHERE event_type = 'purchase'
+    ),
+    grid AS (
+      SELECT unnest(range(d0, d1 + 86400, 86400)) AS day_s FROM bounds
+    ),
+    actual AS (
+      SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) * 86400 AS day_s,
+             count(*) AS n, round(sum(value), 2) AS total_value
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1
+    )
+    SELECT g.day_s, coalesce(a.n, 0) AS n, coalesce(a.total_value, 0.0) AS total_value
+    FROM grid g LEFT JOIN actual a ON g.day_s = a.day_s
+    """,
+)
+def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: daily purchase rollup over a dense day
+    grid, empty days zero-filled.
+
+    The hypertable-rollup shape: the dense grid comes from
+    sequence(min, max, step) exploded (driver computes nothing — bounds
+    flow through a 1-row subplan), then a left join fills gaps. The
+    reference's daily date-partition routing (publisher.go:133) is the
+    ingestion-side twin of this query-side calendar.
+    """
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    day_s = (
+        F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / 86400) * 86400
+    ).cast("bigint")
+    actual = ev.groupBy(day_s.alias("day_s")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    bounds = ev.agg(
+        F.min(day_s).alias("d0"),
+        F.max(day_s).alias("d1"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"), F.lit(86400))).alias("day_s")
+    )
+    return grid.join(actual, "day_s", "left").select(
+        "day_s",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        F.coalesce(F.col("total_value"), F.lit(0.0)).alias("total_value"),
+    )
+
+
+@register(
     "scan_json_corrupt",
     category="advanced",
     oracle="""

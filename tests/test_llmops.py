@@ -69,6 +69,28 @@ def test_simhash_near_dups_are_close(spark, sf_dir):
     assert all(sig[a] == sig[b] for a, b in exact_copies), "exact copies must hash equal"
 
 
+def test_dedup_exact_idempotent(spark, sf_dir):
+    """Removing duplicates then re-running the detector finds nothing:
+    dedup is a fixed point (SURVEY.md §5.2 property)."""
+    from pyspark.sql import functions as F
+
+    from cdc_pubsub_spark.llmops.corpus import dup_corpus
+
+    corpus = dup_corpus(spark, sf_dir)
+    canonical = corpus.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    deduped = corpus.join(
+        canonical, corpus.doc_id == canonical.doc_id, "left_semi"
+    )
+    again = (
+        deduped.groupBy(F.md5("text"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+    )
+    assert again.count() == 0
+
+
 def test_minhash_signatures_deterministic_and_exact(spark, sf_dir):
     """Regression: rebuilding the minhash plan must give identical
     signatures (a Python-lambda-over-SQL-lambda nest once made them
