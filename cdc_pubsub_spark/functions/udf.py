@@ -164,6 +164,46 @@ def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "udtf_python_real",
+    category="udf",
+    oracle="""
+    SELECT doc_id,
+           unnest(string_split(text, ' '))                              AS token,
+           unnest(range(1, len(string_split(text, ' ')) + 1))           AS idx
+    FROM documents
+    WHERE doc_id <= 50
+    """,
+)
+def udtf_python_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Genuine Python UDTF (Spark 4 `@udtf`): one doc row → one row per
+    token with its 1-based position.
+
+    The UDTF mechanism is the extension point for row-expanding logic a
+    SQL generator can't express (stateful parsers, tokenizers with
+    carry-over). Invoked via SQL LATERAL join — the only way to feed it
+    per-row columns. Per-row Python: kept to 50 docs; `udtf_explode_like`
+    shows the JVM path for expansion that IS expressible.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token string, idx int")
+    class SplitWords:
+        def eval(self, text: str):
+            for i, tok in enumerate(text.split(" ")):
+                yield tok, i + 1
+
+    spark.udtf.register("split_words", SplitWords)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.token, t.idx
+        FROM documents_udtf d, LATERAL split_words(d.text) t
+        WHERE d.doc_id <= 50
+        """
+    )
+
+
+@register(
     "udtf_explode_like",
     category="udf",
     oracle="""

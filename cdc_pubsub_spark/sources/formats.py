@@ -1,0 +1,78 @@
+"""Columnar/row source-format round-trips (ORC, CSV).
+
+The reference ingests exactly one wire format (NDJSON over HTTP); an
+engine replacing it must speak the formats a lakehouse actually stores.
+Each operator round-trips driver data through the format and aggregates
+the read-back — the oracle runs on the original table, so the round-trip
+itself is what's being verified (schema + value fidelity through the
+format's writer/reader pair).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_pubsub_spark.registry import register
+from cdc_pubsub_spark.tables import load
+
+
+@register(
+    "scan_orc_roundtrip",
+    category="scans",
+    bench=False,
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → ORC → read back → aggregate (must equal the parquet truth).
+
+    ORC is the other vectorized columnar format with predicate pushdown;
+    identical aggregate results through the round-trip prove writer/
+    reader fidelity (timestamps, doubles, strings).
+    """
+    out = os.path.join(tempfile.gettempdir(), "cdc_pubsub_spark_orc_orders")
+    load(spark, sf_dir, "orders").write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@register(
+    "scan_csv_roundtrip",
+    category="scans",
+    bench=False,
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS total_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer → CSV (header, explicit schema on read) → aggregate.
+
+    CSV is schema-less text: the read declares the schema explicitly
+    (never inferSchema in production — a second full scan and
+    type-guessing nondeterminism). Doubles survive via Spark's
+    round-trippable default formatting.
+    """
+    out = os.path.join(tempfile.gettempdir(), "cdc_pubsub_spark_csv_customer")
+    load(spark, sf_dir, "customer").write.mode("overwrite").option(
+        "header", True
+    ).csv(out)
+    back = spark.read.schema(
+        "c_custkey bigint, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string"
+    ).option("header", True).csv(out)
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+    )

@@ -338,6 +338,150 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.groupBy("p_user").agg(F.count(F.lit(1)).alias("n_pairs"))
 
 
+@register(
+    "pipeline_bridge_e2e",
+    category="streaming",
+    bench=False,
+    oracle="""
+    WITH days AS (
+      SELECT date_trunc('day', o_orderdate) AS day, count(*) AS n_orders
+      FROM orders GROUP BY 1
+    ),
+    nums AS (
+      SELECT n_orders,
+             date_diff('day', DATE '1995-01-01', CAST(day AS DATE)) AS day_num
+      FROM days
+    )
+    SELECT 'pfx-orders-topic' AS topic, 'orders' AS table_attr,
+           CAST(sum(n_orders) AS BIGINT) AS n_messages
+    FROM nums WHERE day_num % 5 <> 0
+    HAVING sum(n_orders) IS NOT NULL
+    UNION ALL
+    SELECT 'pfx-orders-topic', 'RESOLVED', count(*)
+    FROM nums WHERE day_num % 7 = 0 AND day_num % 5 <> 0
+    HAVING count(*) > 0
+    """,
+)
+def pipeline_bridge_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENTIRE reference program as one streaming query — pipeline
+    order A1→A9 (publisher.go:137-214):
+
+      HTTP ingest (A1: request-shaped JSON on a landing dir) →
+      auth filter (A2: sharedKey ∈ {xyzzy, rotated}; ~1/5 of requests
+      carry a wrong key and are rejected) →
+      path route/dispatch (A3/A4: resolved → general → 404-drop, with
+      the corrected RESOLVED pattern) →
+      record split (A5: explode body into NDJSON lines — no 64 KiB
+      truncation, unlike bufio) →
+      attribute enrichment + topic prefix (A6/A7: attrs={path, table},
+      topic='pfx-'+segment) →
+      per-topic counted delivery (A8/A9 shape; the foreachBatch sink
+      variant lives in sink_pubsub_emulated).
+
+    Requests are synthesized one-per-order-day from `orders` (every ÷7th
+    day also posts a RESOLVED request; every ÷11th a bogus 404 path), so
+    the final per-topic/table message counts are a pure function of
+    `orders` — the DuckDB oracle derives them relationally. One query,
+    hash-verified, covering the reference's full dataflow.
+    """
+    from cdc_pubsub_spark.sources.cdc import GENERAL_FILE, RESOLVED_FILE, _hlc33
+
+    root = os.path.join(BASE, "bridge_e2e")
+    shutil.rmtree(root, ignore_errors=True)
+    input_dir = os.path.join(root, "input")
+    os.makedirs(input_dir)
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    day = F.date_trunc("day", F.col("o_orderdate"))
+    day_num = F.datediff(day.cast("date"), F.lit("1995-01-01").cast("date"))
+    env_line = F.concat(
+        F.lit('{"after": {"o_orderkey": '),
+        F.col("o_orderkey").cast("string"),
+        F.lit('}, "key": ['),
+        F.col("o_orderkey").cast("string"),
+        F.lit('], "updated": "'),
+        _hlc33(0),
+        F.lit('"}'),
+    )
+    per_day = (
+        orders.withColumn("day", day)
+        .withColumn("day_num", day_num)
+        .groupBy("day", "day_num")
+        .agg(
+            F.concat_ws("\n", F.array_sort(F.collect_list(env_line))).alias("body"),
+            F.min(_hlc33(0)).alias("hlc"),
+        )
+    )
+    date_s = F.date_format("day", "yyyy-MM-dd")
+    shared_key = F.when(F.col("day_num") % 5 == 0, "wrong").otherwise("xyzzy")
+    general = per_day.select(
+        F.concat(
+            F.lit("/v1/orders-topic/"),
+            date_s,
+            F.lit("/"),
+            F.col("hlc"),
+            F.lit("-"),
+            F.substring(F.md5(date_s), 1, 8),
+            F.lit("-orders-1.ndjson"),
+        ).alias("path"),
+        shared_key.alias("sharedKey"),
+        F.col("body"),
+    )
+    resolved = per_day.filter(F.col("day_num") % 7 == 0).select(
+        F.concat(
+            F.lit("/v1/orders-topic/"), date_s, F.lit("/"), F.col("hlc"), F.lit(".RESOLVED")
+        ).alias("path"),
+        shared_key.alias("sharedKey"),
+        F.concat(F.lit('{"resolved": "'), F.col("hlc"), F.lit('"}')).alias("body"),
+    )
+    bogus = per_day.filter(F.col("day_num") % 11 == 0).select(
+        F.concat(F.lit("/v1/oops-"), F.col("day_num").cast("string")).alias("path"),
+        F.lit("xyzzy").alias("sharedKey"),
+        F.lit("x").alias("body"),
+    )
+    requests = general.unionByName(resolved).unionByName(bogus)
+    requests.select(
+        F.to_json(F.struct("path", "sharedKey", "body")).alias("value")
+    ).coalesce(1).write.text(os.path.join(root, "staged"))
+    part = next(
+        p for p in os.listdir(os.path.join(root, "staged")) if p.startswith("part-")
+    )
+    shutil.move(
+        os.path.join(root, "staged", part),
+        os.path.join(input_dir, "requests.ndjson"),
+    )
+
+    # --- the streaming pipeline (A1→A7) ---
+    reqs = spark.readStream.schema(
+        "path string, sharedKey string, body string"
+    ).json(input_dir)
+    admitted = reqs.filter(F.col("sharedKey").isin("xyzzy", "rotated"))  # A2
+    is_resolved = F.col("path").rlike(RESOLVED_FILE)
+    is_general = F.col("path").rlike(GENERAL_FILE)
+    routed = admitted.filter(is_resolved | is_general).select(  # A3/A4 (404 drop)
+        "path",
+        "body",
+        F.when(is_resolved, F.regexp_extract("path", RESOLVED_FILE, 1))
+        .otherwise(F.regexp_extract("path", GENERAL_FILE, 1))
+        .alias("topic_seg"),
+        F.when(is_resolved, F.lit("RESOLVED"))
+        .otherwise(F.regexp_extract("path", GENERAL_FILE, 5))
+        .alias("table_attr"),
+    )
+    messages = routed.select(  # A5 split + A6 attrs + A7 prefix
+        F.explode(F.split("body", "\n")).alias("data"),
+        F.create_map(
+            F.lit("path"), F.col("path"), F.lit("table"), F.col("table_attr")
+        ).alias("attrs"),
+        F.concat(F.lit("pfx-"), F.col("topic_seg")).alias("topic"),
+        "table_attr",
+    ).filter(F.length("data") > 0)
+    counted = messages.groupBy("topic", "table_attr").agg(
+        F.count(F.lit(1)).alias("n_messages")
+    )
+    return run_to_completion(counted, "bridge_e2e", "complete")
+
+
 @register("stream_cdc_upsert", category="streaming", oracle=None, bench=False)
 def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental CDC materialization: envelope NDJSON stream →
