@@ -298,6 +298,32 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_approx_percentile",
+    category="aggregates",
+    oracle=None,  # sketch result is implementation-defined; tolerance vs
+    # the exact percentiles is asserted in tests/test_llmops.py.
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile next to the exact value, with both returned.
+
+    The sketch is mergeable and map-side combinable — constant memory
+    per group at any scale, vs the exact percentile's O(group) buffer.
+    accuracy=10000 bounds rank error at 1/10000·n.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    apx = F.percentile_approx(
+        "l_extendedprice", F.array(F.lit(0.5), F.lit(0.95)), F.lit(10000)
+    )
+    exact = F.percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.95)))
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.element_at(apx, 1), 2).alias("approx_p50"),
+        F.round(F.element_at(exact, 1), 2).alias("exact_p50"),
+        F.round(F.element_at(apx, 2), 2).alias("approx_p95"),
+        F.round(F.element_at(exact, 2), 2).alias("exact_p95"),
+    )
+
+
+@register(
     "agg_approx_distinct",
     category="aggregates",
     oracle=None,  # HLL sketch result is implementation-defined; rows-only check.

@@ -46,6 +46,40 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("sink_compaction", category="scans", oracle=None, bench=False)
+def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction: a fragmented landing zone (64 files) is
+    rewritten into a handful of right-sized files.
+
+    The operational follow-up to every streaming sink: per-micro-batch
+    writes fragment the lake (the reference's per-request publishes have
+    the same effect on topic backlogs), and scan cost at 100 TB is
+    dominated by file-open overhead once files are small. Compaction =
+    read → repartition to target size → atomic-dir rewrite. Returns
+    before/after file counts + row conservation proof.
+    """
+    import shutil as _shutil
+
+    frag = os.path.join(tempfile.gettempdir(), "cdc_pubsub_spark_fragmented")
+    compact = os.path.join(tempfile.gettempdir(), "cdc_pubsub_spark_compacted")
+    _shutil.rmtree(frag, ignore_errors=True)
+    _shutil.rmtree(compact, ignore_errors=True)
+    orders = load(spark, sf_dir, "orders")
+    orders.repartition(64).write.parquet(frag)  # simulate fragmented sink
+    spark.read.parquet(frag).repartition(2).write.parquet(compact)
+
+    def n_files(d: str) -> int:
+        return sum(1 for f in os.listdir(d) if f.endswith(".parquet"))
+
+    n_before, n_after = n_files(frag), n_files(compact)
+    n_rows_src = orders.count()
+    n_rows_out = spark.read.parquet(compact).count()
+    return spark.createDataFrame(
+        [(n_before, n_after, n_rows_src, n_rows_out, n_rows_src == n_rows_out)],
+        "files_before int, files_after int, rows_in bigint, rows_out bigint, conserved boolean",
+    )
+
+
 @register(
     "scan_csv_roundtrip",
     category="scans",

@@ -43,6 +43,21 @@ def test_approx_distinct_within_tolerance(spark, sf_dir):
         assert rel_err < 0.05, f"{r['event_type']}: HLL rel err {rel_err:.3f}"
 
 
+def test_approx_percentile_within_tolerance(spark, sf_dir):
+    rows = REGISTRY["agg_approx_percentile"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        for a, e in ((r["approx_p50"], r["exact_p50"]), (r["approx_p95"], r["exact_p95"])):
+            assert abs(a - e) / max(abs(e), 1) < 0.02, f"sketch off: {a} vs {e}"
+
+
+def test_compaction_reduces_files_conserves_rows(spark, sf_dir):
+    row = REGISTRY["sink_compaction"].fn(spark, sf_dir).collect()[0]
+    assert row["conserved"]
+    assert row["files_after"] < row["files_before"]
+    assert row["files_after"] <= 4
+
+
 def test_simhash_near_dups_are_close(spark, sf_dir):
     """Planted near-copies (doc_id+2_000_000) must land within small
     Hamming distance of their originals; random pairs must not."""
