@@ -236,6 +236,68 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fn_hash_encode",
+    category="functions",
+    oracle="""
+    SELECT
+      p_partkey,
+      md5(p_name)                                   AS name_md5,
+      sha256(p_name)                                AS name_sha256,
+      to_base64(encode(p_name))                     AS name_b64,
+      hex(encode(p_brand))                          AS brand_hex
+    FROM part
+    WHERE p_partkey <= 500
+    """,
+)
+def fn_hash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic-hash and encoding functions (md5/sha256/base64/hex).
+
+    Content hashing underpins dedup_exact, sample_hash_mod, and the
+    uniquer the reference carries in changefeed filenames
+    (publisher.go:133 group 4); encodings carry opaque payload bytes
+    through text transports — the engine's analogue of the bridge's
+    bytes-in/bytes-out stance.
+    """
+    part = load(spark, sf_dir, "part").filter(F.col("p_partkey") <= 500)
+    return part.select(
+        "p_partkey",
+        F.md5("p_name").alias("name_md5"),
+        F.sha2("p_name", 256).alias("name_sha256"),
+        F.base64(F.encode("p_name", "utf-8")).alias("name_b64"),
+        F.upper(F.hex(F.encode("p_brand", "utf-8"))).alias("brand_hex"),
+    )
+
+
+@register(
+    "agg_string_collect",
+    category="aggregates",
+    oracle="""
+    SELECT
+      l_returnflag,
+      string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses,
+      count(DISTINCT l_linestatus)                                 AS n_statuses
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_string_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (collect → sort → join).
+
+    collect_set + array_sort + array_join makes the concatenation
+    deterministic — collect order is partition-dependent, so unsorted
+    string_agg would be flaky under any partitioning change (the same
+    discipline as every LIMIT needing a total order).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.array_join(F.array_sort(F.collect_set("l_linestatus")), ",").alias(
+            "statuses"
+        ),
+        F.countDistinct("l_linestatus").alias("n_statuses"),
+    )
+
+
+@register(
     "fn_map_json",
     category="functions",
     oracle="""

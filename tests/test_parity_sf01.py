@@ -1,0 +1,28 @@
+"""Spot-check oracle parity at bench scale (sf0.1) for a representative
+query slice: proves the determinism discipline (rounding, total orders,
+tie-breaks) survives a 10× data-volume step, not just the driver's
+sf0.01 gate."""
+
+from __future__ import annotations
+
+import pytest
+
+import cdc_pubsub_spark.all_queries  # noqa: F401
+
+from .parity import assert_parity
+
+SF_BENCH = "/root/testdata/sf0.1"
+
+SPOT = [
+    "agg_hash_groupby",      # flagship
+    "join_multiway",         # deepest join tree
+    "win_running_frame",     # float-midpoint-sensitive windows
+    "cdc_upsert_materialize",  # CDC materialization
+    "dedup_near",            # heaviest llm op with an exact oracle
+    "topk_global",           # LIMIT determinism
+]
+
+
+@pytest.mark.parametrize("name", SPOT)
+def test_sf01_parity(spark, name):
+    assert_parity(spark, name, SF_BENCH)
