@@ -233,6 +233,71 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_cluster",
+    category="dedup",
+    oracle=None,  # iterative fixpoint — not SQL-expressible; cluster
+    # properties (triangles close, canonical = min id) are asserted in
+    # tests/test_llmops.py.
+)
+def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup pair graph: every document
+    gets a cluster id = min(doc_id) of its duplicate group.
+
+    The step every dedup pipeline needs after pairing: pairs (a,b),(b,c)
+    must collapse into ONE keep-decision even when (a,c) was never
+    scored. Label propagation to fixpoint — each round, every node takes
+    the min label in its neighborhood; iteration count is bounded by the
+    graph diameter (dup clusters are tiny, so 2-4 rounds). Driver-side
+    convergence check per round; at 1000-executor scale the same loop
+    runs with checkpointing every few rounds to cut lineage (GraphFrames/
+    Pregel territory — this is the dependency-free core of it).
+    """
+    pairs = dedup_near(spark, sf_dir).select("doc_a", "doc_b")
+
+    corpus = dup_corpus(spark, sf_dir).select("doc_id")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .persist()
+    )
+    labels = corpus.select("doc_id", F.col("doc_id").alias("label")).persist()
+    for _ in range(10):  # diameter bound; planted clusters converge in <=3
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    clusters = labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.min("doc_id").alias("canonical_id"),
+    )
+    return clusters.filter(F.col("cluster_size") > 1).select(
+        F.col("label").alias("cluster_id"), "cluster_size", "canonical_id"
+    )
+
+
 def _simhash_sql() -> str:
     """Generate the DuckDB simhash oracle (32 bit positions unrolled)."""
     digit = (

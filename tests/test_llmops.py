@@ -43,6 +43,22 @@ def test_approx_distinct_within_tolerance(spark, sf_dir):
         assert rel_err < 0.05, f"{r['event_type']}: HLL rel err {rel_err:.3f}"
 
 
+def test_dedup_cluster_transitive_closure(spark, sf_dir):
+    """Planted triangle (base, +1M exact copy, +2M near copy) must land
+    in one cluster with canonical = base doc_id."""
+    rows = REGISTRY["dedup_cluster"].fn(spark, sf_dir).collect()
+    assert rows, "dup clusters must exist"
+    by_cluster = {r["cluster_id"]: r for r in rows}
+    # Docs divisible by 70 have BOTH an exact copy (÷10) and a near copy
+    # (÷7): all three must collapse into the base-id cluster of size >= 3.
+    triangles = [c for c in by_cluster.values()
+                 if c["cluster_id"] < 1000000 and c["cluster_id"] % 70 == 0]
+    assert triangles, "expected triangle clusters for doc_id % 70 == 0"
+    for c in triangles:
+        assert c["canonical_id"] == c["cluster_id"], "canonical must be min id"
+        assert c["cluster_size"] >= 3, f"triangle not closed: {c}"
+
+
 def test_approx_percentile_within_tolerance(spark, sf_dir):
     rows = REGISTRY["agg_approx_percentile"].fn(spark, sf_dir).collect()
     assert rows
