@@ -236,6 +236,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_cluster",
     category="dedup",
+    bench=False,  # runs dedup_near + the iteration loop; minhash is the bench path
     oracle=None,  # iterative fixpoint — not SQL-expressible; cluster
     # properties (triangles close, canonical = min id) are asserted in
     # tests/test_llmops.py.

@@ -59,7 +59,9 @@ def get_spark(app_name: str = "cdc-pubsub-spark", cpus: int | None = None) -> Sp
         # rejects; read as long and convert in tables.load (micros truncation
         # matches DuckDB's ns->us cast, keeping oracle parity).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Local mode = driver-only JVM; this is the one memory knob that
+        # matters (host has 128 GiB; leave room for Python workers).
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
         # Warehouse for bucketed tables (join_bucketed_colocated) — kept
         # out of the repo tree.

@@ -279,6 +279,64 @@ def cdc_route_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cdc_scd2_history",
+    category="cdc",
+    oracle=rf"""
+    WITH changes AS (
+      SELECT o_orderkey AS key, o_orderstatus AS status,
+             o_totalprice AS price, {_HLC_SQL.format(v=0)} AS updated,
+             FALSE AS is_delete
+      FROM orders WHERE o_orderkey <= 3000
+      UNION ALL
+      SELECT o_orderkey, 'U',
+             floor(o_totalprice * 1.1 * 100 + 0.5) / 100, {_HLC_SQL.format(v=1)},
+             FALSE
+      FROM orders WHERE o_orderkey <= 3000 AND o_orderkey % 3 = 0
+      UNION ALL
+      SELECT o_orderkey, NULL, NULL, {_HLC_SQL.format(v=2)}, TRUE
+      FROM orders WHERE o_orderkey <= 3000 AND o_orderkey % 10 = 0
+    )
+    SELECT key, status, round(price, 2) AS price,
+           updated AS valid_from, valid_to,
+           (valid_to IS NULL AND NOT is_delete) AS is_current
+    FROM (
+      -- window BEFORE the tombstone filter: a delete must close its
+      -- predecessor's validity interval even though it emits no row.
+      SELECT *, lead(updated) OVER (PARTITION BY key ORDER BY updated) AS valid_to
+      FROM changes
+    )
+    WHERE NOT is_delete
+    """,
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2: the FULL version history per key,
+    each version stamped [valid_from, valid_to) in HLC time.
+
+    Where cdc_upsert_materialize keeps only the latest row (SCD1), this
+    keeps every version — the "state as of any timestamp" query the
+    changefeed's `updated` cursor exists to enable (README.md:27): an
+    as-of lookup is `valid_from <= ts < valid_to`. One window pass
+    (lead over the per-key HLC order); a tombstone closes the last
+    version without emitting a row of its own. This is the engine's
+    MERGE-free SCD2 — append-only history + window, no mutable table
+    required.
+    """
+    changes = synth_changes(spark, sf_dir)
+    w = Window.partitionBy("key").orderBy("updated")
+    hist = changes.withColumn("valid_to", F.lead("updated").over(w)).withColumn(
+        "is_current", F.col("valid_to").isNull() & ~F.col("is_delete")
+    )
+    return hist.filter(~F.col("is_delete")).select(
+        "key",
+        "status",
+        F.round("price", 2).alias("price"),
+        F.col("updated").alias("valid_from"),
+        "valid_to",
+        "is_current",
+    )
+
+
 def synth_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic change stream from orders: every key gets a v0
     insert; keys ÷3 a v1 update (price ×1.1); keys ÷10 a v2 tombstone
