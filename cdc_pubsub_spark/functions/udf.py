@@ -164,6 +164,45 @@ def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "udf_broadcast_lookup",
+    category="udf",
+    oracle="""
+    SELECT c_custkey, n_name AS nation_name, round(c_acctbal, 2) AS acctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_custkey <= 1000
+    """,
+)
+def udf_broadcast_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dim lookup inside a pandas UDF via an explicit broadcast variable.
+
+    The guide's closure pitfall done right: a driver-side dict captured
+    naively re-pickles per task; `sparkContext.broadcast` ships it once
+    per executor. The pattern matters when Python code (tokenizer vocab,
+    label maps, stopword tables) needs side data — the oracle shows the
+    relational equivalent (a broadcast join), which is ALWAYS preferred
+    when the lookup is expressible as a join; this exists for when it
+    isn't.
+    """
+    nation_map = {
+        r["n_nationkey"]: r["n_name"]
+        for r in load(spark, sf_dir, "nation").collect()
+    }
+    bc = spark.sparkContext.broadcast(nation_map)
+
+    @F.pandas_udf(T.StringType())
+    def lookup_nation(keys: pd.Series) -> pd.Series:
+        m = bc.value  # one deserialization per executor, not per task
+        return keys.map(m)
+
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 1000)
+    return cust.select(
+        "c_custkey",
+        lookup_nation("c_nationkey").alias("nation_name"),
+        F.round("c_acctbal", 2).alias("acctbal"),
+    )
+
+
+@register(
     "udtf_python_real",
     category="udf",
     oracle="""

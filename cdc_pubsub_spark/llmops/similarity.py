@@ -247,6 +247,85 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_ann_ivf",
+    category="similarity",
+    oracle=None,  # ANN recall is probabilistic; overlap with the exact
+    # top-k is asserted in tests/test_llmops.py.
+)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate nearest neighbors.
+
+    The other classic ANN index beside LSH: a coarse quantizer assigns
+    every vector to its nearest of K centroids (the "inverted lists");
+    a query probes only the P nearest lists. Centroids here are
+    deterministic (the embeddings of vec_id 1..16 — at scale, k-means
+    on a sample; the structure train→assign→probe is identical).
+    Cost: assignment is one broadcast-K scan (runs once, amortized over
+    every query); a probe touches ~P/K of the corpus. nprobe=4 of 16
+    lists ⇒ 4x less work than brute force at this K; at 100 TB, K grows
+    to √n and the saving is ~√n/P.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = (
+        emb.filter(F.col("vec_id") <= 16)
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("cvec"),
+            _norm(F.col("embedding")).alias("cnorm"),
+        )
+    )
+    vecs = emb.select(
+        "vec_id", "label", "embedding", _norm(F.col("embedding")).alias("vnorm")
+    )
+    # Assign: nearest centroid per vector (broadcast K, one window pass).
+    scored = vecs.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "label",
+        "embedding",
+        "cent_id",
+        (
+            _dot(F.col("embedding"), F.col("cvec"))
+            / (F.col("vnorm") * F.col("cnorm"))
+        ).alias("cent_sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cent_sim").desc(), F.col("cent_id"))
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "embedding", F.col("cent_id").alias("list_id"))
+    )
+    # Probe: the 4 lists nearest to the probe vector (vec_id=1).
+    probe = vecs.filter(F.col("vec_id") == 1).select(
+        F.col("embedding").alias("pvec"), F.col("vnorm").alias("pnorm")
+    )
+    probe_lists = (
+        centroids.crossJoin(F.broadcast(probe))
+        .select(
+            "cent_id",
+            (
+                _dot(F.col("cvec"), F.col("pvec")) / (F.col("cnorm") * F.col("pnorm"))
+            ).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), F.col("cent_id"))
+        .limit(4)
+        .select(F.col("cent_id").alias("list_id"))
+    )
+    cands = assigned.join(F.broadcast(probe_lists), "list_id").filter(
+        F.col("vec_id") != 1
+    )
+    rescored = cands.crossJoin(F.broadcast(probe)).select(
+        "vec_id",
+        "label",
+        F.round(
+            _dot(F.col("embedding"), F.col("pvec"))
+            / (_norm(F.col("embedding")) * F.col("pnorm")),
+            4,
+        ).alias("cos_sim"),
+    )
+    return rescored.orderBy(F.col("cos_sim").desc(), F.col("vec_id")).limit(10)
+
+
+@register(
     "sim_ann_lsh",
     category="similarity",
     oracle=None,  # ANN recall is probabilistic; exactness is checked in

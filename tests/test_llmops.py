@@ -35,6 +35,16 @@ def test_ann_lsh_overlaps_brute_force(spark, sf_dir):
     assert overlap >= 2, f"ANN top-10 shares only {overlap} of exact top-10"
 
 
+def test_ann_ivf_overlaps_brute_force(spark, sf_dir):
+    """IVF top-10 (nprobe=4 of 16 lists) must overlap the exact top-10
+    substantially — near neighbors concentrate in near lists."""
+    exact = [r["vec_id"] for r in REGISTRY["sim_cosine_topk"].fn(spark, sf_dir).collect()]
+    ivf = [r["vec_id"] for r in REGISTRY["sim_ann_ivf"].fn(spark, sf_dir).collect()]
+    assert len(ivf) == 10
+    overlap = len(set(exact) & set(ivf))
+    assert overlap >= 3, f"IVF top-10 shares only {overlap} of exact top-10"
+
+
 def test_approx_distinct_within_tolerance(spark, sf_dir):
     rows = REGISTRY["agg_approx_distinct"].fn(spark, sf_dir).collect()
     assert rows

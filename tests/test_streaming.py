@@ -111,6 +111,36 @@ def test_stream_cdc_upsert_matches_batch_twin(spark, sf_dir):
     assert got == want
 
 
+def test_upsert_merge_is_order_independent(spark, sf_dir):
+    """The HLC-ranked merge must converge to the same state regardless of
+    delivery order — the property that makes at-least-once + reordered
+    redelivery safe (the reference can redeliver whole files on
+    changefeed retry; README.md:5-12)."""
+    from cdc_pubsub_spark.sources.cdc import synth_changes
+
+    changes = synth_changes(spark, sf_dir)
+    w = Window.partitionBy("key").orderBy(F.col("updated").desc())
+
+    def materialize(df):
+        return {
+            (r["key"]): (r["status"], r["price"])
+            for r in (
+                df.withColumn("rn", F.row_number().over(w))
+                .filter((F.col("rn") == 1) & ~F.col("is_delete"))
+                .collect()
+            )
+        }
+
+    in_order = materialize(changes)
+    # Reversed "delivery": union the version groups backwards and add a
+    # full duplicate of the update wave (redelivery).
+    v0 = changes.filter(F.col("ver") == 0)
+    v1 = changes.filter(F.col("ver") == 1)
+    v2 = changes.filter(F.col("ver") == 2)
+    scrambled = v2.unionByName(v1).unionByName(v0).unionByName(v1)
+    assert materialize(scrambled) == in_order
+
+
 def test_graceful_drain_at_batch_boundary(spark, sf_dir):
     """A12 (server.go:75,87-98): stop() drains at a micro-batch boundary —
     the sink never holds a partial batch, and stopped queries report
