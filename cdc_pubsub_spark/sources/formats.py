@@ -46,6 +46,39 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("sink_dynamic_partition_overwrite", category="scans", oracle=None, bench=False)
+def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite: rewrite ONLY the partitions present
+    in the incoming batch, leaving siblings untouched.
+
+    The CDC reprocessing primitive: re-deliver one day/topic (reference
+    changefeeds re-emit whole daily files on retry) and overwrite just
+    that partition — static overwrite mode would wipe the entire table.
+    Demonstrated by rewriting the 'F' partition with flagged rows and
+    proving 'O'/'P' partitions survive byte-identical row counts.
+    """
+    out = os.path.join(
+        tempfile.gettempdir(), "cdc_pubsub_spark_dyn_overwrite"
+    )
+    import shutil as _shutil
+
+    _shutil.rmtree(out, ignore_errors=True)
+    orders = load(spark, sf_dir, "orders")
+    orders.write.partitionBy("o_orderstatus").parquet(out)
+
+    # Re-deliver ONLY the 'F' partition, halving its rows (simulating a
+    # corrected reprocess), in dynamic overwrite mode.
+    redo = (
+        orders.filter((F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 2 == 0))
+    )
+    (
+        redo.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("o_orderstatus")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return back.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n_rows"))
 @register("sink_compaction", category="scans", oracle=None, bench=False)
 def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction: a fragmented landing zone (64 files) is

@@ -338,6 +338,65 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.groupBy("p_user").agg(F.count(F.lit(1)).alias("n_pairs"))
 
 
+@register("sink_debug_console", category="streaming", oracle=None, bench=False)
+def sink_debug_console(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """--dumpOnly debug sink (reference A10: main.go:36, publisher.go:
+    186-189): records logged instead of published.
+
+    Runs the event stream into `format("console")` (each micro-batch
+    printed to driver stdout, publish suppressed — exactly dumpOnly's
+    client==nil branch) AND a parallel memory sink so the operator still
+    returns a verifiable DataFrame: per-type counts proving the dump saw
+    every record.
+    """
+    input_dir = write_events_ndjson(spark, sf_dir, "debug_console")
+    stream = read_event_stream(spark, input_dir)
+    console_q = (
+        stream.writeStream.format("console")
+        .option("numRows", 5)
+        .option("truncate", True)
+        .option(
+            "checkpointLocation",
+            os.path.join(BASE, "debug_console", "ck_console"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    console_q.awaitTermination()
+    counted = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return run_to_completion(counted, "debug_console", "complete")
+
+
+@register("stream_update_mode", category="streaming", oracle=None, bench=False)
+def stream_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Update output mode: only groups changed by each micro-batch are
+    emitted (vs complete = everything, append = finalized-only).
+
+    With maxFilesPerTrigger=1 over two files the sink receives multiple
+    versions of updated groups; the final state per group (latest batch
+    wins) must equal the batch aggregate — asserted in
+    tests/test_streaming.py. Update mode is the natural fit for
+    upsert-capable sinks (the CDC consumer writing a keyed store).
+    """
+    input_dir = write_events_ndjson(spark, sf_dir, "update_mode", duplicate=True)
+    stream = read_event_stream(spark, input_dir, max_files_per_trigger=1)
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    sink = run_to_completion(agg, "update_mode", "update")
+    # Latest emitted version per group = final state (memory sink keeps
+    # every update; dedupe by max n — counts are monotone over batches).
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("event_type").orderBy(F.col("n").desc())
+    return (
+        sink.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_type", "n", "total_value")
+    )
+
+
 @register(
     "pipeline_bridge_e2e",
     category="streaming",

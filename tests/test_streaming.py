@@ -111,6 +111,22 @@ def test_stream_cdc_upsert_matches_batch_twin(spark, sf_dir):
     assert got == want
 
 
+def test_update_mode_converges_to_batch_aggregate(spark, sf_dir):
+    """Update-mode's latest emission per group must equal the batch
+    aggregate over the doubled stream."""
+    got = {
+        r["event_type"]: (r["n"], r["total_value"])
+        for r in REGISTRY["stream_update_mode"].fn(spark, sf_dir).collect()
+    }
+    ev = load(spark, sf_dir, "events")
+    doubled = ev.unionByName(ev)
+    twin = doubled.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("t")
+    )
+    want = {r["event_type"]: (r["n"], r["t"]) for r in twin.collect()}
+    assert got == want
+
+
 def test_upsert_merge_is_order_independent(spark, sf_dir):
     """The HLC-ranked merge must converge to the same state regardless of
     delivery order — the property that makes at-least-once + reordered
@@ -170,6 +186,26 @@ def test_graceful_drain_at_batch_boundary(spark, sf_dir):
     from cdc_pubsub_spark.tables import load as _load
 
     assert n_sink == _load(spark, sf_dir, "events").count()
+
+
+def test_dynamic_partition_overwrite_spares_siblings(spark, sf_dir):
+    """Only the re-delivered partition is rewritten; siblings keep their
+    original rows."""
+    got = {
+        r["o_orderstatus"]: r["n_rows"]
+        for r in REGISTRY["sink_dynamic_partition_overwrite"].fn(spark, sf_dir).collect()
+    }
+    orders = load(spark, sf_dir, "orders")
+    want_full = {
+        r["o_orderstatus"]: r["n"]
+        for r in orders.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    want_f_redone = orders.filter(
+        (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 2 == 0)
+    ).count()
+    assert got["F"] == want_f_redone, "F partition must hold only redelivered rows"
+    for status in ("O", "P"):
+        assert got[status] == want_full[status], f"{status} partition must be untouched"
 
 
 def test_pubsub_sink_fanout_complete(spark, sf_dir):
