@@ -330,10 +330,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Per word, 32 bits are taken from md5(word); each bit votes ±1 and the
     signature's bit j is sign(sum of votes). Near-identical docs differ
-    in a few bits (Hamming ≤ k pairing happens on the banded signature —
-    constant state per doc, integer-only, mergeable: the streaming-
-    friendly fingerprint). Word hashing uses md5 hex digits so the DuckDB
-    oracle reproduces bits exactly.
+    in a few bits (tests pin planted-copy Hamming << random baseline);
+    pairing would band this signature exactly like dedup_minhash_lsh's
+    band join. Constant state per doc, integer-only, mergeable — the
+    streaming-friendly fingerprint. Word hashing uses md5 hex digits so
+    the DuckDB oracle reproduces bits exactly.
     """
     corpus = dup_corpus(spark, sf_dir)
     words = corpus.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
