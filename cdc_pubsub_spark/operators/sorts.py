@@ -50,7 +50,7 @@ def sort_multikey_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, round(sum(value), 2) AS total_value, count(*) AS n_events
     FROM events
     GROUP BY user_id
-    ORDER BY sum(value) DESC, user_id
+    ORDER BY round(sum(value), 2) DESC, user_id
     LIMIT 10
     """,
 )
@@ -63,15 +63,14 @@ def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load(spark, sf_dir, "events")
     agg = ev.groupBy("user_id").agg(
-        F.sum("value").alias("_total"),
+        # rank on the ROUNDED total: raw double sums accumulate in
+        # engine-specific order, so an unrounded sort key could flip the
+        # top-10 boundary between Spark and the oracle by one ulp.
+        F.round(F.sum("value"), 2).alias("total_value"),
         F.count(F.lit(1)).alias("n_events"),
     )
     return (
-        agg.orderBy(F.col("_total").desc(), F.col("user_id"))
+        agg.orderBy(F.col("total_value").desc(), F.col("user_id"))
         .limit(10)
-        .select(
-            "user_id",
-            F.round("_total", 2).alias("total_value"),
-            "n_events",
-        )
+        .select("user_id", "total_value", "n_events")
     )

@@ -1,0 +1,32 @@
+"""Registry-wide determinism net: every operator, run twice in the same
+session, must produce identical canonical rows.
+
+The driver hashes each query's output once per round — a nondeterministic
+operator passes or fails at random. This class of bug is real: the
+minhash signatures were once build-dependent (HOF lambda mis-binding,
+see llmops/dedup.py). This test re-executes EVERY registered query and
+compares canonicalized results, catching partitioning-, ordering-, and
+plan-build-sensitive nondeterminism across the whole surface.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import cdc_pubsub_spark.all_queries  # noqa: F401
+from cdc_pubsub_spark.registry import REGISTRY
+
+from .parity import canonical_rows
+
+ALL = sorted(REGISTRY)
+
+# approx_count_distinct / percentile_approx sketches ARE deterministic in
+# Spark (fixed rsd/accuracy, deterministic merge), so nothing is excluded.
+
+
+@pytest.mark.parametrize("name", ALL)
+def test_rerun_identical(spark, sf_dir, name):
+    fn = REGISTRY[name].fn
+    first = canonical_rows(fn(spark, sf_dir).toPandas())
+    second = canonical_rows(fn(spark, sf_dir).toPandas())
+    assert first == second, f"{name} is nondeterministic across reruns"
