@@ -233,3 +233,58 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, v: (acc * 31 + v) % 1000000007,
     )
     return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+@register(
+    "text_normalize",
+    category="text",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+               '  +', ' ', 'g')) AS norm_text
+      FROM documents
+      WHERE doc_id <= 500
+    )
+    SELECT doc_id,
+           md5(norm_text) AS norm_md5,
+           length(norm_text) AS norm_len,
+           CASE WHEN norm_text = '' THEN 0
+                ELSE length(norm_text) - length(replace(norm_text, ' ', '')) + 1
+           END AS n_tokens
+    FROM norm
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization: lowercase → strip non-alphanumerics
+    → collapse runs of spaces → trim.
+
+    The first stage of every dedup/quality pipeline (dedup_exact,
+    dedup_near, and the fingerprints all assume a canonical form).
+    Pure JVM string kernels — whole-stage-codegen'd, zero shuffle, scales
+    as a map over the corpus. The md5 of the normalized text is returned
+    so the oracle comparison proves BYTE-EXACT agreement on the full
+    normalized string, not just its statistics (an engine-portability
+    guarantee: a corpus normalized half on this engine, half on another,
+    dedups correctly).
+    """
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") <= 500)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            "  +",
+            " ",
+        )
+    )
+    toks = F.when(F.col("norm_text") == "", 0).otherwise(
+        F.length("norm_text")
+        - F.length(F.regexp_replace(F.col("norm_text"), " ", ""))
+        + 1
+    )
+    return docs.select("doc_id", norm.alias("norm_text")).select(
+        "doc_id",
+        F.md5("norm_text").alias("norm_md5"),
+        F.length("norm_text").alias("norm_len"),
+        toks.cast("int").alias("n_tokens"),
+    )

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 from cdc_pubsub_spark.registry import register
 from cdc_pubsub_spark.tables import load
@@ -316,4 +317,112 @@ def scan_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.groupBy(F.col("k").isNotNull().alias("parsed_ok")).agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.avg("k"), 2).alias("avg_k"),
+    )
+
+
+@register(
+    "sample_stratified_hash",
+    category="advanced",
+    oracle="""
+    WITH hashed AS (
+      SELECT o_orderstatus, o_totalprice,
+             strpos('0123456789abcdef',
+                    substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1 AS nib
+      FROM orders
+    )
+    SELECT o_orderstatus, count(*) AS n_sampled,
+           round(avg(o_totalprice), 2) AS avg_price
+    FROM hashed
+    WHERE nib < CASE o_orderstatus WHEN 'F' THEN 4 WHEN 'O' THEN 8 ELSE 2 END
+    GROUP BY o_orderstatus
+    """,
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: a different hash-threshold rate
+    per stratum ('F' 25%, 'O' 50%, else 12.5%).
+
+    The training-pipeline version of sampleBy() without its rand() — the
+    per-stratum rate is enforced by the same md5-nibble trick as
+    sample_hash_mod, so membership is a pure function of the key:
+    reproducible across runs/engines/cluster sizes, stable under
+    incremental ingestion, and evaluated row-local in the scan (no
+    shuffle, no driver-side fraction bookkeeping). Rebalancing a skewed
+    training mix at 100 TB is exactly this with tuned thresholds.
+    """
+    orders = load(spark, sf_dir, "orders")
+    nib = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1), 16, 10
+    ).cast("int")
+    rate = (
+        F.when(F.col("o_orderstatus") == "F", 4)
+        .when(F.col("o_orderstatus") == "O", 8)
+        .otherwise(2)
+    )
+    return (
+        orders.filter(nib < rate)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+    )
+
+
+@register(
+    "compat_line_truncation",
+    category="advanced",
+    oracle="""
+    WITH lines AS (
+      SELECT source, doc_id, n_chars,
+             CASE WHEN n_chars > 450 THEN doc_id END AS oversize_id
+      FROM documents
+    ),
+    cut AS (
+      SELECT source, doc_id, n_chars,
+             min(oversize_id) OVER (PARTITION BY source) AS first_oversize
+      FROM lines
+    )
+    SELECT source,
+           count(*) AS n_lines_total,
+           count(*) FILTER (WHERE first_oversize IS NULL
+                            OR doc_id < first_oversize) AS n_delivered,
+           CAST(coalesce(sum(n_chars) FILTER (WHERE first_oversize IS NULL
+                            OR doc_id < first_oversize), 0) AS BIGINT)
+             AS bytes_delivered
+    FROM cut
+    GROUP BY source
+    """,
+)
+def compat_line_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPT-IN fidelity emulation of the reference's silent 64 KiB
+    truncation bug (publisher.go:182-202, SURVEY.md §2.A5).
+
+    bufio.Scanner's default MaxScanTokenSize is 64 KiB; the handler never
+    checks s.Err(), so the first oversized line aborts the scan, every
+    later line in that body is silently dropped, and 201 is still
+    returned. The engine's default sources do NOT reproduce this (one
+    JSON line = one row, any length); this operator models the bug
+    exactly for consumers that need bug-compatible accounting: per body
+    (= source, lines ordered by doc_id), lines at or after the first
+    oversized line are dropped. The threshold here is 450 bytes so the
+    sf-scale corpus actually trips it; the reference's value is 65536.
+    """
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source")
+    first_oversize = F.min(
+        F.when(F.col("n_chars") > 450, F.col("doc_id"))
+    ).over(w)
+    delivered = first_oversize.isNull() | (F.col("doc_id") < first_oversize)
+    return (
+        docs.withColumn("delivered", delivered)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines_total"),
+            F.count(F.when(F.col("delivered"), 1)).alias("n_delivered"),
+            F.coalesce(
+                F.sum(F.when(F.col("delivered"), F.col("n_chars"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("bytes_delivered"),
+        )
     )

@@ -342,3 +342,38 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
     )
+
+
+@register(
+    "agg_bitwise_bool",
+    category="aggregates",
+    oracle="""
+    SELECT
+      o_orderstatus,
+      bit_and(o_orderkey)  AS key_and,
+      bit_or(o_orderkey)   AS key_or,
+      bit_xor(o_orderkey)  AS key_xor,
+      bool_and(o_totalprice > 1000)           AS all_over_1k,
+      bool_or(o_orderpriority = '1-URGENT')   AS any_urgent
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_bitwise_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise and boolean aggregates (bit_and/or/xor, bool_and/bool_or).
+
+    All five are commutative and associative, so they partial-aggregate
+    map-side and combine in any shuffle order — the class of aggregate
+    that costs one narrow shuffle regardless of data volume. bit_xor over
+    a key column doubles as an order-independent set checksum (two
+    datasets with equal xor+count are almost certainly the same key set
+    — a cheap 100 TB reconciliation primitive).
+    """
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.bit_and("o_orderkey").alias("key_and"),
+        F.bit_or("o_orderkey").alias("key_or"),
+        F.bit_xor("o_orderkey").alias("key_xor"),
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+    )

@@ -494,3 +494,59 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "join_range_binned",
+    category="joins",
+    oracle="""
+    SELECT
+      p_size,
+      count(*)                   AS n_matches,
+      round(avg(l_quantity), 2)  AS avg_qty
+    FROM part
+    JOIN lineitem
+      ON l_quantity BETWEEN p_size - 2 AND p_size + 2
+    WHERE p_partkey <= 200 AND l_orderkey <= 2000
+    GROUP BY p_size
+    """,
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join discretized into an equi-join on bin id — the 100 TB
+    path for join_theta_range.
+
+    A pure theta join cannot hash-partition, so Spark's only strategy is
+    a (broadcast) nested-loop — O(|L|·|R|) work that dies when neither
+    side fits in a broadcast. The fix: explode each part row into the
+    integer bins its ±2 interval covers (`sequence(p_size-2, p_size+2)`,
+    5 rows per part — bounded, known fan-out), bin the probe side with
+    `floor(l_quantity)`, equi-join on the bin, and keep the original
+    BETWEEN as a residual predicate (correct even for fractional
+    quantities whose floor lands in the bin). Both sides now hash-
+    partition on bin id: shuffle-parallel, AQE-skew-handled, no nested
+    loop. Same answer as join_theta_range's plan shape, verified by the
+    identical oracle formulation (wider key slice).
+    """
+    part = load(spark, sf_dir, "part").filter(F.col("p_partkey") <= 200)
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 2000)
+    binned_part = part.select(
+        "p_size",
+        F.explode(
+            F.sequence(F.col("p_size") - 2, F.col("p_size") + 2)
+        ).alias("bin"),
+    )
+    binned_li = li.select(
+        "l_quantity", F.floor("l_quantity").cast("int").alias("bin")
+    )
+    residual = (F.col("l_quantity") >= F.col("p_size") - 2) & (
+        F.col("l_quantity") <= F.col("p_size") + 2
+    )
+    return (
+        binned_part.join(binned_li, on="bin")
+        .filter(residual)
+        .groupBy("p_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+        )
+    )

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from cdc_pubsub_spark.registry import register
 from cdc_pubsub_spark.streaming.harness import (
+    _event_lines,
     BASE,
     read_event_stream,
     run_to_completion,
@@ -695,3 +696,189 @@ def sink_pubsub_emulated(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_messages"),
         F.countDistinct("event_id").alias("n_distinct"),
     )
+
+
+@register(
+    "sink_exactly_once_manifest",
+    category="streaming",
+    bench=False,
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def sink_exactly_once_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once file sink via a transaction-log manifest — the
+    correct version of the commit protocol the reference botches
+    (publisher.go:209-211 ACKs lost publishes; SURVEY.md §2.A9).
+
+    Protocol per micro-batch: (1) if this batch's manifest entry exists,
+    skip — a replayed batch is a no-op; (2) write data files under a
+    batch-owned directory; (3) atomically rename a manifest entry into
+    place naming that directory. The manifest IS the table: readers list
+    committed entries and read only those directories, so a batch that
+    crashed between data-write and manifest-commit leaves invisible
+    orphans, never duplicates — idempotent replay over at-least-once
+    delivery = exactly-once table state (the same log-then-visible design
+    as Delta/Iceberg commit logs). After the stream drains, a crash-replay
+    is SIMULATED by planting an orphaned copy of batch 0's data; the
+    manifest-driven read-back still matches the plain batch aggregate
+    (the oracle), which a naive directory listing would double-count
+    (asserted in tests/test_streaming.py).
+    """
+    import json
+
+    input_dir = write_events_ndjson(spark, sf_dir, "exactly_once")
+    root = os.path.join(BASE, "exactly_once")
+    data_root = os.path.join(root, "data")
+    manifest_root = os.path.join(root, "manifest")
+    for d in (data_root, manifest_root):
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d)
+
+    stream = read_event_stream(spark, input_dir, max_files_per_trigger=1)
+
+    def publish(batch_df: DataFrame, batch_id: int) -> None:
+        manifest_entry = os.path.join(manifest_root, f"batch-{batch_id}.json")
+        if os.path.exists(manifest_entry):  # replayed batch: committed already
+            return
+        batch_dir = os.path.join(data_root, f"batch-{batch_id}")
+        batch_df.write.mode("overwrite").parquet(batch_dir)
+        tmp = manifest_entry + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"batch": batch_id, "dir": batch_dir}, f)
+        os.rename(tmp, manifest_entry)  # atomic commit point
+
+    run_to_completion(stream, "exactly_once", foreach_batch=publish)
+
+    # Crash-replay simulation: data written, manifest commit never reached.
+    orphan = os.path.join(data_root, "batch-0-orphaned-replay")
+    shutil.copytree(os.path.join(data_root, "batch-0"), orphan)
+
+    committed = [
+        json.load(open(os.path.join(manifest_root, m)))["dir"]
+        for m in sorted(os.listdir(manifest_root))
+        if m.endswith(".json")
+    ]
+    table = spark.read.parquet(*committed)
+    return table.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@register("stream_stream_left_outer", category="streaming", oracle=None, bench=False)
+def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join with watermark-driven state expiry:
+    every purchase pairs with same-user errors in the following 10
+    minutes, and purchases with NO such error are still emitted (null
+    right side) — but only once the watermark proves no matching error
+    can still arrive.
+
+    The outer flush is the hard part: an unmatched left row may only be
+    released when watermark > its join-window end, else a late error
+    would contradict the emitted null. A synthetic kicker event 2 hours
+    past max(ts) (its own file, maxFilesPerTrigger=1) advances the
+    watermark beyond every real purchase's expiry, and the trailing
+    no-data micro-batch flushes the survivors. State is bounded: both
+    sides evict below the watermark — the requirement for running this
+    forever on an unbounded stream. Batch twin (plain left join + agg)
+    asserted in tests/test_streaming.py.
+    """
+    import json as _json
+    import time as _time
+
+    root = os.path.join(BASE, "ss_left_outer")
+    shutil.rmtree(root, ignore_errors=True)
+    input_dir = os.path.join(root, "input")
+    os.makedirs(input_dir)
+
+    lines = _event_lines_for_join(spark, sf_dir)
+    lines["events"].coalesce(1).write.text(os.path.join(root, "staged"))
+    part = next(
+        p for p in os.listdir(os.path.join(root, "staged")) if p.startswith("part-")
+    )
+    now = _time.time()
+    dst0 = os.path.join(input_dir, "00-events.ndjson")
+    shutil.move(os.path.join(root, "staged", part), dst0)
+    os.utime(dst0, (now, now))
+    # One kicker per SIDE: the watermark nodes sit after the event_type
+    # filters, so each side only advances on rows of its own type. The
+    # global watermark is min() across nodes — a purchase-only kicker
+    # would leave the error side (and thus the join's eviction frontier)
+    # stalled at the last real error. Distinct synthetic users and a 1 h
+    # ts gap keep the two kickers from pairing with anything.
+    kick_ts = lines["max_ts_us"] + 2 * 3600 * 1_000_000
+    kicker_lines = [
+        _json.dumps(
+            {
+                "event_id": eid,
+                "ts_us": ts,
+                "user_id": uid,
+                "event_type": etype,
+                "value": 0.0,
+                "props": "{}",
+            }
+        )
+        for eid, ts, uid, etype in (
+            (-1, kick_ts, -1, "purchase"),
+            (-2, kick_ts + 3600 * 1_000_000, -2, "error"),
+        )
+    ]
+    dst1 = os.path.join(input_dir, "01-kicker.ndjson")
+    with open(dst1, "w") as f:
+        f.write("\n".join(kicker_lines) + "\n")
+    os.utime(dst1, (now + 10, now + 10))
+
+    base = read_event_stream(spark, input_dir, max_files_per_trigger=1)
+    purchases = (
+        base.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    errors = (
+        read_event_stream(spark, input_dir, max_files_per_trigger=1)
+        .filter(F.col("event_type") == "error")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("e_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+        )
+    )
+    joined = purchases.join(
+        errors,
+        (F.col("p_user") == F.col("e_user"))
+        & (F.col("e_ts") >= F.col("p_ts"))
+        & (F.col("e_ts") <= F.col("p_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "leftOuter",
+    ).select("p_user", "p_id", "e_id")
+    sink = run_to_completion(joined, "ss_left_outer", "append")
+    return (
+        sink.filter(F.col("p_user") >= 0)
+        .groupBy("p_user")
+        .agg(
+            F.countDistinct("p_id").alias("n_purchases"),
+            F.count("e_id").alias("n_matched"),
+            F.countDistinct(F.when(F.col("e_id").isNull(), F.col("p_id"))).alias(
+                "n_unmatched"
+            ),
+        )
+    )
+
+
+def _event_lines_for_join(spark: SparkSession, sf_dir: str) -> dict:
+    """Events as NDJSON lines plus the max ts_us (for kicker synthesis)."""
+    lines = _event_lines(spark, sf_dir)
+    from cdc_pubsub_spark.tables import load as _load
+
+    ev = _load(spark, sf_dir, "events")
+    max_ts_us = ev.agg(
+        F.max(F.unix_micros(F.col("ts").cast("timestamp")))
+    ).collect()[0][0]
+    return {"events": lines, "max_ts_us": max_ts_us}

@@ -99,3 +99,16 @@ def test_scalar_fns_no_shuffle(spark, sf_dir):
     for name in ("proj_arith", "fn_string", "fn_math", "text_quality_score"):
         df = q(name, spark, sf_dir)
         assert count_exchanges(df) == 0, f"{name} must not shuffle"
+
+
+def test_binned_range_join_avoids_nested_loop(spark, sf_dir):
+    """The discretized range join must plan as an equi-join (hash-
+    partitionable) — the entire point of the binning rewrite. The
+    original theta formulation (join_theta_range) is nested-loop."""
+    df = q("join_range_binned", spark, sf_dir)
+    assert not uses(df, "BroadcastNestedLoopJoin"), formatted_plan(df)[:2000]
+    assert (
+        uses(df, "SortMergeJoin")
+        or uses(df, "ShuffledHashJoin")
+        or uses(df, "BroadcastHashJoin")
+    ), formatted_plan(df)[:2000]

@@ -221,3 +221,69 @@ def test_pubsub_sink_fanout_complete(spark, sf_dir):
     assert {t: n for t, (n, _) in res.items()} == want
     for t, (n, nd) in res.items():
         assert n == nd, f"{t}: duplicate messages in sink"
+
+
+def test_stream_stream_left_outer_matches_batch_twin(spark, sf_dir):
+    """Outer join with watermark flush == plain batch left join + agg."""
+    got = {
+        r["p_user"]: (r["n_purchases"], r["n_matched"], r["n_unmatched"])
+        for r in REGISTRY["stream_stream_left_outer"].fn(spark, sf_dir).collect()
+    }
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("e_id"),
+        F.col("user_id").alias("e_user"),
+        F.col("ts").alias("e_ts"),
+    )
+    twin = (
+        p.join(
+            e,
+            (F.col("p_user") == F.col("e_user"))
+            & (F.col("e_ts") >= F.col("p_ts"))
+            & (F.col("e_ts") <= F.col("p_ts") + F.expr("INTERVAL 10 MINUTES")),
+            "leftOuter",
+        )
+        .groupBy("p_user")
+        .agg(
+            F.countDistinct("p_id").alias("n_purchases"),
+            F.count("e_id").alias("n_matched"),
+            F.countDistinct(
+                F.when(F.col("e_id").isNull(), F.col("p_id"))
+            ).alias("n_unmatched"),
+        )
+    )
+    want = {
+        r["p_user"]: (r["n_purchases"], r["n_matched"], r["n_unmatched"])
+        for r in twin.collect()
+    }
+    assert got == want
+
+
+def test_exactly_once_manifest_hides_orphans(spark, sf_dir):
+    """The manifest-committed view must NOT count the orphaned replay
+    directory a naive recursive listing would double-count."""
+    import os
+
+    from cdc_pubsub_spark.streaming.harness import BASE
+
+    committed = (
+        REGISTRY["sink_exactly_once_manifest"]
+        .fn(spark, sf_dir)
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    n_events = load(spark, sf_dir, "events").count()
+    assert committed == n_events
+    # The orphan is really on disk (crash between data write and commit) …
+    data_root = os.path.join(BASE, "exactly_once", "data")
+    assert os.path.isdir(os.path.join(data_root, "batch-0-orphaned-replay"))
+    # … and a manifest-ignorant reader would see duplicates.
+    naive = (
+        spark.read.option("recursiveFileLookup", "true").parquet(data_root).count()
+    )
+    assert naive > n_events
