@@ -396,3 +396,81 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cosine(F.col("embedding"), F.col("pvec")), 4).alias("cos_sim"),
     )
     return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id")).limit(10)
+
+
+@register(
+    "embed_centroid",
+    category="similarity",
+    oracle="""
+    WITH dims AS (
+      SELECT e.label, e.vec_id, t.i,
+             CAST(e.embedding[t.i] AS DOUBLE) AS v
+      FROM embeddings e, range(1, 65) t(i)
+    ),
+    cent AS (
+      SELECT label, i, avg(v) AS c
+      FROM dims GROUP BY label, i
+    ),
+    dist AS (
+      SELECT d.label, d.vec_id, sqrt(sum((d.v - c.c) * (d.v - c.c))) AS dd
+      FROM dims d JOIN cent c ON d.label = c.label AND d.i = c.i
+      GROUP BY d.label, d.vec_id
+    ),
+    norms AS (
+      SELECT label, sqrt(sum(c * c)) AS cn FROM cent GROUP BY label
+    )
+    SELECT d.label,
+           count(*) AS n_vecs,
+           floor(max(n.cn) * 10000 + 0.5) / 10000 AS centroid_norm,
+           floor(avg(d.dd) * 10000 + 0.5) / 10000 AS avg_dist
+    FROM dist d JOIN norms n ON d.label = n.label
+    GROUP BY d.label
+    """,
+)
+def embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding vectors, with each cluster's
+    size, centroid L2 norm, and mean member-to-centroid distance
+    (inertia) — one full E+M step of distributed k-means.
+
+    The scale shape: posexplode each 64-dim vector into (label, dim,
+    value) rows — a 64× map-side fan-out of narrow rows, NOT a shuffle —
+    then ONE hash aggregate computes every centroid component
+    (partial aggregation makes the shuffle labels×dims-sized, i.e.
+    KB-sized, regardless of corpus size). Distances re-join the exploded
+    rows to the centroid components on (label, dim): broadcast, since
+    centroids are tiny. This is exactly how Spark ML's KMeans structures
+    an iteration; expressing it in plain DataFrame ops keeps the whole
+    loop inside Catalyst/codegen and makes it verifiable against the
+    DuckDB oracle (order-independent up to float-sum associativity,
+    absorbed by the 4-decimal rounding).
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label",
+        "vec_id",
+        F.posexplode("embedding").alias("i", "v"),
+    ).select("label", "vec_id", "i", F.col("v").cast("double").alias("v"))
+    cent = dims.groupBy("label", "i").agg(F.avg("v").alias("c"))
+    dist = (
+        dims.join(F.broadcast(cent), ["label", "i"])
+        .groupBy("label", "vec_id")
+        .agg(
+            F.sqrt(F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c")))).alias(
+                "dd"
+            )
+        )
+    )
+    norms = cent.groupBy("label").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("cn")
+    )
+    from cdc_pubsub_spark.functions.rounding import r4
+
+    return (
+        dist.join(F.broadcast(norms), "label")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            r4(F.max("cn")).alias("centroid_norm"),
+            r4(F.avg("dd")).alias("avg_dist"),
+        )
+    )

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from cdc_pubsub_spark.llmops.corpus import CORPUS_CTE
 from cdc_pubsub_spark.registry import register
 from cdc_pubsub_spark.tables import load
 
@@ -287,4 +288,251 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("norm_text").alias("norm_md5"),
         F.length("norm_text").alias("norm_len"),
         toks.cast("int").alias("n_tokens"),
+    )
+
+
+@register(
+    "text_repetition_filter",
+    category="text",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk
+      FROM documents
+      WHERE doc_id <= 1000 AND len(string_split(text, ' ')) >= 2
+    ),
+    grams AS (
+      SELECT doc_id, tk,
+             list_transform(range(len(tk) - 1),
+               i -> concat_ws(' ', tk[i + 1], tk[i + 2])) AS bg
+      FROM toks
+    ),
+    metrics AS (
+      SELECT doc_id,
+             len(tk) AS n_tokens,
+             CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS dr,
+             CAST(list_max(list_transform(list_distinct(tk),
+               t -> len(list_filter(tk, u -> u = t)))) AS DOUBLE)
+               / len(tk) AS tf,
+             CAST(list_max(list_transform(list_distinct(bg),
+               g -> len(list_filter(bg, h -> h = g)))) AS DOUBLE)
+               / len(bg) AS bf
+      FROM grams
+    )
+    SELECT doc_id, n_tokens,
+           floor(dr * 10000 + 0.5) / 10000 AS distinct_ratio,
+           floor(tf * 10000 + 0.5) / 10000 AS top_token_frac,
+           floor(bf * 10000 + 0.5) / 10000 AS top_bigram_frac,
+           (dr >= 0.2 AND tf <= 0.25 AND bf <= 0.15) AS keep
+    FROM metrics
+    """,
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: distinct-
+    token ratio, most-frequent-token fraction, most-frequent-bigram
+    fraction, and the resulting keep/drop verdict.
+
+    Repetition is the strongest cheap predictor of low-quality web text
+    (boilerplate, keyword stuffing, generation loops). All three signals
+    are computed ROW-LOCALLY with SQL higher-order functions — the
+    per-doc token array never explodes into rows, so the operator is a
+    pure map with zero shuffles (pinned in tests/test_plans.py): at
+    100 TB it streams through executors at scan speed. The O(d·u) inner
+    count (u = distinct tokens per doc) is bounded by document length,
+    not corpus size. Lambda variables are distinct at every nesting
+    level (t/u, g/h) — SQL-parsed lambdas per the CollapseProject
+    mis-binding pitfall (STATUS.md).
+    """
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") <= 1000)
+    tk = F.split(F.col("text"), " ")
+    base = docs.filter(F.size(tk) >= 2).select(
+        "doc_id",
+        tk.alias("tk"),
+        F.expr(
+            "transform(sequence(0, size(split(text, ' ')) - 2), "
+            "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 2)))"
+        ).alias("bg"),
+    )
+    dr = F.size(F.array_distinct("tk")).cast("double") / F.size("tk")
+    tf = (
+        F.expr(
+            "array_max(transform(array_distinct(tk), "
+            "t -> size(filter(tk, u -> u = t))))"
+        ).cast("double")
+        / F.size("tk")
+    )
+    bf = (
+        F.expr(
+            "array_max(transform(array_distinct(bg), "
+            "g -> size(filter(bg, h -> h = g))))"
+        ).cast("double")
+        / F.size("bg")
+    )
+    m = base.select(
+        "doc_id",
+        F.size("tk").alias("n_tokens"),
+        dr.alias("dr"),
+        tf.alias("tf"),
+        bf.alias("bf"),
+    )
+    from cdc_pubsub_spark.functions.rounding import r4
+
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        r4(F.col("dr")).alias("distinct_ratio"),
+        r4(F.col("tf")).alias("top_token_frac"),
+        r4(F.col("bf")).alias("top_bigram_frac"),
+        (
+            (F.col("dr") >= 0.2) & (F.col("tf") <= 0.25) & (F.col("bf") <= 0.15)
+        ).alias("keep"),
+    )
+
+
+@register(
+    "text_contamination",
+    category="text",
+    oracle=f"""
+    WITH {CORPUS_CTE.strip()},
+    probes AS (
+      SELECT doc_id AS probe_id,
+             array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ')
+               AS gram
+      FROM documents
+      WHERE doc_id % 50 = 0 AND len(string_split(text, ' ')) >= 8
+    ),
+    corpus_grams AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(len(string_split(text, ' ')) - 7),
+               i -> array_to_string(
+                      list_slice(string_split(text, ' '), i + 1, i + 8), ' ')))
+               AS gram
+      FROM corpus
+      WHERE len(string_split(text, ' ')) >= 8
+    )
+    SELECT p.probe_id,
+           count(DISTINCT c.doc_id)  AS n_hits,
+           min(c.doc_id)             AS first_hit,
+           bool_or(c.doc_id = p.probe_id) AS self_hit
+    FROM probes p JOIN corpus_grams c ON p.gram = c.gram
+    GROUP BY p.probe_id
+    """,
+)
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: which corpus documents contain any
+    probe 8-gram verbatim (probe = first 8 words of every 50th source
+    doc), over the dup-planted corpus.
+
+    The decontamination step of every training-data pipeline: eval-set
+    n-grams must be located in a 100 TB corpus BEFORE training. The
+    scalable formulation is exactly this shape — shingle the corpus
+    map-side (one row per distinct (doc, 8-gram), built in codegen, no
+    all-pairs scan), then hash-join against the probe grams. The probe
+    side is benchmark-sized (thousands), so Catalyst broadcasts it and
+    the "search 100 TB for any of N needles" problem costs one corpus
+    scan + a broadcast hash join — no shuffle of the corpus at all.
+    Planted duplicates (corpus.py) guarantee every probe hits its source
+    doc AND the source's exact/near copies, which is precisely the
+    leakage a real decontamination pass must catch (a contaminated doc's
+    near-duplicates are equally contaminated).
+    """
+    from cdc_pubsub_spark.llmops.corpus import dup_corpus, shingle_array
+
+    docs = load(spark, sf_dir, "documents")
+    sp = F.split(F.col("text"), " ")
+    probes = (
+        docs.filter((F.col("doc_id") % 50 == 0) & (F.size(sp) >= 8))
+        .select(
+            F.col("doc_id").alias("probe_id"),
+            F.concat_ws(" ", F.slice(sp, 1, 8)).alias("gram"),
+        )
+    )
+    corpus_grams = (
+        shingle_array(dup_corpus(spark, sf_dir), n=8)
+        .select("doc_id", F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    return (
+        corpus_grams.join(F.broadcast(probes), "gram")
+        .groupBy("probe_id")
+        .agg(
+            F.countDistinct("doc_id").alias("n_hits"),
+            F.min("doc_id").alias("first_hit"),
+            F.bool_or(F.col("doc_id") == F.col("probe_id")).alias("self_hit"),
+        )
+    )
+
+
+@register(
+    "text_pii_redact",
+    category="text",
+    oracle="""
+    WITH planted AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 13 = 0
+                  THEN concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                              '@example.com or +1-555-',
+                              lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'))
+                  ELSE text END AS text
+      FROM documents
+    ),
+    red AS (
+      SELECT doc_id, text,
+             regexp_replace(
+               regexp_replace(text, '[a-z0-9._]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
+               '\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS red_text
+      FROM planted
+    )
+    SELECT doc_id,
+           len(string_split(red_text, '<EMAIL>')) - 1 AS n_emails,
+           len(string_split(red_text, '<PHONE>')) - 1 AS n_phones,
+           md5(red_text) AS red_md5
+    FROM red
+    WHERE red_text <> text
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: emails and phone numbers replaced with typed
+    placeholder tokens; returns the redacted docs with per-type counts
+    and the md5 of the redacted text (byte-exact cross-engine proof).
+
+    The compliance stage of a training pipeline — scrub BEFORE the
+    corpus is shuffled/replicated. The clean source corpus has no PII,
+    so (same pattern as corpus.py's planted duplicates) every 13th doc
+    gets a deterministic synthetic email + phone appended, and the
+    operator must find exactly those. Both regexes are RE2-safe (no
+    backreferences/lookahead — linear-time scan) and run in codegen:
+    a zero-shuffle map over the corpus, scan-speed at 100 TB. The md5
+    over the full redacted text proves the replacement is byte-identical
+    across engines, not merely same-count.
+    """
+    docs = load(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or +1-555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(F.col("text"), "[a-z0-9._]+@[a-z0-9.-]+", "<EMAIL>"),
+        r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}",
+        "<PHONE>",
+    )
+    return (
+        planted.withColumn("red_text", red)
+        .filter(F.col("red_text") != F.col("text"))
+        .select(
+            "doc_id",
+            (F.size(F.split("red_text", "<EMAIL>", -1)) - 1).alias("n_emails"),
+            (F.size(F.split("red_text", "<PHONE>", -1)) - 1).alias("n_phones"),
+            F.md5("red_text").alias("red_md5"),
+        )
     )

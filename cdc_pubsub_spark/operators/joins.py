@@ -550,3 +550,71 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
         )
     )
+
+
+@register(
+    "join_partition_pruned",
+    category="joins",
+    bench=False,  # includes a filesystem write of the partitioned fact
+    oracle="""
+    WITH dim AS (
+      SELECT DISTINCT o_orderpriority AS pr,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 'high' ELSE 'low' END AS urgency
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           count(*)                     AS n_orders,
+           round(sum(o_totalprice), 2)  AS total_price
+    FROM orders JOIN dim ON o_orderpriority = pr
+    WHERE urgency = 'high'
+    GROUP BY o_orderpriority
+    """,
+)
+def join_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: a fact table partitioned on the join
+    key, joined to a dim whose filter is only known at runtime — Spark
+    turns the dim's filtered key set into a subquery-driven partition
+    filter on the fact SCAN, so unneeded partitions are never read.
+
+    The single biggest scan-avoidance lever at 100 TB: a date- or
+    topic-partitioned fact (the reference's daily changefeed dirs,
+    publisher.go:133, map exactly to this layout) joined through a
+    filtered dimension reads only the matching partition directories.
+    Static pruning can't do this — the surviving keys exist only after
+    the dim filter runs; DPP broadcasts them into the fact scan as a
+    runtime `dynamicpruning` expression (pinned in tests/test_plans.py).
+    Here the fact is orders re-partitioned by o_orderpriority (5 dirs);
+    the dim keeps 2 of 5 priorities, so 3/5 of the data is never
+    scanned. Oracle = the same join straight off the source table —
+    pruning must not change results, only IO.
+    """
+    import tempfile
+
+    orders = load(spark, sf_dir, "orders")
+    out = os.path.join(tempfile.gettempdir(), "cdc_pubsub_spark_dpp_fact")
+    orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = (
+        orders.select("o_orderpriority")
+        .distinct()
+        .select(
+            F.col("o_orderpriority").alias("pr"),
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "high"
+            )
+            .otherwise("low")
+            .alias("urgency"),
+        )
+    )
+    return (
+        fact.join(
+            F.broadcast(dim.filter(F.col("urgency") == "high")),
+            fact["o_orderpriority"] == F.col("pr"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )

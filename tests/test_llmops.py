@@ -167,3 +167,45 @@ def test_decode_stub_deterministic(spark, sf_dir):
     b = REGISTRY["multimodal_decode_stub"].fn(spark, sf_dir).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     assert all(r["decoded_ok"] for r in a)
+
+
+def test_contamination_finds_planted_copies(spark, sf_dir):
+    """Every probe must hit its own source doc, and probes whose source
+    doc has a planted exact copy (doc_id % 10 == 0, which every % 50
+    probe satisfies) must register that copy as a second hit. first_hit
+    may be an EARLIER doc than the probe — the synthetic corpus contains
+    genuine cross-doc prefix repetition (e.g. docs 0 and 50 share their
+    opening 8-gram), which is exactly the contamination the op exists to
+    surface."""
+    rows = {
+        r["probe_id"]: (r["n_hits"], r["first_hit"], r["self_hit"])
+        for r in REGISTRY["text_contamination"].fn(spark, sf_dir).collect()
+    }
+    assert rows, "probes must exist"
+    for probe_id, (n_hits, first_hit, self_hit) in rows.items():
+        assert self_hit, f"probe {probe_id}: self-hit missing"
+        assert first_hit <= probe_id, f"probe {probe_id}: min over hits broken"
+        assert n_hits >= 2, f"probe {probe_id}: planted copy not caught"
+
+
+def test_embed_centroid_partitions_all_vectors(spark, sf_dir):
+    """Cluster sizes must sum to the table size; inertia is positive for
+    any non-degenerate cluster."""
+    from cdc_pubsub_spark.tables import load
+
+    rows = REGISTRY["embed_centroid"].fn(spark, sf_dir).collect()
+    total = load(spark, sf_dir, "embeddings").count()
+    assert sum(r["n_vecs"] for r in rows) == total
+    for r in rows:
+        assert r["avg_dist"] > 0 and r["centroid_norm"] > 0
+
+
+def test_pii_redact_exactly_planted_docs(spark, sf_dir):
+    """Redaction must fire on exactly the planted docs (doc_id % 13 == 0)
+    with one email + one phone each, and placeholders must appear."""
+    rows = {
+        r["doc_id"]: (r["n_emails"], r["n_phones"])
+        for r in REGISTRY["text_pii_redact"].fn(spark, sf_dir).collect()
+    }
+    assert rows and all(d % 13 == 0 for d in rows)
+    assert all(v == (1, 1) for v in rows.values())

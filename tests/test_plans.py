@@ -112,3 +112,37 @@ def test_binned_range_join_avoids_nested_loop(spark, sf_dir):
         or uses(df, "ShuffledHashJoin")
         or uses(df, "BroadcastHashJoin")
     ), formatted_plan(df)[:2000]
+
+
+def test_repetition_filter_no_shuffle(spark, sf_dir):
+    """All three repetition signals are row-local HOFs — a pure map."""
+    df = q("text_repetition_filter", spark, sf_dir)
+    assert count_exchanges(df) == 0, formatted_plan(df)[:2000]
+
+
+def test_contamination_probe_broadcast(spark, sf_dir):
+    """The probe side is benchmark-sized: must broadcast, never shuffle
+    the corpus-shingle side for the join."""
+    df = q("text_contamination", spark, sf_dir)
+    assert uses(df, "BroadcastHashJoin"), formatted_plan(df)[:2000]
+
+
+def test_embed_centroid_broadcasts_centroids(spark, sf_dir):
+    """Centroids are labels×dims-sized: the distance re-join must
+    broadcast them, not shuffle the exploded vector rows twice."""
+    df = q("embed_centroid", spark, sf_dir)
+    assert uses(df, "BroadcastHashJoin"), formatted_plan(df)[:2000]
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_dir):
+    """The partitioned-fact join must carry a runtime dynamicpruning
+    filter into the fact scan — 3 of 5 partition dirs never read."""
+    df = q("join_partition_pruned", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "dynamicpruning" in plan, plan[:2000]
+
+
+def test_pii_redact_no_shuffle_before_filter(spark, sf_dir):
+    """Redaction is a pure map: regex replace + md5, zero exchanges."""
+    df = q("text_pii_redact", spark, sf_dir)
+    assert count_exchanges(df) == 0, formatted_plan(df)[:2000]
