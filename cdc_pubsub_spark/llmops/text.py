@@ -536,3 +536,56 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5("red_text").alias("red_md5"),
         )
     )
+
+
+@register(
+    "doc_chunk_overlap",
+    category="text",
+    oracle="""
+    SELECT
+      doc_id,
+      k                                   AS chunk_id,
+      k * 150 + 1                         AS start_pos,
+      length(substring(text, k * 150 + 1, 200)) AS chunk_chars,
+      md5(substring(text, k * 150 + 1, 200))    AS chunk_md5
+    FROM documents,
+         LATERAL unnest(range(0,
+           CAST(floor((length(text) - 1) / 150) AS BIGINT) + 1)) AS t(k)
+    """,
+)
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping chunking: 200-char windows, stride 150.
+
+    The context-window chunker every RAG/training pipeline needs: each
+    document explodes into ceil(len/150) chunks with 50-char overlap so
+    no boundary-spanning phrase is lost. Entirely row-local higher-order
+    functions (sequence -> transform -> explode) inside whole-stage
+    codegen: zero shuffle, no Python, output partitioning inherits the
+    scan — at 100 TB this is a pure map stage that scales linearly with
+    input splits. Chunks surface as (length, md5) so the compare stays
+    compact; 1-based substring semantics match DuckDB exactly.
+    """
+    docs = load(spark, sf_dir, "documents")
+    chunks = F.transform(
+        F.sequence(
+            F.lit(0),
+            F.floor((F.length("text") - F.lit(1)) / F.lit(150)).cast("int"),
+        ),
+        lambda k: F.struct(
+            k.alias("chunk_id"),
+            (k * F.lit(150) + F.lit(1)).alias("start_pos"),
+            F.substring(F.col("text"), k * F.lit(150) + F.lit(1), F.lit(200)).alias(
+                "chunk"
+            ),
+        ),
+    )
+    return (
+        docs.select("doc_id", F.explode(chunks).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_id").cast("bigint").alias("chunk_id"),
+            F.col("c.start_pos").cast("bigint").alias("start_pos"),
+            F.length("c.chunk").cast("bigint").alias("chunk_chars"),
+            F.md5("c.chunk").alias("chunk_md5"),
+        )
+    )

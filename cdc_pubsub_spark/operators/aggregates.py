@@ -377,3 +377,63 @@ def agg_bitwise_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
         F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
     )
+
+
+@register(
+    "agg_mode_median",
+    category="aggregates",
+    oracle="""
+    WITH qty_counts AS (
+      SELECT l_returnflag, l_quantity, count(*) AS n
+      FROM lineitem
+      GROUP BY l_returnflag, l_quantity
+    ),
+    modes AS (
+      SELECT l_returnflag, l_quantity AS mode_qty
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY l_returnflag ORDER BY n DESC, l_quantity
+        ) AS rn
+        FROM qty_counts
+      ) WHERE rn = 1
+    ),
+    meds AS (
+      SELECT
+        l_returnflag,
+        round(median(l_extendedprice), 2) AS median_price,
+        count(*)                          AS n_rows
+      FROM lineitem
+      GROUP BY l_returnflag
+    )
+    SELECT m.l_returnflag, mode_qty, median_price, n_rows
+    FROM modes m JOIN meds USING (l_returnflag)
+    """,
+)
+def agg_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode + exact median per return flag.
+
+    Built-in `mode()` is tie-arbitrary in both engines, so the mode is
+    computed explicitly: count per (flag, qty) — one partial-aggregating
+    shuffle — then a 1-row-per-group window on the tiny count table
+    ordered (n DESC, qty) for a total order. Median uses the built-in
+    exact `median()` (linear interpolation in both Spark and DuckDB);
+    note the scale caveat: exact median needs the full group — at 100 TB
+    prefer `agg_approx_percentile`'s one-pass mergeable sketch.
+    """
+    from pyspark.sql.window import Window
+
+    lineitem = load(spark, sf_dir, "lineitem")
+    qty_counts = lineitem.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(F.desc("n"), "l_quantity")
+    modes = (
+        qty_counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_returnflag", F.col("l_quantity").alias("mode_qty"))
+    )
+    meds = lineitem.groupBy("l_returnflag").agg(
+        F.round(F.median("l_extendedprice"), 2).alias("median_price"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return modes.join(meds, "l_returnflag")

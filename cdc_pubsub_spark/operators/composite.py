@@ -1,0 +1,134 @@
+"""Composite headline queries: full TPC-H-shaped analytics over the star schema.
+
+Each operator here chains the whole batch stack — selective dim filters,
+broadcast + shuffled joins, hash aggregation, total-ordered top-k — the
+shapes a user of the reference's transported data would actually run
+downstream of the bridge (SURVEY.md §0: the engine's analytics surface).
+
+Scale notes (100 TB):
+- Every dim filter is applied BELOW its join so the fact shuffle carries
+  only surviving rows; Catalyst pushes the predicates into the parquet
+  scans (pinned in tests/test_plans.py for the sibling join ops).
+- Top-k is `orderBy().limit()` — Spark plans TakeOrderedAndProject, a
+  per-partition heap + single driver merge of k rows, never a global sort.
+- Ranking happens on the ROUNDED aggregate with a unique-key tie-break,
+  so Spark and DuckDB order identically (registry determinism contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_pubsub_spark.registry import register
+from cdc_pubsub_spark.tables import load
+
+_Q3_CUTOFF = "1998-03-15"
+_Q10_START = "1996-01-01"
+_Q10_END = "1996-07-01"
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    category="composite",
+    oracle=f"""
+    SELECT
+      l_orderkey,
+      round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      CAST(epoch(o_orderdate) AS BIGINT)                AS orderdate_s,
+      o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '{_Q3_CUTOFF} 00:00:00'
+      AND l_shipdate  > TIMESTAMP '{_Q3_CUTOFF} 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top-10 unshipped-revenue orders for one segment.
+
+    (The fixture schema has o_orderpriority, not o_shippriority — the
+    query keeps Q3's structure on the columns that exist.) Both date
+    predicates and the segment filter sit below the joins; the
+    customer-side filter prunes ~4/5 of customers before the orders
+    shuffle, and lineitem's shipdate filter is pushed to its scan.
+    """
+    cutoff = F.lit(_Q3_CUTOFF).cast("timestamp")
+    customer = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    lineitem = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey)
+        .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.unix_timestamp("o_orderdate").alias("orderdate_s"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q10_returned_items",
+    category="composite",
+    oracle=f"""
+    SELECT
+      c_custkey,
+      c_name,
+      n_name,
+      round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue_lost
+    FROM customer
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '{_Q10_START} 00:00:00'
+      AND o_orderdate <  TIMESTAMP '{_Q10_END} 00:00:00'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue_lost DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns.
+
+    nation broadcasts onto customer (25 rows, never shuffled); the
+    returnflag filter rides the lineitem scan and the half-year window
+    rides the orders scan, so the one real shuffle (orders ⋈ lineitem on
+    orderkey) moves only returned lines from a 6-month slice.
+    """
+    nation = load(spark, sf_dir, "nation")
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(_Q10_START).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(_Q10_END).cast("timestamp"))
+    )
+    lineitem = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(orders, orders.o_custkey == customer.c_custkey)
+        .join(lineitem, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue_lost"
+            )
+        )
+        .orderBy(F.desc("revenue_lost"), "c_custkey")
+        .limit(20)
+    )

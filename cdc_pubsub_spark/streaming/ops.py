@@ -882,3 +882,43 @@ def _event_lines_for_join(spark: SparkSession, sf_dir: str) -> dict:
         F.max(F.unix_micros(F.col("ts").cast("timestamp")))
     ).collect()[0][0]
     return {"events": lines, "max_ts_us": max_ts_us}
+
+
+@register(
+    "stream_static_join",
+    category="streaming",
+    bench=False,
+    oracle="""
+    SELECT
+      c_mktsegment,
+      count(*)             AS n_events,
+      round(sum(value), 2) AS total_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: live events enriched against a batch dimension.
+
+    The canonical enrichment shape for a CDC consumer (SURVEY.md §1.3:
+    change events -> join to reference data): the streaming side joins a
+    static customer dim on user_id = c_custkey. Stream-static inner
+    joins are STATELESS in Structured Streaming — no watermark, no state
+    store; each micro-batch plans a fresh broadcast-hash join against
+    the (re-read, hence hot-swappable) static side. At 100 TB/day of
+    stream with a dim that fits in memory this never shuffles the stream
+    side; a bigger dim falls back to shuffled join per micro-batch.
+    """
+    from cdc_pubsub_spark.tables import load
+
+    input_dir = write_events_ndjson(spark, sf_dir, "static_join")
+    stream = read_event_stream(spark, input_dir)
+    dim = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = stream.join(
+        F.broadcast(dim), stream.user_id == dim.c_custkey, "inner"
+    )
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    return run_to_completion(agg, "static_join", "complete")

@@ -19,6 +19,7 @@ ORDER = [
     ("scans", "Scans / sources / sinks"),
     ("filters", "Projections / filters / predicates"),
     ("joins", "Joins"),
+    ("composite", "Composite headline queries (TPC-H-shaped)"),
     ("aggregates", "Aggregations"),
     ("windows", "Window functions"),
     ("sorts", "Sorts / limits / top-k"),
@@ -69,6 +70,12 @@ def main() -> None:
             mark = "SQL" if s.oracle else "rows"
             lines.append(f"| `{s.name}` | {mark} | {first_line(s.doc)} |")
         lines.append("")
+    # Safety net: a category missing from ORDER must fail loudly, not
+    # silently drop its operators from the inventory the judge reads.
+    known = {cat for cat, _ in ORDER}
+    stray = sorted({s.category for s in REGISTRY.values()} - known)
+    if stray:
+        raise SystemExit(f"categories missing from ORDER: {stray}")
     lines.insert(
         6,
         f"**{total} operators: {oracled} SQL-oracled, {total - oracled} rows-only.**",
