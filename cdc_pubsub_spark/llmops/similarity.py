@@ -474,3 +474,64 @@ def embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.avg("dd")).alias("avg_dist"),
         )
     )
+
+
+@register(
+    "embed_quantize_int8",
+    category="similarity",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 127 + 0.5) AS BIGINT)) AS qv,
+             list_transform(embedding, x -> CAST(x AS DOUBLE))            AS dv
+      FROM embeddings
+    )
+    SELECT
+      vec_id,
+      CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
+      list_aggregate(qv, 'min')  AS q_min,
+      list_aggregate(qv, 'max')  AS q_max,
+      round(sqrt(list_reduce(
+        list_prepend(CAST(0.0 AS DOUBLE),
+          list_transform(range(1, len(qv) + 1),
+            i -> (dv[i] - qv[i] / 127.0) * (dv[i] - qv[i] / 127.0))),
+        (eacc, ev) -> eacc + ev) / len(qv)), 6) AS rmse
+    FROM q
+    """,
+)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of the embedding column, with per-vector
+    reconstruction RMSE.
+
+    The storage/bandwidth lever for vector search at scale: float32 ->
+    int8 is a 4x shrink of a 100 TB embedding store (and proportionally
+    cheaper broadcast/shuffle for every downstream ANN op). Pure
+    higher-order functions in one narrow map stage — no shuffle, no
+    Python. Quantization uses floor(x*127 + 0.5), identical
+    half-up semantics in Spark and DuckDB (built-in round() differs
+    cross-engine on midpoints); RMSE is computed in double and rounded.
+    """
+    # SQL-parsed lambdas with distinct variable names per layer — the
+    # repo's HOF-composition pitfall (see llmops/dedup.py) forbids mixing
+    # Python-built lambdas over expr-string-lambda columns.
+    emb = load(spark, sf_dir, "embeddings")
+    dv = F.expr("transform(embedding, ex -> cast(ex AS double))")
+    qv = F.expr(
+        "transform(embedding, qx -> cast(floor(cast(qx AS double) * 127 + 0.5) AS bigint))"
+    )
+    q_sum = F.expr("aggregate(_qv, cast(0 AS bigint), (sacc, sv) -> sacc + sv)")
+    err = F.expr(
+        "sqrt(aggregate(zip_with(_dv, _qv, (za, zb) -> (za - zb / 127.0D) * (za - zb / 127.0D)), "
+        "cast(0.0 AS double), (eacc, ev) -> eacc + ev) / size(_qv))"
+    )
+    return (
+        emb.select("vec_id", dv.alias("_dv"), qv.alias("_qv"))
+        .select(
+            "vec_id",
+            q_sum.alias("q_sum"),
+            F.array_min("_qv").alias("q_min"),
+            F.array_max("_qv").alias("q_max"),
+            F.round(err, 6).alias("rmse"),
+        )
+    )

@@ -446,10 +446,15 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(" ", F.slice(sp, 1, 8)).alias("gram"),
         )
     )
-    corpus_grams = (
-        shingle_array(dup_corpus(spark, sf_dir), n=8)
-        .select("doc_id", F.explode("grams").alias("gram"))
-        .distinct()
+    # No distinct on the corpus grams: every aggregate below is
+    # duplicate-insensitive (countDistinct / min / bool_or), so repeated
+    # (doc, gram) pairs cannot change the answer — and skipping the dedup
+    # removes the ONLY corpus-sized shuffle. The grams stream out of the
+    # generate straight into the broadcast hash join, which discards
+    # everything but needle matches map-side; at 100 TB the whole check
+    # is one scan with zero corpus shuffle.
+    corpus_grams = shingle_array(dup_corpus(spark, sf_dir), n=8).select(
+        "doc_id", F.explode("grams").alias("gram")
     )
     return (
         corpus_grams.join(F.broadcast(probes), "gram")
@@ -588,4 +593,74 @@ def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length("c.chunk").cast("bigint").alias("chunk_chars"),
             F.md5("c.chunk").alias("chunk_md5"),
         )
+    )
+
+
+@register(
+    "text_tfidf_topk",
+    category="text",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, word, count(*) AS tf
+      FROM words
+      WHERE word <> ''
+      GROUP BY doc_id, word
+    ),
+    df AS (
+      SELECT word, count(DISTINCT doc_id) AS df
+      FROM tf
+      GROUP BY word
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT t.doc_id, t.word,
+             round(t.tf * ln(CAST(n_docs AS DOUBLE) / df), 2) AS tfidf
+      FROM tf t JOIN df USING (word) CROSS JOIN n
+    )
+    SELECT doc_id, word, tfidf, rn AS rank
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, word
+      ) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: top-3 most characteristic terms per document.
+
+    The classic keyword/feature extractor. Shuffle discipline at scale:
+    TF is one partial-aggregating shuffle on (doc, word); DF reuses the
+    TF table (already one row per doc-word) so the document-frequency
+    count is a count(*) per word over the SMALLER deduped set, not the
+    raw token stream; the doc count broadcasts as a 1-row cross join;
+    the final per-doc top-3 is a WindowGroupLimit (per-partition top-k
+    pushdown), ranked on the ROUNDED score with a word tie-break so
+    Spark and DuckDB agree on ties (registry determinism contract).
+    """
+    from pyspark.sql.window import Window
+
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(df, "word").select(
+        "doc_id",
+        "word",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 2
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "word")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "word", "tfidf", "rank")
     )

@@ -437,3 +437,42 @@ def agg_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
     )
     return modes.join(meds, "l_returnflag")
+
+
+@register(
+    "agg_hll_sketch_union",
+    category="aggregates",
+    oracle=None,  # Datasketches HLL binary is implementation-defined; rows-only.
+    bench=True,
+)
+def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches: per-type distinct-user sketches unioned
+    into a global estimate WITHOUT re-touching the data.
+
+    The defining 100 TB pattern for COUNT(DISTINCT) rollups: build a
+    sketch per partition/group once (one scan, constant memory), then
+    answer every coarser-grained distinct question by merging sketches —
+    `hll_union_agg` over the per-type sketches replaces a second full
+    scan-and-shuffle of raw user_ids. Exact counts ride along so tests
+    assert the estimates within tolerance (they are deterministic: the
+    sketch has no RNG). Spark 3.5+ Apache DataSketches functions.
+    """
+    events = load(spark, sf_dir, "events")
+    per_type = events.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sketch"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    per_type_rows = per_type.select(
+        "event_type",
+        F.hll_sketch_estimate("sketch").alias("approx_users"),
+        "exact_users",
+    )
+    global_row = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_users"),
+        F.sum(F.lit(0)).alias("_z"),
+    ).select(
+        F.lit("ALL").alias("event_type"),
+        "approx_users",
+        F.lit(None).cast("bigint").alias("exact_users"),
+    )
+    return per_type_rows.unionByName(global_row)

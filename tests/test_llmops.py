@@ -209,3 +209,24 @@ def test_pii_redact_exactly_planted_docs(spark, sf_dir):
     }
     assert rows and all(d % 13 == 0 for d in rows)
     assert all(v == (1, 1) for v in rows.values())
+
+
+def test_hll_sketch_union_within_tolerance(spark, sf_dir):
+    """Per-type HLL estimates within 5% of exact; the unioned global
+    sketch must cover at least the largest per-type distinct count and
+    stay within 5% of the exact global."""
+    from cdc_pubsub_spark.registry import REGISTRY
+    from cdc_pubsub_spark.tables import load
+
+    rows = REGISTRY["agg_hll_sketch_union"].fn(spark, sf_dir).collect()
+    by_type = {r.event_type: r for r in rows}
+    assert "ALL" in by_type
+    for t, r in by_type.items():
+        if t == "ALL":
+            continue
+        assert abs(r.approx_users - r.exact_users) <= max(1, 0.05 * r.exact_users)
+    exact_all = (
+        load(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    approx_all = by_type["ALL"].approx_users
+    assert abs(approx_all - exact_all) <= max(1, 0.05 * exact_all)
