@@ -132,3 +132,74 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue_lost"), "c_custkey")
         .limit(20)
     )
+
+
+@register(
+    "pipeline_training_data_e2e",
+    category="composite",
+    oracle="""
+    WITH quality AS (
+      SELECT doc_id, lang, text
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 30
+    ),
+    keepers AS (
+      SELECT min(doc_id) AS doc_id
+      FROM quality
+      GROUP BY md5(text)
+    ),
+    deduped AS (
+      SELECT q.* FROM quality q JOIN keepers USING (doc_id)
+    ),
+    chunks AS (
+      SELECT doc_id, lang,
+             substring(text, k * 150 + 1, 200) AS chunk
+      FROM deduped,
+           LATERAL unnest(range(0,
+             CAST(floor((length(text) - 1) / 150) AS BIGINT) + 1)) AS t(k)
+    )
+    SELECT
+      lang,
+      count(DISTINCT doc_id)       AS n_docs,
+      count(*)                     AS n_chunks,
+      CAST(sum(length(chunk)) AS BIGINT) AS total_chars,
+      count(DISTINCT md5(chunk))   AS n_uniq_chunks
+    FROM chunks
+    GROUP BY lang
+    """,
+)
+def pipeline_training_data_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-data prep pipeline as ONE declarative plan:
+    quality gate -> exact dedup -> overlapping chunking -> per-language
+    corpus stats.
+
+    Composes the engine's LLM-pipeline stages (text_quality_score,
+    dedup_exact, doc_chunk_overlap shapes) into a single Catalyst plan —
+    no materialization between stages, so column pruning and predicate
+    pushdown cross stage boundaries (the quality filter reaches the
+    parquet scan; only doc_id survives into the dedup join build side).
+    Dedup keeps min(doc_id) per md5 via aggregate + semi-join — hash
+    keys are uniform so the shuffle cannot skew, the scalable form of
+    "keep one copy per content hash" at 100 TB. Chunking stays a
+    row-local generate; the final rollup is one partial-aggregating
+    shuffle on lang.
+    """
+    docs = load(spark, sf_dir, "documents")
+    quality = docs.filter(F.size(F.split("text", " ")) >= 30).select(
+        "doc_id", "lang", "text"
+    )
+    keepers = quality.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
+    deduped = quality.join(keepers.select("doc_id"), "doc_id", "left_semi")
+    chunk_structs = F.expr(
+        "transform(sequence(0, cast(floor((length(text) - 1) / 150) AS int)), "
+        "ck -> substring(text, ck * 150 + 1, 200))"
+    )
+    chunks = deduped.select(
+        "doc_id", "lang", F.explode(chunk_structs).alias("chunk")
+    )
+    return chunks.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.length("chunk")).alias("total_chars"),
+        F.countDistinct(F.md5("chunk")).alias("n_uniq_chunks"),
+    )

@@ -416,3 +416,68 @@ def cdc_upsert_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rn") == 1) & ~F.col("is_delete"))
         .select("key", "status", F.round("price", 2).alias("price"))
     )
+
+
+_ASOF_PROBE = "899251200000000000"  # epoch_ms('1998-07-01') * 1e6, HLC wall part
+
+
+@register(
+    "cdc_asof_snapshot",
+    category="cdc",
+    oracle=rf"""
+    WITH changes AS (
+      SELECT o_orderkey AS key, o_orderstatus AS status,
+             o_totalprice AS price, {_HLC_SQL.format(v=0)} AS updated,
+             FALSE AS is_delete
+      FROM orders WHERE o_orderkey <= 3000
+      UNION ALL
+      SELECT o_orderkey, 'U',
+             floor(o_totalprice * 1.1 * 100 + 0.5) / 100, {_HLC_SQL.format(v=1)},
+             FALSE
+      FROM orders WHERE o_orderkey <= 3000 AND o_orderkey % 3 = 0
+      UNION ALL
+      SELECT o_orderkey, NULL, NULL, {_HLC_SQL.format(v=2)}, TRUE
+      FROM orders WHERE o_orderkey <= 3000 AND o_orderkey % 10 = 0
+    ),
+    hist AS (
+      SELECT *, lead(updated) OVER (PARTITION BY key ORDER BY updated) AS valid_to
+      FROM changes
+    ),
+    snap AS (
+      SELECT * FROM hist
+      WHERE NOT is_delete
+        AND updated <= lpad('{_ASOF_PROBE}', 33, '0')
+        AND (valid_to IS NULL OR valid_to > lpad('{_ASOF_PROBE}', 33, '0'))
+    )
+    SELECT status, count(*) AS n_keys, round(sum(price), 2) AS total_price
+    FROM snap
+    GROUP BY status
+    """,
+)
+def cdc_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (time-travel) snapshot over the SCD2 history: the
+    table's state as of HLC 1998-07-01, summarized per status.
+
+    The query the changefeed's `updated` cursor exists to answer
+    (README.md:27): filter the version history to
+    `valid_from <= T < valid_to`. Keys whose changes happen after T are
+    absent (not yet inserted); tombstoned keys whose delete precedes T
+    are absent (interval closed); updated keys show the version current
+    AT T. 33-digit zero-padded HLC strings compare lexicographically =
+    numerically, so the probe is a plain string comparison pushed into
+    the scan — at 100 TB, history partitioned by valid_from date prunes
+    to the partitions straddling T.
+    """
+    probe = F.lpad(F.lit(_ASOF_PROBE), 33, "0")
+    changes = synth_changes(spark, sf_dir)
+    w = Window.partitionBy("key").orderBy("updated")
+    hist = changes.withColumn("valid_to", F.lead("updated").over(w))
+    snap = hist.filter(
+        (~F.col("is_delete"))
+        & (F.col("updated") <= probe)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > probe))
+    )
+    return snap.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.round(F.sum("price"), 2).alias("total_price"),
+    )

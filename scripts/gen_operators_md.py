@@ -19,7 +19,7 @@ ORDER = [
     ("scans", "Scans / sources / sinks"),
     ("filters", "Projections / filters / predicates"),
     ("joins", "Joins"),
-    ("composite", "Composite headline queries (TPC-H-shaped)"),
+    ("composite", "Composite headline queries"),
     ("aggregates", "Aggregations"),
     ("windows", "Window functions"),
     ("sorts", "Sorts / limits / top-k"),
