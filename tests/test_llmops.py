@@ -230,3 +230,52 @@ def test_hll_sketch_union_within_tolerance(spark, sf_dir):
     )
     approx_all = by_type["ALL"].approx_users
     assert abs(approx_all - exact_all) <= max(1, 0.05 * exact_all)
+
+
+def test_chunk_overlap_reconstructs_documents(spark, sf_dir):
+    """Chunk coverage invariants on the real corpus: (a) stride slices of
+    the chunks concatenate back to the exact document; (b) consecutive
+    chunks overlap by exactly chunk-stride chars; (c) every chunk except
+    the last is full-length."""
+    from pyspark.sql import functions as F
+
+    from cdc_pubsub_spark.registry import REGISTRY
+    from cdc_pubsub_spark.tables import load
+
+    docs = {
+        r.doc_id: r.text
+        for r in load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .collect()
+    }
+    # Re-run the operator but keep the chunk text for verification.
+    chunks = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(0, cast(floor((length(text)-1)/150) AS int)),"
+                    " vk -> substring(text, vk * 150 + 1, 200))"
+                )
+            ).alias("chunk_id", "chunk"),
+        )
+        .collect()
+    )
+    by_doc: dict = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_id, r.chunk))
+    assert set(by_doc) == set(docs)
+    for doc_id, parts in by_doc.items():
+        parts.sort()
+        text = docs[doc_id]
+        rebuilt = "".join(
+            c[:150] if i < len(parts) - 1 else c for i, (_, c) in enumerate(parts)
+        )
+        assert rebuilt == text, f"doc {doc_id} not reconstructed"
+        for (_, a), (_, b) in zip(parts, parts[1:]):
+            assert a[150:200] == b[: len(a[150:200])], f"doc {doc_id} overlap broken"
+        for cid, c in parts:
+            start = cid * 150 + 1
+            assert len(c) == min(200, len(text) - start + 1), f"doc {doc_id}"
