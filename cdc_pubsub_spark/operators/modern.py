@@ -1,0 +1,347 @@
+"""Modern SQL surface: recursive CTEs, lateral joins, VARIANT JSON,
+map higher-order functions, sketch-based heavy hitters, URL parsing, XML
+ingestion.
+
+These are the Spark-4-era capabilities a user migrating off the reference
+bridge (and onto a real analytics engine) reaches for next: the reference
+transports semi-structured payloads it never parses (publisher.go:182-201
+treats lines as opaque bytes); this module is the query-side surface for
+actually *querying* those payloads once landed — JSON as VARIANT, XML
+envelopes, URL-shaped routing metadata (publisher.go:133's path parsing,
+generalized to real URLs), per-entity feature maps, and the recursive /
+lateral SQL shapes analysts expect from a complete engine.
+
+Scale notes: every operator here is pure Catalyst (no Python UDFs). The
+recursive CTE materializes ~100 rows on the driver side of a broadcast —
+the dense-calendar pattern whose cost is independent of fact-table size.
+`approx_top_k` is a mergeable sketch: partial aggregation map-side, one
+small shuffle — the only safe heavy-hitters shape at 100 TB (an exact
+global groupBy+sort works at any scale too, but the sketch caps memory
+per key cardinality).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_pubsub_spark.registry import register
+from cdc_pubsub_spark.tables import load
+
+
+@register(
+    "sql_recursive_cte",
+    category="modern",
+    oracle="""
+    WITH RECURSIVE nums(n) AS (
+      SELECT 0 UNION ALL SELECT n + 1 FROM nums WHERE n < 90
+    ),
+    bounds AS (
+      SELECT date_trunc('month', min(o_orderdate)) AS m0,
+             date_trunc('month', max(o_orderdate)) AS m1
+      FROM orders
+    ),
+    months AS (
+      SELECT year(m0 + to_months(n)) * 100 + month(m0 + to_months(n)) AS ym
+      FROM bounds, nums
+      WHERE m0 + to_months(n) <= m1
+    ),
+    actual AS (
+      SELECT year(o_orderdate) * 100 + month(o_orderdate) AS ym,
+             count(*) AS n_orders,
+             round(sum(o_totalprice), 2) AS total_price
+      FROM orders GROUP BY 1
+    )
+    SELECT m.ym, coalesce(a.n_orders, 0) AS n_orders,
+           coalesce(a.total_price, 0.0) AS total_price
+    FROM months m LEFT JOIN actual a USING (ym)
+    """,
+)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (WITH RECURSIVE): dense monthly calendar spanning the
+    order-date range, gap-filled with per-month order counts and revenue.
+
+    The recursion generates month offsets 0..90 (a ~100-row driver-side
+    table — recursion depth is bounded and independent of data volume);
+    the month grid then LEFT-joins the fact rollup, so absent months
+    surface as explicit zeros. This is the iterative-computation entry
+    point the reference lacks entirely (its only loop is the line
+    scanner, publisher.go:182); Spark 4 executes it as a UnionLoop with
+    the static 100-level recursion guard.
+    """
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_rec")
+    return spark.sql(
+        """
+        WITH RECURSIVE nums(n) AS (
+          SELECT 0 UNION ALL SELECT n + 1 FROM nums WHERE n < 90
+        ),
+        bounds AS (
+          SELECT date_trunc('MONTH', min(o_orderdate)) AS m0,
+                 date_trunc('MONTH', max(o_orderdate)) AS m1
+          FROM orders_rec
+        ),
+        months AS (
+          SELECT year(add_months(m0, n)) * 100 + month(add_months(m0, n)) AS ym
+          FROM bounds, nums
+          WHERE add_months(m0, n) <= m1
+        ),
+        actual AS (
+          SELECT year(o_orderdate) * 100 + month(o_orderdate) AS ym,
+                 count(*) AS n_orders,
+                 round(sum(o_totalprice), 2) AS total_price
+          FROM orders_rec GROUP BY 1
+        )
+        SELECT m.ym, coalesce(a.n_orders, 0) AS n_orders,
+               coalesce(a.total_price, 0.0) AS total_price
+        FROM months m LEFT JOIN actual a USING (ym)
+        """
+    )
+
+
+@register(
+    "join_lateral_topk",
+    category="modern",
+    oracle="""
+    SELECT n_name, t.c_custkey, t.bal
+    FROM nation, LATERAL (
+      SELECT c_custkey, round(c_acctbal, 2) AS bal
+      FROM customer
+      WHERE c_nationkey = n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey
+      LIMIT 1
+    ) t
+    """,
+)
+def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral correlated subquery: each nation's single highest-balance
+    customer (deterministic tie-break on custkey).
+
+    The LATERAL subquery is correlated on `n_nationkey` with ORDER BY +
+    LIMIT inside — the "top-1 per outer row" idiom. Catalyst decorrelates
+    it into a window/aggregate + join rather than re-running the inner
+    query per nation, which is what makes the shape viable when the
+    outer side has millions of rows instead of 25.
+    """
+    load(spark, sf_dir, "nation").createOrReplaceTempView("nation_lat")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer_lat")
+    return spark.sql(
+        """
+        SELECT n_name, t.c_custkey, t.bal
+        FROM nation_lat, LATERAL (
+          SELECT c_custkey, round(c_acctbal, 2) AS bal
+          FROM customer_lat
+          WHERE c_nationkey = n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey
+          LIMIT 1
+        ) t
+        """
+    )
+
+
+@register(
+    "fn_variant_json",
+    category="modern",
+    oracle="""
+    SELECT event_type,
+           floor(avg(CAST(json_extract(props, '$.k') AS INT)) * 100 + 0.5) / 100
+             AS avg_k,
+           count(CAST(json_extract(props, '$.k') AS INT)) AS n_with_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payloads via the VARIANT type (Spark 4):
+    `parse_json` once, then typed `variant_get` extraction, aggregated
+    per event type.
+
+    VARIANT stores the parsed tree in a binary columnar encoding, so
+    repeated field extraction skips re-tokenizing the JSON text — the
+    at-scale answer to the reference's opaque-payload stance
+    (publisher.go:193-196 ships bytes untouched; here the engine lands
+    them queryable). The floor-formula rounding keeps the division-
+    created average midpoint-stable across engines
+    (functions/rounding.py).
+    """
+    ev = load(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    return ev.groupBy("event_type").agg(
+        (F.floor(F.avg(k) * 100 + F.lit(0.5)) / 100).alias("avg_k"),
+        F.count(k).alias("n_with_k"),
+    )
+
+
+@register(
+    "fn_map_hof",
+    category="modern",
+    oracle="""
+    SELECT user_id, event_type, round(ln(CAST(cnt AS DOUBLE)), 4) AS log_cnt
+    FROM (
+      SELECT user_id, event_type, count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    )
+    WHERE cnt >= 2
+    """,
+)
+def fn_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions: build a per-user event-type frequency
+    map, `map_filter` rare entries out, `transform_values` to log scale,
+    explode back to rows.
+
+    The per-entity feature-map shape (user → {event_type: freq}) is how
+    wide sparse features are carried through a training-data pipeline
+    without a column per feature. All four map operations
+    (map_from_entries / map_filter / transform_values / explode) are
+    codegen'd row-local work on top of one groupBy — the map never
+    becomes a shuffle key. Oracle is the equivalent flat relational
+    form: identical rows, no map type needed.
+    """
+    ev = load(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    m = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "cnt"))
+        ).alias("m")
+    )
+    filtered = m.select(
+        "user_id",
+        F.expr(
+            "transform_values(map_filter(m, (k, v) -> v >= 2),"
+            " (k, v) -> round(ln(cast(v AS double)), 4))"
+        ).alias("m"),
+    )
+    return filtered.select(
+        "user_id", F.explode("m").alias("event_type", "log_cnt")
+    )
+
+
+@register(
+    "agg_approx_topk",
+    category="modern",
+    oracle="""
+    SELECT event_type, count(*) AS cnt
+    FROM events
+    GROUP BY event_type
+    ORDER BY cnt DESC, event_type
+    LIMIT 3
+    """,
+)
+def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via the `approx_top_k` frequency sketch, exploded to
+    (item, count) rows.
+
+    The sketch is mergeable: each partition builds a bounded-size
+    summary, partials combine map-side, and one tiny shuffle yields the
+    global top-k — memory stays O(sketch) regardless of item cardinality,
+    which is the only viable heavy-hitters shape at 100 TB (an exact
+    groupBy+orderBy+limit shuffles the full key space). On this column
+    (5 distinct values, far under the tracked-items bound) the sketch is
+    provably exact, so the exact-SQL oracle applies; counts are tie-free
+    at every driver scale factor (verified 0.001/0.01/0.1).
+    """
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.agg(F.expr("approx_top_k(event_type, 3)").alias("tk"))
+        .select(F.explode("tk").alias("t"))
+        .select(
+            F.col("t.item").alias("event_type"),
+            F.col("t.count").alias("cnt"),
+        )
+    )
+
+
+@register(
+    "fn_url_parse",
+    category="modern",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             concat('https://', source, '.example.com/', lang, '/',
+                    CAST(doc_id AS VARCHAR), '?ref=search&page=',
+                    CAST(doc_id % 7 AS VARCHAR)) AS url
+      FROM documents WHERE doc_id < 300
+    )
+    SELECT doc_id,
+           regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+           regexp_extract(url, 'https://[^/?]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '[?&]page=([^&]*)', 1) AS page
+    FROM u
+    """,
+)
+def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL structural parsing: host / path / single query parameter via
+    `parse_url`, over URLs synthesized from document metadata.
+
+    Web-corpus pipelines key dedup and quality decisions on URL
+    components (host-level filtering, path-pattern dedup) before ever
+    reading page bytes. `parse_url` is a JVM intrinsic (one pass, no
+    regex backtracking); the oracle extracts the same components with
+    anchored regexes — DuckDB has no parse_url — which doubles as
+    documentation of exactly what each component means. Mirrors the
+    reference's path-metadata extraction (publisher.go:133) on real
+    URL syntax.
+    """
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    u = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.com/"),
+            F.col("lang"),
+            F.lit("/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?ref=search&page="),
+            (F.col("doc_id") % 7).cast("string"),
+        ).alias("url"),
+    )
+    return u.select(
+        "doc_id",
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("page")).alias("page"),
+    )
+
+
+@register(
+    "scan_xml_messages",
+    category="modern",
+    oracle="""
+    SELECT o_orderstatus AS status, count(*) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def scan_xml_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML message ingestion: per-row XML envelopes parsed with
+    `from_xml` into typed structs, then aggregated.
+
+    The streaming-bridge twin for XML-speaking upstreams (the reference
+    only ever sees NDJSON, README.md:14-15; enterprise CDC feeds are
+    routinely XML). Envelopes are synthesized from orders so the oracle
+    can verify the parse by computing the same aggregate straight from
+    the source columns — any field mis-parse shows up as a count or
+    checksum mismatch. Only integer/string fields go through the XML
+    text to keep formatting engine-neutral (no float-to-string
+    round-trip).
+    """
+    orders = load(spark, sf_dir, "orders")
+    xml = orders.select(
+        F.concat(
+            F.lit("<order><key>"),
+            F.col("o_orderkey").cast("string"),
+            F.lit("</key><status>"),
+            F.col("o_orderstatus"),
+            F.lit("</status></order>"),
+        ).alias("raw")
+    )
+    parsed = xml.select(
+        F.from_xml(F.col("raw"), "key BIGINT, status STRING").alias("x")
+    )
+    return parsed.groupBy(F.col("x.status").alias("status")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x.key").alias("key_sum"),
+    )

@@ -26,6 +26,7 @@ ORDER = [
     ("setops", "Set operations"),
     ("functions", "Scalar functions"),
     ("advanced", "Subqueries / reshaping / sampling / error paths"),
+    ("modern", "Modern SQL (recursive / lateral / VARIANT / XML / sketches)"),
     ("udf", "UDF / UDAF / UDTF surface"),
     ("cdc", "CDC layer (reference-faithful)"),
     ("streaming", "Structured Streaming"),
