@@ -618,3 +618,93 @@ def join_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total_price"),
         )
     )
+
+
+@register(
+    "join_null_safe",
+    category="joins",
+    oracle="""
+    WITH a AS (
+      SELECT nullif(c_nationkey % 5, 4) AS k, count(*) AS n_cust
+      FROM customer GROUP BY 1
+    ),
+    b AS (
+      SELECT nullif(s_nationkey % 5, 4) AS k, count(*) AS n_supp
+      FROM supplier GROUP BY 1
+    )
+    SELECT a.k, a.n_cust, b.n_supp
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of vanishing.
+
+    CDC key columns go NULL on deletes and partial updates; a plain
+    equi-join silently drops those rows (NULL = NULL is NULL), which in
+    a reconciliation join means lost deletes — the batch twin of the
+    reference's ACK-on-failure data loss (publisher.go:209-211). The
+    null-safe operator keeps them AND stays a hash join: `<=>` is a
+    valid hash key (null hashes like any other value), so the plan is
+    still BroadcastHashJoin/SMJ, not a nested loop — same cost shape at
+    100 TB as a plain equi-join. Keys here are derived with nullif so
+    every scale factor has a NULL group on both sides.
+    """
+    cust = (
+        load(spark, sf_dir, "customer")
+        .groupBy(F.nullif(F.col("c_nationkey") % 5, F.lit(4)).alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .groupBy(F.nullif(F.col("s_nationkey") % 5, F.lit(4)).alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return cust.alias("a").join(
+        supp.alias("b"), F.col("a.k").eqNullSafe(F.col("b.k"))
+    ).select(F.col("a.k").alias("k"), "n_cust", "n_supp")
+
+
+@register(
+    "join_null_aware_anti",
+    category="joins",
+    oracle="""
+    SELECT 'not_in_with_nulls' AS variant, count(*) AS n
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT nullif(o_custkey, 7) FROM orders)
+    UNION ALL
+    SELECT 'not_in_null_free' AS variant, count(*) AS n
+    FROM customer
+    WHERE c_custkey NOT IN
+      (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL
+       AND o_custkey <> 7)
+    """,
+)
+def join_null_aware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN subquery with nullable inner values — the null-aware anti
+    join, three-valued-logic's sharpest edge.
+
+    One NULL in the inner set makes `x NOT IN (...)` UNKNOWN for every
+    non-matching x, so the with-nulls branch returns 0 rows — correct
+    per SQL, catastrophic if the author meant "exclude these keys".
+    Both branches run side by side: the null-poisoned count (0) and the
+    null-filtered count users almost always intend. Spark plans the
+    first as a null-aware anti join (single-column NAAJ broadcasts the
+    inner set; pinned in tests/test_plans.py) rather than a per-row
+    nested loop — the only safe physical shape for NOT IN at scale.
+    """
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer_naaj")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_naaj")
+    return spark.sql(
+        """
+        SELECT 'not_in_with_nulls' AS variant, count(*) AS n
+        FROM customer_naaj
+        WHERE c_custkey NOT IN (SELECT nullif(o_custkey, 7) FROM orders_naaj)
+        UNION ALL
+        SELECT 'not_in_null_free' AS variant, count(*) AS n
+        FROM customer_naaj
+        WHERE c_custkey NOT IN
+          (SELECT o_custkey FROM orders_naaj WHERE o_custkey IS NOT NULL
+           AND o_custkey <> 7)
+        """
+    )

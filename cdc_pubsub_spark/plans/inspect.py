@@ -26,6 +26,13 @@ def executed_plan(df: DataFrame) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def simple_plan(df: DataFrame) -> str:
+    """Pre-AQE physical plan in simple (one line per node) form — carries
+    per-node flags the formatted header omits, e.g. BroadcastHashJoin's
+    trailing isNullAwareAntiJoin boolean. Does not trigger execution."""
+    return df._jdf.queryExecution().sparkPlan().toString()
+
+
 def has_pushed_filters(df: DataFrame) -> bool:
     """True if any scan in the plan pushes at least one filter to parquet."""
     plan = formatted_plan(df)

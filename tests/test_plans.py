@@ -205,3 +205,102 @@ def test_pipeline_e2e_pins(spark, sf_dir):
     assert "LeftSemi" in plan, "dedup must be a semi join"
     assert "Generate" in plan, "chunking must be a generate"
     assert "Python" not in plan, "pipeline must stay JVM-side"
+
+
+def test_recursive_cte_is_union_loop(spark, sf_dir):
+    """The recursive month generator must plan as UnionLoop (bounded
+    driver-side recursion) with the fact rollup broadcast-joined in."""
+    df = q("sql_recursive_cte", spark, sf_dir)
+    assert uses(df, "UnionLoop"), "WITH RECURSIVE must plan as UnionLoop"
+    assert uses(df, "BroadcastHashJoin"), "calendar gap-fill join must broadcast"
+
+
+def test_lateral_topk_decorrelates(spark, sf_dir):
+    """The LATERAL ORDER BY/LIMIT subquery must decorrelate into one
+    window pass + join — not per-outer-row re-execution (and never a
+    cartesian product)."""
+    df = q("join_lateral_topk", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Window" in plan, "lateral top-1 must rewrite to a window"
+    assert "CartesianProduct" not in plan
+
+
+def test_approx_topk_is_mergeable_sketch(spark, sf_dir):
+    """approx_top_k must aggregate partial→final across one exchange —
+    the mergeable-summary shape that bounds memory at any scale."""
+    df = q("agg_approx_topk", spark, sf_dir)
+    assert uses(df, "ObjectHashAggregate"), "sketch agg must be ObjectHashAggregate"
+    assert count_exchanges(df) <= 1, "sketch must combine map-side"
+
+
+def test_url_parse_is_narrow(spark, sf_dir):
+    """parse_url extraction is a pure projection: zero shuffles, filter
+    pushed to the parquet scan."""
+    df = q("fn_url_parse", spark, sf_dir)
+    assert count_exchanges(df) == 0, "url parsing must not shuffle"
+    assert has_pushed_filters(df), "doc_id filter must push to parquet"
+
+
+def test_variant_and_xml_single_shuffle(spark, sf_dir):
+    """VARIANT extraction and XML parse both feed a partial→final
+    aggregate: exactly one shuffle each, parse work all map-side."""
+    for name in ("fn_variant_json", "scan_xml_messages"):
+        df = q(name, spark, sf_dir)
+        assert count_exchanges(df) <= 1, f"{name} must shuffle once"
+
+
+def test_null_safe_join_stays_hash_join(spark, sf_dir):
+    """`<=>` must remain a hash join (null is an ordinary hash key) —
+    never a nested loop."""
+    df = q("join_null_safe", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "HashJoin" in plan, "null-safe equality must hash-join"
+    assert "NestedLoop" not in plan
+
+
+def test_not_in_plans_null_aware_anti_join(spark, sf_dir):
+    """NOT IN over a nullable inner must plan as a single-column
+    null-aware anti join (BroadcastHashJoin LeftAnti with the NAAJ flag),
+    not a per-row nested loop."""
+    from cdc_pubsub_spark.plans.inspect import simple_plan
+
+    df = q("join_null_aware_anti", spark, sf_dir)
+    plan = simple_plan(df)
+    assert "LeftAnti, BuildRight, true" in plan, (
+        "NOT IN with nullable inner must set isNullAwareAntiJoin: " + plan
+    )
+
+
+def test_runtime_bloom_filter_injection(spark, sf_dir):
+    """With broadcast off (the big-fact × mid-dim case at cluster scale),
+    the optimizer must inject a runtime bloom filter from the filtered
+    dim build side into the fact scan (`might_contain` semi-filter) —
+    rows that can't join die before the shuffle, not after it.
+    Thresholds are tuned down because local testdata is far below the
+    production defaults (10 GB application side)."""
+    from cdc_pubsub_spark.tables import load
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load(spark, sf_dir, "lineitem")
+        orders = load(spark, sf_dir, "orders").filter(
+            F.col("o_orderstatus") == "P"
+        )
+        df = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy()
+            .count()
+        )
+        assert "might_contain" in formatted_plan(df), (
+            "runtime bloom filter not injected"
+        )
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
