@@ -279,3 +279,43 @@ def test_chunk_overlap_reconstructs_documents(spark, sf_dir):
         for cid, c in parts:
             start = cid * 150 + 1
             assert len(c) == min(200, len(text) - start + 1), f"doc {doc_id}"
+
+
+def test_av_features_kernel_dispatch(spark, sf_dir):
+    """Per-mime dispatch: each mime's feature columns are populated
+    exactly as its kernel computes them (checked against a local Python
+    reference on the same payloads), non-matching columns stay null, and
+    unknown mimes survive with decoded_ok=false."""
+    from pyspark.sql import functions as F
+
+    from cdc_pubsub_spark.llmops.multimodal import (
+        _audio_fake,
+        _decode_fake,
+        _video_fake,
+    )
+    from cdc_pubsub_spark.registry import REGISTRY
+    from cdc_pubsub_spark.tables import load
+
+    rows = {r.doc_id: r for r in REGISTRY["multimodal_av_features"].fn(spark, sf_dir).collect()}
+    src = load(spark, sf_dir, "documents").filter(F.col("doc_id") <= 600).collect()
+    assert len(rows) == len(src)
+    n_by_mime: dict = {}
+    for s in src:
+        r = rows[s.doc_id]
+        payload = s.text.encode("utf-8")
+        n_by_mime[r.mime] = n_by_mime.get(r.mime, 0) + 1
+        if r.mime == "image/png":
+            assert (r.width, r.height) == _decode_fake(payload)
+            assert r.duration_ms is None and r.n_frames is None
+        elif r.mime == "audio/wav":
+            assert (r.duration_ms, r.sample_rate) == _audio_fake(payload)
+            assert r.width is None and r.n_frames is None
+        elif r.mime == "video/mp4":
+            n, w, h = _video_fake(payload)
+            assert (r.n_frames, r.width, r.height) == (n, w, h)
+            assert r.duration_ms is None
+        else:
+            assert not r.decoded_ok
+            assert r.width is None and r.duration_ms is None and r.n_frames is None
+    # All four routes must actually occur in the fixture slice.
+    assert {"image/png", "audio/wav", "video/mp4", "application/octet-stream"} <= set(n_by_mime)

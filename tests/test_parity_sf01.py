@@ -20,6 +20,9 @@ SPOT = [
     "cdc_upsert_materialize",  # CDC materialization
     "dedup_near",            # heaviest llm op with an exact oracle
     "topk_global",           # LIMIT determinism
+    "sql_recursive_cte",     # recursion + gap-fill join at 10× months? no — same months, 10× facts
+    "fn_variant_json",       # floor-formula avg rounding at 10× rows
+    "join_lateral_topk",     # per-group LIMIT determinism at 10× customers
 ]
 
 
