@@ -15,6 +15,8 @@ order is stable across engines regardless of last-ulp float noise.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -535,3 +537,80 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(err, 6).alias("rmse"),
         )
     )
+
+
+@register("embed_pca_project", category="similarity", oracle=None, bench=False)
+def embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA dimensionality reduction for the embedding column: 64 dims →
+    8 principal components, centered, deterministically signed.
+
+    The scale pattern is two-phase. Phase 1 (distributed): each Arrow
+    batch reduces to its moment partials — count, per-dim sum, and the
+    64×64 outer-product sum X'X — via numpy inside mapInPandas; the
+    driver combines a handful of partial rows (one per batch, fixed
+    combine order for bit-stable floats). The data-sized input never
+    leaves executors; what crosses the wire is O(batches × d²). Phase 2
+    (driver): eigendecompose the 64×64 covariance (O(d³) — microscopic
+    and SCALE-INDEPENDENT) with the sign of each component fixed so its
+    largest-magnitude coordinate is positive, then ship mean + basis
+    back as a broadcast for a vectorized pandas_udf projection.
+    This is exactly how Spark MLlib's PCA is built (RowMatrix
+    computeCovariance + local eigensolve) — re-expressed on the
+    DataFrame/Arrow stack with the projection staying columnar.
+    Rows-only check (DuckDB has no eigensolver); orthonormality,
+    variance ordering, and reconstruction error are asserted in
+    tests/test_llmops.py.
+    """
+    import numpy as np
+
+    k = 8
+    emb = load(spark, sf_dir, "embeddings")
+
+    def moment_partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [len(X)],
+                    "s": [X.sum(axis=0).tolist()],
+                    "xx": [(X.T @ X).ravel().tolist()],
+                }
+            )
+
+    parts = (
+        emb.select("embedding")
+        .mapInPandas(moment_partials, schema="n bigint, s array<double>, xx array<double>")
+        .collect()
+    )
+    # Fixed combine order => identical float accumulation every run.
+    parts = sorted(parts, key=lambda r: (r.n, r.s[0], r.xx[0]))
+    n = sum(p.n for p in parts)
+    d = len(parts[0].s)
+    S = np.zeros(d)
+    XX = np.zeros((d, d))
+    for p in parts:
+        S += np.array(p.s)
+        XX += np.array(p.xx).reshape(d, d)
+    mean = S / n
+    cov = XX / n - np.outer(mean, mean)
+    eigvals, eigvecs = np.linalg.eigh(cov)  # ascending order
+    W = eigvecs[:, ::-1][:, :k]
+    # Sign convention: each component's largest-|coordinate| is positive.
+    for j in range(k):
+        i = int(np.abs(W[:, j]).argmax())
+        if W[i, j] < 0:
+            W[:, j] = -W[:, j]
+    b_mean = spark.sparkContext.broadcast(mean)
+    b_w = spark.sparkContext.broadcast(W)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<double>")
+    def project(col: pd.Series) -> pd.Series:
+        X = np.stack(col.to_numpy()).astype(np.float64)
+        P = (X - b_mean.value) @ b_w.value
+        return pd.Series([np.round(row, 4).tolist() for row in P])
+
+    return emb.select("vec_id", "label", project("embedding").alias("proj"))

@@ -319,3 +319,28 @@ def test_av_features_kernel_dispatch(spark, sf_dir):
             assert r.width is None and r.duration_ms is None and r.n_frames is None
     # All four routes must actually occur in the fixture slice.
     assert {"image/png", "audio/wav", "video/mp4", "application/octet-stream"} <= set(n_by_mime)
+
+
+def test_pca_projection_properties(spark, sf_dir):
+    """PCA invariants on the real embeddings: (a) 8-dim output for every
+    vector; (b) projected variance is non-increasing across components
+    (principal axes in order); (c) component means are ~0 (centering);
+    (d) total projected variance ≤ total input variance with the top-8
+    capturing a strictly positive share; (e) deterministic across runs."""
+    import numpy as np
+
+    from cdc_pubsub_spark.registry import REGISTRY
+    from cdc_pubsub_spark.tables import load
+
+    out = REGISTRY["embed_pca_project"].fn(spark, sf_dir).collect()
+    P = np.array([r.proj for r in out])
+    assert P.shape[1] == 8 and len(P) == len(out)
+    var = P.var(axis=0)
+    assert all(var[i] >= var[i + 1] - 1e-9 for i in range(7)), var
+    assert np.abs(P.mean(axis=0)).max() < 1e-3
+    X = np.stack([np.array(r.embedding, dtype=np.float64)
+                  for r in load(spark, sf_dir, "embeddings").collect()])
+    total_var = X.var(axis=0).sum()
+    assert 0 < var.sum() <= total_var + 1e-6
+    out2 = REGISTRY["embed_pca_project"].fn(spark, sf_dir).collect()
+    assert {r.vec_id: r.proj for r in out2} == {r.vec_id: r.proj for r in out}
