@@ -203,3 +203,62 @@ def pipeline_training_data_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("chunk")).alias("total_chars"),
         F.countDistinct(F.md5("chunk")).alias("n_uniq_chunks"),
     )
+
+
+@register(
+    "tpch_q18_big_orders",
+    category="composite",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS qty
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING CAST(sum(l_quantity) AS BIGINT) > 250
+    )
+    SELECT c_custkey, o_orderkey,
+           CAST(epoch(o_orderdate) AS BIGINT) AS orderdate_s,
+           round(o_totalprice, 2)             AS totalprice,
+           qty
+    FROM big
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def tpch_q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: top-100 large-volume orders (aggregate-derived
+    predicate over the fact, then joins upward to orders/customer).
+
+    The defining feature vs Q3/Q10: the selective predicate is on an
+    AGGREGATE (sum of quantity per order), so it cannot be pushed to any
+    scan — the plan must aggregate lineitem FIRST, and everything
+    afterwards (orders join, customer join, top-k) operates on the
+    ~1.5% of orders that survive the HAVING. Order matters at 100 TB:
+    join-then-aggregate would shuffle the full fact×orders product;
+    aggregate-then-join shuffles lineitem once for the groupBy and the
+    survivors are small enough that AQE turns both upward joins into
+    broadcasts. Top-100 is TakeOrderedAndProject on the rounded total
+    with an orderkey tie-break.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").cast("bigint").alias("qty"))
+        .filter(F.col("qty") > 250)
+    )
+    return (
+        big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.unix_timestamp("o_orderdate").cast("bigint").alias("orderdate_s"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "qty",
+        )
+        .orderBy(F.desc("totalprice"), "o_orderkey")
+        .limit(100)
+    )

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from cdc_pubsub_spark.paths import work_dir
 from cdc_pubsub_spark.registry import register
 from cdc_pubsub_spark.tables import load
 
@@ -419,7 +420,8 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             return
         import shutil
 
-        loc = os.path.join("/tmp/cdc_pubsub_spark_warehouse", table.lower())
+        wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        loc = os.path.join(wh, table.lower())
         shutil.rmtree(loc, ignore_errors=True)
         df.write.mode("overwrite").bucketBy(8, key).sortBy(key).saveAsTable(table)
 
@@ -592,7 +594,7 @@ def join_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     orders = load(spark, sf_dir, "orders")
-    out = os.path.join(tempfile.gettempdir(), "cdc_pubsub_spark_dpp_fact")
+    out = work_dir("dpp_fact")
     orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
     fact = spark.read.parquet(out)
     dim = (

@@ -16,6 +16,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cdc_pubsub_spark.paths import work_dir
 from cdc_pubsub_spark.registry import register
 from cdc_pubsub_spark.tables import load
 
@@ -94,7 +95,7 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     read only their topic's files.
     """
     orders = load(spark, sf_dir, "orders")
-    out = os.path.join(tempfile.gettempdir(), "cdc_pubsub_spark_sink_partitioned")
+    out = work_dir("sink_partitioned")
     orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
     back = spark.read.parquet(out)
     return back.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n_rows"))

@@ -65,7 +65,7 @@ def get_spark(app_name: str = "cdc-pubsub-spark", cpus: int | None = None) -> Sp
         .config("spark.ui.enabled", "false")
         # Warehouse for bucketed tables (join_bucketed_colocated) — kept
         # out of the repo tree.
-        .config("spark.sql.warehouse.dir", "/tmp/cdc_pubsub_spark_warehouse")
+        .config("spark.sql.warehouse.dir", f"/tmp/cdc_pubsub_spark_warehouse_{os.getpid()}")
         .config("spark.sql.execution.pyspark.udf.faulthandler.enabled", "false")
     )
     return builder.getOrCreate()

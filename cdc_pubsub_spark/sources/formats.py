@@ -16,6 +16,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cdc_pubsub_spark.paths import work_dir
 from cdc_pubsub_spark.registry import register
 from cdc_pubsub_spark.tables import load
 
@@ -37,7 +38,7 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical aggregate results through the round-trip prove writer/
     reader fidelity (timestamps, doubles, strings).
     """
-    out = os.path.join(tempfile.gettempdir(), "cdc_pubsub_spark_orc_orders")
+    out = work_dir("orc_orders")
     load(spark, sf_dir, "orders").write.mode("overwrite").orc(out)
     back = spark.read.orc(out)
     return back.groupBy("o_orderstatus").agg(
@@ -57,9 +58,7 @@ def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFr
     Demonstrated by rewriting the 'F' partition with flagged rows and
     proving 'O'/'P' partitions survive byte-identical row counts.
     """
-    out = os.path.join(
-        tempfile.gettempdir(), "cdc_pubsub_spark_dyn_overwrite"
-    )
+    out = work_dir("dyn_overwrite")
     import shutil as _shutil
 
     _shutil.rmtree(out, ignore_errors=True)
@@ -93,8 +92,8 @@ def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import shutil as _shutil
 
-    frag = os.path.join(tempfile.gettempdir(), "cdc_pubsub_spark_fragmented")
-    compact = os.path.join(tempfile.gettempdir(), "cdc_pubsub_spark_compacted")
+    frag = work_dir("fragmented")
+    compact = work_dir("compacted")
     _shutil.rmtree(frag, ignore_errors=True)
     _shutil.rmtree(compact, ignore_errors=True)
     orders = load(spark, sf_dir, "orders")
@@ -131,7 +130,7 @@ def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     type-guessing nondeterminism). Doubles survive via Spark's
     round-trippable default formatting.
     """
-    out = os.path.join(tempfile.gettempdir(), "cdc_pubsub_spark_csv_customer")
+    out = work_dir("csv_customer")
     load(spark, sf_dir, "customer").write.mode("overwrite").option(
         "header", True
     ).csv(out)

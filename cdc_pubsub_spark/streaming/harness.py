@@ -24,9 +24,10 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cdc_pubsub_spark.paths import work_dir
 from cdc_pubsub_spark.tables import load
 
-BASE = "/tmp/cdc_pubsub_spark_stream"
+BASE = work_dir("stream")
 
 EVENT_JSON_SCHEMA = (
     "event_id bigint, ts_us bigint, user_id bigint, event_type string, "

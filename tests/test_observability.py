@@ -4,6 +4,8 @@ metrics (batch) and StreamingQueryListener progress (streaming)."""
 
 from __future__ import annotations
 
+import os
+
 import time
 
 from pyspark.sql import Observation
@@ -36,6 +38,7 @@ def test_streaming_listener_progress(spark, sf_dir):
     """StreamingQueryListener receives per-batch progress — rows/sec,
     batch ids, watermark — the healthz/pprof surface of a stream."""
     from cdc_pubsub_spark.streaming.harness import (
+        BASE,
         read_event_stream,
         write_events_ndjson,
     )
@@ -67,7 +70,7 @@ def test_streaming_listener_progress(spark, sf_dir):
             .queryName("obs_sink")
             .option(
                 "checkpointLocation",
-                "/tmp/cdc_pubsub_spark_stream/observability/ck_obs",
+                os.path.join(BASE, "observability/ck_obs"),
             )
             .outputMode("complete")
             .trigger(availableNow=True)

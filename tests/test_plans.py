@@ -85,9 +85,9 @@ def test_partitioned_sink_prunes_on_read(spark, sf_dir):
     to that partition's directory (the per-topic-subscription property:
     a consumer of one topic never scans another's files)."""
     REGISTRY["sink_partitioned"].fn(spark, sf_dir).collect()  # materialize sink
-    import tempfile, os
+    from cdc_pubsub_spark.paths import work_dir
 
-    out = os.path.join(tempfile.gettempdir(), "cdc_pubsub_spark_sink_partitioned")
+    out = work_dir("sink_partitioned")
     back = spark.read.parquet(out).filter(F.col("o_orderstatus") == "F")
     plan = formatted_plan(back)
     scan_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
@@ -304,3 +304,16 @@ def test_runtime_bloom_filter_injection(spark, sf_dir):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_q18_aggregates_before_joining(spark, sf_dir):
+    """Q18's aggregate-derived predicate forces aggregate-first: the only
+    shuffle must be the lineitem groupBy; the post-HAVING survivors join
+    upward via broadcasts and the top-100 is TakeOrdered."""
+    df = q("tpch_q18_big_orders", spark, sf_dir)
+    assert count_exchanges(df) <= 1, "only the fact groupBy may shuffle"
+    assert uses(df, "TakeOrderedAndProject")
+    plan = formatted_plan(df)
+    agg_pos = plan.find("HashAggregate")
+    join_pos = plan.find("BroadcastHashJoin")
+    assert agg_pos > join_pos >= 0, "aggregate must sit below the joins in the tree"

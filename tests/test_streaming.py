@@ -4,6 +4,8 @@ real streams against their batch-twin oracles)."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -162,6 +164,7 @@ def test_graceful_drain_at_batch_boundary(spark, sf_dir):
     the sink never holds a partial batch, and stopped queries report
     inactive (the healthz 503 analog, A11 server.go:65-73)."""
     from cdc_pubsub_spark.streaming.harness import (
+        BASE,
         read_event_stream,
         write_events_ndjson,
     )
@@ -172,7 +175,7 @@ def test_graceful_drain_at_batch_boundary(spark, sf_dir):
         stream.writeStream.format("memory")
         .queryName("drain_sink")
         .option(
-            "checkpointLocation", "/tmp/cdc_pubsub_spark_stream/drain/ck_drain"
+            "checkpointLocation", os.path.join(BASE, "drain/ck_drain")
         )
         .outputMode("append")
         .trigger(availableNow=True)
