@@ -245,3 +245,24 @@ def multimodal_av_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             " height int, duration_ms int, sample_rate int, n_frames int"
         ),
     )
+
+
+@register("multimodal_binary_ingest", category="multimodal", oracle=None, bench=False)
+def multimodal_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-file ingestion via the binaryFile source: every file under
+    the scale-factor directory becomes one row of (path, length,
+    content) — the front door a media lake uses to land image/audio
+    files before any decode.
+
+    `spark.read.format("binaryFile")` lists and reads files
+    executor-side (distributed listing + read, nothing driver-local),
+    carries modification time for incremental loads, and feeds the same
+    mapInPandas decode kernels as multimodal_decode_stub. Content bytes
+    are projected away here — the aggregate only needs lengths, and
+    column pruning means payloads are never even read (the binaryFile
+    reader skips `content` when unprojected)."""
+    files = spark.read.format("binaryFile").load(f"{sf_dir}/*.parquet")
+    return files.select(
+        F.regexp_extract(F.col("path"), r"([^/]+)\.parquet$", 1).alias("table"),
+        F.col("length").alias("n_bytes"),
+    ).orderBy("table")

@@ -476,3 +476,81 @@ def agg_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("exact_users"),
     )
     return per_type_rows.unionByName(global_row)
+
+
+@register(
+    "agg_regression",
+    category="aggregates",
+    oracle="""
+    SELECT l_returnflag,
+           round(regr_slope(l_extendedprice, l_quantity), 4)     AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 4)        AS r2,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregates: slope/intercept/R² of price vs
+    quantity per return flag — the single-pass OLS closed form.
+
+    regr_* aggregates accumulate (n, Σx, Σy, Σxx, Σyy, Σxy) map-side and
+    combine like any algebraic aggregate — one shuffle of six doubles
+    per group no matter the row count, the same mergeable-summary
+    property as the HLL/t-digest sketches. Fitting per-group trends
+    without a second pass (or an ML library) is the 100 TB way to get
+    drift/trend features into a training-data pipeline.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias(
+            "intercept"
+        ),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 4).alias("r2"),
+        F.regr_count("l_extendedprice", "l_quantity").cast("bigint").alias("n"),
+    )
+
+
+@register(
+    "agg_grouping_flags",
+    category="aggregates",
+    oracle="""
+    SELECT
+      CASE WHEN GROUPING(r_name) = 1 THEN 'ALL_REGIONS' ELSE r_name END AS region,
+      CASE WHEN GROUPING(n_name) = 1 THEN 'ALL_NATIONS' ELSE n_name END AS nation,
+      GROUPING(r_name) * 2 + GROUPING(n_name)                           AS gid,
+      count(*)                                                          AS n_cust
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP(r_name, n_name)
+    """,
+)
+def agg_grouping_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with grouping() flags: subtotal rows carry explicit
+    'ALL_*' labels and a grouping id instead of ambiguous NULLs.
+
+    grouping() is the only correct way to tell a subtotal NULL from a
+    data NULL in rollup output — consumers keying on the label columns
+    (report sinks, downstream joins) need the distinction. The id is
+    built from per-column grouping() bits so the oracle is engine-
+    neutral (grouping_id() argument conventions differ across engines).
+    """
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    joined = cust.join(
+        nation, cust["c_nationkey"] == nation["n_nationkey"]
+    ).join(region, nation["n_regionkey"] == region["r_regionkey"])
+    return joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.grouping("r_name").alias("g_r"),
+        F.grouping("n_name").alias("g_n"),
+    ).select(
+        F.when(F.col("g_r") == 1, "ALL_REGIONS").otherwise(F.col("r_name")).alias("region"),
+        F.when(F.col("g_n") == 1, "ALL_NATIONS").otherwise(F.col("n_name")).alias("nation"),
+        (F.col("g_r") * 2 + F.col("g_n")).alias("gid"),
+        "n_cust",
+    )

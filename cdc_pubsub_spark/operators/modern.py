@@ -345,3 +345,47 @@ def scan_xml_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("x.key").alias("key_sum"),
     )
+
+
+@register(
+    "fn_try_arith",
+    category="modern",
+    oracle="""
+    SELECT o_orderkey,
+           floor(o_totalprice / nullif(o_custkey % 3, 0) * 100 + 0.5) / 100
+             AS per_unit,
+           TRY_CAST(substring(o_orderpriority, 1, 1) AS INT) AS prio_num,
+           TRY_CAST(o_orderstatus AS INT)                    AS status_num
+    FROM orders
+    WHERE o_orderkey <= 5000
+    """,
+)
+def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic and casting: try_divide / try_cast yield
+    NULL instead of failing the job.
+
+    Under ANSI mode (the Spark 4 default) a single divide-by-zero or
+    bad cast kills the whole query — at 100 TB that's hours of compute
+    lost to one malformed row. The try_* family is the row-level
+    dead-letter stance (the same never-drop-silently posture as
+    scan_json_corrupt): poison rows surface as NULLs that downstream
+    filters can route, and the job finishes. The oracle expresses the
+    identical semantics with nullif guards and TRY_CAST; the division
+    result rounds via the floor formula (functions/rounding.py) since
+    division-created midpoints split Spark/DuckDB round().
+    """
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 5000)
+    return orders.select(
+        "o_orderkey",
+        (
+            F.floor(
+                F.try_divide("o_totalprice", F.col("o_custkey") % 3) * 100
+                + F.lit(0.5)
+            )
+            / 100
+        ).alias("per_unit"),
+        F.try_to_number(
+            F.substring("o_orderpriority", 1, 1), F.lit("9")
+        ).cast("int").alias("prio_num"),
+        F.col("o_orderstatus").try_cast("int").alias("status_num"),
+    )
