@@ -481,3 +481,88 @@ def cdc_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_keys"),
         F.round(F.sum("price"), 2).alias("total_price"),
     )
+
+
+@register(
+    "cdc_schema_epoch_routing",
+    category="cdc",
+    oracle="""
+    SELECT
+      CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END AS schema_id,
+      count(*)                                        AS n,
+      count(CASE WHEN o_orderkey % 2 = 1
+                 THEN o_orderpriority END)            AS n_with_priority,
+      CAST(sum(o_orderkey) AS BIGINT)                 AS key_sum
+    FROM orders
+    WHERE o_orderkey <= 4000
+    GROUP BY 1
+    """,
+)
+def cdc_schema_epoch_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-change epochs in a CDC stream: route envelope lines by
+    their schema id and parse each epoch with its own schema, then union
+    by name with missing columns null-filled.
+
+    The reference carries a schema-change epoch in every changefeed
+    filename (regex group 6, publisher.go:133) precisely because
+    upstream ALTER TABLE changes the payload shape mid-stream — but it
+    only forwards the id, never acts on it. The engine completes the
+    story: epoch-1 envelopes (even keys here) predate the column add
+    and lack o_orderpriority; epoch-2 envelopes carry it. Each branch
+    parses with its epoch's StructType (schema-first so Catalyst prunes
+    JSON fields) and `unionByName(allowMissingColumns=True)` re-unifies
+    the stream — old rows surface NULL for the new column, exactly
+    parquet mergeSchema semantics applied to in-flight data.
+    """
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 4000)
+    epoch = F.when(F.col("o_orderkey") % 2 == 0, 1).otherwise(2)
+    line_v1 = F.concat(
+        F.lit('{"after": {"o_orderkey": '),
+        F.col("o_orderkey").cast("string"),
+        F.lit(', "o_orderstatus": "'),
+        F.col("o_orderstatus"),
+        F.lit('"}}'),
+    )
+    line_v2 = F.concat(
+        F.lit('{"after": {"o_orderkey": '),
+        F.col("o_orderkey").cast("string"),
+        F.lit(', "o_orderstatus": "'),
+        F.col("o_orderstatus"),
+        F.lit('", "o_orderpriority": "'),
+        F.col("o_orderpriority"),
+        F.lit('"}}'),
+    )
+    lines = orders.select(
+        epoch.alias("schema_id"),
+        F.when(epoch == 1, line_v1).otherwise(line_v2).alias("line"),
+    )
+    v1_schema = "after STRUCT<o_orderkey: BIGINT, o_orderstatus: STRING>"
+    v2_schema = (
+        "after STRUCT<o_orderkey: BIGINT, o_orderstatus: STRING,"
+        " o_orderpriority: STRING>"
+    )
+    e1 = (
+        lines.filter(F.col("schema_id") == 1)
+        .select("schema_id", F.from_json("line", v1_schema).alias("env"))
+        .select(
+            "schema_id",
+            F.col("env.after.o_orderkey").alias("k"),
+            F.col("env.after.o_orderstatus").alias("status"),
+        )
+    )
+    e2 = (
+        lines.filter(F.col("schema_id") == 2)
+        .select("schema_id", F.from_json("line", v2_schema).alias("env"))
+        .select(
+            "schema_id",
+            F.col("env.after.o_orderkey").alias("k"),
+            F.col("env.after.o_orderstatus").alias("status"),
+            F.col("env.after.o_orderpriority").alias("priority"),
+        )
+    )
+    unified = e1.unionByName(e2, allowMissingColumns=True)
+    return unified.groupBy("schema_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("priority").alias("n_with_priority"),
+        F.sum("k").cast("bigint").alias("key_sum"),
+    )

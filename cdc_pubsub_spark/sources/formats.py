@@ -142,3 +142,45 @@ def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
     )
+
+
+@register("scan_schema_evolution", category="scans", bench=False, oracle="""
+    SELECT
+      CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END AS epoch,
+      count(*)                                        AS n,
+      count(CASE WHEN o_orderkey % 2 = 1
+                 THEN o_orderpriority END)            AS n_with_priority,
+      round(sum(o_totalprice), 2)                     AS total
+    FROM orders
+    GROUP BY 1
+    """)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet schema evolution at rest: files written before a column
+    add (epoch=1) and after it (epoch=2) read back as ONE table via
+    mergeSchema, old files null-filling the new column.
+
+    The storage-side twin of cdc_schema_epoch_routing: a 100 TB lake is
+    never rewritten when a column lands, so the reader must reconcile
+    heterogeneous file schemas. `mergeSchema=true` unions the footer
+    schemas at planning time (per-file footer reads — pay it only on
+    schema-change boundaries, not per query; production pins the merged
+    schema in a catalog). The epoch partition column comes free from
+    directory layout. Oracle recomputes the expected union straight
+    from the source table — any mis-merge shows as count/sum drift.
+    """
+    orders = load(spark, sf_dir, "orders")
+    out = work_dir("schema_evolution")
+    v1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    v2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    v1.write.mode("overwrite").parquet(os.path.join(out, "epoch=1"))
+    v2.write.mode("overwrite").parquet(os.path.join(out, "epoch=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    return merged.groupBy("epoch").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_orderpriority").alias("n_with_priority"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
