@@ -566,3 +566,82 @@ def cdc_schema_epoch_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("priority").alias("n_with_priority"),
         F.sum("k").cast("bigint").alias("key_sum"),
     )
+
+
+@register(
+    "cdc_incremental_view",
+    category="cdc",
+    oracle=rf"""
+    WITH changes AS (
+      SELECT o_orderkey AS key, o_orderstatus AS status,
+             o_totalprice AS price, {_HLC_SQL.format(v=0)} AS updated,
+             FALSE AS is_delete
+      FROM orders WHERE o_orderkey <= 3000
+      UNION ALL
+      SELECT o_orderkey, 'U',
+             floor(o_totalprice * 1.1 * 100 + 0.5) / 100, {_HLC_SQL.format(v=1)},
+             FALSE
+      FROM orders WHERE o_orderkey <= 3000 AND o_orderkey % 3 = 0
+      UNION ALL
+      SELECT o_orderkey, NULL, NULL, {_HLC_SQL.format(v=2)}, TRUE
+      FROM orders WHERE o_orderkey <= 3000 AND o_orderkey % 10 = 0
+    ),
+    latest AS (
+      SELECT *, row_number() OVER (PARTITION BY key ORDER BY updated DESC) AS rn
+      FROM changes
+    )
+    SELECT status, count(*) AS n_keys, round(sum(price), 2) AS total_price
+    FROM latest
+    WHERE rn = 1 AND NOT is_delete
+    GROUP BY status
+    """,
+)
+def cdc_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: a per-status aggregate
+    maintained from SIGNED DELTAS of the change stream — never by
+    re-aggregating the base table.
+
+    Each change contributes (+1, +price) for its new version and
+    (-1, -prev_price) retracting the version it replaces (lag() per key
+    in HLC order); deletes contribute only the retraction. Summing the
+    signed deltas per group yields EXACTLY the aggregate a full
+    recompute over the final materialized state produces — which is
+    what the oracle computes, so the equality IS the test. This is the
+    differential-dataflow/IVM contract that makes CDC analytics viable
+    at 100 TB: each micro-batch folds O(batch) delta rows into the
+    view, instead of O(history) reprocessing (the batch twin of a
+    streaming foreachBatch MERGE). Cost: one window shuffle on key to
+    pair each version with its predecessor, one aggregate shuffle on
+    the group key. Groups whose count nets to zero are dropped —
+    retraction must actually remove emptied groups, not leave zombie
+    zeros.
+    """
+    changes = synth_changes(spark, sf_dir)
+    w = Window.partitionBy("key").orderBy("updated")
+    with_prev = changes.select(
+        "key",
+        "status",
+        "price",
+        "is_delete",
+        F.lag("status").over(w).alias("prev_status"),
+        F.lag("price").over(w).alias("prev_price"),
+    )
+    additions = with_prev.filter(~F.col("is_delete")).select(
+        F.col("status").alias("g"),
+        F.lit(1).alias("dn"),
+        F.col("price").alias("dp"),
+    )
+    retractions = with_prev.filter(F.col("prev_status").isNotNull()).select(
+        F.col("prev_status").alias("g"),
+        F.lit(-1).alias("dn"),
+        (-F.col("prev_price")).alias("dp"),
+    )
+    return (
+        additions.unionByName(retractions)
+        .groupBy(F.col("g").alias("status"))
+        .agg(
+            F.sum("dn").cast("bigint").alias("n_keys"),
+            F.round(F.sum("dp"), 2).alias("total_price"),
+        )
+        .filter(F.col("n_keys") > 0)
+    )
