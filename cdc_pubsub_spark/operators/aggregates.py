@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cdc_pubsub_spark.functions.rounding import r2
 from cdc_pubsub_spark.registry import register
 from cdc_pubsub_spark.tables import load
 
@@ -272,9 +273,9 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT
       l_returnflag,
-      round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
-      round(quantile_cont(l_extendedprice, 0.50), 2) AS p50,
-      round(quantile_cont(l_extendedprice, 0.75), 2) AS p75
+      floor(quantile_cont(l_extendedprice, 0.25) * 100 + 0.5) / 100 AS p25,
+      floor(quantile_cont(l_extendedprice, 0.50) * 100 + 0.5) / 100 AS p50,
+      floor(quantile_cont(l_extendedprice, 0.75) * 100 + 0.5) / 100 AS p75
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -291,9 +292,9 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     pcts = F.percentile("l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
     return li.groupBy("l_returnflag").agg(
-        F.round(F.element_at(pcts, 1), 2).alias("p25"),
-        F.round(F.element_at(pcts, 2), 2).alias("p50"),
-        F.round(F.element_at(pcts, 3), 2).alias("p75"),
+        r2(F.element_at(pcts, 1)).alias("p25"),
+        r2(F.element_at(pcts, 2)).alias("p50"),
+        r2(F.element_at(pcts, 3)).alias("p75"),
     )
 
 
@@ -400,7 +401,7 @@ def agg_bitwise_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
     meds AS (
       SELECT
         l_returnflag,
-        round(median(l_extendedprice), 2) AS median_price,
+        floor(median(l_extendedprice) * 100 + 0.5) / 100 AS median_price,
         count(*)                          AS n_rows
       FROM lineitem
       GROUP BY l_returnflag
@@ -433,7 +434,7 @@ def agg_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_returnflag", F.col("l_quantity").alias("mode_qty"))
     )
     meds = lineitem.groupBy("l_returnflag").agg(
-        F.round(F.median("l_extendedprice"), 2).alias("median_price"),
+        r2(F.median("l_extendedprice")).alias("median_price"),
         F.count(F.lit(1)).alias("n_rows"),
     )
     return modes.join(meds, "l_returnflag")
