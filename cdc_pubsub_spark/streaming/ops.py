@@ -922,3 +922,63 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 2).alias("total_value"),
     )
     return run_to_completion(agg, "static_join", "complete")
+
+
+@register("sink_pubsub_ordered", category="streaming", oracle=None, bench=False)
+def sink_pubsub_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pub/Sub ordered delivery per ordering key: every message with the
+    same key is written in event-time order within a single partition
+    file — the file-sink emulation of Pub/Sub's ordering-key contract
+    (which the reference cannot offer: its per-line async futures,
+    publisher.go:183-201, put concurrent lines in arbitrary RPC order).
+
+    Implementation is the SURVEY §4.2 recipe: repartition(key) routes
+    each key's rows to exactly one task, sortWithinPartitions(key, ts)
+    fixes intra-task order, and the parquet writer preserves row order
+    per file — so a consumer scanning any single file replays each key
+    in order, batch after batch. The op verifies its own contract by
+    re-reading every produced file and counting (a) keys split across
+    files within a topic and (b) per-key event-time inversions in file
+    row order; both must be zero (asserted in tests/test_streaming.py).
+    Returns one row per topic with the verification counters.
+    """
+    input_dir = write_events_ndjson(spark, sf_dir, "pubsub_ordered")
+    out_dir = os.path.join(BASE, "pubsub_ordered", "topics")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    stream = read_event_stream(spark, input_dir)
+
+    def publish(batch_df: DataFrame, batch_id: int) -> None:
+        enriched = batch_df.withColumn(
+            "topic", F.concat(F.lit("events-"), F.col("event_type"))
+        )
+        ordered = enriched.repartition(4, F.col("user_id")).sortWithinPartitions(
+            "user_id", "ts", "event_id"
+        )
+        ordered.write.mode("append").partitionBy("topic").parquet(out_dir)
+
+    run_to_completion(stream, "pubsub_ordered", foreach_batch=publish)
+
+    # Contract verification: per key, rows must sit in ONE file per
+    # topic, in nondecreasing ts order by physical row position.
+    import glob as _glob
+
+    rows = []
+    for topic_dir in sorted(_glob.glob(os.path.join(out_dir, "topic=*"))):
+        topic = os.path.basename(topic_dir).split("=", 1)[1]
+        key_files: dict = {}
+        inversions = 0
+        n_msgs = 0
+        for part in sorted(_glob.glob(os.path.join(topic_dir, "*.parquet"))):
+            pdf = spark.read.parquet(part).select("user_id", "ts", "event_id").toPandas()
+            n_msgs += len(pdf)
+            last_ts: dict = {}
+            for uid, ts in zip(pdf["user_id"], pdf["ts"]):
+                key_files.setdefault(uid, set()).add(part)
+                if uid in last_ts and ts < last_ts[uid]:
+                    inversions += 1
+                last_ts[uid] = ts
+        split_keys = sum(1 for fs in key_files.values() if len(fs) > 1)
+        rows.append((topic, n_msgs, len(key_files), split_keys, inversions))
+    return spark.createDataFrame(
+        rows, "topic string, n_messages long, n_keys long, split_keys long, order_inversions long"
+    )

@@ -290,3 +290,96 @@ def test_exactly_once_manifest_hides_orphans(spark, sf_dir):
         spark.read.option("recursiveFileLookup", "true").parquet(data_root).count()
     )
     assert naive > n_events
+
+
+def test_stream_join_state_evicts_below_watermark(spark, sf_dir):
+    """Stream-stream join state must SHRINK once the watermark passes
+    row expiry — the bounded-state guarantee that lets the join run
+    forever. Asserted from StreamingQueryProgress.stateOperators, not
+    inferred: peak buffered rows during the data batches must exceed
+    the rows remaining after the kicker batch advances the watermark 2
+    hours past every real event."""
+    import json as _json
+    import time as _time
+    import uuid
+
+    from cdc_pubsub_spark.streaming.harness import (
+        BASE,
+        EVENT_JSON_SCHEMA,
+        read_event_stream,
+        write_events_ndjson,
+    )
+
+    input_dir = write_events_ndjson(spark, sf_dir, "state_ttl")
+    # Kicker file, strictly newer mtime: one event per joined side 2 h
+    # past max ts so both sides' watermark nodes advance.
+    rows = [
+        _json.loads(line.value)
+        for line in spark.read.schema("value string").text(input_dir).collect()
+    ]
+    max_ts = max(r["ts_us"] for r in rows)
+    kick = [
+        {"event_id": 10**9 + i, "ts_us": max_ts + 2 * 3600 * 1_000_000,
+         "user_id": 10**6 + i, "event_type": et, "value": 0.0, "props": "{}"}
+        for i, et in enumerate(["purchase", "error"])
+    ]
+    dst = os.path.join(input_dir, "zz-kicker.ndjson")
+    with open(dst, "w") as f:
+        f.write("\n".join(_json.dumps(k) for k in kick))
+    now = _time.time()
+    os.utime(dst, (now + 60, now + 60))
+
+    base = read_event_stream(spark, input_dir, max_files_per_trigger=1)
+    purchases = (
+        base.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "10 minutes")
+        .select(F.col("event_id").alias("p_id"), F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"))
+    )
+    errors = (
+        read_event_stream(spark, input_dir, max_files_per_trigger=1)
+        .filter(F.col("event_type") == "error")
+        .withWatermark("ts", "10 minutes")
+        .select(F.col("event_id").alias("e_id"), F.col("user_id").alias("e_user"),
+                F.col("ts").alias("e_ts"))
+    )
+    joined = purchases.join(
+        errors,
+        (F.col("p_user") == F.col("e_user"))
+        & (F.col("e_ts") >= F.col("p_ts"))
+        & (F.col("e_ts") <= F.col("p_ts") + F.expr("INTERVAL 10 MINUTES")),
+    )
+    qname = f"state_ttl_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(BASE, "state_ttl", f"ck_{qname}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progresses = [p for p in q.recentProgress if p and p.get("stateOperators")]
+    totals = [p["stateOperators"][0]["numRowsTotal"] for p in progresses]
+    removed = sum(p["stateOperators"][0]["numRowsRemoved"] for p in progresses)
+    assert totals, "no stateOperators progress captured"
+    assert max(totals) > 0, "join never buffered state"
+    assert removed > 0, "watermark never evicted state"
+    assert totals[-1] < max(totals), (
+        f"state did not shrink after kicker: {totals}"
+    )
+
+
+def test_pubsub_ordered_delivery_contract(spark, sf_dir):
+    """Ordering-key contract: zero keys split across files within a
+    topic, zero event-time inversions in physical row order, and full
+    message conservation vs the source."""
+    from cdc_pubsub_spark.tables import load
+
+    out = {r.topic: r for r in REGISTRY["sink_pubsub_ordered"].fn(spark, sf_dir).collect()}
+    assert out, "no topics produced"
+    for topic, r in out.items():
+        assert r.split_keys == 0, f"{topic}: keys split across files"
+        assert r.order_inversions == 0, f"{topic}: out-of-order delivery"
+    total = sum(r.n_messages for r in out.values())
+    assert total == load(spark, sf_dir, "events").count()
