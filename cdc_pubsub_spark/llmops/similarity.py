@@ -614,3 +614,90 @@ def embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.Series([np.round(row, 4).tolist() for row in P])
 
     return emb.select("vec_id", "label", project("embedding").alias("proj"))
+
+
+def _kmeans_run(
+    spark: SparkSession, sf_dir: str, k: int = 8, iters: int = 4
+) -> tuple[DataFrame, list[float]]:
+    """Lloyd's k-means over the embedding column; returns (assignments,
+    per-iteration inertia trace). Deterministic: init = the k lowest
+    vec_ids, ties on distance break toward the lower cluster id."""
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    d = len(emb.first()["embedding"])
+    cents = [
+        (i, [float(x) for x in r["embedding"]])
+        for i, r in enumerate(
+            emb.orderBy("vec_id").limit(k).collect()
+        )
+    ]
+    sqdist = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("cvec"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    trace: list[float] = []
+    assigned = None
+    for _ in range(iters):
+        cdf = spark.createDataFrame(cents, "cluster int, cvec array<double>")
+        scored = emb.crossJoin(F.broadcast(cdf)).select(
+            "vec_id", "embedding", "cluster", sqdist.alias("d2")
+        )
+        w = Window.partitionBy("vec_id").orderBy("d2", "cluster")
+        assigned = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        assigned.persist()
+        trace.append(assigned.agg(F.sum("d2")).collect()[0][0])
+        # Update step: per-cluster per-dimension mean, exploded JVM-side.
+        means = (
+            assigned.select(
+                "cluster", F.posexplode("embedding").alias("dim", "x")
+            )
+            .groupBy("cluster", "dim")
+            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .groupBy("cluster")
+            .agg(F.map_from_entries(F.collect_list(F.struct("dim", "m"))).alias("mm"))
+            .collect()
+        )
+        new_cents = {r["cluster"]: [r["mm"][i] for i in range(d)] for r in means}
+        # Empty clusters keep their previous centroid.
+        cents = [(c, new_cents.get(c, v)) for c, v in cents]
+        assigned.unpersist()
+    return assigned, trace
+
+
+@register("embed_kmeans", category="similarity", oracle=None, bench=False)
+def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means clustering of the embedding corpus (Lloyd's algorithm,
+    k=8, 4 iterations) — the trainer that turns the IVF index
+    (sim_ann_ivf) from hash-picked lists into real learned lists.
+
+    The iterative-algorithm pattern on DataFrames: centroids are the
+    ONLY driver-side state (k×d floats — scale-independent); each
+    iteration is (1) assignment = broadcast-k crossJoin + per-vector
+    window min, all codegen, and (2) update = posexplode to
+    (cluster, dim) partial means — one shuffle of k×d cells regardless
+    of corpus size. The loop is driver-side because k-means is
+    inherently synchronous-iterative; every per-row computation stays
+    distributed (this is exactly MLlib KMeans' structure, re-expressed
+    declaratively). Inertia is non-increasing across iterations
+    (asserted in tests/test_llmops.py) — the Lloyd's convergence
+    guarantee, which only holds if assignment ties break
+    deterministically (distance, then cluster id).
+    """
+    assigned, _ = _kmeans_run(spark, sf_dir)
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(F.sum("d2"), 2).alias("inertia"),
+        )
+        .orderBy("cluster")
+    )

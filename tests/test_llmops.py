@@ -344,3 +344,25 @@ def test_pca_projection_properties(spark, sf_dir):
     assert 0 < var.sum() <= total_var + 1e-6
     out2 = REGISTRY["embed_pca_project"].fn(spark, sf_dir).collect()
     assert {r.vec_id: r.proj for r in out2} == {r.vec_id: r.proj for r in out}
+
+
+def test_kmeans_inertia_monotone_and_deterministic(spark, sf_dir):
+    """Lloyd's guarantee on the real corpus: total inertia never
+    increases across iterations, every vector lands in exactly one of
+    k clusters, and the whole run is bit-deterministic across repeats
+    (broadcast centroids + fixed tie-breaks)."""
+    from cdc_pubsub_spark.llmops.similarity import _kmeans_run
+    from cdc_pubsub_spark.registry import REGISTRY
+    from cdc_pubsub_spark.tables import load
+
+    _, trace = _kmeans_run(spark, sf_dir, k=8, iters=4)
+    assert len(trace) == 4
+    for a, b in zip(trace, trace[1:]):
+        assert b <= a * (1 + 1e-9), f"inertia increased: {trace}"
+    assert trace[-1] < trace[0], "k-means never improved on init"
+
+    out1 = REGISTRY["embed_kmeans"].fn(spark, sf_dir).collect()
+    out2 = REGISTRY["embed_kmeans"].fn(spark, sf_dir).collect()
+    assert [tuple(r) for r in out1] == [tuple(r) for r in out2]
+    n_total = sum(r["n_members"] for r in out1)
+    assert n_total == load(spark, sf_dir, "embeddings").count()
