@@ -741,3 +741,81 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.round(F.exp(F.avg(-F.log("p"))), 2).alias("ppl"))
     )
+
+
+@register(
+    "text_filter_verdict",
+    category="text",
+    oracle=f"""
+    WITH feats AS (
+      SELECT
+        doc_id,
+        len(string_split(text, ' '))                                 AS n_tokens,
+        len(list_distinct(string_split(text, ' ')))                  AS n_distinct,
+        CAST(len(list_filter(string_split(text, ' '),
+                             w -> {_STOP_SQL})) AS DOUBLE)
+          / len(string_split(text, ' '))                             AS stop_ratio,
+        CAST(length(replace(text, ' ', '')) AS DOUBLE)
+          / len(string_split(text, ' '))                             AS mean_wlen
+      FROM documents WHERE doc_id <= 2000
+    ),
+    rules AS (
+      SELECT doc_id, n_tokens,
+        list_filter([
+          CASE WHEN n_tokens < 30 THEN 'too_short' END,
+          CASE WHEN n_tokens > 5000 THEN 'too_long' END,
+          CASE WHEN stop_ratio < 0.02 THEN 'low_stopword' END,
+          CASE WHEN CAST(n_distinct AS DOUBLE) / n_tokens < 0.3
+               THEN 'excess_repetition' END,
+          CASE WHEN mean_wlen < 2 OR mean_wlen > 12 THEN 'odd_word_len' END
+        ], x -> x IS NOT NULL) AS failed
+      FROM feats
+    )
+    SELECT doc_id, n_tokens,
+           len(failed) = 0                AS keep,
+           coalesce(array_to_string(failed, ','), '') AS reasons
+    FROM rules
+    """,
+)
+def text_filter_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The gating stage of the training-data pipeline: every cleaning
+    rule evaluated in one row-local pass, emitting keep/drop plus the
+    ORDERED list of failed rules — never a bare boolean.
+
+    Carrying the reasons is what makes a 100 TB filter auditable: rule
+    firing rates (one groupBy on `reasons` downstream) are the pipeline
+    health dashboard, and changed verdicts between pipeline versions
+    diff by reason, not by row-eyeballing. Rules are the standard
+    C4/Gopher battery (length bounds, stopword floor, repetition
+    ceiling, word-length sanity); all features come from one split()
+    per doc — zero shuffle, pure codegen, same cost shape as
+    text_quality_score.
+    """
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") <= 2000)
+    words = F.split("text", " ")
+    n_tokens = F.size(words)
+    n_distinct = F.size(F.array_distinct(words))
+    stop_ratio = (
+        F.size(F.filter(words, lambda w: w.isin(*STOPWORDS))).cast("double")
+        / n_tokens
+    )
+    mean_wlen = (
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+        / n_tokens
+    )
+    failed = F.filter(
+        F.array(
+            F.when(n_tokens < 30, "too_short"),
+            F.when(n_tokens > 5000, "too_long"),
+            F.when(stop_ratio < 0.02, "low_stopword"),
+            F.when(n_distinct.cast("double") / n_tokens < 0.3, "excess_repetition"),
+            F.when((mean_wlen < 2) | (mean_wlen > 12), "odd_word_len"),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        (F.size(failed) == 0).alias("keep"),
+        F.array_join(failed, ",").alias("reasons"),
+    )
