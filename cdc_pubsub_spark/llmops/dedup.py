@@ -32,6 +32,7 @@ from cdc_pubsub_spark.llmops.corpus import (
     shingles,
 )
 from cdc_pubsub_spark.registry import register
+from cdc_pubsub_spark.tables import load
 
 
 @register(
@@ -365,3 +366,96 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0),
     )
     return sums.select("doc_id", simhash.cast("bigint").alias("simhash"))
+
+
+@register(
+    "dedup_containment",
+    category="dedup",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 1500
+      UNION ALL
+      SELECT doc_id + 3000000,
+             array_to_string(string_split(text, ' ')[1:30], ' ')
+      FROM documents WHERE doc_id < 1500 AND doc_id % 9 = 0
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             concat(w[i], ' ', w[i+1], ' ', w[i+2]) AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+           LATERAL unnest(range(1, len(w) - 1)) AS u(i)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS ns FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+      FROM sh a JOIN sh b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(common AS DOUBLE) / least(sa.ns, sb.ns), 4)
+             AS containment
+    FROM pairs
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE CAST(common AS DOUBLE) / least(sa.ns, sb.ns) >= 0.9
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup: a SHORT document embedded inside a
+    longer one (quotes, excerpts, prefix crawls) scores containment
+    |A∩B| / min(|A|,|B|) ≈ 1 even when symmetric Jaccard — diluted by
+    the long side's extra shingles — sails under every near-dup
+    threshold. The corpus plants 30-word prefixes (doc_id+3,000,000) of
+    every ninth document; Jaccard for those pairs is ~0.3, containment
+    1.0.
+
+    Same cost shape as dedup_near (shingle equi-join on candidates,
+    aggregate, size join); at 100 TB the pair-generation step swaps in
+    the MinHash-LSH candidates exactly as dedup_minhash_lsh does —
+    containment is just a different verification formula over the same
+    candidate machinery.
+    """
+    base = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 1500)
+        .select("doc_id", "text")
+    )
+    prefixes = base.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.array_join(F.slice(F.split("text", " "), 1, 30), " ").alias("text"),
+    )
+    corpus = base.unionByName(prefixes)
+    sh = (
+        corpus.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(split(text, ' ')) - 2),"
+                    " si -> concat_ws(' ', slice(split(text, ' '), si, 3)))"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ns"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    containment = F.col("common").cast("double") / F.least(
+        F.col("sa.ns"), F.col("sb.ns")
+    )
+    return (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(containment >= 0.9)
+        .select("doc_a", "doc_b", F.round(containment, 4).alias("containment"))
+    )

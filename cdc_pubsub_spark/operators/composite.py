@@ -262,3 +262,80 @@ def tpch_q18_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("totalprice"), "o_orderkey")
         .limit(100)
     )
+
+
+@register(
+    "events_funnel",
+    category="composite",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t1
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > s1.t1
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > s2.t2
+      GROUP BY e.user_id
+    )
+    SELECT stage, n_users FROM (
+      SELECT 1 AS stage_ord, 'signup' AS stage, count(*) AS n_users FROM s1
+      UNION ALL
+      SELECT 2, 'signup>click', count(*) FROM s2
+      UNION ALL
+      SELECT 3, 'signup>click>purchase', count(*) FROM s3
+    ) ORDER BY stage_ord
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: users who signed up, then clicked
+    AFTER signing up, then purchased AFTER that click — strict event-
+    time ordering, not mere co-occurrence.
+
+    The product-analytics staple over the bridge's event stream. Each
+    stage is min-timestamp conditional on the previous stage's
+    timestamp — three narrow aggregations chained by equi-joins on
+    user_id, so the whole funnel is co-partitioned after the first
+    shuffle (Catalyst reuses the user_id hash partitioning; no
+    re-shuffle per stage). Counts are strictly non-increasing down the
+    funnel by construction.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
+    )
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    rows = [
+        s1.agg(F.lit(1).alias("stage_ord"), F.lit("signup").alias("stage"),
+               F.count(F.lit(1)).alias("n_users")),
+        s2.agg(F.lit(2).alias("stage_ord"), F.lit("signup>click").alias("stage"),
+               F.count(F.lit(1)).alias("n_users")),
+        s3.agg(F.lit(3).alias("stage_ord"),
+               F.lit("signup>click>purchase").alias("stage"),
+               F.count(F.lit(1)).alias("n_users")),
+    ]
+    out = rows[0].unionByName(rows[1]).unionByName(rows[2])
+    return out.orderBy("stage_ord").select("stage", "n_users")

@@ -366,3 +366,48 @@ def test_kmeans_inertia_monotone_and_deterministic(spark, sf_dir):
     assert [tuple(r) for r in out1] == [tuple(r) for r in out2]
     n_total = sum(r["n_members"] for r in out1)
     assert n_total == load(spark, sf_dir, "embeddings").count()
+
+
+def test_containment_catches_prefix_dups_jaccard_misses(spark, sf_dir):
+    """Every planted 30-word prefix (doc_id+3M) must pair with its base
+    doc at containment ~1.0 — and those same pairs must score BELOW the
+    0.6 Jaccard near-dup threshold, proving the asymmetric measure
+    catches subset duplication the symmetric one cannot."""
+    from pyspark.sql import functions as F
+
+    from cdc_pubsub_spark.registry import REGISTRY
+    from cdc_pubsub_spark.tables import load
+
+    out = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in REGISTRY["dedup_containment"].fn(spark, sf_dir).collect()
+    }
+    base_ids = [
+        r.doc_id
+        for r in load(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 1500) & (F.col("doc_id") % 9 == 0))
+        # prefix shingling needs >= 30 words to differ from the base
+        .filter(F.size(F.split("text", " ")) > 31)
+        .collect()
+    ]
+    assert base_ids
+    for d in base_ids:
+        pair = (d, d + 3000000)
+        assert pair in out, f"planted prefix pair {pair} not caught"
+        assert out[pair] >= 0.97, f"{pair}: containment {out[pair]}"
+    # The same prefix pairs under symmetric Jaccard: for docs at least
+    # twice the prefix length, jacc ≈ 28/(n_words-2) < 0.6 — the subset
+    # signal dilutes with the long side. (Short docs where the prefix IS
+    # most of the doc are legitimately Jaccard-visible; skip those.)
+    docs = {r.doc_id: r.text for r in load(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 1500).collect()}
+    def shingleset(t):
+        ws = t.split(" ")
+        return {" ".join(ws[i:i+3]) for i in range(len(ws) - 2)}
+    long_ids = [d for d in base_ids if len(docs[d].split(" ")) >= 65]
+    assert long_ids, "corpus has no docs twice the prefix length"
+    for d in long_ids[:20]:
+        full = shingleset(docs[d])
+        pref = shingleset(" ".join(docs[d].split(" ")[:30]))
+        jacc = len(full & pref) / len(full | pref)
+        assert jacc < 0.6, f"doc {d}: prefix pair visible to Jaccard ({jacc:.2f})"
