@@ -251,3 +251,42 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rn",
         )
     )
+
+
+@register(
+    "win_count_distinct",
+    category="windows",
+    oracle="""
+    SELECT DISTINCT
+      user_id,
+      count(DISTINCT event_type) OVER (PARTITION BY user_id) AS n_types,
+      count(*)                   OVER (PARTITION BY user_id) AS n_events
+    FROM events
+    WHERE event_id <= 5000
+    """,
+)
+def win_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT aggregation over a window partition — which Spark's
+    window functions reject outright (DISTINCT_WINDOW_FUNCTION_
+    UNSUPPORTED): emulated exactly with size(collect_set() OVER w).
+
+    collect_set is an unbounded-frame window aggregate, so the distinct
+    set builds once per partition in the window sort — same single
+    shuffle as any windowed aggregate, no self-join (the naive rewrite,
+    a groupBy + join back, shuffles twice). The set is bounded by the
+    distinct-value cardinality (5 event types), not partition size; for
+    high-cardinality columns at 100 TB swap in approx hll_sketch_agg
+    over the same window. DISTINCT rows output because the window
+    replicates its value per input row — both engines dedupe
+    identically.
+    """
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") <= 5000)
+    w = Window.partitionBy("user_id")
+    return (
+        ev.select(
+            "user_id",
+            F.size(F.collect_set("event_type").over(w)).cast("bigint").alias("n_types"),
+            F.count(F.lit(1)).over(w).alias("n_events"),
+        )
+        .distinct()
+    )
