@@ -24,6 +24,7 @@ _MODULES = [
     "cdc_pubsub_spark.sources.cdc",
     "cdc_pubsub_spark.sources.formats",
     "cdc_pubsub_spark.sources.python_ds",
+    "cdc_pubsub_spark.llmops.corpus",
     "cdc_pubsub_spark.llmops.dedup",
     "cdc_pubsub_spark.llmops.similarity",
     "cdc_pubsub_spark.llmops.text",

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from cdc_pubsub_spark.tables import load
 
@@ -80,3 +81,108 @@ SHINGLES_CTE = """
       WHERE len(string_split(text, ' ')) >= 3
     )
 """
+
+
+from cdc_pubsub_spark.registry import register  # noqa: E402
+
+
+@register(
+    "corpus_train_val_split",
+    category="corpus",
+    oracle="""
+    WITH tagged AS (
+      SELECT *,
+        CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INT)
+          AS bucket
+      FROM documents
+    )
+    SELECT
+      CASE WHEN bucket < 230 THEN 'train'
+           WHEN bucket < 243 THEN 'val'
+           ELSE 'test' END        AS split,
+      count(*)                    AS n_docs,
+      count(DISTINCT lang)        AS n_langs,
+      CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      min(doc_id)                 AS first_doc
+    FROM tagged
+    GROUP BY 1
+    """,
+)
+def corpus_train_val_split(spark, sf_dir):
+    """Deterministic train/val/test split (~90/5/5) by content hash —
+    the reproducible-split staple of every training pipeline.
+
+    Membership is a pure function of doc_id (md5 first byte: <230
+    train, <243 val, else test), so it survives reruns, engine swaps,
+    cluster resizes, and incremental ingestion — a doc NEVER migrates
+    between splits, which is the property that keeps eval sets
+    uncontaminated as the corpus grows (rand()-based splits silently
+    leak). Zero shuffle for the tagging itself (per-row hash in the
+    scan); the only exchange is the stats aggregate.
+    """
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+    ).cast("int")
+    split = (
+        F.when(bucket < 230, "train").when(bucket < 243, "val").otherwise("test")
+    )
+    return docs.groupBy(split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+@register(
+    "corpus_batch_assembly",
+    category="corpus",
+    oracle="""
+    WITH shuffled AS (
+      SELECT doc_id, lang, n_chars,
+             row_number() OVER (
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) - 1 AS pos
+      FROM documents
+    )
+    SELECT
+      CAST(floor(pos / 32) AS BIGINT) AS batch_id,
+      count(*)                        AS batch_size,
+      count(DISTINCT lang)            AS n_langs,
+      CAST(sum(n_chars) AS BIGINT)    AS total_chars
+    FROM shuffled
+    GROUP BY 1
+    HAVING count(*) = 32
+    """,
+)
+def corpus_batch_assembly(spark, sf_dir):
+    """Training-batch assembly: a deterministic global shuffle (order by
+    content hash, NOT rand()) sliced into fixed-size batches of 32,
+    with per-batch composition stats; the ragged final batch is
+    dropped, as a fixed-shape trainer would.
+
+    The hash ordering is the reproducible equivalent of dataset
+    shuffling — the same corpus always yields the same batches, so a
+    training run is bit-replayable from the batch_id. The global
+    row_number is the one genuinely serial step (a total order); at
+    100 TB assemble batches per hash-range partition instead
+    (repartitionByRange on the hash + per-partition position), which
+    keeps batch composition deterministic while removing the single
+    ordering bottleneck — the language mix per batch stays uniform
+    because the hash order is content-random by construction.
+    """
+    docs = load(spark, sf_dir, "documents")
+    w = Window.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    shuffled = docs.select(
+        "doc_id", "lang", "n_chars", (F.row_number().over(w) - 1).alias("pos")
+    )
+    return (
+        shuffled.groupBy(F.floor(F.col("pos") / 32).cast("bigint").alias("batch_id"))
+        .agg(
+            F.count(F.lit(1)).alias("batch_size"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .filter(F.col("batch_size") == 32)
+    )

@@ -30,6 +30,7 @@ ORDER = [
     ("udf", "UDF / UDAF / UDTF surface"),
     ("cdc", "CDC layer (reference-faithful)"),
     ("streaming", "Structured Streaming"),
+    ("corpus", "Corpus management (LLM pipeline)"),
     ("dedup", "Deduplication (LLM pipeline)"),
     ("similarity", "Similarity search (LLM pipeline)"),
     ("text", "Text analysis (LLM pipeline)"),
