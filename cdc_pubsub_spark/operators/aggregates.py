@@ -555,3 +555,47 @@ def agg_grouping_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("g_r") * 2 + F.col("g_n")).alias("gid"),
         "n_cust",
     )
+
+
+@register(
+    "agg_min_max_by",
+    category="aggregates",
+    oracle="""
+    SELECT n_name,
+           arg_max(c_name, CAST(round(c_acctbal * 100) AS BIGINT) * 10000000
+                            - c_custkey) AS richest_customer,
+           arg_min(c_name, CAST(round(c_acctbal * 100) AS BIGINT) * 10000000
+                            - c_custkey) AS poorest_customer,
+           round(max(c_acctbal), 2) AS max_bal,
+           round(min(c_acctbal), 2) AS min_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmin/argmax aggregation: the NAME of each nation's richest and
+    poorest customer in one aggregate pass — max_by/min_by, no window,
+    no self-join.
+
+    The window alternative (rank + filter rn=1) sorts every partition;
+    the join-back alternative (groupBy max + rejoin on the max) shuffles
+    twice and breaks on duplicate extremes. max_by carries (value, key)
+    pairs through partial aggregation — one shuffle of one pair per
+    group. Ties on balance are broken deterministically by LOWER custkey
+    via a composite (balance, -custkey) ordering struct in BOTH engines,
+    since bare max_by/arg_max tie-breaking is engine-arbitrary.
+    """
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    key = F.struct(F.col("c_acctbal").alias("a"), (-F.col("c_custkey")).alias("b"))
+    return (
+        cust.join(nation, cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.max_by("c_name", key).alias("richest_customer"),
+            F.min_by("c_name", key).alias("poorest_customer"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+        )
+    )
