@@ -426,3 +426,64 @@ def compat_line_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("bytes_delivered"),
         )
     )
+
+
+@register(
+    "profile_constraints",
+    category="advanced",
+    oracle="""
+    SELECT 'orderkey_unique' AS constraint_name,
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS violations
+    FROM orders
+    UNION ALL
+    SELECT 'custkey_not_null',
+           CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders_customer_fk',
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'totalprice_positive',
+           CAST(count(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT)
+    FROM orders
+    """,
+)
+def profile_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality constraint checking (the deequ/dbt-test
+    shape): key uniqueness, non-null, referential integrity, and range
+    constraints evaluated over the orders table, one row of violation
+    counts per constraint.
+
+    The ingestion gate a CDC landing zone needs before anything
+    downstream trusts the data — the reference ACKs whatever arrives
+    (publisher.go:209-211); this is where a real pipeline would have
+    caught its silent losses as an FK/count drift. Cost shape: the
+    three single-table constraints come from ONE aggregate pass over
+    orders (conditional aggregates, no extra scans); referential
+    integrity is a left-anti join against the (broadcastable) parent
+    key set. Violations are returned as data, not exceptions — the
+    contract stays queryable, alert thresholds live downstream.
+    """
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    single_pass = orders.agg(
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("uniq_v"),
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("null_v"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("range_v"),
+    )
+    fk_v = (
+        orders.join(
+            cust, orders["o_custkey"] == cust["c_custkey"], "left_anti"
+        ).agg(F.count(F.lit(1)).alias("fk_v"))
+    )
+    both = single_pass.crossJoin(fk_v)
+    return both.selectExpr(
+        "stack(4,"
+        " 'orderkey_unique', cast(uniq_v AS bigint),"
+        " 'custkey_not_null', cast(null_v AS bigint),"
+        " 'orders_customer_fk', cast(fk_v AS bigint),"
+        " 'totalprice_positive', cast(range_v AS bigint)"
+        ") AS (constraint_name, violations)"
+    )
