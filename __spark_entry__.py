@@ -71,16 +71,24 @@ _SURVEY_PRIORITY = [
 ]
 
 
-def _certified() -> set[str]:
-    """Ops with a green row (hash pass or clean rows-only) in any prior round.
+def _certification_state() -> tuple[set[str], dict[str, int]]:
+    """(certified ops, attempt counts) from accumulated CORRECTNESS_r*.json.
 
     The round driver verifies ``queries()`` entries in order within a bounded
     window, so each round we front-load the ops that have never received a
     CORRECTNESS row.  Reading the accumulated CORRECTNESS_r*.json files makes
     the rotation self-maintaining: whatever got certified last round moves to
     the back automatically.
+
+    Certified means a full hash pass, or a rows-only (``no_oracle``) run that
+    actually produced rows — a no-oracle op returning 0 rows proved nothing
+    beyond "did not throw" and stays in the rotation.  Attempt counts let us
+    demote ops that were checked and failed in N prior rounds behind
+    never-attempted ops, so one unfixable oracle mismatch can't permanently
+    consume a verification slot every round.
     """
     done: set[str] = set()
+    attempts: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as fh:
@@ -90,16 +98,23 @@ def _certified() -> set[str]:
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue
-            if row.get("hash_match") or row.get("err") == "no_oracle":
+            attempts[name] = attempts.get(name, 0) + 1
+            if row.get("hash_match") or (
+                row.get("err") == "no_oracle" and (row.get("spark_rows") or 0) > 0
+            ):
                 done.add(name)
-    return done
+    return done, attempts
 
 
 def _ordered_names() -> list[str]:
-    done = _certified()
+    done, attempts = _certification_state()
     names = list(REGISTRY)
     lead = [n for n in _SURVEY_PRIORITY if n in REGISTRY and n not in done]
     rest_new = [n for n in names if n not in done and n not in lead]
+    # Never-attempted ops outrank ops that were attempted and failed;
+    # among equals keep registration order (stable sort).
+    rest_new.sort(key=lambda n: attempts.get(n, 0))
+    lead.sort(key=lambda n: attempts.get(n, 0))
     certified = [n for n in names if n in done]
     return lead + rest_new + certified
 

@@ -86,17 +86,43 @@ def main() -> None:
             f.result()  # surface the first failure loudly
     wall = round(time.perf_counter() - t_wall, 3)
 
+    # The driver captures only a bounded TAIL of stdout, so a single long
+    # JSON line (the ~120-entry per-query map is ~3.5 KB) gets truncated
+    # mid-line and fails to parse (BENCH_r01/r02 "parsed": null).  Contract
+    # fix: the full per-query map goes to a sidecar file, and the LAST stdout
+    # line is a short self-contained JSON summary (metric/value/unit/sf plus
+    # the heaviest queries only) guaranteed to fit in the tail window.
+    detail = {
+        "metric": f"wall_sec_{len(times)}_queries_conc{conc}",
+        "value": wall,
+        "unit": "sec",
+        "queries": {n: times[n] for n in sorted(times)},
+        "sum_query_sec": round(sum(times.values()), 3),
+        "concurrency": conc,
+        "sf": sf,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1, sort_keys=True)
+    except OSError:
+        pass
+    heavy = dict(sorted(times.items(), key=lambda kv: -kv[1])[:10])
     print(
         json.dumps(
             {
                 "metric": f"wall_sec_{len(times)}_queries_conc{conc}",
                 "value": wall,
                 "unit": "sec",
-                "queries": {n: times[n] for n in sorted(times)},
+                "queries": {n: heavy[n] for n in sorted(heavy)},
                 "sum_query_sec": round(sum(times.values()), 3),
                 "concurrency": conc,
                 "sf": sf,
-            }
+                "detail": "BENCH_DETAIL.json",
+            },
+            separators=(",", ":"),
         )
     )
 
