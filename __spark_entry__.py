@@ -82,12 +82,15 @@ def _certification_state() -> tuple[set[str], dict[str, int]]:
 
     Certified means a full hash pass, or a rows-only (``no_oracle``) run that
     actually produced rows — a no-oracle op returning 0 rows proved nothing
-    beyond "did not throw" and stays in the rotation.  Attempt counts let us
-    demote ops that were checked and failed in N prior rounds behind
+    beyond "did not throw" and stays in the rotation.  Certification is keyed
+    off each op's MOST RECENT row (files iterated in round order, later rounds
+    overwrite): an op that passed in r02 but regressed in r05 returns to the
+    verification window instead of staying certified forever.  Attempt counts
+    let us demote ops that were checked and failed in N prior rounds behind
     never-attempted ops, so one unfixable oracle mismatch can't permanently
     consume a verification slot every round.
     """
-    done: set[str] = set()
+    latest: dict[str, dict] = {}
     attempts: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json"))):
         try:
@@ -99,10 +102,13 @@ def _certification_state() -> tuple[set[str], dict[str, int]]:
             if not isinstance(row, dict):
                 continue
             attempts[name] = attempts.get(name, 0) + 1
-            if row.get("hash_match") or (
-                row.get("err") == "no_oracle" and (row.get("spark_rows") or 0) > 0
-            ):
-                done.add(name)
+            latest[name] = row
+    done = {
+        name
+        for name, row in latest.items()
+        if row.get("hash_match")
+        or (row.get("err") == "no_oracle" and (row.get("spark_rows") or 0) > 0)
+    }
     return done, attempts
 
 

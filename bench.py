@@ -7,7 +7,7 @@ ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 ``value`` is the WALL-CLOCK time to complete the whole query set with
-``$SPARK_GRAFT_BENCH_CONC`` (default 8) queries in flight at once —
+``$SPARK_GRAFT_BENCH_CONC`` (default 16) queries in flight at once —
 throughput, the number a batch of independent analytics jobs actually
 experiences. One Spark session schedules all concurrent jobs; this is the
 standard multi-tenant usage Spark is built for, and it keeps the cluster
@@ -57,7 +57,10 @@ HEAVY_FIRST = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    conc = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_CONC", "8")))
+    # Default 16-way: measured the makespan-optimal level on local[32]
+    # (r04: conc8 ≈ 15 s, conc16 ≈ 11.6 s, conc24 ≈ 14 s — beyond 16 the
+    # heavy tail self-contends).
+    conc = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_CONC", "16")))
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
 
@@ -86,12 +89,12 @@ def main() -> None:
             f.result()  # surface the first failure loudly
     wall = round(time.perf_counter() - t_wall, 3)
 
-    # The driver captures only a bounded TAIL of stdout, so a single long
-    # JSON line (the ~120-entry per-query map is ~3.5 KB) gets truncated
-    # mid-line and fails to parse (BENCH_r01/r02 "parsed": null).  Contract
-    # fix: the full per-query map goes to a sidecar file, and the LAST stdout
-    # line is a short self-contained JSON summary (metric/value/unit/sf plus
-    # the heaviest queries only) guaranteed to fit in the tail window.
+    # The driver's stdout capture is bounded, and a single long JSON line
+    # (the ~120-entry per-query map is ~3.5 KB) did not survive it
+    # (BENCH_r01/r02 recorded no parseable stdout).  Contract fix: the full
+    # per-query map goes to a sidecar file, and the LAST stdout line is a
+    # short self-contained JSON summary (metric/value/unit/sf plus the
+    # heaviest queries only) guaranteed to fit in the capture window.
     detail = {
         "metric": f"wall_sec_{len(times)}_queries_conc{conc}",
         "value": wall,
@@ -104,11 +107,15 @@ def main() -> None:
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    detail_ref: str | None = "BENCH_DETAIL.json"
     try:
         with open(detail_path, "w") as fh:
             json.dump(detail, fh, indent=1, sort_keys=True)
-    except OSError:
-        pass
+    except OSError as exc:
+        # A stale sidecar from a prior run must not masquerade as this
+        # run's data: advertise no sidecar and say why on stderr.
+        detail_ref = None
+        print(f"bench: BENCH_DETAIL.json not written: {exc}", file=sys.stderr)
     heavy = dict(sorted(times.items(), key=lambda kv: -kv[1])[:10])
     print(
         json.dumps(
@@ -120,7 +127,7 @@ def main() -> None:
                 "sum_query_sec": round(sum(times.values()), 3),
                 "concurrency": conc,
                 "sf": sf,
-                "detail": "BENCH_DETAIL.json",
+                "detail": detail_ref,
             },
             separators=(",", ":"),
         )

@@ -47,17 +47,29 @@ def dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 def shingle_array(corpus: DataFrame, n: int = 3) -> DataFrame:
     """Per-doc word n-gram shingle array: (doc_id, grams array<string>).
 
-    Built entirely inside codegen (transform over sequence) — one narrow
-    map pass, no explode, no shuffle. Docs shorter than n words are
-    dropped (guard against Spark's descending `sequence`).
+    Built entirely JVM-side (transform over sequence) — one narrow map
+    pass, no explode, no shuffle. Docs shorter than n words are dropped
+    (guard against Spark's descending `sequence`).
+
+    The text splits into a word array ONCE in its own projection; the
+    shingle lambda then reads it with O(1) element_at. `split(text)`
+    written inline inside the lambda is NOT hoisted by Catalyst — it
+    re-splits the whole document once per shingle, turning each doc
+    O(words²) (measured 4.5× slower on the shingle pass at sf0.1; same
+    pitfall as text_lm_perplexity's bigram extraction). The extra
+    projection survives CollapseProject because the split has multiple
+    consumers.
     """
-    words = F.split(F.col("text"), " ")
+    # Join words with single spaces: concat(w1, ' ', w2, ' ', w3).
+    parts = [f"element_at(ws, i + {j})" for j in range(n)]
+    joined = ", ' ', ".join(parts)
     grams = F.expr(
-        f"transform(sequence(0, size(split(text, ' ')) - {n}), "
-        f"i -> concat_ws(' ', slice(split(text, ' '), i + 1, {n})))"
+        f"transform(sequence(1, size(ws) - {n - 1}), i -> concat({joined}))"
     )
-    return corpus.filter(F.size(words) >= n).select(
-        "doc_id", grams.alias("grams")
+    return (
+        corpus.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
+        .filter(F.size("ws") >= n)
+        .select("doc_id", grams.alias("grams"))
     )
 
 

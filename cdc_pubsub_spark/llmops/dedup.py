@@ -426,13 +426,17 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.slice(F.split("text", " "), 1, 30), " ").alias("text"),
     )
     corpus = base.unionByName(prefixes)
+    # Split once, index with element_at — inline split in the lambda is
+    # O(words²) per doc (see corpus.shingle_array).
     sh = (
-        corpus.select(
+        corpus.select("doc_id", F.split("text", " ").alias("ws"))
+        .select(
             "doc_id",
             F.explode(
                 F.expr(
-                    "transform(sequence(1, size(split(text, ' ')) - 2),"
-                    " si -> concat_ws(' ', slice(split(text, ' '), si, 3)))"
+                    "transform(sequence(1, size(ws) - 2), si -> concat("
+                    "element_at(ws, si), ' ', element_at(ws, si + 1), ' ',"
+                    " element_at(ws, si + 2)))"
                 )
             ).alias("shingle"),
         )

@@ -344,13 +344,21 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") <= 1000)
     tk = F.split(F.col("text"), " ")
-    base = docs.filter(F.size(tk) >= 2).select(
-        "doc_id",
-        tk.alias("tk"),
-        F.expr(
-            "transform(sequence(0, size(split(text, ' ')) - 2), "
-            "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 2)))"
-        ).alias("bg"),
+    # tk is projected FIRST and the bigram lambda reads it with O(1)
+    # element_at — `split(text)` inline inside the lambda re-splits the
+    # whole doc once per bigram (the O(words²) pitfall; see
+    # corpus.shingle_array).
+    base = (
+        docs.filter(F.size(tk) >= 2)
+        .select("doc_id", tk.alias("tk"))
+        .select(
+            "doc_id",
+            "tk",
+            F.expr(
+                "transform(sequence(1, size(tk) - 1), "
+                "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1)))"
+            ).alias("bg"),
+        )
     )
     dr = F.size(F.array_distinct("tk")).cast("double") / F.size("tk")
     tf = (
@@ -637,25 +645,28 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     TF is one partial-aggregating shuffle on (doc, word); DF reuses the
     TF table (already one row per doc-word) so the document-frequency
     count is a count(*) per word over the SMALLER deduped set, not the
-    raw token stream; the doc count broadcasts as a 1-row cross join;
-    the final per-doc top-3 is a WindowGroupLimit (per-partition top-k
-    pushdown), ranked on the ROUNDED score with a word tie-break so
-    Spark and DuckDB agree on ties (registry determinism contract).
+    raw token stream; the doc count is an IN-PLAN 1-row aggregate joined
+    by broadcast cross join (a driver-side `docs.count()` here would
+    schedule a whole extra corpus scan before the main job — same
+    in-plan shape as the oracle's `CROSS JOIN n`); the final per-doc
+    top-3 is a WindowGroupLimit (per-partition top-k pushdown), ranked
+    on the ROUNDED score with a word tie-break so Spark and DuckDB
+    agree on ties (registry determinism contract).
     """
     from pyspark.sql.window import Window
 
     docs = load(spark, sf_dir, "documents")
-    n_docs = docs.count()
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     words = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("word")
     ).filter(F.col("word") != "")
     tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
     df = tf.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
-    scored = tf.join(df, "word").select(
+    scored = tf.join(df, "word").crossJoin(F.broadcast(n)).select(
         "doc_id",
         "word",
         F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 2
+            F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 2
         ).alias("tfidf"),
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "word")
@@ -677,7 +688,9 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, substring(t, CAST(i AS INT), 2) AS bg
       FROM d, LATERAL unnest(range(1, length(t))) AS u(i)
     ),
-    counts AS (SELECT bg, count(*) AS cbg FROM bg GROUP BY 1),
+    counts AS (
+      SELECT bg, count(*) AS cbg FROM bg WHERE doc_id % 4 = 0 GROUP BY 1
+    ),
     prefix AS (
       SELECT substring(bg, 1, 1) AS c1, CAST(sum(cbg) AS DOUBLE) AS cu
       FROM counts GROUP BY 1
@@ -686,8 +699,8 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT bg, CAST(cbg AS DOUBLE) / cu AS p
       FROM counts JOIN prefix ON substring(bg, 1, 1) = c1
     )
-    SELECT doc_id, round(exp(avg(-ln(p))), 2) AS ppl
-    FROM bg JOIN model USING (bg)
+    SELECT doc_id, round(exp(avg(-ln(coalesce(p, 1e-6)))), 2) AS ppl
+    FROM bg LEFT JOIN model USING (bg)
     GROUP BY doc_id
     """,
 )
@@ -697,17 +710,21 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     distribution surprises the corpus LM are boilerplate, encoding
     noise, or the wrong language).
 
-    The model is trained on the corpus itself in the same plan:
-    conditional P(c2|c1) = count(c1c2) / count(c1·), estimated from
-    exploded bigrams; each doc is scored exp(mean(-ln P)) over its own
-    bigrams. Scale shape: the model is O(charset²) rows no matter how
-    big the corpus — it BROADCASTS to the scoring join, so the only
-    shuffles are the two bounded-cardinality count aggregations and the
-    final per-doc average; the corpus-sized bigram stream is never
-    re-shuffled. Self-training also means no unseen bigrams, so no
-    smoothing term is needed for determinism. At 100 TB the model side
-    would train on a sample with add-one smoothing — same plan, one
-    extra literal.
+    The model trains on a deterministic hash-sample of the corpus
+    (doc_id % 4 = 0 — 25% of docs), the 100 TB protocol: P(c2|c1) =
+    count(c1c2) / count(c1·) estimated from the sample's bigrams, with
+    bigrams unseen in the sample floored at 1e-6 (coalesce after a left
+    join — the smoothing term that keeps scoring total and
+    deterministic). Scale shape: the model is O(charset²) rows no
+    matter how big the corpus — it BROADCASTS to the scoring join, so
+    the only shuffles are the two bounded-cardinality count
+    aggregations and the final per-doc average; the corpus-sized bigram
+    stream is never re-shuffled. Sample-training also replaces the old
+    full-corpus persist (materializing a corpus×chars row cache, the
+    single heaviest bench item in r03): total explode work drops from
+    2× the corpus (cached) to 1.25× (train 0.25 + score 1.0), with the
+    training scan's doc_id filter pushed down to the parquet scan and
+    zero executor-memory cache pressure.
 
     Extraction detail: the text splits into a char array ONCE and
     bigrams come from O(1) element_at pairs — `substring(t, bi, 2)`
@@ -720,20 +737,23 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.length("text") >= 2)
         .select("doc_id", F.lower(F.col("text")).alias("t"))
     )
-    # persist: the bigram stream feeds both the model aggregation and
-    # the scoring join; materializing it once halves the explode work
-    # (measured 6.4 s -> 3.5 s cold at sf0.1). Same multi-consumer
-    # persist rationale as dedup_minhash_lsh's signature table.
-    bg = docs.select("doc_id", F.expr("split(t, '')").alias("cs")).select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(cs) - 1),"
-                " bi -> concat(element_at(cs, bi), element_at(cs, bi + 1)))"
-            )
-        ).alias("bg"),
-    ).persist()
-    counts = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("cbg"))
+
+    def bigrams(df: DataFrame) -> DataFrame:
+        return df.select("doc_id", F.expr("split(t, '')").alias("cs")).select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(cs) - 1),"
+                    " bi -> concat(element_at(cs, bi), element_at(cs, bi + 1)))"
+                )
+            ).alias("bg"),
+        )
+
+    counts = (
+        bigrams(docs.filter(F.col("doc_id") % 4 == 0))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("cbg"))
+    )
     prefix = counts.groupBy(F.substring("bg", 1, 1).alias("c1")).agg(
         F.sum("cbg").cast("double").alias("cu")
     )
@@ -741,9 +761,14 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         prefix, F.substring(counts["bg"], 1, 1) == prefix["c1"]
     ).select("bg", (F.col("cbg").cast("double") / F.col("cu")).alias("p"))
     return (
-        bg.join(F.broadcast(model), "bg")
+        bigrams(docs)
+        .join(F.broadcast(model), "bg", "left")
         .groupBy("doc_id")
-        .agg(F.round(F.exp(F.avg(-F.log("p"))), 2).alias("ppl"))
+        .agg(
+            F.round(
+                F.exp(F.avg(-F.log(F.coalesce(F.col("p"), F.lit(1e-6))))), 2
+            ).alias("ppl")
+        )
     )
 
 

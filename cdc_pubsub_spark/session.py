@@ -59,6 +59,15 @@ def get_spark(app_name: str = "cdc-pubsub-spark", cpus: int | None = None) -> Sp
         # rejects; read as long and convert in tables.load (micros truncation
         # matches DuckDB's ns->us cast, keeping oracle parity).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # InferFiltersFromGenerate duplicates the generator expression
+        # into a zero-selectivity pre-filter where CollapseProject
+        # re-inlines hoisted subexpressions (O(doc²) per row on shingle
+        # transforms; 5× on text_contamination) — see
+        # tables.ensure_session_confs.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         # Local mode = driver-only JVM; this is the one memory knob that
         # matters (host has 128 GiB; leave room for Python workers).
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))

@@ -122,6 +122,47 @@ def read_event_stream(
     return raw.withColumn("ts", F.timestamp_micros(F.col("ts_us"))).drop("ts_us")
 
 
+def synth_event_columns(df: DataFrame) -> DataFrame:
+    """Map a (seq bigint, ts timestamp) frame to the engine's canonical
+    event schema — a pure function of the sequence number, so the SAME
+    projection over a batch `spark.range` is the streaming source's
+    batch twin (asserted in tests/test_streaming.py)."""
+    return df.select(
+        F.col("seq").alias("event_id"),
+        "ts",
+        (F.col("seq") % 1000).alias("user_id"),
+        F.element_at(
+            F.array(
+                F.lit("click"), F.lit("view"), F.lit("purchase"), F.lit("error")
+            ),
+            (F.col("seq") % 4 + 1).cast("int"),
+        ).alias("event_type"),
+        F.round((F.col("seq") % 997).cast("double") * 0.13, 2).alias("value"),
+        F.to_json(F.struct(F.col("seq"))).alias("props"),
+    )
+
+
+def read_event_stream_push(
+    spark: SparkSession, rows_per_second: int = 2000
+) -> DataFrame:
+    """PUSH-based live ingest twin of the reference's HTTP listener (A1,
+    server.go:82-92): the `rate` source generates rows on the source's
+    own clock — data arrives whether or not the sink is ready, exactly
+    the push contract of an HTTP endpoint, and unlike the landing-dir
+    twin it is unbounded and non-replayable-from-files. Rows map to the
+    canonical event schema via a pure function of the sequence number
+    (synth_event_columns), so every downstream operator runs unchanged
+    on pushed or file-landed input."""
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+    )
+    return synth_event_columns(
+        rate.select(F.col("value").alias("seq"), F.col("timestamp").alias("ts"))
+    )
+
+
 def run_to_completion(
     stream_df: DataFrame,
     name: str,

@@ -29,6 +29,7 @@ from cdc_pubsub_spark.streaming.harness import (
     _event_lines,
     BASE,
     read_event_stream,
+    read_event_stream_push,
     run_to_completion,
     write_events_ndjson,
 )
@@ -941,6 +942,13 @@ def sink_pubsub_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     files within a topic and (b) per-key event-time inversions in file
     row order; both must be zero (asserted in tests/test_streaming.py).
     Returns one row per topic with the verification counters.
+
+    The verification is itself ONE distributed aggregation — physical
+    row position comes from the parquet `_metadata.row_index` /
+    `file_path` columns, inversions from a lag() window per (topic, key,
+    file), split keys from countDistinct(file) per key. No driver loop,
+    no per-file toPandas: the check scales with executors exactly like
+    the sink it audits.
     """
     input_dir = write_events_ndjson(spark, sf_dir, "pubsub_ordered")
     out_dir = os.path.join(BASE, "pubsub_ordered", "topics")
@@ -960,25 +968,147 @@ def sink_pubsub_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Contract verification: per key, rows must sit in ONE file per
     # topic, in nondecreasing ts order by physical row position.
-    import glob as _glob
+    from pyspark.sql.window import Window
 
-    rows = []
-    for topic_dir in sorted(_glob.glob(os.path.join(out_dir, "topic=*"))):
-        topic = os.path.basename(topic_dir).split("=", 1)[1]
-        key_files: dict = {}
-        inversions = 0
-        n_msgs = 0
-        for part in sorted(_glob.glob(os.path.join(topic_dir, "*.parquet"))):
-            pdf = spark.read.parquet(part).select("user_id", "ts", "event_id").toPandas()
-            n_msgs += len(pdf)
-            last_ts: dict = {}
-            for uid, ts in zip(pdf["user_id"], pdf["ts"]):
-                key_files.setdefault(uid, set()).add(part)
-                if uid in last_ts and ts < last_ts[uid]:
-                    inversions += 1
-                last_ts[uid] = ts
-        split_keys = sum(1 for fs in key_files.values() if len(fs) > 1)
-        rows.append((topic, n_msgs, len(key_files), split_keys, inversions))
+    back = spark.read.parquet(out_dir).select(
+        "topic",
+        "user_id",
+        "ts",
+        F.col("_metadata.file_path").alias("file"),
+        F.col("_metadata.row_index").alias("pos"),
+    )
+    w = Window.partitionBy("topic", "user_id", "file").orderBy("pos")
+    per_key = (
+        back.withColumn(
+            "inv",
+            F.when(F.col("ts") < F.lag("ts").over(w), F.lit(1)).otherwise(F.lit(0)),
+        )
+        .groupBy("topic", "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_msgs_key"),
+            F.countDistinct("file").alias("n_files"),
+            F.sum("inv").alias("inversions"),
+        )
+    )
+    return per_key.groupBy("topic").agg(
+        F.sum("n_msgs_key").alias("n_messages"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(F.when(F.col("n_files") > 1, F.lit(1)).otherwise(F.lit(0))).alias(
+            "split_keys"
+        ),
+        F.sum("inversions").alias("order_inversions"),
+    )
+
+
+@register("stream_push_ingest", category="streaming", oracle=None, bench=False)
+def stream_push_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Push-based live ingest (reference A1: the HTTP listener,
+    server.go:82-92) — rows arrive on the SOURCE's clock via the rate
+    source, not from pre-staged files, then drain gracefully at a batch
+    boundary.
+
+    This is the half of A1 the landing-dir harness cannot emulate: an
+    unbounded push producer the query must keep up with, then detach
+    from cleanly (A12). The query runs real micro-batches on a
+    processing-time trigger until at least two batches have committed
+    rows, then stops; the stop is the graceful-drain contract — the
+    checkpoint ends on a completed batch, never mid-batch. Event
+    synthesis is a pure function of the sequence number
+    (harness.synth_event_columns), giving the push path an exact batch
+    twin (tests/test_streaming.py). Row COUNT depends on wall-clock (a
+    push source's nature) — rows-only check; the per-type value
+    relation is what the twin test pins.
+    """
+    import time as _time
+    import uuid as _uuid
+
+    stream = read_event_stream_push(spark, rows_per_second=5000)
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    qname = f"push_ingest_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(BASE, "push_ingest", qname))
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 30
+        committed = 0
+        while _time.time() < deadline:
+            p = q.lastProgress
+            if p and p.get("numInputRows", 0) > 0:
+                committed += 1
+                if committed >= 2:
+                    break
+            _time.sleep(0.25)
+    finally:
+        q.stop()  # graceful: completes the in-flight batch, then halts
+        q.awaitTermination()
+    return spark.table(qname)
+
+
+@register("stream_health_drain", category="streaming", oracle=None, bench=False)
+def stream_health_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Health probe + graceful drain as a first-class operator
+    (reference server.go:65-73 /healthz and the drain path 87-98).
+
+    Runs the event stream through a real streaming aggregation and
+    surfaces the runtime contract the reference exposes over HTTP:
+    (1) liveness while the query runs (StreamingQuery.status — the
+    /healthz twin), (2) a clean drain (awaitTermination on
+    AvailableNow ends at a committed batch boundary with no exception —
+    the graceful-shutdown twin), (3) progress accounting (every input
+    row acknowledged by a committed micro-batch). Returns one row per
+    probe; `healthy` must be true for all (asserted in
+    tests/test_streaming.py). The probe list is O(1) driver state —
+    the observability surface, not a data path.
+    """
+    import uuid as _uuid
+
+    input_dir = write_events_ndjson(spark, sf_dir, "health_drain")
+    stream = read_event_stream(spark, input_dir, max_files_per_trigger=1)
+    agg = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    qname = f"health_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(BASE, "health_drain", qname))
+        .trigger(availableNow=True)
+        .start()
+    )
+    st = dict(q.status or {})
+    live_probe = (
+        "healthz_live",
+        bool(q.isActive),
+        str(st.get("message", ""))[:100],
+    )
+    q.awaitTermination()
+    lp = q.lastProgress or {}
+    n_batches = int(lp.get("batchId", -1)) + 1
+    processed = spark.table(qname).agg(F.sum("n")).collect()[0][0] or 0
+    expected = spark.read.schema(
+        "event_id bigint, ts_us bigint, user_id bigint, event_type string, "
+        "value double, props string"
+    ).json(input_dir).count()
+    probes = [
+        live_probe,
+        (
+            "drain_clean",
+            (not q.isActive) and q.exception() is None,
+            f"batches={n_batches}",
+        ),
+        (
+            "all_rows_acked",
+            int(processed) == int(expected),
+            f"processed={processed} expected={expected}",
+        ),
+    ]
     return spark.createDataFrame(
-        rows, "topic string, n_messages long, n_keys long, split_keys long, order_inversions long"
+        probes, "probe string, healthy boolean, detail string"
     )

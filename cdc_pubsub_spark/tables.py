@@ -28,12 +28,23 @@ def ensure_session_confs(spark: SparkSession) -> None:
     - UTC session tz: timestamp results must match the tz-naive DuckDB
       oracle regardless of host timezone.
     - AQE + Arrow: performance posture assumed by the operator docstrings.
+    - InferFiltersFromGenerate excluded: the rule duplicates the
+      generator expression into a pre-Generate filter, where
+      CollapseProject re-inlines any hoisted subexpression (e.g. the
+      shingle transform's split(text) — re-evaluated per element, per
+      filter conjunct: O(doc²) work per row, measured 5× on
+      text_contamination at sf0.1) for a predicate with zero selectivity
+      on non-null, always-nonempty arrays.
     """
     for k, v in (
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
         ("spark.sql.session.timeZone", "UTC"),
         ("spark.sql.adaptive.enabled", "true"),
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+        (
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        ),
     ):
         try:
             spark.conf.set(k, v)

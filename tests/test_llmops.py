@@ -332,8 +332,11 @@ def test_pca_projection_properties(spark, sf_dir):
     from cdc_pubsub_spark.registry import REGISTRY
     from cdc_pubsub_spark.tables import load
 
+    import json
+
     out = REGISTRY["embed_pca_project"].fn(spark, sf_dir).collect()
-    P = np.array([r.proj for r in out])
+    assert all(isinstance(r.proj, str) for r in out)  # driver-sortable form
+    P = np.array([json.loads(r.proj) for r in out])
     assert P.shape[1] == 8 and len(P) == len(out)
     var = P.var(axis=0)
     assert all(var[i] >= var[i + 1] - 1e-9 for i in range(7)), var

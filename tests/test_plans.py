@@ -114,6 +114,20 @@ def test_binned_range_join_avoids_nested_loop(spark, sf_dir):
     ), formatted_plan(df)[:2000]
 
 
+def test_embed_cosine_dedup_is_banded_equi_join(spark, sf_dir):
+    """The r03 verdict's scale-killer: near-dup pair candidates must come
+    from the LSH band equi-join (hash-partitionable on (band, sig)),
+    never an all-pairs BroadcastNestedLoop over the corpus."""
+    df = q("dedup_embed_cosine", spark, sf_dir)
+    assert not uses(df, "BroadcastNestedLoopJoin"), formatted_plan(df)[:2000]
+    assert not uses(df, "CartesianProduct"), formatted_plan(df)[:2000]
+    assert (
+        uses(df, "SortMergeJoin")
+        or uses(df, "ShuffledHashJoin")
+        or uses(df, "BroadcastHashJoin")
+    ), formatted_plan(df)[:2000]
+
+
 def test_repetition_filter_no_shuffle(spark, sf_dir):
     """All three repetition signals are row-local HOFs — a pure map."""
     df = q("text_repetition_filter", spark, sf_dir)

