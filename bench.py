@@ -40,18 +40,20 @@ from cdc_pubsub_spark.session import get_spark
 # Launch order seed: known-heavy ops first so they overlap the long tail
 # of sub-second queries instead of serializing at the end.
 HEAVY_FIRST = [
-    "dedup_minhash_lsh",
-    "text_contamination",
     "text_lm_perplexity",
+    "dedup_minhash_lsh",
     "dedup_embed_cosine",
     "dedup_simhash",
     "agg_approx_percentile",
-    "tpch_q18_big_orders",
     "text_tfidf_topk",
-    "dedup_near",
     "sim_ann_ivf",
-    "text_repetition_filter",
+    "text_contamination",
     "pipeline_training_data_e2e",
+    "agg_mode_median",
+    "agg_percentile",
+    "tpch_q18_big_orders",
+    "text_repetition_filter",
+    "dedup_containment",
 ]
 
 

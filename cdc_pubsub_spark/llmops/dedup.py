@@ -238,9 +238,46 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_cluster",
     category="dedup",
     bench=False,  # runs dedup_near + the iteration loop; minhash is the bench path
-    oracle=None,  # iterative fixpoint — not SQL-expressible; cluster
-    # properties (triangles close, canonical = min id) are asserted in
-    # tests/test_llmops.py.
+    oracle=f"""
+    WITH RECURSIVE {CORPUS_CTE.strip()},
+    {SHINGLES_CTE.strip()},
+    sizes AS (
+      SELECT doc_id, count(*) AS ns FROM shingles GROUP BY doc_id
+    ),
+    rawpairs AS (
+      SELECT doc_a, doc_b
+      FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        FROM shingles a JOIN shingles b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      )
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(common AS DOUBLE) / (sa.ns + sb.ns - common) > 0.6
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM rawpairs
+      UNION
+      SELECT doc_b, doc_a FROM rawpairs
+    ),
+    nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+    reach(src, dst) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    comp AS (SELECT src AS doc_id, min(dst) AS label FROM reach GROUP BY src)
+    SELECT label AS cluster_id, count(*) AS cluster_size,
+           min(doc_id) AS canonical_id
+    FROM comp
+    GROUP BY label
+    HAVING count(*) > 1
+    """,
+    # The fixpoint is SQL-checkable after all: the oracle computes the
+    # same components by recursive transitive closure (bounded — dup
+    # clusters are tiny), so label propagation is hash-verified, not
+    # just property-tested.
 )
 def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the near-dup pair graph: every document

@@ -352,8 +352,49 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sim_ann_ivf",
     category="similarity",
-    oracle=None,  # ANN recall is probabilistic; overlap with the exact
-    # top-k is asserted in tests/test_llmops.py.
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding AS cvec
+      FROM embeddings WHERE vec_id <= 16
+    ),
+    assigned AS (
+      SELECT vec_id, label, embedding, cent_id,
+             row_number() OVER (
+               PARTITION BY vec_id
+               ORDER BY round(cent_cos, 6) DESC, cent_id
+             ) AS rn
+      FROM (
+        SELECT e.vec_id, e.label, e.embedding, c.cent_id,
+               {_COS_SQL.format(a="e.embedding", b="c.cvec")} AS cent_cos
+        FROM embeddings e CROSS JOIN cents c
+      )
+    ),
+    lists AS (
+      SELECT vec_id, label, embedding, cent_id AS list_id
+      FROM assigned WHERE rn = 1
+    ),
+    probe AS (SELECT embedding AS pvec FROM embeddings WHERE vec_id = 1),
+    plists AS (
+      SELECT cent_id AS list_id
+      FROM (
+        SELECT c.cent_id,
+               {_COS_SQL.format(a="c.cvec", b="pvec")} AS sim
+        FROM cents c CROSS JOIN probe
+      )
+      ORDER BY round(sim, 6) DESC, cent_id
+      LIMIT 4
+    ),
+    cands AS (
+      SELECT l.vec_id, l.label, l.embedding
+      FROM lists l JOIN plists USING (list_id)
+      WHERE l.vec_id <> 1
+    )
+    SELECT vec_id, label,
+           round({_COS_SQL.format(a="embedding", b="pvec")}, 4) AS cos_sim
+    FROM cands CROSS JOIN probe
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 10
+    """,
 )
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) approximate nearest neighbors.
@@ -367,6 +408,11 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     every query); a probe touches ~P/K of the corpus. nprobe=4 of 16
     lists ⇒ 4x less work than brute force at this K; at 100 TB, K grows
     to √n and the saving is ~√n/P.
+
+    Fully deterministic (fixed centroids, ranks on the 6-decimal-rounded
+    similarity with id tie-breaks), so the WHOLE index — assign → probe
+    → rescore — is hash-checked against a relational DuckDB twin, not
+    just a recall bound.
     """
     emb = load(spark, sf_dir, "embeddings")
     centroids = (
@@ -386,9 +432,10 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         "embedding",
         "cent_id",
-        (
+        F.round(
             _dot(F.col("embedding"), F.col("cvec"))
-            / (F.col("vnorm") * F.col("cnorm"))
+            / (F.col("vnorm") * F.col("cnorm")),
+            6,
         ).alias("cent_sim"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("cent_sim").desc(), F.col("cent_id"))
@@ -405,8 +452,9 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroids.crossJoin(F.broadcast(probe))
         .select(
             "cent_id",
-            (
-                _dot(F.col("cvec"), F.col("pvec")) / (F.col("cnorm") * F.col("pnorm"))
+            F.round(
+                _dot(F.col("cvec"), F.col("pvec")) / (F.col("cnorm") * F.col("pnorm")),
+                6,
             ).alias("sim"),
         )
         .orderBy(F.col("sim").desc(), F.col("cent_id"))
@@ -428,12 +476,36 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rescored.orderBy(F.col("cos_sim").desc(), F.col("vec_id")).limit(10)
 
 
-@register(
-    "sim_ann_lsh",
-    category="similarity",
-    oracle=None,  # ANN recall is probabilistic; exactness is checked in
-    # tests/test_llmops.py against sim_cosine_topk (recall ≥ 0.5 on k=10).
-)
+def _ann_lsh_oracle() -> str:
+    """DuckDB twin of sim_ann_lsh: the hyperplanes are deterministic
+    md5-derived constants, so the WHOLE index is relational — the same
+    64 literals per plane ship into the SQL, the bucket is the same
+    4-bit sign pattern, multi-probe is the same bit_count(xor) <= 1."""
+    bits = []
+    for p in range(4):
+        comps = ",".join(repr(c) for c in _hyperplane_comps(p))
+        bits.append(
+            f"(CASE WHEN list_sum(list_transform(range(1, 65), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ([{comps}])[i])) > 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+        )
+    bucket = " + ".join(bits)
+    return f"""
+    WITH b AS (
+      SELECT vec_id, label, embedding, {bucket} AS bkt
+      FROM embeddings
+    ),
+    probe AS (SELECT embedding AS pvec, bkt AS pbkt FROM b WHERE vec_id = 1)
+    SELECT vec_id, label,
+           round({_COS_SQL.format(a="embedding", b="pvec")}, 4) AS cos_sim
+    FROM b CROSS JOIN probe
+    WHERE bit_count(xor(bkt, pbkt)) <= 1 AND vec_id <> 1
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 10
+    """
+
+
+@register("sim_ann_lsh", category="similarity", oracle=_ann_lsh_oracle())
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate nearest neighbors via random-hyperplane LSH buckets.
 

@@ -83,8 +83,12 @@ def scan_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sink_partitioned",
     category="scans",
-    oracle=None,  # filesystem round-trip; driver gets a rows-only check.
     bench=False,
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n_rows
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
 )
 def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partitioned write + read-back (the topic fan-out sink, batch twin).

@@ -47,7 +47,17 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sink_dynamic_partition_overwrite", category="scans", oracle=None, bench=False)
+@register(
+    "sink_dynamic_partition_overwrite",
+    category="scans",
+    bench=False,
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n_rows
+    FROM orders
+    WHERE o_orderstatus <> 'F' OR o_orderkey % 2 = 0
+    GROUP BY o_orderstatus
+    """,
+)
 def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic partition overwrite: rewrite ONLY the partitions present
     in the incoming batch, leaving siblings untouched.
@@ -78,7 +88,16 @@ def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFr
     )
     back = spark.read.parquet(out)
     return back.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n_rows"))
-@register("sink_compaction", category="scans", oracle=None, bench=False)
+@register(
+    "sink_compaction",
+    category="scans",
+    bench=False,
+    oracle="""
+    SELECT 64 AS files_before, 2 AS files_after,
+           count(*) AS rows_in, count(*) AS rows_out, true AS conserved
+    FROM orders
+    """,
+)
 def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction: a fragmented landing zone (64 files) is
     rewritten into a handful of right-sized files.

@@ -35,13 +35,24 @@ from cdc_pubsub_spark.streaming.harness import (
 )
 
 
-@register("stream_file_source", category="streaming", oracle=None, bench=False)
+@register(
+    "stream_file_source",
+    category="streaming",
+    bench=False,
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
 def stream_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NDJSON landing-dir stream → memory sink, counted per type.
 
     The engine's A1 (HTTP ingest → file landing dir, SURVEY.md §2.A):
     files are discovered per micro-batch, offsets checkpointed — the
     changefeed's resume-from-checkpoint contract without custom code.
+    The oracle is the batch aggregate over the same events — sound by
+    prefix consistency once the bounded stream drains (SURVEY.md §5.2).
     """
     input_dir = write_events_ndjson(spark, sf_dir, "file_source")
     stream = read_event_stream(spark, input_dir)
@@ -208,10 +219,34 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("stream_late_data", category="streaming", oracle=None, bench=False)
+@register(
+    "stream_late_data",
+    category="streaming",
+    bench=False,
+    oracle="""
+    WITH ev AS (SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events),
+    params AS (
+      SELECT min(tus) + 86400000000 AS cutoff,
+             max(tus) - 86400000000 AS wm
+      FROM ev
+    )
+    SELECT (tus // 3600000000) * 3600 AS window_start_s, count(*) AS n_events
+    FROM ev, params
+    WHERE tus >= cutoff
+      AND (tus // 3600000000) * 3600000000 + 3600000000 <= wm
+    GROUP BY 1
+    """,
+)
 def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Late-data drop semantics: events arriving behind the watermark are
     excluded from closed windows.
+
+    The oracle is the closed-form twin: on-time rows (ts ≥ cutoff =
+    min+1d, the harness's file split) bucketed hourly, restricted to
+    windows finalized under the final watermark (end ≤ max-1d); late
+    rows sit entirely below the cutoff, so dropped-by-watermark ≡
+    excluded-by-filter. The kicker's duplicate lives in the last (never
+    finalized) window and cannot be counted by either side.
 
     File A (recent event times) arrives first and advances the watermark
     to max(A) - 1 day; a one-line kicker batch propagates it (Spark
@@ -238,7 +273,33 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("stream_stateful", category="streaming", oracle=None, bench=False)
+@register(
+    "stream_stateful",
+    category="streaming",
+    bench=False,
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_type, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS tus
+      FROM events
+    ),
+    seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY tus, event_id) AS prev,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY tus DESC, event_id DESC) AS rn_last
+      FROM ev
+    )
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(sum(CASE WHEN prev IS NOT NULL AND event_type <> prev
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_transitions,
+           max(CASE WHEN rn_last = 1 THEN event_type END) AS last_type
+    FROM seq
+    GROUP BY user_id
+    """,
+)
 def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom per-user state machine via applyInPandasWithState.
 
@@ -246,8 +307,9 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-process topic cache (publisher.go:99-129: state keyed by name,
     created on first touch, reused after). State schema is explicit
     (n_events, n_transitions, last_type); output is one snapshot row per
-    key per batch, latest version wins. Equivalence with the batch
-    twin is asserted in tests/test_streaming.py.
+    key per batch, latest version wins. The oracle is the relational
+    twin: a lag() transition count and last-event select over the same
+    (ts, event_id) order the state machine consumes rows in.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -300,14 +362,34 @@ def stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("stream_stream_join", category="streaming", oracle=None, bench=False)
+@register(
+    "stream_stream_join",
+    category="streaming",
+    bench=False,
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_type, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS tus
+      FROM events
+    )
+    SELECT p.user_id AS p_user, count(*) AS n_pairs
+    FROM ev p JOIN ev e
+      ON p.user_id = e.user_id
+     AND e.tus >= p.tus
+     AND e.tus <= p.tus + 600000000
+    WHERE p.event_type = 'purchase' AND e.event_type = 'error'
+    GROUP BY p.user_id
+    """,
+)
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream self-join: each purchase joined to error events of
     the same user within the following 10 minutes.
 
     Both sides carry watermarks and the join condition bounds event time,
     so Spark can expire join state — the requirement for an unbounded
-    stream-stream join to hold bounded state.
+    stream-stream join to hold bounded state. The oracle is the batch
+    interval-join twin in epoch-micros (matching the engine's ns→µs
+    truncation at the window boundary).
     """
     input_dir = write_events_ndjson(spark, sf_dir, "ssjoin")
     base = read_event_stream(spark, input_dir)
@@ -340,7 +422,14 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.groupBy("p_user").agg(F.count(F.lit(1)).alias("n_pairs"))
 
 
-@register("sink_debug_console", category="streaming", oracle=None, bench=False)
+@register(
+    "sink_debug_console",
+    category="streaming",
+    bench=False,
+    oracle="""
+    SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+    """,
+)
 def sink_debug_console(spark: SparkSession, sf_dir: str) -> DataFrame:
     """--dumpOnly debug sink (reference A10: main.go:36, publisher.go:
     186-189): records logged instead of published.
@@ -369,7 +458,18 @@ def sink_debug_console(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(counted, "debug_console", "complete")
 
 
-@register("stream_update_mode", category="streaming", oracle=None, bench=False)
+@register(
+    "stream_update_mode",
+    category="streaming",
+    bench=False,
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) * 2 AS BIGINT) AS n,
+           round(sum(value) * 2, 2)     AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
 def stream_update_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Update output mode: only groups changed by each micro-batch are
     emitted (vs complete = everything, append = finalized-only).
@@ -655,7 +755,18 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sink_pubsub_emulated", category="streaming", oracle=None, bench=False)
+@register(
+    "sink_pubsub_emulated",
+    category="streaming",
+    bench=False,
+    oracle="""
+    SELECT concat('events-', event_type) AS topic,
+           count(*)                 AS n_messages,
+           count(DISTINCT event_id) AS n_distinct
+    FROM events
+    GROUP BY 1
+    """,
+)
 def sink_pubsub_emulated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pub/Sub-emulating sink: per-topic fan-out with message attributes
     and a per-batch commit barrier, via foreachBatch.

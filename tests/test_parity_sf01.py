@@ -23,6 +23,9 @@ SPOT = [
     "sql_recursive_cte",     # recursion + gap-fill join at 10× months? no — same months, 10× facts
     "fn_variant_json",       # floor-formula avg rounding at 10× rows
     "join_lateral_topk",     # per-group LIMIT determinism at 10× customers
+    "sim_ann_ivf",           # r04 oracle: rounded-rank ties stable at 10× vectors
+    "dedup_embed_cosine",    # r04 LSH banding: exact pair set at 10× corpus
+    "text_lm_perplexity",    # r04 sample-trained model at 10× corpus
 ]
 
 
