@@ -122,6 +122,16 @@ def _ordered_names() -> list[str]:
     rest_new.sort(key=lambda n: attempts.get(n, 0))
     lead.sort(key=lambda n: attempts.get(n, 0))
     certified = [n for n in names if n in done]
+    # Rotate the certified tail by round so the driver's bounded window
+    # re-verifies a DIFFERENT slice of already-green ops each round —
+    # without this, the same first ~40 certified ops would be re-checked
+    # forever and a regression in the rest would go unnoticed (the
+    # recency rule in _certification_state then returns any re-checked
+    # regression to the front).
+    n_rounds = len(glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json")))
+    if certified:
+        k = (n_rounds * 41) % len(certified)
+        certified = certified[k:] + certified[:k]
     return lead + rest_new + certified
 
 

@@ -198,3 +198,57 @@ def corpus_batch_assembly(spark, sf_dir):
         )
         .filter(F.col("batch_size") == 32)
     )
+
+
+@register(
+    "corpus_stratified_sample",
+    category="corpus",
+    oracle="""
+    WITH tagged AS (
+      SELECT lang, n_chars,
+        CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 3, 2)) AS INT)
+          AS bucket,
+        CASE WHEN lang = 'en' THEN 64 ELSE 224 END AS keep_below
+      FROM documents
+    )
+    SELECT lang,
+           count(*)                                       AS n_docs,
+           CAST(count(*) FILTER (bucket < keep_below) AS BIGINT) AS n_sampled,
+           round(CAST(count(*) FILTER (bucket < keep_below) AS DOUBLE)
+                 / count(*), 2)                            AS achieved_rate,
+           CAST(sum(n_chars) FILTER (bucket < keep_below) AS BIGINT)
+                                                           AS sampled_chars
+    FROM tagged
+    GROUP BY lang
+    """,
+)
+def corpus_stratified_sample(spark, sf_dir):
+    """Stratified corpus sampling for data mixing: per-language target
+    rates (down-weight the dominant 'en' stratum to 25%, keep the rest
+    at ~87.5%) applied by deterministic content hash, with achieved
+    rates reported per stratum.
+
+    The data-mixing primitive of every training pipeline: rebalancing
+    sources/languages WITHOUT rand() — membership is a pure function of
+    doc_id (md5 byte 2, disjoint from the split byte used by
+    corpus_train_val_split, so sampling and splitting are independent
+    events), which makes mixes reproducible, incrementally extendable,
+    and consistent across engines. Zero shuffle for the tagging (hash
+    in the scan); one aggregate for the audit stats — the same plan at
+    100 TB. The FILTER-aggregate form keeps kept/total in ONE pass
+    instead of sampling into a separate scan.
+    """
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 3, 2), 16, 10
+    ).cast("int")
+    keep_below = F.when(F.col("lang") == "en", 64).otherwise(224)
+    kept = bucket < keep_below
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(kept, 1)).alias("n_sampled"),
+        F.round(
+            F.count(F.when(kept, 1)).cast("double") / F.count(F.lit(1)), 2
+        ).alias("achieved_rate"),
+        F.sum(F.when(kept, F.col("n_chars"))).cast("bigint").alias("sampled_chars"),
+    )

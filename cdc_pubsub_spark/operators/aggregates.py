@@ -346,6 +346,46 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_bitmap_distinct",
+    category="aggregates",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via mergeable roaring-style bitmaps
+    (bitmap_bucket_number / bitmap_construct_agg / bitmap_count,
+    Spark 3.5+) — the scale answer when approx_count_distinct's error
+    is not acceptable.
+
+    A plain COUNT(DISTINCT) expands every (group, value) pair through
+    the shuffle; the bitmap plan shuffles one ≤4 KB bitmap per
+    (group, 32k-id bucket) instead: level 1 ORs each bucket's bit
+    positions map-side, level 2 sums per-bucket cardinalities. Both
+    levels are commutative/associative (partial-aggregable), and the
+    bitmaps themselves are the mergeable state — reusable across
+    rollup epochs exactly like the HLL sketches in
+    agg_hll_sketch_union, but exact. Oracle: the plain COUNT(DISTINCT)
+    this plan must reproduce bit-for-bit.
+    """
+    ev = load(spark, sf_dir, "events")
+    buckets = (
+        ev.select(
+            "event_type",
+            F.expr("bitmap_bucket_number(user_id)").alias("bkt"),
+            F.expr("bitmap_bit_position(user_id)").alias("pos"),
+        )
+        .groupBy("event_type", "bkt")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+    )
+    return buckets.groupBy("event_type").agg(
+        F.sum(F.expr("bitmap_count(bm)")).alias("n_users")
+    )
+
+
+@register(
     "agg_bitwise_bool",
     category="aggregates",
     oracle="""

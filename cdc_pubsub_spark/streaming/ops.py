@@ -1111,6 +1111,83 @@ def sink_pubsub_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stream_checkpoint_resume",
+    category="streaming",
+    bench=False,
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once resume from checkpoint across query RESTARTS — the
+    changefeed's core delivery contract (reference: resume tokens /
+    at-least-once redelivery, README.md:5-12), surfaced as an operator.
+
+    Two separate query INSTANCES share one checkpoint: instance 1 drains
+    half the events and stops; more files land while nothing runs;
+    instance 2 starts from the same checkpoint and processes ONLY the
+    new files — the sink's final state must equal the batch aggregate
+    over everything exactly once (the oracle), proving offsets commit
+    atomically with output across restarts. Counts come from a
+    foreachBatch parquet sink (append) aggregated on read-back, so
+    double-processing of the first half would double its counts and
+    hash-fail.
+    """
+    import time as _time
+
+    root = os.path.join(BASE, "ckpt_resume")
+    shutil.rmtree(root, ignore_errors=True)
+    input_dir = os.path.join(root, "input")
+    out_dir = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+    os.makedirs(input_dir)
+
+    # Stage events as two halves (by event_id parity of file assignment:
+    # deterministic 50/50 split), landing the second half only after the
+    # first query instance has terminated.
+    lines = _event_lines(spark, sf_dir).withColumn(
+        "eid", F.get_json_object("value", "$.event_id").cast("bigint")
+    )
+    now = _time.time()
+    for half, pred in (("a", F.col("eid") % 2 == 0), ("b", F.col("eid") % 2 == 1)):
+        staged = os.path.join(root, f"staged_{half}")
+        lines.filter(pred).select("value").coalesce(1).write.text(staged)
+        part = next(p for p in os.listdir(staged) if p.startswith("part-"))
+        shutil.move(os.path.join(staged, part), os.path.join(root, f"{half}.ndjson"))
+
+    def publish(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    def run_instance() -> None:
+        stream = read_event_stream(spark, input_dir)
+        q = (
+            stream.writeStream.option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .foreachBatch(publish)
+            .start()
+        )
+        q.awaitTermination()
+
+    dst_a = os.path.join(input_dir, "00-a.ndjson")
+    shutil.move(os.path.join(root, "a.ndjson"), dst_a)
+    os.utime(dst_a, (now, now))
+    run_instance()  # instance 1: drains half A, stops, releases the dir
+
+    dst_b = os.path.join(input_dir, "01-b.ndjson")
+    shutil.move(os.path.join(root, "b.ndjson"), dst_b)
+    os.utime(dst_b, (now + 10, now + 10))
+    run_instance()  # instance 2: resumes from ckpt, processes ONLY half B
+
+    back = spark.read.parquet(out_dir)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
 @register("stream_push_ingest", category="streaming", oracle=None, bench=False)
 def stream_push_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Push-based live ingest (reference A1: the HTTP listener,

@@ -128,6 +128,17 @@ def test_embed_cosine_dedup_is_banded_equi_join(spark, sf_dir):
     ), formatted_plan(df)[:2000]
 
 
+def test_bitmap_distinct_no_expand(spark, sf_dir):
+    """Exact-distinct via bitmaps must NOT plan the COUNT(DISTINCT)
+    Expand (which replicates every input row per distinct column);
+    both levels partial-aggregate, so the plan is two narrow hash-agg
+    exchanges whose shuffled payload is bitmaps, not values."""
+    df = q("agg_bitmap_distinct", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Expand" not in plan, plan[:2000]
+    assert count_exchanges(df) == 2, plan[:2000]
+
+
 def test_repetition_filter_no_shuffle(spark, sf_dir):
     """All three repetition signals are row-local HOFs — a pure map."""
     df = q("text_repetition_filter", spark, sf_dir)
