@@ -420,3 +420,90 @@ def test_health_drain_probes_all_healthy(spark, sf_dir):
     assert set(rows) == {"healthz_live", "drain_clean", "all_rows_acked"}
     for name, r in rows.items():
         assert r.healthy, f"probe {name} unhealthy: {r.detail}"
+
+
+def test_exactly_once_across_injected_publish_failure(spark, sf_dir):
+    """The A9 contract the reference breaks (ACK on failed publish): a
+    TRANSIENT publish failure must fail the micro-batch, and the
+    restarted query must replay it from the checkpoint with no loss and
+    no duplicates — manifest-idempotent foreachBatch over at-least-once
+    delivery = exactly-once table state, across a REAL query failure,
+    not just a simulated orphan."""
+    import json
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from cdc_pubsub_spark.streaming.harness import (
+        BASE,
+        read_event_stream,
+        write_events_ndjson,
+    )
+
+    input_dir = write_events_ndjson(spark, sf_dir, "eo_failure")
+    root = os.path.join(BASE, "eo_failure")
+    data_root = os.path.join(root, "data")
+    manifest_root = os.path.join(root, "manifest")
+    ckpt = os.path.join(root, "ckpt")
+    for d in (data_root, manifest_root):
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d)
+
+    # Split the landing file so maxFilesPerTrigger=1 yields 2+ batches.
+    first = os.listdir(input_dir)[0]
+    src = os.path.join(input_dir, first)
+    with open(src) as fh:
+        lines = fh.read().splitlines()
+    half = len(lines) // 2
+    with open(os.path.join(input_dir, "00-a.ndjson"), "w") as fh:
+        fh.write("\n".join(lines[:half]) + "\n")
+    with open(os.path.join(input_dir, "01-b.ndjson"), "w") as fh:
+        fh.write("\n".join(lines[half:]) + "\n")
+    os.remove(src)
+
+    poison = {"armed": True}
+
+    def publish(batch_df, batch_id):
+        entry = os.path.join(manifest_root, f"batch-{batch_id}.json")
+        if os.path.exists(entry):
+            return
+        batch_dir = os.path.join(data_root, f"batch-{batch_id}")
+        batch_df.write.mode("overwrite").parquet(batch_dir)
+        if batch_id == 1 and poison["armed"]:
+            poison["armed"] = False  # transient: fails exactly once,
+            # AFTER the data write, BEFORE the manifest commit — the
+            # worst-case crash point.
+            raise RuntimeError("injected transient publish failure")
+        tmp = entry + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"batch": batch_id, "dir": batch_dir}, fh)
+        os.rename(tmp, entry)
+
+    def run():
+        q = (
+            read_event_stream(spark, input_dir, max_files_per_trigger=1)
+            .writeStream.option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .foreachBatch(publish)
+            .start()
+        )
+        q.awaitTermination()
+
+    try:
+        run()
+        raise AssertionError("query must fail on the poisoned batch")
+    except Exception as e:
+        assert "injected transient publish failure" in str(e)
+
+    run()  # restart: replays batch 1 from the checkpoint, commits it
+
+    committed = [
+        json.load(open(os.path.join(manifest_root, m)))["dir"]
+        for m in sorted(os.listdir(manifest_root))
+        if m.endswith(".json")
+    ]
+    got = spark.read.parquet(*committed).count()
+    assert got == load(spark, sf_dir, "events").count(), (
+        "replayed batch lost or duplicated rows"
+    )
