@@ -339,3 +339,138 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     out = rows[0].unionByName(rows[1]).unionByName(rows[2])
     return out.orderBy("stage_ord").select("stage", "n_users")
+
+
+@register(
+    "events_cohort_retention",
+    category="composite",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id,
+             CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 604800) AS BIGINT) AS wk
+      FROM events
+    ),
+    firsts AS (SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY user_id),
+    activity AS (SELECT DISTINCT user_id, wk FROM ev),
+    ret AS (
+      SELECT f.cohort_wk, a.wk - f.cohort_wk AS week_offset,
+             count(DISTINCT a.user_id) AS n_users
+      FROM activity a JOIN firsts f USING (user_id)
+      GROUP BY 1, 2
+    ),
+    base AS (
+      SELECT cohort_wk, n_users AS cohort_size FROM ret WHERE week_offset = 0
+    )
+    SELECT r.cohort_wk, r.week_offset, r.n_users,
+           round(CAST(r.n_users AS DOUBLE) / b.cohort_size, 4) AS retention
+    FROM ret r JOIN base b USING (cohort_wk)
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week
+    (the cohort), tracked by how many are still active k weeks later,
+    as a count and a rate against the cohort's size.
+
+    The standard product-analytics companion to events_funnel. Weeks
+    are pure integer epoch arithmetic (floor(epoch_s / 604800)) — no
+    calendar functions, so Spark and DuckDB bucket identically.
+    Shuffle discipline: everything keys on user_id until the final
+    tiny matrix — firsts and the distinct-activity set share the same
+    hash partitioning, so the join is co-partitioned; the retention
+    matrix is O(weeks²) rows and its cohort-size join broadcasts. At
+    100 TB the two user-keyed aggregations are the only data-sized
+    exchanges, and both partial-aggregate map-side.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 604800).cast("bigint").alias("wk"),
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    activity = ev.distinct()
+    ret = (
+        activity.join(firsts, "user_id")
+        .groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+    base = ret.filter(F.col("week_offset") == 0).select(
+        "cohort_wk", F.col("n_users").alias("cohort_size")
+    )
+    return ret.join(F.broadcast(base), "cohort_wk").select(
+        "cohort_wk",
+        "week_offset",
+        "n_users",
+        F.round(
+            F.col("n_users").cast("double") / F.col("cohort_size"), 4
+        ).alias("retention"),
+    )
+
+
+@register(
+    "events_pattern_detect",
+    category="composite",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS tus
+      FROM events
+    ),
+    seq AS (
+      SELECT user_id, event_type, tus,
+             lead(event_type, 1) OVER w AS t1,
+             lead(event_type, 2) OVER w AS t2,
+             lead(tus, 2)        OVER w AS tus2
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+    )
+    SELECT user_id, count(*) AS n_patterns, min(tus) AS first_match_us
+    FROM seq
+    WHERE event_type = 'purchase' AND t1 = 'error' AND t2 = 'error'
+      AND tus2 - tus <= 86400000000
+    GROUP BY user_id
+    """,
+)
+def events_pattern_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence pattern detection: a purchase
+    IMMEDIATELY followed by two errors from the same user within 24
+    hours — strict adjacency in the user's event-time order, which a
+    join cannot express (a join would admit intervening events).
+
+    Spark has no MATCH_RECOGNIZE/CEP operator; the relational
+    re-expression is lead() over the per-key event-time order — the
+    row pattern becomes a conjunction over the lead columns. ONE
+    shuffle (the window partition by user), whole-stage codegen after
+    it, and the pattern width only adds lead columns, not passes. The
+    same shape streams: sessionized state + applyInPandasWithState
+    (stream_stateful) generalizes it to unbounded patterns. Ordering
+    ties break on event_id, so pattern adjacency is engine-stable.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        "tus",
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+        F.lead("tus", 2).over(w).alias("tus2"),
+    )
+    return (
+        seq.filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("t1") == "error")
+            & (F.col("t2") == "error")
+            & (F.col("tus2") - F.col("tus") <= 86400000000)
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_patterns"),
+            F.min("tus").alias("first_match_us"),
+        )
+    )
