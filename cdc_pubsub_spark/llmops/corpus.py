@@ -73,13 +73,31 @@ def shingle_array(corpus: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+def shingle_rows(corpus: DataFrame, n: int = 3) -> DataFrame:
+    """Per-doc word n-gram shingles as (doc_id, shingle) ROWS, built
+    from bulk array ops: n shifted slice()s of the word array zipped
+    and exploded, the join into a string running post-explode inside
+    codegen. For explode-consumers this beats exploding
+    shingle_array's lambda-built array ~4× (the lambda allocates each
+    shingle under interpreted HOF evaluation — same finding as
+    text_lm_perplexity's bigram extraction). shingle_array stays for
+    consumers that need the per-doc ARRAY (minhash's zero-shuffle
+    signature folds)."""
+    slices = [F.expr(f"slice(ws, {j + 1}, size(ws) - {n - 1})") for j in range(n)]
+    return (
+        corpus.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
+        .filter(F.size("ws") >= n)
+        .select("doc_id", F.explode(F.arrays_zip(*slices)).alias("p"))
+        .select(
+            "doc_id",
+            F.concat_ws(" ", *[F.col(f"p.{j}") for j in range(n)]).alias("shingle"),
+        )
+    )
+
+
 def shingles(corpus: DataFrame, n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per doc: (doc_id, shingle) rows."""
-    return (
-        shingle_array(corpus, n)
-        .select("doc_id", F.explode("grams").alias("shingle"))
-        .distinct()
-    )
+    return shingle_rows(corpus, n).distinct()
 
 
 SHINGLES_CTE = """

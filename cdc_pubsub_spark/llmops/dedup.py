@@ -465,22 +465,11 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.slice(F.split("text", " "), 1, 30), " ").alias("text"),
     )
     corpus = base.unionByName(prefixes)
-    # Split once, index with element_at — inline split in the lambda is
-    # O(words²) per doc (see corpus.shingle_array).
-    sh = (
-        corpus.select("doc_id", F.split("text", " ").alias("ws"))
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(ws) - 2), si -> concat("
-                    "element_at(ws, si), ' ', element_at(ws, si + 1), ' ',"
-                    " element_at(ws, si + 2)))"
-                )
-            ).alias("shingle"),
-        )
-        .distinct()
-    )
+    # Bulk slice+zip shingling (see corpus.shingle_rows) — no per-
+    # element lambda, no inline re-split.
+    from cdc_pubsub_spark.llmops.corpus import shingle_rows
+
+    sh = shingle_rows(corpus).distinct()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ns"))
     a, b = sh.alias("a"), sh.alias("b")
     pairs = (

@@ -443,7 +443,7 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     leakage a real decontamination pass must catch (a contaminated doc's
     near-duplicates are equally contaminated).
     """
-    from cdc_pubsub_spark.llmops.corpus import dup_corpus, shingle_array
+    from cdc_pubsub_spark.llmops.corpus import dup_corpus, shingle_rows
 
     docs = load(spark, sf_dir, "documents")
     sp = F.split(F.col("text"), " ")
@@ -461,8 +461,8 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # generate straight into the broadcast hash join, which discards
     # everything but needle matches map-side; at 100 TB the whole check
     # is one scan with zero corpus shuffle.
-    corpus_grams = shingle_array(dup_corpus(spark, sf_dir), n=8).select(
-        "doc_id", F.explode("grams").alias("gram")
+    corpus_grams = shingle_rows(dup_corpus(spark, sf_dir), n=8).select(
+        "doc_id", F.col("shingle").alias("gram")
     )
     return (
         corpus_grams.join(F.broadcast(probes), "gram")
@@ -726,11 +726,14 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     training scan's doc_id filter pushed down to the parquet scan and
     zero executor-memory cache pressure.
 
-    Extraction detail: the text splits into a char array ONCE and
-    bigrams come from O(1) element_at pairs — `substring(t, bi, 2)`
-    inside the transform would re-scan the UTF-8 string to byte-locate
-    position bi for every bi, turning each doc quadratic (measured 3×
-    slower on the whole op at sf0.1).
+    Extraction detail: the text splits into a char array ONCE; the
+    bigram stream is built from BULK array ops — two slice()s zipped
+    and exploded, with the 2-char concat running post-explode inside
+    codegen. A per-position lambda (`transform(sequence, bi ->
+    concat(element_at...))`) allocates each bigram inside interpreted
+    HOF evaluation and measured 10× slower on the extraction at sf0.1;
+    `substring(t, bi, 2)` in a lambda is worse still (quadratic UTF-8
+    rescans per doc).
     """
     docs = (
         load(spark, sf_dir, "documents")
@@ -739,14 +742,18 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def bigrams(df: DataFrame) -> DataFrame:
-        return df.select("doc_id", F.expr("split(t, '')").alias("cs")).select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(cs) - 1),"
-                    " bi -> concat(element_at(cs, bi), element_at(cs, bi + 1)))"
-                )
-            ).alias("bg"),
+        return (
+            df.select("doc_id", F.expr("split(t, '')").alias("cs"))
+            .select(
+                "doc_id",
+                F.explode(
+                    F.arrays_zip(
+                        F.expr("slice(cs, 1, size(cs) - 1)"),
+                        F.expr("slice(cs, 2, size(cs) - 1)"),
+                    )
+                ).alias("p"),
+            )
+            .select("doc_id", F.concat(F.col("p.0"), F.col("p.1")).alias("bg"))
         )
 
     counts = (
