@@ -859,3 +859,60 @@ def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+@register(
+    "embed_matryoshka_truncate",
+    category="similarity",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, label,
+        sqrt(list_sum(list_transform(dv, x -> x * x)))              AS n64,
+        sqrt(list_sum(list_transform(dv[1:16], x -> x * x)))        AS n16
+      FROM v
+    )
+    SELECT vec_id, label,
+           round(n64, 4)               AS norm_full,
+           round(n16, 4)               AS norm_trunc,
+           round(n16 * n16 / (n64 * n64), 4) AS energy_ratio
+    FROM n
+    """,
+)
+def embed_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style embedding truncation audit: keep the first 16 of
+    64 dims and report how much of each vector's energy survives
+    (norm ratio squared) — the metric that decides whether a truncated
+    index tier is usable.
+
+    The practical lever behind truncation: a 4× smaller vector store
+    and 4× cheaper ANN scoring IF the energy ratio stays high (MRL
+    models train so it does; for generic embeddings this op measures
+    the damage). Pure narrow map — slice + two HOF folds per row, zero
+    shuffle, and the same plan at any corpus size. Cosine between the
+    truncated vector and any query restricted to the kept dims scales
+    exactly by 1/sqrt(energy_ratio), so this one column converts
+    truncated-tier scores back to comparable full-space scores.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    dv = F.expr("transform(embedding, mx -> cast(mx AS double))")
+    base = emb.select("vec_id", "label", dv.alias("dv"))
+    n64 = F.expr(
+        "sqrt(aggregate(transform(dv, nx -> nx * nx),"
+        " cast(0.0 AS double), (na, nv) -> na + nv))"
+    )
+    n16 = F.expr(
+        "sqrt(aggregate(transform(slice(dv, 1, 16), tx -> tx * tx),"
+        " cast(0.0 AS double), (ta, tv) -> ta + tv))"
+    )
+    return base.select(
+        "vec_id",
+        "label",
+        F.round(n64, 4).alias("norm_full"),
+        F.round(n16, 4).alias("norm_trunc"),
+        F.round((n16 * n16) / (n64 * n64), 4).alias("energy_ratio"),
+    )
