@@ -414,3 +414,34 @@ def test_containment_catches_prefix_dups_jaccard_misses(spark, sf_dir):
         pref = shingleset(" ".join(docs[d].split(" ")[:30]))
         jacc = len(full & pref) / len(full | pref)
         assert jacc < 0.6, f"doc {d}: prefix pair visible to Jaccard ({jacc:.2f})"
+
+
+def test_frame_sample_stride_and_bounds(spark, sf_dir):
+    """Frame sampling: every emitted index is a multiple of the stride
+    (5), inside [0, n_frames), and each doc emits exactly
+    ceil(n_frames/5) frames — the JVM-side expansion contract."""
+    rows = REGISTRY["multimodal_frame_sample"].fn(spark, sf_dir).collect()
+    assert rows
+    per_doc: dict = {}
+    for r in rows:
+        assert r.frame_idx % 5 == 0
+        assert 0 <= r.frame_idx < r.n_frames
+        per_doc.setdefault(r.doc_id, [0, r.n_frames])
+        per_doc[r.doc_id][0] += 1
+    for doc_id, (n_emitted, n_frames) in per_doc.items():
+        assert n_emitted == -(-n_frames // 5), doc_id
+
+
+def test_binary_ingest_lists_every_table_with_real_sizes(spark, sf_dir):
+    """binaryFile ingestion: one row per parquet file in the sf dir,
+    with n_bytes matching the file's actual on-disk size."""
+    import os
+
+    got = {r.table: r.n_bytes for r in
+           REGISTRY["multimodal_binary_ingest"].fn(spark, sf_dir).collect()}
+    expect = {
+        f[:-8]: os.path.getsize(os.path.join(sf_dir, f))
+        for f in os.listdir(sf_dir)
+        if f.endswith(".parquet")
+    }
+    assert got == expect
