@@ -384,25 +384,23 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (4*(j//4) + 3 - ... ) — laid out so that digit d{h} = (wh >>
     # (28 - 4h)) & 15; the oracle's (digit >> (j%4)) & 1 therefore equals
     # (wh >> (28 - 4*(j//4) + j%4)) & 1 here.
+    # Parsed expr strings, one per aggregate plus one combiner: the
+    # Column-API form (32 × sum(when(bitwiseAND...))) costs ~160 py4j
+    # round-trips of pure driver time per plan build (~1 s measured) for
+    # an identical plan.
     wh = F.conv(F.substring(F.md5("word"), 1, 8), 16, 10).cast("bigint")
     wd = words.select("doc_id", wh.alias("wh"))
     sums = wd.groupBy("doc_id").agg(
         *[
-            F.sum(
-                F.when(
-                    F.col("wh").bitwiseAND(
-                        F.lit(1 << (28 - 4 * (j // 4) + (j % 4)))
-                    )
-                    != 0,
-                    1,
-                ).otherwise(-1)
+            F.expr(
+                f"sum(CASE WHEN wh & {1 << (28 - 4 * (j // 4) + (j % 4))} != 0"
+                " THEN 1 ELSE -1 END)"
             ).alias(f"s{j}")
             for j in range(32)
         ]
     )
-    simhash = sum(
-        [F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)) for j in range(32)],
-        F.lit(0),
+    simhash = F.expr(
+        " + ".join(f"CASE WHEN s{j} > 0 THEN {1 << j}L ELSE 0L END" for j in range(32))
     )
     return sums.select("doc_id", simhash.cast("bigint").alias("simhash"))
 

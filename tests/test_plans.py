@@ -342,3 +342,31 @@ def test_q18_aggregates_before_joining(spark, sf_dir):
     agg_pos = plan.find("HashAggregate")
     join_pos = plan.find("BroadcastHashJoin")
     assert agg_pos > join_pos >= 0, "aggregate must sit below the joins in the tree"
+
+
+def test_cohort_retention_broadcasts_matrix(spark, sf_dir):
+    """The cohort-size rate join is over the O(weeks²) matrix — must
+    broadcast, never shuffle the retention rows a second time."""
+    df = q("events_cohort_retention", spark, sf_dir)
+    assert uses(df, "BroadcastHashJoin"), formatted_plan(df)[:2000]
+
+
+def test_pattern_detect_single_window_shuffle(spark, sf_dir):
+    """MATCH_RECOGNIZE emulation: exactly one exchange (the per-user
+    window partition); widening the pattern adds lead() columns, not
+    passes or shuffles."""
+    df = q("events_pattern_detect", spark, sf_dir)
+    assert count_exchanges(df) == 1, formatted_plan(df)[:2000]
+
+
+def test_matryoshka_truncate_no_shuffle(spark, sf_dir):
+    """Truncation audit is a pure narrow map — zero exchanges."""
+    df = q("embed_matryoshka_truncate", spark, sf_dir)
+    assert count_exchanges(df) == 0, formatted_plan(df)[:2000]
+
+
+def test_stratified_sample_single_aggregate(spark, sf_dir):
+    """Sampling membership is a per-row hash in the scan; the only
+    exchange is the per-stratum audit aggregate."""
+    df = q("corpus_stratified_sample", spark, sf_dir)
+    assert count_exchanges(df) == 1, formatted_plan(df)[:2000]
