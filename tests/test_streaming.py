@@ -451,7 +451,9 @@ def test_exactly_once_across_injected_publish_failure(spark, sf_dir):
         os.makedirs(d)
 
     # Split the landing file so maxFilesPerTrigger=1 yields 2+ batches.
-    first = os.listdir(input_dir)[0]
+    # (Pick the part- file explicitly: the dir also holds _SUCCESS, and
+    # listdir order is inode-arbitrary.)
+    first = next(p for p in os.listdir(input_dir) if p.startswith("part-"))
     src = os.path.join(input_dir, first)
     with open(src) as fh:
         lines = fh.read().splitlines()
