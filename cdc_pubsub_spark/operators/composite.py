@@ -474,3 +474,97 @@ def events_pattern_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("tus").alias("first_match_us"),
         )
     )
+
+
+@register(
+    "tpch_q14_promo_revenue",
+    category="composite",
+    oracle="""
+    SELECT
+      round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                             THEN l_extendedprice * (1 - l_discount)
+                             ELSE 0 END)
+            / sum(l_extendedprice * (1 - l_discount)), 2) AS promo_pct,
+      count(*)                                            AS n_lines,
+      round(sum(l_extendedprice * (1 - l_discount)), 2)   AS total_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+    """,
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: share of revenue from promotional parts in a
+    date window — the conditional-revenue-ratio pattern (one CASE'd sum
+    over another in a single aggregate pass).
+
+    The shipdate window is pushed to the lineitem scan; `part` is
+    dim-sized and broadcasts, so the plan is scan → BHJ → one partial-
+    aggregating reduction to a single row. Ratio numerator and
+    denominator come from the SAME pass — never two scans.
+    """
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                2,
+            ).alias("promo_pct"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "tpch_q12_late_lines",
+    category="composite",
+    oracle="""
+    SELECT
+      CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+           THEN 'critical' ELSE 'normal' END AS prio_class,
+      count(*) AS n_lines,
+      CAST(sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1
+    """,
+)
+def tpch_q12_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: late-shipment accounting per order-priority
+    class — the categorize-then-conditionally-count pattern (CASE in
+    both the group key and the aggregate).
+
+    (The fixture lineitem has no shipmode/commitdate; the reshape keeps
+    Q12's exact structure on the columns that exist: priority class in
+    the key, a lateness CASE in the sum.) One orderkey-equi-join (the
+    fact-fact shuffle), one aggregation to a 2-row result — partial
+    aggregation collapses each map task to at most 2 rows before the
+    final exchange.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    prio_class = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "critical"
+    ).otherwise("normal")
+    late = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+        1,
+    ).otherwise(0)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(prio_class.alias("prio_class"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(late).alias("n_late"),
+        )
+    )

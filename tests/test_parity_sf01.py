@@ -26,6 +26,9 @@ SPOT = [
     "sim_ann_ivf",           # r04 oracle: rounded-rank ties stable at 10× vectors
     "dedup_embed_cosine",    # r04 LSH banding: exact pair set at 10× corpus
     "text_lm_perplexity",    # r04 sample-trained model at 10× corpus
+    "agg_bitmap_distinct",   # r04 bitmap-exact distinct at 10× users
+    "events_cohort_retention",  # r04 integer-epoch weeks at 10× events
+    "tpch_q14_promo_revenue",   # r04 conditional ratio at 10× lineitems
 ]
 
 
