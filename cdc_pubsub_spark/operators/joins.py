@@ -499,6 +499,75 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_asof_forward",
+    category="joins",
+    oracle="""
+    WITH w AS (
+      SELECT
+        event_type,
+        value,
+        epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+        first_value(CASE WHEN event_type = 'error'
+                         THEN epoch_us(CAST(ts AS TIMESTAMP)) END IGNORE NULLS)
+          OVER (PARTITION BY user_id
+                ORDER BY CAST(ts AS TIMESTAMP), event_id
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+          AS next_error_us
+      FROM events
+    )
+    SELECT
+      event_type,
+      count(*)                                     AS n_events,
+      count(next_error_us)                         AS n_with_next,
+      CAST(sum((next_error_us - tus) // 1000000) AS BIGINT)
+                                                   AS total_secs_to_error
+    FROM w
+    GROUP BY event_type
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each event matched to the NEXT strictly-later
+    'error' event of the same user — time-to-failure labeling, the
+    mirror of join_asof's lookup-latest-state direction (and the label
+    side of a feature-store join: features as-of BACKWARD, outcomes
+    as-of FORWARD, which must never flip direction or the dataset
+    leaks the future).
+
+    Same single-window-pass shape as join_asof: first(..., ignorenulls)
+    over rows-FOLLOWING — one shuffle on user_id, O(n log n), never a
+    per-key range join. The wait aggregate stays in INTEGER microseconds
+    end-to-end (per-row integral-div to seconds, then sum) — no float
+    path, so the hash can't wobble on an avg/floor boundary.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tus", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    next_error = F.first(
+        F.when(F.col("event_type") == "error", F.col("tus")), ignorenulls=True
+    ).over(w)
+    return (
+        ev.withColumn("next_error_us", next_error)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("next_error_us").alias("n_with_next"),
+            F.sum(F.expr("(next_error_us - tus) div 1000000"))
+            .cast("bigint")
+            .alias("total_secs_to_error"),
+        )
+    )
+
+
+@register(
     "join_range_binned",
     category="joins",
     oracle="""
