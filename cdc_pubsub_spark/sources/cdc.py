@@ -371,10 +371,10 @@ def synth_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inserts.unionByName(updates).unionByName(deletes)
 
 
-@register(
-    "cdc_upsert_materialize",
-    category="cdc",
-    oracle=rf"""
+# The latest-state oracle over the synthesized change stream. Shared by
+# the batch materialization below AND its streaming twin
+# (stream_cdc_upsert): both must converge to this exact table.
+UPSERT_ORACLE_SQL = rf"""
     WITH changes AS (
       SELECT o_orderkey AS key, o_orderstatus AS status,
              o_totalprice AS price, {_HLC_SQL.format(v=0)} AS updated,
@@ -396,7 +396,13 @@ def synth_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT key, status, round(price, 2) AS price
     FROM latest
     WHERE rn = 1 AND NOT is_delete
-    """,
+    """
+
+
+@register(
+    "cdc_upsert_materialize",
+    category="cdc",
+    oracle=UPSERT_ORACLE_SQL,
 )
 def cdc_upsert_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay a synthesized change stream (insert → update → delete

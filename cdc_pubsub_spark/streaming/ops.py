@@ -643,7 +643,16 @@ def pipeline_bridge_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(counted, "bridge_e2e", "complete")
 
 
-@register("stream_cdc_upsert", category="streaming", oracle=None, bench=False)
+from cdc_pubsub_spark.sources.cdc import UPSERT_ORACLE_SQL as _UPSERT_ORACLE
+
+
+@register(
+    "stream_cdc_upsert",
+    category="streaming",
+    bench=False,
+    oracle=_UPSERT_ORACLE,  # identical final state as the batch twin —
+    # the incremental MERGE must converge to the same table.
+)
 def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental CDC materialization: envelope NDJSON stream →
     foreachBatch MERGE into a versioned state table.
@@ -880,7 +889,32 @@ def sink_exactly_once_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("stream_stream_left_outer", category="streaming", oracle=None, bench=False)
+@register(
+    "stream_stream_left_outer",
+    category="streaming",
+    bench=False,
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_type, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS tus
+      FROM events
+    ),
+    joined AS (
+      SELECT p.user_id AS p_user, p.event_id AS p_id, e.event_id AS e_id
+      FROM (SELECT * FROM ev WHERE event_type = 'purchase') p
+      LEFT JOIN (SELECT * FROM ev WHERE event_type = 'error') e
+        ON p.user_id = e.user_id
+       AND e.tus >= p.tus
+       AND e.tus <= p.tus + 600000000
+    )
+    SELECT p_user,
+           count(DISTINCT p_id) AS n_purchases,
+           count(e_id)          AS n_matched,
+           count(DISTINCT CASE WHEN e_id IS NULL THEN p_id END) AS n_unmatched
+    FROM joined
+    GROUP BY p_user
+    """,
+)
 def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream LEFT OUTER join with watermark-driven state expiry:
     every purchase pairs with same-user errors in the following 10
@@ -1036,7 +1070,23 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(agg, "static_join", "complete")
 
 
-@register("sink_pubsub_ordered", category="streaming", oracle=None, bench=False)
+@register(
+    "sink_pubsub_ordered",
+    category="streaming",
+    bench=False,
+    oracle="""
+    SELECT concat('events-', event_type) AS topic,
+           count(*)                 AS n_messages,
+           count(DISTINCT user_id)  AS n_keys,
+           CAST(0 AS BIGINT)        AS split_keys,
+           CAST(0 AS BIGINT)        AS order_inversions
+    FROM events
+    GROUP BY 1
+    """,
+    # The zeros ARE the contract: the oracle asserts no key is split
+    # across files and no event-time inversion exists in physical row
+    # order — hash-verified every round, not just unit-tested.
+)
 def sink_pubsub_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pub/Sub ordered delivery per ordering key: every message with the
     same key is written in event-time order within a single partition
