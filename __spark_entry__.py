@@ -112,6 +112,34 @@ def _certification_state() -> tuple[set[str], dict[str, int]]:
     return done, attempts
 
 
+# Ops whose oracle tier CHANGED in round 4 (rows-only → exact SQL, or a
+# restructured output): their accumulated certification predates the new
+# oracle, so they jump the certified tail until a CORRECTNESS round has
+# hash-checked the new contract.
+_RECERTIFY_R04 = [
+    "stream_file_source",
+    "stream_stream_join",
+    "stream_stateful",
+    "stream_late_data",
+    "sink_pubsub_emulated",
+    "sink_debug_console",
+    "stream_update_mode",
+    "sink_partitioned",
+    "sink_dynamic_partition_overwrite",
+    "sink_compaction",
+    "dedup_cluster",
+    "sim_ann_ivf",
+    "sim_ann_lsh",
+    "agg_approx_distinct",
+    "agg_approx_percentile",
+    "agg_hll_sketch_union",
+    "stream_cdc_upsert",
+    "stream_stream_left_outer",
+    "sink_pubsub_ordered",
+    "embed_pca_project",
+]
+
+
 def _ordered_names() -> list[str]:
     done, attempts = _certification_state()
     names = list(REGISTRY)
@@ -121,7 +149,10 @@ def _ordered_names() -> list[str]:
     # among equals keep registration order (stable sort).
     rest_new.sort(key=lambda n: attempts.get(n, 0))
     lead.sort(key=lambda n: attempts.get(n, 0))
-    certified = [n for n in names if n in done]
+    recert = [
+        n for n in _RECERTIFY_R04 if n in done and n not in lead and n not in rest_new
+    ]
+    certified = [n for n in names if n in done and n not in recert]
     # Rotate the certified tail by round so the driver's bounded window
     # re-verifies a DIFFERENT slice of already-green ops each round —
     # without this, the same first ~40 certified ops would be re-checked
@@ -132,7 +163,7 @@ def _ordered_names() -> list[str]:
     if certified:
         k = (n_rounds * 41) % len(certified)
         certified = certified[k:] + certified[:k]
-    return lead + rest_new + certified
+    return lead + rest_new + recert + certified
 
 
 def entry(spark: SparkSession) -> DataFrame:
