@@ -18,10 +18,14 @@ from cdc_pubsub_spark.registry import REGISTRY
 
 from .parity import canonical_rows
 
-ALL = sorted(REGISTRY)
-
 # approx_count_distinct / percentile_approx sketches ARE deterministic in
-# Spark (fixed rsd/accuracy, deterministic merge), so nothing is excluded.
+# Spark (fixed rsd/accuracy, deterministic merge). The ONLY exclusion is
+# the push-ingest twin: its row counts are a function of wall-clock by
+# design (an unbounded rate source drained after N committed batches) —
+# its deterministic VALUE relation is pinned by the batch-twin test in
+# tests/test_streaming.py instead.
+WALL_CLOCK = {"stream_push_ingest"}
+ALL = sorted(set(REGISTRY) - WALL_CLOCK)
 
 
 @pytest.mark.parametrize("name", ALL)
