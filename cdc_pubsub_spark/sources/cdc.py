@@ -651,3 +651,77 @@ def cdc_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_keys") > 0)
     )
+
+
+@register(
+    "cdc_malformed_deadletter",
+    category="cdc",
+    oracle="""
+    SELECT CASE WHEN o_orderkey % 13 = 0 THEN 'malformed_json'
+                WHEN o_orderkey % 17 = 0 THEN 'missing_key'
+                ELSE 'ok' END AS verdict,
+           count(*)        AS n,
+           min(o_orderkey) AS first_key
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def cdc_malformed_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-envelope dead-lettering: every incoming line is parsed
+    and CLASSIFIED — unparseable JSON, parseable-but-keyless, or ok —
+    instead of silently dropped (the reference has no error path at
+    all: a bad line just breaks the scanner loop, publisher.go:182-202).
+
+    The fixture corrupts deterministically (every 13th line truncated
+    mid-JSON, every 17th missing its key field), so the oracle derives
+    the expected verdict counts from the corruption RULE while the
+    Spark side must recover them by actually PARSING the damaged lines:
+    from_json in PERMISSIVE mode yields all-null fields for unparseable
+    input, so `updated IS NULL` separates garbage from a well-formed
+    envelope that merely lacks its key. Classify-don't-drop is what
+    makes a 100 TB ingest auditable — the dead-letter rates per reason
+    are the pipeline's data-quality dashboard.
+    """
+    from pyspark.sql import types as T
+
+    orders = load(spark, sf_dir, "orders")
+    valid = F.to_json(
+        F.struct(
+            F.struct(F.col("o_orderstatus").alias("status")).alias("after"),
+            F.array(F.col("o_orderkey")).alias("key"),
+            _hlc33(0).alias("updated"),
+        )
+    )
+    keyless = F.to_json(
+        F.struct(
+            F.struct(F.col("o_orderstatus").alias("status")).alias("after"),
+            _hlc33(0).alias("updated"),
+        )
+    )
+    line = (
+        F.when(F.col("o_orderkey") % 13 == 0, F.concat(F.substring(valid, 1, 10), F.lit("%%%")))
+        .when(F.col("o_orderkey") % 17 == 0, keyless)
+        .otherwise(valid)
+    )
+    envelope = T.StructType(
+        [
+            T.StructField(
+                "after",
+                T.StructType([T.StructField("status", T.StringType())]),
+            ),
+            T.StructField("key", T.ArrayType(T.LongType())),
+            T.StructField("updated", T.StringType()),
+        ]
+    )
+    parsed = orders.select(
+        "o_orderkey", F.from_json(line, envelope).alias("env")
+    )
+    verdict = (
+        F.when(F.col("env.updated").isNull(), "malformed_json")
+        .when(F.col("env.key").isNull(), "missing_key")
+        .otherwise("ok")
+    )
+    return parsed.groupBy(verdict.alias("verdict")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_orderkey").alias("first_key"),
+    )
