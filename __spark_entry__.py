@@ -112,31 +112,23 @@ def _certification_state() -> tuple[set[str], dict[str, int]]:
     return done, attempts
 
 
-# Ops whose oracle tier CHANGED in round 4 (rows-only → exact SQL, or a
-# restructured output): their accumulated certification predates the new
-# oracle, so they jump the certified tail until a CORRECTNESS round has
-# hash-checked the new contract.
-_RECERTIFY_R04 = [
-    "stream_file_source",
-    "stream_stream_join",
-    "stream_stateful",
+# Ops whose implementation or oracle CHANGED this round: their accumulated
+# certification predates the change, so they jump the certified tail until a
+# CORRECTNESS round has hash-checked the new contract. Round 5 set:
+# dedup_embed_cosine was rewritten to banded LSH in r04 but omitted from the
+# r04 recertify list (ADVICE round-4 medium — its green row predates the
+# rewrite); the rest changed in round 5 (LSH-candidate containment, r2/r4
+# floor-rounding on division-created ratios, real WAV/PPM codecs, the
+# tz-independent late-data harness cutoff, batchId-gated push drain).
+_RECERTIFY = [
+    "dedup_embed_cosine",
+    "dedup_containment",
+    "events_cohort_retention",
+    "tpch_q14_promo_revenue",
+    "embed_matryoshka_truncate",
+    "multimodal_av_features",
     "stream_late_data",
-    "sink_pubsub_emulated",
-    "sink_debug_console",
-    "stream_update_mode",
-    "sink_partitioned",
-    "sink_dynamic_partition_overwrite",
-    "sink_compaction",
-    "dedup_cluster",
-    "sim_ann_ivf",
-    "sim_ann_lsh",
-    "agg_approx_distinct",
-    "agg_approx_percentile",
-    "agg_hll_sketch_union",
-    "stream_cdc_upsert",
-    "stream_stream_left_outer",
-    "sink_pubsub_ordered",
-    "embed_pca_project",
+    "stream_push_ingest",
 ]
 
 
@@ -150,7 +142,7 @@ def _ordered_names() -> list[str]:
     rest_new.sort(key=lambda n: attempts.get(n, 0))
     lead.sort(key=lambda n: attempts.get(n, 0))
     recert = [
-        n for n in _RECERTIFY_R04 if n in done and n not in lead and n not in rest_new
+        n for n in _RECERTIFY if n in done and n not in lead and n not in rest_new
     ]
     certified = [n for n in names if n in done and n not in recert]
     # Rotate the certified tail by round so the driver's bounded window

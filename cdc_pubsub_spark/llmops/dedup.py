@@ -447,11 +447,23 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     every ninth document; Jaccard for those pairs is ~0.3, containment
     1.0.
 
-    Same cost shape as dedup_near (shingle equi-join on candidates,
-    aggregate, size join); at 100 TB the pair-generation step swaps in
-    the MinHash-LSH candidates exactly as dedup_minhash_lsh does —
-    containment is just a different verification formula over the same
-    candidate machinery.
+    Pair generation is PREFIX FILTERING (the SSJoin/PPJoin family), not
+    an all-pairs shingle self-join and deliberately NOT Jaccard-tuned
+    minhash bands: a containment pair's Jaccard is ~|A|/|B| (the planted
+    prefixes score ~0.3), far below any useful band S-curve threshold —
+    containment pairs are exactly the pairs minhash banding is blind to.
+    Instead each doc emits its floor(0.1·m)+1 smallest-by-xxhash64
+    shingles as ANCHORS; if containment(A,B) ≥ 0.9 with A the smaller
+    side, at most floor(0.1·m_A) of A's shingles are outside B, so by
+    pigeonhole at least one anchor of A is in B — candidates =
+    anchors ⋈ full postings, with DETERMINISTIC recall 1 (the property
+    that keeps the exact all-pairs oracle valid). Verification is
+    row-local array_intersect on candidate pairs only — no aggregate, no
+    size joins. Cost shape at 100 TB: the join's left side is a 10%
+    sample of shingle volume, so hot-shingle fan-out drops ~10× per pair
+    side vs the self-join, and anchor status is hash-random per doc, so
+    a stop-shingle is an anchor only for docs where it lands in the
+    bottom decile by hash.
     """
     base = (
         load(spark, sf_dir, "documents")
@@ -463,29 +475,49 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.slice(F.split("text", " "), 1, 30), " ").alias("text"),
     )
     corpus = base.unionByName(prefixes)
-    # Bulk slice+zip shingling (see corpus.shingle_rows) — no per-
-    # element lambda, no inline re-split.
-    from cdc_pubsub_spark.llmops.corpus import shingle_rows
-
-    sh = shingle_rows(corpus).distinct()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("ns"))
-    a, b = sh.alias("a"), sh.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    # Per-doc DISTINCT shingle array, built row-local (shingle_array's
+    # bulk transform + array_distinct — no explode/distinct shuffle).
+    # ONE persist feeds all four consumers: anchors, postings, and both
+    # verify sides.
+    sets = (
+        shingle_array(corpus)
+        .select("doc_id", F.array_distinct("grams").alias("gset"))
+        .persist()
+    )
+    # Anchors: the floor(0.1·|gset|)+1 shingles with the smallest
+    # xxhash64 — computed row-local via struct-sort + slice (array_sort
+    # on (hash, shingle) structs orders by hash, shingle ties broken
+    # lexically — deterministic).
+    anchor_arr = F.expr(
+        "transform("
+        " slice(array_sort(transform(gset, s -> struct(xxhash64(s) AS h,"
+        " s AS s))), 1, int(size(gset) div 10) + 1),"
+        " x -> x.s)"
+    )
+    anchors = sets.select("doc_id", F.explode(anchor_arr).alias("shingle"))
+    postings = sets.select("doc_id", F.explode("gset").alias("shingle"))
+    cand = (
+        anchors.alias("p")
+        .join(
+            postings.alias("q"),
+            (F.col("p.shingle") == F.col("q.shingle"))
+            & (F.col("p.doc_id") != F.col("q.doc_id")),
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("common"))
+        .select(
+            F.least(F.col("p.doc_id"), F.col("q.doc_id")).alias("doc_a"),
+            F.greatest(F.col("p.doc_id"), F.col("q.doc_id")).alias("doc_b"),
+        )
+        .distinct()
     )
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
-    containment = F.col("common").cast("double") / F.least(
-        F.col("sa.ns"), F.col("sb.ns")
-    )
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("gset").alias("ga"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("gset").alias("gb"))
+    common = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
+    containment = common.cast("double") / F.least(
+        F.size("ga"), F.size("gb")
+    ).cast("double")
     return (
-        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
         .filter(containment >= 0.9)
         .select("doc_a", "doc_b", F.round(containment, 4).alias("containment"))
     )

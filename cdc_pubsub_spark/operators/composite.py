@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cdc_pubsub_spark.functions.rounding import r2, r4
 from cdc_pubsub_spark.registry import register
 from cdc_pubsub_spark.tables import load
 
@@ -362,7 +363,8 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT cohort_wk, n_users AS cohort_size FROM ret WHERE week_offset = 0
     )
     SELECT r.cohort_wk, r.week_offset, r.n_users,
-           round(CAST(r.n_users AS DOUBLE) / b.cohort_size, 4) AS retention
+           floor(CAST(r.n_users AS DOUBLE) / b.cohort_size * 10000 + 0.5)
+             / 10000 AS retention
     FROM ret r JOIN base b USING (cohort_wk)
     """,
 )
@@ -399,9 +401,12 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cohort_wk",
         "week_offset",
         "n_users",
-        F.round(
-            F.col("n_users").cast("double") / F.col("cohort_size"), 4
-        ).alias("retention"),
+        # r4, not F.round: retention is division-created, so a true decimal
+        # midpoint can land exactly on .xxxx5 where Spark (BigDecimal
+        # HALF_UP) and DuckDB (float multiply + C round) diverge by one ulp.
+        r4(F.col("n_users").cast("double") / F.col("cohort_size")).alias(
+            "retention"
+        ),
     )
 
 
@@ -481,10 +486,11 @@ def events_pattern_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="composite",
     oracle="""
     SELECT
-      round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+      floor(100.0 * sum(CASE WHEN p_type = 'PROMO'
                              THEN l_extendedprice * (1 - l_discount)
                              ELSE 0 END)
-            / sum(l_extendedprice * (1 - l_discount)), 2) AS promo_pct,
+            / sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5)
+        / 100 AS promo_pct,
       count(*)                                            AS n_lines,
       round(sum(l_extendedprice * (1 - l_discount)), 2)   AS total_revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -511,11 +517,12 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .agg(
-            F.round(
+            # r2: the ratio is division-created (see rounding.py) — plain
+            # round risks a Spark/DuckDB one-ulp midpoint split.
+            r2(
                 100.0
                 * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
-                / F.sum(rev),
-                2,
+                / F.sum(rev)
             ).alias("promo_pct"),
             F.count(F.lit(1)).alias("n_lines"),
             F.round(F.sum(rev), 2).alias("total_revenue"),

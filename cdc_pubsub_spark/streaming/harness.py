@@ -83,10 +83,14 @@ def write_events_ndjson(
         df.coalesce(1).write.mode("append").text(input_dir)
     else:
         ev = load(spark, sf_dir, "events")
-        cutoff = ev.agg(
-            F.min(F.col("ts").cast("timestamp")).alias("t0")
+        # Timezone-independent cutoff: unix_micros inside the plan. A
+        # collected naive datetime's .timestamp() reinterprets the UTC
+        # session value in the HOST zone — on a non-UTC host that shifts
+        # the split boundary off the oracle's epoch-based cutoff.
+        t0_us = ev.agg(
+            F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("t0")
         ).collect()[0]["t0"]
-        cutoff_us = int(cutoff.timestamp() * 1_000_000) + late_cutoff_days * 86_400_000_000
+        cutoff_us = int(t0_us) + late_cutoff_days * 86_400_000_000
         all_lines = _event_lines(spark, sf_dir).withColumn(
             "ts_us", F.get_json_object("value", "$.ts_us").cast("bigint")
         )

@@ -1277,9 +1277,15 @@ def stream_push_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         deadline = _time.time() + 30
         committed = 0
+        last_bid = None
         while _time.time() < deadline:
+            # Count DISTINCT committed batches, not polls: lastProgress is
+            # sampled faster than the trigger interval, so the same progress
+            # report can be observed twice — gate on batchId advancing.
             p = q.lastProgress
-            if p and p.get("numInputRows", 0) > 0:
+            bid = p.get("batchId") if p else None
+            if p and p.get("numInputRows", 0) > 0 and bid != last_bid:
+                last_bid = bid
                 committed += 1
                 if committed >= 2:
                     break

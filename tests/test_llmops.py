@@ -284,17 +284,72 @@ def test_chunk_overlap_reconstructs_documents(spark, sf_dir):
             assert len(c) == min(200, len(text) - start + 1), f"doc {doc_id}"
 
 
+def test_real_codecs_on_handcrafted_bytes():
+    """The decoders are REAL parsers, not formula replays: feed them
+    hand-built payloads the synthesizers never produce — a WAV with an
+    extra LIST chunk and an odd-size pad before data, a PPM with a
+    comment line and multi-digit dims — and check field-exact output."""
+    import struct
+
+    from cdc_pubsub_spark.llmops.multimodal import (
+        decode_ppm,
+        decode_ppm_stream,
+        decode_wav,
+    )
+
+    # WAV: 3 samples at 22050 Hz, LIST chunk (odd size → pad byte) first.
+    fmt = struct.pack("<HHIIHH", 1, 1, 22050, 22050, 1, 8)
+    lst = b"LIST" + struct.pack("<I", 5) + b"INFOX" + b"\x00"  # pad
+    body = (
+        b"WAVE" + lst
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", 3) + bytes([128, 28, 255])
+    )
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    feats = decode_wav(wav)
+    assert feats == {
+        "sample_rate": 22050,
+        "duration_ms": 3 * 1000 // 22050,
+        "peak_amp": 127,  # |255-128|
+    }
+
+    # PPM: comment in header, 12×2 raster of constant 10s → mean_lum 10.
+    ppm = b"P6\n# a comment\n12 2\n255\n" + bytes([10] * (12 * 2 * 3))
+    assert decode_ppm(ppm) == {"width": 12, "height": 2, "mean_lum": 10}
+
+    # PPM stream: 3 frames of 2x1.
+    frame = b"P6\n2 1\n255\n" + bytes(6)
+    assert decode_ppm_stream(frame * 3) == {
+        "n_frames": 3,
+        "width": 2,
+        "height": 1,
+    }
+
+    # Corrupt payloads must raise, not return garbage.
+    import pytest
+
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFX" + wav[4:])
+    with pytest.raises(ValueError):
+        decode_ppm(b"P5\n2 2\n255\n" + bytes(12))
+    with pytest.raises(ValueError):
+        decode_ppm(b"P6\n4 4\n255\n" + bytes(5))  # truncated raster
+
+
 def test_av_features_kernel_dispatch(spark, sf_dir):
     """Per-mime dispatch: each mime's feature columns are populated
-    exactly as its kernel computes them (checked against a local Python
-    reference on the same payloads), non-matching columns stay null, and
-    unknown mimes survive with decoded_ok=false."""
+    exactly as its real decoder computes them from the synthesized
+    payload bytes (re-decoded locally), non-matching columns stay null,
+    and unknown mimes survive with decoded_ok=false."""
     from pyspark.sql import functions as F
 
     from cdc_pubsub_spark.llmops.multimodal import (
-        _audio_fake,
-        _decode_fake,
-        _video_fake,
+        _synth_ppm,
+        _synth_ppm_stream,
+        _synth_wav,
+        decode_ppm,
+        decode_ppm_stream,
+        decode_wav,
     )
     from cdc_pubsub_spark.registry import REGISTRY
     from cdc_pubsub_spark.tables import load
@@ -305,23 +360,33 @@ def test_av_features_kernel_dispatch(spark, sf_dir):
     n_by_mime: dict = {}
     for s in src:
         r = rows[s.doc_id]
-        payload = s.text.encode("utf-8")
         n_by_mime[r.mime] = n_by_mime.get(r.mime, 0) + 1
-        if r.mime == "image/png":
-            assert (r.width, r.height) == _decode_fake(payload)
+        if r.mime == "image/ppm":
+            ref = decode_ppm(_synth_ppm(s.doc_id))
+            assert (r.width, r.height, r.mean_lum) == (
+                ref["width"], ref["height"], ref["mean_lum"],
+            )
             assert r.duration_ms is None and r.n_frames is None
         elif r.mime == "audio/wav":
-            assert (r.duration_ms, r.sample_rate) == _audio_fake(payload)
+            ref = decode_wav(_synth_wav(s.doc_id))
+            assert (r.duration_ms, r.sample_rate, r.peak_amp) == (
+                ref["duration_ms"], ref["sample_rate"], ref["peak_amp"],
+            )
             assert r.width is None and r.n_frames is None
-        elif r.mime == "video/mp4":
-            n, w, h = _video_fake(payload)
-            assert (r.n_frames, r.width, r.height) == (n, w, h)
+        elif r.mime == "video/x-ppm-stream":
+            ref = decode_ppm_stream(_synth_ppm_stream(s.doc_id))
+            assert (r.n_frames, r.width, r.height) == (
+                ref["n_frames"], ref["width"], ref["height"],
+            )
             assert r.duration_ms is None
         else:
             assert not r.decoded_ok
             assert r.width is None and r.duration_ms is None and r.n_frames is None
     # All four routes must actually occur in the fixture slice.
-    assert {"image/png", "audio/wav", "video/mp4", "application/octet-stream"} <= set(n_by_mime)
+    assert {
+        "image/ppm", "audio/wav", "video/x-ppm-stream",
+        "application/octet-stream",
+    } <= set(n_by_mime)
 
 
 def test_pca_projection_properties(spark, sf_dir):

@@ -114,6 +114,23 @@ def test_binned_range_join_avoids_nested_loop(spark, sf_dir):
     ), formatted_plan(df)[:2000]
 
 
+def test_containment_dedup_uses_prefix_filter_candidates(spark, sf_dir):
+    """The r04 verdict's remaining plan-shape weakness: containment pair
+    generation must be the prefix-filter anchor join (bottom-decile-by-
+    hash shingles vs postings), never the all-pairs shingle self-join.
+    Witnesses in the plan: the anchor computation (slice over the
+    hash-sorted shingle array) on the candidate join's build side, and
+    the row-local array_intersect verify — the all-pairs shape had
+    neither (it counted common shingles with a post-join aggregate)."""
+    df = q("dedup_containment", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "array_sort" in plan and "slice" in plan, plan[:2000]
+    assert "array_intersect" in plan, plan[:2000]
+    # Candidate + verify joins are all equi-joins — hash-partitionable.
+    assert not uses(df, "BroadcastNestedLoopJoin"), plan[:2000]
+    assert not uses(df, "CartesianProduct"), plan[:2000]
+
+
 def test_embed_cosine_dedup_is_banded_equi_join(spark, sf_dir):
     """The r03 verdict's scale-killer: near-dup pair candidates must come
     from the LSH band equi-join (hash-partitionable on (band, sig)),
