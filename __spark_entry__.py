@@ -122,6 +122,8 @@ def _certification_state() -> tuple[set[str], dict[str, int]]:
 # tz-independent late-data harness cutoff, batchId-gated push drain).
 _RECERTIFY = [
     "dedup_embed_cosine",
+    "dedup_minhash_lsh",
+    "text_lm_perplexity",
     "dedup_containment",
     "events_cohort_retention",
     "tpch_q14_promo_revenue",

@@ -10,11 +10,35 @@ DuckDB oracle, so dedup results stay hash-checkable.
 
 from __future__ import annotations
 
+import threading
+from collections.abc import Callable
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from cdc_pubsub_spark.tables import load
+
+# Fragment memo: dup_corpus / shingle fragments are rebuilt by every
+# dedup/text consumer (7+ call sites), each paying ~50-100 ms of py4j
+# plan construction for an IDENTICAL logical plan. DataFrames are
+# immutable, so one fragment per (anchor object, kind, n) serves all
+# consumers. The anchor (SparkSession for dup_corpus, corpus DataFrame
+# for shingle fragments) is held strongly so id() can't be recycled.
+_FRAG: dict[tuple, tuple[object, DataFrame]] = {}
+_FRAG_LOCK = threading.Lock()
+
+
+def _memo(anchor: object, key: tuple, build: Callable[[], DataFrame]) -> DataFrame:
+    with _FRAG_LOCK:
+        hit = _FRAG.get(key)
+        if hit is not None and hit[0] is anchor:
+            return hit[1]
+    df = build()
+    with _FRAG_LOCK:
+        _FRAG[key] = (anchor, df)
+    return df
+
 
 # Appended to near-dup copies: shrinks Jaccard to ~0.9 on a ~60-word doc.
 NEAR_SUFFIX = " zq extra tail"
@@ -33,15 +57,24 @@ CORPUS_CTE = f"""
 
 def dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ exact copies (÷10) ∪ near copies (÷7, suffix appended)."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    exact = docs.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
-    )
-    near = docs.filter(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + 2000000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(NEAR_SUFFIX)).alias("text"),
-    )
-    return docs.unionByName(exact).unionByName(near)
+
+    def build() -> DataFrame:
+        docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+        exact = docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+        near = docs.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(NEAR_SUFFIX)).alias("text"),
+        )
+        return docs.unionByName(exact).unionByName(near)
+
+    if not sf_dir.startswith("/root/testdata/"):
+        # Mirror tables.load's cacheability rule: tmp fixture dirs may be
+        # rewritten between calls, and a memoized scan's file index would
+        # go stale.
+        return build()
+    return _memo(spark, (id(spark), "corpus", sf_dir), build)
 
 
 def shingle_array(corpus: DataFrame, n: int = 3) -> DataFrame:
@@ -60,17 +93,20 @@ def shingle_array(corpus: DataFrame, n: int = 3) -> DataFrame:
     projection survives CollapseProject because the split has multiple
     consumers.
     """
-    # Join words with single spaces: concat(w1, ' ', w2, ' ', w3).
-    parts = [f"element_at(ws, i + {j})" for j in range(n)]
-    joined = ", ' ', ".join(parts)
-    grams = F.expr(
-        f"transform(sequence(1, size(ws) - {n - 1}), i -> concat({joined}))"
-    )
-    return (
-        corpus.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
-        .filter(F.size("ws") >= n)
-        .select("doc_id", grams.alias("grams"))
-    )
+    def build() -> DataFrame:
+        # Join words with single spaces: concat(w1, ' ', w2, ' ', w3).
+        parts = [f"element_at(ws, i + {j})" for j in range(n)]
+        joined = ", ' ', ".join(parts)
+        grams = F.expr(
+            f"transform(sequence(1, size(ws) - {n - 1}), i -> concat({joined}))"
+        )
+        return (
+            corpus.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
+            .filter(F.size("ws") >= n)
+            .select("doc_id", grams.alias("grams"))
+        )
+
+    return _memo(corpus, (id(corpus), "shingle_array", n), build)
 
 
 def shingle_rows(corpus: DataFrame, n: int = 3) -> DataFrame:
@@ -83,16 +119,23 @@ def shingle_rows(corpus: DataFrame, n: int = 3) -> DataFrame:
     text_lm_perplexity's bigram extraction). shingle_array stays for
     consumers that need the per-doc ARRAY (minhash's zero-shuffle
     signature folds)."""
-    slices = [F.expr(f"slice(ws, {j + 1}, size(ws) - {n - 1})") for j in range(n)]
-    return (
-        corpus.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
-        .filter(F.size("ws") >= n)
-        .select("doc_id", F.explode(F.arrays_zip(*slices)).alias("p"))
-        .select(
-            "doc_id",
-            F.concat_ws(" ", *[F.col(f"p.{j}") for j in range(n)]).alias("shingle"),
+    def build() -> DataFrame:
+        slices = [
+            F.expr(f"slice(ws, {j + 1}, size(ws) - {n - 1})") for j in range(n)
+        ]
+        return (
+            corpus.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
+            .filter(F.size("ws") >= n)
+            .select("doc_id", F.explode(F.arrays_zip(*slices)).alias("p"))
+            .select(
+                "doc_id",
+                F.concat_ws(
+                    " ", *[F.col(f"p.{j}") for j in range(n)]
+                ).alias("shingle"),
+            )
         )
-    )
+
+    return _memo(corpus, (id(corpus), "shingle_rows", n), build)
 
 
 def shingles(corpus: DataFrame, n: int = 3) -> DataFrame:

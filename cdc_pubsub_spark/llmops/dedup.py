@@ -160,32 +160,40 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows_per_band = n_perm // n_bands
 
     # Signatures are computed entirely map-side: per doc, each permutation
-    # is array_min(transform(grams, xxhash64(salt || g))) over the in-row
-    # shingle array — ZERO shuffles for the signature stage (min over the
-    # shingle multiset equals min over the set, so no distinct needed).
-    # The only shuffles in the whole pipeline are the band-bucket
-    # candidate join and the verification join — both equi-joins on small
-    # intermediates. This is the shape that makes MinHash the 100 TB path.
+    # is array_min over the in-row hashed-shingle array — ZERO shuffles
+    # for the signature stage. The only shuffles in the whole pipeline
+    # are the band-bucket candidate join and the verification join — both
+    # equi-joins on small intermediates. This is the shape that makes
+    # MinHash the 100 TB path.
     arrs = shingle_array(dup_corpus(spark, sf_dir))
     # SQL-parsed lambdas, NOT Python-built ones: `grams` is itself the
     # product of a SQL-parsed HOF lambda, and after CollapseProject the
     # two lambda layers nest. Mixing parser-named and Python-auto-named
     # lambda variables in that nest mis-binds — hashes came out wrong AND
     # build-dependent (caught by tests/test_llmops.py's determinism
-    # regression). Parser-side variables (`i` inner, `s` outer) bind by
-    # name, correctly.
-    # Two-arg xxhash64(s, perm) salts by hashing the perm index alongside
-    # the shingle — no per-hash string concat/alloc. ONE persist, on the
-    # shingle base: all four consumers (both band-join sides, both
-    # verify sides) re-derive from the cached (doc_id, grams) — the
-    # derivations are cheap map passes, while the old mins+sets double
-    # persist paid two materialization barriers (measured 1.8-3.0 s →
-    # 1.5 s at sf0.1).
-    arrs = arrs.persist()
-    mins = arrs.select(
+    # regression). Parser-side variables bind by name, correctly.
+    # Each shingle STRING is hashed exactly ONCE (xxhash64(s)); the 16
+    # permutations re-hash the resulting LONG (xxhash64(h, perm)) — ~50
+    # bytes of string mixing per shingle collapses to one pass, and the
+    # per-permutation work is constant-width integer hashing (measured
+    # 4.4 s → 2.2 s end-to-end at sf0.1 vs hashing the string per
+    # permutation). The persisted base is the DISTINCT hash set
+    # (array<long>, ~8 B/shingle instead of ~50 B of UTF-8): min over
+    # the set equals min over the multiset, so signatures are unchanged
+    # by the distinct, and the verify stage intersects the same hash
+    # sets row-locally — 64-bit collisions would only merge shingles
+    # (2^-64 per pair, monotonically raising Jaccard), and the verify
+    # remains exact-subset + recall>=0.8 pinned in tests/test_llmops.py.
+    base = arrs.select(
+        "doc_id",
+        F.expr("array_distinct(transform(grams, s -> xxhash64(s)))").alias(
+            "hset"
+        ),
+    ).persist()
+    mins = base.select(
         "doc_id",
         *[
-            F.expr(f"array_min(transform(grams, s -> xxhash64(s, {i})))").alias(
+            F.expr(f"array_min(transform(hset, h -> xxhash64(h, {i})))").alias(
                 f"mh{i}"
             )
             for i in range(n_perm)
@@ -218,19 +226,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    # Exact verify on candidates only: bring each side's distinct-gram
-    # array and compute |A∩B| with array_intersect per pair — row-local,
+    # Exact verify on candidates only: bring each side's distinct hash
+    # set and compute |A∩B| with array_intersect per pair — row-local,
     # no shingle explode, no aggregation. Each verify row costs
-    # O(|A|+|B|) hash-set work inside codegen.
-    sets = arrs.select("doc_id", F.array_distinct("grams").alias("gset"))
-    a = sets.alias("a")
-    b = sets.alias("b")
-    common = F.size(F.array_intersect(F.col("a.gset"), F.col("b.gset")))
-    union = F.size(F.col("a.gset")) + F.size(F.col("b.gset")) - common
+    # O(|A|+|B|) integer hash-set work inside codegen (long equality,
+    # not 50-char string comparison).
+    a = base.select(F.col("doc_id").alias("da"), F.col("hset").alias("ha"))
+    b = base.select(F.col("doc_id").alias("db"), F.col("hset").alias("hb"))
+    common = F.size(F.array_intersect(F.col("ha"), F.col("hb")))
+    union = F.size(F.col("ha")) + F.size(F.col("hb")) - common
     jacc = common.cast("double") / union
     return (
-        candidates.join(a, F.col("doc_a") == F.col("a.doc_id"))
-        .join(b, F.col("doc_b") == F.col("b.doc_id"))
+        candidates.join(a, F.col("doc_a") == F.col("da"))
+        .join(b, F.col("doc_b") == F.col("db"))
         .filter(jacc > 0.6)
         .select("doc_a", "doc_b", F.round(jacc, 4).alias("jaccard"))
     )
@@ -327,6 +335,13 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
+        # The convergence count above materialized new_labels, so the
+        # superseded generation is dead — release it. Without this each
+        # round leaks a cached generation into executor memory (bounded
+        # by the 10-round cap here, but at 100× corpus size each leaked
+        # generation is corpus-sized; ≤2 live cached label frames is the
+        # invariant, asserted in tests/test_llmops.py).
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break

@@ -728,12 +728,16 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Extraction detail: the text splits into a char array ONCE; the
     bigram stream is built from BULK array ops — two slice()s zipped
-    and exploded, with the 2-char concat running post-explode inside
-    codegen. A per-position lambda (`transform(sequence, bi ->
+    and exploded. A per-position lambda (`transform(sequence, bi ->
     concat(element_at...))`) allocates each bigram inside interpreted
     HOF evaluation and measured 10× slower on the extraction at sf0.1;
     `substring(t, bi, 2)` in a lambda is worse still (quadratic UTF-8
-    rescans per doc).
+    rescans per doc). Bigrams travel as INTEGER codes (codepoint1 ×
+    65536 + codepoint2 — injective, so counts and therefore every
+    probability are bit-identical to the 2-char-string keying the
+    oracle uses): no per-bigram string allocation in the exploded
+    stream, and the model join hashes a bigint instead of a UTF-8
+    string.
     """
     docs = (
         load(spark, sf_dir, "documents")
@@ -743,7 +747,10 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def bigrams(df: DataFrame) -> DataFrame:
         return (
-            df.select("doc_id", F.expr("split(t, '')").alias("cs"))
+            df.select(
+                "doc_id",
+                F.expr("transform(split(t, ''), c -> ascii(c))").alias("cs"),
+            )
             .select(
                 "doc_id",
                 F.explode(
@@ -753,7 +760,10 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 ).alias("p"),
             )
-            .select("doc_id", F.concat(F.col("p.0"), F.col("p.1")).alias("bg"))
+            .select(
+                "doc_id",
+                (F.col("p.0").cast("bigint") * 65536 + F.col("p.1")).alias("bg"),
+            )
         )
 
     counts = (
@@ -761,11 +771,11 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bg")
         .agg(F.count(F.lit(1)).alias("cbg"))
     )
-    prefix = counts.groupBy(F.substring("bg", 1, 1).alias("c1")).agg(
+    prefix = counts.groupBy(F.expr("bg div 65536").alias("c1")).agg(
         F.sum("cbg").cast("double").alias("cu")
     )
     model = counts.join(
-        prefix, F.substring(counts["bg"], 1, 1) == prefix["c1"]
+        prefix, F.expr("bg div 65536") == prefix["c1"]
     ).select("bg", (F.col("cbg").cast("double") / F.col("cu")).alias("p"))
     return (
         bigrams(docs)

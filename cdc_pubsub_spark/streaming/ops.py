@@ -1358,3 +1358,97 @@ def stream_health_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         probes, "probe string, healthy boolean, detail string"
     )
+
+
+@register(
+    "pipeline_metrics",
+    category="streaming",
+    bench=False,
+    oracle="""
+    SELECT event_id % 3                              AS batch_key,
+           count(*)                                  AS rows_in,
+           count(*) FILTER (event_type = 'error')    AS rows_rejected,
+           round(sum(value), 2)                      AS value_total
+    FROM events
+    GROUP BY 1
+    """,
+)
+def pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-batch pipeline counters as DATA — the reference's observability
+    surface (pprof endpoints server.go:60-64, per-publish structured log
+    lines publisher.go:206-208) re-expressed as Spark's first-class
+    metrics machinery: ``observe()`` aggregates ride each micro-batch for
+    free (no extra pass over the data) and surface through
+    StreamingQueryProgress.observedMetrics, which this op re-emits as a
+    queryable DataFrame — "what did the pipeline do last hour" becomes a
+    table you join/filter like any other.
+
+    The stream is split into three landing files keyed by event_id % 3
+    (mtime-ordered, maxFilesPerTrigger=1), so micro-batch composition is
+    deterministic and each progress row has an exact relational twin: the
+    same aggregate grouped by the file key. rows_rejected counts
+    event_type = 'error' — the observability analogue of the reference's
+    auth-rejected / failed-publish accounting. batch_key is derived from
+    the DATA inside the batch (min of event_id % 3 — constant within a
+    file), not from the engine's batchId counter, so the output is
+    engine-neutral. At scale this is zero-cost telemetry: observe()
+    folds into each batch's existing aggregation DAG, and the listener
+    surface is driver-side O(batches).
+    """
+    import time as _time
+    import uuid as _uuid
+
+    root = os.path.join(BASE, "pipeline_metrics")
+    shutil.rmtree(root, ignore_errors=True)
+    input_dir = os.path.join(root, "input")
+    os.makedirs(input_dir)
+    lines = _event_lines(spark, sf_dir).withColumn(
+        "k", F.get_json_object("value", "$.event_id").cast("bigint") % 3
+    )
+    now = _time.time()
+    for i in range(3):
+        staged = os.path.join(root, f"staged_{i}")
+        lines.filter(F.col("k") == i).select("value").coalesce(1).write.text(staged)
+        part = next(p for p in os.listdir(staged) if p.startswith("part-"))
+        dst = os.path.join(input_dir, f"{i:02d}.ndjson")
+        shutil.move(os.path.join(staged, part), dst)
+        os.utime(dst, (now + i * 10, now + i * 10))
+
+    stream = read_event_stream(spark, input_dir, max_files_per_trigger=1)
+    observed = stream.observe(
+        "pipeline",
+        F.min(F.pmod(F.col("event_id"), F.lit(3))).alias("batch_key"),
+        F.count(F.lit(1)).alias("rows_in"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("rows_rejected"),
+        F.round(F.sum("value"), 2).alias("value_total"),
+    )
+    qname = f"pipeline_metrics_{_uuid.uuid4().hex[:8]}"
+    q = (
+        observed.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(root, f"ckpt_{qname}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = []
+    for p in q.recentProgress:
+        if not p or p.numInputRows <= 0:
+            continue
+        m = (p.observedMetrics or {}).get("pipeline")
+        if m is None:
+            continue
+        rows.append(
+            (
+                int(m["batch_key"]),
+                int(m["rows_in"]),
+                int(m["rows_rejected"]),
+                float(m["value_total"]),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "batch_key bigint, rows_in bigint, rows_rejected bigint, "
+        "value_total double",
+    )

@@ -9,12 +9,26 @@ projections declaratively and Catalyst pushes them into the scan
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from cdc_pubsub_spark.registry import TABLES
+
+# Scan-plan memo: ``spark.read.parquet`` costs ~160 ms of py4j + footer
+# schema inference per call, and the 133-query registry issues ~220 of
+# them — ~25 s of serial driver time rebuilding IDENTICAL scan plans.
+# DataFrames are immutable logical plans, so one per (session, sf_dir,
+# table) serves every consumer. Keyed by the live session OBJECT (kept
+# strongly, so id() can't be recycled onto a new session); only the
+# driver's read-only /root/testdata trees are cached — test fixtures in
+# tmp dirs may rewrite files between reads, and a cached InMemoryFileIndex
+# would go stale.
+_DF_CACHE: dict[int, tuple[SparkSession, dict[tuple[str, str], DataFrame]]] = {}
+_DF_LOCK = threading.Lock()
+_CACHEABLE_PREFIX = "/root/testdata/"
 
 
 def ensure_session_confs(spark: SparkSession) -> None:
@@ -56,6 +70,14 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver testdata table (TESTDATA.md) as a DataFrame."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    cacheable = os.path.abspath(sf_dir).startswith(_CACHEABLE_PREFIX)
+    if cacheable:
+        with _DF_LOCK:
+            entry = _DF_CACHE.get(id(spark))
+            if entry is not None and entry[0] is spark:
+                df = entry[1].get((sf_dir, name))
+                if df is not None:
+                    return df
     ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
@@ -66,6 +88,9 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # epoch-nanos (~1.7e18) exceed 2^53, so float math loses the low
         # bits and the truncation lands ±1 µs off DuckDB's ns→us cast.
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if cacheable:
+        with _DF_LOCK:
+            _DF_CACHE.setdefault(id(spark), (spark, {}))[1][(sf_dir, name)] = df
     return df
 
 

@@ -72,6 +72,23 @@ def test_dedup_cluster_transitive_closure(spark, sf_dir):
         assert c["cluster_size"] >= 3, f"triangle not closed: {c}"
 
 
+def test_dedup_cluster_unpersists_superseded_generations(spark, sf_dir):
+    """Iterative label propagation must not accumulate cached label
+    generations: each round unpersists the superseded frame, so at most
+    edges + the live labels (+ dedup_near's shingle base) stay cached
+    after the run — at 100× each leaked generation is corpus-sized
+    executor memory."""
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    REGISTRY["dedup_cluster"].fn(spark, sf_dir).collect()
+    after = jsc.getPersistentRDDs().size()
+    # edges + final labels + dedup_near's shingle persist = 3; ten label
+    # generations would show up as ~12.
+    assert after - before <= 3, (
+        f"cached RDDs grew {before}->{after}: label generations leaking"
+    )
+
+
 def test_approx_percentile_within_tolerance(spark, sf_dir):
     """Sketch-vs-exact tolerance is computed IN-PLAN (approx_ok);
     assert the verdict and exact-percentile ordering per group."""
