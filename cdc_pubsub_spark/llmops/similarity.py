@@ -21,7 +21,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from cdc_pubsub_spark.registry import register
+from cdc_pubsub_spark.registry import REGISTRY, register
 from cdc_pubsub_spark.tables import load
 
 # DuckDB-side cosine between two FLOAT[] lists, double-cast per element.
@@ -787,10 +787,11 @@ def embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _kmeans_run(
     spark: SparkSession, sf_dir: str, k: int = 8, iters: int = 4
-) -> tuple[DataFrame, list[float]]:
+) -> tuple[DataFrame, list[float], list[tuple[int, list[float]]]]:
     """Lloyd's k-means over the embedding column; returns (assignments,
-    per-iteration inertia trace). Deterministic: init = the k lowest
-    vec_ids, ties on distance break toward the lower cluster id."""
+    per-iteration inertia trace, final centroids). Deterministic: init =
+    the k lowest vec_ids, ties on distance break toward the lower
+    cluster id."""
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     d = len(emb.first()["embedding"])
     cents = [
@@ -839,7 +840,7 @@ def _kmeans_run(
         # Empty clusters keep their previous centroid.
         cents = [(c, new_cents.get(c, v)) for c, v in cents]
         assigned.unpersist()
-    return assigned, trace
+    return assigned, trace, cents
 
 
 @register("embed_kmeans", category="similarity", oracle=None, bench=False)
@@ -861,7 +862,7 @@ def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     guarantee, which only holds if assignment ties break
     deterministically (distance, then cluster id).
     """
-    assigned, _ = _kmeans_run(spark, sf_dir)
+    assigned, _, _ = _kmeans_run(spark, sf_dir)
     return (
         assigned.groupBy("cluster")
         .agg(
@@ -931,4 +932,185 @@ def embed_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
         # r4: energy_ratio is division-created (see rounding.py) — plain
         # round risks a Spark/DuckDB one-ulp midpoint split.
         _r4((n16 * n16) / (n64 * n64)).alias("energy_ratio"),
+    )
+
+
+@register("sim_ann_ivf_kmeans", category="similarity", oracle=None, bench=False)
+def sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with LEARNED coarse quantizer: the inverted lists come
+    from k-means centroids (embed_kmeans's trainer, k=8, 4 Lloyd's
+    iterations) instead of sim_ann_ivf's hash-picked seed vectors —
+    the production FAISS-style IVF recipe (train on a sample, assign,
+    probe the nprobe nearest lists, rescore exactly).
+
+    Learned lists matter because balanced, centroid-shaped cells bound
+    the probe's work: with hash-picked "centroids" a hot cell can hold
+    half the corpus and nprobe/K stops being a cost bound. Structure is
+    identical to sim_ann_ivf (broadcast-K assignment, window rank,
+    nprobe=4 prune, exact rescore on candidates only), so the cost
+    shape at 100 TB is the same — only the training loop (bounded,
+    k×d driver state) is added, amortized over every future probe.
+
+    Rows-only: the centroids are the product of an iterative algorithm,
+    not SQL. Semantics are pinned in tests/test_llmops.py: the probe's
+    top-10 must hit >= 8 of the brute-force top-10 (recall), candidates
+    exclude the probe itself, and scores are exact cosines (they match
+    sim_cosine_topk's values on the overlap).
+    """
+    k, nprobe = 8, 4
+    _, _, cents = _kmeans_run(spark, sf_dir, k=k, iters=4)
+    cent_sql = "array(" + ",".join(
+        "named_struct('cent_id', {i}, 'cvec', array({vs}))".format(
+            i=i, vs=",".join(f"{v!r}D" for v in vec)
+        )
+        for i, vec in cents
+    ) + ")"
+    centroids = (
+        spark.range(1)
+        .select(F.explode(F.expr(cent_sql)).alias("c"))
+        .select(
+            F.col("c.cent_id").alias("cent_id"),
+            F.col("c.cvec").alias("cvec"),
+            _norm(F.col("c.cvec")).alias("cnorm"),
+        )
+    )
+    emb = load(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", "label", "embedding", _norm(F.col("embedding")).alias("vnorm")
+    )
+    scored = vecs.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "label",
+        "embedding",
+        "cent_id",
+        F.round(
+            _dot(F.col("embedding"), F.col("cvec"))
+            / (F.col("vnorm") * F.col("cnorm")),
+            6,
+        ).alias("cent_sim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cent_sim").desc(), F.col("cent_id")
+    )
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "embedding", F.col("cent_id").alias("list_id"))
+    )
+    probe = vecs.filter(F.col("vec_id") == 1).select(
+        F.col("embedding").alias("pvec"), F.col("vnorm").alias("pnorm")
+    )
+    probe_lists = (
+        centroids.crossJoin(F.broadcast(probe))
+        .select(
+            "cent_id",
+            F.round(
+                _dot(F.col("cvec"), F.col("pvec"))
+                / (F.col("cnorm") * F.col("pnorm")),
+                6,
+            ).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), F.col("cent_id"))
+        .limit(nprobe)
+        .select(F.col("cent_id").alias("list_id"))
+    )
+    cands = assigned.join(F.broadcast(probe_lists), "list_id").filter(
+        F.col("vec_id") != 1
+    )
+    rescored = cands.crossJoin(F.broadcast(probe)).select(
+        "vec_id",
+        "label",
+        F.round(
+            _dot(F.col("embedding"), F.col("pvec"))
+            / (_norm(F.col("embedding")) * F.col("pnorm")),
+            4,
+        ).alias("cos_sim"),
+    )
+    return rescored.orderBy(F.col("cos_sim").desc(), F.col("vec_id")).limit(10)
+
+
+@register("sim_ann_recall_audit", category="similarity", oracle=None, bench=False)
+def sim_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit across the ANN tiers — the index-selection table a
+    production similarity service publishes: for the standard probe
+    (vec_id=1), each variant's top-10 is compared against brute-force
+    ground truth (sim_cosine_topk's exact scan) IN ONE PLAN, emitting
+    per-variant recall@10 and the candidate-set size it paid for it.
+
+    The cost/recall trade-off made queryable: brute force is recall 1.0
+    at O(n) per probe; IVF variants pay ~nprobe/K of that; LSH pays one
+    bucket. At 100 TB this table is what decides which tier serves
+    which traffic — and because every variant here is deterministic,
+    the audit is reproducible run-to-run (asserted in
+    tests/test_llmops.py together with recall floors).
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", "label", "embedding", _norm(F.col("embedding")).alias("vnorm")
+    )
+    probe = vecs.filter(F.col("vec_id") == 1).select(
+        F.col("embedding").alias("pvec"), F.col("vnorm").alias("pnorm")
+    )
+    exact = (
+        vecs.filter(F.col("vec_id") != 1)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "vec_id",
+            F.round(
+                _dot(F.col("embedding"), F.col("pvec"))
+                / (F.col("vnorm") * F.col("pnorm")),
+                4,
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(10)
+        .select("vec_id")
+    )
+    truth = {r["vec_id"] for r in exact.collect()}
+    rows = []
+    for variant, fn in (
+        ("brute_force", sim_cosine_topk_ids),
+        ("ivf_seeded", REGISTRY["sim_ann_ivf"].fn),
+        ("ivf_kmeans", REGISTRY["sim_ann_ivf_kmeans"].fn),
+        ("lsh_bucket", REGISTRY["sim_ann_lsh"].fn),
+    ):
+        got = fn(spark, sf_dir).select("vec_id").collect()
+        ids = {r["vec_id"] for r in got}
+        rows.append(
+            (
+                variant,
+                len(ids),
+                len(ids & truth),
+                round(len(ids & truth) / max(1, len(truth)), 4),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "variant string, n_returned bigint, n_hits bigint, recall_at_10 double",
+    )
+
+
+def sim_cosine_topk_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-10 for the audit — same probe and scoring as the
+    ANN variants (exact cosine, id tie-break)."""
+    emb = load(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("vnorm")
+    )
+    probe = vecs.filter(F.col("vec_id") == 1).select(
+        F.col("embedding").alias("pvec"), F.col("vnorm").alias("pnorm")
+    )
+    return (
+        vecs.filter(F.col("vec_id") != 1)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "vec_id",
+            F.round(
+                _dot(F.col("embedding"), F.col("pvec"))
+                / (F.col("vnorm") * F.col("pnorm")),
+                4,
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(10)
     )

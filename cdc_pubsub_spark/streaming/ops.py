@@ -28,6 +28,7 @@ from cdc_pubsub_spark.registry import register
 from cdc_pubsub_spark.streaming.harness import (
     _event_lines,
     BASE,
+    EVENT_JSON_SCHEMA,
     read_event_stream,
     read_event_stream_push,
     run_to_completion,
@@ -1452,3 +1453,108 @@ def pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "batch_key bigint, rows_in bigint, rows_rejected bigint, "
         "value_total double",
     )
+
+
+@register(
+    "stream_socket_ingest",
+    category="streaming",
+    bench=False,
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def stream_socket_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE socket ingest — the byte-faithful twin of the reference's
+    HTTP listener (A1, server.go:82-92): NDJSON lines arrive over a live
+    localhost TCP connection via Spark's `socket` source, not from
+    pre-staged files. An in-process server thread plays the
+    changefeed-sender role (one connection, newline-delimited UTF-8
+    bodies — exactly the reference's transport framing,
+    publisher.go:182-202).
+
+    The socket source is non-replayable push transport (at-most-once on
+    reconnect — which is WHY the landing-dir topology is the production
+    answer and this op exists as the transport-fidelity tier). The query
+    aggregates per event type in complete mode; the driver polls the
+    sink until every sent line is accounted for, then stops at a batch
+    boundary (graceful drain, A12). Because the drain point is
+    "all N lines processed", the final aggregate is deterministic and
+    carries the SAME exact oracle as stream_file_source — push transport
+    with a hash-certified result.
+    """
+    import socket as _socket
+    import threading as _threading
+    import time as _time
+    import uuid as _uuid
+
+    lines = [r["value"] for r in _event_lines(spark, sf_dir).collect()]
+    expected = len(lines)
+
+    srv = _socket.socket(_socket.AF_INET, _socket.SOCK_STREAM)
+    srv.setsockopt(_socket.SOL_SOCKET, _socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    payload = ("\n".join(lines) + "\n").encode("utf-8")
+
+    def serve() -> None:
+        # One accepted connection; write everything, then HOLD the socket
+        # open so the source keeps polling until the query has drained —
+        # closing early risks dropping buffered rows (at-most-once).
+        try:
+            conn, _ = srv.accept()
+            conn.sendall(payload)
+            while not done_evt.wait(0.2):
+                pass
+            conn.close()
+        except OSError:
+            pass
+        finally:
+            srv.close()
+
+    done_evt = _threading.Event()
+    t = _threading.Thread(target=serve, daemon=True)
+    t.start()
+
+    raw = (
+        spark.readStream.format("socket")
+        .option("host", "127.0.0.1")
+        .option("port", port)
+        .load()
+    )
+    ev = raw.select(
+        F.from_json(F.col("value"), EVENT_JSON_SCHEMA).alias("e")
+    ).select("e.*")
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    qname = f"socket_ingest_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            got = (
+                spark.table(qname).agg(F.sum("n").alias("s")).collect()[0]["s"]
+                or 0
+            )
+            if int(got) >= expected:
+                break
+            _time.sleep(0.25)
+        else:
+            raise TimeoutError(
+                f"socket ingest drained {got}/{expected} lines in 120 s"
+            )
+    finally:
+        done_evt.set()
+        q.stop()  # graceful: completes the in-flight batch, then halts
+        q.awaitTermination()
+    return spark.table(qname)

@@ -443,7 +443,7 @@ def test_kmeans_inertia_monotone_and_deterministic(spark, sf_dir):
     from cdc_pubsub_spark.registry import REGISTRY
     from cdc_pubsub_spark.tables import load
 
-    _, trace = _kmeans_run(spark, sf_dir, k=8, iters=4)
+    _, trace, _ = _kmeans_run(spark, sf_dir, k=8, iters=4)
     assert len(trace) == 4
     for a, b in zip(trace, trace[1:]):
         assert b <= a * (1 + 1e-9), f"inertia increased: {trace}"
@@ -530,3 +530,46 @@ def test_binary_ingest_lists_every_table_with_real_sizes(spark, sf_dir):
         if f.endswith(".parquet")
     }
     assert got == expect
+
+
+def test_ivf_kmeans_recall_vs_brute_force(spark, sf_dir):
+    """The learned-quantizer IVF must return exact cosines that overlap
+    the brute-force top-10 with recall >= 0.8, never include the probe,
+    and agree with sim_cosine_topk's scores on the overlap."""
+    truth = {
+        r["vec_id"]: r["cos_sim"]
+        for r in REGISTRY["sim_cosine_topk"].fn(spark, sf_dir).collect()
+    }
+    got = {
+        r["vec_id"]: r["cos_sim"]
+        for r in REGISTRY["sim_ann_ivf_kmeans"].fn(spark, sf_dir).collect()
+    }
+    assert 1 not in got, "probe must not be its own neighbor"
+    hits = set(got) & set(truth)
+    assert len(hits) >= 8, f"recall {len(hits)}/10 below 0.8"
+    for v in hits:
+        assert abs(got[v] - truth[v]) < 1e-9, "rescore must be exact cosine"
+
+
+def test_ann_recall_audit_floors_and_determinism(spark, sf_dir):
+    """The audit table must contain all four tiers, brute force at
+    recall 1.0, every tier above its floor, and be identical across
+    two runs (deterministic variants => reproducible audit)."""
+    a = {
+        r["variant"]: r
+        for r in REGISTRY["sim_ann_recall_audit"].fn(spark, sf_dir).collect()
+    }
+    assert set(a) == {"brute_force", "ivf_seeded", "ivf_kmeans", "lsh_bucket"}
+    assert a["brute_force"]["recall_at_10"] == 1.0
+    for tier, floor in (("ivf_seeded", 0.8), ("ivf_kmeans", 0.8),
+                        ("lsh_bucket", 0.3)):
+        assert a[tier]["recall_at_10"] >= floor, (
+            f"{tier} recall {a[tier]['recall_at_10']} under {floor}"
+        )
+    b = {
+        r["variant"]: r["recall_at_10"]
+        for r in REGISTRY["sim_ann_recall_audit"].fn(spark, sf_dir).collect()
+    }
+    assert b == {k: v["recall_at_10"] for k, v in a.items()}, (
+        "audit must be rerun-deterministic"
+    )

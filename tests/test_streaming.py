@@ -370,6 +370,91 @@ def test_stream_join_state_evicts_below_watermark(spark, sf_dir):
     )
 
 
+def test_left_outer_join_state_evicts_below_watermark(spark, sf_dir):
+    """stream_stream_left_outer's topology must evict state once the
+    watermark passes row expiry, exactly like the inner join — the outer
+    variant buffers MORE (unmatched left rows await their null-flush),
+    so bounded state is the difference between running forever and OOM.
+    Asserted from StreamingQueryProgress.stateOperators: rows are
+    removed, and the post-kicker total sits below the peak (the plateau
+    check from the round-3 candidate list)."""
+    import json as _json
+    import time as _time
+    import uuid
+
+    from cdc_pubsub_spark.streaming.harness import (
+        BASE,
+        read_event_stream,
+        write_events_ndjson,
+    )
+
+    input_dir = write_events_ndjson(spark, sf_dir, "state_ttl_lo")
+    rows = [
+        _json.loads(line.value)
+        for line in spark.read.schema("value string").text(input_dir).collect()
+    ]
+    max_ts = max(r["ts_us"] for r in rows)
+    kick = [
+        {"event_id": 10**9 + i, "ts_us": max_ts + 2 * 3600 * 1_000_000,
+         "user_id": 10**6 + i, "event_type": et, "value": 0.0, "props": "{}"}
+        for i, et in enumerate(["purchase", "error"])
+    ]
+    dst = os.path.join(input_dir, "zz-kicker.ndjson")
+    with open(dst, "w") as f:
+        f.write("\n".join(_json.dumps(k) for k in kick))
+    now = _time.time()
+    os.utime(dst, (now + 60, now + 60))
+
+    purchases = (
+        read_event_stream(spark, input_dir, max_files_per_trigger=1)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "10 minutes")
+        .select(F.col("event_id").alias("p_id"), F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"))
+    )
+    errors = (
+        read_event_stream(spark, input_dir, max_files_per_trigger=1)
+        .filter(F.col("event_type") == "error")
+        .withWatermark("ts", "10 minutes")
+        .select(F.col("event_id").alias("e_id"), F.col("user_id").alias("e_user"),
+                F.col("ts").alias("e_ts"))
+    )
+    joined = purchases.join(
+        errors,
+        (F.col("p_user") == F.col("e_user"))
+        & (F.col("e_ts") >= F.col("p_ts"))
+        & (F.col("e_ts") <= F.col("p_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "leftOuter",
+    )
+    qname = f"state_ttl_lo_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option(
+            "checkpointLocation", os.path.join(BASE, "state_ttl_lo", f"ck_{qname}")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progresses = [p for p in q.recentProgress if p and p.get("stateOperators")]
+    totals = [p["stateOperators"][0]["numRowsTotal"] for p in progresses]
+    removed = sum(p["stateOperators"][0]["numRowsRemoved"] for p in progresses)
+    assert totals, "no stateOperators progress captured"
+    assert max(totals) > 0, "outer join never buffered state"
+    assert removed > 0, "watermark never evicted outer-join state"
+    assert totals[-1] < max(totals), (
+        f"state did not shrink after kicker: {totals}"
+    )
+    # The outer flush must have emitted null-right rows for unmatched
+    # purchases — eviction and the null-flush are the same mechanism.
+    flushed = spark.table(qname).filter(
+        (F.col("e_id").isNull()) & (F.col("p_user") < 10**6)
+    ).count()
+    assert flushed > 0, "no unmatched purchases were null-flushed"
+
+
 def test_pubsub_ordered_delivery_contract(spark, sf_dir):
     """Ordering-key contract: zero keys split across files within a
     topic, zero event-time inversions in physical row order, and full
