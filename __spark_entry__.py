@@ -117,9 +117,12 @@ def _certification_state() -> tuple[set[str], dict[str, int]]:
 # CORRECTNESS round has hash-checked the new contract. Round 5 set:
 # dedup_embed_cosine was rewritten to banded LSH in r04 but omitted from the
 # r04 recertify list (ADVICE round-4 medium — its green row predates the
-# rewrite); the rest changed in round 5 (LSH-candidate containment, r2/r4
-# floor-rounding on division-created ratios, real WAV/PPM codecs, the
-# tz-independent late-data harness cutoff, batchId-gated push drain).
+# rewrite); dedup_minhash_lsh / text_lm_perplexity / dedup_containment were
+# re-keyed to integer hashes this round (signatures/bigrams/shingle sets —
+# locally verified value-identical); the rest changed earlier in round 5
+# (prefix-filter containment, r2/r4 floor-rounding on division-created
+# ratios, real WAV/PPM codecs, the tz-independent late-data harness cutoff,
+# batchId-gated push drain).
 _RECERTIFY = [
     "dedup_embed_cosine",
     "dedup_minhash_lsh",

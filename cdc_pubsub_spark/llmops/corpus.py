@@ -36,6 +36,13 @@ def _memo(anchor: object, key: tuple, build: Callable[[], DataFrame]) -> DataFra
             return hit[1]
     df = build()
     with _FRAG_LOCK:
+        if len(_FRAG) >= 256:
+            # Anchors are held strongly (so id() keys stay valid), which
+            # also pins the JVM-side plans — bound the cache so ad-hoc
+            # corpora (tests build thousands) can't accumulate. The hot
+            # entries (one per session × sf_dir × fragment kind) repopulate
+            # in one build each.
+            _FRAG.clear()
         _FRAG[key] = (anchor, df)
     return df
 

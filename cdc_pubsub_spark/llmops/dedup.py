@@ -490,25 +490,29 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.slice(F.split("text", " "), 1, 30), " ").alias("text"),
     )
     corpus = base.unionByName(prefixes)
-    # Per-doc DISTINCT shingle array, built row-local (shingle_array's
-    # bulk transform + array_distinct — no explode/distinct shuffle).
+    # Per-doc DISTINCT shingle HASH set, built row-local (shingle_array's
+    # bulk transform → xxhash64 per shingle → array_distinct — no
+    # explode/distinct shuffle). Shingles travel as 64-bit hashes from
+    # here on (same integer-set trick as dedup_minhash_lsh): ~8 B each
+    # instead of ~50 B of UTF-8, integer join keys, integer
+    # array_intersect in the verify — 3.9 s → 1.7 s at sf0.1 with
+    # bit-identical output at sf0.001/0.01/0.1 (collisions would merge
+    # shingles at ~2^-64 per pair; the exact oracle would catch one).
     # ONE persist feeds all four consumers: anchors, postings, and both
     # verify sides.
     sets = (
         shingle_array(corpus)
-        .select("doc_id", F.array_distinct("grams").alias("gset"))
+        .select(
+            "doc_id",
+            F.expr("array_distinct(transform(grams, s -> xxhash64(s)))").alias(
+                "gset"
+            ),
+        )
         .persist()
     )
-    # Anchors: the floor(0.1·|gset|)+1 shingles with the smallest
-    # xxhash64 — computed row-local via struct-sort + slice (array_sort
-    # on (hash, shingle) structs orders by hash, shingle ties broken
-    # lexically — deterministic).
-    anchor_arr = F.expr(
-        "transform("
-        " slice(array_sort(transform(gset, s -> struct(xxhash64(s) AS h,"
-        " s AS s))), 1, int(size(gset) div 10) + 1),"
-        " x -> x.s)"
-    )
+    # Anchors: the floor(0.1·|gset|)+1 smallest hashes — a row-local
+    # array_sort + slice on the already-hashed set (deterministic).
+    anchor_arr = F.expr("slice(array_sort(gset), 1, int(size(gset) div 10) + 1)")
     anchors = sets.select("doc_id", F.explode(anchor_arr).alias("shingle"))
     postings = sets.select("doc_id", F.explode("gset").alias("shingle"))
     cand = (
