@@ -98,6 +98,13 @@ def main() -> None:
     REGISTRY["agg_hash_groupby"].fn(spark, sf_dir).collect()
 
     def timed_pass() -> tuple[float, dict[str, float]]:
+        # Drop every cached intermediate before timing: several ops
+        # persist() internally and never unpersist, and CacheManager
+        # dedups by canonicalized plan — without this, pass 2 would be
+        # served from pass 1's block-manager cache and min(passes) would
+        # systematically report a warm-cache rerun instead of the
+        # noise-mitigated cold number.
+        spark.catalog.clearCache()
         times: dict[str, float] = {}
 
         def run(name: str) -> None:

@@ -10,6 +10,7 @@ DuckDB oracle, so dedup results stay hash-checkable.
 
 from __future__ import annotations
 
+import os
 import threading
 from collections.abc import Callable
 
@@ -76,7 +77,7 @@ def dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return docs.unionByName(exact).unionByName(near)
 
-    if not sf_dir.startswith("/root/testdata/"):
+    if not os.path.abspath(sf_dir).startswith("/root/testdata/"):
         # Mirror tables.load's cacheability rule: tmp fixture dirs may be
         # rewritten between calls, and a memoized scan's file index would
         # go stale.

@@ -1044,29 +1044,9 @@ def sim_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     the audit is reproducible run-to-run (asserted in
     tests/test_llmops.py together with recall floors).
     """
-    emb = load(spark, sf_dir, "embeddings")
-    vecs = emb.select(
-        "vec_id", "label", "embedding", _norm(F.col("embedding")).alias("vnorm")
-    )
-    probe = vecs.filter(F.col("vec_id") == 1).select(
-        F.col("embedding").alias("pvec"), F.col("vnorm").alias("pnorm")
-    )
-    exact = (
-        vecs.filter(F.col("vec_id") != 1)
-        .crossJoin(F.broadcast(probe))
-        .select(
-            "vec_id",
-            F.round(
-                _dot(F.col("embedding"), F.col("pvec"))
-                / (F.col("vnorm") * F.col("pnorm")),
-                4,
-            ).alias("cos_sim"),
-        )
-        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
-        .limit(10)
-        .select("vec_id")
-    )
-    truth = {r["vec_id"] for r in exact.collect()}
+    truth = {
+        r["vec_id"] for r in sim_cosine_topk_ids(spark, sf_dir).collect()
+    }
     rows = []
     for variant, fn in (
         ("brute_force", sim_cosine_topk_ids),

@@ -733,11 +733,12 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     HOF evaluation and measured 10× slower on the extraction at sf0.1;
     `substring(t, bi, 2)` in a lambda is worse still (quadratic UTF-8
     rescans per doc). Bigrams travel as INTEGER codes (codepoint1 ×
-    65536 + codepoint2 — injective, so counts and therefore every
-    probability are bit-identical to the 2-char-string keying the
-    oracle uses): no per-bigram string allocation in the exploded
-    stream, and the model join hashes a bigint instead of a UTF-8
-    string.
+    2²¹ + codepoint2; 2²¹ > 0x10FFFF, so the packing is injective for
+    EVERY Unicode code point including the supplementary planes, and
+    counts and therefore every probability are bit-identical to the
+    2-char-string keying the oracle uses): no per-bigram string
+    allocation in the exploded stream, and the model join hashes a
+    bigint instead of a UTF-8 string.
     """
     docs = (
         load(spark, sf_dir, "documents")
@@ -762,7 +763,7 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select(
                 "doc_id",
-                (F.col("p.0").cast("bigint") * 65536 + F.col("p.1")).alias("bg"),
+                (F.col("p.0").cast("bigint") * 2097152 + F.col("p.1")).alias("bg"),
             )
         )
 
@@ -771,11 +772,11 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bg")
         .agg(F.count(F.lit(1)).alias("cbg"))
     )
-    prefix = counts.groupBy(F.expr("bg div 65536").alias("c1")).agg(
+    prefix = counts.groupBy(F.expr("bg div 2097152").alias("c1")).agg(
         F.sum("cbg").cast("double").alias("cu")
     )
     model = counts.join(
-        prefix, F.expr("bg div 65536") == prefix["c1"]
+        prefix, F.expr("bg div 2097152") == prefix["c1"]
     ).select("bg", (F.col("cbg").cast("double") / F.col("cu")).alias("p"))
     return (
         bigrams(docs)

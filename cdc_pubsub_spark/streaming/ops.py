@@ -1500,18 +1500,33 @@ def stream_socket_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload = ("\n".join(lines) + "\n").encode("utf-8")
 
     def serve() -> None:
-        # One accepted connection; write everything, then HOLD the socket
-        # open so the source keeps polling until the query has drained —
-        # closing early risks dropping buffered rows (at-most-once).
+        # Accept-and-resend LOOP, not a single accept: the socket source's
+        # normal recovery path is to reconnect (receiver task retry), and
+        # a one-shot server would leave the reconnect in the listen
+        # backlog with no data — a guaranteed drain timeout. Each accepted
+        # connection gets the full payload (the source is at-most-once
+        # across reconnects anyway; the drain poll gates on >= expected),
+        # then stays open until the query has drained — closing early
+        # risks dropping buffered rows.
+        srv.settimeout(0.5)
+        conns = []
         try:
-            conn, _ = srv.accept()
-            conn.sendall(payload)
-            while not done_evt.wait(0.2):
-                pass
-            conn.close()
-        except OSError:
-            pass
+            while not done_evt.is_set():
+                try:
+                    conn, _ = srv.accept()
+                except _socket.timeout:
+                    continue
+                conns.append(conn)
+                try:
+                    conn.sendall(payload)
+                except OSError:
+                    pass
         finally:
+            for c in conns:
+                try:
+                    c.close()
+                except OSError:
+                    pass
             srv.close()
 
     done_evt = _threading.Event()
@@ -1532,13 +1547,17 @@ def stream_socket_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 2).alias("total_value"),
     )
     qname = f"socket_ingest_{_uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("complete")
-        .trigger(processingTime="250 milliseconds")
-        .start()
-    )
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .trigger(processingTime="250 milliseconds")
+            .start()
+        )
+    except Exception:
+        done_evt.set()  # release the server thread if start() itself fails
+        raise
     try:
         deadline = _time.time() + 120
         while _time.time() < deadline:

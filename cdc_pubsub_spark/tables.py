@@ -70,6 +70,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver testdata table (TESTDATA.md) as a DataFrame."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    # Self-heal the correctness-critical confs on EVERY call (cache hit
+    # included): an embedding application may mutate e.g. the session
+    # timezone between queries, and this repair is the documented
+    # contract. ~1 ms per call.
+    ensure_session_confs(spark)
     cacheable = os.path.abspath(sf_dir).startswith(_CACHEABLE_PREFIX)
     if cacheable:
         with _DF_LOCK:
@@ -78,7 +83,6 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 df = entry[1].get((sf_dir, name))
                 if df is not None:
                     return df
-    ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         # TIMESTAMP(NANOS) read as long (see session.py); convert to a real
@@ -90,6 +94,13 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     if cacheable:
         with _DF_LOCK:
+            if len(_DF_CACHE) >= 8:
+                # Sessions are held strongly (so id() keys stay valid),
+                # which pins their JVM-side plans — bound the cache so a
+                # host that creates/stops sessions repeatedly can't leak
+                # one session's plan state per session forever. The hot
+                # entries repopulate in one footer read each.
+                _DF_CACHE.clear()
             _DF_CACHE.setdefault(id(spark), (spark, {}))[1][(sf_dir, name)] = df
     return df
 

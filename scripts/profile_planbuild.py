@@ -2,9 +2,9 @@
 """Profile driver-side plan CONSTRUCTION time per registered query.
 
 Calls each registry fn(spark, sf_dir) WITHOUT collect() and times it.
-For non-streaming ops this is pure py4j + Catalyst analysis; streaming
-ops actually execute (they run a real stream inside fn), so they are
-listed separately.
+Covers the BENCH set only (bench=True): streaming ops are registered
+bench=False (their fn() runs a real stream, so "plan build" would time
+execution) and are deliberately excluded.
 """
 from __future__ import annotations
 
