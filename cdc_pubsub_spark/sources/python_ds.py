@@ -17,7 +17,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 from cdc_pubsub_spark.registry import register
 
@@ -97,3 +102,141 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("price"), 2).alias("total_price"),
     )
+
+
+class ChangefeedStreamDataSource(DataSource):
+    """`format("cdc_synthetic_stream")` — options: n (total rows),
+    rows_per_batch. The STREAMING face of the same synthetic changefeed."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "cdc_synthetic_stream"
+
+    def schema(self) -> str:
+        return "key bigint, status string, price double"
+
+    def streamReader(self, schema) -> "ChangefeedStreamReader":
+        return ChangefeedStreamReader(
+            int(self.options.get("n", 2000)),
+            int(self.options.get("rows_per_batch", 500)),
+        )
+
+
+class ChangefeedStreamReader(DataSourceStreamReader):
+    """Offset-managed micro-batch reader: offsets are key positions; each
+    micro-batch covers [start, min(start+rows_per_batch, n+1)) split into
+    2 partition tasks. Offsets are JSON dicts checkpointed by Spark — a
+    crashed query resumes from the last committed key, the exactly-once
+    source contract the reference's HTTP listener could not offer
+    (its ACK-on-failure bug is the opposite, publisher.go:209-211)."""
+
+    def __init__(self, n: int, rows_per_batch: int) -> None:
+        self.n = n
+        self.rows_per_batch = rows_per_batch
+
+    def initialOffset(self) -> dict:
+        return {"k": 1}
+
+    def latestOffset(self) -> dict:
+        # Advance the available frontier by one batch per poll, capped at
+        # the end — the driver-side simulation of "more data arrived".
+        cur = getattr(self, "_frontier", 1)
+        nxt = min(cur + self.rows_per_batch, self.n + 1)
+        self._frontier = nxt
+        return {"k": nxt}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start["k"], end["k"]
+        mid = (lo + hi) // 2
+        parts = [(lo, mid), (mid, hi)]
+        return [InputPartition(p) for p in parts if p[0] < p[1]]
+
+    def read(self, partition: InputPartition):
+        lo, hi = partition.value
+        for i in range(lo, hi):
+            yield _row(i)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the checkpoint; nothing external to ack
+
+
+@register(
+    "source_python_stream",
+    category="scans",
+    bench=False,
+    oracle="""
+    SELECT
+      CASE WHEN i % 3 = 0 THEN 'O' WHEN i % 3 = 1 THEN 'F' ELSE 'P' END AS status,
+      count(*) AS n,
+      round(sum((100000 + (i * 37) % 900000) / 100.0), 2) AS total_price
+    FROM (SELECT unnest(range(1, 2001)) AS i)
+    GROUP BY 1
+    """,
+)
+def source_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING custom Python data source (Spark 4 DataSourceStreamReader):
+    the synthetic changefeed delivered through offset-managed
+    micro-batches — initialOffset → latestOffset → partitions(start,end)
+    → read → commit, with offsets checkpointed by the engine.
+
+    This is the reference's ingest server rebuilt as a first-class
+    streaming CONNECTOR rather than a daemon: partitioned parallel reads
+    per micro-batch (2 tasks per batch here), offset-based exactly-once
+    resume from the checkpoint, schema enforcement, and full Catalyst
+    integration on the stream. The frontier advances rows_per_batch keys
+    per poll until n (2000), so the drained aggregate is deterministic
+    and carries the SAME exact oracle as the batch source — a custom
+    streaming connector whose output is still hash-verified.
+    """
+    import os as _os
+    import time as _time
+    import uuid as _uuid
+
+    from cdc_pubsub_spark.paths import work_dir
+
+    try:
+        spark.dataSource.register(ChangefeedStreamDataSource)
+    except Exception:
+        pass  # already registered in this session
+    n_total = 2000
+    stream = (
+        spark.readStream.format("cdc_synthetic_stream")
+        .option("n", n_total)
+        .option("rows_per_batch", 500)
+        .load()
+    )
+    agg = stream.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("price"), 2).alias("total_price"),
+    )
+    qname = f"pyds_stream_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .option(
+            "checkpointLocation",
+            _os.path.join(work_dir("pyds_stream"), f"ckpt_{qname}"),
+        )
+        .trigger(processingTime="250 milliseconds")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 120
+        got = 0
+        while _time.time() < deadline:
+            got = (
+                spark.table(qname).agg(F.sum("n").alias("s")).collect()[0]["s"]
+                or 0
+            )
+            if int(got) >= n_total:
+                break
+            _time.sleep(0.25)
+        else:
+            raise TimeoutError(
+                f"python stream source drained {got}/{n_total} rows in 120 s"
+            )
+    finally:
+        q.stop()  # graceful: completes the in-flight batch, then halts
+        q.awaitTermination()
+    return spark.table(qname)
