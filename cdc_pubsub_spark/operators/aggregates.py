@@ -696,3 +696,63 @@ def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("c_acctbal"), 2).alias("min_bal"),
         )
     )
+
+
+@register(
+    "agg_count_min_sketch",
+    category="aggregates",
+    bench=False,
+    oracle="""
+    SELECT event_type,
+           count(*)     AS exact_count,
+           true         AS cms_ok
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimation, validated against exact
+    counts — completing the mergeable-sketch family (HLL distinct,
+    t-digest percentile, approx_top_k heavy hitters, and now CMS item
+    frequency).
+
+    One `count_min_sketch(event_type, eps, conf, seed)` aggregate builds
+    the sketch in a single pass (cell-wise-additive merge across
+    partitions — order-independent, so the sketch bytes and every
+    estimate are deterministic for a fixed seed). The driver then asks
+    the sketch for each type's frequency via the JVM sketch API — O(keys)
+    bounded work, the same pattern as k-means' centroid reads. CMS
+    guarantees estimate >= exact always, and estimate <= exact + eps*N
+    with probability >= confidence; `cms_ok` asserts BOTH bounds in the
+    output, so the driver's hash check certifies the sketch's error
+    contract every round (the estimate itself is implementation-defined
+    and stays out of the hash, like the HLL/t-digest ops). At 100 TB
+    the sketch is the only way to ask "how often does item X occur" for
+    adversarially many X in one pass with constant memory.
+    """
+    events = load(spark, sf_dir, "events")
+    eps, conf = 0.001, 0.99
+    sketch_row = events.agg(
+        F.count_min_sketch(
+            "event_type", F.lit(eps), F.lit(conf), F.lit(42)
+        ).alias("cms"),
+        F.count(F.lit(1)).alias("total"),
+    ).collect()[0]
+    total = int(sketch_row["total"])
+    jvm = spark.sparkContext._jvm
+    import io
+
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        io.BytesIO(bytes(sketch_row["cms"])).read()
+    )
+    exact = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    rows = []
+    for r in exact.collect():
+        est = int(cms.estimateCount(r["event_type"]))
+        ok = r["exact_count"] <= est <= r["exact_count"] + int(eps * total) + 1
+        rows.append((r["event_type"], int(r["exact_count"]), bool(ok)))
+    return spark.createDataFrame(
+        rows, "event_type string, exact_count bigint, cms_ok boolean"
+    )

@@ -1474,9 +1474,10 @@ def stream_socket_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     bodies — exactly the reference's transport framing,
     publisher.go:182-202).
 
-    The socket source is non-replayable push transport (at-most-once on
-    reconnect — which is WHY the landing-dir topology is the production
-    answer and this op exists as the transport-fidelity tier). The query
+    The socket source is non-replayable push transport (a reconnect
+    either loses buffered rows or re-receives the resent payload —
+    which is WHY the landing-dir topology is the production answer and
+    this op exists as the transport-fidelity tier). The query
     aggregates per event type in complete mode; the driver polls the
     sink until every sent line is accounted for, then stops at a batch
     boundary (graceful drain, A12). Because the drain point is
@@ -1504,10 +1505,10 @@ def stream_socket_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         # normal recovery path is to reconnect (receiver task retry), and
         # a one-shot server would leave the reconnect in the listen
         # backlog with no data — a guaranteed drain timeout. Each accepted
-        # connection gets the full payload (the source is at-most-once
-        # across reconnects anyway; the drain poll gates on >= expected),
-        # then stays open until the query has drained — closing early
-        # risks dropping buffered rows.
+        # connection gets the full payload (a reconnect therefore
+        # re-receives; the drain poll gates on >= expected), then stays
+        # open until the query has drained — closing early risks
+        # dropping buffered rows.
         srv.settimeout(0.5)
         conns = []
         try:
