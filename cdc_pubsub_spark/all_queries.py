@@ -19,6 +19,7 @@ _MODULES = [
     "cdc_pubsub_spark.operators.setops",
     "cdc_pubsub_spark.operators.advanced",
     "cdc_pubsub_spark.operators.modern",
+    "cdc_pubsub_spark.operators.graph",
     "cdc_pubsub_spark.functions.scalar",
     "cdc_pubsub_spark.functions.udf",
     "cdc_pubsub_spark.sources.cdc",

@@ -575,3 +575,60 @@ def tpch_q12_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(late).alias("n_late"),
         )
     )
+
+
+@register(
+    "events_anomaly_zscore",
+    category="composite",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type,
+             avg(value)         AS mu,
+             stddev_samp(value) AS sigma
+      FROM events
+      GROUP BY event_type
+    ),
+    scored AS (
+      SELECT e.event_type,
+             abs((e.value - s.mu) / s.sigma) AS az
+      FROM events e JOIN stats s USING (event_type)
+    )
+    SELECT event_type,
+           count(*)                          AS n_events,
+           count(*) FILTER (az > 3.0)        AS n_anomalies,
+           floor(max(az) * 10000 + 0.5) / 10000 AS max_abs_z
+    FROM scored
+    GROUP BY event_type
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical anomaly detection: per-event-type z-scores with a
+    3-sigma flag — the monitoring composite every event pipeline bolts
+    on after ingest ("which purchases are pricing-glitch outliers").
+
+    Two-pass shape, both passes one shuffle on the same key: (1) per-type
+    mean/stddev (algebraic aggregates — partial/merge, constant state),
+    (2) score every event against its type's stats via a BROADCAST join
+    of the k-row stats table and re-aggregate the flags. At 100 TB the
+    stats side stays k rows no matter the corpus, so the scoring pass is
+    scan + broadcast probe — no corpus-sized shuffle beyond the two
+    aggregates. The same topology with `window(ts, ...)` in both
+    group-bys is the rolling-baseline variant. max_abs_z is
+    division-created — floor-rounding twin r4.
+    """
+    events = load(spark, sf_dir, "events")
+    stats = events.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sigma"),
+    )
+    az = F.abs((F.col("value") - F.col("mu")) / F.col("sigma"))
+    return (
+        events.join(F.broadcast(stats), "event_type")
+        .select("event_type", az.alias("az"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.when(F.col("az") > 3.0, 1)).alias("n_anomalies"),
+            r4(F.max("az")).alias("max_abs_z"),
+        )
+    )

@@ -1,0 +1,143 @@
+"""Graph analytics on DataFrames: centrality over an edge relation.
+
+Complements the dedup pipeline's connected components (llmops/dedup.py
+``dedup_cluster`` — label propagation to fixpoint): PageRank is the other
+canonical message-passing workload, and a fixed-iteration unrolling is a
+pure Catalyst DAG — joins and aggregates only, no driver loop — so it
+carries an EXACT relational oracle (the same unrolling in SQL), unlike
+the usual run-until-convergence formulation. The iterative/driver-loop
+pattern for open-ended convergence is already demonstrated by
+``dedup_cluster`` and ``embed_kmeans``; this module shows the
+bounded-round variant that a 100 TB scheduler prefers: k rounds = k
+deterministic shuffle stages, no data-dependent control flow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_pubsub_spark.functions.rounding import r4
+from cdc_pubsub_spark.registry import register
+from cdc_pubsub_spark.tables import load
+
+# Deterministic 2-regular interaction graph over the event users: every
+# user u follows (7u+3) mod 1000 and (13u+11) mod 1000. Pure function of
+# the data (user ids), reproduced verbatim in the oracle — same pattern
+# as the dedup corpora (FIXTURES.md §3).
+_EDGE_SQL = """
+    edges AS (
+      SELECT user_id AS src, (user_id * 7 + 3) % 1000 AS dst FROM users
+      UNION ALL
+      SELECT user_id, (user_id * 13 + 11) % 1000 FROM users
+    )
+"""
+
+
+@register(
+    "graph_pagerank",
+    category="graph",
+    oracle=f"""
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    {_EDGE_SQL.strip()},
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n_nodes FROM users),
+    pr0 AS (
+      SELECT user_id, 1.0 / n_nodes AS pr FROM users CROSS JOIN n
+    ),
+    pr1 AS (
+      SELECT u.user_id,
+             0.15 / max(n.n_nodes)
+             + 0.85 * coalesce(sum(p.pr / 2.0), 0.0) AS pr
+      FROM users u
+      CROSS JOIN n
+      LEFT JOIN edges e ON e.dst = u.user_id
+      LEFT JOIN pr0 p ON p.user_id = e.src
+      GROUP BY u.user_id
+    ),
+    pr2 AS (
+      SELECT u.user_id,
+             0.15 / max(n.n_nodes)
+             + 0.85 * coalesce(sum(p.pr / 2.0), 0.0) AS pr
+      FROM users u
+      CROSS JOIN n
+      LEFT JOIN edges e ON e.dst = u.user_id
+      LEFT JOIN pr1 p ON p.user_id = e.src
+      GROUP BY u.user_id
+    ),
+    pr3 AS (
+      SELECT u.user_id,
+             0.15 / max(n.n_nodes)
+             + 0.85 * coalesce(sum(p.pr / 2.0), 0.0) AS pr
+      FROM users u
+      CROSS JOIN n
+      LEFT JOIN edges e ON e.dst = u.user_id
+      LEFT JOIN pr2 p ON p.user_id = e.src
+      GROUP BY u.user_id
+    )
+    SELECT user_id,
+           floor(pr * 1e9 * 10000 + 0.5) / 10000 AS rank_ppb
+    FROM pr3
+    ORDER BY rank_ppb DESC, user_id
+    LIMIT 25
+    """,
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 3 unrolled rounds) over a deterministic
+    2-regular user-interaction graph — graph centrality as a pure
+    Catalyst DAG.
+
+    Each round is exactly: contributions = rank/out_degree shipped along
+    edges (one equi-join), summed per destination (one aggregate), plus
+    the teleport term — so k rounds compile to k join+agg stages with NO
+    driver-side control flow, the shape a 100 TB scheduler wants
+    (data-independent stage count, each round one shuffle keyed on the
+    vertex id; GraphX/Pregel does the same per superstep). Because the
+    unrolling is static, the oracle replays the identical three rounds
+    relationally — an exact hash check on a graph algorithm, not a
+    convergence property test. Ranks surface in parts-per-billion with
+    the floor-rounding twin (r4-on-ppb) since they are division-created
+    doubles. The top-25 is total-ordered (rank desc, user_id).
+
+    For open-ended convergence the engine's fixpoint pattern is
+    dedup_cluster's driver loop; degree-normalized contributions here
+    use the literal out-degree 2 of the synthetic graph (a general
+    implementation joins a degree table — same plan shape, one more
+    broadcast).
+    """
+    users = load(spark, sf_dir, "events").select("user_id").distinct()
+    edges = users.select(
+        F.col("user_id").alias("src"),
+        ((F.col("user_id") * 7 + 3) % 1000).alias("dst"),
+    ).unionByName(
+        users.select(
+            F.col("user_id").alias("src"),
+            ((F.col("user_id") * 13 + 11) % 1000).alias("dst"),
+        )
+    )
+    n = users.agg(F.count(F.lit(1)).cast("double").alias("n_nodes"))
+    pr = users.crossJoin(F.broadcast(n)).select(
+        "user_id", (F.lit(1.0) / F.col("n_nodes")).alias("pr")
+    )
+    for _ in range(3):
+        contrib = (
+            edges.join(pr, edges["src"] == pr["user_id"])
+            .select("dst", (F.col("pr") / F.lit(2.0)).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        pr = (
+            users.join(contrib, users["user_id"] == contrib["dst"], "left")
+            .crossJoin(F.broadcast(n))
+            .select(
+                "user_id",
+                (
+                    F.lit(0.15) / F.col("n_nodes")
+                    + F.lit(0.85) * F.coalesce(F.col("in_sum"), F.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+    return (
+        pr.select("user_id", r4(F.col("pr") * 1e9).alias("rank_ppb"))
+        .orderBy(F.col("rank_ppb").desc(), "user_id")
+        .limit(25)
+    )

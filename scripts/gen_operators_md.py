@@ -27,6 +27,7 @@ ORDER = [
     ("functions", "Scalar functions"),
     ("advanced", "Subqueries / reshaping / sampling / error paths"),
     ("modern", "Modern SQL (recursive / lateral / VARIANT / XML / sketches)"),
+    ("graph", "Graph analytics"),
     ("udf", "UDF / UDAF / UDTF surface"),
     ("cdc", "CDC layer (reference-faithful)"),
     ("streaming", "Structured Streaming"),
