@@ -29,6 +29,10 @@ SPOT = [
     "agg_bitmap_distinct",   # r04 bitmap-exact distinct at 10× users
     "events_cohort_retention",  # r04 integer-epoch weeks at 10× events
     "tpch_q14_promo_revenue",   # r04 conditional ratio at 10× lineitems
+    "dedup_containment",     # r05 hashed prefix-filter anchors at 10× corpus
+    "text_boilerplate_spans",  # r05 cross-doc span DF thresholds at 10× docs
+    "graph_pagerank",        # r05 unrolled rounds: float sums + ppb floor-rounding at 10× users
+    "events_anomaly_zscore",  # r05 stddev z-flags at 10× events
 ]
 
 
