@@ -387,3 +387,61 @@ def test_stratified_sample_single_aggregate(spark, sf_dir):
     exchange is the per-stratum audit aggregate."""
     df = q("corpus_stratified_sample", spark, sf_dir)
     assert count_exchanges(df) == 1, formatted_plan(df)[:2000]
+
+
+def test_boilerplate_spans_no_all_pairs(spark, sf_dir):
+    """Cross-doc boilerplate is span-DF + join-back — linear in span
+    volume. The plan must contain only equi-joins (the span-keyed join
+    back), never a nested-loop/cartesian shape, and the span stream must
+    come from the bulk slice+zip extraction (arrays_zip), not a
+    per-element lambda."""
+    df = q("text_boilerplate_spans", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert not uses(df, "BroadcastNestedLoopJoin"), plan[:2000]
+    assert not uses(df, "CartesianProduct"), plan[:2000]
+    assert "arrays_zip" in plan.lower() or "zip" in plan.lower(), plan[:2000]
+
+
+def test_pagerank_rounds_are_equi_joins_with_broadcast_n(spark, sf_dir):
+    """Each unrolled PageRank round is an edge equi-join + vertex-keyed
+    aggregate; the only nested-loop joins are the 1-row broadcast of the
+    node count (the scalar-attach plan). No CartesianProduct ever."""
+    df = q("graph_pagerank", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert not uses(df, "CartesianProduct"), plan[:2000]
+    # The vertex-keyed contribution joins must be hash joins.
+    assert (
+        "BroadcastHashJoin" in plan
+        or "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+    ), plan[:2000]
+
+
+def test_anomaly_zscore_broadcasts_stats(spark, sf_dir):
+    """The scoring join's stats side is k rows — must broadcast; the
+    corpus is never shuffled for the join itself."""
+    df = q("events_anomaly_zscore", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert uses(df, "BroadcastHashJoin"), plan[:2000]
+    assert not uses(df, "SortMergeJoin"), plan[:2000]
+
+
+def test_minhash_hashes_strings_once(spark, sf_dir):
+    """The signature stage must hash each shingle STRING exactly once
+    (xxhash64(s)) and derive permutations from the 64-bit base
+    (xxhash64(h, i)) — the plan must not contain per-permutation
+    string-hash lambdas. Witness: 'xxhash64(s, N)' patterns over the
+    gram variable are absent; the distinct hash set feeds both the
+    signature folds and the integer array_intersect verify."""
+    df = q("dedup_minhash_lsh", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "array_intersect" in plan, plan[:2000]
+    import re as _re
+
+    # lambda-variable string-hash with a per-permutation salt would
+    # appear as xxhash64(lambda s..., <int>) over a STRING input; the
+    # integer re-hash appears over the array_distinct(transform(...))
+    # output. Assert the string source is hashed in exactly one
+    # distinct expression form.
+    gram_hashes = set(_re.findall(r"xxhash64\(lambda '?s'?", plan))
+    assert len(gram_hashes) <= 1, sorted(gram_hashes)
