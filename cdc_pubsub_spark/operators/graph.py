@@ -141,3 +141,98 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank_ppb").desc(), "user_id")
         .limit(25)
     )
+
+
+@register(
+    "graph_triangle_count",
+    category="graph",
+    oracle="""
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    raw AS (
+      SELECT user_id AS a, (user_id + 1) % 1000 AS b FROM users
+      UNION ALL
+      SELECT user_id, (user_id + 2) % 1000 FROM users
+      UNION ALL
+      SELECT user_id, (user_id * 7 + 3) % 1000 FROM users
+    ),
+    edges AS (
+      SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+      FROM raw WHERE a <> b
+    ),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM edges e1
+      JOIN edges e2 ON e2.a = e1.b
+      JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    member AS (
+      SELECT x AS node FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    )
+    SELECT node, count(*) AS n_triangles
+    FROM member
+    GROUP BY node
+    ORDER BY n_triangles DESC, node
+    LIMIT 10
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting (top-10 nodes by triangle membership) — the
+    canonical 3-way self-join graph workload, on a deterministic user
+    graph of ring edges (u, u+1), skip edges (u, u+2) — every
+    consecutive triple closes a triangle — plus the 7u+3 long-range
+    edges for irregular extra wedges.
+
+    The classical distributed formulation: canonicalize edges to a < b
+    (each undirected edge once), then wedges = edges ⋈ edges on the
+    middle vertex, closed by a third equi-join probing the wedge's
+    endpoints — three shuffle-or-broadcast hash joins, no nested loop.
+    At 100 TB the optimization ladder is degree-ordered orientation
+    (orient each edge toward the higher-degree endpoint, which bounds
+    wedge fan-out by sqrt(m) — the node-iterator++ algorithm) on top of
+    the same join plan; AQE's skew split absorbs hub vertices exactly as
+    in the dedup joins. Top-10 is total-ordered (count desc, node).
+    """
+    users = load(spark, sf_dir, "events").select("user_id").distinct()
+
+    def edge(mult: int, add: int) -> DataFrame:
+        return users.select(
+            F.col("user_id").alias("s"),
+            ((F.col("user_id") * mult + add) % 1000).alias("t"),
+        )
+
+    raw = edge(1, 1).unionByName(edge(1, 2)).unionByName(edge(7, 3))
+    edges = (
+        raw.filter(F.col("s") != F.col("t"))
+        .select(
+            F.least("s", "t").alias("a"), F.greatest("s", "t").alias("b")
+        )
+        .distinct()
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"),
+            F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+    )
+    member = (
+        tri.select(F.col("x").alias("node"))
+        .unionByName(tri.select(F.col("y").alias("node")))
+        .unionByName(tri.select(F.col("z").alias("node")))
+    )
+    return (
+        member.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy(F.col("n_triangles").desc(), "node")
+        .limit(10)
+    )

@@ -1,0 +1,28 @@
+"""Semantic checks for the graph operators beyond oracle parity."""
+
+from __future__ import annotations
+
+import cdc_pubsub_spark.all_queries  # noqa: F401
+from cdc_pubsub_spark.registry import REGISTRY
+
+
+def test_pagerank_mass_conserved_and_positive(spark, sf_dir):
+    """PageRank with teleport over a graph where every node has out-edges
+    conserves total mass (sum of ranks = 1) and every rank is at least
+    the teleport floor 0.15/N."""
+    rows = REGISTRY["graph_pagerank"].fn(spark, sf_dir).collect()
+    assert 1 <= len(rows) <= 25  # top-25, fewer if the sf has fewer users
+    # rank_ppb = pr * 1e9; floor bound with generous rounding slack.
+    for r in rows:
+        assert r["rank_ppb"] > 0.15 * 1e9 / 2_000_000, r
+
+
+def test_triangle_count_nonempty_and_ring_triples(spark, sf_dir):
+    """The ring (u,u+1) + skip (u,u+2) edges close a triangle at every
+    consecutive triple — the result must be non-empty with every listed
+    node in >= 2 triangles (each node belongs to up to 3 ring triples)."""
+    rows = REGISTRY["graph_triangle_count"].fn(spark, sf_dir).collect()
+    assert rows, "triangle-free graph would make the op vacuous"
+    assert rows[0]["n_triangles"] >= 3
+    for r in rows:
+        assert r["n_triangles"] >= 2, r
