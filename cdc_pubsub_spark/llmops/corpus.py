@@ -321,3 +321,78 @@ def corpus_stratified_sample(spark, sf_dir):
         ).alias("achieved_rate"),
         F.sum(F.when(kept, F.col("n_chars"))).cast("bigint").alias("sampled_chars"),
     )
+
+
+@register(
+    "corpus_split_leakage",
+    category="corpus",
+    oracle=f"""
+    WITH {CORPUS_CTE.strip()},
+    tagged AS (
+      SELECT doc_id, md5(text) AS h,
+        CASE
+          WHEN CAST(concat('0x',
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INT) < 230
+            THEN 'train'
+          WHEN CAST(concat('0x',
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INT) < 243
+            THEN 'val'
+          ELSE 'test' END AS split
+      FROM corpus
+    ),
+    spans AS (
+      SELECT h,
+             count(DISTINCT split)  AS n_splits,
+             count(*)               AS n_docs,
+             min(doc_id)            AS canonical_id
+      FROM tagged
+      GROUP BY h
+      HAVING count(DISTINCT split) > 1
+    )
+    SELECT
+      count(*)                      AS leaked_groups,
+      CAST(sum(n_docs) AS BIGINT)   AS leaked_docs,
+      min(canonical_id)             AS first_canonical
+    FROM spans
+    """,
+)
+def corpus_split_leakage(spark, sf_dir):
+    """Train/val/test LEAKAGE detection: exact-duplicate text groups that
+    span more than one split — the eval-contamination check every
+    training pipeline must run, because membership hashes the doc_id
+    (stable under re-ingestion) while duplicates arrive under NEW ids
+    and land in arbitrary splits. The planted corpus makes this real:
+    every ÷10 doc has an exact copy at doc_id+1,000,000 whose split is
+    an independent hash draw, so ~10% of copy pairs straddle splits.
+
+    One shuffle on md5(text) (the dedup_exact key), a distinct-split
+    count per group, and a single audit row: groups leaking, documents
+    involved, first canonical id (for triage). At 100 TB this composes
+    with dedup_minhash_lsh for NEAR-dup leakage: same group-by with the
+    band signature in place of the exact hash. The fix it motivates is
+    upstream: dedup BEFORE splitting, or split by content hash
+    (md5(text)) instead of id — this op is the regression test that
+    proves you did.
+    """
+    corpus = dup_corpus(spark, sf_dir)
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+    ).cast("int")
+    split = (
+        F.when(bucket < 230, "train").when(bucket < 243, "val").otherwise("test")
+    )
+    spans = (
+        corpus.select("doc_id", F.md5("text").alias("h"), split.alias("split"))
+        .groupBy("h")
+        .agg(
+            F.countDistinct("split").alias("n_splits"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("canonical_id"),
+        )
+        .filter(F.col("n_splits") > 1)
+    )
+    return spans.agg(
+        F.count(F.lit(1)).alias("leaked_groups"),
+        F.sum("n_docs").cast("bigint").alias("leaked_docs"),
+        F.min("canonical_id").alias("first_canonical"),
+    )

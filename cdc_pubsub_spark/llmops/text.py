@@ -931,3 +931,47 @@ def text_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r4(ratio).alias("boiler_ratio"),
         (ratio < 0.2).alias("keep"),
     )
+
+
+@register(
+    "text_feature_hashing",
+    category="text",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      FROM documents WHERE doc_id <= 200
+    )
+    SELECT doc_id,
+           CAST(concat('0x', substr(md5(w), 1, 2)) AS INT) % 64 AS bucket,
+           count(*) AS tf
+    FROM words
+    WHERE w <> ''
+    GROUP BY doc_id, bucket
+    """,
+)
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization (the Weinberger et al. vectorizer):
+    every token maps to one of 64 buckets by content hash and the doc
+    becomes a sparse (doc_id, bucket, tf) vector — the fixed-width,
+    vocabulary-free text representation that feeds linear probes,
+    n-gram classifiers, and fastText-style models without ever building
+    or broadcasting a vocabulary.
+
+    Why it scales where a vocabulary doesn't: the feature space is fixed
+    at k buckets BEFORE seeing any data, so there is no global
+    token-to-index table to learn, ship, or keep consistent across
+    incremental corpus versions — the hash IS the index. One explode +
+    one partial-aggregating shuffle on (doc_id, bucket); bucket ids use
+    the md5 first byte (mod 64) so the DuckDB oracle reproduces every
+    assignment exactly.
+    """
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") <= 200)
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.col("w") != "")
+    bucket = (
+        F.conv(F.substring(F.md5("w"), 1, 2), 16, 10).cast("int") % 64
+    )
+    return words.groupBy("doc_id", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("tf")
+    )
