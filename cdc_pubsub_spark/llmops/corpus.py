@@ -14,7 +14,7 @@ import os
 import threading
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -50,6 +50,31 @@ def _memo(anchor: object, key: tuple, build: Callable[[], DataFrame]) -> DataFra
 
 # Appended to near-dup copies: shrinks Jaccard to ~0.9 on a ~60-word doc.
 NEAR_SUFFIX = " zq extra tail"
+
+# The ONE train/val/test membership rule (~90/5/5 by md5(doc_id) first
+# byte): every op that tags or audits splits MUST use these twins —
+# corpus_train_val_split defines the split, corpus_split_leakage audits
+# it, and a threshold change in one place must change both.
+SPLIT_CASE_SQL = """
+      CASE
+        WHEN CAST(concat('0x',
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INT) < 230
+          THEN 'train'
+        WHEN CAST(concat('0x',
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INT) < 243
+          THEN 'val'
+        ELSE 'test' END
+"""
+
+
+def split_col() -> Column:
+    """Spark twin of SPLIT_CASE_SQL (reads a `doc_id` column)."""
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+    ).cast("int")
+    return (
+        F.when(bucket < 230, "train").when(bucket < 243, "val").otherwise("test")
+    )
 
 CORPUS_CTE = f"""
     corpus AS (
@@ -170,17 +195,13 @@ from cdc_pubsub_spark.registry import register  # noqa: E402
 @register(
     "corpus_train_val_split",
     category="corpus",
-    oracle="""
+    oracle=f"""
     WITH tagged AS (
-      SELECT *,
-        CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INT)
-          AS bucket
+      SELECT *, {SPLIT_CASE_SQL.strip()} AS split
       FROM documents
     )
     SELECT
-      CASE WHEN bucket < 230 THEN 'train'
-           WHEN bucket < 243 THEN 'val'
-           ELSE 'test' END        AS split,
+      split,
       count(*)                    AS n_docs,
       count(DISTINCT lang)        AS n_langs,
       CAST(sum(n_chars) AS BIGINT) AS total_chars,
@@ -202,13 +223,7 @@ def corpus_train_val_split(spark, sf_dir):
     scan); the only exchange is the stats aggregate.
     """
     docs = load(spark, sf_dir, "documents")
-    bucket = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
-    ).cast("int")
-    split = (
-        F.when(bucket < 230, "train").when(bucket < 243, "val").otherwise("test")
-    )
-    return docs.groupBy(split.alias("split")).agg(
+    return docs.groupBy(split_col().alias("split")).agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("lang").alias("n_langs"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
@@ -329,15 +344,7 @@ def corpus_stratified_sample(spark, sf_dir):
     oracle=f"""
     WITH {CORPUS_CTE.strip()},
     tagged AS (
-      SELECT doc_id, md5(text) AS h,
-        CASE
-          WHEN CAST(concat('0x',
-               substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INT) < 230
-            THEN 'train'
-          WHEN CAST(concat('0x',
-               substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INT) < 243
-            THEN 'val'
-          ELSE 'test' END AS split
+      SELECT doc_id, md5(text) AS h, {SPLIT_CASE_SQL.strip()} AS split
       FROM corpus
     ),
     spans AS (
@@ -375,14 +382,8 @@ def corpus_split_leakage(spark, sf_dir):
     proves you did.
     """
     corpus = dup_corpus(spark, sf_dir)
-    bucket = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
-    ).cast("int")
-    split = (
-        F.when(bucket < 230, "train").when(bucket < 243, "val").otherwise("test")
-    )
     spans = (
-        corpus.select("doc_id", F.md5("text").alias("h"), split.alias("split"))
+        corpus.select("doc_id", F.md5("text").alias("h"), split_col().alias("split"))
         .groupBy("h")
         .agg(
             F.countDistinct("split").alias("n_splits"),

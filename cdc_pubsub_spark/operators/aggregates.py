@@ -740,10 +740,8 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()[0]
     total = int(sketch_row["total"])
     jvm = spark.sparkContext._jvm
-    import io
-
     cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
-        io.BytesIO(bytes(sketch_row["cms"])).read()
+        bytes(sketch_row["cms"])
     )
     exact = events.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("exact_count")

@@ -123,33 +123,44 @@ class ChangefeedStreamDataSource(DataSource):
 
 
 class ChangefeedStreamReader(DataSourceStreamReader):
-    """Offset-managed micro-batch reader: offsets are key positions; each
-    micro-batch covers [start, min(start+rows_per_batch, n+1)) split into
-    2 partition tasks. Offsets are JSON dicts checkpointed by Spark — a
-    crashed query resumes from the last committed key, the exactly-once
-    source contract the reference's HTTP listener could not offer
-    (its ACK-on-failure bug is the opposite, publisher.go:209-211)."""
+    """Offset-managed micro-batch reader: offsets are key positions,
+    checkpointed by Spark as JSON dicts. `latestOffset` reports the
+    TRUE frontier of the (bounded) source — all n keys — never a
+    simulated partial frontier: a restarted reader instance must return
+    an offset >= the checkpointed start or the offset log regresses and
+    committed keys replay. Because rows are a pure function of the key
+    range, re-planning [checkpointed start, n+1) after a crash re-reads
+    exactly the unprocessed keys — offset-based exactly-once resume,
+    the contract the reference's HTTP listener could not offer (its
+    ACK-on-failure bug is the opposite, publisher.go:209-211). Each
+    batch's range splits into `parts` partition tasks."""
 
-    def __init__(self, n: int, rows_per_batch: int) -> None:
+    def __init__(self, n: int, rows_per_batch: int, parts: int = 2) -> None:
         self.n = n
-        self.rows_per_batch = rows_per_batch
+        self.rows_per_batch = rows_per_batch  # kept: per-batch split hint
+        self.parts = parts
 
     def initialOffset(self) -> dict:
         return {"k": 1}
 
     def latestOffset(self) -> dict:
-        # Advance the available frontier by one batch per poll, capped at
-        # the end — the driver-side simulation of "more data arrived".
-        cur = getattr(self, "_frontier", 1)
-        nxt = min(cur + self.rows_per_batch, self.n + 1)
-        self._frontier = nxt
-        return {"k": nxt}
+        # The bounded source's real frontier: everything. Deriving this
+        # from driver-instance memory instead (e.g. advancing by
+        # rows_per_batch per poll) breaks on restart — a fresh instance
+        # would report an offset BEHIND the checkpoint.
+        return {"k": self.n + 1}
 
     def partitions(self, start: dict, end: dict):
         lo, hi = start["k"], end["k"]
-        mid = (lo + hi) // 2
-        parts = [(lo, mid), (mid, hi)]
-        return [InputPartition(p) for p in parts if p[0] < p[1]]
+        if lo >= hi:
+            return []
+        step = max(1, (hi - lo) // self.parts)
+        bounds = list(range(lo, hi, step)) + [hi]
+        return [
+            InputPartition((a, b))
+            for a, b in zip(bounds, bounds[1:])
+            if a < b
+        ]
 
     def read(self, partition: InputPartition):
         lo, hi = partition.value
@@ -181,12 +192,13 @@ def source_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     This is the reference's ingest server rebuilt as a first-class
     streaming CONNECTOR rather than a daemon: partitioned parallel reads
-    per micro-batch (2 tasks per batch here), offset-based exactly-once
-    resume from the checkpoint, schema enforcement, and full Catalyst
-    integration on the stream. The frontier advances rows_per_batch keys
-    per poll until n (2000), so the drained aggregate is deterministic
-    and carries the SAME exact oracle as the batch source — a custom
-    streaming connector whose output is still hash-verified.
+    per micro-batch, offset-based exactly-once resume from the
+    checkpoint (latestOffset reports the bounded source's true frontier,
+    so a restart re-plans exactly the unprocessed key range — never a
+    regressed offset), schema enforcement, and full Catalyst integration
+    on the stream. All n (2000) keys drain deterministically, so the
+    aggregate carries the SAME exact oracle as the batch source — a
+    custom streaming connector whose output is still hash-verified.
     """
     import os as _os
     import time as _time
@@ -198,6 +210,15 @@ def source_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.dataSource.register(ChangefeedStreamDataSource)
     except Exception:
         pass  # already registered in this session
+    # Each invocation materializes a fresh memory-sink view; drop the
+    # previous invocation's view so repeated runs in one session don't
+    # accumulate aggregate tables in driver memory.
+    prev = getattr(source_python_stream, "_last_qname", None)
+    if prev is not None:
+        try:
+            spark.catalog.dropTempView(prev)
+        except Exception:
+            pass
     n_total = 2000
     stream = (
         spark.readStream.format("cdc_synthetic_stream")
@@ -237,6 +258,11 @@ def source_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"python stream source drained {got}/{n_total} rows in 120 s"
             )
     finally:
-        q.stop()  # graceful: completes the in-flight batch, then halts
+        # stop() interrupts the stream execution thread (it does NOT
+        # promise to finish an in-flight batch); safe here because the
+        # drain loop already verified the committed totals and the
+        # memory sink's complete-mode commit is atomic.
+        q.stop()
         q.awaitTermination()
+    source_python_stream._last_qname = qname
     return spark.table(qname)

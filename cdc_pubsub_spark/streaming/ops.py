@@ -1292,7 +1292,10 @@ def stream_push_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                     break
             _time.sleep(0.25)
     finally:
-        q.stop()  # graceful: completes the in-flight batch, then halts
+        # stop() interrupts the stream execution thread (no promise to
+        # finish an in-flight batch); safe because the drain condition
+        # was already verified and the memory sink commits atomically.
+        q.stop()
         q.awaitTermination()
     return spark.table(qname)
 
@@ -1575,6 +1578,9 @@ def stream_socket_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
     finally:
         done_evt.set()
-        q.stop()  # graceful: completes the in-flight batch, then halts
+        # stop() interrupts the stream execution thread (no promise to
+        # finish an in-flight batch); safe because the drain condition
+        # was already verified and the memory sink commits atomically.
+        q.stop()
         q.awaitTermination()
     return spark.table(qname)

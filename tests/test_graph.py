@@ -6,15 +6,18 @@ import cdc_pubsub_spark.all_queries  # noqa: F401
 from cdc_pubsub_spark.registry import REGISTRY
 
 
-def test_pagerank_mass_conserved_and_positive(spark, sf_dir):
-    """PageRank with teleport over a graph where every node has out-edges
-    conserves total mass (sum of ranks = 1) and every rank is at least
-    the teleport floor 0.15/N."""
+def test_pagerank_teleport_floor_and_shape(spark, sf_dir):
+    """Every returned rank must sit at or above the teleport floor
+    0.15/N (mass is NOT conserved at small sf: the modular edge maps
+    point partly outside the small fixture's vertex set, and both the
+    engine and the oracle drop that mass identically — parity, not
+    conservation, is the contract)."""
     rows = REGISTRY["graph_pagerank"].fn(spark, sf_dir).collect()
     assert 1 <= len(rows) <= 25  # top-25, fewer if the sf has fewer users
-    # rank_ppb = pr * 1e9; floor bound with generous rounding slack.
+    # rank_ppb = pr * 1e9; N <= 1000 users, so floor >= 0.15e9/1000
+    # minus rounding slack.
     for r in rows:
-        assert r["rank_ppb"] > 0.15 * 1e9 / 2_000_000, r
+        assert r["rank_ppb"] >= 0.15 * 1e9 / 1000 - 1, r
 
 
 def test_triangle_count_nonempty_and_ring_triples(spark, sf_dir):
