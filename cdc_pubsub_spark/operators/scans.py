@@ -103,3 +103,48 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
     back = spark.read.parquet(out)
     return back.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+@register(
+    "scan_file_metadata",
+    category="scans",
+    bench=False,
+    oracle="""
+    SELECT 'lineitem' AS tbl, 1 AS n_files, count(*) AS n_rows FROM lineitem
+    UNION ALL
+    SELECT 'orders', 1, count(*) FROM orders
+    UNION ALL
+    SELECT 'events', 1, count(*) FROM events
+    """,
+)
+def scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level scan observability via the `_metadata` hidden column:
+    per table, how many physical files back the scan and how many rows
+    they carry — the "what will this query actually read" surface that
+    compaction decisions (sink_compaction) and small-files monitoring
+    build on.
+
+    `_metadata` is Spark's per-file struct (path, size, mtime) exposed
+    on every file-source scan at zero extra IO — the file count is a
+    distinct over the constant-per-file path column inside the SAME
+    scan that counts rows, never a second filesystem listing. The
+    driver's fixtures are one parquet file per table, which the oracle
+    states as the expected constant — a multi-file table would surface
+    as a hash mismatch, which is exactly the audit's job. At 100 TB
+    the same two columns feed the small-files alert (files ≫ optimal
+    for the row count ⇒ run sink_compaction).
+    """
+    parts = []
+    for tbl in ("lineitem", "orders", "events"):
+        df = load(spark, sf_dir, tbl)
+        parts.append(
+            df.select(F.col("_metadata.file_path").alias("fp")).groupBy().agg(
+                F.lit(tbl).alias("tbl"),
+                F.countDistinct("fp").cast("int").alias("n_files"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
