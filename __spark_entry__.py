@@ -127,6 +127,7 @@ _RECERTIFY = [
     "dedup_embed_cosine",
     "dedup_minhash_lsh",
     "text_lm_perplexity",
+    "corpus_train_val_split",  # oracle re-expressed via SPLIT_CASE_SQL (same semantics)
     "dedup_containment",
     "events_cohort_retention",
     "tpch_q14_promo_revenue",
