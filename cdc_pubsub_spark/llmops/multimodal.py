@@ -90,14 +90,32 @@ def _decode_fake(payload: bytes) -> tuple[int, int]:
     return w, h
 
 
-@register("multimodal_decode_stub", category="multimodal", oracle=None, bench=False)
+@register(
+    "multimodal_decode_stub",
+    category="multimodal",
+    bench=False,
+    oracle="""
+    SELECT doc_id,
+           CAST(ascii(substr(text, 1, 1)) % 64 + 1 AS INT) AS width,
+           CAST(ascii(substr(text, 2, 1)) % 64 + 1 AS INT) AS height,
+           true AS decoded_ok
+    FROM documents
+    WHERE doc_id <= 500
+    """,
+)
 def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas decode kernel over binary payloads (stubbed codec).
 
     Arrow streams record batches into Python; the kernel decodes each
     payload and emits typed features. Batch shape, schema declaration,
     and executor-side iteration are production-real; only the codec call
-    is faked (deterministically) because the container has no media libs.
+    is faked (deterministically) because the container has no media libs
+    — and because the fake is a pure function of the payload bytes
+    (dims from the first two bytes), the whole Arrow round-trip carries
+    an EXACT SQL oracle: the fixture text is ASCII, so byte k equals
+    the code point of character k and DuckDB's ascii(substr(...))
+    reproduces the kernel bit-for-bit (the real WAV/PPM codecs in
+    multimodal_av_features cover the non-stub path).
     """
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") <= 500)
     payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
@@ -128,7 +146,19 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_frame_sample", category="multimodal", oracle=None, bench=False)
+@register(
+    "multimodal_frame_sample",
+    category="multimodal",
+    bench=False,
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) % 50 + 10 AS INT) AS n_frames,
+           CAST(unnest(range(0, strlen(text) % 50 + 10, 5)) AS INT)
+             AS frame_idx
+    FROM documents
+    WHERE doc_id <= 200
+    """,
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling plumbing: one row per sampled frame index.
 
