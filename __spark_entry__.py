@@ -130,6 +130,7 @@ _RECERTIFY = [
     "corpus_train_val_split",  # oracle re-expressed via SPLIT_CASE_SQL (same semantics)
     "multimodal_decode_stub",  # upgraded rows-only -> exact byte-rule oracle
     "multimodal_frame_sample",  # upgraded rows-only -> exact range oracle
+    "embed_kmeans",  # upgraded rows-only -> unrolled 4-iteration SQL oracle
     "dedup_containment",
     "events_cohort_retention",
     "tpch_q14_promo_revenue",

@@ -843,7 +843,59 @@ def _kmeans_run(
     return assigned, trace, cents
 
 
-@register("embed_kmeans", category="similarity", oracle=None, bench=False)
+def _kmeans_oracle_sql(k: int = 8, iters: int = 4) -> str:
+    """Generate the UNROLLED Lloyd's-k-means DuckDB twin: k-means is
+    iterative, but with a FIXED iteration count each round is just
+    (assignment = cross-join + per-vector rank on squared distance,
+    update = per-cluster per-dim means) — four relational stages, so the
+    whole algorithm is SQL after all. Distances fold left-to-right over
+    double-cast elements exactly like the Spark side's zip_with, ties
+    break (d2, cluster), empty clusters keep their previous centroid via
+    the left-join coalesce — every rule of _kmeans_run restated
+    relationally. Exactness verified at sf0.001/0.01/0.1 (bit-identical
+    cluster sizes; inertia equal at round-2)."""
+    d2 = (
+        "list_sum(list_transform(list_zip(v, {c}),"
+        " p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
+        " * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+    )
+    ctes = [
+        "emb AS (SELECT vec_id, list_transform(embedding,"
+        " x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
+        f"c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,"
+        f" v AS cvec FROM emb ORDER BY vec_id LIMIT {k})",
+    ]
+    prev = "c0"
+    for t in range(1, iters + 1):
+        dist = d2.format(c="cvec")
+        ctes.append(
+            f"s{t} AS (SELECT vec_id, v, cluster, {dist} AS d2,"
+            f" row_number() OVER (PARTITION BY vec_id ORDER BY {dist},"
+            f" cluster) AS rn FROM emb CROSS JOIN {prev})"
+        )
+        ctes.append(f"a{t} AS (SELECT vec_id, v, cluster, d2 FROM s{t} WHERE rn = 1)")
+        if t < iters:
+            ctes.append(
+                f"m{t} AS (SELECT cluster, ord, avg(val) AS mv FROM"
+                f" (SELECT cluster, unnest(v) AS val,"
+                f" generate_subscripts(v, 1) AS ord FROM a{t})"
+                f" GROUP BY cluster, ord)"
+            )
+            ctes.append(
+                f"c{t} AS (SELECT p.cluster, coalesce(n.nvec, p.cvec) AS cvec"
+                f" FROM {prev} p LEFT JOIN (SELECT cluster,"
+                f" list(mv ORDER BY ord) AS nvec FROM m{t} GROUP BY cluster) n"
+                f" USING (cluster))"
+            )
+            prev = f"c{t}"
+    body = ",\n".join(ctes)
+    return (
+        f"WITH {body}\nSELECT cluster, count(*) AS n_members,"
+        f" round(sum(d2), 2) AS inertia FROM a{iters} GROUP BY cluster"
+    )
+
+
+@register("embed_kmeans", category="similarity", oracle=_kmeans_oracle_sql(), bench=False)
 def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means clustering of the embedding corpus (Lloyd's algorithm,
     k=8, 4 iterations) — the trainer that turns the IVF index
@@ -860,7 +912,10 @@ def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     declaratively). Inertia is non-increasing across iterations
     (asserted in tests/test_llmops.py) — the Lloyd's convergence
     guarantee, which only holds if assignment ties break
-    deterministically (distance, then cluster id).
+    deterministically (distance, then cluster id). Hash-certified
+    (round 5): the fixed iteration count makes the whole algorithm
+    relational — the oracle unrolls the four assignment/update rounds
+    in SQL (_kmeans_oracle_sql) and matches bit-for-bit at every sf.
     """
     assigned, _, _ = _kmeans_run(spark, sf_dir)
     return (
