@@ -14,6 +14,7 @@ _MODULES = [
     "cdc_pubsub_spark.operators.filters",
     "cdc_pubsub_spark.operators.joins",
     "cdc_pubsub_spark.operators.composite",
+    "cdc_pubsub_spark.operators.tpch_more",
     "cdc_pubsub_spark.operators.windows",
     "cdc_pubsub_spark.operators.sorts",
     "cdc_pubsub_spark.operators.setops",

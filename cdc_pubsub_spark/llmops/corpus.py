@@ -189,6 +189,7 @@ SHINGLES_CTE = """
 """
 
 
+from cdc_pubsub_spark.functions.rounding import r4  # noqa: E402
 from cdc_pubsub_spark.registry import register  # noqa: E402
 
 
@@ -396,4 +397,144 @@ def corpus_split_leakage(spark, sf_dir):
         F.count(F.lit(1)).alias("leaked_groups"),
         F.sum("n_docs").cast("bigint").alias("leaked_docs"),
         F.min("canonical_id").alias("first_canonical"),
+    )
+
+
+@register(
+    "corpus_sequence_pack",
+    category="corpus",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, (n_chars + 3) // 4 AS tok,
+             row_number() OVER (
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS pos
+      FROM documents
+    ),
+    packed AS (
+      SELECT doc_id, tok,
+             CAST(sum(tok) OVER (ORDER BY pos ROWS UNBOUNDED PRECEDING) - tok
+                  AS BIGINT) AS start_tok
+      FROM toks
+    )
+    SELECT
+      start_tok // 2048                                   AS seq_id,
+      count(*)                                            AS n_docs,
+      CAST(sum(tok) AS BIGINT)                            AS tokens_begun,
+      CAST(sum(CASE WHEN (start_tok + tok - 1) // 2048 > start_tok // 2048
+               THEN 1 ELSE 0 END) AS BIGINT)              AS n_straddle,
+      min(doc_id)                                         AS first_doc
+    FROM packed
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def corpus_sequence_pack(spark, sf_dir):
+    """Training-sequence packing: concatenate the corpus in deterministic
+    hash order and chunk it into fixed 2048-token sequences — the LLM
+    pretraining layout (docs are concatenated and split at sequence
+    boundaries; a doc may straddle two sequences).
+
+    Token counts use the ~4-chars/token heuristic ((n_chars+3) div 4 —
+    all-integer, so every cumulative position is exact across engines).
+    Each doc's sequence is floor(cumulative-start / 2048); per sequence
+    the op reports docs begun, tokens contributed, boundary straddles,
+    and the first doc id — the manifest a dataloader needs to seek into
+    the packed stream. The running total is a single ordered window
+    (ROWS UNBOUNDED PRECEDING = streaming partial sum); at 100 TB the
+    same manifest builds per hash-range partition with per-partition
+    offsets re-based by one tiny exclusive-prefix-sum of partition
+    totals on the driver (the classic distributed scan pattern), so no
+    global single-partition window is needed.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.expr("(n_chars + 3) div 4").alias("tok"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = (
+        Window.orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.select(
+        "doc_id",
+        "tok",
+        (F.sum("tok").over(w) - F.col("tok")).alias("start_tok"),
+    )
+    return (
+        packed.groupBy(F.expr("start_tok div 2048").alias("seq_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok").cast("bigint").alias("tokens_begun"),
+            F.sum(
+                F.when(
+                    F.expr("(start_tok + tok - 1) div 2048") > F.expr("start_tok div 2048"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_straddle"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("seq_id")
+    )
+
+
+@register(
+    "corpus_domain_mix",
+    category="corpus",
+    oracle="""
+    WITH per_source AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum((n_chars + 3) // 4) AS BIGINT) AS tokens
+      FROM documents GROUP BY source
+    ),
+    total AS (SELECT CAST(sum(tokens) AS DOUBLE) AS total_tokens FROM per_source)
+    SELECT
+      source, n_docs, tokens,
+      floor(tokens / total_tokens * 10000 + 0.5) / 10000             AS share,
+      floor(least(3.0, 0.05 * total_tokens / tokens) * 10000 + 0.5) / 10000
+                                                                     AS sample_weight
+    FROM per_source CROSS JOIN total
+    ORDER BY source
+    """,
+)
+def corpus_domain_mix(spark, sf_dir):
+    """Domain-mixture weighting: per-source token shares and the sampling
+    weights that re-balance the corpus to a uniform 1/20-per-source
+    target — the data-mixing step every pretraining run tunes (upweight
+    scarce domains, downweight dominant ones, cap repetition at 3
+    epochs per the data-constrained-scaling rule of thumb).
+
+    weight_s = min(3.0, target_share / actual_share): a source already
+    at target gets 1.0, a scarce one is repeated (capped at 3x), an
+    over-represented one is subsampled. One aggregate per source plus a
+    broadcast 1-row total — two shuffles total regardless of corpus
+    size; shares and weights are division-created doubles, so both
+    engines use the floor-formula r4.
+    """
+    docs = load(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.expr("(n_chars + 3) div 4")).cast("bigint").alias("tokens"),
+    )
+    total = F.broadcast(
+        per_source.agg(F.sum("tokens").cast("double").alias("total_tokens"))
+    )
+    return (
+        per_source.crossJoin(total)
+        .select(
+            "source",
+            "n_docs",
+            "tokens",
+            r4(F.col("tokens") / F.col("total_tokens")).alias("share"),
+            r4(
+                F.least(
+                    F.lit(3.0),
+                    F.lit(0.05) * F.col("total_tokens") / F.col("tokens"),
+                )
+            ).alias("sample_weight"),
+        )
+        .orderBy("source")
     )

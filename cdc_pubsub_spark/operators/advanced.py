@@ -487,3 +487,63 @@ def profile_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         " 'totalprice_positive', cast(range_v AS bigint)"
         ") AS (constraint_name, violations)"
     )
+
+
+@register(
+    "profile_histogram",
+    category="advanced",
+    oracle="""
+    WITH cents AS (
+      SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+      FROM orders
+    ),
+    bounds AS (
+      SELECT min(c) AS lo, (max(c) - min(c)) // 20 + 1 AS width FROM cents
+    )
+    SELECT
+      (c - lo) // width                                  AS bucket,
+      CAST(lo + ((c - lo) // width) * width AS BIGINT)   AS lo_cents,
+      count(*)                                           AS n_orders,
+      CAST(sum(c) AS BIGINT)                             AS sum_cents
+    FROM cents CROSS JOIN bounds
+    GROUP BY 1, 2
+    ORDER BY 1
+    """,
+)
+def profile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bucket histogram of order totals — the numeric-
+    profiling staple (data discovery, drift monitoring, NDV sanity).
+
+    The classic two-pass shape: pass 1 is a scalar min/max aggregate,
+    broadcast back as a 1-row cross join; pass 2 buckets every row by
+    integer arithmetic and aggregates per bucket. Prices convert to
+    integer cents first (floor-formula — exact for 2-decimal doubles),
+    making bucket width and membership ALL-integer: no float boundary
+    can disagree between engines, the same trick the determinism
+    contract uses for timestamps. At 100 TB this is two scans (or one
+    with a cached min/max from table stats); the bucket aggregate is
+    20 groups — map-side combine collapses it before the shuffle.
+    """
+    orders = load(spark, sf_dir, "orders")
+    cents = orders.select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias("c")
+    )
+    bounds = F.broadcast(
+        cents.agg(
+            F.min("c").alias("lo"),
+            F.expr("(max(c) - min(c)) div 20 + 1").alias("width"),
+        )
+    )
+    bucket = F.expr("(c - lo) div width")
+    return (
+        cents.crossJoin(bounds)
+        .groupBy(
+            bucket.alias("bucket"),
+            (F.col("lo") + bucket * F.col("width")).cast("bigint").alias("lo_cents"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("c").cast("bigint").alias("sum_cents"),
+        )
+        .orderBy("bucket")
+    )

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from cdc_pubsub_spark.functions.rounding import r2, r4
 from cdc_pubsub_spark.registry import register
@@ -631,4 +632,95 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("az") > 3.0, 1)).alias("n_anomalies"),
             r4(F.max("az")).alias("max_abs_z"),
         )
+    )
+
+
+@register(
+    "events_sessionize",
+    category="composite",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+    ),
+    lagged AS (
+      SELECT user_id, event_id, us,
+             CASE WHEN lag(us) OVER w IS NULL
+                    OR us - lag(us) OVER w > 43200000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    sess AS (
+      SELECT user_id, us,
+             sum(is_new) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS sess_idx
+      FROM lagged
+    ),
+    grouped AS (
+      SELECT user_id, sess_idx, count(*) AS n_events,
+             (max(us) - min(us)) // 1000000 AS dur_s
+      FROM sess GROUP BY user_id, sess_idx
+    )
+    SELECT
+      n_events                                   AS session_len,
+      count(*)                                   AS n_sessions,
+      CAST(sum(dur_s) AS BIGINT)                 AS total_duration_s,
+      floor(avg(dur_s) * 100 + 0.5) / 100        AS avg_duration_s
+    FROM grouped
+    GROUP BY n_events
+    ORDER BY n_events
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: gap-based session assignment (a >12h silence
+    starts a new session) via the lag + running-sum idiom, then a
+    session-length histogram — the batch twin of the engine's streaming
+    ``stream_session`` (session_window) operator.
+
+    The canonical two-window stack: lag() marks session starts, a
+    running sum over the same (user, time) order turns the marks into
+    dense per-user session indexes — ONE shuffle on user_id serves both
+    windows and the per-session aggregate (Catalyst reuses the
+    partitioning across all three). Durations are integer epoch-micros
+    arithmetic (determinism contract); only the final histogram average
+    is division-created, so it uses the floor-formula r2. At 100 TB
+    sessionization is the textbook skew case — a bot user with millions
+    of events serializes its partition; the mitigation (documented, not
+    needed at fixture scale) is a two-level pass: split each user by
+    day, sessionize within day, then merge boundary sessions.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    )
+    order_w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    lagged = ev.select(
+        "user_id",
+        "event_id",
+        "us",
+        F.when(
+            F.lag("us").over(order_w).isNull()
+            | ((F.col("us") - F.lag("us").over(order_w)) > 43_200_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    run_w = order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = lagged.select(
+        "user_id", "us", F.sum("is_new").over(run_w).alias("sess_idx")
+    )
+    grouped = sess.groupBy("user_id", "sess_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr("(max(us) - min(us)) div 1000000").alias("dur_s"),
+    )
+    return (
+        grouped.groupBy(F.col("n_events").alias("session_len"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("dur_s").cast("bigint").alias("total_duration_s"),
+            r2(F.avg("dur_s")).alias("avg_duration_s"),
+        )
+        .orderBy("session_len")
     )

@@ -236,3 +236,92 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_triangles").desc(), "node")
         .limit(10)
     )
+
+
+def _cc_doubling_sql(rounds: int) -> str:
+    """Statically unrolled pointer-doubling CTE chain: p{k+1}(u) = p{k}(p{k}(u))."""
+    ctes = []
+    for k in range(1, rounds + 1):
+        prev = f"p{k - 1}"
+        ctes.append(
+            f"p{k} AS (SELECT a.node, b.parent FROM {prev} a "
+            f"JOIN {prev} b ON a.parent = b.node)"
+        )
+    return ",\n    ".join(ctes)
+
+
+@register(
+    "graph_connected_components",
+    category="graph",
+    bench=False,  # 9 sequential join stages on a 1000-row relation: the
+    # timed cost is Spark's per-stage scheduling/codegen floor (~6 s for
+    # ~10 KB of data), not query work — same exclusion rationale as
+    # dedup_near. Correctness still gates via the sf0.01 oracle; the
+    # op's value is the log-round stage count at real scale.
+    oracle=f"""
+    WITH nodes AS (SELECT DISTINCT user_id % 1000 AS node FROM events),
+    p0 AS (
+      SELECT n.node,
+             CASE WHEN m.node IS NOT NULL THEN n.node - 7 ELSE n.node END AS parent
+      FROM nodes n LEFT JOIN nodes m ON m.node = n.node - 7
+    ),
+    {_cc_doubling_sql(8)}
+    SELECT parent AS component_root,
+           count(*) AS n_members,
+           min(node) AS min_node,
+           max(node) AS max_node
+    FROM p8
+    GROUP BY parent
+    ORDER BY component_root
+    """,
+)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components by pointer doubling (8 unrolled rounds) — the
+    log-diameter CC algorithm as a pure Catalyst DAG with an exact
+    relational oracle.
+
+    The deterministic graph is 7 disjoint chains over the event users
+    (node → node-7 while that node exists; ids folded mod 1000, same
+    universe as the sibling graph ops): max chain length 143, so
+    pointer doubling — parent(u) := parent(parent(u)), doubling the hop
+    distance each round — converges every node to its chain root in
+    ceil(log2(143)) = 8 self-joins. That log-round bound is the whole
+    point at 100 TB: naive min-label propagation needs diameter (here
+    143) shuffle rounds, doubling needs 8, each one equi-join of the
+    node→parent relation with itself on an integer key (the
+    Shiloach-Vishkin / "hash-to-min" MapReduce CC idea). Stage count is
+    data-independent — fixed 8 rounds covers any diameter ≤ 256 — so
+    unlike fixpoint loops the plan is one static DAG, and the identical
+    unrolling runs in SQL for an exact hash check (dedup_cluster covers
+    the run-to-convergence driver-loop variant).
+    """
+    nodes = (
+        load(spark, sf_dir, "events")
+        .select((F.col("user_id") % 1000).alias("node"))
+        .distinct()
+    )
+    prev_nodes = nodes.select((F.col("node") + 7).alias("succ"))
+    p = (
+        nodes.join(prev_nodes, nodes["node"] == prev_nodes["succ"], "left")
+        .select(
+            "node",
+            F.when(F.col("succ").isNotNull(), F.col("node") - 7)
+            .otherwise(F.col("node"))
+            .alias("parent"),
+        )
+    )
+    for _ in range(8):
+        a = p.alias("a")
+        b = p.alias("b")
+        p = a.join(b, F.col("a.parent") == F.col("b.node")).select(
+            F.col("a.node").alias("node"), F.col("b.parent").alias("parent")
+        )
+    return (
+        p.groupBy(F.col("parent").alias("component_root"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("node").alias("min_node"),
+            F.max("node").alias("max_node"),
+        )
+        .orderBy("component_root")
+    )

@@ -445,3 +445,122 @@ def test_minhash_hashes_strings_once(spark, sf_dir):
         for x in _re.findall(r"xxhash64\(lambda \w+#\d+L, (\d+), 42\)", plan)
     )
     assert perm == set(range(16)), f"integer permutation salts wrong: {perm}"
+
+
+def test_tpch_q4_is_semi_join(spark, sf_dir):
+    """Q4's EXISTS must plan as a LEFT SEMI join (with the cross-side
+    shipdate-vs-orderdate residual), never a full join + distinct."""
+    df = q("tpch_q4_order_priority", spark, sf_dir)
+    assert uses(df, "LeftSemi"), formatted_plan(df)
+
+
+def test_tpch_q5_broadcasts_all_dims(spark, sf_dir):
+    """Q5: supplier/nation/region broadcast; the only shuffles are the
+    two fact joins plus the final agg+sort."""
+    df = q("tpch_q5_local_volume", spark, sf_dir)
+    assert uses(df, "BroadcastHashJoin"), formatted_plan(df)
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_tpch_q7_dual_nation_roles_broadcast(spark, sf_dir):
+    """Q7 joins nation twice under different roles — both must broadcast
+    and the pair predicate must not force a nested-loop join."""
+    df = q("tpch_q7_volume_shipping", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_tpch_q13_filter_stays_in_outer_join(spark, sf_dir):
+    """Q13's priority filter rides the outer join's ON clause: customers
+    must NOT be filtered (every customer survives), so the plan keeps
+    LeftOuter and no Filter sits above the join on the customer side."""
+    df = q("tpch_q13_order_distribution", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "LeftOuter" in plan, plan
+
+
+def test_tpch_q17_aggregates_before_joining_back(spark, sf_dir):
+    """Q17's correlated avg must be aggregate-first-broadcast-up (the
+    Q18 pattern), not a window over the fact table."""
+    df = q("tpch_q17_small_qty_revenue", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Window" not in plan, plan
+    assert uses(df, "BroadcastHashJoin"), plan
+
+
+def test_tpch_q19_single_join_no_union(spark, sf_dir):
+    """Q19's OR-of-bands must stay ONE join + one filter — Catalyst must
+    not expand the disjunction into a union of three scans."""
+    df = q("tpch_q19_disjunctive_bands", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Union" not in plan, plan
+    import re
+
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 1, plan
+    # Catalyst must factor the lineitem-side quantity bands out of the
+    # disjunction and push them into the parquet scan.
+    assert "Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)" in plan, plan
+
+
+def test_tpch_q22_anti_join_after_scalar_threshold(spark, sf_dir):
+    """Q22: NOT EXISTS plans as LEFT ANTI; the scalar threshold rides a
+    broadcast (1-row) join, not a subquery re-evaluation per row."""
+    df = q("tpch_q22_sales_opportunity", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_sessionize_single_user_shuffle(spark, sf_dir):
+    """Sessionization's two windows + session aggregate must reuse ONE
+    user_id exchange (lag, running sum, and groupBy are co-partitioned);
+    only the final histogram re-shuffles."""
+    df = q("events_sessionize", spark, sf_dir)
+    assert count_exchanges(df) <= 3, formatted_plan(df)
+
+
+def test_sequence_pack_is_single_ordered_window(spark, sf_dir):
+    """The packing prefix-sum is one ordered window over integer token
+    counts — no join, no Python."""
+    df = q("corpus_sequence_pack", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_domain_mix_broadcasts_total(spark, sf_dir):
+    """The corpus-total scalar must broadcast back onto per-source rows."""
+    df = q("corpus_domain_mix", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_connected_components_rounds_are_equi_joins(spark, sf_dir):
+    """Pointer doubling must stay 9 equi-joins on integer keys — a
+    nested-loop anywhere means the parent equality got lost."""
+    df = q("graph_connected_components", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_tpch_q21_semi_and_anti_self_joins(spark, sf_dir):
+    """Q21's two correlated subqueries must plan as LEFT SEMI + LEFT
+    ANTI against lineitem — never joins + distinct."""
+    df = q("tpch_q21_sole_late_supplier", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert uses(df, "TakeOrderedAndProject"), plan
+
+
+def test_profile_histogram_broadcasts_bounds(spark, sf_dir):
+    """The min/max bounds row must broadcast back; the bucket aggregate
+    collapses map-side (20 groups), so exactly two exchanges exist
+    (bounds aggregate + bucket aggregate)."""
+    df = q("profile_histogram", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert count_exchanges(df) <= 3, plan
