@@ -538,3 +538,122 @@ def corpus_domain_mix(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@register(
+    "corpus_resample_to_mix",
+    category="corpus",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, (n_chars + 3) // 4 AS tok,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 5, 2)) AS INT)
+               AS rbyte
+      FROM documents
+    ),
+    per_source AS (
+      SELECT source, CAST(sum(tok) AS BIGINT) AS tokens FROM toks GROUP BY source
+    ),
+    total AS (SELECT CAST(sum(tokens) AS DOUBLE) AS total_tokens FROM per_source),
+    weighted AS (
+      SELECT source, least(3.0, 0.05 * total_tokens / tokens) AS w
+      FROM per_source CROSS JOIN total
+    ),
+    copies AS (
+      SELECT t.doc_id, t.source, t.tok,
+             CAST(floor(w) AS BIGINT)
+             + CASE WHEN t.rbyte < CAST(floor((w - floor(w)) * 256) AS INT)
+                    THEN 1 ELSE 0 END AS n_copies
+      FROM toks t JOIN weighted USING (source)
+    ),
+    resampled AS (
+      SELECT doc_id, source, tok
+      FROM copies, LATERAL unnest(range(0, n_copies)) AS r(i)
+    )
+    SELECT
+      source,
+      count(DISTINCT doc_id)          AS n_docs_in,
+      count(*)                        AS n_rows_out,
+      CAST(sum(tok) AS BIGINT)        AS tokens_out,
+      floor(sum(tok)
+            / (SELECT sum(tok) FROM resampled) * 10000 + 0.5) / 10000
+                                      AS achieved_share
+    FROM resampled
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def corpus_resample_to_mix(spark, sf_dir):
+    """Apply the domain-mix weights: materialize the re-balanced corpus
+    by deterministic repetition/subsampling and report the mix actually
+    achieved — the execution half of ``corpus_domain_mix``'s plan.
+
+    Each doc replicates floor(w) times plus one more when its hash byte
+    (md5 byte 3 — disjoint from the split byte 1 and the stratified-
+    sample byte 2, so resampling is independent of split membership)
+    falls below the fractional remainder scaled to 256 — stochastic
+    rounding made deterministic and content-stable: re-running, or
+    growing OTHER sources, never changes whether THIS doc repeats.
+    Replication is a row-local generate (explode of a per-row range —
+    zero shuffle), so the only exchanges are the tiny per-source
+    aggregates; the achieved share converges to the target as corpus
+    size grows (256-quantization error ≤ 1/256 per source). The
+    weights themselves are division-created doubles computed from
+    exact integer token counts, hence bit-identical cross-engine.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.expr("(n_chars + 3) div 4").alias("tok"),
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 5, 2), 16, 10
+        ).cast("int").alias("rbyte"),
+    )
+    per_source = toks.groupBy("source").agg(F.sum("tok").cast("bigint").alias("tokens"))
+    total = F.broadcast(
+        per_source.agg(F.sum("tokens").cast("double").alias("total_tokens"))
+    )
+    weighted = F.broadcast(
+        per_source.crossJoin(total).select(
+            "source",
+            F.least(
+                F.lit(3.0), F.lit(0.05) * F.col("total_tokens") / F.col("tokens")
+            ).alias("w"),
+        )
+    )
+    copies = toks.join(weighted, "source").select(
+        "doc_id",
+        "source",
+        "tok",
+        (
+            F.floor("w").cast("bigint")
+            + F.when(
+                F.col("rbyte")
+                < F.floor((F.col("w") - F.floor("w")) * 256).cast("int"),
+                1,
+            ).otherwise(0)
+        ).alias("n_copies"),
+    )
+    # array_repeat, NOT sequence(1, n): Spark's sequence is descending
+    # for n=0 (sequence(1,0) = [1,0]) — a subsampled doc (0 copies) must
+    # explode into ZERO rows, which array_repeat's empty array gives.
+    resampled = copies.select(
+        "doc_id",
+        "source",
+        "tok",
+        F.explode(F.expr("array_repeat(1, int(n_copies))")).alias("i"),
+    )
+    grand_total = F.broadcast(
+        resampled.agg(F.sum("tok").cast("double").alias("gt"))
+    )
+    return (
+        resampled.crossJoin(grand_total)
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs_in"),
+            F.count(F.lit(1)).alias("n_rows_out"),
+            F.sum("tok").cast("bigint").alias("tokens_out"),
+            r4(F.sum("tok") / F.first("gt")).alias("achieved_share"),
+        )
+        .orderBy("source")
+    )

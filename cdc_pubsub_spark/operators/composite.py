@@ -724,3 +724,66 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("session_len")
     )
+
+
+@register(
+    "events_ohlc_resample",
+    category="composite",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type, value,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_idx
+      FROM events
+    )
+    SELECT
+      day_idx,
+      event_type,
+      arg_min(value, us)        AS open,
+      round(max(value), 2)      AS high,
+      round(min(value), 2)      AS low,
+      arg_max(value, us)        AS close,
+      count(*)                  AS n_events,
+      round(sum(value), 2)      AS volume
+    FROM ev
+    GROUP BY day_idx, event_type
+    ORDER BY day_idx, event_type
+    """,
+)
+def events_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling: per-day, per-type open/high/low/close bars —
+    the time-series resampling staple (monitoring rollups, market bars,
+    sensor decimation).
+
+    open/close are min_by/max_by on the integer epoch-micros key — ONE
+    aggregate pass carrying (value, ts) pairs through partial
+    aggregation, where the naive formulation is two window sorts or two
+    join-backs. Day bucketing is integral division of epoch-micros
+    (determinism contract — no timezone/date library in the hot path).
+    Fixture timestamps are globally unique (asserted across sfs), so
+    the argmin/argmax keys need no tie-break; high/low/open/close are
+    stored row values (no arithmetic — bit-identical cross-engine).
+    At 100 TB this shape is the sketch-rollup template's exact twin:
+    coarser grains (week/month) re-aggregate these bars — min/max/sum
+    merge, and open/close re-derive via min_by(open, day_idx) — never
+    rescanning raw events.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    return (
+        ev.groupBy(
+            F.expr("us div 86400000000").alias("day_idx"), "event_type"
+        )
+        .agg(
+            F.min_by("value", F.col("us")).alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.max_by("value", F.col("us")).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("volume"),
+        )
+        .orderBy("day_idx", "event_type")
+    )

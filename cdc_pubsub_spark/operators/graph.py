@@ -310,6 +310,18 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("parent"),
         )
     )
+    # p{k+1} references p{k} TWICE (probe and build side of the
+    # self-join), so the LOGICAL plan doubles per round; physically,
+    # Spark's exchange reuse collapses the identical subtrees again
+    # (PLANS.md shows ~39 ReusedExchange markers), so each generation
+    # computes once. Measured here, an explicit persist() per round is
+    # 7-10x SLOWER: caching materializes every generation as a separate
+    # serial job chain and hides size statistics from AQE's broadcast
+    # conversion. At 100 TB the persist/checkpoint-per-superstep
+    # discipline (cf. dedup_cluster's loop) becomes the right trade —
+    # recomputation there costs real I/O, and lineage truncation
+    # bounds scheduler state — but it is the wrong default at any
+    # scale where exchange reuse suffices.
     for _ in range(8):
         a = p.alias("a")
         b = p.alias("b")

@@ -564,3 +564,24 @@ def test_profile_histogram_broadcasts_bounds(spark, sf_dir):
     plan = formatted_plan(df)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
     assert count_exchanges(df) <= 3, plan
+
+
+def test_ohlc_single_aggregate_pass(spark, sf_dir):
+    """OHLC bars are ONE hash aggregate (min_by/max_by carry the pairs)
+    — no window sorts, no join-backs."""
+    df = q("events_ohlc_resample", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Window" not in plan, plan
+    assert "Join" not in plan, plan
+    assert count_exchanges(df) <= 2, plan  # agg + final order
+
+
+def test_resample_replication_is_rowlocal_generate(spark, sf_dir):
+    """Mix resampling replicates docs via a row-local explode — the
+    Generate must sit below any exchange, and the weight/total joins
+    are broadcasts."""
+    df = q("corpus_resample_to_mix", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Generate" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
