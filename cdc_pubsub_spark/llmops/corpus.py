@@ -423,7 +423,7 @@ def corpus_split_leakage(spark, sf_dir):
       CAST(sum(tok) AS BIGINT)                            AS tokens_begun,
       CAST(sum(CASE WHEN (start_tok + tok - 1) // 2048 > start_tok // 2048
                THEN 1 ELSE 0 END) AS BIGINT)              AS n_straddle,
-      min(doc_id)                                         AS first_doc
+      arg_min(doc_id, start_tok)                          AS first_doc
     FROM packed
     GROUP BY 1
     ORDER BY 1
@@ -475,7 +475,12 @@ def corpus_sequence_pack(spark, sf_dir):
             )
             .cast("bigint")
             .alias("n_straddle"),
-            F.min("doc_id").alias("first_doc"),
+            # The doc whose start OPENS the sequence in pack order (the
+            # dataloader's seek target) — min_by on the unique exact
+            # cumulative start, NOT min(doc_id): docs pack in hash
+            # order, so the numerically smallest id is generally mid-
+            # sequence.
+            F.min_by("doc_id", F.col("start_tok")).alias("first_doc"),
         )
         .orderBy("seq_id")
     )
@@ -593,9 +598,11 @@ def corpus_resample_to_mix(spark, sf_dir):
     falls below the fractional remainder scaled to 256 — stochastic
     rounding made deterministic and content-stable: re-running, or
     growing OTHER sources, never changes whether THIS doc repeats.
-    Replication is a row-local generate (explode of a per-row range —
-    zero shuffle), so the only exchanges are the tiny per-source
-    aggregates; the achieved share converges to the target as corpus
+    Replication is a row-local generate (explode of a per-row repeat —
+    zero shuffle) executed exactly once: the per-source aggregate runs
+    directly on the replicated rows and the grand-total denominator is
+    a second aggregate over that 20-row result, never a second pass
+    over the pipeline. The achieved share converges to the target as corpus
     size grows (256-quantization error ≤ 1/256 per source). The
     weights themselves are division-created doubles computed from
     exact integer token counts, hence bit-identical cross-engine.
@@ -643,17 +650,28 @@ def corpus_resample_to_mix(spark, sf_dir):
         "tok",
         F.explode(F.expr("array_repeat(1, int(n_copies))")).alias("i"),
     )
+    # Aggregate per source FIRST, then take the grand total over the
+    # 20-row grouped result — the replication pipeline (scan, weight
+    # join, explode) runs exactly once. A grand-total aggregate over
+    # `resampled` itself would re-execute the whole pipeline for the
+    # 1-row denominator: the Generate sits below any exchange, so
+    # there is no shuffle boundary for ReusedExchange to collapse.
+    per_out = resampled.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs_in"),
+        F.count(F.lit(1)).alias("n_rows_out"),
+        F.sum("tok").cast("bigint").alias("tokens_out"),
+    )
     grand_total = F.broadcast(
-        resampled.agg(F.sum("tok").cast("double").alias("gt"))
+        per_out.agg(F.sum("tokens_out").cast("double").alias("gt"))
     )
     return (
-        resampled.crossJoin(grand_total)
-        .groupBy("source")
-        .agg(
-            F.countDistinct("doc_id").alias("n_docs_in"),
-            F.count(F.lit(1)).alias("n_rows_out"),
-            F.sum("tok").cast("bigint").alias("tokens_out"),
-            r4(F.sum("tok") / F.first("gt")).alias("achieved_share"),
+        per_out.crossJoin(grand_total)
+        .select(
+            "source",
+            "n_docs_in",
+            "n_rows_out",
+            "tokens_out",
+            r4(F.col("tokens_out") / F.col("gt")).alias("achieved_share"),
         )
         .orderBy("source")
     )

@@ -760,9 +760,10 @@ def events_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation, where the naive formulation is two window sorts or two
     join-backs. Day bucketing is integral division of epoch-micros
     (determinism contract — no timezone/date library in the hot path).
-    Fixture timestamps are globally unique (asserted across sfs), so
-    the argmin/argmax keys need no tie-break; high/low/open/close are
-    stored row values (no arithmetic — bit-identical cross-engine).
+    Fixture timestamps are globally unique (asserted across all sfs by
+    tests/test_determinism.py::test_event_timestamps_unique_at_all_sfs),
+    so the argmin/argmax keys need no tie-break; high/low/open/close
+    are stored row values (no arithmetic — bit-identical cross-engine).
     At 100 TB this shape is the sketch-rollup template's exact twin:
     coarser grains (week/month) re-aggregate these bars — min/max/sum
     merge, and open/close re-derive via min_by(open, day_idx) — never

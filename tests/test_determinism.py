@@ -34,3 +34,26 @@ def test_rerun_identical(spark, sf_dir, name):
     first = canonical_rows(fn(spark, sf_dir).toPandas())
     second = canonical_rows(fn(spark, sf_dir).toPandas())
     assert first == second, f"{name} is nondeterministic across reruns"
+
+
+def test_event_timestamps_unique_at_all_sfs(spark):
+    """events_ohlc_resample's open/close use bare min_by/max_by on the
+    epoch-micros key, which is deterministic ONLY while timestamps are
+    globally unique — min_by tie-breaking is engine-arbitrary (see
+    agg_min_max_by). This is the assertion that license rests on: if a
+    regenerated fixture ever collides two events on the same
+    microsecond, this fails by name instead of the oracle hash failing
+    nondeterministically."""
+    from pyspark.sql import functions as F
+
+    from cdc_pubsub_spark.tables import load
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+               "/root/testdata/sf0.1"):
+        ev = load(spark, sf, "events").select(
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+        )
+        n, d = ev.agg(
+            F.count("us").alias("n"), F.countDistinct("us").alias("d")
+        ).first()
+        assert n == d, f"{sf}: {n - d} duplicate event timestamps"
