@@ -1149,3 +1149,104 @@ def sim_cosine_topk_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(10)
     )
+
+
+@register(
+    "pipeline_embedding_e2e",
+    category="similarity",
+    oracle="""
+    WITH dims AS (
+      SELECT e.vec_id, e.label, t.i,
+             CAST(floor(CAST(e.embedding[t.i] AS DOUBLE) * 127 + 0.5)
+                  AS BIGINT) / 127.0 AS qx
+      FROM embeddings e, range(1, 65) t(i)
+    ),
+    cent AS (
+      SELECT label AS c_label, i, avg(qx) AS c
+      FROM dims GROUP BY label, i
+    ),
+    dist AS (
+      SELECT d.vec_id, d.label, c.c_label,
+             sum((d.qx - c.c) * (d.qx - c.c)) AS d2
+      FROM dims d JOIN cent c ON d.i = c.i
+      GROUP BY d.vec_id, d.label, c.c_label
+    ),
+    assigned AS (
+      SELECT vec_id, label, c_label,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label)
+               AS rn
+      FROM dist
+    )
+    SELECT label,
+           count(*) AS n_vecs,
+           CAST(sum(CASE WHEN c_label = label THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           floor(sum(CASE WHEN c_label = label THEN 1 ELSE 0 END) * 1.0
+                 / count(*) * 10000 + 0.5) / 10000 AS accuracy
+    FROM assigned
+    WHERE rn = 1
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def pipeline_embedding_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedding-side pipeline as ONE declarative plan: int8
+    quantization -> per-label centroid build -> nearest-centroid
+    classification -> per-label accuracy report.
+
+    Composes embed_quantize_int8 (storage tier), embed_centroid (model
+    build), and sim_ann_ivf's assign stage (broadcast-centroid argmin
+    via window rank with a label tie-break) end-to-end with no
+    materialization between stages — Catalyst prunes the embedding
+    scan to (vec_id, label, embedding) once and reuses the exploded-
+    dim stream for BOTH the centroid aggregate and the distance join.
+    Quantization happens BEFORE the centroid/distance math, so every
+    downstream coordinate is an exact multiple of 1/127 — the
+    pipeline measures (and the oracle certifies) the accuracy actually
+    delivered by the compressed representation, the question a storage
+    -tier rollout asks. Centroids are label x dim = 640 rows —
+    broadcast; the only big shuffles key on (vec_id) for the distance
+    aggregate and rank. Accuracy is a division ratio: floor-formula r4.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("i0", "x"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("i0") + 1).alias("i"),
+        (
+            F.floor(F.col("x").cast("double") * 127 + F.lit(0.5)).cast("bigint")
+            / F.lit(127.0)
+        ).alias("qx"),
+    )
+    cent = F.broadcast(
+        dims.groupBy(F.col("label").alias("c_label"), "i").agg(
+            F.avg("qx").alias("c")
+        )
+    )
+    dist = (
+        dims.join(cent, "i")
+        .groupBy("vec_id", "label", "c_label")
+        .agg(F.sum((F.col("qx") - F.col("c")) * (F.col("qx") - F.col("c"))).alias("d2"))
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "c_label")
+    assigned = dist.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    correct = F.when(F.col("c_label") == F.col("label"), 1).otherwise(0)
+    return (
+        assigned.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(correct).cast("bigint").alias("n_correct"),
+            (
+                F.floor(
+                    F.sum(correct) * F.lit(1.0) / F.count(F.lit(1)) * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("accuracy"),
+        )
+        .orderBy("label")
+    )

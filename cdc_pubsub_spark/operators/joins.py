@@ -779,3 +779,103 @@ def join_null_aware_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
            AND o_custkey <> 7)
         """
     )
+
+
+@register(
+    "join_fuzzy_symspell",
+    category="joins",
+    oracle="""
+    WITH dirty AS (
+      SELECT s_suppkey AS d_id,
+             substr(s_name, 1, CAST(10 + (s_suppkey % 8) AS INT) - 1)
+             || substr(s_name, CAST(10 + (s_suppkey % 8) AS INT) + 1) AS d_name
+      FROM supplier
+    ),
+    variants AS (
+      SELECT DISTINCT s_suppkey AS c_id,
+             substr(s_name, 1, CAST(k AS INT) - 1)
+             || substr(s_name, CAST(k AS INT) + 1) AS v
+      FROM supplier, LATERAL unnest(range(1, length(s_name) + 1)) AS t(k)
+    ),
+    cand AS (
+      SELECT d_id,
+             count(DISTINCT c_id) AS n_cand,
+             CAST(max(CASE WHEN c_id = d_id THEN 1 ELSE 0 END) AS BIGINT)
+               AS self_hit
+      FROM dirty JOIN variants ON d_name = v
+      GROUP BY d_id
+    )
+    SELECT n_cand,
+           count(*)                        AS n_dirty,
+           CAST(sum(self_hit) AS BIGINT)   AS n_self_recovered,
+           min(d_id)                       AS first_dirty
+    FROM cand
+    GROUP BY n_cand
+    ORDER BY n_cand
+    """,
+)
+def join_fuzzy_symspell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string match by symmetric deletes (SymSpell) — entity
+    resolution of corrupted names as a pure EQUI-join, never a
+    levenshtein theta join.
+
+    Fixture: every supplier name is deterministically corrupted by
+    deleting one digit (position 10 + suppkey%8 — inside the numeric
+    block, a function of the data). Matching edit-distance-1 deletions
+    against the clean master uses the SymSpell trick: expand each clean
+    name into its |name| single-deletion variants ONCE (a row-local
+    generate, linear in corpus x length), then candidates are EXACT
+    string equality — hash-partitionable, broadcast-able, zero
+    verification needed for pure deletions. The naive alternative
+    (levenshtein(a, b) <= 1 as a join condition) is a nested-loop over
+    all pairs; at 100 TB the variant table is the inverted index you
+    shard. The output is the match-cardinality histogram: every dirty
+    record recovers its source (n_self_recovered == n_dirty), and
+    n_cand > 1 rows quantify genuine ambiguity (distinct suppliers
+    whose deletion neighborhoods collide, e.g. #...010 and #...100
+    both yielding #...00).
+    """
+    sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    p = "cast(10 + (s_suppkey % 8) as int)"
+    dirty = sup.select(
+        F.col("s_suppkey").alias("d_id"),
+        F.expr(
+            f"concat(substring(s_name, 1, {p} - 1), substring(s_name, {p} + 1))"
+        ).alias("d_name"),
+    )
+    variants = (
+        sup.select(
+            F.col("s_suppkey").alias("c_id"),
+            F.explode(F.expr("sequence(1, length(s_name))")).alias("k"),
+            "s_name",
+        )
+        .select(
+            "c_id",
+            F.expr(
+                "concat(substring(s_name, 1, cast(k as int) - 1),"
+                " substring(s_name, cast(k as int) + 1))"
+            ).alias("v"),
+        )
+        .distinct()
+    )
+    cand = (
+        dirty.join(variants, dirty["d_name"] == variants["v"])
+        .groupBy("d_id")
+        .agg(
+            F.countDistinct("c_id").alias("n_cand"),
+            F.max(
+                F.when(F.col("c_id") == F.col("d_id"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("self_hit"),
+        )
+    )
+    return (
+        cand.groupBy("n_cand")
+        .agg(
+            F.count(F.lit(1)).alias("n_dirty"),
+            F.sum("self_hit").cast("bigint").alias("n_self_recovered"),
+            F.min("d_id").alias("first_dirty"),
+        )
+        .orderBy("n_cand")
+    )

@@ -590,3 +590,23 @@ def test_resample_replication_is_rowlocal_generate(spark, sf_dir):
     assert "Generate" in plan, plan
     assert "BroadcastExchange" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_fuzzy_symspell_is_equi_join(spark, sf_dir):
+    """SymSpell candidates are EXACT string equality on deletion
+    variants — hash-partitionable; a nested-loop means the rewrite's
+    entire point (no levenshtein theta join) was lost."""
+    df = q("join_fuzzy_symspell", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Generate" in plan, plan  # the deletion-variant expansion
+
+
+def test_embedding_e2e_broadcasts_centroids(spark, sf_dir):
+    """The label x dim centroid table (640 rows) must broadcast onto
+    the exploded-dim stream; no nested loop anywhere."""
+    df = q("pipeline_embedding_e2e", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
