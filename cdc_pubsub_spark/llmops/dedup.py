@@ -540,3 +540,169 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(containment >= 0.9)
         .select("doc_a", "doc_b", F.round(containment, 4).alias("containment"))
     )
+
+
+@register(
+    "dedup_incremental",
+    category="dedup",
+    oracle="""
+    WITH history AS (
+      SELECT doc_id, text FROM documents
+    ),
+    arrivals AS (
+      SELECT doc_id + 1000000 AS doc_id, text
+      FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 2000000, concat(text, ' zq extra tail')
+      FROM documents WHERE doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id + 4000000,
+             array_to_string(list_reverse(string_split(text, ' ')), ' ')
+      FROM documents WHERE doc_id % 13 = 0
+    ),
+    hist_md5 AS (SELECT DISTINCT md5(text) AS h FROM history),
+    exact_flag AS (
+      SELECT a.doc_id,
+             CASE WHEN hm.h IS NOT NULL THEN 1 ELSE 0 END AS is_exact
+      FROM arrivals a LEFT JOIN hist_md5 hm ON md5(a.text) = hm.h
+    ),
+    hist_sh AS (
+      SELECT DISTINCT doc_id, concat(w[i], ' ', w[i+1], ' ', w[i+2]) AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM history),
+           LATERAL unnest(range(1, len(w) - 1)) AS u(i)
+      WHERE len(w) >= 3
+    ),
+    arr_sh AS (
+      SELECT DISTINCT doc_id, concat(w[i], ' ', w[i+1], ' ', w[i+2]) AS shingle
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM arrivals),
+           LATERAL unnest(range(1, len(w) - 1)) AS u(i)
+      WHERE len(w) >= 3
+    ),
+    hist_sizes AS (SELECT doc_id, count(*) AS ns FROM hist_sh GROUP BY doc_id),
+    arr_sizes  AS (SELECT doc_id, count(*) AS ns FROM arr_sh  GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS arr_id, h.doc_id AS hist_id, count(*) AS common
+      FROM arr_sh a JOIN hist_sh h ON a.shingle = h.shingle
+      GROUP BY 1, 2
+    ),
+    near AS (
+      SELECT DISTINCT p.arr_id
+      FROM pairs p
+      JOIN arr_sizes  sa ON p.arr_id  = sa.doc_id
+      JOIN hist_sizes sh ON p.hist_id = sh.doc_id
+      WHERE CAST(p.common AS DOUBLE) / least(sa.ns, sh.ns) >= 0.9
+    )
+    SELECT
+      CAST(e.doc_id // 1000000 AS BIGINT) AS batch,
+      CASE WHEN e.is_exact = 1 THEN 'exact_dup'
+           WHEN n.arr_id IS NOT NULL THEN 'near_dup'
+           ELSE 'new_unique' END          AS verdict,
+      count(*)                            AS n_docs,
+      min(e.doc_id)                       AS first_doc
+    FROM exact_flag e LEFT JOIN near n ON e.doc_id = n.arr_id
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: classify an ARRIVING batch against the
+    historical corpus as exact_dup / near_dup / new_unique — without
+    ever re-deduplicating history against itself.
+
+    The production shape every ingestion pipeline needs: history acts
+    as two persistent indexes (an md5 content-hash set and a shingle
+    posting list) that only the NEW batch probes — cost scales with
+    the batch, not the corpus, and history never re-shuffles
+    pair-wise. The synthetic batch plants all three outcomes as pure
+    functions of the data: ÷10 exact copies, ÷7 near copies (suffix
+    appended — containment |A∩B|/min vs their source is 1.0), and ÷13
+    word-REVERSED docs (same vocabulary, almost no shared 3-gram
+    shingles — the case content-hash misses and shingles must clear).
+    Precedence is exact > near > unique, mirroring the cheap-test-
+    first cascade a real pipeline runs. At 100 TB swap the shingle
+    posting probe for the minhash band index (dedup.py:206 machinery)
+    — same join keys, sublinear candidates; and note the md5 probe is
+    a broadcast-able bloom/set membership, not a join shuffle.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    arrivals = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+        .unionByName(
+            docs.filter(F.col("doc_id") % 7 == 0).select(
+                (F.col("doc_id") + 2000000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" zq extra tail")).alias("text"),
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 13 == 0).select(
+                (F.col("doc_id") + 4000000).alias("doc_id"),
+                F.array_join(
+                    F.reverse(F.split(F.col("text"), " ")), " "
+                ).alias("text"),
+            )
+        )
+    )
+    hist_md5 = docs.select(F.md5("text").alias("h")).distinct()
+    exact_flag = (
+        arrivals.withColumn("ah", F.md5("text"))
+        .join(hist_md5, F.col("ah") == F.col("h"), "left")
+        .select(
+            "doc_id",
+            "text",
+            F.when(F.col("h").isNotNull(), 1).otherwise(0).alias("is_exact"),
+        )
+    )
+
+    def _shingle_rows(df: DataFrame) -> DataFrame:
+        slices = [F.expr(f"slice(ws, {j + 1}, size(ws) - 2)") for j in range(3)]
+        return (
+            df.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
+            .filter(F.size("ws") >= 3)
+            .select("doc_id", F.explode(F.arrays_zip(*slices)).alias("p"))
+            .select(
+                "doc_id",
+                F.concat_ws(" ", F.col("p.0"), F.col("p.1"), F.col("p.2")).alias(
+                    "shingle"
+                ),
+            )
+            .distinct()
+        )
+
+    hist_sh = _shingle_rows(docs)
+    arr_sh = _shingle_rows(arrivals)
+    hist_sizes = hist_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("hs"))
+    arr_sizes = arr_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("as_"))
+    pairs = (
+        arr_sh.select(F.col("doc_id").alias("arr_id"), "shingle")
+        .join(
+            hist_sh.select(F.col("doc_id").alias("hist_id"), "shingle"), "shingle"
+        )
+        .groupBy("arr_id", "hist_id")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    near = (
+        pairs.join(arr_sizes.withColumnRenamed("doc_id", "arr_id"), "arr_id")
+        .join(hist_sizes.withColumnRenamed("doc_id", "hist_id"), "hist_id")
+        .filter(
+            F.col("common").cast("double") / F.least(F.col("as_"), F.col("hs"))
+            >= 0.9
+        )
+        .select("arr_id")
+        .distinct()
+    )
+    return (
+        exact_flag.join(near, exact_flag["doc_id"] == near["arr_id"], "left")
+        .groupBy(
+            F.expr("doc_id div 1000000").alias("batch"),
+            F.when(F.col("is_exact") == 1, "exact_dup")
+            .when(F.col("arr_id").isNotNull(), "near_dup")
+            .otherwise("new_unique")
+            .alias("verdict"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("batch", "verdict")
+    )

@@ -610,3 +610,13 @@ def test_embedding_e2e_broadcasts_centroids(spark, sf_dir):
     plan = formatted_plan(df)
     assert "BroadcastHashJoin" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_incremental_dedup_probes_are_equi_joins(spark, sf_dir):
+    """Incremental dedup must keep history as the probed index: every
+    join (md5 membership, shingle postings, size attach) is an
+    equi-join; no nested loop, no cartesian."""
+    df = q("dedup_incremental", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
