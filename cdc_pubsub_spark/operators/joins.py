@@ -879,3 +879,109 @@ def join_fuzzy_symspell(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_cand")
     )
+
+
+@register(
+    "join_asof_nearest",
+    category="joins",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events
+    ),
+    w AS (
+      SELECT user_id, event_id, event_type, us,
+             last_value(CASE WHEN event_type = 'purchase' THEN us END
+                        IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_us,
+             first_value(CASE WHEN event_type = 'purchase' THEN us END
+                         IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_us
+      FROM ev
+    ),
+    clicks AS (
+      SELECT
+        CASE
+          WHEN prev_us IS NULL AND next_us IS NULL THEN 'none'
+          WHEN next_us IS NULL THEN 'prev'
+          WHEN prev_us IS NULL THEN 'next'
+          WHEN us - prev_us <= next_us - us THEN 'prev'
+          ELSE 'next' END AS side,
+        CASE
+          WHEN prev_us IS NULL AND next_us IS NULL THEN NULL
+          WHEN next_us IS NULL THEN (us - prev_us) // 1000000
+          WHEN prev_us IS NULL THEN (next_us - us) // 1000000
+          ELSE least(us - prev_us, next_us - us) // 1000000 END AS gap_s
+      FROM w WHERE event_type = 'click'
+    )
+    SELECT side,
+           count(*)                              AS n_clicks,
+           CAST(sum(gap_s) AS BIGINT)            AS total_gap_s,
+           floor(avg(gap_s) * 100 + 0.5) / 100   AS avg_gap_s
+    FROM clicks
+    GROUP BY side
+    ORDER BY side
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-match as-of join: attach each click to its closest
+    purchase in EITHER time direction — the third as-of semantics
+    beside backward (join_asof) and forward (join_asof_forward).
+
+    Same union-free window formulation: one (user, time)-ordered pass
+    computes the last prior purchase (frame ...,-1 with ignorenulls)
+    AND the first following purchase (frame +1,... ) simultaneously —
+    still ONE shuffle on user_id, where a nearest-range join would be
+    a nested loop. Ties at equal distance resolve to the PRIOR side
+    (<=), pinned identically in both engines; gaps are integral
+    epoch-micros seconds. The output is the side/gap distribution —
+    the "how stale is the attached quote" question a nearest-asof
+    user actually asks.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    base = Window.partitionBy("user_id").orderBy("us", "event_id")
+    purchase_us = F.when(F.col("event_type") == "purchase", F.col("us"))
+    w = ev.select(
+        "event_type",
+        "us",
+        F.last(purchase_us, ignorenulls=True)
+        .over(base.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("prev_us"),
+        F.first(purchase_us, ignorenulls=True)
+        .over(base.rowsBetween(1, Window.unboundedFollowing))
+        .alias("next_us"),
+    ).filter(F.col("event_type") == "click")
+    side = (
+        F.when(F.col("prev_us").isNull() & F.col("next_us").isNull(), "none")
+        .when(F.col("next_us").isNull(), "prev")
+        .when(F.col("prev_us").isNull(), "next")
+        .when(
+            (F.col("us") - F.col("prev_us")) <= (F.col("next_us") - F.col("us")),
+            "prev",
+        )
+        .otherwise("next")
+    )
+    gap_s = (
+        F.when(F.col("prev_us").isNull() & F.col("next_us").isNull(), F.lit(None))
+        .when(F.col("next_us").isNull(), F.expr("(us - prev_us) div 1000000"))
+        .when(F.col("prev_us").isNull(), F.expr("(next_us - us) div 1000000"))
+        .otherwise(F.expr("least(us - prev_us, next_us - us) div 1000000"))
+    )
+    return (
+        w.select(side.alias("side"), gap_s.alias("gap_s"))
+        .groupBy("side")
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            F.sum("gap_s").cast("bigint").alias("total_gap_s"),
+            (F.floor(F.avg("gap_s") * 100 + F.lit(0.5)) / 100).alias("avg_gap_s"),
+        )
+        .orderBy("side")
+    )

@@ -620,3 +620,24 @@ def test_incremental_dedup_probes_are_equi_joins(spark, sf_dir):
     plan = formatted_plan(df)
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_asof_nearest_single_window_shuffle(spark, sf_dir):
+    """Both directional frames and the click filter ride ONE user_id
+    exchange; no join node anywhere (the window formulation IS the
+    as-of join)."""
+    df = q("join_asof_nearest", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Join" not in plan, plan
+    # window shuffle + histogram aggregate + 3-row final sort
+    assert count_exchanges(df) <= 3, plan
+
+
+def test_corr_matrix_single_scan(spark, sf_dir):
+    """All six correlations must come from ONE lineitem scan (a single
+    aggregate), not a scan per pair."""
+    df = q("profile_corr_matrix", spark, sf_dir)
+    plan = formatted_plan(df)
+    import re
+
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
