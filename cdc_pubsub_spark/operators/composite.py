@@ -788,3 +788,63 @@ def events_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_idx", "event_type")
     )
+
+
+@register(
+    "events_top_paths",
+    category="composite",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
+             ) AS next_type
+      FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           count(*) AS n_transitions,
+           count(DISTINCT user_id) AS n_users
+    FROM seq
+    WHERE next_type IS NOT NULL
+    GROUP BY from_type, to_type
+    ORDER BY n_transitions DESC, from_type, to_type
+    LIMIT 10
+    """,
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event-to-event transitions (path mining): the most common
+    consecutive (from, to) pairs across user journeys — the first
+    question behind any Sankey/flow diagram or Markov funnel model.
+
+    lead() over the (user, time) order forms each user's transition
+    stream in the same single shuffle the other sequence ops reuse
+    (sessionize, funnel, pattern_detect share this user_id exchange
+    shape); the pair aggregate has at most |types|² groups, so
+    map-side combine collapses it to 25 rows before the exchange, and
+    the top-10 is total-ordered (count desc, then pair). At 100 TB
+    the transition aggregate is the textbook mergeable rollup — per-
+    day counts sum into weekly/monthly Markov matrices without
+    rescanning raw events.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    return (
+        seq.groupBy("from_type", "to_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_transitions"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.desc("n_transitions"), "from_type", "to_type")
+        .limit(10)
+    )
