@@ -848,3 +848,82 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_transitions"), "from_type", "to_type")
         .limit(10)
     )
+
+
+@register(
+    "events_ohlc_weekly_rollup",
+    category="composite",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type, value,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_idx
+      FROM events
+    ),
+    daily AS (
+      SELECT day_idx, event_type,
+             arg_min(value, us) AS open,
+             max(value)         AS high,
+             min(value)         AS low,
+             arg_max(value, us) AS close,
+             count(*)           AS n_events,
+             sum(value)         AS volume
+      FROM ev GROUP BY day_idx, event_type
+    )
+    SELECT
+      day_idx // 7                       AS week_idx,
+      event_type,
+      arg_min(open, day_idx)             AS open,
+      round(max(high), 2)                AS high,
+      round(min(low), 2)                 AS low,
+      arg_max(close, day_idx)            AS close,
+      CAST(sum(n_events) AS BIGINT)      AS n_events,
+      round(sum(volume), 2)              AS volume
+    FROM daily
+    GROUP BY week_idx, event_type
+    ORDER BY week_idx, event_type
+    """,
+)
+def events_ohlc_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly OHLC bars derived FROM the daily bars — the mergeable-
+    rollup property of events_ohlc_resample, executed and certified
+    rather than merely claimed.
+
+    Every weekly field re-aggregates daily fields only: open =
+    min_by(daily open, day_idx), close = max_by(daily close, day_idx),
+    high/low/volume/count merge as max/min/sum — the raw event stream
+    is scanned ONCE (for the daily tier) and never again, the exact
+    contract a bar-store at 100 TB runs on (daily bars persist; every
+    coarser grain derives from them at ~1/10000th the input size).
+    Both aggregate tiers reuse the same hash-partitioning lineage;
+    rounding happens only at the outer tier so the merge composes on
+    unrounded doubles exactly as the single-pass weekly aggregate
+    would. Day/week bucketing is all-integer epoch-micros division.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    ).withColumn("day_idx", F.expr("us div 86400000000"))
+    daily = ev.groupBy("day_idx", "event_type").agg(
+        F.min_by("value", F.col("us")).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", F.col("us")).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("volume"),
+    )
+    return (
+        daily.groupBy(
+            F.expr("day_idx div 7").alias("week_idx"), "event_type"
+        )
+        .agg(
+            F.min_by("open", F.col("day_idx")).alias("open"),
+            F.round(F.max("high"), 2).alias("high"),
+            F.round(F.min("low"), 2).alias("low"),
+            F.max_by("close", F.col("day_idx")).alias("close"),
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.round(F.sum("volume"), 2).alias("volume"),
+        )
+        .orderBy("week_idx", "event_type")
+    )

@@ -124,3 +124,24 @@ class TestHLCProperties:
         ha = str(a[0] * 1_000_000 + a[1]).zfill(33)
         hb = str(b[0] * 1_000_000 + b[1]).zfill(33)
         assert (ha < hb) == (a < b)
+
+
+@given(
+    name=st.text(
+        alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd")),
+        min_size=2,
+        max_size=24,
+    ),
+    pos=st.integers(min_value=0, max_value=23),
+)
+@settings(max_examples=200, deadline=None)
+def test_symspell_deletion_always_recovers(name, pos):
+    """Property behind join_fuzzy_symspell: ANY single-character deletion
+    of ANY clean string is contained in that string's deletion-variant
+    set, so the SymSpell equi-join can never miss a pure deletion —
+    recall 1 by construction, independent of alphabet or position."""
+    if pos >= len(name):
+        pos = pos % len(name)
+    corrupted = name[:pos] + name[pos + 1:]
+    variants = {name[:k] + name[k + 1:] for k in range(len(name))}
+    assert corrupted in variants
