@@ -654,40 +654,59 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def _shingle_rows(df: DataFrame) -> DataFrame:
-        slices = [F.expr(f"slice(ws, {j + 1}, size(ws) - 2)") for j in range(3)]
-        return (
-            df.select("doc_id", F.split(F.col("text"), " ").alias("ws"))
-            .filter(F.size("ws") >= 3)
-            .select("doc_id", F.explode(F.arrays_zip(*slices)).alias("p"))
-            .select(
-                "doc_id",
-                F.concat_ws(" ", F.col("p.0"), F.col("p.1"), F.col("p.2")).alias(
-                    "shingle"
-                ),
-            )
-            .distinct()
+    # Near path = the prefix-filter anchor scheme from dedup_containment
+    # (recall 1 by pigeonhole; a raw shingle-posting join fans out
+    # quadratically on this synthetic vocabulary — measured 4.5 s vs
+    # ~2 s under bench contention). Shingles travel as xxhash64 integer
+    # sets; the ORACLE still computes the naive all-pairs containment
+    # on plain shingles — identical answer, the exactness check.
+    def _hsets(df: DataFrame) -> DataFrame:
+        return shingle_array(df).select(
+            "doc_id",
+            F.expr("array_distinct(transform(grams, s -> xxhash64(s)))").alias(
+                "gset"
+            ),
         )
 
-    hist_sh = _shingle_rows(docs)
-    arr_sh = _shingle_rows(arrivals)
-    hist_sizes = hist_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("hs"))
-    arr_sizes = arr_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("as_"))
-    pairs = (
-        arr_sh.select(F.col("doc_id").alias("arr_id"), "shingle")
-        .join(
-            hist_sh.select(F.col("doc_id").alias("hist_id"), "shingle"), "shingle"
+    hist_sets = _hsets(docs).persist()
+    arr_sets = _hsets(arrivals).persist()
+    anchor_arr = F.expr("slice(array_sort(gset), 1, int(size(gset) div 10) + 1)")
+
+    def _anchors(sets: DataFrame, key: str) -> DataFrame:
+        return sets.select(
+            F.col("doc_id").alias(key), F.explode(anchor_arr).alias("shingle")
         )
-        .groupBy("arr_id", "hist_id")
-        .agg(F.count(F.lit(1)).alias("common"))
+
+    def _postings(sets: DataFrame, key: str) -> DataFrame:
+        return sets.select(
+            F.col("doc_id").alias(key), F.explode("gset").alias("shingle")
+        )
+
+    # Anchors must come from the SMALLER side of a pair for the recall
+    # guarantee; which side is smaller varies per pair, so probe BOTH
+    # directions — each join keeps one side at ~10% shingle volume.
+    cand = (
+        _anchors(arr_sets, "arr_id")
+        .join(_postings(hist_sets, "hist_id"), "shingle")
+        .select("arr_id", "hist_id")
+        .unionByName(
+            _anchors(hist_sets, "hist_id")
+            .join(_postings(arr_sets, "arr_id"), "shingle")
+            .select("arr_id", "hist_id")
+        )
+        .distinct()
     )
+    av = arr_sets.select(F.col("doc_id").alias("arr_id"), F.col("gset").alias("ga"))
+    hv = hist_sets.select(
+        F.col("doc_id").alias("hist_id"), F.col("gset").alias("gh")
+    )
+    containment = F.size(F.array_intersect(F.col("ga"), F.col("gh"))).cast(
+        "double"
+    ) / F.least(F.size("ga"), F.size("gh")).cast("double")
     near = (
-        pairs.join(arr_sizes.withColumnRenamed("doc_id", "arr_id"), "arr_id")
-        .join(hist_sizes.withColumnRenamed("doc_id", "hist_id"), "hist_id")
-        .filter(
-            F.col("common").cast("double") / F.least(F.col("as_"), F.col("hs"))
-            >= 0.9
-        )
+        cand.join(av, "arr_id")
+        .join(hv, "hist_id")
+        .filter(containment >= 0.9)
         .select("arr_id")
         .distinct()
     )

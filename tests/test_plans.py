@@ -620,6 +620,11 @@ def test_incremental_dedup_probes_are_equi_joins(spark, sf_dir):
     plan = formatted_plan(df)
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+    # Near-path shape witnesses: prefix-filter anchors (sorted-slice of
+    # the hashed shingle set) + row-local array_intersect verify — the
+    # raw posting-join formulation had neither.
+    assert "array_sort" in plan and "slice" in plan, plan[:2000]
+    assert "array_intersect" in plan, plan[:2000]
 
 
 def test_asof_nearest_single_window_shuffle(spark, sf_dir):
