@@ -927,3 +927,86 @@ def events_ohlc_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week_idx", "event_type")
     )
+
+
+@register(
+    "events_ab_test",
+    category="composite",
+    oracle="""
+    WITH metrics AS (
+      SELECT user_id % 2 AS variant, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    stats AS (
+      SELECT variant,
+             count(*)                  AS n,
+             avg(value)                AS mean,
+             var_samp(value)           AS var
+      FROM metrics GROUP BY variant
+    ),
+    wide AS (
+      SELECT
+        max(CASE WHEN variant = 0 THEN n END)    AS n0,
+        max(CASE WHEN variant = 1 THEN n END)    AS n1,
+        max(CASE WHEN variant = 0 THEN mean END) AS m0,
+        max(CASE WHEN variant = 1 THEN mean END) AS m1,
+        max(CASE WHEN variant = 0 THEN var END)  AS v0,
+        max(CASE WHEN variant = 1 THEN var END)  AS v1
+      FROM stats
+    )
+    SELECT
+      n0, n1,
+      floor(m0 * 10000 + 0.5) / 10000                       AS mean_control,
+      floor(m1 * 10000 + 0.5) / 10000                       AS mean_treatment,
+      floor((m1 - m0) * 10000 + 0.5) / 10000                AS lift,
+      floor(abs(m1 - m0) / sqrt(v0 / n0 + v1 / n1) * 10000 + 0.5) / 10000
+                                                            AS z_score
+    FROM wide
+    """,
+)
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample A/B comparison: per-variant purchase-value means and
+    the Welch z statistic — the experimentation readout every product
+    analytics stack ships.
+
+    Variant assignment is deterministic (user_id parity — the hash-
+    bucket assignment rule, same stance as the corpus split ops: never
+    rand()). Means and sample variances are algebraic aggregates (one
+    partial-aggregating scan, two groups); the z-score arithmetic runs
+    on the 2-row result — so the whole readout costs ONE shuffle of
+    two partial-aggregate rows per task regardless of event volume,
+    and per-day stats merge into running totals without rescanning
+    (count/sum/sum-of-squares are the mergeable sufficient statistics).
+    All derived values are division-created doubles: floor-formula r4
+    on both engines. Lift is signed; z is folded absolute (two-sided).
+    """
+    m = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select((F.col("user_id") % 2).alias("variant"), "value")
+    )
+    stats = m.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("value").alias("mean"),
+        F.var_samp("value").alias("var"),
+    )
+    pick = lambda v, c: F.max(F.when(F.col("variant") == v, F.col(c)))
+    wide = stats.agg(
+        pick(0, "n").alias("n0"),
+        pick(1, "n").alias("n1"),
+        pick(0, "mean").alias("m0"),
+        pick(1, "mean").alias("m1"),
+        pick(0, "var").alias("v0"),
+        pick(1, "var").alias("v1"),
+    )
+    return wide.select(
+        "n0",
+        "n1",
+        r4(F.col("m0")).alias("mean_control"),
+        r4(F.col("m1")).alias("mean_treatment"),
+        r4(F.col("m1") - F.col("m0")).alias("lift"),
+        r4(
+            F.abs(F.col("m1") - F.col("m0"))
+            / F.sqrt(F.col("v0") / F.col("n0") + F.col("v1") / F.col("n1"))
+        ).alias("z_score"),
+    )

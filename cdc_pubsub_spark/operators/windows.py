@@ -290,3 +290,73 @@ def win_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+@register(
+    "win_gaps_islands",
+    category="windows",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+               AS rn
+      FROM events WHERE event_type = 'purchase'
+    ),
+    islands AS (
+      SELECT user_id, event_id - rn AS grp,
+             count(*) AS run_len,
+             min(event_id) AS run_start,
+             max(event_id) AS run_end
+      FROM purchases
+      GROUP BY user_id, event_id - rn
+    )
+    SELECT run_len,
+           count(*)          AS n_runs,
+           min(run_start)    AS first_run_start,
+           max(run_end)      AS last_run_end
+    FROM islands
+    GROUP BY run_len
+    ORDER BY run_len
+    """,
+)
+def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of CONSECUTIVE event ids per user
+    — the classic value-based sequence detection (its time-based twin
+    is events_sessionize).
+
+    The id-minus-row_number trick: within a user's ordered purchases,
+    consecutive ids share a constant (id - rn), so one window pass plus
+    one aggregate finds every island with no self-join and no
+    iteration — the shape that replaces the quadratic "find run
+    boundaries by joining each row to its successor" formulation. One
+    shuffle on user_id serves the window AND the island aggregate
+    (id - rn preserves the user partitioning); the run-length histogram
+    is a 25-row final rollup. At 100 TB the same two-level shape holds
+    because islands never cross user partitions.
+    """
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select("user_id", "event_id")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    purchases = ev.select(
+        "user_id", "event_id", F.row_number().over(w).alias("rn")
+    )
+    islands = (
+        purchases.groupBy(
+            "user_id", (F.col("event_id") - F.col("rn")).alias("grp")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("run_len"),
+            F.min("event_id").alias("run_start"),
+            F.max("event_id").alias("run_end"),
+        )
+    )
+    return (
+        islands.groupBy("run_len")
+        .agg(
+            F.count(F.lit(1)).alias("n_runs"),
+            F.min("run_start").alias("first_run_start"),
+            F.max("run_end").alias("last_run_end"),
+        )
+        .orderBy("run_len")
+    )

@@ -646,3 +646,23 @@ def test_corr_matrix_single_scan(spark, sf_dir):
     import re
 
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def test_gaps_islands_two_level_aggregate(spark, sf_dir):
+    """Islands form in one user-partitioned window + aggregate; no
+    self-join to successors, no iteration."""
+    df = q("win_gaps_islands", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Join" not in plan, plan
+    assert count_exchanges(df) <= 3, plan
+
+
+def test_ab_test_single_scan_two_rows(spark, sf_dir):
+    """The A/B readout is one partial-aggregating scan (2 groups) plus
+    arithmetic on the 2-row result — one fact scan, no join."""
+    df = q("events_ab_test", spark, sf_dir)
+    plan = formatted_plan(df)
+    import re
+
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+    assert "Join" not in plan, plan
