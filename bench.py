@@ -63,11 +63,10 @@ HEAVY_FIRST = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    # Default 16-way: measured the makespan-optimal level on local[32]
-    # (r04: conc8 ≈ 15 s, conc16 ≈ 11.6 s, conc24 ≈ 14 s — beyond 16 the
-    # heavy tail self-contends).
-    # conc20 re-measured makespan-optimal for the 162-query set
-    # (20: 6.7/8.1 s vs 16: 7.8/8.4/9.9 s vs 24: 9.0 s on the same host).
+    # Default 20-way: re-measured makespan-optimal on local[32] for the
+    # r05 164-query set (conc20 6.7/8.1 s vs conc16 7.8/8.4/9.9 s vs
+    # conc24 9.0 s on the same host — beyond that the heavy tail
+    # self-contends; r04's optimum for the smaller 133-query set was 16).
     conc = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_CONC", "20")))
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None

@@ -35,6 +35,36 @@ from cdc_pubsub_spark.registry import register
 from cdc_pubsub_spark.tables import load
 
 
+# --- Shared prefix-filter anchor machinery -------------------------------
+# Used by BOTH dedup_containment and dedup_incremental: the two ops must
+# keep identical hashing, anchor fraction, and containment math or their
+# recall guarantees silently diverge — one definition, two consumers.
+
+# Per-doc DISTINCT shingle-hash set, row-local (no explode/distinct
+# shuffle); shingles travel as xxhash64 64-bit integers from here on.
+GSET_EXPR = "array_distinct(transform(grams, s -> xxhash64(s)))"
+
+# Anchors: the floor(0.1*|gset|)+1 smallest hashes — if containment >= 0.9
+# with A the smaller side, at most floor(0.1*|A|) of A's shingles are
+# outside B, so by pigeonhole at least one anchor of A is in B
+# (deterministic recall 1 for candidates generated from the smaller side).
+ANCHOR_EXPR = "slice(array_sort(gset), 1, int(size(gset) div 10) + 1)"
+
+
+def hashed_shingle_sets(corpus: DataFrame) -> DataFrame:
+    """(doc_id, gset): per-doc distinct xxhash64 3-gram shingle set."""
+    return shingle_array(corpus).select(
+        "doc_id", F.expr(GSET_EXPR).alias("gset")
+    )
+
+
+def containment_col(ga: str, gb: str):
+    """|A∩B| / min(|A|,|B|) over two hashed-set columns — row-local."""
+    return F.size(F.array_intersect(F.col(ga), F.col(gb))).cast(
+        "double"
+    ) / F.least(F.size(ga), F.size(gb)).cast("double")
+
+
 @register(
     "dedup_exact",
     category="dedup",
@@ -499,20 +529,11 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bit-identical output at sf0.001/0.01/0.1 (collisions would merge
     # shingles at ~2^-64 per pair; the exact oracle would catch one).
     # ONE persist feeds all four consumers: anchors, postings, and both
-    # verify sides.
-    sets = (
-        shingle_array(corpus)
-        .select(
-            "doc_id",
-            F.expr("array_distinct(transform(grams, s -> xxhash64(s)))").alias(
-                "gset"
-            ),
-        )
-        .persist()
-    )
-    # Anchors: the floor(0.1·|gset|)+1 smallest hashes — a row-local
-    # array_sort + slice on the already-hashed set (deterministic).
-    anchor_arr = F.expr("slice(array_sort(gset), 1, int(size(gset) div 10) + 1)")
+    # verify sides. Hashing/anchor/containment definitions are the
+    # module-level shared machinery (GSET_EXPR/ANCHOR_EXPR/
+    # containment_col) — dedup_incremental reuses the same three.
+    sets = hashed_shingle_sets(corpus).persist()
+    anchor_arr = F.expr(ANCHOR_EXPR)
     anchors = sets.select("doc_id", F.explode(anchor_arr).alias("shingle"))
     postings = sets.select("doc_id", F.explode("gset").alias("shingle"))
     cand = (
@@ -530,10 +551,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = sets.select(F.col("doc_id").alias("doc_a"), F.col("gset").alias("ga"))
     b = sets.select(F.col("doc_id").alias("doc_b"), F.col("gset").alias("gb"))
-    common = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
-    containment = common.cast("double") / F.least(
-        F.size("ga"), F.size("gb")
-    ).cast("double")
+    containment = containment_col("ga", "gb")
     return (
         cand.join(a, "doc_a")
         .join(b, "doc_b")
@@ -660,17 +678,9 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ~2 s under bench contention). Shingles travel as xxhash64 integer
     # sets; the ORACLE still computes the naive all-pairs containment
     # on plain shingles — identical answer, the exactness check.
-    def _hsets(df: DataFrame) -> DataFrame:
-        return shingle_array(df).select(
-            "doc_id",
-            F.expr("array_distinct(transform(grams, s -> xxhash64(s)))").alias(
-                "gset"
-            ),
-        )
-
-    hist_sets = _hsets(docs).persist()
-    arr_sets = _hsets(arrivals).persist()
-    anchor_arr = F.expr("slice(array_sort(gset), 1, int(size(gset) div 10) + 1)")
+    hist_sets = hashed_shingle_sets(docs).persist()
+    arr_sets = hashed_shingle_sets(arrivals).persist()
+    anchor_arr = F.expr(ANCHOR_EXPR)
 
     def _anchors(sets: DataFrame, key: str) -> DataFrame:
         return sets.select(
@@ -700,9 +710,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     hv = hist_sets.select(
         F.col("doc_id").alias("hist_id"), F.col("gset").alias("gh")
     )
-    containment = F.size(F.array_intersect(F.col("ga"), F.col("gh"))).cast(
-        "double"
-    ) / F.least(F.size("ga"), F.size("gh")).cast("double")
+    containment = containment_col("ga", "gh")
     near = (
         cand.join(av, "arr_id")
         .join(hv, "hist_id")

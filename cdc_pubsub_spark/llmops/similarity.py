@@ -1173,7 +1173,8 @@ def sim_cosine_topk_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     assigned AS (
       SELECT vec_id, label, c_label,
-             row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_label)
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY floor(d2 * 1e6 + 0.5), c_label)
                AS rn
       FROM dist
     )
@@ -1232,7 +1233,14 @@ def pipeline_embedding_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id", "label", "c_label")
         .agg(F.sum((F.col("qx") - F.col("c")) * (F.col("qx") - F.col("c"))).alias("d2"))
     )
-    w = Window.partitionBy("vec_id").orderBy("d2", "c_label")
+    # Rank on the 6-decimal-QUANTIZED distance with a label tie-break,
+    # never raw d2: both the centroid avg and the distance sum are
+    # shuffled float aggregates whose last ulps depend on merge order,
+    # and the module's ranking discipline (header) requires rounded
+    # keys so engine/rerun noise cannot flip an assignment.
+    w = Window.partitionBy("vec_id").orderBy(
+        F.floor(F.col("d2") * 1e6 + F.lit(0.5)), "c_label"
+    )
     assigned = dist.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
     correct = F.when(F.col("c_label") == F.col("label"), 1).otherwise(0)
     return (

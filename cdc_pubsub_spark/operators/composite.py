@@ -820,9 +820,13 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     lead() over the (user, time) order forms each user's transition
     stream in the same single shuffle the other sequence ops reuse
     (sessionize, funnel, pattern_detect share this user_id exchange
-    shape); the pair aggregate has at most |types|² groups, so
-    map-side combine collapses it to 25 rows before the exchange, and
-    the top-10 is total-ordered (count desc, then pair). At 100 TB
+    shape). n_transitions alone would collapse map-side to |types|² =
+    25 rows; the n_users distinct-count makes the partial-aggregate
+    key (from, to, user_id), so the exchange carries ~25 x |users seen
+    per task| rows — bounded, but the distinct is the dominant shuffle
+    cost, and at extreme user cardinality you would swap it for an HLL
+    sketch (agg_approx_distinct's shape). The top-10 is total-ordered
+    (count desc, then pair). At 100 TB
     the transition aggregate is the textbook mergeable rollup — per-
     day counts sum into weekly/monthly Markov matrices without
     rescanning raw events.

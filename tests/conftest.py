@@ -9,6 +9,8 @@ from cdc_pubsub_spark.session import get_spark
 
 SF_SMOKE = "/root/testdata/sf0.001"
 SF_CORRECT = "/root/testdata/sf0.01"
+SF_BENCH = "/root/testdata/sf0.1"
+ALL_SFS = (SF_SMOKE, SF_CORRECT, SF_BENCH)
 
 
 @pytest.fixture(scope="session")

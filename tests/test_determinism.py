@@ -48,8 +48,9 @@ def test_event_timestamps_unique_at_all_sfs(spark):
 
     from cdc_pubsub_spark.tables import load
 
-    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
-               "/root/testdata/sf0.1"):
+    from .conftest import ALL_SFS
+
+    for sf in ALL_SFS:
         ev = load(spark, sf, "events").select(
             F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
         )
@@ -57,3 +58,23 @@ def test_event_timestamps_unique_at_all_sfs(spark):
             F.count("us").alias("n"), F.countDistinct("us").alias("d")
         ).first()
         assert n == d, f"{sf}: {n - d} duplicate event timestamps"
+
+
+def test_documents_nonempty_at_all_sfs(spark):
+    """corpus_sequence_pack's first_doc uses min_by(doc_id, start_tok),
+    deterministic only while every doc contributes >= 1 token (an
+    empty doc would give two docs the same cumulative start and
+    engine-arbitrary tie-breaking). tok = (n_chars+3) div 4 >= 1 iff
+    n_chars >= 1 — assert it by name across all sfs, same discipline
+    as the event-timestamp uniqueness guard above."""
+    from pyspark.sql import functions as F
+
+    from cdc_pubsub_spark.tables import load
+
+    from .conftest import ALL_SFS
+
+    for sf in ALL_SFS:
+        min_chars = (
+            load(spark, sf, "documents").agg(F.min("n_chars")).first()[0]
+        )
+        assert min_chars >= 1, f"{sf}: empty document (n_chars={min_chars})"
