@@ -1584,3 +1584,77 @@ def stream_socket_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         q.awaitTermination()
     return spark.table(qname)
+
+
+@register(
+    "stream_session_dynamic",
+    category="streaming",
+    bench=False,
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             CASE WHEN event_type = 'purchase'
+                  THEN 43200000000 ELSE 14400000000 END AS gap_us
+      FROM events
+    ),
+    bounds AS (
+      SELECT user_id, ts_us,
+             max(ts_us + gap_us) OVER (
+               PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS prev_end
+      FROM ev
+    ),
+    flagged AS (
+      SELECT user_id, ts_us,
+             CASE WHEN prev_end IS NULL OR ts_us >= prev_end
+                  THEN 1 ELSE 0 END AS new_session
+      FROM bounds
+    ),
+    islands AS (
+      SELECT user_id, ts_us,
+             sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts_us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, min(ts_us) AS session_start_us, count(*) AS n_events
+    FROM islands
+    GROUP BY user_id, session_id
+    """,
+)
+def stream_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC-gap session windows: each event extends its session by a
+    gap that depends on the event itself (purchases keep the session
+    alive 12 h, everything else 4 h) — `session_window` with a Column
+    gap, the state-store surface static gaps can't exercise.
+
+    Spark merges the per-event intervals [ts, ts+gap); relationally
+    that is a running max of interval ends: a new session starts
+    exactly when an event's ts reaches or passes max(prev ts+gap) over
+    all preceding events — the oracle's windowed-max twin reproduces
+    the merge closed-form (same >= boundary as the static twin's
+    gap >= threshold rule). Gap sizes are chosen against the fixture's
+    inter-event distribution (median per-user gap ~7.3 h), so both
+    merge behaviors occur: purchase-extended sessions capture later
+    events that a 4 h tail would miss. State shape at 100 TB is
+    identical to static session_window (keyed by user in RocksDB);
+    the dynamic gap only changes the per-event end computed at update
+    time, not the state size.
+    """
+    input_dir = write_events_ndjson(spark, sf_dir, "session_dyn")
+    stream = read_event_stream(spark, input_dir).withWatermark("ts", "1 hour")
+    gap = F.when(F.col("event_type") == "purchase", F.lit("12 hours")).otherwise(
+        F.lit("4 hours")
+    )
+    agg = stream.groupBy(
+        F.session_window("ts", gap), F.col("user_id")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    out = run_to_completion(agg, "session_dyn", "complete")
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+        "n_events",
+    )
