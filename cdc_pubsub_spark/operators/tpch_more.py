@@ -2,14 +2,15 @@
 
 ``operators/composite.py`` carries Q1/Q3/Q10/Q12/Q14/Q18; this module adds
 every other TPC-H query whose semantics the fixture star schema can express
-(there is no ``partsupp`` table, so Q2/Q9/Q11/Q16/Q20 are out of scope, and
-Q6 is subsumed by the ``filter_compound`` scan op). Together they certify
-the engine against the full breadth of classic warehouse plan shapes:
-conditional semi joins (Q4), 6-way snowflake joins with a cross-dimension
-equality (Q5), dual-role dimension joins (Q7/Q8), outer-join histograms
-(Q13), aggregate-equality selection (Q15), correlated-aggregate filters
-(Q17), disjunctive multi-band predicates (Q19), and scalar-subquery +
-anti-join opportunity analysis (Q22).
+— 17 of the 22 shapes in total (there is no ``partsupp`` table, so
+Q2/Q9/Q11/Q16/Q20 are out of scope). Together they certify the engine
+against the full breadth of classic warehouse plan shapes: pure
+scan-predicate folds (Q6), conditional semi joins (Q4), 6-way snowflake
+joins with a cross-dimension equality (Q5), dual-role dimension joins
+(Q7/Q8), outer-join histograms (Q13), aggregate-equality selection (Q15),
+correlated-aggregate filters (Q17), disjunctive multi-band predicates
+(Q19), self semi+anti responsibility analysis (Q21), and scalar-subquery
++ anti-join opportunity analysis (Q22).
 
 Scale notes (100 TB):
 - Dimension filters always sit BELOW the fact join, and small dimension
@@ -625,4 +626,46 @@ def tpch_q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
+    )
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    category="composite",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: forecast revenue change — the pure scan-predicate
+    aggregate, the benchmark's pushdown/vectorization microbenchmark.
+
+    No join, no group: the entire query is how fast the engine can
+    scan, filter, and fold. All three predicates (date range, discount
+    band, quantity cap) must reach the parquet reader as PushedFilters
+    so row groups outside the year or the discount band are skipped on
+    min/max stats alone — at 100 TB Q6 reads ~1/7 of the fact table's
+    row groups and decodes only 4 of 11 columns. Discount literals
+    compare against the identical parsed doubles in both engines.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
     )

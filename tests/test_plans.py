@@ -666,3 +666,18 @@ def test_ab_test_single_scan_two_rows(spark, sf_dir):
 
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_tpch_q6_all_predicates_pushed(spark, sf_dir):
+    """Q6 is the pushdown microbenchmark: date, discount, and quantity
+    predicates must ALL reach the parquet scan, and only the 4 needed
+    columns are read."""
+    df = q("tpch_q6_forecast_revenue", spark, sf_dir)
+    plan = formatted_plan(df)
+    scan_line = next(l for l in plan.splitlines() if "PushedFilters" in l)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in scan_line, scan_line
+    cols = read_schema_columns(df, "lineitem")
+    assert set(cols) == {
+        "l_shipdate", "l_discount", "l_quantity", "l_extendedprice"
+    }, cols
