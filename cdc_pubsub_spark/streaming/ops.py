@@ -1599,7 +1599,7 @@ def stream_socket_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ),
     bounds AS (
-      SELECT user_id, ts_us,
+      SELECT user_id, event_id, ts_us,
              max(ts_us + gap_us) OVER (
                PARTITION BY user_id ORDER BY ts_us, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
@@ -1607,7 +1607,7 @@ def stream_socket_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM ev
     ),
     flagged AS (
-      SELECT user_id, ts_us,
+      SELECT user_id, event_id, ts_us,
              CASE WHEN prev_end IS NULL OR ts_us >= prev_end
                   THEN 1 ELSE 0 END AS new_session
       FROM bounds
@@ -1615,7 +1615,7 @@ def stream_socket_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     islands AS (
       SELECT user_id, ts_us,
              sum(new_session) OVER (
-               PARTITION BY user_id ORDER BY ts_us
+               PARTITION BY user_id ORDER BY ts_us, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
              ) AS session_id
       FROM flagged

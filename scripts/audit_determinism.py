@@ -5,9 +5,10 @@ same session and diff the canonicalized results.
 This is the whole-registry sweep behind the per-op
 tests/test_determinism.py sample: any operator whose output depends on
 shuffle merge order, unpinned ties, wall clock, or cache state shows up
-here as RERUN-NONDETERMINISTIC. Round-5 full run: 211/211 stable
-(including every streaming op — AvailableNow reruns replay the same
-landing files through fresh checkpoints).
+here as RERUN-NONDETERMINISTIC. Round-5 full run: 210/210 stable
+(every op except the declared wall-clock push source — AvailableNow
+streaming reruns replay the same landing files through fresh
+checkpoints and ARE stable).
 
 Run: `python scripts/audit_determinism.py [sf_dir]` — prints one line
 per op and a final UNSTABLE list; exits non-zero if any op is unstable.
@@ -24,14 +25,23 @@ import cdc_pubsub_spark.all_queries  # noqa: F401
 from cdc_pubsub_spark.registry import REGISTRY
 from cdc_pubsub_spark.session import get_spark
 from tests.parity import canonical_rows
+from tests.test_determinism import WALL_CLOCK  # the one declared exclusion
 
 
 def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark("audit-determinism")
     spark.sparkContext.setLogLevel("ERROR")
-    unstable, errors = [], []
+    unstable, errors, skipped = [], [], []
     for name, spec in REGISTRY.items():
+        if name in WALL_CLOCK:
+            skipped.append(name)
+            # stream_push_ingest's row count is wall-clock-dependent BY
+            # DESIGN (rate source drained at a batch boundary) — rerun
+            # equality is not part of its contract, same exclusion as
+            # tests/test_determinism.py.
+            print(f"{name}: skipped (declared wall-clock)", flush=True)
+            continue
         try:
             r1 = canonical_rows(spec.fn(spark, sf).toPandas())
             r2 = canonical_rows(spec.fn(spark, sf).toPandas())
@@ -42,7 +52,8 @@ def main() -> int:
             status = f"ERROR {str(exc)[:100]}"
             errors.append(name)
         print(f"{name}: {status}", flush=True)
-    print(f"\n{len(REGISTRY) - len(unstable) - len(errors)} stable, "
+    n_stable = len(REGISTRY) - len(unstable) - len(errors) - len(skipped)
+    print(f"\n{n_stable} stable, {len(skipped)} skipped (wall-clock), "
           f"UNSTABLE: {unstable}, ERRORS: {errors}")
     return 1 if (unstable or errors) else 0
 

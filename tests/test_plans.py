@@ -675,8 +675,17 @@ def test_tpch_q6_all_predicates_pushed(spark, sf_dir):
     df = q("tpch_q6_forecast_revenue", spark, sf_dir)
     plan = formatted_plan(df)
     scan_line = next(l for l in plan.splitlines() if "PushedFilters" in l)
-    for col in ("l_shipdate", "l_discount", "l_quantity"):
-        assert col in scan_line, scan_line
+    # Assert the RANGE predicate forms, not just column names — the
+    # auto-inferred IsNotNull(col) entries would satisfy a bare
+    # name check even after the actual range pushdown regressed.
+    for pred in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount",
+        "LessThanOrEqual(l_discount",
+        "LessThan(l_quantity",
+    ):
+        assert pred in scan_line, scan_line
     cols = read_schema_columns(df, "lineitem")
     assert set(cols) == {
         "l_shipdate", "l_discount", "l_quantity", "l_extendedprice"
