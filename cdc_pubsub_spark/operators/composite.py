@@ -1014,3 +1014,99 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt(F.col("v0") / F.col("n0") + F.col("v1") / F.col("n1"))
         ).alias("z_score"),
     )
+
+
+@register(
+    "basket_brand_pairs",
+    category="composite",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, p_brand
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+    ),
+    n AS (SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS n_orders
+          FROM baskets),
+    singles AS (
+      SELECT p_brand, count(*) AS n_single FROM baskets GROUP BY p_brand
+    ),
+    pairs AS (
+      SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+             count(*) AS n_both
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      GROUP BY 1, 2
+    )
+    SELECT brand_a, brand_b, n_both,
+           floor(n_both / n_orders * 10000 + 0.5) / 10000 AS support,
+           floor(n_both * n_orders / (sa.n_single * sb.n_single)
+                 * 10000 + 0.5) / 10000                   AS lift
+    FROM pairs
+    JOIN singles sa ON brand_a = sa.p_brand
+    JOIN singles sb ON brand_b = sb.p_brand
+    CROSS JOIN n
+    ORDER BY n_both DESC, brand_a, brand_b
+    LIMIT 15
+    """,
+)
+def basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining: brand pairs that co-occur in
+    the same order, with support and lift — the retail co-purchase
+    (a-priori first-pass) workload.
+
+    Baskets are order → DISTINCT brand (dedup before pairing, so a
+    6-line order with 2 brands contributes ONE pair). Pair generation
+    is a self-join co-partitioned on the order key — fan-out is
+    C(brands-per-order, 2), bounded by basket width, never by catalog
+    size; the singles table and the scalar order count broadcast back
+    onto the ~300-row pair aggregate. Lift = P(ab)/(P(a)P(b))
+    separates genuinely associated pairs from popularity — both
+    ratios are division-created, so floor-formula r4 in both engines.
+    Top-15 is total-ordered (count desc, then pair). At 100 TB the
+    a-priori escalation (triples+) prunes by support threshold before
+    widening — the same bounded self-join shape per level.
+    """
+    part = F.broadcast(load(spark, sf_dir, "part").select("p_partkey", "p_brand"))
+    baskets = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n = F.broadcast(
+        baskets.agg(
+            F.countDistinct("l_orderkey").cast("double").alias("n_orders")
+        )
+    )
+    singles = F.broadcast(
+        baskets.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_single"))
+    )
+    a = baskets.select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand_a"))
+    b = baskets.select(F.col("l_orderkey").alias("ok2"), F.col("p_brand").alias("brand_b"))
+    pairs = (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("brand_a") < F.col("brand_b")))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = singles.select(F.col("p_brand").alias("brand_a"), F.col("n_single").alias("na"))
+    sb = singles.select(F.col("p_brand").alias("brand_b"), F.col("n_single").alias("nb"))
+    return (
+        pairs.join(sa, "brand_a")
+        .join(sb, "brand_b")
+        .crossJoin(n)
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_both",
+            (F.floor(F.col("n_both") / F.col("n_orders") * 10000 + F.lit(0.5)) / 10000).alias("support"),
+            (
+                F.floor(
+                    F.col("n_both") * F.col("n_orders") / (F.col("na") * F.col("nb")) * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("n_both"), "brand_a", "brand_b")
+        .limit(15)
+    )

@@ -360,3 +360,87 @@ def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("run_len")
     )
+
+
+@register(
+    "win_moving_zscore",
+    category="windows",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, event_id, value,
+             avg(value) OVER tw AS mu,
+             stddev_samp(value) OVER tw AS sigma,
+             count(*) OVER tw AS n_trail
+      FROM events
+      WINDOW tw AS (PARTITION BY user_id
+                    ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
+                    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    ),
+    scored AS (
+      SELECT user_id, event_id,
+             CASE WHEN n_trail >= 5 AND sigma > 0
+                  THEN abs(value - mu) / sigma END AS z
+      FROM w
+    )
+    SELECT user_id,
+           count(z)                                   AS n_scored,
+           CAST(sum(CASE WHEN z > 3.0 THEN 1 ELSE 0 END) AS BIGINT)
+                                                      AS n_anomalies,
+           floor(max(z) * 10000 + 0.5) / 10000        AS max_z
+    FROM scored
+    GROUP BY user_id
+    HAVING count(z) > 0
+    ORDER BY user_id
+    """,
+)
+def win_moving_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling anomaly score: each event against the mean/stddev of its
+    user's TRAILING 20 events (exclusive of itself) — the streaming-
+    monitor shape, vs events_anomaly_zscore's global per-type stats.
+
+    One (user, time)-ordered window computes trailing avg, stddev, and
+    count in a single pass (Spark evaluates all three over the same
+    frame buffer); scores only emit with >= 5 trailing samples and
+    nonzero spread, the warm-up guard every rolling detector needs.
+    The trailing frame EXCLUDES the current row (ROWS -20 TO -1): a
+    self-inclusive frame dilutes the very spike being scored. At
+    100 TB this shape is skew-sensitive like sessionization — same
+    per-user day-split mitigation. The per-user rollup is co-
+    partitioned with the window (one shuffle total); z is division-
+    created, so the floor-formula r4 rounds max_z identically.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    tw = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    w = ev.select(
+        "user_id",
+        "value",
+        F.avg("value").over(tw).alias("mu"),
+        F.stddev_samp("value").over(tw).alias("sigma"),
+        F.count(F.lit(1)).over(tw).alias("n_trail"),
+    )
+    z = F.when(
+        (F.col("n_trail") >= 5) & (F.col("sigma") > 0),
+        F.abs(F.col("value") - F.col("mu")) / F.col("sigma"),
+    )
+    return (
+        w.select("user_id", z.alias("z"))
+        .groupBy("user_id")
+        .agg(
+            F.count("z").alias("n_scored"),
+            F.sum(F.when(F.col("z") > 3.0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_anomalies"),
+            (F.floor(F.max("z") * 10000 + F.lit(0.5)) / 10000).alias("max_z"),
+        )
+        .filter(F.col("n_scored") > 0)
+        .orderBy("user_id")
+    )

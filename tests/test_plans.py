@@ -690,3 +690,22 @@ def test_tpch_q6_all_predicates_pushed(spark, sf_dir):
     assert set(cols) == {
         "l_shipdate", "l_discount", "l_quantity", "l_extendedprice"
     }, cols
+
+
+def test_moving_zscore_single_user_shuffle(spark, sf_dir):
+    """Trailing avg/stddev/count share one frame buffer over one
+    user_id exchange; the per-user rollup is co-partitioned."""
+    df = q("win_moving_zscore", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Join" not in plan, plan
+    assert count_exchanges(df) <= 2, plan
+
+
+def test_basket_pairs_copartitioned_self_join(spark, sf_dir):
+    """Pair generation must be an equi-join on the order key (fan-out
+    bounded by basket width); singles and the order count broadcast."""
+    df = q("basket_brand_pairs", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    assert uses(df, "TakeOrderedAndProject"), plan
