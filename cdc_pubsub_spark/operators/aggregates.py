@@ -754,3 +754,67 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "event_type string, exact_count bigint, cms_ok boolean"
     )
+
+
+@register(
+    "agg_higher_moments",
+    category="aggregates",
+    oracle="""
+    WITH m AS (
+      SELECT o_orderstatus,
+             count(*)                    AS n,
+             avg(o_totalprice)           AS m1,
+             avg(o_totalprice * o_totalprice) AS m2,
+             avg(o_totalprice * o_totalprice * o_totalprice) AS m3,
+             avg(o_totalprice * o_totalprice * o_totalprice * o_totalprice)
+                                         AS m4
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, n,
+           floor((m2 - m1 * m1) * 100 + 0.5) / 100 AS variance_pop,
+           floor((m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1)
+                 / pow(m2 - m1 * m1, 1.5) * 10000 + 0.5) / 10000
+                                                   AS skewness_pop,
+           floor((m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2 - 3 * pow(m1, 4))
+                 / pow(m2 - m1 * m1, 2) * 10000 + 0.5) / 10000
+                                                   AS kurtosis_pop
+    FROM m
+    ORDER BY o_orderstatus
+    """,
+)
+def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population variance/skewness/kurtosis per group from EXPLICIT raw
+    moments — distribution-shape profiling with engine-proof math.
+
+    Built-in skewness()/kurtosis() differ across engines (sample vs
+    population corrections, excess-vs-raw kurtosis), so this op
+    computes E[X^k] for k=1..4 in one aggregate pass and derives the
+    central moments by the identical binomial expansion in BOTH
+    engines — same inputs, same formula, same doubles. One
+    partial-aggregating shuffle of 5 running sums per group; the
+    raw-moment vector is the mergeable sufficient statistic (per-day
+    partials combine into any coarser grain). Skew/kurtosis are
+    division-created: floor-formula r4.
+    """
+    o = load(spark, sf_dir, "orders")
+    p = F.col("o_totalprice")
+    m = o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(p).alias("m1"),
+        F.avg(p * p).alias("m2"),
+        F.avg(p * p * p).alias("m3"),
+        F.avg(p * p * p * p).alias("m4"),
+    )
+    m1, m2, m3, m4 = F.col("m1"), F.col("m2"), F.col("m3"), F.col("m4")
+    var = m2 - m1 * m1
+    skew = (m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1) / F.pow(var, 1.5)
+    kurt = (m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2 - 3 * F.pow(m1, 4)) / F.pow(
+        var, 2
+    )
+    return m.select(
+        "o_orderstatus",
+        "n",
+        (F.floor(var * 100 + F.lit(0.5)) / 100).alias("variance_pop"),
+        (F.floor(skew * 10000 + F.lit(0.5)) / 10000).alias("skewness_pop"),
+        (F.floor(kurt * 10000 + F.lit(0.5)) / 10000).alias("kurtosis_pop"),
+    ).orderBy("o_orderstatus")

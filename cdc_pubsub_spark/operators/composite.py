@@ -1110,3 +1110,164 @@ def basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_both"), "brand_a", "brand_b")
         .limit(15)
     )
+
+
+@register(
+    "orders_rfm_segmentation",
+    category="composite",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey AS custkey,
+             max(epoch_us(CAST(o_orderdate AS TIMESTAMP))) AS last_us,
+             count(*) AS frequency,
+             CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT)
+               AS monetary_cents
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT custkey, frequency, monetary_cents,
+             ntile(5) OVER (ORDER BY last_us DESC, custkey)       AS r_q,
+             ntile(5) OVER (ORDER BY frequency DESC, custkey)     AS f_q,
+             ntile(5) OVER (ORDER BY monetary_cents DESC, custkey) AS m_q
+      FROM per_cust
+    )
+    SELECT r_q, f_q, m_q,
+           count(*) AS n_customers,
+           CAST(sum(monetary_cents) AS BIGINT) AS segment_cents
+    FROM scored
+    GROUP BY r_q, f_q, m_q
+    ORDER BY r_q, f_q, m_q
+    """,
+)
+def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: quintile every customer on Recency,
+    Frequency, and Monetary value, then report segment sizes — the
+    marketing-analytics staple (1=best quintile on each axis).
+
+    One per-customer aggregate (integer epoch-micros recency, count,
+    floor-exact monetary cents) feeds three ntile windows. Each ntile
+    rides a TOTAL order (metric desc, custkey) so tile boundaries are
+    identical across engines — bare ntile over a non-unique metric is
+    engine-arbitrary at the boundary, the same discipline as every
+    LIMIT in the registry. The three windows are unpartitioned (global
+    quantiles need a global sort); at 100 TB swap exact ntile for
+    approx_percentile cutoffs computed once and broadcast — the
+    segment assignment then becomes a row-local CASE and the global
+    sorts disappear (the profiling sketches exist for exactly this).
+    """
+    o = load(spark, sf_dir, "orders")
+    per_cust = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(F.unix_micros(F.col("o_orderdate").cast("timestamp"))).alias(
+            "last_us"
+        ),
+        F.count(F.lit(1)).alias("frequency"),
+        F.floor(F.sum("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("monetary_cents"),
+    )
+    r_w = Window.orderBy(F.desc("last_us"), "custkey")
+    f_w = Window.orderBy(F.desc("frequency"), "custkey")
+    m_w = Window.orderBy(F.desc("monetary_cents"), "custkey")
+    scored = per_cust.select(
+        "monetary_cents",
+        F.ntile(5).over(r_w).alias("r_q"),
+        F.ntile(5).over(f_w).alias("f_q"),
+        F.ntile(5).over(m_w).alias("m_q"),
+    )
+    return (
+        scored.groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("monetary_cents").cast("bigint").alias("segment_cents"),
+        )
+        .orderBy("r_q", "f_q", "m_q")
+    )
+
+
+@register(
+    "orders_pareto_share",
+    category="composite",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey AS custkey,
+             CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents DESC, custkey) AS rn
+      FROM per_cust
+    ),
+    n AS (SELECT count(*) AS n_cust, CAST(sum(cents) AS DOUBLE) AS total
+          FROM ranked),
+    deciles AS (
+      SELECT ((rn - 1) * 10) // n_cust AS decile,
+             CAST(sum(cents) AS BIGINT) AS decile_cents
+      FROM ranked CROSS JOIN n
+      GROUP BY 1
+    )
+    SELECT decile,
+           decile_cents,
+           floor(sum(decile_cents) OVER (ORDER BY decile
+                   ROWS UNBOUNDED PRECEDING) / max(total) OVER ()
+                 * 10000 + 0.5) / 10000 AS cum_share
+    FROM deciles CROSS JOIN n
+    ORDER BY decile
+    """,
+)
+def orders_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto (80/20) revenue concentration: customers ranked by spend,
+    bucketed into population deciles, with the cumulative revenue
+    share each decile boundary reaches — "the top 10% of customers
+    hold X% of revenue".
+
+    Revenue is floor-exact integer cents, so every sum and the decile
+    bucketing ((rn-1)*10 div N — all-integer) is bit-identical; only
+    the final share divides, under the floor-formula r4. The global
+    row_number is the one serial-order step; at 100 TB replace it with
+    approx_percentile spend cutoffs (broadcast, row-local bucketing) —
+    the same exact-to-sketch swap as the RFM op — or rank within
+    hash-ranges and re-base by partition totals (the distributed-scan
+    pattern). The cumulative window then runs over TEN rows.
+    """
+    o = load(spark, sf_dir, "orders")
+    per_cust = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.floor(F.sum("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents")
+    )
+    ranked = per_cust.select(
+        "cents",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cents"), "custkey"))
+        .alias("rn"),
+    )
+    n = F.broadcast(
+        ranked.agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum("cents").cast("double").alias("total"),
+        )
+    )
+    deciles = (
+        ranked.crossJoin(n)
+        .groupBy(F.expr("((rn - 1) * 10) div n_cust").alias("decile"))
+        .agg(F.sum("cents").cast("bigint").alias("decile_cents"))
+    )
+    cum_w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        deciles.crossJoin(n)
+        .select(
+            "decile",
+            "decile_cents",
+            (
+                F.floor(
+                    F.sum("decile_cents").over(cum_w) / F.col("total") * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("cum_share"),
+        )
+        .orderBy("decile")
+    )
