@@ -1271,3 +1271,76 @@ def orders_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@register(
+    "events_active_users",
+    category="composite",
+    oracle="""
+    WITH day_users AS (
+      SELECT DISTINCT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+             user_id
+      FROM events
+    ),
+    dau AS (
+      SELECT d, count(DISTINCT user_id) AS dau FROM day_users GROUP BY d
+    ),
+    wau AS (
+      SELECT d + k AS d, count(DISTINCT user_id) AS wau
+      FROM day_users, LATERAL unnest(range(0, 7)) AS t(k)
+      GROUP BY d + k
+    ),
+    mau AS (
+      SELECT d + k AS d, count(DISTINCT user_id) AS mau
+      FROM day_users, LATERAL unnest(range(0, 30)) AS t(k)
+      GROUP BY d + k
+    )
+    SELECT dau.d AS day_idx, dau.dau, wau.wau, mau.mau
+    FROM dau JOIN wau ON dau.d = wau.d JOIN mau ON dau.d = mau.d
+    ORDER BY day_idx
+    """,
+)
+def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / MAU: distinct active users per day, per trailing 7
+    days, and per trailing 30 days — the growth-metrics staple.
+
+    Trailing-window DISTINCT does not decompose like a sum, so the op
+    inverts the window: each deduped (day, user) pair is EXPLODED onto
+    every day it keeps the user "active" (7 or 30 covered days), after
+    which the rolling distinct is a plain per-day COUNT(DISTINCT) —
+    equi-grouped, no range join, no per-day rescan. The explode
+    multiplies the day-user PAIRS (already collapsed from raw events,
+    orders of magnitude smaller), not the event stream; the three
+    grains then equi-join on the day key. At extreme user cardinality
+    swap exact distinct for per-day HLL sketches merged over the
+    trailing window (agg_hll_sketch_union's rollup pattern) —
+    mergeable sketches are the only way rolling-distinct scales past
+    memory. Day indexes are integral epoch-micros division; output is
+    restricted to days with activity via the dau inner join.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        F.expr(
+            "unix_micros(cast(ts as timestamp)) div 86400000000"
+        ).alias("d"),
+        "user_id",
+    )
+    day_users = ev.distinct()
+    dau = day_users.groupBy(F.col("d").alias("day_idx")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+
+    def rolling(n: int, name: str) -> DataFrame:
+        return (
+            day_users.select(
+                F.explode(F.expr(f"sequence(d, d + {n - 1})")).alias("day_idx"),
+                "user_id",
+            )
+            .groupBy("day_idx")
+            .agg(F.countDistinct("user_id").alias(name))
+        )
+
+    return (
+        dau.join(rolling(7, "wau"), "day_idx")
+        .join(rolling(30, "mau"), "day_idx")
+        .orderBy("day_idx")
+    )
