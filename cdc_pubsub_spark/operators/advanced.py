@@ -625,3 +625,90 @@ def profile_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("kv.col_a", "kv.col_b", "kv.corr_r")
         .orderBy("col_a", "col_b")
     )
+
+
+@register(
+    "profile_table_diff",
+    category="advanced",
+    oracle="""
+    WITH v1 AS (
+      SELECT doc_id, text, lang FROM documents WHERE doc_id % 13 <> 0
+    ),
+    v2 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0 THEN concat(text, ' edited') ELSE text END
+               AS text,
+             lang
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 5000000, text, lang FROM documents WHERE doc_id % 17 = 0
+    ),
+    joined AS (
+      SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+             CASE
+               WHEN a.doc_id IS NULL THEN 'added'
+               WHEN b.doc_id IS NULL THEN 'removed'
+               WHEN md5(a.text) <> md5(b.text) THEN 'changed'
+               ELSE 'unchanged' END AS verdict
+      FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
+    )
+    SELECT verdict, count(*) AS n_rows, min(doc_id) AS first_doc
+    FROM joined
+    GROUP BY verdict
+    ORDER BY verdict
+    """,
+)
+def profile_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table diff between two dataset versions: added / removed /
+    changed / unchanged row counts — the data-diff audit every
+    migration, backfill, and CDC-reconciliation job runs before
+    switching consumers over.
+
+    The two versions are pure functions of the fixture (v1 drops ÷13
+    docs; v2 edits ÷11 texts and appends ÷17 docs under new ids), so
+    all four verdict classes occur at every sf. The diff itself is ONE
+    full outer join on the key plus a row-local content-hash compare —
+    never a row-by-row driver loop; at 100 TB both sides co-shuffle
+    once on the key, and comparing md5(text) instead of raw text keeps
+    the exchanged row narrow (the same content-hash trick as
+    dedup_exact — for multi-column rows, hash a canonical struct).
+    Classification precedence: presence beats content (added/removed
+    before changed), matching reconciliation semantics.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    v1 = docs.filter(F.col("doc_id") % 13 != 0)
+    v2 = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" edited"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "lang",
+    ).unionByName(
+        docs.filter(F.col("doc_id") % 17 == 0).select(
+            (F.col("doc_id") + 5000000).alias("doc_id"), "text", "lang"
+        )
+    )
+    a = v1.select(
+        F.col("doc_id").alias("a_id"), F.md5("text").alias("a_h")
+    )
+    b = v2.select(
+        F.col("doc_id").alias("b_id"), F.md5("text").alias("b_h")
+    )
+    joined = a.join(b, a["a_id"] == b["b_id"], "full_outer").select(
+        F.coalesce(F.col("a_id"), F.col("b_id")).alias("doc_id"),
+        F.when(F.col("a_id").isNull(), "added")
+        .when(F.col("b_id").isNull(), "removed")
+        .when(F.col("a_h") != F.col("b_h"), "changed")
+        .otherwise("unchanged")
+        .alias("verdict"),
+    )
+    return (
+        joined.groupBy("verdict")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("verdict")
+    )
