@@ -639,7 +639,7 @@ def profile_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN doc_id % 11 = 0 THEN concat(text, ' edited') ELSE text END
                AS text,
              lang
-      FROM documents
+      FROM documents WHERE doc_id % 19 <> 0
       UNION ALL
       SELECT doc_id + 5000000, text, lang FROM documents WHERE doc_id % 17 = 0
     ),
@@ -665,8 +665,9 @@ def profile_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     switching consumers over.
 
     The two versions are pure functions of the fixture (v1 drops ÷13
-    docs; v2 edits ÷11 texts and appends ÷17 docs under new ids), so
-    all four verdict classes occur at every sf. The diff itself is ONE
+    docs — which therefore surface as "added" in v2; v2 drops ÷19 docs
+    — "removed" — edits ÷11 texts, and appends ÷17 docs under new
+    ids), so all four verdict classes occur at every sf. The diff itself is ONE
     full outer join on the key plus a row-local content-hash compare —
     never a row-by-row driver loop; at 100 TB both sides co-shuffle
     once on the key, and comparing md5(text) instead of raw text keeps
@@ -677,7 +678,7 @@ def profile_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     v1 = docs.filter(F.col("doc_id") % 13 != 0)
-    v2 = docs.select(
+    v2 = docs.filter(F.col("doc_id") % 19 != 0).select(
         "doc_id",
         F.when(
             F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" edited"))
