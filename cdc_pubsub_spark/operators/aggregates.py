@@ -818,3 +818,61 @@ def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(skew * 10000 + F.lit(0.5)) / 10000).alias("skewness_pop"),
         (F.floor(kurt * 10000 + F.lit(0.5)) / 10000).alias("kurtosis_pop"),
     ).orderBy("o_orderstatus")
+
+
+@register(
+    "agg_entropy",
+    category="aggregates",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id % 10 AS user_decile, event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT user_decile, CAST(sum(n) AS DOUBLE) AS total
+      FROM counts GROUP BY user_decile
+    )
+    SELECT c.user_decile,
+           CAST(max(t.total) AS BIGINT) AS n_events,
+           floor((-sum((c.n / t.total) * ln(c.n / t.total)))
+                 * 10000 + 0.5) / 10000 AS entropy_nats
+    FROM counts c JOIN tot t ON c.user_decile = t.user_decile
+    GROUP BY c.user_decile
+    ORDER BY c.user_decile
+    """,
+)
+def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user decile's event-type mix — the
+    diversity/balance metric behind drift monitors, split-quality
+    scoring, and exploration dashboards (max ln(5) ≈ 1.609 nats for a
+    uniform 5-type mix).
+
+    Two chained aggregates: per-(decile, type) counts, then the decile
+    total broadcast back onto its ≤5 count rows for the -Σ p·ln p fold
+    — the groups are tiny, so both shuffles carry map-side-combined
+    partials only. The same shape computes entropy over ANY
+    categorical column (language mix per source, label balance per
+    split); entropy of counts is NOT mergeable across partials, which
+    is exactly why the counts (which ARE mergeable) are the persisted
+    sufficient statistic and entropy derives at read time. Division-
+    created doubles: floor-formula r4.
+    """
+    ev = load(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        (F.col("user_id") % 10).alias("user_decile"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.groupBy("user_decile").agg(
+        F.sum("n").cast("double").alias("total")
+    )
+    p = F.col("n") / F.col("total")
+    return (
+        counts.join(tot, "user_decile")
+        .groupBy("user_decile")
+        .agg(
+            F.max("total").cast("bigint").alias("n_events"),
+            (
+                F.floor((-F.sum(p * F.log(p))) * 10000 + F.lit(0.5)) / 10000
+            ).alias("entropy_nats"),
+        )
+        .orderBy("user_decile")
+    )

@@ -1344,3 +1344,59 @@ def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(rolling(30, "mau"), "day_idx")
         .orderBy("day_idx")
     )
+
+
+@register(
+    "orders_seasonality",
+    category="composite",
+    oracle="""
+    WITH monthly AS (
+      SELECT CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS month,
+             CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT) AS cents,
+             count(*) AS n_orders
+      FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(cents) AS DOUBLE) AS total FROM monthly)
+    SELECT month, n_orders, cents,
+           floor(cents * 12 / total * 10000 + 0.5) / 10000 AS seasonal_index
+    FROM monthly CROSS JOIN tot
+    ORDER BY month
+    """,
+)
+def orders_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-of-year seasonality profile: revenue per calendar month and
+    the seasonal index (share x 12 — 1.0 = an average month) — the
+    first cut of every demand-planning and capacity model.
+
+    Calendar-month extraction folds multiple years into one seasonal
+    shape (the point: trend is removed by pooling); revenue is
+    floor-exact integer cents so the 12-group aggregate is
+    bit-identical, and only the index divides (floor-formula r4
+    against the broadcast scalar total). Mergeable by construction —
+    per-year monthly partials sum into the pooled profile. At 100 TB
+    this is a 12-group map-side-combined aggregate: the shuffle
+    carries 12 rows per task no matter the fact volume.
+    """
+    o = load(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.month("o_orderdate").cast("bigint").alias("month")
+    ).agg(
+        F.floor(F.sum("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    tot = F.broadcast(monthly.agg(F.sum("cents").cast("double").alias("total")))
+    return (
+        monthly.crossJoin(tot)
+        .select(
+            "month",
+            "n_orders",
+            "cents",
+            (
+                F.floor(F.col("cents") * 12 / F.col("total") * 10000 + F.lit(0.5))
+                / 10000
+            ).alias("seasonal_index"),
+        )
+        .orderBy("month")
+    )
