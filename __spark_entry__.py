@@ -156,6 +156,7 @@ _RECERTIFY = [
 # the TPC-H sweep, incremental dedup, the e2e pipelines) and lead the
 # r06 window.
 _DEFER_TO_NEXT_ROUND = {
+    "multimodal_phash_dedup",
     "agg_entropy",
     "orders_seasonality",
     "events_top_paths",

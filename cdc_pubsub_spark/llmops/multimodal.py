@@ -478,3 +478,116 @@ def multimodal_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract(F.col("path"), r"([^/]+)\.parquet$", 1).alias("table"),
         F.col("length").alias("n_bytes"),
     ).orderBy("table")
+
+
+@register(
+    "multimodal_phash_dedup",
+    category="multimodal",
+    bench=False,
+    oracle="""
+    WITH keys AS (
+      SELECT doc_id, doc_id % 250 AS key FROM documents
+    ),
+    dims AS (
+      SELECT doc_id, key,
+             4 + key % 13 AS w, 3 + key % 11 AS h
+      FROM keys
+    ),
+    samp AS (
+      SELECT doc_id, k,
+             ((17 * key + 15 * p) % 256
+              + (17 * key + 15 * p + 5) % 256
+              + (17 * key + 15 * p + 10) % 256) // 3 AS gray
+      FROM (
+        SELECT doc_id, key, k,
+               (((k // 8) * h) // 8) * w + ((k % 8) * w) // 8 AS p
+        FROM dims, LATERAL unnest(range(0, 64)) AS t(k)
+      )
+    ),
+    means AS (
+      SELECT doc_id, sum(gray) // 64 AS m FROM samp GROUP BY doc_id
+    ),
+    hashes AS (
+      SELECT s.doc_id,
+             CAST(sum(CASE WHEN s.k < 32 AND s.gray >= m.m
+                      THEN CAST(1 AS BIGINT) << CAST(s.k AS INT)
+                      ELSE 0 END) AS BIGINT) AS hash_lo,
+             CAST(sum(CASE WHEN s.k >= 32 AND s.gray >= m.m
+                      THEN CAST(1 AS BIGINT) << CAST(s.k - 32 AS INT)
+                      ELSE 0 END) AS BIGINT) AS hash_hi
+      FROM samp s JOIN means m ON s.doc_id = m.doc_id
+      GROUP BY s.doc_id
+    ),
+    groups AS (
+      SELECT hash_hi, hash_lo, count(*) AS group_size,
+             min(doc_id) AS canonical
+      FROM hashes GROUP BY hash_hi, hash_lo
+    )
+    SELECT group_size,
+           count(*) AS n_groups,
+           min(canonical) AS first_canonical
+    FROM groups
+    GROUP BY group_size
+    ORDER BY group_size
+    """,
+)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup over REAL codec bytes: synthesize the
+    P6 image for each doc (250 distinct images shared across docs),
+    parse it with the genuine PPM tokenizer, compute an 8x8 average
+    hash (aHash) from the decoded raster, and report the duplicate-
+    group size histogram.
+
+    The WHOLE kernel path is real: bytes -> header parse -> raster ->
+    grayscale -> nearest-neighbor 8x8 downsample -> mean-threshold
+    bits -> packed 64-bit hash, Arrow-batched in mapInPandas. Because
+    the fixture raster is a closed-form byte function, the ORACLE
+    replays the identical integer arithmetic in SQL — the one
+    multimodal kernel whose full decode-compute-dedup loop is
+    hash-certified, not rows-only. Same-image docs are guaranteed
+    hash-equal (bit-identical bytes); different images MAY collide —
+    aHash is approximate by design, and the histogram records exactly
+    what it records at scale. Dedup itself is the standard hash-groupBy
+    (dedup_exact's shape) on the 64-bit pair; at 100 TB near-dup
+    matching adds a Hamming-ball band join over hash nibbles
+    (dedup_simhash's machinery).
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def kernel(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "hash_hi": [], "hash_lo": []}
+            for doc_id in pdf["doc_id"]:
+                key = int(doc_id) % 250
+                payload = _synth_ppm(key)
+                w, h, _maxval, pos = _ppm_header(payload, 0)
+                raster = payload[pos : pos + w * h * 3]
+                gray = [
+                    (raster[3 * p] + raster[3 * p + 1] + raster[3 * p + 2]) // 3
+                    for p in range(w * h)
+                ]
+                samples = [
+                    gray[((y * h) // 8) * w + ((x * w) // 8)]
+                    for y in range(8)
+                    for x in range(8)
+                ]
+                mean = sum(samples) // 64
+                bits = [1 if s >= mean else 0 for s in samples]
+                out["doc_id"].append(int(doc_id))
+                out["hash_lo"].append(sum(b << k for k, b in enumerate(bits[:32])))
+                out["hash_hi"].append(sum(b << k for k, b in enumerate(bits[32:])))
+            yield pd.DataFrame(out)
+
+    hashed = docs.mapInPandas(kernel, "doc_id long, hash_hi long, hash_lo long")
+    groups = hashed.groupBy("hash_hi", "hash_lo").agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.min("doc_id").alias("canonical"),
+    )
+    return (
+        groups.groupBy("group_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.min("canonical").alias("first_canonical"),
+        )
+        .orderBy("group_size")
+    )
