@@ -157,6 +157,7 @@ _RECERTIFY = [
 # r06 window.
 _DEFER_TO_NEXT_ROUND = {
     "multimodal_phash_dedup",
+    "multimodal_wav_energy",
     "agg_entropy",
     "orders_seasonality",
     "events_top_paths",

@@ -591,3 +591,113 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("group_size")
     )
+
+
+@register(
+    "multimodal_wav_energy",
+    category="multimodal",
+    bench=False,
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             8 << (doc_id % 3)   AS rate_khz,
+             40 + doc_id % 97    AS n
+      FROM documents
+    ),
+    samples AS (
+      SELECT b.doc_id, b.rate_khz, b.n,
+             (t.i * 4) // b.n AS frame,
+             ((b.doc_id * 31 + t.i * 7) % 256) - 128 AS s
+      FROM base b, LATERAL unnest(range(0, b.n)) AS t(i)
+    ),
+    frames AS (
+      SELECT doc_id, rate_khz, frame,
+             CAST(sum(s * s) AS BIGINT) AS sumsq,
+             count(*) AS n_samp
+      FROM samples GROUP BY doc_id, rate_khz, frame
+    )
+    SELECT rate_khz, frame,
+           count(*)                        AS n_docs,
+           CAST(sum(sumsq) AS BIGINT)      AS total_sumsq,
+           floor(avg(sqrt(sumsq * 1.0 / n_samp)) * 100 + 0.5) / 100
+                                           AS avg_rms
+    FROM frames
+    GROUP BY rate_khz, frame
+    ORDER BY rate_khz, frame
+    """,
+)
+def multimodal_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Framewise audio energy over REAL RIFF/WAVE bytes: each doc's
+    8-bit PCM payload is chunk-walked (magic check, fmt/data chunks,
+    word-alignment padding — the genuine parser path), split into four
+    equal frames, and reduced to per-frame sum-of-squares energy — the
+    loudness-segmentation primitive behind VAD, silence trimming, and
+    audio quality gates.
+
+    Frame energies are ALL-INTEGER (centered 8-bit samples, exact
+    squares), so the closed-form byte synthesis lets the oracle replay
+    the identical arithmetic in SQL — like multimodal_phash_dedup,
+    the full decode-compute loop is hash-certified, not rows-only;
+    only the final avg RMS divides (floor-formula r2). The kernel is
+    Arrow-batched mapInPandas emitting (doc, frame) rows; the rollup
+    by (sample-rate, frame) is a tiny partial-aggregated shuffle. At
+    100 TB the per-frame sufficient statistic (sumsq, n) merges into
+    any coarser segmentation without re-decoding bytes.
+    """
+    import struct
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def kernel(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "rate_khz": [], "frame": [], "sumsq": [], "n_samp": []}
+            for doc_id in pdf["doc_id"]:
+                payload = _synth_wav(int(doc_id))
+                if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+                    raise ValueError("not RIFF/WAVE")
+                pos, rate, samples = 12, None, b""
+                while pos + 8 <= len(payload):
+                    cid = payload[pos : pos + 4]
+                    (sz,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+                    body = payload[pos + 8 : pos + 8 + sz]
+                    if cid == b"fmt ":
+                        _f, _c, rate, _br, _ba, _bits = struct.unpack(
+                            "<HHIIHH", body[:16]
+                        )
+                    elif cid == b"data":
+                        samples = body
+                    pos += 8 + sz + (sz & 1)
+                n = len(samples)
+                acc = [[0, 0], [0, 0], [0, 0], [0, 0]]
+                for i, byte in enumerate(samples):
+                    s = byte - 128
+                    f = (i * 4) // n
+                    acc[f][0] += s * s
+                    acc[f][1] += 1
+                for f, (sumsq, n_samp) in enumerate(acc):
+                    if n_samp:
+                        out["doc_id"].append(int(doc_id))
+                        out["rate_khz"].append(rate // 1000)
+                        out["frame"].append(f)
+                        out["sumsq"].append(sumsq)
+                        out["n_samp"].append(n_samp)
+            yield pd.DataFrame(out)
+
+    frames = docs.mapInPandas(
+        kernel, "doc_id long, rate_khz long, frame long, sumsq long, n_samp long"
+    )
+    return (
+        frames.groupBy("rate_khz", "frame")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("sumsq").cast("bigint").alias("total_sumsq"),
+            (
+                F.floor(
+                    F.avg(F.sqrt(F.col("sumsq") * 1.0 / F.col("n_samp"))) * 100
+                    + F.lit(0.5)
+                )
+                / 100
+            ).alias("avg_rms"),
+        )
+        .orderBy("rate_khz", "frame")
+    )
