@@ -141,20 +141,24 @@ _RECERTIFY = [
     # drain) alters no output contract — it remains the declared
     # wall-clock rows-only op whose r04 rows-pass verdict still
     # describes the check the driver would repeat, and the drain fix is
-    # covered by name in tests/test_streaming.py. With 37 new ops this
-    # session, the driver's 50-entry window fits exactly
-    # 13 recertify + 37 new; push-ingest re-enters the rotation in r06.
+    # covered by name in tests/test_streaming.py. The driver's 50-entry
+    # window fits exactly 13 recertify + 37 non-deferred new ops;
+    # push-ingest re-enters the rotation in r06.
 ]
 
 
-# Round 5 registered ~63 certification candidates for the driver's
-# 50-entry window (50 never-certified ops + 13 recertify), so 13 must
-# wait for r06. The deferral is DELIBERATE: these late-round analytics
-# composites (each hash-verified locally at sf0.001/0.01/0.1 and through
-# the driver-protocol sim — see STATUS.md) yield their slots to the
-# round's headline deliverables (A14 pipeline_metrics, socket ingest,
-# the TPC-H sweep, incremental dedup, the e2e pipelines) and lead the
-# r06 window.
+# Round 5 registered ~65 certification candidates for the driver's
+# 50-entry window (52 never-certified ops + 13 recertify), so 15 must
+# wait for r06. The deferral is DELIBERATE: these late-round analytics/
+# multimodal composites (each hash-verified locally at sf0.001/0.01/0.1
+# and through the driver-protocol sim — see STATUS.md) yield their slots
+# to the round's headline deliverables (A14 pipeline_metrics, socket
+# ingest, the TPC-H sweep, incremental dedup, the e2e pipelines).
+# The set only applies WHILE r05's CORRECTNESS file does not exist yet
+# (see _ordered_names): from r06 on these ops compete normally as
+# never-attempted entries and therefore lead that window — without the
+# gate, a permanent sink flag could push them out indefinitely if later
+# rounds also register many ops.
 _DEFER_TO_NEXT_ROUND = {
     "multimodal_phash_dedup",
     "multimodal_wav_energy",
@@ -179,12 +183,15 @@ def _ordered_names() -> list[str]:
     names = list(REGISTRY)
     lead = [n for n in _SURVEY_PRIORITY if n in REGISTRY and n not in done]
     rest_new = [n for n in names if n not in done and n not in lead]
+    # The defer set is a ROUND-5-ONLY decision: once the r05 CORRECTNESS
+    # file lands (5 files on disk), the flag deactivates and the
+    # deferred ops rank as ordinary never-attempted entries.
+    n_rounds = len(glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json")))
+    defer = _DEFER_TO_NEXT_ROUND if n_rounds <= 4 else set()
     # Never-attempted ops outrank ops that were attempted and failed;
     # among equals deferred ops sink, then keep registration order
     # (stable sort).
-    rest_new.sort(
-        key=lambda n: (attempts.get(n, 0), 1 if n in _DEFER_TO_NEXT_ROUND else 0)
-    )
+    rest_new.sort(key=lambda n: (attempts.get(n, 0), 1 if n in defer else 0))
     lead.sort(key=lambda n: attempts.get(n, 0))
     recert = [
         n for n in _RECERTIFY if n in done and n not in lead and n not in rest_new
@@ -195,8 +202,8 @@ def _ordered_names() -> list[str]:
     # without this, the same first ~40 certified ops would be re-checked
     # forever and a regression in the rest would go unnoticed (the
     # recency rule in _certification_state then returns any re-checked
-    # regression to the front).
-    n_rounds = len(glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json")))
+    # regression to the front). n_rounds computed above for the defer
+    # gate.
     if certified:
         k = (n_rounds * 41) % len(certified)
         certified = certified[k:] + certified[:k]

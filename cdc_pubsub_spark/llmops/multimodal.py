@@ -24,6 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cdc_pubsub_spark.functions.rounding import r2
 from cdc_pubsub_spark.registry import register
 from cdc_pubsub_spark.tables import load
 
@@ -235,11 +236,11 @@ def _synth_ppm_stream(doc_id: int) -> bytes:
     return b"".join(frames)
 
 
-def decode_wav(payload: bytes) -> dict:
-    """Genuine RIFF/WAVE parse: verify magic, walk chunks (honoring the
-    odd-size pad byte), read PCM params from `fmt `, samples from `data`.
-    Emits sample_rate (header), duration_ms (n_samples·1000 // rate), and
-    peak_amp = max |sample − 128| over the 8-bit PCM payload."""
+def _walk_riff(payload: bytes) -> tuple[int, int, bytes]:
+    """THE RIFF/WAVE chunk walk (magic check, fmt/data dispatch,
+    odd-size word-alignment padding) → (rate, bits, samples). One
+    definition serves decode_wav AND the wav-energy kernel — a chunk-
+    handling fix must change both consumers or none."""
     import struct
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -256,6 +257,14 @@ def decode_wav(payload: bytes) -> dict:
         pos += 8 + sz + (sz & 1)  # chunks are word-aligned
     if rate is None or bits is None:
         raise ValueError("missing fmt chunk")
+    return int(rate), int(bits), samples
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Genuine RIFF/WAVE parse (via the shared _walk_riff chunk walk).
+    Emits sample_rate (header), duration_ms (n_samples·1000 // rate), and
+    peak_amp = max |sample − 128| over the 8-bit PCM payload."""
+    rate, bits, samples = _walk_riff(payload)
     n = len(samples) // (bits // 8)
     peak = max((abs(b - 128) for b in samples), default=0)
     return {
@@ -644,8 +653,6 @@ def multimodal_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the per-frame sufficient statistic (sumsq, n) merges into
     any coarser segmentation without re-decoding bytes.
     """
-    import struct
-
     docs = load(spark, sf_dir, "documents").select("doc_id")
 
     def kernel(batches):
@@ -653,20 +660,7 @@ def multimodal_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = {"doc_id": [], "rate_khz": [], "frame": [], "sumsq": [], "n_samp": []}
             for doc_id in pdf["doc_id"]:
                 payload = _synth_wav(int(doc_id))
-                if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
-                    raise ValueError("not RIFF/WAVE")
-                pos, rate, samples = 12, None, b""
-                while pos + 8 <= len(payload):
-                    cid = payload[pos : pos + 4]
-                    (sz,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
-                    body = payload[pos + 8 : pos + 8 + sz]
-                    if cid == b"fmt ":
-                        _f, _c, rate, _br, _ba, _bits = struct.unpack(
-                            "<HHIIHH", body[:16]
-                        )
-                    elif cid == b"data":
-                        samples = body
-                    pos += 8 + sz + (sz & 1)
+                rate, _bits, samples = _walk_riff(payload)
                 n = len(samples)
                 acc = [[0, 0], [0, 0], [0, 0], [0, 0]]
                 for i, byte in enumerate(samples):
@@ -691,12 +685,8 @@ def multimodal_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("sumsq").cast("bigint").alias("total_sumsq"),
-            (
-                F.floor(
-                    F.avg(F.sqrt(F.col("sumsq") * 1.0 / F.col("n_samp"))) * 100
-                    + F.lit(0.5)
-                )
-                / 100
+            r2(
+                F.avg(F.sqrt(F.col("sumsq") * 1.0 / F.col("n_samp")))
             ).alias("avg_rms"),
         )
         .orderBy("rate_khz", "frame")

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cdc_pubsub_spark.functions.rounding import r2
+from cdc_pubsub_spark.functions.rounding import r2, r4
 from cdc_pubsub_spark.registry import register
 from cdc_pubsub_spark.tables import load
 
@@ -794,7 +794,11 @@ def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-aggregating shuffle of 5 running sums per group; the
     raw-moment vector is the mergeable sufficient statistic (per-day
     partials combine into any coarser grain). Skew/kurtosis are
-    division-created: floor-formula r4.
+    division-created: floor-formula r2/r4. Skewness can be NEGATIVE —
+    the floor formula there is round-half-toward-+inf rather than
+    half-away (rounding.py's documented non-negative caveat); that is
+    deliberate: the contract is CROSS-ENGINE EQUALITY of the literal
+    formula, which holds for any sign, not IEEE half-away fidelity.
     """
     o = load(spark, sf_dir, "orders")
     p = F.col("o_totalprice")
@@ -814,9 +818,9 @@ def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "o_orderstatus",
         "n",
-        (F.floor(var * 100 + F.lit(0.5)) / 100).alias("variance_pop"),
-        (F.floor(skew * 10000 + F.lit(0.5)) / 10000).alias("skewness_pop"),
-        (F.floor(kurt * 10000 + F.lit(0.5)) / 10000).alias("kurtosis_pop"),
+        r2(var).alias("variance_pop"),
+        r4(skew).alias("skewness_pop"),
+        r4(kurt).alias("kurtosis_pop"),
     ).orderBy("o_orderstatus")
 
 
@@ -870,9 +874,7 @@ def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_decile")
         .agg(
             F.max("total").cast("bigint").alias("n_events"),
-            (
-                F.floor((-F.sum(p * F.log(p))) * 10000 + F.lit(0.5)) / 10000
-            ).alias("entropy_nats"),
+            r4(-F.sum(p * F.log(p))).alias("entropy_nats"),
         )
         .orderBy("user_decile")
     )

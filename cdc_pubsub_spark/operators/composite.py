@@ -1066,12 +1066,17 @@ def basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     widening — the same bounded self-join shape per level.
     """
     part = F.broadcast(load(spark, sf_dir, "part").select("p_partkey", "p_brand"))
+    # persist: baskets feeds FOUR consumers (order count, singles, and
+    # both self-join sides) — without the cache the lineitem scan, the
+    # part join, and the distinct shuffle re-execute per consumer
+    # (~4x this op's runtime; same reuse discipline as dedup's sets).
     baskets = (
         load(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .select("l_orderkey", "p_brand")
         .distinct()
+        .persist()
     )
     n = F.broadcast(
         baskets.agg(
@@ -1098,13 +1103,9 @@ def basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "brand_a",
             "brand_b",
             "n_both",
-            (F.floor(F.col("n_both") / F.col("n_orders") * 10000 + F.lit(0.5)) / 10000).alias("support"),
-            (
-                F.floor(
-                    F.col("n_both") * F.col("n_orders") / (F.col("na") * F.col("nb")) * 10000
-                    + F.lit(0.5)
-                )
-                / 10000
+            r4(F.col("n_both") / F.col("n_orders")).alias("support"),
+            r4(
+                F.col("n_both") * F.col("n_orders") / (F.col("na") * F.col("nb"))
             ).alias("lift"),
         )
         .orderBy(F.desc("n_both"), "brand_a", "brand_b")
@@ -1261,12 +1262,8 @@ def orders_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "decile",
             "decile_cents",
-            (
-                F.floor(
-                    F.sum("decile_cents").over(cum_w) / F.col("total") * 10000
-                    + F.lit(0.5)
-                )
-                / 10000
+            r4(
+                F.sum("decile_cents").over(cum_w) / F.col("total")
             ).alias("cum_share"),
         )
         .orderBy("decile")
@@ -1324,9 +1321,13 @@ def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("d"),
         "user_id",
     )
-    day_users = ev.distinct()
+    # persist: three consumers (dau + two rolling explodes) would each
+    # re-run the events scan and the distinct shuffle otherwise; and
+    # day_users is ALREADY distinct on (d, user), so the per-day count
+    # is a plain count, not a second dedup pass.
+    day_users = ev.distinct().persist()
     dau = day_users.groupBy(F.col("d").alias("day_idx")).agg(
-        F.countDistinct("user_id").alias("dau")
+        F.count(F.lit(1)).alias("dau")
     )
 
     def rolling(n: int, name: str) -> DataFrame:
@@ -1393,10 +1394,7 @@ def orders_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "month",
             "n_orders",
             "cents",
-            (
-                F.floor(F.col("cents") * 12 / F.col("total") * 10000 + F.lit(0.5))
-                / 10000
-            ).alias("seasonal_index"),
+            r4(F.col("cents") * 12 / F.col("total")).alias("seasonal_index"),
         )
         .orderBy("month")
     )

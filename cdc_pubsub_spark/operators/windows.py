@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from cdc_pubsub_spark.functions.rounding import r2
+from cdc_pubsub_spark.functions.rounding import r2, r4
 from cdc_pubsub_spark.registry import register
 from cdc_pubsub_spark.tables import load
 
@@ -439,7 +439,7 @@ def win_moving_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("z") > 3.0, 1).otherwise(0))
             .cast("bigint")
             .alias("n_anomalies"),
-            (F.floor(F.max("z") * 10000 + F.lit(0.5)) / 10000).alias("max_z"),
+            r4(F.max("z")).alias("max_z"),
         )
         .filter(F.col("n_scored") > 0)
         .orderBy("user_id")
