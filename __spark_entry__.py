@@ -162,6 +162,7 @@ _RECERTIFY = [
 _DEFER_TO_NEXT_ROUND = {
     "multimodal_phash_dedup",
     "multimodal_wav_energy",
+    "multimodal_scene_cuts",
     "agg_entropy",
     "orders_seasonality",
     "events_top_paths",

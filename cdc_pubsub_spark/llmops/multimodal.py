@@ -691,3 +691,103 @@ def multimodal_wav_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rate_khz", "frame")
     )
+
+
+@register(
+    "multimodal_scene_cuts",
+    category="multimodal",
+    bench=False,
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             2 + doc_id % 5 AS w,
+             2 + doc_id % 3 AS h,
+             2 + doc_id % 7 AS nf
+      FROM documents
+    ),
+    frame_means AS (
+      SELECT b.doc_id, b.nf, t.f,
+             (SELECT sum((b.doc_id + t.f * 3 + j.j) % 256)
+              FROM unnest(range(0, b.w * b.h * 3)) AS j(j))
+             // (b.w * b.h * 3) AS mean_lum
+      FROM base b, LATERAL unnest(range(0, b.nf)) AS t(f)
+    ),
+    deltas AS (
+      SELECT doc_id, nf, f, mean_lum,
+             mean_lum - lag(mean_lum) OVER (
+               PARTITION BY doc_id ORDER BY f
+             ) AS d
+      FROM frame_means
+    )
+    SELECT
+      nf                                         AS n_frames,
+      count(DISTINCT doc_id)                     AS n_streams,
+      CAST(sum(CASE WHEN abs(d) > 16 THEN 1 ELSE 0 END) AS BIGINT)
+                                                 AS n_cuts,
+      CAST(sum(mean_lum) AS BIGINT)              AS lum_checksum
+    FROM deltas
+    GROUP BY nf
+    ORDER BY nf
+    """,
+)
+def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over the REAL raw-video decode: walk each
+    doc's concatenated-P6 frame stream with the genuine header
+    tokenizer, compute per-frame mean luminance from the raster, and
+    flag cuts where consecutive frame means jump by more than the
+    threshold — the shot-segmentation primitive of every video
+    pipeline, completing the real-codec trilogy (image aHash, audio
+    energy, video cuts).
+
+    Frame means are integer floor-division of exact byte sums, and the
+    fixture's closed-form raster lets the oracle replay the identical
+    arithmetic (per-frame byte sum via a correlated range sum, lag
+    deltas in SQL) — full decode-compute loop hash-certified. The
+    synthetic ramp shifts each frame's mean by ~3 except at the mod-256
+    wrap, so cuts are sparse and deterministic. The kernel emits one
+    row per frame; frames-per-stream is bounded (metadata-driven), so
+    the explode is narrow. At 100 TB per-frame means come out of the
+    decoder (no second pass) and the lag/threshold runs as this exact
+    window — keyed per stream, embarrassingly parallel.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def kernel(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "nf": [], "f": [], "mean_lum": []}
+            for doc_id in pdf["doc_id"]:
+                payload = _synth_ppm_stream(int(doc_id))
+                pos, f, nf_seen = 0, 0, 0
+                frames = []
+                while pos < len(payload):
+                    w, h, _mx, raster = _ppm_header(payload, pos)
+                    px = payload[raster : raster + w * h * 3]
+                    frames.append(sum(px) // (w * h * 3))
+                    pos = raster + w * h * 3
+                for f, m in enumerate(frames):
+                    out["doc_id"].append(int(doc_id))
+                    out["nf"].append(len(frames))
+                    out["f"].append(f)
+                    out["mean_lum"].append(m)
+            yield pd.DataFrame(out)
+
+    frames = docs.mapInPandas(
+        kernel, "doc_id long, nf long, f long, mean_lum long"
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy("f")
+    deltas = frames.withColumn(
+        "d", F.col("mean_lum") - F.lag("mean_lum").over(w)
+    )
+    return (
+        deltas.groupBy(F.col("nf").alias("n_frames"))
+        .agg(
+            F.countDistinct("doc_id").alias("n_streams"),
+            F.sum(F.when(F.abs("d") > 16, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_cuts"),
+            F.sum("mean_lum").cast("bigint").alias("lum_checksum"),
+        )
+        .orderBy("n_frames")
+    )
