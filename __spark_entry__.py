@@ -163,6 +163,7 @@ _DEFER_TO_NEXT_ROUND = {
     "multimodal_phash_dedup",
     "multimodal_wav_energy",
     "multimodal_scene_cuts",
+    "events_interarrival_dist",
     "agg_entropy",
     "orders_seasonality",
     "events_top_paths",

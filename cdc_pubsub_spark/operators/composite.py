@@ -1398,3 +1398,80 @@ def orders_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+@register(
+    "events_interarrival_dist",
+    category="composite",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP))
+             - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                 PARTITION BY user_id
+                 ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
+               ) AS gap_us
+      FROM events
+    ),
+    bucketed AS (
+      SELECT CAST(floor(ln(gap_us / 1000000.0) / ln(4.0)) AS BIGINT)
+               AS log4_bucket,
+             gap_us
+      FROM gaps WHERE gap_us IS NOT NULL AND gap_us > 0
+    )
+    SELECT log4_bucket,
+           count(*)                                   AS n_gaps,
+           CAST(min(gap_us) // 1000000 AS BIGINT)     AS min_gap_s,
+           CAST(max(gap_us) // 1000000 AS BIGINT)     AS max_gap_s,
+           floor(avg(gap_us / 1000000.0) * 100 + 0.5) / 100
+                                                      AS avg_gap_s
+    FROM bucketed
+    GROUP BY log4_bucket
+    ORDER BY log4_bucket
+    """,
+)
+def events_interarrival_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival time distribution on a log scale: per-user event
+    gaps bucketed by powers of 4 seconds — the burstiness profile
+    behind capacity planning, anomaly baselines, and session-gap
+    tuning (this histogram is exactly how the 12 h sessionize
+    threshold was chosen).
+
+    One lag window on the shared (user, time) shuffle; buckets are
+    floor(log4(gap_s)) — logarithmic because arrival processes span
+    orders of magnitude and uniform bins would put everything in one
+    bucket. The log/division chain is float, but bucket boundaries are
+    exact powers of 4 while gaps are integral seconds apart from them,
+    so both engines bucket identically (a gap landing EXACTLY on a
+    power of 4 evaluates the same literal float expression in both).
+    The histogram is mergeable (counts + min/max + sum) — per-day
+    partials fold into any coarser window. Division-created average:
+    floor-formula r2.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gaps = ev.select(
+        (F.col("us") - F.lag("us").over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull() & (F.col("gap_us") > 0))
+    bucketed = gaps.select(
+        F.floor(
+            F.log(F.col("gap_us") / F.lit(1000000.0)) / F.log(F.lit(4.0))
+        )
+        .cast("bigint")
+        .alias("log4_bucket"),
+        "gap_us",
+    )
+    return (
+        bucketed.groupBy("log4_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.expr("min(gap_us) div 1000000").cast("bigint").alias("min_gap_s"),
+            F.expr("max(gap_us) div 1000000").cast("bigint").alias("max_gap_s"),
+            r2(F.avg(F.col("gap_us") / F.lit(1000000.0))).alias("avg_gap_s"),
+        )
+        .orderBy("log4_bucket")
+    )
