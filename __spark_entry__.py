@@ -147,8 +147,8 @@ _RECERTIFY = [
 ]
 
 
-# Round 5 registered ~65 certification candidates for the driver's
-# 50-entry window (52 never-certified ops + 13 recertify), so 15 must
+# Round 5 registered ~67 certification candidates for the driver's
+# 50-entry window (54 never-certified ops + 13 recertify), so 17 must
 # wait for r06. The deferral is DELIBERATE: these late-round analytics/
 # multimodal composites (each hash-verified locally at sf0.001/0.01/0.1
 # and through the driver-protocol sim — see STATUS.md) yield their slots

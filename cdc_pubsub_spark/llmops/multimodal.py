@@ -310,16 +310,29 @@ def decode_ppm(payload: bytes) -> dict:
     return {"width": w, "height": h, "mean_lum": sum(px) // (w * h * 3)}
 
 
-def decode_ppm_stream(payload: bytes) -> dict:
-    """Walk concatenated P6 frames (the image2pipe raw-video shape):
-    count frames by parsing each header and skipping each raster. Emits
-    n_frames and the first frame's dimensions."""
-    pos, n, w0, h0 = 0, 0, None, None
+def _iter_ppm_frames(payload: bytes):
+    """THE concatenated-P6 frame walk: yield (w, h, raster_bytes) per
+    frame. One definition serves decode_ppm_stream AND the scene-cut
+    kernel — a stream-walk fix must change both consumers or none
+    (same convention as _walk_riff). Raises on a truncated raster."""
+    pos = 0
     while pos < len(payload):
         w, h, _maxval, raster = _ppm_header(payload, pos)
+        px = payload[raster : raster + w * h * 3]
+        if len(px) < w * h * 3:
+            raise ValueError("truncated raster")
+        yield w, h, px
+        pos = raster + w * h * 3
+
+
+def decode_ppm_stream(payload: bytes) -> dict:
+    """Walk concatenated P6 frames (the image2pipe raw-video shape, via
+    the shared _iter_ppm_frames walk). Emits n_frames and the first
+    frame's dimensions."""
+    n, w0, h0 = 0, None, None
+    for w, h, _px in _iter_ppm_frames(payload):
         if w0 is None:
             w0, h0 = w, h
-        pos = raster + w * h * 3
         n += 1
     if n == 0:
         raise ValueError("empty stream")
@@ -757,13 +770,10 @@ def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = {"doc_id": [], "nf": [], "f": [], "mean_lum": []}
             for doc_id in pdf["doc_id"]:
                 payload = _synth_ppm_stream(int(doc_id))
-                pos, f, nf_seen = 0, 0, 0
-                frames = []
-                while pos < len(payload):
-                    w, h, _mx, raster = _ppm_header(payload, pos)
-                    px = payload[raster : raster + w * h * 3]
-                    frames.append(sum(px) // (w * h * 3))
-                    pos = raster + w * h * 3
+                frames = [
+                    sum(px) // (w * h * 3)
+                    for w, h, px in _iter_ppm_frames(payload)
+                ]
                 for f, m in enumerate(frames):
                     out["doc_id"].append(int(doc_id))
                     out["nf"].append(len(frames))
