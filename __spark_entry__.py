@@ -147,8 +147,8 @@ _RECERTIFY = [
 ]
 
 
-# Round 5 registered ~67 certification candidates for the driver's
-# 50-entry window (54 never-certified ops + 13 recertify), so 17 must
+# Round 5 registered ~69 certification candidates for the driver's
+# 50-entry window (56 never-certified ops + 13 recertify), so 19 must
 # wait for r06. The deferral is DELIBERATE: these late-round analytics/
 # multimodal composites (each hash-verified locally at sf0.001/0.01/0.1
 # and through the driver-protocol sim — see STATUS.md) yield their slots
@@ -164,6 +164,8 @@ _DEFER_TO_NEXT_ROUND = {
     "multimodal_wav_energy",
     "multimodal_scene_cuts",
     "events_interarrival_dist",
+    "events_heatmap_dow_hour",
+    "orders_backlog_timeseries",
     "agg_entropy",
     "orders_seasonality",
     "events_top_paths",

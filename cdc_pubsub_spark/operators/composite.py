@@ -1475,3 +1475,159 @@ def events_interarrival_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("log4_bucket")
     )
+
+
+@register(
+    "events_heatmap_dow_hour",
+    category="composite",
+    oracle="""
+    WITH cells AS (
+      SELECT
+        CAST(((epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) + 4) % 7
+             AS BIGINT)                                            AS dow,
+        CAST((epoch_us(CAST(ts AS TIMESTAMP)) % 86400000000)
+             // 3600000000 AS BIGINT)                              AS hour,
+        value
+      FROM events
+    ),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM cells)
+    SELECT dow, hour,
+           count(*)                                  AS n_events,
+           floor(count(*) / max(t.n) * 10000 + 0.5) / 10000
+                                                     AS share,
+           round(sum(value), 2)                      AS total_value
+    FROM cells CROSS JOIN tot t
+    GROUP BY dow, hour
+    ORDER BY dow, hour
+    """,
+)
+def events_heatmap_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week x hour-of-day activity heatmap — the load-pattern
+    grid behind every traffic dashboard and capacity schedule.
+
+    Both axes derive from INTEGER epoch-micros arithmetic (day index
+    mod 7 with the epoch-was-a-Thursday +4 shift, intra-day micros
+    div one hour) — no calendar library, no timezone dependence, the
+    determinism contract's timestamp discipline. The grid has at most
+    168 cells, so the aggregate map-side-combines to nothing and the
+    cell share against the broadcast total is the only division
+    (floor-formula r4). Mergeable: per-week partial grids sum into
+    any horizon.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"), "value"
+    )
+    cells = ev.select(
+        F.expr("((us div 86400000000) + 4) % 7").cast("bigint").alias("dow"),
+        F.expr("(us % 86400000000) div 3600000000").cast("bigint").alias("hour"),
+        "value",
+    )
+    tot = F.broadcast(cells.agg(F.count(F.lit(1)).cast("double").alias("n")))
+    return (
+        cells.crossJoin(tot)
+        .groupBy("dow", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            r4(F.count(F.lit(1)) / F.max("n")).alias("share"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("dow", "hour")
+    )
+
+
+@register(
+    "orders_backlog_timeseries",
+    category="composite",
+    oracle="""
+    WITH opened AS (
+      SELECT epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000
+               AS day_idx,
+             count(*) AS n_opened
+      FROM orders GROUP BY 1
+    ),
+    closed AS (
+      SELECT day_idx, count(*) AS n_closed FROM (
+        SELECT l_orderkey,
+               max(epoch_us(CAST(l_shipdate AS TIMESTAMP))) // 86400000000
+                 AS day_idx
+        FROM lineitem GROUP BY l_orderkey
+      ) last_ship GROUP BY day_idx
+    ),
+    daily AS (
+      SELECT coalesce(o.day_idx, c.day_idx) AS day_idx,
+             coalesce(o.n_opened, 0) AS n_opened,
+             coalesce(c.n_closed, 0) AS n_closed
+      FROM opened o FULL OUTER JOIN closed c ON o.day_idx = c.day_idx
+    ),
+    cum AS (
+      SELECT day_idx, n_opened, n_closed,
+             CAST(sum(n_opened - n_closed) OVER (
+               ORDER BY day_idx ROWS UNBOUNDED PRECEDING
+             ) AS BIGINT) AS backlog
+      FROM daily
+    )
+    SELECT day_idx // 30 AS period,
+           CAST(sum(n_opened) AS BIGINT)  AS opened,
+           CAST(sum(n_closed) AS BIGINT)  AS closed,
+           max(backlog)                   AS peak_backlog
+    FROM cum
+    GROUP BY period
+    ORDER BY period
+    """,
+)
+def orders_backlog_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog over time: daily opens (order date) minus
+    daily closes (the order's LAST ship date), folded into a running
+    balance and rolled up per 30-day period — the event-sourced
+    inventory/WIP-balance pattern (the running sum of a signed delta
+    stream IS the point-in-time state).
+
+    Opens and closes aggregate independently (the close day needs one
+    max-per-order pass first), align via FULL OUTER join on the day
+    key — days with only opens or only closes must still contribute —
+    and one ordered window produces the running backlog. The ordered
+    window runs over ~2400 DAYS (already aggregated), not over orders:
+    at 100 TB the daily-delta table is the tiny mergeable sufficient
+    statistic and the balance scan is trivial. Every quantity is an
+    integer count; the 30-day rollup reports opened/closed volume and
+    the period's peak backlog.
+    """
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    opened = o.groupBy(
+        F.expr(
+            "unix_micros(cast(o_orderdate as timestamp)) div 86400000000"
+        ).alias("day_idx")
+    ).agg(F.count(F.lit(1)).alias("n_opened"))
+    last_ship = li.groupBy("l_orderkey").agg(
+        F.expr(
+            "max(unix_micros(cast(l_shipdate as timestamp))) div 86400000000"
+        ).alias("day_idx")
+    )
+    closed = last_ship.groupBy("day_idx").agg(
+        F.count(F.lit(1)).alias("n_closed")
+    )
+    daily = (
+        opened.join(closed, "day_idx", "full_outer")
+        .select(
+            "day_idx",
+            F.coalesce("n_opened", F.lit(0)).alias("n_opened"),
+            F.coalesce("n_closed", F.lit(0)).alias("n_closed"),
+        )
+    )
+    w = Window.orderBy("day_idx").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = daily.withColumn(
+        "backlog",
+        F.sum(F.col("n_opened") - F.col("n_closed")).over(w).cast("bigint"),
+    )
+    return (
+        cum.groupBy(F.expr("day_idx div 30").alias("period"))
+        .agg(
+            F.sum("n_opened").cast("bigint").alias("opened"),
+            F.sum("n_closed").cast("bigint").alias("closed"),
+            F.max("backlog").alias("peak_backlog"),
+        )
+        .orderBy("period")
+    )
