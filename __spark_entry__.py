@@ -147,8 +147,8 @@ _RECERTIFY = [
 ]
 
 
-# Round 5 registered ~69 certification candidates for the driver's
-# 50-entry window (56 never-certified ops + 13 recertify), so 19 must
+# Round 5 registered ~70 certification candidates for the driver's
+# 50-entry window (57 never-certified ops + 13 recertify), so 20 must
 # wait for r06. The deferral is DELIBERATE: these late-round analytics/
 # multimodal composites (each hash-verified locally at sf0.001/0.01/0.1
 # and through the driver-protocol sim — see STATUS.md) yield their slots
@@ -166,6 +166,7 @@ _DEFER_TO_NEXT_ROUND = {
     "events_interarrival_dist",
     "events_heatmap_dow_hour",
     "orders_backlog_timeseries",
+    "agg_mean_family",
     "agg_entropy",
     "orders_seasonality",
     "events_top_paths",

@@ -878,3 +878,49 @@ def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_decile")
     )
+
+
+@register(
+    "agg_mean_family",
+    category="aggregates",
+    oracle="""
+    SELECT event_type,
+           count(*)                                           AS n,
+           floor(avg(value) * 100 + 0.5) / 100                AS arith_mean,
+           floor(exp(avg(ln(value))) * 10000 + 0.5) / 10000   AS geo_mean,
+           floor(count(*) / sum(1.0 / value) * 10000 + 0.5) / 10000
+                                                              AS harm_mean
+    FROM events
+    WHERE value > 0
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def agg_mean_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three Pythagorean means per group in one aggregate pass —
+    arithmetic for totals, geometric for compounding rates (the CAGR /
+    benchmark-score average), harmonic for rate averages (throughput,
+    P/E) — with AM >= GM >= HM as the built-in sanity invariant.
+
+    Each mean reduces to one mergeable running sum (Σx, Σln x, Σ1/x)
+    plus the count, so all three compute in a single partial-
+    aggregating shuffle; geometric via exp(avg(ln x)) is the overflow-
+    safe form (a product of 10^4 values overflows doubles, the log-sum
+    never does). Geometric/harmonic means exist only on positive
+    support, so the op filters value > 0 explicitly (sf0.1 contains
+    zeros) — the filter is part of the means' definition, not a data
+    patch; division/exp-created doubles use the floor formula.
+    """
+    ev = load(spark, sf_dir, "events").filter(F.col("value") > 0)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            r2(F.avg("value")).alias("arith_mean"),
+            r4(F.exp(F.avg(F.log("value")))).alias("geo_mean"),
+            r4(F.count(F.lit(1)) / F.sum(F.lit(1.0) / F.col("value"))).alias(
+                "harm_mean"
+            ),
+        )
+        .orderBy("event_type")
+    )
