@@ -975,3 +975,67 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return words.groupBy("doc_id", bucket.alias("bucket")).agg(
         F.count(F.lit(1)).alias("tf")
     )
+
+
+@register(
+    "text_zipf_fit",
+    category="text",
+    oracle="""
+    WITH words AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    freqs AS (
+      SELECT w, count(*) AS freq FROM words WHERE w <> '' GROUP BY w
+    ),
+    ranked AS (
+      SELECT freq,
+             row_number() OVER (ORDER BY freq DESC, w) AS rank
+      FROM freqs
+    )
+    SELECT count(*)                                        AS n_vocab,
+           CAST(sum(freq) AS BIGINT)                       AS n_tokens,
+           floor(regr_slope(ln(freq), ln(rank)) * 10000 + 0.5) / 10000
+                                                           AS zipf_slope,
+           floor(regr_r2(ln(freq), ln(rank)) * 10000 + 0.5) / 10000
+                                                           AS fit_r2
+    FROM ranked
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: regress log-frequency
+    on log-rank — natural text slopes toward -1, and deviation is a
+    fast corpus-health signal (template spam flattens the tail,
+    boilerplate steepens the head; synthetic fixtures like this one
+    sit far from -1, which is the point of MEASURING it).
+
+    Word counts are one explode+aggregate; ranking is a window over
+    the VOCABULARY (thousands of rows, not the token stream), with a
+    deterministic (freq desc, word) total order so tied frequencies
+    rank identically in both engines. The regression is the algebraic
+    regr_slope/regr_r2 pair — single-pass mergeable sums over the
+    ranked vocab. At 100 TB the vocab relation is the only sorted
+    object and it is bounded by distinct-word count; the token stream
+    itself never sorts or shuffles beyond the count aggregate.
+    """
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split("text", " ")).alias("w")).filter(
+        F.col("w") != ""
+    )
+    freqs = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    ranked = freqs.select(
+        "freq",
+        F.row_number()
+        .over(Window.orderBy(F.desc("freq"), "w"))
+        .alias("rank"),
+    )
+    lf, lr = F.log("freq"), F.log("rank")
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_vocab"),
+        F.sum("freq").cast("bigint").alias("n_tokens"),
+        (F.floor(F.regr_slope(lf, lr) * 10000 + F.lit(0.5)) / 10000).alias(
+            "zipf_slope"
+        ),
+        (F.floor(F.regr_r2(lf, lr) * 10000 + F.lit(0.5)) / 10000).alias(
+            "fit_r2"
+        ),
+    )
