@@ -147,8 +147,8 @@ _RECERTIFY = [
 ]
 
 
-# Round 5 registered ~71 certification candidates for the driver's
-# 50-entry window (58 never-certified ops + 13 recertify), so 21 must
+# Round 5 registered ~72 certification candidates for the driver's
+# 50-entry window (59 never-certified ops + 13 recertify), so 22 must
 # wait for r06. The deferral is DELIBERATE: these late-round analytics/
 # multimodal composites (each hash-verified locally at sf0.001/0.01/0.1
 # and through the driver-protocol sim — see STATUS.md) yield their slots
@@ -168,6 +168,7 @@ _DEFER_TO_NEXT_ROUND = {
     "orders_backlog_timeseries",
     "agg_mean_family",
     "text_zipf_fit",
+    "agg_weighted_mean",
     "agg_entropy",
     "orders_seasonality",
     "events_top_paths",

@@ -924,3 +924,44 @@ def agg_mean_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "agg_weighted_mean",
+    category="aggregates",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n,
+           floor(avg(l_discount) * 10000 + 0.5) / 10000 AS unweighted_disc,
+           floor(sum(l_discount * l_extendedprice) / sum(l_extendedprice)
+                 * 10000 + 0.5) / 10000                 AS revenue_weighted_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted vs unweighted mean in one pass: the revenue-weighted
+    average discount beside the naive per-line average — the
+    Simpson's-paradox guard every pricing/mix analysis needs (big
+    orders at deep discounts move the weighted figure far from the
+    line-count average).
+
+    Both means are ratios of mergeable running sums (Σwx, Σw, Σx, n)
+    computed in ONE partial-aggregating shuffle — never a second scan
+    for the weights. Division-created doubles: floor-formula r4 on
+    both engines.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            r4(F.avg("l_discount")).alias("unweighted_disc"),
+            r4(
+                F.sum(F.col("l_discount") * F.col("l_extendedprice"))
+                / F.sum("l_extendedprice")
+            ).alias("revenue_weighted_disc"),
+        )
+        .orderBy("l_returnflag")
+    )
