@@ -113,3 +113,55 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nation.join(
         F.broadcast(keys), nation.n_nationkey == keys.nk, "left_semi"
     ).select("n_nationkey", "n_name")
+
+
+@register(
+    "set_multiset_all",
+    category="setops",
+    oracle="""
+    WITH a AS (
+      SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R'
+    ),
+    b AS (
+      SELECT l_suppkey AS k FROM lineitem WHERE l_linestatus = 'F'
+    ),
+    ex AS (SELECT k FROM a EXCEPT ALL SELECT k FROM b),
+    ix AS (SELECT k FROM a INTERSECT ALL SELECT k FROM b)
+    SELECT 'except_all' AS op, count(*) AS n_rows,
+           count(DISTINCT k) AS n_distinct, min(k) AS min_k
+    FROM ex
+    UNION ALL
+    SELECT 'intersect_all', count(*), count(DISTINCT k), min(k) FROM ix
+    ORDER BY op
+    """,
+)
+def set_multiset_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL / INTERSECT ALL — the MULTISET set operations, whose
+    semantics (bag difference keeps max(m-n,0) copies, bag intersect
+    keeps min(m,n)) the distinct-flavored set_except/set_intersect ops
+    cannot express.
+
+    Spark's exceptAll/intersectAll plan as a count-tagged aggregate +
+    replicate generate (no pairwise matching): each side collapses to
+    (value, count) — one shuffle each — and the survivor multiplicity
+    replicates row-locally. That is also why they scale: the shuffled
+    payload is the distinct key set with counts, never the raw bags.
+    Summary counts keep the output deterministic (the raw multiset
+    row order is not).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "R").select(F.col("l_suppkey").alias("k"))
+    b = li.filter(F.col("l_linestatus") == "F").select(F.col("l_suppkey").alias("k"))
+
+    def summarize(df: DataFrame, op: str) -> DataFrame:
+        return df.agg(
+            F.lit(op).alias("op"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("k").alias("n_distinct"),
+            F.min("k").alias("min_k"),
+        )
+    return (
+        summarize(a.exceptAll(b), "except_all")
+        .unionByName(summarize(a.intersectAll(b), "intersect_all"))
+        .orderBy("op")
+    )
