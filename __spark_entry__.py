@@ -147,8 +147,8 @@ _RECERTIFY = [
 ]
 
 
-# Round 5 registered ~73 certification candidates for the driver's
-# 50-entry window (60 never-certified ops + 13 recertify), so 23 must
+# Round 5 registered ~74 certification candidates for the driver's
+# 50-entry window (61 never-certified ops + 13 recertify), so 24 must
 # wait for r06. The deferral is DELIBERATE: these late-round analytics/
 # multimodal composites (each hash-verified locally at sf0.001/0.01/0.1
 # and through the driver-protocol sim — see STATUS.md) yield their slots
@@ -170,6 +170,7 @@ _DEFER_TO_NEXT_ROUND = {
     "text_zipf_fit",
     "agg_weighted_mean",
     "set_multiset_all",
+    "events_error_rate_sla",
     "agg_entropy",
     "orders_seasonality",
     "events_top_paths",

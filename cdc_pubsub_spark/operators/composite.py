@@ -1631,3 +1631,89 @@ def orders_backlog_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("period")
     )
+
+
+@register(
+    "events_error_rate_sla",
+    category="composite",
+    oracle="""
+    WITH daily AS (
+      SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_idx,
+             count(*) AS n_events,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_errors
+      FROM events GROUP BY 1
+    ),
+    flagged AS (
+      SELECT day_idx, n_events, n_errors,
+             CASE WHEN n_errors * 100 > n_events * 21 THEN 1 ELSE 0 END
+               AS breach
+      FROM daily
+    ),
+    runs AS (
+      SELECT breach, day_idx,
+             day_idx - row_number() OVER (
+               PARTITION BY breach ORDER BY day_idx
+             ) AS grp
+      FROM flagged WHERE breach = 1
+    ),
+    streaks AS (
+      SELECT count(*) AS streak_len FROM runs GROUP BY grp
+    )
+    SELECT
+      (SELECT count(*) FROM flagged)                       AS n_days,
+      (SELECT CAST(sum(breach) AS BIGINT) FROM flagged)    AS n_breach_days,
+      (SELECT floor(sum(n_errors) * 1.0 / sum(n_events) * 10000 + 0.5)
+              / 10000 FROM flagged)                        AS overall_rate,
+      coalesce((SELECT max(streak_len) FROM streaks), 0)   AS max_breach_streak
+    """,
+)
+def events_error_rate_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLA breach report: daily error rate against a 21% objective, with
+    the longest consecutive-day breach streak — the error-budget
+    readout an SRE dashboard leads with (breach DURATION matters more
+    than breach count; one 5-day outage is not five blips).
+
+    The breach test is ALL-INTEGER (errors*100 > events*21 — never a
+    float rate compared to a float threshold, so no engine can
+    disagree at the boundary); streaks reuse the gaps-and-islands
+    id-minus-row_number trick on breach days only. Daily counts are
+    the mergeable sufficient statistic; the streak window runs over
+    breach DAYS (tiny). Only the overall rate divides: floor-formula
+    r4. The single-row report joins four scalar aggregates — each a
+    broadcast of a 1-row relation at scale.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias(
+            "day_idx"
+        ),
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("is_err"),
+    )
+    daily = ev.groupBy("day_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("is_err").cast("bigint").alias("n_errors"),
+    )
+    flagged = daily.withColumn(
+        "breach",
+        F.when(F.col("n_errors") * 100 > F.col("n_events") * 21, 1).otherwise(0),
+    )
+    runs = (
+        flagged.filter(F.col("breach") == 1)
+        .select(
+            "day_idx",
+            (
+                F.col("day_idx")
+                - F.row_number().over(Window.orderBy("day_idx"))
+            ).alias("grp"),
+        )
+    )
+    streaks = runs.groupBy("grp").agg(F.count(F.lit(1)).alias("streak_len"))
+    totals = flagged.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("breach").cast("bigint").alias("n_breach_days"),
+        r4(F.sum("n_errors") * 1.0 / F.sum("n_events")).alias("overall_rate"),
+    )
+    max_streak = streaks.agg(
+        F.coalesce(F.max("streak_len"), F.lit(0)).alias("max_breach_streak")
+    )
+    return totals.crossJoin(F.broadcast(max_streak))
