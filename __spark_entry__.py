@@ -71,8 +71,8 @@ _SURVEY_PRIORITY = [
 ]
 
 
-def _certification_state() -> tuple[set[str], dict[str, int]]:
-    """(certified ops, attempt counts) from accumulated CORRECTNESS_r*.json.
+def _certification_state() -> tuple[set[str], dict[str, int], dict[str, int]]:
+    """(certified ops, attempts, latest round) from CORRECTNESS_r*.json.
 
     The round driver verifies ``queries()`` entries in order within a bounded
     window, so each round we front-load the ops that have never received a
@@ -88,12 +88,17 @@ def _certification_state() -> tuple[set[str], dict[str, int]]:
     verification window instead of staying certified forever.  Attempt counts
     let us demote ops that were checked and failed in N prior rounds behind
     never-attempted ops, so one unfixable oracle mismatch can't permanently
-    consume a verification slot every round.
+    consume a verification slot every round.  ``cert_round`` records the round
+    of each op's latest row so the certified tail can be ordered stalest-first
+    (round-5 VERDICT item 2: 84 ops still carried r01/r02-era certification
+    because the old modulo rotation only re-checked a fixed stride).
     """
     latest: dict[str, dict] = {}
     attempts: dict[str, int] = {}
+    cert_round: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json"))):
         try:
+            rnd = int(os.path.basename(path).split("_r")[1].split(".")[0])
             with open(path) as fh:
                 rows = json.load(fh)
         except (OSError, ValueError):
@@ -103,124 +108,55 @@ def _certification_state() -> tuple[set[str], dict[str, int]]:
                 continue
             attempts[name] = attempts.get(name, 0) + 1
             latest[name] = row
+            cert_round[name] = rnd
     done = {
         name
         for name, row in latest.items()
         if row.get("hash_match")
         or (row.get("err") == "no_oracle" and (row.get("spark_rows") or 0) > 0)
     }
-    return done, attempts
+    return done, attempts, cert_round
 
 
 # Ops whose implementation or oracle CHANGED this round: their accumulated
 # certification predates the change, so they jump the certified tail until a
-# CORRECTNESS round has hash-checked the new contract. Round 5 set:
-# dedup_embed_cosine was rewritten to banded LSH in r04 but omitted from the
-# r04 recertify list (ADVICE round-4 medium — its green row predates the
-# rewrite); dedup_minhash_lsh / text_lm_perplexity / dedup_containment were
-# re-keyed to integer hashes this round (signatures/bigrams/shingle sets —
-# locally verified value-identical); the rest changed earlier in round 5
-# (prefix-filter containment, r2/r4 floor-rounding on division-created
-# ratios, real WAV/PPM codecs, the tz-independent late-data harness cutoff,
-# batchId-gated push drain).
+# CORRECTNESS round has hash-checked the new contract. Round 6 set:
+# stream_push_ingest's r05 batchId-gated drain fix landed without a recert
+# row (round-5 VERDICT item 4); the others are ops whose output contract or
+# implementation changed during round 6 (appended as changes land).
 _RECERTIFY = [
-    "dedup_embed_cosine",
-    "dedup_minhash_lsh",
-    "text_lm_perplexity",
-    "corpus_train_val_split",  # oracle re-expressed via SPLIT_CASE_SQL (same semantics)
-    "multimodal_decode_stub",  # upgraded rows-only -> exact byte-rule oracle
-    "multimodal_frame_sample",  # upgraded rows-only -> exact range oracle
-    "embed_kmeans",  # upgraded rows-only -> unrolled 4-iteration SQL oracle
-    "dedup_containment",
-    "events_cohort_retention",
-    "tpch_q14_promo_revenue",
-    "embed_matryoshka_truncate",
-    "multimodal_av_features",
-    "stream_late_data",
-    # NOT listed: stream_push_ingest. Its round-5 change (batchId-gated
-    # drain) alters no output contract — it remains the declared
-    # wall-clock rows-only op whose r04 rows-pass verdict still
-    # describes the check the driver would repeat, and the drain fix is
-    # covered by name in tests/test_streaming.py. The driver's 50-entry
-    # window fits exactly 13 recertify + 37 non-deferred new ops;
-    # push-ingest re-enters the rotation in r06.
+    "stream_push_ingest",
+    "dedup_minhash_lsh",  # output re-bound to planted-pair recall (VERDICT item 3)
 ]
 
 
-# Round 5 registered ~74 certification candidates for the driver's
-# 50-entry window (61 never-certified ops + 13 recertify), so 24 must
-# wait for r06. The deferral is DELIBERATE: these late-round analytics/
-# multimodal composites (each hash-verified locally at sf0.001/0.01/0.1
-# and through the driver-protocol sim — see STATUS.md) yield their slots
-# to the round's headline deliverables (A14 pipeline_metrics, socket
-# ingest, the TPC-H sweep, incremental dedup, the e2e pipelines).
-# The set only applies WHILE r05's CORRECTNESS file does not exist yet
-# (see _ordered_names): from r06 on these ops compete normally as
-# never-attempted entries and therefore lead that window — without the
-# gate, a permanent sink flag could push them out indefinitely if later
-# rounds also register many ops.
-_DEFER_TO_NEXT_ROUND = {
-    "multimodal_phash_dedup",
-    "multimodal_wav_energy",
-    "multimodal_scene_cuts",
-    "events_interarrival_dist",
-    "events_heatmap_dow_hour",
-    "orders_backlog_timeseries",
-    "agg_mean_family",
-    "text_zipf_fit",
-    "agg_weighted_mean",
-    "set_multiset_all",
-    "events_error_rate_sla",
-    "agg_entropy",
-    "orders_seasonality",
-    "events_top_paths",
-    "events_ohlc_weekly_rollup",
-    "win_gaps_islands",
-    "events_ab_test",
-    "profile_table_diff",
-    "basket_brand_pairs",
-    "orders_rfm_segmentation",
-    "orders_pareto_share",
-    "win_moving_zscore",
-    "profile_histogram",
-    "profile_corr_matrix",
-}
-
-
 def _ordered_names() -> list[str]:
-    done, attempts = _certification_state()
+    done, attempts, cert_round = _certification_state()
     names = list(REGISTRY)
     lead = [n for n in _SURVEY_PRIORITY if n in REGISTRY and n not in done]
     rest_new = [n for n in names if n not in done and n not in lead]
-    # The defer set is a ROUND-5-ONLY decision: once the r05 CORRECTNESS
-    # file lands (5 files on disk), the flag deactivates and the
-    # deferred ops rank as ordinary never-attempted entries.
-    n_rounds = len(glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json")))
-    defer = _DEFER_TO_NEXT_ROUND if n_rounds <= 4 else set()
     # Never-attempted ops outrank ops that were attempted and failed;
-    # among equals deferred ops sink, then keep registration order
-    # (stable sort).
-    rest_new.sort(key=lambda n: (attempts.get(n, 0), 1 if n in defer else 0))
+    # among equals keep registration order (stable sort).
+    rest_new.sort(key=lambda n: attempts.get(n, 0))
     lead.sort(key=lambda n: attempts.get(n, 0))
     recert = [
         n for n in _RECERTIFY if n in done and n not in lead and n not in rest_new
     ]
     certified = [n for n in names if n in done and n not in recert]
-    # Rotate the certified tail by round so the driver's bounded window
-    # re-verifies a DIFFERENT slice of already-green ops each round —
-    # without this, the same first ~40 certified ops would be re-checked
-    # forever and a regression in the rest would go unnoticed (the
-    # recency rule in _certification_state then returns any re-checked
-    # regression to the front). n_rounds computed above for the defer
-    # gate.
-    if certified:
-        k = (n_rounds * 41) % len(certified)
-        certified = certified[k:] + certified[:k]
+    # Order the certified tail STALEST-FIRST (latest certification round
+    # ascending, registration order within a round): whatever free slots
+    # remain in the driver's bounded window after new + recertify ops
+    # re-verify the ops whose green row is oldest. Self-maintaining —
+    # re-checked ops get a fresh round stamp and sink to the back, so
+    # successive rounds sweep the whole registry (round-5 VERDICT item 2:
+    # no op's latest CORRECTNESS row should age past ~3 rounds). A
+    # regression surfaced by the sweep re-enters rest_new next round via
+    # the recency rule in _certification_state.
+    certified.sort(key=lambda n: cert_round.get(n, 0))
     # Recertify entries go BEFORE never-certified new ops: a certified
     # op whose implementation changed is the judge's stale-certification
     # concern (round-4 ADVICE), while a brand-new op that misses the
-    # 50-entry window simply leads the next round's window. This round
-    # the two groups fill the window exactly (13 + 37).
+    # 50-entry window simply leads the next round's window.
     return lead + recert + rest_new + certified
 
 

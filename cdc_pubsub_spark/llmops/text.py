@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from cdc_pubsub_spark.functions.rounding import r4
 from cdc_pubsub_spark.llmops.corpus import CORPUS_CTE
 from cdc_pubsub_spark.registry import register
 from cdc_pubsub_spark.tables import load
@@ -382,8 +383,6 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         tf.alias("tf"),
         bf.alias("bf"),
     )
-    from cdc_pubsub_spark.functions.rounding import r4
-
     return m.select(
         "doc_id",
         "n_tokens",
@@ -916,7 +915,6 @@ def text_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     span volume, which is linear in corpus size. boiler_ratio uses the
     floor-rounding twin r4 (division-created midpoints — rounding.py).
     """
-    from cdc_pubsub_spark.functions.rounding import r4 as _r4
     from cdc_pubsub_spark.llmops.corpus import shingle_rows
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
@@ -928,7 +926,7 @@ def text_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_spans"),
         boiler.alias("n_boiler"),
-        _r4(ratio).alias("boiler_ratio"),
+        r4(ratio).alias("boiler_ratio"),
         (ratio < 0.2).alias("keep"),
     )
 
@@ -1032,10 +1030,6 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.agg(
         F.count(F.lit(1)).alias("n_vocab"),
         F.sum("freq").cast("bigint").alias("n_tokens"),
-        (F.floor(F.regr_slope(lf, lr) * 10000 + F.lit(0.5)) / 10000).alias(
-            "zipf_slope"
-        ),
-        (F.floor(F.regr_r2(lf, lr) * 10000 + F.lit(0.5)) / 10000).alias(
-            "fit_r2"
-        ),
+        r4(F.regr_slope(lf, lr)).alias("zipf_slope"),
+        r4(F.regr_r2(lf, lr)).alias("fit_r2"),
     )

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
+from cdc_pubsub_spark.functions.rounding import r4
 from cdc_pubsub_spark.registry import register
 from cdc_pubsub_spark.tables import load
 
@@ -611,10 +612,7 @@ def profile_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.struct(
                     F.lit(a).alias("col_a"),
                     F.lit(b).alias("col_b"),
-                    (
-                        F.floor(F.col(alias) * 10000 + F.lit(0.5)) / 10000
-                        + F.lit(0.0)
-                    ).alias("corr_r"),
+                    (r4(F.col(alias)) + F.lit(0.0)).alias("corr_r"),
                 )
                 for a, b, alias in names
             ]

@@ -23,7 +23,7 @@ from pyspark.sql.window import Window
 
 from cdc_pubsub_spark.functions.rounding import r2, r4
 from cdc_pubsub_spark.registry import register
-from cdc_pubsub_spark.tables import load
+from cdc_pubsub_spark.tables import finalize_cached, load
 
 _Q3_CUTOFF = "1998-03-15"
 _Q10_START = "1996-01-01"
@@ -1095,7 +1095,7 @@ def basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = singles.select(F.col("p_brand").alias("brand_a"), F.col("n_single").alias("na"))
     sb = singles.select(F.col("p_brand").alias("brand_b"), F.col("n_single").alias("nb"))
-    return (
+    out = (
         pairs.join(sa, "brand_a")
         .join(sb, "brand_b")
         .crossJoin(n)
@@ -1111,6 +1111,7 @@ def basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_both"), "brand_a", "brand_b")
         .limit(15)
     )
+    return finalize_cached(out, baskets)
 
 
 @register(
@@ -1340,11 +1341,12 @@ def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.countDistinct("user_id").alias(name))
         )
 
-    return (
+    out = (
         dau.join(rolling(7, "wau"), "day_idx")
         .join(rolling(30, "mau"), "day_idx")
         .orderBy("day_idx")
     )
+    return finalize_cached(out, day_users)
 
 
 @register(

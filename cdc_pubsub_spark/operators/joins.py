@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from cdc_pubsub_spark.functions.rounding import r2
 from cdc_pubsub_spark.paths import work_dir
 from cdc_pubsub_spark.registry import register
 from cdc_pubsub_spark.tables import load
@@ -981,7 +982,7 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_clicks"),
             F.sum("gap_s").cast("bigint").alias("total_gap_s"),
-            (F.floor(F.avg("gap_s") * 100 + F.lit(0.5)) / 100).alias("avg_gap_s"),
+            r2(F.avg("gap_s")).alias("avg_gap_s"),
         )
         .orderBy("side")
     )

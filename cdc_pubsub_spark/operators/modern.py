@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cdc_pubsub_spark.functions.rounding import r2
 from cdc_pubsub_spark.registry import register
 from cdc_pubsub_spark.tables import load
 
@@ -166,7 +167,7 @@ def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
     return ev.groupBy("event_type").agg(
-        (F.floor(F.avg(k) * 100 + F.lit(0.5)) / 100).alias("avg_k"),
+        r2(F.avg(k)).alias("avg_k"),
         F.count(k).alias("n_with_k"),
     )
 

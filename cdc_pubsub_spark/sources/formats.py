@@ -203,3 +203,201 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("o_orderpriority").alias("n_with_priority"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
+
+
+# --- Minimal Avro 1.x container-file codec (public spec) -----------------
+# The sandbox ships neither the spark-avro datasource nor a Python avro
+# package, so the round-trip implements the container format directly
+# from the published spec (avro.apache.org/docs/current/specification):
+# header = magic 'Obj\x01' + metadata map (avro.schema JSON, null codec)
+# + 16-byte sync marker; each data block = record count (zigzag-varint
+# long), byte size, record bodies, sync marker. Longs/ints are zigzag
+# varints, strings are length-prefixed UTF-8, doubles are 8-byte LE
+# IEEE — a flat record schema needs nothing else. Same discipline as the
+# multimodal P6/RIFF kernels: a REAL byte-level codec, not a stub.
+
+_AVRO_MAGIC = b"Obj\x01"
+_AVRO_SYNC = bytes(range(16))  # fixed marker: deterministic fixtures
+_AVRO_SUPPLIER_SCHEMA = (
+    '{"type":"record","name":"supplier","fields":['
+    '{"name":"s_suppkey","type":"long"},'
+    '{"name":"s_name","type":"string"},'
+    '{"name":"s_nationkey","type":"int"},'
+    '{"name":"s_acctbal","type":"double"}]}'
+)
+
+
+def _avro_zigzag(n: int) -> bytes:
+    """Zigzag varint (spec: int/long encoding)."""
+    z = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _avro_read_long(buf: bytes, pos: int) -> tuple[int, int]:
+    shift = acc = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return (acc >> 1) ^ -(acc & 1), pos
+        shift += 7
+
+
+def _avro_encode_supplier_file(rows: list[tuple]) -> bytes:
+    """rows of (s_suppkey, s_name, s_nationkey, s_acctbal) → one
+    container file with two data blocks (block iteration exercised)."""
+    import struct
+
+    header = bytearray(_AVRO_MAGIC)
+    meta = {
+        b"avro.schema": _AVRO_SUPPLIER_SCHEMA.encode(),
+        b"avro.codec": b"null",
+    }
+    header += _avro_zigzag(len(meta))
+    for k, v in sorted(meta.items()):
+        header += _avro_zigzag(len(k)) + k + _avro_zigzag(len(v)) + v
+    header += _avro_zigzag(0)  # map terminator
+    header += _AVRO_SYNC
+
+    def block(chunk: list[tuple]) -> bytes:
+        body = bytearray()
+        for suppkey, name, nationkey, acctbal in chunk:
+            nb = name.encode()
+            body += _avro_zigzag(int(suppkey))
+            body += _avro_zigzag(len(nb)) + nb
+            body += _avro_zigzag(int(nationkey))
+            body += struct.pack("<d", float(acctbal))
+        return (
+            _avro_zigzag(len(chunk))
+            + _avro_zigzag(len(body))
+            + bytes(body)
+            + _AVRO_SYNC
+        )
+
+    half = max(1, len(rows) // 2)
+    return bytes(header) + block(rows[:half]) + block(rows[half:])
+
+
+def _avro_decode_supplier(blob: bytes) -> list[tuple]:
+    """Parse one container file back to rows; validates magic, schema
+    metadata, per-block sizes, and every sync marker."""
+    import struct
+
+    if blob[:4] != _AVRO_MAGIC:
+        raise ValueError("bad avro magic")
+    pos = 4
+    n_meta, pos = _avro_read_long(blob, pos)
+    meta = {}
+    while n_meta:
+        for _ in range(n_meta):
+            klen, pos = _avro_read_long(blob, pos)
+            k = blob[pos : pos + klen]
+            pos += klen
+            vlen, pos = _avro_read_long(blob, pos)
+            meta[k] = blob[pos : pos + vlen]
+            pos += vlen
+        n_meta, pos = _avro_read_long(blob, pos)
+    if b'"name":"supplier"' not in meta.get(b"avro.schema", b""):
+        raise ValueError("unexpected avro schema")
+    sync = blob[pos : pos + 16]
+    pos += 16
+    rows = []
+    while pos < len(blob):
+        n_rec, pos = _avro_read_long(blob, pos)
+        size, pos = _avro_read_long(blob, pos)
+        end = pos + size
+        for _ in range(n_rec):
+            suppkey, pos = _avro_read_long(blob, pos)
+            nlen, pos = _avro_read_long(blob, pos)
+            name = blob[pos : pos + nlen].decode()
+            pos += nlen
+            nationkey, pos = _avro_read_long(blob, pos)
+            (acctbal,) = struct.unpack_from("<d", blob, pos)
+            pos += 8
+            rows.append((suppkey, name, nationkey, acctbal))
+        if pos != end or blob[pos : pos + 16] != sync:
+            raise ValueError("avro block corrupt")
+        pos += 16
+    return rows
+
+
+@register(
+    "scan_avro_roundtrip",
+    category="scans",
+    bench=False,
+    oracle="""
+    SELECT s_nationkey, count(*) AS n,
+           round(sum(s_acctbal), 2) AS total_acctbal
+    FROM supplier
+    GROUP BY s_nationkey
+    """,
+)
+def scan_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier → Avro container files → distributed decode → aggregate
+    (must equal the parquet truth).
+
+    Write side: the supplier table is encoded into 4 genuine Avro 1.x
+    container files (two data blocks each) by the spec-faithful codec
+    above — driver-side, fixture-sized. Read side is the 100 TB shape:
+    a `binaryFile` scan parallelizes over files and an Arrow-batched
+    mapInPandas decodes each container — parallelism = number of files,
+    the same unit Avro splits on (sync-marker block boundaries within a
+    file are a refinement the native reader adds). With the spark-avro
+    module deployed the scan collapses to `spark.read.format("avro")`;
+    this op proves byte-level format fidelity and keeps the decode
+    plumbing (schema, batching, validation) real in a sandbox without
+    it.
+    """
+    import pandas as pd
+
+    rows = [
+        (r["s_suppkey"], r["s_name"], r["s_nationkey"], r["s_acctbal"])
+        for r in load(spark, sf_dir, "supplier")
+        .orderBy("s_suppkey")
+        .collect()
+    ]
+    out = work_dir("avro_supplier")
+    os.makedirs(out, exist_ok=True)
+    n_files = 4
+    per = max(1, -(-len(rows) // n_files))
+    for i in range(0, len(rows), per):
+        with open(os.path.join(out, f"part-{i // per:04d}.avro"), "wb") as fh:
+            fh.write(_avro_encode_supplier_file(rows[i : i + per]))
+
+    def decode(batches):
+        for pdf in batches:
+            for blob in pdf["content"]:
+                decoded = _avro_decode_supplier(bytes(blob))
+                yield pd.DataFrame(
+                    decoded,
+                    columns=[
+                        "s_suppkey",
+                        "s_name",
+                        "s_nationkey",
+                        "s_acctbal",
+                    ],
+                )
+
+    back = (
+        spark.read.format("binaryFile")
+        .load(out)
+        .select("content")
+        .mapInPandas(
+            decode,
+            "s_suppkey bigint, s_name string, s_nationkey int, "
+            "s_acctbal double",
+        )
+    )
+    return back.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("s_acctbal"), 2).alias("total_acctbal"),
+    )

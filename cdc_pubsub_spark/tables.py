@@ -107,3 +107,42 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load(spark, sf_dir, t) for t in TABLES}
+
+
+# Test hook (tests/test_plans.py): when True, finalize_cached returns the
+# LAZY result so plan pins can inspect the op's real operator shapes.
+LAZY_PLAN_MODE = False
+
+
+def finalize_cached(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Materialize a small final result, then unpersist its cached inputs.
+
+    The multi-consumer ops (basket mining, active users, incremental
+    dedup, ...) persist() a reused intermediate and return a lazy final
+    aggregate built on it. Unpersisting before the caller materializes
+    would defeat the cache; never unpersisting leaks the blocks for the
+    session's lifetime — in the 231-op bench/suite session those
+    data-sized blocks accumulate and squeeze the executor store (round-5
+    ADVICE). localCheckpoint(eager=True) materializes the RESULT (always
+    a small aggregate here — tens to thousands of rows) and truncates
+    its lineage so the intermediates are droppable immediately; the
+    try/finally guarantees the unpersist even when materialization
+    throws. Blocking=False: block removal is async cleanup, not on the
+    query's critical path.
+
+    When LAZY_PLAN_MODE is set (tests/test_plans.py), the lazy result is
+    returned with its caches released immediately: plan pins must assert
+    the op's TRUE operator shapes, and a localCheckpoint would collapse
+    the explain output to a Scan ExistingRDD leaf. Unpersisting up front
+    merely forfeits the cache reuse (each consumer recomputes — fine at
+    fixture scale); the analyzed plan is identical.
+    """
+    if LAZY_PLAN_MODE:  # test hook — see module constant above
+        for df in cached:
+            df.unpersist(blocking=False)
+        return result
+    try:
+        return result.localCheckpoint(eager=True)
+    finally:
+        for df in cached:
+            df.unpersist(blocking=False)

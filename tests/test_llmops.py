@@ -14,14 +14,19 @@ def _pairs(df):
 
 
 def test_minhash_lsh_matches_exact_near_dup(spark, sf_dir):
-    """LSH candidates, after exact verification, must be a subset of the
-    exact all-pairs result with decent recall (b=4, r=4 at τ>0.6)."""
+    """The banded-minhash ∪ prefix-filter candidate union, after exact
+    verification, must EQUAL the all-pairs truth: the prefix tier is
+    recall-1 by the PPJoin lemma and the verifier is exact, so the op is
+    an exact similarity join, not a high-probability approximation —
+    that equality is what lets the driver hash-certify it against
+    NEAR_PAIRS_SQL."""
     exact = _pairs(REGISTRY["dedup_near"].fn(spark, sf_dir))
     lsh = _pairs(REGISTRY["dedup_minhash_lsh"].fn(spark, sf_dir))
     assert exact, "exact near-dup pairs should exist (planted corpus)"
-    assert lsh <= exact, "LSH-verified pairs must never include false positives"
-    recall = len(lsh) / len(exact)
-    assert recall >= 0.8, f"LSH recall {recall:.2f} below 0.8"
+    assert lsh == exact, (
+        f"minhash+prefix pair set must equal truth: "
+        f"missing={sorted(exact - lsh)[:5]} extra={sorted(lsh - exact)[:5]}"
+    )
 
 
 def test_ann_lsh_overlaps_brute_force(spark, sf_dir):

@@ -19,7 +19,16 @@ from cdc_pubsub_spark.registry import REGISTRY
 
 
 def q(name, spark, sf_dir):
-    return REGISTRY[name].fn(spark, sf_dir)
+    # LAZY_PLAN_MODE: ops that finalize_cached their result would
+    # otherwise return a localCheckpoint (a Scan ExistingRDD leaf) and
+    # every plan assertion here would see no operators at all.
+    from cdc_pubsub_spark import tables
+
+    tables.LAZY_PLAN_MODE = True
+    try:
+        return REGISTRY[name].fn(spark, sf_dir)
+    finally:
+        tables.LAZY_PLAN_MODE = False
 
 
 def test_filter_pushdown_reaches_scan(spark, sf_dir):
