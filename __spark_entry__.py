@@ -126,7 +126,14 @@ def _certification_state() -> tuple[set[str], dict[str, int], dict[str, int]]:
 # implementation changed during round 6 (appended as changes land).
 _RECERTIFY = [
     "stream_push_ingest",
-    "dedup_minhash_lsh",  # output re-bound to planted-pair recall (VERDICT item 3)
+    "dedup_minhash_lsh",  # exact-join rewrite: prefix tier + full SQL oracle
+    "dedup_near",  # finalize_cached result materialization
+    "basket_brand_pairs",  # finalize_cached (round-5 ADVICE persist leak)
+    "events_active_users",  # finalize_cached (round-5 ADVICE persist leak)
+    "dedup_incremental",  # finalize_cached (round-5 ADVICE persist leak)
+    "join_asof_nearest",  # inline floor-formula -> shared r2 helper
+    "fn_variant_json",  # inline floor-formula -> shared r2 helper
+    "profile_corr_matrix",  # inline floor-formula -> shared r4 helper
 ]
 
 

@@ -1258,3 +1258,166 @@ def pipeline_embedding_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# L2^2 between two FLOAT[] lists in DuckDB, double-cast per element —
+# the distance twin of _COS_SQL, same left-to-right fold discipline.
+_L2SQ_SQL = """
+    list_sum(list_transform(list_zip({a}, {b}),
+             p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))
+"""
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Sum of squared element differences, double-cast before arithmetic
+    (bit-identical to _L2SQ_SQL's fold)."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+@register(
+    "sim_ann_pq",
+    category="similarity",
+    oracle=f"""
+    WITH sub AS (SELECT unnest(range(8)) AS s),
+    cb AS (
+      SELECT sub.s, e.vec_id AS c,
+             e.embedding[sub.s * 8 + 1 : sub.s * 8 + 8] AS cw
+      FROM embeddings e CROSS JOIN sub
+      WHERE e.vec_id <= 16
+    ),
+    enc AS (
+      SELECT vec_id, s, c FROM (
+        SELECT e.vec_id, cb.s, cb.c,
+               row_number() OVER (
+                 PARTITION BY e.vec_id, cb.s
+                 ORDER BY CAST(floor(
+                   {_L2SQ_SQL.format(a="e.embedding[cb.s * 8 + 1 : cb.s * 8 + 8]", b="cb.cw")}
+                   * 1000000 + 0.5) AS BIGINT) ASC, cb.c
+               ) AS rn
+        FROM embeddings e CROSS JOIN cb
+      ) WHERE rn = 1
+    ),
+    probe AS (SELECT embedding AS pvec FROM embeddings WHERE vec_id = 1),
+    lut AS (
+      SELECT cb.s, cb.c,
+             CAST(floor(
+               {_L2SQ_SQL.format(a="pvec[cb.s * 8 + 1 : cb.s * 8 + 8]", b="cb.cw")}
+               * 1000000 + 0.5) AS BIGINT) AS qd2u
+      FROM cb CROSS JOIN probe
+    ),
+    adc AS (
+      SELECT enc.vec_id, CAST(sum(lut.qd2u) AS BIGINT) AS adc_ud2
+      FROM enc JOIN lut USING (s, c)
+      WHERE enc.vec_id <> 1
+      GROUP BY enc.vec_id
+    ),
+    top AS (
+      SELECT vec_id, adc_ud2 FROM adc ORDER BY adc_ud2, vec_id LIMIT 10
+    )
+    SELECT t.vec_id, e.label, t.adc_ud2,
+           round({_COS_SQL.format(a="e.embedding", b="pvec")}, 4) AS cos_sim
+    FROM top t JOIN embeddings e USING (vec_id) CROSS JOIN probe
+    ORDER BY t.adc_ud2, t.vec_id
+    """,
+)
+def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (the FAISS PQ shape): encode each vector
+    as m=8 sub-codes, answer queries from an additive distance lookup
+    table, exact-rescore the winners.
+
+    The missing member of the ANN family next to IVF (coarse lists),
+    LSH (hyperplane buckets), int8 (uniform scalar), and matryoshka
+    (prefix truncation): PQ quantizes the VECTOR SPACE per-subspace —
+    64 dims → 8 subspaces × 8 dims, each encoded as the nearest of 16
+    codewords, so a vector is 8 small codes (8 bytes vs 256: 32×
+    compression) and a query costs m table lookups + adds per
+    candidate instead of a 64-dim dot product. Codebooks are
+    deterministic (subvectors of the vec_id ≤ 16 seed vectors — at
+    scale, per-subspace k-means; train→encode→ADC→rescore is
+    identical), making the WHOLE index relational and hash-checked
+    like sim_ann_ivf.
+
+    Engine-stable ranking: every distance becomes integer micro-units
+    (floor(d2·1e6 + 0.5) as BIGINT) BEFORE any aggregation or rank, so
+    the ADC sum is an order-independent integer sum — no shuffle-order
+    ulp noise — and argmin/top-k tie-break on the code/vec id.
+
+    Scale shape: encode is one broadcast-128-row assign pass (the IVF
+    assign shape); the ADC scan is an equi-join of the 8-row-per-vector
+    code table against a broadcast 128-entry lookup table + an integer
+    sum — no vector math per candidate at query time; only the top-10
+    rescore touches real embeddings.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    sub = spark.range(8).select(F.col("id").cast("int").alias("s"))
+    cb = (
+        emb.filter(F.col("vec_id") <= 16)
+        .crossJoin(sub)
+        .select(
+            "s",
+            F.col("vec_id").alias("c"),
+            F.expr("slice(embedding, s * 8 + 1, 8)").alias("cw"),
+        )
+    )
+    subvec = F.expr("slice(embedding, s * 8 + 1, 8)")
+    d2u = F.floor(_l2sq(subvec, F.col("cw")) * F.lit(1e6) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    scored = emb.crossJoin(F.broadcast(cb)).select(
+        "vec_id", "s", "c", d2u.alias("d2u")
+    )
+    w = Window.partitionBy("vec_id", "s").orderBy("d2u", "c")
+    enc = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "s", "c")
+    )
+    probe = emb.filter(F.col("vec_id") == 1).select(
+        F.col("embedding").alias("pvec")
+    )
+    lut = (
+        cb.crossJoin(F.broadcast(probe))
+        .select(
+            "s",
+            "c",
+            F.floor(
+                _l2sq(F.expr("slice(pvec, s * 8 + 1, 8)"), F.col("cw"))
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("qd2u"),
+        )
+    )
+    adc = (
+        enc.filter(F.col("vec_id") != 1)
+        .join(F.broadcast(lut), ["s", "c"])
+        .groupBy("vec_id")
+        .agg(F.sum("qd2u").cast("bigint").alias("adc_ud2"))
+    )
+    top = adc.orderBy("adc_ud2", "vec_id").limit(10)
+    rescored = (
+        top.join(emb, "vec_id")
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "vec_id",
+            "label",
+            "adc_ud2",
+            F.round(
+                _dot(F.col("embedding"), F.col("pvec"))
+                / (_norm(F.col("embedding")) * _norm(F.col("pvec"))),
+                4,
+            ).alias("cos_sim"),
+        )
+    )
+    return rescored.orderBy("adc_ud2", "vec_id")

@@ -711,3 +711,93 @@ def profile_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("verdict")
     )
+
+
+@register(
+    "profile_drift_psi",
+    category="advanced",
+    oracle="""
+    WITH bucketed AS (
+      SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+             CASE WHEN EXTRACT(year FROM o_orderdate) <= 1997
+                  THEN 'base' ELSE 'cur' END AS period
+      FROM orders
+    ),
+    counts AS (
+      SELECT bucket,
+             count(*) FILTER (WHERE period = 'base') AS n_base,
+             count(*) FILTER (WHERE period = 'cur')  AS n_cur
+      FROM bucketed GROUP BY bucket
+    ),
+    tot AS (
+      SELECT CAST(sum(n_base) AS DOUBLE) AS tb,
+             CAST(sum(n_cur) AS DOUBLE) AS tc
+      FROM counts
+    )
+    SELECT bucket, n_base, n_cur,
+           floor(n_base / tb * 10000 + 0.5) / 10000 AS p_base,
+           floor(n_cur / tc * 10000 + 0.5) / 10000 AS p_cur,
+           floor((n_cur / tc - n_base / tb)
+                 * ln((n_cur / tc) / (n_base / tb)) * 10000 + 0.5) / 10000
+             AS psi_term
+    FROM counts CROSS JOIN tot
+    WHERE n_base > 0 AND n_cur > 0
+    ORDER BY bucket
+    """,
+)
+def profile_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between a baseline window (orders
+    through 1997) and the current window (1998 on) over fixed
+    order-value buckets — the standard drift monitor a production
+    pipeline runs before trusting a model or a mix target on new data.
+
+    PSI per bucket = (p_cur − p_base)·ln(p_cur/p_base); the sum over
+    buckets is the headline score (< 0.1 stable, > 0.25 shifted) and is
+    recoverable from the emitted per-bucket terms. Buckets are FIXED
+    50k-wide price bands, not data-derived quantiles: at 100 TB the
+    monitor must be mergeable and comparable across runs, and quantile
+    edges recomputed per window would silently re-define every bucket
+    (run profile_histogram for the quantile view). One scan, one
+    10-group aggregate with conditional counts (map-side combined), a
+    broadcast 1-row total — the shuffle carries 10 rows regardless of
+    fact volume. Probabilities derive from exact integer counts;
+    psi_term is signed and floor-rounded through r4 (rounding.py's
+    signed contract). Buckets empty on either side are excluded
+    (ln undefined) — at this fixture every populated bucket appears on
+    both sides.
+    """
+    o = load(spark, sf_dir, "orders")
+    counts = (
+        o.select(
+            F.floor(F.col("o_totalprice") / 50000)
+            .cast("bigint")
+            .alias("bucket"),
+            (F.year("o_orderdate") <= 1997).alias("is_base"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.when(F.col("is_base"), 1)).alias("n_base"),
+            F.count(F.when(~F.col("is_base"), 1)).alias("n_cur"),
+        )
+    )
+    tot = F.broadcast(
+        counts.agg(
+            F.sum("n_base").cast("double").alias("tb"),
+            F.sum("n_cur").cast("double").alias("tc"),
+        )
+    )
+    pb = F.col("n_base") / F.col("tb")
+    pc = F.col("n_cur") / F.col("tc")
+    return (
+        counts.crossJoin(tot)
+        .filter((F.col("n_base") > 0) & (F.col("n_cur") > 0))
+        .select(
+            "bucket",
+            "n_base",
+            "n_cur",
+            r4(pb).alias("p_base"),
+            r4(pc).alias("p_cur"),
+            r4((pc - pb) * F.log(pc / pb)).alias("psi_term"),
+        )
+        .orderBy("bucket")
+    )

@@ -1719,3 +1719,170 @@ def events_error_rate_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.max("streak_len"), F.lit(0)).alias("max_breach_streak")
     )
     return totals.crossJoin(F.broadcast(max_streak))
+
+
+@register(
+    "events_attribution",
+    category="composite",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, value,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+             event_id
+      FROM events
+    ),
+    marked AS (
+      SELECT *,
+             CASE WHEN event_type IN ('click', 'view')
+                  THEN ts_us * 10 + CASE WHEN event_type = 'click'
+                                         THEN 1 ELSE 2 END
+             END AS touch_key
+      FROM ordered
+    ),
+    windowed AS (
+      SELECT user_id, event_type, value,
+             max(touch_key) OVER w AS last_key,
+             min(touch_key) OVER w AS first_key,
+             count(CASE WHEN event_type IN ('click','view') THEN 1 END)
+               OVER w AS n_touch,
+             count(CASE WHEN event_type = 'click' THEN 1 END) OVER w
+               AS n_click
+      FROM marked
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    purchases AS (
+      SELECT * FROM windowed
+      WHERE event_type = 'purchase' AND n_touch > 0
+    ),
+    credits AS (
+      SELECT 'last_touch' AS model,
+             CASE WHEN last_key % 10 = 1 THEN 'click' ELSE 'view' END
+               AS touch_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM purchases
+      UNION ALL
+      SELECT 'first_touch',
+             CASE WHEN first_key % 10 = 1 THEN 'click' ELSE 'view' END,
+             CAST(floor(value * 100 + 0.5) AS BIGINT)
+      FROM purchases
+      UNION ALL
+      SELECT 'linear', 'click',
+             CAST(floor(value * n_click / n_touch * 100 + 0.5) AS BIGINT)
+      FROM purchases WHERE n_click > 0
+      UNION ALL
+      SELECT 'linear', 'view',
+             CAST(floor(value * (n_touch - n_click) / n_touch * 100 + 0.5)
+                  AS BIGINT)
+      FROM purchases WHERE n_touch - n_click > 0
+    )
+    SELECT model, touch_type,
+           count(*) AS n_credits,
+           CAST(sum(cents) AS BIGINT) AS credited_cents
+    FROM credits
+    GROUP BY model, touch_type
+    ORDER BY model, touch_type
+    """,
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution: each purchase's value credited to the
+    click/view touches that preceded it, under the three standard
+    models (last-touch, first-touch, linear) in one pass — the query
+    every growth team runs to decide where spend goes.
+
+    One user/time shuffle does everything: touches are packed as an
+    INTEGER key (ts_us·10 + type code) so first/last touch are plain
+    min/max over the preceding-rows frame — no IGNORE NULLS dependency,
+    no struct ordering, engine-portable by construction — and linear
+    splits derive from two conditional counts over the same frame. The
+    per-purchase model rows then EXPLODE row-locally (the oracle's
+    UNION ALL re-reads the CTE; Catalyst gets one scan, one window,
+    one generate — pipeline, not re-scan). Credits are floored to
+    integer cents per purchase BEFORE summing, so the group totals are
+    exact integer sums on both engines. Purchases with no prior touch
+    are excluded (nothing to credit); the total order (ts_us,
+    event_id) pins ties. At 100 TB this is the windowed-session shape:
+    one hash partition per user, state bounded by history length, and
+    the output is a 6-row aggregate.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_id",
+    )
+    is_touch = F.col("event_type").isin("click", "view")
+    touch_key = F.when(
+        is_touch,
+        F.col("ts_us") * 10
+        + F.when(F.col("event_type") == "click", 1).otherwise(2),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = ev.withColumn("touch_key", touch_key)
+    windowed = marked.select(
+        "event_type",
+        "value",
+        F.max("touch_key").over(w).alias("last_key"),
+        F.min("touch_key").over(w).alias("first_key"),
+        F.count(F.when(is_touch, 1)).over(w).alias("n_touch"),
+        F.count(F.when(F.col("event_type") == "click", 1))
+        .over(w)
+        .alias("n_click"),
+    )
+    p = windowed.filter(
+        (F.col("event_type") == "purchase") & (F.col("n_touch") > 0)
+    )
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    key_type = lambda k: F.when(  # noqa: E731
+        F.col(k) % 10 == 1, F.lit("click")
+    ).otherwise(F.lit("view"))
+    lin = lambda n: F.floor(  # noqa: E731
+        F.col("value") * n / F.col("n_touch") * 100 + F.lit(0.5)
+    ).cast("bigint")
+    credit_rows = F.array_compact(
+        F.array(
+            F.struct(
+                F.lit("last_touch").alias("model"),
+                key_type("last_key").alias("touch_type"),
+                cents.alias("cents"),
+            ),
+            F.struct(
+                F.lit("first_touch").alias("model"),
+                key_type("first_key").alias("touch_type"),
+                cents.alias("cents"),
+            ),
+            F.when(
+                F.col("n_click") > 0,
+                F.struct(
+                    F.lit("linear").alias("model"),
+                    F.lit("click").alias("touch_type"),
+                    lin(F.col("n_click")).alias("cents"),
+                ),
+            ),
+            F.when(
+                F.col("n_touch") - F.col("n_click") > 0,
+                F.struct(
+                    F.lit("linear").alias("model"),
+                    F.lit("view").alias("touch_type"),
+                    lin(F.col("n_touch") - F.col("n_click")).alias("cents"),
+                ),
+            ),
+        )
+    )
+    return (
+        p.select(F.explode(credit_rows).alias("cr"))
+        .groupBy(
+            F.col("cr.model").alias("model"),
+            F.col("cr.touch_type").alias("touch_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_credits"),
+            F.sum("cr.cents").cast("bigint").alias("credited_cents"),
+        )
+        .orderBy("model", "touch_type")
+    )

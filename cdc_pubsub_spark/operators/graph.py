@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from cdc_pubsub_spark.functions.rounding import r4
 from cdc_pubsub_spark.registry import register
-from cdc_pubsub_spark.tables import load
+from cdc_pubsub_spark.tables import finalize_cached, load
 
 # Deterministic 2-regular interaction graph over the event users: every
 # user u follows (7u+3) mod 1000 and (13u+11) mod 1000. Pure function of
@@ -337,3 +337,103 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("component_root")
     )
+
+
+@register(
+    "graph_cc_converged",
+    category="graph",
+    bench=False,  # same per-stage scheduling-floor rationale as the
+    # unrolled sibling; the op's value is the iteration DISCIPLINE.
+    oracle=f"""
+    WITH nodes AS (SELECT DISTINCT user_id % 1000 AS node FROM events),
+    p0 AS (
+      SELECT n.node,
+             CASE WHEN m.node IS NOT NULL THEN n.node - 7 ELSE n.node END AS parent
+      FROM nodes n LEFT JOIN nodes m ON m.node = n.node - 7
+    ),
+    {_cc_doubling_sql(8)}
+    SELECT parent AS component_root,
+           count(*) AS n_members,
+           min(node) AS min_node,
+           max(node) AS max_node
+    FROM p8
+    GROUP BY parent
+    ORDER BY component_root
+    """,
+)
+def graph_cc_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components by pointer doubling, ITERATED TO FIXPOINT —
+    the production iteration discipline the statically-unrolled sibling
+    can't demonstrate.
+
+    graph_connected_components bakes ceil(log2(max_diameter)) = 8 rounds
+    into one Catalyst DAG: perfect for a known diameter bound and an
+    exact SQL unrolling, useless when the diameter is unknown — the 100
+    TB reality. This twin runs the SAME doubling step in a driver loop
+    with the per-superstep discipline an iterative job needs:
+
+    - each generation is persist()ed and the convergence probe
+      (count of nodes whose parent still moved) materializes it — ONE
+      driver-side scalar per round, never the frame;
+    - the superseded generation is unpersist()ed immediately
+      (dedup_cluster's pattern), so executor storage holds exactly one
+      node→parent relation regardless of round count;
+    - each generation is localCheckpoint()ed so lineage stays one round
+      deep — without truncation the plan doubles per round (the unroll
+      relies on exchange reuse; an unbounded loop cannot) and the
+      scheduler chokes on the exponential tree long before round 30;
+    - the loop stops when a full doubling round moves nothing, with a
+      64-round safety bound (2^64 hop coverage) that can only trip on
+      a genuinely pathological graph.
+
+    Same graph, same result: the oracle is the 8-round unrolled SQL,
+    which is ALREADY the fixpoint at any fixture scale (chains ≤ 143
+    hops), so the hash check certifies that iterate-to-convergence and
+    static unrolling agree exactly.
+    """
+    nodes = (
+        load(spark, sf_dir, "events")
+        .select((F.col("user_id") % 1000).alias("node"))
+        .distinct()
+    )
+    prev_nodes = nodes.select((F.col("node") + 7).alias("succ"))
+    p = (
+        nodes.join(prev_nodes, nodes["node"] == prev_nodes["succ"], "left")
+        .select(
+            "node",
+            F.when(F.col("succ").isNotNull(), F.col("node") - 7)
+            .otherwise(F.col("node"))
+            .alias("parent"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    last = None
+    for _ in range(64):
+        a = p.alias("a")
+        b = p.alias("b")
+        nxt = (
+            a.join(b, F.col("a.parent") == F.col("b.node"))
+            .select(
+                F.col("a.node").alias("node"),
+                F.col("b.parent").alias("parent"),
+                (F.col("b.parent") != F.col("a.parent")).alias("changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_changed = nxt.filter(F.col("changed")).count()
+        if last is not None:
+            last.unpersist(blocking=False)
+        last = nxt
+        p = nxt.drop("changed")
+        if n_changed == 0:
+            break
+    out = (
+        p.groupBy(F.col("parent").alias("component_root"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("node").alias("min_node"),
+            F.max("node").alias("max_node"),
+        )
+        .orderBy("component_root")
+    )
+    return finalize_cached(out, *( [last] if last is not None else [] ))

@@ -145,3 +145,28 @@ def test_symspell_deletion_always_recovers(name, pos):
     corrupted = name[:pos] + name[pos + 1:]
     variants = {name[:k] + name[k + 1:] for k in range(len(name))}
     assert corrupted in variants
+
+
+def test_avro_codec_roundtrip_and_corruption():
+    """The hand-rolled Avro container codec must round-trip rows exactly
+    and reject corrupted blocks/magic loudly."""
+    import pytest
+
+    from cdc_pubsub_spark.sources.formats import (
+        _avro_decode_supplier,
+        _avro_encode_supplier_file,
+    )
+
+    rows = [
+        (1, "Supplier#1", 3, 123.45),
+        (2, "Ünïcode", 0, -7.5),
+        (3, "", 24, 0.0),
+    ]
+    blob = _avro_encode_supplier_file(rows)
+    assert _avro_decode_supplier(blob) == rows
+    with pytest.raises(ValueError):
+        _avro_decode_supplier(b"Not an avro file")
+    corrupted = bytearray(blob)
+    corrupted[-1] ^= 0xFF  # break the trailing sync marker
+    with pytest.raises(ValueError):
+        _avro_decode_supplier(bytes(corrupted))

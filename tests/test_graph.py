@@ -29,3 +29,19 @@ def test_triangle_count_nonempty_and_ring_triples(spark, sf_dir):
     assert rows[0]["n_triangles"] >= 3
     for r in rows:
         assert r["n_triangles"] >= 2, r
+
+
+def test_cc_converged_equals_unrolled(spark, sf_dir):
+    """The fixpoint-iterated CC twin must produce EXACTLY the unrolled
+    sibling's components — iterate-to-convergence and static log-round
+    unrolling are two executions of the same algorithm."""
+    unrolled = {
+        tuple(r)
+        for r in REGISTRY["graph_connected_components"].fn(spark, sf_dir).collect()
+    }
+    converged = {
+        tuple(r) for r in REGISTRY["graph_cc_converged"].fn(spark, sf_dir).collect()
+    }
+    assert converged == unrolled
+    # 7 chains over nodes folded mod 1000 -> exactly 7 components.
+    assert len(converged) == 7

@@ -578,3 +578,24 @@ def test_ann_recall_audit_floors_and_determinism(spark, sf_dir):
     assert b == {k: v["recall_at_10"] for k, v in a.items()}, (
         "audit must be rerun-deterministic"
     )
+
+
+def test_ann_pq_overlaps_brute_force(spark, sf_dir):
+    """PQ top-10 (8x16 deterministic codebooks, ADC ranking) must share
+    members with the exact cosine top-10 — quantized distances are
+    approximate, but near neighbors survive 32x compression."""
+    exact = [
+        r["vec_id"] for r in REGISTRY["sim_cosine_topk"].fn(spark, sf_dir).collect()
+    ]
+    pq = [r["vec_id"] for r in REGISTRY["sim_ann_pq"].fn(spark, sf_dir).collect()]
+    assert len(pq) == 10
+    overlap = len(set(exact) & set(pq))
+    assert overlap >= 2, f"PQ top-10 shares only {overlap} of exact top-10"
+
+
+def test_ann_pq_adc_monotone_output(spark, sf_dir):
+    """Rows come back ranked by the integer ADC distance (ascending),
+    and every adc_ud2 is non-negative."""
+    rows = REGISTRY["sim_ann_pq"].fn(spark, sf_dir).collect()
+    ds = [r["adc_ud2"] for r in rows]
+    assert ds == sorted(ds) and all(d >= 0 for d in ds)
