@@ -390,3 +390,46 @@ def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("int").alias("prio_num"),
         F.col("o_orderstatus").try_cast("int").alias("status_num"),
     )
+
+
+@register(
+    "sql_pipe_syntax",
+    category="modern",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship pricing-summary shape expressed in Spark 4's SQL
+    PIPE syntax (`FROM ... |> WHERE ... |> AGGREGATE ... |> ORDER BY`)
+    — the modern linear-dataflow SQL dialect (SQL-pipe, per the
+    "SQL Has Problems" pipe-syntax proposal adopted by Spark 4 and
+    BigQuery).
+
+    Same logical plan as agg_hash_groupby: the pipe stages are pure
+    syntax — Catalyst receives the identical filter→aggregate→sort
+    tree, so pushdown, partial aggregation, and AQE all apply
+    unchanged (the point of the op: dialect breadth costs nothing at
+    the plan level). The oracle is the equivalent ANSI formulation.
+    """
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_pipe")
+    return spark.sql(
+        """
+        FROM lineitem_pipe
+        |> WHERE l_shipdate <= DATE '1998-09-02'
+        |> AGGREGATE
+             CAST(count(*) AS BIGINT) AS n_rows,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice * (1 - l_discount)), 2)
+               AS sum_disc_price
+           GROUP BY l_returnflag, l_linestatus
+        |> ORDER BY l_returnflag, l_linestatus
+        """
+    )

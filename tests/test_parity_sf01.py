@@ -33,6 +33,10 @@ SPOT = [
     "text_boilerplate_spans",  # r05 cross-doc span DF thresholds at 10× docs
     "graph_pagerank",        # r05 unrolled rounds: float sums + ppb floor-rounding at 10× users
     "events_anomaly_zscore",  # r05 stddev z-flags at 10× events
+    "dedup_minhash_lsh",     # r06 exact-join upgrade: prefix tier recall 1 at 10× corpus
+    "sim_ann_pq",            # r06 integer-microunit ADC ranking at 10× vectors
+    "events_attribution",    # r06 packed-touch-key windows at 10× events
+    "profile_drift_psi",     # r06 signed r4 psi terms at 10× orders
 ]
 
 
