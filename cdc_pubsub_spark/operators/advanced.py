@@ -780,17 +780,24 @@ def profile_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(~F.col("is_base"), 1)).alias("n_cur"),
         )
     )
-    tot = F.broadcast(
-        counts.agg(
-            F.sum("n_base").cast("double").alias("tb"),
-            F.sum("n_cur").cast("double").alias("tc"),
-        )
+    # Totals via an unpartitioned window over the 10-row aggregate, NOT
+    # a second agg + crossJoin: Catalyst does not CSE the shared
+    # aggregate across join branches, so the crossJoin formulation
+    # scanned orders twice (caught by test_psi_single_scan). The window
+    # funnels only the ~10 post-aggregate rows through one partition —
+    # constant work at any fact volume.
+    w_all = Window.partitionBy()
+    counts = counts.select(
+        "bucket",
+        "n_base",
+        "n_cur",
+        F.sum("n_base").over(w_all).cast("double").alias("tb"),
+        F.sum("n_cur").over(w_all).cast("double").alias("tc"),
     )
     pb = F.col("n_base") / F.col("tb")
     pc = F.col("n_cur") / F.col("tc")
     return (
-        counts.crossJoin(tot)
-        .filter((F.col("n_base") > 0) & (F.col("n_cur") > 0))
+        counts.filter((F.col("n_base") > 0) & (F.col("n_cur") > 0))
         .select(
             "bucket",
             "n_base",

@@ -43,3 +43,71 @@ SPOT = [
 @pytest.mark.parametrize("name", SPOT)
 def test_sf01_parity(spark, name):
     assert_parity(spark, name, SF_BENCH)
+
+
+def test_rounding_formula_cross_engine_sweep(spark):
+    """The r2/r4 floor-formula contract, certified by brute force: 200k
+    deterministic SIGNED doubles (integer-derived, so both engines
+    construct bit-identical inputs) rounded by Spark's r2/r4 must equal
+    DuckDB's literal floor-formula output EXACTLY — including the
+    negative-midpoint half-toward-+inf cases the contract sanctions.
+    This is the evidence behind rounding.py's signed-use clause."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from cdc_pubsub_spark.functions.rounding import r2, r4
+
+    n = 200_000
+    # x = ((i*2654435761) mod 10^9 - 5*10^8) / 10^4: exact integer ops
+    # then one exact-by-construction division — identical doubles on
+    # both engines, spanning ±50000 with 4 fractional digits of
+    # structure (includes exact .xx5 midpoints for r2).
+    sdf = (
+        spark.range(n)
+        .select(
+            ((F.col("id") * 2654435761) % 1000000000 - 500000000).alias("k")
+        )
+        .select((F.col("k") / 10000.0).alias("x"))
+        .select(r2(F.col("x")).alias("a"), r4(F.col("x")).alias("b"))
+        # Compare via order-independent INTEGER sums (a float sum of 200k
+        # terms carries partitioning-order ulp noise — the exact noise
+        # r2/r4 exist to keep out of COMPARED values; sums of rounded
+        # values are not part of the contract).
+        .select(
+            F.floor(F.col("a") * 100 + F.lit(0.5)).cast("bigint").alias("ia"),
+            F.floor(F.col("b") * 10000 + F.lit(0.5)).cast("bigint").alias("ib"),
+            "a",
+        )
+        .agg(
+            F.sum("ia").alias("sa"),
+            F.sum("ib").alias("sb"),
+            F.min("a").alias("mina"),
+            F.max("a").alias("maxa"),
+        )
+        .collect()[0]
+    )
+    con = duckdb.connect()
+    row = con.execute(
+        f"""
+        WITH xs AS (
+          SELECT ((i * 2654435761) % 1000000000 - 500000000) / 10000.0 AS x
+          FROM range({n}) t(i)
+        ),
+        r AS (
+          SELECT floor(x * 100 + 0.5) / 100 AS a,
+                 floor(x * 10000 + 0.5) / 10000 AS b
+          FROM xs
+        )
+        SELECT CAST(sum(CAST(floor(a * 100 + 0.5) AS BIGINT)) AS BIGINT),
+               CAST(sum(CAST(floor(b * 10000 + 0.5) AS BIGINT)) AS BIGINT),
+               min(a), max(a)
+        FROM r
+        """
+    ).fetchone()
+    assert (sdf["sa"], sdf["sb"], sdf["mina"], sdf["maxa"]) == (
+        row[0],
+        row[1],
+        row[2],
+        row[3],
+    ), f"spark={tuple(sdf)} duckdb={row}"

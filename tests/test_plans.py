@@ -718,3 +718,50 @@ def test_basket_pairs_copartitioned_self_join(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastExchange" in plan, plan
     assert uses(df, "TakeOrderedAndProject"), plan
+
+
+def test_pq_is_broadcast_assign_and_lookup(spark, sf_dir):
+    """PQ's joins must all be broadcast-shaped: codebook assign and the
+    128-entry ADC lookup broadcast; no corpus-sized shuffle join, no
+    cartesian on data-sized relations."""
+    df = q("sim_ann_pq", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastExchange" in plan, plan[:2000]
+    assert uses(df, "TakeOrderedAndProject") or "TakeOrdered" in plan, plan[:2000]
+
+
+def test_attribution_single_window_no_join(spark, sf_dir):
+    """All three attribution models ride ONE user window pass: no join
+    node anywhere, one user-partition exchange plus the final
+    aggregate/sort exchanges."""
+    df = q("events_attribution", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Join" not in plan, plan[:2000]
+    assert count_exchanges(df) <= 3, plan[:2000]
+
+
+def test_psi_single_scan(spark, sf_dir):
+    """PSI reads orders ONCE (the 10-bucket conditional-count
+    aggregate); totals ride an unpartitioned window over the ~10
+    post-aggregate rows instead of a second scan branch (Catalyst does
+    not CSE a shared aggregate across join branches)."""
+    df = q("profile_drift_psi", spark, sf_dir)
+    plan = formatted_plan(df)
+    # formatted explain lists each scan twice (tree + detail section).
+    assert plan.count("Scan parquet") == 2, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
+    cols = read_schema_columns(df, "orders")
+    assert cols and "o_orderkey" not in cols, cols  # 2 of 9 columns read
+
+
+def test_minhash_positional_filter_in_plan(spark, sf_dir):
+    """The PPJoin positional filter must run INSIDE the prefix candidate
+    join (posexplode present, the 3(na+nb)+7 bound in a Filter), so
+    pruned matches never reach the verify stage."""
+    df = q("dedup_minhash_lsh", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "posexplode" in plan, plan[:2000]
+    assert "+ 7) div 8" in plan.replace("(3 * (na + nb)", "(3 * (na + nb)") or (
+        "div 8" in plan
+    ), plan[:2000]
