@@ -1886,3 +1886,82 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("model", "touch_type")
     )
+
+
+@register(
+    "events_user_set_algebra",
+    category="composite",
+    oracle="""
+    WITH flags AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) = 1
+               AS did_click,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1
+               AS did_purchase,
+             max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) = 1
+               AS did_error
+      FROM events GROUP BY user_id
+    )
+    SELECT
+      CAST(count(*) AS BIGINT) AS n_users,
+      CAST(count(*) FILTER (WHERE did_click) AS BIGINT) AS clicked,
+      CAST(count(*) FILTER (WHERE did_purchase) AS BIGINT) AS purchased,
+      CAST(count(*) FILTER (WHERE did_click AND did_purchase) AS BIGINT)
+        AS click_and_purchase,
+      CAST(count(*) FILTER (WHERE did_click AND NOT did_purchase) AS BIGINT)
+        AS click_no_purchase,
+      CAST(count(*) FILTER (WHERE did_purchase AND NOT did_click) AS BIGINT)
+        AS purchase_no_click,
+      CAST(count(*) FILTER (WHERE did_click OR did_purchase) AS BIGINT)
+        AS click_or_purchase,
+      CAST(count(*) FILTER (WHERE did_purchase AND NOT did_error) AS BIGINT)
+        AS clean_purchasers,
+      floor(count(*) FILTER (WHERE did_click AND did_purchase)
+            / CAST(count(*) FILTER (WHERE did_click) AS DOUBLE)
+            * 10000 + 0.5) / 10000 AS click_to_purchase_rate
+    FROM flags
+    """,
+)
+def events_user_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience set algebra — |A∩B|, |A\\B|, |A∪B|, conversion ratio —
+    over behavioral user sets (clicked / purchased / errored), the
+    segment-overlap question every audience and funnel tool answers.
+
+    Two-level aggregate, ONE scan: per-user boolean membership flags
+    (max-of-indicator — the flags aggregate shuffles one row per user,
+    map-side combined), then unconditional set-algebra counts over the
+    flags. No joins, no intersect/except subqueries — the naive
+    formulation is one self-join per set pair (|pairs| scans); this
+    shape is two exchanges TOTAL no matter how many set combinations
+    are emitted, and at 100 TB the per-user flag row is the roaring-
+    bitmap-per-segment pattern (agg_bitmap_distinct's tier) without the
+    bitmap. Inclusion-exclusion invariants (|A∪B| = |A|+|B|-|A∩B|) are
+    pinned in tests; the conversion ratio is floor-r4 (division-created
+    midpoints).
+    """
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type")
+    flags = ev.groupBy("user_id").agg(
+        (F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)) == 1)
+        .alias("did_click"),
+        (F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)) == 1)
+        .alias("did_purchase"),
+        (F.max(F.when(F.col("event_type") == "error", 1).otherwise(0)) == 1)
+        .alias("did_error"),
+    )
+    c = F.col("did_click")
+    p = F.col("did_purchase")
+    e = F.col("did_error")
+    cnt = lambda cond: F.count(F.when(cond, 1)).cast("bigint")  # noqa: E731
+    return flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        cnt(c).alias("clicked"),
+        cnt(p).alias("purchased"),
+        cnt(c & p).alias("click_and_purchase"),
+        cnt(c & ~p).alias("click_no_purchase"),
+        cnt(p & ~c).alias("purchase_no_click"),
+        cnt(c | p).alias("click_or_purchase"),
+        cnt(p & ~e).alias("clean_purchasers"),
+        r4(cnt(c & p) / cnt(c).cast("double")).alias(
+            "click_to_purchase_rate"
+        ),
+    )

@@ -45,3 +45,17 @@ def test_cc_converged_equals_unrolled(spark, sf_dir):
     assert converged == unrolled
     # 7 chains over nodes folded mod 1000 -> exactly 7 components.
     assert len(converged) == 7
+
+
+def test_user_set_algebra_inclusion_exclusion(spark, sf_dir):
+    """Set-algebra counts must satisfy inclusion-exclusion and the
+    partition identity |A| = |A∩B| + |A\\B| — internal consistency the
+    oracle hash can't distinguish from coincidence."""
+    r = REGISTRY["events_user_set_algebra"].fn(spark, sf_dir).collect()[0]
+    assert (
+        r["click_or_purchase"]
+        == r["clicked"] + r["purchased"] - r["click_and_purchase"]
+    )
+    assert r["clicked"] == r["click_and_purchase"] + r["click_no_purchase"]
+    assert r["purchased"] == r["click_and_purchase"] + r["purchase_no_click"]
+    assert r["n_users"] >= r["click_or_purchase"]
