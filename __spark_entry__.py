@@ -131,6 +131,7 @@ _RECERTIFY = [
     "basket_brand_pairs",  # finalize_cached (round-5 ADVICE persist leak)
     "events_active_users",  # finalize_cached (round-5 ADVICE persist leak)
     "dedup_incremental",  # finalize_cached (round-5 ADVICE persist leak)
+    "dedup_containment",  # positional filter inside the anchor join
     "join_asof_nearest",  # inline floor-formula -> shared r2 helper
     "fn_variant_json",  # inline floor-formula -> shared r2 helper
     "profile_corr_matrix",  # inline floor-formula -> shared r4 helper

@@ -119,6 +119,44 @@ PPJOIN_POSITIONAL = (
 )
 
 
+# The same positional idea for CONTAINMENT (threshold 0.9 on the min
+# side): containment(A,B) >= 0.9 forces o >= ceil(0.9*min(|A|,|B|)),
+# and the globally-first shared token s* is always inside the smaller
+# side's anchor (every anchor token below s* would be non-shared, but
+# the anchor can hold at most floor(0.1|A|) non-shared tokens and has
+# floor(0.1|A|)+1 entries). At s*'s sorted positions (i, j) the bound
+# o <= 1 + min(|A|-i, |B|-j) therefore must reach the threshold — rows
+# failing it can be dropped inside the anchor✕posting join with recall
+# intact. For same-size docs this confines the POSTING side to its
+# first ~10% positions (mirror of the anchor), a ~10x fanout cut on the
+# join's wide side.
+CONTAINMENT_POSITIONAL = (
+    "1 + least(na - pos_a, nb - pos_b) >= (9 * least(na, nb) + 9) div 10"
+)
+
+
+def positional_anchors(sets: DataFrame, key: str) -> DataFrame:
+    """(key, na, pos_a, shingle): each doc's anchor tokens (smallest
+    ~10% of the sorted hash set) with their positions in the FULL
+    sorted order (anchors are a prefix slice, so slice index == full
+    index)."""
+    return sets.select(
+        F.col("doc_id").alias(key),
+        F.size("gset").alias("na"),
+        F.posexplode(F.expr(ANCHOR_EXPR)).alias("p0", "shingle"),
+    ).select(key, "na", (F.col("p0") + 1).alias("pos_a"), "shingle")
+
+
+def positional_postings(sets: DataFrame, key: str) -> DataFrame:
+    """(key, nb, pos_b, shingle): every token with its sorted-order
+    position — the probe side of the containment candidate join."""
+    return sets.select(
+        F.col("doc_id").alias(key),
+        F.size("gset").alias("nb"),
+        F.posexplode(F.expr("array_sort(gset)")).alias("p0", "shingle"),
+    ).select(key, "nb", (F.col("p0") + 1).alias("pos_b"), "shingle")
+
+
 @register(
     "dedup_exact",
     category="dedup",
@@ -614,19 +652,21 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # module-level shared machinery (GSET_EXPR/ANCHOR_EXPR/
     # containment_col) — dedup_incremental reuses the same three.
     sets = hashed_shingle_sets(corpus).persist()
-    anchor_arr = F.expr(ANCHOR_EXPR)
-    anchors = sets.select("doc_id", F.explode(anchor_arr).alias("shingle"))
-    postings = sets.select("doc_id", F.explode("gset").alias("shingle"))
+    # Candidate join with the CONTAINMENT_POSITIONAL filter inside it:
+    # anchors carry their full-sorted-order positions (prefix slice),
+    # postings are posexploded over the sorted set, and rows whose
+    # remaining-overlap bound cannot reach ceil(0.9*min) are dropped
+    # before the pair ever exists — recall 1 (the first shared token's
+    # row always survives for a true pair; see the lemma above).
+    anchors = positional_anchors(sets, "pa")
+    postings = positional_postings(sets, "pb")
     cand = (
-        anchors.alias("p")
-        .join(
-            postings.alias("q"),
-            (F.col("p.shingle") == F.col("q.shingle"))
-            & (F.col("p.doc_id") != F.col("q.doc_id")),
-        )
+        anchors.join(postings, "shingle")
+        .filter(F.col("pa") != F.col("pb"))
+        .filter(F.expr(CONTAINMENT_POSITIONAL))
         .select(
-            F.least(F.col("p.doc_id"), F.col("q.doc_id")).alias("doc_a"),
-            F.greatest(F.col("p.doc_id"), F.col("q.doc_id")).alias("doc_b"),
+            F.least(F.col("pa"), F.col("pb")).alias("doc_a"),
+            F.greatest(F.col("pa"), F.col("pb")).alias("doc_b"),
         )
         .distinct()
     )
@@ -761,30 +801,24 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # on plain shingles — identical answer, the exactness check.
     hist_sets = hashed_shingle_sets(docs).persist()
     arr_sets = hashed_shingle_sets(arrivals).persist()
-    anchor_arr = F.expr(ANCHOR_EXPR)
-
-    def _anchors(sets: DataFrame, key: str) -> DataFrame:
-        return sets.select(
-            F.col("doc_id").alias(key), F.explode(anchor_arr).alias("shingle")
-        )
-
-    def _postings(sets: DataFrame, key: str) -> DataFrame:
-        return sets.select(
-            F.col("doc_id").alias(key), F.explode("gset").alias("shingle")
-        )
 
     # Anchors must come from the SMALLER side of a pair for the recall
     # guarantee; which side is smaller varies per pair, so probe BOTH
-    # directions — each join keeps one side at ~10% shingle volume.
-    cand = (
-        _anchors(arr_sets, "arr_id")
-        .join(_postings(hist_sets, "hist_id"), "shingle")
-        .select("arr_id", "hist_id")
-        .unionByName(
-            _anchors(hist_sets, "hist_id")
-            .join(_postings(arr_sets, "arr_id"), "shingle")
+    # directions — each join keeps one side at ~10% shingle volume, and
+    # the CONTAINMENT_POSITIONAL filter runs inside each direction
+    # (module-level positional_anchors/positional_postings — the shared
+    # machinery contract: one definition, every containment consumer).
+    def _cand(an: DataFrame, po: DataFrame, ka: str, kb: str) -> DataFrame:
+        return (
+            positional_anchors(an, ka)
+            .join(positional_postings(po, kb), "shingle")
+            .filter(F.expr(CONTAINMENT_POSITIONAL))
             .select("arr_id", "hist_id")
         )
+
+    cand = (
+        _cand(arr_sets, hist_sets, "arr_id", "hist_id")
+        .unionByName(_cand(hist_sets, arr_sets, "hist_id", "arr_id"))
         .distinct()
     )
     av = arr_sets.select(F.col("doc_id").alias("arr_id"), F.col("gset").alias("ga"))
