@@ -1421,3 +1421,191 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return rescored.orderBy("adc_ud2", "vec_id")
+
+
+def _mmr_oracle_sql(k_cand: int = 20, k_out: int = 10) -> str:
+    """DuckDB twin of sim_rerank_mmr: the greedy selection unrolled as
+    k_out chained CTEs (the embed_kmeans unrolled-iteration pattern) —
+    every score is integer micro-units so both engines walk the
+    identical argmax path."""
+    cos_qd = _COS_SQL.format(a="e.embedding", b="pvec")
+    cos_ab = _COS_SQL.format(a="a.embedding", b="b.embedding")
+    parts = [
+        f"""
+    WITH probe AS MATERIALIZED (
+      SELECT embedding AS pvec FROM embeddings WHERE vec_id = 1
+    ),
+    cands AS MATERIALIZED (
+      SELECT e.vec_id, e.label, e.embedding,
+             CAST(floor({cos_qd} * 1000000 + 0.5) AS BIGINT) AS relu
+      FROM embeddings e CROSS JOIN probe
+      WHERE e.vec_id <> 1
+      ORDER BY round({cos_qd}, 6) DESC, e.vec_id
+      LIMIT {k_cand}
+    ),
+    pairs AS MATERIALIZED (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+             CAST(floor({cos_ab} * 1000000 + 0.5) AS BIGINT) AS simu
+      FROM cands a JOIN cands b ON a.vec_id <> b.vec_id
+    ),
+    sel1 AS MATERIALIZED (
+      SELECT vec_id, 1 AS rank, 7 * relu AS score_u
+      FROM cands ORDER BY 7 * relu DESC, vec_id LIMIT 1
+    )"""
+    ]
+    for t in range(2, k_out + 1):
+        prev = f"sel{t - 1}"
+        parts.append(
+            f""",
+    pick{t} AS MATERIALIZED (
+      SELECT c.vec_id, {t} AS rank,
+             7 * c.relu - 3 * coalesce(ms.m, 0) AS score_u
+      FROM cands c
+      LEFT JOIN (
+        SELECT va AS vec_id, max(simu) AS m FROM pairs
+        WHERE vb IN (SELECT vec_id FROM {prev}) GROUP BY va
+      ) ms USING (vec_id)
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM {prev})
+      ORDER BY score_u DESC, c.vec_id LIMIT 1
+    ),
+    sel{t} AS MATERIALIZED (
+      SELECT * FROM {prev} UNION ALL SELECT * FROM pick{t}
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT s.rank, s.vec_id, c.label, c.relu, s.score_u
+    FROM sel{k_out} s JOIN cands c USING (vec_id)
+    ORDER BY s.rank"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "sim_rerank_mmr",
+    category="similarity",
+    bench=False,  # 10 sequential greedy steps, each a checkpointed
+    # sub-second job on a 20-row frame: the timed cost is Spark's
+    # per-job scheduling floor, not query work — the same exclusion
+    # rationale as graph_connected_components. Correctness still
+    # gates via the unrolled sf0.01 oracle.
+    oracle=_mmr_oracle_sql(),
+)
+def sim_rerank_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance re-ranking (Carbonell & Goldstein '98)
+    — the diversification stage every retrieval stack runs between
+    recall and final ranking: from the brute-force top-20, greedily
+    pick 10 results maximizing λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s)
+    (λ = 0.7), so near-duplicate hits stop crowding out coverage.
+
+    Deterministic to the bit: relevance and pairwise similarity become
+    INTEGER micro-units before any comparison, λ is carried as the
+    integer pair (7, 3) so scores stay integral, and every argmax
+    tie-breaks on vec_id — the same discipline as sim_ann_pq. The 10
+    greedy steps are UNROLLED into one Catalyst plan (anti-join the
+    selected set, attach max-sim-to-selected from the 20×20 pair
+    matrix, orderBy+limit 1 per step — no driver loop, no collect),
+    and the oracle unrolls the identical steps as chained SQL CTEs
+    (the embed_kmeans pattern for certifying iterative algorithms).
+
+    Scale shape: candidate generation is the brute-force/ANN top-k
+    (O(corpus) scan or index probe); everything after touches only
+    k_cand = 20 rows, so the rerank cost is O(k²) REGARDLESS of corpus
+    size — the defining property of a rerank stage.
+    """
+    k_cand, k_out = 20, 10
+    emb = load(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", "label", "embedding", _norm(F.col("embedding")).alias("vn")
+    )
+    probe = vecs.filter(F.col("vec_id") == 1).select(
+        F.col("embedding").alias("pvec"), F.col("vn").alias("pn")
+    )
+    qcos = _dot(F.col("embedding"), F.col("pvec")) / (F.col("vn") * F.col("pn"))
+    cands = (
+        vecs.filter(F.col("vec_id") != 1)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "vec_id",
+            "label",
+            "embedding",
+            "vn",
+            F.floor(qcos * F.lit(1e6) + F.lit(0.5))
+            .cast("bigint")
+            .alias("relu"),
+            F.round(qcos, 6).alias("qc6"),
+        )
+        .orderBy(F.col("qc6").desc(), "vec_id")
+        .limit(k_cand)
+        .drop("qc6")
+        # Materialize the 20-row candidate frame: the greedy unroll
+        # references it ~3x per step, and each lazy reference would
+        # replay the corpus scan + top-k (measured: plan-explosion
+        # timeout at sf0.1). One tiny checkpointed relation instead.
+        .localCheckpoint(eager=True)
+    )
+    a = cands.select(
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("ea"),
+        F.col("vn").alias("na"),
+    )
+    b = cands.select(
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("eb"),
+        F.col("vn").alias("nb"),
+    )
+    pcos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    pairs = (
+        a.join(b, F.col("va") != F.col("vb"))
+        .select(
+            "va",
+            "vb",
+            F.floor(pcos * F.lit(1e6) + F.lit(0.5))
+            .cast("bigint")
+            .alias("simu"),
+        )
+        .localCheckpoint(eager=True)  # 380 rows, read every step
+    )
+    scored0 = cands.select(
+        "vec_id", "relu", (F.lit(7) * F.col("relu")).alias("score_u")
+    )
+    sel = (
+        scored0.orderBy(F.col("score_u").desc(), "vec_id")
+        .limit(1)
+        .select("vec_id", F.lit(1).alias("rank"), "score_u")
+    )
+    for t in range(2, k_out + 1):
+        ms = (
+            pairs.join(
+                sel.select(F.col("vec_id").alias("vb")), "vb", "left_semi"
+            )
+            .groupBy("va")
+            .agg(F.max("simu").alias("m"))
+            .select(F.col("va").alias("vec_id"), "m")
+        )
+        pick = (
+            cands.select("vec_id", "relu")
+            .join(sel.select("vec_id"), "vec_id", "left_anti")
+            .join(ms, "vec_id", "left")
+            .select(
+                "vec_id",
+                F.lit(t).alias("rank"),
+                (
+                    F.lit(7) * F.col("relu")
+                    - F.lit(3) * F.coalesce(F.col("m"), F.lit(0))
+                ).alias("score_u"),
+            )
+            .orderBy(F.col("score_u").desc(), "vec_id")
+            .limit(1)
+        )
+        # Checkpoint the selection each step: sel_t references
+        # sel_{t-1} twice (semi + anti), so the lazy nesting doubles
+        # per step — 2^10 subplans by the last pick. Each checkpoint
+        # is a <=10-row frame; same per-superstep discipline as
+        # graph_cc_converged.
+        sel = sel.unionByName(pick).localCheckpoint(eager=True)
+    return (
+        sel.join(cands.select("vec_id", "label", "relu"), "vec_id")
+        .select("rank", "vec_id", "label", "relu", "score_u")
+        .orderBy("rank")
+    )

