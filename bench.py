@@ -101,12 +101,14 @@ def main() -> None:
     REGISTRY["agg_hash_groupby"].fn(spark, sf_dir).collect()
 
     def timed_pass() -> tuple[float, dict[str, float]]:
-        # Drop every cached intermediate before timing: several ops
-        # persist() internally and never unpersist, and CacheManager
-        # dedups by canonicalized plan — without this, pass 2 would be
-        # served from pass 1's block-manager cache and min(passes) would
-        # systematically report a warm-cache rerun instead of the
-        # noise-mitigated cold number.
+        # Drop every cached intermediate before timing: the scan memo
+        # and any live persisted frames dedup by canonicalized plan in
+        # CacheManager — without this, pass 2 could be served from pass
+        # 1's block-manager cache and min(passes) would systematically
+        # report a warm-cache rerun instead of the noise-mitigated cold
+        # number. (Multi-consumer ops release their own caches via
+        # tables.finalize_cached since r06; this guard stays for the
+        # scan memo and any future persist.)
         spark.catalog.clearCache()
         times: dict[str, float] = {}
 
