@@ -990,7 +990,93 @@ def embed_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_ann_ivf_kmeans", category="similarity", oracle=None, bench=False)
+def _ivf_kmeans_oracle_sql(k: int = 8, iters: int = 4, nprobe: int = 4) -> str:
+    """DuckDB twin of sim_ann_ivf_kmeans: the 4 Lloyd iterations
+    unrolled exactly as in _kmeans_oracle_sql but carried through the
+    FINAL centroid update (c4 — _kmeans_run updates after its last
+    assignment), then sim_ann_ivf's assign/probe/rescore SQL runs on
+    those learned centroids. Upgrades the op from rows-only to a full
+    hash oracle: iterative training composes with relational probing."""
+    d2 = (
+        "list_sum(list_transform(list_zip(v, {c}),"
+        " p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
+        " * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+    )
+    ctes = [
+        "emb AS (SELECT vec_id, list_transform(embedding,"
+        " x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
+        f"c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,"
+        f" v AS cvec FROM emb ORDER BY vec_id LIMIT {k})",
+    ]
+    prev = "c0"
+    for t in range(1, iters + 1):
+        dist = d2.format(c="cvec")
+        ctes.append(
+            f"s{t} AS (SELECT vec_id, v, cluster, {dist} AS d2,"
+            f" row_number() OVER (PARTITION BY vec_id ORDER BY {dist},"
+            f" cluster) AS rn FROM emb CROSS JOIN {prev})"
+        )
+        ctes.append(f"a{t} AS (SELECT vec_id, v, cluster, d2 FROM s{t} WHERE rn = 1)")
+        ctes.append(
+            f"m{t} AS (SELECT cluster, ord, avg(val) AS mv FROM"
+            f" (SELECT cluster, unnest(v) AS val,"
+            f" generate_subscripts(v, 1) AS ord FROM a{t})"
+            f" GROUP BY cluster, ord)"
+        )
+        ctes.append(
+            f"c{t} AS (SELECT p.cluster, coalesce(n.nvec, p.cvec) AS cvec"
+            f" FROM {prev} p LEFT JOIN (SELECT cluster,"
+            f" list(mv ORDER BY ord) AS nvec FROM m{t} GROUP BY cluster) n"
+            f" USING (cluster))"
+        )
+        prev = f"c{t}"
+    cos = _COS_SQL
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {body},
+    cents AS (SELECT cluster AS cent_id, cvec FROM {prev}),
+    fullv AS (
+      SELECT e.vec_id, e.label,
+             list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings e
+    ),
+    assigned AS (
+      SELECT vec_id, label, v, cent_id FROM (
+        SELECT f.vec_id, f.label, f.v, c.cent_id,
+               row_number() OVER (
+                 PARTITION BY f.vec_id
+                 ORDER BY round({cos.format(a="f.v", b="c.cvec")}, 6) DESC,
+                          c.cent_id
+               ) AS rn
+        FROM fullv f CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    probe AS (SELECT v AS pvec FROM fullv WHERE vec_id = 1),
+    plists AS (
+      SELECT cent_id FROM (
+        SELECT c.cent_id,
+               {cos.format(a="c.cvec", b="pvec")} AS sim
+        FROM cents c CROSS JOIN probe
+      )
+      ORDER BY round(sim, 6) DESC, cent_id
+      LIMIT {nprobe}
+    )
+    SELECT a.vec_id, a.label,
+           round({cos.format(a="a.v", b="pvec")}, 4) AS cos_sim
+    FROM assigned a
+    JOIN plists USING (cent_id) CROSS JOIN probe
+    WHERE a.vec_id <> 1
+    ORDER BY cos_sim DESC, a.vec_id
+    LIMIT 10
+    """
+
+
+@register(
+    "sim_ann_ivf_kmeans",
+    category="similarity",
+    oracle=_ivf_kmeans_oracle_sql(),
+    bench=False,
+)
 def sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with LEARNED coarse quantizer: the inverted lists come
     from k-means centroids (embed_kmeans's trainer, k=8, 4 Lloyd's
@@ -1006,11 +1092,13 @@ def sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape at 100 TB is the same — only the training loop (bounded,
     k×d driver state) is added, amortized over every future probe.
 
-    Rows-only: the centroids are the product of an iterative algorithm,
-    not SQL. Semantics are pinned in tests/test_llmops.py: the probe's
-    top-10 must hit >= 8 of the brute-force top-10 (recall), candidates
-    exclude the probe itself, and scores are exact cosines (they match
-    sim_cosine_topk's values on the overlap).
+    Hash-certified end to end since r06: the oracle unrolls the same
+    4 Lloyd iterations relationally (through the final centroid
+    update) and layers the assign/probe/rescore SQL on the learned
+    centroids (_ivf_kmeans_oracle_sql) — iterative training composes
+    with relational probing, so even the trained index is exact-checked
+    rather than rows-only. Recall/consistency semantics additionally
+    pinned in tests/test_llmops.py.
     """
     k, nprobe = 8, 4
     _, _, cents = _kmeans_run(spark, sf_dir, k=k, iters=4)
