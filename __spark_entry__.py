@@ -133,6 +133,7 @@ _RECERTIFY = [
     "dedup_incremental",  # finalize_cached (round-5 ADVICE persist leak)
     "dedup_containment",  # positional filter inside the anchor join
     "sim_ann_ivf_kmeans",  # rows-only -> unrolled-kmeans+IVF SQL oracle
+    "sim_ann_recall_audit",  # rows-only -> composed per-tier oracle
     "join_asof_nearest",  # inline floor-formula -> shared r2 helper
     "fn_variant_json",  # inline floor-formula -> shared r2 helper
     "profile_corr_matrix",  # inline floor-formula -> shared r4 helper

@@ -1172,7 +1172,41 @@ def sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rescored.orderBy(F.col("cos_sim").desc(), F.col("vec_id")).limit(10)
 
 
-@register("sim_ann_recall_audit", category="similarity", oracle=None, bench=False)
+def _recall_audit_oracle_sql() -> str:
+    """DuckDB twin of the recall audit: each variant's published oracle
+    embeds as a subquery (standalone WITH-SELECTs nest fine), truth is
+    the brute-force top-10, and the audit rows are scalar-subquery
+    counts per variant — now that every ANN tier has an exact oracle,
+    the AUDIT OF THE TIERS is itself exact."""
+    variants = [
+        ("brute_force", REGISTRY["sim_cosine_topk"].oracle),
+        ("ivf_seeded", REGISTRY["sim_ann_ivf"].oracle),
+        ("ivf_kmeans", _ivf_kmeans_oracle_sql()),
+        ("lsh_bucket", _ann_lsh_oracle()),
+    ]
+    ctes = ["WITH truth AS (SELECT vec_id FROM (" + variants[0][1] + "))"]
+    sels = []
+    for name, sql in variants:
+        ctes.append(f", v_{name} AS (SELECT vec_id FROM ({sql}))")
+        sels.append(
+            f"""
+    SELECT '{name}' AS variant,
+           CAST((SELECT count(*) FROM v_{name}) AS BIGINT) AS n_returned,
+           CAST((SELECT count(*) FROM v_{name} JOIN truth USING (vec_id))
+                AS BIGINT) AS n_hits,
+           round((SELECT count(*) FROM v_{name} JOIN truth USING (vec_id))
+                 / greatest(1, (SELECT count(*) FROM truth)), 4)
+             AS recall_at_10"""
+        )
+    return "".join(ctes) + (" UNION ALL ".join(sels))
+
+
+@register(
+    "sim_ann_recall_audit",
+    category="similarity",
+    oracle=_recall_audit_oracle_sql(),
+    bench=False,
+)
 def sim_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall audit across the ANN tiers — the index-selection table a
     production similarity service publishes: for the standard probe
@@ -1185,7 +1219,9 @@ def sim_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket. At 100 TB this table is what decides which tier serves
     which traffic — and because every variant here is deterministic,
     the audit is reproducible run-to-run (asserted in
-    tests/test_llmops.py together with recall floors).
+    tests/test_llmops.py together with recall floors) and, since r06,
+    EXACT-checked: each tier's own oracle embeds as a subquery of the
+    audit oracle, so the driver hash covers the whole comparison table.
     """
     truth = {
         r["vec_id"] for r in sim_cosine_topk_ids(spark, sf_dir).collect()
