@@ -1965,3 +1965,149 @@ def events_user_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
             "click_to_purchase_rate"
         ),
     )
+
+
+@register(
+    "orders_survival_curve",
+    category="composite",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey,
+             epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS d
+      FROM orders
+    ),
+    maxd AS (SELECT max(d) AS md FROM o),
+    obs AS (
+      SELECT CASE WHEN nxt IS NULL THEN 0 ELSE 1 END AS event,
+             CASE WHEN nxt IS NULL THEN md - d ELSE nxt - d END AS t
+      FROM (
+        SELECT d, lead(d) OVER (PARTITION BY o_custkey ORDER BY d) AS nxt
+        FROM o
+      ) CROSS JOIN maxd
+    ),
+    buckets AS (
+      SELECT t // 90 AS bucket,
+             count(*) FILTER (WHERE event = 1) AS n_events,
+             count(*) FILTER (WHERE event = 0) AS n_censored
+      FROM obs GROUP BY 1
+    ),
+    risk AS (
+      SELECT bucket, n_events, n_censored,
+             (SELECT count(*) FROM obs)
+               - coalesce(sum(n_events + n_censored) OVER (
+                   ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS n_at_risk
+      FROM buckets
+    )
+    SELECT bucket,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(n_censored AS BIGINT) AS n_censored,
+           floor(n_events / CAST(n_at_risk AS DOUBLE) * 10000 + 0.5)
+             / 10000 AS hazard,
+           floor(exp(sum(ln(CASE WHEN n_at_risk > n_events
+                                  THEN 1 - n_events / CAST(n_at_risk AS DOUBLE)
+                                  ELSE 1 END))
+                     OVER (ORDER BY bucket)) * 10000 + 0.5) / 10000
+             AS survival
+    FROM risk
+    QUALIFY n_at_risk > n_events
+    ORDER BY bucket
+    """,
+)
+def orders_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for time-to-next-order — the churn
+    question ("what fraction of customers order again within 90/180/...
+    days?") answered the right-censored way: a customer's LAST order
+    contributes a censored observation (we know they survived at least
+    until the dataset's end, not when they'll order next), which naive
+    gap histograms silently drop, biasing retention optimistic.
+
+    Observations are consecutive-order gaps (event) plus last-order→
+    dataset-end spans (censored), folded into 90-day buckets. The KM
+    estimator S(b) = Π_{i≤b}(1 − d_i/n_i) runs entirely relationally:
+    risk sets are one cumulative window over the bucket table (N minus
+    prior departures), and the product is exp∘cumsum∘ln over the same
+    ordered frame — a deterministic sequential fold identical on both
+    engines (the cumulative window's order IS the evaluation order, so
+    no shuffle-order float noise). Buckets where the factor would hit
+    zero (everyone remaining dies) are excluded via the n>e guard —
+    Spark's log returns NULL at 0 while DuckDB returns -inf, so the
+    contract keeps both engines out of that corner. One events-table…
+    rather, one orders scan, one per-customer window, one ~25-row
+    bucket aggregate: the shuffle after the gap window carries buckets,
+    not orders. Hazard and survival floor-round via the r4 formula.
+    """
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr(
+            "unix_micros(cast(o_orderdate as timestamp)) div 86400000000"
+        ).alias("d"),
+    )
+    maxd = F.broadcast(o.agg(F.max("d").alias("md")))
+    w = Window.partitionBy("o_custkey").orderBy("d")
+    obs = (
+        o.withColumn("nxt", F.lead("d").over(w))
+        .crossJoin(maxd)
+        .select(
+            F.when(F.col("nxt").isNull(), 0).otherwise(1).alias("event"),
+            F.when(
+                F.col("nxt").isNull(), F.col("md") - F.col("d")
+            )
+            .otherwise(F.col("nxt") - F.col("d"))
+            .alias("t"),
+        )
+    )
+    buckets = obs.groupBy(F.expr("t div 90").alias("bucket")).agg(
+        F.count(F.when(F.col("event") == 1, 1)).alias("n_events"),
+        F.count(F.when(F.col("event") == 0, 1)).alias("n_censored"),
+    )
+    total = F.broadcast(obs.agg(F.count(F.lit(1)).alias("n_total")))
+    w_prior = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_cum = Window.orderBy("bucket")
+    risk = (
+        buckets.crossJoin(total)
+        .withColumn(
+            "n_at_risk",
+            F.col("n_total")
+            - F.coalesce(
+                F.sum(F.col("n_events") + F.col("n_censored")).over(w_prior),
+                F.lit(0),
+            ),
+        )
+    )
+    frac = F.col("n_events") / F.col("n_at_risk").cast("double")
+    return (
+        risk.withColumn(
+            "survival_raw",
+            # CASE-guard the factor exactly like the oracle: DuckDB's
+            # ln(0) raises and Spark's log(0) returns NULL (silently
+            # dropped by sum) — the guard keeps both engines on the
+            # same arithmetic. Guarded rows are only the terminal
+            # bucket(s) the n>e filter excludes, whose factor never
+            # enters a kept row's frame (n_at_risk is monotone
+            # decreasing), so the ELSE-1 is inert.
+            F.exp(
+                F.sum(
+                    F.log(
+                        F.when(
+                            F.col("n_at_risk") > F.col("n_events"), 1 - frac
+                        ).otherwise(F.lit(1.0))
+                    )
+                ).over(w_cum)
+            ),
+        )
+        .filter(F.col("n_at_risk") > F.col("n_events"))
+        .select(
+            "bucket",
+            F.col("n_at_risk").cast("bigint").alias("n_at_risk"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.col("n_censored").cast("bigint").alias("n_censored"),
+            r4(frac).alias("hazard"),
+            r4(F.col("survival_raw")).alias("survival"),
+        )
+        .orderBy("bucket")
+    )

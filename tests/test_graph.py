@@ -59,3 +59,22 @@ def test_user_set_algebra_inclusion_exclusion(spark, sf_dir):
     assert r["clicked"] == r["click_and_purchase"] + r["click_no_purchase"]
     assert r["purchased"] == r["click_and_purchase"] + r["purchase_no_click"]
     assert r["n_users"] >= r["click_or_purchase"]
+
+
+def test_survival_curve_km_invariants(spark, sf_dir):
+    """Kaplan-Meier invariants: survival is monotone non-increasing in
+    (0, 1]; risk sets shrink by exactly the prior departures; hazards
+    stay within [0, 1); censored mass exists (the right-censoring the
+    naive gap histogram drops)."""
+    rows = REGISTRY["orders_survival_curve"].fn(spark, sf_dir).collect()
+    assert rows
+    surv = [r["survival"] for r in rows]
+    assert all(0 < s <= 1 for s in surv)
+    assert all(a >= b for a, b in zip(surv, surv[1:]))
+    assert all(0 <= r["hazard"] < 1 for r in rows)
+    for prev, cur in zip(rows, rows[1:]):
+        assert (
+            cur["n_at_risk"]
+            == prev["n_at_risk"] - prev["n_events"] - prev["n_censored"]
+        )
+    assert sum(r["n_censored"] for r in rows) > 0
