@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
-from cdc_pubsub_spark.functions.rounding import r4
+from cdc_pubsub_spark.functions.rounding import r2, r4
 from cdc_pubsub_spark.registry import register
 from cdc_pubsub_spark.tables import load
 
@@ -807,4 +807,77 @@ def profile_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4((pc - pb) * F.log(pc / pb)).alias("psi_term"),
         )
         .orderBy("bucket")
+    )
+
+
+@register(
+    "repair_impute_group_mean",
+    category="advanced",
+    oracle="""
+    WITH marked AS (
+      SELECT event_type,
+             CASE WHEN event_id % 13 = 0 THEN NULL ELSE value END AS v
+      FROM events
+    ),
+    stats AS (
+      SELECT event_type,
+             count(*) AS n_rows,
+             count(*) - count(v) AS n_missing,
+             avg(v) AS mean_obs,
+             sum(v) AS sum_obs
+      FROM marked GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_missing AS BIGINT) AS n_missing,
+           floor(mean_obs * 10000 + 0.5) / 10000 AS mean_obs,
+           floor((sum_obs + n_missing * mean_obs) * 100 + 0.5) / 100
+             AS total_after_impute
+    FROM stats
+    ORDER BY event_type
+    """,
+)
+def repair_impute_group_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Groupwise mean imputation with an honest audit trail — the data
+    repair step every feature pipeline runs before aggregation, plus
+    the numbers a reviewer needs to judge it (how much was missing,
+    what value was imputed, what the repaired total becomes).
+
+    Missingness is PLANTED deterministically (event_id % 13 → value
+    treated as NULL, the dup_corpus pattern: synthetic but exactly
+    reproducible in the oracle), then repaired with the per-event-type
+    observed mean — the standard MCAR baseline; the audit columns are
+    what distinguishes repair from silent mutation. One scan, one
+    grouped aggregate: mean, missing count, and repaired total all
+    derive from (count, count(v), sum(v)) in a single pass — no second
+    join-back of the means, because total_after_impute = sum_obs +
+    n_missing·mean algebraically. At 100 TB that identity is the
+    difference between one map-side-combined aggregate and a
+    means-broadcast re-scan. Means are division-created → r4; the
+    repaired total rounds at cents via r2.
+    """
+    marked = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(F.col("event_id") % 13 == 0, None)
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    return (
+        marked.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) - F.count("v")).alias("n_missing"),
+            F.avg("v").alias("mean_raw"),
+            F.sum("v").alias("sum_obs"),
+        )
+        .select(
+            "event_type",
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.col("n_missing").cast("bigint").alias("n_missing"),
+            r4(F.col("mean_raw")).alias("mean_obs"),
+            r2(
+                F.col("sum_obs") + F.col("n_missing") * F.col("mean_raw")
+            ).alias("total_after_impute"),
+        )
+        .orderBy("event_type")
     )

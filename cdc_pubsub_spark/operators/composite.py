@@ -2111,3 +2111,102 @@ def orders_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "orders_cohort_ltv",
+    category="composite",
+    oracle="""
+    WITH om AS (
+      SELECT o_custkey,
+             CAST(EXTRACT(year FROM o_orderdate) * 12
+                  + EXTRACT(month FROM o_orderdate) AS BIGINT) AS m,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    firsts AS (
+      SELECT o_custkey, min(m) AS cohort_m FROM om GROUP BY o_custkey
+    ),
+    sizes AS (
+      SELECT cohort_m, count(*) AS n_customers FROM firsts GROUP BY cohort_m
+    ),
+    aged AS (
+      SELECT f.cohort_m, om.m - f.cohort_m AS age, om.cents
+      FROM om JOIN firsts f USING (o_custkey)
+      WHERE om.m - f.cohort_m < 12
+    ),
+    rev AS (
+      SELECT cohort_m, age, CAST(sum(cents) AS BIGINT) AS rev_cents
+      FROM aged GROUP BY cohort_m, age
+    )
+    SELECT r.cohort_m, r.age, s.n_customers, r.rev_cents,
+           CAST(sum(r.rev_cents) OVER (
+             PARTITION BY r.cohort_m ORDER BY r.age
+           ) AS BIGINT) AS cum_cents,
+           floor(sum(r.rev_cents) OVER (
+                   PARTITION BY r.cohort_m ORDER BY r.age
+                 ) / CAST(s.n_customers AS DOUBLE) + 0.5) / 100
+             AS ltv_per_customer
+    FROM rev r JOIN sizes s USING (cohort_m)
+    ORDER BY cohort_m, age
+    """,
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves — the monetary twin of retention:
+    for each acquisition cohort (month of first order), cumulative
+    revenue per customer over the first 12 months of cohort age. The
+    table behind every "payback period" and "LTV:CAC" decision.
+
+    All money is integer cents from the first projection (floor at
+    ingest, exact integer sums from there), so cohort revenue, the
+    cumulative window, and the per-customer division are
+    engine-identical; ltv_per_customer divides integer cents by the
+    integer cohort size and floor-rounds at cents. Plan shape: one
+    orders scan feeds both the firsts aggregate and the age join (the
+    firsts side is customer-grained — broadcastable against the fact
+    at any realistic cohort cardinality), then a (cohort, age) group
+    and a per-cohort cumulative window over ≤ 12 rows per cohort. The
+    12-month age cap bounds the output to cohorts × 12 regardless of
+    history length.
+    """
+    om = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("bigint")
+        .alias("m"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    firsts = om.groupBy("o_custkey").agg(F.min("m").alias("cohort_m"))
+    sizes = firsts.groupBy("cohort_m").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    aged = (
+        om.join(firsts, "o_custkey")
+        .select("cohort_m", (F.col("m") - F.col("cohort_m")).alias("age"), "cents")
+        .filter(F.col("age") < 12)
+    )
+    rev = aged.groupBy("cohort_m", "age").agg(
+        F.sum("cents").cast("bigint").alias("rev_cents")
+    )
+    w = Window.partitionBy("cohort_m").orderBy("age")
+    return (
+        rev.join(F.broadcast(sizes), "cohort_m")
+        .withColumn("cum_cents", F.sum("rev_cents").over(w).cast("bigint"))
+        .select(
+            "cohort_m",
+            "age",
+            "n_customers",
+            "rev_cents",
+            "cum_cents",
+            (
+                F.floor(
+                    F.col("cum_cents") / F.col("n_customers").cast("double")
+                    + F.lit(0.5)
+                )
+                / 100
+            ).alias("ltv_per_customer"),
+        )
+        .orderBy("cohort_m", "age")
+    )
