@@ -134,9 +134,12 @@ _RECERTIFY = [
     "dedup_containment",  # positional filter inside the anchor join
     "sim_ann_ivf_kmeans",  # rows-only -> unrolled-kmeans+IVF SQL oracle
     "sim_ann_recall_audit",  # rows-only -> composed per-tier oracle
-    "join_asof_nearest",  # inline floor-formula -> shared r2 helper
-    "fn_variant_json",  # inline floor-formula -> shared r2 helper
-    "profile_corr_matrix",  # inline floor-formula -> shared r4 helper
+    # NOT listed: join_asof_nearest / fn_variant_json (r2/r4 helper
+    # swaps — the helper EXPANDS to the identical floor expression, so
+    # the plan and values are bit-identical; sf0.1 parity re-proves
+    # both this round and their slots go to the stale-r01 rotation
+    # instead). profile_corr_matrix got the same swap but was never
+    # certified, so it competes as a new op regardless.
 ]
 
 
