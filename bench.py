@@ -44,20 +44,37 @@ from cdc_pubsub_spark.session import get_spark
 # Launch order seed: known-heavy ops first so they overlap the long tail
 # of sub-second queries instead of serializing at the end.
 HEAVY_FIRST = [
-    "text_lm_perplexity",
+    # Re-seeded from the r06 paired-run BENCH_DETAIL (heaviest measured
+    # under conc24 contention, descending): the events-composite block
+    # displaced several former tails after the integer-key and
+    # positional-filter rewrites.
     "dedup_minhash_lsh",
+    "dedup_incremental",
+    "basket_brand_pairs",
+    "corpus_resample_to_mix",
+    "cdc_malformed_deadletter",
+    "events_active_users",
+    "events_attribution",
+    "events_funnel",
+    "events_cohort_retention",
+    "events_error_rate_sla",
+    "events_interarrival_dist",
+    "sim_ann_pq",
+    "events_ohlc_weekly_rollup",
+    "events_heatmap_dow_hour",
+    "events_sessionize",
+    "events_ohlc_resample",
+    "events_top_paths",
+    "sim_ann_ivf",
+    "events_user_set_algebra",
+    "text_lm_perplexity",
+    "text_boilerplate_spans",
     "dedup_embed_cosine",
     "dedup_simhash",
     "agg_approx_percentile",
     "text_tfidf_topk",
-    "sim_ann_ivf",
     "text_contamination",
     "pipeline_training_data_e2e",
-    "agg_mode_median",
-    "agg_percentile",
-    "tpch_q18_big_orders",
-    "text_repetition_filter",
-    "dedup_containment",
 ]
 
 
