@@ -1,0 +1,81 @@
+"""Invariants of the driver-contract module itself: the certification
+window ordering (__spark_entry__._ordered_names) steers which ops the
+round driver verifies — a bug here silently misdirects certification,
+so the ordering rules are pinned against the REAL accumulated
+CORRECTNESS files, and finalize_cached's two modes are pinned against
+a live session."""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+_SPEC = importlib.util.spec_from_file_location(
+    "__spark_entry__",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 "__spark_entry__.py"),
+)
+entry = importlib.util.module_from_spec(_SPEC)
+_SPEC.loader.exec_module(entry)
+
+
+def test_ordering_partitions_and_priorities():
+    """The window order must be: changed-certified (recertify) first,
+    then never-certified, then already-certified stalest-first — and
+    must cover the whole registry exactly once."""
+    names = entry._ordered_names()
+    done, _attempts, cert_round = entry._certification_state()
+    assert sorted(names) == sorted(entry.REGISTRY), "must cover registry 1:1"
+
+    recert = [n for n in entry._RECERTIFY if n in done]
+    phase = {n: 0 for n in recert}
+    for n in names:
+        if n not in phase:
+            phase[n] = 1 if n not in done else 2
+    seen_phase = [phase[n] for n in names]
+    assert seen_phase == sorted(seen_phase), (
+        "ordering must be recertify -> never-certified -> certified tail"
+    )
+
+    tail = [n for n in names if phase[n] == 2]
+    rounds = [cert_round.get(n, 0) for n in tail]
+    assert rounds == sorted(rounds), "certified tail must be stalest-first"
+
+
+def test_oracle_map_is_subset_with_same_order_keys():
+    """oracle_sql() must expose exactly the SQL-expressible subset of
+    queries(), keyed identically (the driver zips them by name)."""
+    q = entry.queries()
+    o = entry.oracle_sql()
+    assert set(o) <= set(q)
+    assert all(isinstance(sql, str) and sql.strip() for sql in o.values())
+    # the declared rows-only ops are the ONLY missing oracles
+    missing = set(q) - set(o)
+    assert missing == {
+        n for n in entry.REGISTRY if entry.REGISTRY[n].oracle is None
+    }
+
+
+def test_finalize_cached_modes(spark):
+    """Eager mode returns a materialized checkpoint and releases the
+    cached input; lazy mode returns the original lazy plan."""
+    from pyspark.storagelevel import StorageLevel
+
+    from cdc_pubsub_spark import tables
+
+    base = spark.range(100).toDF("x").persist()
+    out = base.groupBy((base.x % 3).alias("k")).count()
+    got = tables.finalize_cached(out, base)
+    assert got.count() == 3
+    assert base.storageLevel == StorageLevel.NONE, "input must be unpersisted"
+    assert "LogicalRDD" in got._jdf.queryExecution().optimizedPlan().toString()
+
+    base2 = spark.range(100).toDF("x").persist()
+    out2 = base2.groupBy((base2.x % 3).alias("k")).count()
+    tables.LAZY_PLAN_MODE = True
+    try:
+        got2 = tables.finalize_cached(out2, base2)
+    finally:
+        tables.LAZY_PLAN_MODE = False
+    assert "LogicalRDD" not in got2._jdf.queryExecution().optimizedPlan().toString()
+    assert got2.count() == 3
