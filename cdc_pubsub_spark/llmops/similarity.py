@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from cdc_pubsub_spark.registry import REGISTRY, register
-from cdc_pubsub_spark.tables import load
+from cdc_pubsub_spark.tables import load, release_checkpoint
 
 # DuckDB-side cosine between two FLOAT[] lists, double-cast per element.
 _COS_SQL = """
@@ -843,17 +843,16 @@ def _kmeans_run(
     return assigned, trace, cents
 
 
-def _kmeans_oracle_sql(k: int = 8, iters: int = 4) -> str:
-    """Generate the UNROLLED Lloyd's-k-means DuckDB twin: k-means is
-    iterative, but with a FIXED iteration count each round is just
-    (assignment = cross-join + per-vector rank on squared distance,
-    update = per-cluster per-dim means) — four relational stages, so the
-    whole algorithm is SQL after all. Distances fold left-to-right over
-    double-cast elements exactly like the Spark side's zip_with, ties
-    break (d2, cluster), empty clusters keep their previous centroid via
-    the left-join coalesce — every rule of _kmeans_run restated
-    relationally. Exactness verified at sf0.001/0.01/0.1 (bit-identical
-    cluster sizes; inertia equal at round-2)."""
+def _kmeans_ctes(
+    k: int, iters: int, through_final_update: bool
+) -> tuple[str, str, str]:
+    """ONE generator for the unrolled Lloyd's-k-means CTE chain — the
+    single definition both certified twins derive from (a tie-break or
+    cast fix lands in both oracles or neither). Returns (cte_body,
+    last_assignment_cte, last_centroid_cte). through_final_update=False
+    reproduces embed_kmeans's contract (assignment-final: report a{n});
+    True reproduces _kmeans_run's loop exactly (centroids updated after
+    the last assignment — what sim_ann_ivf_kmeans consumes)."""
     d2 = (
         "list_sum(list_transform(list_zip(v, {c}),"
         " p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
@@ -874,7 +873,7 @@ def _kmeans_oracle_sql(k: int = 8, iters: int = 4) -> str:
             f" cluster) AS rn FROM emb CROSS JOIN {prev})"
         )
         ctes.append(f"a{t} AS (SELECT vec_id, v, cluster, d2 FROM s{t} WHERE rn = 1)")
-        if t < iters:
+        if t < iters or through_final_update:
             ctes.append(
                 f"m{t} AS (SELECT cluster, ord, avg(val) AS mv FROM"
                 f" (SELECT cluster, unnest(v) AS val,"
@@ -888,10 +887,22 @@ def _kmeans_oracle_sql(k: int = 8, iters: int = 4) -> str:
                 f" USING (cluster))"
             )
             prev = f"c{t}"
-    body = ",\n".join(ctes)
+    return ",\n".join(ctes), f"a{iters}", prev
+
+
+def _kmeans_oracle_sql(k: int = 8, iters: int = 4) -> str:
+    """The UNROLLED Lloyd's-k-means DuckDB twin (assignment-final:
+    report the a{iters} assignment — embed_kmeans's contract). Built
+    from the SHARED _kmeans_ctes generator so this oracle and
+    sim_ann_ivf_kmeans's can never silently diverge: distances fold
+    left-to-right over double-cast elements exactly like the Spark
+    side's zip_with, ties break (d2, cluster), empty clusters keep the
+    previous centroid via the left-join coalesce. Exactness verified at
+    sf0.001/0.01/0.1."""
+    body, last_assign, _ = _kmeans_ctes(k, iters, through_final_update=False)
     return (
         f"WITH {body}\nSELECT cluster, count(*) AS n_members,"
-        f" round(sum(d2), 2) AS inertia FROM a{iters} GROUP BY cluster"
+        f" round(sum(d2), 2) AS inertia FROM {last_assign} GROUP BY cluster"
     )
 
 
@@ -991,50 +1002,18 @@ def embed_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_kmeans_oracle_sql(k: int = 8, iters: int = 4, nprobe: int = 4) -> str:
-    """DuckDB twin of sim_ann_ivf_kmeans: the 4 Lloyd iterations
-    unrolled exactly as in _kmeans_oracle_sql but carried through the
-    FINAL centroid update (c4 — _kmeans_run updates after its last
-    assignment), then sim_ann_ivf's assign/probe/rescore SQL runs on
-    those learned centroids. Upgrades the op from rows-only to a full
-    hash oracle: iterative training composes with relational probing."""
-    d2 = (
-        "list_sum(list_transform(list_zip(v, {c}),"
-        " p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
-        " * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
-    )
-    ctes = [
-        "emb AS (SELECT vec_id, list_transform(embedding,"
-        " x -> CAST(x AS DOUBLE)) AS v FROM embeddings)",
-        f"c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,"
-        f" v AS cvec FROM emb ORDER BY vec_id LIMIT {k})",
-    ]
-    prev = "c0"
-    for t in range(1, iters + 1):
-        dist = d2.format(c="cvec")
-        ctes.append(
-            f"s{t} AS (SELECT vec_id, v, cluster, {dist} AS d2,"
-            f" row_number() OVER (PARTITION BY vec_id ORDER BY {dist},"
-            f" cluster) AS rn FROM emb CROSS JOIN {prev})"
-        )
-        ctes.append(f"a{t} AS (SELECT vec_id, v, cluster, d2 FROM s{t} WHERE rn = 1)")
-        ctes.append(
-            f"m{t} AS (SELECT cluster, ord, avg(val) AS mv FROM"
-            f" (SELECT cluster, unnest(v) AS val,"
-            f" generate_subscripts(v, 1) AS ord FROM a{t})"
-            f" GROUP BY cluster, ord)"
-        )
-        ctes.append(
-            f"c{t} AS (SELECT p.cluster, coalesce(n.nvec, p.cvec) AS cvec"
-            f" FROM {prev} p LEFT JOIN (SELECT cluster,"
-            f" list(mv ORDER BY ord) AS nvec FROM m{t} GROUP BY cluster) n"
-            f" USING (cluster))"
-        )
-        prev = f"c{t}"
+    """DuckDB twin of sim_ann_ivf_kmeans: the SHARED _kmeans_ctes chain
+    carried through the FINAL centroid update (c{iters} — _kmeans_run
+    updates after its last assignment), then sim_ann_ivf's
+    assign/probe/rescore SQL runs on those learned centroids. Upgrades
+    the op from rows-only to a full hash oracle: iterative training
+    composes with relational probing, and because both kmeans oracles
+    derive from one generator, a rule fix lands in both or neither."""
+    body, _, last_cent = _kmeans_ctes(k, iters, through_final_update=True)
     cos = _COS_SQL
-    body = ",\n    ".join(ctes)
     return f"""
     WITH {body},
-    cents AS (SELECT cluster AS cent_id, cvec FROM {prev}),
+    cents AS (SELECT cluster AS cent_id, cvec FROM {last_cent}),
     fullv AS (
       SELECT e.vec_id, e.label,
              list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -1725,11 +1704,19 @@ def sim_rerank_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Checkpoint the selection each step: sel_t references
         # sel_{t-1} twice (semi + anti), so the lazy nesting doubles
         # per step — 2^10 subplans by the last pick. Each checkpoint
-        # is a <=10-row frame; same per-superstep discipline as
-        # graph_cc_converged.
-        sel = sel.unionByName(pick).localCheckpoint(eager=True)
-    return (
+        # is a <=10-row frame; the superseded generation's blocks are
+        # released via release_checkpoint (DataFrame.unpersist is a
+        # no-op on checkpointed frames) — same per-superstep
+        # discipline as graph_cc_converged.
+        new_sel = sel.unionByName(pick).localCheckpoint(eager=True)
+        release_checkpoint(sel)  # no-op on the (lazy) first seed
+        sel = new_sel
+    out = (
         sel.join(cands.select("vec_id", "label", "relu"), "vec_id")
         .select("rank", "vec_id", "label", "relu", "score_u")
         .orderBy("rank")
     )
+    final = out.localCheckpoint(eager=True)
+    for frame in (cands, pairs, sel):
+        release_checkpoint(frame)
+    return final

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from cdc_pubsub_spark.functions.rounding import r4
 from cdc_pubsub_spark.registry import register
-from cdc_pubsub_spark.tables import finalize_cached, load
+from cdc_pubsub_spark.tables import finalize_cached, load, release_checkpoint
 
 # Deterministic 2-regular interaction graph over the event users: every
 # user u follows (7u+3) mod 1000 and (13u+11) mod 1000. Pure function of
@@ -375,9 +375,11 @@ def graph_cc_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     - each generation is persist()ed and the convergence probe
       (count of nodes whose parent still moved) materializes it — ONE
       driver-side scalar per round, never the frame;
-    - the superseded generation is unpersist()ed immediately
-      (dedup_cluster's pattern), so executor storage holds exactly one
-      node→parent relation regardless of round count;
+    - the superseded generation's checkpoint blocks are released
+      immediately via tables.release_checkpoint (DataFrame.unpersist is
+      a no-op on checkpointed frames — the CacheManager never tracks
+      them), so executor storage holds at most two generations (live +
+      in-flight) regardless of round count;
     - each generation is localCheckpoint()ed so lineage stays one round
       deep — without truncation the plan doubles per round (the unroll
       relies on exchange reuse; an unbounded loop cannot) and the
@@ -407,6 +409,7 @@ def graph_cc_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
+    first_gen = p
     last = None
     for _ in range(64):
         a = p.alias("a")
@@ -422,9 +425,16 @@ def graph_cc_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         n_changed = nxt.filter(F.col("changed")).count()
         if last is not None:
-            last.unpersist(blocking=False)
+            # NOT DataFrame.unpersist(): checkpoint blocks live outside
+            # the CacheManager and need the LogicalRDD-level release
+            # (tables.release_checkpoint; verified live that unpersist
+            # alone leaves the block resident).
+            release_checkpoint(last)
         last = nxt
         p = nxt.drop("changed")
+        if first_gen is not None:
+            release_checkpoint(first_gen)
+            first_gen = None
         if n_changed == 0:
             break
     out = (
@@ -436,4 +446,7 @@ def graph_cc_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("component_root")
     )
-    return finalize_cached(out, *( [last] if last is not None else [] ))
+    final = finalize_cached(out)
+    if last is not None:
+        release_checkpoint(last)
+    return final

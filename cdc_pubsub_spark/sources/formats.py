@@ -365,7 +365,14 @@ def scan_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     ]
     out = work_dir("avro_supplier")
-    os.makedirs(out, exist_ok=True)
+    # Clear stale part files first (sibling round-trips do the same):
+    # file count is ceil(n/ceil(n/4)), so a smaller fixture after a
+    # larger one would leave a stale part-0003.avro to be decoded and
+    # double-counted.
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
     n_files = 4
     per = max(1, -(-len(rows) // n_files))
     for i in range(0, len(rows), per):

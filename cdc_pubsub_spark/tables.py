@@ -114,6 +114,22 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 LAZY_PLAN_MODE = False
 
 
+def release_checkpoint(df: DataFrame, blocking: bool = False) -> None:
+    """Free a localCheckpoint()ed DataFrame's materialized blocks.
+
+    DataFrame.unpersist() consults only the CacheManager, which never
+    tracks checkpoint RDDs, so it is a silent NO-OP on a checkpointed
+    frame (verified live: the block survives getRDDStorageInfo). The
+    blocks must be released on the LogicalRDD's own RDD. Safe no-op on
+    any non-LogicalRDD plan."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(blocking)
+    except Exception:
+        pass  # best-effort cleanup must never fail the query
+
+
 def finalize_cached(result: DataFrame, *cached: DataFrame) -> DataFrame:
     """Materialize a small final result, then unpersist its cached inputs.
 

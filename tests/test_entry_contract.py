@@ -27,14 +27,21 @@ def test_ordering_partitions_and_priorities():
     done, _attempts, cert_round = entry._certification_state()
     assert sorted(names) == sorted(entry.REGISTRY), "must cover registry 1:1"
 
-    recert = [n for n in entry._RECERTIFY if n in done]
-    phase = {n: 0 for n in recert}
+    lead = [
+        n
+        for n in entry._SURVEY_PRIORITY
+        if n in entry.REGISTRY and n not in done
+    ]
+    recert = [n for n in entry._RECERTIFY if n in done and n not in lead]
+    phase = {n: 0 for n in lead}
+    phase.update({n: 1 for n in recert})
     for n in names:
         if n not in phase:
-            phase[n] = 1 if n not in done else 2
+            phase[n] = 2 if n not in done else 3
     seen_phase = [phase[n] for n in names]
     assert seen_phase == sorted(seen_phase), (
-        "ordering must be recertify -> never-certified -> certified tail"
+        "ordering must be lead -> recertify -> never-certified -> "
+        "certified tail"
     )
 
     tail = [n for n in names if phase[n] == 2]
