@@ -5,6 +5,7 @@ envelope determinism rules (SURVEY.md §5.2)."""
 
 from __future__ import annotations
 
+import os
 import re
 
 import pytest
@@ -194,3 +195,48 @@ def test_avro_codec_property_roundtrip(rows):
     )
 
     assert _avro_decode_supplier(_avro_encode_supplier_file(rows)) == rows
+
+
+def test_bare_hostile_session_self_heals():
+    """The driver contract promises queries() work on a SparkSession the
+    engine did not build (tables.ensure_session_confs self-heals the
+    correctness-critical confs on every load). Run conf-sensitive ops in
+    a SUBPROCESS whose session is deliberately hostile (America/New_York
+    timezone, none of session.py's confs) and hash-compare against
+    DuckDB — a regression in the self-heal path (tz, nanosAsLong) shows
+    up as MISMATCH here long before the driver sees it."""
+    import subprocess
+    import sys
+
+    code = """
+import sys
+from pyspark.sql import SparkSession
+import duckdb
+import cdc_pubsub_spark.all_queries
+from cdc_pubsub_spark.registry import REGISTRY
+spark = (SparkSession.builder.master("local[4]")
+         .config("spark.sql.session.timeZone", "America/New_York")
+         .getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+sf = "/root/testdata/sf0.001"
+con = duckdb.connect()
+for t in ["events", "orders"]:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+for op in ["events_heatmap_dow_hour", "orders_survival_curve"]:
+    sdf = REGISTRY[op].fn(spark, sf).toPandas()
+    ddf = con.sql(REGISTRY[op].oracle).df()
+    cols = sorted(sdf.columns)
+    s = sorted(map(str, sdf[cols].round(4).itertuples(index=False, name=None)))
+    d = sorted(map(str, ddf[sorted(ddf.columns)].round(4).itertuples(index=False, name=None)))
+    if s != d:
+        print(f"MISMATCH {op}"); sys.exit(1)
+print("BARE-SESSION-OK")
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert "BARE-SESSION-OK" in out.stdout, (out.stdout[-2000:], out.stderr[-2000:])
