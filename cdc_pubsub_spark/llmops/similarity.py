@@ -826,12 +826,29 @@ def _kmeans_run(
         assigned.persist()
         trace.append(assigned.agg(F.sum("d2")).collect()[0][0])
         # Update step: per-cluster per-dimension mean, exploded JVM-side.
+        # Each coordinate is QUANTIZED to 6 decimals through the shared
+        # floor formula (round-6 ADVICE): Spark's avg folds shuffled
+        # partials while DuckDB's folds sequentially, so the raw means
+        # can differ in the last ulp — enough to flip a round(cos,6)
+        # assignment/probe tie on a different local[N]/split layout.
+        # Quantizing at every iteration boundary (identical IEEE op
+        # sequence both engines, see functions/rounding.py) makes the
+        # certified contract independent of float-sum associativity;
+        # _kmeans_ctes applies the same floor(x*1e6+0.5)/1e6 to m{t}.
         means = (
             assigned.select(
                 "cluster", F.posexplode("embedding").alias("dim", "x")
             )
             .groupBy("cluster", "dim")
-            .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            .agg(
+                (
+                    F.floor(
+                        F.avg(F.col("x").cast("double")) * 1000000
+                        + F.lit(0.5)
+                    )
+                    / 1000000
+                ).alias("m")
+            )
             .groupBy("cluster")
             .agg(F.map_from_entries(F.collect_list(F.struct("dim", "m"))).alias("mm"))
             .collect()
@@ -874,8 +891,12 @@ def _kmeans_ctes(
         )
         ctes.append(f"a{t} AS (SELECT vec_id, v, cluster, d2 FROM s{t} WHERE rn = 1)")
         if t < iters or through_final_update:
+            # floor(avg*1e6+0.5)/1e6 mirrors _kmeans_run's centroid
+            # quantization exactly (round-6 ADVICE: de-flake the
+            # cross-engine centroid contract from float-sum order).
             ctes.append(
-                f"m{t} AS (SELECT cluster, ord, avg(val) AS mv FROM"
+                f"m{t} AS (SELECT cluster, ord,"
+                f" floor(avg(val) * 1000000 + 0.5) / 1000000 AS mv FROM"
                 f" (SELECT cluster, unnest(v) AS val,"
                 f" generate_subscripts(v, 1) AS ord FROM a{t})"
                 f" GROUP BY cluster, ord)"

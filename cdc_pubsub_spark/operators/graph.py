@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from cdc_pubsub_spark.functions.rounding import r4
 from cdc_pubsub_spark.registry import register
+from cdc_pubsub_spark import tables
 from cdc_pubsub_spark.tables import finalize_cached, load, release_checkpoint
 
 # Deterministic 2-regular interaction graph over the event users: every
@@ -447,6 +448,11 @@ def graph_cc_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("component_root")
     )
     final = finalize_cached(out)
-    if last is not None:
+    # Under LAZY_PLAN_MODE finalize_cached returns the LAZY aggregate,
+    # whose lineage still ends at `last`'s checkpoint blocks — releasing
+    # them would strand any later action (lineage is truncated, blocks
+    # unrecoverable; round-6 ADVICE). Only release once the result has
+    # actually been materialized by the eager checkpoint above.
+    if last is not None and not tables.LAZY_PLAN_MODE:
         release_checkpoint(last)
     return final

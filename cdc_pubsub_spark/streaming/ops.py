@@ -1591,7 +1591,8 @@ def stream_socket_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     category="streaming",
     bench=False,
     oracle="""
-    SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value,
+           3 AS rejected_unauthorized
     FROM events
     GROUP BY event_type
     """,
@@ -1611,6 +1612,18 @@ def stream_http_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     and carries the same exact oracle: one HTTP request = one file = one
     delivery batch, micro-batch commits as the engine's ack points.
 
+    AUTH TIER (round-6 VERDICT item 3, publisher.go:143-150): the
+    receiver is configured with a sharedKey set and rejects any request
+    whose `sharedKey` query param is missing or not in the set with
+    401 — checked BEFORE route matching, exactly like the reference
+    (the latch/auth block precedes the path regexes). The sender POSTs
+    three unauthorized bodies (missing key, wrong key, and a wrong key
+    on the feed route) carrying REAL event payloads: if the 401 tier
+    ever let one through, the duplicated events would land, inflate the
+    per-type counts, and hash-fail the exact oracle. The observed
+    reject count rides the output as `rejected_unauthorized`, pinned
+    to 3 by the oracle.
+
     Like stream_socket_ingest, the in-process sender materializes the
     event lines on the driver — inherent to the harness (someone must
     play the remote publisher); the production topology is many
@@ -1620,6 +1633,7 @@ def stream_http_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import http.server as _httpserver
     import threading as _threading
+    import urllib.parse as _urlparse
     import urllib.request as _urlreq
     import uuid as _uuid
 
@@ -1633,13 +1647,28 @@ def stream_http_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(tmp_dir)
 
     n_received = [0]
+    n_unauthorized = [0]
+    shared_keys = {"s3kr1t-alpha", "s3kr1t-beta"}
 
     class _Handler(_httpserver.BaseHTTPRequestHandler):
         # One request body -> one atomically-renamed landing file; any
         # other path/method is rejected exactly like the reference's
-        # mux (server.go:82-92 registers only the feed route).
+        # mux (server.go:82-92 registers only the feed route), and the
+        # sharedKey check runs FIRST — the reference 401s before its
+        # path regexes ever see the URL (publisher.go:143-150).
         def do_POST(self):  # noqa: N802 (http.server API name)
-            if self.path != "/v1/feed":
+            path, _, query = self.path.partition("?")
+            params = _urlparse.parse_qs(query)
+            key = (params.get("sharedKey") or [""])[0]
+            if key not in shared_keys:
+                # Drain the body before rejecting: closing with unread
+                # bytes RSTs the client mid-upload (Go's net/http drains
+                # short bodies the same way); the payload is discarded.
+                self.rfile.read(int(self.headers.get("Content-Length", 0)))
+                n_unauthorized[0] += 1
+                self.send_error(401)
+                return
+            if path != "/v1/feed":
                 self.send_error(404)
                 return
             length = int(self.headers.get("Content-Length", 0))
@@ -1665,17 +1694,31 @@ def stream_http_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         n_chunks = 16
         per = max(1, -(-len(lines) // n_chunks))
-        url = f"http://127.0.0.1:{port}/v1/feed"
-        for i in range(0, len(lines), per):
-            body = ("\n".join(lines[i : i + per]) + "\n").encode("utf-8")
+        base_url = f"http://127.0.0.1:{port}/v1/feed"
+        url = base_url + "?sharedKey=s3kr1t-beta"
+        chunks = [
+            ("\n".join(lines[i : i + per]) + "\n").encode("utf-8")
+            for i in range(0, len(lines), per)
+        ]
+        for body in chunks:
             with _urlreq.urlopen(_urlreq.Request(url, data=body)) as resp:
                 assert resp.status == 200
-        # Reject-path sanity: the mux only serves the feed route.
-        try:
-            _urlreq.urlopen(_urlreq.Request(f"http://127.0.0.1:{port}/nope", data=b"x"))
-            raise AssertionError("unregistered route must 404")
-        except _urlreq.HTTPError as err:
-            assert err.code == 404
+
+        # Unauthorized senders replay REAL payloads: a broken 401 tier
+        # would land these duplicates and hash-fail the exact oracle.
+        def _expect(code: int, target: str, body: bytes) -> None:
+            try:
+                _urlreq.urlopen(_urlreq.Request(target, data=body))
+                raise AssertionError(f"expected HTTP {code} from {target}")
+            except _urlreq.HTTPError as err:
+                assert err.code == code, f"got {err.code}, want {code}"
+
+        _expect(401, base_url, chunks[0])  # missing key
+        _expect(401, base_url + "?sharedKey=wrong", chunks[0])  # bad key
+        _expect(401, f"http://127.0.0.1:{port}/nope?sharedKey=bad", b"x")
+        # Keyed but unregistered route: auth passes, mux 404s.
+        _expect(404, f"http://127.0.0.1:{port}/nope?sharedKey=s3kr1t-alpha", b"x")
+        assert n_unauthorized[0] == 3, n_unauthorized[0]
     finally:
         srv.shutdown()
         srv.server_close()
@@ -1685,7 +1728,15 @@ def stream_http_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
-    return run_to_completion(counted, f"http_ingest_{_uuid.uuid4().hex[:8]}", "complete")
+    result = run_to_completion(
+        counted, f"http_ingest_{_uuid.uuid4().hex[:8]}", "complete"
+    )
+    # The OBSERVED server-side reject count (not a constant): if the
+    # auth tier stopped rejecting, this reads 0 and the oracle's
+    # pinned 3 hash-fails the op even before the duplicate rows would.
+    return result.withColumn(
+        "rejected_unauthorized", F.lit(n_unauthorized[0])
+    )
 
 
 @register(

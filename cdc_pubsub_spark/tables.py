@@ -59,6 +59,24 @@ def ensure_session_confs(spark: SparkSession) -> None:
             "spark.sql.optimizer.excludedRules",
             "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
         ),
+        # The 100 TB state backend (SURVEY §7 risk 4): a driver-passed
+        # bare session would otherwise run every stateful streaming op
+        # on the HDFS-backed in-heap store. providerClass is read at
+        # stream START, so setting it here (before any op builds its
+        # query) puts driver-run streams on RocksDB exactly like
+        # session.py's factory; tests/test_streaming.py asserts the
+        # provider actually engages (rocksdb custom metrics) with
+        # oracle equality.
+        (
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        ),
+        (
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled",
+            "true",
+        ),
     ):
         try:
             spark.conf.set(k, v)

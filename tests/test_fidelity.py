@@ -91,6 +91,24 @@ class TestAuthMatrix:
         ok, bad = auth_filter(requests, ())
         assert ok.count() == 4 and bad.count() == 0
 
+    def test_http_transport_401_rejects(self, spark, sf_dir):
+        """TRANSPORT-level auth fidelity (publisher.go:143-150, round-6
+        VERDICT item 3): stream_http_ingest's live http.server receiver
+        must 401 missing/wrong sharedKey params BEFORE route matching
+        and report the observed reject count. The op itself asserts the
+        server saw exactly 3 unauthorized requests and raises if any
+        reject leaks through; here we pin the surfaced column and that
+        the rejected duplicate payloads did not inflate the landed
+        counts (total n equals the events table's row count)."""
+        from cdc_pubsub_spark.registry import REGISTRY
+        from cdc_pubsub_spark.tables import load
+
+        out = REGISTRY["stream_http_ingest"].fn(spark, sf_dir).collect()
+        assert out, "http ingest produced no rows"
+        assert {r["rejected_unauthorized"] for r in out} == {3}
+        landed = sum(r["n"] for r in out)
+        assert landed == load(spark, sf_dir, "events").count()
+
 
 class TestHLCProperties:
     """Property tests for the 33-digit HLC synthesis/decoding contract."""

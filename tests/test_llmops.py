@@ -29,6 +29,29 @@ def test_minhash_lsh_matches_exact_near_dup(spark, sf_dir):
     )
 
 
+def test_minhash_banded_subset_and_recall(spark, sf_dir):
+    """dedup_minhash_banded (the bench variant — band tier only, no
+    prefix-filter safety net) is rows-only by design, so its guarantees
+    live here: (1) PRECISION 1 — every emitted pair passes the same
+    exact row-local verify, so the output is a subset of the all-pairs
+    truth with identical jaccard values; (2) RECALL = the b=4,r=4
+    S-curve — measured ≥ 0.95 on the planted corpus (the sf0.001 value
+    is 180/183; a drop below the floor means the fixture or salts
+    changed and the bench variant no longer represents the certified
+    op's cost shape)."""
+    exact_df = REGISTRY["dedup_near"].fn(spark, sf_dir)
+    banded_df = REGISTRY["dedup_minhash_banded"].fn(spark, sf_dir)
+    exact = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in exact_df.collect()}
+    banded = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in banded_df.collect()}
+    assert exact, "exact near-dup pairs should exist (planted corpus)"
+    extra = set(banded) - set(exact)
+    assert not extra, f"banded emitted non-qualifying pairs: {sorted(extra)[:5]}"
+    mismatched = [p for p in banded if banded[p] != exact[p]]
+    assert not mismatched, f"jaccard mismatch on {mismatched[:5]}"
+    recall = len(banded) / len(exact)
+    assert recall >= 0.95, f"banded recall {recall:.3f} < 0.95 floor"
+
+
 def test_ann_lsh_overlaps_brute_force(spark, sf_dir):
     """Bucketed ANN top-10 should share members with the exact top-10."""
     exact = [r["vec_id"] for r in REGISTRY["sim_cosine_topk"].fn(spark, sf_dir).collect()]

@@ -594,3 +594,152 @@ def test_exactly_once_across_injected_publish_failure(spark, sf_dir):
     assert got == load(spark, sf_dir, "events").count(), (
         "replayed batch lost or duplicated rows"
     )
+
+
+def test_stateful_runs_on_rocksdb_state_store(spark, sf_dir, sf_correct):
+    """SURVEY §7 risk 4 / round-6 VERDICT item 4: the 100 TB state
+    backend must actually be exercised, not just configured. Three
+    binds: (1) the session (and tables.ensure_session_confs, which
+    heals driver-passed bare sessions) selects RocksDB; (2) a keyed
+    streaming aggregation's stateOperators report ROCKSDB custom
+    metrics — physical proof the provider engaged, not just a conf
+    string; (3) a stateful op hash-matches its DuckDB oracle at sf0.01
+    under that provider (the driver's own check, replicated)."""
+    import uuid
+
+    from tests.parity import assert_parity
+
+    from cdc_pubsub_spark.streaming.harness import (
+        BASE,
+        read_event_stream,
+        write_events_ndjson,
+    )
+
+    provider = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    assert "RocksDBStateStoreProvider" in provider
+
+    input_dir = write_events_ndjson(spark, sf_dir, "rocksdb_probe")
+    counted = (
+        read_event_stream(spark, input_dir)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    qname = f"rocksdb_probe_{uuid.uuid4().hex[:8]}"
+    q = (
+        counted.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .option(
+            "checkpointLocation", os.path.join(BASE, "rocksdb_probe", f"ck_{qname}")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progresses = [p for p in q.recentProgress if p and p.get("stateOperators")]
+    assert progresses, "no stateOperators progress captured"
+    metrics = progresses[-1]["stateOperators"][0].get("customMetrics", {})
+    rocks_keys = [k for k in metrics if "rocksdb" in k.lower()]
+    assert rocks_keys, (
+        f"state operator reported no RocksDB metrics: {sorted(metrics)[:10]}"
+    )
+    assert spark.table(qname).count() > 0
+
+    # The driver's oracle-equality check, on RocksDB-backed state.
+    assert_parity(spark, "stream_stateful", sf_correct)
+
+
+def test_exactly_once_across_crash_after_sink_commit(spark, sf_dir):
+    """The OTHER crash window (round-6 VERDICT item 7): the query dies
+    AFTER the sink's atomic manifest commit but BEFORE Spark's own
+    batch commit is recorded in the checkpoint. On restart Spark
+    REPLAYS the batch (at-least-once delivery is its only promise);
+    the manifest-existence guard must turn that replay into a no-op —
+    otherwise the sink double-publishes. Together with
+    test_exactly_once_across_injected_publish_failure (crash BEFORE
+    the manifest commit → replay completes the work) this covers both
+    sides of the commit barrier with real query failures."""
+    import json
+    import os
+    import shutil
+
+    from cdc_pubsub_spark.streaming.harness import (
+        BASE,
+        read_event_stream,
+        write_events_ndjson,
+    )
+    from cdc_pubsub_spark.tables import load
+
+    input_dir = write_events_ndjson(spark, sf_dir, "eo_postcommit")
+    root = os.path.join(BASE, "eo_postcommit")
+    data_root = os.path.join(root, "data")
+    manifest_root = os.path.join(root, "manifest")
+    ckpt = os.path.join(root, "ckpt")
+    for d in (data_root, manifest_root):
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    first = next(p for p in os.listdir(input_dir) if p.startswith("part-"))
+    src = os.path.join(input_dir, first)
+    with open(src) as fh:
+        lines = fh.read().splitlines()
+    half = len(lines) // 2
+    with open(os.path.join(input_dir, "00-a.ndjson"), "w") as fh:
+        fh.write("\n".join(lines[:half]) + "\n")
+    with open(os.path.join(input_dir, "01-b.ndjson"), "w") as fh:
+        fh.write("\n".join(lines[half:]) + "\n")
+    os.remove(src)
+
+    poison = {"armed": True}
+    replayed_committed = {"n": 0}
+
+    def publish(batch_df, batch_id):
+        entry = os.path.join(manifest_root, f"batch-{batch_id}.json")
+        if os.path.exists(entry):
+            replayed_committed["n"] += 1  # replay of a committed batch
+            return
+        batch_dir = os.path.join(data_root, f"batch-{batch_id}")
+        batch_df.write.mode("overwrite").parquet(batch_dir)
+        tmp = entry + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"batch": batch_id, "dir": batch_dir}, fh)
+        os.rename(tmp, entry)  # atomic commit point — the sink is DONE
+        if batch_id == 1 and poison["armed"]:
+            poison["armed"] = False
+            # Crash AFTER the sink committed, BEFORE Spark records the
+            # batch: the worst case for duplicates.
+            raise RuntimeError("injected crash after sink commit")
+
+    def run():
+        q = (
+            read_event_stream(spark, input_dir, max_files_per_trigger=1)
+            .writeStream.option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .foreachBatch(publish)
+            .start()
+        )
+        q.awaitTermination()
+
+    try:
+        run()
+        raise AssertionError("query must fail on the poisoned batch")
+    except Exception as e:
+        assert "injected crash after sink commit" in str(e)
+
+    run()  # restart: Spark replays batch 1; the manifest guard absorbs it
+
+    assert replayed_committed["n"] >= 1, (
+        "restart never replayed the committed batch — the crash window "
+        "this test exists for was not exercised"
+    )
+    committed = [
+        json.load(open(os.path.join(manifest_root, m)))["dir"]
+        for m in sorted(os.listdir(manifest_root))
+        if m.endswith(".json")
+    ]
+    assert len(committed) == len(set(committed)), "duplicate manifest entries"
+    got = spark.read.parquet(*committed).count()
+    assert got == load(spark, sf_dir, "events").count(), (
+        "replayed batch lost or duplicated rows"
+    )
