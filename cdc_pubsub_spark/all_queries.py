@@ -15,6 +15,7 @@ _MODULES = [
     "cdc_pubsub_spark.operators.joins",
     "cdc_pubsub_spark.operators.composite",
     "cdc_pubsub_spark.operators.tpch_more",
+    "cdc_pubsub_spark.operators.partsupp",
     "cdc_pubsub_spark.operators.windows",
     "cdc_pubsub_spark.operators.sorts",
     "cdc_pubsub_spark.operators.setops",

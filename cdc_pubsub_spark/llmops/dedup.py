@@ -202,7 +202,10 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle — exact, but the join fans out quadratically on hot shingles
     (stop-shingles). This is the ground-truth/oracle variant; at scale
     run dedup_minhash_lsh (same verdicts on candidates, bounded cost).
-    Hot-shingle skew is exactly what AQE skew-join splitting absorbs.
+    Hot-shingle skew is exactly what AQE skew-join splitting absorbs
+    (the mechanism's engagement and its three structural limits are
+    pinned live in tests/test_plans.py::
+    test_aqe_skew_join_split_engages_on_planted_hot_key).
     """
     # persist: the shingle set feeds three consumers (sizes, both join
     # sides); caching materializes the explode+distinct once. At cluster

@@ -456,3 +456,108 @@ def graph_cc_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     if last is not None and not tables.LAZY_PLAN_MODE:
         release_checkpoint(last)
     return final
+
+
+_BFS_ROUNDS = 4
+_BFS_INF = 99
+
+
+def _bfs_oracle_sql(rounds: int = _BFS_ROUNDS) -> str:
+    """Unrolled min-plus BFS twin. Every round references the previous
+    distance frame TWICE (as the carried distance and as the relaxation
+    source), so each step is AS MATERIALIZED — a non-materialized CTE
+    chain doubles per round and explodes at plan time (the
+    sim_rerank_mmr oracle gotcha)."""
+    ctes = [
+        "users AS MATERIALIZED (SELECT DISTINCT user_id FROM events)",
+        _EDGE_SQL.strip().replace("edges AS (", "edges AS MATERIALIZED (", 1),
+        "d0 AS MATERIALIZED (SELECT user_id, CASE WHEN user_id ="
+        " (SELECT min(user_id) FROM users) THEN 0 ELSE"
+        f" {_BFS_INF} END AS d FROM users)",
+    ]
+    for t in range(1, rounds + 1):
+        ctes.append(
+            f"d{t} AS MATERIALIZED (SELECT u.user_id,"
+            f" least(u.d, coalesce(min(s.d + 1), {_BFS_INF})) AS d"
+            f" FROM d{t-1} u"
+            f" LEFT JOIN edges e ON e.dst = u.user_id"
+            f" LEFT JOIN d{t-1} s ON s.user_id = e.src"
+            f" GROUP BY u.user_id, u.d)"
+        )
+    body = ",\n".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT d AS hop, count(*) AS n_nodes,
+           min(user_id) AS min_user, max(user_id) AS max_user
+    FROM d{rounds}
+    WHERE d < {_BFS_INF}
+    GROUP BY d
+    ORDER BY hop
+    """
+
+
+@register("graph_bfs_layers", category="graph", oracle=_bfs_oracle_sql())
+def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS hop layers over the deterministic 2-regular
+    user graph: 4 statically-unrolled min-plus relaxation rounds
+    (dist(u) := min(dist(u), 1 + min over in-edges of dist(src))) from
+    the minimum user id, reporting node count and id range per hop.
+
+    The missing classic beside PageRank (weighted propagation),
+    triangles (local counting), and connected components (label
+    union): SHORTEST-PATH relaxation. Like graph_pagerank the unroll is
+    static — k rounds compile to k join+agg stages, every round ONE
+    shuffle keyed on the vertex id, no driver control flow — so the
+    oracle replays the identical rounds relationally and the driver
+    hash-certifies a graph traversal. The frontier saturates in 4
+    rounds only because the fixture graph is tiny; the open-ended
+    variant is graph_cc_converged's driver loop (persist + probe +
+    release per superstep) with this op's relaxation step.
+    """
+    users = load(spark, sf_dir, "events").select("user_id").distinct()
+    edges = users.select(
+        F.col("user_id").alias("src"),
+        ((F.col("user_id") * 7 + 3) % 1000).alias("dst"),
+    ).unionByName(
+        users.select(
+            F.col("user_id").alias("src"),
+            ((F.col("user_id") * 13 + 11) % 1000).alias("dst"),
+        )
+    )
+    src0 = users.agg(F.min("user_id").alias("s0"))
+    cur = (
+        users.crossJoin(F.broadcast(src0))
+        .select(
+            "user_id",
+            F.when(F.col("user_id") == F.col("s0"), F.lit(0))
+            .otherwise(F.lit(_BFS_INF))
+            .alias("d"),
+        )
+    )
+    for _ in range(_BFS_ROUNDS):
+        u = cur.alias("u")
+        s = cur.select(
+            F.col("user_id").alias("s_id"), F.col("d").alias("s_d")
+        )
+        cur = (
+            u.join(edges, F.col("dst") == F.col("u.user_id"), "left")
+            .join(s, F.col("s_id") == F.col("src"), "left")
+            .groupBy(F.col("u.user_id").alias("user_id"), F.col("u.d").alias("d0"))
+            .agg(F.min(F.col("s_d") + 1).alias("relax"))
+            .select(
+                "user_id",
+                F.least(
+                    F.col("d0"), F.coalesce(F.col("relax"), F.lit(_BFS_INF))
+                ).alias("d"),
+            )
+        )
+    return (
+        cur.filter(F.col("d") < _BFS_INF)
+        .groupBy(F.col("d").alias("hop"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("user_id").alias("min_user"),
+            F.max("user_id").alias("max_user"),
+        )
+        .orderBy("hop")
+    )

@@ -354,7 +354,10 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the join runs on (key, salt) — identical result to the unsalted
     join (the oracle), but no single reducer receives the whole hot key.
     This is the manual fallback for the cases AQE skew-join splitting
-    can't reach (it only splits sort-merge joins post-shuffle).
+    can't reach (it only splits sort-merge joins post-shuffle, only
+    when nothing sits between the Sort and the shuffle read, and only
+    at mapper boundaries — all three limits demonstrated live in
+    tests/test_plans.py::test_aqe_skew_join_split_engages_on_planted_hot_key).
     """
     n_salt = 16
     ev = load(spark, sf_dir, "events")

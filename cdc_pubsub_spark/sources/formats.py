@@ -407,3 +407,185 @@ def scan_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("s_acctbal"), 2).alias("total_acctbal"),
     )
+
+
+# --- Protobuf wire-format codec (from the public encoding spec) ----------
+# Like the Avro codec above: no protobuf library ships in this sandbox, so
+# the wire format is implemented from the published spec — varint
+# base-128 ints (10-byte two's-complement for negatives), little-endian
+# fixed64 doubles, (field_number << 3 | wire_type) tags, unknown-field
+# skipping — and messages are framed with the standard length-delimited
+# stream convention (each message preceded by its varint byte length,
+# the writeDelimitedTo interop format).
+#
+#   message Supplier {            // field tags in the encoder/decoder
+#     int64  s_suppkey   = 1;     // wire type 0 (varint)
+#     string s_name      = 2;     // wire type 2 (len-delimited)
+#     int32  s_nationkey = 3;     // wire type 0 (varint)
+#     double s_acctbal   = 4;     // wire type 1 (fixed64)
+#   }
+
+def _pb_varint(n: int) -> bytes:
+    """Unsigned base-128 varint; negative ints go through the 64-bit
+    two's complement exactly like proto int32/int64 fields."""
+    n &= (1 << 64) - 1
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _pb_read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    shift = acc = 0
+    while True:
+        if pos >= len(buf):
+            raise ValueError("truncated varint")
+        b = buf[pos]
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            if acc >= 1 << 63:  # two's complement back to signed
+                acc -= 1 << 64
+            return acc, pos
+        shift += 7
+        if shift > 63:
+            raise ValueError("varint too long")
+
+
+def _pb_encode_supplier_stream(rows: list[tuple]) -> bytes:
+    """rows of (s_suppkey, s_name, s_nationkey, s_acctbal) → one
+    length-delimited protobuf stream."""
+    import struct
+
+    out = bytearray()
+    for suppkey, name, nationkey, acctbal in rows:
+        nb = name.encode()
+        msg = bytearray()
+        msg += b"\x08" + _pb_varint(int(suppkey))  # 1<<3|0
+        msg += b"\x12" + _pb_varint(len(nb)) + nb  # 2<<3|2
+        msg += b"\x18" + _pb_varint(int(nationkey))  # 3<<3|0
+        msg += b"\x21" + struct.pack("<d", float(acctbal))  # 4<<3|1
+        out += _pb_varint(len(msg)) + msg
+    return bytes(out)
+
+
+def _pb_decode_supplier_stream(blob: bytes) -> list[tuple]:
+    """Parse a length-delimited stream back to rows. Spec-faithful:
+    fields may arrive in any order, unknown fields are skipped by wire
+    type, truncation/overrun raises."""
+    import struct
+
+    rows = []
+    pos = 0
+    while pos < len(blob):
+        mlen, pos = _pb_read_varint(blob, pos)
+        if mlen < 0 or pos + mlen > len(blob):
+            raise ValueError("message length overruns stream")
+        end = pos + mlen
+        suppkey = nationkey = 0
+        name = ""
+        acctbal = 0.0
+        while pos < end:
+            tag, pos = _pb_read_varint(blob, pos)
+            field, wire = tag >> 3, tag & 7
+            if wire == 0:
+                val, pos = _pb_read_varint(blob, pos)
+                if field == 1:
+                    suppkey = val
+                elif field == 3:
+                    nationkey = val
+            elif wire == 1:
+                if field == 4:
+                    (acctbal,) = struct.unpack_from("<d", blob, pos)
+                pos += 8
+            elif wire == 2:
+                ln, pos = _pb_read_varint(blob, pos)
+                if field == 2:
+                    name = blob[pos : pos + ln].decode()
+                pos += ln
+            else:
+                raise ValueError(f"unsupported wire type {wire}")
+        if pos != end:
+            raise ValueError("message fields overran declared length")
+        rows.append((suppkey, name, nationkey, acctbal))
+    return rows
+
+
+@register(
+    "scan_protobuf_roundtrip",
+    category="scans",
+    bench=False,
+    oracle="""
+    SELECT s_nationkey, count(*) AS n,
+           CAST(max(s_suppkey) AS BIGINT) AS max_suppkey,
+           round(sum(s_acctbal), 2) AS total_acctbal
+    FROM supplier
+    GROUP BY s_nationkey
+    """,
+)
+def scan_protobuf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier → length-delimited protobuf streams → distributed decode
+    → aggregate (must equal the parquet truth).
+
+    Sibling of scan_avro_roundtrip: the write side encodes the supplier
+    table into 4 genuine protobuf streams with the from-spec codec
+    above; the read side is the 100 TB shape — binaryFile scan
+    parallelizing over files, Arrow-batched mapInPandas decoding each
+    stream (parallelism = file count, the unit protobuf streams split
+    on, since messages are not self-synchronizing within a file). With
+    a protobuf runtime deployed the decode body would call the
+    generated class; the Spark-side plumbing (schema, batching,
+    validation, aggregate) is identical and oracle-certified here.
+    """
+    import pandas as pd
+    import shutil
+
+    rows = [
+        (r["s_suppkey"], r["s_name"], r["s_nationkey"], r["s_acctbal"])
+        for r in load(spark, sf_dir, "supplier")
+        .orderBy("s_suppkey")
+        .collect()
+    ]
+    out = work_dir("pb_supplier")
+    shutil.rmtree(out, ignore_errors=True)  # stale-part guard (see avro)
+    os.makedirs(out)
+    n_files = 4
+    per = max(1, -(-len(rows) // n_files))
+    for i in range(0, len(rows), per):
+        with open(os.path.join(out, f"part-{i // per:04d}.pb"), "wb") as fh:
+            fh.write(_pb_encode_supplier_stream(rows[i : i + per]))
+
+    def decode(batches):
+        for pdf in batches:
+            for blob in pdf["content"]:
+                decoded = _pb_decode_supplier_stream(bytes(blob))
+                yield pd.DataFrame(
+                    decoded,
+                    columns=[
+                        "s_suppkey",
+                        "s_name",
+                        "s_nationkey",
+                        "s_acctbal",
+                    ],
+                )
+
+    back = (
+        spark.read.format("binaryFile")
+        .load(out)
+        .select("content")
+        .mapInPandas(
+            decode,
+            "s_suppkey bigint, s_name string, s_nationkey int, "
+            "s_acctbal double",
+        )
+    )
+    return back.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("s_suppkey").alias("max_suppkey"),
+        F.round(F.sum("s_acctbal"), 2).alias("total_acctbal"),
+    )

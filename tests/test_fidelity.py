@@ -258,3 +258,64 @@ print("BARE-SESSION-OK")
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
     assert "BARE-SESSION-OK" in out.stdout, (out.stdout[-2000:], out.stderr[-2000:])
+
+
+def test_protobuf_codec_roundtrip_corruption_and_unknown_fields():
+    """The from-spec protobuf wire codec must round-trip rows exactly,
+    reject truncated/overrunning messages loudly, and SKIP unknown
+    fields by wire type (the forward-compatibility contract the wire
+    format exists for)."""
+    import struct
+
+    import pytest
+
+    from cdc_pubsub_spark.sources.formats import (
+        _pb_decode_supplier_stream,
+        _pb_encode_supplier_stream,
+        _pb_varint,
+    )
+
+    rows = [
+        (1, "Supplier#1", 3, 123.45),
+        (2, "Ünïcode", 0, -7.5),
+        (3, "", 24, 0.0),
+    ]
+    blob = _pb_encode_supplier_stream(rows)
+    assert _pb_decode_supplier_stream(blob) == rows
+    # Truncation mid-message.
+    with pytest.raises(ValueError):
+        _pb_decode_supplier_stream(blob[:-3])
+    # Unknown field (tag 9, varint) injected into a message must be
+    # skipped, not break the parse.
+    msg = bytearray()
+    msg += b"\x08" + _pb_varint(7)
+    msg += bytes([9 << 3 | 0]) + _pb_varint(999)  # unknown field 9
+    msg += b"\x12" + _pb_varint(2) + b"ok"
+    msg += b"\x18" + _pb_varint(4)
+    msg += b"\x21" + struct.pack("<d", 1.5)
+    framed = _pb_varint(len(msg)) + bytes(msg)
+    assert _pb_decode_supplier_stream(framed) == [(7, "ok", 4, 1.5)]
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-(2**62), max_value=2**62),
+            st.text(max_size=40),
+            st.integers(min_value=-(2**31), max_value=2**31 - 1),
+            st.floats(allow_nan=False, allow_infinity=False, width=64),
+        ),
+        max_size=12,
+    )
+)
+def test_protobuf_codec_property_roundtrip(rows):
+    """Arbitrary rows (negative ints exercise the 10-byte two's-
+    complement varints, arbitrary text the UTF-8 length framing) must
+    survive encode→decode bit-exactly."""
+    from cdc_pubsub_spark.sources.formats import (
+        _pb_decode_supplier_stream,
+        _pb_encode_supplier_stream,
+    )
+
+    assert _pb_decode_supplier_stream(_pb_encode_supplier_stream(rows)) == rows

@@ -769,3 +769,100 @@ def test_minhash_positional_filter_in_plan(spark, sf_dir):
     squeezed = plan.replace(" ", "")
     assert "*3)+7)asbigint)div8" in squeezed, plan[:2000]
     assert "least(" in plan, plan[:2000]
+
+
+def test_aqe_skew_join_split_engages_on_planted_hot_key(spark, sf_correct):
+    """Round-6 VERDICT item 6: the docstrings (dedup_near,
+    join_skew_salted) lean on 'AQE skew-join splitting absorbs hot
+    keys' — this pins that the mechanism actually ENGAGES, not just
+    that the conf is on. A planted hot key (90% of events collapse onto
+    key 0 — the hot-tenant shape) flows into a sort-merge join; with
+    thresholds scaled to fixture bytes, the executed adaptive plan must
+    show the split (`SortMergeJoin(skew=true)` + an AQEShuffleRead
+    marked `skewed`) and the result must equal the unsplit join's.
+
+    Two structural caveats this test documents (both found by running
+    the mechanism, not reading about it):
+    - OptimizeSkewedJoin only matches SMJ(Sort(ShuffleRead),
+      Sort(ShuffleRead)) — ANY operator between the sort and the
+      shuffle (e.g. a distinct/aggregate on the dim side) defeats the
+      rule and leaves the hot partition whole. That is exactly when the
+      manual salting path (join_skew_salted) is the remaining answer.
+    - The split happens at MAPPER boundaries, so a single-mapper input
+      (one small parquet file) can never be split regardless of
+      thresholds. The fact side is repartition(16)ed to reproduce the
+      many-mapper layout any real table has at scale; at 100 TB this is
+      automatic.
+    """
+    from cdc_pubsub_spark.tables import load
+
+    confs = {
+        # Fixture-scale equivalents of "partition ≫ median and ≫ 256MB".
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        ev = load(spark, sf_correct, "events")
+        hot = F.when(F.col("user_id") % 10 != 0, F.lit(0)).otherwise(
+            F.col("user_id")
+        )
+        # Both join children must stay PLAIN projections, and the fact
+        # side needs multiple mappers to split across (see caveats).
+        fact = ev.select(hot.alias("k"), "event_id", "value", "props").repartition(16)
+        dim = spark.range(64).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("w")
+        )
+        joined = fact.join(dim.hint("merge"), "k")
+        rows = joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin(skew=true)" in plan, plan[:3000]
+        assert "skewed" in plan, plan[:3000]
+        # Semantics unchanged by the split: row multiset equals the
+        # hot-key counts of the unsplit (broadcast) twin.
+        from collections import Counter
+
+        got = Counter(r["k"] for r in rows)
+        want = {
+            r["k"]: r["n"]
+            for r in fact.join(F.broadcast(dim), "k")
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert dict(got) == want
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+
+
+def test_partsupp_tpch_plan_shapes(spark, sf_dir):
+    """The five partsupp-dependent TPC-H shapes (round-6 VERDICT item
+    5) keep their scale claims: dimensions broadcast, correlated
+    aggregates are aggregate-first (no Window over the fact side), the
+    Q16 NOT IN is a broadcast anti join, and Q11's scalar total is a
+    single-row nested-loop broadcast, not a cartesian risk."""
+    # Q2: min-cost via aggregate-first — no window, dims broadcast.
+    p2 = formatted_plan(q("tpch_q2_min_cost_supplier", spark, sf_dir))
+    assert "Window" not in p2, p2[:2000]
+    assert "BroadcastHashJoin" in p2, p2[:2000]
+    assert "TakeOrderedAndProject" in p2, p2[:2000]  # ordered LIMIT 100
+    # Q9: part filter broadcasts; the pair-key partsupp join is present.
+    d9 = q("tpch_q9_product_profit", spark, sf_dir)
+    p9 = formatted_plan(d9)
+    assert "BroadcastHashJoin" in p9, p9[:2000]
+    assert "CartesianProduct" not in p9, p9[:2000]
+    # Q16: NOT IN over non-null keys plans as a broadcast LEFT ANTI.
+    p16 = formatted_plan(q("tpch_q16_supplier_part_counts", spark, sf_dir))
+    assert "LeftAnti" in p16, p16[:2000]
+    # Q11: the only nested-loop is the single-row total broadcast.
+    p11 = formatted_plan(q("tpch_q11_important_stock", spark, sf_dir))
+    assert "CartesianProduct" not in p11, p11[:2000]
+    # Q20: aggregate-first threshold — semi join into supplier, no window.
+    p20 = formatted_plan(q("tpch_q20_excess_inventory", spark, sf_dir))
+    assert "LeftSemi" in p20, p20[:2000]
+    assert "Window" not in p20, p20[:2000]
