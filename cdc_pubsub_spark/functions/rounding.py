@@ -44,3 +44,15 @@ def r4(col: Column) -> Column:
     (see module docstring — cross-engine equality is the contract).
     """
     return F.floor(col * 10000 + F.lit(0.5)) / 10000
+
+
+def r6(col: Column) -> Column:
+    """floor(x*1e6 + 0.5)/1e6 — engine-stable 6-decimal rounding.
+
+    Used where a shuffled float aggregate feeds a certified contract
+    whose oracle folds sequentially (k-means centroid updates quantize
+    through this at every iteration boundary). Signed inputs allowed;
+    the SQL oracle must use the literal floor(x * 1000000 + 0.5) /
+    1000000 form.
+    """
+    return F.floor(col * 1000000 + F.lit(0.5)) / 1000000

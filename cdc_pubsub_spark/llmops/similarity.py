@@ -792,6 +792,8 @@ def _kmeans_run(
     per-iteration inertia trace, final centroids). Deterministic: init =
     the k lowest vec_ids, ties on distance break toward the lower
     cluster id."""
+    from cdc_pubsub_spark.functions.rounding import r6
+
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     d = len(emb.first()["embedding"])
     cents = [
@@ -827,28 +829,19 @@ def _kmeans_run(
         trace.append(assigned.agg(F.sum("d2")).collect()[0][0])
         # Update step: per-cluster per-dimension mean, exploded JVM-side.
         # Each coordinate is QUANTIZED to 6 decimals through the shared
-        # floor formula (round-6 ADVICE): Spark's avg folds shuffled
+        # floor formula r6 (round-6 ADVICE): Spark's avg folds shuffled
         # partials while DuckDB's folds sequentially, so the raw means
         # can differ in the last ulp — enough to flip a round(cos,6)
         # assignment/probe tie on a different local[N]/split layout.
-        # Quantizing at every iteration boundary (identical IEEE op
-        # sequence both engines, see functions/rounding.py) makes the
-        # certified contract independent of float-sum associativity;
-        # _kmeans_ctes applies the same floor(x*1e6+0.5)/1e6 to m{t}.
+        # Quantizing at every iteration boundary makes the certified
+        # contract independent of float-sum associativity; _kmeans_ctes
+        # applies the literal floor(x*1e6+0.5)/1e6 twin to m{t}.
         means = (
             assigned.select(
                 "cluster", F.posexplode("embedding").alias("dim", "x")
             )
             .groupBy("cluster", "dim")
-            .agg(
-                (
-                    F.floor(
-                        F.avg(F.col("x").cast("double")) * 1000000
-                        + F.lit(0.5)
-                    )
-                    / 1000000
-                ).alias("m")
-            )
+            .agg(r6(F.avg(F.col("x").cast("double"))).alias("m"))
             .groupBy("cluster")
             .agg(F.map_from_entries(F.collect_list(F.struct("dim", "m"))).alias("mm"))
             .collect()

@@ -496,7 +496,15 @@ def _bfs_oracle_sql(rounds: int = _BFS_ROUNDS) -> str:
     """
 
 
-@register("graph_bfs_layers", category="graph", oracle=_bfs_oracle_sql())
+@register(
+    "graph_bfs_layers",
+    category="graph",
+    # bench-excluded like graph_connected_components: 4 unrolled rounds
+    # = ~12 tiny AQE stages whose fixture-scale cost is pure scheduling
+    # floor (1.6 s serial, ~4 s under conc24), not operator compute.
+    bench=False,
+    oracle=_bfs_oracle_sql(),
+)
 def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-source BFS hop layers over the deterministic 2-regular
     user graph: 4 statically-unrolled min-plus relaxation rounds

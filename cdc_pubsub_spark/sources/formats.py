@@ -449,6 +449,9 @@ def _pb_read_varint(buf: bytes, pos: int) -> tuple[int, int]:
         pos += 1
         acc |= (b & 0x7F) << shift
         if not b & 0x80:
+            # Mask to 64 bits FIRST: a malformed 10th byte > 0x01 would
+            # otherwise push acc outside the int64 domain entirely.
+            acc &= (1 << 64) - 1
             if acc >= 1 << 63:  # two's complement back to signed
                 acc -= 1 << 64
             return acc, pos
@@ -505,6 +508,12 @@ def _pb_decode_supplier_stream(blob: bytes) -> list[tuple]:
                 pos += 8
             elif wire == 2:
                 ln, pos = _pb_read_varint(blob, pos)
+                # Guard the INNER length like the outer message length:
+                # a crafted negative/oversized varint here would march
+                # the cursor backward and loop forever (found by review;
+                # regression-tested in tests/test_fidelity.py).
+                if ln < 0 or pos + ln > end:
+                    raise ValueError("field length overruns message")
                 if field == 2:
                     name = blob[pos : pos + ln].decode()
                 pos += ln

@@ -295,6 +295,14 @@ def test_protobuf_codec_roundtrip_corruption_and_unknown_fields():
     msg += b"\x21" + struct.pack("<d", 1.5)
     framed = _pb_varint(len(msg)) + bytes(msg)
     assert _pb_decode_supplier_stream(framed) == [(7, "ok", 4, 1.5)]
+    # Regression (code-review finding): a crafted wire-type-2 length
+    # varint decoding NEGATIVE used to march the cursor backward onto
+    # the same tag and loop forever. Must raise, not hang.
+    evil = bytearray()
+    evil += b"\x12" + _pb_varint(2**64 - 11)  # name field, length "-11"
+    framed_evil = _pb_varint(len(evil)) + bytes(evil)
+    with pytest.raises(ValueError):
+        _pb_decode_supplier_stream(framed_evil)
 
 
 @settings(max_examples=60, deadline=None)
