@@ -80,13 +80,14 @@ HEAVY_FIRST = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    # Default 24-way: re-measured makespan-optimal on local[32] for the
-    # r06 185-query set (two passes each: conc24 9.16/9.97 s vs conc20
-    # 9.28/10.06 s vs conc16 10.26 s vs conc28 11.10 s on the same
-    # host — the growing sub-second tail rewards more in-flight
-    # queries until the heavy tail self-contends; r05's optimum for
-    # 164 queries was 20, r04's for 133 was 16).
-    conc = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_CONC", "24")))
+    # Default 48-way: re-measured makespan-optimal on local[32] for the
+    # r07 196-query set (single-pass sweep on one host sitting:
+    # conc16 14.3 / conc20 12.6 / conc24 12.5 / conc28 12.2 /
+    # conc32 11.8 / conc40 11.2 / conc48 10.8 / conc64 10.8 /
+    # conc96 15.0 s — the optimum keeps moving right as the
+    # sub-second tail grows: r04 133q→16, r05 164q→20, r06 185q→24,
+    # r07 196q→48; past ~2 slots/core the scheduler thrash wins).
+    conc = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_CONC", "48")))
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
 

@@ -514,10 +514,16 @@ def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     The missing classic beside PageRank (weighted propagation),
     triangles (local counting), and connected components (label
     union): SHORTEST-PATH relaxation. Like graph_pagerank the unroll is
-    static — k rounds compile to k join+agg stages, every round ONE
-    shuffle keyed on the vertex id, no driver control flow — so the
-    oracle replays the identical rounds relationally and the driver
-    hash-certifies a graph traversal. The frontier saturates in 4
+    static — no driver control flow — so the oracle replays the
+    identical rounds relationally (each step AS MATERIALIZED: DuckDB
+    inlines plain CTEs and the two references per round would explode
+    exponentially) and the driver hash-certifies a graph traversal.
+    Each round references the previous frame twice (carried distance +
+    relaxation source), so the LAZY plan doubles per round; Catalyst's
+    ReusedExchange collapses execution back to one shuffle per round
+    (PLANS.md shows 20 exchanges with 20 reused). Past ~6 rounds the
+    right form is localCheckpoint-per-round (graph_cc_converged's
+    discipline); 4 rounds sits below that threshold deliberately. The frontier saturates in 4
     rounds only because the fixture graph is tiny; the open-ended
     variant is graph_cc_converged's driver loop (persist + probe +
     release per superstep) with this op's relaxation step.

@@ -55,6 +55,11 @@ AUDIT = [
     ("sim_ann_pq", "product-quantization ANN (encode/ADC/rescore)"),
     ("profile_drift_psi", "PSI drift monitor (one 10-group scan)"),
     ("events_attribution", "3-model attribution in one window pass"),
+    ("tpch_q9_product_profit", "partsupp pair-join product profit (Q9)"),
+    ("tpch_q2_min_cost_supplier", "aggregate-first correlated MIN (Q2)"),
+    ("sim_ann_binary_hamming", "1-bit signatures + Hamming preselect"),
+    ("dedup_minhash_banded", "band-only MinHash (bench variant)"),
+    ("graph_bfs_layers", "4-round min-plus BFS relaxation"),
 ]
 
 SF = "/root/testdata/sf0.01"
