@@ -881,3 +881,94 @@ def repair_impute_group_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# Benford's-law expected first-digit shares, shipped as LITERALS on both
+# engines (computing log10(1+1/d) at runtime would put libm in the
+# certified contract for no reason — the law's constants are fixed).
+_BENFORD = {
+    1: 0.30103, 2: 0.176091, 3: 0.124939, 4: 0.09691, 5: 0.079181,
+    6: 0.066947, 7: 0.057992, 8: 0.051153, 9: 0.045757,
+}
+
+
+def _benford_case(col: str) -> str:
+    whens = " ".join(
+        f"WHEN {d} THEN {p!r}" for d, p in _BENFORD.items()
+    )
+    return f"CASE {col} {whens} END"
+
+
+@register(
+    "profile_benford",
+    category="profiling",
+    oracle=f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INTEGER) AS digit
+      FROM orders
+      WHERE o_totalprice >= 1
+    ),
+    counts AS (
+      SELECT digit, count(*) AS n FROM digits GROUP BY digit
+    ),
+    total AS (SELECT sum(n) AS tot FROM counts)
+    SELECT digit, CAST(n AS BIGINT) AS n,
+           floor(CAST(n AS DOUBLE) / tot * 10000 + 0.5) / 10000
+             AS share,
+           {_benford_case('digit')} AS benford,
+           floor(abs(CAST(n AS DOUBLE) / tot
+                     - {_benford_case('digit')}) * 10000 + 0.5) / 10000
+             AS abs_dev
+    FROM counts, total
+    ORDER BY digit
+    """,
+)
+def profile_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the
+    classic anomaly/fraud screen for financial columns: naturally
+    occurring amounts follow P(d) = log10(1+1/d); fabricated or
+    capped data shows up as per-digit deviation.
+
+    First digits are extracted by STRING head of the integer part
+    (exact on both engines — a log10-based extraction would put libm
+    rounding inside the certified contract), the expected shares ship
+    as literals, and the observed/deviation ratios round through the
+    shared floor formula. ONE scan, one 9-group aggregate, one
+    broadcast scalar total — the same single-pass mergeable shape as
+    profile_drift_psi, so per-partition digit counts can roll up
+    across ingestion batches at 100 TB.
+    """
+    from cdc_pubsub_spark.functions.rounding import r4
+
+    digits = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") >= 1)
+        .select(
+            F.substring(
+                F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+            )
+            .cast("int")
+            .alias("digit")
+        )
+    )
+    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("tot"))
+    benford = F.element_at(
+        F.create_map(
+            *[F.lit(x) for dp in _BENFORD.items() for x in dp]
+        ),
+        F.col("digit"),
+    )
+    share = F.col("n").cast("double") / F.col("tot")
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            F.col("n").cast("bigint").alias("n"),
+            r4(share).alias("share"),
+            benford.alias("benford"),
+            r4(F.abs(share - benford)).alias("abs_dev"),
+        )
+        .orderBy("digit")
+    )

@@ -965,3 +965,113 @@ def agg_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+def _kmv_hex_to_int_sql(col_sql: str) -> str:
+    """60-bit integer from the first 15 hex nibbles of md5(col) —
+    DuckDB has no hex→int conversion, so the nibbles are summed
+    arithmetically (same trick as the simhash oracle); Spark's twin is
+    conv(substr(md5, 1, 15), 16, 10). Identical integers both ways."""
+    terms = [
+        f"(strpos('0123456789abcdef', substr(md5({col_sql}), {i + 1}, 1))"
+        f" - 1) * {16 ** (14 - i)}"
+        for i in range(15)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "agg_kmv_theta_distinct",
+    category="aggregates",
+    oracle=f"""
+    WITH hashes AS (
+      SELECT DISTINCT event_type,
+             {_kmv_hex_to_int_sql("CAST(user_id AS VARCHAR)")} AS h
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h)
+               AS rn
+      FROM hashes
+    ),
+    kth AS (
+      SELECT event_type,
+             max(CASE WHEN rn = 64 THEN h END) AS hk,
+             count(*) AS n_h
+      FROM ranked GROUP BY event_type
+    ),
+    exact AS (
+      SELECT event_type, count(DISTINCT user_id) AS exact_users
+      FROM events GROUP BY event_type
+    ),
+    est AS (
+      SELECT event_type, exact_users,
+             CASE WHEN hk IS NULL THEN CAST(n_h AS DOUBLE)
+                  ELSE 63.0 * 1152921504606846976 / hk END AS e
+      FROM exact JOIN kth USING (event_type)
+    )
+    SELECT event_type, exact_users,
+           floor(e * 100 + 0.5) / 100 AS kmv_estimate,
+           abs(e - exact_users) / exact_users < 0.3 AS kmv_ok
+    FROM est
+    ORDER BY event_type
+    """,
+)
+def agg_kmv_theta_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values / theta-sketch family) distinct-count
+    estimation, k = 64 — the LAST classic mergeable sketch beside HLL
+    (distinct), CMS (frequency), t-digest (percentile), approx_top_k
+    (heavy hitters): keep the k smallest hash values per group; the
+    kth smallest normalized to [0,1) is θ, and (k-1)/θ estimates the
+    distinct count. Unlike HLL the kept values also support SET
+    ALGEBRA (union = merge-and-trim, intersection via inclusion-
+    exclusion on the combined θ) — why the theta family exists.
+
+    The hash is md5-derived (xxhash64 has no DuckDB twin) and
+    DETERMINISTIC, so unlike agg_approx_distinct's implementation-
+    defined HLL estimate the whole estimator — hash, kth-order
+    statistic, estimate, 30% tolerance verdict (k=64 ⇒ σ ≈ 1/√62 ≈
+    13%) — is replayed exactly by the oracle and hash-certified. Cost
+    shape at 100 TB: per-partition top-k-smallest partial aggregates
+    (the sort is k·log k per partition, mergeable), one shuffle on the
+    group key; the estimate itself is one row per group.
+    """
+    events = load(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    hashes = events.select("event_type", h.alias("h")).distinct()
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("event_type").orderBy("h")
+    # Below k distinct values the sketch HOLDS everything and is exact
+    # — the real KMV contract, which also keeps the tiny-sf fixture
+    # meaningful instead of empty.
+    kth = (
+        hashes.withColumn("rn", F.row_number().over(w))
+        .groupBy("event_type")
+        .agg(
+            F.max(F.when(F.col("rn") == 64, F.col("h"))).alias("hk"),
+            F.count(F.lit(1)).alias("n_h"),
+        )
+    )
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    est = F.when(
+        F.col("hk").isNull(), F.col("n_h").cast("double")
+    ).otherwise(F.lit(63.0) * F.lit(float(1 << 60)) / F.col("hk"))
+    return (
+        exact.join(kth, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            (F.floor(est * 100 + F.lit(0.5)) / 100).alias("kmv_estimate"),
+            (
+                F.abs(est - F.col("exact_users")) / F.col("exact_users")
+                < 0.3
+            ).alias("kmv_ok"),
+        )
+        .orderBy("event_type")
+    )

@@ -2210,3 +2210,187 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_m", "age")
     )
+
+
+@register(
+    "events_pattern_regex",
+    category="composite",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id,
+             CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                  WHEN 'purchase' THEN 'p' WHEN 'error' THEN 'e'
+                  ELSE 's' END AS ch,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS tus, event_id
+      FROM events
+    ),
+    seqs AS (
+      SELECT user_id,
+             string_agg(ch, '' ORDER BY tus, event_id) AS seq
+      FROM ev GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(length(seq) AS BIGINT) AS seq_len,
+           CAST(len(regexp_extract_all(seq, 'v+c+p')) AS BIGINT)
+             AS n_episodes
+    FROM seqs
+    WHERE len(regexp_extract_all(seq, 'v+c+p')) > 0
+    ORDER BY n_episodes DESC, user_id
+    LIMIT 50
+    """,
+)
+def events_pattern_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE with QUANTIFIERS: count browse→click→purchase
+    episodes (`v+c+p` — one-or-more views, then clicks, then a
+    purchase) per user over the full event-time-ordered history.
+
+    events_pattern_detect covers FIXED-WIDTH adjacency (k lead()
+    columns); quantified patterns (`+`, `{2,}`, alternation) have
+    unbounded width, which lead() cannot express. The re-expression:
+    encode each user's ordered history as ONE character string (one
+    char per event type, order pinned by (ts, event_id)) and run the
+    row pattern as a REGEX — non-overlapping leftmost matching, the
+    exact MATCH_RECOGNIZE `AFTER MATCH SKIP PAST LAST ROW` semantics.
+    ONE shuffle (the per-user aggregation); the regex is row-local
+    codegen. At 100 TB the per-user string is bounded by history
+    length — for unbounded streams the same alphabet feeds
+    stream_stateful's running state machine instead. Both engines scan
+    leftmost-first (Java regex / RE2 agree on this quantifier-only
+    pattern), so episode counts are engine-stable.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "error", "e")
+        .otherwise("s")
+        .alias("ch"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+    )
+    seqs = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.expr(
+                "transform(array_sort(collect_list(struct(tus, event_id, ch))),"
+                " x -> x.ch)"
+            ),
+            "",
+        ).alias("seq")
+    )
+    n_episodes = F.regexp_count(F.col("seq"), F.lit(r"v+c+p")).cast("bigint")
+    return (
+        seqs.select(
+            "user_id",
+            F.length("seq").cast("bigint").alias("seq_len"),
+            n_episodes.alias("n_episodes"),
+        )
+        .filter(F.col("n_episodes") > 0)
+        .orderBy(F.col("n_episodes").desc(), "user_id")
+        .limit(50)
+    )
+
+
+@register(
+    "orders_forecast_ses",
+    category="composite",
+    oracle="""
+    WITH monthly AS (
+      SELECT date_trunc('month', o_orderdate) AS month_start,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  // 100 AS BIGINT) AS revenue_dollars
+      FROM orders
+      GROUP BY 1
+    ),
+    recent AS (
+      SELECT month_start, revenue_dollars,
+             row_number() OVER (ORDER BY month_start DESC) AS rev_rank
+      FROM monthly
+    ),
+    idx AS (
+      SELECT month_start, revenue_dollars,
+             13 - rev_rank AS t
+      FROM recent WHERE rev_rank <= 12
+    ),
+    ses AS (
+      SELECT a.month_start, a.revenue_dollars, a.t,
+             sum(b.revenue_dollars * (1.0 / CAST(1::BIGINT <<
+                 (CASE WHEN b.t = 1 THEN a.t - 1
+                       ELSE a.t - b.t + 1 END) AS DOUBLE)))
+               AS ses_dollars
+      FROM idx a JOIN idx b ON b.t <= a.t
+      GROUP BY 1, 2, 3
+    )
+    SELECT month_start, revenue_dollars,
+           ses_dollars + 0.0 AS ses_dollars
+    FROM ses
+    ORDER BY month_start
+    """,
+)
+def orders_forecast_ses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple-exponential-smoothing revenue forecast (α = 1/2) over the
+    last 12 months — the time-series primitive every ops dashboard
+    wants, made EXACTLY cross-engine-reproducible.
+
+    The recurrence s_t = α·x_t + (1-α)·s_{t-1} (seed s_1 = x_1) is
+    order-dependent, so it unrolls to the closed form
+    s_t = Σ_{j=2..t} 2^{-(t-j+1)} x_j + 2^{-(t-1)} x_1 and runs as a
+    12×12 triangular self-join — fully relational, no driver loop.
+    Exactness design: x_j is INTEGER whole-dollar revenue (floor-cents
+    ÷ 100) and every weight is a DYADIC rational built by integer bit
+    shift (1.0 / (1<<k)) — no libm pow() on either engine — so each
+    product is an exactly-representable double and, while
+    log2(max x_j) + 13 ≤ 52, every partial sum is exact in ANY
+    accumulation order: the float-sum-associativity problem is
+    designed out, not rounded away (sf1 monthly ≈ 2^32 dollars →
+    headroom to spare; re-derive the window length before raising α
+    precision or sf). At 100 TB the monthly pre-aggregate is the only
+    fact-sized stage; the triangle is 78 rows.
+    """
+    from pyspark.sql.window import Window
+
+    monthly = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("month_start"))
+        .agg(
+            (
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                        "bigint"
+                    )
+                )
+                / F.lit(100)
+            )
+            .cast("bigint")
+            .alias("revenue_dollars")
+        )
+    )
+    w = Window.orderBy(F.col("month_start").desc())
+    idx = (
+        monthly.withColumn("rev_rank", F.row_number().over(w))
+        .filter(F.col("rev_rank") <= 12)
+        .select(
+            "month_start",
+            "revenue_dollars",
+            (F.lit(13) - F.col("rev_rank")).alias("t"),
+        )
+    )
+    a = idx.alias("a")
+    b = idx.select(
+        F.col("revenue_dollars").alias("b_rev"), F.col("t").alias("b_t")
+    )
+    k = F.when(F.col("b_t") == 1, F.col("a.t") - 1).otherwise(
+        F.col("a.t") - F.col("b_t") + 1
+    )
+    weight = F.lit(1.0) / F.expr("cast(shiftleft(1L, k_exp) as double)")
+    contrib = F.col("b_rev") * weight
+    return (
+        a.join(F.broadcast(b), F.col("b_t") <= F.col("a.t"))
+        .withColumn("k_exp", k)
+        .groupBy(
+            F.col("a.month_start").alias("month_start"),
+            F.col("a.revenue_dollars").alias("revenue_dollars"),
+        )
+        .agg((F.sum(contrib) + F.lit(0.0)).alias("ses_dollars"))
+        .orderBy("month_start")
+    )
