@@ -901,7 +901,7 @@ def _benford_case(col: str) -> str:
 
 @register(
     "profile_benford",
-    category="profiling",
+    category="advanced",
     oracle=f"""
     WITH digits AS (
       SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
