@@ -140,12 +140,41 @@ _RECERTIFY = [
     # dedup_minhash_banded competes as a never-certified op).
 ]
 
+# New ops added THIS round, deliberately pushed to the END of the ordering
+# (they lead the NEXT round's window as never-certified ops): the round-6
+# VERDICT's top item is draining the 77-op r01/r02-era certification
+# backlog, and the window is a hard 50 slots — 13 new late-r06 ops + 6
+# recertify entries already leave only 31 slots for the stale-r01 block.
+# Letting r07's additions jump the queue would trade backlog drain for
+# ops the local suite already certifies; deferring them costs exactly one
+# round (round-6 precedent: the r05 defer set led the r06 window and all
+# certified green). All are fully suite-covered in the meantime
+# (tests/test_parity.py replicates the driver check for every oracled op).
+_DEFER_TO_NEXT_ROUND = {
+    "scan_txn_log_snapshot",
+    "scan_txn_log_time_travel",
+    "sink_zorder_cluster",
+    "text_line_dedup",
+    "graph_jaccard_neighbors",
+    "profile_fd_check",
+    "repair_survivorship_golden",
+    "agg_quantile_bin_sketch",
+    "orders_forecast_holt",
+}
+
 
 def _ordered_names() -> list[str]:
     done, attempts, cert_round = _certification_state()
     names = list(REGISTRY)
     lead = [n for n in _SURVEY_PRIORITY if n in REGISTRY and n not in done]
-    rest_new = [n for n in names if n not in done and n not in lead]
+    deferred = [
+        n for n in names if n in _DEFER_TO_NEXT_ROUND and n not in done
+    ]
+    rest_new = [
+        n
+        for n in names
+        if n not in done and n not in lead and n not in deferred
+    ]
     # Never-attempted ops outrank ops that were attempted and failed;
     # among equals keep registration order (stable sort).
     rest_new.sort(key=lambda n: attempts.get(n, 0))
@@ -168,7 +197,7 @@ def _ordered_names() -> list[str]:
     # op whose implementation changed is the judge's stale-certification
     # concern (round-4 ADVICE), while a brand-new op that misses the
     # 50-entry window simply leads the next round's window.
-    return lead + recert + rest_new + certified
+    return lead + recert + rest_new + certified + deferred
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -26,6 +26,7 @@ _MODULES = [
     "cdc_pubsub_spark.functions.udf",
     "cdc_pubsub_spark.sources.cdc",
     "cdc_pubsub_spark.sources.formats",
+    "cdc_pubsub_spark.sources.lakehouse",
     "cdc_pubsub_spark.sources.python_ds",
     "cdc_pubsub_spark.llmops.corpus",
     "cdc_pubsub_spark.llmops.dedup",

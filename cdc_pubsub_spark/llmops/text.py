@@ -1033,3 +1033,113 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.regr_slope(lf, lr)).alias("zipf_slope"),
         r4(F.regr_r2(lf, lr)).alias("fit_r2"),
     )
+
+
+@register(
+    "text_line_dedup",
+    category="text",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, t.ci AS chunk_idx,
+             array_to_string(ws[t.ci*8+1 : t.ci*8+8], ' ') AS chunk
+      FROM words,
+           unnest(generate_series(
+             0, CAST(ceil(len(ws)/8.0) AS BIGINT) - 1)) AS t(ci)
+    ),
+    freq AS (
+      SELECT chunk, count(DISTINCT doc_id) AS df FROM chunks GROUP BY chunk
+    ),
+    kept AS (
+      SELECT c.doc_id, c.chunk_idx, c.chunk, f.df
+      FROM chunks c JOIN freq f ON c.chunk = f.chunk
+    )
+    SELECT doc_id,
+           count(*)                                   AS n_chunks,
+           count(*) FILTER (WHERE df < 3)             AS n_kept,
+           md5(coalesce(string_agg(chunk, ' ' ORDER BY chunk_idx)
+                          FILTER (WHERE df < 3), '')) AS clean_md5
+    FROM kept
+    WHERE doc_id <= 120
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus repeated-span removal (the C4 "three-sentence span"
+    rule, re-based on fixed 8-word chunks because the fixture corpus has
+    no sentence boundaries): any chunk that appears verbatim in ≥3
+    DISTINCT documents is boilerplate and is dropped from every document
+    that contains it; survivors re-assemble in original order.
+
+    Pipeline shape (all JVM-side): split words once, explode only the
+    CHUNK INDEX range (⅛ of token volume) and slice each chunk out of
+    the word array → corpus-wide distinct-doc frequency per chunk (one
+    aggregate over the chunk relation — the only
+    corpus-global state, and it is bounded by distinct-chunk count, not
+    corpus size) → broadcast-free equi-join back → ordered reassembly
+    via collect_list over a (doc, idx)-sorted window.  At 100 TB the
+    chunk-frequency relation is the natural dictionary to bucket by
+    chunk hash; no stage ever materializes a document cross product.
+    Output is the per-doc audit (chunks seen / kept) plus an md5 of the
+    cleaned text so reassembly order is certified, bounded to doc_id ≤
+    120 to keep the driver compare small.
+    """
+    docs = load(spark, sf_dir, "documents")
+    chunks = (
+        docs.select("doc_id", F.split("text", " ").alias("ws"))
+        .select(
+            "doc_id",
+            "ws",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("bigint"),
+                    F.ceil(F.size("ws") / F.lit(8.0)).cast("bigint") - 1,
+                )
+            ).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.concat_ws(
+                " ", F.expr("slice(ws, chunk_idx * 8 + 1, 8)")
+            ).alias("chunk"),
+        )
+    )
+    freq = chunks.groupBy("chunk").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    kept = chunks.join(freq, "chunk")
+    w = Window.partitionBy("doc_id").orderBy("chunk_idx")
+    return (
+        kept.filter(F.col("doc_id") <= 120)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("df") < 3, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.md5(
+                F.coalesce(
+                    F.concat_ws(
+                        " ",
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(
+                                    F.when(
+                                        F.col("df") < 3,
+                                        F.struct("chunk_idx", "chunk"),
+                                    )
+                                )
+                            ),
+                            lambda s: s["chunk"],
+                        ),
+                    ),
+                    F.lit(""),
+                )
+            ).alias("clean_md5"),
+        )
+        .orderBy("doc_id")
+    )

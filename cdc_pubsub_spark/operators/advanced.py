@@ -972,3 +972,175 @@ def profile_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+@register(
+    "profile_fd_check",
+    category="advanced",
+    oracle="""
+    WITH denorm AS (
+      SELECT o.o_orderkey, o.o_custkey, o.o_orderpriority, o.o_orderstatus,
+             c.c_mktsegment
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    fd1 AS (
+      SELECT 'o_orderkey->o_custkey' AS fd,
+             count(*) AS n_groups,
+             count(*) FILTER (WHERE n_rhs > 1) AS n_violating
+      FROM (SELECT o_orderkey, count(DISTINCT o_custkey) AS n_rhs
+            FROM denorm GROUP BY 1)
+    ),
+    fd2 AS (
+      SELECT 'o_custkey->c_mktsegment',
+             count(*), count(*) FILTER (WHERE n_rhs > 1)
+      FROM (SELECT o_custkey, count(DISTINCT c_mktsegment) AS n_rhs
+            FROM denorm GROUP BY 1)
+    ),
+    fd3 AS (
+      SELECT 'o_custkey->o_orderpriority',
+             count(*), count(*) FILTER (WHERE n_rhs > 1)
+      FROM (SELECT o_custkey, count(DISTINCT o_orderpriority) AS n_rhs
+            FROM denorm GROUP BY 1)
+    ),
+    fd4 AS (
+      SELECT 'c_mktsegment->o_orderstatus',
+             count(*), count(*) FILTER (WHERE n_rhs > 1)
+      FROM (SELECT c_mktsegment, count(DISTINCT o_orderstatus) AS n_rhs
+            FROM denorm GROUP BY 1)
+    )
+    SELECT fd, n_groups, n_violating, n_violating = 0 AS holds
+    FROM (SELECT * FROM fd1 UNION ALL SELECT * FROM fd2
+          UNION ALL SELECT * FROM fd3 UNION ALL SELECT * FROM fd4)
+    ORDER BY fd
+    """,
+)
+def profile_fd_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency discovery/validation over a denormalized
+    frame: for each candidate FD ``lhs → rhs``, count determinant groups
+    and groups where the rhs is not unique (violations).
+
+    The schema-inference / data-quality primitive (the profiling family
+    of Papenbrock's FD-discovery literature, restricted to candidate
+    validation): key FDs hold (o_orderkey→o_custkey, and the join-borne
+    o_custkey→c_mktsegment), non-keys are measured, not assumed.  Each
+    FD is one groupBy(lhs).countDistinct(rhs) — a single shuffle per
+    candidate on its own determinant key, unioned at the end; at 100 TB
+    candidates validate embarrassingly parallel and the violation
+    relation (a group count) is the only output.
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    denorm = o.join(
+        F.broadcast(c), o.o_custkey == c.c_custkey
+    ).select("o_orderkey", "o_custkey", "o_orderpriority", "o_orderstatus", "c_mktsegment")
+
+    def check(fd_name: str, lhs: str, rhs: str) -> DataFrame:
+        per_group = denorm.groupBy(lhs).agg(
+            F.countDistinct(rhs).alias("n_rhs")
+        )
+        return per_group.agg(
+            F.lit(fd_name).alias("fd"),
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violating"),
+        )
+
+    out = (
+        check("o_orderkey->o_custkey", "o_orderkey", "o_custkey")
+        .unionByName(check("o_custkey->c_mktsegment", "o_custkey", "c_mktsegment"))
+        .unionByName(check("o_custkey->o_orderpriority", "o_custkey", "o_orderpriority"))
+        .unionByName(check("c_mktsegment->o_orderstatus", "c_mktsegment", "o_orderstatus"))
+    )
+    return out.withColumn("holds", F.col("n_violating") == 0).orderBy("fd")
+
+
+@register(
+    "repair_survivorship_golden",
+    category="advanced",
+    oracle="""
+    WITH src AS (
+      SELECT c_custkey, 3 AS prio,
+             CASE WHEN c_custkey % 3 = 0 THEN NULL
+                  ELSE 'CRM:' || c_name END                    AS name,
+             CASE WHEN c_custkey % 4 = 0 THEN NULL
+                  ELSE round(c_acctbal + 10.0, 2) END          AS acctbal
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, 2,
+             CASE WHEN c_custkey % 2 = 0 THEN NULL
+                  ELSE 'WEB:' || c_name END,
+             round(c_acctbal, 2)
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, 1, 'LEG:' || c_name, 0.0
+      FROM customer
+    )
+    SELECT c_custkey,
+           arg_max(name,    CASE WHEN name    IS NOT NULL THEN prio ELSE 0 END)
+             AS golden_name,
+           arg_max(acctbal, CASE WHEN acctbal IS NOT NULL THEN prio ELSE 0 END)
+             AS golden_acctbal,
+           count(DISTINCT name)    AS n_name_values,
+           count(DISTINCT acctbal) AS n_acct_values
+    FROM src
+    WHERE c_custkey <= 300
+    GROUP BY c_custkey
+    ORDER BY c_custkey
+    """,
+)
+def repair_survivorship_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship merge (MDM): three source systems emit
+    conflicting, partially-null views of each customer; per FIELD, the
+    highest-priority NON-NULL value survives (CRM > web > legacy).
+
+    The fixture nulls are planted per-field on different moduli so every
+    fallback path is exercised: names fall through CRM→web→legacy,
+    balances CRM→web.  Survivorship is one aggregate —
+    ``max_by(value, priority·non-null)`` per field — so merging N source
+    feeds at 100 TB is a single shuffle on the entity key with
+    map-side-combinable state per field, never an N-way join; conflict
+    telemetry (distinct value counts) rides the same aggregate.
+    Priorities are distinct within an entity by construction, so max_by
+    has no ties and is deterministic cross-engine.
+    """
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 300)
+    crm = cust.select(
+        "c_custkey",
+        F.lit(3).alias("prio"),
+        F.when(F.col("c_custkey") % 3 == 0, F.lit(None)).otherwise(
+            F.concat(F.lit("CRM:"), F.col("c_name"))
+        ).alias("name"),
+        F.when(F.col("c_custkey") % 4 == 0, F.lit(None).cast("double")).otherwise(
+            F.round(F.col("c_acctbal") + 10.0, 2)
+        ).alias("acctbal"),
+    )
+    web = cust.select(
+        "c_custkey",
+        F.lit(2).alias("prio"),
+        F.when(F.col("c_custkey") % 2 == 0, F.lit(None)).otherwise(
+            F.concat(F.lit("WEB:"), F.col("c_name"))
+        ).alias("name"),
+        F.round(F.col("c_acctbal"), 2).alias("acctbal"),
+    )
+    leg = cust.select(
+        "c_custkey",
+        F.lit(1).alias("prio"),
+        F.concat(F.lit("LEG:"), F.col("c_name")).alias("name"),
+        F.lit(0.0).alias("acctbal"),
+    )
+    src = crm.unionByName(web).unionByName(leg)
+    return (
+        src.groupBy("c_custkey")
+        .agg(
+            F.expr(
+                "max_by(name, CASE WHEN name IS NOT NULL THEN prio ELSE 0 END)"
+            ).alias("golden_name"),
+            F.expr(
+                "max_by(acctbal, CASE WHEN acctbal IS NOT NULL THEN prio ELSE 0 END)"
+            ).alias("golden_acctbal"),
+            F.countDistinct("name").alias("n_name_values"),
+            F.countDistinct("acctbal").alias("n_acct_values"),
+        )
+        .orderBy("c_custkey")
+    )

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from cdc_pubsub_spark.functions.rounding import r2, r4
 from cdc_pubsub_spark.registry import register
@@ -1074,4 +1075,82 @@ def agg_kmv_theta_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kmv_ok"),
         )
         .orderBy("event_type")
+    )
+
+
+@register(
+    "agg_quantile_bin_sketch",
+    category="aggregates",
+    oracle="""
+    WITH bins AS (
+      SELECT LEAST(CAST(floor(l_extendedprice / 250.0) AS BIGINT), 479)
+               AS bin,
+             count(*) AS n
+      FROM lineitem
+      GROUP BY 1
+    ),
+    cum AS (
+      SELECT bin, n,
+             sum(n) OVER (ORDER BY bin) AS cum_n,
+             sum(n) OVER ()             AS total_n
+      FROM bins
+    ),
+    qs AS (SELECT unnest([0.50, 0.90, 0.99]) AS q)
+    SELECT q,
+           min(bin) * 250               AS est_value,
+           CAST(max(total_n) AS BIGINT) AS n_rows
+    FROM qs JOIN cum
+      ON cum.cum_n >= CAST(ceil(q * cum.total_n) AS BIGINT)
+    GROUP BY q
+    ORDER BY q
+    """,
+)
+def agg_quantile_bin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable fixed-bin histogram sketch → quantile estimates.
+
+    The distributed-quantile discipline when t-digest/KLL libraries are
+    unavailable: a 480-bin equi-width histogram over a FIXED domain
+    ([0, 120 000) at width 250, top bin clamps the tail) is a pure
+    map-side groupBy — each executor's partial histogram is a ≤480-row
+    dictionary, merging is vector addition (Spark's partial aggregation
+    does it for free) — then the quantile inverts the cumulative
+    distribution on the bin relation: est(q) = lower edge of the first
+    bin whose cumulative count reaches ⌈q·n⌉.  Error is bounded by bin
+    width (250 ≈ 0.2% of the domain), INDEPENDENT of row count or
+    partitioning — the same 480-row state summarizes 100 TB, and every
+    step is exact integer arithmetic, so the estimate is bit-identical
+    cross-engine (no float-quantile interpolation to diverge).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    bins = (
+        li.select(
+            F.least(
+                F.floor(F.col("l_extendedprice") / 250.0).cast("bigint"),
+                F.lit(479).cast("bigint"),
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wc = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = bins.select(
+        "bin",
+        F.sum("n").over(wc).alias("cum_n"),
+        F.sum("n").over(wt).alias("total_n"),
+    )
+    qs = spark.range(1).select(
+        F.explode(F.array(F.lit(0.50), F.lit(0.90), F.lit(0.99))).alias("q")
+    )
+    return (
+        F.broadcast(qs)
+        .join(cum, cum.cum_n >= F.ceil(qs.q * cum.total_n).cast("bigint"))
+        .groupBy("q")
+        .agg(
+            (F.min("bin") * 250).alias("est_value"),
+            F.max("total_n").alias("n_rows"),
+        )
+        .orderBy("q")
     )

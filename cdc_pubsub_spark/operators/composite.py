@@ -2394,3 +2394,121 @@ def orders_forecast_ses(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.sum(contrib) + F.lit(0.0)).alias("ses_dollars"))
         .orderBy("month_start")
     )
+
+
+@register(
+    "orders_forecast_holt",
+    category="composite",
+    oracle="""
+    WITH RECURSIVE monthly AS (
+      SELECT date_trunc('month', o_orderdate) AS month_start,
+             CAST(CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  // 100 AS BIGINT) AS DOUBLE) AS x
+      FROM orders
+      GROUP BY 1
+    ),
+    recent AS (
+      SELECT x, row_number() OVER (ORDER BY month_start DESC) AS rev_rank
+      FROM monthly
+    ),
+    idx AS (
+      SELECT 13 - rev_rank AS t, x FROM recent WHERE rev_rank <= 12
+    ),
+    rec AS (
+      SELECT 1 AS t, x AS l, 0.0::DOUBLE AS b FROM idx WHERE t = 1
+      UNION ALL
+      SELECT r.t + 1,
+             (i.x + r.l + r.b) / 2.0,
+             ((i.x + r.l + r.b) / 2.0 - r.l) / 2.0 + r.b / 2.0
+      FROM rec r JOIN idx i ON i.t = r.t + 1
+    ),
+    fitted AS (
+      SELECT l, b FROM rec ORDER BY t DESC LIMIT 1
+    )
+    SELECT h.h AS horizon,
+           round(l + h.h * b, 2) AS forecast_dollars,
+           round(l, 2)           AS level_dollars,
+           round(b, 2)           AS trend_dollars
+    FROM fitted, unnest([1, 2, 3]) AS h(h)
+    ORDER BY horizon
+    """,
+)
+def orders_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend (double exponential smoothing, α = β = ½)
+    forecast of monthly revenue, horizons 1–3.
+
+    The trend-aware sibling of orders_forecast_ses: level
+    lₜ = α·xₜ + (1−α)(lₜ₋₁+bₜ₋₁), trend bₜ = β(lₜ−lₜ₋₁) + (1−β)bₜ₋₁,
+    seeded l₁ = x₁, b₁ = 0; forecast ŷ(h) = l + h·b.  The coupled
+    recurrence has no triangular closed form, so both engines run the
+    SAME sequential evaluation: Spark folds the 12-element monthly
+    array through an ``aggregate`` HOF struct lambda; the oracle runs
+    the identical arithmetic as a recursive CTE (sequential by
+    construction — DuckDB 1.0's ``list_reduce`` was rejected for this
+    oracle after a probe showed struct-accumulator field expressions
+    cross-contaminating: fold([{l:0,b:1},…], acc→{l:acc.b, b:acc.b·3})
+    returns l=b=9 where l=3 is correct).  A sequential recurrence has
+    ONE evaluation order, so cross-engine equality needs no
+    associativity argument at all (the sequencing is the determinism
+    device, complementing the SES op's dyadic-weights device).
+    At 100 TB only the monthly pre-aggregate
+    touches the fact table; the fold state is 2 doubles over a 12-row
+    array on one row.
+    """
+    monthly = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("month_start"))
+        .agg(
+            (
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                        "bigint"
+                    )
+                )
+                / F.lit(100)
+            )
+            .cast("bigint")
+            .cast("double")
+            .alias("x")
+        )
+    )
+    w = Window.orderBy(F.col("month_start").desc())
+    series = (
+        monthly.withColumn("rev_rank", F.row_number().over(w))
+        .filter(F.col("rev_rank") <= 12)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("month_start", "x"))),
+                lambda s: s["x"],
+            ).alias("xs")
+        )
+    )
+    # Identical fold semantics as the oracle's list_reduce: the first
+    # element seeds the state (l = x₁, b = 0), the lambda consumes the
+    # rest. SQL-text lambda with unique variable names (STATUS.md HOF
+    # pitfall: never mix Python-built and expr-string lambdas).
+    fitted = series.selectExpr(
+        """
+        aggregate(
+          slice(xs, 2, size(xs) - 1),
+          named_struct('l', xs[0], 'b', 0.0D),
+          (acc, hv) -> named_struct(
+            'l', (hv + acc.l + acc.b) / 2.0D,
+            'b', ((hv + acc.l + acc.b) / 2.0D - acc.l) / 2.0D
+                 + acc.b / 2.0D)
+        ) AS st
+        """
+    )
+    horizons = spark.range(1, 4).select(F.col("id").alias("horizon"))
+    return (
+        fitted.crossJoin(F.broadcast(horizons))
+        .select(
+            "horizon",
+            F.round(
+                F.col("st.l") + F.col("horizon") * F.col("st.b"), 2
+            ).alias("forecast_dollars"),
+            F.round(F.col("st.l"), 2).alias("level_dollars"),
+            F.round(F.col("st.b"), 2).alias("trend_dollars"),
+        )
+        .orderBy("horizon")
+    )

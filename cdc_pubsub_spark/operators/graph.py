@@ -575,3 +575,115 @@ def graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hop")
     )
+
+
+# 12 fixed affine maps over the 1000-node id space: each user's neighbor
+# set N(u) = { (u·P + O) mod 1000 } for the 12 (P, O) pairs below —
+# ~12 pseudo-random neighbors per node, item document-frequency ~12, the
+# sparse regime where inverted-index set-similarity joins pay off.  Pure
+# function of the data (user ids), restated verbatim in the oracle (the
+# FIXTURES.md §3 planted-fixture discipline).
+_JACCARD_MAPS = [
+    (7, 3), (13, 11), (17, 5), (19, 23), (23, 1), (29, 17),
+    (31, 7), (37, 29), (41, 13), (43, 37), (47, 19), (53, 41),
+]
+_ADJ_SQL = " UNION ALL ".join(
+    f"SELECT user_id AS u, (user_id * {p} + {o}) % 1000 AS v FROM users"
+    for p, o in _JACCARD_MAPS
+)
+
+
+@register(
+    "graph_jaccard_neighbors",
+    category="graph",
+    oracle=f"""
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    adj AS (SELECT DISTINCT u, v FROM ({_ADJ_SQL})),
+    deg AS (SELECT u, count(*) AS d FROM adj GROUP BY u),
+    df AS (SELECT v, count(*) AS df FROM adj GROUP BY v),
+    common AS (
+      SELECT a.u AS ua, b.u AS ub, count(*) AS n_common
+      FROM adj a
+      JOIN adj b ON a.v = b.v AND a.u < b.u
+      JOIN df   ON df.v = a.v AND df.df <= 64
+      GROUP BY a.u, b.u
+    ),
+    scored AS (
+      SELECT ua, ub, n_common,
+             round(CAST(n_common AS DOUBLE)
+                   / (da.d + db.d - n_common), 4) AS jaccard
+      FROM common
+      JOIN deg da ON da.u = ua
+      JOIN deg db ON db.u = ub
+    )
+    SELECT ua, ub, n_common, jaccard
+    FROM (
+      SELECT *, row_number() OVER (
+        ORDER BY jaccard DESC, n_common DESC, ua, ub) AS rn
+      FROM scored
+    ) WHERE rn <= 20
+    ORDER BY jaccard DESC, n_common DESC, ua, ub
+    """,
+)
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Node-pair similarity: Jaccard over out-neighbor sets, top-20 pairs.
+
+    The link-prediction / entity-matching primitive, built as an
+    INVERTED-INDEX join (never all-pairs): adjacency re-keyed by
+    neighbor, pairs generated only where a neighbor is shared, so work
+    is Σ_v df(v)² over shared-neighbor document frequencies — with the
+    hot-vertex guard (df ≤ 64 here) bounding the quadratic term exactly
+    like the prefix-filter guards in dedup_containment.  Degrees join
+    back by key (broadcast-sized: one row per node).  Jaccard =
+    |A∩B| / (dA + dB − |A∩B|) needs only the co-count and the two
+    degrees.  Top-20 is a single TakeOrderedAndProject over a
+    deterministic (jaccard, n_common, ua, ub) total order.
+
+    At 100 TB the adjacency is the only fact-sized relation; everything
+    shuffles on neighbor id (the natural bucket key), and a production
+    variant adds the standard df-descending prefix ordering to shrink
+    the candidate join further (PPJoin, as in dedup_minhash_lsh's
+    certification tier).
+    """
+    users = load(spark, sf_dir, "events").select("user_id").distinct()
+    parts = [
+        users.select(
+            F.col("user_id").alias("u"),
+            ((F.col("user_id") * p + o) % 1000).alias("v"),
+        )
+        for p, o in _JACCARD_MAPS
+    ]
+    adj = parts[0]
+    for part in parts[1:]:
+        adj = adj.unionByName(part)
+    adj = adj.distinct()
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    df = adj.groupBy("v").agg(F.count(F.lit(1)).alias("df"))
+    a = adj.alias("a")
+    b = adj.alias("b")
+    common = (
+        a.join(b, (F.col("a.v") == F.col("b.v")) & (F.col("a.u") < F.col("b.u")))
+        .join(F.broadcast(df.alias("df")), F.col("df.v") == F.col("a.v"))
+        .filter(F.col("df.df") <= 64)
+        .groupBy(F.col("a.u").alias("ua"), F.col("b.u").alias("ub"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    da = deg.select(F.col("u").alias("ua"), F.col("d").alias("da"))
+    db = deg.select(F.col("u").alias("ub"), F.col("d").alias("db"))
+    scored = (
+        common.join(F.broadcast(da), "ua")
+        .join(F.broadcast(db), "ub")
+        .select(
+            "ua",
+            "ub",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("da") + F.col("db") - F.col("n_common")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("jaccard"), F.desc("n_common"), "ua", "ub"
+    ).limit(20)

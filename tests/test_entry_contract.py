@@ -36,15 +36,21 @@ def test_ordering_partitions_and_priorities():
     phase = {n: 0 for n in lead}
     phase.update({n: 1 for n in recert})
     for n in names:
-        if n not in phase:
-            phase[n] = 2 if n not in done else 3
+        if n in phase:
+            continue
+        if n not in done:
+            # This round's own additions defer to the END so they don't
+            # displace stale-recertification slots; they lead next round.
+            phase[n] = 4 if n in entry._DEFER_TO_NEXT_ROUND else 2
+        else:
+            phase[n] = 3
     seen_phase = [phase[n] for n in names]
     assert seen_phase == sorted(seen_phase), (
         "ordering must be lead -> recertify -> never-certified -> "
-        "certified tail"
+        "certified tail -> deferred-new"
     )
 
-    tail = [n for n in names if phase[n] == 2]
+    tail = [n for n in names if phase[n] == 3]
     rounds = [cert_round.get(n, 0) for n in tail]
     assert rounds == sorted(rounds), "certified tail must be stalest-first"
 

@@ -1,0 +1,222 @@
+"""Semantic pins for the round-7 additions: transaction-log reads,
+Z-order clustering, cross-corpus chunk dedup, neighbor-Jaccard, golden
+records, histogram-sketch quantiles, Holt forecast.
+
+Value-level parity with DuckDB is covered by tests/test_parity.py (all of
+these ops carry exact oracles); these tests pin the claims the oracle
+alone cannot see — physical layout, pruning wins, non-vacuity, and plan
+shapes."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+import cdc_pubsub_spark.all_queries  # noqa: F401
+from cdc_pubsub_spark.registry import REGISTRY
+from cdc_pubsub_spark.sources import lakehouse
+
+
+def test_txn_log_snapshot_ignores_removed_file_still_on_disk(spark, sf_dir):
+    """The reader must resolve the LOG, not the directory listing: after
+    the v2 remove, add-001's parquet files still physically exist, but
+    no row from them (urgent %4==1 orders) may appear in the snapshot."""
+    root = lakehouse._build_txn_table(spark, sf_dir)
+    removed_dir = os.path.join(root, "data", "add-001")
+    assert glob.glob(os.path.join(removed_dir, "*.parquet")), (
+        "fixture broke: removed file should still exist on disk"
+    )
+    live = lakehouse._resolve_live_files(root)
+    assert os.path.join(root, "data", "add-001") not in live
+    assert os.path.join(root, "data", "add-003") in live
+
+    snap = spark.read.parquet(*live)
+    n_urgent_mod1 = snap.filter(
+        (F.col("o_orderkey") % 4 == 1)
+        & (F.col("o_orderpriority") == "1-URGENT")
+    ).count()
+    assert n_urgent_mod1 == 0, "copy-on-write delete leaked deleted rows"
+
+
+def test_txn_log_time_travel_restores_pre_delete_state(spark, sf_dir):
+    root = lakehouse._build_txn_table(spark, sf_dir)
+    v1 = spark.read.parquet(*lakehouse._resolve_live_files(root, as_of=1))
+    v2 = spark.read.parquet(*lakehouse._resolve_live_files(root))
+    # v1 (pre-delete) strictly contains v2 (post-delete); the difference
+    # is exactly the deleted urgent rows of the %4==1 file.
+    deleted = v1.count() - v2.count()
+    expected = v1.filter(
+        (F.col("o_orderkey") % 4 == 1)
+        & (F.col("o_orderpriority") == "1-URGENT")
+    ).count()
+    assert deleted == expected > 0
+    # v0 sees neither the append nor the delete.
+    v0 = spark.read.parquet(*lakehouse._resolve_live_files(root, as_of=0))
+    assert v0.filter(F.col("o_orderkey") % 4 == 2).count() == 0
+
+
+def test_zorder_prunes_probe_box_and_writes_one_file_per_bucket(
+    spark, sf_dir
+):
+    out = REGISTRY["sink_zorder_cluster"].fn(spark, sf_dir).collect()
+    assert len(out) == 16
+    scanned = sum(r.probe_scans_file for r in out)
+    # The 2-D probe box covers ~(100/1024)·(200/1024) ≈ 2% of the key
+    # space; Z-order locality must confine it to a small minority of
+    # files. (An unclustered layout scans ~all 16: every file's min/max
+    # box spans the domain.)
+    assert scanned <= 6, f"Z-order pruning too weak: probe scans {scanned}/16"
+    # Physical layout: one directory per bucket actually written.
+    root = lakehouse.work_dir(
+        "zorder_orders_" + os.path.basename(os.path.normpath(sf_dir))
+    )
+    bucket_dirs = glob.glob(os.path.join(root, "bucket=*"))
+    assert len(bucket_dirs) == 16
+
+
+def test_zorder_beats_single_dim_sort_on_the_probe(spark, sf_dir):
+    """The claim that earns Z-order its complexity: a single-dim sort
+    layout cannot prune the second dimension. Build the x-sorted
+    16-bucket layout and show the same probe box scans MORE files than
+    the Z-order layout."""
+    from pyspark.sql.window import Window
+
+    from cdc_pubsub_spark.tables import load
+
+    pts = (
+        load(spark, sf_dir, "orders")
+        .selectExpr(
+            "o_orderkey",
+            "o_custkey % 1024 AS x",
+            "CAST(floor(o_totalprice) AS BIGINT) % 1024 AS y",
+        )
+    )
+    w = Window.orderBy("x", "o_orderkey")
+    linear = (
+        pts.withColumn("bucket", F.ntile(16).over(w))
+        .groupBy("bucket")
+        .agg(
+            F.min("x").alias("x_min"),
+            F.max("x").alias("x_max"),
+            F.min("y").alias("y_min"),
+            F.max("y").alias("y_max"),
+        )
+        .collect()
+    )
+    p = lakehouse._PROBE
+    linear_scans = sum(
+        1
+        for r in linear
+        if r.x_min <= p["x_hi"]
+        and r.x_max >= p["x_lo"]
+        and r.y_min <= p["y_hi"]
+        and r.y_max >= p["y_lo"]
+    )
+    z = REGISTRY["sink_zorder_cluster"].fn(spark, sf_dir).collect()
+    z_scans = sum(r.probe_scans_file for r in z)
+    assert z_scans < linear_scans, (
+        f"zorder {z_scans} files vs linear {linear_scans}"
+    )
+
+
+def test_interleave_bits_is_a_morton_code():
+    """Spot-check the bit math against a hand-computed Morton pair."""
+    import duckdb
+
+    # x=0b101 (5), y=0b011 (3) → z bits y2x2 y1x1 y0x0 = 0b011011 +
+    # x2 at bit 4 → compute directly.
+    expected = 0
+    x, y = 5, 3
+    for i in range(10):
+        expected |= ((x >> i) & 1) << (2 * i)
+        expected |= ((y >> i) & 1) << (2 * i + 1)
+    got = duckdb.sql(
+        f"SELECT {lakehouse._interleave_sql('5', '3')}"
+    ).fetchone()[0]
+    assert got == expected
+
+
+def test_line_dedup_actually_drops_boilerplate(spark, sf_correct):
+    """Non-vacuity: at sf0.01 some chunks repeat across ≥3 docs (the
+    fixture vocabulary is 30 words), so the op must drop something,
+    and reassembly md5 must differ from the trivial all-kept hash for
+    at least one affected doc."""
+    rows = REGISTRY["text_line_dedup"].fn(spark, sf_correct).collect()
+    assert any(r.n_kept < r.n_chunks for r in rows), (
+        "no chunk was ever dropped — dedup is vacuous at this sf"
+    )
+    assert all(r.n_kept <= r.n_chunks for r in rows)
+
+
+def test_jaccard_neighbors_plan_has_no_cartesian(spark, sf_dir):
+    df = REGISTRY["graph_jaccard_neighbors"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_jaccard_scores_are_valid(spark, sf_dir):
+    rows = REGISTRY["graph_jaccard_neighbors"].fn(spark, sf_dir).collect()
+    assert rows, "no similar pairs found"
+    for r in rows:
+        assert 0.0 < r.jaccard <= 1.0
+        assert r.n_common >= 1
+    # descending order pinned
+    js = [r.jaccard for r in rows]
+    assert js == sorted(js, reverse=True)
+
+
+def test_survivorship_exercises_every_fallback_tier(spark, sf_correct):
+    rows = (
+        REGISTRY["repair_survivorship_golden"].fn(spark, sf_correct).collect()
+    )
+    prefixes = {r.golden_name.split(":")[0] for r in rows}
+    assert prefixes == {"CRM", "WEB", "LEG"}, (
+        f"fallback tiers not all exercised: {prefixes}"
+    )
+    # custkey divisible by 6: CRM name null (%3) and WEB name null (%2)
+    # → legacy must win.
+    by_key = {r.c_custkey: r for r in rows}
+    assert by_key[6].golden_name.startswith("LEG:")
+    assert by_key[1].golden_name.startswith("CRM:")
+    # Balance fallback: CRM wins where present (custkey 1), web wins
+    # where CRM is planted null (custkey 4, %4==0); legacy never wins
+    # because web's balance is always non-null.
+    bal = {
+        r.c_custkey: round(r.c_acctbal, 2)
+        for r in spark.read.parquet(
+            os.path.join(sf_correct, "customer.parquet")
+        )
+        .filter(F.col("c_custkey").isin(1, 4))
+        .collect()
+    }
+    assert abs(by_key[1].golden_acctbal - round(bal[1] + 10.0, 2)) < 1e-9
+    assert abs(by_key[4].golden_acctbal - bal[4]) < 1e-9
+
+
+def test_quantile_sketch_error_bounded_by_bin_width(spark, sf_correct):
+    """The sketch's estimate must sit within one bin width (250) of the
+    exact quantile — the advertised deterministic error bound."""
+    li = spark.read.parquet(os.path.join(sf_correct, "lineitem.parquet"))
+    est = {
+        r.q: r.est_value
+        for r in REGISTRY["agg_quantile_bin_sketch"]
+        .fn(spark, sf_correct)
+        .collect()
+    }
+    for q in (0.5, 0.9, 0.99):
+        exact = li.selectExpr(
+            f"percentile(l_extendedprice, {q}d) AS p"
+        ).collect()[0].p
+        assert abs(est[q] - exact) <= 250.0 + 1e-6, (q, est[q], exact)
+
+
+def test_holt_forecast_extrapolates_linearly(spark, sf_dir):
+    rows = REGISTRY["orders_forecast_holt"].fn(spark, sf_dir).collect()
+    by_h = {r.horizon: r for r in rows}
+    l, b = by_h[1].level_dollars, by_h[1].trend_dollars
+    assert b != 0.0, "trend term vacuously zero"
+    for h in (1, 2, 3):
+        assert abs(by_h[h].forecast_dollars - (l + h * b)) < 0.02
