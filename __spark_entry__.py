@@ -160,6 +160,11 @@ _DEFER_TO_NEXT_ROUND = {
     "repair_survivorship_golden",
     "agg_quantile_bin_sketch",
     "orders_forecast_holt",
+    "join_bloom_pruned",
+    "text_bm25_topk",
+    "events_markov_transition",
+    "search_rrf_fusion",
+    "profile_mutual_information",
 }
 
 

@@ -1828,3 +1828,136 @@ def sim_ann_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), "vec_id")
         .limit(10)
     )
+
+
+@register(
+    "search_rrf_fusion",
+    category="similarity",
+    oracle=f"""
+    WITH kw AS (
+      SELECT doc_id AS id, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents)
+      WHERE w = 'vector'
+      GROUP BY doc_id
+    ),
+    kr AS (
+      SELECT id, r FROM (
+        SELECT id, row_number() OVER (ORDER BY tf DESC, id) AS r FROM kw
+      ) WHERE r <= 50
+    ),
+    probe AS (SELECT embedding AS pvec FROM embeddings WHERE vec_id = 0),
+    vs AS (
+      SELECT vec_id AS id,
+             CAST(floor(({_COS_SQL.format(a="embedding", b="pvec")})
+                        * 1000000 + 0.5) AS BIGINT) AS cos_micro
+      FROM embeddings, probe
+      WHERE vec_id <> 0
+    ),
+    vr AS (
+      SELECT id, r FROM (
+        SELECT id, row_number() OVER (ORDER BY cos_micro DESC, id) AS r
+        FROM vs
+      ) WHERE r <= 50
+    ),
+    fused AS (
+      SELECT coalesce(kr.id, vr.id)   AS id,
+             coalesce(kr.r, 0)        AS kw_rank,
+             coalesce(vr.r, 0)        AS vec_rank,
+             CAST(floor(
+               (coalesce(CAST(1 AS DOUBLE) / (60 + kr.r), 0)
+                + coalesce(CAST(1 AS DOUBLE) / (60 + vr.r), 0))
+               * 1000000000 + 0.5) AS BIGINT) AS rrf_nano
+      FROM kr FULL OUTER JOIN vr ON kr.id = vr.id
+    )
+    SELECT id, kw_rank, vec_rank, rrf_nano,
+           row_number() OVER (ORDER BY rrf_nano DESC, id) AS rnk
+    FROM fused
+    ORDER BY rrf_nano DESC, id
+    LIMIT 10
+    """,
+)
+def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: Reciprocal Rank Fusion (RRF, k = 60) of a lexical
+    ranker (term-frequency for 'vector' over documents) and a dense
+    ranker (cosine to the vec_id = 0 probe over embeddings), top-10.
+
+    The standard hybrid-retrieval combiner (Cormack et al.; every
+    vector-DB "hybrid" endpoint): score(d) = Σᵢ 1/(k + rankᵢ(d)) over
+    the rankers that returned d in their top-50.  RRF needs only RANKS,
+    so each ranker runs independently — lexical is a filtered-postings
+    aggregate, dense is the brute-force scan (swap in sim_ann_ivf at
+    scale); each emits ≤50 rows, and the fusion is a full-outer join of
+    two 50-row relations — driver-scale metadata regardless of corpus
+    size.  Determinism: cosine quantizes to integer micro-units BEFORE
+    ranking (ties break on id), both reciprocal terms are evaluated in
+    the same literal order and the fused score is floored to integer
+    nano-units; absent ranks surface as 0, never NULL, so the driver
+    compare is dtype-stable cross-engine.
+    """
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    kw = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") == "vector")
+        .groupBy(F.col("doc_id").alias("id"))
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    w_kw = Window.orderBy(F.col("tf").desc(), "id")
+    kr = (
+        kw.withColumn("r", F.row_number().over(w_kw))
+        .filter(F.col("r") <= 50)
+        .select("id", "r")
+    )
+    probe = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("pvec")
+    )
+    vs = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            F.col("vec_id").alias("id"),
+            F.floor(
+                cosine(F.col("embedding"), F.col("pvec")) * 1000000
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("cos_micro"),
+        )
+    )
+    w_vec = Window.orderBy(F.col("cos_micro").desc(), "id")
+    vr = (
+        vs.withColumn("r", F.row_number().over(w_vec))
+        .filter(F.col("r") <= 50)
+        .select("id", "r")
+    )
+    fused = (
+        kr.withColumnRenamed("r", "kr")
+        .join(vr.withColumnRenamed("r", "vr").withColumnRenamed("id", "vid"),
+              F.col("id") == F.col("vid"), "full_outer")
+        .select(
+            F.coalesce("id", "vid").alias("id"),
+            F.coalesce("kr", F.lit(0)).alias("kw_rank"),
+            F.coalesce("vr", F.lit(0)).alias("vec_rank"),
+            F.floor(
+                (
+                    F.coalesce(
+                        F.lit(1.0) / (F.lit(60) + F.col("kr")), F.lit(0.0)
+                    )
+                    + F.coalesce(
+                        F.lit(1.0) / (F.lit(60) + F.col("vr")), F.lit(0.0)
+                    )
+                )
+                * 1000000000
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("rrf_nano"),
+        )
+    )
+    w_f = Window.orderBy(F.col("rrf_nano").desc(), "id")
+    return (
+        fused.orderBy(F.col("rrf_nano").desc(), "id")
+        .limit(10)
+        .withColumn("rnk", F.row_number().over(w_f))
+    )

@@ -1143,3 +1143,120 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_bm25_topk",
+    category="text",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    dl AS (
+      SELECT doc_id, count(*) AS dl FROM words WHERE word <> '' GROUP BY 1
+    ),
+    stats AS (
+      SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+             count(*) AS n_docs
+      FROM dl
+    ),
+    q AS (SELECT unnest(['vector','join','window','stream']) AS term),
+    tf AS (
+      SELECT w.doc_id, w.word AS term, count(*) AS tf
+      FROM words w JOIN q ON w.word = q.term
+      GROUP BY 1, 2
+    ),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(floor(
+               ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+               * (CAST(tf AS DOUBLE) * 2.2)
+               / (CAST(tf AS DOUBLE)
+                  + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+               * 1000000 + 0.5) AS BIGINT) AS term_micro
+      FROM tf t
+      JOIN df USING (term)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(sum(term_micro) AS BIGINT) AS bm25_micro,
+             count(*) AS n_terms
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, bm25_micro, n_terms,
+           row_number() OVER (ORDER BY bm25_micro DESC, doc_id) AS rnk
+    FROM agg
+    ORDER BY bm25_micro DESC, doc_id
+    LIMIT 15
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 retrieval (k1 = 1.2, b = 0.75): top-15 documents for a
+    4-term keyword query.
+
+    The lexical half of every hybrid search stack (the other half is
+    sim_cosine_topk; search_rrf_fusion fuses them).  Pipeline shape:
+    tokenize once; document length + the corpus avgdl/N are one partial
+    agg each (avgdl stays IN-PLAN as a 1-row broadcast — no driver
+    count()); per-term tf touches only postings matching the 4 query
+    terms (the query acts as a broadcast semi-filter on the token
+    stream, so work scales with postings-of-query-terms, not corpus
+    vocabulary); df folds over the already-deduped tf relation.
+
+    Determinism discipline: each term's BM25 contribution is floored to
+    INTEGER MICRO-UNITS before the per-doc sum (the sim_ann_pq device),
+    so the cross-doc aggregate is exact bigint arithmetic — immune to
+    float-sum ordering across partitions — and the rank is a total
+    order on (bm25_micro, doc_id).  Spark and the oracle evaluate the
+    same literal IEEE expression sequence (D-suffixed doubles; the
+    SQL-string decimal-literal pitfall in STATUS.md).
+    """
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    dl = words.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    terms = ["vector", "join", "window", "stream"]
+    q = spark.createDataFrame([(t,) for t in terms], ["term"])
+    tf = (
+        words.join(
+            F.broadcast(q), words.word == q.term
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.expr(
+                "CAST(floor("
+                "ln((CAST(n_docs AS DOUBLE) - df + 0.5D)"
+                " / (CAST(df AS DOUBLE) + 0.5D) + 1.0D)"
+                " * (CAST(tf AS DOUBLE) * 2.2D)"
+                " / (CAST(tf AS DOUBLE)"
+                "    + 1.2D * (0.25D + 0.75D * CAST(dl AS DOUBLE) / avgdl))"
+                " * 1000000 + 0.5D) AS BIGINT)"
+            ).alias("term_micro"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("term_micro").cast("bigint").alias("bm25_micro"),
+        F.count(F.lit(1)).alias("n_terms"),
+    )
+    w = Window.orderBy(F.col("bm25_micro").desc(), "doc_id")
+    return (
+        agg.orderBy(F.col("bm25_micro").desc(), "doc_id")
+        .limit(15)
+        .withColumn("rnk", F.row_number().over(w))
+    )

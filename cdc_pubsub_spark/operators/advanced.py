@@ -1144,3 +1144,85 @@ def repair_survivorship_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+@register(
+    "profile_mutual_information",
+    category="advanced",
+    oracle="""
+    WITH joined AS (
+      SELECT c_mktsegment AS x, o_orderpriority AS y
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    cells AS (SELECT x, y, count(*) AS nxy FROM joined GROUP BY x, y),
+    mx AS (SELECT x, CAST(sum(nxy) AS BIGINT) AS nx FROM cells GROUP BY x),
+    my AS (SELECT y, CAST(sum(nxy) AS BIGINT) AS ny FROM cells GROUP BY y),
+    tot AS (SELECT CAST(sum(nxy) AS BIGINT) AS n FROM cells),
+    terms AS (
+      SELECT CAST(floor(
+               (CAST(nxy AS DOUBLE) / n)
+               * ln((CAST(nxy AS DOUBLE) * n)
+                    / (CAST(nx AS DOUBLE) * ny))
+               * 1000000000 + 0.5) AS BIGINT) AS term_nano
+      FROM cells JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot
+    )
+    SELECT CAST(sum(term_nano) AS BIGINT) AS mi_nano,
+           CAST(count(*) AS BIGINT)       AS n_cells,
+           (SELECT n FROM tot)            AS n_rows
+    FROM terms
+    """,
+)
+def profile_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(X;Y) between two categorical columns
+    (customer market segment × order priority) in integer nano-units.
+
+    The feature-selection / dependency-profiling primitive beside
+    profile_corr_matrix (numeric) and profile_fd_check (exact FDs):
+    I = Σ p(x,y)·ln(p(x,y)/(p(x)p(y))) measures ANY statistical
+    dependency between categoricals, zero iff independent.  Everything
+    derives from ONE contingency aggregate (a single shuffle on the
+    (x,y) pair, partial-agg combinable); marginals re-aggregate the
+    |X|·|Y|-row cell relation — never the fact table — and the total
+    rides the same metadata.  Per-cell terms (signed: sub-independent
+    cells contribute negative nano-units, sanctioned by the signed-
+    floor contract in functions/rounding.py) quantize to INTEGER
+    nano-units before the final sum, so the result is exact bigint
+    arithmetic — partition-order independent, the sim_ann_pq
+    discipline.  At 100 TB the answer's size is |X|·|Y| cells — here
+    25 rows folding to one.
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    cells = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("x"),
+            F.col("o_orderpriority").alias("y"),
+        )
+        .agg(F.count(F.lit(1)).alias("nxy"))
+    )
+    mx = cells.groupBy("x").agg(F.sum("nxy").cast("bigint").alias("nx"))
+    my = cells.groupBy("y").agg(F.sum("nxy").cast("bigint").alias("ny"))
+    tot = cells.agg(F.sum("nxy").cast("bigint").alias("n"))
+    terms = (
+        cells.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.floor(
+                (F.col("nxy").cast("double") / F.col("n"))
+                * F.log(
+                    (F.col("nxy").cast("double") * F.col("n"))
+                    / (F.col("nx").cast("double") * F.col("ny"))
+                )
+                * 1000000000
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("term_nano"),
+        )
+    )
+    return terms.agg(
+        F.sum("term_nano").cast("bigint").alias("mi_nano"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+    ).crossJoin(F.broadcast(tot.select(F.col("n").alias("n_rows"))))

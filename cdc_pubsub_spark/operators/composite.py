@@ -2512,3 +2512,65 @@ def orders_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("horizon")
     )
+
+
+@register(
+    "events_markov_transition",
+    category="composite",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    trans AS (
+      SELECT prev, event_type AS cur, count(*) AS n
+      FROM seq WHERE prev IS NOT NULL GROUP BY prev, cur
+    ),
+    outdeg AS (SELECT prev, CAST(sum(n) AS BIGINT) AS tot FROM trans GROUP BY prev)
+    SELECT prev, cur, n,
+           floor(CAST(n AS DOUBLE) / tot * 10000 + 0.5) / 10000 AS p
+    FROM trans JOIN outdeg USING (prev)
+    ORDER BY prev, cur
+    """,
+)
+def events_markov_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event-type
+    sequences: P(next = cur | current = prev) with raw counts.
+
+    The behavioral-model primitive under next-event prediction, funnel
+    simulation, and sequence anomaly scoring.  One window pass builds
+    consecutive pairs (lag over (user, time) — the sessionize shuffle,
+    partitioned on user_id so no global sort); transition counts are a
+    single partial-agg shuffle on the (prev, cur) pair; row
+    normalization joins the |states| ≤ tiny out-degree relation back.
+    The matrix is |states|² rows REGARDLESS of corpus size — 100 TB of
+    events reduce to the same 25-row output here, and per-user windows
+    scale horizontally.  Tie discipline: simultaneous events order by
+    (ts, event_id) so both engines walk identical sequences; p rounds
+    through the engine-stable floor formula.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev"),
+    )
+    trans = (
+        seq.filter(F.col("prev").isNotNull())
+        .groupBy("prev", F.col("event_type").alias("cur"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    outdeg = trans.groupBy("prev").agg(F.sum("n").cast("bigint").alias("tot"))
+    return (
+        trans.join(F.broadcast(outdeg), "prev")
+        .select(
+            "prev",
+            "cur",
+            "n",
+            r4(F.col("n").cast("double") / F.col("tot")).alias("p"),
+        )
+        .orderBy("prev", "cur")
+    )

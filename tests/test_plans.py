@@ -866,3 +866,21 @@ def test_partsupp_tpch_plan_shapes(spark, sf_dir):
     p20 = formatted_plan(q("tpch_q20_excess_inventory", spark, sf_dir))
     assert "LeftSemi" in p20, p20[:2000]
     assert "Window" not in p20, p20[:2000]
+
+
+def test_explicit_bloom_prune_is_row_local_then_broadcast(spark, sf_dir):
+    """join_bloom_pruned's contract: the Bloom stage is a PURE ROW-LOCAL
+    predicate on the fact side (bitmap shipped as a literal array — no
+    join, no explode, no shuffle to evaluate it), and the exact tier
+    that removes false positives is a broadcast semi-join. If the
+    bitmap check ever degenerates into a join or the semi side stops
+    broadcasting, the 'prune before the shuffle' claim is gone."""
+    df = q("join_bloom_pruned", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "element_at" in plan, "bloom bitmap probe must be in-plan"
+    assert uses(df, "BroadcastHashJoin"), "exact tier must broadcast"
+    assert not uses(df, "CartesianProduct")
+    assert not uses(df, "BroadcastNestedLoopJoin")
+    # One shuffle for the final groupBy agg; the bloom predicate itself
+    # must not add any exchange beyond agg + TakeOrdered/sort.
+    assert count_exchanges(df) <= 2, formatted_plan(df)
