@@ -165,6 +165,9 @@ _DEFER_TO_NEXT_ROUND = {
     "events_markov_transition",
     "search_rrf_fusion",
     "profile_mutual_information",
+    "orders_forecast_holt_winters",
+    "profile_ks_test",
+    "join_spatial_grid",
 }
 
 

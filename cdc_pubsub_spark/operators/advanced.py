@@ -1226,3 +1226,118 @@ def profile_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("term_nano").cast("bigint").alias("mi_nano"),
         F.count(F.lit(1)).cast("bigint").alias("n_cells"),
     ).crossJoin(F.broadcast(tot.select(F.col("n").alias("n_rows"))))
+
+
+@register(
+    "profile_ks_test",
+    category="advanced",
+    oracle="""
+    WITH both_sides AS (
+      SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a
+      FROM events WHERE event_type IN ('click', 'error')
+    ),
+    tot AS (
+      SELECT CAST(sum(is_a) AS BIGINT) AS na,
+             CAST(sum(1 - is_a) AS BIGINT) AS nb
+      FROM both_sides
+    ),
+    counts AS (
+      SELECT v, CAST(sum(is_a) AS BIGINT) AS av,
+             CAST(sum(1 - is_a) AS BIGINT) AS bv
+      FROM both_sides GROUP BY v
+    ),
+    cum AS (
+      SELECT v, sum(av) OVER (ORDER BY v) AS ca,
+             sum(bv) OVER (ORDER BY v) AS cb
+      FROM counts
+    ),
+    d AS (
+      SELECT CAST(max(CAST(floor(
+               abs(CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)
+               * 1000000000 + 0.5) AS BIGINT)) AS BIGINT) AS d_nano
+      FROM cum CROSS JOIN tot
+    )
+    SELECT d_nano, na, nb,
+           CAST(floor(1.36 * sqrt((CAST(na AS DOUBLE) + nb)
+                                  / (CAST(na AS DOUBLE) * nb))
+                * 1000000000 + 0.5) AS BIGINT) AS crit_nano,
+           d_nano > CAST(floor(1.36 * sqrt((CAST(na AS DOUBLE) + nb)
+                                           / (CAST(na AS DOUBLE) * nb))
+                         * 1000000000 + 0.5) AS BIGINT) AS reject_95
+    FROM d CROSS JOIN tot
+    """,
+)
+def profile_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test: does `value` follow the same
+    distribution for click events as for error events?
+
+    The drift/dependency profiler's distribution-equality primitive
+    beside profile_drift_psi (binned, parametric-free but coarse): KS
+    compares FULL empirical CDFs — D = max |F₁(v) − F₂(v)| over the
+    pooled support — and needs no binning choice.  Shape: one pass
+    tags each row's side; per-value counts are a single partial-agg
+    shuffle; the CDF is one cumulative window over the DISTINCT-value
+    relation (support-sized, not row-sized — the only ordered stage,
+    and it orders ~thousands of distinct cents values, not the fact
+    table); D and the 95% critical value 1.36·√((n₁+n₂)/(n₁n₂)) fold
+    to one row.  Values quantize to integer cents first, per-row CDF
+    gaps floor to integer nano-units BEFORE the max (max is
+    order-free), so the verdict is exact bigint arithmetic
+    cross-engine.  At 100 TB the support relation is the natural
+    range-partition key; everything else is map-side.
+    """
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "error")
+    )
+    sides = ev.select(
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("v"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("is_a"),
+    )
+    tot = sides.agg(
+        F.sum("is_a").cast("bigint").alias("na"),
+        F.sum(1 - F.col("is_a")).cast("bigint").alias("nb"),
+    )
+    counts = sides.groupBy("v").agg(
+        F.sum("is_a").cast("bigint").alias("av"),
+        F.sum(1 - F.col("is_a")).cast("bigint").alias("bv"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.select(
+        "v",
+        F.sum("av").over(w).alias("ca"),
+        F.sum("bv").over(w).alias("cb"),
+    )
+    d = (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max(
+                F.floor(
+                    F.abs(
+                        F.col("ca").cast("double") / F.col("na")
+                        - F.col("cb").cast("double") / F.col("nb")
+                    )
+                    * 1000000000
+                    + F.lit(0.5)
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("d_nano")
+        )
+    )
+    crit = F.floor(
+        F.lit(1.36)
+        * F.sqrt(
+            (F.col("na").cast("double") + F.col("nb"))
+            / (F.col("na").cast("double") * F.col("nb"))
+        )
+        * 1000000000
+        + F.lit(0.5)
+    ).cast("bigint")
+    return d.crossJoin(F.broadcast(tot)).select(
+        "d_nano",
+        "na",
+        "nb",
+        crit.alias("crit_nano"),
+        (F.col("d_nano") > crit).alias("reject_95"),
+    )

@@ -2574,3 +2574,164 @@ def events_markov_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev", "cur")
     )
+
+
+@register(
+    "orders_forecast_holt_winters",
+    category="composite",
+    oracle="""
+    WITH RECURSIVE quarterly AS (
+      SELECT date_trunc('quarter', o_orderdate) AS q_start,
+             CAST(CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  // 100 AS BIGINT) AS DOUBLE) AS x
+      FROM orders GROUP BY 1
+    ),
+    recent AS (
+      SELECT x, row_number() OVER (ORDER BY q_start DESC) AS rev
+      FROM quarterly
+    ),
+    idx AS (SELECT 18 - rev AS t, x FROM recent WHERE rev BETWEEN 2 AND 17),
+    piv AS (
+      SELECT max(CASE WHEN t=1 THEN x END) AS x1,
+             max(CASE WHEN t=2 THEN x END) AS x2,
+             max(CASE WHEN t=3 THEN x END) AS x3,
+             max(CASE WHEN t=4 THEN x END) AS x4,
+             max(CASE WHEN t=5 THEN x END) AS x5,
+             max(CASE WHEN t=6 THEN x END) AS x6,
+             max(CASE WHEN t=7 THEN x END) AS x7,
+             max(CASE WHEN t=8 THEN x END) AS x8
+      FROM idx
+    ),
+    init AS (
+      SELECT 4 AS t,
+             (x1 + x2 + x3 + x4) / 4.0 AS l,
+             ((x5 + x6 + x7 + x8) / 4.0 - (x1 + x2 + x3 + x4) / 4.0) / 4.0
+               AS b,
+             x1 - (x1 + x2 + x3 + x4) / 4.0 AS s1,
+             x2 - (x1 + x2 + x3 + x4) / 4.0 AS s2,
+             x3 - (x1 + x2 + x3 + x4) / 4.0 AS s3,
+             x4 - (x1 + x2 + x3 + x4) / 4.0 AS s4
+      FROM piv
+    ),
+    rec AS (
+      SELECT * FROM init
+      UNION ALL
+      SELECT r.t + 1,
+             (i.x - r.s1) / 2.0 + (r.l + r.b) / 2.0,
+             (((i.x - r.s1) / 2.0 + (r.l + r.b) / 2.0) - r.l) / 2.0
+               + r.b / 2.0,
+             r.s2, r.s3, r.s4,
+             (i.x - ((i.x - r.s1) / 2.0 + (r.l + r.b) / 2.0)) / 2.0
+               + r.s1 / 2.0
+      FROM rec r JOIN idx i ON i.t = r.t + 1
+      WHERE r.t < 16
+    ),
+    fitted AS (SELECT l, b, s1, s2, s3, s4 FROM rec ORDER BY t DESC LIMIT 1)
+    SELECT h.h AS horizon,
+           floor((l + h.h * b
+                  + CASE h.h WHEN 1 THEN s1 WHEN 2 THEN s2
+                             WHEN 3 THEN s3 ELSE s4 END) * 100 + 0.5) / 100
+             AS forecast_dollars,
+           floor(l * 100 + 0.5) / 100 AS level_dollars,
+           floor(b * 100 + 0.5) / 100 AS trend_dollars,
+           floor(CASE h.h WHEN 1 THEN s1 WHEN 2 THEN s2
+                          WHEN 3 THEN s3 ELSE s4 END * 100 + 0.5) / 100
+             AS seasonal_dollars
+    FROM fitted, unnest([1, 2, 3, 4]) AS h(h)
+    ORDER BY horizon
+    """,
+)
+def orders_forecast_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters additive seasonal forecast (α = β = γ = ½, season
+    m = 4 quarters) of quarterly revenue, horizons 1-4 — completing the
+    exponential-smoothing family (SES → Holt → Holt-Winters).
+
+    Fit window: the 16 COMPLETE quarters before the last (the final
+    quarter of the fixture is partial — orders stop mid-quarter — and
+    would poison level/trend; real pipelines make the same cut).
+    Textbook init (l₀ = mean of season 1, b₀ = season-over-season mean
+    slope / m, sᵢ = xᵢ − l₀), then the coupled recurrence lₜ =
+    ½(xₜ−sₜ₋₄) + ½(lₜ₋₁+bₜ₋₁), bₜ = ½(lₜ−lₜ₋₁) + ½bₜ₋₁, sₜ =
+    ½(xₜ−lₜ) + ½sₜ₋₄.  Like orders_forecast_holt the recurrence has
+    one evaluation order, so Spark folds the 12 post-init points
+    through a 6-field struct `aggregate` lambda while the oracle runs
+    the IDENTICAL arithmetic as a recursive CTE — the seasonal window
+    rides the state as 4 rotating slots, and α = ½ makes every
+    operation a sum and an exact binary halving.  At 100 TB only the
+    quarterly pre-aggregate touches the fact table; the fold is 6
+    doubles over a 16-element array on one row.
+    """
+    quarterly = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("quarter", "o_orderdate").alias("q_start"))
+        .agg(
+            (
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                        "bigint"
+                    )
+                )
+                / F.lit(100)
+            )
+            .cast("bigint")
+            .cast("double")
+            .alias("x")
+        )
+    )
+    w = Window.orderBy(F.col("q_start").desc())
+    series = (
+        quarterly.withColumn("rev", F.row_number().over(w))
+        .filter((F.col("rev") >= 2) & (F.col("rev") <= 17))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("q_start", "x"))),
+                lambda s: s["x"],
+            ).alias("xs")
+        )
+    )
+    # SQL-text lambda with unique variable names (HOF nesting pitfall);
+    # init + step restate the oracle's arithmetic token for token.
+    fitted = series.selectExpr(
+        """
+        aggregate(
+          slice(xs, 5, size(xs) - 4),
+          named_struct(
+            'l', (xs[0] + xs[1] + xs[2] + xs[3]) / 4.0D,
+            'b', ((xs[4] + xs[5] + xs[6] + xs[7]) / 4.0D
+                  - (xs[0] + xs[1] + xs[2] + xs[3]) / 4.0D) / 4.0D,
+            's1', xs[0] - (xs[0] + xs[1] + xs[2] + xs[3]) / 4.0D,
+            's2', xs[1] - (xs[0] + xs[1] + xs[2] + xs[3]) / 4.0D,
+            's3', xs[2] - (xs[0] + xs[1] + xs[2] + xs[3]) / 4.0D,
+            's4', xs[3] - (xs[0] + xs[1] + xs[2] + xs[3]) / 4.0D),
+          (hwa, hwx) -> named_struct(
+            'l', (hwx - hwa.s1) / 2.0D + (hwa.l + hwa.b) / 2.0D,
+            'b', (((hwx - hwa.s1) / 2.0D + (hwa.l + hwa.b) / 2.0D)
+                  - hwa.l) / 2.0D + hwa.b / 2.0D,
+            's1', hwa.s2,
+            's2', hwa.s3,
+            's3', hwa.s4,
+            's4', (hwx - ((hwx - hwa.s1) / 2.0D
+                          + (hwa.l + hwa.b) / 2.0D)) / 2.0D
+                  + hwa.s1 / 2.0D)
+        ) AS st
+        """
+    )
+    horizons = spark.range(1, 5).select(F.col("id").alias("horizon"))
+    seasonal = (
+        F.when(F.col("horizon") == 1, F.col("st.s1"))
+        .when(F.col("horizon") == 2, F.col("st.s2"))
+        .when(F.col("horizon") == 3, F.col("st.s3"))
+        .otherwise(F.col("st.s4"))
+    )
+    return (
+        fitted.crossJoin(F.broadcast(horizons))
+        .select(
+            "horizon",
+            r2(F.col("st.l") + F.col("horizon") * F.col("st.b") + seasonal)
+            .alias("forecast_dollars"),
+            r2(F.col("st.l")).alias("level_dollars"),
+            r2(F.col("st.b")).alias("trend_dollars"),
+            r2(seasonal).alias("seasonal_dollars"),
+        )
+        .orderBy("horizon")
+    )

@@ -646,17 +646,21 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     certification tier).
     """
     users = load(spark, sf_dir, "events").select("user_id").distinct()
-    parts = [
-        users.select(
-            F.col("user_id").alias("u"),
-            ((F.col("user_id") * p + o) % 1000).alias("v"),
-        )
-        for p, o in _JACCARD_MAPS
-    ]
-    adj = parts[0]
-    for part in parts[1:]:
-        adj = adj.unionByName(part)
-    adj = adj.distinct()
+    # ONE scan + one generator, not a 12-branch union (which re-reads
+    # the user relation per map and unions 12 plan branches — measured
+    # ~2× plan/scan overhead at bench scale; the array explode emits
+    # the same rows from a single pass).
+    adj = users.select(
+        F.col("user_id").alias("u"),
+        F.explode(
+            F.array(
+                *[
+                    ((F.col("user_id") * p + o) % 1000).alias(f"v{p}")
+                    for p, o in _JACCARD_MAPS
+                ]
+            )
+        ).alias("v"),
+    ).distinct()
     deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
     df = adj.groupBy("v").agg(F.count(F.lit(1)).alias("df"))
     a = adj.alias("a")

@@ -1105,3 +1105,113 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "join_spatial_grid",
+    category="joins",
+    oracle="""
+    WITH users AS (SELECT DISTINCT user_id AS u FROM events),
+    pts AS (
+      SELECT u, (u * u * 13 + u * 7 + 3) % 1000 AS x,
+                (u * u * 29 + u * 31 + 17) % 1000 AS y
+      FROM users
+    ),
+    pairs AS (
+      SELECT a.u AS ua, b.u AS ub,
+             greatest(abs(a.x - b.x), abs(a.y - b.y)) AS cheb
+      FROM pts a JOIN pts b ON a.u < b.u
+      WHERE abs(a.x - b.x) <= 100 AND abs(a.y - b.y) <= 100
+    )
+    SELECT ua, ub, cheb,
+           row_number() OVER (ORDER BY cheb, ua, ub) AS rnk
+    FROM pairs
+    ORDER BY cheb, ua, ub
+    LIMIT 20
+    """,
+)
+def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial proximity join via grid bucketing: the 20 closest user
+    pairs within L∞ distance 100 on a planted 1000×1000 integer plane.
+
+    The distance-join pattern every geo/embedding workload needs and
+    naive SQL gets catastrophically wrong (θ-join on |x₁−x₂| ⇒ nested-
+    loop cartesian): quantize each point to a grid cell the size of the
+    search radius, replicate the PROBE side onto its 3×3 neighbor cells
+    (a 9× explode of the smaller relation, the standard epsilon-grid
+    trick), and equi-join on the cell key — candidates are only pairs
+    in adjacent cells, then the exact Chebyshev predicate verifies
+    row-locally.  Work is Σ_cell |A_cell|·9·|B_cell| — data-local and
+    shuffle-partitioned by cell, never |A|·|B|; skewed cells fall out
+    of AQE's skew split like any hot join key.  Coordinates are a pure
+    quadratic-residue function of user_id (planted-fixture discipline:
+    the oracle restates them verbatim; a linear map would collapse the
+    plane onto a line), so the op is exact integer arithmetic
+    end-to-end.  At 100 TB the same shape serves geohash joins and
+    LSH-bucketed embedding blocking; the (u < u') guard halves
+    candidates and the single-cell membership of the build side means
+    no pair is generated twice.
+    """
+    users = load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("u")
+    ).distinct()
+    pts = users.select(
+        "u",
+        ((F.col("u") * F.col("u") * 13 + F.col("u") * 7 + 3) % 1000).alias(
+            "x"
+        ),
+        ((F.col("u") * F.col("u") * 29 + F.col("u") * 31 + 17) % 1000).alias(
+            "y"
+        ),
+    )
+    cell = 100
+    build = pts.select(
+        F.col("u").alias("ub_"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        F.floor(F.col("x") / cell).cast("int").alias("cx"),
+        F.floor(F.col("y") / cell).cast("int").alias("cy"),
+    )
+    offsets = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    probe = pts.select(
+        F.col("u").alias("ua_"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.floor(F.col("x") / cell).cast("int") + dx).alias(
+                            "cx"
+                        ),
+                        (F.floor(F.col("y") / cell).cast("int") + dy).alias(
+                            "cy"
+                        ),
+                    )
+                    for dx, dy in offsets
+                ]
+            )
+        ).alias("c"),
+    ).select("ua_", "xa", "ya", F.col("c.cx").alias("cx"), F.col("c.cy").alias("cy"))
+    pairs = (
+        probe.join(build, ["cx", "cy"])
+        .filter(
+            (F.col("ua_") < F.col("ub_"))
+            & (F.abs(F.col("xa") - F.col("xb")) <= 100)
+            & (F.abs(F.col("ya") - F.col("yb")) <= 100)
+        )
+        .select(
+            F.col("ua_").alias("ua"),
+            F.col("ub_").alias("ub"),
+            F.greatest(
+                F.abs(F.col("xa") - F.col("xb")),
+                F.abs(F.col("ya") - F.col("yb")),
+            ).alias("cheb"),
+        )
+    )
+    w = Window.orderBy("cheb", "ua", "ub")
+    return (
+        pairs.orderBy("cheb", "ua", "ub")
+        .limit(20)
+        .withColumn("rnk", F.row_number().over(w))
+    )

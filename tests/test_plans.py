@@ -884,3 +884,15 @@ def test_explicit_bloom_prune_is_row_local_then_broadcast(spark, sf_dir):
     # One shuffle for the final groupBy agg; the bloom predicate itself
     # must not add any exchange beyond agg + TakeOrdered/sort.
     assert count_exchanges(df) <= 2, formatted_plan(df)
+
+
+def test_spatial_grid_join_is_equi_join_on_cells(spark, sf_dir):
+    """join_spatial_grid's contract: the distance join runs as an
+    EQUI-join on quantized grid cells (hash/broadcast-joinable), never
+    as the nested-loop cartesian a raw |x1-x2|<=eps theta-join would
+    plan."""
+    df = q("join_spatial_grid", spark, sf_dir)
+    assert not uses(df, "CartesianProduct"), formatted_plan(df)
+    assert not uses(df, "BroadcastNestedLoopJoin"), formatted_plan(df)
+    plan = formatted_plan(df)
+    assert "SortMergeJoin" in plan or "HashJoin" in plan, plan
