@@ -2412,7 +2412,8 @@ def orders_forecast_ses(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM monthly
     ),
     idx AS (
-      SELECT 13 - rev_rank AS t, x FROM recent WHERE rev_rank <= 12
+      SELECT 14 - rev_rank AS t, x
+      FROM recent WHERE rev_rank BETWEEN 2 AND 13
     ),
     rec AS (
       SELECT 1 AS t, x AS l, 0.0::DOUBLE AS b FROM idx WHERE t = 1
@@ -2450,10 +2451,13 @@ def orders_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     returns l=b=9 where l=3 is correct).  A sequential recurrence has
     ONE evaluation order, so cross-engine equality needs no
     associativity argument at all (the sequencing is the determinism
-    device, complementing the SES op's dyadic-weights device).
-    At 100 TB only the monthly pre-aggregate
-    touches the fact table; the fold state is 2 doubles over a 12-row
-    array on one row.
+    device, complementing the SES op's dyadic-weights device).  Fit
+    window: the 12 COMPLETE months before the last — the fixture's
+    final month is partial (orders stop mid-month) and would poison
+    level/trend into a negative forecast, so it is excluded exactly as
+    in orders_forecast_holt_winters.  At 100 TB only the monthly
+    pre-aggregate touches the fact table; the fold state is 2 doubles
+    over a 12-row array on one row.
     """
     monthly = (
         load(spark, sf_dir, "orders")
