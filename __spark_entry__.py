@@ -120,55 +120,37 @@ def _certification_state() -> tuple[set[str], dict[str, int], dict[str, int]]:
 
 # Ops whose implementation or oracle CHANGED this round: their accumulated
 # certification predates the change, so they jump the certified tail until a
-# CORRECTNESS round has hash-checked the new contract. Round 7 set
+# CORRECTNESS round has hash-checked the new contract. Round 8 set
 # (appended as changes land):
 _RECERTIFY = [
-    # Centroid coordinates now quantize to 6 decimals at every Lloyd
-    # iteration boundary on BOTH engines (round-6 ADVICE: de-flake the
-    # cross-engine centroid contract from float-sum associativity) —
-    # output values change on all three kmeans-derived contracts:
-    "embed_kmeans",
-    "sim_ann_ivf_kmeans",
-    "sim_ann_recall_audit",  # oracle composes the ivf_kmeans tier's SQL
-    # finalize_cached persist-release (round-6 ADVICE; values unchanged
-    # but the materialization path changed):
-    "dedup_containment",
-    "dedup_cluster",
-    "stream_http_ingest",  # 401 sharedKey auth tier added (VERDICT item 3)
-    # NOT listed: dedup_minhash_lsh (bench-flag only — the certified
-    # two-tier implementation is untouched; the new band-only
-    # dedup_minhash_banded competes as a never-certified op).
+    # Integer-cents accumulation replaced the order-dependent double sum
+    # (round-7 ADVICE lows) — output contract bit-identical by design but
+    # the certified expression changed:
+    "tpch_q9_product_profit",
+    # cos_sim now rounds through the shared r4 floor formula instead of
+    # native round() (round-7 ADVICE low; top-k sort key stability):
+    "sim_ann_binary_hamming",
+    # Global single-partition Window replaced by the two-level
+    # hash-prefix-bucket scan (round-7 VERDICT item 5) — values
+    # bit-identical by the prefix-order argument, plan reshaped:
+    "corpus_batch_assembly",
+    "corpus_sequence_pack",
+    # NOT listed: orders_forecast_holt / graph_jaccard_neighbors /
+    # scan_txn_log_* — also changed this round, but they have never
+    # received a driver row (r07 defer set) so they already lead the
+    # window as never-certified entries.
 ]
 
 # New ops added THIS round, deliberately pushed to the END of the ordering
-# (they lead the NEXT round's window as never-certified ops): the round-6
-# VERDICT's top item is draining the 77-op r01/r02-era certification
-# backlog, and the window is a hard 50 slots — 13 new late-r06 ops + 6
-# recertify entries already leave only 31 slots for the stale-r01 block.
-# Letting r07's additions jump the queue would trade backlog drain for
-# ops the local suite already certifies; deferring them costs exactly one
-# round (round-6 precedent: the r05 defer set led the r06 window and all
-# certified green). All are fully suite-covered in the meantime
-# (tests/test_parity.py replicates the driver check for every oracled op).
-_DEFER_TO_NEXT_ROUND = {
-    "scan_txn_log_snapshot",
-    "scan_txn_log_time_travel",
-    "sink_zorder_cluster",
-    "text_line_dedup",
-    "graph_jaccard_neighbors",
-    "profile_fd_check",
-    "repair_survivorship_golden",
-    "agg_quantile_bin_sketch",
-    "orders_forecast_holt",
-    "join_bloom_pruned",
-    "text_bm25_topk",
-    "events_markov_transition",
-    "search_rrf_fusion",
-    "profile_mutual_information",
-    "orders_forecast_holt_winters",
-    "profile_ks_test",
-    "join_spatial_grid",
-}
+# (they lead the NEXT round's window as never-certified ops): the window
+# is a hard 50 slots and round 8's priorities are (1) the 17 never-sampled
+# r07 ops, (2) the 2 recertify entries, (3) draining the ~40-op stale
+# r01/r02-era tail below ~25 (round-7 VERDICT items 3-4). Deferring this
+# round's additions costs exactly one round (r05→r06 and r06→r07
+# precedent: every deferred op certified green the next round). All are
+# fully suite-covered in the meantime (tests/test_parity.py replicates
+# the driver check for every oracled op).
+_DEFER_TO_NEXT_ROUND: set[str] = set()
 
 
 def _ordered_names() -> list[str]:

@@ -262,17 +262,40 @@ def corpus_batch_assembly(spark, sf_dir):
     The hash ordering is the reproducible equivalent of dataset
     shuffling — the same corpus always yields the same batches, so a
     training run is bit-replayable from the batch_id. The global
-    row_number is the one genuinely serial step (a total order); at
-    100 TB assemble batches per hash-range partition instead
-    (repartitionByRange on the hash + per-partition position), which
-    keeps batch composition deterministic while removing the single
-    ordering bottleneck — the language mix per batch stays uniform
-    because the hash order is content-random by construction.
+    position is computed DISTRIBUTED (the classic two-level scan, no
+    single-partition total-order pass): the md5's first byte pair is a
+    deterministic hash-range bucket (256 uniform ranges — the
+    repartitionByRange equivalent with static boundaries), each bucket
+    ranks its own rows in one balanced window, and bucket offsets come
+    from an exclusive prefix sum over the 256-row bucket-count frame
+    (driver-tiny; broadcast back). Because the bucket is a PREFIX of
+    the hash, (bkt, h, doc_id) order IS (h, doc_id) order, so the
+    distributed positions equal the serial ones bit-for-bit — same
+    oracle. At 100 TB widen the prefix (2 bytes → 65k buckets); the
+    corpus-sized side never passes through one partition.
     """
     docs = load(spark, sf_dir, "documents")
-    w = Window.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
-    shuffled = docs.select(
-        "doc_id", "lang", "n_chars", (F.row_number().over(w) - 1).alias("pos")
+    hashed = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    ).withColumn("bkt", F.substring("h", 1, 2))
+    wloc = Window.partitionBy("bkt").orderBy("h", "doc_id")
+    local = hashed.withColumn("rn", F.row_number().over(wloc))
+    woff = Window.orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = (
+        local.groupBy("bkt")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("bkt", (F.sum("cnt").over(woff) - F.col("cnt")).alias("off"))
+    )
+    shuffled = local.join(F.broadcast(offsets), "bkt").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        (F.col("off") + F.col("rn") - 1).alias("pos"),
     )
     return (
         shuffled.groupBy(F.floor(F.col("pos") / 32).cast("bigint").alias("batch_id"))
@@ -440,27 +463,44 @@ def corpus_sequence_pack(spark, sf_dir):
     Each doc's sequence is floor(cumulative-start / 2048); per sequence
     the op reports docs begun, tokens contributed, boundary straddles,
     and the first doc id — the manifest a dataloader needs to seek into
-    the packed stream. The running total is a single ordered window
-    (ROWS UNBOUNDED PRECEDING = streaming partial sum); at 100 TB the
-    same manifest builds per hash-range partition with per-partition
-    offsets re-based by one tiny exclusive-prefix-sum of partition
-    totals on the driver (the classic distributed scan pattern), so no
-    global single-partition window is needed.
+    the packed stream. The cumulative token position is computed as a
+    DISTRIBUTED exclusive prefix sum (the classic two-level scan, no
+    global single-partition window): the md5's first byte pair is a
+    deterministic hash-range bucket (256 uniform ranges), each bucket
+    runs its own balanced cumulative-sum window, and bucket base
+    offsets come from an exclusive prefix sum over the 256-row
+    bucket-total frame (broadcast back). The bucket is a PREFIX of the
+    hash, so (bkt, h, doc_id) order IS (h, doc_id) order and every
+    start_tok equals the serial value exactly — same oracle. At 100 TB
+    widen the prefix (2 bytes → 65k buckets); the corpus-sized side
+    never passes through one partition.
     """
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
         F.expr("(n_chars + 3) div 4").alias("tok"),
         F.md5(F.col("doc_id").cast("string")).alias("h"),
-    )
-    w = (
-        Window.orderBy("h", "doc_id")
+    ).withColumn("bkt", F.substring("h", 1, 2))
+    wloc = (
+        Window.partitionBy("bkt")
+        .orderBy("h", "doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    packed = toks.select(
+    local = toks.withColumn("cum", F.sum("tok").over(wloc))
+    woff = Window.orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = (
+        local.groupBy("bkt")
+        .agg(F.sum("tok").alias("btot"))
+        .select(
+            "bkt", (F.sum("btot").over(woff) - F.col("btot")).alias("off")
+        )
+    )
+    packed = local.join(F.broadcast(offsets), "bkt").select(
         "doc_id",
         "tok",
-        (F.sum("tok").over(w) - F.col("tok")).alias("start_tok"),
+        (F.col("off") + F.col("cum") - F.col("tok")).alias("start_tok"),
     )
     return (
         packed.groupBy(F.expr("start_tok div 2048").alias("seq_id"))

@@ -1766,7 +1766,8 @@ def sim_rerank_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
       LIMIT 50
     )
     SELECT vec_id, label, hamming,
-           round({_COS_SQL.format(a="embedding", b="pvec")}, 4) AS cos_sim
+           floor(({_COS_SQL.format(a="embedding", b="pvec")})
+                 * 10000 + 0.5) / 10000 AS cos_sim
     FROM cand
     ORDER BY cos_sim DESC, vec_id
     LIMIT 10
@@ -1818,10 +1819,13 @@ def sim_ann_binary_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hamming", "vec_id")
         .limit(50)
     )
-    cos = F.round(
+    from cdc_pubsub_spark.functions.rounding import r4 as _r4
+
+    # r4: cos_sim is division-created AND the top-k sort key — native
+    # round() midpoint divergence would reorder the cut (rounding.py).
+    cos = _r4(
         _dot(F.col("embedding"), F.col("pvec"))
-        / (_norm(F.col("embedding")) * _norm(F.col("pvec"))),
-        4,
+        / (_norm(F.col("embedding")) * _norm(F.col("pvec")))
     )
     return (
         cand.select("vec_id", "label", "hamming", cos.alias("cos_sim"))

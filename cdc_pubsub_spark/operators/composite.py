@@ -2479,7 +2479,7 @@ def orders_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy(F.col("month_start").desc())
     series = (
         monthly.withColumn("rev_rank", F.row_number().over(w))
-        .filter(F.col("rev_rank") <= 12)
+        .filter(F.col("rev_rank").between(2, 13))
         .agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("month_start", "x"))),

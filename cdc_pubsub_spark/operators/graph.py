@@ -610,8 +610,9 @@ _ADJ_SQL = " UNION ALL ".join(
     ),
     scored AS (
       SELECT ua, ub, n_common,
-             round(CAST(n_common AS DOUBLE)
-                   / (da.d + db.d - n_common), 4) AS jaccard
+             floor(CAST(n_common AS DOUBLE)
+                   / (da.d + db.d - n_common) * 10000 + 0.5) / 10000
+               AS jaccard
       FROM common
       JOIN deg da ON da.u = ua
       JOIN deg db ON db.u = ub
@@ -681,10 +682,11 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ua",
             "ub",
             "n_common",
-            F.round(
+            # r4: jaccard is division-created and the top-k sort key —
+            # native round() midpoint divergence would reorder the cut.
+            r4(
                 F.col("n_common").cast("double")
-                / (F.col("da") + F.col("db") - F.col("n_common")),
-                4,
+                / (F.col("da") + F.col("db") - F.col("n_common"))
             ).alias("jaccard"),
         )
     )

@@ -177,9 +177,10 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {PARTSUPP_CTE.strip()}
     SELECT n_name AS nation,
            CAST(year(o_orderdate) AS INTEGER) AS o_year,
-           round(sum(l_extendedprice * (1 - l_discount)
-                     - (ps_supplycost_cents / 100.0) * l_quantity),
-                 2) AS sum_profit
+           CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount)
+                     - (ps_supplycost_cents / 100.0) * l_quantity)
+                     * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+                 AS sum_profit
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
     JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
@@ -201,7 +202,13 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     big shuffle is lineitem⋈orders on the order key — the same backbone
     as Q3/Q10. Supply cost enters as integer cents and converts to
     dollars ONCE per row before the multiply, exactly like the oracle,
-    so the per-row doubles are bit-identical cross-engine.
+    so the per-row doubles are bit-identical cross-engine. The per-row
+    profit is then floored to integer CENTS before the sum (the repo's
+    integer-cents discipline): Spark's shuffled partial aggregation and
+    DuckDB's sequential fold accumulate in different orders, and a
+    float sum is the exact flake class the discipline exists to kill —
+    integer sums are order-independent. One division back to dollars at
+    projection time.
     """
     li = load(spark, sf_dir, "lineitem")
     ps = partsupp_frame(spark, sf_dir)
@@ -233,7 +240,14 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").alias("o_year"),
         )
-        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+        .agg(
+            (
+                F.sum(
+                    F.floor(amount * 100 + F.lit(0.5)).cast("bigint")
+                ).cast("double")
+                / F.lit(100.0)
+            ).alias("sum_profit")
+        )
         .orderBy("nation", F.col("o_year").desc())
     )
 

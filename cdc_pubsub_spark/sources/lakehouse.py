@@ -128,13 +128,27 @@ def _resolve_live_files(root: str, as_of: int | None = None) -> list[str]:
 
 
 def _snapshot_summary(spark: SparkSession, paths: list[str]) -> DataFrame:
-    """One distributed scan over the resolved file list → per-priority agg."""
+    """One distributed scan over the resolved file list → per-priority agg.
+
+    Revenue accumulates in integer CENTS (floor(x*100+0.5) per row,
+    BIGINT sum, one division back to dollars) — a double sum is
+    accumulation-order dependent between Spark's shuffled partials and
+    DuckDB's sequential fold, the exact cross-engine flake class the
+    repo's integer-cents discipline exists to kill.
+    """
     snap = spark.read.parquet(*paths)
     return (
         snap.groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            (
+                F.sum(
+                    F.floor(
+                        F.col("o_totalprice") * 100 + F.lit(0.5)
+                    ).cast("bigint")
+                ).cast("double")
+                / F.lit(100.0)
+            ).alias("revenue"),
         )
         .orderBy("o_orderpriority")
     )
@@ -146,8 +160,9 @@ def _snapshot_summary(spark: SparkSession, paths: list[str]) -> DataFrame:
     bench=False,
     oracle="""
     SELECT o_orderpriority,
-           count(*)                    AS n_orders,
-           round(sum(o_totalprice), 2) AS revenue
+           count(*) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS DOUBLE) / 100.0 AS revenue
     FROM orders
     WHERE o_orderkey % 4 IN (0, 2)
        OR (o_orderkey % 4 = 1 AND o_orderpriority <> '1-URGENT')
@@ -173,8 +188,9 @@ def scan_txn_log_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=False,
     oracle="""
     SELECT o_orderpriority,
-           count(*)                    AS n_orders,
-           round(sum(o_totalprice), 2) AS revenue
+           count(*) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS DOUBLE) / 100.0 AS revenue
     FROM orders
     WHERE o_orderkey % 4 IN (0, 1, 2)
     GROUP BY o_orderpriority

@@ -535,13 +535,25 @@ def test_sessionize_single_user_shuffle(spark, sf_dir):
     assert count_exchanges(df) <= 3, formatted_plan(df)
 
 
-def test_sequence_pack_is_single_ordered_window(spark, sf_dir):
-    """The packing prefix-sum is one ordered window over integer token
-    counts — no join, no Python."""
-    df = q("corpus_sequence_pack", spark, sf_dir)
-    plan = formatted_plan(df)
-    assert "Join" not in plan, plan
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+def test_corpus_prefix_sums_have_no_global_window(spark, sf_dir):
+    """The batch-assembly position and the sequence-pack prefix sum must
+    run DISTRIBUTED (two-level scan): every Window over the corpus-sized
+    side (ordered by the md5 hash column) must be partitioned by the
+    hash-prefix bucket — a global (unpartitioned) window there is the
+    single-partition total-order bottleneck the docstrings forbid. The
+    only permissible global window is the 256-row bucket-offset frame
+    (ordered by bkt alone). Offsets ride back on a broadcast join; no
+    Python anywhere."""
+    from cdc_pubsub_spark.plans.inspect import simple_plan
+
+    for name in ("corpus_batch_assembly", "corpus_sequence_pack"):
+        df = q(name, spark, sf_dir)
+        plan = simple_plan(df)
+        for line in plan.splitlines():
+            if "Window" in line and "h#" in line:
+                assert "windowspecdefinition(bkt#" in line, (name, line)
+        assert "BroadcastHashJoin" in plan, plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
 def test_domain_mix_broadcasts_total(spark, sf_dir):
