@@ -150,7 +150,11 @@ _RECERTIFY = [
 # precedent: every deferred op certified green the next round). All are
 # fully suite-covered in the meantime (tests/test_parity.py replicates
 # the driver check for every oracled op).
-_DEFER_TO_NEXT_ROUND: set[str] = set()
+_DEFER_TO_NEXT_ROUND: set[str] = {
+    # r08 additions (each locally hash-verified; window priority goes to
+    # the 17 never-sampled r07 ops + the stale-tail drain):
+    "multimodal_decode_png",  # replaces multimodal_decode_stub (real codec)
+}
 
 
 def _ordered_names() -> list[str]:

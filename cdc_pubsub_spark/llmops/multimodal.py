@@ -6,13 +6,12 @@ publisher.go:193-196), metadata travels in typed columns, and decoding
 happens in Arrow-batched `mapInPandas` — executors stream record batches,
 nothing ever materializes a partition in memory.
 
-Compressed-format codecs (PIL/librosa/ffmpeg) are NOT in this container;
-multimodal_decode_stub documents that gate with a deterministic fallback.
-multimodal_av_features, however, runs GENUINE pure-Python decoders over
-real format bytes — RIFF/WAVE (8-bit PCM), binary PPM (P6), and a
-concatenated-P6 frame stream — with the fixture bytes synthesized
-in-kernel from closed forms so a DuckDB oracle can hash-certify every
-decoded feature.
+Media libraries (PIL/librosa/ffmpeg) are NOT in this container, so every
+decoder here is a GENUINE pure-Python/stdlib codec over real format
+bytes — PNG (zlib IDAT + CRC chunk walk + the five scanline filters),
+RIFF/WAVE (8-bit PCM), binary PPM (P6), and a concatenated-P6 frame
+stream — with the fixture bytes synthesized in-kernel from closed forms
+so a DuckDB oracle can hash-certify every decoded feature.
 """
 
 from __future__ import annotations
@@ -70,80 +69,201 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _decode_image_real(payload: bytes) -> tuple[int, int]:
-    """Real decoder — requires PIL, which this container does not ship.
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6): the neighbor (left/up/
+    upper-left) closest to the linear estimate a + b − c."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
 
-    Raises NotImplementedError so callers fall back to the deterministic
-    fake; on a cluster with codecs installed, replace the body with
-    `img = PIL.Image.open(io.BytesIO(payload)); return img.size`.
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def _synth_png(doc_id: int) -> bytes:
+    """Real PNG bytes (RFC 2083): 8-bit RGB (color type 2), w=5+doc_id%12,
+    h=4+doc_id%9, channel byte j = (doc_id*23 + j*7) % 256 over the
+    w*h*3 raster. Scanline r is encoded with filter type r % 5, so a
+    decoder must implement the FULL None/Sub/Up/Average/Paeth battery —
+    any unfilter slip shifts every later byte and breaks the oracle.
+    IDAT is genuinely zlib-compressed; every chunk carries its CRC-32.
     """
-    try:
-        import PIL.Image  # noqa: F401
-    except ImportError:
-        raise NotImplementedError("media codecs not available in this environment")
-    raise NotImplementedError("real decode path reserved for codec-enabled clusters")
+    import struct
+    import zlib
+
+    w, h = 5 + doc_id % 12, 4 + doc_id % 9
+    stride, bpp = w * 3, 3
+    raster = bytes((doc_id * 23 + j * 7) % 256 for j in range(w * h * 3))
+    lines = []
+    prev = bytes(stride)
+    for r in range(h):
+        row = raster[r * stride : (r + 1) * stride]
+        ft = r % 5
+        filt = bytearray()
+        for i in range(stride):
+            x = row[i]
+            a = row[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if ft == 0:
+                v = x
+            elif ft == 1:
+                v = x - a
+            elif ft == 2:
+                v = x - b
+            elif ft == 3:
+                v = x - (a + b) // 2
+            else:
+                v = x - _paeth(a, b, c)
+            filt.append(v & 0xFF)
+        lines.append(bytes([ft]) + bytes(filt))
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    idat = zlib.compress(b"".join(lines))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
 
 
-def _decode_fake(payload: bytes) -> tuple[int, int]:
-    """Deterministic fake decode: dimensions from the first payload bytes."""
-    w = (payload[0] if payload else 0) % 64 + 1
-    h = (payload[1] if len(payload) > 1 else 0) % 64 + 1
-    return w, h
+def decode_png(payload: bytes) -> dict:
+    """Genuine PNG decode, stdlib-only: signature check, chunk walk with
+    CRC-32 verification per chunk, IHDR parse, multi-IDAT zlib inflate,
+    and full scanline UNFILTERING (None/Sub/Up/Average/Paeth). Supports
+    the 8-bit RGB truecolor profile (the synthesized corpus); any other
+    depth/color/interlace combination raises — dead-letter stance, not
+    silent garbage. Emits width/height (header) and mean_lum = integer
+    mean of all channel bytes (reconstructed raster)."""
+    import struct
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG signature")
+    pos, ihdr, idat = 8, None, b""
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        if len(data) < ln:
+            raise ValueError("truncated chunk")
+        (crc,) = struct.unpack(">I", payload[pos + 8 + ln : pos + 12 + ln])
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in {typ!r}")
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None:
+        raise ValueError("missing IHDR")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if (depth, color, comp, filt, interlace) != (8, 2, 0, 0, 0):
+        raise ValueError("unsupported PNG profile (need 8-bit RGB, no interlace)")
+    raw = zlib.decompress(idat)
+    stride, bpp = w * 3, 3
+    if len(raw) != h * (stride + 1):
+        raise ValueError("scanline payload length mismatch")
+    total = 0
+    prev = bytes(stride)
+    for r in range(h):
+        ft = raw[r * (stride + 1)]
+        line = raw[r * (stride + 1) + 1 : (r + 1) * (stride + 1)]
+        row = bytearray(stride)
+        for i in range(stride):
+            x = line[i]
+            a = row[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if ft == 0:
+                v = x
+            elif ft == 1:
+                v = x + a
+            elif ft == 2:
+                v = x + b
+            elif ft == 3:
+                v = x + (a + b) // 2
+            elif ft == 4:
+                v = x + _paeth(a, b, c)
+            else:
+                raise ValueError(f"bad filter type {ft}")
+            row[i] = v & 0xFF
+        total += sum(row)
+        prev = bytes(row)
+    return {"width": w, "height": h, "mean_lum": total // (w * h * 3)}
 
 
 @register(
-    "multimodal_decode_stub",
+    "multimodal_decode_png",
     category="multimodal",
     bench=False,
     oracle="""
-    SELECT doc_id,
-           CAST(ascii(substr(text, 1, 1)) % 64 + 1 AS INT) AS width,
-           CAST(ascii(substr(text, 2, 1)) % 64 + 1 AS INT) AS height,
+    WITH img AS (
+      SELECT doc_id, 5 + doc_id % 12 AS w, 4 + doc_id % 9 AS h
+      FROM documents WHERE doc_id <= 500
+    )
+    SELECT i.doc_id,
+           CAST(i.w AS INT) AS width,
+           CAST(i.h AS INT) AS height,
+           CAST(sum((i.doc_id * 23 + t.j * 7) % 256)
+                // (i.w * i.h * 3) AS INT) AS mean_lum,
            true AS decoded_ok
-    FROM documents
-    WHERE doc_id <= 500
+    FROM img i, LATERAL unnest(range(0, i.w * i.h * 3)) AS t(j)
+    GROUP BY i.doc_id, i.w, i.h
     """,
 )
-def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas decode kernel over binary payloads (stubbed codec).
+def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed REAL PNG decode via Arrow mapInPandas (stdlib-only
+    codec — zlib IDAT inflate, CRC-verified chunk walk, all five
+    scanline filters). Replaces the round-1 fake-decode stub: the
+    compressed-image gate is now closed with the same real-codec
+    discipline as the P6/RIFF/WAV kernels.
 
-    Arrow streams record batches into Python; the kernel decodes each
-    payload and emits typed features. Batch shape, schema declaration,
-    and executor-side iteration are production-real; only the codec call
-    is faked (deterministically) because the container has no media libs
-    — and because the fake is a pure function of the payload bytes
-    (dims from the first two bytes), the whole Arrow round-trip carries
-    an EXACT SQL oracle: the fixture text is ASCII, so byte k equals
-    the code point of character k and DuckDB's ascii(substr(...))
-    reproduces the kernel bit-for-bit (the real WAV/PPM codecs in
-    multimodal_av_features cover the non-stub path).
+    Payload bytes are synthesized in-kernel as genuine PNG files with
+    closed-form pixel content (the container ships no media files);
+    the decoder sees ONLY the bytes. Because the encoder cycles filter
+    types 0-4 across scanlines, decode correctness depends on every
+    unfilter branch AND the zlib round-trip AND chunk CRC handling —
+    one slipped byte shifts the raster and hash-fails the DuckDB
+    oracle, which recomputes mean_lum from the closed form. Arrow
+    batch shape, schema declaration, and executor-side iteration are
+    the production plumbing for a 100 TB image lake (payloads arrive
+    via binaryFile or a parquet binary column; only the kernel's
+    synth step differs).
     """
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") <= 500)
-    payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    ids = docs.select("doc_id")
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            widths, heights, ok = [], [], []
-            for raw in pdf["payload"]:
-                data = bytes(raw)
-                try:
-                    w, h = _decode_image_real(data)
-                except NotImplementedError:
-                    w, h = _decode_fake(data)
-                widths.append(w)
-                heights.append(h)
-                ok.append(True)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "width": widths,
-                    "height": heights,
-                    "decoded_ok": ok,
-                }
-            )
+            out = []
+            for doc_id in pdf["doc_id"]:
+                feats = decode_png(_synth_png(int(doc_id)))
+                feats["doc_id"] = doc_id
+                feats["decoded_ok"] = True
+                out.append(feats)
+            yield pd.DataFrame(out)
 
-    return payloads.mapInPandas(
-        decode_batches, schema="doc_id bigint, width int, height int, decoded_ok boolean"
+    return ids.mapInPandas(
+        decode_batches,
+        schema="width int, height int, mean_lum int, doc_id bigint,"
+        " decoded_ok boolean",
     )
 
 
@@ -166,7 +286,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Fake frame count derived from payload length; every 5th frame is
     sampled via sequence+explode (JVM-side expansion — the frame *index*
     plan never touches Python; only the per-frame decode would, via the
-    same mapInPandas kernel as multimodal_decode_stub).
+    same mapInPandas kernel shape as multimodal_decode_png).
     """
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") <= 200)
     n_frames = (F.octet_length(F.encode("text", "utf-8")) % 50 + 10).alias("n_frames")
@@ -421,9 +541,8 @@ def multimodal_av_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     container), and the DuckDB oracle recomputes the features from the
     same closed forms — so decode correctness is hash-certified
     end-to-end: a single mis-parsed header field or sample offset
-    breaks the oracle equality. PIL/ffmpeg-class codecs for compressed
-    formats remain out of scope here (multimodal_decode_stub documents
-    that gate).
+    breaks the oracle equality. The compressed-image tier is covered by
+    the stdlib PNG codec in multimodal_decode_png.
 
     Memory contract for payload-heavy rows: Arrow batch size is bounded
     via `spark.sql.execution.arrow.maxRecordsPerBatch` before the plan
@@ -491,7 +610,7 @@ def multimodal_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     `spark.read.format("binaryFile")` lists and reads files
     executor-side (distributed listing + read, nothing driver-local),
     carries modification time for incremental loads, and feeds the same
-    mapInPandas decode kernels as multimodal_decode_stub. Content bytes
+    mapInPandas decode kernels as multimodal_decode_png. Content bytes
     are projected away here — the aggregate only needs lengths, and
     column pruning means payloads are never even read (the binaryFile
     reader skips `content` when unprojected)."""

@@ -212,11 +212,79 @@ def test_minhash_signatures_deterministic_and_exact(spark, sf_dir):
     assert a == want, "array-min signature must equal exploded ground truth"
 
 
-def test_decode_stub_deterministic(spark, sf_dir):
-    a = REGISTRY["multimodal_decode_stub"].fn(spark, sf_dir).collect()
-    b = REGISTRY["multimodal_decode_stub"].fn(spark, sf_dir).collect()
+def test_decode_png_deterministic(spark, sf_dir):
+    a = REGISTRY["multimodal_decode_png"].fn(spark, sf_dir).collect()
+    b = REGISTRY["multimodal_decode_png"].fn(spark, sf_dir).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     assert all(r["decoded_ok"] for r in a)
+
+
+def test_png_codec_roundtrip_and_rejection():
+    """The stdlib PNG codec's own contract, no Spark: (1) encode→decode
+    round-trips width/height/mean over ids covering every filter-type
+    mix and boundary widths; (2) a flipped IDAT byte fails the CRC
+    check; (3) a truncated file and a non-PNG payload are rejected —
+    dead-letter discipline, never silent garbage."""
+    import struct
+    import zlib
+
+    from cdc_pubsub_spark.llmops.multimodal import _synth_png, decode_png
+
+    for doc_id in [0, 1, 7, 13, 59, 107, 500]:
+        png = _synth_png(doc_id)
+        w, h = 5 + doc_id % 12, 4 + doc_id % 9
+        raster = bytes(
+            (doc_id * 23 + j * 7) % 256 for j in range(w * h * 3)
+        )
+        feats = decode_png(png)
+        assert feats == {
+            "width": w,
+            "height": h,
+            "mean_lum": sum(raster) // (w * h * 3),
+        }, doc_id
+
+    png = bytearray(_synth_png(42))
+    # Locate IDAT and flip one payload byte WITHOUT fixing the CRC.
+    idx = bytes(png).index(b"IDAT")
+    (ln,) = struct.unpack(">I", bytes(png[idx - 4 : idx]))
+    png[idx + 4 + ln // 2] ^= 0xFF
+    try:
+        decode_png(bytes(png))
+        raise AssertionError("corrupted IDAT must fail the CRC check")
+    except ValueError as ex:
+        assert "CRC" in str(ex)
+
+    good = _synth_png(42)
+    try:
+        decode_png(good[: len(good) - 20])
+        raise AssertionError("truncated PNG must be rejected")
+    except ValueError:
+        pass
+    try:
+        decode_png(b"not a png at all")
+        raise AssertionError("non-PNG payload must be rejected")
+    except ValueError as ex:
+        assert "signature" in str(ex)
+    # zlib corruption INSIDE a chunk whose CRC was recomputed (a valid
+    # container carrying a broken stream) must still raise, from inflate.
+    idx = good.index(b"IDAT")
+    (ln,) = struct.unpack(">I", good[idx - 4 : idx])
+    body = bytearray(good[idx + 4 : idx + 4 + ln])
+    body[0] ^= 0xFF
+    fixed_crc = struct.pack(
+        ">I", zlib.crc32(b"IDAT" + bytes(body)) & 0xFFFFFFFF
+    )
+    patched = (
+        good[: idx + 4]
+        + bytes(body)
+        + fixed_crc
+        + good[idx + 8 + ln :]
+    )
+    try:
+        decode_png(patched)
+        raise AssertionError("broken zlib stream must be rejected")
+    except (ValueError, zlib.error):
+        pass
 
 
 def test_contamination_finds_planted_copies(spark, sf_dir):
