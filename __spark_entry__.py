@@ -135,6 +135,9 @@ _RECERTIFY = [
     # bit-identical by the prefix-order argument, plan reshaped:
     "corpus_batch_assembly",
     "corpus_sequence_pack",
+    # Graduated from rows-only to a full exact SQL oracle (round-7
+    # VERDICT item 8): quantized power-iteration PCA, llmops/pca.py.
+    "embed_pca_project",
     # NOT listed: orders_forecast_holt / graph_jaccard_neighbors /
     # scan_txn_log_* — also changed this round, but they have never
     # received a driver row (r07 defer set) so they already lead the

@@ -700,89 +700,82 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("embed_pca_project", category="similarity", oracle=None, bench=False)
+from cdc_pubsub_spark.llmops import pca as _pca  # noqa: E402
+
+
+@register(
+    "embed_pca_project",
+    category="similarity",
+    bench=False,
+    oracle=_pca.oracle_sql(),
+)
 def embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA dimensionality reduction for the embedding column: 64 dims →
-    8 principal components, centered, deterministically signed.
+    8 principal components, centered — HASH-CERTIFIED end to end via a
+    deterministic quantized power iteration (llmops/pca.py has the full
+    determinism argument; this was the repo's last eigensolve-shaped
+    rows-only op, upgraded per the round-7 VERDICT).
 
-    The scale pattern is two-phase. Phase 1 (distributed): each Arrow
-    batch reduces to its moment partials — count, per-dim sum, and the
-    64×64 outer-product sum X'X — via numpy inside mapInPandas; the
-    driver combines a handful of partial rows (one per batch, fixed
-    combine order for bit-stable floats). The data-sized input never
-    leaves executors; what crosses the wire is O(batches × d²). Phase 2
-    (driver): eigendecompose the 64×64 covariance (O(d³) — microscopic
-    and SCALE-INDEPENDENT) with the sign of each component fixed so its
-    largest-magnitude coordinate is positive, then ship mean + basis
-    back as a broadcast for a vectorized pandas_udf projection.
-    This is exactly how Spark MLlib's PCA is built (RowMatrix
-    computeCovariance + local eigensolve) — re-expressed on the
-    DataFrame/Arrow stack with the projection staying columnar.
-    Rows-only check (DuckDB has no eigensolver); orthonormality,
-    variance ordering, and reconstruction error are asserted in
-    tests/test_llmops.py.
-
-    The projection ships as a JSON string, not array<double>: the
-    driver's rows-check canonicalizes by sorting every output column,
-    and a raw array column is unsortable in pandas (the one red row in
-    CORRECTNESS_r03). The 4-decimal rounding already makes the string
-    form deterministic.
+    The scale pattern is two-phase, exactly MLlib's RowMatrix
+    computeCovariance recipe on the Arrow stack. Phase 1 (distributed):
+    each Arrow batch reduces to EXACT INTEGER moment partials — count,
+    per-dim sum S, and the 64×64 cross-product XX over 1e-6-quantized
+    elements — via int64 numpy inside mapInPandas; integer partials
+    combine order-independently on the driver (the old float version
+    needed a fixed combine order; integers don't). What crosses the
+    wire is O(batches × d²). Phase 2 (driver): K=8 deflated power
+    iterations on the integer scatter matrix n·XX − S·Sᵀ, every float
+    reduction an explicit left-associated chain and every iterate
+    re-quantized to integers — bit-reproducible by the DuckDB oracle,
+    which unrolls the identical iteration in MATERIALIZED CTEs. The
+    projection itself is RELATIONAL (generated Spark-SQL expressions
+    over integer literals — no pandas_udf, no Python in the row path):
+    centered elements quantize to exact BIGINT, dot products are exact
+    integer folds, and one double division + r4 lands the output.
     """
-    import numpy as np
-
-    k = 8
     emb = load(spark, sf_dir, "embeddings")
 
-    def moment_partials(batches):
+    def moment_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             if not len(pdf):
                 continue
             X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            Xq = np.floor(X * 1000000.0 + 0.5).astype(np.int64)
             yield pd.DataFrame(
                 {
-                    "n": [len(X)],
-                    "s": [X.sum(axis=0).tolist()],
-                    "xx": [(X.T @ X).ravel().tolist()],
+                    "n": [len(Xq)],
+                    "s": [Xq.sum(axis=0).tolist()],
+                    "xx": [(Xq.T @ Xq).ravel().tolist()],
                 }
             )
 
     parts = (
         emb.select("embedding")
-        .mapInPandas(moment_partials, schema="n bigint, s array<double>, xx array<double>")
+        .mapInPandas(
+            moment_partials, schema="n bigint, s array<bigint>, xx array<bigint>"
+        )
         .collect()
     )
-    # Fixed combine order => identical float accumulation every run.
-    parts = sorted(parts, key=lambda r: (r.n, r.s[0], r.xx[0]))
+    d = _pca.D
     n = sum(p.n for p in parts)
-    d = len(parts[0].s)
-    S = np.zeros(d)
-    XX = np.zeros((d, d))
-    for p in parts:
-        S += np.array(p.s)
-        XX += np.array(p.xx).reshape(d, d)
-    mean = S / n
-    cov = XX / n - np.outer(mean, mean)
-    eigvals, eigvecs = np.linalg.eigh(cov)  # ascending order
-    W = eigvecs[:, ::-1][:, :k]
-    # Sign convention: each component's largest-|coordinate| is positive.
-    for j in range(k):
-        i = int(np.abs(W[:, j]).argmax())
-        if W[i, j] < 0:
-            W[:, j] = -W[:, j]
-    b_mean = spark.sparkContext.broadcast(mean)
-    b_w = spark.sparkContext.broadcast(W)
-
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("array<double>")
-    def project(col: pd.Series) -> pd.Series:
-        X = np.stack(col.to_numpy()).astype(np.float64)
-        P = (X - b_mean.value) @ b_w.value
-        return pd.Series([np.round(row, 4).tolist() for row in P])
-
-    # -0.0 normalizes to 0.0 so the JSON text is canonical.
-    proj = F.transform(project("embedding"), lambda x: x + F.lit(0.0))
-    return emb.select("vec_id", "label", F.to_json(proj).alias("proj"))
+    S = [0] * d
+    XX = [[0] * d for _ in range(d)]
+    for p in parts:  # exact integer combine — order-free by construction
+        for i in range(d):
+            S[i] += p.s[i]
+            row = p.xx[i * d : (i + 1) * d]
+            Xi = XX[i]
+            for j in range(d):
+                Xi[j] += row[j]
+    W, VV = _pca.power_iteration_reference(n, S, XX)
+    cq_expr, p_exprs = _pca.spark_projection_exprs(n, S, W, VV)
+    return emb.withColumn("cq", F.expr(cq_expr)).select(
+        "vec_id",
+        "label",
+        *[F.expr(p_exprs[c]).alias(f"p{c}") for c in range(_pca.K)],
+    )
 
 
 def _kmeans_run(

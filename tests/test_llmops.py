@@ -505,29 +505,70 @@ def test_av_features_kernel_dispatch(spark, sf_dir):
 def test_pca_projection_properties(spark, sf_dir):
     """PCA invariants on the real embeddings: (a) 8-dim output for every
     vector; (b) projected variance is non-increasing across components
-    (principal axes in order); (c) component means are ~0 (centering);
-    (d) total projected variance ≤ total input variance with the top-8
-    capturing a strictly positive share; (e) deterministic across runs."""
+    up to power-iteration convergence slack (T=6 deflated iterations,
+    so adjacent components may be a whisker out of order but never
+    grossly); (c) component means are ~0 (centering); (d) total
+    projected variance ≤ total input variance with the top-8 capturing
+    a strictly positive share; (e) deterministic across runs; (f) the
+    iterate basis is near-orthonormal after de-quantization."""
     import numpy as np
 
     from cdc_pubsub_spark.registry import REGISTRY
     from cdc_pubsub_spark.tables import load
 
-    import json
-
     out = REGISTRY["embed_pca_project"].fn(spark, sf_dir).collect()
-    assert all(isinstance(r.proj, str) for r in out)  # driver-sortable form
-    P = np.array([json.loads(r.proj) for r in out])
-    assert P.shape[1] == 8 and len(P) == len(out)
+    P = np.array([[getattr(r, f"p{c}") for c in range(8)] for r in out])
+    assert P.shape == (len(out), 8)
     var = P.var(axis=0)
-    assert all(var[i] >= var[i + 1] - 1e-9 for i in range(7)), var
+    assert all(var[i] >= var[i + 1] * 0.9 - 1e-12 for i in range(7)), var
     assert np.abs(P.mean(axis=0)).max() < 1e-3
     X = np.stack([np.array(r.embedding, dtype=np.float64)
                   for r in load(spark, sf_dir, "embeddings").collect()])
     total_var = X.var(axis=0).sum()
     assert 0 < var.sum() <= total_var + 1e-6
     out2 = REGISTRY["embed_pca_project"].fn(spark, sf_dir).collect()
-    assert {r.vec_id: r.proj for r in out2} == {r.vec_id: r.proj for r in out}
+    key = lambda r: (r.vec_id, tuple(getattr(r, f"p{c}") for c in range(8)))
+    assert sorted(map(key, out2)) == sorted(map(key, out))
+
+
+def test_pca_reference_iteration_is_orthonormal_basis():
+    """The quantized power iteration's basis quality, checked directly
+    on exact moments from the sf0.001 embeddings: de-quantized iterate
+    vectors are unit-norm by construction and pairwise near-orthogonal
+    (deflation), and their Rayleigh quotients are non-increasing up to
+    convergence slack."""
+    import duckdb
+    import numpy as np
+
+    from cdc_pubsub_spark.llmops import pca
+
+    con = duckdb.connect()
+    X = np.stack(
+        con.sql(
+            "SELECT embedding FROM"
+            " read_parquet('/root/testdata/sf0.001/embeddings.parquet')"
+            " ORDER BY vec_id"
+        )
+        .df()["embedding"]
+        .to_numpy()
+    ).astype(np.float64)
+    Xq = np.floor(X * 1000000.0 + 0.5).astype(object)
+    n = len(Xq)
+    S = [int(v) for v in Xq.sum(axis=0)]
+    XX = [[int(v) for v in row] for row in (Xq.T @ Xq)]
+    W, VV = pca.power_iteration_reference(n, S, XX)
+    Wn = np.array(
+        [[w / np.sqrt(vv) for w in row] for row, vv in zip(W, VV)]
+    )
+    G = Wn @ Wn.T
+    assert np.abs(np.diag(G) - 1.0).max() < 1e-6
+    off = np.abs(G - np.diag(np.diag(G))).max()
+    assert off < 0.05, off  # deflation keeps components near-orthogonal
+    M = np.array(
+        [[float(n * XX[i][j] - S[i] * S[j]) for j in range(64)] for i in range(64)]
+    )
+    ray = [float(w @ M @ w) for w in Wn]
+    assert all(ray[i] >= ray[i + 1] * 0.9 for i in range(len(ray) - 1)), ray
 
 
 def test_kmeans_inertia_monotone_and_deterministic(spark, sf_dir):
