@@ -44,37 +44,45 @@ from cdc_pubsub_spark.session import get_spark
 # Launch order seed: known-heavy ops first so they overlap the long tail
 # of sub-second queries instead of serializing at the end.
 HEAVY_FIRST = [
-    # Re-seeded from the r06 paired-run BENCH_DETAIL (heaviest measured
-    # under conc24 contention, descending): the events-composite block
-    # displaced several former tails after the integer-key and
-    # positional-filter rewrites.
-    "dedup_minhash_banded",  # bench twin of dedup_minhash_lsh since r07
+    # Re-seeded from the r07 sf0.1 paired-run BENCH_DETAIL (heaviest
+    # measured under conc48 contention, descending) — round-7 VERDICT
+    # item 7: dedup_incremental (9.0 s contended / 1.8 s serial) and
+    # sim_ann_pq (8.5 / 1.35) started too late in the old order, which
+    # still reflected r06 weights; the r07-new retrieval/profiling ops
+    # (spatial grid, bloom join, BM25, RRF, jaccard, FD-check) join the
+    # seed for the first time.
     "dedup_incremental",
-    "basket_brand_pairs",
-    "corpus_resample_to_mix",
-    "cdc_malformed_deadletter",
-    "events_active_users",
-    "events_attribution",
-    "events_funnel",
-    "events_cohort_retention",
-    "events_error_rate_sla",
-    "events_interarrival_dist",
     "sim_ann_pq",
-    "events_ohlc_weekly_rollup",
-    "events_heatmap_dow_hour",
-    "events_sessionize",
-    "events_ohlc_resample",
-    "events_top_paths",
     "sim_ann_ivf",
-    "events_user_set_algebra",
+    "basket_brand_pairs",
+    "dedup_minhash_banded",  # bench twin of dedup_minhash_lsh since r07
+    "dedup_embed_cosine",
+    "cdc_malformed_deadletter",
     "text_lm_perplexity",
     "text_boilerplate_spans",
-    "dedup_embed_cosine",
+    "join_spatial_grid",
+    "dedup_containment",
+    "cdc_incremental_view",
+    "events_active_users",
+    "text_tfidf_topk",
+    "graph_pagerank",
+    "events_attribution",
+    "corpus_resample_to_mix",
     "dedup_simhash",
     "agg_approx_percentile",
-    "text_tfidf_topk",
+    "graph_jaccard_neighbors",
+    "search_rrf_fusion",
+    "events_sessionize",
     "text_contamination",
+    "join_bloom_pruned",
+    "profile_columns",
     "pipeline_training_data_e2e",
+    "events_funnel",
+    "profile_fd_check",
+    "agg_kmv_theta_distinct",
+    "text_bm25_topk",
+    "cdc_asof_snapshot",
+    "tpch_q9_product_profit",
 ]
 
 
