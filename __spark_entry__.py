@@ -157,6 +157,10 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     # r08 additions (each locally hash-verified; window priority goes to
     # the 17 never-sampled r07 ops + the stale-tail drain):
     "multimodal_decode_png",  # replaces multimodal_decode_stub (real codec)
+    "profile_gini_lorenz",
+    "events_cusum_changepoint",
+    "graph_label_propagation",
+    "sink_txn_log_occ",
 }
 
 

@@ -1341,3 +1341,124 @@ def profile_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         crit.alias("crit_nano"),
         (F.col("d_nano") > crit).alias("reject_95"),
     )
+
+
+@register(
+    "profile_gini_lorenz",
+    category="advanced",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey AS custkey,
+             CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents, custkey) AS i
+      FROM per_cust
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_cust,
+             CAST(sum(cents) AS BIGINT) AS total_cents,
+             CAST(sum(CAST(i AS HUGEINT) * cents) AS BIGINT) AS a
+      FROM ranked
+    ),
+    deciles AS (
+      SELECT ((i - 1) * 10) // n_cust AS decile,
+             CAST(count(*) AS BIGINT) AS n_custs,
+             CAST(sum(cents) AS BIGINT) AS decile_cents
+      FROM ranked CROSS JOIN stats
+      GROUP BY 1, n_cust
+    )
+    SELECT decile, n_custs, decile_cents,
+           floor(CAST(sum(decile_cents) OVER (ORDER BY decile
+                   ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                 / CAST(total_cents AS DOUBLE) * 10000 + 0.5) / 10000
+             AS lorenz_cum_share,
+           floor((2e0 * CAST(a AS DOUBLE)
+                    / (CAST(n_cust AS DOUBLE) * CAST(total_cents AS DOUBLE))
+                  - CAST(n_cust + 1 AS DOUBLE) / CAST(n_cust AS DOUBLE))
+                 * 10000 + 0.5) / 10000 AS gini
+    FROM deciles CROSS JOIN stats
+    ORDER BY decile
+    """,
+)
+def profile_gini_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration audit: the Lorenz curve (cumulative revenue
+    share of the poorest k/10 of customers) plus the Gini coefficient —
+    the economics-grade inequality summary beside the Pareto decile op.
+
+    Gini via the rank identity G = 2·Σᵢ i·cᵢ / (n·Σc) − (n+1)/n over
+    ASCENDING spend rank — one pass over the ranked frame, all-integer
+    until the final division (A = Σ i·cᵢ is an exact BIGINT; at 100×
+    scale it promotes to the oracle's HUGEINT discipline / Spark
+    DECIMAL(38)). Ranking is the TWO-LEVEL distributed scan the Pareto
+    docstring only describes — implemented here: customers bucket by a
+    monotone value range (cents div 5e7, i.e. $500k-wide buckets), each
+    bucket ranks locally in a balanced window, and bucket offsets come
+    from an exclusive prefix sum over the tiny bucket-count frame —
+    (bucket, cents, custkey) order IS (cents, custkey) order because
+    the bucket is a monotone function of the sort key, so distributed
+    ranks equal the oracle's serial row_number exactly. No
+    corpus-sized single-partition window anywhere (plan-pinned).
+    """
+    per_cust = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.floor(F.sum("o_totalprice") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    bucketed = per_cust.withColumn("bkt", F.expr("cents div 50000000"))
+    wloc = Window.partitionBy("bkt").orderBy("cents", "custkey")
+    local = bucketed.withColumn("rn", F.row_number().over(wloc))
+    woff = Window.orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = (
+        local.groupBy("bkt")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("bkt", (F.sum("cnt").over(woff) - F.col("cnt")).alias("off"))
+    )
+    ranked = local.join(F.broadcast(offsets), "bkt").select(
+        "cents", (F.col("off") + F.col("rn")).alias("i")
+    )
+    stats = F.broadcast(
+        ranked.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cust"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+            F.sum(F.col("i") * F.col("cents")).cast("bigint").alias("a"),
+        )
+    )
+    deciles = (
+        ranked.crossJoin(stats)
+        .groupBy(F.expr("((i - 1) * 10) div n_cust").alias("decile"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_custs"),
+            F.sum("cents").cast("bigint").alias("decile_cents"),
+        )
+    )
+    gini = F.expr(
+        "floor((2D * CAST(a AS DOUBLE)"
+        " / (CAST(n_cust AS DOUBLE) * CAST(total_cents AS DOUBLE))"
+        " - CAST(n_cust + 1 AS DOUBLE) / CAST(n_cust AS DOUBLE))"
+        " * 10000 + 0.5) / 10000"
+    )
+    return (
+        deciles.crossJoin(stats)
+        .select(
+            "decile",
+            "n_custs",
+            "decile_cents",
+            F.expr(
+                "floor(CAST(sum(decile_cents) OVER (ORDER BY decile"
+                " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+                " AS DOUBLE) / CAST(total_cents AS DOUBLE)"
+                " * 10000 + 0.5) / 10000"
+            ).alias("lorenz_cum_share"),
+            gini.alias("gini"),
+        )
+        .orderBy("decile")
+    )

@@ -2739,3 +2739,105 @@ def orders_forecast_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("horizon")
     )
+
+
+@register(
+    "events_cusum_changepoint",
+    category="composite",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    idx AS (SELECT row_number() OVER (ORDER BY d) AS t, d, x FROM daily),
+    st AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+                  CAST(sum(x) AS BIGINT) AS tot
+           FROM daily),
+    rec AS (
+      SELECT i.t, i.d, i.x,
+             greatest(0, i.x * st.nd - st.tot) AS sp,
+             least(0, i.x * st.nd - st.tot)    AS sn
+      FROM idx i CROSS JOIN st WHERE i.t = 1
+      UNION ALL
+      SELECT i.t, i.d, i.x,
+             greatest(0, r.sp + (i.x * st.nd - st.tot)),
+             least(0, r.sn + (i.x * st.nd - st.tot))
+      FROM rec r JOIN idx i ON i.t = r.t + 1 CROSS JOIN st
+    )
+    SELECT d AS day_idx, x AS n_events,
+           sp AS cusum_pos, sn AS cusum_neg,
+           row_number() OVER (ORDER BY greatest(sp, -sn) DESC, d) = 1
+             AS is_changepoint
+    FROM rec
+    ORDER BY day_idx
+    """,
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection over the daily event-volume series:
+    two-sided cumulative sums of deviations from the global mean, with
+    the peak-|S| day flagged as the most likely mean-shift location —
+    the classic sequential quality-control detector (Page 1954),
+    scale-free because deviations enter as EXACT integers
+    (x_t·n_days − total, i.e. the deviation times n_days — same
+    argmax, no division anywhere).
+
+    S⁺_t = max(0, S⁺_{t-1} + dev_t), S⁻_t = min(0, S⁻_{t-1} + dev_t):
+    a genuinely sequential recurrence, so both engines run the SAME
+    fold — Spark folds the day-sorted array through one aggregate HOF
+    (the orders_forecast_holt device), the oracle is the identical
+    recursive CTE. All-integer state ⇒ no float determinism argument
+    needed at all. At 100 TB only the daily pre-aggregate touches the
+    fact table (one shuffle on day); the fold state is two BIGINTs
+    over one row per day on one row — a century of days is 36.5k
+    array elements.
+    """
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            F.expr("unix_micros(cast(ts as timestamp)) div 86400000000").alias(
+                "d"
+            )
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    series = daily.agg(
+        F.array_sort(F.collect_list(F.struct("d", "x"))).alias("ds")
+    ).selectExpr(
+        "ds",
+        "CAST(size(ds) AS BIGINT) AS nd",
+        "aggregate(ds, 0L, (tacc, tel) -> tacc + tel.x) AS tot",
+    )
+    path = series.selectExpr(
+        """
+        aggregate(
+          ds,
+          named_struct(
+            'sp', 0L, 'sn', 0L,
+            'path',
+            CAST(array() AS
+                 array<struct<d: bigint, x: bigint,
+                              sp: bigint, sn: bigint>>)),
+          (acc, s) -> named_struct(
+            'sp', greatest(0L, acc.sp + (s.x * nd - tot)),
+            'sn', least(0L, acc.sn + (s.x * nd - tot)),
+            'path', concat(acc.path, array(named_struct(
+               'd', s.d, 'x', s.x,
+               'sp', greatest(0L, acc.sp + (s.x * nd - tot)),
+               'sn', least(0L, acc.sn + (s.x * nd - tot))))))
+        ).path AS path
+        """
+    ).select(F.explode("path").alias("p"))
+    w = Window.orderBy(
+        F.desc(F.greatest(F.col("cusum_pos"), -F.col("cusum_neg"))), "day_idx"
+    )
+    return (
+        path.select(
+            F.col("p.d").alias("day_idx"),
+            F.col("p.x").alias("n_events"),
+            F.col("p.sp").alias("cusum_pos"),
+            F.col("p.sn").alias("cusum_neg"),
+        )
+        .withColumn("is_changepoint", F.row_number().over(w) == 1)
+        .orderBy("day_idx")
+    )

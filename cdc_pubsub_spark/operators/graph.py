@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from cdc_pubsub_spark.functions.rounding import r4
 from cdc_pubsub_spark.registry import register
@@ -693,3 +694,132 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.desc("jaccard"), F.desc("n_common"), "ua", "ub"
     ).limit(20)
+
+
+_LP_ROUNDS = 4
+
+
+def _lp_round_sql(rounds: int) -> str:
+    """Statically unrolled synchronous label-propagation rounds: each is
+    a neighbor-label count + a per-node argmax with the deterministic
+    (count DESC, label ASC) tie-break."""
+    ctes = []
+    for k in range(1, rounds + 1):
+        ctes.append(
+            f"""cnt{k} AS MATERIALIZED (
+      SELECT e.u AS node, l.lbl AS lbl, count(*) AS c
+      FROM edges e JOIN lp{k - 1} l ON l.node = e.v
+      GROUP BY e.u, l.lbl
+    ),
+    lp{k} AS MATERIALIZED (
+      SELECT node, lbl FROM (
+        SELECT node, lbl,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY c DESC, lbl) AS rn
+        FROM cnt{k}
+      ) WHERE rn = 1
+    )"""
+        )
+    return ",\n    ".join(ctes)
+
+
+@register(
+    "graph_label_propagation",
+    category="graph",
+    bench=False,  # 8 sequential tiny join/window stages: timed cost is
+    # the per-stage scheduling floor, not query work (same exclusion as
+    # graph_connected_components).
+    oracle=f"""
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    adj AS (SELECT DISTINCT u, v FROM ({_ADJ_SQL})),
+    edges AS MATERIALIZED (
+      SELECT u, v FROM adj
+      UNION
+      SELECT v AS u, u AS v FROM adj
+    ),
+    lp0 AS MATERIALIZED (
+      SELECT node, node AS lbl
+      FROM (SELECT u AS node FROM edges
+            UNION
+            SELECT v AS node FROM edges) nodes
+    ),
+    {_lp_round_sql(_LP_ROUNDS)}
+    SELECT lbl AS community,
+           count(*)  AS n_members,
+           min(node) AS min_node
+    FROM lp{_LP_ROUNDS}
+    GROUP BY lbl
+    ORDER BY n_members DESC, community
+    LIMIT 20
+    """,
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (4 unrolled
+    rounds) over the undirected hash graph — the near-linear-time
+    community algorithm (Raghavan 2007) as a pure Catalyst DAG with an
+    exact relational oracle.
+
+    Async LP with random tie-breaks (the textbook variant) is
+    non-deterministic by construction; this is the SYNCHRONOUS variant
+    with the total (count DESC, label ASC) tie-break, which makes every
+    round a pure function of the previous labeling — the determinism
+    device that lets an exact oracle exist at all. Each round is one
+    equi-join on the edge list (co-partitioned on the neighbor key) +
+    one per-node argmax window; 4 rounds = 8 shuffles on relations that
+    never exceed the edge list. At 100 TB the edge list is the only
+    fact-sized relation and rounds stay equi-joins on the node key —
+    bucketing edges by v makes every round reuse one partitioning
+    (the same co-location argument as graph_pagerank); label counts
+    per node are bounded by degree, so the window is degree-local.
+    Labels converge to dense-community consensus; emitted communities
+    are the top-20 by size with a deterministic min-member witness.
+    """
+    users = load(spark, sf_dir, "events").select("user_id").distinct()
+    adj = (
+        users.select(
+            F.col("user_id").alias("u"),
+            F.explode(
+                F.array(
+                    *[
+                        ((F.col("user_id") * p + o) % 1000).alias(f"v{p}")
+                        for p, o in _JACCARD_MAPS
+                    ]
+                )
+            ).alias("v"),
+        )
+        .distinct()
+    )
+    edges = (
+        adj.unionByName(adj.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    lbl = nodes.withColumn("lbl", F.col("node"))
+    w = Window.partitionBy("node").orderBy(F.desc("c"), "lbl")
+    for _ in range(_LP_ROUNDS):
+        cnt = (
+            edges.join(lbl, edges.v == lbl.node)
+            .groupBy(edges.u.alias("node2"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumnRenamed("node2", "node")
+        )
+        lbl = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "lbl")
+        )
+    out = (
+        lbl.groupBy(F.col("lbl").alias("community"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("node").alias("min_node"),
+        )
+        .orderBy(F.desc("n_members"), "community")
+        .limit(20)
+    )
+    return finalize_cached(out, edges)

@@ -334,3 +334,107 @@ def sink_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+_OCC_SEQ = [0]
+
+
+@register(
+    "sink_txn_log_occ",
+    category="scans",
+    bench=False,
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS DOUBLE) / 100.0 AS revenue,
+           3 AS n_commits,
+           1 AS n_conflicts_retried
+    FROM orders
+    WHERE o_orderkey % 4 IN (0, 1, 2)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def sink_txn_log_occ(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimistic-concurrency WRITES to the commit log: two concurrent
+    appenders race for the same version slot; the loser detects the
+    conflict, re-resolves the snapshot, and retries at the next version
+    — the Delta/Iceberg commit protocol (putIfAbsent on the version
+    file), exercised for real with a forced collision.
+
+    The atomic claim is ``os.link(tmp, version-file)`` — POSIX link(2)
+    fails with EEXIST if the slot is taken, the same primitive Delta
+    uses on HDFS/ABFS (and emulates with DynamoDB on S3). A
+    ``threading.Barrier`` releases both writers into the claim at once,
+    so EXACTLY one loses v1 and retries at v2 every run — making the
+    commit count (3) and retry count (1) deterministic outputs, not
+    race lottery. Both writers are APPENDS, which commute under
+    Delta's conflict rules, so the retry needs no abort; a
+    remove-conflict would instead fail validation on re-resolve (the
+    read-set check), which scan_txn_log_snapshot's resolver would
+    surface. Data files are written BEFORE the race — the contended
+    path is pure metadata, exactly the asymmetry that makes OCC cheap
+    at 100 TB (KB commit files guarding TB data).
+
+    The certified output is the post-race snapshot itself (resolved
+    through the standard log replay), proving no lost update: both
+    appends land exactly once regardless of who won.
+    """
+    import threading
+
+    with _TXN_LOCK:
+        _OCC_SEQ[0] += 1
+        seq = _OCC_SEQ[0]
+    root = work_dir(
+        "txnocc_%s_%d" % (os.path.basename(os.path.normpath(sf_dir)), seq)
+    )
+    log_dir = os.path.join(root, "_log")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(log_dir)
+    orders = load(spark, sf_dir, "orders")
+    key = F.col("o_orderkey") % 4
+    orders.filter(key == 0).write.parquet(os.path.join(root, "data", "base"))
+    orders.filter(key == 1).write.parquet(os.path.join(root, "data", "wa"))
+    orders.filter(key == 2).write.parquet(os.path.join(root, "data", "wb"))
+
+    def commit(version: int, actions: list[dict], tag: str) -> bool:
+        """putIfAbsent: True if this writer owns the version slot."""
+        tmp = os.path.join(log_dir, f".{tag}-{version}.tmp")
+        with open(tmp, "w") as fh:
+            for act in actions:
+                fh.write(json.dumps(act) + "\n")
+        try:
+            os.link(tmp, os.path.join(log_dir, f"{version:08d}.json"))
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
+    assert commit(0, [{"add": "data/base"}], "init")
+
+    barrier = threading.Barrier(2)
+    retries = {"wa": 0, "wb": 0}
+
+    def writer(tag: str, rel: str) -> None:
+        barrier.wait()  # both claim v1 simultaneously — one MUST lose
+        version = 1
+        while not commit(version, [{"add": rel}], tag):
+            retries[tag] += 1
+            version += 1  # re-resolve: appends commute, retry next slot
+
+    ta = threading.Thread(target=writer, args=("wa", "data/wa"))
+    tb = threading.Thread(target=writer, args=("wb", "data/wb"))
+    ta.start(); tb.start(); ta.join(); tb.join()
+
+    n_commits = len(_glob.glob(os.path.join(log_dir, "*.json")))
+    n_retried = retries["wa"] + retries["wb"]
+    snap = _snapshot_summary(spark, _resolve_live_files(root))
+    return snap.select(
+        "o_orderpriority",
+        "n_orders",
+        "revenue",
+        F.lit(n_commits).alias("n_commits"),
+        F.lit(n_retried).alias("n_conflicts_retried"),
+    )
