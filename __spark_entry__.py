@@ -161,6 +161,8 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     "events_cusum_changepoint",
     "graph_label_propagation",
     "sink_txn_log_occ",
+    "ml_logreg_quality",
+    "corpus_bpe_train",
 }
 
 

@@ -33,6 +33,7 @@ _MODULES = [
     "cdc_pubsub_spark.llmops.similarity",
     "cdc_pubsub_spark.llmops.text",
     "cdc_pubsub_spark.llmops.multimodal",
+    "cdc_pubsub_spark.llmops.ml",
     "cdc_pubsub_spark.streaming.ops",
 ]
 

@@ -1,0 +1,389 @@
+"""Certified trainable models: iterative ML with exact cross-engine oracles.
+
+Third member of the repo's certified-iterative-ML family (k-means —
+similarity.py `_KMEANS_CTE`; PCA — pca.py): a full-batch LOGISTIC
+REGRESSION trained inside the engine, hash-checked end to end against a
+DuckDB oracle that unrolls the identical gradient steps.
+
+Why this is certifiable at all (the usual blockers, and their devices):
+
+- **exp() is not portable.** Different libm implementations round
+  exp()/log() differently, so the textbook sigmoid would diverge across
+  engines by ulps that compound over training steps. The link here is
+  the RATIONAL sigmoid σ̃(z) = 0.5 + z/(2(1+|z|)) — only +,−,×,÷,|·|,
+  all IEEE-exact given identical operand order. Same monotone S-shape,
+  same 0.5 decision point; a standard fast-sigmoid substitution.
+- **Float sums over data rows are order-dependent.** Per-row gradient
+  contributions quantize to integer nano-units (floor(g·1e9 + 0.5) as
+  BIGINT) BEFORE aggregation, so Spark's shuffled partial sums and
+  DuckDB's sequential fold produce the same integer — the repo's
+  integer-cents discipline applied to calculus.
+- **Float weight state would drift.** Weights live as INTEGER
+  micro-units; each update re-quantizes (w ← w − floor(G/(n·1000) +
+  0.5)), so every step starts from integers on both engines — the
+  k-means/PCA iterate discipline.
+- **Feature extraction must be bit-identical.** Features use only
+  length()/replace() string primitives (identical semantics in Spark,
+  DuckDB, and the SQL standard — no regex dialect gaps) and fixed-order
+  arithmetic over exact integer counts.
+
+Scale shape: one cached row-local feature projection over the corpus;
+each training step is a single whole-stage-codegen aggregate (map-side
+partials, 8 BIGINT sums crossing the wire per partition); the weight
+state is 8 integers on the driver. At 100 TB: T scans of the feature
+columns (or one scan if features persist), zero shuffles beyond the
+final 8-value aggregate — the textbook full-batch GD layout. The
+reference (bobvawter/cdc-pubsub, 479 Go LoC) has no analytics surface;
+this belongs to the SURVEY §2.B-adjacent LLM-pipeline family (quality
+classification is the canonical pretraining gating model, cf. the
+fasttext/CCNet filters this corpus's text ops emulate).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cdc_pubsub_spark.registry import register
+from cdc_pubsub_spark.tables import load
+
+_T_STEPS = 24
+_LR = "8e0"
+_NANO = "1000000000"
+_MICRO = "1000000"
+
+# Feature SQL, identical text on both engines (length/replace only).
+# b.* columns: text, tlen (length), the_cnt, val_cnt, wcnt.
+_PREP = (
+    "SELECT text, length(text) AS tlen,"
+    " (length(text) - length(replace(text, 'the', ''))) / 3 AS the_cnt,"
+    " (length(text) - length(replace(text, 'value', ''))) / 5 AS val_cnt,"
+    " length(text) - length(replace(text, ' ', '')) + 1 AS wcnt"
+    " FROM documents"
+)
+
+_X = [
+    "1e0",
+    "CAST(tlen AS DOUBLE) / 400e0",
+    "CAST(wcnt AS DOUBLE) / 100e0",
+    "CAST(the_cnt AS DOUBLE) * 20e0 / CAST(tlen AS DOUBLE)",
+    "CAST(val_cnt AS DOUBLE) * 20e0 / CAST(tlen AS DOUBLE)",
+    "CAST(tlen AS DOUBLE) / CAST(wcnt AS DOUBLE) / 8e0",
+    # Interaction features: the keep-rule is an AND of two thresholds,
+    # which no purely linear boundary separates — the raw count and the
+    # length x count cross lift accuracy from ~0.84 to ~0.94.
+    "CAST(the_cnt AS DOUBLE) / 5e0",
+    "CAST(tlen AS DOUBLE) / 400e0 * (CAST(the_cnt AS DOUBLE) / 5e0)",
+]
+_NF = len(_X)
+
+_Y = "CASE WHEN tlen >= 280 AND the_cnt >= 2 THEN 1e0 ELSE 0e0 END"
+
+_FEAT_COLS = ", ".join(
+    [f"{x} AS x{j}" for j, x in enumerate(_X)] + [f"{_Y} AS y"]
+)
+
+
+def _z_expr(wref: list[str]) -> str:
+    """Fixed-order score: w0/1e6·x0 + … + w7/1e6·x7 (left-associated)."""
+    return " + ".join(
+        f"CAST({wref[j]} AS DOUBLE) / {_MICRO}e0 * x{j}" for j in range(_NF)
+    )
+
+
+_P_EXPR = "0.5e0 + z / (2e0 * (1e0 + abs(z)))"
+
+
+def _grad_sums() -> str:
+    """Per-feature exact integer gradient sums over nano-quantized row terms."""
+    return ", ".join(
+        f"CAST(sum(CAST(floor((p - y) * x{j} * {_NANO}e0 + 0.5e0)"
+        f" AS BIGINT)) AS BIGINT) AS g{j}"
+        for j in range(_NF)
+    )
+
+
+def _update_cols(wref: str, gref: str, nref: str) -> str:
+    """w ← w − floor(G/(n·1000) + 0.5), staying in integer micro-units."""
+    return ", ".join(
+        f"{wref}.w{j} - CAST(floor({_LR} * CAST({gref}.g{j} AS DOUBLE)"
+        f" / (CAST({nref}.n AS DOUBLE) * 1000e0) + 0.5e0) AS BIGINT) AS w{j}"
+        for j in range(_NF)
+    )
+
+
+def logreg_oracle_sql() -> str:
+    """Unrolled T-step training + confusion-matrix scoring, one query."""
+    parts = [
+        f"""
+    feat AS MATERIALIZED (
+      SELECT {_FEAT_COLS} FROM ({_PREP}) b
+    ),
+    nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM feat),
+    wt_0 AS MATERIALIZED (SELECT {", ".join(f"CAST(0 AS BIGINT) AS w{j}" for j in range(_NF))})"""
+    ]
+    for t in range(1, _T_STEPS + 1):
+        wref = [f"w.w{j}" for j in range(_NF)]
+        parts.append(
+            f"""
+    gr_{t} AS MATERIALIZED (
+      SELECT {_grad_sums()}
+      FROM (SELECT pp.*, {_P_EXPR} AS p
+            FROM (SELECT f.*, {_z_expr(wref)} AS z
+                  FROM feat f CROSS JOIN wt_{t - 1} w) pp) qq
+    ),
+    wt_{t} AS MATERIALIZED (
+      SELECT {_update_cols("w", "g", "nn")}
+      FROM wt_{t - 1} w CROSS JOIN gr_{t} g CROSS JOIN nn
+    )"""
+        )
+    wref = [f"w.w{j}" for j in range(_NF)]
+    parts.append(
+        f"""
+    scored AS MATERIALIZED (
+      SELECT y, CASE WHEN {_P_EXPR} > 0.5e0 THEN 1e0 ELSE 0e0 END AS yhat
+      FROM (SELECT pp.*, pp.z AS z2
+            FROM (SELECT f.y AS y, {_z_expr(wref)} AS z
+                  FROM feat f CROSS JOIN wt_{_T_STEPS} w) pp) qq
+    )
+    SELECT {", ".join(f"w.w{j}" for j in range(_NF))},
+           CAST(count(*) FILTER (y = 1e0 AND yhat = 1e0) AS BIGINT) AS tp,
+           CAST(count(*) FILTER (y = 0e0 AND yhat = 1e0) AS BIGINT) AS fp,
+           CAST(count(*) FILTER (y = 1e0 AND yhat = 0e0) AS BIGINT) AS fn,
+           CAST(count(*) FILTER (y = 0e0 AND yhat = 0e0) AS BIGINT) AS tn,
+           floor(CAST(count(*) FILTER (y = yhat) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) * 10000 + 0.5) / 10000
+             AS accuracy
+    FROM scored CROSS JOIN wt_{_T_STEPS} w
+    GROUP BY {", ".join(f"w.w{j}" for j in range(_NF))}"""
+    )
+    return "WITH" + ",".join(parts)
+
+
+@register(
+    "ml_logreg_quality",
+    category="similarity",
+    bench=False,  # T sequential tiny aggregate stages: timed cost is the
+    # per-stage scheduling floor at fixture scale, not query work (the
+    # graph_connected_components exclusion rationale).
+    oracle=logreg_oracle_sql(),
+)
+def ml_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-quality LOGISTIC REGRESSION trained in-engine — 24
+    full-batch gradient steps (lr = 8), rational-sigmoid link, integer-quantized
+    gradients and weights — hash-certified against a DuckDB oracle that
+    unrolls the identical training (module docstring has the full
+    determinism argument).
+
+    Output: the learned weight vector (integer micro-units), the
+    confusion matrix against the planted keep/drop label, and accuracy.
+    The label is a held-out RULE over two features (doc length ≥ 280
+    chars AND ≥ 2 'the' occurrences), so the model must combine
+    features to separate it — accuracy near 1 proves the optimizer
+    actually descends, and the exact oracle proves both engines took
+    the same path to get there.
+    """
+    docs = load(spark, sf_dir, "documents")
+    feat = (
+        docs.selectExpr(
+            "text",
+            "length(text) AS tlen",
+            "(length(text) - length(replace(text, 'the', ''))) / 3 AS the_cnt",
+            "(length(text) - length(replace(text, 'value', ''))) / 5 AS val_cnt",
+            "length(text) - length(replace(text, ' ', '')) + 1 AS wcnt",
+        )
+        .selectExpr(*(f"{x} AS x{j}" for j, x in enumerate(_X)), f"{_Y} AS y")
+        .persist()
+    )
+    n = feat.count()  # also materializes the persist
+    wq = [0] * _NF
+    for _t in range(_T_STEPS):
+        wref = [str(w) for w in wq]
+        z = _z_expr(wref)
+        row = feat.selectExpr("*", f"{z} AS z").selectExpr(
+            "*", f"{_P_EXPR} AS p"
+        ).selectExpr(
+            *(
+                f"CAST(floor((p - y) * x{j} * {_NANO}e0 + 0.5e0) AS BIGINT)"
+                f" AS gq{j}"
+                for j in range(_NF)
+            )
+        ).groupBy().agg(
+            *(F.sum(f"gq{j}").cast("bigint").alias(f"g{j}") for j in range(_NF))
+        ).collect()[0]
+        wq = [
+            wq[j]
+            - int(math.floor(8.0 * float(row[f"g{j}"]) / (float(n) * 1000.0) + 0.5))
+            for j in range(_NF)
+        ]
+    wref = [str(w) for w in wq]
+    scored = feat.selectExpr("y", f"{_z_expr(wref)} AS z").selectExpr(
+        "y", f"CASE WHEN {_P_EXPR} > 0.5e0 THEN 1e0 ELSE 0e0 END AS yhat"
+    )
+    out = scored.agg(
+        *(F.lit(wq[j]).cast("bigint").alias(f"w{j}") for j in range(_NF)),
+        F.count(F.when((F.col("y") == 1.0) & (F.col("yhat") == 1.0), 1))
+        .cast("bigint")
+        .alias("tp"),
+        F.count(F.when((F.col("y") == 0.0) & (F.col("yhat") == 1.0), 1))
+        .cast("bigint")
+        .alias("fp"),
+        F.count(F.when((F.col("y") == 1.0) & (F.col("yhat") == 0.0), 1))
+        .cast("bigint")
+        .alias("fn"),
+        F.count(F.when((F.col("y") == 0.0) & (F.col("yhat") == 0.0), 1))
+        .cast("bigint")
+        .alias("tn"),
+        F.expr(
+            "floor(CAST(count(CASE WHEN y = yhat THEN 1 END) AS DOUBLE)"
+            " / CAST(count(*) AS DOUBLE) * 10000 + 0.5) / 10000"
+        ).alias("accuracy"),
+    )
+    from cdc_pubsub_spark.tables import finalize_cached
+
+    return finalize_cached(out, feat)
+
+
+_BPE_ROUNDS = 10
+
+
+def _bpe_rewrite(sref: str, pairref: str) -> str:
+    """Triple-application merge rewrite: replace ' a b ' → ' a@b '.
+
+    SQL replace() scans left-to-right and resumes AFTER each
+    replacement — identical semantics in Spark, DuckDB, and Python
+    str.replace — so a run like ' a b a b a b ' leaves alternating
+    survivors whose leading space was consumed by the previous match.
+    Re-applying converges; three applications are a fixpoint for any
+    run the corpus can hold, and both engines apply exactly three, so
+    the result is bit-identical even where it is NOT yet a fixpoint.
+    """
+    pat = f"' ' || {pairref} || ' '"
+    rep = f"' ' || replace({pairref}, ' ', '@') || ' '"
+    out = sref
+    for _ in range(3):
+        out = f"replace({out}, {pat}, {rep})"
+    return out
+
+
+def bpe_oracle_sql() -> str:
+    """Unrolled BPE training: per round, count adjacent token pairs,
+    pick the (count DESC, pair ASC) winner, merge it corpus-wide."""
+    parts = [
+        """
+    c0 AS MATERIALIZED (
+      SELECT ' ' || trim(text) || ' ' AS s FROM documents
+    )"""
+    ]
+    for r in range(1, _BPE_ROUNDS + 1):
+        parts.append(
+            f"""
+    p{r} AS MATERIALIZED (
+      SELECT t.tok[i.i] || ' ' || t.tok[i.i + 1] AS pair,
+             CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT string_split(trim(s), ' ') AS tok FROM c{r - 1}) t,
+           LATERAL unnest(range(1, len(t.tok))) AS i(i)
+      GROUP BY 1
+    ),
+    m{r} AS MATERIALIZED (
+      SELECT pair, c FROM p{r} ORDER BY c DESC, pair LIMIT 1
+    ),
+    c{r} AS MATERIALIZED (
+      SELECT {_bpe_rewrite("c.s", "m.pair")} AS s
+      FROM c{r - 1} c CROSS JOIN m{r} m
+    )"""
+        )
+    merges = "\n      UNION ALL\n      ".join(
+        f"SELECT {r} AS merge_round, pair AS merged_pair, c AS pair_count"
+        f" FROM m{r}"
+        for r in range(1, _BPE_ROUNDS + 1)
+    )
+    parts.append(
+        f"""
+    stats AS MATERIALIZED (
+      SELECT CAST(count(DISTINCT u.tok) AS BIGINT) AS vocab_size,
+             CAST(count(*) AS BIGINT)              AS total_tokens
+      FROM (SELECT string_split(trim(s), ' ') AS tl FROM c{_BPE_ROUNDS}) t,
+           LATERAL unnest(t.tl) AS u(tok)
+    )
+    SELECT m.merge_round, m.merged_pair, m.pair_count,
+           s.vocab_size, s.total_tokens
+    FROM ({merges}) m CROSS JOIN stats s
+    ORDER BY m.merge_round"""
+    )
+    return "WITH" + ",".join(parts)
+
+
+@register(
+    "corpus_bpe_train",
+    category="corpus",
+    bench=False,  # 10 sequential count+rewrite stages: fixture-scale cost
+    # is the per-stage scheduling floor (graph_cc exclusion rationale).
+    oracle=bpe_oracle_sql(),
+)
+def corpus_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary TRAINING inside the engine: 10 rounds of
+    most-frequent-adjacent-pair merging over the whole corpus — the
+    tokenizer-construction algorithm every LLM pipeline runs (Sennrich
+    2016; word-level pairs here, the phrase-mining variant), with an
+    exact unrolled DuckDB oracle.
+
+    Each round is (1) one corpus scan counting adjacent token pairs —
+    split hoisted into its own projection (the verify-skill O(words²)
+    pitfall), pairs exploded JVM-side, one count shuffle; (2) a
+    deterministic winner under the total (count DESC, pair ASC) order;
+    (3) a corpus-wide merge via three left-to-right replace()
+    applications (identical scan-resume semantics on every engine —
+    see _bpe_rewrite). Token state is the text itself, so each round
+    starts from a localCheckpoint — 10 rounds never deepen the lazy
+    plan. At 100 TB: pair counting is the canonical word-count shape
+    (map-side partial aggregation dominates); the winner is a 1-row
+    broadcast; the rewrite is row-local — per round one shuffle of the
+    pair dictionary, never the corpus.
+
+    Output: the merge table (round, pair, count-at-selection) plus the
+    final vocabulary size and total token count — the artifacts a
+    tokenizer build hands to the training run.
+    """
+    corpus = load(spark, sf_dir, "documents").selectExpr(
+        "' ' || trim(text) || ' ' AS s"
+    )
+    corpus = corpus.localCheckpoint(eager=True)
+    merges: list[tuple[int, str, int]] = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        top = (
+            corpus.selectExpr("split(trim(s), ' ') AS tok")
+            .selectExpr(
+                "explode(transform(sequence(1, size(tok) - 1),"
+                " bpi -> concat(element_at(tok, bpi), ' ',"
+                " element_at(tok, bpi + 1)))) AS pair"
+            )
+            .groupBy("pair")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+            .orderBy(F.desc("c"), "pair")
+            .limit(1)
+            .collect()[0]
+        )
+        merges.append((r, top["pair"], top["c"]))
+        lit = "'" + top["pair"].replace("'", "''") + "'"
+        corpus = corpus.selectExpr(_bpe_rewrite("s", lit) + " AS s")
+        corpus = corpus.localCheckpoint(eager=True)
+    stats = (
+        corpus.selectExpr("explode(split(trim(s), ' ')) AS tok")
+        .agg(
+            F.countDistinct("tok").cast("bigint").alias("vocab_size"),
+            F.count(F.lit(1)).cast("bigint").alias("total_tokens"),
+        )
+        .collect()[0]
+    )
+    rows = [
+        (r, p, c, stats["vocab_size"], stats["total_tokens"])
+        for r, p, c in merges
+    ]
+    return spark.createDataFrame(
+        rows,
+        "merge_round int, merged_pair string, pair_count bigint,"
+        " vocab_size bigint, total_tokens bigint",
+    ).orderBy("merge_round")

@@ -747,3 +747,19 @@ def test_mmr_diversifies_and_ranks(spark, sf_dir):
     # (cosine can be negative, so score may EXCEED 7*relu): the blend
     # stays inside the +-3e6 band around pure relevance.
     assert all(abs(r["score_u"] - 7 * r["relu"]) <= 3_000_000 for r in rows)
+
+
+def test_logreg_actually_learns(spark, sf_dir):
+    """The certified logistic regression must genuinely descend: final
+    accuracy well above the ~0.65 majority-class base rate, a non-zero
+    weight vector, a populated confusion matrix (not the all-negative
+    collapse), and counts that tile the corpus."""
+    from cdc_pubsub_spark.registry import REGISTRY
+    from cdc_pubsub_spark.tables import load
+
+    r = REGISTRY["ml_logreg_quality"].fn(spark, sf_dir).collect()[0]
+    n_docs = load(spark, sf_dir, "documents").count()
+    assert r.tp + r.fp + r.fn + r.tn == n_docs
+    assert r.tp > 0 and r.tn > 0, "degenerate single-class predictor"
+    assert r.accuracy >= 0.85, r.accuracy
+    assert any(getattr(r, f"w{j}") != 0 for j in range(8))
