@@ -163,6 +163,8 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     "sink_txn_log_occ",
     "ml_logreg_quality",
     "corpus_bpe_train",
+    "stream_topk_windowed",
+    "join_interval_overlap",
 }
 
 

@@ -1215,3 +1215,99 @@ def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .withColumn("rnk", F.row_number().over(w))
     )
+
+
+@register(
+    "join_interval_overlap",
+    category="joins",
+    oracle="""
+    WITH ord AS (
+      SELECT o_orderkey,
+             CAST(date_diff('day', TIMESTAMP '1970-01-01',
+                            CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS s_a,
+             CAST(date_diff('day', TIMESTAMP '1970-01-01',
+                            CAST(o_orderdate AS TIMESTAMP)) AS BIGINT)
+               + o_orderkey % 14 AS e_a,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    promo AS (
+      SELECT s_suppkey AS promo_id,
+             CAST(9100 + (s_suppkey * 97) % 2300 AS BIGINT) AS s_b,
+             CAST(9100 + (s_suppkey * 97) % 2300
+                  + 30 + (s_suppkey % 5) * 15 AS BIGINT)    AS e_b
+      FROM supplier WHERE s_suppkey % 3 = 0
+    )
+    SELECT p.promo_id, p.s_b AS promo_start_day,
+           CAST(count(*) AS BIGINT)     AS n_orders,
+           CAST(sum(o.cents) AS BIGINT) AS revenue_cents
+    FROM promo p JOIN ord o
+      ON o.s_a <= p.e_b AND p.s_b <= o.e_a
+    GROUP BY p.promo_id, p.s_b
+    ORDER BY p.promo_id
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval OVERLAP join via grid-cell decomposition: orders carry a
+    validity interval (orderdate + 0-13 days), promo windows carry a
+    45-90 day interval; the op aggregates per promo the orders whose
+    intervals intersect it — the temporal-join shape behind billing
+    proration, campaign attribution, and SCD validity matching.
+
+    Naive SQL is a θ-join on two inequalities ⇒ nested-loop. The scale
+    shape: explode each interval onto the 64-day grid cells it covers
+    (orders span ≤14 days → ≤2 cells; promos ≤90 → ≤3 cells), equi-join
+    on the cell key, verify overlap row-locally, and COUNT EACH PAIR
+    ONCE without a distinct: a pair is attributed solely to the cell
+    containing max(start_a, start_b) — the first cell where both
+    intervals are live — so no dedup shuffle exists at all. Work is
+    Σ_cell |A_cell|·|B_cell| partitioned by cell; both sides are
+    arbitrary-size fact relations (a broadcast would also work for this
+    fixture's promo side, but the cell join is the 100 TB shape and the
+    plan pin holds it to an equi-join). Day arithmetic is exact integer
+    epoch-days on both engines; money is integer cents.
+    """
+    g = 64
+    ord_ = load(spark, sf_dir, "orders").select(
+        F.expr("CAST(datediff(o_orderdate, DATE '1970-01-01') AS BIGINT)").alias(
+            "s_a"
+        ),
+        F.expr(
+            "CAST(datediff(o_orderdate, DATE '1970-01-01') AS BIGINT)"
+            " + o_orderkey % 14"
+        ).alias("e_a"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    promo = load(spark, sf_dir, "supplier").filter(
+        F.expr("s_suppkey % 3 = 0")
+    ).select(
+        F.col("s_suppkey").alias("promo_id"),
+        F.expr("CAST(9100 + (s_suppkey * 97) % 2300 AS BIGINT)").alias("s_b"),
+        F.expr(
+            "CAST(9100 + (s_suppkey * 97) % 2300"
+            " + 30 + (s_suppkey % 5) * 15 AS BIGINT)"
+        ).alias("e_b"),
+    )
+    oc = ord_.select(
+        "*", F.explode(F.expr(f"sequence(s_a div {g}, e_a div {g})")).alias("cell")
+    )
+    pc = promo.select(
+        "*", F.explode(F.expr(f"sequence(s_b div {g}, e_b div {g})")).alias("cell")
+    )
+    pairs = oc.join(pc, "cell").filter(
+        (F.col("s_a") <= F.col("e_b"))
+        & (F.col("s_b") <= F.col("e_a"))
+        # count-once attribution: the pair belongs to the cell holding
+        # max(start_a, start_b) — no DISTINCT pass anywhere.
+        & (F.col("cell") == F.expr(f"greatest(s_a, s_b) div {g}"))
+    )
+    return (
+        pairs.groupBy("promo_id", F.col("s_b").alias("promo_start_day"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("revenue_cents"),
+        )
+        .orderBy("promo_id")
+    )

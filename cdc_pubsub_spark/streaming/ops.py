@@ -1811,3 +1811,67 @@ def stream_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
         "n_events",
     )
+
+
+@register(
+    "stream_topk_windowed",
+    category="streaming",
+    bench=False,
+    oracle="""
+    WITH win AS (
+      SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT)
+               * 3600 AS window_start_s,
+             event_type,
+             count(*) AS n_events
+      FROM events
+      GROUP BY 1, 2
+    )
+    SELECT window_start_s, event_type, n_events, rk
+    FROM (
+      SELECT *, CAST(row_number() OVER (
+               PARTITION BY window_start_s
+               ORDER BY n_events DESC, event_type) AS INT) AS rk
+      FROM win
+    ) r
+    WHERE rk <= 3
+    ORDER BY window_start_s, rk
+    """,
+)
+def stream_topk_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy hitters: top-3 event types per tumbling hour —
+    the trending-topics / hot-keys shape every monitoring pipeline runs.
+
+    Structured Streaming forbids ranking windows inside a streaming
+    aggregation (rank is not incrementally maintainable under
+    retraction), so this op uses the PRODUCTION layout: the stream
+    maintains the additive state — (window × event_type) counts under a
+    watermark, mergeable and restart-safe — and the top-k cut ranks the
+    sink table after each drain (in production: the serving layer or a
+    foreachBatch epilogue; per-key counts are the expensive distributed
+    part, the rank runs over k·#windows rows). Deterministic under the
+    total (count DESC, event_type ASC) order; the oracle is the batch
+    twin of BOTH stages over the same events. At 100 TB the count state
+    shuffles once on (window, type) with map-side partial aggregation;
+    watermark expiry bounds state to the active window set.
+    """
+    input_dir = write_events_ndjson(spark, sf_dir, "topk_windowed")
+    stream = read_event_stream(spark, input_dir).withWatermark("ts", "1 hour")
+    counts = stream.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    sink = run_to_completion(counts, "topk_windowed", "complete")
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("window_start_s").orderBy(
+        F.desc("n_events"), "event_type"
+    )
+    return (
+        sink.select(
+            F.unix_timestamp(F.col("window.start")).alias("window_start_s"),
+            "event_type",
+            "n_events",
+        )
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 3)
+        .orderBy("window_start_s", "rk")
+    )

@@ -908,3 +908,15 @@ def test_spatial_grid_join_is_equi_join_on_cells(spark, sf_dir):
     assert not uses(df, "BroadcastNestedLoopJoin"), formatted_plan(df)
     plan = formatted_plan(df)
     assert "SortMergeJoin" in plan or "HashJoin" in plan, plan
+
+
+def test_interval_overlap_is_equi_join_on_cells(spark, sf_dir):
+    """The overlap θ-predicate must ride an EQUI-join on the grid cell
+    (hash or sort-merge), never a nested-loop/cartesian — and the
+    count-once attribution means no Distinct/dedup aggregate beyond the
+    final group-by."""
+    df = q("join_interval_overlap", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Join" in plan and "cell" in plan, plan
