@@ -165,6 +165,8 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     "corpus_bpe_train",
     "stream_topk_windowed",
     "join_interval_overlap",
+    "profile_chi2_independence",
+    "orders_mann_kendall_trend",
 }
 
 

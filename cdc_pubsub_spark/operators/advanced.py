@@ -1462,3 +1462,93 @@ def profile_gini_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@register(
+    "profile_chi2_independence",
+    category="advanced",
+    oracle="""
+    WITH cont AS (
+      SELECT o_orderpriority AS r, o_orderstatus AS c,
+             CAST(count(*) AS BIGINT) AS o
+      FROM orders GROUP BY 1, 2
+    ),
+    rt AS (SELECT r, CAST(sum(o) AS BIGINT) AS rtot FROM cont GROUP BY r),
+    ct AS (SELECT c, CAST(sum(o) AS BIGINT) AS ctot FROM cont GROUP BY c),
+    g  AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cont),
+    contrib AS (
+      SELECT CAST(floor(
+               (CAST(cont.o AS DOUBLE)
+                - CAST(rt.rtot AS DOUBLE) * CAST(ct.ctot AS DOUBLE)
+                  / CAST(g.n AS DOUBLE))
+               * (CAST(cont.o AS DOUBLE)
+                  - CAST(rt.rtot AS DOUBLE) * CAST(ct.ctot AS DOUBLE)
+                    / CAST(g.n AS DOUBLE))
+               / (CAST(rt.rtot AS DOUBLE) * CAST(ct.ctot AS DOUBLE)
+                  / CAST(g.n AS DOUBLE))
+               * 1000000 + 0.5) AS BIGINT) AS q
+      FROM cont JOIN rt USING (r) JOIN ct USING (c) CROSS JOIN g
+    ),
+    dims AS (
+      SELECT (SELECT count(*) FROM rt) AS nr, (SELECT count(*) FROM ct) AS nc
+    )
+    SELECT g.n AS n_orders,
+           CAST((dims.nr - 1) * (dims.nc - 1) AS BIGINT) AS dof,
+           CAST(sum(contrib.q) AS BIGINT) AS chi2_micro,
+           CAST(sum(contrib.q) AS DOUBLE) / 1000000 AS chi2,
+           CAST(sum(contrib.q) AS DOUBLE) / 1000000 > 15.507 AS reject_95_df8
+    FROM contrib CROSS JOIN g CROSS JOIN dims
+    GROUP BY g.n, dims.nr, dims.nc
+    """,
+)
+def profile_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between order priority and order
+    status — the categorical-association audit beside the KS (numeric
+    two-sample) and mutual-information ops.
+
+    One contingency scan (5×3 exact integer counts), expected counts
+    e = row·col/n as identical-order doubles, and per-cell
+    contributions (o−e)²/e floored to integer MICRO units before the
+    sum — a 15-term float sum is exactly the cross-engine
+    accumulation-order flake the integer discipline kills, even at this
+    size. Verdict against the df=8 95% critical value (15.507). At
+    100 TB the contingency aggregate is the only data-sized pass
+    (map-side combine on 15 keys); everything after runs on 15 rows.
+    """
+    cont = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("r"),
+            F.col("o_orderstatus").alias("c"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+        .persist()
+    )
+    rt = cont.groupBy("r").agg(F.sum("o").cast("bigint").alias("rtot"))
+    ct = cont.groupBy("c").agg(F.sum("o").cast("bigint").alias("ctot"))
+    g = cont.agg(F.sum("o").cast("bigint").alias("n"))
+    nr = rt.count()
+    nc = ct.count()
+    e = (
+        "CAST(rtot AS DOUBLE) * CAST(ctot AS DOUBLE) / CAST(n AS DOUBLE)"
+    )
+    contrib = (
+        cont.join(F.broadcast(rt), "r")
+        .join(F.broadcast(ct), "c")
+        .crossJoin(F.broadcast(g))
+        .selectExpr(
+            "n",
+            f"CAST(floor((CAST(o AS DOUBLE) - {e})"
+            f" * (CAST(o AS DOUBLE) - {e}) / ({e})"
+            f" * 1000000 + 0.5) AS BIGINT) AS q",
+        )
+    )
+    out = contrib.groupBy("n").agg(
+        F.lit((nr - 1) * (nc - 1)).cast("bigint").alias("dof"),
+        F.sum("q").cast("bigint").alias("chi2_micro"),
+        (F.sum("q").cast("double") / 1000000).alias("chi2"),
+        (F.sum("q").cast("double") / 1000000 > 15.507).alias("reject_95_df8"),
+    ).withColumnRenamed("n", "n_orders")
+    from cdc_pubsub_spark.tables import finalize_cached
+
+    return finalize_cached(out, cont)

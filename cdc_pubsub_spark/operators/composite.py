@@ -2841,3 +2841,131 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("is_changepoint", F.row_number().over(w) == 1)
         .orderBy("day_idx")
     )
+
+
+@register(
+    "orders_mann_kendall_trend",
+    category="composite",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS d,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '2001-05-01'
+      GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(sum(CASE WHEN b.cents > a.cents THEN 1
+                           WHEN b.cents < a.cents THEN -1
+                           ELSE 0 END) AS BIGINT) AS s_stat
+      FROM daily a JOIN daily b ON b.d > a.d
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+    ties AS (
+      SELECT COALESCE(CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT), 0)
+               AS tie_term
+      FROM (SELECT CAST(count(*) AS BIGINT) AS t
+            FROM daily GROUP BY cents HAVING count(*) > 1) tg
+    )
+    SELECT nn.n AS n_days, s.s_stat,
+           CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tie_term
+                AS BIGINT) AS var_num_x18,
+           floor((CASE WHEN s.s_stat > 0 THEN CAST(s.s_stat - 1 AS DOUBLE)
+                       WHEN s.s_stat < 0 THEN CAST(s.s_stat + 1 AS DOUBLE)
+                       ELSE 0e0 END)
+                 / sqrt(CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5)
+                             - ties.tie_term AS DOUBLE) / 18e0)
+                 * 10000 + 0.5) / 10000 AS z_mk,
+           abs((CASE WHEN s.s_stat > 0 THEN CAST(s.s_stat - 1 AS DOUBLE)
+                     WHEN s.s_stat < 0 THEN CAST(s.s_stat + 1 AS DOUBLE)
+                     ELSE 0e0 END)
+               / sqrt(CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5)
+                           - ties.tie_term AS DOUBLE) / 18e0)) > 1.96
+             AS trend_95
+    FROM s CROSS JOIN nn CROSS JOIN ties
+    """,
+)
+def orders_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall non-parametric trend test over the final-quarter
+    daily revenue series — the distribution-free monotone-trend
+    detector (is revenue drifting up or down, ignoring magnitude?),
+    completing the stats-test family beside KS, chi-square, and the
+    CUSUM change-point.
+
+    S = Σ_{i<j} sign(xⱼ − xᵢ) over day pairs is EXACT INTEGER (sign of
+    integer-cents differences), as is the tie-corrected variance
+    numerator n(n−1)(2n+5) − Σ t(t−1)(2t+5); the only float ops are the
+    final continuity-corrected z = (S∓1)/√(var) — identical-order
+    doubles from identical integers, r4-floored. The pair generation is
+    a self-join on the ~90-day series (bounded: the test windows the
+    LAST QUARTER, the recency question a trend monitor asks) — O(n²)
+    on n≤92 rows, after ONE data-sized daily pre-aggregate. At 100 TB
+    the pre-aggregate is the only fact-table pass; a multi-year variant
+    runs per (series, quarter) partition keys with the same bounded
+    self-join per group.
+    """
+    daily = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2001-05-01").cast("timestamp"))
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("d"))
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("cents")
+        )
+        .persist()
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    s = a.join(b, F.col("b.d") > F.col("a.d")).agg(
+        F.sum(
+            F.when(F.col("b.cents") > F.col("a.cents"), 1)
+            .when(F.col("b.cents") < F.col("a.cents"), -1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("s_stat")
+    )
+    nn = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ties = (
+        daily.groupBy("cents")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("tie_term")
+        )
+    )
+    zn = (
+        "CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)"
+        " WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)"
+        " ELSE 0D END"
+    )
+    vd = (
+        "sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE) / 18D)"
+    )
+    out = (
+        s.crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(ties))
+        .selectExpr(
+            "n AS n_days",
+            "s_stat",
+            "CAST(n * (n - 1) * (2 * n + 5) - tie_term AS BIGINT)"
+            " AS var_num_x18",
+            f"floor(({zn}) / ({vd}) * 10000 + 0.5) / 10000 AS z_mk",
+            f"abs(({zn}) / ({vd})) > 1.96 AS trend_95",
+        )
+    )
+    from cdc_pubsub_spark.tables import finalize_cached
+
+    return finalize_cached(out, daily)
