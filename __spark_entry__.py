@@ -167,6 +167,7 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     "join_interval_overlap",
     "profile_chi2_independence",
     "orders_mann_kendall_trend",
+    "ml_linreg_normal_eq",
 }
 
 

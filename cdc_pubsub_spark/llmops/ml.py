@@ -387,3 +387,168 @@ def corpus_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         "merge_round int, merged_pair string, pair_count bigint,"
         " vocab_size bigint, total_tokens bigint",
     ).orderBy("merge_round")
+
+
+def _det3(m11, m12, m13, m21, m22, m23, m31, m32, m33):
+    """Fixed-order 3×3 determinant expansion over integer moment columns.
+
+    Emitted as identical SQL text for BOTH engines (only CASTs and
+    arithmetic — no dialect-specific literals), so the IEEE evaluation
+    order is pinned by the parse tree itself.
+    """
+    c = lambda x: f"CAST({x} AS DOUBLE)"  # noqa: E731
+    return (
+        f"{c(m11)} * ({c(m22)} * {c(m33)} - {c(m23)} * {c(m32)})"
+        f" - {c(m12)} * ({c(m21)} * {c(m33)} - {c(m23)} * {c(m31)})"
+        f" + {c(m13)} * ({c(m21)} * {c(m32)} - {c(m22)} * {c(m31)})"
+    )
+
+
+_LR_MOMS = """
+      SELECT CAST(count(*) AS BIGINT)            AS n,
+             CAST(sum(q) AS BIGINT)              AS sq,
+             CAST(sum(dd) AS BIGINT)             AS sd,
+             CAST(sum(q * q) AS BIGINT)          AS sqq,
+             CAST(sum(q * dd) AS BIGINT)         AS sqd,
+             CAST(sum(dd * dd) AS BIGINT)        AS sdd,
+             CAST(sum(y) AS BIGINT)              AS sy,
+             CAST(sum(q * y) AS BIGINT)          AS sqy,
+             CAST(sum(dd * y) AS BIGINT)         AS sdy
+      FROM rows_in
+"""
+
+_LR_W = {
+    "detA": _det3("n", "sq", "sd", "sq", "sqq", "sqd", "sd", "sqd", "sdd"),
+    "det0": _det3("sy", "sq", "sd", "sqy", "sqq", "sqd", "sdy", "sqd", "sdd"),
+    "det1": _det3("n", "sy", "sd", "sq", "sqy", "sqd", "sd", "sdy", "sdd"),
+    "det2": _det3("n", "sq", "sy", "sq", "sqq", "sqy", "sd", "sqd", "sdy"),
+}
+
+# Planted-coefficient fixture (the planted-dup-corpus discipline): the
+# synthetic lineitem columns are mutually independent (corr ~ 0.003), so
+# a fit against a real column would only certify that both engines agree
+# on noise. Instead the target is a PLANTED linear signal with
+# deterministic hash noise — the op must RECOVER the (50000, 300, 1200)
+# coefficients, which the invariant test asserts, and the oracle
+# restates the same construction verbatim.
+_LR_ROWS_SQL = """
+      SELECT l_quantity AS q,
+             CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS dd,
+             50000 + 300 * l_quantity
+               + 1200 * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)
+               + (l_orderkey * 2654435761 + l_linenumber * 40503) % 2001
+               - 1000 AS y
+      FROM lineitem
+"""
+
+
+@register(
+    "ml_linreg_normal_eq",
+    category="similarity",
+    oracle=f"""
+    WITH rows_in AS MATERIALIZED ({_LR_ROWS_SQL}),
+    mom AS MATERIALIZED ({_LR_MOMS}),
+    wts AS MATERIALIZED (
+      SELECT n, sy,
+             ({_LR_W["det0"]}) / ({_LR_W["detA"]}) AS w0,
+             ({_LR_W["det1"]}) / ({_LR_W["detA"]}) AS w1,
+             ({_LR_W["det2"]}) / ({_LR_W["detA"]}) AS w2
+      FROM mom
+    ),
+    resid AS MATERIALIZED (
+      SELECT CAST(sum(rq * rq) AS BIGINT) AS sse,
+             CAST(sum(sv * sv) AS BIGINT) AS sst
+      FROM (
+        SELECT CAST(floor((CAST(r.y AS DOUBLE)
+                 - (w.w0 + w.w1 * CAST(r.q AS DOUBLE)
+                    + w.w2 * CAST(r.dd AS DOUBLE))) / 100 + 0.5)
+               AS BIGINT) AS rq,
+               CAST(floor((CAST(r.y AS DOUBLE)
+                 - CAST(w.sy AS DOUBLE) / CAST(w.n AS DOUBLE)) / 100 + 0.5)
+               AS BIGINT) AS sv
+        FROM rows_in r CROSS JOIN wts w
+      ) t
+    )
+    SELECT w.n AS n_rows,
+           floor(w.w0 * 10000 + 0.5) / 10000 AS w_intercept_cents,
+           floor(w.w1 * 10000 + 0.5) / 10000 AS w_qty_cents,
+           floor(w.w2 * 10000 + 0.5) / 10000 AS w_disc_cents,
+           r.sse, r.sst,
+           floor((1e0 - CAST(r.sse AS DOUBLE) / CAST(r.sst AS DOUBLE))
+                 * 10000 + 0.5) / 10000 AS r2_fit
+    FROM wts w CROSS JOIN resid r
+    """,
+)
+def ml_linreg_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multivariate OLS by the normal equations, FULLY RELATIONAL — no
+    driver loop at all: one moment aggregate, a 3×3 Cramer solve as a
+    single-row projection, one residual pass. Fits
+    l_extendedprice ~ quantity + discount and reports coefficients,
+    SSE/SST, and R² — the closed-form sibling of the iterative
+    ml_logreg_quality.
+
+    Determinism devices: every moment (XᵀX, Xᵀy) is an EXACT BIGINT sum
+    over integer-quantized columns (quantity is integral; discount and
+    price enter as cents) — order-free across Spark's shuffled partials
+    and DuckDB's fold; the Cramer determinants expand in a pinned
+    parse-tree order over one-time int→double casts (correctly rounded
+    identically on both engines); residuals re-quantize to integer
+    dollars per row before the SSE/SST sums. At 100 TB: two scans of
+    three columns, each a map-side-combined aggregate shuffling nine
+    (then two) BIGINTs per partition — the cheapest possible
+    distributed regression; d features generalize to a d²-cell moment
+    aggregate with the same shape (the MLlib normal-equation solver's
+    layout on the DataFrame stack).
+    """
+    li = load(spark, sf_dir, "lineitem").selectExpr(
+        "l_quantity AS q",
+        "CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS dd",
+        "50000 + 300 * l_quantity"
+        " + 1200 * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)"
+        " + (l_orderkey * 2654435761 + l_linenumber * 40503) % 2001"
+        " - 1000 AS y",
+    )
+    mom = li.selectExpr("q", "dd", "y").groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("q").cast("bigint").alias("sq"),
+        F.sum("dd").cast("bigint").alias("sd"),
+        F.sum(F.expr("q * q")).cast("bigint").alias("sqq"),
+        F.sum(F.expr("q * dd")).cast("bigint").alias("sqd"),
+        F.sum(F.expr("dd * dd")).cast("bigint").alias("sdd"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.expr("q * y")).cast("bigint").alias("sqy"),
+        F.sum(F.expr("dd * y")).cast("bigint").alias("sdy"),
+    )
+    wts = mom.selectExpr(
+        "n",
+        "sy",
+        f'({_LR_W["det0"]}) / ({_LR_W["detA"]}) AS w0',
+        f'({_LR_W["det1"]}) / ({_LR_W["detA"]}) AS w1',
+        f'({_LR_W["det2"]}) / ({_LR_W["detA"]}) AS w2',
+    )
+    resid = (
+        li.crossJoin(F.broadcast(wts))
+        .selectExpr(
+            "CAST(floor((CAST(y AS DOUBLE)"
+            " - (w0 + w1 * CAST(q AS DOUBLE) + w2 * CAST(dd AS DOUBLE)))"
+            " / 100 + 0.5) AS BIGINT) AS rq",
+            "CAST(floor((CAST(y AS DOUBLE)"
+            " - CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / 100 + 0.5)"
+            " AS BIGINT) AS sv",
+        )
+        .groupBy()
+        .agg(
+            F.sum(F.expr("rq * rq")).cast("bigint").alias("sse"),
+            F.sum(F.expr("sv * sv")).cast("bigint").alias("sst"),
+        )
+    )
+    return wts.crossJoin(F.broadcast(resid)).selectExpr(
+        "n AS n_rows",
+        "floor(w0 * 10000 + 0.5) / 10000 AS w_intercept_cents",
+        "floor(w1 * 10000 + 0.5) / 10000 AS w_qty_cents",
+        "floor(w2 * 10000 + 0.5) / 10000 AS w_disc_cents",
+        "sse",
+        "sst",
+        "floor((1D - CAST(sse AS DOUBLE) / CAST(sst AS DOUBLE))"
+        " * 10000 + 0.5) / 10000 AS r2_fit",
+    )

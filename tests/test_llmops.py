@@ -763,3 +763,16 @@ def test_logreg_actually_learns(spark, sf_dir):
     assert r.tp > 0 and r.tn > 0, "degenerate single-class predictor"
     assert r.accuracy >= 0.85, r.accuracy
     assert any(getattr(r, f"w{j}") != 0 for j in range(8))
+
+
+def test_linreg_recovers_planted_coefficients(spark, sf_dir):
+    """The normal-equation solver must recover the planted generating
+    coefficients (50000, 300, 1200) within the hash-noise error bar,
+    with near-total variance explained."""
+    from cdc_pubsub_spark.registry import REGISTRY
+
+    r = REGISTRY["ml_linreg_normal_eq"].fn(spark, sf_dir).collect()[0]
+    assert abs(r.w_intercept_cents - 50000) < 100, r.w_intercept_cents
+    assert abs(r.w_qty_cents - 300) < 5, r.w_qty_cents
+    assert abs(r.w_disc_cents - 1200) < 20, r.w_disc_cents
+    assert r.r2_fit > 0.97, r.r2_fit
