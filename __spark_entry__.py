@@ -168,6 +168,7 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     "profile_chi2_independence",
     "orders_mann_kendall_trend",
     "ml_linreg_normal_eq",
+    "agg_theta_set_ops",
 }
 
 

@@ -17,7 +17,7 @@ from pyspark.sql.window import Window
 
 from cdc_pubsub_spark.functions.rounding import r2, r4
 from cdc_pubsub_spark.registry import register
-from cdc_pubsub_spark.tables import load
+from cdc_pubsub_spark.tables import finalize_cached, load
 
 
 @register(
@@ -1154,3 +1154,184 @@ def agg_quantile_bin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q")
     )
+
+
+@register(
+    "agg_theta_set_ops",
+    category="aggregates",
+    oracle=f"""
+    WITH ha AS (
+      SELECT DISTINCT {_kmv_hex_to_int_sql("CAST(user_id AS VARCHAR)")} AS h
+      FROM events WHERE event_type = 'click'
+    ),
+    hb AS (
+      SELECT DISTINCT {_kmv_hex_to_int_sql("CAST(user_id AS VARCHAR)")} AS h
+      FROM events WHERE event_type = 'view'
+    ),
+    ka AS (
+      SELECT max(CASE WHEN rn = 128 THEN h END) AS hk
+      FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM ha)
+    ),
+    kb AS (
+      SELECT max(CASE WHEN rn = 128 THEN h END) AS hk
+      FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM hb)
+    ),
+    ku AS (
+      SELECT max(CASE WHEN rn = 128 THEN h END) AS hk, count(*) AS n_u
+      FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn
+            FROM (SELECT h FROM ha UNION SELECT h FROM hb))
+    ),
+    theta AS (
+      SELECT least(coalesce(ka.hk, 1152921504606846976),
+                   coalesce(kb.hk, 1152921504606846976)) AS th
+      FROM ka CROSS JOIN kb
+    ),
+    inter_ret AS (
+      SELECT count(*) AS m
+      FROM ha JOIN hb USING (h) CROSS JOIN theta
+      WHERE ha.h < theta.th
+    ),
+    exact AS (
+      SELECT
+        (SELECT count(DISTINCT user_id) FROM events
+         WHERE event_type = 'click') AS exact_a,
+        (SELECT count(DISTINCT user_id) FROM events
+         WHERE event_type = 'view') AS exact_b,
+        (SELECT count(DISTINCT user_id) FROM events
+         WHERE event_type IN ('click', 'view')) AS exact_union,
+        (SELECT count(*) FROM
+          (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+           INTERSECT
+           SELECT DISTINCT user_id FROM events WHERE event_type = 'view'))
+          AS exact_inter
+    ),
+    est AS (
+      SELECT
+        CASE WHEN ku.hk IS NULL THEN CAST(ku.n_u AS DOUBLE)
+             ELSE 127.0 * 1152921504606846976 / ku.hk END AS e_union,
+        CASE WHEN theta.th = 1152921504606846976
+             THEN CAST(inter_ret.m AS DOUBLE)
+             ELSE CAST(inter_ret.m AS DOUBLE)
+                  * 1152921504606846976 / CAST(theta.th AS DOUBLE) END
+          AS e_inter
+      FROM ku CROSS JOIN theta CROSS JOIN inter_ret
+    )
+    SELECT exact_a, exact_b, exact_union, exact_inter,
+           floor(e_union * 100 + 0.5) / 100 AS est_union,
+           floor(e_inter * 100 + 0.5) / 100 AS est_inter,
+           abs(e_union - exact_union) / exact_union < 0.3  AS union_ok,
+           abs(e_inter - exact_inter) / exact_inter < 0.35 AS inter_ok
+    FROM exact CROSS JOIN est
+    """,
+)
+def agg_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch SET ALGEBRA: estimate |A∪B| and — the operation HLL
+    fundamentally cannot do — |A∩B|, from two k=128 KMV sketches of the
+    click-user and view-user sets, with exact baselines and in-plan
+    tolerance verdicts (the sketch-beside-exact discipline of the
+    approx_distinct/percentile/CMS family).
+
+    Union = merge both hash sets and re-trim to k (the mergeable-
+    sketch property); intersection = count retained hashes present in
+    BOTH samples below θ = min(θ_A, θ_B), scaled by 1/θ — the
+    Datasketches theta算法 exactly, on the repo's deterministic
+    md5-derived 60-bit hashes, so the WHOLE estimator replays in the
+    oracle and hash-certifies (unlike library HLL whose estimate is
+    implementation-defined). Small-population fallback: when a side
+    retains fewer than k hashes its θ is 2⁶⁰ and the estimates
+    degrade gracefully to exact counts. At 100 TB each sketch is a
+    per-partition top-k-smallest partial aggregate (k·log k per
+    partition, 64 longs over the wire); set algebra then runs on
+    256 rows.
+    """
+    events = load(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    FULL = 1152921504606846976
+    ha = (
+        events.filter(F.col("event_type") == "click")
+        .select(h.alias("h"))
+        .distinct()
+        .persist()
+    )
+    hb = (
+        events.filter(F.col("event_type") == "view")
+        .select(h.alias("h"))
+        .distinct()
+        .persist()
+    )
+
+    def kth(df):
+        w = Window.orderBy("h")
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .agg(F.max(F.when(F.col("rn") == 128, F.col("h"))).alias("hk"))
+        )
+
+    ka = kth(ha).select(F.col("hk").alias("hka"))
+    kb = kth(hb).select(F.col("hk").alias("hkb"))
+    un = ha.unionByName(hb).distinct()
+    ku = (
+        un.withColumn("rn", F.row_number().over(Window.orderBy("h")))
+        .agg(
+            F.max(F.when(F.col("rn") == 128, F.col("h"))).alias("hku"),
+            F.count(F.lit(1)).alias("n_u"),
+        )
+    )
+    theta = ka.crossJoin(kb).selectExpr(
+        f"least(coalesce(hka, {FULL}L), coalesce(hkb, {FULL}L)) AS th"
+    )
+    inter_ret = (
+        ha.join(hb, "h")
+        .crossJoin(F.broadcast(theta))
+        .filter(F.col("h") < F.col("th"))
+        .groupBy("th")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    exact = events.agg(
+        F.countDistinct(
+            F.when(F.col("event_type") == "click", F.col("user_id"))
+        ).alias("exact_a"),
+        F.countDistinct(
+            F.when(F.col("event_type") == "view", F.col("user_id"))
+        ).alias("exact_b"),
+        F.countDistinct(
+            F.when(
+                F.col("event_type").isin("click", "view"), F.col("user_id")
+            )
+        ).alias("exact_union"),
+    )
+    exact_inter = (
+        events.filter(F.col("event_type") == "click")
+        .select("user_id")
+        .distinct()
+        .intersect(
+            events.filter(F.col("event_type") == "view")
+            .select("user_id")
+            .distinct()
+        )
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+    est = ku.crossJoin(F.broadcast(inter_ret)).selectExpr(
+        "CASE WHEN hku IS NULL THEN CAST(n_u AS DOUBLE)"
+        f" ELSE 127.0D * {FULL}L / hku END AS e_union",
+        f"CASE WHEN th = {FULL}L THEN CAST(m AS DOUBLE)"
+        f" ELSE CAST(m AS DOUBLE) * {FULL}L / CAST(th AS DOUBLE) END"
+        " AS e_inter",
+    )
+    out = (
+        exact.crossJoin(F.broadcast(exact_inter))
+        .crossJoin(F.broadcast(est))
+        .selectExpr(
+            "exact_a",
+            "exact_b",
+            "exact_union",
+            "exact_inter",
+            "floor(e_union * 100 + 0.5) / 100 AS est_union",
+            "floor(e_inter * 100 + 0.5) / 100 AS est_inter",
+            "abs(e_union - exact_union) / exact_union < 0.3 AS union_ok",
+            "abs(e_inter - exact_inter) / exact_inter < 0.35 AS inter_ok",
+        )
+    )
+    return finalize_cached(out, ha, hb)
