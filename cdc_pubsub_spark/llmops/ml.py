@@ -552,3 +552,241 @@ def ml_linreg_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "floor((1D - CAST(sse AS DOUBLE) / CAST(sst AS DOUBLE))"
         " * 10000 + 0.5) / 10000 AS r2_fit",
     )
+
+
+_GB_ROUNDS = 6
+_GB_CUTS = [("q", c) for c in (4, 8, 12, 16, 20, 24, 28, 32, 36, 40, 44)] + [
+    ("dd", c) for c in (1, 2, 3, 4, 5, 6, 7, 8, 9)
+]
+
+# Planted piecewise target: two genuine threshold effects + hash noise.
+# OLS cannot represent it (nonlinear in both features); depth-1 boosting
+# recovers the steps — the invariant test asserts the two true cuts
+# (q>=25, dd>=5) are found and most variance is explained.
+_GB_ROWS_SQL = """
+      SELECT l_quantity AS q,
+             CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS dd,
+             500 + CASE WHEN l_quantity >= 25 THEN 2000 ELSE 0 END
+                 + CASE WHEN CAST(floor(l_discount * 100 + 0.5) AS BIGINT)
+                        >= 5 THEN 800 ELSE 0 END
+                 + (l_orderkey * 2654435761 + l_linenumber * 40503) % 201
+                 - 100 AS y
+      FROM lineitem
+"""
+
+
+def _gb_cand_sums(res: str) -> str:
+    """Per-candidate split statistics in ONE aggregate pass: left-side
+    residual sum and count for every (feature, cut) candidate."""
+    cols = []
+    for j, (f, c) in enumerate(_GB_CUTS):
+        cols.append(
+            f"CAST(sum(CASE WHEN {f} <= {c} THEN {res} ELSE 0 END)"
+            f" AS BIGINT) AS sl{j}"
+        )
+        cols.append(
+            f"CAST(sum(CASE WHEN {f} <= {c} THEN 1 ELSE 0 END)"
+            f" AS BIGINT) AS nl{j}"
+        )
+    cols.append(f"CAST(sum({res}) AS BIGINT) AS st")
+    cols.append("CAST(count(*) AS BIGINT) AS nt")
+    return ", ".join(cols)
+
+
+_GB_SCORE = (
+    "CASE WHEN nl = 0 OR nl = nt THEN -1e18 ELSE"
+    " CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE)"
+    " + CAST(st - sl AS DOUBLE) * CAST(st - sl AS DOUBLE)"
+    " / CAST(nt - nl AS DOUBLE) END"
+)
+
+
+def _gb_unpivot(gref: str) -> str:
+    """Candidate stats → (cand_id, feature, cut, sl, nl, st, nt) rows."""
+    rows = []
+    for j, (f, c) in enumerate(_GB_CUTS):
+        rows.append(
+            f"SELECT {j} AS cand, '{f}' AS f, {c} AS cut,"
+            f" {gref}.sl{j} AS sl, {gref}.nl{j} AS nl,"
+            f" {gref}.st AS st, {gref}.nt AS nt FROM {gref}"
+        )
+    return "\n      UNION ALL\n      ".join(rows)
+
+
+def gbdt_oracle_sql() -> str:
+    """Unrolled boosting: T rounds of (candidate scan → deterministic
+    argmax split → integer leaf values at lr=1/2 → residual update)."""
+    parts = [
+        f"""
+    rows_in AS MATERIALIZED ({_GB_ROWS_SQL}),
+    mom0 AS MATERIALIZED (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS sy
+      FROM rows_in
+    ),
+    r_0 AS MATERIALIZED (
+      SELECT q, dd, y, y - (SELECT sy // n FROM mom0) AS res
+      FROM rows_in
+    )"""
+    ]
+    for t in range(1, _GB_ROUNDS + 1):
+        parts.append(
+            f"""
+    g_{t} AS MATERIALIZED (
+      SELECT {_gb_cand_sums("res")} FROM r_{t - 1}
+    ),
+    best_{t} AS MATERIALIZED (
+      SELECT f, cut,
+             CAST(floor(CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE)
+                        / 2e0 + 0.5e0) AS BIGINT) AS vl,
+             CAST(floor(CAST(st - sl AS DOUBLE) / CAST(nt - nl AS DOUBLE)
+                        / 2e0 + 0.5e0) AS BIGINT) AS vr,
+             nl AS n_left, nt - nl AS n_right
+      FROM ({_gb_unpivot(f"g_{t}")}) cands
+      ORDER BY {_GB_SCORE} DESC, f, cut
+      LIMIT 1
+    ),
+    r_{t} AS MATERIALIZED (
+      SELECT r.q, r.dd, r.y,
+             r.res - CASE WHEN (b.f = 'q' AND r.q <= b.cut)
+                            OR (b.f = 'dd' AND r.dd <= b.cut)
+                          THEN b.vl ELSE b.vr END AS res
+      FROM r_{t - 1} r CROSS JOIN best_{t} b
+    )"""
+        )
+    stumps = "\n      UNION ALL\n      ".join(
+        f"SELECT {t} AS round, f AS feature, CAST(cut AS BIGINT) AS cut,"
+        f" vl AS v_left, vr AS v_right,"
+        f" CAST(n_left AS BIGINT) AS n_left,"
+        f" CAST(n_right AS BIGINT) AS n_right FROM best_{t}"
+        for t in range(1, _GB_ROUNDS + 1)
+    )
+    parts.append(
+        f"""
+    fit AS MATERIALIZED (
+      SELECT CAST(sum(res * res) AS BIGINT) AS sse,
+             CAST(sum((y - (SELECT sy // n FROM mom0))
+                      * (y - (SELECT sy // n FROM mom0))) AS BIGINT) AS sst
+      FROM r_{_GB_ROUNDS}
+    )
+    SELECT s.round, s.feature, s.cut, s.v_left, s.v_right,
+           s.n_left, s.n_right, f.sse, f.sst,
+           floor((1e0 - CAST(f.sse AS DOUBLE) / CAST(f.sst AS DOUBLE))
+                 * 10000 + 0.5) / 10000 AS r2_fit
+    FROM ({stumps}) s CROSS JOIN fit f
+    ORDER BY s.round"""
+    )
+    return "WITH" + ",".join(parts)
+
+
+@register(
+    "ml_boosted_stumps",
+    category="similarity",
+    bench=False,  # T sequential aggregate+rewrite stages (scheduling
+    # floor at fixture scale — graph_cc exclusion rationale).
+    oracle=gbdt_oracle_sql(),
+)
+def ml_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRADIENT-BOOSTED STUMPS trained in-engine: 6 rounds of depth-1
+    regression trees (best-threshold split from a fixed candidate grid,
+    shrinkage 1/2), hash-certified against a DuckDB oracle that unrolls
+    the identical boosting — the tabular-ML workhorse joining the
+    certified family (k-means, PCA, logistic regression, OLS).
+
+    Determinism devices: residual state is INTEGER CENTS throughout
+    (leaf values floor-quantize at every round — the k-means/PCA
+    iterate discipline), so split statistics are exact order-free
+    BIGINT sums; the split score S²_L/n_L + S²_R/n_R is evaluated with
+    a pinned parse-tree order over one-time int→double casts and the
+    argmax carries the total (score DESC, feature, cut) tie-break —
+    identical doubles ⇒ identical winner on both engines. The target
+    is PLANTED PIECEWISE (steps at q≥25 and dd≥5 + hash noise): OLS
+    cannot represent it, and the invariant test asserts boosting finds
+    both true cuts and explains ~all variance. Scale shape per round:
+    ONE whole-stage-codegen aggregate computes every candidate's
+    (Σres, n) via conditional sums (38 BIGINTs per partition over the
+    wire), the winner is one driver row, and the residual update is a
+    row-local projection — the classic histogram-based GBDT layout
+    (LightGBM's binned split search) on the DataFrame stack.
+    """
+    li = load(spark, sf_dir, "lineitem").selectExpr(
+        "l_quantity AS q",
+        "CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS dd",
+        "500 + CASE WHEN l_quantity >= 25 THEN 2000 ELSE 0 END"
+        " + CASE WHEN CAST(floor(l_discount * 100 + 0.5) AS BIGINT) >= 5"
+        " THEN 800 ELSE 0 END"
+        " + (l_orderkey * 2654435761 + l_linenumber * 40503) % 201"
+        " - 100 AS y",
+    )
+    mom = li.groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("sy"),
+    ).collect()[0]
+    f0 = mom["sy"] // mom["n"]
+    cur = li.selectExpr("q", "dd", "y", f"y - {f0}L AS res").localCheckpoint(
+        eager=True
+    )
+    sst_row = cur.groupBy().agg(
+        F.sum(F.expr(f"(y - {f0}L) * (y - {f0}L)")).cast("bigint").alias("sst")
+    )
+    stumps = []
+    for t in range(1, _GB_ROUNDS + 1):
+        g = cur.selectExpr("q", "dd", "res").groupBy().agg(
+            *(
+                F.expr(e.rsplit(" AS ", 1)[0]).alias(e.rsplit(" AS ", 1)[1])
+                for e in _gb_cand_sums("res").split(", ")
+            )
+        ).collect()[0]
+        st, nt = g["st"], g["nt"]
+        best = None
+        for j, (f, c) in enumerate(_GB_CUTS):
+            sl, nl = g[f"sl{j}"], g[f"nl{j}"]
+            if nl == 0 or nl == nt:
+                score = -1e18
+            else:
+                score = float(sl) * float(sl) / float(nl) + float(
+                    st - sl
+                ) * float(st - sl) / float(nt - nl)
+            key = (-score, f, c)
+            if best is None or key < best[0]:
+                best = (key, f, c, sl, nl)
+        _, f, c, sl, nl = best
+        vl = int(math.floor(float(sl) / float(nl) / 2.0 + 0.5))
+        vr = int(math.floor(float(st - sl) / float(nt - nl) / 2.0 + 0.5))
+        stumps.append((t, f, c, vl, vr, nl, nt - nl))
+        cur = cur.selectExpr(
+            "q",
+            "dd",
+            "y",
+            f"res - CASE WHEN ({'q' if f == 'q' else 'dd'} <= {c})"
+            f" THEN {vl}L ELSE {vr}L END AS res",
+        ).localCheckpoint(eager=True)
+    fit = (
+        cur.groupBy()
+        .agg(F.sum(F.expr("res * res")).cast("bigint").alias("sse"))
+        .crossJoin(F.broadcast(sst_row))
+        .collect()[0]
+    )
+    rows = [
+        (
+            t,
+            f,
+            c,
+            vl,
+            vr,
+            nl,
+            nr,
+            fit["sse"],
+            fit["sst"],
+            math.floor(
+                (1.0 - float(fit["sse"]) / float(fit["sst"])) * 10000 + 0.5
+            )
+            / 10000,
+        )
+        for t, f, c, vl, vr, nl, nr in stumps
+    ]
+    return spark.createDataFrame(
+        rows,
+        "round int, feature string, cut bigint, v_left bigint,"
+        " v_right bigint, n_left bigint, n_right bigint, sse bigint,"
+        " sst bigint, r2_fit double",
+    ).orderBy("round")
