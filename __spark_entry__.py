@@ -120,56 +120,35 @@ def _certification_state() -> tuple[set[str], dict[str, int], dict[str, int]]:
 
 # Ops whose implementation or oracle CHANGED this round: their accumulated
 # certification predates the change, so they jump the certified tail until a
-# CORRECTNESS round has hash-checked the new contract. Round 8 set
-# (appended as changes land):
+# CORRECTNESS round has hash-checked the new contract. Round 9 set
+# (appended as changes land; the r08 set — tpch_q9_product_profit,
+# sim_ann_binary_hamming, corpus_batch_assembly, corpus_sequence_pack,
+# embed_pca_project — all drew green r08 rows and returned to the
+# stalest-first tail):
 _RECERTIFY = [
-    # Integer-cents accumulation replaced the order-dependent double sum
-    # (round-7 ADVICE lows) — output contract bit-identical by design but
-    # the certified expression changed:
-    "tpch_q9_product_profit",
-    # cos_sim now rounds through the shared r4 floor formula instead of
-    # native round() (round-7 ADVICE low; top-k sort key stability):
-    "sim_ann_binary_hamming",
-    # Global single-partition Window replaced by the two-level
-    # hash-prefix-bucket scan (round-7 VERDICT item 5) — values
-    # bit-identical by the prefix-order argument, plan reshaped:
-    "corpus_batch_assembly",
-    "corpus_sequence_pack",
-    # Graduated from rows-only to a full exact SQL oracle (round-7
-    # VERDICT item 8): quantized power-iteration PCA, llmops/pca.py.
-    "embed_pca_project",
-    # NOT listed: orders_forecast_holt / graph_jaccard_neighbors /
-    # scan_txn_log_* — also changed this round, but they have never
-    # received a driver row (r07 defer set) so they already lead the
-    # window as never-certified entries.
+    # Per-group kth-smallest reshaped from a data-sized row_number
+    # window to rank-filter→WindowGroupLimit partial top-64 + windowless
+    # count join (round-8 VERDICT item 2) — same kth value, plan
+    # reshaped:
+    "agg_kmv_theta_distinct",
+    # NOT listed: agg_theta_set_ops (same reshape, round-8 ADVICE
+    # empty-intersection fix) and corpus_bpe_train (single-token pair
+    # guard) — changed this round but never driver-sampled (r08 defer
+    # set), so they already lead the window as never-certified entries.
 ]
 
 # New ops added THIS round, deliberately pushed to the END of the ordering
 # (they lead the NEXT round's window as never-certified ops): the window
-# is a hard 50 slots and round 8's priorities are (1) the 17 never-sampled
-# r07 ops, (2) the 2 recertify entries, (3) draining the ~40-op stale
-# r01/r02-era tail below ~25 (round-7 VERDICT items 3-4). Deferring this
-# round's additions costs exactly one round (r05→r06 and r06→r07
-# precedent: every deferred op certified green the next round). All are
-# fully suite-covered in the meantime (tests/test_parity.py replicates
-# the driver check for every oracled op).
-_DEFER_TO_NEXT_ROUND: set[str] = {
-    # r08 additions (each locally hash-verified; window priority goes to
-    # the 17 never-sampled r07 ops + the stale-tail drain):
-    "multimodal_decode_png",  # replaces multimodal_decode_stub (real codec)
-    "profile_gini_lorenz",
-    "events_cusum_changepoint",
-    "graph_label_propagation",
-    "sink_txn_log_occ",
-    "ml_logreg_quality",
-    "corpus_bpe_train",
-    "stream_topk_windowed",
-    "join_interval_overlap",
-    "profile_chi2_independence",
-    "orders_mann_kendall_trend",
-    "ml_linreg_normal_eq",
-    "agg_theta_set_ops",
-}
+# is a hard 50 slots and round 9's priorities are (1) the 13 never-sampled
+# r08 ops (round-8 VERDICT item 1: certify to close 286/286), (2) the
+# recertify entries, (3) draining the r02-era stale tail to zero
+# (round-8 VERDICT item 4). Deferring this round's additions costs
+# exactly one round (r05→r06→r07→r08 precedent: every deferred op
+# certified green the next round). All are fully suite-covered in the
+# meantime (tests/test_parity.py replicates the driver check for every
+# oracled op). The r08 verdict flagged ml_boosted_stumps slipping in
+# ahead of this set — round 9 adds ALL additions here, no exceptions.
+_DEFER_TO_NEXT_ROUND: set[str] = set()
 
 
 def _ordered_names() -> list[str]:

@@ -355,10 +355,16 @@ def corpus_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in range(1, _BPE_ROUNDS + 1):
         top = (
             corpus.selectExpr("split(trim(s), ' ') AS tok")
+            # size(tok) < 2 must yield NO pairs: sequence(1, 0) DESCENDS
+            # in Spark ([1, 0] — out-of-range element_at), while the
+            # oracle's range(1, 1) is simply empty. Guard to an empty
+            # array so explode drops the row on both engines.
             .selectExpr(
-                "explode(transform(sequence(1, size(tok) - 1),"
+                "explode(CASE WHEN size(tok) >= 2 THEN"
+                " transform(sequence(1, size(tok) - 1),"
                 " bpi -> concat(element_at(tok, bpi), ' ',"
-                " element_at(tok, bpi + 1)))) AS pair"
+                " element_at(tok, bpi + 1))) ELSE"
+                " array() END) AS pair"
             )
             .groupBy("pair")
             .agg(F.count(F.lit(1)).cast("bigint").alias("c"))

@@ -1042,19 +1042,32 @@ def agg_kmv_theta_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = F.conv(
         F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
     ).cast("bigint")
-    hashes = events.select("event_type", h.alias("h")).distinct()
+    hashes = events.select("event_type", h.alias("h")).distinct().persist()
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("event_type").orderBy("h")
     # Below k distinct values the sketch HOLDS everything and is exact
     # — the real KMV contract, which also keeps the tiny-sf fixture
     # meaningful instead of empty.
+    #
+    # The rank filter rn <= 64 BEFORE the aggregate is load-bearing:
+    # Catalyst's InferWindowGroupLimit rewrites it into a partial
+    # WindowGroupLimit below the shuffle, so every partition forwards
+    # at most 64 hashes per group — the mergeable per-partition
+    # top-k-smallest shape the sketch contract promises — instead of
+    # sorting the whole distinct-hash relation through one partition
+    # per group. n_h (needed only for the <k exact fallback) comes
+    # from a windowless groupBy count on the same cached relation.
     kth = (
         hashes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 64)
         .groupBy("event_type")
-        .agg(
-            F.max(F.when(F.col("rn") == 64, F.col("h"))).alias("hk"),
-            F.count(F.lit(1)).alias("n_h"),
+        .agg(F.max(F.when(F.col("rn") == 64, F.col("h"))).alias("hk"))
+        .join(
+            hashes.groupBy("event_type").agg(
+                F.count(F.lit(1)).alias("n_h")
+            ),
+            "event_type",
         )
     )
     exact = events.groupBy("event_type").agg(
@@ -1063,7 +1076,7 @@ def agg_kmv_theta_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = F.when(
         F.col("hk").isNull(), F.col("n_h").cast("double")
     ).otherwise(F.lit(63.0) * F.lit(float(1 << 60)) / F.col("hk"))
-    return (
+    out = (
         exact.join(kth, "event_type")
         .select(
             "event_type",
@@ -1076,6 +1089,7 @@ def agg_kmv_theta_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+    return finalize_cached(out, hashes)
 
 
 @register(
@@ -1263,31 +1277,46 @@ def agg_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def kth(df):
-        w = Window.orderBy("h")
+        # Global kth-smallest WITHOUT a single-partition window:
+        # orderBy().limit(k) compiles to TakeOrderedAndProject — each
+        # partition keeps its local 128 smallest, one bounded merge —
+        # then max() of those 128 rows IS the kth value. Fewer than k
+        # survivors ⇒ the sketch holds everything ⇒ hk NULL (θ = 2⁶⁰).
         return (
-            df.withColumn("rn", F.row_number().over(w))
-            .agg(F.max(F.when(F.col("rn") == 128, F.col("h"))).alias("hk"))
+            df.orderBy("h")
+            .limit(128)
+            .agg(
+                F.when(
+                    F.count(F.lit(1)) == 128, F.max(F.col("h"))
+                ).alias("hk")
+            )
         )
 
     ka = kth(ha).select(F.col("hk").alias("hka"))
     kb = kth(hb).select(F.col("hk").alias("hkb"))
-    un = ha.unionByName(hb).distinct()
+    un = ha.unionByName(hb).distinct().persist()
     ku = (
-        un.withColumn("rn", F.row_number().over(Window.orderBy("h")))
-        .agg(
-            F.max(F.when(F.col("rn") == 128, F.col("h"))).alias("hku"),
-            F.count(F.lit(1)).alias("n_u"),
+        kth(un)
+        .select(F.col("hk").alias("hku"))
+        .crossJoin(
+            F.broadcast(un.agg(F.count(F.lit(1)).alias("n_u")))
         )
     )
     theta = ka.crossJoin(kb).selectExpr(
         f"least(coalesce(hka, {FULL}L), coalesce(hkb, {FULL}L)) AS th"
     )
+    # GLOBAL aggregate (groupBy().agg), not groupBy("th"): when no
+    # intersection hash falls below θ the grouped form returns ZERO
+    # rows and the downstream crossJoin would empty the whole output,
+    # while the oracle's plain count(*) yields one m=0 row. The global
+    # agg always produces exactly one row; θ is re-attached by a
+    # 1×1 crossJoin so est still sees both m and th.
     inter_ret = (
         ha.join(hb, "h")
         .crossJoin(F.broadcast(theta))
         .filter(F.col("h") < F.col("th"))
-        .groupBy("th")
         .agg(F.count(F.lit(1)).alias("m"))
+        .crossJoin(F.broadcast(theta))
     )
     exact = events.agg(
         F.countDistinct(
@@ -1334,4 +1363,4 @@ def agg_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             "abs(e_inter - exact_inter) / exact_inter < 0.35 AS inter_ok",
         )
     )
-    return finalize_cached(out, ha, hb)
+    return finalize_cached(out, ha, hb, un)

@@ -412,7 +412,11 @@ def sink_txn_log_occ(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             os.unlink(tmp)
 
-    assert commit(0, [{"add": "data/base"}], "init")
+    # Statement first, assert second: under `python -O` asserts are
+    # stripped, and the base-snapshot commit is a SIDE EFFECT that must
+    # survive optimization.
+    base_ok = commit(0, [{"add": "data/base"}], "init")
+    assert base_ok, "v0 base commit lost the empty-log race"
 
     barrier = threading.Barrier(2)
     retries = {"wa": 0, "wb": 0}
