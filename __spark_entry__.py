@@ -148,7 +148,10 @@ _RECERTIFY = [
 # meantime (tests/test_parity.py replicates the driver check for every
 # oracled op). The r08 verdict flagged ml_boosted_stumps slipping in
 # ahead of this set — round 9 adds ALL additions here, no exceptions.
-_DEFER_TO_NEXT_ROUND: set[str] = set()
+_DEFER_TO_NEXT_ROUND: set[str] = {
+    # r09 additions (each locally hash-verified via tests/test_parity.py):
+    "orders_rfm_atscale",
+}
 
 
 def _ordered_names() -> list[str]:

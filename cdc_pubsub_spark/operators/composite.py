@@ -2969,3 +2969,180 @@ def orders_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_pubsub_spark.tables import finalize_cached
 
     return finalize_cached(out, daily)
+
+
+_RFM_KS = (1, 2, 3, 4)
+
+
+def _rfm_cutoff_cols(prefix: str) -> list:
+    """Conditional-min cutoffs: c{k} = smallest bin whose cumulative
+    count reaches ceil(k·n/5), computed as ONE aggregate over the
+    bounded bin relation — exact integer arithmetic ((k·n+4) div 5)
+    so both engines pick identical edges."""
+    return [
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr(f"({k} * n_cust + 4) div 5"),
+                F.col("bin"),
+            )
+        ).alias(f"{prefix}{k}")
+        for k in _RFM_KS
+    ]
+
+
+def _rfm_hist_cutoffs(binned: DataFrame, col: str, prefix: str, n) -> DataFrame:
+    """Histogram → cumulative → quintile edges for one RFM axis.
+
+    The histogram is a map-side-combinable groupBy on the quantized
+    bin; the cumulative window runs over the BIN relation (bounded by
+    the domain/width, never by row count — the agg_quantile_bin_sketch
+    argument), and the result is a 1-row, 4-column cutoff table."""
+    hist = binned.groupBy(F.col(col).alias("bin")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wc = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select("bin", F.sum("c").over(wc).alias("cum"))
+    return cum.crossJoin(F.broadcast(n)).agg(*_rfm_cutoff_cols(prefix))
+
+
+def _rfm_tile(bin_col: str, prefix: str) -> str:
+    """Best-first quintile from 4 broadcast edges, row-local: ascending
+    tile = 1 + #(edges strictly below the value), best-first = 6 - it."""
+    asc = " + ".join(
+        f"(CASE WHEN {bin_col} > {prefix}{k} THEN 1 ELSE 0 END)"
+        for k in _RFM_KS
+    )
+    return f"6 - (1 + {asc})"
+
+
+@register(
+    "orders_rfm_atscale",
+    category="composite",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey AS custkey,
+             max(epoch_us(CAST(o_orderdate AS TIMESTAMP))) AS last_us,
+             count(*) AS frequency,
+             CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT)
+               AS monetary_cents
+      FROM orders GROUP BY o_custkey
+    ),
+    rb AS (
+      SELECT custkey, frequency, monetary_cents,
+             last_us // 86400000000                       AS r_bin,
+             CAST(frequency AS BIGINT)                    AS f_bin,
+             LEAST(monetary_cents // 100000, 9999)        AS m_bin
+      FROM per_cust
+    ),
+    n AS (SELECT count(*) AS n_cust FROM rb),
+    rcut AS (
+      SELECT min(CASE WHEN cum >= (1 * n_cust + 4) // 5 THEN bin END) AS r1,
+             min(CASE WHEN cum >= (2 * n_cust + 4) // 5 THEN bin END) AS r2,
+             min(CASE WHEN cum >= (3 * n_cust + 4) // 5 THEN bin END) AS r3,
+             min(CASE WHEN cum >= (4 * n_cust + 4) // 5 THEN bin END) AS r4
+      FROM (SELECT bin, sum(c) OVER (ORDER BY bin) AS cum
+            FROM (SELECT r_bin AS bin, count(*) AS c FROM rb GROUP BY 1))
+           CROSS JOIN n
+    ),
+    fcut AS (
+      SELECT min(CASE WHEN cum >= (1 * n_cust + 4) // 5 THEN bin END) AS f1,
+             min(CASE WHEN cum >= (2 * n_cust + 4) // 5 THEN bin END) AS f2,
+             min(CASE WHEN cum >= (3 * n_cust + 4) // 5 THEN bin END) AS f3,
+             min(CASE WHEN cum >= (4 * n_cust + 4) // 5 THEN bin END) AS f4
+      FROM (SELECT bin, sum(c) OVER (ORDER BY bin) AS cum
+            FROM (SELECT f_bin AS bin, count(*) AS c FROM rb GROUP BY 1))
+           CROSS JOIN n
+    ),
+    mcut AS (
+      SELECT min(CASE WHEN cum >= (1 * n_cust + 4) // 5 THEN bin END) AS m1,
+             min(CASE WHEN cum >= (2 * n_cust + 4) // 5 THEN bin END) AS m2,
+             min(CASE WHEN cum >= (3 * n_cust + 4) // 5 THEN bin END) AS m3,
+             min(CASE WHEN cum >= (4 * n_cust + 4) // 5 THEN bin END) AS m4
+      FROM (SELECT bin, sum(c) OVER (ORDER BY bin) AS cum
+            FROM (SELECT m_bin AS bin, count(*) AS c FROM rb GROUP BY 1))
+           CROSS JOIN n
+    ),
+    tiles AS (
+      SELECT monetary_cents,
+             6 - (1 + (CASE WHEN r_bin > r1 THEN 1 ELSE 0 END)
+                    + (CASE WHEN r_bin > r2 THEN 1 ELSE 0 END)
+                    + (CASE WHEN r_bin > r3 THEN 1 ELSE 0 END)
+                    + (CASE WHEN r_bin > r4 THEN 1 ELSE 0 END)) AS r_q,
+             6 - (1 + (CASE WHEN f_bin > f1 THEN 1 ELSE 0 END)
+                    + (CASE WHEN f_bin > f2 THEN 1 ELSE 0 END)
+                    + (CASE WHEN f_bin > f3 THEN 1 ELSE 0 END)
+                    + (CASE WHEN f_bin > f4 THEN 1 ELSE 0 END)) AS f_q,
+             6 - (1 + (CASE WHEN m_bin > m1 THEN 1 ELSE 0 END)
+                    + (CASE WHEN m_bin > m2 THEN 1 ELSE 0 END)
+                    + (CASE WHEN m_bin > m3 THEN 1 ELSE 0 END)
+                    + (CASE WHEN m_bin > m4 THEN 1 ELSE 0 END)) AS m_q
+      FROM rb CROSS JOIN rcut CROSS JOIN fcut CROSS JOIN mcut
+    )
+    SELECT r_q, f_q, m_q,
+           count(*) AS n_customers,
+           CAST(sum(monetary_cents) AS BIGINT) AS segment_cents
+    FROM tiles
+    GROUP BY r_q, f_q, m_q
+    ORDER BY r_q, f_q, m_q
+    """,
+)
+def orders_rfm_atscale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation, the 100-TB shape: the at-scale variant the
+    exact-ntile op's docstring promises (round-8 VERDICT item 5) —
+    quintile CUTOFFS from mergeable fixed-bin histograms, broadcast
+    once, segment assignment as a row-local CASE. NO data-sized window
+    anywhere (pinned in tests/test_plans.py): the exact op's three
+    global ntile sorts are replaced by three bounded-bin cumulative
+    scans (day bins for recency, unit bins for frequency, $1000 bins
+    for monetary — each bounded by its DOMAIN, not the row count, the
+    agg_quantile_bin_sketch argument).
+
+    Edges are exact integer arithmetic — c_k = smallest bin whose
+    cumulative count reaches ceil(k·n/5) = (k·n+4) div 5 — so unlike
+    approx_percentile (implementation-defined) the whole estimator
+    replays in DuckDB and hash-certifies. Tile boundaries differ from
+    exact ntile only within one bin width; `orders_rfm_segmentation`
+    stays registered as the exact twin. Cost shape: one per-customer
+    aggregate, three ≤10k-row histogram aggs (map-side combinable),
+    one 1×1×1 broadcast crossJoin, one final segment groupBy — every
+    shuffle is on an aggregate or a bounded relation.
+    """
+    o = load(spark, sf_dir, "orders")
+    per_cust = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(F.unix_micros(F.col("o_orderdate").cast("timestamp"))).alias(
+            "last_us"
+        ),
+        F.count(F.lit(1)).alias("frequency"),
+        F.floor(F.sum("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("monetary_cents"),
+    )
+    rb = per_cust.select(
+        "monetary_cents",
+        F.expr("last_us div 86400000000").alias("r_bin"),
+        F.col("frequency").cast("bigint").alias("f_bin"),
+        F.least(
+            F.expr("monetary_cents div 100000"), F.lit(9999).cast("bigint")
+        ).alias("m_bin"),
+    ).persist()
+    n = rb.agg(F.count(F.lit(1)).alias("n_cust"))
+    cuts = (
+        _rfm_hist_cutoffs(rb, "r_bin", "r", n)
+        .crossJoin(F.broadcast(_rfm_hist_cutoffs(rb, "f_bin", "f", n)))
+        .crossJoin(F.broadcast(_rfm_hist_cutoffs(rb, "m_bin", "m", n)))
+    )
+    tiles = rb.crossJoin(F.broadcast(cuts)).selectExpr(
+        "monetary_cents",
+        _rfm_tile("r_bin", "r") + " AS r_q",
+        _rfm_tile("f_bin", "f") + " AS f_q",
+        _rfm_tile("m_bin", "m") + " AS m_q",
+    )
+    out = (
+        tiles.groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("monetary_cents").cast("bigint").alias("segment_cents"),
+        )
+        .orderBy("r_q", "f_q", "m_q")
+    )
+    return finalize_cached(out, rb)

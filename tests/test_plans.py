@@ -940,3 +940,19 @@ def test_theta_set_ops_has_no_window_at_all(spark, sf_dir):
     plan = formatted_plan(df)
     assert "TakeOrderedAndProject" in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_rfm_atscale_windows_only_over_bin_histograms(spark, sf_dir):
+    """The at-scale RFM must carry NO data-sized window: zero ntile,
+    and every Window in the plan is the cumulative sum over a bounded
+    bin-histogram relation (ordered by bin#); cutoffs ride broadcast
+    nested-loop 1-row crossJoins onto the per-customer side."""
+    from cdc_pubsub_spark.plans.inspect import simple_plan
+
+    df = q("orders_rfm_atscale", spark, sf_dir)
+    plan = simple_plan(df)
+    assert "ntile" not in plan, plan
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "windowspecdefinition(bin#" in line, line
+    assert "BroadcastNestedLoopJoin" in plan, plan
