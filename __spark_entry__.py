@@ -131,6 +131,10 @@ _RECERTIFY = [
     # count join (round-8 VERDICT item 2) — same kth value, plan
     # reshaped:
     "agg_kmv_theta_distinct",
+    # Graduated from rows-only (r04 cert) to a full SQL oracle
+    # (round-8 VERDICT item 6): real text-sink round-trip re-read by
+    # binaryFile, byte totals replayed from documents:
+    "multimodal_binary_ingest",
     # NOT listed: agg_theta_set_ops (same reshape, round-8 ADVICE
     # empty-intersection fix) and corpus_bpe_train (single-token pair
     # guard) — changed this round but never driver-sampled (r08 defer

@@ -600,25 +600,80 @@ def multimodal_av_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_binary_ingest", category="multimodal", oracle=None, bench=False)
+@register(
+    "multimodal_binary_ingest",
+    category="multimodal",
+    bench=False,
+    oracle="""
+    SELECT doc_id % 16 AS g,
+           count(*) AS n_docs,
+           CAST(sum(strlen(text) + 1) AS BIGINT) AS n_bytes
+    FROM documents
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
 def multimodal_binary_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Raw-file ingestion via the binaryFile source: every file under
-    the scale-factor directory becomes one row of (path, length,
-    content) — the front door a media lake uses to land image/audio
-    files before any decode.
+    """Raw-file ingestion via the binaryFile source, round-tripped
+    through REAL files so the whole path is oracle-certified (was
+    rows-only until round 9): land the documents corpus as 16
+    partition directories of raw text files, re-ingest every written
+    file with `spark.read.format("binaryFile")`, and aggregate the
+    on-disk byte totals per partition — which the oracle replays from
+    the table as sum(octet_length(text) + 1) (the text sink writes
+    UTF-8 bytes verbatim plus one newline per row; partition dirs are
+    a pure doc_id % 16 function).
 
-    `spark.read.format("binaryFile")` lists and reads files
-    executor-side (distributed listing + read, nothing driver-local),
-    carries modification time for incremental loads, and feeds the same
-    mapInPandas decode kernels as multimodal_decode_png. Content bytes
-    are projected away here — the aggregate only needs lengths, and
-    column pruning means payloads are never even read (the binaryFile
-    reader skips `content` when unprojected)."""
-    files = spark.read.format("binaryFile").load(f"{sf_dir}/*.parquet")
-    return files.select(
-        F.regexp_extract(F.col("path"), r"([^/]+)\.parquet$", 1).alias("table"),
-        F.col("length").alias("n_bytes"),
-    ).orderBy("table")
+    `binaryFile` lists and reads files executor-side (distributed
+    listing + read, nothing driver-local), carries modification time
+    for incremental loads, and feeds the same mapInPandas decode
+    kernels as multimodal_decode_png. The per-directory FILE COUNT is
+    deliberately not in the output — it depends on task layout — but
+    byte totals are partition-layout-independent, so the check pins
+    that every written byte of every file landed and was re-read.
+    n_docs rides the line count of the same files (the text source
+    over the identical glob), proving both readers see one file set.
+    """
+    from cdc_pubsub_spark.paths import work_dir
+
+    out_dir = work_dir("multimodal_binary_ingest")
+    docs = load(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 16).alias("g"), F.col("text").alias("value")
+    )
+    (
+        docs.repartition(16, "g")
+        .write.mode("overwrite")
+        .partitionBy("g")
+        .text(out_dir)
+    )
+    files = spark.read.format("binaryFile").load(f"{out_dir}/g=*/part-*")
+    sizes = (
+        files.select(
+            F.regexp_extract(F.col("path"), r"g=(\d+)/", 1)
+            .cast("bigint")
+            .alias("g"),
+            F.col("length").alias("n_bytes"),
+        )
+        .groupBy("g")
+        .agg(F.sum("n_bytes").cast("bigint").alias("n_bytes"))
+    )
+    lines = (
+        spark.read.text(f"{out_dir}/g=*/part-*")
+        .select(
+            F.regexp_extract(
+                F.input_file_name(), r"g=(\d+)/", 1
+            )
+            .cast("bigint")
+            .alias("g")
+        )
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return (
+        lines.join(sizes, "g")
+        .select("g", "n_docs", "n_bytes")
+        .orderBy("g")
+    )
 
 
 @register(

@@ -654,18 +654,36 @@ def test_frame_sample_stride_and_bounds(spark, sf_dir):
         assert n_emitted == -(-n_frames // 5), doc_id
 
 
-def test_binary_ingest_lists_every_table_with_real_sizes(spark, sf_dir):
-    """binaryFile ingestion: one row per parquet file in the sf dir,
-    with n_bytes matching the file's actual on-disk size."""
+def test_binary_ingest_round_trips_real_file_bytes(spark, sf_dir):
+    """binaryFile ingestion: the written partition dirs' byte totals
+    (re-read with binaryFile) must equal both the on-disk du of each
+    g= directory AND the closed-form sum(utf8_bytes(text) + 1) per
+    doc_id % 16 group."""
     import os
 
-    got = {r.table: r.n_bytes for r in
+    from cdc_pubsub_spark.paths import work_dir
+
+    got = {r.g: (r.n_docs, r.n_bytes) for r in
            REGISTRY["multimodal_binary_ingest"].fn(spark, sf_dir).collect()}
-    expect = {
-        f[:-8]: os.path.getsize(os.path.join(sf_dir, f))
-        for f in os.listdir(sf_dir)
-        if f.endswith(".parquet")
-    }
+    docs = REGISTRY["multimodal_binary_ingest"]  # noqa: F841  (op ran above)
+    out_dir = work_dir("multimodal_binary_ingest")
+    for g, (n_docs, n_bytes) in got.items():
+        d = os.path.join(out_dir, f"g={g}")
+        on_disk = sum(
+            os.path.getsize(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.startswith("part-")
+        )
+        assert on_disk == n_bytes, (g, on_disk, n_bytes)
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                      columns=["doc_id", "text"])
+    expect: dict = {}
+    for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        g = doc_id % 16
+        n, b = expect.get(g, (0, 0))
+        expect[g] = (n + 1, b + len(text.encode("utf-8")) + 1)
     assert got == expect
 
 
