@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Synthesize the sf1 scale-probe tree: 10x the sf0.1 bench data.
+
+The bench's scale-probe tier (SPARK_GRAFT_BENCH_SCALE=1) re-times the
+heaviest serial ops at 10x the data to validate the scaling-curve claims
+operator docstrings make — a single-partition bottleneck that hides at
+sf0.1 shows up as a >>10x time ratio here, empirically, instead of by
+code reading (round-8 VERDICT item 7).
+
+Construction: 10 key-shifted replicas of every FACT table (customer,
+supplier, part, orders, lineitem, events, documents, embeddings), one
+copy of the fixed dims (region, nation). Every key column shifts by
+replica * 2^40 — far above any sf0.1 key, and divisible by every
+modulus the registry takes of a key (16/64/250/...), so per-replica
+distributions are preserved and cross-table joins stay consistent
+(l_orderkey meets its shifted o_orderkey, etc.). Document text gets a
+per-replica suffix so corpus-dedup group structure is preserved
+(replicas do NOT collapse into 10x duplicate groups, which would grow
+pair output quadratically and measure the wrong thing); n_chars is
+recomputed to stay consistent with the text.
+
+Output: $SPARK_GRAFT_SCALE_DIR (default <repo>/.scale_probe/sf1), one
+parquet DIRECTORY per table (spark.read.parquet handles both layouts).
+Idempotent: skips generation if the tree exists unless --force.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from pyspark.sql import DataFrame, functions as F
+
+from cdc_pubsub_spark.session import get_spark
+
+REPLICAS = 10
+OFF = 1 << 40  # > any sf0.1 key; divisible by every small modulus used
+
+KEY_COLS = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+DIMS = ["region", "nation"]
+
+
+def replicate(df: DataFrame, table: str) -> DataFrame:
+    out = None
+    for i in range(REPLICAS):
+        rep = df
+        for k in KEY_COLS[table]:
+            rep = rep.withColumn(k, F.col(k) + F.lit(i * OFF))
+        if table == "documents" and i > 0:
+            rep = rep.withColumn(
+                "text", F.concat(F.col("text"), F.lit(f" r{i}"))
+            ).withColumn("n_chars", F.length("text").cast("bigint"))
+        out = rep if out is None else out.unionByName(rep)
+    return out
+
+
+def main() -> None:
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    dst = os.environ.get(
+        "SPARK_GRAFT_SCALE_DIR",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".scale_probe",
+            "sf1",
+        ),
+    )
+    force = "--force" in sys.argv
+    if os.path.isdir(dst) and not force:
+        if all(
+            os.path.exists(os.path.join(dst, f"{t}.parquet"))
+            for t in list(KEY_COLS) + DIMS
+        ):
+            print(f"scale probe tree already complete at {dst}")
+            return
+    if os.path.isdir(dst):
+        shutil.rmtree(dst)
+    os.makedirs(dst, exist_ok=True)
+    spark = get_spark("gen-scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    for t in DIMS:
+        df = spark.read.parquet(f"{src}/{t}.parquet")
+        df.write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
+    for t in KEY_COLS:
+        df = spark.read.parquet(f"{src}/{t}.parquet")
+        rep = replicate(df, t)
+        # 10x sf0.1 in ~8-16 files per table: big enough for parallel
+        # scans, small enough that listing stays trivial.
+        rep.repartition(8).write.mode("overwrite").parquet(
+            f"{dst}/{t}.parquet"
+        )
+        n = spark.read.parquet(f"{dst}/{t}.parquet").count()
+        print(f"{t}: {n} rows")
+    print(f"scale probe tree written to {dst}")
+
+
+if __name__ == "__main__":
+    main()
