@@ -155,6 +155,8 @@ _RECERTIFY = [
 _DEFER_TO_NEXT_ROUND: set[str] = {
     # r09 additions (each locally hash-verified via tests/test_parity.py):
     "orders_rfm_atscale",
+    "ml_naive_bayes",
+    "graph_modularity",
 }
 
 

@@ -45,6 +45,7 @@ import math
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from cdc_pubsub_spark.registry import register
 from cdc_pubsub_spark.tables import load
@@ -796,3 +797,216 @@ def ml_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         " v_right bigint, n_left bigint, n_right bigint, sse bigint,"
         " sst bigint, r2_fit double",
     ).orderBy("round")
+
+
+_NB_VOCAB_K = 200
+_NB_MICRO = "1000000"
+
+
+@register(
+    "ml_naive_bayes",
+    category="similarity",
+    bench=False,  # two tiny model aggregates + one scoring pass: fixture
+    # cost is the scheduling floor (the trainer-family exclusion).
+    oracle=f"""
+    WITH tok AS MATERIALIZED (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ),
+    train_tok AS MATERIALIZED (
+      SELECT * FROM tok WHERE doc_id % 5 != 0
+    ),
+    vocab AS MATERIALIZED (
+      SELECT w FROM (
+        SELECT w, count(*) AS n FROM train_tok GROUP BY w
+        ORDER BY n DESC, w LIMIT {_NB_VOCAB_K}
+      )
+    ),
+    vn AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+    classes AS MATERIALIZED (
+      SELECT DISTINCT lang AS c FROM documents WHERE doc_id % 5 != 0
+    ),
+    prior AS MATERIALIZED (
+      SELECT lang AS c,
+             CAST(floor(ln(CAST(count(DISTINCT doc_id) AS DOUBLE)
+                  / CAST((SELECT count(DISTINCT doc_id) FROM train_tok)
+                         AS DOUBLE)) * {_NB_MICRO} + 0.5) AS BIGINT)
+               AS prior_q
+      FROM train_tok GROUP BY lang
+    ),
+    cnt_wc AS MATERIALIZED (
+      SELECT t.lang AS c, t.w, CAST(count(*) AS BIGINT) AS c_wc
+      FROM train_tok t JOIN vocab USING (w)
+      GROUP BY 1, 2
+    ),
+    model AS MATERIALIZED (
+      SELECT cl.c, vo.w, coalesce(k.c_wc, 0) AS c_wc
+      FROM classes cl CROSS JOIN vocab vo
+      LEFT JOIN cnt_wc k ON k.c = cl.c AND k.w = vo.w
+    ),
+    tot AS MATERIALIZED (
+      SELECT c, CAST(sum(c_wc) AS BIGINT) AS tot_c FROM model GROUP BY c
+    ),
+    model_q AS MATERIALIZED (
+      SELECT m.c, m.w,
+             CAST(floor(ln(CAST(m.c_wc + 1 AS DOUBLE)
+                  / CAST(t.tot_c + vn.v AS DOUBLE)) * {_NB_MICRO} + 0.5)
+               AS BIGINT) AS lq
+      FROM model m JOIN tot t USING (c) CROSS JOIN vn
+    ),
+    test_wc AS MATERIALIZED (
+      SELECT doc_id, lang, w, CAST(count(*) AS BIGINT) AS n_dw
+      FROM tok JOIN vocab USING (w)
+      WHERE doc_id % 5 = 0
+      GROUP BY 1, 2, 3
+    ),
+    contrib AS MATERIALIZED (
+      SELECT t.doc_id, t.lang, m.c,
+             CAST(sum(t.n_dw * m.lq) AS BIGINT) AS s
+      FROM test_wc t JOIN model_q m USING (w)
+      GROUP BY 1, 2, 3
+    ),
+    grid AS MATERIALIZED (
+      SELECT d.doc_id, d.lang, cl.c,
+             p.prior_q + coalesce(x.s, 0) AS score
+      FROM (SELECT DISTINCT doc_id, lang FROM documents
+            WHERE doc_id % 5 = 0) d
+      CROSS JOIN classes cl
+      JOIN prior p ON p.c = cl.c
+      LEFT JOIN contrib x
+        ON x.doc_id = d.doc_id AND x.c = cl.c
+    ),
+    pred AS MATERIALIZED (
+      SELECT doc_id, lang, c AS pred_lang
+      FROM (SELECT *, row_number() OVER
+              (PARTITION BY doc_id ORDER BY score DESC, c) AS rn
+            FROM grid)
+      WHERE rn = 1
+    )
+    SELECT p.lang, p.pred_lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           vn.v AS vocab_size
+    FROM pred p CROSS JOIN vn
+    GROUP BY p.lang, p.pred_lang, vn.v
+    ORDER BY p.lang, p.pred_lang
+    """,
+)
+def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes TRAINING + EVALUATION inside the engine:
+    fit token-given-class likelihoods with Laplace smoothing on the
+    80% train split (doc_id % 5 != 0), score the held-out 20%, report
+    the language confusion matrix — the classic first text classifier
+    every corpus pipeline fits as a quality/tagging baseline.
+
+    NB is the aggregation-native trainer: the WHOLE model is two
+    word-count aggregates (class priors + per-class token counts over
+    a top-{_NB_VOCAB_K} vocabulary), no iteration at all — at 100 TB
+    it is exactly the canonical word-count shape (map-side partial
+    aggregation carries vocabulary-sized partials, never the corpus).
+    The fitted model is a V×C table, broadcast to the scoring join;
+    scoring is one shuffle on (doc, class) and one bounded-per-doc
+    (|C| rows) row_number window.
+
+    Determinism discipline: log-likelihoods are quantized to integer
+    MICRO-NATS (floor(ln·1e6)) at the model — per-doc scores are then
+    exact BIGINT sums (order-independent, the ml_logreg_quality
+    pattern), and the argmax tie-breaks on class name, so Spark and
+    DuckDB pick identical predictions and the confusion matrix
+    hash-certifies.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
+    )
+    train_tok = tok.filter(F.col("doc_id") % 5 != 0).persist()
+    vocab = (
+        train_tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "w")
+        .limit(_NB_VOCAB_K)
+        .select("w")
+        .persist()
+    )
+    vn = vocab.agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    classes = (
+        docs.filter(F.col("doc_id") % 5 != 0)
+        .select(F.col("lang").alias("c"))
+        .distinct()
+    )
+    n_train = train_tok.agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_tr")
+    )
+    prior = (
+        train_tok.groupBy(F.col("lang").alias("c"))
+        .agg(F.countDistinct("doc_id").cast("bigint").alias("n_c"))
+        .crossJoin(F.broadcast(n_train))
+        .selectExpr(
+            "c",
+            f"CAST(floor(ln(CAST(n_c AS DOUBLE) / CAST(n_tr AS DOUBLE))"
+            f" * {_NB_MICRO} + 0.5) AS BIGINT) AS prior_q",
+        )
+    )
+    cnt_wc = (
+        train_tok.join(F.broadcast(vocab), "w")
+        .groupBy(F.col("lang").alias("c"), "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_wc"))
+    )
+    model = (
+        classes.crossJoin(F.broadcast(vocab))
+        .join(cnt_wc, ["c", "w"], "left")
+        .withColumn("c_wc", F.coalesce(F.col("c_wc"), F.lit(0)))
+    )
+    tot = model.groupBy("c").agg(
+        F.sum("c_wc").cast("bigint").alias("tot_c")
+    )
+    model_q = (
+        model.join(F.broadcast(tot), "c")
+        .crossJoin(F.broadcast(vn))
+        .selectExpr(
+            "c",
+            "w",
+            f"CAST(floor(ln(CAST(c_wc + 1 AS DOUBLE)"
+            f" / CAST(tot_c + v AS DOUBLE)) * {_NB_MICRO} + 0.5)"
+            " AS BIGINT) AS lq",
+        )
+    )
+    test_wc = (
+        tok.filter(F.col("doc_id") % 5 == 0)
+        .join(F.broadcast(vocab), "w")
+        .groupBy("doc_id", "lang", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_dw"))
+    )
+    contrib = (
+        test_wc.join(F.broadcast(model_q), "w")
+        .groupBy("doc_id", "lang", "c")
+        .agg(F.sum(F.col("n_dw") * F.col("lq")).cast("bigint").alias("s"))
+    )
+    grid = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "lang")
+        .crossJoin(F.broadcast(classes))
+        .join(F.broadcast(prior), "c")
+        .join(contrib, ["doc_id", "lang", "c"], "left")
+        .selectExpr(
+            "doc_id",
+            "lang",
+            "c",
+            "prior_q + coalesce(s, CAST(0 AS BIGINT)) AS score",
+        )
+    )
+    w_pred = Window.partitionBy("doc_id").orderBy(F.desc("score"), "c")
+    pred = (
+        grid.withColumn("rn", F.row_number().over(w_pred))
+        .filter(F.col("rn") == 1)
+        .select("lang", F.col("c").alias("pred_lang"))
+    )
+    out = (
+        pred.groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .crossJoin(F.broadcast(vn))
+        .select("lang", "pred_lang", "n_docs", F.col("v").alias("vocab_size"))
+        .orderBy("lang", "pred_lang")
+    )
+    from cdc_pubsub_spark.tables import finalize_cached
+
+    return finalize_cached(out, train_tok, vocab)

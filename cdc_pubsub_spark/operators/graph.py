@@ -723,6 +723,70 @@ def _lp_round_sql(rounds: int) -> str:
     return ",\n    ".join(ctes)
 
 
+def _lp_edges_and_labels(spark: SparkSession, sf_dir: str):
+    """Shared LP machinery: the undirected hash graph (persisted, both
+    edge directions, deduped) and the converged 4-round synchronous
+    label assignment. Used by graph_label_propagation (community sizes)
+    and graph_modularity (partition quality)."""
+    users = load(spark, sf_dir, "events").select("user_id").distinct()
+    adj = (
+        users.select(
+            F.col("user_id").alias("u"),
+            F.explode(
+                F.array(
+                    *[
+                        ((F.col("user_id") * p + o) % 1000).alias(f"v{p}")
+                        for p, o in _JACCARD_MAPS
+                    ]
+                )
+            ).alias("v"),
+        )
+        .distinct()
+    )
+    edges = (
+        adj.unionByName(adj.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    lbl = nodes.withColumn("lbl", F.col("node"))
+    w = Window.partitionBy("node").orderBy(F.desc("c"), "lbl")
+    for _ in range(_LP_ROUNDS):
+        cnt = (
+            edges.join(lbl, edges.v == lbl.node)
+            .groupBy(edges.u.alias("node2"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumnRenamed("node2", "node")
+        )
+        lbl = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "lbl")
+        )
+    return edges, lbl
+
+
+# Shared oracle prefix: graph construction + unrolled LP rounds.
+_LP_CHAIN_SQL = f"""users AS (SELECT DISTINCT user_id FROM events),
+    adj AS (SELECT DISTINCT u, v FROM ({_ADJ_SQL})),
+    edges AS MATERIALIZED (
+      SELECT u, v FROM adj
+      UNION
+      SELECT v AS u, u AS v FROM adj
+    ),
+    lp0 AS MATERIALIZED (
+      SELECT node, node AS lbl
+      FROM (SELECT u AS node FROM edges
+            UNION
+            SELECT v AS node FROM edges) nodes
+    ),
+    {_lp_round_sql(_LP_ROUNDS)}"""
+
+
 @register(
     "graph_label_propagation",
     category="graph",
@@ -774,45 +838,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Labels converge to dense-community consensus; emitted communities
     are the top-20 by size with a deterministic min-member witness.
     """
-    users = load(spark, sf_dir, "events").select("user_id").distinct()
-    adj = (
-        users.select(
-            F.col("user_id").alias("u"),
-            F.explode(
-                F.array(
-                    *[
-                        ((F.col("user_id") * p + o) % 1000).alias(f"v{p}")
-                        for p, o in _JACCARD_MAPS
-                    ]
-                )
-            ).alias("v"),
-        )
-        .distinct()
-    )
-    edges = (
-        adj.unionByName(adj.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .distinct()
-        .persist()
-    )
-    nodes = (
-        edges.select(F.col("u").alias("node"))
-        .unionByName(edges.select(F.col("v").alias("node")))
-        .distinct()
-    )
-    lbl = nodes.withColumn("lbl", F.col("node"))
-    w = Window.partitionBy("node").orderBy(F.desc("c"), "lbl")
-    for _ in range(_LP_ROUNDS):
-        cnt = (
-            edges.join(lbl, edges.v == lbl.node)
-            .groupBy(edges.u.alias("node2"), "lbl")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .withColumnRenamed("node2", "node")
-        )
-        lbl = (
-            cnt.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("node", "lbl")
-        )
+    edges, lbl = _lp_edges_and_labels(spark, sf_dir)
     out = (
         lbl.groupBy(F.col("lbl").alias("community"))
         .agg(
@@ -823,3 +849,132 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
     )
     return finalize_cached(out, edges)
+
+
+@register(
+    "graph_modularity",
+    category="graph",
+    bench=False,  # rides the LP chain's sequential tiny stages (same
+    # scheduling-floor exclusion as graph_label_propagation).
+    oracle=f"""
+    WITH {_LP_CHAIN_SQL},
+    e2 AS MATERIALIZED (SELECT u, v FROM edges WHERE u != v),
+    tm AS (SELECT CAST(count(*) AS BIGINT) AS two_m FROM e2),
+    deg AS MATERIALIZED (
+      SELECT u AS node, CAST(count(*) AS BIGINT) AS d FROM e2 GROUP BY 1
+    ),
+    nd AS MATERIALIZED (
+      SELECT l.lbl AS community,
+             CAST(count(*) AS BIGINT)            AS n_members,
+             CAST(sum(coalesce(deg.d, 0)) AS BIGINT) AS d_c
+      FROM lp{_LP_ROUNDS} l LEFT JOIN deg USING (node)
+      GROUP BY 1
+    ),
+    inner_c AS MATERIALIZED (
+      SELECT l1.lbl AS community, CAST(count(*) AS BIGINT) AS inner_dir
+      FROM e2
+      JOIN lp{_LP_ROUNDS} l1 ON l1.node = e2.u
+      JOIN lp{_LP_ROUNDS} l2 ON l2.node = e2.v AND l2.lbl = l1.lbl
+      GROUP BY 1
+    ),
+    contrib AS MATERIALIZED (
+      SELECT nd.community, nd.n_members, nd.d_c,
+             coalesce(i.inner_dir, 0) // 2 AS l_c,
+             CAST(floor((CAST(coalesce(i.inner_dir, 0) AS DOUBLE)
+                           / CAST(tm.two_m AS DOUBLE)
+                         - (CAST(nd.d_c AS DOUBLE)
+                             / CAST(tm.two_m AS DOUBLE))
+                           * (CAST(nd.d_c AS DOUBLE)
+                               / CAST(tm.two_m AS DOUBLE)))
+                        * 100000000 + 0.5) AS BIGINT) AS q_micro
+      FROM nd LEFT JOIN inner_c i USING (community) CROSS JOIN tm
+    ),
+    qq AS (SELECT CAST(sum(q_micro) AS BIGINT) AS q_total_micro
+           FROM contrib)
+    SELECT c.community, c.n_members, c.d_c, c.l_c,
+           CAST(c.q_micro AS DOUBLE) / 100000000       AS q_contrib,
+           CAST(qq.q_total_micro AS DOUBLE) / 100000000 AS q_modularity
+    FROM contrib c CROSS JOIN qq
+    ORDER BY c.n_members DESC, c.community
+    LIMIT 10
+    """,
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman MODULARITY of the label-propagation partition — the
+    standard "did community detection find real structure?" score
+    (Q = Σ_c [L_c/m − (D_c/2m)²], Newman 2004) computed fully
+    relationally over the same graph and the same converged labels as
+    graph_label_propagation.
+
+    Every ingredient is an exact integer aggregate: 2m = directed
+    non-self edge count, D_c = degree mass per community (one join +
+    agg), 2·L_c = within-community directed edges (edge relation
+    joined to the labeling on BOTH endpoints — two equi-joins on the
+    node key, co-partitioned with the LP rounds' own shuffles). The
+    double arithmetic happens once per COMMUNITY (not per edge) in a
+    fixed expression order (IEEE-exact cross-engine), and per-community
+    contributions quantize to integer 1e-8 units before the global sum
+    — so Q is an exact BIGINT sum, order-independent, and the op
+    hash-certifies (the ml_logreg_quality quantization discipline).
+    At 100 TB the edge list is the only fact-sized relation; both
+    modularity joins reuse the node-key partitioning the LP rounds
+    already established.
+    """
+    edges, lbl = _lp_edges_and_labels(spark, sf_dir)
+    lbl = lbl.persist()
+    e2 = edges.filter(F.col("u") != F.col("v"))
+    tm = e2.agg(F.count(F.lit(1)).cast("bigint").alias("two_m"))
+    deg = e2.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    nd = (
+        lbl.join(deg, "node", "left")
+        .groupBy(F.col("lbl").alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.sum(F.coalesce(F.col("d"), F.lit(0)))
+            .cast("bigint")
+            .alias("d_c"),
+        )
+    )
+    l1 = lbl.select(F.col("node").alias("u"), F.col("lbl").alias("lu"))
+    l2 = lbl.select(F.col("node").alias("v"), F.col("lbl").alias("lv"))
+    inner_c = (
+        e2.join(l1, "u")
+        .join(l2, "v")
+        .filter(F.col("lu") == F.col("lv"))
+        .groupBy(F.col("lu").alias("community"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inner_dir"))
+    )
+    contrib = (
+        nd.join(inner_c, "community", "left")
+        .crossJoin(F.broadcast(tm))
+        .selectExpr(
+            "community",
+            "n_members",
+            "d_c",
+            "coalesce(inner_dir, CAST(0 AS BIGINT)) div 2 AS l_c",
+            "CAST(floor((CAST(coalesce(inner_dir, 0) AS DOUBLE)"
+            " / CAST(two_m AS DOUBLE)"
+            " - (CAST(d_c AS DOUBLE) / CAST(two_m AS DOUBLE))"
+            " * (CAST(d_c AS DOUBLE) / CAST(two_m AS DOUBLE)))"
+            " * 100000000 + 0.5) AS BIGINT) AS q_micro",
+        )
+    )
+    qq = contrib.agg(
+        F.sum("q_micro").cast("bigint").alias("q_total_micro")
+    )
+    out = (
+        contrib.crossJoin(F.broadcast(qq))
+        .selectExpr(
+            "community",
+            "n_members",
+            "d_c",
+            "l_c",
+            "CAST(q_micro AS DOUBLE) / 100000000 AS q_contrib",
+            "CAST(q_total_micro AS DOUBLE) / 100000000 AS q_modularity",
+        )
+        .orderBy(F.desc("n_members"), "community")
+        .limit(10)
+    )
+    return finalize_cached(out, edges, lbl)
