@@ -157,6 +157,7 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     "orders_rfm_atscale",
     "ml_naive_bayes",
     "graph_modularity",
+    "ml_decision_tree",
 }
 
 

@@ -1010,3 +1010,344 @@ def ml_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_pubsub_spark.tables import finalize_cached
 
     return finalize_cached(out, train_tok, vocab)
+
+
+# --- depth-2 CART -----------------------------------------------------------
+
+# Fixed 16-bin quantization per feature (domain-derived widths, the
+# binned-split-search discipline Spark MLlib trees use). Feature ids:
+# 0 = l_quantity/4, 1 = l_discount*160, 2 = l_tax*200,
+# 3 = l_extendedprice/7500.
+_DT_BINS = [
+    "LEAST(CAST(floor(l_quantity / 4e0) AS BIGINT), 15)",
+    "LEAST(CAST(floor(l_discount * 160e0) AS BIGINT), 15)",
+    "LEAST(CAST(floor(l_tax * 200e0) AS BIGINT), 15)",
+    "LEAST(CAST(floor(l_extendedprice / 7500e0) AS BIGINT), 15)",
+]
+# Planted depth-2 rule: an AND of two feature thresholds, both aligned
+# to bin edges (q >= 24 <=> bin0 >= 6; d >= 0.05 <=> bin1 >= 8) — a
+# single split cannot separate it, the right depth-2 tree recovers it
+# exactly (the logreg planted-label / OLS planted-coefficient
+# discipline).
+_DT_Y = (
+    "CASE WHEN l_quantity >= 24e0 AND l_discount >= 0.05e0"
+    " THEN 1 ELSE 0 END"
+)
+# Weighted binary Gini, up to the constant 2/n: products of exact
+# BIGINT counts (each <= ~9e10, exactly representable) in a FIXED
+# double expression — bit-identical cross-engine, so the argmin needs
+# no quantization. Ties break (f, t).
+_DT_H = (
+    "CAST(nl0 AS DOUBLE) * CAST(nl1 AS DOUBLE)"
+    " / CAST(nl0 + nl1 AS DOUBLE)"
+    " + CAST(nr0 AS DOUBLE) * CAST(nr1 AS DOUBLE)"
+    " / CAST(nr0 + nr1 AS DOUBLE)"
+)
+
+
+def _dt_feat_sql() -> str:
+    cols = ", ".join(f"{b} AS b{j}" for j, b in enumerate(_DT_BINS))
+    return f"SELECT {_DT_Y} AS y, l_orderkey, {cols} FROM lineitem"
+
+
+def _dt_unpivot_sql(src: str, extra: str = "") -> str:
+    """(f, bin, y[, s]) rows: one SELECT per feature, unioned."""
+    ex = f"{extra}, " if extra else ""
+    return " UNION ALL ".join(
+        f"SELECT {ex}{j} AS f, b{j} AS bin, y FROM {src}" for j in range(4)
+    )
+
+
+def _dt_cand_sql(hist: str, keys: str) -> str:
+    """Dense candidate grid (every f x t in 0..14) joined to the bin
+    histogram: left/right class counts per candidate split bin <= t."""
+    ex = f"{keys}, " if keys else ""
+    return f"""
+      SELECT {ex}g.f AS f, g.t AS t,
+             CAST(sum(CASE WHEN h.bin <= g.t AND h.y = 0 THEN h.c
+                      ELSE 0 END) AS BIGINT) AS nl0,
+             CAST(sum(CASE WHEN h.bin <= g.t AND h.y = 1 THEN h.c
+                      ELSE 0 END) AS BIGINT) AS nl1,
+             CAST(sum(CASE WHEN h.bin > g.t AND h.y = 0 THEN h.c
+                      ELSE 0 END) AS BIGINT) AS nr0,
+             CAST(sum(CASE WHEN h.bin > g.t AND h.y = 1 THEN h.c
+                      ELSE 0 END) AS BIGINT) AS nr1
+      FROM (SELECT ff.f, tt.t
+            FROM (SELECT unnest(range(0, 4)) AS f) ff
+            CROSS JOIN (SELECT unnest(range(0, 15)) AS t) tt) g
+      JOIN {hist} h ON h.f = g.f
+      GROUP BY {ex}g.f, g.t"""
+
+
+def _dt_pick_sql(bref: str, fref: str, tref: str) -> str:
+    """Side assignment: 0 when the winning feature's bin <= t."""
+    fb = " ".join(
+        f"WHEN {fref} = {j} THEN {bref}{j}" for j in range(4)
+    )
+    return f"CASE WHEN (CASE {fb} ELSE -1 END) <= {tref} THEN 0 ELSE 1 END"
+
+
+def dtree_oracle_sql() -> str:
+    return f"""
+    WITH feat AS MATERIALIZED ({_dt_feat_sql()}),
+    tr AS MATERIALIZED (SELECT * FROM feat WHERE l_orderkey % 5 != 0),
+    te AS MATERIALIZED (SELECT * FROM feat WHERE l_orderkey % 5 = 0),
+    h1 AS MATERIALIZED (
+      SELECT f, bin, y, CAST(count(*) AS BIGINT) AS c
+      FROM ({_dt_unpivot_sql("tr")}) GROUP BY f, bin, y
+    ),
+    cand1 AS MATERIALIZED ({_dt_cand_sql("h1", "")}),
+    win1 AS MATERIALIZED (
+      SELECT f, t FROM cand1
+      WHERE nl0 + nl1 > 0 AND nr0 + nr1 > 0
+      ORDER BY {_DT_H} ASC, f, t LIMIT 1
+    ),
+    sided AS MATERIALIZED (
+      SELECT tr.*, {_dt_pick_sql("tr.b", "w.f", "w.t")} AS s
+      FROM tr CROSS JOIN win1 w
+    ),
+    h2 AS MATERIALIZED (
+      SELECT s, f, bin, y, CAST(count(*) AS BIGINT) AS c
+      FROM ({_dt_unpivot_sql("sided", "s")}) GROUP BY s, f, bin, y
+    ),
+    cand2 AS MATERIALIZED ({_dt_cand_sql("h2", "h.s")}),
+    win2 AS MATERIALIZED (
+      SELECT s, f, t FROM (
+        SELECT s, f, t,
+               row_number() OVER (PARTITION BY s
+                                  ORDER BY {_DT_H} ASC, f, t) AS rn
+        FROM cand2 WHERE nl0 + nl1 > 0 AND nr0 + nr1 > 0
+      ) WHERE rn = 1
+    ),
+    tr_leaf AS MATERIALIZED (
+      SELECT d.s, {_dt_pick_sql("d.b",
+                                "coalesce(w.f, -1)",
+                                "coalesce(w.t, 15)")} AS s2,
+             CAST(count(*) AS BIGINT) AS n_train,
+             CAST(sum(d.y) AS BIGINT) AS n_pos_train
+      FROM sided d LEFT JOIN win2 w ON w.s = d.s
+      GROUP BY 1, 2
+    ),
+    leaves AS MATERIALIZED (
+      SELECT s, s2, n_train, n_pos_train,
+             CASE WHEN 2 * n_pos_train > n_train THEN 1 ELSE 0 END AS pred
+      FROM tr_leaf
+    ),
+    te_leaf AS MATERIALIZED (
+      SELECT q.s, {_dt_pick_sql("q.b",
+                                "coalesce(w.f, -1)",
+                                "coalesce(w.t, 15)")} AS s2,
+             CAST(count(*) AS BIGINT) AS n_test,
+             CAST(sum(q.y) AS BIGINT) AS n_pos_test
+      FROM (SELECT te.*, {_dt_pick_sql("te.b", "w1.f", "w1.t")} AS s
+            FROM te CROSS JOIN win1 w1) q
+      LEFT JOIN win2 w ON w.s = q.s
+      GROUP BY 1, 2
+    ),
+    joined AS MATERIALIZED (
+      SELECT l.s, l.s2, l.n_train, l.n_pos_train, l.pred,
+             coalesce(t.n_test, 0) AS n_test,
+             CASE WHEN l.pred = 1 THEN coalesce(t.n_pos_test, 0)
+                  ELSE coalesce(t.n_test, 0) - coalesce(t.n_pos_test, 0)
+             END AS n_correct
+      FROM leaves l LEFT JOIN te_leaf t ON t.s = l.s AND t.s2 = l.s2
+    ),
+    acc AS (
+      SELECT floor(CAST(sum(n_correct) AS DOUBLE)
+                   / CAST(sum(n_test) AS DOUBLE) * 10000 + 0.5) / 10000
+               AS accuracy
+      FROM joined
+    )
+    SELECT j.s, j.s2,
+           w1.f AS root_feat, w1.t AS root_thr,
+           coalesce(w2.f, -1) AS child_feat,
+           coalesce(w2.t, 15) AS child_thr,
+           j.n_train, j.n_pos_train, j.pred, j.n_test, j.n_correct,
+           acc.accuracy
+    FROM joined j
+    CROSS JOIN win1 w1
+    LEFT JOIN win2 w2 ON w2.s = j.s
+    CROSS JOIN acc
+    ORDER BY j.s, j.s2
+    """
+
+
+@register(
+    "ml_decision_tree",
+    category="similarity",
+    bench=False,  # two tiny argmin stages + leaf passes: fixture cost is
+    # the scheduling floor (trainer-family exclusion).
+    oracle=dtree_oracle_sql(),
+)
+def ml_decision_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-2 CART trained in-engine by binned split search — the way
+    distributed trees are actually built (Spark MLlib / XGBoost hist
+    mode): quantize each feature to 16 fixed bins, aggregate one
+    class-histogram per (feature, bin), and pick the Gini-minimizing
+    split from the ~60-candidate grid — the full-data scan produces a
+    128-row histogram, and the split decision runs on THAT, never on
+    rows. Level 2 repeats the search inside each child (one more
+    histogram pass with a side key), then leaves classify by majority
+    and the 20% holdout (l_orderkey % 5 = 0) scores the tree.
+
+    The label is a PLANTED rule — quantity >= 24 AND discount >= 0.05,
+    both aligned to bin edges — an AND no single split separates, so
+    held-out accuracy ~1.0 proves the two-level search composed the
+    right splits (the logreg/OLS planted-recovery discipline); tax and
+    extendedprice ride along as noise features the search must reject.
+
+    Determinism: all candidate counts are exact BIGINTs; the Gini
+    argmin key is a FIXED double expression over products that stay
+    under 2^53 (bit-identical cross-engine), tie-broken on (feature,
+    threshold), so Spark's two collected winners equal the oracle's
+    CTE winners exactly. Cost shape at 100 TB: two corpus scans
+    (feature pass + sided pass), each reduced map-side to a <=256-row
+    histogram; the argmin and leaf logic never touch row-scale data —
+    the canonical distributed-tree layout.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    feat = li.selectExpr(
+        f"{_DT_Y} AS y",
+        "l_orderkey",
+        *[f"{b} AS b{j}" for j, b in enumerate(_DT_BINS)],
+    )
+    tr = feat.filter(F.col("l_orderkey") % 5 != 0).persist()
+    te = feat.filter(F.col("l_orderkey") % 5 == 0)
+
+    def unpivot(df, extra_cols: list[str]):
+        pairs = ", ".join(f"{j}L, b{j}" for j in range(4))
+        return df.selectExpr(
+            *extra_cols, "y", f"stack(4, {pairs}) AS (f, bin)"
+        )
+
+    def hist(df, keys: list[str]):
+        return df.groupBy(*keys, "f", "bin", "y").agg(
+            F.count(F.lit(1)).cast("bigint").alias("c")
+        )
+
+    grid = spark.range(4).selectExpr("CAST(id AS BIGINT) AS gf").crossJoin(
+        spark.range(15).selectExpr("CAST(id AS BIGINT) AS t")
+    )
+
+    def candidates(h, keys: list[str]):
+        ex = [f"h.{k}" for k in keys]
+        side_l = "h.bin <= g.t"
+        return (
+            grid.alias("g")
+            .join(h.alias("h"), F.expr("h.f = g.gf"))
+            .groupBy(*ex, "g.gf", "g.t")
+            .agg(
+                *[
+                    F.sum(
+                        F.expr(
+                            f"CASE WHEN {cond} AND h.y = {y} THEN h.c"
+                            " ELSE 0 END"
+                        )
+                    )
+                    .cast("bigint")
+                    .alias(name)
+                    for cond, y, name in [
+                        (side_l, 0, "nl0"),
+                        (side_l, 1, "nl1"),
+                        ("h.bin > g.t", 0, "nr0"),
+                        ("h.bin > g.t", 1, "nr1"),
+                    ]
+                ]
+            )
+            .withColumnRenamed("gf", "f")
+            .filter("nl0 + nl1 > 0 AND nr0 + nr1 > 0")
+        )
+
+    w1 = (
+        candidates(hist(unpivot(tr, []), []), [])
+        .orderBy(F.expr(_DT_H).asc(), "f", "t")
+        .limit(1)
+        .collect()[0]
+    )
+    f1, t1 = int(w1["f"]), int(w1["t"])
+    sided = tr.withColumn(
+        "s", F.expr(_dt_pick_sql("b", str(f1), str(t1)))
+    )
+    cand2 = candidates(hist(unpivot(sided, ["s"]), ["s"]), ["s"])
+    wsp = Window.partitionBy("s").orderBy(F.expr(_DT_H).asc(), "f", "t")
+    w2rows = (
+        cand2.withColumn("rn", F.row_number().over(wsp))
+        .filter("rn = 1")
+        .select("s", "f", "t")
+        .collect()
+    )
+    child = {int(r["s"]): (int(r["f"]), int(r["t"])) for r in w2rows}
+    cf = {s: child.get(s, (-1, 15)) for s in (0, 1)}
+
+    def s2_expr(bref: str) -> str:
+        return (
+            f"CASE WHEN s = 0 THEN {_dt_pick_sql(bref, str(cf[0][0]), str(cf[0][1]))}"
+            f" ELSE {_dt_pick_sql(bref, str(cf[1][0]), str(cf[1][1]))} END"
+        )
+
+    tr_leaf = (
+        sided.withColumn("s2", F.expr(s2_expr("b")))
+        .groupBy("s", "s2")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_train"),
+            F.sum("y").cast("bigint").alias("n_pos_train"),
+        )
+        .withColumn(
+            "pred",
+            F.expr("CASE WHEN 2 * n_pos_train > n_train THEN 1 ELSE 0 END"),
+        )
+    )
+    te_leaf = (
+        te.withColumn("s", F.expr(_dt_pick_sql("b", str(f1), str(t1))))
+        .withColumn("s2", F.expr(s2_expr("b")))
+        .groupBy("s", "s2")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum("y").cast("bigint").alias("n_pos_test"),
+        )
+    )
+    joined = (
+        tr_leaf.join(te_leaf, ["s", "s2"], "left")
+        .selectExpr(
+            "s",
+            "s2",
+            "n_train",
+            "n_pos_train",
+            "pred",
+            "coalesce(n_test, CAST(0 AS BIGINT)) AS n_test",
+            "CASE WHEN pred = 1 THEN coalesce(n_pos_test, CAST(0 AS BIGINT))"
+            " ELSE coalesce(n_test, CAST(0 AS BIGINT))"
+            "      - coalesce(n_pos_test, CAST(0 AS BIGINT)) END"
+            " AS n_correct",
+        )
+        .persist()
+    )
+    acc = joined.agg(
+        F.expr(
+            "floor(CAST(sum(n_correct) AS DOUBLE)"
+            " / CAST(sum(n_test) AS DOUBLE) * 10000 + 0.5) / 10000"
+        ).alias("accuracy")
+    )
+    out = (
+        joined.crossJoin(F.broadcast(acc))
+        .selectExpr(
+            "s",
+            "s2",
+            f"CAST({f1} AS BIGINT) AS root_feat",
+            f"CAST({t1} AS BIGINT) AS root_thr",
+            f"CAST(CASE WHEN s = 0 THEN {cf[0][0]} ELSE {cf[1][0]} END"
+            " AS BIGINT) AS child_feat",
+            f"CAST(CASE WHEN s = 0 THEN {cf[0][1]} ELSE {cf[1][1]} END"
+            " AS BIGINT) AS child_thr",
+            "n_train",
+            "n_pos_train",
+            "pred",
+            "n_test",
+            "n_correct",
+            "accuracy",
+        )
+        .orderBy("s", "s2")
+    )
+    from cdc_pubsub_spark.tables import finalize_cached
+
+    return finalize_cached(out, tr, joined)
