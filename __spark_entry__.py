@@ -158,6 +158,7 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     "ml_naive_bayes",
     "graph_modularity",
     "ml_decision_tree",
+    "ts_ewma_smooth",
 }
 
 

@@ -3146,3 +3146,107 @@ def orders_rfm_atscale(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("r_q", "f_q", "m_q")
     )
     return finalize_cached(out, rb)
+
+
+_EWMA_FOLD = "0.3e0 * CAST(x AS DOUBLE) + 0.7e0 * CAST(acc AS DOUBLE)"
+
+
+@register(
+    "ts_ewma_smooth",
+    category="composite",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_idx,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM events
+      GROUP BY 1, 2
+    ),
+    framed AS (
+      SELECT event_type, day_idx, n_events,
+             CAST(cents AS DOUBLE) / 100 AS day_val,
+             list(CAST(cents AS DOUBLE) / 100) OVER (
+               PARTITION BY event_type ORDER BY day_idx
+               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW
+             ) AS frame
+      FROM daily
+    ),
+    smoothed AS (
+      SELECT event_type, day_idx, n_events, day_val,
+             list_reduce(frame, (acc, x) -> {_EWMA_FOLD}) AS ewma
+      FROM framed
+    )
+    SELECT event_type, day_idx, n_events, day_val,
+           floor(ewma * 10000 + 0.5) / 10000 AS ewma,
+           day_val > 1.5 * ewma  AS spike_hi,
+           day_val < ewma / 1.5  AS spike_lo
+    FROM smoothed
+    ORDER BY event_type, day_idx
+    """,
+)
+def ts_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window EWMA smoothing of the per-type daily value series
+    (alpha = 0.3 over a trailing 14-day frame) with high/low spike
+    flags — the operational smoothing every metrics pipeline runs
+    before alerting, and the third member of the forecasting family
+    (SES/Holt forecast forward; this smooths in place).
+
+    The recursion e_t = alpha*x_t + (1-alpha)*e_{{t-1}} restarts at each
+    frame start, which turns the classic infinite-memory EWMA into a
+    WINDOWED aggregate: collect the 14-value ordered frame and fold it
+    left with a higher-order aggregate — both engines fold the
+    identical list in the identical order (seed = oldest frame value),
+    all +,*,/ in fixed order, so the result is bit-identical and
+    hash-certifies after the r4 floor. Daily totals take the
+    integer-cents path (order-independent BIGINT sums), never a float
+    sum. Scale shape: one groupBy (map-side combinable) to collapse
+    events to days, then a 14-row-bounded window per type — the frame
+    is bounded by the CALENDAR, not the data, so state per window is
+    constant at any corpus size; partitions are (type), parallel
+    across types, each type's series is date-sized not event-sized.
+    """
+    events = load(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").alias(
+            "day_idx"
+        ),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_idx")
+        .rowsBetween(-13, 0)
+    )
+    framed = daily.select(
+        "event_type",
+        "day_idx",
+        "n_events",
+        (F.col("cents").cast("double") / 100).alias("day_val"),
+        F.collect_list(F.col("cents").cast("double") / 100)
+        .over(w)
+        .alias("frame"),
+    )
+    smoothed = framed.selectExpr(
+        "event_type",
+        "day_idx",
+        "n_events",
+        "day_val",
+        "aggregate(slice(frame, 2, size(frame) - 1),"
+        f" element_at(frame, 1), (acc, x) -> {_EWMA_FOLD}) AS ewma",
+    )
+    return smoothed.selectExpr(
+        "event_type",
+        "day_idx",
+        "n_events",
+        "day_val",
+        "floor(ewma * 10000 + 0.5) / 10000 AS ewma",
+        "day_val > 1.5e0 * ewma AS spike_hi",
+        "day_val < ewma / 1.5e0 AS spike_lo",
+    ).orderBy("event_type", "day_idx")
