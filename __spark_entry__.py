@@ -159,6 +159,7 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     "graph_modularity",
     "ml_decision_tree",
     "ts_ewma_smooth",
+    "embed_kmeans_silhouette",
 }
 
 

@@ -780,11 +780,17 @@ def embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _kmeans_run(
     spark: SparkSession, sf_dir: str, k: int = 8, iters: int = 4
-) -> tuple[DataFrame, list[float], list[tuple[int, list[float]]]]:
+) -> tuple[
+    DataFrame,
+    list[float],
+    list[tuple[int, list[float]]],
+    list[tuple[int, list[float]]],
+]:
     """Lloyd's k-means over the embedding column; returns (assignments,
-    per-iteration inertia trace, final centroids). Deterministic: init =
-    the k lowest vec_ids, ties on distance break toward the lower
-    cluster id."""
+    per-iteration inertia trace, final centroids, and the centroids the
+    FINAL assignment was scored against — i.e. pre-final-update, what
+    silhouette evaluation needs). Deterministic: init = the k lowest
+    vec_ids, ties on distance break toward the lower cluster id."""
     from cdc_pubsub_spark.functions.rounding import r6
 
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -807,7 +813,9 @@ def _kmeans_run(
     )
     trace: list[float] = []
     assigned = None
+    cents_used = cents
     for _ in range(iters):
+        cents_used = cents
         cdf = spark.createDataFrame(cents, "cluster int, cvec array<double>")
         scored = emb.crossJoin(F.broadcast(cdf)).select(
             "vec_id", "embedding", "cluster", sqdist.alias("d2")
@@ -843,7 +851,7 @@ def _kmeans_run(
         # Empty clusters keep their previous centroid.
         cents = [(c, new_cents.get(c, v)) for c, v in cents]
         assigned.unpersist()
-    return assigned, trace, cents
+    return assigned, trace, cents, cents_used
 
 
 def _kmeans_ctes(
@@ -935,7 +943,7 @@ def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     relational — the oracle unrolls the four assignment/update rounds
     in SQL (_kmeans_oracle_sql) and matches bit-for-bit at every sf.
     """
-    assigned, _, _ = _kmeans_run(spark, sf_dir)
+    assigned, _, _, _ = _kmeans_run(spark, sf_dir)
     return (
         assigned.groupBy("cluster")
         .agg(
@@ -1087,7 +1095,7 @@ def sim_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned in tests/test_llmops.py.
     """
     k, nprobe = 8, 4
-    _, _, cents = _kmeans_run(spark, sf_dir, k=k, iters=4)
+    _, _, cents, _ = _kmeans_run(spark, sf_dir, k=k, iters=4)
     cent_sql = "array(" + ",".join(
         "named_struct('cent_id', {i}, 'cvec', array({vs}))".format(
             i=i, vs=",".join(f"{v!r}D" for v in vec)
@@ -1957,4 +1965,120 @@ def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         fused.orderBy(F.col("rrf_nano").desc(), "id")
         .limit(10)
         .withColumn("rnk", F.row_number().over(w_f))
+    )
+
+
+def _silhouette_oracle_sql(k: int = 8, iters: int = 4) -> str:
+    """Unrolled-kmeans chain + simplified-silhouette scoring: a(i) is
+    the assignment distance already in a{iters}; b(i) probes the OTHER
+    centroids of the generation that produced the assignment."""
+    body, last_assign, last_cent = _kmeans_ctes(
+        k, iters, through_final_update=False
+    )
+    od2 = (
+        "list_sum(list_transform(list_zip(v, c.cvec),"
+        " p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
+        " * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+    )
+    return f"""
+    WITH {body},
+    oth AS (
+      SELECT a.vec_id, a.cluster, a.d2, min({od2}) AS b2
+      FROM {last_assign} a CROSS JOIN {last_cent} c
+      WHERE c.cluster != a.cluster
+      GROUP BY a.vec_id, a.cluster, a.d2
+    ),
+    sil AS (
+      SELECT cluster,
+             CAST(floor((CASE WHEN greatest(sqrt(d2), sqrt(b2)) = 0
+                         THEN 0e0
+                         ELSE (sqrt(b2) - sqrt(d2))
+                              / greatest(sqrt(d2), sqrt(b2)) END)
+                        * 1000000 + 0.5) AS BIGINT) AS sm
+      FROM oth
+    )
+    SELECT cluster,
+           CAST(count(*) AS BIGINT) AS n_members,
+           floor(CAST(sum(sm) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                 / 100 + 0.5) / 10000 AS mean_sil,
+           floor(CAST(min(sm) AS DOUBLE) / 100 + 0.5) / 10000 AS min_sil,
+           floor(CAST(max(sm) AS DOUBLE) / 100 + 0.5) / 10000 AS max_sil
+    FROM sil
+    GROUP BY cluster
+    ORDER BY cluster
+    """
+
+
+@register(
+    "embed_kmeans_silhouette",
+    category="similarity",
+    bench=False,  # rides the kmeans chain's sequential stages (trainer
+    # scheduling-floor exclusion).
+    oracle=_silhouette_oracle_sql(),
+)
+def embed_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIMPLIFIED SILHOUETTE of the embed_kmeans clustering — the
+    cluster-quality audit every unsupervised pipeline runs after the
+    trainer: s(i) = (b−a)/max(a,b) with a = distance to the OWN
+    centroid (already paid for by the assignment step) and b = distance
+    to the nearest OTHER centroid. The centroid-based simplification
+    (Hruschka 2004) is the at-scale variant of full silhouette: exact
+    silhouette is an all-pairs O(n²) distance computation, while this
+    is one broadcast-k crossJoin — per point k−1 centroid probes, the
+    same cost shape as the assignment pass itself.
+
+    Cross-engine determinism: a(i) reuses the assignment's own d2
+    (certified by embed_kmeans); b(i) is a min over k−1 identically-
+    folded squared distances; sqrt and the (b−a)/max ratio are fixed-
+    order IEEE ops; per-point scores quantize to integer 1e-6 units
+    before the per-cluster mean — exact BIGINT sums, order-independent
+    (the ml_logreg_quality discipline). The oracle replays the FULL
+    four-round Lloyd's chain via the shared _kmeans_ctes generator, so
+    this op and embed_kmeans can never silently diverge on what
+    clustering they score.
+    """
+    assigned, _, _, cents_used = _kmeans_run(spark, sf_dir)
+    cdf = spark.createDataFrame(
+        cents_used, "ocluster int, cvec array<double>"
+    )
+    od2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("cvec"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    oth = (
+        assigned.crossJoin(F.broadcast(cdf))
+        .filter(F.col("cluster") != F.col("ocluster"))
+        .select("vec_id", "cluster", "d2", od2.alias("od2"))
+        .groupBy("vec_id", "cluster", "d2")
+        .agg(F.min("od2").alias("b2"))
+    )
+    sil = oth.selectExpr(
+        "cluster",
+        "CAST(floor((CASE WHEN greatest(sqrt(d2), sqrt(b2)) = 0"
+        " THEN 0e0"
+        " ELSE (sqrt(b2) - sqrt(d2)) / greatest(sqrt(d2), sqrt(b2)) END)"
+        " * 1000000 + 0.5) AS BIGINT) AS sm",
+    )
+    return (
+        sil.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.expr(
+                "floor(CAST(sum(sm) AS DOUBLE) / CAST(count(*) AS DOUBLE)"
+                " / 100 + 0.5) / 10000"
+            ).alias("mean_sil"),
+            F.expr("floor(CAST(min(sm) AS DOUBLE) / 100 + 0.5) / 10000").alias(
+                "min_sil"
+            ),
+            F.expr("floor(CAST(max(sm) AS DOUBLE) / 100 + 0.5) / 10000").alias(
+                "max_sil"
+            ),
+        )
+        .orderBy("cluster")
     )

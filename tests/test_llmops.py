@@ -580,7 +580,7 @@ def test_kmeans_inertia_monotone_and_deterministic(spark, sf_dir):
     from cdc_pubsub_spark.registry import REGISTRY
     from cdc_pubsub_spark.tables import load
 
-    _, trace, _ = _kmeans_run(spark, sf_dir, k=8, iters=4)
+    _, trace, _, _ = _kmeans_run(spark, sf_dir, k=8, iters=4)
     assert len(trace) == 4
     for a, b in zip(trace, trace[1:]):
         assert b <= a * (1 + 1e-9), f"inertia increased: {trace}"
