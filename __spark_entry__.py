@@ -160,6 +160,8 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     "ml_decision_tree",
     "ts_ewma_smooth",
     "embed_kmeans_silhouette",
+    "profile_anomaly_mad",
+    "text_keyword_rake",
 }
 
 

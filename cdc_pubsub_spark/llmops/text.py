@@ -1260,3 +1260,138 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(15)
         .withColumn("rnk", F.row_number().over(w))
     )
+
+
+_RAKE_STOP = ("a", "the", "of", "and", "to", "in", "is", "on", "for")
+_RAKE_STOP_SQL = ", ".join(f"'{w}'" for w in _RAKE_STOP)
+
+
+@register(
+    "text_keyword_rake",
+    category="text",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, i.i AS pos, t.tok[i.i] AS w
+      FROM (SELECT doc_id, string_split(text, ' ') AS tok
+            FROM documents) t,
+           LATERAL unnest(range(1, len(t.tok) + 1)) AS i(i)
+    ),
+    nonstop AS (
+      SELECT doc_id, pos, w,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS island
+      FROM words WHERE w NOT IN ({_RAKE_STOP_SQL}) AND w != ''
+    ),
+    phrases AS (
+      SELECT doc_id, island,
+             string_agg(w, ' ' ORDER BY pos) AS phrase,
+             CAST(count(*) AS BIGINT)        AS plen
+      FROM nonstop GROUP BY doc_id, island
+    ),
+    wstats AS (
+      SELECT n.w,
+             CAST(count(*) AS BIGINT)   AS freq,
+             CAST(sum(p.plen) AS BIGINT) AS deg
+      FROM nonstop n JOIN phrases p USING (doc_id, island)
+      GROUP BY n.w
+    ),
+    wscore AS (
+      SELECT w,
+             CAST(floor(CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE)
+                        * 1000000 + 0.5) AS BIGINT) AS s_micro
+      FROM wstats
+    ),
+    pscore AS (
+      SELECT p.phrase, p.plen,
+             CAST(sum(ws.s_micro) AS BIGINT) AS score_micro
+      FROM nonstop n
+      JOIN phrases p USING (doc_id, island)
+      JOIN wscore ws ON ws.w = n.w
+      GROUP BY p.doc_id, p.island, p.phrase, p.plen
+    )
+    SELECT phrase,
+           max(plen)                 AS n_words,
+           CAST(count(*) AS BIGINT)  AS n_occurrences,
+           floor(CAST(max(score_micro) AS DOUBLE) / 100 + 0.5) / 10000
+             AS rake_score
+    FROM pscore
+    GROUP BY phrase
+    ORDER BY rake_score DESC, phrase
+    LIMIT 20
+    """,
+)
+def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose 2010) over the corpus: split each
+    doc into candidate phrases at stopword boundaries, score words by
+    degree/frequency (words that ride long phrases beat words that
+    appear alone), score phrases by their member-word sum, and emit
+    the corpus top-20 — the unsupervised keyword pass every corpus
+    triage pipeline runs before topic labeling.
+
+    Phrase segmentation is the gaps-and-islands idiom: position minus
+    the non-stopword rank is constant within each maximal stopword-free
+    run, so ONE doc-partitioned window (bounded by document length,
+    never corpus size) recovers phrase ids without any regex
+    double-scan. Word stats are a vocabulary-sized aggregate; phrase
+    scores join the broadcast-scale word-score table back onto member
+    rows. Word scores quantize to integer 1e-6 units before the
+    phrase sum (exact BIGINT, order-independent) and identical phrases
+    collapse with a deterministic max (every occurrence carries the
+    same corpus-level score). Top-20 is total-ordered
+    (score desc, phrase) via TakeOrdered.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    words = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "w")
+    ).selectExpr("doc_id", "pos0 + 1 AS pos", "w")
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    nonstop = (
+        words.filter(~F.col("w").isin(*_RAKE_STOP) & (F.col("w") != ""))
+        .withColumn("island", F.col("pos") - F.row_number().over(wd))
+        .persist()
+    )
+    phrases = nonstop.groupBy("doc_id", "island").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda s: s["w"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count(F.lit(1)).cast("bigint").alias("plen"),
+    )
+    wstats = (
+        nonstop.join(phrases, ["doc_id", "island"])
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("freq"),
+            F.sum("plen").cast("bigint").alias("deg"),
+        )
+    )
+    wscore = wstats.selectExpr(
+        "w",
+        "CAST(floor(CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE)"
+        " * 1000000 + 0.5) AS BIGINT) AS s_micro",
+    )
+    pscore = (
+        nonstop.join(phrases, ["doc_id", "island"])
+        .join(wscore, "w")
+        .groupBy("doc_id", "island", "phrase", "plen")
+        .agg(F.sum("s_micro").cast("bigint").alias("score_micro"))
+    )
+    out = (
+        pscore.groupBy("phrase")
+        .agg(
+            F.max("plen").alias("n_words"),
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.expr(
+                "floor(CAST(max(score_micro) AS DOUBLE) / 100 + 0.5)"
+                " / 10000"
+            ).alias("rake_score"),
+        )
+        .orderBy(F.desc("rake_score"), "phrase")
+        .limit(20)
+    )
+    from cdc_pubsub_spark.tables import finalize_cached
+
+    return finalize_cached(out, nonstop)

@@ -1552,3 +1552,104 @@ def profile_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_pubsub_spark.tables import finalize_cached
 
     return finalize_cached(out, cont)
+
+
+@register(
+    "profile_anomaly_mad",
+    category="advanced",
+    oracle="""
+    WITH med AS (
+      SELECT event_type,
+             quantile_cont(value, 0.5) AS med,
+             CAST(count(*) AS BIGINT)  AS n
+      FROM events GROUP BY event_type
+    ),
+    mad AS (
+      SELECT e.event_type,
+             quantile_cont(abs(e.value - m.med), 0.5) AS mad
+      FROM events e JOIN med m USING (event_type)
+      GROUP BY e.event_type
+    ),
+    scored AS (
+      SELECT e.event_type,
+             abs(0.6745 * (e.value - m.med) / d.mad) AS rz
+      FROM events e
+      JOIN med m USING (event_type)
+      JOIN mad d USING (event_type)
+      WHERE d.mad > 0
+    )
+    SELECT m.event_type,
+           m.n                                   AS n_events,
+           floor(m.med * 10000 + 0.5) / 10000    AS med,
+           floor(d.mad * 10000 + 0.5) / 10000    AS mad,
+           CAST(count(*) FILTER (s.rz > 3.5) AS BIGINT) AS n_outliers,
+           floor(max(s.rz) * 10000 + 0.5) / 10000 AS max_robust_z
+    FROM scored s
+    JOIN med m USING (event_type)
+    JOIN mad d USING (event_type)
+    GROUP BY m.event_type, m.n, m.med, d.mad
+    ORDER BY m.event_type
+    """,
+)
+def profile_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection by MEDIAN ABSOLUTE DEVIATION — the
+    resistant twin of events_anomaly_zscore: mean/stddev move with the
+    outliers they hunt (one fat tail inflates sigma and hides the rest),
+    while median/MAD have a 50% breakdown point. Flags the standard
+    modified z-score |0.6745·(x − med)/MAD| > 3.5 (Iglewicz–Hoaglin).
+
+    Three passes, all shuffling only on event_type: (1) exact per-type
+    median (linear interpolation — the agg_percentile contract, O(group)
+    buffer exact tier; at 100 TB swap in the approx_percentile /
+    bin-sketch cutoff exactly as orders_rfm_atscale does), (2) MAD =
+    median of |x − med| with med riding a BROADCAST k-row join back
+    onto the scan, (3) score-and-count with both stats broadcast — the
+    stats side stays k rows at any corpus size, so no pass shuffles
+    more than the per-type aggregate state. Median/MAD/ratios are
+    division-created doubles in fixed expression order — r4-floored,
+    cross-engine exact (the certified agg_percentile precedent).
+    Zero-MAD groups (>50% of a type at one value) are excluded from
+    scoring rather than dividing by zero.
+    """
+    events = load(spark, sf_dir, "events")
+    med = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    mad = (
+        events.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(F.expr("percentile(abs(value - med), 0.5)").alias("mad"))
+    )
+    scored = (
+        events.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .filter(F.col("mad") > 0)
+        .select(
+            "event_type",
+            "n",
+            "med",
+            "mad",
+            F.abs(
+                F.lit(0.6745) * (F.col("value") - F.col("med")) / F.col("mad")
+            ).alias("rz"),
+        )
+    )
+    return (
+        scored.groupBy("event_type", "n", "med", "mad")
+        .agg(
+            F.count(F.when(F.col("rz") > 3.5, 1))
+            .cast("bigint")
+            .alias("n_outliers"),
+            r4(F.max("rz")).alias("max_robust_z"),
+        )
+        .select(
+            "event_type",
+            F.col("n").alias("n_events"),
+            r4(F.col("med")).alias("med"),
+            r4(F.col("mad")).alias("mad"),
+            "n_outliers",
+            "max_robust_z",
+        )
+        .orderBy("event_type")
+    )
