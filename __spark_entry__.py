@@ -162,6 +162,8 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     "embed_kmeans_silhouette",
     "profile_anomaly_mad",
     "text_keyword_rake",
+    "orders_assoc_rules",
+    "profile_data_skew",
 }
 
 

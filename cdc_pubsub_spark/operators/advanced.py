@@ -1653,3 +1653,108 @@ def profile_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "profile_data_skew",
+    category="advanced",
+    oracle="""
+    WITH kv AS (
+      SELECT 'l_orderkey' AS key_name, l_orderkey AS k FROM lineitem
+      UNION ALL
+      SELECT 'l_partkey', l_partkey FROM lineitem
+      UNION ALL
+      SELECT 'l_suppkey', l_suppkey FROM lineitem
+    ),
+    per_key AS (
+      SELECT key_name, k, CAST(count(*) AS BIGINT) AS c
+      FROM kv GROUP BY key_name, k
+    ),
+    hot AS (
+      SELECT key_name, k AS hot_key, c AS hot_count
+      FROM (SELECT key_name, k, c,
+                   row_number() OVER (PARTITION BY key_name
+                                      ORDER BY c DESC, k) AS rn
+            FROM per_key)
+      WHERE rn = 1
+    ),
+    stats AS (
+      SELECT key_name,
+             CAST(sum(c) AS BIGINT)   AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_keys,
+             quantile_cont(c, 0.50)   AS p50_per_key,
+             quantile_cont(c, 0.99)   AS p99_per_key
+      FROM per_key GROUP BY key_name
+    )
+    SELECT s.key_name, s.n_rows, s.n_keys, h.hot_key, h.hot_count,
+           floor(s.p50_per_key * 10000 + 0.5) / 10000 AS p50_per_key,
+           floor(s.p99_per_key * 10000 + 0.5) / 10000 AS p99_per_key,
+           floor(CAST(h.hot_count AS DOUBLE)
+                 / (CAST(s.n_rows AS DOUBLE) / CAST(s.n_keys AS DOUBLE))
+                 * 10000 + 0.5) / 10000 AS skew_ratio
+    FROM stats s JOIN hot h USING (key_name)
+    ORDER BY s.key_name
+    """,
+)
+def profile_data_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-KEY SKEW REPORT over the fact table's three join keys — the
+    profiling pass a 100 TB shuffle plan is chosen FROM: per key
+    column, cardinality, hottest key and its row count, p50/p99 rows
+    per key, and the skew ratio (hot count over mean). A skew_ratio in
+    the hundreds says "salt this key or rely on AQE skew split"
+    (join_skew_salted is the companion operator); near 1 says a plain
+    hash shuffle is safe.
+
+    Shape: one stack-unpivot scan (3 key columns → rows, map-side
+    combinable), ONE shuffle into the (key_name, key) histogram, then
+    per-key-name stats on the histogram relation. The hottest key
+    rides the rank-filter → WindowGroupLimit partial top-1 (each
+    partition forwards one candidate per key name — the same bounded
+    shape as the KMV sketch), never a full sort; the percentiles run
+    per key name over the histogram (exact tier; the bin-sketch swap
+    applies at scale exactly as in orders_rfm_atscale). All ratios are
+    fixed-order doubles over exact BIGINTs, r4-floored.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    kv = li.selectExpr(
+        "stack(3, 'l_orderkey', l_orderkey, 'l_partkey', l_partkey,"
+        " 'l_suppkey', l_suppkey) AS (key_name, k)"
+    )
+    per_key = kv.groupBy("key_name", "k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    ).persist()
+    wk = Window.partitionBy("key_name").orderBy(F.desc("c"), "k")
+    hot = (
+        per_key.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= 1)
+        .select(
+            "key_name",
+            F.col("k").alias("hot_key"),
+            F.col("c").alias("hot_count"),
+        )
+    )
+    stats = per_key.groupBy("key_name").agg(
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.expr("percentile(c, 0.50)").alias("p50_per_key"),
+        F.expr("percentile(c, 0.99)").alias("p99_per_key"),
+    )
+    out = (
+        stats.join(hot, "key_name")
+        .selectExpr(
+            "key_name",
+            "n_rows",
+            "n_keys",
+            "hot_key",
+            "hot_count",
+            "floor(p50_per_key * 10000 + 0.5) / 10000 AS p50_per_key",
+            "floor(p99_per_key * 10000 + 0.5) / 10000 AS p99_per_key",
+            "floor(CAST(hot_count AS DOUBLE)"
+            " / (CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE))"
+            " * 10000 + 0.5) / 10000 AS skew_ratio",
+        )
+        .orderBy("key_name")
+    )
+    from cdc_pubsub_spark.tables import finalize_cached
+
+    return finalize_cached(out, per_key)

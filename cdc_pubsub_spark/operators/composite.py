@@ -3250,3 +3250,129 @@ def ts_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day_val > 1.5e0 * ewma AS spike_hi",
         "day_val < ewma / 1.5e0 AS spike_lo",
     ).orderBy("event_type", "day_idx")
+
+
+@register(
+    "orders_assoc_rules",
+    category="composite",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, p_brand
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+    ),
+    n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+          FROM baskets),
+    singles AS (
+      SELECT p_brand, CAST(count(*) AS BIGINT) AS n_single
+      FROM baskets GROUP BY p_brand
+    ),
+    pairs AS (
+      SELECT a.p_brand AS antecedent, b.p_brand AS consequent,
+             CAST(count(*) AS BIGINT) AS n_both
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand != b.p_brand
+      GROUP BY 1, 2
+    ),
+    rules AS (
+      SELECT p.antecedent, p.consequent, p.n_both,
+             sa.n_single AS n_ante,
+             CAST(p.n_both AS DOUBLE) / CAST(sa.n_single AS DOUBLE)
+               AS conf,
+             CAST(sb.n_single AS DOUBLE) / CAST(n.n_orders AS DOUBLE)
+               AS supp_cons
+      FROM pairs p
+      JOIN singles sa ON p.antecedent = sa.p_brand
+      JOIN singles sb ON p.consequent = sb.p_brand
+      CROSS JOIN n
+      WHERE p.n_both >= 20
+    )
+    SELECT antecedent, consequent, n_both, n_ante,
+           floor(conf * 10000 + 0.5) / 10000 AS confidence,
+           floor(conf / supp_cons * 10000 + 0.5) / 10000 AS lift,
+           CASE WHEN conf >= 1 THEN NULL
+                ELSE floor((1 - supp_cons) / (1 - conf) * 10000 + 0.5)
+                     / 10000 END AS conviction
+    FROM rules
+    ORDER BY confidence DESC, antecedent, consequent
+    LIMIT 15
+    """,
+)
+def orders_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTED association rules A → B over order baskets: confidence
+    P(B|A), lift, and conviction (1−supp(B))/(1−conf) — the second
+    a-priori pass that turns basket_brand_pairs' symmetric co-counts
+    into actionable rules ("orders with Brand A also carry Brand B"),
+    with a min-support floor (n_both ≥ 20) exactly as a production
+    rule miner prunes.
+
+    Same scale shape as the pair pass it extends: baskets dedup to
+    (order, brand), the rule join is co-partitioned on the order key
+    with fan-out bounded by basket width (both directions of each pair
+    — rules are asymmetric), and the singles/order-count tables ride
+    broadcast joins back on. All metrics are ratios of exact BIGINTs
+    computed in fixed expression order; conviction of a confidence-1
+    rule is NULL (division by zero is a miner bug, not a rule). Top-15
+    by (confidence, antecedent, consequent) via TakeOrdered.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+        .persist()
+    )
+    n = baskets.agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("n_orders")
+    )
+    singles = baskets.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_single")
+    )
+    b2 = baskets.select(
+        F.col("l_orderkey").alias("k2"), F.col("p_brand").alias("consequent")
+    )
+    pairs = (
+        baskets.join(b2, (F.col("l_orderkey") == F.col("k2")))
+        .filter(F.col("p_brand") != F.col("consequent"))
+        .groupBy(
+            F.col("p_brand").alias("antecedent"), "consequent"
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+        .filter(F.col("n_both") >= 20)
+    )
+    sa = singles.select(
+        F.col("p_brand").alias("antecedent"),
+        F.col("n_single").alias("n_ante"),
+    )
+    sb = singles.select(
+        F.col("p_brand").alias("consequent"),
+        F.col("n_single").alias("n_cons"),
+    )
+    out = (
+        pairs.join(F.broadcast(sa), "antecedent")
+        .join(F.broadcast(sb), "consequent")
+        .crossJoin(F.broadcast(n))
+        .selectExpr(
+            "antecedent",
+            "consequent",
+            "n_both",
+            "n_ante",
+            "CAST(n_both AS DOUBLE) / CAST(n_ante AS DOUBLE) AS conf",
+            "CAST(n_cons AS DOUBLE) / CAST(n_orders AS DOUBLE)"
+            " AS supp_cons",
+        )
+        .selectExpr(
+            "antecedent",
+            "consequent",
+            "n_both",
+            "n_ante",
+            "floor(conf * 10000 + 0.5) / 10000 AS confidence",
+            "floor(conf / supp_cons * 10000 + 0.5) / 10000 AS lift",
+            "CASE WHEN conf >= 1 THEN NULL"
+            " ELSE floor((1 - supp_cons) / (1 - conf) * 10000 + 0.5)"
+            " / 10000 END AS conviction",
+        )
+        .orderBy(F.desc("confidence"), "antecedent", "consequent")
+        .limit(15)
+    )
+    return finalize_cached(out, baskets)
