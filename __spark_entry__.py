@@ -164,6 +164,7 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     "text_keyword_rake",
     "orders_assoc_rules",
     "profile_data_skew",
+    "scan_txn_log_vacuum",
 }
 
 

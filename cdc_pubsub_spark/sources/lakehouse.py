@@ -44,7 +44,7 @@ from cdc_pubsub_spark.tables import load
 _TXN_LOCK = threading.Lock()
 
 
-def _build_txn_table(spark: SparkSession, sf_dir: str) -> str:
+def _build_txn_table(spark: SparkSession, sf_dir: str, tag: str = "") -> str:
     """Idempotently materialize the versioned fixture table.
 
     Three commits over ``orders``, the canonical lakehouse lifecycle:
@@ -61,7 +61,7 @@ def _build_txn_table(spark: SparkSession, sf_dir: str) -> str:
     restate each snapshot as a predicate over the source table.
     """
     root = work_dir(
-        "txnlog_orders_" + os.path.basename(os.path.normpath(sf_dir))
+        "txnlog_orders_" + tag + os.path.basename(os.path.normpath(sf_dir))
     )
     log_dir = os.path.join(root, "_log")
     marker = os.path.join(log_dir, "_COMPLETE")
@@ -442,3 +442,90 @@ def sink_txn_log_occ(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_commits).alias("n_commits"),
         F.lit(n_retried).alias("n_conflicts_retried"),
     )
+
+
+@register(
+    "scan_txn_log_vacuum",
+    category="scans",
+    bench=False,
+    oracle="""
+    WITH files AS (
+      SELECT 'data/add-000' AS file, 'live' AS status,
+             (SELECT CAST(count(*) AS BIGINT) FROM orders
+              WHERE o_orderkey % 4 = 0) AS n_rows
+      UNION ALL
+      SELECT 'data/add-001', 'vacuumed',
+             (SELECT CAST(count(*) AS BIGINT) FROM orders
+              WHERE o_orderkey % 4 = 1)
+      UNION ALL
+      SELECT 'data/add-002', 'live',
+             (SELECT CAST(count(*) AS BIGINT) FROM orders
+              WHERE o_orderkey % 4 = 2)
+      UNION ALL
+      SELECT 'data/add-003', 'live',
+             (SELECT CAST(count(*) AS BIGINT) FROM orders
+              WHERE o_orderkey % 4 = 1 AND o_orderpriority <> '1-URGENT')
+    ),
+    snap AS (
+      SELECT CAST(count(*) AS BIGINT) AS snapshot_rows
+      FROM orders
+      WHERE o_orderkey % 4 IN (0, 2)
+         OR (o_orderkey % 4 = 1 AND o_orderpriority <> '1-URGENT')
+    )
+    SELECT f.file, f.status, f.n_rows, s.snapshot_rows
+    FROM files f CROSS JOIN snap s
+    ORDER BY f.file
+    """,
+)
+def scan_txn_log_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM of the transaction-log table: physically delete data
+    files no retained snapshot references — the GC half of the
+    lakehouse lifecycle (snapshot read, time travel, OCC commit, and
+    now storage reclamation). The copy-on-write DELETE at v2 removed
+    ``add-001`` from the LOG but, by design, not from storage (time
+    travel to v1 still needs it); once the retention window drops v1,
+    the file is an orphan and vacuum may reclaim it.
+
+    Runs against a PRIVATE copy of the fixture table (its own commit
+    log) so the shared snapshot/time-travel fixtures keep their
+    history: (1) resolve live files at the retained (latest) version
+    by replaying the log — metadata only; (2) diff against the
+    physical ``data/`` listing → orphan set; (3) count each file's
+    rows with a distributed scan BEFORE deletion (the audit record a
+    real VACUUM logs); (4) delete orphans; (5) re-read the latest
+    snapshot through the log to prove liveness is untouched. The
+    oracle restates every file's row count and the surviving snapshot
+    as predicates over ``orders`` — the same pure-function-of-keys
+    device as the sibling txn-log ops. At 100 TB the orphan diff is a
+    listing anti-join (file metadata, never data), and the row counts
+    ride parquet footer statistics rather than scans.
+    """
+    import shutil as _shutil
+
+    root = _build_txn_table(spark, sf_dir, tag="vacuum_")
+    data_dir = os.path.join(root, "data")
+    live = {
+        os.path.relpath(p, root) for p in _resolve_live_files(root)
+    }
+    on_disk = sorted(
+        os.path.join("data", d) for d in os.listdir(data_dir)
+    )
+    rows = []
+    for rel in on_disk:
+        n = spark.read.parquet(os.path.join(root, rel)).count()
+        rows.append((rel, "live" if rel in live else "vacuumed", n))
+    for rel, status, _ in rows:
+        if status == "vacuumed":
+            _shutil.rmtree(os.path.join(root, rel))
+    snap_rows = (
+        spark.read.parquet(*_resolve_live_files(root)).count()
+    )
+    # Fixture is single-use once vacuumed: drop the completion marker so
+    # the next run rebuilds the full history instead of re-vacuuming a
+    # half-empty table.
+    os.remove(os.path.join(root, "_log", "_COMPLETE"))
+    out = spark.createDataFrame(
+        [(r, s, n, snap_rows) for r, s, n in rows],
+        "file string, status string, n_rows bigint, snapshot_rows bigint",
+    )
+    return out.orderBy("file")
