@@ -165,6 +165,7 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     "orders_assoc_rules",
     "profile_data_skew",
     "scan_txn_log_vacuum",
+    "corpus_curriculum_order",
 }
 
 

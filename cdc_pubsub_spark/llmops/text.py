@@ -1395,3 +1395,134 @@ def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_pubsub_spark.tables import finalize_cached
 
     return finalize_cached(out, nonstop)
+
+
+_CURR_Q_SQL = (
+    "0.5 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)"
+    " + 0.5 * (CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE))"
+)
+_CURR_PHASE_SQL = (
+    "CASE WHEN q >= 0.75 THEN 1 WHEN q >= 0.6 THEN 2"
+    " WHEN q >= 0.45 THEN 3 ELSE 4 END"
+)
+
+
+@register(
+    "corpus_curriculum_order",
+    category="corpus",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id, n_chars,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_filter(string_split(text, ' '),
+                             w -> {_STOP_SQL})) AS n_stop,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ),
+    phased AS (
+      SELECT doc_id, n_chars, h,
+             CAST(floor(({_CURR_Q_SQL}) * 1000000 + 0.5) AS BIGINT)
+               AS q_micro,
+             {_CURR_PHASE_SQL.replace("q", f"({_CURR_Q_SQL})")} AS phase
+      FROM feats
+    ),
+    sched AS (
+      SELECT phase, doc_id, n_chars, q_micro, h,
+             row_number() OVER (PARTITION BY phase
+                                ORDER BY h, doc_id) AS pos
+      FROM phased
+    )
+    SELECT phase,
+           CAST(count(*) AS BIGINT)        AS n_docs,
+           CAST(sum(n_chars) AS BIGINT)    AS total_chars,
+           floor(CAST(sum(q_micro) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                 / 100 + 0.5) / 10000      AS mean_quality,
+           arg_min(doc_id, h)              AS first_doc,
+           CAST(sum(pos * doc_id) AS BIGINT) AS schedule_checksum
+    FROM sched
+    GROUP BY phase
+    ORDER BY phase
+    """,
+)
+def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CURRICULUM ordering of the training corpus: bucket every doc
+    into quality phases (highest-quality first — the quality-staged
+    curriculum pretraining runs), deterministically shuffle WITHIN each
+    phase by content-independent hash (the corpus discipline: never
+    rand()), and emit per-phase schedule stats plus a checksum that
+    pins the ENTIRE permutation — sum(position x doc_id) changes if
+    any two docs swap places, so the oracle certifies the full
+    schedule without materializing corpus-sized output.
+
+    Phase cutoffs are fixed quality thresholds (absolute curriculum,
+    not rank quantiles — no global sort needed to ASSIGN phases);
+    within-phase positions use the corpus_batch_assembly two-level
+    distributed rank (md5-prefix buckets: doc-local window per
+    (phase, bucket), 256-row offset window per phase — the global
+    per-phase window the naive rank would need appears nowhere; the
+    oracle's single window is equivalent by the prefix-order
+    argument). Quality scores quantize to 1e-6 integer units before
+    the per-phase mean (exact BIGINT sums).
+    """
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+    words = F.split("text", " ")
+    feats = docs.select(
+        "doc_id",
+        "n_chars",
+        F.size(words).alias("n_tokens"),
+        F.size(F.filter(words, lambda w: w.isin(*STOPWORDS))).alias(
+            "n_stop"
+        ),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    phased = feats.selectExpr(
+        "doc_id",
+        "n_chars",
+        "h",
+        f"CAST(floor(({_CURR_Q_SQL}) * 1000000 + 0.5) AS BIGINT)"
+        " AS q_micro",
+        f"{_CURR_PHASE_SQL.replace('q', f'({_CURR_Q_SQL})')} AS phase",
+    ).withColumn("bkt", F.substring("h", 1, 2))
+    wloc = Window.partitionBy("phase", "bkt").orderBy("h", "doc_id")
+    local = phased.withColumn("rn", F.row_number().over(wloc)).persist()
+    woff = Window.partitionBy("phase").orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = (
+        local.groupBy("phase", "bkt")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "phase",
+            "bkt",
+            (F.sum("cnt").over(woff) - F.col("cnt")).alias("off"),
+        )
+    )
+    sched = local.join(F.broadcast(offsets), ["phase", "bkt"]).select(
+        "phase",
+        "doc_id",
+        "n_chars",
+        "q_micro",
+        "h",
+        (F.col("off") + F.col("rn")).alias("pos"),
+    )
+    out = (
+        sched.groupBy("phase")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.expr(
+                "floor(CAST(sum(q_micro) AS DOUBLE)"
+                " / CAST(count(*) AS DOUBLE) / 100 + 0.5) / 10000"
+            ).alias("mean_quality"),
+            F.expr("min_by(doc_id, h)").alias("first_doc"),
+            F.sum(F.col("pos") * F.col("doc_id"))
+            .cast("bigint")
+            .alias("schedule_checksum"),
+        )
+        .orderBy("phase")
+    )
+    from cdc_pubsub_spark.tables import finalize_cached
+
+    return finalize_cached(out, local)
