@@ -166,6 +166,7 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     "profile_data_skew",
     "scan_txn_log_vacuum",
     "corpus_curriculum_order",
+    "ts_seasonal_decompose",
 }
 
 

@@ -3376,3 +3376,167 @@ def orders_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(15)
     )
     return finalize_cached(out, baskets)
+
+
+@register(
+    "ts_seasonal_decompose",
+    category="composite",
+    oracle="""
+    WITH daily AS (
+      SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day_idx,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM events
+      GROUP BY 1
+    ),
+    trended AS (
+      SELECT day_idx, cents,
+             (day_idx + 4) % 7 AS dow,
+             sum(cents) OVER w  AS fr_cents,
+             count(*) OVER w    AS fr_n
+      FROM daily
+      WINDOW w AS (ORDER BY day_idx
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    detr AS (
+      SELECT day_idx, dow,
+             CAST(floor((CAST(cents AS DOUBLE) / 100
+                         - CAST(fr_cents AS DOUBLE)
+                           / (100 * CAST(fr_n AS DOUBLE)))
+                        * 100 + 0.5) AS BIGINT) AS d_centi
+      FROM trended
+    ),
+    seas AS (
+      SELECT dow,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(floor(CAST(sum(d_centi) AS DOUBLE)
+                        / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT)
+               AS s_centi
+      FROM detr GROUP BY dow
+    ),
+    resid AS (
+      SELECT d.dow, d.d_centi, d.d_centi - s.s_centi AS r_centi
+      FROM detr d JOIN seas s USING (dow)
+    ),
+    var_g AS (
+      SELECT
+        CAST(sum(d_centi * d_centi) AS BIGINT) AS ss_d,
+        CAST(sum(d_centi) AS BIGINT)           AS s_d,
+        CAST(sum(r_centi * r_centi) AS BIGINT) AS ss_r,
+        CAST(sum(r_centi) AS BIGINT)           AS s_r,
+        CAST(count(*) AS BIGINT)               AS n
+      FROM resid
+    )
+    SELECT s.dow, s.n_days,
+           CAST(s.s_centi AS DOUBLE) / 100 AS seasonal,
+           floor(CAST((SELECT CAST(sum(abs(r_centi)) AS BIGINT)
+                       FROM resid r WHERE r.dow = s.dow) AS DOUBLE)
+                 / CAST(s.n_days AS DOUBLE) / 100 * 10000 + 0.5) / 10000
+             AS mean_abs_residual,
+           floor((1 - (CAST(v.ss_r AS DOUBLE)
+                       - CAST(v.s_r AS DOUBLE) * CAST(v.s_r AS DOUBLE)
+                         / CAST(v.n AS DOUBLE))
+                      / (CAST(v.ss_d AS DOUBLE)
+                         - CAST(v.s_d AS DOUBLE) * CAST(v.s_d AS DOUBLE)
+                           / CAST(v.n AS DOUBLE)))
+                 * 10000 + 0.5) / 10000 AS var_explained
+    FROM seas s CROSS JOIN var_g v
+    ORDER BY s.dow
+    """,
+)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal DECOMPOSITION of the daily event-value series:
+    trend by centered 7-day moving average, day-of-week seasonal
+    indices from the detrended series, and the share of detrended
+    variance the weekly shape explains — the classical-decomposition
+    first pass (the STL-lite every capacity model starts from;
+    orders_seasonality pools a calendar profile, this separates
+    trend FROM seasonality).
+
+    Determinism ladder: daily totals are integer cents; the centered
+    MA is an exact-integer frame sum divided once (partial edge frames
+    use the actual frame count — same rule both engines); detrended
+    values quantize to integer CENTI units small enough that their
+    squares stay far under 2^63 across the sum, so seasonal means,
+    residuals, and both variance terms are exact-BIGINT arithmetic
+    with one final fixed-order double expression (r4-floored). Scale
+    shape: the events scan collapses map-side into a CALENDAR-sized
+    daily relation (days, not rows) — the single ordered window runs
+    over thousands of rows at ANY corpus size, the agg_quantile_bin
+    bounded-domain argument; day-of-week stats are a 7-row broadcast.
+    """
+    events = load(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").alias(
+            "day_idx"
+        )
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    wma = Window.orderBy("day_idx").rowsBetween(-3, 3)
+    from cdc_pubsub_spark.tables import finalize_cached
+
+    detr = (
+        daily.select(
+            "day_idx",
+            "cents",
+            F.sum("cents").over(wma).alias("fr_cents"),
+            F.count(F.lit(1)).over(wma).alias("fr_n"),
+        )
+        .selectExpr(
+            "day_idx",
+            "(day_idx + 4) % 7 AS dow",
+            "CAST(floor((CAST(cents AS DOUBLE) / 100"
+            " - CAST(fr_cents AS DOUBLE) / (100 * CAST(fr_n AS DOUBLE)))"
+            " * 100 + 0.5) AS BIGINT) AS d_centi",
+        )
+        .persist()
+    )
+    seas = detr.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.expr(
+            "CAST(floor(CAST(sum(d_centi) AS DOUBLE)"
+            " / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT)"
+        ).alias("s_centi"),
+    )
+    resid = detr.join(F.broadcast(seas), "dow").select(
+        "dow",
+        "d_centi",
+        (F.col("d_centi") - F.col("s_centi")).alias("r_centi"),
+    )
+    var_g = resid.agg(
+        F.sum(F.col("d_centi") * F.col("d_centi"))
+        .cast("bigint")
+        .alias("ss_d"),
+        F.sum("d_centi").cast("bigint").alias("s_d"),
+        F.sum(F.col("r_centi") * F.col("r_centi"))
+        .cast("bigint")
+        .alias("ss_r"),
+        F.sum("r_centi").cast("bigint").alias("s_r"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    abs_res = resid.groupBy("dow").agg(
+        F.sum(F.abs(F.col("r_centi"))).cast("bigint").alias("abs_sum")
+    )
+    out = (
+        seas.join(F.broadcast(abs_res), "dow")
+        .crossJoin(F.broadcast(var_g))
+        .selectExpr(
+            "dow",
+            "n_days",
+            "CAST(s_centi AS DOUBLE) / 100 AS seasonal",
+            "floor(CAST(abs_sum AS DOUBLE) / CAST(n_days AS DOUBLE)"
+            " / 100 * 10000 + 0.5) / 10000 AS mean_abs_residual",
+            "floor((1 - (CAST(ss_r AS DOUBLE)"
+            " - CAST(s_r AS DOUBLE) * CAST(s_r AS DOUBLE)"
+            " / CAST(n AS DOUBLE))"
+            " / (CAST(ss_d AS DOUBLE)"
+            " - CAST(s_d AS DOUBLE) * CAST(s_d AS DOUBLE)"
+            " / CAST(n AS DOUBLE)))"
+            " * 10000 + 0.5) / 10000 AS var_explained",
+        )
+        .orderBy("dow")
+    )
+    return finalize_cached(out, detr)
