@@ -167,6 +167,7 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     "scan_txn_log_vacuum",
     "corpus_curriculum_order",
     "ts_seasonal_decompose",
+    "search_eval_ndcg",
 }
 
 

@@ -2082,3 +2082,136 @@ def embed_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+def _ndcg_oracle_sql() -> str:
+    """nDCG/MRR audit twin: each variant's published oracle embeds as a
+    subquery (the recall-audit device); discount terms quantize to
+    integer micro units so every sum is exact BIGINT."""
+    disc = (
+        "CAST(floor(1.0 / (ln({i} + 1.0) / ln(2.0)) * 1000000 + 0.5)"
+        " AS BIGINT)"
+    )
+    variants = [
+        ("brute_force", REGISTRY["sim_cosine_topk"].oracle),
+        ("ivf_kmeans", _ivf_kmeans_oracle_sql()),
+        ("lsh_bucket", _ann_lsh_oracle()),
+    ]
+    ctes = [
+        "WITH pl AS (SELECT label AS plabel FROM embeddings"
+        " WHERE vec_id = 1)",
+        ", rl AS (SELECT CAST(count(*) AS BIGINT) AS n_relevant"
+        " FROM embeddings, pl WHERE vec_id != 1 AND label = plabel)",
+        ", idcg AS (SELECT CAST(sum(" + disc.format(i="i.i") + ")"
+        " AS BIGINT) AS idcg_micro FROM (SELECT unnest(range(1,"
+        " 1 + least(10, (SELECT n_relevant FROM rl)))) AS i) i)",
+    ]
+    sels = []
+    for name, sql in variants:
+        ctes.append(
+            f", r_{name} AS (SELECT label,"
+            f" row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS rnk"
+            f" FROM (SELECT vec_id, label, cos_sim FROM ({sql})))"
+        )
+        sels.append(
+            f"""
+    SELECT '{name}' AS variant,
+           CAST(count(CASE WHEN label = plabel THEN 1 END) AS BIGINT)
+             AS n_rel_in_k,
+           CAST(sum(CASE WHEN label = plabel
+                    THEN {disc.format(i="rnk")} ELSE 0 END) AS BIGINT)
+             AS dcg_micro,
+           CAST(coalesce(min(CASE WHEN label = plabel THEN rnk END), 0)
+                AS BIGINT) AS first_rel
+    FROM r_{name} CROSS JOIN pl"""
+        )
+    return (
+        "".join(ctes)
+        + ", m AS (" + " UNION ALL ".join(sels) + ")"
+        + """
+    SELECT m.variant, m.n_rel_in_k,
+           floor(CAST(m.dcg_micro AS DOUBLE)
+                 / CAST(i.idcg_micro AS DOUBLE) * 10000 + 0.5) / 10000
+             AS ndcg_at_10,
+           CASE WHEN m.first_rel = 0 THEN 0.0
+                ELSE floor(1.0 / m.first_rel * 10000 + 0.5) / 10000 END
+             AS mrr,
+           r.n_relevant
+    FROM m CROSS JOIN idcg i CROSS JOIN rl r
+    ORDER BY m.variant
+    """
+    )
+
+
+@register(
+    "search_eval_ndcg",
+    category="similarity",
+    bench=False,
+    oracle=_ndcg_oracle_sql(),
+)
+def search_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality evaluation of the retrieval tiers: nDCG@10 and
+    MRR per variant against a label-match relevance standard
+    (relevant = shares the probe vector's class label) — the metric
+    table that complements sim_ann_recall_audit's set-overlap recall
+    with POSITION-AWARE quality (an index that returns the right ids
+    in the wrong order scores identical recall but lower nDCG).
+
+    Graded machinery on the audit pattern: each variant's certified
+    top-10 re-ranks deterministically (rounded cosine desc, vec_id),
+    binary gains discount by 1/log2(rank+1), and the ideal DCG uses
+    the corpus-wide relevant count — so a tier is never punished for
+    the corpus having fewer than 10 relevant vectors. Every discount
+    term quantizes to integer micro units driver-side with the SAME
+    ln-ratio expression the oracle uses (the hyperplane-literal
+    device), making DCG sums exact BIGINTs; only the final
+    nDCG/MRR ratios divide, r4-floored. Bounded work: k rows per
+    variant plus one corpus count — evaluation cost is independent of
+    corpus size once the tier outputs exist.
+    """
+    import math
+
+    def disc_micro(i: int) -> int:
+        return int(
+            math.floor(1.0 / (math.log(i + 1.0) / math.log(2.0)) * 1000000
+                       + 0.5)
+        )
+
+    emb = load(spark, sf_dir, "embeddings")
+    plabel = emb.filter(F.col("vec_id") == 1).select("label").collect()[0][
+        "label"
+    ]
+    n_relevant = (
+        emb.filter((F.col("vec_id") != 1) & (F.col("label") == plabel))
+        .count()
+    )
+    idcg_micro = sum(disc_micro(i) for i in range(1, 1 + min(10, n_relevant)))
+    rows = []
+    for variant, fn in (
+        ("brute_force", REGISTRY["sim_cosine_topk"].fn),
+        ("ivf_kmeans", REGISTRY["sim_ann_ivf_kmeans"].fn),
+        ("lsh_bucket", REGISTRY["sim_ann_lsh"].fn),
+    ):
+        got = fn(spark, sf_dir).select("vec_id", "label", "cos_sim").collect()
+        ranked = sorted(got, key=lambda r: (-r["cos_sim"], r["vec_id"]))
+        dcg = 0
+        first_rel = 0
+        n_rel_in_k = 0
+        for i, r in enumerate(ranked, start=1):
+            if r["label"] == plabel:
+                n_rel_in_k += 1
+                dcg += disc_micro(i)
+                if first_rel == 0:
+                    first_rel = i
+        ndcg = math.floor(dcg / idcg_micro * 10000 + 0.5) / 10000
+        mrr = (
+            0.0
+            if first_rel == 0
+            else math.floor(1.0 / first_rel * 10000 + 0.5) / 10000
+        )
+        rows.append((variant, n_rel_in_k, ndcg, mrr, n_relevant))
+    return spark.createDataFrame(
+        rows,
+        "variant string, n_rel_in_k bigint, ndcg_at_10 double,"
+        " mrr double, n_relevant bigint",
+    ).orderBy("variant")
