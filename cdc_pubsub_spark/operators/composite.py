@@ -1152,10 +1152,11 @@ def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical across engines — bare ntile over a non-unique metric is
     engine-arbitrary at the boundary, the same discipline as every
     LIMIT in the registry. The three windows are unpartitioned (global
-    quantiles need a global sort); at 100 TB swap exact ntile for
-    approx_percentile cutoffs computed once and broadcast — the
-    segment assignment then becomes a row-local CASE and the global
-    sorts disappear (the profiling sketches exist for exactly this).
+    quantiles need a global sort); this op is the EXACT-QUANTILE tier —
+    the at-scale twin is ``orders_rfm_atscale`` (registered r09), which
+    computes quintile cutoffs from mergeable bin histograms, broadcasts
+    them, and assigns segments with a row-local CASE: no data-sized
+    window anywhere, plan-pinned in tests/test_plans.py.
     """
     o = load(spark, sf_dir, "orders")
     per_cust = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
