@@ -55,6 +55,12 @@ HEAVY_FIRST = [
     "sim_ann_pq",
     "sim_ann_ivf",
     "basket_brand_pairs",
+    # r09 additions, seeded by analogy pending a measured reseed:
+    # assoc_rules shares basket_brand_pairs' self-join cost; data_skew
+    # unpivots lineitem 3x; rake runs corpus windows + joins.
+    "orders_assoc_rules",
+    "profile_data_skew",
+    "text_keyword_rake",
     "dedup_minhash_banded",  # bench twin of dedup_minhash_lsh since r07
     "dedup_embed_cosine",
     "cdc_malformed_deadletter",
