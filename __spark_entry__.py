@@ -168,6 +168,12 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     "corpus_curriculum_order",
     "ts_seasonal_decompose",
     "search_eval_ndcg",
+    # post-close additions (land after the r09 snapshot; lead r10):
+    "ml_roc_auc",
+    "ml_kfold_cv",
+    "graph_degree_assortativity",
+    "ts_autocorr",
+    "text_collocations_pmi",
 }
 
 

@@ -1351,3 +1351,272 @@ def ml_decision_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_pubsub_spark.tables import finalize_cached
 
     return finalize_cached(out, tr, joined)
+
+
+# Planted monotone classification fixture for the ROC evaluator: the
+# positive rate rises linearly with the integer score (quantity), so the
+# true AUC is a known closed form and the invariant test can assert the
+# recovered value sits in the planted band — a fit against real columns
+# would only certify agreement on noise (the _LR_ROWS_SQL discipline).
+_ROC_ROWS_SQL = """
+      SELECT CAST(l_quantity AS BIGINT) AS s,
+             CASE WHEN (l_orderkey * 2654435761 + l_linenumber * 40503)
+                       % 1000
+                  < 150 + 14 * CAST(l_quantity AS BIGINT)
+                  THEN 1 ELSE 0 END AS label
+      FROM lineitem
+"""
+
+
+@register(
+    "ml_roc_auc",
+    category="similarity",
+    oracle=f"""
+    WITH rows_in AS ({_ROC_ROWS_SQL}),
+    bins AS (
+      SELECT s,
+             CAST(sum(label) AS BIGINT) AS pos,
+             CAST(sum(1 - label) AS BIGINT) AS neg
+      FROM rows_in GROUP BY s
+    ),
+    binc AS (
+      SELECT s, pos, neg,
+             CAST(coalesce(sum(neg) OVER (ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS cnb
+      FROM bins
+    ),
+    tot AS (
+      SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+             CAST(sum(neg) AS BIGINT) AS n_neg,
+             CAST(count(*) AS BIGINT) AS n_bins,
+             CAST(sum(pos * (2 * cnb + neg)) AS BIGINT) AS num2
+      FROM binc
+    )
+    SELECT n_pos, n_neg, n_bins, num2 AS auc_pairs_x2,
+           floor(CAST(num2 AS DOUBLE)
+                 / (CAST(2 AS DOUBLE) * CAST(n_pos AS DOUBLE)
+                    * CAST(n_neg AS DOUBLE)) * 10000 + 0.5) / 10000 AS auc,
+           floor((CAST(num2 AS DOUBLE)
+                  / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+                  - CAST(1 AS DOUBLE)) * 10000 + 0.5) / 10000 AS gini
+    FROM tot
+    """,
+)
+def ml_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC of a score against a binary label by the binned
+    Mann-Whitney identity — the classifier-evaluation twin of
+    ml_logreg_quality's training loop. AUC = P(score_pos > score_neg)
+    + 0.5·P(tie), computed WITHOUT ranking individual rows: scores
+    land in their integer bins with one hash aggregate (pos/neg count
+    per distinct score), and the pairwise-win count folds over the
+    bounded bin relation as Σ_s pos_s·(2·neg_below_s + neg_s), so
+    every term is an exact BIGINT and the only division is the final
+    AUC ratio (r4-floored). Gini = 2·AUC − 1 comes from the same
+    integers.
+
+    Scale shape: the groupBy(score) aggregate is the ONLY pass over
+    the data (map-side combined, one bin row per distinct score
+    crossing the wire); the cumulative-negatives window runs over the
+    bin relation, whose size is bounded by the score DOMAIN (≤50
+    integer quantities), not the row count — the same
+    bounded-relation window sanctioned for the daily/ntile composites.
+    At 100 TB this is one scan + a ≤50-row driver-side-sized fold,
+    exactly how AUC is computed on binned scores in production eval
+    pipelines. The label is a planted monotone signal (positive rate
+    = (150 + 14·q)/1000), so the invariant test asserts the recovered
+    AUC against the closed form rather than certifying noise.
+    """
+    li = load(spark, sf_dir, "lineitem").selectExpr(
+        "CAST(l_quantity AS BIGINT) AS s",
+        "CASE WHEN (l_orderkey * 2654435761 + l_linenumber * 40503)"
+        " % 1000 < 150 + 14 * CAST(l_quantity AS BIGINT)"
+        " THEN 1 ELSE 0 END AS label",
+    )
+    bins = li.groupBy("s").agg(
+        F.sum("label").cast("bigint").alias("pos"),
+        F.sum(F.expr("1 - label")).cast("bigint").alias("neg"),
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    binc = bins.withColumn(
+        "cnb", F.coalesce(F.sum("neg").over(w), F.lit(0)).cast("bigint")
+    )
+    tot = binc.groupBy().agg(
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum("neg").cast("bigint").alias("n_neg"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        F.sum(F.expr("pos * (2 * cnb + neg)")).cast("bigint").alias("num2"),
+    )
+    return tot.selectExpr(
+        "n_pos",
+        "n_neg",
+        "n_bins",
+        "num2 AS auc_pairs_x2",
+        "floor(CAST(num2 AS DOUBLE)"
+        " / (CAST(2 AS DOUBLE) * CAST(n_pos AS DOUBLE)"
+        " * CAST(n_neg AS DOUBLE)) * 10000 + 0.5) / 10000 AS auc",
+        "floor((CAST(num2 AS DOUBLE)"
+        " / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))"
+        " - CAST(1 AS DOUBLE)) * 10000 + 0.5) / 10000 AS gini",
+    )
+
+
+# Fold assignment hashes with the multipliers SWAPPED relative to the
+# noise hash in _LR_ROWS_SQL, so fold membership is decorrelated from
+# the planted noise term (same multiplier would alias fold % 5 with
+# noise % 2001 structure).
+_KF_FOLD_SQL = "(l_orderkey * 40503 + l_linenumber * 2654435761) % 5"
+
+_KF_MOM_COLS = ("n", "sq", "sd", "sqq", "sqd", "sdd", "sy", "sqy", "sdy")
+
+
+def _kfold_oracle_sql() -> str:
+    train_cols = ", ".join(
+        f"t.t{c} - f.{c} AS {c}" for c in _KF_MOM_COLS
+    )
+    tot_cols = ", ".join(
+        f"CAST(sum({c}) AS BIGINT) AS t{c}" for c in _KF_MOM_COLS
+    )
+    return f"""
+    WITH rows_in AS MATERIALIZED (
+      SELECT q, dd, y, {_KF_FOLD_SQL} AS fold
+      FROM ({_LR_ROWS_SQL.replace("FROM lineitem",
+            ", l_orderkey, l_linenumber FROM lineitem")})
+    ),
+    moms AS MATERIALIZED (
+      SELECT fold,
+             CAST(count(*) AS BIGINT)     AS n,
+             CAST(sum(q) AS BIGINT)       AS sq,
+             CAST(sum(dd) AS BIGINT)      AS sd,
+             CAST(sum(q * q) AS BIGINT)   AS sqq,
+             CAST(sum(q * dd) AS BIGINT)  AS sqd,
+             CAST(sum(dd * dd) AS BIGINT) AS sdd,
+             CAST(sum(y) AS BIGINT)       AS sy,
+             CAST(sum(q * y) AS BIGINT)   AS sqy,
+             CAST(sum(dd * y) AS BIGINT)  AS sdy
+      FROM rows_in GROUP BY fold
+    ),
+    tot AS MATERIALIZED (SELECT {tot_cols} FROM moms),
+    train AS MATERIALIZED (
+      SELECT f.fold, f.n AS n_test, {train_cols}
+      FROM moms f CROSS JOIN tot t
+    ),
+    wts AS MATERIALIZED (
+      SELECT fold, n_test, n AS n_train,
+             ({_LR_W["det0"]}) / ({_LR_W["detA"]}) AS w0,
+             ({_LR_W["det1"]}) / ({_LR_W["detA"]}) AS w1,
+             ({_LR_W["det2"]}) / ({_LR_W["detA"]}) AS w2
+      FROM train
+    ),
+    resid AS MATERIALIZED (
+      SELECT fold, CAST(sum(rq * rq) AS BIGINT) AS sse
+      FROM (
+        SELECT r.fold,
+               CAST(floor((CAST(r.y AS DOUBLE)
+                 - (w.w0 + w.w1 * CAST(r.q AS DOUBLE)
+                    + w.w2 * CAST(r.dd AS DOUBLE))) / 100 + 0.5)
+               AS BIGINT) AS rq
+        FROM rows_in r JOIN wts w ON r.fold = w.fold
+      ) t GROUP BY fold
+    )
+    SELECT w.fold, w.n_train, w.n_test,
+           floor(w.w0 * 10000 + 0.5) / 10000 AS w_intercept_cents,
+           floor(w.w1 * 10000 + 0.5) / 10000 AS w_qty_cents,
+           floor(w.w2 * 10000 + 0.5) / 10000 AS w_disc_cents,
+           r.sse,
+           floor(sqrt(CAST(r.sse AS DOUBLE) / CAST(w.n_test AS DOUBLE))
+                 * 100 + 0.5) / 100 AS rmse_dollars
+    FROM wts w JOIN resid r ON w.fold = r.fold
+    ORDER BY w.fold
+    """
+
+
+@register(
+    "ml_kfold_cv",
+    category="similarity",
+    oracle=_kfold_oracle_sql(),
+)
+def ml_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold cross-validation of the normal-equation OLS WITHOUT
+    retraining scans: per-fold moment sums are computed in ONE
+    groupBy(fold) pass, and each fold's training moments are the
+    TOTALS MINUS THE FOLD (XᵀX and Xᵀy are additive over disjoint row
+    sets), so five leave-fold-out models solve from the same single
+    aggregate — the standard trick for distributed CV over linear
+    models. Each fold's Cramer solve is a projection over a 5-row
+    relation; the held-out residual pass joins rows to their own
+    fold's weights (broadcast, 5 rows) and reports test-RMSE per fold.
+
+    Determinism: the moment discipline of ml_linreg_normal_eq
+    verbatim — exact BIGINT sums of integer-quantized columns,
+    fold-decorrelated hash assignment, residuals re-quantized to
+    integer dollars before SSE, sqrt/division only in the final
+    projection (sqrt is IEEE-754 correctly rounded on both engines).
+    Scale shape: two scans total (moments, residuals) regardless of k;
+    the shuffle carries 9 BIGINTs per fold per partition — k-fold CV
+    at 100 TB costs the same as one fit plus one scoring pass.
+    """
+    li = load(spark, sf_dir, "lineitem").selectExpr(
+        "l_quantity AS q",
+        "CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS dd",
+        "50000 + 300 * l_quantity"
+        " + 1200 * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)"
+        " + (l_orderkey * 2654435761 + l_linenumber * 40503) % 2001"
+        " - 1000 AS y",
+        f"{_KF_FOLD_SQL} AS fold",
+    )
+    moms = li.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("q").cast("bigint").alias("sq"),
+        F.sum("dd").cast("bigint").alias("sd"),
+        F.sum(F.expr("q * q")).cast("bigint").alias("sqq"),
+        F.sum(F.expr("q * dd")).cast("bigint").alias("sqd"),
+        F.sum(F.expr("dd * dd")).cast("bigint").alias("sdd"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.expr("q * y")).cast("bigint").alias("sqy"),
+        F.sum(F.expr("dd * y")).cast("bigint").alias("sdy"),
+    )
+    tot = moms.groupBy().agg(
+        *[F.sum(c).cast("bigint").alias(f"t{c}") for c in _KF_MOM_COLS]
+    )
+    train = moms.crossJoin(F.broadcast(tot)).selectExpr(
+        "fold",
+        "n AS n_test",
+        *[f"t{c} - {c} AS {c}" for c in _KF_MOM_COLS],
+    )
+    wts = train.selectExpr(
+        "fold",
+        "n_test",
+        "n AS n_train",
+        f'({_LR_W["det0"]}) / ({_LR_W["detA"]}) AS w0',
+        f'({_LR_W["det1"]}) / ({_LR_W["detA"]}) AS w1',
+        f'({_LR_W["det2"]}) / ({_LR_W["detA"]}) AS w2',
+    )
+    resid = (
+        li.join(
+            F.broadcast(wts.select("fold", "w0", "w1", "w2")), "fold"
+        )
+        .selectExpr(
+            "fold",
+            "CAST(floor((CAST(y AS DOUBLE)"
+            " - (w0 + w1 * CAST(q AS DOUBLE) + w2 * CAST(dd AS DOUBLE)))"
+            " / 100 + 0.5) AS BIGINT) AS rq",
+        )
+        .groupBy("fold")
+        .agg(F.sum(F.expr("rq * rq")).cast("bigint").alias("sse"))
+    )
+    return (
+        wts.join(resid, "fold")
+        .selectExpr(
+            "fold",
+            "n_train",
+            "n_test",
+            "floor(w0 * 10000 + 0.5) / 10000 AS w_intercept_cents",
+            "floor(w1 * 10000 + 0.5) / 10000 AS w_qty_cents",
+            "floor(w2 * 10000 + 0.5) / 10000 AS w_disc_cents",
+            "sse",
+            "floor(sqrt(CAST(sse AS DOUBLE) / CAST(n_test AS DOUBLE))"
+            " * 100 + 0.5) / 100 AS rmse_dollars",
+        )
+        .orderBy("fold")
+    )

@@ -1526,3 +1526,109 @@ def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_pubsub_spark.tables import finalize_cached
 
     return finalize_cached(out, local)
+
+
+_PMI_LIFT = (
+    "CAST({p}.c12 AS DOUBLE) * CAST({t}.nb AS DOUBLE)"
+    " / (CAST({l}.c1 AS DOUBLE) * CAST({r}.c2 AS DOUBLE))"
+)
+
+
+@register(
+    "text_collocations_pmi",
+    category="text",
+    oracle=f"""
+    WITH big AS (
+      SELECT t.tok[i.i] AS w1, t.tok[i.i + 1] AS w2
+      FROM (SELECT string_split(trim(text), ' ') AS tok
+            FROM documents) t,
+           LATERAL unnest(range(1, len(t.tok))) AS i(i)
+    ),
+    pairs AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+      FROM big GROUP BY 1, 2
+    ),
+    lw AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM pairs GROUP BY 1),
+    rw AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS c2 FROM pairs GROUP BY 1),
+    tot AS (SELECT CAST(sum(c12) AS BIGINT) AS nb FROM pairs)
+    SELECT p.w1, p.w2, p.c12, l.c1, r.c2,
+           floor({_PMI_LIFT.format(p="p", t="t", l="l", r="r")}
+                 * 10000 + 0.5) / 10000 AS lift,
+           floor(ln({_PMI_LIFT.format(p="p", t="t", l="l", r="r")})
+                 * 10000 + 0.5) / 10000 AS pmi
+    FROM pairs p
+    JOIN lw l USING (w1)
+    JOIN rw r USING (w2)
+    CROSS JOIN tot t
+    WHERE p.c12 >= 5
+    ORDER BY {_PMI_LIFT.format(p="p", t="t", l="l", r="r")} DESC,
+             p.w1, p.w2
+    LIMIT 20
+    """,
+)
+def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by pointwise mutual information over adjacent
+    word pairs: PMI = ln(N·c(w1,w2) / (c(w1)·c(w2))) with positional
+    unigram counts (w1 as first element, w2 as second — all marginals
+    of the bigram relation itself, the Church & Hanks 1990 setup).
+    Surfaces multiword expressions ("new york"-style units) that
+    frequency ranking buries — the phrase-vocabulary pass a tokenizer
+    or n-gram LM pipeline runs before training. Min support c12 ≥ 5
+    kills the hapax-pair PMI explosion.
+
+    Ranking determinism: candidates order by the RAW lift ratio
+    c12·N/(c1·c2) — one double multiply-divide in pinned operand
+    order, bit-identical across engines (IEEE correctly-rounded ops on
+    exact integers), tie-broken (w1, w2) — so the top-20 membership
+    never hinges on ln() ulps; ln only DECORATES the chosen rows
+    (r4-floored, the tfidf/PSI precedent). Scale shape: bigram
+    extraction is row-local (transform over the token array, no
+    self-join); everything downstream aggregates or joins on the PAIR
+    relation, which is distinct-bigram-sized, not corpus-sized — the
+    word-count shuffle shape with map-side combine; marginals are two
+    more vocabulary-sized aggregates of the pair relation, and the
+    bigram total is a 1-row broadcast. Top-20 compiles to TakeOrdered.
+    """
+    docs = load(spark, sf_dir, "documents").selectExpr(
+        "split(trim(text), ' ') AS tok"
+    )
+    big = docs.selectExpr(
+        # size(tok) < 2 guard: sequence(1, 0) DESCENDS in Spark (the
+        # corpus_bpe_train device) while the oracle's range(1, 1) is
+        # empty — guard to array() so both engines drop the row.
+        "explode(CASE WHEN size(tok) >= 2 THEN"
+        " transform(sequence(1, size(tok) - 1),"
+        " bgi -> named_struct('w1', element_at(tok, bgi),"
+        " 'w2', element_at(tok, bgi + 1))) ELSE"
+        " CAST(array() AS ARRAY<STRUCT<w1 STRING, w2 STRING>>)"
+        " END) AS bg"
+    ).selectExpr("bg.w1 AS w1", "bg.w2 AS w2")
+    pairs = big.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c12")
+    )
+    lw = pairs.groupBy("w1").agg(F.sum("c12").cast("bigint").alias("c1"))
+    rw = pairs.groupBy("w2").agg(F.sum("c12").cast("bigint").alias("c2"))
+    tot = pairs.agg(F.sum("c12").cast("bigint").alias("nb"))
+    lift = (
+        "CAST(c12 AS DOUBLE) * CAST(nb AS DOUBLE)"
+        " / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))"
+    )
+    return (
+        pairs.join(lw, "w1")
+        .join(rw, "w2")
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("c12") >= 5)
+        .selectExpr(
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            "c2",
+            f"floor({lift} * 10000 + 0.5) / 10000 AS lift",
+            f"floor(ln({lift}) * 10000 + 0.5) / 10000 AS pmi",
+            f"{lift} AS _rank_lift",
+        )
+        .orderBy(F.desc("_rank_lift"), "w1", "w2")
+        .limit(20)
+        .drop("_rank_lift")
+    )

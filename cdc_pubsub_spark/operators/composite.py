@@ -3541,3 +3541,98 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("dow")
     )
     return finalize_cached(out, detr)
+
+
+@register(
+    "ts_autocorr",
+    category="composite",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+             AS BIGINT) AS day_idx,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS s
+      FROM daily
+    ),
+    dev AS (
+      SELECT d.day_idx, t.n * d.x - t.s AS dv
+      FROM daily d CROSS JOIN tot t
+    ),
+    den AS (
+      SELECT CAST(sum(dv * dv) AS BIGINT) AS den FROM dev
+    ),
+    lags AS (SELECT unnest(range(1, 8)) AS lag),
+    num AS (
+      SELECT l.lag,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(a.dv * b.dv) AS BIGINT) AS num
+      FROM lags l
+      JOIN dev a ON TRUE
+      JOIN dev b ON b.day_idx = a.day_idx + l.lag
+      GROUP BY l.lag
+    )
+    SELECT n.lag, n.n_pairs,
+           floor(CAST(n.num AS DOUBLE) / CAST(d.den AS DOUBLE)
+                 * 10000 + 0.5) / 10000 AS acf
+    FROM num n CROSS JOIN den d
+    ORDER BY n.lag
+    """,
+)
+def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily event-count series at
+    lags 1..7 — the standard pre-model diagnostic (a spike at lag 7
+    reveals weekly periodicity; slow decay reveals trend) feeding the
+    SES/Holt/Holt-Winters forecast family's choice of seasonal period.
+    ACF(k) = Σ(x_t − x̄)(x_{t+k} − x̄) / Σ(x_t − x̄)², full-series
+    denominator (the statsmodels/Box-Jenkins convention, so values at
+    different lags are comparable).
+
+    Exactness device: deviations are scaled by n BEFORE squaring
+    (d_t = n·x_t − Σx, an exact BIGINT — the n² factor cancels in the
+    ratio), so numerator and denominator are order-free integer sums
+    and the ONLY float op is the final r4-floored division. Scale
+    shape: the events scan collapses map-side into a CALENDAR-sized
+    daily relation; lag pairing is an equi-join of that relation to
+    itself against a 7-row broadcast lag spine — thousands of rows at
+    any corpus size (the bounded-domain argument every ts_ op here
+    uses), never a data-sized window. Missing days are excluded pairs
+    (sparse convention), identical on both engines.
+    """
+    events = load(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").alias(
+            "day_idx"
+        )
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+    )
+    dev = daily.crossJoin(F.broadcast(tot)).selectExpr(
+        "day_idx", "n * x - s AS dv"
+    )
+    den = dev.agg(F.sum(F.expr("dv * dv")).cast("bigint").alias("den"))
+    spine = spark.range(1, 8).selectExpr("id AS lag")
+    num = (
+        dev.crossJoin(F.broadcast(spine))
+        .selectExpr("day_idx + lag AS tgt", "lag", "dv AS dva")
+        .join(dev.selectExpr("day_idx AS tgt", "dv AS dvb"), "tgt")
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(F.expr("dva * dvb")).cast("bigint").alias("num"),
+        )
+    )
+    return (
+        num.crossJoin(F.broadcast(den))
+        .selectExpr(
+            "lag",
+            "n_pairs",
+            "floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)"
+            " * 10000 + 0.5) / 10000 AS acf",
+        )
+        .orderBy("lag")
+    )

@@ -978,3 +978,108 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
     )
     return finalize_cached(out, edges, lbl)
+
+
+@register(
+    "graph_degree_assortativity",
+    category="graph",
+    oracle=f"""
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    {_EDGE_SQL.strip()},
+    deg AS (
+      SELECT u, CAST(count(*) AS BIGINT) AS d
+      FROM (
+        SELECT src AS u FROM edges
+        UNION ALL
+        SELECT dst AS u FROM edges
+      ) ep GROUP BY u
+    ),
+    mom AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_edges,
+             CAST(sum(ds.d) AS BIGINT)        AS sx,
+             CAST(sum(dt.d) AS BIGINT)        AS sy,
+             CAST(sum(ds.d * ds.d) AS BIGINT) AS sxx,
+             CAST(sum(dt.d * dt.d) AS BIGINT) AS syy,
+             CAST(sum(ds.d * dt.d) AS BIGINT) AS sxy
+      FROM edges e
+      JOIN deg ds ON ds.u = e.src
+      JOIN deg dt ON dt.u = e.dst
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
+    SELECT n.n_nodes, m.n_edges,
+           floor(CAST(m.sx + m.sy AS DOUBLE)
+                 / CAST(2 * m.n_edges AS DOUBLE) * 10000 + 0.5) / 10000
+             AS avg_end_degree,
+           floor((CAST(m.n_edges AS DOUBLE) * CAST(m.sxy AS DOUBLE)
+                  - CAST(m.sx AS DOUBLE) * CAST(m.sy AS DOUBLE))
+                 / sqrt((CAST(m.n_edges AS DOUBLE) * CAST(m.sxx AS DOUBLE)
+                         - CAST(m.sx AS DOUBLE) * CAST(m.sx AS DOUBLE))
+                        * (CAST(m.n_edges AS DOUBLE)
+                           * CAST(m.syy AS DOUBLE)
+                           - CAST(m.sy AS DOUBLE) * CAST(m.sy AS DOUBLE)))
+                 * 10000 + 0.5) / 10000 AS assortativity
+    FROM mom m CROSS JOIN nn n
+    """,
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the interaction graph: the Pearson
+    correlation, over EDGES, between the total degrees of the two
+    endpoints (Newman 2002's mixing coefficient, full-degree variant —
+    positive means hubs link to hubs, negative means hub-to-leaf).
+    Complements pagerank/modularity with the canonical one-number
+    topology diagnostic a feed/abuse pipeline computes per snapshot.
+
+    Pure relational shape: degree = one groupBy over the exploded
+    endpoint list (map-side combined), then two equi-joins decorate
+    each edge with its endpoint degrees, then ONE moment aggregate
+    (6 exact BIGINT sums — degrees are small integers, products stay
+    far under 2^63) and a single-row Pearson projection in pinned
+    double order (sqrt is IEEE-correctly-rounded on both engines,
+    r4-floored output). At 100 TB: the joins shuffle on node id (the
+    same key the edge relation is naturally stored by), the moment
+    aggregate crosses the wire as 6 BIGINTs per partition, and
+    nothing is ever single-partition — the textbook two-pass
+    assortativity layout.
+    """
+    users = load(spark, sf_dir, "events").select("user_id").distinct()
+    edges = users.selectExpr(
+        "user_id AS src", "(user_id * 7 + 3) % 1000 AS dst"
+    ).unionAll(
+        users.selectExpr(
+            "user_id AS src", "(user_id * 13 + 11) % 1000 AS dst"
+        )
+    )
+    deg = (
+        edges.selectExpr("src AS u")
+        .unionAll(edges.selectExpr("dst AS u"))
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    mom = (
+        edges.join(deg.selectExpr("u AS src", "d AS dx"), "src")
+        .join(deg.selectExpr("u AS dst", "d AS dy"), "dst")
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+            F.sum("dx").cast("bigint").alias("sx"),
+            F.sum("dy").cast("bigint").alias("sy"),
+            F.sum(F.expr("dx * dx")).cast("bigint").alias("sxx"),
+            F.sum(F.expr("dy * dy")).cast("bigint").alias("syy"),
+            F.sum(F.expr("dx * dy")).cast("bigint").alias("sxy"),
+        )
+    )
+    nn = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    return mom.crossJoin(F.broadcast(nn)).selectExpr(
+        "n_nodes",
+        "n_edges",
+        "floor(CAST(sx + sy AS DOUBLE)"
+        " / CAST(2 * n_edges AS DOUBLE) * 10000 + 0.5) / 10000"
+        " AS avg_end_degree",
+        "floor((CAST(n_edges AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / sqrt((CAST(n_edges AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+        " * (CAST(n_edges AS DOUBLE) * CAST(syy AS DOUBLE)"
+        " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+        " * 10000 + 0.5) / 10000 AS assortativity",
+    )

@@ -78,3 +78,19 @@ def test_survival_curve_km_invariants(spark, sf_dir):
             == prev["n_at_risk"] - prev["n_events"] - prev["n_censored"]
         )
     assert sum(r["n_censored"] for r in rows) > 0
+
+
+def test_degree_assortativity_bounds(spark, sf_dir):
+    """Assortativity is a Pearson correlation (∈ [-1, 1]); the edge
+    relation is exactly 2 edges per user, and the edge-end-weighted
+    mean degree is ≥ the plain mean degree (size-biased sampling)."""
+    from cdc_pubsub_spark.registry import REGISTRY
+
+    r = (
+        REGISTRY["graph_degree_assortativity"]
+        .fn(spark, sf_dir)
+        .collect()[0]
+    )
+    assert -1.0 <= r.assortativity <= 1.0, r
+    assert r.n_edges % 2 == 0 and r.n_edges > 0
+    assert r.avg_end_degree >= 2.0 * r.n_edges / max(r.n_nodes, 1) - 1e-9

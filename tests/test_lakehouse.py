@@ -220,3 +220,16 @@ def test_holt_forecast_extrapolates_linearly(spark, sf_dir):
     assert b != 0.0, "trend term vacuously zero"
     for h in (1, 2, 3):
         assert abs(by_h[h].forecast_dollars - (l + h * b)) < 0.02
+
+
+def test_autocorr_is_bounded_and_pairs_shrink(spark, sf_dir):
+    """ACF values are correlations (|acf| ≤ 1 up to the r4 floor); with
+    a gapless daily calendar the pair count at lag k is exactly n − k,
+    so n_pairs must be strictly decreasing in lag."""
+    from cdc_pubsub_spark.registry import REGISTRY
+
+    rows = REGISTRY["ts_autocorr"].fn(spark, sf_dir).collect()
+    assert [r.lag for r in rows] == [1, 2, 3, 4, 5, 6, 7]
+    assert all(-1.0001 <= r.acf <= 1.0001 for r in rows)
+    pairs = [r.n_pairs for r in rows]
+    assert all(a > b for a, b in zip(pairs, pairs[1:]))

@@ -3,6 +3,8 @@ only row-counts these, so the real guarantees are asserted here."""
 
 from __future__ import annotations
 
+import math
+
 import pytest
 
 import cdc_pubsub_spark.all_queries  # noqa: F401
@@ -794,3 +796,54 @@ def test_linreg_recovers_planted_coefficients(spark, sf_dir):
     assert abs(r.w_qty_cents - 300) < 5, r.w_qty_cents
     assert abs(r.w_disc_cents - 1200) < 20, r.w_disc_cents
     assert r.r2_fit > 0.97, r.r2_fit
+
+
+def test_roc_auc_recovers_planted_separation(spark, sf_dir):
+    """The binned Mann-Whitney AUC must recover the planted monotone
+    signal (positive rate = (150 + 14·q)/1000 over q ∈ 1..50): the
+    closed-form AUC of that construction is ≈0.735, far from the 0.5
+    no-signal point, and Gini must equal 2·AUC − 1 up to the two
+    independent r4 roundings."""
+    from cdc_pubsub_spark.registry import REGISTRY
+
+    r = REGISTRY["ml_roc_auc"].fn(spark, sf_dir).collect()[0]
+    assert r.n_pos > 0 and r.n_neg > 0
+    assert 0.70 <= r.auc <= 0.77, r.auc
+    assert abs(r.gini - (2 * r.auc - 1)) < 2e-4, (r.gini, r.auc)
+    # pairwise-win count is bounded by 2·P·N by construction
+    assert 0 < r.auc_pairs_x2 < 2 * r.n_pos * r.n_neg
+
+
+def test_kfold_cv_folds_recover_planted_model(spark, sf_dir):
+    """Every leave-fold-out model must recover the planted coefficients
+    and every held-out fold's RMSE must sit at the planted noise floor
+    (uniform ±10 dollars → std ≈ 5.78), i.e. no fold overfits or
+    leaks — the moment-subtraction trick yields five genuine models."""
+    from cdc_pubsub_spark.registry import REGISTRY
+
+    rows = REGISTRY["ml_kfold_cv"].fn(spark, sf_dir).collect()
+    assert len(rows) == 5
+    assert sorted(r.fold for r in rows) == [0, 1, 2, 3, 4]
+    n_total = rows[0].n_train + rows[0].n_test
+    for r in rows:
+        assert r.n_train + r.n_test == n_total
+        assert abs(r.w_qty_cents - 300) < 10, r
+        assert abs(r.w_disc_cents - 1200) < 40, r
+        assert 4.5 <= r.rmse_dollars <= 7.0, r
+
+
+def test_collocations_pmi_marginal_consistency(spark, sf_dir):
+    """Every surfaced pair respects its own marginals (c12 ≤ min(c1,
+    c2)), meets min support, and pmi = ln(lift) up to the two
+    independent r4 floors; the list is lift-descending."""
+    from cdc_pubsub_spark.registry import REGISTRY
+
+    rows = REGISTRY["text_collocations_pmi"].fn(spark, sf_dir).collect()
+    assert rows, "no collocations above min support"
+    lifts = [r.lift for r in rows]
+    assert lifts == sorted(lifts, reverse=True)
+    for r in rows:
+        assert r.c12 >= 5
+        assert r.c12 <= min(r.c1, r.c2)
+        assert r.lift > 0
+        assert abs(r.pmi - math.log(r.lift)) < 2e-3, r
