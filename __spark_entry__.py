@@ -174,6 +174,10 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     "graph_degree_assortativity",
     "ts_autocorr",
     "text_collocations_pmi",
+    "scan_txn_log_changefeed",
+    "ml_calibration_bins",
+    "graph_kcore",
+    "text_ngram_novelty",
 }
 
 

@@ -1620,3 +1620,115 @@ def ml_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+# Per-bin |observed − predicted| in pinned double order over exact
+# integer aggregates; quantized to micro units BEFORE the cross-bin sum
+# so ECE is an order-free integer fold (the bin count is tiny, but the
+# discipline is uniform).
+def _cal_gap(q: str = "") -> str:
+    return (
+        f"abs(CAST({q}pos AS DOUBLE) / CAST({q}n AS DOUBLE)"
+        f" - CAST({q}sp AS DOUBLE)"
+        f" / (CAST(1000 AS DOUBLE) * CAST({q}n AS DOUBLE)))"
+    )
+
+
+@register(
+    "ml_calibration_bins",
+    category="similarity",
+    oracle=f"""
+    WITH rows_in AS ({_ROC_ROWS_SQL}),
+    bins AS (
+      SELECT (150 + 14 * s) // 100 AS bin,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(label) AS BIGINT) AS pos,
+             CAST(sum(150 + 14 * s) AS BIGINT) AS sp
+      FROM rows_in GROUP BY 1
+    ),
+    g AS (
+      SELECT bin, n, pos, sp,
+             CAST(floor({_cal_gap()} * 1000000 + 0.5) AS BIGINT) * n
+               AS gap_w_micro
+      FROM bins
+    ),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS n_total,
+             CAST(sum(gap_w_micro) AS BIGINT) AS gap_sum
+      FROM g
+    )
+    SELECT g.bin, g.n AS n_rows,
+           floor(CAST(g.sp AS DOUBLE)
+                 / (CAST(1000 AS DOUBLE) * CAST(g.n AS DOUBLE))
+                 * 10000 + 0.5) / 10000 AS mean_pred,
+           floor(CAST(g.pos AS DOUBLE) / CAST(g.n AS DOUBLE)
+                 * 10000 + 0.5) / 10000 AS obs_rate,
+           floor({_cal_gap("g.")}
+                 * 10000 + 0.5) / 10000 AS abs_gap,
+           floor(CAST(t.gap_sum AS DOUBLE)
+                 / (CAST(1000000 AS DOUBLE) * CAST(t.n_total AS DOUBLE))
+                 * 10000 + 0.5) / 10000 AS ece
+    FROM g CROSS JOIN tot t
+    ORDER BY g.bin
+    """,
+)
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + expected calibration error of the planted
+    probability model behind ml_roc_auc: predicted probability
+    (150 + 14·q)/1000 bucketed into deciles, observed positive rate
+    per bucket, and ECE = Σ (n_b/N)·|obs_b − pred_b| — the calibration
+    audit every scoring model ships with (AUC measures ranking,
+    calibration measures whether 0.7 MEANS 70%; a model can ace one
+    and fail the other). Since the score here IS the generator, the
+    op must come out near-perfectly calibrated — the invariant test
+    asserts ECE at the sampling-noise floor, so both engines are
+    certified against a known ground truth.
+
+    Determinism: per-bin aggregates are exact BIGINTs (pos, n, and the
+    sum of integer milli-probabilities); the |obs − pred| gap is a
+    pinned-order double expression over those integers, quantized to
+    micro units per bin BEFORE the cross-bin weighted sum, making ECE
+    an order-free integer fold with one final r4 division. Scale: one
+    groupBy over the scan (map-side combined, ≤9 decile rows out) plus
+    a 1-row broadcast total — same shape as ml_roc_auc.
+    """
+    li = load(spark, sf_dir, "lineitem").selectExpr(
+        "CAST(l_quantity AS BIGINT) AS s",
+        "CASE WHEN (l_orderkey * 2654435761 + l_linenumber * 40503)"
+        " % 1000 < 150 + 14 * CAST(l_quantity AS BIGINT)"
+        " THEN 1 ELSE 0 END AS label",
+    )
+    bins = li.groupBy(F.expr("(150 + 14 * s) div 100").alias("bin")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("label").cast("bigint").alias("pos"),
+        F.sum(F.expr("150 + 14 * s")).cast("bigint").alias("sp"),
+    )
+    g = bins.selectExpr(
+        "bin",
+        "n",
+        "pos",
+        "sp",
+        f"CAST(floor({_cal_gap()} * 1000000 + 0.5) AS BIGINT) * n"
+        " AS gap_w_micro",
+    )
+    tot = g.groupBy().agg(
+        F.sum("n").cast("bigint").alias("n_total"),
+        F.sum("gap_w_micro").cast("bigint").alias("gap_sum"),
+    )
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "bin",
+            "n AS n_rows",
+            "floor(CAST(sp AS DOUBLE)"
+            " / (CAST(1000 AS DOUBLE) * CAST(n AS DOUBLE))"
+            " * 10000 + 0.5) / 10000 AS mean_pred",
+            "floor(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)"
+            " * 10000 + 0.5) / 10000 AS obs_rate",
+            f"floor({_cal_gap()} * 10000 + 0.5) / 10000 AS abs_gap",
+            "floor(CAST(gap_sum AS DOUBLE)"
+            " / (CAST(1000000 AS DOUBLE) * CAST(n_total AS DOUBLE))"
+            " * 10000 + 0.5) / 10000 AS ece",
+        )
+        .orderBy("bin")
+    )

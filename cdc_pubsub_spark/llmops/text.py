@@ -13,7 +13,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from cdc_pubsub_spark.functions.rounding import r4
-from cdc_pubsub_spark.llmops.corpus import CORPUS_CTE
+from cdc_pubsub_spark.llmops.corpus import (
+    CORPUS_CTE,
+    SPLIT_CASE_SQL,
+    split_col,
+)
 from cdc_pubsub_spark.registry import register
 from cdc_pubsub_spark.tables import load
 
@@ -1631,4 +1635,88 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("_rank_lift"), "w1", "w2")
         .limit(20)
         .drop("_rank_lift")
+    )
+
+
+@register(
+    "text_ngram_novelty",
+    category="text",
+    oracle=f"""
+    WITH toks AS (
+      SELECT {SPLIT_CASE_SQL.strip()} AS split,
+             string_split(trim(text), ' ') AS tok
+      FROM documents
+    ),
+    trig AS (
+      SELECT t.split,
+             t.tok[i.i] || ' ' || t.tok[i.i + 1] || ' '
+               || t.tok[i.i + 2] AS tri
+      FROM toks t, LATERAL unnest(range(1, len(t.tok) - 1)) AS i(i)
+    ),
+    tr AS (SELECT DISTINCT tri FROM trig WHERE split = 'train'),
+    va AS (SELECT DISTINCT tri FROM trig WHERE split = 'val'),
+    nv AS (
+      SELECT tri FROM va v
+      WHERE NOT EXISTS (SELECT 1 FROM tr t WHERE t.tri = v.tri)
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM tr) AS n_train_types,
+           (SELECT CAST(count(*) AS BIGINT) FROM va) AS n_val_types,
+           (SELECT CAST(count(*) AS BIGINT) FROM nv) AS n_novel_types,
+           floor((SELECT CAST(count(*) AS DOUBLE) FROM nv)
+                 / (SELECT CAST(count(*) AS DOUBLE) FROM va)
+                 * 10000 + 0.5) / 10000 AS novelty_rate
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split n-gram NOVELTY rate: the fraction of the val split's
+    distinct word trigrams never seen in train — the memorization/
+    generalization diagnostic LLM eval pipelines compute before
+    trusting a benchmark number (low novelty means the eval set is
+    largely recombinations of training text; text_contamination
+    catches verbatim leakage, this measures the softer n-gram
+    overlap). Splits come from the SAME md5 hash twins as
+    corpus_train_val_split — the one-place-threshold rule.
+
+    Scale shape: trigram extraction is row-local (one hoisted split,
+    element_at indexing — the quadratic-rescan pitfall avoided);
+    distinct-per-split is the word-count shuffle on trigram hash
+    (map-side combined, type-sized not occurrence-sized); novelty is
+    one anti-join of the val type relation against train (the smaller
+    side builds the hash table under AQE). Counts are exact BIGINTs;
+    the only division is the final r4-floored rate.
+    """
+    docs = load(spark, sf_dir, "documents").select(
+        split_col().alias("split"),
+        F.expr("split(trim(text), ' ')").alias("tok"),
+    )
+    tri = docs.filter(F.col("split").isin("train", "val")).selectExpr(
+        "split",
+        # size < 3 guard: Spark's sequence DESCENDS when stop < start
+        # (the corpus_bpe_train device) while the oracle's range is
+        # simply empty — guard to array() so both engines drop the row.
+        "explode(CASE WHEN size(tok) >= 3 THEN"
+        " transform(sequence(1, size(tok) - 2),"
+        " tgi -> concat(element_at(tok, tgi), ' ',"
+        " element_at(tok, tgi + 1), ' ', element_at(tok, tgi + 2)))"
+        " ELSE CAST(array() AS ARRAY<STRING>) END) AS tri",
+    )
+    tr = tri.filter("split = 'train'").select("tri").distinct()
+    va = tri.filter("split = 'val'").select("tri").distinct()
+    nv = va.join(tr, "tri", "left_anti")
+    counts = (
+        tr.agg(F.count(F.lit(1)).cast("bigint").alias("n_train_types"))
+        .crossJoin(
+            va.agg(F.count(F.lit(1)).cast("bigint").alias("n_val_types"))
+        )
+        .crossJoin(
+            nv.agg(F.count(F.lit(1)).cast("bigint").alias("n_novel_types"))
+        )
+    )
+    return counts.selectExpr(
+        "n_train_types",
+        "n_val_types",
+        "n_novel_types",
+        "floor(CAST(n_novel_types AS DOUBLE)"
+        " / CAST(n_val_types AS DOUBLE) * 10000 + 0.5) / 10000"
+        " AS novelty_rate",
     )

@@ -1083,3 +1083,108 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
         " * 10000 + 0.5) / 10000 AS assortativity",
     )
+
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 5
+
+
+def _kcore_oracle_sql() -> str:
+    """Unrolled peeling: each round drops nodes whose degree in the
+    SURVIVING subgraph is < k, then restricts the edge set to
+    survivors. MATERIALIZED per step (each CTE is referenced 3× by the
+    next round — non-materialized inlining explodes exponentially)."""
+    parts = [
+        f"""
+    users AS (SELECT DISTINCT user_id FROM events),
+    {_EDGE_SQL.strip()},
+    e0 AS MATERIALIZED (SELECT src, dst FROM edges)"""
+    ]
+    for r in range(1, _KCORE_ROUNDS + 1):
+        parts.append(
+            f"""
+    d{r} AS MATERIALIZED (
+      SELECT u, CAST(count(*) AS BIGINT) AS d
+      FROM (
+        SELECT src AS u FROM e{r - 1}
+        UNION ALL
+        SELECT dst AS u FROM e{r - 1}
+      ) ep GROUP BY u
+    ),
+    s{r} AS MATERIALIZED (SELECT u FROM d{r} WHERE d >= {_KCORE_K}),
+    e{r} AS MATERIALIZED (
+      SELECT e.src, e.dst FROM e{r - 1} e
+      JOIN s{r} a ON a.u = e.src
+      JOIN s{r} b ON b.u = e.dst
+    )"""
+        )
+    rows = "\n      UNION ALL\n      ".join(
+        f"SELECT {r} AS round,"
+        f" (SELECT CAST(count(*) AS BIGINT) FROM s{r}) AS nodes_alive,"
+        f" (SELECT CAST(count(*) AS BIGINT) FROM e{r}) AS edges_alive"
+        for r in range(1, _KCORE_ROUNDS + 1)
+    )
+    return f"WITH{','.join(parts)}\n    SELECT * FROM ({rows}) t ORDER BY round"
+
+
+@register(
+    "graph_kcore",
+    category="graph",
+    bench=False,  # 5 sequential peel generations: fixture-scale cost is
+    # the per-stage scheduling floor (corpus_bpe_train rationale).
+    oracle=_kcore_oracle_sql(),
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k=3) by iterative PEELING — the third
+    message-passing archetype beside pagerank (push) and label
+    propagation (pull): each round deletes nodes whose degree in the
+    surviving subgraph falls below k, which can cascade (removing a
+    leaf demotes its neighbor), so the loop is genuinely iterative.
+    k-cores are the standard dense-substructure screen (spam rings,
+    community nuclei) and the usual preprocessing cut before expensive
+    per-node analytics.
+
+    Both engines run the SAME fixed _KCORE_ROUNDS peels, so the output
+    is exact even where round R is not yet a fixpoint (the
+    graph_bfs_layers device); the invariant test asserts the cascade
+    is monotone and that a reached fixpoint really is one (every
+    survivor keeps degree ≥ k). Iteration discipline: the edge frame
+    localCheckpoints per generation (the survivor set is referenced by
+    BOTH endpoint joins — without truncation the lazy plan triples per
+    round), and the per-round observables are two scalar counts, never
+    the frame. Scale: each round is one degree aggregate (map-side
+    combined) + two hash semi-joins on node id — the same shuffle key
+    every round, so a real cluster co-partitions once; rounds are
+    data-independent in COUNT (fixed R), keeping the job a static
+    5-stage DAG at any size.
+    """
+    users = load(spark, sf_dir, "events").select("user_id").distinct()
+    edges = users.selectExpr(
+        "user_id AS src", "(user_id * 7 + 3) % 1000 AS dst"
+    ).unionAll(
+        users.selectExpr(
+            "user_id AS src", "(user_id * 13 + 11) % 1000 AS dst"
+        )
+    )
+    cur = edges.localCheckpoint(eager=True)
+    stats: list[tuple[int, int, int]] = []
+    for r in range(1, _KCORE_ROUNDS + 1):
+        deg = (
+            cur.selectExpr("src AS u")
+            .unionAll(cur.selectExpr("dst AS u"))
+            .groupBy("u")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+        )
+        surv = deg.filter(F.col("d") >= _KCORE_K).select("u")
+        nxt = (
+            cur.join(surv.selectExpr("u AS src"), "src")
+            .join(surv.selectExpr("u AS dst"), "dst")
+            .select("src", "dst")
+        ).localCheckpoint(eager=True)
+        stats.append((r, surv.count(), nxt.count()))
+        release_checkpoint(cur)
+        cur = nxt
+    release_checkpoint(cur)
+    return spark.createDataFrame(
+        stats, "round int, nodes_alive bigint, edges_alive bigint"
+    ).orderBy("round")

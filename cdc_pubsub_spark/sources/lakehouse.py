@@ -529,3 +529,190 @@ def scan_txn_log_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "file string, status string, n_rows bigint, snapshot_rows bigint",
     )
     return out.orderBy("file")
+
+
+def _build_cdf_table(spark: SparkSession, sf_dir: str) -> str:
+    """Fixture table for the change-data-feed reader: the shared
+    3-commit lifecycle plus a v3 copy-on-write UPDATE (``add-002``
+    rewritten as ``add-004`` with 5-LOW prices doubled). Private root —
+    the shared fixture's latest version must stay v2 for the
+    snapshot/vacuum ops. Every file is a pure function of key columns
+    so the oracle restates each change class as a predicate over
+    ``orders``."""
+    root = work_dir(
+        "txnlog_cdf_" + os.path.basename(os.path.normpath(sf_dir))
+    )
+    log_dir = os.path.join(root, "_log")
+    marker = os.path.join(log_dir, "_COMPLETE")
+    with _TXN_LOCK:
+        if os.path.exists(marker):
+            return root
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(log_dir)
+        orders = load(spark, sf_dir, "orders")
+        key = F.col("o_orderkey") % 4
+
+        def write_file(name: str, df: DataFrame) -> None:
+            df.write.parquet(os.path.join(root, "data", name))
+
+        write_file("add-000", orders.filter(key == 0))
+        write_file("add-001", orders.filter(key == 1))
+        write_file("add-002", orders.filter(key == 2))
+        write_file(
+            "add-003",
+            orders.filter(
+                (key == 1) & (F.col("o_orderpriority") != "1-URGENT")
+            ),
+        )
+        write_file(
+            "add-004",
+            orders.filter(key == 2).withColumn(
+                "o_totalprice",
+                F.when(
+                    F.col("o_orderpriority") == "5-LOW",
+                    F.col("o_totalprice") * 2,
+                ).otherwise(F.col("o_totalprice")),
+            ),
+        )
+        commits = [
+            [{"add": "data/add-000"}, {"add": "data/add-001"}],
+            [{"add": "data/add-002"}],
+            [{"remove": "data/add-001"}, {"add": "data/add-003"}],
+            [{"remove": "data/add-002"}, {"add": "data/add-004"}],
+        ]
+        for v, actions in enumerate(commits):
+            path = os.path.join(log_dir, f"{v:08d}.json")
+            with open(path + ".tmp", "w") as fh:
+                for act in actions:
+                    fh.write(json.dumps(act) + "\n")
+            os.rename(path + ".tmp", path)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return root
+
+
+@register(
+    "scan_txn_log_changefeed",
+    category="scans",
+    bench=False,
+    oracle="""
+    WITH ch AS (
+      SELECT 2 AS version, 'delete' AS change_type, o_totalprice AS p
+      FROM orders
+      WHERE o_orderkey % 4 = 1 AND o_orderpriority = '1-URGENT'
+      UNION ALL
+      SELECT 3, 'update_preimage', o_totalprice
+      FROM orders
+      WHERE o_orderkey % 4 = 2 AND o_orderpriority = '5-LOW'
+      UNION ALL
+      SELECT 3, 'update_postimage', o_totalprice * 2
+      FROM orders
+      WHERE o_orderkey % 4 = 2 AND o_orderpriority = '5-LOW'
+    )
+    SELECT version, change_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(floor(p * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 100.0 AS revenue
+    FROM ch GROUP BY version, change_type
+    ORDER BY version, change_type
+    """,
+)
+def scan_txn_log_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED between table versions, derived from the commit
+    log alone — the lakehouse half of the reference's whole purpose
+    (cdc-pubsub transports CockroachDB changefeeds; a Delta/Iceberg
+    lake EMITS them the way this op does: README.md:14-15's consumer
+    side). For every commit after the reader's last-seen version, the
+    copy-on-write file pairs are diffed row-wise on the table key:
+    rows only in removed files are deletes, rows only in added files
+    are inserts, key-matched rows with changed payload emit
+    update_preimage/update_postimage pairs (Delta CDF's exact row
+    vocabulary), and unchanged copied rows are suppressed — the
+    subtlety that makes naive file-diff CDC wrong.
+
+    Scale shape: the log replay is driver-side METADATA (KBs); each
+    commit's diff reads ONLY the files that commit touched — cost
+    proportional to the rewritten data, never the table — and the
+    pre/post comparison is one equi-join per commit on the table key,
+    co-partitioned by construction. Revenue aggregates in integer
+    cents (the fixture-wide discipline); the doubled postimage price
+    is exact (×2 is a power-of-two float op), so the oracle's
+    predicate restatement is bit-identical.
+    """
+    root = _build_cdf_table(spark, sf_dir)
+    from_version = 1
+    cmp_cols = ["o_totalprice", "o_orderstatus", "o_orderpriority"]
+    tagged: list[DataFrame] = []
+    for path in sorted(_glob.glob(os.path.join(root, "_log", "*.json"))):
+        version = int(os.path.basename(path).split(".")[0])
+        if version <= from_version:
+            continue
+        removed, added = [], []
+        with open(path) as fh:
+            for line in fh:
+                act = json.loads(line)
+                if "remove" in act:
+                    removed.append(os.path.join(root, act["remove"]))
+                if "add" in act:
+                    added.append(os.path.join(root, act["add"]))
+        pre = spark.read.parquet(*removed) if removed else None
+        post = spark.read.parquet(*added) if added else None
+
+        def img(df: DataFrame, kind: str, v: int = version) -> DataFrame:
+            return df.select(
+                F.lit(v).alias("version"),
+                F.lit(kind).alias("change_type"),
+                F.col("o_totalprice").alias("p"),
+            )
+
+        if pre is None and post is not None:
+            tagged.append(img(post, "insert"))
+            continue
+        if post is None and pre is not None:
+            tagged.append(img(pre, "delete"))
+            continue
+        if pre is None or post is None:
+            continue
+        keys_post = post.select("o_orderkey")
+        keys_pre = pre.select("o_orderkey")
+        tagged.append(
+            img(pre.join(keys_post, "o_orderkey", "left_anti"), "delete")
+        )
+        tagged.append(
+            img(post.join(keys_pre, "o_orderkey", "left_anti"), "insert")
+        )
+        changed = pre.alias("a").join(
+            post.alias("b"), "o_orderkey"
+        ).filter(
+            " OR ".join(f"NOT (a.{c} <=> b.{c})" for c in cmp_cols)
+        )
+        tagged.append(
+            changed.select(
+                F.lit(version).alias("version"),
+                F.lit("update_preimage").alias("change_type"),
+                F.col("a.o_totalprice").alias("p"),
+            )
+        )
+        tagged.append(
+            changed.select(
+                F.lit(version).alias("version"),
+                F.lit("update_postimage").alias("change_type"),
+                F.col("b.o_totalprice").alias("p"),
+            )
+        )
+    out = tagged[0]
+    for t in tagged[1:]:
+        out = out.unionAll(t)
+    return (
+        out.groupBy("version", "change_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            (
+                F.sum(
+                    F.floor(F.col("p") * 100 + F.lit(0.5)).cast("bigint")
+                ).cast("double")
+                / F.lit(100.0)
+            ).alias("revenue"),
+        )
+        .orderBy("version", "change_type")
+    )

@@ -94,3 +94,24 @@ def test_degree_assortativity_bounds(spark, sf_dir):
     assert -1.0 <= r.assortativity <= 1.0, r
     assert r.n_edges % 2 == 0 and r.n_edges > 0
     assert r.avg_end_degree >= 2.0 * r.n_edges / max(r.n_nodes, 1) - 1e-9
+
+
+def test_kcore_peeling_is_monotone_and_fixpoint_valid(spark, sf_dir):
+    """Peeling invariants: surviving node/edge counts are monotone
+    non-increasing; if two consecutive rounds agree the cascade has
+    converged and later rounds must not move; a survivor set at a
+    fixpoint genuinely IS a 3-core (2·edges ≥ 3·nodes is the degree
+    lower bound a valid core must satisfy when nonempty)."""
+    rows = REGISTRY["graph_kcore"].fn(spark, sf_dir).collect()
+    assert [r.round for r in rows] == [1, 2, 3, 4, 5]
+    nodes = [r.nodes_alive for r in rows]
+    edges = [r.edges_alive for r in rows]
+    assert all(a >= b for a, b in zip(nodes, nodes[1:]))
+    assert all(a >= b for a, b in zip(edges, edges[1:]))
+    for i in range(1, 5):
+        if nodes[i] == nodes[i - 1] and edges[i] == edges[i - 1]:
+            assert nodes[i:] == [nodes[i]] * (5 - i)
+            assert edges[i:] == [edges[i]] * (5 - i)
+            if nodes[i] > 0:
+                assert 2 * edges[i] >= 3 * nodes[i]
+            break

@@ -233,3 +233,30 @@ def test_autocorr_is_bounded_and_pairs_shrink(spark, sf_dir):
     assert all(-1.0001 <= r.acf <= 1.0001 for r in rows)
     pairs = [r.n_pairs for r in rows]
     assert all(a > b for a, b in zip(pairs, pairs[1:]))
+
+
+def test_changefeed_update_pairs_and_copy_suppression(spark, sf_dir):
+    """CDF invariants: update pre/post images pair 1:1 with postimage
+    revenue exactly doubled (the planted ×2 rewrite); the v2 delete
+    count equals the urgent %4==1 population; copied-unchanged rows
+    emit NOTHING (no insert rows at all — naive file diff would emit
+    every rewritten row)."""
+    from cdc_pubsub_spark.registry import REGISTRY
+    from cdc_pubsub_spark.tables import load
+
+    rows = REGISTRY["scan_txn_log_changefeed"].fn(spark, sf_dir).collect()
+    by = {(r.version, r.change_type): r for r in rows}
+    assert set(by) == {
+        (2, "delete"),
+        (3, "update_preimage"),
+        (3, "update_postimage"),
+    }, sorted(by)
+    pre, post = by[(3, "update_preimage")], by[(3, "update_postimage")]
+    assert pre.n_rows == post.n_rows > 0
+    assert abs(post.revenue - 2 * pre.revenue) < 0.02 * pre.n_rows
+    n_urgent = (
+        load(spark, sf_dir, "orders")
+        .filter("o_orderkey % 4 = 1 AND o_orderpriority = '1-URGENT'")
+        .count()
+    )
+    assert by[(2, "delete")].n_rows == n_urgent

@@ -847,3 +847,36 @@ def test_collocations_pmi_marginal_consistency(spark, sf_dir):
         assert r.c12 <= min(r.c1, r.c2)
         assert r.lift > 0
         assert abs(r.pmi - math.log(r.lift)) < 2e-3, r
+
+
+def test_calibration_matches_planted_generator(spark, sf_dir):
+    """The score IS the generator, so every decile's observed rate must
+    track its mean predicted probability within sampling noise and the
+    overall ECE must sit at the noise floor — a miscalibrated result
+    means one engine's binning or rate arithmetic is wrong."""
+    from cdc_pubsub_spark.registry import REGISTRY
+
+    rows = REGISTRY["ml_calibration_bins"].fn(spark, sf_dir).collect()
+    assert 5 <= len(rows) <= 9
+    for r in rows:
+        # 4-sigma binomial noise bound for the bin's sample size
+        sigma = (r.mean_pred * (1 - r.mean_pred) / r.n_rows) ** 0.5
+        assert abs(r.obs_rate - r.mean_pred) <= 4 * sigma + 1e-4, r
+    ece = rows[0].ece
+    assert all(r.ece == ece for r in rows)
+    assert ece <= 0.03, ece
+
+
+def test_ngram_novelty_bounds_and_split_consistency(spark, sf_dir):
+    """Novel types are a subset of val types; the rate matches the
+    counts; the split populations agree with corpus_train_val_split
+    (the one-place-threshold rule made observable)."""
+    from cdc_pubsub_spark.registry import REGISTRY
+
+    r = REGISTRY["text_ngram_novelty"].fn(spark, sf_dir).collect()[0]
+    assert 0 <= r.n_novel_types <= r.n_val_types
+    assert r.n_train_types > 0 and r.n_val_types > 0
+    expect = (
+        math.floor(r.n_novel_types / r.n_val_types * 10000 + 0.5) / 10000
+    )
+    assert r.novelty_rate == expect
