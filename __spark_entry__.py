@@ -178,6 +178,10 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     "ml_calibration_bins",
     "graph_kcore",
     "text_ngram_novelty",
+    "ml_linreg_inference",
+    "ts_cross_correlation",
+    "graph_reciprocity",
+    "multimodal_decode_gif",
 }
 
 

@@ -1732,3 +1732,146 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# Diagonal cofactors of XᵀX over the (1, q, dd) basis — C_jj = cof_j /
+# detA is the j-th diagonal of (XᵀX)⁻¹, the only part of the inverse
+# OLS inference needs. Fixed parse-tree order over one-time int→double
+# casts (the _det3 discipline).
+_LR_COF = {
+    "cof0": (
+        "CAST(sqq AS DOUBLE) * CAST(sdd AS DOUBLE)"
+        " - CAST(sqd AS DOUBLE) * CAST(sqd AS DOUBLE)"
+    ),
+    "cof1": (
+        "CAST(n AS DOUBLE) * CAST(sdd AS DOUBLE)"
+        " - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE)"
+    ),
+    "cof2": (
+        "CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)"
+        " - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)"
+    ),
+}
+
+
+def _linreg_inference_oracle_sql() -> str:
+    feat = "\n      UNION ALL\n      ".join(
+        f"SELECT '{name}' AS feature, w{j} AS beta,"
+        f" sqrt(s2 * (({_LR_COF[f'cof{j}']}) / ({_LR_W['detA']}))) AS se"
+        f" FROM stats"
+        for j, name in ((0, "intercept"), (1, "quantity"), (2, "discount"))
+    )
+    return f"""
+    WITH rows_in AS MATERIALIZED ({_LR_ROWS_SQL}),
+    mom AS MATERIALIZED ({_LR_MOMS}),
+    wts AS MATERIALIZED (
+      SELECT mom.*,
+             ({_LR_W["det0"]}) / ({_LR_W["detA"]}) AS w0,
+             ({_LR_W["det1"]}) / ({_LR_W["detA"]}) AS w1,
+             ({_LR_W["det2"]}) / ({_LR_W["detA"]}) AS w2
+      FROM mom
+    ),
+    resid AS MATERIALIZED (
+      SELECT CAST(sum(rc * rc) AS BIGINT) AS sse_cents2
+      FROM (
+        SELECT CAST(floor(CAST(r.y AS DOUBLE)
+                 - (w.w0 + w.w1 * CAST(r.q AS DOUBLE)
+                    + w.w2 * CAST(r.dd AS DOUBLE)) + 0.5)
+               AS BIGINT) AS rc
+        FROM rows_in r CROSS JOIN wts w
+      ) t
+    ),
+    stats AS MATERIALIZED (
+      SELECT w.*,
+             CAST(r.sse_cents2 AS DOUBLE) / CAST(w.n - 3 AS DOUBLE) AS s2
+      FROM wts w CROSS JOIN resid r
+    )
+    SELECT feature,
+           floor(beta * 10000 + 0.5) / 10000 AS beta_cents,
+           floor(se * 10000 + 0.5) / 10000 AS se_cents,
+           floor(beta / se * 100 + 0.5) / 100 AS t_stat
+    FROM ({feat}) f
+    ORDER BY feature
+    """
+
+
+@register(
+    "ml_linreg_inference",
+    category="similarity",
+    oracle=_linreg_inference_oracle_sql(),
+)
+def ml_linreg_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS INFERENCE on the normal-equation fit: standard errors and
+    t-statistics per coefficient via the diagonal of (XᵀX)⁻¹ — the
+    part of a regression a decision actually reads (is the discount
+    effect DISTINGUISHABLE from noise, not just what is its point
+    estimate). se_j = √(s²·C_jj) with s² = SSE/(n−p) and C_jj the
+    cofactor-over-determinant diagonal of the inverse moment matrix —
+    no matrix library, just three more pinned-order projections over
+    the SAME single moment aggregate ml_linreg_normal_eq computes.
+
+    Determinism: moments and the cents-quantized residual SSE are
+    exact BIGINTs; cofactors/determinant expand in fixed parse-tree
+    order over one-time casts; sqrt and the final divisions are
+    IEEE-correctly-rounded single ops (r4/r2-floored). The invariant
+    test asserts the planted coefficients are recovered at huge t
+    (signal) while the t-ladder ranks quantity above discount above
+    noise-floor — certifying the ERROR BARS, not just the point fit.
+    Scale: identical to the fit — two scans, nine BIGINTs then one
+    BIGINT per partition over the wire; inference is free at 100 TB
+    once the fit's aggregate exists.
+    """
+    li = load(spark, sf_dir, "lineitem").selectExpr(
+        "l_quantity AS q",
+        "CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS dd",
+        "50000 + 300 * l_quantity"
+        " + 1200 * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)"
+        " + (l_orderkey * 2654435761 + l_linenumber * 40503) % 2001"
+        " - 1000 AS y",
+    )
+    mom = li.groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("q").cast("bigint").alias("sq"),
+        F.sum("dd").cast("bigint").alias("sd"),
+        F.sum(F.expr("q * q")).cast("bigint").alias("sqq"),
+        F.sum(F.expr("q * dd")).cast("bigint").alias("sqd"),
+        F.sum(F.expr("dd * dd")).cast("bigint").alias("sdd"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.expr("q * y")).cast("bigint").alias("sqy"),
+        F.sum(F.expr("dd * y")).cast("bigint").alias("sdy"),
+    )
+    wts = mom.selectExpr(
+        "*",
+        f'({_LR_W["det0"]}) / ({_LR_W["detA"]}) AS w0',
+        f'({_LR_W["det1"]}) / ({_LR_W["detA"]}) AS w1',
+        f'({_LR_W["det2"]}) / ({_LR_W["detA"]}) AS w2',
+    )
+    resid = (
+        li.crossJoin(F.broadcast(wts.select("w0", "w1", "w2")))
+        .selectExpr(
+            "CAST(floor(CAST(y AS DOUBLE)"
+            " - (w0 + w1 * CAST(q AS DOUBLE) + w2 * CAST(dd AS DOUBLE))"
+            " + 0.5) AS BIGINT) AS rc"
+        )
+        .groupBy()
+        .agg(F.sum(F.expr("rc * rc")).cast("bigint").alias("sse_cents2"))
+    )
+    stats = wts.crossJoin(F.broadcast(resid)).selectExpr(
+        "*",
+        "CAST(sse_cents2 AS DOUBLE) / CAST(n - 3 AS DOUBLE) AS s2",
+    )
+    feats = None
+    for j, name in ((0, "intercept"), (1, "quantity"), (2, "discount")):
+        f = stats.selectExpr(
+            f"'{name}' AS feature",
+            f"w{j} AS beta",
+            f"sqrt(s2 * (({_LR_COF[f'cof{j}']}) / ({_LR_W['detA']})))"
+            " AS se",
+        )
+        feats = f if feats is None else feats.unionAll(f)
+    return feats.selectExpr(
+        "feature",
+        "floor(beta * 10000 + 0.5) / 10000 AS beta_cents",
+        "floor(se * 10000 + 0.5) / 10000 AS se_cents",
+        "floor(beta / se * 100 + 0.5) / 100 AS t_stat",
+    ).orderBy("feature")

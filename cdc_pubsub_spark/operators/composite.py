@@ -3636,3 +3636,120 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag")
     )
+
+
+@register(
+    "ts_cross_correlation",
+    category="composite",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+             AS BIGINT) AS day_idx,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy
+      FROM daily
+    ),
+    dev AS (
+      SELECT d.day_idx, t.n * d.x - t.sx AS dx, t.n * d.y - t.sy AS dy
+      FROM daily d CROSS JOIN tot t
+    ),
+    den AS (
+      SELECT CAST(sum(dx * dx) AS BIGINT) AS sxx,
+             CAST(sum(dy * dy) AS BIGINT) AS syy
+      FROM dev
+    ),
+    lags AS (SELECT unnest(range(-3, 4)) AS lag),
+    num AS (
+      SELECT l.lag,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(a.dx * b.dy) AS BIGINT) AS num
+      FROM lags l
+      JOIN dev a ON TRUE
+      JOIN dev b ON b.day_idx = a.day_idx + l.lag
+      GROUP BY l.lag
+    )
+    SELECT n.lag, n.n_pairs,
+           floor(CAST(n.num AS DOUBLE)
+                 / sqrt(CAST(d.sxx AS DOUBLE) * CAST(d.syy AS DOUBLE))
+                 * 10000 + 0.5) / 10000 AS ccf
+    FROM num n CROSS JOIN den d
+    ORDER BY n.lag
+    """,
+)
+def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation function between the daily click and purchase
+    series at lags −3..+3 — the lead-lag diagnostic behind attribution
+    and forecasting-with-covariates (a peak at positive lag means
+    clicks LEAD purchases by that many days; ts_autocorr is the
+    self-paired special case). CCF(k) = Σ dx_t·dy_{t+k} / √(Σdx²·Σdy²)
+    with full-series normalization (the Box-Jenkins convention, values
+    comparable across lags and series).
+
+    Exactness device shared with ts_autocorr: both series' deviations
+    scale by n before squaring (dx = n·x − Σx, exact BIGINT; the n²
+    cancels in the ratio), so numerator and both denominator terms are
+    order-free integer sums and the only float ops are one sqrt of a
+    pinned product and the final r4 division. Both day columns come
+    from ONE events scan (conditional aggregates over the same
+    calendar grid — days where either type is absent contribute
+    genuine zeros, no gap asymmetry between the series). Scale: the
+    scan collapses map-side to the calendar-sized daily relation;
+    pairing is the same 7-row broadcast lag-spine equi-join.
+    """
+    events = load(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").alias(
+            "day_idx"
+        )
+    ).agg(
+        F.sum(F.expr("CASE WHEN event_type = 'click' THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(
+            F.expr("CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END")
+        )
+        .cast("bigint")
+        .alias("y"),
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+    )
+    dev = daily.crossJoin(F.broadcast(tot)).selectExpr(
+        "day_idx", "n * x - sx AS dx", "n * y - sy AS dy"
+    )
+    den = dev.agg(
+        F.sum(F.expr("dx * dx")).cast("bigint").alias("sxx"),
+        F.sum(F.expr("dy * dy")).cast("bigint").alias("syy"),
+    )
+    spine = spark.range(-3, 4).selectExpr("id AS lag")
+    num = (
+        dev.crossJoin(F.broadcast(spine))
+        .selectExpr("day_idx + lag AS tgt", "lag", "dx AS dxa")
+        .join(dev.selectExpr("day_idx AS tgt", "dy AS dyb"), "tgt")
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(F.expr("dxa * dyb")).cast("bigint").alias("num"),
+        )
+    )
+    return (
+        num.crossJoin(F.broadcast(den))
+        .selectExpr(
+            "lag",
+            "n_pairs",
+            "floor(CAST(num AS DOUBLE)"
+            " / sqrt(CAST(sxx AS DOUBLE) * CAST(syy AS DOUBLE))"
+            " * 10000 + 0.5) / 10000 AS ccf",
+        )
+        .orderBy("lag")
+    )

@@ -1188,3 +1188,67 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         stats, "round int, nodes_alive bigint, edges_alive bigint"
     ).orderBy("round")
+
+
+@register(
+    "graph_reciprocity",
+    category="graph",
+    oracle=f"""
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    {_EDGE_SQL.strip()},
+    e AS (SELECT DISTINCT src, dst FROM edges),
+    rec AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_recip
+      FROM e a
+      WHERE EXISTS (
+        SELECT 1 FROM e b WHERE b.src = a.dst AND b.dst = a.src
+      )
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+    SELECT t.n_edges,
+           r.n_recip AS n_reciprocal_edges,
+           r.n_recip // 2 AS n_mutual_dyads,
+           floor(CAST(r.n_recip AS DOUBLE) / CAST(t.n_edges AS DOUBLE)
+                 * 10000 + 0.5) / 10000 AS reciprocity
+    FROM tot t CROSS JOIN rec r
+    """,
+)
+def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocity of the directed interaction graph: the fraction of
+    (distinct) edges whose reverse edge also exists — the standard
+    one-number digraph symmetry diagnostic (mutual follows vs
+    broadcast follows; a spam graph is near 0, a friendship graph
+    near 1). Computed on the SIMPLE edge set (duplicates collapsed —
+    reciprocity is a dyad property, not a multiplicity one), no self
+    loops exist in this graph by construction (6u ≡ −3 and 12u ≡ −11
+    have no solutions mod 1000).
+
+    Shape: one distinct (the word-count shuffle on the edge pair), one
+    self-SEMI-join on the swapped key pair — Catalyst turns the EXISTS
+    into a left-semi hash join on (dst, src), co-partitioned with the
+    (src, dst) relation's own shuffle — and two scalar counts. Exact
+    integers until the final r4 division. At 100 TB the semi-join
+    shuffles the edge relation once on the swapped composite key; no
+    window, no driver loop.
+    """
+    users = load(spark, sf_dir, "events").select("user_id").distinct()
+    edges = users.selectExpr(
+        "user_id AS src", "(user_id * 7 + 3) % 1000 AS dst"
+    ).unionAll(
+        users.selectExpr(
+            "user_id AS src", "(user_id * 13 + 11) % 1000 AS dst"
+        )
+    )
+    e = edges.distinct()
+    rev = e.selectExpr("dst AS src", "src AS dst")
+    rec = e.join(rev, ["src", "dst"], "left_semi").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_recip")
+    )
+    tot = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return tot.crossJoin(F.broadcast(rec)).selectExpr(
+        "n_edges",
+        "n_recip AS n_reciprocal_edges",
+        "n_recip div 2 AS n_mutual_dyads",
+        "floor(CAST(n_recip AS DOUBLE) / CAST(n_edges AS DOUBLE)"
+        " * 10000 + 0.5) / 10000 AS reciprocity",
+    )

@@ -115,3 +115,15 @@ def test_kcore_peeling_is_monotone_and_fixpoint_valid(spark, sf_dir):
             if nodes[i] > 0:
                 assert 2 * edges[i] >= 3 * nodes[i]
             break
+
+
+def test_reciprocity_bounds_and_dyad_pairing(spark, sf_dir):
+    """Reciprocal edges come in pairs (even count, dyads = half), the
+    rate is a fraction of the distinct edge set, and the affine edge
+    maps guarantee a nonempty graph."""
+    r = REGISTRY["graph_reciprocity"].fn(spark, sf_dir).collect()[0]
+    assert r.n_edges > 0
+    assert 0 <= r.n_reciprocal_edges <= r.n_edges
+    assert r.n_reciprocal_edges % 2 == 0
+    assert r.n_mutual_dyads * 2 == r.n_reciprocal_edges
+    assert 0.0 <= r.reciprocity <= 1.0

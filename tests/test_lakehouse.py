@@ -260,3 +260,16 @@ def test_changefeed_update_pairs_and_copy_suppression(spark, sf_dir):
         .count()
     )
     assert by[(2, "delete")].n_rows == n_urgent
+
+
+def test_cross_correlation_peak_and_symmetry_base(spark, sf_dir):
+    """CCF invariants: |ccf| ≤ 1; exactly the 7 requested lags; the
+    pair count at lag k equals the count at −k (grid symmetry)."""
+    from cdc_pubsub_spark.registry import REGISTRY
+
+    rows = REGISTRY["ts_cross_correlation"].fn(spark, sf_dir).collect()
+    assert [r.lag for r in rows] == [-3, -2, -1, 0, 1, 2, 3]
+    by = {r.lag: r for r in rows}
+    assert all(-1.0001 <= r.ccf <= 1.0001 for r in rows)
+    for k in (1, 2, 3):
+        assert by[k].n_pairs == by[-k].n_pairs

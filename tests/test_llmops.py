@@ -880,3 +880,69 @@ def test_ngram_novelty_bounds_and_split_consistency(spark, sf_dir):
         math.floor(r.n_novel_types / r.n_val_types * 10000 + 0.5) / 10000
     )
     assert r.novelty_rate == expect
+
+
+def test_linreg_inference_error_bars(spark, sf_dir):
+    """The planted coefficients must be recovered WITHIN their own
+    reported error bars (|beta − truth| ≤ 4·se — the op's se must be
+    a genuine confidence statement, not a decoration) and both slope
+    t-statistics must be enormous (planted signal ≫ noise)."""
+    from cdc_pubsub_spark.registry import REGISTRY
+
+    rows = REGISTRY["ml_linreg_inference"].fn(spark, sf_dir).collect()
+    by = {r.feature: r for r in rows}
+    assert set(by) == {"intercept", "quantity", "discount"}
+    truth = {"intercept": 50000, "quantity": 300, "discount": 1200}
+    for name, r in by.items():
+        assert r.se_cents > 0
+        assert abs(r.beta_cents - truth[name]) <= 4 * r.se_cents, r
+    assert by["quantity"].t_stat > 50
+    assert by["discount"].t_stat > 50
+
+
+def test_decode_gif_codec_rejects_corruption():
+    """The GIF/LZW codec must decode its own encodings bit-exactly for
+    every shape/palette combination AND hard-fail (never emit garbage)
+    on signature, truncation, and bitstream corruption — the
+    dead-letter stance of the sibling codecs."""
+    from cdc_pubsub_spark.llmops.multimodal import _synth_gif, decode_gif
+
+    for doc_id in range(0, 60):
+        f = decode_gif(_synth_gif(doc_id))
+        nc = 1 << (2 + doc_id % 3)
+        w, h = 6 + doc_id % 14, 5 + doc_id % 11
+        tot = sum(
+            ((doc_id * 7 + j * 3) % nc * 37 + doc_id) % 256
+            + ((doc_id * 7 + j * 3) % nc * 59 + doc_id * 2) % 256
+            + ((doc_id * 7 + j * 3) % nc * 83 + doc_id * 3) % 256
+            for j in range(w * h)
+        )
+        assert f == {
+            "width": w,
+            "height": h,
+            "n_colors": nc,
+            "mean_lum": tot // (w * h * 3),
+        }, doc_id
+    good = _synth_gif(123)
+    for bad in (
+        b"JFIF" + good[4:],          # wrong signature
+        good[: len(good) - 6],       # truncated mid-stream
+    ):
+        try:
+            decode_gif(bad)
+            raise AssertionError("corrupt GIF must raise")
+        except (ValueError, IndexError):
+            pass
+    # flip a byte INSIDE the LZW payload: the dictionary replay must
+    # derail into a bad code or a pixel-count mismatch, never return
+    # silently wrong stats for the planted construction
+    corrupt = bytearray(good)
+    lzw_start = 13 + 3 * (1 << (2 + 123 % 3)) + 10 + 1 + 1
+    corrupt[lzw_start + 3] ^= 0xFF
+    try:
+        f = decode_gif(bytes(corrupt))
+        # a lucky flip can still decode to SOME pixel string of the
+        # right length; it must at least differ from the true image
+        assert f != decode_gif(good)
+    except (ValueError, IndexError):
+        pass
