@@ -182,6 +182,11 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     "ts_cross_correlation",
     "graph_reciprocity",
     "multimodal_decode_gif",
+    "ml_pr_auc",
+    "events_entropy_rate",
+    "orders_price_index",
+    "text_js_divergence",
+    "scan_csv_permissive_recovery",
 }
 
 

@@ -1875,3 +1875,103 @@ def ml_linreg_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
         "floor(se * 10000 + 0.5) / 10000 AS se_cents",
         "floor(beta / se * 100 + 0.5) / 100 AS t_stat",
     ).orderBy("feature")
+
+
+@register(
+    "ml_pr_auc",
+    category="similarity",
+    oracle=f"""
+    WITH rows_in AS ({_ROC_ROWS_SQL}),
+    bins AS (
+      SELECT s,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(label) AS BIGINT) AS pos
+      FROM rows_in GROUP BY s
+    ),
+    cum AS (
+      SELECT s, n, pos,
+             CAST(sum(pos) OVER (ORDER BY s DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_pos,
+             CAST(sum(n) OVER (ORDER BY s DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_n
+      FROM bins
+    ),
+    tot AS (
+      SELECT CAST(sum(pos) AS BIGINT) AS p_total,
+             CAST(sum(n) AS BIGINT) AS n_total
+      FROM bins
+    ),
+    terms AS (
+      SELECT CAST(floor(CAST(c.pos AS DOUBLE) / CAST(t.p_total AS DOUBLE)
+                        * (CAST(c.cum_pos AS DOUBLE)
+                           / CAST(c.cum_n AS DOUBLE))
+                        * 1000000 + 0.5) AS BIGINT) AS ap_micro
+      FROM cum c CROSS JOIN tot t
+    )
+    SELECT t.p_total AS n_pos,
+           t.n_total - t.p_total AS n_neg,
+           floor(CAST((SELECT sum(ap_micro) FROM terms) AS DOUBLE)
+                 / 1000000 * 10000 + 0.5) / 10000 AS avg_precision,
+           floor(CAST(t.p_total AS DOUBLE) / CAST(t.n_total AS DOUBLE)
+                 * 10000 + 0.5) / 10000 AS prevalence
+    FROM tot t
+    """,
+)
+def ml_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (area under the precision-recall curve, step
+    interpolation) of the planted score — the imbalance-robust twin of
+    ml_roc_auc: ROC AUC barely moves when positives are rare, AP
+    collapses toward prevalence, which is why retrieval and filtering
+    models report both. Binned identity: with ties grouped per score
+    bin, AP = Σ_bins ΔR_k·P_k where P_k, R_k are precision/recall at
+    each bin boundary walking scores DESCENDING.
+
+    Determinism: the one groupBy(score) pass yields exact BIGINT
+    pos/n per bin; cumulative sums run over the bounded (≤50-row)
+    score-domain relation; each bin's ΔR·P term quantizes to micro
+    units BEFORE the cross-bin fold (the modularity q_micro device),
+    so the sum is order-free and the output is DEFINED as the
+    quantized fold on both engines. Prevalence rides along as the
+    random-classifier baseline AP. Scale: identical to ml_roc_auc —
+    one scan, bin-domain-bounded everything after.
+    """
+    li = load(spark, sf_dir, "lineitem").selectExpr(
+        "CAST(l_quantity AS BIGINT) AS s",
+        "CASE WHEN (l_orderkey * 2654435761 + l_linenumber * 40503)"
+        " % 1000 < 150 + 14 * CAST(l_quantity AS BIGINT)"
+        " THEN 1 ELSE 0 END AS label",
+    )
+    bins = li.groupBy("s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("label").cast("bigint").alias("pos"),
+    )
+    w = Window.orderBy(F.desc("s")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = bins.select(
+        "pos",
+        F.sum("pos").over(w).cast("bigint").alias("cum_pos"),
+        F.sum("n").over(w).cast("bigint").alias("cum_n"),
+    )
+    tot = bins.groupBy().agg(
+        F.sum("pos").cast("bigint").alias("p_total"),
+        F.sum("n").cast("bigint").alias("n_total"),
+    )
+    terms = cum.crossJoin(F.broadcast(tot)).selectExpr(
+        "CAST(floor(CAST(pos AS DOUBLE) / CAST(p_total AS DOUBLE)"
+        " * (CAST(cum_pos AS DOUBLE) / CAST(cum_n AS DOUBLE))"
+        " * 1000000 + 0.5) AS BIGINT) AS ap_micro"
+    )
+    ap = terms.groupBy().agg(
+        F.sum("ap_micro").cast("bigint").alias("ap_sum")
+    )
+    return tot.crossJoin(F.broadcast(ap)).selectExpr(
+        "p_total AS n_pos",
+        "n_total - p_total AS n_neg",
+        "floor(CAST(ap_sum AS DOUBLE) / 1000000 * 10000 + 0.5) / 10000"
+        " AS avg_precision",
+        "floor(CAST(p_total AS DOUBLE) / CAST(n_total AS DOUBLE)"
+        " * 10000 + 0.5) / 10000 AS prevalence",
+    )

@@ -1720,3 +1720,114 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         " / CAST(n_val_types AS DOUBLE) * 10000 + 0.5) / 10000"
         " AS novelty_rate",
     )
+
+
+_JSD_TERM = (
+    "(CASE WHEN a > 0 THEN CAST(0.5 AS DOUBLE)"
+    " * (CAST(a AS DOUBLE) / CAST(ta AS DOUBLE))"
+    " * ln(CAST(2 AS DOUBLE) * (CAST(a AS DOUBLE) / CAST(ta AS DOUBLE))"
+    " / (CAST(a AS DOUBLE) / CAST(ta AS DOUBLE)"
+    " + CAST(b AS DOUBLE) / CAST(tb AS DOUBLE))) ELSE CAST(0 AS DOUBLE)"
+    " END"
+    " + CASE WHEN b > 0 THEN CAST(0.5 AS DOUBLE)"
+    " * (CAST(b AS DOUBLE) / CAST(tb AS DOUBLE))"
+    " * ln(CAST(2 AS DOUBLE) * (CAST(b AS DOUBLE) / CAST(tb AS DOUBLE))"
+    " / (CAST(a AS DOUBLE) / CAST(ta AS DOUBLE)"
+    " + CAST(b AS DOUBLE) / CAST(tb AS DOUBLE))) ELSE CAST(0 AS DOUBLE)"
+    " END)"
+)
+
+
+@register(
+    "text_js_divergence",
+    category="text",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang, unnest(string_split(trim(text), ' ')) AS token
+      FROM documents WHERE lang IN ('en', 'de')
+    ),
+    cnt AS (
+      SELECT token,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS a,
+             CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT)
+               AS b
+      FROM toks GROUP BY token
+    ),
+    tot AS (
+      SELECT CAST(sum(a) AS BIGINT) AS ta, CAST(sum(b) AS BIGINT) AS tb,
+             CAST(count(*) AS BIGINT) AS vocab_union
+      FROM cnt
+    ),
+    terms AS (
+      SELECT CAST(floor({_JSD_TERM} * 1000000000 + 0.5) AS BIGINT)
+               AS j_nano
+      FROM cnt CROSS JOIN tot
+    )
+    SELECT t.ta AS n_tokens_en, t.tb AS n_tokens_de, t.vocab_union,
+           floor(CAST((SELECT sum(j_nano) FROM terms) AS DOUBLE)
+                 / 1000000000 * 10000 + 0.5) / 10000 AS jsd_nats,
+           floor(CAST((SELECT sum(j_nano) FROM terms) AS DOUBLE)
+                 / 1000000000 / ln(CAST(2 AS DOUBLE))
+                 * 10000 + 0.5) / 10000 AS jsd_bits
+    FROM tot t
+    """,
+)
+def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between the English and German
+    corpora's unigram distributions — the symmetric, bounded (≤ ln 2
+    nats = 1 bit) distribution distance corpus pipelines use to
+    quantify domain shift between sources/snapshots (KL is infinite on
+    any unshared token; JS's mixture midpoint makes disjoint support
+    finite, which is exactly the cross-language regime here).
+
+    Shape: ONE conditional aggregate builds both distributions side by
+    side on the token key (word-count shuffle, vocabulary-sized — no
+    full-outer join needed), totals broadcast back, and each token's
+    JS term quantizes to nano units before the fold (order-free
+    integer sum; ln args are guarded by the same CASE on both engines
+    and are strictly positive inside their branch since the mixture
+    m > 0 whenever either count is). The invariant test pins the
+    [0, ln 2] bound and strict positivity (the synthetic corpus draws
+    all languages from one shared vocabulary, so the divergence is
+    small-but-real mixture shift, not alphabet disjointness).
+    100 TB: still one scan + one vocab-sized shuffle.
+    """
+    toks = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("lang").isin("en", "de"))
+        .select(
+            "lang", F.explode(F.split(F.trim("text"), " ")).alias("token")
+        )
+    )
+    cnt = toks.groupBy("token").agg(
+        F.sum(F.expr("CASE WHEN lang = 'en' THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("a"),
+        F.sum(F.expr("CASE WHEN lang = 'de' THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("b"),
+    )
+    tot = cnt.groupBy().agg(
+        F.sum("a").cast("bigint").alias("ta"),
+        F.sum("b").cast("bigint").alias("tb"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab_union"),
+    )
+    terms = (
+        cnt.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            f"CAST(floor({_JSD_TERM} * 1000000000 + 0.5) AS BIGINT)"
+            " AS j_nano"
+        )
+        .groupBy()
+        .agg(F.sum("j_nano").cast("bigint").alias("j_sum"))
+    )
+    return tot.crossJoin(F.broadcast(terms)).selectExpr(
+        "ta AS n_tokens_en",
+        "tb AS n_tokens_de",
+        "vocab_union",
+        "floor(CAST(j_sum AS DOUBLE) / 1000000000 * 10000 + 0.5)"
+        " / 10000 AS jsd_nats",
+        "floor(CAST(j_sum AS DOUBLE) / 1000000000"
+        " / ln(CAST(2 AS DOUBLE)) * 10000 + 0.5) / 10000 AS jsd_bits",
+    )

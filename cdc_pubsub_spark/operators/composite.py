@@ -3753,3 +3753,220 @@ def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag")
     )
+
+
+@register(
+    "events_entropy_rate",
+    category="composite",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev
+      FROM events
+    ),
+    trans AS (
+      SELECT prev, event_type AS cur, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE prev IS NOT NULL GROUP BY prev, cur
+    ),
+    outdeg AS (
+      SELECT prev, CAST(sum(n) AS BIGINT) AS tot FROM trans GROUP BY prev
+    ),
+    total AS (
+      SELECT CAST(sum(n) AS BIGINT) AS t,
+             CAST(count(DISTINCT prev) AS BIGINT) AS n_states
+      FROM trans
+    ),
+    terms AS (
+      SELECT CAST(floor(CAST(tr.n AS DOUBLE) / CAST(t.t AS DOUBLE)
+                        * ln(CAST(tr.n AS DOUBLE)
+                             / CAST(o.tot AS DOUBLE))
+                        * 1000000000 + 0.5) AS BIGINT) AS h_nano
+      FROM trans tr
+      JOIN outdeg o ON o.prev = tr.prev
+      CROSS JOIN total t
+    )
+    SELECT t.n_states, t.t AS n_transitions,
+           floor(-CAST((SELECT sum(h_nano) FROM terms) AS DOUBLE)
+                 / 1000000000 * 10000 + 0.5) / 10000 AS entropy_nats,
+           floor(exp(-CAST((SELECT sum(h_nano) FROM terms) AS DOUBLE)
+                     / 1000000000) * 100 + 0.5) / 100 AS perplexity
+    FROM total t
+    """,
+)
+def events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the per-user event process under its empirical
+    first-order Markov model: H = −Σ_{s,t} p(s,t)·ln p(t|s), the
+    predictability ceiling of the behavior stream (perplexity e^H =
+    effective branching factor — how many next-events a predictor must
+    genuinely choose between; the scalar events_markov_transition's
+    25-row matrix summarizes to). Dropping toward 1.0 over releases
+    means user flows are becoming deterministic; rising means the
+    product grew new paths.
+
+    Shape: the same lag-window sequence pass as the transition matrix
+    (partitioned by user — no global sort), one (prev,cur) count
+    aggregate, and the entropy fold runs over the |states|²-bounded
+    transition relation with each p·ln p term quantized to nano units
+    before summing (order-free integer fold; ln/exp are single
+    correctly-rounded calls on identical operands). 100 TB of events
+    still reduce to ≤25 term rows. Transitions with n=0 never appear
+    (groupBy omits them), so ln's argument is always positive —
+    the ln(0) engine-divergence gotcha cannot fire.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev")
+    )
+    trans = (
+        seq.filter(F.col("prev").isNotNull())
+        .groupBy("prev", F.col("event_type").alias("cur"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    outdeg = trans.groupBy("prev").agg(
+        F.sum("n").cast("bigint").alias("tot")
+    )
+    total = trans.groupBy().agg(
+        F.sum("n").cast("bigint").alias("t"),
+        F.countDistinct("prev").cast("bigint").alias("n_states"),
+    )
+    terms = (
+        trans.join(F.broadcast(outdeg), "prev")
+        .crossJoin(F.broadcast(total))
+        .selectExpr(
+            "CAST(floor(CAST(n AS DOUBLE) / CAST(t AS DOUBLE)"
+            " * ln(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))"
+            " * 1000000000 + 0.5) AS BIGINT) AS h_nano"
+        )
+        .groupBy()
+        .agg(F.sum("h_nano").cast("bigint").alias("h_sum"))
+    )
+    return total.crossJoin(F.broadcast(terms)).selectExpr(
+        "n_states",
+        "t AS n_transitions",
+        "floor(-CAST(h_sum AS DOUBLE) / 1000000000 * 10000 + 0.5)"
+        " / 10000 AS entropy_nats",
+        "floor(exp(-CAST(h_sum AS DOUBLE) / 1000000000) * 100 + 0.5)"
+        " / 100 AS perplexity",
+    )
+
+
+@register(
+    "orders_price_index",
+    category="composite",
+    oracle="""
+    WITH per AS (
+      SELECT l_partkey,
+             CAST(year(l_shipdate) AS INT) AS yr,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+             CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS ext_cents
+      FROM lineitem
+      WHERE year(l_shipdate) IN (1995, 1996)
+      GROUP BY l_partkey, yr
+    ),
+    common AS (
+      SELECT b.l_partkey,
+             b.qty AS q0, b.ext_cents AS e0,
+             c.qty AS q1, c.ext_cents AS e1
+      FROM per b JOIN per c
+        ON b.l_partkey = c.l_partkey AND b.yr = 1995 AND c.yr = 1996
+    ),
+    sums AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_parts,
+             CAST(sum(e0) AS BIGINT) AS l_den,
+             CAST(sum(CAST(floor(CAST(e1 AS DOUBLE) / CAST(q1 AS DOUBLE)
+                    * CAST(q0 AS DOUBLE) + 0.5) AS BIGINT)) AS BIGINT)
+               AS l_num,
+             CAST(sum(e1) AS BIGINT) AS p_num,
+             CAST(sum(CAST(floor(CAST(e0 AS DOUBLE) / CAST(q0 AS DOUBLE)
+                    * CAST(q1 AS DOUBLE) + 0.5) AS BIGINT)) AS BIGINT)
+               AS p_den
+      FROM common
+    )
+    SELECT n_parts,
+           floor(CAST(l_num AS DOUBLE) / CAST(l_den AS DOUBLE)
+                 * 10000 + 0.5) / 10000 AS laspeyres,
+           floor(CAST(p_num AS DOUBLE) / CAST(p_den AS DOUBLE)
+                 * 10000 + 0.5) / 10000 AS paasche,
+           floor(sqrt((CAST(l_num AS DOUBLE) / CAST(l_den AS DOUBLE))
+                      * (CAST(p_num AS DOUBLE) / CAST(p_den AS DOUBLE)))
+                 * 10000 + 0.5) / 10000 AS fisher
+    FROM sums
+    """,
+)
+def orders_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres / Paasche / Fisher price indices between the 1995 and
+    1996 shipment years — the canonical basket-weighted inflation
+    measure (Laspeyres fixes the base-period basket, Paasche the
+    current one, Fisher is their geometric mean), computed over the
+    parts traded in BOTH periods with unit prices derived from the
+    period's own volume (ext/qty).
+
+    Exactness: per-(part, year) quantities and extended-price cents
+    are exact BIGINT sums; each part's cross-valued basket term
+    (p̂₁·q₀, p̂₀·q₁) is one pinned-order double expression quantized
+    to integer cents BEFORE the cross-part fold — and the two
+    same-period terms need no quantization at all (Σp̂₀q₀ = Σe₀
+    identically). Shape: one filtered scan aggregating map-side to
+    the (part, year) relation, a self-equi-join on partkey (both
+    sides co-partitioned by the groupBy that produced them), one
+    moment fold. At 100 TB: part-domain-sized intermediates, a
+    single shuffle key end to end.
+    """
+    per = (
+        load(spark, sf_dir, "lineitem")
+        .filter("year(l_shipdate) IN (1995, 1996)")
+        .groupBy(
+            "l_partkey", F.expr("CAST(year(l_shipdate) AS INT)").alias("yr")
+        )
+        .agg(
+            F.sum(F.expr("CAST(l_quantity AS BIGINT)"))
+            .cast("bigint")
+            .alias("qty"),
+            F.sum(
+                F.expr(
+                    "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+                )
+            )
+            .cast("bigint")
+            .alias("ext_cents"),
+        )
+    )
+    base = per.filter("yr = 1995").selectExpr(
+        "l_partkey", "qty AS q0", "ext_cents AS e0"
+    )
+    cur = per.filter("yr = 1996").selectExpr(
+        "l_partkey", "qty AS q1", "ext_cents AS e1"
+    )
+    sums = (
+        base.join(cur, "l_partkey")
+        .selectExpr(
+            "e0",
+            "e1",
+            "CAST(floor(CAST(e1 AS DOUBLE) / CAST(q1 AS DOUBLE)"
+            " * CAST(q0 AS DOUBLE) + 0.5) AS BIGINT) AS l_num_c",
+            "CAST(floor(CAST(e0 AS DOUBLE) / CAST(q0 AS DOUBLE)"
+            " * CAST(q1 AS DOUBLE) + 0.5) AS BIGINT) AS p_den_c",
+        )
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum("e0").cast("bigint").alias("l_den"),
+            F.sum("l_num_c").cast("bigint").alias("l_num"),
+            F.sum("e1").cast("bigint").alias("p_num"),
+            F.sum("p_den_c").cast("bigint").alias("p_den"),
+        )
+    )
+    return sums.selectExpr(
+        "n_parts",
+        "floor(CAST(l_num AS DOUBLE) / CAST(l_den AS DOUBLE)"
+        " * 10000 + 0.5) / 10000 AS laspeyres",
+        "floor(CAST(p_num AS DOUBLE) / CAST(p_den AS DOUBLE)"
+        " * 10000 + 0.5) / 10000 AS paasche",
+        "floor(sqrt((CAST(l_num AS DOUBLE) / CAST(l_den AS DOUBLE))"
+        " * (CAST(p_num AS DOUBLE) / CAST(p_den AS DOUBLE)))"
+        " * 10000 + 0.5) / 10000 AS fisher",
+    )

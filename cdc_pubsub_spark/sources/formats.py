@@ -598,3 +598,78 @@ def scan_protobuf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("s_suppkey").alias("max_suppkey"),
         F.round(F.sum("s_acctbal"), 2).alias("total_acctbal"),
     )
+
+
+@register(
+    "scan_csv_permissive_recovery",
+    category="scans",
+    bench=False,
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows_total,
+           CAST(sum(CASE WHEN o_orderkey % 7 = 3 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_corrupt,
+           CAST(sum(CASE WHEN o_orderkey % 7 = 3 THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_good,
+           CAST(sum(CASE WHEN o_orderkey % 7 = 3 THEN 0
+                    ELSE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                    END) AS DOUBLE) / 100.0 AS good_revenue
+    FROM orders WHERE o_orderkey <= 4000
+    """,
+)
+def scan_csv_permissive_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-CSV RECOVERY through PERMISSIVE mode — the error path
+    every real text-format ingest needs (the reference's own framing
+    bug class: publisher.go:182-202 silently drops what it can't
+    frame; a lake ingest must instead land bad rows in a quarantine
+    column and keep a byte-accurate record). Rows whose orderkey ≡ 3
+    (mod 7) carry a non-numeric price field; the reader must (a) not
+    abort, (b) null the typed column, (c) capture the ORIGINAL raw
+    line in columnNameOfCorruptRecord so reprocessing is possible, and
+    (d) leave every well-formed row's value bit-exact.
+
+    The oracle restates good/corrupt populations and the surviving
+    cents total as predicates over orders — so the hash certifies the
+    quarantine split, not just counts. Scale: corrupt-record capture
+    is row-local inside the distributed CSV parse (no extra pass, no
+    driver involvement); the quarantine column prunes away unless
+    selected.
+    """
+    out = work_dir("csv_permissive")
+    src = (
+        load(spark, sf_dir, "orders")
+        .filter("o_orderkey <= 4000")
+        .selectExpr(
+            "CAST(o_orderkey AS STRING) AS k",
+            "CASE WHEN o_orderkey % 7 = 3 THEN 'NOT_A_NUMBER'"
+            " ELSE CAST(o_totalprice AS STRING) END AS p",
+        )
+        .selectExpr("concat(k, ',', p) AS line")
+    )
+    src.coalesce(4).write.mode("overwrite").text(out)
+    back = (
+        spark.read.schema(
+            "o_orderkey BIGINT, o_totalprice DOUBLE, _bad STRING"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .csv(out)
+    )
+    return back.groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows_total"),
+        F.sum(F.expr("CASE WHEN _bad IS NOT NULL THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_corrupt"),
+        F.sum(F.expr("CASE WHEN _bad IS NULL THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_good"),
+        (
+            F.sum(
+                F.expr(
+                    "CASE WHEN _bad IS NULL THEN"
+                    " CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+                    " ELSE CAST(0 AS BIGINT) END"
+                )
+            ).cast("double")
+            / F.lit(100.0)
+        ).alias("good_revenue"),
+    )

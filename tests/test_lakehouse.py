@@ -273,3 +273,57 @@ def test_cross_correlation_peak_and_symmetry_base(spark, sf_dir):
     assert all(-1.0001 <= r.ccf <= 1.0001 for r in rows)
     for k in (1, 2, 3):
         assert by[k].n_pairs == by[-k].n_pairs
+
+
+def test_entropy_rate_bounds(spark, sf_dir):
+    """0 ≤ H ≤ ln(n_states); perplexity = e^H lies in [1, n_states];
+    five event types drawn near-uniformly should sit close to the
+    ceiling."""
+    import math
+
+    from cdc_pubsub_spark.registry import REGISTRY
+
+    r = REGISTRY["events_entropy_rate"].fn(spark, sf_dir).collect()[0]
+    assert r.n_states == 5
+    assert 0.0 <= r.entropy_nats <= math.log(r.n_states) + 1e-4
+    assert 1.0 <= r.perplexity <= r.n_states + 0.01
+    assert abs(r.perplexity - math.exp(r.entropy_nats)) < 0.02
+    assert r.entropy_nats > 0.8 * math.log(r.n_states)
+
+
+def test_price_index_fisher_between_l_and_p(spark, sf_dir):
+    """Fisher is the geometric mean of Laspeyres and Paasche, so it
+    must lie between them; all indices are positive and near 1 for the
+    stationary TPC-H price process."""
+    from cdc_pubsub_spark.registry import REGISTRY
+
+    r = REGISTRY["orders_price_index"].fn(spark, sf_dir).collect()[0]
+    assert r.n_parts > 0
+    lo, hi = sorted((r.laspeyres, r.paasche))
+    assert lo - 1e-4 <= r.fisher <= hi + 1e-4
+    assert 0.5 < r.laspeyres < 2.0 and 0.5 < r.paasche < 2.0
+
+
+def test_csv_permissive_preserves_raw_corrupt_lines(spark, sf_dir):
+    """The quarantine column must carry the ORIGINAL raw line for every
+    corrupt row (reprocessability), and only for corrupt rows."""
+    from cdc_pubsub_spark.paths import work_dir
+    from cdc_pubsub_spark.registry import REGISTRY
+
+    REGISTRY["scan_csv_permissive_recovery"].fn(spark, sf_dir).collect()
+    back = (
+        spark.read.schema(
+            "o_orderkey BIGINT, o_totalprice DOUBLE, _bad STRING"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .csv(work_dir("csv_permissive"))
+    ).cache()  # queries touching ONLY the corrupt column are disallowed
+    # on a raw file scan (Spark 2.3+ restriction); cache materializes
+    bad = back.filter("_bad IS NOT NULL")
+    assert bad.count() > 0
+    assert bad.filter("_bad NOT LIKE '%NOT_A_NUMBER'").count() == 0
+    assert bad.filter("o_totalprice IS NOT NULL").count() == 0
+    assert back.filter(
+        "_bad IS NULL AND o_totalprice IS NULL"
+    ).count() == 0

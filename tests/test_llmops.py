@@ -946,3 +946,34 @@ def test_decode_gif_codec_rejects_corruption():
         assert f != decode_gif(good)
     except (ValueError, IndexError):
         pass
+
+
+def test_pr_auc_dominates_prevalence_and_is_bounded(spark, sf_dir):
+    """AP of the planted monotone score must beat the random-classifier
+    baseline (prevalence) and stay a valid probability; with ~half the
+    rows positive, AP and ROC AUC should land in the same region."""
+    from cdc_pubsub_spark.registry import REGISTRY
+
+    r = REGISTRY["ml_pr_auc"].fn(spark, sf_dir).collect()[0]
+    assert 0.0 < r.avg_precision <= 1.0
+    assert r.avg_precision > r.prevalence + 0.05
+    assert abs(r.prevalence - r.n_pos / (r.n_pos + r.n_neg)) < 1e-4
+
+
+def test_js_divergence_bounds(spark, sf_dir):
+    """JSD is symmetric and bounded by ln 2; two different natural
+    languages over (mostly) disjoint vocabularies must land near the
+    ceiling; bits = nats / ln 2 up to the two independent floors."""
+    from cdc_pubsub_spark.registry import REGISTRY
+
+    r = REGISTRY["text_js_divergence"].fn(spark, sf_dir).collect()[0]
+    assert 0.0 <= r.jsd_nats <= math.log(2) + 1e-4
+    assert 0.0 <= r.jsd_bits <= 1.0001
+    assert abs(r.jsd_bits - r.jsd_nats / math.log(2)) < 2e-4
+    # the synthetic corpus draws every language from ONE shared token
+    # vocabulary (vocab_union ~31 types), so the true divergence is
+    # small but strictly positive — languages differ only in mixture
+    # weights here, and a zero would mean the conditional counts
+    # collapsed
+    assert r.jsd_nats > 0.0
+    assert r.vocab_union > 0
