@@ -187,6 +187,8 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     "orders_price_index",
     "text_js_divergence",
     "scan_csv_permissive_recovery",
+    "graph_clustering_coefficient",
+    "ml_ridge_path",
 }
 
 

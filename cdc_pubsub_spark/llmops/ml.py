@@ -1975,3 +1975,128 @@ def ml_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "floor(CAST(p_total AS DOUBLE) / CAST(n_total AS DOUBLE)"
         " * 10000 + 0.5) / 10000 AS prevalence",
     )
+
+
+# Centered second moments scaled by n (exact BIGINTs: n·sqq − sq² =
+# n²·Var(q) etc.), so the ridge normal equations (XcᵀXc + λI)w = Xcᵀy
+# become ((A + nλ·n)w1 + B·w2 = P, ...) with Λ = λ·n² — integer
+# operands, double-pinned Cramer solve (the 2×2 determinant exceeds
+# BIGINT range, exactly like _det3, so it expands in DOUBLE).
+_RIDGE_CM = (
+    "n * sqq - sq * sq AS cm_a",
+    "n * sqd - sq * sd AS cm_b",
+    "n * sdd - sd * sd AS cm_c",
+    "n * sqy - sq * sy AS cm_p",
+    "n * sdy - sd * sy AS cm_q",
+)
+_RIDGE_KS = (0, 100, 1000)
+
+
+def _ridge_w(k: int) -> dict[str, str]:
+    lam = f"CAST({k} AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)"
+    a = f"(CAST(cm_a AS DOUBLE) + {lam})"
+    c = f"(CAST(cm_c AS DOUBLE) + {lam})"
+    b, p, q = (
+        "CAST(cm_b AS DOUBLE)",
+        "CAST(cm_p AS DOUBLE)",
+        "CAST(cm_q AS DOUBLE)",
+    )
+    d = f"({a} * {c} - {b} * {b})"
+    return {
+        "w1": f"({c} * {p} - {b} * {q}) / {d}",
+        "w2": f"({a} * {q} - {b} * {p}) / {d}",
+    }
+
+
+def _ridge_oracle_sql() -> str:
+    rows = []
+    for k in _RIDGE_KS:
+        w = _ridge_w(k)
+        rows.append(
+            f"""SELECT {k} AS ridge_lambda_per_row,
+             {w["w1"]} AS w1, {w["w2"]} AS w2,
+             (CAST(sy AS DOUBLE) - ({w["w1"]}) * CAST(sq AS DOUBLE)
+              - ({w["w2"]}) * CAST(sd AS DOUBLE)) / CAST(n AS DOUBLE)
+               AS w0
+      FROM cm"""
+        )
+    sel = "\n      UNION ALL\n      ".join(rows)
+    cm_cols = ",\n             ".join(_RIDGE_CM)
+    return f"""
+    WITH rows_in AS MATERIALIZED ({_LR_ROWS_SQL}),
+    mom AS MATERIALIZED ({_LR_MOMS}),
+    cm AS MATERIALIZED (
+      SELECT n, sq, sd, sy,
+             {cm_cols}
+      FROM mom
+    )
+    SELECT ridge_lambda_per_row,
+           floor(w0 * 10000 + 0.5) / 10000 AS w_intercept_cents,
+           floor(w1 * 10000 + 0.5) / 10000 AS w_qty_cents,
+           floor(w2 * 10000 + 0.5) / 10000 AS w_disc_cents
+    FROM ({sel}) t
+    ORDER BY ridge_lambda_per_row
+    """
+
+
+@register(
+    "ml_ridge_path",
+    category="similarity",
+    oracle=_ridge_oracle_sql(),
+)
+def ml_ridge_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIDGE regularization path on the planted linear fixture: slopes
+    solved from the CENTERED normal equations (XcᵀXc + λI)w = Xcᵀy at
+    λ/row ∈ {0, 100, 1000}, intercept recovered unpenalized from the
+    means — the textbook formulation (the intercept is never shrunk;
+    centering is what makes that exact). λ = 0 reproduces OLS, and the
+    slopes shrink toward zero by the known factor Var/(Var + λ) as λ
+    grows — the invariant test asserts both, certifying the
+    regularizer's algebra rather than just agreement on noise.
+
+    Determinism: centered moments are exact BIGINTs (n·sqq − sq² =
+    n²·Var(q)); each λ's 2×2 Cramer solve expands in pinned DOUBLE
+    order (the determinant exceeds int64, the _det3 situation); one
+    moment aggregate serves the whole path. Scale: the path costs ONE
+    scan regardless of how many λs — nine BIGINTs per partition over
+    the wire, then driver-sized algebra; this is why distributed
+    hyperparameter sweeps over closed-form models are free.
+    """
+    li = load(spark, sf_dir, "lineitem").selectExpr(
+        "l_quantity AS q",
+        "CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS dd",
+        "50000 + 300 * l_quantity"
+        " + 1200 * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)"
+        " + (l_orderkey * 2654435761 + l_linenumber * 40503) % 2001"
+        " - 1000 AS y",
+    )
+    mom = li.groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("q").cast("bigint").alias("sq"),
+        F.sum("dd").cast("bigint").alias("sd"),
+        F.sum(F.expr("q * q")).cast("bigint").alias("sqq"),
+        F.sum(F.expr("q * dd")).cast("bigint").alias("sqd"),
+        F.sum(F.expr("dd * dd")).cast("bigint").alias("sdd"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.expr("q * y")).cast("bigint").alias("sqy"),
+        F.sum(F.expr("dd * y")).cast("bigint").alias("sdy"),
+    )
+    cm = mom.selectExpr("n", "sq", "sd", "sy", *_RIDGE_CM)
+    out = None
+    for k in _RIDGE_KS:
+        w = _ridge_w(k)
+        f = cm.selectExpr(
+            f"{k} AS ridge_lambda_per_row",
+            f'{w["w1"]} AS w1',
+            f'{w["w2"]} AS w2',
+            f'(CAST(sy AS DOUBLE) - ({w["w1"]}) * CAST(sq AS DOUBLE)'
+            f' - ({w["w2"]}) * CAST(sd AS DOUBLE)) / CAST(n AS DOUBLE)'
+            " AS w0",
+        )
+        out = f if out is None else out.unionAll(f)
+    return out.selectExpr(
+        "ridge_lambda_per_row",
+        "floor(w0 * 10000 + 0.5) / 10000 AS w_intercept_cents",
+        "floor(w1 * 10000 + 0.5) / 10000 AS w_qty_cents",
+        "floor(w2 * 10000 + 0.5) / 10000 AS w_disc_cents",
+    ).orderBy("ridge_lambda_per_row")

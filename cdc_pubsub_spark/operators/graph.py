@@ -1252,3 +1252,177 @@ def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "floor(CAST(n_recip AS DOUBLE) / CAST(n_edges AS DOUBLE)"
         " * 10000 + 0.5) / 10000 AS reciprocity",
     )
+
+
+@register(
+    "graph_clustering_coefficient",
+    category="graph",
+    oracle="""
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    raw AS (
+      SELECT user_id AS a, (user_id + 1) % 1000 AS b FROM users
+      UNION ALL
+      SELECT user_id, (user_id + 2) % 1000 FROM users
+      UNION ALL
+      SELECT user_id, (user_id * 7 + 3) % 1000 FROM users
+    ),
+    edges AS (
+      SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+      FROM raw WHERE a <> b
+    ),
+    deg AS (
+      SELECT u, CAST(count(*) AS BIGINT) AS d
+      FROM (SELECT a AS u FROM edges UNION ALL SELECT b FROM edges) ep
+      GROUP BY u
+    ),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM edges e1
+      JOIN edges e2 ON e2.a = e1.b
+      JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    pertri AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS t
+      FROM (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+      ) m GROUP BY node
+    ),
+    localc AS (
+      SELECT d.u, d.d, coalesce(p.t, 0) AS t,
+             CAST(floor(CAST(coalesce(p.t, 0) AS DOUBLE)
+                  / (CAST(d.d AS DOUBLE) * CAST(d.d - 1 AS DOUBLE)
+                     / CAST(2 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+               AS lc_micro
+      FROM deg d LEFT JOIN pertri p ON p.node = d.u
+      WHERE d.d >= 2
+    ),
+    tot AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+             (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+             (SELECT CAST(count(*) AS BIGINT) FROM tri) AS n_triangles,
+             (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg)
+               AS n_wedges,
+             (SELECT CAST(count(*) AS BIGINT) FROM localc) AS n_local,
+             (SELECT CAST(sum(lc_micro) AS BIGINT) FROM localc)
+               AS lc_sum
+    )
+    SELECT n_nodes, n_edges, n_triangles, n_wedges,
+           floor(CAST(3 * n_triangles AS DOUBLE)
+                 / CAST(n_wedges AS DOUBLE) * 10000 + 0.5) / 10000
+             AS global_cc,
+           floor(CAST(lc_sum AS DOUBLE) / 1000000
+                 / CAST(n_local AS DOUBLE) * 10000 + 0.5) / 10000
+             AS avg_local_cc
+    FROM tot
+    """,
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global and average-local clustering coefficients of the triangle
+    graph: global = 3·triangles/wedges (transitivity — what fraction
+    of open 2-paths close), average-local = Watts-Strogatz mean of
+    per-node t_v/(d_v choose 2) over nodes with degree ≥ 2. The two
+    DISAGREE on hub-heavy graphs (global is wedge-weighted toward
+    hubs), which is why both ship — together with triangle counts they
+    are the small-world diagnostic.
+
+    Shape: the SAME canonicalized a<b edge relation and 3-join triangle
+    plan as graph_triangle_count (each triangle counted once), one
+    degree aggregate, wedges as an exact integer fold Σd(d−1)/2, and
+    per-node local coefficients quantized to micro units before the
+    node-domain-sized averaging fold (order-free; the node domain is
+    bounded by construction, and at 100 TB it is the same
+    node-proportional relation every per-node graph metric emits).
+    Exact BIGINTs until the two final r4 divisions.
+    """
+    users = load(spark, sf_dir, "events").select("user_id").distinct()
+
+    def edge(mult: int, add: int) -> DataFrame:
+        return users.select(
+            F.col("user_id").alias("s"),
+            ((F.col("user_id") * mult + add) % 1000).alias("t"),
+        )
+
+    raw = edge(1, 1).unionByName(edge(1, 2)).unionByName(edge(7, 3))
+    edges = (
+        raw.filter(F.col("s") != F.col("t"))
+        .select(
+            F.least("s", "t").alias("a"), F.greatest("s", "t").alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        edges.selectExpr("a AS u")
+        .unionAll(edges.selectExpr("b AS u"))
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = e1.join(e2, F.col("e2.a") == F.col("e1.b")).join(
+        e3,
+        (F.col("e3.a") == F.col("e1.a"))
+        & (F.col("e3.b") == F.col("e2.b")),
+    ).select(
+        F.col("e1.a").alias("x"),
+        F.col("e1.b").alias("y"),
+        F.col("e2.b").alias("z"),
+    )
+    pertri = (
+        tri.selectExpr("x AS node")
+        .unionAll(tri.selectExpr("y AS node"))
+        .unionAll(tri.selectExpr("z AS node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    )
+    localc = (
+        deg.filter("d >= 2")
+        .join(pertri.selectExpr("node AS u", "t"), "u", "left")
+        .selectExpr(
+            "CAST(floor(CAST(coalesce(t, 0) AS DOUBLE)"
+            " / (CAST(d AS DOUBLE) * CAST(d - 1 AS DOUBLE)"
+            " / CAST(2 AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)"
+            " AS lc_micro"
+        )
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_local"),
+            F.sum("lc_micro").cast("bigint").alias("lc_sum"),
+        )
+    )
+    scalars = (
+        deg.groupBy()
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.sum(F.expr("d * (d - 1) div 2")).cast("bigint").alias(
+                "n_wedges"
+            ),
+        )
+        .crossJoin(
+            F.broadcast(
+                edges.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_edges")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                tri.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+                )
+            )
+        )
+        .crossJoin(F.broadcast(localc))
+    )
+    return scalars.selectExpr(
+        "n_nodes",
+        "n_edges",
+        "n_triangles",
+        "n_wedges",
+        "floor(CAST(3 * n_triangles AS DOUBLE)"
+        " / CAST(n_wedges AS DOUBLE) * 10000 + 0.5) / 10000"
+        " AS global_cc",
+        "floor(CAST(lc_sum AS DOUBLE) / 1000000"
+        " / CAST(n_local AS DOUBLE) * 10000 + 0.5) / 10000"
+        " AS avg_local_cc",
+    )

@@ -127,3 +127,19 @@ def test_reciprocity_bounds_and_dyad_pairing(spark, sf_dir):
     assert r.n_reciprocal_edges % 2 == 0
     assert r.n_mutual_dyads * 2 == r.n_reciprocal_edges
     assert 0.0 <= r.reciprocity <= 1.0
+
+
+def test_clustering_coefficient_consistency(spark, sf_dir):
+    """Both coefficients are fractions in [0, 1]; 3·triangles can never
+    exceed the wedge count (every closed triple uses 3 wedges); the
+    ring+skip construction guarantees triangles exist, so both are
+    strictly positive."""
+    r = (
+        REGISTRY["graph_clustering_coefficient"]
+        .fn(spark, sf_dir)
+        .collect()[0]
+    )
+    assert 0 < r.n_triangles
+    assert 3 * r.n_triangles <= r.n_wedges
+    assert 0.0 < r.global_cc <= 1.0
+    assert 0.0 < r.avg_local_cc <= 1.0

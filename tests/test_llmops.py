@@ -977,3 +977,23 @@ def test_js_divergence_bounds(spark, sf_dir):
     # collapsed
     assert r.jsd_nats > 0.0
     assert r.vocab_union > 0
+
+
+def test_ridge_path_shrinks_toward_zero(spark, sf_dir):
+    """λ = 0 must reproduce the OLS slopes; slopes shrink monotonically
+    in |·| as λ grows, by roughly the known Var/(Var + λ) factor for
+    the (near-orthogonal) planted features."""
+    from cdc_pubsub_spark.registry import REGISTRY
+
+    rows = REGISTRY["ml_ridge_path"].fn(spark, sf_dir).collect()
+    by = {r.ridge_lambda_per_row: r for r in rows}
+    assert set(by) == {0, 100, 1000}
+    ols = REGISTRY["ml_linreg_normal_eq"].fn(spark, sf_dir).collect()[0]
+    assert abs(by[0].w_qty_cents - ols.w_qty_cents) < 0.01
+    assert abs(by[0].w_disc_cents - ols.w_disc_cents) < 0.01
+    q = [abs(by[k].w_qty_cents) for k in (0, 100, 1000)]
+    d = [abs(by[k].w_disc_cents) for k in (0, 100, 1000)]
+    assert q[0] > q[1] > q[2] > 0
+    assert d[0] > d[1] > d[2] > 0
+    # quantity variance ~ uniform(1..50) ≈ 208: k=1000 shrinks ~6x
+    assert q[2] < 0.4 * q[0]
