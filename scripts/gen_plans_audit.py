@@ -60,6 +60,11 @@ AUDIT = [
     ("sim_ann_binary_hamming", "1-bit signatures + Hamming preselect"),
     ("dedup_minhash_banded", "band-only MinHash (bench variant)"),
     ("graph_bfs_layers", "4-round min-plus BFS relaxation"),
+    ("ml_kfold_cv", "5-fold CV by moment subtraction (2 scans)"),
+    ("text_collocations_pmi", "bigram PMI collocations (pair-relation marginals)"),
+    ("graph_clustering_coefficient", "transitivity + avg-local CC (3-join triangles)"),
+    ("scan_txn_log_changefeed", "commit-log CDF (per-commit file diff)"),
+    ("ml_roc_auc", "binned Mann-Whitney AUC (bounded-bin window)"),
 ]
 
 SF = "/root/testdata/sf0.01"
