@@ -189,6 +189,9 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     "scan_csv_permissive_recovery",
     "graph_clustering_coefficient",
     "ml_ridge_path",
+    "multimodal_decode_qoi",
+    "ts_moving_median",
+    "events_diff_in_diff",
 }
 
 

@@ -3970,3 +3970,207 @@ def orders_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         " * (CAST(p_num AS DOUBLE) / CAST(p_den AS DOUBLE)))"
         " * 10000 + 0.5) / 10000 AS fisher",
     )
+
+
+@register(
+    "ts_moving_median",
+    category="composite",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+             AS BIGINT) AS day_idx,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM events GROUP BY 1
+    )
+    SELECT day_idx, cents,
+           CAST(count(*) OVER w AS BIGINT) AS n_frame,
+           CAST(list_sort(list(cents) OVER w)[
+                CAST((count(*) OVER w + 1) // 2 AS BIGINT)]
+                AS BIGINT) AS median_cents,
+           cents > 2 * list_sort(list(cents) OVER w)[
+                CAST((count(*) OVER w + 1) // 2 AS BIGINT)] AS is_spike
+    FROM daily
+    WINDOW w AS (ORDER BY day_idx ROWS BETWEEN 3 PRECEDING
+                 AND 3 FOLLOWING)
+    ORDER BY day_idx
+    """,
+)
+def ts_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centered 7-day MOVING MEDIAN of the daily event-value series
+    with a 2×-median spike flag — the robust-smoothing twin of the
+    moving AVERAGE inside ts_seasonal_decompose: one outlier day drags
+    a mean for its whole window but leaves the median untouched, which
+    is why monitoring baselines median-filter BEFORE thresholding
+    (ts_ewma_smooth flags against an exponential mean; this flags
+    against the order statistic).
+
+    Exactness: the median is DEFINED as the lower-middle element of
+    the sorted frame (percentile_disc semantics — an actual data
+    value, no interpolation), so with integer-cents daily totals the
+    entire op is integer arithmetic end to end; edge frames use their
+    true element count, same rule both engines. Shape: the events scan
+    collapses map-side to the calendar-sized daily relation, and the
+    ordered window runs over days, not rows — the bounded-domain
+    argument every ts_ op here uses; collect_list over the 7-row frame
+    is O(7) state per row.
+    """
+    events = load(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").alias(
+            "day_idx"
+        )
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = Window.orderBy("day_idx").rowsBetween(-3, 3)
+    return (
+        daily.select(
+            "day_idx",
+            "cents",
+            F.count(F.lit(1)).over(w).cast("bigint").alias("n_frame"),
+            F.sort_array(F.collect_list("cents").over(w)).alias("arr"),
+        )
+        .selectExpr(
+            "day_idx",
+            "cents",
+            "n_frame",
+            "CAST(element_at(arr, CAST((n_frame + 1) div 2 AS INT))"
+            " AS BIGINT) AS median_cents",
+            "cents > 2 * element_at(arr,"
+            " CAST((n_frame + 1) div 2 AS INT)) AS is_spike",
+        )
+        .orderBy("day_idx")
+    )
+
+
+def _did_cells() -> list[tuple[str, str]]:
+    """The 2×2 (treat, post) cell moments as conditional aggregates of
+    ONE scan — a single pivoted row, so every downstream float
+    expression is one pinned parse tree (no cross-row float fold).
+    Returns (expression, alias) pairs."""
+    cols = []
+    for t in (0, 1):
+        for p in (0, 1):
+            cond = f"tr = {t} AND po = {p}"
+            cols.append((
+                f"CAST(sum(CASE WHEN {cond} THEN 1 ELSE 0 END)"
+                " AS BIGINT)",
+                f"n{t}{p}",
+            ))
+            cols.append((
+                f"CAST(sum(CASE WHEN {cond} THEN cents ELSE 0 END)"
+                " AS BIGINT)",
+                f"s{t}{p}",
+            ))
+            cols.append((
+                f"CAST(sum(CASE WHEN {cond} THEN cents * cents"
+                " ELSE 0 END) AS BIGINT)",
+                f"q{t}{p}",
+            ))
+    return cols
+
+
+def _did_mean(t: int, p: int) -> str:
+    return f"(CAST(s{t}{p} AS DOUBLE) / CAST(n{t}{p} AS DOUBLE))"
+
+
+def _did_varm(t: int, p: int) -> str:
+    """Variance of the cell mean: ((Σx² − (Σx)²/n) / (n−1)) / n in
+    pinned order over the exact integer moments."""
+    n, s, q = f"CAST(n{t}{p} AS DOUBLE)", f"CAST(s{t}{p} AS DOUBLE)", (
+        f"CAST(q{t}{p} AS DOUBLE)"
+    )
+    return f"((({q} - {s} * {s} / {n}) / ({n} - 1)) / {n})"
+
+
+_DID_EST = (
+    f"(({_did_mean(1, 1)} - {_did_mean(1, 0)})"
+    f" - ({_did_mean(0, 1)} - {_did_mean(0, 0)}))"
+)
+_DID_SE = (
+    f"sqrt({_did_varm(1, 1)} + {_did_varm(1, 0)}"
+    f" + {_did_varm(0, 1)} + {_did_varm(0, 0)})"
+)
+
+
+@register(
+    "events_diff_in_diff",
+    category="composite",
+    oracle=f"""
+    WITH mn AS (
+      SELECT CAST(min(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000)
+             AS BIGINT) AS d0
+      FROM events
+    ),
+    rows_in AS (
+      SELECT user_id % 2 AS tr,
+             CASE WHEN epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+                  >= mn.d0 + 15 THEN 1 ELSE 0 END AS po,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events CROSS JOIN mn
+    ),
+    cells AS (SELECT {", ".join(f"{e} AS {a}" for e, a in _did_cells())}
+      FROM rows_in)
+    SELECT n00, n01, n10, n11,
+           floor({_did_mean(0, 0)} + 0.5) / 100 AS mean_ctl_pre,
+           floor({_did_mean(0, 1)} + 0.5) / 100 AS mean_ctl_post,
+           floor({_did_mean(1, 0)} + 0.5) / 100 AS mean_trt_pre,
+           floor({_did_mean(1, 1)} + 0.5) / 100 AS mean_trt_post,
+           floor({_DID_EST} / 100 * 10000 + 0.5) / 10000 AS did_dollars,
+           floor({_DID_SE} / 100 * 10000 + 0.5) / 10000 AS se_dollars,
+           floor({_DID_EST} / ({_DID_SE}) * 100 + 0.5) / 100 AS t_stat
+    FROM cells
+    """,
+)
+def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimator over the event stream: the
+    2×2 (group × period) design with group = user parity and period =
+    first-15-days vs rest — DiD = (trt_post − trt_pre) − (ctl_post −
+    ctl_pre), the workhorse quasi-experimental estimator when
+    randomization isn't available (launch analyses, staged rollouts),
+    beside the randomized orders_ab_test. SE via the four cell-mean
+    variances (Welch-style, unequal variances).
+
+    The parity assignment is independent of value by construction, so
+    the TRUE effect is zero and the invariant test is a PLACEBO test:
+    |t| must stay under 4 — an estimator that manufactures
+    significance from null data is broken in the way that matters.
+    Determinism: all 12 cell moments (n, Σcents, Σcents²) are exact
+    BIGINTs from ONE conditional aggregate (single pivoted row, so
+    the estimator/SE expressions are one pinned parse tree each — no
+    cross-row float fold anywhere); sqrt and the final divisions are
+    single correctly-rounded ops. Scale: one scan, 12 integers per
+    partition over the wire, driver-sized algebra after.
+    """
+    ev = load(spark, sf_dir, "events")
+    mn = ev.agg(
+        F.expr(
+            "CAST(min(unix_micros(CAST(ts AS TIMESTAMP))"
+            " div 86400000000) AS BIGINT)"
+        ).alias("d0")
+    )
+    rows = ev.crossJoin(F.broadcast(mn)).selectExpr(
+        "user_id % 2 AS tr",
+        "CASE WHEN unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000"
+        " >= d0 + 15 THEN 1 ELSE 0 END AS po",
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents",
+    )
+    cells = rows.selectExpr("tr", "po", "cents").groupBy().agg(
+        *[F.expr(e).alias(a) for e, a in _did_cells()]
+    )
+    return cells.selectExpr(
+        "n00",
+        "n01",
+        "n10",
+        "n11",
+        f"floor({_did_mean(0, 0)} + 0.5) / 100 AS mean_ctl_pre",
+        f"floor({_did_mean(0, 1)} + 0.5) / 100 AS mean_ctl_post",
+        f"floor({_did_mean(1, 0)} + 0.5) / 100 AS mean_trt_pre",
+        f"floor({_did_mean(1, 1)} + 0.5) / 100 AS mean_trt_post",
+        f"floor({_DID_EST} / 100 * 10000 + 0.5) / 10000 AS did_dollars",
+        f"floor({_DID_SE} / 100 * 10000 + 0.5) / 10000 AS se_dollars",
+        f"floor({_DID_EST} / ({_DID_SE}) * 100 + 0.5) / 100 AS t_stat",
+    )

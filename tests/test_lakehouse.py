@@ -327,3 +327,39 @@ def test_csv_permissive_preserves_raw_corrupt_lines(spark, sf_dir):
     assert back.filter(
         "_bad IS NULL AND o_totalprice IS NULL"
     ).count() == 0
+
+
+def test_moving_median_is_robust_order_statistic(spark, sf_dir):
+    """The moving median must be an actual frame value, frames at the
+    series edges shrink to their true counts (4..7 for a ±3 frame),
+    and the median is bounded by the frame's own min/max."""
+    from cdc_pubsub_spark.registry import REGISTRY
+
+    rows = REGISTRY["ts_moving_median"].fn(spark, sf_dir).collect()
+    assert rows
+    cents = {r.day_idx: r.cents for r in rows}
+    for r in rows:
+        assert 4 <= r.n_frame <= 7
+        frame = [
+            cents[d]
+            for d in range(r.day_idx - 3, r.day_idx + 4)
+            if d in cents
+        ]
+        assert len(frame) == r.n_frame
+        assert r.median_cents in frame
+        assert r.median_cents == sorted(frame)[(r.n_frame + 1) // 2 - 1]
+        assert r.is_spike == (r.cents > 2 * r.median_cents)
+
+
+def test_diff_in_diff_placebo_is_null(spark, sf_dir):
+    """User-parity assignment is independent of value, so the true
+    effect is ZERO: the estimator must not manufacture significance
+    (|t| < 4), its SE must be positive, and every cell populated —
+    the placebo audit that validates the error bars."""
+    from cdc_pubsub_spark.registry import REGISTRY
+
+    r = REGISTRY["events_diff_in_diff"].fn(spark, sf_dir).collect()[0]
+    assert min(r.n00, r.n01, r.n10, r.n11) > 0
+    assert r.se_dollars > 0
+    assert abs(r.t_stat) < 4.0, r
+    assert abs(r.did_dollars) <= 4 * r.se_dollars + 1e-9

