@@ -192,6 +192,13 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     "multimodal_decode_qoi",
     "ts_moving_median",
     "events_diff_in_diff",
+    # second-extension additions (land after the second r09 close; lead
+    # r10 alongside the rest of this set):
+    "graph_hits",
+    "ts_periodogram",
+    "ml_gmm_em",
+    "ml_isotonic_calibration",
+    "dedup_levenshtein_block",
 }
 
 

@@ -905,3 +905,92 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("batch", "verdict")
     )
     return finalize_cached(out, hist_sets, arr_sets)
+
+
+@register(
+    "dedup_levenshtein_block",
+    category="dedup",
+    oracle=f"""
+    WITH {CORPUS_CTE.strip()},
+    blocked AS (
+      SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len,
+             substr(text, 1, 32) AS blk
+      FROM corpus
+    ),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist,
+             a.len AS len_a, b.len AS len_b
+      FROM blocked a JOIN blocked b
+        ON a.blk = b.blk AND a.doc_id < b.doc_id
+           AND abs(a.len - b.len) <= 16
+    )
+    SELECT doc_a, doc_b, dist, len_a, len_b,
+           floor((1e0 - CAST(dist AS DOUBLE)
+                  / CAST(greatest(len_a, len_b) AS DOUBLE))
+                 * 10000 + 0.5) / 10000 AS sim
+    FROM cand
+    WHERE dist <= 16
+    ORDER BY doc_a, doc_b
+    """,
+)
+def dedup_levenshtein_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHARACTER-LEVEL near-duplicate pairs by exact Levenshtein edit
+    distance over blocked candidates — the edit-distance rung of the
+    dedup ladder (exact hash < shingle Jaccard < simhash < EDIT
+    DISTANCE: only this one counts character operations, so it
+    catches small in-place edits that word-shingle methods dilute and
+    catches nothing a cheap block can't propose). Standard
+    record-linkage layout: BLOCK (32-char prefix + length band ±16) →
+    VERIFY (full-text Levenshtein ≤ 16).
+
+    Both engines implement textbook unit-cost Levenshtein over the
+    same ASCII fixture text (Spark codepoint-based, DuckDB
+    character-based — identical on this corpus; the invariant test
+    pins the exact distances of the planted pairs: 0 for the ÷10
+    exact copies, exactly len(NEAR_SUFFIX)=14 for the ÷7
+    append-suffix near copies).
+
+    Scale shape: the prefix block is an equi-join key, so candidates
+    co-partition by block and never leave their bucket — the same
+    contract as dedup_minhash_lsh's band join; the length band prunes
+    inside the bucket before the O(m·n) verify runs. A hot block
+    (boilerplate prefix) is planted-skew territory: AQE skew-join
+    splitting absorbs it, and the PPJoin prefix-anchor variant
+    (dedup_containment) is the documented escape hatch when blocks
+    degenerate. All-pairs edit distance is never computed.
+    """
+    corpus = dup_corpus(spark, sf_dir)
+    blocked = corpus.selectExpr(
+        "doc_id",
+        "text",
+        "CAST(length(text) AS BIGINT) AS len",
+        "substring(text, 1, 32) AS blk",
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (F.abs(F.col("a.len") - F.col("b.len")) <= 16),
+    ).selectExpr(
+        "a.doc_id AS doc_a",
+        "b.doc_id AS doc_b",
+        "CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist",
+        "a.len AS len_a",
+        "b.len AS len_b",
+    )
+    return (
+        cand.filter(F.col("dist") <= 16)
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            "dist",
+            "len_a",
+            "len_b",
+            "floor((1e0 - CAST(dist AS DOUBLE)"
+            " / CAST(greatest(len_a, len_b) AS DOUBLE))"
+            " * 10000 + 0.5) / 10000 AS sim",
+        )
+        .orderBy("doc_a", "doc_b")
+    )

@@ -2100,3 +2100,327 @@ def ml_ridge_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         "floor(w1 * 10000 + 0.5) / 10000 AS w_qty_cents",
         "floor(w2 * 10000 + 0.5) / 10000 AS w_disc_cents",
     ).orderBy("ridge_lambda_per_row")
+
+
+# --- ml_gmm_em: certified 1-D two-component mixture EM ------------------
+
+_GMM_STEPS = 5
+_GMM_MU0 = (4000, 9000)
+
+# Planted mixture in integer cents: 40% of orders at 5000, 60% at 8000,
+# plus Irwin-Hall(3) noise (sum of three decorrelated multiplicative-hash
+# uniforms, sd ≈ 500 cents). Identical SQL text on both engines.
+_GMM_X_SQL = """
+      SELECT CAST(CASE WHEN (o_orderkey * 2654435761) % 10 < 4
+                  THEN 5000 ELSE 8000 END
+             + ((o_orderkey * 48271) % 1000
+                + (o_orderkey * 16807) % 1000
+                + (o_orderkey * 69621) % 1000) - 1498 AS BIGINT) AS x
+      FROM orders
+"""
+
+
+def _gmm_resp_sql(mu1: str, mu2: str) -> str:
+    """Responsibility of component 1 as integer micro-units: the
+    rational-sigmoid link over the squared-distance difference (the
+    module-docstring exp() device — EM's E-step needs only the density
+    RATIO, and a monotone rational link of (d2 − d1) preserves the
+    soft-assignment structure while staying IEEE-exact)."""
+    z = (
+        f"(CAST((x - {mu2}) * (x - {mu2})"
+        f" - (x - {mu1}) * (x - {mu1}) AS DOUBLE) / 200000e0)"
+    )
+    r = f"(0.5e0 + {z} / (2e0 * (1e0 + abs({z}))))"
+    return f"CAST(floor({r} * 1000000e0 + 0.5e0) AS BIGINT)"
+
+
+_GMM_AGGS_DUCK = """
+        CAST(count(*) AS HUGEINT) AS n,
+        CAST(sum(rq) AS HUGEINT) AS sr,
+        CAST(sum(rq * x) AS HUGEINT) AS srx,
+        CAST(sum((1000000 - rq) * x) AS HUGEINT) AS smx,
+        CAST(sum(rq * (x - MU1) * (x - MU1)) AS HUGEINT) AS srd1,
+        CAST(sum((1000000 - rq) * (x - MU2) * (x - MU2)) AS HUGEINT) AS srd2
+"""
+
+
+def gmm_oracle_sql() -> str:
+    """Unrolled EM: each iteration recomputes responsibilities from the
+    previous iteration's integer-cents means, aggregates exact moment
+    sums, and re-derives the means with half-up integer division —
+    the identical arithmetic the Spark driver loop performs."""
+    parts = [
+        f"""
+    xs AS MATERIALIZED ({_GMM_X_SQL}),
+    mu_0 AS MATERIALIZED (
+      SELECT CAST({_GMM_MU0[0]} AS BIGINT) AS mu1,
+             CAST({_GMM_MU0[1]} AS BIGINT) AS mu2)"""
+    ]
+    for t in range(1, _GMM_STEPS + 1):
+        aggs = _GMM_AGGS_DUCK.replace("MU1", "m.mu1").replace("MU2", "m.mu2")
+        parts.append(
+            f"""
+    ag_{t} AS MATERIALIZED (
+      SELECT {aggs}
+      FROM (SELECT x, {_gmm_resp_sql("m.mu1", "m.mu2")} AS rq
+            FROM xs CROSS JOIN mu_{t - 1} m) q
+      CROSS JOIN mu_{t - 1} m
+    ),
+    mu_{t} AS MATERIALIZED (
+      SELECT CAST((2 * srx + sr) // (2 * sr) AS BIGINT) AS mu1,
+             CAST((2 * smx + (1000000 * n - sr))
+                  // (2 * (1000000 * n - sr)) AS BIGINT) AS mu2
+      FROM ag_{t}
+    )"""
+        )
+    t = _GMM_STEPS
+    aggs = _GMM_AGGS_DUCK.replace("MU1", "m.mu1").replace("MU2", "m.mu2")
+    parts.append(
+        f"""
+    fin AS MATERIALIZED (
+      SELECT {aggs}
+      FROM (SELECT x, {_gmm_resp_sql("m.mu1", "m.mu2")} AS rq
+            FROM xs CROSS JOIN mu_{t} m) q
+      CROSS JOIN mu_{t} m
+    )
+    SELECT CAST(f.n AS BIGINT) AS n_rows,
+           CAST({_GMM_STEPS} AS BIGINT) AS iters,
+           m.mu1 AS mu1_cents, m.mu2 AS mu2_cents,
+           CAST(floor(sqrt(CAST(f.srd1 AS DOUBLE) / CAST(f.sr AS DOUBLE))
+                + 0.5e0) AS BIGINT) AS sigma1_cents,
+           CAST(floor(sqrt(CAST(f.srd2 AS DOUBLE)
+                / CAST(1000000 * f.n - f.sr AS DOUBLE)) + 0.5e0)
+                AS BIGINT) AS sigma2_cents,
+           floor(CAST(f.sr AS DOUBLE)
+                 / (1000000e0 * CAST(f.n AS DOUBLE)) * 10000 + 0.5)
+             / 10000 AS w1,
+           floor(CAST(1000000 * f.n - f.sr AS DOUBLE)
+                 / (1000000e0 * CAST(f.n AS DOUBLE)) * 10000 + 0.5)
+             / 10000 AS w2
+    FROM fin f CROSS JOIN mu_{t} m"""
+    )
+    return "WITH" + ",".join(parts)
+
+
+@register(
+    "ml_gmm_em",
+    category="similarity",
+    bench=False,  # sequential tiny aggregate stages (the
+    # ml_logreg_quality exclusion rationale).
+    oracle=gmm_oracle_sql(),
+)
+def ml_gmm_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-component 1-D GAUSSIAN-MIXTURE fit by EXPECTATION-
+    MAXIMIZATION, trained in-engine and hash-certified — the
+    unsupervised member of the certified-trainer family (logreg
+    descends a loss with labels; k-means hard-assigns; EM
+    soft-assigns and re-weights). The planted mixture is 40% of
+    orders at 5000 cents / 60% at 8000 with sd≈500 Irwin-Hall noise;
+    the invariant test asserts both means, both sds, and the mixing
+    weight are recovered.
+
+    E-step: component-1 responsibility via the module's rational-
+    sigmoid link over the squared-distance DIFFERENCE (d2 − d1)/2σ² —
+    EM needs only the density ratio, and the monotone rational link
+    keeps the soft assignment IEEE-exact where the Gaussian's exp()
+    would drift by libm ulps (module docstring device 1). Each
+    responsibility quantizes to integer micro-units BEFORE
+    aggregation (device 2). M-step: means re-derived by half-up
+    integer division over exact HUGEINT/DECIMAL moment sums, driver-
+    side in Spark (the Lloyd's pattern — 6 integers of state per
+    step), in-SQL in the unrolled oracle — identical integer
+    arithmetic, so the training paths are bit-equal.
+
+    Scale: T scans of one cached integer column; each step is a
+    map-side-combined 6-sum aggregate collected as one row; the
+    soft-assignment link saturates to ~0.989, so the means carry a
+    small, DETERMINISTIC mixing bias (~40 cents at this separation)
+    that both engines and the tolerance test share. sigma estimates
+    fold the same cross-component leakage (~±120 cents).
+    """
+    orders = load(spark, sf_dir, "orders")
+    xs = orders.selectExpr(
+        "CAST(CASE WHEN (o_orderkey * 2654435761) % 10 < 4"
+        " THEN 5000 ELSE 8000 END"
+        " + ((o_orderkey * 48271) % 1000"
+        "    + (o_orderkey * 16807) % 1000"
+        "    + (o_orderkey * 69621) % 1000) - 1498 AS BIGINT) AS x"
+    ).persist()
+
+    def _aggs(mu1: int, mu2: int):
+        return [
+            F.expr("CAST(count(*) AS DECIMAL(38,0))").alias("n"),
+            F.expr("CAST(sum(CAST(rq AS DECIMAL(28,0))) AS DECIMAL(38,0))").alias("sr"),
+            F.expr(
+                "CAST(sum(CAST(rq AS DECIMAL(28,0)) * x) AS DECIMAL(38,0))"
+            ).alias("srx"),
+            F.expr(
+                "CAST(sum(CAST(1000000 - rq AS DECIMAL(28,0)) * x)"
+                " AS DECIMAL(38,0))"
+            ).alias("smx"),
+            F.expr(
+                f"CAST(sum(CAST(rq AS DECIMAL(28,0)) * ((x - {mu1}) * (x - {mu1})))"
+                " AS DECIMAL(38,0))"
+            ).alias("srd1"),
+            F.expr(
+                f"CAST(sum(CAST(1000000 - rq AS DECIMAL(28,0))"
+                f" * ((x - {mu2}) * (x - {mu2}))) AS DECIMAL(38,0))"
+            ).alias("srd2"),
+        ]
+
+    mu1, mu2 = _GMM_MU0
+    for _t in range(_GMM_STEPS):
+        row = (
+            xs.selectExpr(
+                "x", f"{_gmm_resp_sql(str(mu1), str(mu2))} AS rq"
+            )
+            .agg(*_aggs(mu1, mu2))
+            .collect()[0]
+        )
+        n, sr, srx, smx = (int(row["n"]), int(row["sr"]), int(row["srx"]),
+                           int(row["smx"]))
+        mu1 = (2 * srx + sr) // (2 * sr)
+        mu2 = (2 * smx + (1000000 * n - sr)) // (2 * (1000000 * n - sr))
+    fin = (
+        xs.selectExpr("x", f"{_gmm_resp_sql(str(mu1), str(mu2))} AS rq")
+        .agg(*_aggs(mu1, mu2))
+    )
+    out = fin.selectExpr(
+        "CAST(n AS BIGINT) AS n_rows",
+        f"CAST({_GMM_STEPS} AS BIGINT) AS iters",
+        f"CAST({mu1} AS BIGINT) AS mu1_cents",
+        f"CAST({mu2} AS BIGINT) AS mu2_cents",
+        "CAST(floor(sqrt(CAST(srd1 AS DOUBLE) / CAST(sr AS DOUBLE))"
+        " + 0.5e0) AS BIGINT) AS sigma1_cents",
+        "CAST(floor(sqrt(CAST(srd2 AS DOUBLE)"
+        " / CAST(1000000 * n - sr AS DOUBLE)) + 0.5e0)"
+        " AS BIGINT) AS sigma2_cents",
+        "floor(CAST(sr AS DOUBLE)"
+        " / (1000000e0 * CAST(n AS DOUBLE)) * 10000 + 0.5) / 10000 AS w1",
+        "floor(CAST(1000000 * n - sr AS DOUBLE)"
+        " / (1000000e0 * CAST(n AS DOUBLE)) * 10000 + 0.5) / 10000 AS w2",
+    )
+    from cdc_pubsub_spark.tables import finalize_cached
+
+    return finalize_cached(out, xs)
+
+
+# --- ml_isotonic_calibration: PAV via the exact minimax formula ----------
+
+
+@register(
+    "ml_isotonic_calibration",
+    category="similarity",
+    oracle=f"""
+    WITH rows_in AS ({_ROC_ROWS_SQL}),
+    bins AS MATERIALIZED (
+      SELECT s, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(label) AS BIGINT) AS pos
+      FROM rows_in GROUP BY s
+    ),
+    cum AS MATERIALIZED (
+      SELECT s, n, pos,
+             CAST(sum(n) OVER (ORDER BY s) AS BIGINT) AS cn,
+             CAST(sum(pos) OVER (ORDER BY s) AS BIGINT) AS cpos
+      FROM bins
+    ),
+    iv AS MATERIALIZED (
+      SELECT i.s AS si, k.s AS sk,
+             CAST(k.cpos - i.cpos + i.pos AS DOUBLE)
+               / CAST(k.cn - i.cn + i.n AS DOUBLE) AS avg_ik
+      FROM cum i JOIN cum k ON i.s <= k.s
+    ),
+    mm AS MATERIALIZED (
+      SELECT j.s, iv.si, min(iv.avg_ik) AS minval
+      FROM bins j JOIN iv ON iv.si <= j.s AND iv.sk >= j.s
+      GROUP BY j.s, iv.si
+    ),
+    iso AS MATERIALIZED (
+      SELECT s, max(minval) AS iso_raw FROM mm GROUP BY s
+    )
+    SELECT b.s AS bin, b.n AS n_rows, b.pos AS pos,
+           floor(CAST(150 + 14 * b.s AS DOUBLE) / 1000e0 * 10000 + 0.5)
+             / 10000 AS pred_rate,
+           floor(CAST(b.pos AS DOUBLE) / CAST(b.n AS DOUBLE) * 10000 + 0.5)
+             / 10000 AS obs_rate,
+           floor(i.iso_raw * 10000 + 0.5) / 10000 AS iso_rate
+    FROM bins b JOIN iso i ON i.s = b.s
+    ORDER BY bin
+    """,
+)
+def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISOTONIC REGRESSION (pool-adjacent-violators) of the observed
+    positive rate over the planted score behind ml_roc_auc — the
+    nonparametric calibrator that ml_calibration_bins audits for:
+    where the reliability diagram MEASURES miscalibration, isotonic
+    FIXES it, producing the monotone step function closest (weighted
+    L2) to the empirical rates. Sampling noise makes raw per-score
+    rates non-monotone even under a perfectly calibrated generator;
+    PAV pools exactly those inversions.
+
+    Exactness: instead of the sequential pooling algorithm (stack
+    state — not relational), the fit uses the closed-form MINIMAX
+    characterization iso(j) = max_{{i≤j}} min_{{k≥j}} avg(y over bins
+    i..k): interval averages are pinned double divisions of exact
+    BIGINT prefix-sum differences, and min/max over bit-identical
+    doubles are order-free, so the whole fit is hash-certifiable.
+    The invariant test checks the minimax result against an
+    independent pure-Python PAV implementation — two different
+    algorithms, same fixed point.
+
+    Scale: one map-side-combined groupBy collapses the scan to the
+    score-domain-sized bin relation (≤50 rows — l_quantity's domain);
+    everything after (prefix window, interval self-join ~1.3k rows,
+    minimax join ~22k rows) is bounded-domain work, the agg_quantile
+    argument. At 100 TB the bin relation is still 50 rows.
+    """
+    li = load(spark, sf_dir, "lineitem").selectExpr(
+        "CAST(l_quantity AS BIGINT) AS s",
+        "CASE WHEN (l_orderkey * 2654435761 + l_linenumber * 40503)"
+        " % 1000 < 150 + 14 * CAST(l_quantity AS BIGINT)"
+        " THEN 1 ELSE 0 END AS label",
+    )
+    bins = li.groupBy("s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("label").cast("bigint").alias("pos"),
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, 0)
+    cum = bins.select(
+        "s",
+        "n",
+        "pos",
+        F.sum("n").over(w).cast("bigint").alias("cn"),
+        F.sum("pos").over(w).cast("bigint").alias("cpos"),
+    )
+    i, k = cum.alias("i"), cum.alias("k")
+    iv = i.join(k, F.col("i.s") <= F.col("k.s")).selectExpr(
+        "i.s AS si",
+        "k.s AS sk",
+        "CAST(k.cpos - i.cpos + i.pos AS DOUBLE)"
+        " / CAST(k.cn - i.cn + i.n AS DOUBLE) AS avg_ik",
+    )
+    mm = (
+        bins.alias("j")
+        .join(
+            iv,
+            (F.col("si") <= F.col("j.s")) & (F.col("sk") >= F.col("j.s")),
+        )
+        .groupBy(F.col("j.s").alias("s"), F.col("si"))
+        .agg(F.min("avg_ik").alias("minval"))
+    )
+    iso = mm.groupBy("s").agg(F.max("minval").alias("iso_raw"))
+    return (
+        bins.alias("b")
+        .join(iso.alias("i"), F.col("i.s") == F.col("b.s"))
+        .selectExpr(
+            "b.s AS bin",
+            "b.n AS n_rows",
+            "b.pos AS pos",
+            "floor(CAST(150 + 14 * b.s AS DOUBLE) / 1000e0 * 10000 + 0.5)"
+            " / 10000 AS pred_rate",
+            "floor(CAST(b.pos AS DOUBLE) / CAST(b.n AS DOUBLE)"
+            " * 10000 + 0.5) / 10000 AS obs_rate",
+            "floor(iso_raw * 10000 + 0.5) / 10000 AS iso_rate",
+        )
+        .orderBy("bin")
+    )

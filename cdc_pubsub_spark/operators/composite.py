@@ -4174,3 +4174,150 @@ def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"floor({_DID_SE} / 100 * 10000 + 0.5) / 10000 AS se_dollars",
         f"floor({_DID_EST} / ({_DID_SE}) * 100 + 0.5) / 100 AS t_stat",
     )
+
+
+def _pgram_trig_values() -> str:
+    """Quantized trig table for the periodogram, generated ONCE in
+    Python and embedded as integer literals in BOTH the Spark plan and
+    the DuckDB oracle — neither engine ever evaluates cos/sin, so libm
+    rounding differences cannot exist by construction (the BPE "shared
+    literal" device applied to transcendentals). Scale 1e4: the
+    coefficient error is ≤ 5e-5 relative, which perturbs the power
+    spectrum ~1e-4 relative — irrelevant for period RANKING and far
+    inside the r2 output grain, while keeping every dev·cq product and
+    its calendar-length sum within exact integer range."""
+    import math as _m
+
+    rows = []
+    for p in range(2, 29):
+        for r in range(p):
+            ang = 2.0 * _m.pi * r / p
+            rows.append(
+                f"({p}, {r},"
+                f" {int(_m.floor(_m.cos(ang) * 10000 + 0.5))},"
+                f" {int(_m.floor(_m.sin(ang) * 10000 + 0.5))})"
+            )
+    return ", ".join(rows)
+
+
+_PGRAM_VALUES = _pgram_trig_values()
+
+_PGRAM_POWER = (
+    "((CAST(sdc AS DOUBLE) / (10000e0 * CAST(n_days AS DOUBLE)"
+    " * CAST(n_days AS DOUBLE)))"
+    " * (CAST(sdc AS DOUBLE) / (10000e0 * CAST(n_days AS DOUBLE)"
+    " * CAST(n_days AS DOUBLE)))"
+    " + (CAST(sds AS DOUBLE) / (10000e0 * CAST(n_days AS DOUBLE)"
+    " * CAST(n_days AS DOUBLE)))"
+    " * (CAST(sds AS DOUBLE) / (10000e0 * CAST(n_days AS DOUBLE)"
+    " * CAST(n_days AS DOUBLE))))"
+)
+
+
+@register(
+    "ts_periodogram",
+    category="composite",
+    oracle=f"""
+    WITH daily AS MATERIALIZED (
+      SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+             AS BIGINT) AS day_idx,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM events GROUP BY 1
+    ),
+    stats AS MATERIALIZED (
+      SELECT CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(cents) AS BIGINT) AS sx
+      FROM daily
+    ),
+    trig(p, r, cq, sq) AS (VALUES {_PGRAM_VALUES}),
+    spec AS (
+      SELECT t.p AS period, max(s.n_days) AS n_days,
+             CAST(sum(CAST(s.n_days * d.cents - s.sx AS HUGEINT) * t.cq)
+                  AS HUGEINT) AS sdc,
+             CAST(sum(CAST(s.n_days * d.cents - s.sx AS HUGEINT) * t.sq)
+                  AS HUGEINT) AS sds
+      FROM daily d
+      CROSS JOIN stats s
+      JOIN trig t ON t.r = d.day_idx % t.p
+      GROUP BY t.p
+    )
+    SELECT period, n_days,
+           floor({_PGRAM_POWER} * 100 + 0.5) / 100 AS power_cents2,
+           CAST(row_number() OVER (
+             ORDER BY {_PGRAM_POWER} DESC, period) AS BIGINT)
+             AS dominant_rank
+    FROM spec
+    ORDER BY period
+    """,
+)
+def ts_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERIODOGRAM of the daily event-value series: spectral power at
+    every candidate period 2–28 days via the discrete Fourier
+    projection P(p) = mean_amp_cos² + mean_amp_sin², ranked so the
+    dominant cycle length surfaces as rank 1 — the frequency-domain
+    twin of ts_autocorr (which measures self-similarity at a LAG;
+    this measures energy at a PERIOD, and a weekly rhythm shows up at
+    p=7 here whether or not adjacent weeks correlate).
+
+    Exactness devices: (1) the trig table is quantized to 1e4-scale
+    integers in Python and injected into both plans as literals —
+    neither engine evaluates cos/sin (see _pgram_trig_values); (2)
+    deviations use the n-scaled integer form n·x_t − Σx (the
+    ts_autocorr device), so every product dev·cq is an exact integer
+    and the per-period sums are exact (HUGEINT in DuckDB,
+    DECIMAL(38,0) in Spark — headroom beyond BIGINT at sf ≥ 1); (3)
+    the power is ONE pinned double expression over those exact sums,
+    so ranking compares bit-identical doubles (ties broken by period).
+
+    Scale shape: the events scan collapses map-side to the
+    calendar-sized daily relation; the trig join is a 405-row
+    broadcast; the spectrum is a 27-group aggregate. The only
+    data-sized pass is the first groupBy — everything after is
+    bounded-domain, the standard ts_ argument.
+    """
+    events = load(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").alias(
+            "day_idx"
+        )
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    stats = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("cents").cast("bigint").alias("sx"),
+    )
+    trig = spark.sql(
+        f"SELECT * FROM (VALUES {_PGRAM_VALUES}) AS trig(p, r, cq, sq)"
+    )
+    spec = (
+        daily.crossJoin(F.broadcast(stats))
+        .join(
+            F.broadcast(trig),
+            F.col("r") == F.col("day_idx") % F.col("p"),
+        )
+        .groupBy(F.col("p").alias("period"))
+        .agg(
+            F.max("n_days").alias("n_days"),
+            F.sum(
+                F.expr(
+                    "CAST(n_days * cents - sx AS DECIMAL(28,0)) * cq"
+                )
+            ).alias("sdc"),
+            F.sum(
+                F.expr(
+                    "CAST(n_days * cents - sx AS DECIMAL(28,0)) * sq"
+                )
+            ).alias("sds"),
+        )
+    )
+    return spec.selectExpr(
+        "period",
+        "n_days",
+        f"floor({_PGRAM_POWER} * 100 + 0.5) / 100 AS power_cents2",
+        f"CAST(row_number() OVER (ORDER BY {_PGRAM_POWER} DESC, period)"
+        " AS BIGINT) AS dominant_rank",
+    ).orderBy("period")

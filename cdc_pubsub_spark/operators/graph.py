@@ -1426,3 +1426,180 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         " / CAST(n_local AS DOUBLE) * 10000 + 0.5) / 10000"
         " AS avg_local_cc",
     )
+
+
+_HITS_ROUNDS = 4
+
+
+def _hits_oracle_sql(rounds: int = _HITS_ROUNDS) -> str:
+    """Unrolled HITS: per round an authority half-step (sum of hub
+    scores over in-edges, max-normalized to integer micro-units) then a
+    hub half-step (sum of authority scores over out-edges, same
+    normalization) — every aggregate an exact integer sum, every
+    normalization an exact integer floor-division, so the unrolling is
+    bit-identical across engines with no float state at all. Every CTE
+    is MATERIALIZED: each round's score relation has two consumers (the
+    max and the normalization), and an inlined CTE would re-expand the
+    whole prior chain per consumer — 2^rounds blowup (measured 44 s at
+    sf0.01; materialized: milliseconds)."""
+    parts = [
+        """users AS MATERIALIZED (SELECT DISTINCT user_id FROM events),
+    """
+        + _EDGE_SQL.strip().replace("edges AS (", "edges AS MATERIALIZED (")
+        + """,
+    h_0 AS MATERIALIZED (
+      SELECT user_id, CAST(1000000 AS BIGINT) AS h FROM users)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""
+    araw_{r} AS MATERIALIZED (
+      SELECT u.user_id,
+             CAST(coalesce(sum(h.h), 0) AS BIGINT) AS raw
+      FROM users u
+      LEFT JOIN edges e ON e.dst = u.user_id
+      LEFT JOIN h_{r - 1} h ON h.user_id = e.src
+      GROUP BY u.user_id
+    ),
+    a_{r} AS MATERIALIZED (
+      SELECT user_id,
+             CAST(raw * 1000000 // (SELECT max(raw) FROM araw_{r})
+                  AS BIGINT) AS a
+      FROM araw_{r}
+    ),
+    hraw_{r} AS MATERIALIZED (
+      SELECT u.user_id,
+             CAST(coalesce(sum(a.a), 0) AS BIGINT) AS raw
+      FROM users u
+      LEFT JOIN edges e ON e.src = u.user_id
+      LEFT JOIN a_{r} a ON a.user_id = e.dst
+      GROUP BY u.user_id
+    ),
+    h_{r} AS MATERIALIZED (
+      SELECT user_id,
+             CAST(raw * 1000000 // (SELECT max(raw) FROM hraw_{r})
+                  AS BIGINT) AS h
+      FROM hraw_{r}
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT u.user_id,
+           h.h AS hub_micro,
+           a.a AS auth_micro,
+           CAST(h.h AS DOUBLE) / 1000000e0 AS hub,
+           CAST(a.a AS DOUBLE) / 1000000e0 AS authority
+    FROM users u
+    JOIN h_{rounds} h ON h.user_id = u.user_id
+    JOIN a_{rounds} a ON a.user_id = u.user_id
+    ORDER BY auth_micro DESC, hub_micro DESC, u.user_id
+    LIMIT 20"""
+    )
+    return "WITH " + ",".join(parts[:-1]) + parts[-1]
+
+
+@register(
+    "graph_hits",
+    category="graph",
+    bench=False,  # 8 sequential tiny half-step jobs: timed cost is the
+    # per-stage scheduling floor at fixture scale, not query work (the
+    # ml_logreg_quality exclusion rationale).
+    oracle=_hits_oracle_sql(),
+)
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg) over the deterministic
+    2-regular user graph — 4 rounds, ENTIRELY in integer arithmetic:
+    scores live as micro-units (1e6 = 1.0), each half-step is an exact
+    BIGINT sum along edges followed by max-normalization as an exact
+    integer floor-division (score·1e6 div max). No float state ever
+    exists, so unlike textbook HITS (L2 normalization → sqrt →
+    cross-engine ulp drift compounding per round) the whole fixpoint
+    path is bit-reproducible and carries an exact relational oracle —
+    the certified-iterative discipline of ml_logreg_quality's integer
+    weights, applied to eigenvector-style message passing.
+
+    Execution shape (the Pregel superstep layout, NOT a single unrolled
+    DAG): each round's score relation has two consumers — the global
+    max and the normalization projection — so leaving it as lineage
+    would re-expand the whole prior chain per consumer (2^rounds plan
+    blowup, measured 89 s at sf0.01). Instead each half-step PERSISTS
+    the vertex-score relation and collects the 1-row max (the Lloyd's
+    pattern: scalar state on the driver, relations stay distributed),
+    making the lineage depth constant per round — exactly how
+    GraphX/Pregel materializes each superstep's vertex state. Per round
+    that is two vertex-keyed shuffles (the in/out neighborhood sums)
+    and two 1-value collects; at 100 TB the persisted frontier is a
+    vertex-partitioned table and the collect is one number.
+
+    PageRank ranks by stationary in-flow; HITS separates the two roles
+    (good pointer vs good pointee). Both are certified against the same
+    synthetic edge set (FIXTURES.md §3 2-regular graph).
+    """
+    users = load(spark, sf_dir, "events").select("user_id").distinct()
+    edges = users.select(
+        F.col("user_id").alias("src"),
+        ((F.col("user_id") * 7 + 3) % 1000).alias("dst"),
+    ).unionByName(
+        users.select(
+            F.col("user_id").alias("src"),
+            ((F.col("user_id") * 13 + 11) % 1000).alias("dst"),
+        )
+    ).persist()
+    caches: list[DataFrame] = [edges]
+    h = users.select(
+        "user_id", F.lit(1000000).cast("bigint").alias("h")
+    ).persist()
+    caches.append(h)
+    a = None
+    for _ in range(_HITS_ROUNDS):
+        araw = (
+            users.alias("u")
+            .join(
+                edges.alias("e"), F.col("e.dst") == F.col("u.user_id"), "left"
+            )
+            .join(h.alias("hh"), F.col("hh.user_id") == F.col("e.src"), "left")
+            .groupBy(F.col("u.user_id").alias("user_id"))
+            .agg(
+                F.coalesce(F.sum("hh.h"), F.lit(0)).cast("bigint").alias("raw")
+            )
+            .persist()
+        )
+        caches.append(araw)
+        amax = int(araw.agg(F.max("raw")).collect()[0][0])
+        a = araw.selectExpr(
+            "user_id", f"CAST(raw * 1000000 div {amax} AS BIGINT) AS a"
+        )
+        hraw = (
+            users.alias("u")
+            .join(
+                edges.alias("e"), F.col("e.src") == F.col("u.user_id"), "left"
+            )
+            .join(a.alias("aa"), F.col("aa.user_id") == F.col("e.dst"), "left")
+            .groupBy(F.col("u.user_id").alias("user_id"))
+            .agg(
+                F.coalesce(F.sum("aa.a"), F.lit(0)).cast("bigint").alias("raw")
+            )
+            .persist()
+        )
+        caches.append(hraw)
+        hmax = int(hraw.agg(F.max("raw")).collect()[0][0])
+        h = hraw.selectExpr(
+            "user_id", f"CAST(raw * 1000000 div {hmax} AS BIGINT) AS h"
+        )
+    out = (
+        users.alias("u")
+        .join(h.alias("h"), F.col("h.user_id") == F.col("u.user_id"))
+        .join(a.alias("a"), F.col("a.user_id") == F.col("u.user_id"))
+        .selectExpr(
+            "u.user_id AS user_id",
+            "h.h AS hub_micro",
+            "a.a AS auth_micro",
+            "CAST(h.h AS DOUBLE) / 1000000e0 AS hub",
+            "CAST(a.a AS DOUBLE) / 1000000e0 AS authority",
+        )
+        .orderBy(
+            F.col("auth_micro").desc(), F.col("hub_micro").desc(), "user_id"
+        )
+        .limit(20)
+    )
+    return finalize_cached(out, *caches)

@@ -143,3 +143,48 @@ def test_clustering_coefficient_consistency(spark, sf_dir):
     assert 3 * r.n_triangles <= r.n_wedges
     assert 0.0 < r.global_cc <= 1.0
     assert 0.0 < r.avg_local_cc <= 1.0
+
+
+def test_hits_matches_pure_python_replication(spark, sf_dir):
+    """Independent reimplementation: run the identical integer HITS
+    (micro-unit scores, exact sums, max floor-division normalization)
+    in pure Python over the same synthetic edge set and require the
+    top-20 to match the engine EXACTLY — integer discipline means there
+    is no tolerance to hide behind."""
+    from cdc_pubsub_spark.tables import load
+
+    users = sorted(
+        r.user_id
+        for r in load(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .collect()
+    )
+    uset = set(users)
+    edges = [(u, (u * 7 + 3) % 1000) for u in users] + [
+        (u, (u * 13 + 11) % 1000) for u in users
+    ]
+    h = {u: 1000000 for u in users}
+    a = {}
+    for _ in range(4):
+        araw = {u: 0 for u in users}
+        for s, d in edges:
+            if d in uset:
+                araw[d] += h[s]
+        m = max(araw.values())
+        a = {u: araw[u] * 1000000 // m for u in users}
+        hraw = {u: 0 for u in users}
+        for s, d in edges:
+            if d in uset:
+                hraw[s] += a[d]
+        m = max(hraw.values())
+        h = {u: hraw[u] * 1000000 // m for u in users}
+    exp = sorted(
+        ((u, h[u], a[u]) for u in users), key=lambda t: (-t[2], -t[1], t[0])
+    )[:20]
+    rows = REGISTRY["graph_hits"].fn(spark, sf_dir).collect()
+    got = [(r.user_id, r.hub_micro, r.auth_micro) for r in rows]
+    assert got == exp
+    assert any(r.auth_micro == 1000000 for r in rows), (
+        "max-normalization must pin the top authority at exactly 1e6"
+    )

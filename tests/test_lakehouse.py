@@ -363,3 +363,55 @@ def test_diff_in_diff_placebo_is_null(spark, sf_dir):
     assert r.se_dollars > 0
     assert abs(r.t_stat) < 4.0, r
     assert abs(r.did_dollars) <= 4 * r.se_dollars + 1e-9
+
+
+def test_periodogram_matches_pure_python_replication(spark, sf_dir):
+    """Independent replication: rebuild the daily integer-cents series
+    with DuckDB (a third engine), run the identical quantized-trig
+    projection in pure Python, and require every r2 power and every
+    dominant rank to match the Spark op exactly."""
+    import math
+
+    import duckdb
+
+    from cdc_pubsub_spark.registry import REGISTRY
+
+    con = duckdb.connect()
+    daily = con.sql(
+        "SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000"
+        " AS BIGINT) AS d,"
+        " CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)"
+        " AS c"
+        f" FROM read_parquet('{sf_dir}/events.parquet') GROUP BY 1"
+    ).fetchall()
+    n = len(daily)
+    sx = sum(c for _, c in daily)
+    exp = {}
+    powers = []
+    for p in range(2, 29):
+        trig = {
+            r: (
+                int(math.floor(math.cos(2 * math.pi * r / p) * 10000 + 0.5)),
+                int(math.floor(math.sin(2 * math.pi * r / p) * 10000 + 0.5)),
+            )
+            for r in range(p)
+        }
+        sdc = sum((n * c - sx) * trig[d % p][0] for d, c in daily)
+        sds = sum((n * c - sx) * trig[d % p][1] for d, c in daily)
+        ac = float(sdc) / (10000.0 * float(n) * float(n))
+        as_ = float(sds) / (10000.0 * float(n) * float(n))
+        pw = ac * ac + as_ * as_
+        exp[p] = math.floor(pw * 100 + 0.5) / 100
+        powers.append((p, pw))
+    ranks = {
+        p: i + 1
+        for i, (p, _) in enumerate(
+            sorted(powers, key=lambda t: (-t[1], t[0]))
+        )
+    }
+    rows = REGISTRY["ts_periodogram"].fn(spark, sf_dir).collect()
+    assert len(rows) == 27
+    for r in rows:
+        assert r.n_days == n
+        assert r.power_cents2 == exp[r.period], r
+        assert r.dominant_rank == ranks[r.period], r

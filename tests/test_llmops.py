@@ -1032,3 +1032,98 @@ def test_decode_qoi_codec_compresses_and_rejects_corruption():
             raise AssertionError("corrupt QOI must raise")
         except (ValueError, IndexError):
             pass
+
+
+def test_gmm_em_recovers_planted_mixture(spark, sf_dir):
+    """EM must recover the planted 40/60 mixture at 5000/8000 cents:
+    means within the documented soft-assignment bias (~±250 at small
+    sf), sds within the cross-component-leakage band around the true
+    500, and the mixing weight near 0.4 — proves the E/M loop actually
+    climbs the likelihood rather than echoing its init (4000/9000)."""
+    r = REGISTRY["ml_gmm_em"].fn(spark, sf_dir).collect()[0]
+    assert abs(r.mu1_cents - 5000) <= 250, r
+    assert abs(r.mu2_cents - 8000) <= 250, r
+    assert 420 <= r.sigma1_cents <= 760, r
+    assert 420 <= r.sigma2_cents <= 760, r
+    assert 0.33 <= r.w1 <= 0.47, r
+    assert abs(r.w1 + r.w2 - 1.0) < 1e-6, r
+    assert r.iters == 5
+
+
+def test_isotonic_matches_pure_python_pav(spark, sf_dir):
+    """The op computes the isotonic fit via the closed-form minimax;
+    this test runs the classic sequential POOL-ADJACENT-VIOLATORS
+    algorithm (exact Fractions) over the same bins — two different
+    algorithms must land on the same fixed point. Also pins the
+    definitional invariants: monotone fit, weighted-mean preservation."""
+    from fractions import Fraction
+
+    rows = sorted(
+        REGISTRY["ml_isotonic_calibration"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.bin,
+    )
+    # PAV over (n, pos) in bin order: merge while the last mean exceeds
+    # the incoming one.
+    stack = []  # (n, pos)
+    for r in rows:
+        n, pos = r.n_rows, r.pos
+        while stack and Fraction(stack[-1][1], stack[-1][0]) >= Fraction(
+            pos, n
+        ):
+            pn, pp = stack.pop()
+            n, pos = n + pn, pos + pp
+        stack.append((n, pos))
+    # Expand: each pooled block's mean applies to every bin it spans.
+    expanded = []
+    for n, pos in stack:
+        covered = 0
+        while covered < n:
+            covered += rows[len(expanded)].n_rows
+            expanded.append(Fraction(pos, n))
+    assert len(expanded) == len(rows)
+    for r, frac in zip(rows, expanded):
+        import math
+
+        want = math.floor(float(frac) * 10000 + 0.5) / 10000
+        assert abs(r.iso_rate - want) <= 1e-4, (r.bin, r.iso_rate, want)
+    # Monotone non-decreasing fit.
+    iso = [r.iso_rate for r in rows]
+    assert all(a <= b + 1e-9 for a, b in zip(iso, iso[1:]))
+    # Weighted-mean preservation (L2-projection property), within the
+    # r4 output grain.
+    n_total = sum(r.n_rows for r in rows)
+    assert (
+        abs(
+            sum(r.n_rows * r.iso_rate for r in rows)
+            - sum(r.pos for r in rows)
+        )
+        <= 1e-4 * n_total + 1
+    )
+    # PAV must have actually pooled something (sampling noise
+    # guarantees inversions at fixture scale) — otherwise the test is
+    # vacuous.
+    assert len(stack) < len(rows)
+
+
+def test_levenshtein_block_finds_planted_pairs(spark, sf_dir):
+    """Recall on the planted corpus: every ÷10 exact copy surfaces at
+    distance exactly 0 and every ÷7 suffix near-copy at distance
+    exactly len(' zq extra tail') = 14; precision: nothing above the
+    threshold leaks through, and pairs are canonically ordered."""
+    from cdc_pubsub_spark.tables import load
+
+    rows = REGISTRY["dedup_levenshtein_block"].fn(spark, sf_dir).collect()
+    got = {(r.doc_a, r.doc_b): r.dist for r in rows}
+    ids = [
+        r.doc_id
+        for r in load(spark, sf_dir, "documents").select("doc_id").collect()
+    ]
+    exact = [i for i in ids if i % 10 == 0]
+    near = [i for i in ids if i % 7 == 0]
+    assert exact and near, "fixture must plant both dup kinds"
+    for i in exact:
+        assert got.get((i, i + 1000000)) == 0, i
+    for i in near:
+        assert got.get((i, i + 2000000)) == 14, i
+    assert all(d <= 16 for d in got.values())
+    assert all(a < b for (a, b) in got)
