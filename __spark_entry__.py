@@ -199,6 +199,10 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     "ml_gmm_em",
     "ml_isotonic_calibration",
     "dedup_levenshtein_block",
+    "multimodal_decode_bmp",
+    "profile_cramers_v",
+    "events_hotspot_grid",
+    "text_readability",
 }
 
 

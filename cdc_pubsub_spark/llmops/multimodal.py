@@ -1424,3 +1424,256 @@ def multimodal_decode_qoi(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="width int, height int, mean_lum int,"
         " doc_id bigint, decoded_ok boolean",
     )
+
+
+# --- multimodal_decode_bmp: sixth real codec (BI_RGB 24bpp + BI_RLE8) ---
+
+
+def _bmp_dims(doc_id: int) -> tuple[int, int]:
+    return 9 + doc_id % 8, 5 + doc_id % 6
+
+
+def _bmp_px24(doc_id: int, j: int) -> tuple[int, int, int]:
+    """Closed-form 24-bit raster (RGB): constant over 7-px stretches."""
+    s = j // 7
+    return (
+        (doc_id + s) % 256,
+        (doc_id * 2 + s * 3) % 256,
+        (doc_id * 5 + s * 11) % 256,
+    )
+
+
+def _bmp_pal(i: int) -> tuple[int, int, int]:
+    """256-entry palette for the 8-bit variant (RGB)."""
+    return (i, (i * 3) % 256, (i * 7) % 256)
+
+
+def _bmp_idx8(doc_id: int, j: int) -> int:
+    """Closed-form 8-bit color index: runs of 9 force RLE encoding."""
+    return (doc_id + j // 9) % 256
+
+
+def _synth_bmp(doc_id: int) -> bytes:
+    """Real BMP bytes: BITMAPFILEHEADER + 40-byte BITMAPINFOHEADER
+    (little-endian, positive height = bottom-up storage). Even doc_id:
+    uncompressed 24-bit BI_RGB with 4-byte row padding, BGR byte
+    order. Odd doc_id: 8-bit BI_RLE8 with a 256-entry BGRX palette —
+    encoded runs, a deterministic sprinkling of absolute-mode
+    segments (word-aligned), end-of-line and end-of-bitmap escapes.
+    """
+    import struct
+
+    w, h = _bmp_dims(doc_id)
+    if doc_id % 2 == 0:
+        rowbytes = (w * 3 + 3) // 4 * 4
+        body = bytearray()
+        for row in range(h - 1, -1, -1):  # bottom-up
+            for col in range(w):
+                r, g, b = _bmp_px24(doc_id, row * w + col)
+                body += bytes((b, g, r))  # BGR on disk
+            body += b"\x00" * (rowbytes - w * 3)
+        off = 14 + 40
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+        )
+    else:
+        pal = bytearray()
+        for i in range(256):
+            r, g, b = _bmp_pal(i)
+            pal += bytes((b, g, r, 0))  # BGRX
+        body = bytearray()
+        for row in range(h - 1, -1, -1):  # bottom-up
+            vals = [_bmp_idx8(doc_id, row * w + col) for col in range(w)]
+            col = 0
+            if w >= 4 and (doc_id + row) % 3 == 0:
+                # absolute-mode segment: 4 literal indices (even count
+                # -> already word-aligned, no pad byte)
+                body += bytes((0, 4)) + bytes(vals[:4])
+                col = 4
+            while col < w:
+                run = 1
+                while col + run < w and vals[col + run] == vals[col]:
+                    run += 1
+                body += bytes((run, vals[col]))
+                col += run
+            body += b"\x00\x00"  # end of line
+        body += b"\x00\x01"  # end of bitmap
+        off = 14 + 40 + 1024
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 8, 1, len(body), 2835, 2835, 256, 0
+        )
+        info += bytes(pal)
+    filehdr = struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
+    return bytes(filehdr + info + body)
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """Genuine BMP decode: file-header magic + offset, 40-byte info
+    header, then either the padded bottom-up 24-bit raster (BGR) or a
+    full BI_RLE8 replay (encoded runs, absolute mode with word-align
+    padding, EOL / EOB escapes; the DELTA escape and top-down rasters
+    raise — dead-letter stance). Returns dimensions, bit depth, and
+    luminance facts that depend on correct row order (topleft_lum
+    comes from the LAST stored row of a bottom-up file — a decoder
+    that ignores orientation fails the oracle)."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP signature")
+    _sz, _r1, _r2, off = struct.unpack("<IHHI", payload[2:14])
+    (
+        hsz,
+        w,
+        h,
+        planes,
+        bpp,
+        comp,
+        _isz,
+        _xppm,
+        _yppm,
+        _ncol,
+        _nimp,
+    ) = struct.unpack("<IiiHHIIiiII", payload[14:54])
+    if hsz != 40 or planes != 1:
+        raise ValueError("unsupported DIB header")
+    if h <= 0:
+        raise ValueError("top-down BMP unsupported")
+    raster: list[list[tuple[int, int, int]]] = [
+        [(0, 0, 0)] * w for _ in range(h)
+    ]
+    if comp == 0 and bpp == 24:
+        rowbytes = (w * 3 + 3) // 4 * 4
+        if len(payload) < off + rowbytes * h:
+            raise ValueError("truncated 24-bit raster")
+        for stored in range(h):
+            row = h - 1 - stored  # bottom-up
+            base = off + stored * rowbytes
+            for col in range(w):
+                b, g, r = payload[base + col * 3 : base + col * 3 + 3]
+                raster[row][col] = (r, g, b)
+    elif comp == 1 and bpp == 8:
+        pal = []
+        for i in range(256):
+            b, g, r, _x = payload[54 + i * 4 : 58 + i * 4]
+            pal.append((r, g, b))
+        pos = off
+        stored_row, col = 0, 0
+        while True:
+            if pos + 2 > len(payload):
+                raise ValueError("truncated RLE stream")
+            n, v = payload[pos], payload[pos + 1]
+            pos += 2
+            if n == 0:
+                if v == 0:  # end of line
+                    stored_row += 1
+                    col = 0
+                    continue
+                if v == 1:  # end of bitmap
+                    break
+                if v == 2:
+                    raise ValueError("RLE delta escape unsupported")
+                # absolute mode: v literal indices, word-aligned
+                if pos + v > len(payload):
+                    raise ValueError("truncated absolute segment")
+                for k in range(v):
+                    raster[h - 1 - stored_row][col] = pal[payload[pos + k]]
+                    col += 1
+                pos += v + (v & 1)
+            else:
+                for _k in range(n):
+                    raster[h - 1 - stored_row][col] = pal[v]
+                    col += 1
+        if stored_row != h:
+            raise ValueError("row count mismatch")
+    else:
+        raise ValueError("unsupported compression/bpp combination")
+    total = sum(sum(p) for row in raster for p in row)
+    return {
+        "width": w,
+        "height": h,
+        "bpp": bpp,
+        "compression": comp,
+        "mean_lum": total // (w * h * 3),
+        "topleft_lum": sum(raster[0][0]),
+    }
+
+
+@register(
+    "multimodal_decode_bmp",
+    category="multimodal",
+    bench=False,
+    oracle="""
+    WITH img AS (
+      SELECT doc_id, 9 + doc_id % 8 AS w, 5 + doc_id % 6 AS h
+      FROM documents WHERE doc_id <= 400
+    )
+    SELECT i.doc_id,
+           CAST(i.w AS INT) AS width,
+           CAST(i.h AS INT) AS height,
+           CAST(CASE WHEN i.doc_id % 2 = 0 THEN 24 ELSE 8 END AS INT)
+             AS bpp,
+           CAST(CASE WHEN i.doc_id % 2 = 0 THEN 0 ELSE 1 END AS INT)
+             AS compression,
+           CAST(sum(CASE WHEN i.doc_id % 2 = 0 THEN
+                  (i.doc_id + t.j // 7) % 256
+                  + (i.doc_id * 2 + (t.j // 7) * 3) % 256
+                  + (i.doc_id * 5 + (t.j // 7) * 11) % 256
+                ELSE
+                  (i.doc_id + t.j // 9) % 256
+                  + (((i.doc_id + t.j // 9) % 256) * 3) % 256
+                  + (((i.doc_id + t.j // 9) % 256) * 7) % 256
+                END)
+                // (i.w * i.h * 3) AS INT) AS mean_lum,
+           CAST(CASE WHEN i.doc_id % 2 = 0 THEN
+                  i.doc_id % 256 + (i.doc_id * 2) % 256
+                  + (i.doc_id * 5) % 256
+                ELSE
+                  i.doc_id % 256 + ((i.doc_id % 256) * 3) % 256
+                  + ((i.doc_id % 256) * 7) % 256
+                END AS INT) AS topleft_lum,
+           true AS decoded_ok
+    FROM img i, LATERAL unnest(range(0, i.w * i.h)) AS t(j)
+    GROUP BY i.doc_id, i.w, i.h
+    """,
+)
+def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed REAL BMP decode via Arrow mapInPandas — the SIXTH
+    genuine codec, and the first CONTAINER with two in-family
+    encodings dispatched off the header: even doc_ids carry
+    uncompressed 24-bit BI_RGB (bottom-up rows, 4-byte padding, BGR
+    byte order), odd doc_ids carry 8-bit BI_RLE8 (palette lookup,
+    encoded runs, word-aligned absolute-mode segments, EOL/EOB
+    escapes; the DELTA escape and top-down rasters dead-letter). The
+    oracle recomputes luminance from the closed-form raster, and
+    `topleft_lum` is deliberately orientation-sensitive: pixel (0,0)
+    lives in the LAST stored row of a bottom-up file, so a decoder
+    that ignores row order — or RLE run boundaries, or the BGR swap —
+    cannot survive the hash check.
+
+    Same production plumbing as the PNG/GIF/QOI kernels: payload
+    bytes synthesized in-kernel, Arrow batch iteration, per-row cost
+    independent of corpus size; at 100 TB the kernel reads a parquet
+    binary column instead (multimodal_binary_ingest is the ingest
+    twin).
+    """
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") <= 400)
+    ids = docs.select("doc_id")
+
+    def decode_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                feats = decode_bmp(_synth_bmp(int(doc_id)))
+                feats["doc_id"] = doc_id
+                feats["decoded_ok"] = True
+                out.append(feats)
+            yield pd.DataFrame(out)
+
+    return ids.mapInPandas(
+        decode_batches,
+        schema="width int, height int, bpp int, compression int,"
+        " mean_lum int, topleft_lum int, doc_id bigint,"
+        " decoded_ok boolean",
+    )

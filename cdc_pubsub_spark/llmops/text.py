@@ -1831,3 +1831,131 @@ def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "floor(CAST(j_sum AS DOUBLE) / 1000000000"
         " / ln(CAST(2 AS DOUBLE)) * 10000 + 0.5) / 10000 AS jsd_bits",
     )
+
+
+# --- text_readability: Flesch-style scoring over the corpus --------------
+
+# Per-doc counts from length/replace primitives only (the ml.py feature
+# discipline — no regex dialect gaps). Sentences: terminal punctuation
+# occurrences, floored at 1; words: space count + 1; syllable proxy:
+# vowel occurrences (documented proxy — hyphenation-free, engine-exact).
+_READ_COUNTS_SQL = """
+      SELECT doc_id, source,
+             greatest(length(text) - length(replace(text, '.', ''))
+                      + length(text) - length(replace(text, '!', ''))
+                      + length(text) - length(replace(text, '?', '')),
+                      1) AS sents,
+             length(text) - length(replace(text, ' ', '')) + 1 AS words,
+             length(lower(text)) - length(replace(lower(text), 'a', ''))
+             + length(lower(text)) - length(replace(lower(text), 'e', ''))
+             + length(lower(text)) - length(replace(lower(text), 'i', ''))
+             + length(lower(text)) - length(replace(lower(text), 'o', ''))
+             + length(lower(text)) - length(replace(lower(text), 'u', ''))
+               AS vows
+      FROM documents
+"""
+
+_READ_FLESCH = (
+    "(206.835e0"
+    " - 1.015e0 * (CAST(words AS DOUBLE) / CAST(sents AS DOUBLE))"
+    " - 84.6e0 * (CAST(vows AS DOUBLE) / CAST(words AS DOUBLE)))"
+)
+
+
+@register(
+    "text_readability",
+    category="text",
+    oracle=f"""
+    WITH counts AS ({_READ_COUNTS_SQL}),
+    scored AS (
+      SELECT source,
+             CAST(floor({_READ_FLESCH} * 1000000 + 0.5) AS BIGINT)
+               AS fq,
+             words, sents, vows
+      FROM counts
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           floor(CAST(sum(fq) AS DOUBLE)
+                 / (1000000e0 * CAST(count(*) AS DOUBLE))
+                 * 100 + 0.5) / 100 AS avg_flesch,
+           floor(CAST(sum(CASE WHEN fq >= 60000000 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                 * 10000 + 0.5) / 10000 AS share_easy,
+           floor(CAST(sum(words) AS DOUBLE) / CAST(sum(sents) AS DOUBLE)
+                 * 100 + 0.5) / 100 AS words_per_sentence,
+           floor(CAST(sum(vows) AS DOUBLE) / CAST(sum(words) AS DOUBLE)
+                 * 10000 + 0.5) / 10000 AS vowels_per_word
+    FROM scored
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLESCH READING-EASE scoring per corpus source — the classic
+    readability gate a pretraining pipeline runs next to
+    text_quality_score (which measures junk; this measures DIFFICULTY
+    — 206.835 − 1.015·words/sentence − 84.6·syllables/word, higher =
+    easier). The syllable term uses the documented vowel-occurrence
+    proxy: exact, hyphenation-free, and computed from length/replace
+    primitives only (the ml.py feature discipline — identical
+    semantics in Spark, DuckDB, and the SQL standard; no regex
+    dialect gaps), so the score is engine-exact rather than
+    dictionary-approximate.
+
+    Determinism: each doc's score is one pinned double expression
+    over exact integer counts, quantized to MICRO units per document
+    BEFORE the per-source sum (the order-free integer fold); ratio
+    columns divide exact integer totals. Scale: one narrow projection
+    + one map-side-combined groupBy on ≤5 sources; nothing else
+    touches data.
+    """
+    docs = load(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        "source",
+        "greatest(length(text) - length(replace(text, '.', ''))"
+        " + length(text) - length(replace(text, '!', ''))"
+        " + length(text) - length(replace(text, '?', '')),"
+        " 1) AS sents",
+        "length(text) - length(replace(text, ' ', '')) + 1 AS words",
+        "length(lower(text)) - length(replace(lower(text), 'a', ''))"
+        " + length(lower(text)) - length(replace(lower(text), 'e', ''))"
+        " + length(lower(text)) - length(replace(lower(text), 'i', ''))"
+        " + length(lower(text)) - length(replace(lower(text), 'o', ''))"
+        " + length(lower(text)) - length(replace(lower(text), 'u', ''))"
+        " AS vows",
+    )
+    scored = docs.selectExpr(
+        "source",
+        f"CAST(floor({_READ_FLESCH} * 1000000 + 0.5) AS BIGINT) AS fq",
+        "words",
+        "sents",
+        "vows",
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("fq").alias("sfq"),
+            F.sum(F.expr("CASE WHEN fq >= 60000000 THEN 1 ELSE 0 END")).alias(
+                "n_easy"
+            ),
+            F.sum("words").alias("sw"),
+            F.sum("sents").alias("ss"),
+            F.sum("vows").alias("sv"),
+        )
+        .selectExpr(
+            "source",
+            "n_docs",
+            "floor(CAST(sfq AS DOUBLE)"
+            " / (1000000e0 * CAST(n_docs AS DOUBLE)) * 100 + 0.5) / 100"
+            " AS avg_flesch",
+            "floor(CAST(n_easy AS DOUBLE) / CAST(n_docs AS DOUBLE)"
+            " * 10000 + 0.5) / 10000 AS share_easy",
+            "floor(CAST(sw AS DOUBLE) / CAST(ss AS DOUBLE) * 100 + 0.5)"
+            " / 100 AS words_per_sentence",
+            "floor(CAST(sv AS DOUBLE) / CAST(sw AS DOUBLE) * 10000 + 0.5)"
+            " / 10000 AS vowels_per_word",
+        )
+        .orderBy("source")
+    )

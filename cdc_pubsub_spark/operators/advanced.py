@@ -1758,3 +1758,156 @@ def profile_data_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_pubsub_spark.tables import finalize_cached
 
     return finalize_cached(out, per_key)
+
+
+# --- profile_cramers_v: categorical association matrix -------------------
+
+# (pair label, row expr, col expr) — identical SQL text on both engines.
+# dw: day-of-week as epoch-days mod 7 (portable across engines; DuckDB's
+# dayofweek() and Spark's dayofweek() disagree on numbering).
+_CRAMERS_PAIRS = [
+    ("status_x_priority", "o_orderstatus", "o_orderpriority"),
+    ("status_x_dow", "o_orderstatus", "DOW_EXPR"),
+    ("priority_x_dow", "o_orderpriority", "DOW_EXPR"),
+]
+
+
+def _cramers_pair_sql(label: str, rex: str, cex: str, dow: str) -> str:
+    rex, cex = rex.replace("DOW_EXPR", dow), cex.replace("DOW_EXPR", dow)
+    e = (
+        "CAST(rt.rtot AS DOUBLE) * CAST(ct.ctot AS DOUBLE)"
+        " / CAST(g.n AS DOUBLE)"
+    )
+    return f"""
+      SELECT '{label}' AS pair, g.n AS n_rows,
+             CAST(dims.nr AS BIGINT) AS r_levels,
+             CAST(dims.nc AS BIGINT) AS c_levels,
+             CAST((dims.nr - 1) * (dims.nc - 1) AS BIGINT) AS dof,
+             floor(CAST(sum(contrib.q) AS DOUBLE) / 1000000e0
+                   * 10000 + 0.5) / 10000 AS chi2,
+             floor(sqrt(CAST(sum(contrib.q) AS DOUBLE) / 1000000e0
+                        / (CAST(g.n AS DOUBLE)
+                           * CAST(least(dims.nr, dims.nc) - 1 AS DOUBLE)))
+                   * 10000 + 0.5) / 10000 AS cramers_v
+      FROM (
+        SELECT CAST(floor(
+                 (CAST(cont.o AS DOUBLE) - {e})
+                 * (CAST(cont.o AS DOUBLE) - {e}) / ({e})
+                 * 1000000 + 0.5) AS BIGINT) AS q
+        FROM (SELECT {rex} AS r, {cex} AS c,
+                     CAST(count(*) AS BIGINT) AS o
+              FROM orders GROUP BY 1, 2) cont
+        JOIN (SELECT {rex} AS r, CAST(count(*) AS BIGINT) AS rtot
+              FROM orders GROUP BY 1) rt ON rt.r = cont.r
+        JOIN (SELECT {cex} AS c, CAST(count(*) AS BIGINT) AS ctot
+              FROM orders GROUP BY 1) ct ON ct.c = cont.c
+        CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n FROM orders) g
+      ) contrib
+      CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n FROM orders) g
+      CROSS JOIN (
+        SELECT count(DISTINCT {rex}) AS nr, count(DISTINCT {cex}) AS nc
+        FROM orders) dims
+      GROUP BY g.n, dims.nr, dims.nc
+"""
+
+
+_CRAMERS_DOW_DUCK = "(CAST(o_orderdate AS DATE) - DATE '1970-01-01') % 7"
+_CRAMERS_DOW_SPARK = (
+    "datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01') % 7"
+)
+
+
+@register(
+    "profile_cramers_v",
+    category="advanced",
+    oracle="\n      UNION ALL\n".join(
+        _cramers_pair_sql(lb, r, c, _CRAMERS_DOW_DUCK)
+        for lb, r, c in _CRAMERS_PAIRS
+    )
+    + "\n      ORDER BY pair",
+)
+def profile_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRAMÉR'S V association matrix over the categorical columns of
+    orders (status × priority × day-of-week) — the effect-size
+    companion to profile_chi2_independence: chi-square says WHETHER
+    two categoricals are dependent (it grows with n), V = sqrt(chi² /
+    (n·(min(r,c)−1))) says HOW MUCH on a scale-free [0,1], which is
+    what a data profiler actually ranks columns by. Three pairs, one
+    row each, the full audit a feature-selection pass runs.
+
+    Determinism: per-cell (o−e)²/e contributions quantize to integer
+    MICRO units before the only order-sensitive sum (the chi2 device,
+    cited there); V is then one pinned sqrt over the exact
+    chi2_micro. Day-of-week is epoch-days mod 7 — Spark and DuckDB
+    disagree on dayofweek() numbering, so the portable integer form
+    is the shared definition.
+
+    Scale: per pair, the contingency groupBy is the only data-sized
+    pass (map-side combine onto ≤ 35 keys); margins re-aggregate the
+    cell relation, NOT the scan. The three pairs share one cached
+    projection of the scan's three columns.
+    """
+    dow = _CRAMERS_DOW_SPARK
+    orders = (
+        load(spark, sf_dir, "orders")
+        .selectExpr(
+            "o_orderstatus",
+            "o_orderpriority",
+            f"{dow} AS dw",
+        )
+        .persist()
+    )
+    outs = []
+    caches = [orders]
+    for label, rex, cex in _CRAMERS_PAIRS:
+        rex = rex.replace("DOW_EXPR", "dw")
+        cex = cex.replace("DOW_EXPR", "dw")
+        cont = (
+            orders.groupBy(
+                F.expr(rex).alias("r"), F.expr(cex).alias("c")
+            )
+            .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+            .persist()
+        )
+        caches.append(cont)
+        rt = cont.groupBy("r").agg(F.sum("o").cast("bigint").alias("rtot"))
+        ct = cont.groupBy("c").agg(F.sum("o").cast("bigint").alias("ctot"))
+        g = cont.agg(F.sum("o").cast("bigint").alias("n"))
+        nr, nc = rt.count(), ct.count()
+        e = (
+            "CAST(rtot AS DOUBLE) * CAST(ctot AS DOUBLE)"
+            " / CAST(n AS DOUBLE)"
+        )
+        contrib = (
+            cont.join(F.broadcast(rt), "r")
+            .join(F.broadcast(ct), "c")
+            .crossJoin(F.broadcast(g))
+            .selectExpr(
+                "n",
+                f"CAST(floor((CAST(o AS DOUBLE) - {e})"
+                f" * (CAST(o AS DOUBLE) - {e}) / ({e})"
+                f" * 1000000 + 0.5) AS BIGINT) AS q",
+            )
+        )
+        outs.append(
+            contrib.groupBy("n")
+            .agg(F.sum("q").cast("bigint").alias("chi2_micro"))
+            .selectExpr(
+                f"'{label}' AS pair",
+                "n AS n_rows",
+                f"CAST({nr} AS BIGINT) AS r_levels",
+                f"CAST({nc} AS BIGINT) AS c_levels",
+                f"CAST({(nr - 1) * (nc - 1)} AS BIGINT) AS dof",
+                "floor(CAST(chi2_micro AS DOUBLE) / 1000000e0"
+                " * 10000 + 0.5) / 10000 AS chi2",
+                "floor(sqrt(CAST(chi2_micro AS DOUBLE) / 1000000e0"
+                f" / (CAST(n AS DOUBLE) * CAST({min(nr, nc) - 1} AS DOUBLE)))"
+                " * 10000 + 0.5) / 10000 AS cramers_v",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    from cdc_pubsub_spark.tables import finalize_cached
+
+    return finalize_cached(out.orderBy("pair"), *caches)

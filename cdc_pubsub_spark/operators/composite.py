@@ -4321,3 +4321,148 @@ def ts_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CAST(row_number() OVER (ORDER BY {_PGRAM_POWER} DESC, period)"
         " AS BIGINT) AS dominant_rank",
     ).orderBy("period")
+
+
+# --- events_hotspot_grid: Getis-Ord G* hotspots on a hashed grid ---------
+
+# Deterministic 16x16 grid placement: hashed user coordinates, with a
+# planted cluster (every user_id % 11 == 0 maps to cell (3,3)) so the
+# hotspot statistic has a known answer. Identical SQL text both engines.
+_HOTSPOT_PTS_SQL = """
+      SELECT CASE WHEN user_id % 11 = 0 THEN 3
+             ELSE (user_id * 37 + 11) % 16 END AS gx,
+             CASE WHEN user_id % 11 = 0 THEN 3
+             ELSE (user_id * 53 + 29) % 16 END AS gy,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+"""
+
+
+@register(
+    "events_hotspot_grid",
+    category="composite",
+    oracle=f"""
+    WITH pts AS ({_HOTSPOT_PTS_SQL}),
+    cells AS MATERIALIZED (
+      SELECT gx, gy, CAST(sum(cents) AS BIGINT) AS v
+      FROM pts GROUP BY gx, gy
+    ),
+    stats AS MATERIALIZED (
+      SELECT CAST(count(*) AS BIGINT) AS nc,
+             CAST(sum(v) AS BIGINT) AS s1,
+             CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS s2
+      FROM cells
+    ),
+    offs(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),
+                            (1,-1),(1,0),(1,1)),
+    nb AS MATERIALIZED (
+      SELECT c.gx + o.dx AS gx, c.gy + o.dy AS gy,
+             CAST(sum(c.v) AS BIGINT) AS nb_cents,
+             CAST(count(*) AS BIGINT) AS nb_cells
+      FROM cells c CROSS JOIN offs o
+      GROUP BY 1, 2
+    )
+    SELECT c.gx, c.gy, c.v AS cell_cents, n.nb_cells, n.nb_cents,
+           floor(
+             (CAST(n.nb_cents AS DOUBLE)
+              - CAST(n.nb_cells AS DOUBLE)
+                * (CAST(s.s1 AS DOUBLE) / CAST(s.nc AS DOUBLE)))
+             / (sqrt(CAST(s.s2 AS DOUBLE) / CAST(s.nc AS DOUBLE)
+                     - (CAST(s.s1 AS DOUBLE) / CAST(s.nc AS DOUBLE))
+                       * (CAST(s.s1 AS DOUBLE) / CAST(s.nc AS DOUBLE)))
+                * sqrt((CAST(s.nc AS DOUBLE)
+                        * CAST(n.nb_cells AS DOUBLE)
+                        - CAST(n.nb_cells AS DOUBLE)
+                          * CAST(n.nb_cells AS DOUBLE))
+                       / (CAST(s.nc AS DOUBLE) - 1e0)))
+             * 10000 + 0.5) / 10000 AS gstar
+    FROM cells c
+    JOIN nb n ON n.gx = c.gx AND n.gy = c.gy
+    CROSS JOIN stats s
+    ORDER BY gstar DESC, c.gx, c.gy
+    LIMIT 15
+    """,
+)
+def events_hotspot_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GETIS-ORD G* HOTSPOT DETECTION on a hashed 16×16 spatial grid —
+    the local spatial-autocorrelation statistic GIS engines rank
+    heatmaps by: for each cell, z-score the 3×3-NEIGHBORHOOD total
+    against what that many cells would sum to under spatial
+    randomness. A lone hot CELL is an outlier (profile_anomaly_mad
+    territory); a hot NEIGHBORHOOD is a cluster, and only G* separates
+    the two. The fixture plants a cluster (all user_id % 11 == 0 mass
+    lands in cell (3,3)), so the top hotspot and its ring are a known
+    answer the invariant test asserts.
+
+    Shape: one data-sized groupBy collapses events onto ≤256 cells;
+    the 3×3 neighborhood is an exact 9-row offset cross join over the
+    CELL relation (never the scan) re-aggregated by target cell —
+    the standard grid-convolution-as-join; join_spatial_grid uses the
+    same offset device for point-pair matching. Moments are exact
+    integer sums over cells (HUGEINT/DECIMAL for Σv²); G* is one
+    pinned double expression, so the DESC ranking compares
+    bit-identical doubles. At 100 TB only the first aggregate sees
+    data; a finer grid (2^k cells) keeps the convolution a broadcast.
+    """
+    pts = load(spark, sf_dir, "events").selectExpr(
+        "CASE WHEN user_id % 11 = 0 THEN 3"
+        " ELSE (user_id * 37 + 11) % 16 END AS gx",
+        "CASE WHEN user_id % 11 = 0 THEN 3"
+        " ELSE (user_id * 53 + 29) % 16 END AS gy",
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents",
+    )
+    cells = (
+        pts.groupBy("gx", "gy")
+        .agg(F.sum("cents").cast("bigint").alias("v"))
+        .persist()
+    )
+    stats = cells.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nc"),
+        F.sum("v").cast("bigint").alias("s1"),
+        F.sum(F.expr("CAST(v AS DECIMAL(28,0)) * v")).alias("s2"),
+    )
+    offs = spark.sql(
+        "SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),"
+        "(1,-1),(1,0),(1,1)) AS offs(dx, dy)"
+    )
+    nb = (
+        cells.crossJoin(F.broadcast(offs))
+        .groupBy(
+            (F.col("gx") + F.col("dx")).alias("ngx"),
+            (F.col("gy") + F.col("dy")).alias("ngy"),
+        )
+        .agg(
+            F.sum("v").cast("bigint").alias("nb_cents"),
+            F.count(F.lit(1)).cast("bigint").alias("nb_cells"),
+        )
+    )
+    mu = "(CAST(s1 AS DOUBLE) / CAST(nc AS DOUBLE))"
+    out = (
+        cells.alias("c")
+        .join(
+            nb.alias("n"),
+            (F.col("n.ngx") == F.col("c.gx"))
+            & (F.col("n.ngy") == F.col("c.gy")),
+        )
+        .crossJoin(F.broadcast(stats))
+        .selectExpr(
+            "c.gx AS gx",
+            "c.gy AS gy",
+            "c.v AS cell_cents",
+            "n.nb_cells AS nb_cells",
+            "n.nb_cents AS nb_cents",
+            "floor((CAST(nb_cents AS DOUBLE)"
+            f" - CAST(nb_cells AS DOUBLE) * {mu})"
+            " / (sqrt(CAST(s2 AS DOUBLE) / CAST(nc AS DOUBLE)"
+            f" - {mu} * {mu})"
+            " * sqrt((CAST(nc AS DOUBLE) * CAST(nb_cells AS DOUBLE)"
+            " - CAST(nb_cells AS DOUBLE) * CAST(nb_cells AS DOUBLE))"
+            " / (CAST(nc AS DOUBLE) - 1e0)))"
+            " * 10000 + 0.5) / 10000 AS gstar",
+        )
+        .orderBy(F.col("gstar").desc(), "gx", "gy")
+        .limit(15)
+    )
+    from cdc_pubsub_spark.tables import finalize_cached
+
+    return finalize_cached(out, cells)

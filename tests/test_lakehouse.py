@@ -415,3 +415,40 @@ def test_periodogram_matches_pure_python_replication(spark, sf_dir):
         assert r.n_days == n
         assert r.power_cents2 == exp[r.period], r
         assert r.dominant_rank == ranks[r.period], r
+
+
+
+def test_cramers_v_bounds_and_planted_independence(spark, sf_dir):
+    """V ∈ [0,1] for every pair; the day-of-week pairs must come out
+    near-independent (orderdate is unrelated to status/priority in the
+    generator: V ≈ 0), giving the statistic a known answer at both
+    ends; dof must match the level counts."""
+    from cdc_pubsub_spark.registry import REGISTRY
+
+    rows = REGISTRY["profile_cramers_v"].fn(spark, sf_dir).collect()
+    assert len(rows) == 3
+    by = {r.pair: r for r in rows}
+    for r in rows:
+        assert 0.0 <= r.cramers_v <= 1.0, r
+        assert r.dof == (r.r_levels - 1) * (r.c_levels - 1)
+        assert r.chi2 >= 0.0
+    assert by["status_x_dow"].cramers_v < 0.1
+    assert by["priority_x_dow"].cramers_v < 0.1
+
+def test_hotspot_grid_finds_planted_cluster(spark, sf_dir):
+    """The planted cluster (all user_id % 11 == 0 mass in cell (3,3))
+    must dominate: the top-ranked hotspot sits in the 3×3 ring around
+    (3,3), cell (3,3) itself carries the maximum cell total, and its
+    G* is decisively positive while the tail of the top-15 is not."""
+    from cdc_pubsub_spark.registry import REGISTRY
+
+    rows = REGISTRY["events_hotspot_grid"].fn(spark, sf_dir).collect()
+    assert rows
+    top = rows[0]
+    assert abs(top.gx - 3) <= 1 and abs(top.gy - 3) <= 1, top
+    assert top.gstar > 2.0, top
+    cell33 = [r for r in rows if r.gx == 3 and r.gy == 3]
+    assert cell33, "planted cell must appear in the top-15"
+    assert cell33[0].cell_cents == max(r.cell_cents for r in rows)
+    gs = [r.gstar for r in rows]
+    assert gs == sorted(gs, reverse=True)

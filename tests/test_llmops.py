@@ -1127,3 +1127,102 @@ def test_levenshtein_block_finds_planted_pairs(spark, sf_dir):
         assert got.get((i, i + 2000000)) == 14, i
     assert all(d <= 16 for d in got.values())
     assert all(a < b for (a, b) in got)
+
+
+def test_decode_bmp_codec_variants_and_corruption():
+    """Unit-level checks on the real BMP codec: both encodings
+    round-trip the closed-form raster, RLE genuinely compresses the
+    run-structured raster, and corrupted payloads (bad magic,
+    truncation, delta escape, top-down height) dead-letter."""
+    import struct
+
+    import pytest
+
+    from cdc_pubsub_spark.llmops.multimodal import (
+        _bmp_dims,
+        _bmp_idx8,
+        _bmp_pal,
+        _bmp_px24,
+        _synth_bmp,
+        decode_bmp,
+    )
+
+    for doc_id in (0, 1, 2, 7, 13, 40, 255, 256, 311):
+        w, h = _bmp_dims(doc_id)
+        d = decode_bmp(_synth_bmp(doc_id))
+        if doc_id % 2 == 0:
+            tot = sum(sum(_bmp_px24(doc_id, j)) for j in range(w * h))
+            tl = sum(_bmp_px24(doc_id, 0))
+            bpp, comp = 24, 0
+        else:
+            tot = sum(
+                sum(_bmp_pal(_bmp_idx8(doc_id, j))) for j in range(w * h)
+            )
+            tl = sum(_bmp_pal(_bmp_idx8(doc_id, 0)))
+            bpp, comp = 8, 1
+        assert d == {
+            "width": w,
+            "height": h,
+            "bpp": bpp,
+            "compression": comp,
+            "mean_lum": tot // (w * h * 3),
+            "topleft_lum": tl,
+        }, (doc_id, d)
+    # RLE8 payload must be smaller than the raw 8-bit raster it encodes
+    # (runs of 9 — if the encoder emitted literals the sizes invert).
+    raw = _synth_bmp(101)
+    w, h = _bmp_dims(101)
+    assert len(raw) - (14 + 40 + 1024) < w * h
+    with pytest.raises(ValueError):
+        decode_bmp(b"XX" + raw[2:])
+    with pytest.raises(ValueError):
+        decode_bmp(raw[:60])
+    # delta escape (00 02) is a dead-letter
+    pos = raw.index(b"\x00\x00", 14 + 40 + 1024)
+    bad = bytearray(raw)
+    bad[pos : pos + 2] = b"\x00\x02"
+    with pytest.raises(ValueError):
+        decode_bmp(bytes(bad))
+    # top-down (negative height) dead-letters
+    even = bytearray(_synth_bmp(42))
+    wh = struct.unpack("<i", even[22:26])[0]
+    even[22:26] = struct.pack("<i", -wh)
+    with pytest.raises(ValueError):
+        decode_bmp(bytes(even))
+
+
+def test_readability_score_sanity(spark, sf_dir):
+    """Hand-check the Flesch pipeline on the corpus: per-source scores
+    must equal an independent pandas recomputation of the same
+    definition (collected raw text, python floats), within the micro
+    quantization grain."""
+    import math
+
+    from cdc_pubsub_spark.tables import load
+
+    rows = REGISTRY["text_readability"].fn(spark, sf_dir).collect()
+    docs = load(spark, sf_dir, "documents").select("source", "text").collect()
+    by_src = {}
+    for d in docs:
+        t = d.text
+        lt = t.lower()
+        sents = max(t.count(".") + t.count("!") + t.count("?"), 1)
+        words = t.count(" ") + 1
+        vows = sum(lt.count(v) for v in "aeiou")
+        f = 206.835 - 1.015 * (words / sents) - 84.6 * (vows / words)
+        fq = math.floor(f * 1000000 + 0.5)
+        agg = by_src.setdefault(d.source, [0, 0, 0, 0, 0, 0])
+        agg[0] += 1
+        agg[1] += fq
+        agg[2] += 1 if fq >= 60000000 else 0
+        agg[3] += words
+        agg[4] += sents
+        agg[5] += vows
+    assert {r.source for r in rows} == set(by_src)
+    for r in rows:
+        n, sfq, ne, sw, ss, sv = by_src[r.source]
+        assert r.n_docs == n
+        assert abs(r.avg_flesch - sfq / 1e6 / n) <= 0.011, r
+        assert r.share_easy == math.floor(ne / n * 10000 + 0.5) / 10000
+        assert abs(r.words_per_sentence - sw / ss) <= 0.011
+        assert abs(r.vowels_per_word - sv / sw) <= 0.0011
