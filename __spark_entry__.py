@@ -203,6 +203,11 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     "profile_cramers_v",
     "events_hotspot_grid",
     "text_readability",
+    "multimodal_exif_tiff",
+    "graph_adamic_adar",
+    "scan_fixed_width",
+    "events_burstiness_fano",
+    "sink_merge_into",
 }
 
 

@@ -4466,3 +4466,98 @@ def events_hotspot_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_pubsub_spark.tables import finalize_cached
 
     return finalize_cached(out, cells)
+
+
+@register(
+    "events_burstiness_fano",
+    category="composite",
+    oracle="""
+    WITH daily AS MATERIALIZED (
+      SELECT event_type,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+                  AS BIGINT) AS day_idx,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    cal AS MATERIALIZED (
+      SELECT CAST(count(DISTINCT day_idx) AS BIGINT) AS n_days FROM daily
+    ),
+    mom AS (
+      SELECT event_type,
+             CAST(sum(c) AS BIGINT) AS s1,
+             CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS s2
+      FROM daily GROUP BY 1
+    )
+    SELECT m.event_type, c.n_days, m.s1 AS n_events,
+           floor(CAST(m.s1 AS DOUBLE) / CAST(c.n_days AS DOUBLE)
+                 * 10000 + 0.5) / 10000 AS mean_daily,
+           floor((CAST(m.s2 AS DOUBLE) / CAST(c.n_days AS DOUBLE)
+                  - (CAST(m.s1 AS DOUBLE) / CAST(c.n_days AS DOUBLE))
+                    * (CAST(m.s1 AS DOUBLE) / CAST(c.n_days AS DOUBLE)))
+                 / (CAST(m.s1 AS DOUBLE) / CAST(c.n_days AS DOUBLE))
+                 * 10000 + 0.5) / 10000 AS fano,
+           floor((sqrt(CAST(m.s2 AS DOUBLE) / CAST(c.n_days AS DOUBLE)
+                       - (CAST(m.s1 AS DOUBLE) / CAST(c.n_days AS DOUBLE))
+                         * (CAST(m.s1 AS DOUBLE)
+                            / CAST(c.n_days AS DOUBLE)))
+                  - CAST(m.s1 AS DOUBLE) / CAST(c.n_days AS DOUBLE))
+                 / (sqrt(CAST(m.s2 AS DOUBLE) / CAST(c.n_days AS DOUBLE)
+                         - (CAST(m.s1 AS DOUBLE) / CAST(c.n_days AS DOUBLE))
+                           * (CAST(m.s1 AS DOUBLE)
+                              / CAST(c.n_days AS DOUBLE)))
+                    + CAST(m.s1 AS DOUBLE) / CAST(c.n_days AS DOUBLE))
+                 * 10000 + 0.5) / 10000 AS burstiness
+    FROM mom m CROSS JOIN cal c
+    ORDER BY m.event_type
+    """,
+)
+def events_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FANO FACTOR and BURSTINESS INDEX of the daily arrival process
+    per event type — the dispersion diagnostics queueing and
+    monitoring systems use to pick models: Fano = Var/Mean of daily
+    counts (1 = Poisson, >1 over-dispersed/bursty, <1 regular), and
+    Goh-Barabási burstiness B = (σ−μ)/(σ+μ) ∈ (−1, 1) (−1 periodic,
+    0 Poisson-like, →1 extreme bursts). events_interarrival_dist
+    looks at the same process through gap quantiles; this is the
+    two-moment summary that scales to any horizon.
+
+    Missing days count as zero by construction: the calendar size n
+    comes from the GLOBAL distinct-day relation while Σc and Σc² run
+    over present (type, day) rows only — a zero day contributes zero
+    to both sums, so the moments are exact without densification.
+    Shape: one map-side-combined groupBy onto (type × day) — bounded
+    domain — then a ≤5-row moment aggregate; Σc² is HUGEINT/DECIMAL
+    for headroom. All ratios are pinned doubles over exact integers.
+    """
+    events = load(spark, sf_dir, "events")
+    daily = (
+        events.groupBy(
+            "event_type",
+            F.expr(
+                "unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000"
+            ).alias("day_idx"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .persist()
+    )
+    cal = daily.agg(
+        F.countDistinct("day_idx").cast("bigint").alias("n_days")
+    )
+    mom = daily.groupBy("event_type").agg(
+        F.sum("c").cast("bigint").alias("s1"),
+        F.sum(F.expr("CAST(c AS DECIMAL(28,0)) * c")).alias("s2"),
+    )
+    mu = "(CAST(s1 AS DOUBLE) / CAST(n_days AS DOUBLE))"
+    var = f"(CAST(s2 AS DOUBLE) / CAST(n_days AS DOUBLE) - {mu} * {mu})"
+    out = mom.crossJoin(F.broadcast(cal)).selectExpr(
+        "event_type",
+        "n_days",
+        "s1 AS n_events",
+        f"floor({mu} * 10000 + 0.5) / 10000 AS mean_daily",
+        f"floor({var} / {mu} * 10000 + 0.5) / 10000 AS fano",
+        f"floor((sqrt({var}) - {mu}) / (sqrt({var}) + {mu})"
+        " * 10000 + 0.5) / 10000 AS burstiness",
+    ).orderBy("event_type")
+    from cdc_pubsub_spark.tables import finalize_cached
+
+    return finalize_cached(out, daily)

@@ -1603,3 +1603,159 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
     )
     return finalize_cached(out, *caches)
+
+
+# --- graph_adamic_adar: link prediction over the follow graph ------------
+
+
+def _aa_inv_ln_values(max_deg: int = 64) -> str:
+    """1e6-quantized 1/ln(k) for k = 2..max_deg, generated once in
+    Python and injected into both plans as literals (the periodogram
+    trig-table device applied to logarithms) — neither engine
+    evaluates ln, and the Adamic-Adar sum becomes an EXACT integer
+    fold. Degree-1 common neighbors are excluded by the k >= 2 domain
+    (1/ln(1) diverges; standard AA convention)."""
+    import math as _m
+
+    return ", ".join(
+        f"({k}, {int(_m.floor(1000000.0 / _m.log(k) + 0.5))})"
+        for k in range(2, max_deg + 1)
+    )
+
+
+_AA_VALUES = _aa_inv_ln_values()
+
+# Undirected adjacency + degrees from the FIXTURES.md §3 2-regular
+# follow graph — identical SQL text on both engines.
+_AA_BASE_SQL = """
+    users AS MATERIALIZED (SELECT DISTINCT user_id FROM events),
+    directed AS (
+      SELECT user_id AS src, (user_id * 7 + 3) % 1000 AS dst FROM users
+      UNION ALL
+      SELECT user_id, (user_id * 13 + 11) % 1000 FROM users
+    ),
+    adj AS MATERIALIZED (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM directed WHERE src <> dst
+    ),
+    und AS MATERIALIZED (
+      SELECT a AS u, b AS w FROM adj UNION ALL SELECT b, a FROM adj
+    ),
+    deg AS MATERIALIZED (
+      SELECT u, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY u
+    )
+"""
+
+
+@register(
+    "graph_adamic_adar",
+    category="graph",
+    oracle=f"""
+    WITH {_AA_BASE_SQL.strip()},
+    invln(k, q) AS (VALUES {_AA_VALUES}),
+    wedges AS (
+      SELECT x.u AS u, y.u AS v, x.w AS w
+      FROM und x JOIN und y ON x.w = y.w AND x.u < y.u
+    ),
+    nonedge AS (
+      SELECT wg.u, wg.v, wg.w
+      FROM wedges wg
+      LEFT JOIN adj e ON e.a = wg.u AND e.b = wg.v
+      WHERE e.a IS NULL
+    ),
+    scored AS (
+      SELECT n.u, n.v,
+             CAST(count(*) AS BIGINT) AS common_neighbors,
+             CAST(sum(i.q) AS BIGINT) AS aa_micro
+      FROM nonedge n
+      JOIN deg d ON d.u = n.w
+      JOIN invln i ON i.k = d.d
+      GROUP BY n.u, n.v
+    )
+    SELECT u, v, common_neighbors, aa_micro,
+           CAST(aa_micro AS DOUBLE) / 1000000e0 AS adamic_adar
+    FROM scored
+    ORDER BY aa_micro DESC, u, v
+    LIMIT 25
+    """,
+)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADAMIC-ADAR link prediction over the undirected follow graph:
+    for every NON-adjacent pair with ≥1 common neighbor, score
+    Σ 1/ln(deg(w)) over the common neighbors w — the classic
+    "friends-of-friends, discounted by how promiscuous the mutual
+    friend is" recommender that graph_jaccard_neighbors's set-overlap
+    score ignores (Jaccard treats a 2-degree and a 50-degree mutual
+    neighbor alike; AA makes the rare mutual friend count more).
+
+    Exactness: 1/ln(k) comes from an injected 63-entry literal table
+    quantized to micro-units (the periodogram trig device), so the
+    score is an EXACT integer sum — ranking never touches a float.
+    Shape: common-neighbor enumeration is the wedge self-join of the
+    undirected adjacency (the triangle_count cost class, bounded by
+    Σdeg² — fine on bounded-degree graphs); existing edges leave via
+    one anti-join; degrees broadcast. At 100 TB this is the standard
+    people-you-may-know batch layout: wedge join co-partitioned on the
+    shared neighbor, output keyed by candidate pair.
+    """
+    users = load(spark, sf_dir, "events").select("user_id").distinct()
+    directed = users.select(
+        F.col("user_id").alias("src"),
+        ((F.col("user_id") * 7 + 3) % 1000).alias("dst"),
+    ).unionByName(
+        users.select(
+            F.col("user_id").alias("src"),
+            ((F.col("user_id") * 13 + 11) % 1000).alias("dst"),
+        )
+    )
+    adj = (
+        directed.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+        .persist()
+    )
+    und = adj.selectExpr("a AS u", "b AS w").unionByName(
+        adj.selectExpr("b AS u", "a AS w")
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    invln = spark.sql(
+        f"SELECT * FROM (VALUES {_AA_VALUES}) AS invln(k, q)"
+    )
+    x, y = und.alias("x"), und.alias("y")
+    wedges = x.join(
+        y, (F.col("x.w") == F.col("y.w")) & (F.col("x.u") < F.col("y.u"))
+    ).selectExpr("x.u AS u", "y.u AS v", "x.w AS w")
+    nonedge = wedges.join(
+        adj,
+        (F.col("a") == F.col("u")) & (F.col("b") == F.col("v")),
+        "left_anti",
+    )
+    scored = (
+        nonedge.join(
+            F.broadcast(deg.withColumnRenamed("u", "du")),
+            F.col("du") == F.col("w"),
+        )
+        .join(F.broadcast(invln), F.col("k") == F.col("d"))
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("common_neighbors"),
+            F.sum("q").cast("bigint").alias("aa_micro"),
+        )
+    )
+    out = (
+        scored.selectExpr(
+            "u",
+            "v",
+            "common_neighbors",
+            "aa_micro",
+            "CAST(aa_micro AS DOUBLE) / 1000000e0 AS adamic_adar",
+        )
+        .orderBy(F.col("aa_micro").desc(), "u", "v")
+        .limit(25)
+    )
+    from cdc_pubsub_spark.tables import finalize_cached
+
+    return finalize_cached(out, adj)

@@ -433,3 +433,70 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> ORDER BY l_returnflag, l_linestatus
         """
     )
+
+
+@register(
+    "scan_fixed_width",
+    category="modern",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS cents_sum,
+           CAST(sum(CAST(strftime(CAST(o_orderdate AS DATE), '%Y%m%d')
+                         AS BIGINT)) AS BIGINT) AS date_sum
+    FROM orders
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def scan_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIXED-WIDTH record ingestion — the mainframe/COBOL copybook
+    layout that predates every delimiter format and still feeds
+    enterprise CDC: each record is a 60-byte line with columns at
+    fixed byte offsets (orderkey@0:12 zero-padded, custkey@12:10,
+    status@22:1, total-cents@23:14, date@37:8 as yyyymmdd,
+    priority@45:15 space-padded), no delimiters, no quoting, no
+    schema in the data. Records are rendered from orders in-plan
+    (lpad/rpad), parsed back by pure substring arithmetic + trim +
+    casts — the parse is the product; the round-trip means any
+    off-by-one in an offset, a padding direction, or a sign column
+    corrupts the aggregate the oracle computes straight from the
+    source columns.
+
+    Scale: both the render and the parse are narrow row-local
+    projections inside whole-stage codegen; the only shuffle is the
+    final ≤3-key aggregate. A real deployment swaps the render for
+    spark.read.text over the EBCDIC-converted landing files — the
+    parse projection is identical.
+    """
+    orders = load(spark, sf_dir, "orders")
+    lines = orders.selectExpr(
+        "concat("
+        " lpad(CAST(o_orderkey AS STRING), 12, '0'),"
+        " lpad(CAST(o_custkey AS STRING), 10, '0'),"
+        " o_orderstatus,"
+        " lpad(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+        "           AS STRING), 14, '0'),"
+        " date_format(o_orderdate, 'yyyyMMdd'),"
+        " rpad(o_orderpriority, 15, ' ')"
+        ") AS line"
+    )
+    parsed = lines.selectExpr(
+        "CAST(substring(line, 1, 12) AS BIGINT) AS orderkey",
+        "CAST(substring(line, 13, 10) AS BIGINT) AS custkey",
+        "substring(line, 23, 1) AS status",
+        "CAST(substring(line, 24, 14) AS BIGINT) AS cents",
+        "CAST(substring(line, 38, 8) AS BIGINT) AS datenum",
+        "trim(substring(line, 46, 15)) AS priority",
+    )
+    return (
+        parsed.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("orderkey").cast("bigint").alias("key_sum"),
+            F.sum("cents").cast("bigint").alias("cents_sum"),
+            F.sum("datenum").cast("bigint").alias("date_sum"),
+        )
+        .orderBy("status")
+    )

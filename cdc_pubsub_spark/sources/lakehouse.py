@@ -716,3 +716,115 @@ def scan_txn_log_changefeed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("version", "change_type")
     )
+
+
+# --- sink_merge_into: three-clause MERGE semantics ------------------------
+
+# Shared relational definition of target, source, and clause routing —
+# identical SQL text on both engines. Target: the steady-state table
+# (three quarters of orders); source: one CDC batch carrying deletes
+# (%8==1), updates (other even keys), and brand-new rows (%4==3).
+_MERGE_TARGET_SQL = """
+      SELECT o_orderkey AS k, o_orderstatus AS status,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 4 <> 3
+"""
+_MERGE_SOURCE_SQL = """
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 8 IN (1, 3) THEN 'D' ELSE 'U' END AS op,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) + 500
+               AS new_cents
+      FROM orders WHERE o_orderkey % 2 = 0 OR o_orderkey % 4 = 3
+         OR o_orderkey % 8 = 1
+"""
+_MERGE_ACTION_SQL = """
+      CASE
+        WHEN s.k IS NULL THEN 'untouched'
+        WHEN t.k IS NULL AND s.op <> 'D' THEN 'inserted'
+        WHEN t.k IS NULL THEN 'ignored_delete'
+        WHEN s.op = 'D' THEN 'deleted'
+        ELSE 'updated' END
+"""
+
+
+@register(
+    "sink_merge_into",
+    category="lakehouse",
+    oracle=f"""
+    WITH target AS MATERIALIZED ({_MERGE_TARGET_SQL}),
+    source AS MATERIALIZED ({_MERGE_SOURCE_SQL}),
+    merged AS MATERIALIZED (
+      SELECT coalesce(t.k, s.k) AS k,
+             {_MERGE_ACTION_SQL} AS action,
+             CASE
+               WHEN s.k IS NULL THEN t.cents
+               WHEN t.k IS NULL AND s.op <> 'D' THEN s.new_cents
+               WHEN t.k IS NOT NULL AND s.op = 'U' THEN s.new_cents
+               ELSE NULL END AS cents_after
+      FROM target t FULL OUTER JOIN source s ON s.k = t.k
+    )
+    SELECT action,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(coalesce(sum(cents_after), 0) AS BIGINT) AS cents_sum,
+           CAST(sum(k) AS BIGINT) AS key_checksum
+    FROM merged
+    GROUP BY action
+    ORDER BY action
+    """,
+)
+def sink_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-clause MERGE INTO semantics — WHEN MATCHED AND op='D'
+    THEN DELETE / WHEN MATCHED THEN UPDATE / WHEN NOT MATCHED THEN
+    INSERT — executed as ONE full-outer join over target and CDC
+    source, the copy-on-write plan every lakehouse MERGE lowers to
+    (Delta/Iceberg rewrite exactly the matched files this join
+    identifies). cdc_upsert_materialize covers the upsert two-clause
+    subset; this adds the delete clause and the not-matched-delete
+    edge case (a delete arriving for a never-seen key must be IGNORED,
+    not inserted — the classic MERGE bug, pinned by the
+    'ignored_delete' bucket being counted but contributing no rows).
+
+    Output is the per-action audit (counts, surviving-cents checksum,
+    key checksum) a MERGE commits to its transaction log as operation
+    metrics. Exactness: pure integer arithmetic end to end. Scale:
+    one equi-shuffle on the merge key — at 100 TB you bucket both
+    sides on k (join_bucketed_colocated shows the shape) and the
+    full-outer join is co-partitioned with zero extra movement.
+    """
+    orders = load(spark, sf_dir, "orders")
+    target = orders.filter(F.expr("o_orderkey % 4 <> 3")).selectExpr(
+        "o_orderkey AS k",
+        "o_orderstatus AS status",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents",
+    )
+    source = orders.filter(
+        F.expr(
+            "o_orderkey % 2 = 0 OR o_orderkey % 4 = 3 OR o_orderkey % 8 = 1"
+        )
+    ).selectExpr(
+        "o_orderkey AS k",
+        "CASE WHEN o_orderkey % 8 IN (1, 3) THEN 'D' ELSE 'U' END AS op",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) + 500"
+        " AS new_cents",
+    )
+    t, s = target.alias("t"), source.alias("s")
+    merged = t.join(s, F.col("s.k") == F.col("t.k"), "full_outer").selectExpr(
+        "coalesce(t.k, s.k) AS k",
+        f"{_MERGE_ACTION_SQL} AS action",
+        "CASE"
+        " WHEN s.k IS NULL THEN t.cents"
+        " WHEN t.k IS NULL AND s.op <> 'D' THEN s.new_cents"
+        " WHEN t.k IS NOT NULL AND s.op = 'U' THEN s.new_cents"
+        " ELSE NULL END AS cents_after",
+    )
+    return (
+        merged.groupBy("action")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.coalesce(F.sum("cents_after"), F.lit(0))
+            .cast("bigint")
+            .alias("cents_sum"),
+            F.sum("k").cast("bigint").alias("key_checksum"),
+        )
+        .orderBy("action")
+    )

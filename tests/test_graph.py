@@ -188,3 +188,47 @@ def test_hits_matches_pure_python_replication(spark, sf_dir):
     assert any(r.auth_micro == 1000000 for r in rows), (
         "max-normalization must pin the top authority at exactly 1e6"
     )
+
+
+def test_adamic_adar_matches_pure_python_replication(spark, sf_dir):
+    """Independent reimplementation: enumerate non-edge wedge pairs
+    and their Σ 1/ln(deg) scores in pure Python with the identical
+    quantized inverse-log table — the integer discipline means the
+    engine's top-25 must match EXACTLY, including tie order."""
+    import math
+
+    from cdc_pubsub_spark.tables import load
+
+    users = sorted(
+        r.user_id
+        for r in load(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .collect()
+    )
+    uset = set(users)
+    adj = set()
+    for u in users:
+        for d in ((u * 7 + 3) % 1000, (u * 13 + 11) % 1000):
+            if d != u:
+                adj.add((min(u, d), max(u, d)))
+    nbrs: dict[int, set[int]] = {}
+    for a, b in adj:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    invq = {k: int(math.floor(1000000.0 / math.log(k) + 0.5)) for k in range(2, 65)}
+    scores: dict[tuple[int, int], list[int]] = {}
+    for w, ns in nbrs.items():
+        for u in ns:
+            for v in ns:
+                if u < v and (u, v) not in adj:
+                    sc = scores.setdefault((u, v), [0, 0])
+                    sc[0] += 1
+                    sc[1] += invq[len(nbrs[w])]
+    exp = sorted(
+        ((u, v, c, q) for (u, v), (c, q) in scores.items()),
+        key=lambda t: (-t[3], t[0], t[1]),
+    )[:25]
+    rows = REGISTRY["graph_adamic_adar"].fn(spark, sf_dir).collect()
+    got = [(r.u, r.v, r.common_neighbors, r.aa_micro) for r in rows]
+    assert got == exp

@@ -452,3 +452,114 @@ def test_hotspot_grid_finds_planted_cluster(spark, sf_dir):
     assert cell33[0].cell_cents == max(r.cell_cents for r in rows)
     gs = [r.gstar for r in rows]
     assert gs == sorted(gs, reverse=True)
+
+
+def test_fixed_width_offsets_round_trip_python(spark, sf_dir):
+    """Rebuild the 60-byte layout in Python from the raw table and
+    parse it back at the documented offsets — any disagreement with
+    the engine's per-status aggregates means an offset, padding, or
+    sign error in one of the twins."""
+    from cdc_pubsub_spark.registry import REGISTRY
+    from cdc_pubsub_spark.tables import load
+
+    orders = load(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents",
+        "date_format(o_orderdate, 'yyyyMMdd') AS d8",
+        "o_orderpriority",
+    ).collect()
+    agg = {}
+    for o in orders:
+        line = (
+            str(o.o_orderkey).zfill(12)
+            + str(o.o_custkey).zfill(10)
+            + o.o_orderstatus
+            + str(o.cents).zfill(14)
+            + o.d8
+            + o.o_orderpriority.ljust(15)
+        )
+        assert len(line) == 60, line
+        st = line[22]
+        a = agg.setdefault(st, [0, 0, 0, 0])
+        a[0] += 1
+        a[1] += int(line[0:12])
+        a[2] += int(line[23:37])
+        a[3] += int(line[37:45])
+    rows = REGISTRY["scan_fixed_width"].fn(spark, sf_dir).collect()
+    assert {r.status for r in rows} == set(agg)
+    for r in rows:
+        n, ks, cs, ds = agg[r.status]
+        assert (r.n, r.key_sum, r.cents_sum, r.date_sum) == (n, ks, cs, ds)
+
+
+def test_burstiness_fano_matches_python_and_bounds(spark, sf_dir):
+    """Recompute the two-moment dispersion summary in exact Python
+    integers from an independent DuckDB daily rollup; assert equality
+    at the r4 grain plus the definitional bounds (fano > 0,
+    burstiness strictly inside (−1, 1))."""
+    import math
+
+    import duckdb
+
+    from cdc_pubsub_spark.registry import REGISTRY
+
+    con = duckdb.connect()
+    daily = con.sql(
+        "SELECT event_type,"
+        " CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS BIGINT)"
+        " AS d, CAST(count(*) AS BIGINT) AS c"
+        f" FROM read_parquet('{sf_dir}/events.parquet') GROUP BY 1, 2"
+    ).fetchall()
+    n_days = len({d for _, d, _ in daily})
+    mom = {}
+    for et, _d, c in daily:
+        m = mom.setdefault(et, [0, 0])
+        m[0] += c
+        m[1] += c * c
+    rows = REGISTRY["events_burstiness_fano"].fn(spark, sf_dir).collect()
+    assert {r.event_type for r in rows} == set(mom)
+    for r in rows:
+        s1, s2 = mom[r.event_type]
+        mu = s1 / n_days
+        var = s2 / n_days - mu * mu
+        assert r.n_days == n_days and r.n_events == s1
+        assert r.fano == math.floor(var / mu * 10000 + 0.5) / 10000
+        b = (math.sqrt(var) - mu) / (math.sqrt(var) + mu)
+        assert r.burstiness == math.floor(b * 10000 + 0.5) / 10000
+        assert r.fano > 0
+        assert -1.0 < r.burstiness < 1.0
+
+
+def test_merge_into_action_buckets_exact(spark, sf_dir):
+    """The five MERGE action buckets must match the closed-form key
+    populations: inserts = never-seen %4==3 keys, deletes = matched
+    %8==1, ignored deletes = unmatched %8==3 (the classic MERGE bug —
+    a delete for an absent key must do nothing), updates = matched
+    even keys, untouched = the rest of the target; checksums are
+    exact key/cents sums."""
+    from cdc_pubsub_spark.registry import REGISTRY
+    from cdc_pubsub_spark.tables import load
+
+    keys = [
+        r.o_orderkey
+        for r in load(spark, sf_dir, "orders").select("o_orderkey").collect()
+    ]
+    target = {k for k in keys if k % 4 != 3}
+    source = {k for k in keys if k % 2 == 0 or k % 4 == 3 or k % 8 == 1}
+    exp = {
+        "inserted": {k for k in source - target if k % 8 not in (1, 3)},
+        "ignored_delete": {k for k in source - target if k % 8 in (1, 3)},
+        "deleted": {k for k in source & target if k % 8 in (1, 3)},
+        "updated": {k for k in source & target if k % 8 not in (1, 3)},
+        "untouched": target - source,
+    }
+    rows = {r.action: r for r in REGISTRY["sink_merge_into"].fn(spark, sf_dir).collect()}
+    assert set(rows) == {a for a, ks in exp.items() if ks}
+    for action, ks in exp.items():
+        if not ks:
+            continue
+        assert rows[action].n == len(ks), action
+        assert rows[action].key_checksum == sum(ks), action
+    assert rows["deleted"].cents_sum == 0

@@ -1226,3 +1226,40 @@ def test_readability_score_sanity(spark, sf_dir):
         assert r.share_easy == math.floor(ne / n * 10000 + 0.5) / 10000
         assert abs(r.words_per_sentence - sw / ss) <= 0.011
         assert abs(r.vowels_per_word - sv / sw) <= 0.0011
+
+
+def test_exif_tiff_parser_both_endians_and_corruption():
+    """Unit-level checks on the TIFF IFD walker: both byte orders
+    round-trip the synthesized fields (inline SHORT left-packing,
+    offset RATIONAL/ASCII), and corrupted containers (bad byte-order
+    mark, wrong magic, truncated ASCII) dead-letter."""
+    import pytest
+
+    from cdc_pubsub_spark.llmops.multimodal import (
+        _synth_tiff,
+        _tiff_fields,
+        parse_tiff_meta,
+    )
+
+    for doc_id in (0, 1, 2, 3, 13, 255, 256, 399):
+        f = _tiff_fields(doc_id)
+        m = parse_tiff_meta(_synth_tiff(doc_id))
+        assert m == {
+            "byte_order": f["byte_order"],
+            "width": f["width"],
+            "height": f["height"],
+            "bits_per_sample": 8,
+            "orientation": f["orientation"],
+            "xres_dpi": f["xres_num"] // f["xres_den"],
+            "taken_at": f["datetime"],
+        }, (doc_id, m)
+    raw = _synth_tiff(7)
+    with pytest.raises(ValueError):
+        parse_tiff_meta(b"XX" + raw[2:])
+    bad = bytearray(raw)
+    bad[2] = 43 if raw[:2] == b"II" else bad[2]
+    bad[3] = 0
+    with pytest.raises(ValueError):
+        parse_tiff_meta(bytes(_synth_tiff(8)[:2] + b"\x2b\x00" + _synth_tiff(8)[4:]))
+    with pytest.raises(ValueError):
+        parse_tiff_meta(raw[:-4])  # truncated trailing ASCII value
