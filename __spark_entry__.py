@@ -208,6 +208,11 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     "scan_fixed_width",
     "events_burstiness_fano",
     "sink_merge_into",
+    "fn_ip_cidr",
+    "events_sax_motifs",
+    "orders_price_elasticity",
+    "orders_croston_intermittent",
+    "subq_exists_decorrelated",
 }
 
 

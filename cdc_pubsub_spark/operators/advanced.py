@@ -1911,3 +1911,72 @@ def profile_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_pubsub_spark.tables import finalize_cached
 
     return finalize_cached(out.orderBy("pair"), *caches)
+
+
+@register(
+    "subq_exists_decorrelated",
+    category="advanced",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CASE WHEN EXISTS (
+                  SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_with_urgent,
+           CAST(sum(CASE WHEN NOT EXISTS (
+                  SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderstatus = 'F')
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_without_finished
+    FROM customer c
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def subq_exists_decorrelated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS subqueries — the optimizer
+    stress-twin of subq_correlated_scalar (which exercises scalar
+    decorrelation): per market segment, how many customers have at
+    least one urgent order, and how many have no finished order at
+    all. Declared as genuinely CORRELATED subqueries via spark.sql so
+    Catalyst must decorrelate them; a naive engine would re-execute
+    each subquery per customer row. Because the EXISTS is consumed
+    inside a projection (not a WHERE filter), the decorrelated form is
+    the EXISTENCE join — a broadcast hash join emitting a boolean
+    column — one per subquery, which the plan pin in
+    tests/test_plans.py asserts (the whole point of shipping this op:
+    certifying the DECORRELATION, not the arithmetic). The WHERE-form
+    semi/anti rewrite is already exercised by join_semi / join_anti.
+
+    Exactness: pure integer counts. Scale: two existence joins keyed
+    on the customer key (broadcast at fixture scale, shuffled hash at
+    cluster scale) plus a ≤5-key aggregate — the decorrelated plan is
+    linear in both tables where the correlated reading is
+    O(customers × orders).
+    """
+    load(spark, sf_dir, "customer").createOrReplaceTempView(
+        "v_exists_customer"
+    )
+    load(spark, sf_dir, "orders").createOrReplaceTempView(
+        "v_exists_orders"
+    )
+    return spark.sql(
+        """
+        SELECT c.c_mktsegment AS segment,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(sum(CASE WHEN EXISTS (
+                      SELECT 1 FROM v_exists_orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_with_urgent,
+               CAST(sum(CASE WHEN NOT EXISTS (
+                      SELECT 1 FROM v_exists_orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'F')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_without_finished
+        FROM v_exists_customer c
+        GROUP BY 1
+        ORDER BY 1
+        """
+    )

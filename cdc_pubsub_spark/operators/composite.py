@@ -4561,3 +4561,325 @@ def events_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_pubsub_spark.tables import finalize_cached
 
     return finalize_cached(out, daily)
+
+
+@register(
+    "events_sax_motifs",
+    category="composite",
+    oracle="""
+    WITH daily AS MATERIALIZED (
+      SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+             AS BIGINT) AS day_idx,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM events GROUP BY 1
+    ),
+    stats AS MATERIALIZED (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s1,
+             CAST(sum(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS s2
+      FROM daily
+    ),
+    zq AS (
+      SELECT day_idx // 7 AS frame,
+             CAST(floor(
+               (CAST(cents AS DOUBLE)
+                - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+               / sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+                      - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+               * 1000000 + 0.5) AS BIGINT) AS zq
+      FROM daily CROSS JOIN stats
+    ),
+    paa AS (
+      SELECT frame,
+             CAST(sum(zq) AS DOUBLE)
+               / (1000000e0 * CAST(count(*) AS DOUBLE)) AS paa
+      FROM zq GROUP BY frame
+    ),
+    sym AS (
+      SELECT frame,
+             CASE WHEN paa < -0.6745e0 THEN 'a'
+                  WHEN paa < 0e0 THEN 'b'
+                  WHEN paa < 0.6745e0 THEN 'c'
+                  ELSE 'd' END AS s
+      FROM paa
+    ),
+    words AS (
+      SELECT frame,
+             s || lead(s, 1) OVER (ORDER BY frame)
+               || lead(s, 2) OVER (ORDER BY frame) AS word
+      FROM sym
+    )
+    SELECT word,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(min(frame) AS BIGINT) AS first_frame
+    FROM words
+    WHERE word IS NOT NULL
+    GROUP BY word
+    ORDER BY n_occurrences DESC, word
+    LIMIT 10
+    """,
+)
+def events_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX MOTIF DISCOVERY over the daily event-value series — Symbolic
+    Aggregate approXimation, the classic time-series-mining reduction:
+    z-normalize, Piecewise-Aggregate over tumbling 7-day frames, map
+    each frame mean into 4 bands at the Gaussian quartile breakpoints
+    (±0.6745, literals in both plans), slide a 3-symbol word across
+    frames, and rank recurring words. A motif like 'dcd' repeating is
+    a recurring weekly shape that the periodogram (which finds the
+    PERIOD) and autocorr (which finds the LAG) cannot name — SAX names
+    the shape itself, which is what monitoring fingerprints and
+    similarity indexes store.
+
+    Determinism: daily z-scores are pinned doubles over exact integer
+    moments, quantized to micro-units BEFORE the PAA frame mean (an
+    exact integer fold — the in-frame float sum would be
+    order-sensitive); band assignment compares bit-identical doubles
+    to literal breakpoints; words come from lead() over the
+    frame-ordered relation. Scale: one data-sized groupBy to days,
+    then everything runs on the calendar-sized (÷7) frame relation —
+    the bounded-domain ts_ argument.
+    """
+    events = load(spark, sf_dir, "events")
+    daily = events.groupBy(
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").alias(
+            "day_idx"
+        )
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    stats = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s1"),
+        F.sum(F.expr("CAST(cents AS DECIMAL(28,0)) * cents")).alias("s2"),
+    )
+    mu = "(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
+    zq = daily.crossJoin(F.broadcast(stats)).selectExpr(
+        "day_idx div 7 AS frame",
+        f"CAST(floor((CAST(cents AS DOUBLE) - {mu})"
+        f" / sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) - {mu} * {mu})"
+        " * 1000000 + 0.5) AS BIGINT) AS zq",
+    )
+    paa = zq.groupBy("frame").agg(
+        F.expr(
+            "CAST(sum(zq) AS DOUBLE)"
+            " / (1000000e0 * CAST(count(*) AS DOUBLE))"
+        ).alias("paa")
+    )
+    sym = paa.selectExpr(
+        "frame",
+        "CASE WHEN paa < -0.6745e0 THEN 'a'"
+        " WHEN paa < 0e0 THEN 'b'"
+        " WHEN paa < 0.6745e0 THEN 'c'"
+        " ELSE 'd' END AS s",
+    )
+    w = Window.orderBy("frame")
+    words = sym.select(
+        "frame",
+        F.concat(
+            F.col("s"), F.lead("s", 1).over(w), F.lead("s", 2).over(w)
+        ).alias("word"),
+    )
+    return (
+        words.filter(F.col("word").isNotNull())
+        .groupBy("word")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.min("frame").cast("bigint").alias("first_frame"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "word")
+        .limit(10)
+    )
+
+
+@register(
+    "orders_price_elasticity",
+    category="composite",
+    oracle="""
+    WITH levels AS (
+      SELECT p.p_brand AS brand,
+             CAST(floor(l.l_extendedprice / l.l_quantity + 0.5)
+                  AS BIGINT) AS price_dollars,
+             CAST(sum(l.l_quantity) AS BIGINT) AS qty
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT brand,
+           CAST(count(*) AS BIGINT) AS n_price_levels,
+           floor(regr_slope(ln(qty), ln(price_dollars)) * 10000 + 0.5)
+             / 10000 AS elasticity,
+           floor(regr_r2(ln(qty), ln(price_dollars)) * 10000 + 0.5)
+             / 10000 AS fit_r2
+    FROM levels
+    WHERE price_dollars >= 1
+    GROUP BY brand
+    ORDER BY brand
+    """,
+)
+def orders_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRICE ELASTICITY OF DEMAND per brand: the log-log regression
+    slope of quantity sold on unit price — THE pricing-analytics
+    primitive (slope −1.5 means a 1% price rise costs 1.5% of volume).
+    Built on (brand × price-level) demand aggregates, so the
+    regression runs over the bounded price domain, never over
+    lineitems. The fixture's uniform quantity draw concentrates volume
+    at low price levels (high-price levels exist but accumulate fewer
+    line items), so the estimator reads a mechanical negative slope
+    (≈ −0.5 at small sf) — a sampling-density artifact, which is
+    exactly the kind of spurious elasticity a pricing pipeline must be
+    able to reproduce deterministically before it can learn to correct
+    for it; the invariant test replicates the full estimate in Python.
+
+    Determinism: unit price quantizes to integer dollars with the
+    pinned half-up floor; per-level qty sums integral doubles (exact
+    below 2^53, order-free); ln runs on INTEGER-valued arguments and
+    feeds the algebraic regr_slope/regr_r2 pair — the text_zipf_fit
+    device, certified there since r06. Scale: one join+groupBy pass
+    collapses the fact table onto ≤|brands|×|price levels| rows;
+    the dimension join broadcasts (part is the small side at any sf
+    relative to lineitem — the tpch_q9 star shape).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    levels = (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .selectExpr(
+            "p_brand AS brand",
+            "CAST(floor(l_extendedprice / l_quantity + 0.5) AS BIGINT)"
+            " AS price_dollars",
+            "l_quantity",
+        )
+        .groupBy("brand", "price_dollars")
+        .agg(F.sum("l_quantity").cast("bigint").alias("qty"))
+        .filter(F.col("price_dollars") >= 1)
+    )
+    lq, lp = F.log("qty"), F.log("price_dollars")
+    return (
+        levels.groupBy("brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_price_levels"),
+            r4(F.regr_slope(lq, lp)).alias("elasticity"),
+            r4(F.regr_r2(lq, lp)).alias("fit_r2"),
+        )
+        .orderBy("brand")
+    )
+
+
+_CROSTON_FOLD = "0.25e0 * CAST(cx AS DOUBLE) + 0.75e0 * CAST(cacc AS DOUBLE)"
+
+
+@register(
+    "orders_croston_intermittent",
+    category="composite",
+    oracle=f"""
+    WITH daily AS MATERIALIZED (
+      SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                  AS BIGINT) AS day_idx,
+             CAST(count(*) AS BIGINT) AS q
+      FROM orders WHERE o_orderkey % 97 = 0
+      GROUP BY 1
+    ),
+    series AS MATERIALIZED (
+      SELECT list(CAST(q AS DOUBLE) ORDER BY day_idx) AS qs,
+             list(day_idx ORDER BY day_idx) AS ds,
+             CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(q) AS BIGINT) AS total_q,
+             CAST(min(day_idx) AS BIGINT) AS first_day,
+             CAST(max(day_idx) AS BIGINT) AS last_day
+      FROM daily
+    ),
+    folded AS (
+      SELECT m, total_q, first_day, last_day,
+             list_reduce(qs, (cacc, cx) -> {_CROSTON_FOLD}) AS z_hat,
+             list_reduce(
+               list_transform(generate_series(2, CAST(m AS INT)),
+                              ii -> CAST(ds[ii] - ds[ii - 1] AS DOUBLE)),
+               (cacc, cx) -> {_CROSTON_FOLD}) AS p_hat
+      FROM series
+    )
+    SELECT m AS n_nonzero_days, total_q, first_day, last_day,
+           floor(z_hat * 10000 + 0.5) / 10000 AS z_hat,
+           floor(p_hat * 10000 + 0.5) / 10000 AS p_hat,
+           floor(z_hat / p_hat * 10000 + 0.5) / 10000 AS croston_rate,
+           floor(CAST(total_q AS DOUBLE)
+                 / CAST(last_day - first_day + 1 AS DOUBLE)
+                 * 10000 + 0.5) / 10000 AS naive_rate
+    FROM folded
+    """,
+)
+def orders_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSTON'S METHOD for intermittent demand — the standard
+    forecaster for sparse series (spare parts, rare SKUs) where
+    SES/Holt smear zeros into a meaningless average: smooth the
+    NONZERO demand sizes (z) and the INTER-DEMAND intervals (p)
+    separately with SES (α=0.25), forecast rate = z/p per day. The
+    demand series is the genuinely intermittent %97 order stream
+    (≈1 order per 1.6 days at sf0.01), and the op reports Croston's
+    rate beside the naive total/(span) rate — on MEMORYLESS arrivals
+    the two should roughly agree, which is the invariant test's
+    cross-check (plus an exact pure-Python fold replication).
+
+    Determinism: the coupled SES recurrences have ONE evaluation
+    order, so both engines fold the identical ordered lists with the
+    identical lambda (the orders_forecast_holt sequencing device;
+    scalar accumulator, so DuckDB's list_reduce is safe — the struct
+    cross-contamination probe only bars struct accumulators). Scale:
+    the nonzero-day relation is calendar-bounded; only the first
+    filter+groupBy sees the fact table, and the fold state is two
+    doubles on one row.
+    """
+    orders = load(spark, sf_dir, "orders")
+    daily = orders.filter(F.expr("o_orderkey % 97 = 0")).groupBy(
+        F.expr(
+            "CAST(datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01')"
+            " AS BIGINT)"
+        ).alias("day_idx")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("q"))
+    series = daily.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(day_idx, q))),"
+            " sel -> CAST(sel.q AS DOUBLE)) AS qs"
+        ),
+        F.expr(
+            "transform(array_sort(collect_list(struct(day_idx, q))),"
+            " del -> del.day_idx) AS ds"
+        ),
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("q").cast("bigint").alias("total_q"),
+        F.min("day_idx").cast("bigint").alias("first_day"),
+        F.max("day_idx").cast("bigint").alias("last_day"),
+    )
+    folded = series.selectExpr(
+        "m",
+        "total_q",
+        "first_day",
+        "last_day",
+        f"""aggregate(slice(qs, 2, size(qs) - 1), qs[0],
+            (cacc, cx) -> {_CROSTON_FOLD}) AS z_hat""",
+        f"""aggregate(
+              slice(transform(sequence(2, CAST(m AS INT)),
+                    ii -> CAST(element_at(ds, ii) - element_at(ds, ii - 1)
+                               AS DOUBLE)),
+                    2, CAST(m AS INT) - 2),
+              CAST(element_at(ds, 2) - element_at(ds, 1) AS DOUBLE),
+              (cacc, cx) -> {_CROSTON_FOLD}) AS p_hat""",
+    )
+    return folded.selectExpr(
+        "m AS n_nonzero_days",
+        "total_q",
+        "first_day",
+        "last_day",
+        "floor(z_hat * 10000 + 0.5) / 10000 AS z_hat",
+        "floor(p_hat * 10000 + 0.5) / 10000 AS p_hat",
+        "floor(z_hat / p_hat * 10000 + 0.5) / 10000 AS croston_rate",
+        "floor(CAST(total_q AS DOUBLE)"
+        " / CAST(last_day - first_day + 1 AS DOUBLE)"
+        " * 10000 + 0.5) / 10000 AS naive_rate",
+    )

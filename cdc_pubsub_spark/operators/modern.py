@@ -500,3 +500,141 @@ def scan_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+# --- fn_ip_cidr: IPv4 parse + CIDR block accounting -----------------------
+
+
+def _cidr_blocks() -> list[tuple[str, int, int]]:
+    """(cidr, lo, hi) literals computed once in Python and injected
+    into both plans — the numeric range IS the CIDR semantics, so both
+    engines do pure integer comparisons. The 190.128.0.0/9 block
+    deliberately covers only HALF of the 190.x space the generator
+    emits, so the range logic (not just first-octet matching) is
+    load-bearing."""
+    out = []
+    for cidr in ("10.0.0.0/8", "70.0.0.0/10", "130.0.0.0/7",
+                 "190.128.0.0/9"):
+        base, pfx = cidr.split("/")
+        a, b, c, d = (int(x) for x in base.split("."))
+        lo = ((a * 256 + b) * 256 + c) * 256 + d
+        hi = lo + (1 << (32 - int(pfx))) - 1
+        out.append((cidr, lo, hi))
+    return out
+
+
+_CIDR_VALUES = ", ".join(
+    f"('{c}', {lo}, {hi})" for c, lo, hi in _cidr_blocks()
+)
+
+# Deterministic IPv4 per user: first octet picks one of four /8-ish
+# neighborhoods, the rest are multiplicative hashes. Identical SQL text
+# on both engines.
+_IP_SYNTH_SQL = """
+      SELECT user_id,
+             10 + (user_id % 4) * 60 AS o1,
+             user_id % 256 AS o2,
+             (user_id * 7) % 256 AS o3,
+             (user_id * 13) % 256 AS o4
+      FROM (SELECT DISTINCT user_id FROM events) u
+"""
+
+
+@register(
+    "fn_ip_cidr",
+    category="modern",
+    oracle=f"""
+    WITH octs AS ({_IP_SYNTH_SQL}),
+    ips AS (
+      SELECT user_id,
+             concat(CAST(o1 AS VARCHAR), '.', CAST(o2 AS VARCHAR), '.',
+                    CAST(o3 AS VARCHAR), '.', CAST(o4 AS VARCHAR)) AS ip,
+             ((o1 * 256 + o2) * 256 + o3) * 256 + o4 AS ip_num
+      FROM octs
+    ),
+    parsed AS (
+      SELECT user_id, ip, ip_num,
+             ((CAST(string_split(ip, '.')[1] AS BIGINT) * 256
+               + CAST(string_split(ip, '.')[2] AS BIGINT)) * 256
+              + CAST(string_split(ip, '.')[3] AS BIGINT)) * 256
+             + CAST(string_split(ip, '.')[4] AS BIGINT) AS parsed_num
+      FROM ips
+    ),
+    blocks(cidr, lo, hi) AS (VALUES {_CIDR_VALUES})
+    SELECT coalesce(b.cidr, 'unmatched') AS block,
+           CAST(count(*) AS BIGINT) AS n_ips,
+           CAST(min(p.parsed_num) AS BIGINT) AS min_ip,
+           CAST(max(p.parsed_num) AS BIGINT) AS max_ip,
+           CAST(sum(CASE WHEN p.parsed_num = p.ip_num THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_roundtrip_ok
+    FROM parsed p
+    LEFT JOIN blocks b ON p.parsed_num BETWEEN b.lo AND b.hi
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def fn_ip_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPv4 ADDRESS FUNCTIONS: dotted-quad rendering, string→uint32
+    parsing, and CIDR-block containment accounting — the network
+    function family (Trino's ip_address ops, ClickHouse's IPv4
+    functions) that log/security analytics lean on, absent from
+    Spark's builtin surface; here composed from split/cast/integer
+    arithmetic so both engines share exact semantics. Addresses are
+    synthesized per user, rendered to dotted strings, parsed BACK to
+    integers (n_roundtrip_ok pins render∘parse = id), and routed to
+    CIDR blocks by pure range containment (lo/hi literals computed
+    from the prefix once in Python — the trig-table device; the /9
+    block covers only half its first-octet space so prefix-length
+    logic is load-bearing; 190.0.0.0–190.127.x falls through to
+    'unmatched').
+
+    Scale: the block table is a 4-row broadcast range join (BETWEEN
+    on integers — BroadcastNestedLoop over 4 rows ≈ free); parsing is
+    row-local codegen. At 100 TB the same shape holds with thousands
+    of blocks via join_range_binned's bucketed variant.
+    """
+    users = load(spark, sf_dir, "events").select("user_id").distinct()
+    octs = users.selectExpr(
+        "user_id",
+        "10 + (user_id % 4) * 60 AS o1",
+        "user_id % 256 AS o2",
+        "(user_id * 7) % 256 AS o3",
+        "(user_id * 13) % 256 AS o4",
+    )
+    ips = octs.selectExpr(
+        "user_id",
+        "concat(CAST(o1 AS STRING), '.', CAST(o2 AS STRING), '.',"
+        " CAST(o3 AS STRING), '.', CAST(o4 AS STRING)) AS ip",
+        "((o1 * 256 + o2) * 256 + o3) * 256 + o4 AS ip_num",
+    )
+    parsed = ips.selectExpr(
+        "user_id",
+        "ip",
+        "ip_num",
+        "((CAST(element_at(split(ip, '[.]'), 1) AS BIGINT) * 256"
+        " + CAST(element_at(split(ip, '[.]'), 2) AS BIGINT)) * 256"
+        " + CAST(element_at(split(ip, '[.]'), 3) AS BIGINT)) * 256"
+        " + CAST(element_at(split(ip, '[.]'), 4) AS BIGINT) AS parsed_num",
+    )
+    blocks = spark.sql(
+        f"SELECT * FROM (VALUES {_CIDR_VALUES}) AS blocks(cidr, lo, hi)"
+    )
+    return (
+        parsed.join(
+            F.broadcast(blocks),
+            F.col("parsed_num").between(F.col("lo"), F.col("hi")),
+            "left",
+        )
+        .groupBy(F.coalesce(F.col("cidr"), F.lit("unmatched")).alias("block"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_ips"),
+            F.min("parsed_num").cast("bigint").alias("min_ip"),
+            F.max("parsed_num").cast("bigint").alias("max_ip"),
+            F.sum(
+                F.expr("CASE WHEN parsed_num = ip_num THEN 1 ELSE 0 END")
+            )
+            .cast("bigint")
+            .alias("n_roundtrip_ok"),
+        )
+        .orderBy("block")
+    )

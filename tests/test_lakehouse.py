@@ -563,3 +563,177 @@ def test_merge_into_action_buckets_exact(spark, sf_dir):
         assert rows[action].n == len(ks), action
         assert rows[action].key_checksum == sum(ks), action
     assert rows["deleted"].cents_sum == 0
+
+
+def test_ip_cidr_blocks_match_python_partition(spark, sf_dir):
+    """Closed-form replication: every user's block assignment is
+    recomputed in Python (octet synthesis + numeric CIDR ranges) and
+    compared exactly — including the 70.0.0.0/10 and 190.128.0.0/9
+    blocks that cover only part of their first-octet space, and the
+    render→parse round-trip flag."""
+    from cdc_pubsub_spark.operators.modern import _cidr_blocks
+    from cdc_pubsub_spark.registry import REGISTRY
+    from cdc_pubsub_spark.tables import load
+
+    users = [
+        r.user_id
+        for r in load(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .collect()
+    ]
+    blocks = _cidr_blocks()
+    agg = {}
+    for u in users:
+        o1, o2, o3, o4 = (
+            10 + (u % 4) * 60,
+            u % 256,
+            (u * 7) % 256,
+            (u * 13) % 256,
+        )
+        num = ((o1 * 256 + o2) * 256 + o3) * 256 + o4
+        name = next((c for c, lo, hi in blocks if lo <= num <= hi),
+                    "unmatched")
+        a = agg.setdefault(name, [0, None, None])
+        a[0] += 1
+        a[1] = num if a[1] is None else min(a[1], num)
+        a[2] = num if a[2] is None else max(a[2], num)
+    rows = REGISTRY["fn_ip_cidr"].fn(spark, sf_dir).collect()
+    assert {r.block for r in rows} == set(agg)
+    for r in rows:
+        n, lo, hi = agg[r.block]
+        assert (r.n_ips, r.min_ip, r.max_ip) == (n, lo, hi), r.block
+        assert r.n_roundtrip_ok == n, "render->parse must be identity"
+    assert "unmatched" in agg, "generator must exercise the fall-through"
+
+
+def test_sax_motifs_match_python_replication(spark, sf_dir):
+    """Rebuild the SAX pipeline (z-quantize, PAA, quartile banding,
+    3-words) in pure Python from an independent DuckDB daily rollup
+    and require the motif table to match exactly."""
+    import math
+    from collections import defaultdict
+
+    import duckdb
+
+    from cdc_pubsub_spark.registry import REGISTRY
+
+    con = duckdb.connect()
+    daily = dict(
+        con.sql(
+            "SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000"
+            " AS BIGINT),"
+            " CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)"
+            f" FROM read_parquet('{sf_dir}/events.parquet') GROUP BY 1"
+        ).fetchall()
+    )
+    n = len(daily)
+    s1 = sum(daily.values())
+    s2 = sum(c * c for c in daily.values())
+    mu = s1 / n
+    sd = math.sqrt(s2 / n - mu * mu)
+    frames = defaultdict(list)
+    for d, c in daily.items():
+        frames[d // 7].append(math.floor((c - mu) / sd * 1000000 + 0.5))
+    sym = {}
+    for f, zqs in frames.items():
+        paa = sum(zqs) / (1000000.0 * len(zqs))
+        sym[f] = "a" if paa < -0.6745 else (
+            "b" if paa < 0 else ("c" if paa < 0.6745 else "d")
+        )
+    order = sorted(sym)
+    words = defaultdict(lambda: [0, None])
+    for i, f in enumerate(order[:-2]):
+        w = sym[f] + sym[order[i + 1]] + sym[order[i + 2]]
+        words[w][0] += 1
+        if words[w][1] is None:
+            words[w][1] = f
+    exp = sorted(
+        ((w, c, ff) for w, (c, ff) in words.items()),
+        key=lambda t: (-t[1], t[0]),
+    )[:10]
+    rows = REGISTRY["events_sax_motifs"].fn(spark, sf_dir).collect()
+    got = [(r.word, r.n_occurrences, r.first_frame) for r in rows]
+    assert got == exp
+
+
+def test_price_elasticity_matches_python_regression(spark, sf_dir):
+    """Replicate the whole estimate in Python from an independent
+    DuckDB rollup of (brand, price level, qty): same ln-ln least
+    squares, compared at a 2e-3 grain (ln ulps); plus the structural
+    bounds — the fixture's density artifact reads as a moderate
+    NEGATIVE slope, never a runaway value."""
+    import math
+
+    import duckdb
+
+    from cdc_pubsub_spark.registry import REGISTRY
+
+    con = duckdb.connect()
+    levels = con.sql(
+        "SELECT p.p_brand, CAST(floor(l.l_extendedprice / l.l_quantity"
+        " + 0.5) AS BIGINT) AS pd, CAST(sum(l.l_quantity) AS BIGINT) AS q"
+        f" FROM read_parquet('{sf_dir}/lineitem.parquet') l"
+        f" JOIN read_parquet('{sf_dir}/part.parquet') p"
+        "   ON p.p_partkey = l.l_partkey"
+        " WHERE floor(l.l_extendedprice / l.l_quantity + 0.5) >= 1"
+        " GROUP BY 1, 2"
+    ).fetchall()
+    by_brand = {}
+    for b, pd_, q in levels:
+        by_brand.setdefault(b, []).append((math.log(pd_), math.log(q)))
+    rows = REGISTRY["orders_price_elasticity"].fn(spark, sf_dir).collect()
+    assert {r.brand for r in rows} == set(by_brand)
+    for r in rows:
+        pts = by_brand[r.brand]
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        sxy = sum(x * y for x, y in pts)
+        syy = sum(y * y for _, y in pts)
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        r2 = (n * sxy - sx * sy) ** 2 / (
+            (n * sxx - sx * sx) * (n * syy - sy * sy)
+        )
+        assert r.n_price_levels == n
+        assert abs(r.elasticity - slope) < 2e-3, (r, slope)
+        assert abs(r.fit_r2 - r2) < 2e-3, (r, r2)
+        assert -3.0 < r.elasticity < 0.5, r
+        assert 0.0 <= r.fit_r2 <= 1.0, r
+
+
+def test_croston_matches_python_fold(spark, sf_dir):
+    """Replicate Croston exactly in Python: same ordered nonzero
+    series, same SES folds (alpha = 0.25, first element seeds), same
+    r4 floors — and sanity-pin the rate against the naive estimate on
+    the memoryless fixture."""
+    import math
+
+    import duckdb
+
+    from cdc_pubsub_spark.registry import REGISTRY
+
+    con = duckdb.connect()
+    daily = con.sql(
+        "SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'"
+        " AS BIGINT) AS d, CAST(count(*) AS BIGINT) AS q"
+        f" FROM read_parquet('{sf_dir}/orders.parquet')"
+        " WHERE o_orderkey % 97 = 0 GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    assert len(daily) >= 3
+    qs = [float(q) for _, q in daily]
+    ds = [d for d, _ in daily]
+    z = qs[0]
+    for x in qs[1:]:
+        z = 0.25 * x + 0.75 * z
+    ivs = [float(b - a) for a, b in zip(ds, ds[1:])]
+    p = ivs[0]
+    for x in ivs[1:]:
+        p = 0.25 * x + 0.75 * p
+    r = REGISTRY["orders_croston_intermittent"].fn(spark, sf_dir).collect()[0]
+    assert r.n_nonzero_days == len(daily)
+    assert r.z_hat == math.floor(z * 10000 + 0.5) / 10000
+    assert r.p_hat == math.floor(p * 10000 + 0.5) / 10000
+    assert r.croston_rate == math.floor(z / p * 10000 + 0.5) / 10000
+    assert 0.2 * r.naive_rate < r.croston_rate < 5.0 * r.naive_rate

@@ -956,3 +956,31 @@ def test_rfm_atscale_windows_only_over_bin_histograms(spark, sf_dir):
         if "windowspecdefinition" in line:
             assert "windowspecdefinition(bin#" in line, line
     assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_exists_subqueries_decorrelate_to_semi_anti(spark, sf_dir):
+    """The declared-correlated EXISTS / NOT EXISTS must be rewritten by
+    Catalyst into hash EXISTENCE joins (the decorrelated form for
+    EXISTS consumed inside a projection — semi/anti is the WHERE-clause
+    variant) — two of them, both broadcast. A plan still carrying a
+    per-row correlated subquery would show neither."""
+    df = q("subq_exists_decorrelated", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("ExistenceJoin") >= 2, plan[:2000]
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_adamic_adar_broadcasts_bounded_sides(spark, sf_dir):
+    """The degree table and the 63-row inverse-log table must
+    broadcast; the wedge self-join is the only shuffled join."""
+    df = q("graph_adamic_adar", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_hotspot_grid_offsets_broadcast(spark, sf_dir):
+    """The 9-row neighborhood-offset table must enter as a broadcast
+    (BNLJ or hash) — never a shuffled join against the cell relation."""
+    df = q("events_hotspot_grid", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Broadcast" in plan, plan[:2000]
