@@ -213,6 +213,10 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     "orders_price_elasticity",
     "orders_croston_intermittent",
     "subq_exists_decorrelated",
+    "events_alert_debounce",
+    "scan_syslog_rfc3164",
+    "events_ab_sprt",
+    "embed_random_projection",
 }
 
 

@@ -2215,3 +2215,146 @@ def search_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "variant string, n_rel_in_k bigint, ndcg_at_10 double,"
         " mrr double, n_relevant bigint",
     ).orderBy("variant")
+
+
+def _rp_signs_csv() -> str:
+    """1024 Rademacher signs from ONE seeded PRNG instance (a fresh
+    Random(seed) per element collapses to a constant array — the bug
+    the JL audit itself caught via a 7x ratio spread)."""
+    import random as _random
+
+    rng = _random.Random(7)
+    return ", ".join(str(rng.choice((-1, 1))) for _ in range(16 * 64))
+
+
+_RP_SIGNS_CSV = _rp_signs_csv()
+
+
+@register(
+    "embed_random_projection",
+    category="similarity",
+    oracle="""
+    WITH sgn AS MATERIALIZED (SELECT [1, -1, 1, -1, -1, -1, 1, -1, -1, -1, -1, 1, 1, -1, -1, -1, 1, -1, -1, -1, -1, 1, -1, -1, -1, -1, 1, 1, -1, -1, 1, -1, -1, -1, 1, -1, -1, -1, -1, 1, 1, 1, 1, 1, 1, 1, -1, -1, -1, -1, 1, 1, 1, 1, 1, -1, -1, 1, -1, 1, -1, 1, 1, -1, -1, 1, 1, 1, 1, 1, -1, -1, 1, 1, -1, -1, 1, 1, 1, 1, 1, -1, 1, 1, -1, -1, 1, -1, -1, 1, -1, -1, 1, 1, 1, -1, -1, 1, 1, 1, -1, 1, 1, 1, 1, 1, -1, -1, -1, -1, -1, -1, -1, -1, 1, -1, 1, 1, -1, -1, 1, 1, 1, -1, -1, 1, 1, 1, 1, 1, -1, 1, 1, -1, -1, -1, -1, 1, -1, -1, 1, -1, -1, -1, -1, -1, 1, -1, -1, -1, 1, -1, 1, 1, 1, 1, -1, -1, 1, 1, 1, 1, 1, -1, -1, -1, 1, 1, 1, -1, -1, -1, 1, -1, -1, 1, -1, 1, 1, -1, 1, -1, 1, -1, -1, -1, 1, -1, -1, 1, 1, -1, -1, 1, 1, 1, -1, 1, 1, 1, 1, -1, -1, -1, -1, 1, -1, 1, -1, 1, -1, 1, 1, -1, -1, 1, -1, 1, -1, 1, 1, -1, 1, 1, 1, -1, -1, -1, -1, -1, -1, 1, -1, 1, 1, -1, -1, -1, -1, -1, -1, 1, -1, -1, -1, 1, -1, 1, -1, 1, 1, 1, -1, -1, 1, 1, 1, -1, -1, -1, 1, -1, -1, -1, -1, -1, 1, -1, -1, 1, 1, -1, -1, -1, -1, 1, -1, -1, 1, -1, -1, 1, 1, -1, 1, 1, 1, -1, 1, -1, 1, -1, 1, -1, 1, 1, 1, -1, -1, 1, -1, -1, 1, -1, -1, 1, -1, 1, -1, 1, -1, -1, 1, 1, -1, -1, -1, 1, 1, 1, 1, -1, 1, 1, -1, 1, -1, 1, 1, 1, -1, 1, 1, 1, -1, -1, -1, -1, -1, 1, 1, -1, -1, 1, -1, 1, 1, 1, -1, 1, 1, -1, 1, -1, -1, 1, -1, 1, -1, -1, 1, -1, -1, -1, 1, -1, 1, -1, 1, 1, 1, -1, -1, -1, -1, -1, 1, -1, -1, -1, 1, 1, -1, 1, 1, -1, 1, 1, -1, 1, -1, -1, -1, -1, 1, -1, 1, -1, 1, 1, 1, 1, -1, -1, 1, -1, -1, 1, 1, -1, -1, -1, -1, 1, 1, -1, -1, -1, 1, 1, -1, 1, -1, 1, -1, -1, 1, 1, -1, 1, 1, 1, 1, -1, -1, 1, -1, 1, -1, -1, 1, 1, -1, 1, 1, -1, -1, -1, -1, 1, -1, -1, 1, -1, 1, -1, 1, 1, -1, -1, -1, 1, 1, 1, -1, 1, -1, -1, 1, -1, -1, -1, -1, -1, -1, -1, 1, -1, 1, 1, -1, -1, -1, 1, 1, -1, 1, -1, -1, -1, 1, 1, -1, 1, -1, -1, -1, 1, 1, 1, -1, 1, 1, -1, -1, -1, -1, 1, 1, 1, -1, -1, 1, -1, 1, 1, -1, -1, 1, 1, 1, 1, 1, 1, -1, -1, 1, -1, 1, -1, 1, 1, -1, 1, 1, 1, -1, -1, -1, -1, -1, 1, 1, -1, 1, -1, 1, -1, 1, 1, 1, -1, -1, -1, 1, 1, 1, 1, -1, 1, 1, 1, 1, -1, 1, -1, 1, 1, 1, -1, -1, -1, 1, 1, 1, -1, 1, 1, -1, 1, 1, 1, -1, 1, -1, -1, 1, -1, -1, 1, 1, 1, -1, 1, 1, -1, 1, -1, -1, -1, 1, 1, -1, 1, 1, -1, -1, -1, 1, 1, 1, 1, 1, 1, 1, 1, -1, 1, 1, 1, -1, -1, -1, -1, -1, 1, -1, 1, 1, 1, 1, -1, -1, -1, -1, -1, 1, -1, 1, -1, 1, 1, -1, -1, 1, 1, 1, -1, 1, 1, 1, -1, 1, 1, 1, -1, -1, -1, 1, -1, 1, 1, 1, 1, 1, -1, -1, -1, 1, 1, 1, -1, -1, 1, 1, 1, -1, -1, -1, -1, -1, -1, 1, -1, -1, -1, -1, -1, -1, 1, -1, 1, 1, -1, -1, -1, 1, -1, 1, 1, -1, -1, -1, 1, 1, 1, 1, -1, 1, -1, -1, -1, 1, 1, -1, -1, -1, 1, 1, -1, 1, -1, 1, 1, -1, 1, -1, 1, 1, 1, 1, -1, -1, 1, -1, -1, 1, -1, 1, -1, -1, 1, -1, 1, 1, -1, 1, -1, -1, 1, 1, -1, -1, 1, -1, -1, -1, -1, 1, -1, -1, -1, 1, 1, 1, -1, -1, -1, 1, -1, -1, 1, -1, 1, 1, 1, 1, 1, -1, -1, -1, -1, 1, -1, 1, 1, -1, -1, 1, 1, 1, 1, -1, -1, 1, -1, 1, 1, -1, 1, 1, 1, -1, 1, -1, 1, -1, 1, -1, 1, -1, -1, 1, -1, -1, 1, 1, 1, 1, -1, 1, 1, 1, 1, -1, -1, -1, -1, -1, 1, 1, 1, 1, 1, 1, -1, 1, -1, -1, 1, -1, -1, 1, 1, 1, 1, -1, -1, 1, -1, -1, 1, -1, -1, 1, 1, -1, 1, -1, -1, 1, -1, -1, -1, 1, 1, 1, -1, -1, -1, 1, 1, -1, -1, 1, 1, 1, 1, 1, 1, 1, -1, 1, -1, -1, -1, -1, -1, 1, -1, 1, -1, 1, 1, -1, -1, -1, 1, -1, -1, -1, 1, -1, 1, 1, -1, 1, -1, -1, -1, -1, -1, -1, 1, -1, 1, 1, -1, -1, 1, -1, -1, 1, 1, -1, -1, -1, 1, -1, -1, -1, 1, 1, 1, -1, 1, -1, -1, -1, 1, 1, -1, 1, -1, 1, -1, -1, -1, 1, 1, 1, 1, 1, 1, -1, 1, 1, 1, 1, -1, 1, -1, 1, 1, -1, -1, 1, -1, 1, -1, -1, 1, 1, 1, -1, -1, -1, -1, -1, 1, -1, 1, -1, -1, 1, 1, -1, -1, -1, -1, 1, 1, -1, 1, -1, -1, 1, 1, -1, 1, -1, -1, -1, 1, -1, 1, -1, -1, -1, 1, -1, 1, 1, -1, -1, -1, -1, -1, -1, 1, -1, 1, 1, 1] AS s),
+    eq AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding,
+               qv -> CAST(floor(qv * 10000 + 0.5) AS BIGINT)) AS xq
+      FROM embeddings WHERE vec_id < 60
+    ),
+    proj AS MATERIALIZED (
+      SELECT vec_id, xq,
+             list_transform(range(0, 16), jj ->
+               list_sum(list_transform(range(0, 64), ii ->
+                 s[jj * 64 + ii + 1] * xq[ii + 1]))) AS y
+      FROM eq CROSS JOIN sgn
+    ),
+    pairs AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+             CAST(list_sum(list_transform(range(1, 65), di ->
+               (a2.xq[di] - b2.xq[di]) * (a2.xq[di] - b2.xq[di])))
+               AS BIGINT) AS origd2,
+             CAST(list_sum(list_transform(range(1, 17), dj ->
+               (a.y[dj] - b.y[dj]) * (a.y[dj] - b.y[dj])))
+               AS BIGINT) AS projd2
+      FROM proj a JOIN proj b ON a.vec_id < b.vec_id
+      JOIN eq a2 ON a2.vec_id = a.vec_id
+      JOIN eq b2 ON b2.vec_id = b.vec_id
+    ),
+    ratios AS (
+      SELECT va, vb,
+             CAST(projd2 AS DOUBLE)
+               / (16e0 * CAST(origd2 AS DOUBLE)) AS ratio,
+             CAST(floor(CAST(projd2 AS DOUBLE)
+               / (16e0 * CAST(origd2 AS DOUBLE)) * 1000000 + 0.5)
+               AS BIGINT) AS ratio_micro
+      FROM pairs WHERE origd2 > 0
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           floor(CAST(sum(ratio_micro) AS DOUBLE)
+                 / (1000000e0 * CAST(count(*) AS DOUBLE))
+                 * 10000 + 0.5) / 10000 AS mean_ratio,
+           floor(min(ratio) * 10000 + 0.5) / 10000 AS min_ratio,
+           floor(max(ratio) * 10000 + 0.5) / 10000 AS max_ratio,
+           CAST(sum(CASE WHEN ratio >= 0.5e0 AND ratio <= 2e0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_within_2x
+    FROM ratios
+    """,
+)
+def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOHNSON-LINDENSTRAUSS RANDOM PROJECTION audit: project the
+    64-dim embeddings onto 16 dims with a Rademacher ±1 sign matrix
+    (entries drawn once from a seeded PRNG in Python and injected
+    into both plans as a 1024-literal array — a structured affine
+    sign hash was measured to inflate the ratio spread 3x) and measure how well pairwise squared distances survive:
+    E[‖R(u−v)‖²] = k·‖u−v‖², so the per-pair ratio projd²/(k·origd²)
+    concentrates around 1 — the JL lemma made into a data-quality
+    gate. embed_pca_project reduces along LEARNED axes; this is the
+    oblivious reduction you reach for when you cannot afford a
+    training pass, and the audit is what tells you whether 16 dims
+    was enough.
+
+    Exactness: embeddings quantize to 1e4-integers; the sign matrix
+    and every projection component are exact integer sums (nested SQL
+    lambdas with distinct variable names — the HOF-pitfall
+    discipline); both distance sums are exact BIGINTs, so each ratio
+    is ONE pinned double division, micro-quantized before the mean.
+    Shape: the projection is row-local; the audit is a 60-vector
+    self-join (1770 pairs) — the documented small-sample pattern
+    (sim_ann_recall_audit); at 100 TB you audit a fixed sample, never
+    the corpus.
+    """
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 60)
+    eq = emb.selectExpr(
+        "vec_id",
+        "transform(embedding,"
+        " qv -> CAST(floor(qv * 10000 + 0.5) AS BIGINT)) AS xq",
+        f"array({_RP_SIGNS_CSV}) AS s",
+    )
+    proj = eq.selectExpr(
+        "vec_id",
+        "xq",
+        "transform(sequence(0, 15), jj ->"
+        " aggregate(sequence(0, 63), 0L, (acc, ii) ->"
+        "   acc + element_at(s, jj * 64 + ii + 1)"
+        "         * element_at(xq, ii + 1))) AS y",
+    ).persist()
+    a, b = proj.alias("a"), proj.alias("b")
+    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id")).selectExpr(
+        "a.vec_id AS va",
+        "b.vec_id AS vb",
+        "CAST(aggregate(zip_with(a.xq, b.xq,"
+        " (pa, pb) -> (pa - pb) * (pa - pb)),"
+        " 0L, (acc2, el2) -> acc2 + el2) AS BIGINT) AS origd2",
+        "CAST(aggregate(zip_with(a.y, b.y,"
+        " (qa, qb) -> (qa - qb) * (qa - qb)),"
+        " 0L, (acc3, el3) -> acc3 + el3) AS BIGINT) AS projd2",
+    )
+    ratio = (
+        "CAST(projd2 AS DOUBLE) / (16e0 * CAST(origd2 AS DOUBLE))"
+    )
+    ratios = pairs.filter(F.col("origd2") > 0).selectExpr(
+        "va",
+        "vb",
+        f"{ratio} AS ratio",
+        f"CAST(floor({ratio} * 1000000 + 0.5) AS BIGINT) AS ratio_micro",
+    )
+    out = ratios.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.expr(
+            "floor(CAST(sum(ratio_micro) AS DOUBLE)"
+            " / (1000000e0 * CAST(count(*) AS DOUBLE)) * 10000 + 0.5)"
+            " / 10000"
+        ).alias("mean_ratio"),
+        F.expr("floor(min(ratio) * 10000 + 0.5) / 10000").alias("min_ratio"),
+        F.expr("floor(max(ratio) * 10000 + 0.5) / 10000").alias("max_ratio"),
+        F.sum(
+            F.expr(
+                "CASE WHEN ratio >= 0.5e0 AND ratio <= 2e0 THEN 1 ELSE 0 END"
+            )
+        )
+        .cast("bigint")
+        .alias("n_within_2x"),
+    )
+    from cdc_pubsub_spark.tables import finalize_cached
+
+    return finalize_cached(out, proj)

@@ -4883,3 +4883,286 @@ def orders_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
         " / CAST(last_day - first_day + 1 AS DOUBLE)"
         " * 10000 + 0.5) / 10000 AS naive_rate",
     )
+
+
+@register(
+    "events_alert_debounce",
+    category="composite",
+    oracle="""
+    WITH daily AS MATERIALIZED (
+      SELECT event_type,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+                  AS BIGINT) AS day_idx,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    base AS MATERIALIZED (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(cents) AS BIGINT) AS s1
+      FROM daily GROUP BY 1
+    ),
+    breaches AS (
+      SELECT d.event_type, d.day_idx, d.cents
+      FROM daily d JOIN base b ON b.event_type = d.event_type
+      WHERE d.cents * b.n_days * 100 > b.s1 * 105
+    ),
+    grouped AS (
+      SELECT event_type, day_idx, cents,
+             day_idx - row_number() OVER (
+               PARTITION BY event_type ORDER BY day_idx) AS grp
+      FROM breaches
+    )
+    SELECT event_type,
+           CAST(min(day_idx) AS BIGINT) AS start_day,
+           CAST(max(day_idx) AS BIGINT) AS end_day,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(max(cents) AS BIGINT) AS peak_cents,
+           CAST(sum(cents) AS BIGINT) AS total_cents
+    FROM grouped
+    GROUP BY event_type, grp
+    HAVING count(*) >= 3
+    ORDER BY event_type, start_day
+    """,
+)
+def events_alert_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALERT DEBOUNCING — the raise-after-K-consecutive-breaches state
+    machine every monitoring system puts between a threshold and a
+    pager: daily per-type totals breach at >5% above that type's own
+    mean, and only runs of ≥3 CONSECUTIVE breach days become alert
+    episodes (start/end/duration/peak), so single noisy days never
+    page. win_gaps_islands ships the bare islands device; this is the
+    operational composite on top of it (threshold → islands → minimum
+    episode length → episode facts).
+
+    Exactness: the breach predicate is a PURE INTEGER cross-multiply
+    (cents·n·100 > s1·105) — no ratio is ever materialized, so there
+    is no float to disagree on; episode facts are integer min/max/sum.
+    Shape: one data-sized groupBy to (type × day); the islands window
+    partitions by type over the calendar-bounded relation (the
+    bounded-domain ts_ argument); episode assembly is a ≤(types ×
+    islands) aggregate.
+    """
+    events = load(spark, sf_dir, "events")
+    daily = (
+        events.groupBy(
+            "event_type",
+            F.expr(
+                "unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000"
+            ).alias("day_idx"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+        .persist()
+    )
+    base = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("cents").cast("bigint").alias("s1"),
+    )
+    breaches = (
+        daily.alias("d")
+        .join(
+            F.broadcast(base.withColumnRenamed("event_type", "bt")),
+            F.col("bt") == F.col("d.event_type"),
+        )
+        .filter(
+            F.col("cents") * F.col("n_days") * 100 > F.col("s1") * 105
+        )
+        .select("d.event_type", "day_idx", "cents")
+    )
+    w = Window.partitionBy("event_type").orderBy("day_idx")
+    grouped = breaches.withColumn(
+        "grp", F.col("day_idx") - F.row_number().over(w)
+    )
+    out = (
+        grouped.groupBy("event_type", "grp")
+        .agg(
+            F.min("day_idx").cast("bigint").alias("start_day"),
+            F.max("day_idx").cast("bigint").alias("end_day"),
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.max("cents").cast("bigint").alias("peak_cents"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+        )
+        .filter(F.col("n_days") >= 3)
+        .drop("grp")
+        .orderBy("event_type", "start_day")
+    )
+    from cdc_pubsub_spark.tables import finalize_cached
+
+    return finalize_cached(out, daily)
+
+
+# SPRT literals for H0: p = 0.10 vs H1: p = 0.12 at alpha = beta = 0.05,
+# computed once in Python (math.log) and injected into both plans — the
+# engines never evaluate ln (the periodogram literal device).
+_SPRT_L1 = "0.1823215567939546e0"   # ln(p1/p0)
+_SPRT_L0 = "-0.02247285585205863e0"  # ln((1-p1)/(1-p0))
+_SPRT_A = "2.9444389791664403e0"     # ln((1-beta)/alpha)  -> accept H1
+_SPRT_B = "-2.9444389791664403e0"    # ln(beta/(1-alpha))  -> accept H0
+
+
+@register(
+    "events_ab_sprt",
+    category="composite",
+    oracle=f"""
+    WITH daily AS MATERIALIZED (
+      SELECT user_id % 2 AS variant,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+                  AS BIGINT) AS day_idx,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    incs AS (
+      SELECT variant, day_idx, n, x,
+             CAST(floor((x * {_SPRT_L1} + (n - x) * {_SPRT_L0})
+                  * 1000000 + 0.5) AS BIGINT) AS llr_micro
+      FROM daily
+    ),
+    cum AS (
+      SELECT variant, day_idx, n, x,
+             CAST(sum(llr_micro) OVER (
+               PARTITION BY variant ORDER BY day_idx) AS BIGINT) AS cum_micro
+      FROM incs
+    ),
+    decided AS (
+      SELECT variant, day_idx, cum_micro,
+             CASE WHEN cum_micro >= CAST(floor({_SPRT_A} * 1000000 + 0.5)
+                                         AS BIGINT) THEN 'accept_h1'
+                  WHEN cum_micro <= CAST(floor({_SPRT_B} * 1000000 + 0.5)
+                                         AS BIGINT) THEN 'accept_h0'
+                  ELSE 'continue' END AS verdict
+      FROM cum
+    ),
+    first_cross AS (
+      SELECT variant, min(day_idx) AS decision_day
+      FROM decided WHERE verdict <> 'continue'
+      GROUP BY variant
+    ),
+    finals AS (
+      SELECT variant, max(day_idx) AS last_day,
+             CAST(sum(x) AS BIGINT) AS total_x,
+             CAST(sum(n) AS BIGINT) AS total_n
+      FROM daily GROUP BY variant
+    )
+    SELECT f.variant,
+           coalesce(d.verdict, 'continue') AS decision,
+           CAST(fc.decision_day AS BIGINT) AS decision_day,
+           floor(CAST(cend.cum_micro AS DOUBLE) / 1000000e0
+                 * 10000 + 0.5) / 10000 AS final_llr,
+           f.total_x, f.total_n
+    FROM finals f
+    LEFT JOIN first_cross fc ON fc.variant = f.variant
+    LEFT JOIN decided d
+      ON d.variant = f.variant AND d.day_idx = fc.decision_day
+    JOIN decided cend
+      ON cend.variant = f.variant AND cend.day_idx = f.last_day
+    ORDER BY f.variant
+    """,
+)
+def events_ab_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENTIAL PROBABILITY RATIO TEST monitoring of an A/B stream —
+    Wald's SPRT, the always-valid sequential twin of the fixed-horizon
+    events_ab_test: each day adds x·ln(p1/p0) + (n−x)·ln(q1/q0) to the
+    per-variant log-likelihood ratio, and the experiment STOPS the
+    first day the cumulative LLR crosses ln((1−β)/α) (accept H1) or
+    ln(β/(1−α)) (accept H0) — peeking daily is the designed behavior,
+    not a p-hacking bug. Testing H0: rate 0.10 vs H1: 0.12 against the
+    fixture's ≈0.20 purchase share, BOTH variants must race to
+    accept_h1 within days — the known answer the invariant test pins.
+
+    Determinism: all four ln constants are Python-computed literals
+    (the periodogram device — engines never evaluate ln); daily
+    increments are exact-count × literal-double pinned products,
+    quantized to micro-units BEFORE the cumulative window, so the
+    running LLR is an exact integer path and the crossing day is
+    unambiguous. Shape: one data-sized groupBy to (variant × day);
+    the cumulative window runs over the calendar-bounded relation,
+    partitioned by variant.
+    """
+    events = load(spark, sf_dir, "events")
+    daily = (
+        events.groupBy(
+            (F.col("user_id") % 2).alias("variant"),
+            F.expr(
+                "unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000"
+            ).alias("day_idx"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END"
+                )
+            )
+            .cast("bigint")
+            .alias("x"),
+        )
+        .persist()
+    )
+    incs = daily.selectExpr(
+        "variant",
+        "day_idx",
+        "n",
+        "x",
+        f"CAST(floor((x * {_SPRT_L1} + (n - x) * {_SPRT_L0})"
+        " * 1000000 + 0.5) AS BIGINT) AS llr_micro",
+    )
+    w = Window.partitionBy("variant").orderBy("day_idx")
+    cum = incs.withColumn(
+        "cum_micro", F.sum("llr_micro").over(w).cast("bigint")
+    )
+    decided = cum.selectExpr(
+        "variant",
+        "day_idx",
+        "cum_micro",
+        f"CASE WHEN cum_micro >= CAST(floor({_SPRT_A} * 1000000 + 0.5)"
+        " AS BIGINT) THEN 'accept_h1'"
+        f" WHEN cum_micro <= CAST(floor({_SPRT_B} * 1000000 + 0.5)"
+        " AS BIGINT) THEN 'accept_h0'"
+        " ELSE 'continue' END AS verdict",
+    ).persist()
+    first_cross = (
+        decided.filter(F.col("verdict") != "continue")
+        .groupBy("variant")
+        .agg(F.min("day_idx").alias("decision_day"))
+    )
+    finals = daily.groupBy("variant").agg(
+        F.max("day_idx").alias("last_day"),
+        F.sum("x").cast("bigint").alias("total_x"),
+        F.sum("n").cast("bigint").alias("total_n"),
+    )
+    f, fc = finals.alias("f"), first_cross.alias("fc")
+    d, cend = decided.alias("d"), decided.alias("cend")
+    out = (
+        f.join(F.broadcast(fc), F.col("fc.variant") == F.col("f.variant"),
+               "left")
+        .join(
+            d,
+            (F.col("d.variant") == F.col("f.variant"))
+            & (F.col("d.day_idx") == F.col("fc.decision_day")),
+            "left",
+        )
+        .join(
+            cend,
+            (F.col("cend.variant") == F.col("f.variant"))
+            & (F.col("cend.day_idx") == F.col("f.last_day")),
+        )
+        .selectExpr(
+            "f.variant AS variant",
+            "coalesce(d.verdict, 'continue') AS decision",
+            "CAST(fc.decision_day AS BIGINT) AS decision_day",
+            "floor(CAST(cend.cum_micro AS DOUBLE) / 1000000e0"
+            " * 10000 + 0.5) / 10000 AS final_llr",
+            "f.total_x AS total_x",
+            "f.total_n AS total_n",
+        )
+        .orderBy("variant")
+    )
+    from cdc_pubsub_spark.tables import finalize_cached
+
+    return finalize_cached(out, daily, decided)

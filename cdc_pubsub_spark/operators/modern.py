@@ -638,3 +638,86 @@ def fn_ip_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("block")
     )
+
+
+# Shared line synthesis: RFC3164-shaped syslog lines rendered from the
+# events table (zero-padded day variant; English month abbreviations in
+# both engines' formatters). The PARSE back out is the product.
+_SYSLOG_RENDER_SPARK = (
+    "concat('<', CAST(user_id % 24 * 8 + event_id % 8 AS STRING), '>',"
+    " date_format(CAST(ts AS TIMESTAMP), 'MMM dd HH:mm:ss'), ' ',"
+    " 'host-', CAST(user_id % 50 AS STRING), ' ',"
+    " event_type, '[', CAST(event_id % 1000 AS STRING), ']: ',"
+    " 'value=', CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS STRING))"
+)
+
+
+@register(
+    "scan_syslog_rfc3164",
+    category="modern",
+    oracle="""
+    SELECT CAST(event_id % 8 AS BIGINT) AS severity,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT user_id % 50) AS BIGINT) AS n_hosts,
+           CAST(min(user_id % 24 * 8 + event_id % 8) AS BIGINT) AS min_pri,
+           CAST(max(user_id % 24 * 8 + event_id % 8) AS BIGINT) AS max_pri,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS cents_sum
+    FROM events
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def scan_syslog_rfc3164(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SYSLOG (RFC 3164) LINE INGESTION — the log-analytics staple:
+    `<PRI>MMM dd HH:mm:ss host tag[pid]: msg` lines rendered from
+    events in-plan, then parsed back by pure string arithmetic —
+    PRI between the angle brackets decodes to facility = pri div 8 /
+    severity = pri mod 8, the host is the 4th space token, the pid
+    sits between '[' and ']', and the kv payload is split on '='.
+    The oracle computes the same per-severity aggregate straight from
+    the source columns, so every extraction (bracket offsets, token
+    positions, the facility/severity ring arithmetic) is load-bearing:
+    an off-by-one returns wrong counts, not an error.
+
+    Scale: render and parse are row-local codegen (substring/instr/
+    split — no regex backtracking); the only shuffle is the 8-key
+    aggregate. A real deployment replaces the render with
+    spark.read.text over the collector's landing files — the parse
+    projection is identical, which is the point of shipping it.
+    """
+    events = load(spark, sf_dir, "events")
+    lines = events.selectExpr(f"{_SYSLOG_RENDER_SPARK} AS line")
+    parsed = lines.selectExpr(
+        "CAST(substring(line, 2, instr(line, '>') - 2) AS BIGINT) AS pri",
+        "element_at(split(line, ' '), 4) AS host",
+        "substring(element_at(split(line, ' '), 5), 1,"
+        " instr(element_at(split(line, ' '), 5), '[') - 1) AS tag",
+        "CAST(substring(element_at(split(line, ' '), 5),"
+        " instr(element_at(split(line, ' '), 5), '[') + 1,"
+        " instr(element_at(split(line, ' '), 5), ']')"
+        " - instr(element_at(split(line, ' '), 5), '[') - 1) AS BIGINT)"
+        " AS pid",
+        "CAST(element_at(split(element_at(split(line, ' '), 6), '='), 2)"
+        " AS BIGINT) AS cents",
+    )
+    return (
+        parsed.selectExpr(
+            "pri div 8 AS facility",
+            "pri % 8 AS severity",
+            "host",
+            "cents",
+        )
+        .groupBy("severity")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.countDistinct("host").cast("bigint").alias("n_hosts"),
+            F.min(F.expr("facility * 8 + severity"))
+            .cast("bigint")
+            .alias("min_pri"),
+            F.max(F.expr("facility * 8 + severity"))
+            .cast("bigint")
+            .alias("max_pri"),
+            F.sum("cents").cast("bigint").alias("cents_sum"),
+        )
+        .orderBy("severity")
+    )

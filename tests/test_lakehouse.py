@@ -737,3 +737,147 @@ def test_croston_matches_python_fold(spark, sf_dir):
     assert r.p_hat == math.floor(p * 10000 + 0.5) / 10000
     assert r.croston_rate == math.floor(z / p * 10000 + 0.5) / 10000
     assert 0.2 * r.naive_rate < r.croston_rate < 5.0 * r.naive_rate
+
+
+def test_alert_debounce_matches_python_islands(spark, sf_dir):
+    """Replicate threshold → islands → min-length in Python with the
+    identical integer cross-multiply breach predicate; episodes must
+    match exactly and never be shorter than the debounce floor."""
+    from collections import defaultdict
+
+    import duckdb
+
+    from cdc_pubsub_spark.registry import REGISTRY
+
+    con = duckdb.connect()
+    daily = con.sql(
+        "SELECT event_type,"
+        " CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS BIGINT),"
+        " CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)"
+        f" FROM read_parquet('{sf_dir}/events.parquet') GROUP BY 1, 2"
+    ).fetchall()
+    by_type = defaultdict(dict)
+    for et, d, c in daily:
+        by_type[et][d] = c
+    exp = []
+    for et, days in by_type.items():
+        n, s1 = len(days), sum(days.values())
+        breaches = sorted(d for d, c in days.items() if c * n * 100 > s1 * 105)
+        run = []
+        for d in breaches + [None]:
+            if run and (d is None or d != run[-1] + 1):
+                if len(run) >= 3:
+                    exp.append(
+                        (
+                            et,
+                            run[0],
+                            run[-1],
+                            len(run),
+                            max(days[x] for x in run),
+                            sum(days[x] for x in run),
+                        )
+                    )
+                run = []
+            if d is not None:
+                run.append(d)
+    exp.sort()
+    rows = REGISTRY["events_alert_debounce"].fn(spark, sf_dir).collect()
+    got = sorted(
+        (r.event_type, r.start_day, r.end_day, r.n_days, r.peak_cents,
+         r.total_cents)
+        for r in rows
+    )
+    assert got == exp
+    assert all(r.n_days >= 3 for r in rows)
+
+
+def test_syslog_parse_offsets_on_handcrafted_line(spark):
+    """Drive the exact parse expressions over a handcrafted RFC3164
+    line so each extraction (PRI digits, 4th token host, bracketed
+    pid, kv payload) is pinned to known values — independent of the
+    fixture round-trip the oracle already certifies."""
+    row = spark.sql(
+        "SELECT CAST(substring(line, 2, instr(line, '>') - 2) AS BIGINT)"
+        " AS pri,"
+        " element_at(split(line, ' '), 4) AS host,"
+        " substring(element_at(split(line, ' '), 5), 1,"
+        " instr(element_at(split(line, ' '), 5), '[') - 1) AS tag,"
+        " CAST(substring(element_at(split(line, ' '), 5),"
+        " instr(element_at(split(line, ' '), 5), '[') + 1,"
+        " instr(element_at(split(line, ' '), 5), ']')"
+        " - instr(element_at(split(line, ' '), 5), '[') - 1) AS BIGINT)"
+        " AS pid,"
+        " CAST(element_at(split(element_at(split(line, ' '), 6), '='), 2)"
+        " AS BIGINT) AS cents"
+        " FROM (SELECT '<165>Aug 15 07:30:00 host-7 sshd[4242]: value=987'"
+        " AS line)"
+    ).collect()[0]
+    assert row.pri == 165
+    assert row.pri // 8 == 20 and row.pri % 8 == 5  # local4.notice
+    assert row.host == "host-7"
+    assert row.tag == "sshd"
+    assert row.pid == 4242
+    assert row.cents == 987
+
+
+def test_ab_sprt_accepts_h1_fast_and_matches_python(spark, sf_dir):
+    """The fixture's ~0.20 purchase share is far above H1's 0.12, so
+    BOTH variants must accept H1, quickly; the cumulative integer LLR
+    path is replicated exactly in Python."""
+    import math
+    from collections import defaultdict
+
+    import duckdb
+
+    from cdc_pubsub_spark.registry import REGISTRY
+
+    L1, L0 = 0.1823215567939546, -0.02247285585205863
+    A = math.floor(2.9444389791664403 * 1000000 + 0.5)
+    con = duckdb.connect()
+    daily = con.sql(
+        "SELECT user_id % 2,"
+        " CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS BIGINT),"
+        " CAST(count(*) AS BIGINT),"
+        " CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)"
+        " AS BIGINT)"
+        f" FROM read_parquet('{sf_dir}/events.parquet')"
+        " GROUP BY 1, 2 ORDER BY 1, 2"
+    ).fetchall()
+    paths = defaultdict(list)
+    for v, d, n, x in daily:
+        paths[v].append((d, math.floor((x * L1 + (n - x) * L0) * 1e6 + 0.5)))
+    rows = {r.variant: r for r in
+            REGISTRY["events_ab_sprt"].fn(spark, sf_dir).collect()}
+    assert set(rows) == {0, 1}
+    for v, incs in paths.items():
+        cum, first = 0, None
+        for d, inc in incs:
+            cum += inc
+            if first is None and cum >= A:
+                first = d
+        r = rows[v]
+        assert r.decision == "accept_h1"
+        assert r.decision_day == first
+        assert r.final_llr == math.floor(cum / 1e6 * 10000 + 0.5) / 10000
+        span = incs[-1][0] - incs[0][0] + 1
+        assert first - incs[0][0] < max(5, span // 3), (v, first)
+
+
+def test_random_projection_preserves_distances(spark, sf_dir):
+    """JL concentration: the distance-ratio audit must center near 1
+    with (near-)every pair inside [0.5, 2]; pair count matches the
+    sample size; the sign matrix must not have degenerated (min <
+    max)."""
+    from cdc_pubsub_spark.registry import REGISTRY
+    from cdc_pubsub_spark.tables import load
+
+    m = (
+        load(spark, sf_dir, "embeddings")
+        .filter("vec_id < 60")
+        .count()
+    )
+    r = REGISTRY["embed_random_projection"].fn(spark, sf_dir).collect()[0]
+    assert r.n_pairs == m * (m - 1) // 2
+    assert 0.85 <= r.mean_ratio <= 1.15, r
+    assert r.n_within_2x >= 0.9 * r.n_pairs, r
+    assert 0.05 <= r.min_ratio < r.max_ratio <= 4.0, r
