@@ -217,6 +217,10 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     "scan_syslog_rfc3164",
     "events_ab_sprt",
     "embed_random_projection",
+    "corpus_bpe_apply",
+    "ml_feature_ablation",
+    "events_anomaly_esd",
+    "multimodal_decode_farbfeld",
 }
 
 

@@ -2424,3 +2424,305 @@ def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+def bpe_apply_oracle_sql() -> str:
+    """Unrolled train-then-ENCODE: the identical 10 merge rounds as
+    bpe_oracle_sql (winners computed from the same corpus state), but
+    carrying doc_id through every rewrite so the final state yields
+    per-document tokenization facts instead of the global merge
+    table."""
+    parts = [
+        """
+    c0 AS MATERIALIZED (
+      SELECT doc_id, ' ' || trim(text) || ' ' AS s FROM documents
+    )"""
+    ]
+    for r in range(1, _BPE_ROUNDS + 1):
+        parts.append(
+            f"""
+    p{r} AS MATERIALIZED (
+      SELECT t.tok[i.i] || ' ' || t.tok[i.i + 1] AS pair,
+             CAST(count(*) AS BIGINT) AS c
+      FROM (SELECT string_split(trim(s), ' ') AS tok FROM c{r - 1}) t,
+           LATERAL unnest(range(1, len(t.tok))) AS i(i)
+      GROUP BY 1
+    ),
+    m{r} AS MATERIALIZED (
+      SELECT pair, c FROM p{r} ORDER BY c DESC, pair LIMIT 1
+    ),
+    c{r} AS MATERIALIZED (
+      SELECT c.doc_id, {_bpe_rewrite("c.s", "m.pair")} AS s
+      FROM c{r - 1} c CROSS JOIN m{r} m
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT b.doc_id,
+           CAST(len(string_split(trim(b.s), ' ')) AS BIGINT)
+             AS n_tokens_before,
+           CAST(len(string_split(trim(a.s), ' ')) AS BIGINT)
+             AS n_tokens_after,
+           CAST(len(list_filter(string_split(trim(a.s), ' '),
+                                ft -> contains(ft, '@'))) AS BIGINT)
+             AS n_merged_tokens,
+           floor(CAST(len(string_split(trim(a.s), ' ')) AS DOUBLE)
+                 / CAST(len(string_split(trim(b.s), ' ')) AS DOUBLE)
+                 * 10000 + 0.5) / 10000 AS compression
+    FROM c0 b JOIN c{_BPE_ROUNDS} a ON a.doc_id = b.doc_id
+    ORDER BY b.doc_id"""
+    )
+    return "WITH" + ",".join(parts[:-1]) + parts[-1]
+
+
+@register(
+    "corpus_bpe_apply",
+    category="corpus",
+    bench=False,  # sequential train rounds (corpus_bpe_train rationale).
+    oracle=bpe_apply_oracle_sql(),
+)
+def corpus_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING with the learned vocabulary — the apply half that
+    closes corpus_bpe_train's loop: train the identical 10 merge
+    rounds, then report per-document tokenization facts (token counts
+    before/after, how many surviving tokens are merge products, and
+    the compression ratio) — exactly what a tokenizer build publishes
+    per shard so the training run can budget sequence packing
+    (corpus_sequence_pack consumes these counts downstream).
+
+    The training path is bit-identical to corpus_bpe_train (same
+    pair-count totals, same (count DESC, pair ASC) winners, same
+    triple-replace rewrite semantics — see _bpe_rewrite); doc_id rides
+    along through every rewrite so the final corpus state is
+    per-document attributable. Scale: training as documented on the
+    train op; the encode adds zero passes — the final state IS the
+    encoding (merge products carry '@', giving an O(1) merged-token
+    test per token).
+    """
+    corpus = load(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "' ' || trim(text) || ' ' AS s"
+    )
+    corpus = corpus.localCheckpoint(eager=True)
+    before = corpus.selectExpr(
+        "doc_id",
+        "CAST(size(split(trim(s), ' ')) AS BIGINT) AS n_tokens_before",
+    )
+    for _r in range(1, _BPE_ROUNDS + 1):
+        top = (
+            corpus.selectExpr("split(trim(s), ' ') AS tok")
+            .selectExpr(
+                "explode(CASE WHEN size(tok) >= 2 THEN"
+                " transform(sequence(1, size(tok) - 1),"
+                " bpj -> concat(element_at(tok, bpj), ' ',"
+                " element_at(tok, bpj + 1))) ELSE"
+                " array() END) AS pair"
+            )
+            .groupBy("pair")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+            .orderBy(F.desc("c"), "pair")
+            .limit(1)
+            .collect()[0]
+        )
+        lit = "'" + top["pair"].replace("'", "''") + "'"
+        corpus = corpus.selectExpr("doc_id", _bpe_rewrite("s", lit) + " AS s")
+        corpus = corpus.localCheckpoint(eager=True)
+    after = corpus.selectExpr(
+        "doc_id",
+        "CAST(size(split(trim(s), ' ')) AS BIGINT) AS n_tokens_after",
+        "CAST(size(filter(split(trim(s), ' '),"
+        " ft -> contains(ft, '@'))) AS BIGINT) AS n_merged_tokens",
+    )
+    return (
+        before.join(after, "doc_id")
+        .selectExpr(
+            "doc_id",
+            "n_tokens_before",
+            "n_tokens_after",
+            "n_merged_tokens",
+            "floor(CAST(n_tokens_after AS DOUBLE)"
+            " / CAST(n_tokens_before AS DOUBLE) * 10000 + 0.5) / 10000"
+            " AS compression",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _ablation_training_parts() -> list[str]:
+    """The logreg_oracle_sql training CTE chain, verbatim (same feat /
+    nn / wt_0..wt_T construction), reusable for any post-training
+    consumer."""
+    parts = [
+        f"""
+    feat AS MATERIALIZED (
+      SELECT {_FEAT_COLS} FROM ({_PREP}) b
+    ),
+    nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM feat),
+    wt_0 AS MATERIALIZED (SELECT {", ".join(f"CAST(0 AS BIGINT) AS w{j}" for j in range(_NF))})"""
+    ]
+    for t in range(1, _T_STEPS + 1):
+        wref = [f"w.w{j}" for j in range(_NF)]
+        parts.append(
+            f"""
+    gr_{t} AS MATERIALIZED (
+      SELECT {_grad_sums()}
+      FROM (SELECT pp.*, {_P_EXPR} AS p
+            FROM (SELECT f.*, {_z_expr(wref)} AS z
+                  FROM feat f CROSS JOIN wt_{t - 1} w) pp) qq
+    ),
+    wt_{t} AS MATERIALIZED (
+      SELECT {_update_cols("w", "g", "nn")}
+      FROM wt_{t - 1} w CROSS JOIN gr_{t} g CROSS JOIN nn
+    )"""
+        )
+    return parts
+
+
+def ablation_oracle_sql() -> str:
+    """Unrolled training + 9 scoring aggregates (full model + each
+    feature zeroed) + the 8-row importance table."""
+    parts = _ablation_training_parts()
+    wref = [f"w.w{j}" for j in range(_NF)]
+    accs = []
+    for j in ("full", *range(1, _NF)):
+        zr = list(wref)
+        if j != "full":
+            zr[j] = "0"
+        z = _z_expr(zr)
+        yhat = (
+            f"CASE WHEN 0.5e0 + ({z}) / (2e0 * (1e0 + abs({z})))"
+            f" > 0.5e0 THEN 1e0 ELSE 0e0 END"
+        )
+        tag = "full" if j == "full" else f"a{j}"
+        accs.append(
+            f"floor(CAST(count(*) FILTER ({yhat} = y) AS DOUBLE)"
+            f" / CAST(count(*) AS DOUBLE) * 10000 + 0.5) / 10000"
+            f" AS acc_{tag}"
+        )
+    parts.append(
+        f"""
+    accs AS MATERIALIZED (
+      SELECT {", ".join(accs)},
+             {", ".join(f"max(w.w{j}) AS w{j}" for j in range(_NF))}
+      FROM feat f CROSS JOIN wt_{_T_STEPS} w
+    )
+    {" UNION ALL ".join(
+        f"SELECT CAST({j} AS BIGINT) AS feature_idx,"
+        f" CAST(w{j} AS BIGINT) AS weight_micro,"
+        f" acc_full, acc_a{j} AS acc_ablated,"
+        f" floor((acc_full - acc_a{j}) * 10000 + 0.5) / 10000"
+        f" AS importance FROM accs"
+        for j in range(1, _NF)
+    )}
+    ORDER BY feature_idx"""
+    )
+    return "WITH" + ",".join(parts)
+
+
+@register(
+    "ml_feature_ablation",
+    category="similarity",
+    bench=False,  # 24 sequential training aggregates (logreg rationale).
+    oracle=ablation_oracle_sql(),
+)
+def ml_feature_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FEATURE-ABLATION IMPORTANCE for the in-engine logistic model:
+    retrain ml_logreg_quality's 24 integer-quantized gradient steps,
+    then re-score the corpus 9 times — once with the full weight
+    vector, once per feature with that feature ZEROED — and report
+    accuracy drop per feature. This is the deterministic sibling of
+    permutation importance (same question — what does the model lose
+    without this signal — without the shuffle), and the model-debug
+    table every production classifier ships beside its confusion
+    matrix. The invariant test pins the semantics: the label is a
+    rule over doc length and 'the'-count, so ablating the interaction
+    features must dominate the importance ranking while the dead
+    feature (val_cnt, absent from the rule) must cost ≈ nothing. The
+    intercept (x0) is never ablated — zeroing the bias shifts the
+    decision threshold for every row, which measures calibration, not
+    a feature's signal.
+
+    Training is bit-identical to ml_logreg_quality (same integer
+    weight path — the module docstring's determinism devices); the 9
+    scorings fold into ONE aggregate pass over the cached features
+    (9 conditional counts, map-side combined). Oracle: the same
+    unrolled training plus the same 9-way aggregate.
+    """
+    docs = load(spark, sf_dir, "documents")
+    feat = (
+        docs.selectExpr(
+            "text",
+            "length(text) AS tlen",
+            "(length(text) - length(replace(text, 'the', ''))) / 3"
+            " AS the_cnt",
+            "(length(text) - length(replace(text, 'value', ''))) / 5"
+            " AS val_cnt",
+            "length(text) - length(replace(text, ' ', '')) + 1 AS wcnt",
+        )
+        .selectExpr(*(f"{x} AS x{j}" for j, x in enumerate(_X)), f"{_Y} AS y")
+        .persist()
+    )
+    n = feat.count()
+    wq = [0] * _NF
+    for _t in range(_T_STEPS):
+        wref = [str(w) for w in wq]
+        row = (
+            feat.selectExpr("*", f"{_z_expr(wref)} AS z")
+            .selectExpr("*", f"{_P_EXPR} AS p")
+            .selectExpr(
+                *(
+                    f"CAST(floor((p - y) * x{j} * {_NANO}e0 + 0.5e0)"
+                    f" AS BIGINT) AS gq{j}"
+                    for j in range(_NF)
+                )
+            )
+            .groupBy()
+            .agg(
+                *(
+                    F.sum(f"gq{j}").cast("bigint").alias(f"g{j}")
+                    for j in range(_NF)
+                )
+            )
+            .collect()[0]
+        )
+        wq = [
+            wq[j]
+            - int(
+                math.floor(
+                    8.0 * float(row[f"g{j}"]) / (float(n) * 1000.0) + 0.5
+                )
+            )
+            for j in range(_NF)
+        ]
+    accs = []
+    for j in ("full", *range(1, _NF)):
+        wref = [str(w) for w in wq]
+        if j != "full":
+            wref[j] = "0"
+        z = _z_expr(wref)
+        tag = "full" if j == "full" else f"a{j}"
+        accs.append(
+            f"floor(CAST(count(CASE WHEN"
+            f" (CASE WHEN 0.5e0 + ({z}) / (2e0 * (1e0 + abs({z})))"
+            f" > 0.5e0 THEN 1e0 ELSE 0e0 END) = y THEN 1 END) AS DOUBLE)"
+            f" / CAST(count(*) AS DOUBLE) * 10000 + 0.5) / 10000"
+            f" AS acc_{tag}"
+        )
+    one = feat.selectExpr(*accs)
+    stacked = one.selectExpr(
+        "acc_full",
+        "stack(" + str(_NF - 1) + ", "
+        + ", ".join(f"{j}, acc_a{j}" for j in range(1, _NF))
+        + ") AS (feature_idx, acc_ablated)",
+    )
+    out = stacked.selectExpr(
+        "CAST(feature_idx AS BIGINT) AS feature_idx",
+        f"CAST(element_at(array({', '.join(str(w) for w in wq)}),"
+        " CAST(feature_idx AS INT) + 1) AS BIGINT) AS weight_micro",
+        "acc_full",
+        "acc_ablated",
+        "floor((acc_full - acc_ablated) * 10000 + 0.5) / 10000"
+        " AS importance",
+    ).orderBy("feature_idx")
+    from cdc_pubsub_spark.tables import finalize_cached
+
+    return finalize_cached(out, feat)

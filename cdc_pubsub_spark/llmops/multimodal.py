@@ -1857,3 +1857,122 @@ def multimodal_exif_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
         " orientation int, xres_dpi int, taken_at string,"
         " bits_per_sample int, doc_id bigint, decoded_ok boolean",
     )
+
+
+# --- multimodal_decode_farbfeld: seventh real codec ------------------------
+
+
+def _ff_dims(doc_id: int) -> tuple[int, int]:
+    return 6 + doc_id % 7, 4 + doc_id % 5
+
+
+def _ff_px(doc_id: int, j: int) -> tuple[int, int, int, int]:
+    """Closed-form 16-bit RGBA raster."""
+    return (
+        (doc_id * 257 + j * 101) % 65536,
+        (doc_id * 509 + j * 211) % 65536,
+        (doc_id * 769 + j * 307) % 65536,
+        65535,
+    )
+
+
+def _synth_farbfeld(doc_id: int) -> bytes:
+    """Real farbfeld bytes (suckless.org spec): 8-byte magic, two
+    big-endian uint32 dims, then w·h pixels of four big-endian uint16
+    components (RGBA, alpha fully opaque here)."""
+    import struct
+
+    w, h = _ff_dims(doc_id)
+    out = bytearray(b"farbfeld" + struct.pack(">II", w, h))
+    for j in range(w * h):
+        out += struct.pack(">HHHH", *_ff_px(doc_id, j))
+    return bytes(out)
+
+
+def decode_farbfeld(payload: bytes) -> dict:
+    """Genuine farbfeld decode: magic check, big-endian dims, full
+    16-bit component walk with a byte-length check; mean luminance
+    over the RGB components in 16-bit units (alpha excluded)."""
+    import struct
+
+    if payload[:8] != b"farbfeld":
+        raise ValueError("not a farbfeld signature")
+    w, h = struct.unpack(">II", payload[8:16])
+    need = 16 + w * h * 8
+    if len(payload) < need:
+        raise ValueError("truncated farbfeld raster")
+    total = 0
+    amin = 65535
+    for j in range(w * h):
+        r, g, b, a = struct.unpack(
+            ">HHHH", payload[16 + j * 8 : 24 + j * 8]
+        )
+        total += r + g + b
+        amin = min(amin, a)
+    return {
+        "width": w,
+        "height": h,
+        "mean_lum16": total // (w * h * 3),
+        "alpha_min": amin,
+    }
+
+
+@register(
+    "multimodal_decode_farbfeld",
+    category="multimodal",
+    bench=False,
+    oracle="""
+    WITH img AS (
+      SELECT doc_id, 6 + doc_id % 7 AS w, 4 + doc_id % 5 AS h
+      FROM documents WHERE doc_id <= 400
+    )
+    SELECT i.doc_id,
+           CAST(i.w AS INT) AS width,
+           CAST(i.h AS INT) AS height,
+           CAST(sum((i.doc_id * 257 + t.j * 101) % 65536
+                  + (i.doc_id * 509 + t.j * 211) % 65536
+                  + (i.doc_id * 769 + t.j * 307) % 65536)
+                // (i.w * i.h * 3) AS BIGINT) AS mean_lum16,
+           CAST(65535 AS INT) AS alpha_min,
+           true AS decoded_ok
+    FROM img i, LATERAL unnest(range(0, i.w * i.h)) AS t(j)
+    GROUP BY i.doc_id, i.w, i.h
+    """,
+)
+def multimodal_decode_farbfeld(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed REAL farbfeld decode (the suckless lossless
+    interchange format) via Arrow mapInPandas — the SEVENTH genuine
+    codec and the first 16-BIT-DEPTH one: four big-endian uint16
+    components per pixel, so the decoder's wide-component arithmetic
+    and endianness handling are load-bearing (a uint8 reader or an LE
+    reader produces garbage luminance against the closed-form oracle).
+    Deliberately the simplest real format in the family — it is the
+    one you reach for to VALIDATE the harness itself, since a decode
+    bug cannot hide behind entropy coding.
+
+    Same production plumbing as the other codec kernels: payload
+    synthesized in-kernel, Arrow batch iteration, per-row cost
+    proportional to pixel count; at 100 TB the kernel reads a parquet
+    binary column instead (multimodal_binary_ingest is the ingest
+    twin).
+    """
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") <= 400)
+    ids = docs.select("doc_id")
+
+    def decode_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                feats = decode_farbfeld(_synth_farbfeld(int(doc_id)))
+                feats["doc_id"] = doc_id
+                feats["decoded_ok"] = True
+                out.append(feats)
+            yield pd.DataFrame(out)
+
+    return ids.mapInPandas(
+        decode_batches,
+        schema="width int, height int, mean_lum16 bigint, alpha_min int,"
+        " doc_id bigint, decoded_ok boolean",
+    )

@@ -5166,3 +5166,134 @@ def events_ab_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_pubsub_spark.tables import finalize_cached
 
     return finalize_cached(out, daily, decided)
+
+
+_ESD_ROUNDS = 4
+
+
+@register(
+    "events_anomaly_esd",
+    category="composite",
+    bench=False,  # 4 sequential argmax rounds: scheduling floor at
+    # fixture scale (the ml_logreg_quality exclusion rationale).
+    oracle=(
+        lambda: (
+            "WITH d_0 AS MATERIALIZED (\n"
+            "  SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000"
+            " AS BIGINT) AS day_idx,\n"
+            "         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))"
+            " AS BIGINT) AS cents\n"
+            "  FROM events GROUP BY 1\n"
+            ")"
+            + "".join(
+                f""",
+    s_{k} AS MATERIALIZED (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s1,
+             CAST(sum(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS s2
+      FROM d_{k - 1}
+    ),
+    z_{k} AS MATERIALIZED (
+      SELECT d.day_idx, d.cents,
+             abs(CAST(d.cents AS DOUBLE)
+                 - CAST(s.s1 AS DOUBLE) / CAST(s.n AS DOUBLE))
+             / sqrt(CAST(s.s2 AS DOUBLE) / CAST(s.n AS DOUBLE)
+                    - (CAST(s.s1 AS DOUBLE) / CAST(s.n AS DOUBLE))
+                      * (CAST(s.s1 AS DOUBLE) / CAST(s.n AS DOUBLE)))
+               AS z
+      FROM d_{k - 1} d CROSS JOIN s_{k} s
+    ),
+    x_{k} AS MATERIALIZED (
+      SELECT {k} AS esd_round, day_idx, cents, z
+      FROM z_{k} ORDER BY z DESC, day_idx LIMIT 1
+    ),
+    d_{k} AS MATERIALIZED (
+      SELECT d.day_idx, d.cents FROM d_{k - 1} d
+      WHERE d.day_idx <> (SELECT day_idx FROM x_{k})
+    )"""
+                for k in range(1, _ESD_ROUNDS + 1)
+            )
+            + f"""
+    SELECT CAST(esd_round AS BIGINT) AS esd_round,
+           day_idx, cents,
+           floor(z * 10000 + 0.5) / 10000 AS z,
+           z > 3e0 AS is_significant
+    FROM ({" UNION ALL ".join(f"SELECT * FROM x_{k}" for k in range(1, _ESD_ROUNDS + 1))})
+    ORDER BY esd_round"""
+        )
+    )(),
+)
+def events_anomaly_esd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERALIZED ESD outlier extraction (Rosner) over the daily
+    event-value series: 4 rounds of remove-the-most-extreme-day, each
+    round recomputing mean/sd over the REMAINING days — the masking-
+    proof multi-outlier procedure (a single z-score pass lets one huge
+    outlier inflate sigma and hide the second; MAD sidesteps masking
+    with a robust center but still scores against ONE fixed baseline —
+    ESD is the iterative test that re-baselines after every removal).
+    Fixed threshold 3.0 flags significance (the t-quantile ladder of
+    the textbook test needs an inverse-t the engines do not share;
+    the fixed-threshold variant is standard for monitoring).
+
+    Execution: the Lloyd's pattern — per round one exact-integer
+    moment aggregate (1 row) and one TakeOrdered argmax (1 row,
+    z DESC then day ASC so ties are deterministic) collected to the
+    driver, which injects the removed day as a literal filter for the
+    next round; the daily relation itself never leaves the cluster.
+    The oracle unrolls the identical 4 rounds relationally. Scale:
+    the only data-sized pass is the first groupBy; each round then
+    touches the calendar-bounded relation.
+    """
+    events = load(spark, sf_dir, "events")
+    daily = (
+        events.groupBy(
+            F.expr(
+                "unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000"
+            ).alias("day_idx")
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+        .persist()
+    )
+    removed: list[tuple[int, int, int, float]] = []
+    cur = daily
+    for k in range(1, _ESD_ROUNDS + 1):
+        s = cur.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("s1"),
+            F.sum(F.expr("CAST(cents AS DECIMAL(28,0)) * cents")).alias("s2"),
+        )
+        mu = "(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
+        top = (
+            cur.crossJoin(F.broadcast(s))
+            .selectExpr(
+                "day_idx",
+                "cents",
+                f"abs(CAST(cents AS DOUBLE) - {mu})"
+                f" / sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)"
+                f" - {mu} * {mu}) AS z",
+            )
+            .orderBy(F.col("z").desc(), "day_idx")
+            .limit(1)
+            .collect()[0]
+        )
+        removed.append((k, top["day_idx"], top["cents"], top["z"]))
+        cur = cur.filter(F.col("day_idx") != int(top["day_idx"]))
+    rows = [
+        (k, d, c, float(z)) for k, d, c, z in removed
+    ]
+    out = spark.createDataFrame(
+        rows, "esd_round bigint, day_idx bigint, cents bigint, z_raw double"
+    ).selectExpr(
+        "esd_round",
+        "day_idx",
+        "cents",
+        "floor(z_raw * 10000 + 0.5) / 10000 AS z",
+        "z_raw > 3e0 AS is_significant",
+    ).orderBy("esd_round")
+    from cdc_pubsub_spark.tables import finalize_cached
+
+    return finalize_cached(out, daily)

@@ -881,3 +881,45 @@ def test_random_projection_preserves_distances(spark, sf_dir):
     assert 0.85 <= r.mean_ratio <= 1.15, r
     assert r.n_within_2x >= 0.9 * r.n_pairs, r
     assert 0.05 <= r.min_ratio < r.max_ratio <= 4.0, r
+
+
+def test_anomaly_esd_matches_python_rounds(spark, sf_dir):
+    """Replicate the 4 remove-and-rebaseline rounds in Python from an
+    independent DuckDB daily rollup: same exact integer moments, same
+    pinned z, same (z desc, day asc) argmax — all four extracted
+    outliers must match exactly."""
+    import math
+
+    import duckdb
+
+    from cdc_pubsub_spark.registry import REGISTRY
+
+    con = duckdb.connect()
+    daily = dict(
+        con.sql(
+            "SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000"
+            " AS BIGINT),"
+            " CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)"
+            f" FROM read_parquet('{sf_dir}/events.parquet') GROUP BY 1"
+        ).fetchall()
+    )
+    exp = []
+    cur = dict(daily)
+    for k in range(1, 5):
+        n = len(cur)
+        s1 = sum(cur.values())
+        s2 = sum(c * c for c in cur.values())
+        mu = s1 / n
+        sd = math.sqrt(s2 / n - mu * mu)
+        best = min(
+            ((-abs(c - mu) / sd, d) for d, c in cur.items())
+        )
+        z = -best[0]
+        d = best[1]
+        exp.append((k, d, cur[d], math.floor(z * 10000 + 0.5) / 10000,
+                    z > 3.0))
+        del cur[d]
+    rows = REGISTRY["events_anomaly_esd"].fn(spark, sf_dir).collect()
+    got = [(r.esd_round, r.day_idx, r.cents, r.z, r.is_significant)
+           for r in rows]
+    assert got == exp

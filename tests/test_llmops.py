@@ -1263,3 +1263,81 @@ def test_exif_tiff_parser_both_endians_and_corruption():
         parse_tiff_meta(bytes(_synth_tiff(8)[:2] + b"\x2b\x00" + _synth_tiff(8)[4:]))
     with pytest.raises(ValueError):
         parse_tiff_meta(raw[:-4])  # truncated trailing ASCII value
+
+
+def test_bpe_apply_consistent_with_train(spark, sf_dir):
+    """The encode op must agree with the train op it re-runs: summed
+    per-doc token counts equal the train op's global total, every
+    compression ratio is ≤ 1, some document actually contains merge
+    products, and n_tokens_before is the raw whitespace word count."""
+    from cdc_pubsub_spark.tables import load
+
+    train = REGISTRY["corpus_bpe_train"].fn(spark, sf_dir).collect()
+    total_tokens = train[0].total_tokens
+    rows = REGISTRY["corpus_bpe_apply"].fn(spark, sf_dir).collect()
+    assert sum(r.n_tokens_after for r in rows) == total_tokens
+    assert all(r.n_tokens_after <= r.n_tokens_before for r in rows)
+    assert any(r.n_merged_tokens > 0 for r in rows)
+    assert all(
+        r.n_tokens_after + r.n_merged_tokens >= r.n_tokens_before
+        for r in rows
+    ), "each word-level merge replaces exactly two tokens with one"
+    raw = {
+        d.doc_id: len(d.text.split())
+        for d in load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    for r in rows:
+        assert r.n_tokens_before == raw[r.doc_id]
+
+
+def test_feature_ablation_ranks_rule_features(spark, sf_dir):
+    """The planted label is (tlen >= 280 AND the_cnt >= 2): ablating
+    the features that carry that rule must cost real accuracy, while
+    the dead feature x4 (val_cnt — absent from the rule) must cost
+    ~nothing. Also pins acc_full to the logreg op's known quality."""
+    rows = {r.feature_idx: r
+            for r in REGISTRY["ml_feature_ablation"].fn(spark, sf_dir).collect()}
+    assert set(rows) == set(range(1, 8))
+    acc_full = rows[1].acc_full
+    assert acc_full >= 0.85
+    assert all(r.acc_full == acc_full for r in rows.values())
+    assert rows[4].importance <= 0.02, rows[4]
+    top = max(rows.values(), key=lambda r: r.importance)
+    assert top.importance >= 0.04, top
+    assert top.feature_idx in (1, 2, 5, 6, 7), top
+    for r in rows.values():
+        assert abs(r.importance - round(acc_full - r.acc_ablated, 4)) < 2e-4
+
+
+def test_decode_farbfeld_roundtrip_and_corruption():
+    """Codec unit test: round-trip against the closed form for both
+    dims parities, 16-bit component arithmetic (values above 255 must
+    survive), and corruption dead-letters (bad magic, truncation)."""
+    import pytest
+
+    from cdc_pubsub_spark.llmops.multimodal import (
+        _ff_dims,
+        _ff_px,
+        _synth_farbfeld,
+        decode_farbfeld,
+    )
+
+    for doc_id in (0, 1, 6, 13, 255, 399):
+        w, h = _ff_dims(doc_id)
+        m = decode_farbfeld(_synth_farbfeld(doc_id))
+        tot = sum(sum(_ff_px(doc_id, j)[:3]) for j in range(w * h))
+        assert m == {
+            "width": w,
+            "height": h,
+            "mean_lum16": tot // (w * h * 3),
+            "alpha_min": 65535,
+        }
+    assert any(
+        decode_farbfeld(_synth_farbfeld(d))["mean_lum16"] > 255
+        for d in range(10)
+    ), "16-bit depth must actually be exercised"
+    raw = _synth_farbfeld(9)
+    with pytest.raises(ValueError):
+        decode_farbfeld(b"xxxxxxxx" + raw[8:])
+    with pytest.raises(ValueError):
+        decode_farbfeld(raw[:-3])
