@@ -221,6 +221,10 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     "ml_feature_ablation",
     "events_anomaly_esd",
     "multimodal_decode_farbfeld",
+    "graph_katz_centrality",
+    "knn_regression_weighted",
+    "join_point_in_polygon",
+    "fn_business_days",
 }
 
 

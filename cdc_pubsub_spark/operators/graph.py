@@ -1759,3 +1759,126 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_pubsub_spark.tables import finalize_cached
 
     return finalize_cached(out, adj)
+
+
+_KATZ_ROUNDS = 4
+
+
+def _katz_oracle_sql() -> str:
+    """Unrolled attenuated path counting: p_k(v) = paths of length k
+    ending at v (exact integer message passing along edges); katz
+    score = Σ_k p_k(v) · (1e6 >> k) — β = 1/2, so every attenuation
+    weight is an exact integer and the whole centrality is integer
+    arithmetic end to end."""
+    parts = [
+        """users AS MATERIALIZED (SELECT DISTINCT user_id FROM events),
+    """
+        + _EDGE_SQL.strip()
+        + """,
+    p_0 AS MATERIALIZED (
+      SELECT user_id, CAST(1 AS BIGINT) AS c FROM users)"""
+    ]
+    for k in range(1, _KATZ_ROUNDS + 1):
+        parts.append(
+            f"""
+    p_{k} AS MATERIALIZED (
+      SELECT u.user_id, CAST(coalesce(sum(p.c), 0) AS BIGINT) AS c
+      FROM users u
+      LEFT JOIN edges e ON e.dst = u.user_id
+      LEFT JOIN p_{k - 1} p ON p.user_id = e.src
+      GROUP BY u.user_id
+    )"""
+        )
+    score = " + ".join(
+        f"p_{k}.c * {1000000 >> k}" for k in range(1, _KATZ_ROUNDS + 1)
+    )
+    joins = "\n    ".join(
+        f"JOIN p_{k} ON p_{k}.user_id = u.user_id"
+        for k in range(1, _KATZ_ROUNDS + 1)
+    )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+    SELECT u.user_id,
+           CAST({score} AS BIGINT) AS katz_micro,
+           {", ".join(f"p_{k}.c AS paths_{k}" for k in range(1, _KATZ_ROUNDS + 1))}
+    FROM users u
+    {joins}
+    ORDER BY katz_micro DESC, u.user_id
+    LIMIT 20"""
+    )
+
+
+@register(
+    "graph_katz_centrality",
+    category="graph",
+    oracle=_katz_oracle_sql(),
+)
+def graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KATZ CENTRALITY over the follow graph — attenuated path
+    counting: score(v) = Σ_k β^k · |paths of length k ending at v|,
+    k ≤ 4, β = 1/2. PageRank divides influence among out-edges and
+    HITS max-normalizes per round; Katz is the third classic — raw
+    reachability volume, discounted by distance — and the natural
+    one when edge traversal does not dilute (citations, follows).
+
+    β = 1/2 is chosen so EVERY attenuation weight is an exact binary
+    integer (1e6 >> k): path counts are exact BIGINT message-passing
+    sums (one equi-join + aggregate per round, the pagerank stage
+    shape), and the final score is an integer dot product — no float
+    exists anywhere, so the oracle unrolls the identical rounds and
+    the top-20 matches bit-for-bit (ties broken by user_id). Each
+    round references its predecessor exactly ONCE, so the static
+    unroll stays a linear Catalyst DAG (the graph_bfs_layers ≤6-round
+    rule; contrast graph_hits, whose per-round max forces persisted
+    supersteps).
+
+    Scale: k rounds = k vertex-keyed shuffles, counts bounded by
+    out-degree^k (2-regular → ≤16 at k=4); at 100 TB this is the
+    standard bounded-hop influence sweep.
+    """
+    users = load(spark, sf_dir, "events").select("user_id").distinct()
+    edges = users.select(
+        F.col("user_id").alias("src"),
+        ((F.col("user_id") * 7 + 3) % 1000).alias("dst"),
+    ).unionByName(
+        users.select(
+            F.col("user_id").alias("src"),
+            ((F.col("user_id") * 13 + 11) % 1000).alias("dst"),
+        )
+    )
+    p = users.select("user_id", F.lit(1).cast("bigint").alias("c"))
+    rounds = []
+    for _k in range(_KATZ_ROUNDS):
+        p = (
+            users.alias("u")
+            .join(edges.alias("e"), F.col("e.dst") == F.col("u.user_id"),
+                  "left")
+            .join(p.alias("p"), F.col("p.user_id") == F.col("e.src"), "left")
+            .groupBy(F.col("u.user_id").alias("user_id"))
+            .agg(
+                F.coalesce(F.sum("p.c"), F.lit(0)).cast("bigint").alias("c")
+            )
+        )
+        rounds.append(p)
+    out = users.alias("u")
+    for k, pk in enumerate(rounds, start=1):
+        out = out.join(
+            pk.withColumnRenamed("user_id", f"uid{k}").withColumnRenamed(
+                "c", f"paths_{k}"
+            ),
+            F.col(f"uid{k}") == F.col("u.user_id"),
+        ).drop(f"uid{k}")
+    score = " + ".join(
+        f"paths_{k} * {1000000 >> k}" for k in range(1, _KATZ_ROUNDS + 1)
+    )
+    return (
+        out.selectExpr(
+            "u.user_id AS user_id",
+            f"CAST({score} AS BIGINT) AS katz_micro",
+            *(f"paths_{k}" for k in range(1, _KATZ_ROUNDS + 1)),
+        )
+        .orderBy(F.col("katz_micro").desc(), "user_id")
+        .limit(20)
+    )

@@ -1311,3 +1311,103 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("promo_id")
     )
+
+
+# --- join_point_in_polygon: winding test against literal convex zones ----
+
+# Convex polygon zones as integer vertex rings (counter-clockwise) on the
+# 0..999 synthetic coordinate plane — literals shared by both engines.
+_PIP_ZONES = {
+    "downtown": [(100, 100), (400, 120), (420, 380), (120, 360)],
+    "harbor": [(600, 50), (950, 80), (900, 300), (620, 260)],
+    "hills": [(300, 600), (700, 620), (760, 900), (340, 940)],
+}
+
+
+def _pip_contains_sql(px: str, py: str, ring: list[tuple[int, int]]) -> str:
+    """Point-in-CONVEX-polygon by cross-product signs: for a CCW ring,
+    the point is inside iff every edge's cross product
+    (x2−x1)(py−y1) − (y2−y1)(px−x1) is ≥ 0 — exact integer
+    arithmetic, no epsilon, identical text on both engines."""
+    terms = []
+    for (x1, y1), (x2, y2) in zip(ring, ring[1:] + ring[:1]):
+        terms.append(
+            f"(({x2} - {x1}) * ({py} - {y1})"
+            f" - ({y2} - {y1}) * ({px} - {x1})) >= 0"
+        )
+    return "(" + " AND ".join(terms) + ")"
+
+
+def _pip_zone_case(px: str, py: str) -> str:
+    whens = "".join(
+        f" WHEN {_pip_contains_sql(px, py, ring)} THEN '{name}'"
+        for name, ring in sorted(_PIP_ZONES.items())
+    )
+    return f"CASE{whens} ELSE 'outside' END"
+
+
+_PIP_POINTS_SQL = """
+      SELECT event_id, user_id,
+             (user_id * 37 + event_id * 11) % 1000 AS px,
+             (user_id * 53 + event_id * 29) % 1000 AS py,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+"""
+
+
+@register(
+    "join_point_in_polygon",
+    category="join",
+    oracle=f"""
+    WITH pts AS ({_PIP_POINTS_SQL})
+    SELECT {_pip_zone_case("px", "py")} AS zone,
+           CAST(count(*) AS BIGINT) AS n_points,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(sum(cents) AS BIGINT) AS cents_sum
+    FROM pts
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def join_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-POLYGON containment — the other half of geospatial
+    joins (join_spatial_grid handles point-point proximity by grid
+    bucketing; this handles point-in-REGION): events carry synthetic
+    integer coordinates, zones are convex polygons, and containment
+    is the cross-product winding test — for a counter-clockwise ring
+    the point is inside iff it lies left of every edge. All integer
+    arithmetic (no epsilon, no trig), so containment is EXACT and
+    both engines evaluate the identical inequality chain; first
+    matching zone wins in a fixed CASE order (zones here are
+    disjoint, so order is cosmetic).
+
+    Shape: the zone table is tiny and constant, so the "join" folds
+    into a row-local CASE inside whole-stage codegen — the compiled
+    form of a broadcast nested-loop PIP join, which is exactly what a
+    GIS engine does for small zone sets; at scale with thousands of
+    polygons you grid-index first (join_spatial_grid's device) and
+    run this test only within the candidate cell. One aggregate pass,
+    ≤4 output rows.
+    """
+    events = load(spark, sf_dir, "events")
+    pts = events.selectExpr(
+        "event_id",
+        "user_id",
+        "(user_id * 37 + event_id * 11) % 1000 AS px",
+        "(user_id * 53 + event_id * 29) % 1000 AS py",
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents",
+    )
+    return (
+        pts.selectExpr(
+            f"{_pip_zone_case('px', 'py')} AS zone",
+            "user_id",
+            "cents",
+        )
+        .groupBy("zone")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.sum("cents").cast("bigint").alias("cents_sum"),
+        )
+        .orderBy("zone")
+    )

@@ -721,3 +721,93 @@ def scan_syslog_rfc3164(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("severity")
     )
+
+
+@register(
+    "fn_business_days",
+    category="modern",
+    oracle="""
+    WITH spans AS (
+      SELECT o_orderkey,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS d0,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               + 1 + o_orderkey % 45 AS d1
+      FROM orders WHERE o_orderkey % 11 = 0
+    ),
+    marked AS (
+      SELECT o_orderkey, d0, d1,
+             d1 - d0 AS calendar_days,
+             (d1 - d0) // 7 * 5
+             + CASE
+                 WHEN (d1 - d0) % 7 = 0 THEN 0
+                 ELSE (d1 - d0) % 7
+                      - CASE WHEN (d0 + 4) % 7 + (d1 - d0) % 7 >= 7
+                             THEN 1 ELSE 0 END
+                      - CASE WHEN (d0 + 3) % 7 + (d1 - d0) % 7 >= 7
+                             THEN 1 ELSE 0 END
+               END AS biz_days
+      FROM spans
+    )
+    SELECT CAST(calendar_days // 7 AS BIGINT) AS weeks_bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(biz_days) AS BIGINT) AS biz_days_sum,
+           CAST(min(biz_days) AS BIGINT) AS biz_days_min,
+           CAST(max(biz_days) AS BIGINT) AS biz_days_max,
+           CAST(sum(calendar_days) AS BIGINT) AS calendar_days_sum
+    FROM marked
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def fn_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUSINESS-DAY ARITHMETIC — networkdays(start, end) as a pure
+    integer closed form, the date-function every SLA/aging report
+    needs and no engine agrees on natively: for a half-open span of n
+    calendar days starting on epoch-day d0, business days =
+    (n div 7)·5 + (n mod 7) − [remainder window covers a Saturday] −
+    [covers a Sunday], where day-of-week is epoch-day arithmetic
+    ((d+4) mod 7 = 0 ⇒ Thursday epoch anchor makes Saturday (d+4)%7=6
+    ⇔ (d+4)%7+r≥7 …) — every term is integer modular arithmetic, so
+    the fn is exact on both engines and the invariant test brute-
+    forces it against a day-by-day Python loop for every span.
+
+    Spans are synthesized per order (1..45 calendar days). Shape: a
+    row-local projection inside codegen plus one small-key aggregate
+    — the fn_date family pattern; the closed form is O(1) per row
+    where the naive generate-a-calendar join is O(span).
+    """
+    orders = load(spark, sf_dir, "orders")
+    spans = orders.filter(F.expr("o_orderkey % 11 = 0")).selectExpr(
+        "o_orderkey",
+        "CAST(datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01')"
+        " AS BIGINT) AS d0",
+        "CAST(datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01')"
+        " AS BIGINT) + 1 + o_orderkey % 45 AS d1",
+    )
+    marked = spans.selectExpr(
+        "o_orderkey",
+        "d1 - d0 AS calendar_days",
+        "(d1 - d0) div 7 * 5"
+        " + CASE"
+        "     WHEN (d1 - d0) % 7 = 0 THEN 0"
+        "     ELSE (d1 - d0) % 7"
+        "          - CASE WHEN (d0 + 4) % 7 + (d1 - d0) % 7 >= 7"
+        "                 THEN 1 ELSE 0 END"
+        "          - CASE WHEN (d0 + 3) % 7 + (d1 - d0) % 7 >= 7"
+        "                 THEN 1 ELSE 0 END"
+        "   END AS biz_days",
+    )
+    return (
+        marked.groupBy(
+            F.expr("calendar_days div 7").cast("bigint").alias("weeks_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("biz_days").cast("bigint").alias("biz_days_sum"),
+            F.min("biz_days").cast("bigint").alias("biz_days_min"),
+            F.max("biz_days").cast("bigint").alias("biz_days_max"),
+            F.sum("calendar_days").cast("bigint").alias("calendar_days_sum"),
+        )
+        .orderBy("weeks_bucket")
+    )

@@ -232,3 +232,50 @@ def test_adamic_adar_matches_pure_python_replication(spark, sf_dir):
     rows = REGISTRY["graph_adamic_adar"].fn(spark, sf_dir).collect()
     got = [(r.u, r.v, r.common_neighbors, r.aa_micro) for r in rows]
     assert got == exp
+
+
+def test_katz_matches_pure_python_replication(spark, sf_dir):
+    """Independent replication: exact integer path counting with
+    beta = 1/2 binary attenuation — the top-20 must match exactly."""
+    from cdc_pubsub_spark.tables import load
+
+    users = sorted(
+        r.user_id
+        for r in load(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .collect()
+    )
+    uset = set(users)
+    edges = [(u, (u * 7 + 3) % 1000) for u in users] + [
+        (u, (u * 13 + 11) % 1000) for u in users
+    ]
+    p = {u: 1 for u in users}
+    paths = {}
+    for k in range(1, 5):
+        nxt = {u: 0 for u in users}
+        for s, d in edges:
+            if d in uset:
+                nxt[d] += p[s]
+        paths[k] = nxt
+        p = nxt
+    exp = sorted(
+        (
+            (
+                u,
+                sum(paths[k][u] * (1000000 >> k) for k in range(1, 5)),
+                paths[1][u],
+                paths[2][u],
+                paths[3][u],
+                paths[4][u],
+            )
+            for u in users
+        ),
+        key=lambda t: (-t[1], t[0]),
+    )[:20]
+    rows = REGISTRY["graph_katz_centrality"].fn(spark, sf_dir).collect()
+    got = [
+        (r.user_id, r.katz_micro, r.paths_1, r.paths_2, r.paths_3, r.paths_4)
+        for r in rows
+    ]
+    assert got == exp

@@ -923,3 +923,81 @@ def test_anomaly_esd_matches_python_rounds(spark, sf_dir):
     got = [(r.esd_round, r.day_idx, r.cents, r.z, r.is_significant)
            for r in rows]
     assert got == exp
+
+
+def test_point_in_polygon_matches_python_winding(spark, sf_dir):
+    """Replicate the integer winding test in Python over every event
+    point; per-zone counts and checksums must match exactly, and the
+    planted zones must each capture points."""
+    import math
+    from collections import defaultdict
+
+    from cdc_pubsub_spark.operators.joins import _PIP_ZONES
+    from cdc_pubsub_spark.registry import REGISTRY
+    from cdc_pubsub_spark.tables import load
+
+    def inside(px, py, ring):
+        for (x1, y1), (x2, y2) in zip(ring, ring[1:] + ring[:1]):
+            if (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1) < 0:
+                return False
+        return True
+
+    evs = load(spark, sf_dir, "events").selectExpr(
+        "event_id", "user_id", "CAST(floor(value * 100 + 0.5) AS BIGINT)"
+        " AS cents"
+    ).collect()
+    agg = defaultdict(lambda: [0, set(), 0])
+    for e in evs:
+        px = (e.user_id * 37 + e.event_id * 11) % 1000
+        py = (e.user_id * 53 + e.event_id * 29) % 1000
+        zone = next(
+            (z for z, ring in sorted(_PIP_ZONES.items())
+             if inside(px, py, ring)),
+            "outside",
+        )
+        a = agg[zone]
+        a[0] += 1
+        a[1].add(e.user_id)
+        a[2] += e.cents
+    rows = REGISTRY["join_point_in_polygon"].fn(spark, sf_dir).collect()
+    assert {r.zone for r in rows} == set(agg)
+    for r in rows:
+        n, us, cs = agg[r.zone]
+        assert (r.n_points, r.n_users, r.cents_sum) == (n, len(us), cs)
+    assert len(agg) == 4, "all three zones plus outside must be hit"
+
+
+def test_business_days_closed_form_vs_brute_force(spark, sf_dir):
+    """Brute-force every synthesized span day-by-day (epoch day 0 =
+    Thursday; weekend = (d+3)%7 in {5,6}) and compare the op's
+    per-bucket totals exactly."""
+    from collections import defaultdict
+
+    from cdc_pubsub_spark.registry import REGISTRY
+    from cdc_pubsub_spark.tables import load
+
+    spans = load(spark, sf_dir, "orders").filter(
+        "o_orderkey % 11 = 0"
+    ).selectExpr(
+        "o_orderkey",
+        "CAST(datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01')"
+        " AS BIGINT) AS d0",
+        "1 + o_orderkey % 45 AS n",
+    ).collect()
+    agg = defaultdict(lambda: [0, 0, None, None, 0])
+    for s in spans:
+        biz = sum(
+            1 for d in range(s.d0, s.d0 + s.n) if (d + 3) % 7 < 5
+        )
+        b = agg[s.n // 7]
+        b[0] += 1
+        b[1] += biz
+        b[2] = biz if b[2] is None else min(b[2], biz)
+        b[3] = biz if b[3] is None else max(b[3], biz)
+        b[4] += s.n
+    rows = REGISTRY["fn_business_days"].fn(spark, sf_dir).collect()
+    assert {r.weeks_bucket for r in rows} == set(agg)
+    for r in rows:
+        n, bs, bmin, bmax, cs = agg[r.weeks_bucket]
+        assert (r.n, r.biz_days_sum, r.biz_days_min, r.biz_days_max,
+                r.calendar_days_sum) == (n, bs, bmin, bmax, cs)

@@ -1341,3 +1341,33 @@ def test_decode_farbfeld_roundtrip_and_corruption():
         decode_farbfeld(b"xxxxxxxx" + raw[8:])
     with pytest.raises(ValueError):
         decode_farbfeld(raw[:-3])
+
+
+def test_knn_regression_beats_mean_baseline(spark, sf_dir):
+    """Skill check: the planted target is linear in the embedding, so
+    distance-weighted kNN must predict far better than the global-mean
+    baseline (MAE under half), and y_true must equal the planted
+    functional recomputed from the raw vectors."""
+    import math
+
+    from cdc_pubsub_spark.tables import load
+
+    rows = REGISTRY["knn_regression_weighted"].fn(spark, sf_dir).collect()
+    assert rows and len(rows) <= 30
+    emb = {
+        r.vec_id: r.embedding
+        for r in load(spark, sf_dir, "embeddings").collect()
+    }
+    ys = {}
+    for vid, v in emb.items():
+        xq = [math.floor(x * 10000 + 0.5) for x in v]
+        ys[vid] = xq[0] + 2 * xq[1] - xq[2]
+    for r in rows:
+        assert r.y_true == ys[r.vec_id]
+        assert r.abs_err == abs(r.y_true - r.y_pred)
+    ref_mean = sum(ys[v] for v in ys if v >= 30) / sum(
+        1 for v in ys if v >= 30
+    )
+    base_mae = sum(abs(ys[r.vec_id] - ref_mean) for r in rows) / len(rows)
+    knn_mae = sum(r.abs_err for r in rows) / len(rows)
+    assert knn_mae < 0.5 * base_mae, (knn_mae, base_mae)
