@@ -225,6 +225,10 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     "knn_regression_weighted",
     "join_point_in_polygon",
     "fn_business_days",
+    "cdc_conflict_lww",
+    "events_power_analysis",
+    "profile_column_fingerprint",
+    "orders_abc_xyz",
 }
 
 

@@ -1980,3 +1980,144 @@ def subq_exists_decorrelated(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY 1
         """
     )
+
+
+# --- profile_column_fingerprint: KMV column-signature schema matching ----
+
+# (label, table, column) — the string-valued columns fingerprinted.
+_COLFP_COLS = [
+    ("customer.c_mktsegment", "customer", "c_mktsegment"),
+    ("lineitem.l_linestatus", "lineitem", "l_linestatus"),
+    ("lineitem.l_returnflag", "lineitem", "l_returnflag"),
+    ("nation.n_name", "nation", "n_name"),
+    ("orders.o_orderpriority", "orders", "o_orderpriority"),
+    ("orders.o_orderstatus", "orders", "o_orderstatus"),
+]
+
+_COLFP_K = 32
+
+_COLFP_UNION_SQL = "\n      UNION ALL\n".join(
+    f"      SELECT '{label}' AS col_name, CAST({col} AS VARCHAR) AS v"
+    f" FROM {tbl}"
+    for label, tbl, col in _COLFP_COLS
+)
+
+
+@register(
+    "profile_column_fingerprint",
+    category="advanced",
+    oracle=f"""
+    WITH vals AS MATERIALIZED (
+      SELECT DISTINCT col_name, v FROM (
+{_COLFP_UNION_SQL}
+      )
+    ),
+    sigs AS MATERIALIZED (
+      SELECT col_name, md5(v) AS h,
+             row_number() OVER (PARTITION BY col_name ORDER BY md5(v))
+               AS rk
+      FROM vals
+    ),
+    kept AS MATERIALIZED (
+      SELECT col_name, h FROM sigs WHERE rk <= {_COLFP_K}
+    ),
+    sizes AS MATERIALIZED (
+      SELECT col_name, CAST(count(*) AS BIGINT) AS n FROM kept GROUP BY 1
+    ),
+    common AS (
+      SELECT a.col_name AS col_a, b.col_name AS col_b,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM kept a JOIN kept b
+        ON a.h = b.h AND a.col_name < b.col_name
+      GROUP BY 1, 2
+    )
+    SELECT sa.col_name AS col_a, sb.col_name AS col_b,
+           sa.n AS sig_a, sb.n AS sig_b,
+           CAST(coalesce(c.n_common, 0) AS BIGINT) AS n_common,
+           floor(CAST(coalesce(c.n_common, 0) AS DOUBLE)
+                 / CAST(sa.n + sb.n - coalesce(c.n_common, 0) AS DOUBLE)
+                 * 10000 + 0.5) / 10000 AS jaccard
+    FROM sizes sa JOIN sizes sb ON sa.col_name < sb.col_name
+    LEFT JOIN common c
+      ON c.col_a = sa.col_name AND c.col_b = sb.col_name
+    ORDER BY col_a, col_b
+    """,
+)
+def profile_column_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN FINGERPRINTING for schema matching: a KMV signature (the
+    {_COLFP_K} lexicographically-smallest md5 hashes of each column's
+    DISTINCT values) per string column across four tables, then
+    pairwise signature Jaccard — how data catalogs propose join keys
+    and detect copied/renamed columns without ever comparing full
+    value sets. On these small-domain columns the signature IS the
+    distinct set, so the estimate is EXACT and has a known answer the
+    invariant test pins: orders.o_orderstatus ({O,F,P}) vs
+    lineitem.l_linestatus ({O,F}) must score 2/3, and unrelated
+    pairs 0.
+
+    Exactness: md5 is bit-identical across engines (the split-twin
+    device); signatures are deterministic rank-k prefixes of the
+    hash order; Jaccard is one pinned division of exact counts.
+    Shape: per column one distinct-aggregate collapses the scan to
+    its value domain; the rank window runs per column over that
+    bounded domain (KMV truncation — the agg_kmv_theta_distinct
+    shape); everything after runs on ≤ 6·32 signature rows.
+    """
+    parts = []
+    for label, tbl, col in _COLFP_COLS:
+        parts.append(
+            load(spark, sf_dir, tbl).selectExpr(
+                f"'{label}' AS col_name", f"CAST({col} AS STRING) AS v"
+            )
+        )
+    vals = parts[0]
+    for p in parts[1:]:
+        vals = vals.unionByName(p)
+    vals = vals.distinct()
+    kept = (
+        vals.select("col_name", F.md5("v").alias("h"))
+        .withColumn("rk", F.row_number().over(
+            Window.partitionBy("col_name").orderBy("h")))
+        .filter(F.col("rk") <= _COLFP_K)
+        .drop("rk")
+        .persist()
+    )
+    sizes = kept.groupBy("col_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.col_name") < F.col("b.col_name")),
+        )
+        .groupBy(
+            F.col("a.col_name").alias("ca"), F.col("b.col_name").alias("cb")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    sa = sizes.selectExpr("col_name AS col_a", "n AS sig_a")
+    sb = sizes.selectExpr("col_name AS col_b", "n AS sig_b")
+    out = (
+        sa.join(sb, F.col("col_a") < F.col("col_b"))
+        .join(
+            common,
+            (F.col("ca") == F.col("col_a")) & (F.col("cb") == F.col("col_b")),
+            "left",
+        )
+        .selectExpr(
+            "col_a",
+            "col_b",
+            "sig_a",
+            "sig_b",
+            "CAST(coalesce(n_common, 0) AS BIGINT) AS n_common",
+            "floor(CAST(coalesce(n_common, 0) AS DOUBLE)"
+            " / CAST(sig_a + sig_b - coalesce(n_common, 0) AS DOUBLE)"
+            " * 10000 + 0.5) / 10000 AS jaccard",
+        )
+        .orderBy("col_a", "col_b")
+    )
+    from cdc_pubsub_spark.tables import finalize_cached
+
+    return finalize_cached(out, kept)

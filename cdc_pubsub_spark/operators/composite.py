@@ -5297,3 +5297,280 @@ def events_anomaly_esd(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_pubsub_spark.tables import finalize_cached
 
     return finalize_cached(out, daily)
+
+
+# z-quantile literals for the power calculation (alpha = 0.05 two-sided,
+# power = 0.8): computed offline, injected into both plans.
+_PWR_Z_ALPHA = "1.959963984540054e0"
+_PWR_Z_BETA = "0.8416212335729143e0"
+
+
+@register(
+    "events_power_analysis",
+    category="composite",
+    oracle=f"""
+    WITH daily AS MATERIALIZED (
+      SELECT event_type,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+                  AS BIGINT) AS day_idx,
+             user_id % 2 AS variant,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2, 3
+    ),
+    mom AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_cells,
+             CAST(sum(cents) AS BIGINT) AS s1,
+             CAST(sum(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS s2
+      FROM daily GROUP BY 1
+    )
+    SELECT event_type, n_cells,
+           floor(CAST(s1 AS DOUBLE) / CAST(n_cells AS DOUBLE) / 100e0
+                 * 100 + 0.5) / 100 AS mean_daily_dollars,
+           floor(sqrt(CAST(s2 AS DOUBLE) / CAST(n_cells AS DOUBLE)
+                      - (CAST(s1 AS DOUBLE) / CAST(n_cells AS DOUBLE))
+                        * (CAST(s1 AS DOUBLE) / CAST(n_cells AS DOUBLE)))
+                 / 100e0 * 100 + 0.5) / 100 AS sd_daily_dollars,
+           CAST(ceil(2e0 * ({_PWR_Z_ALPHA} + {_PWR_Z_BETA})
+                * ({_PWR_Z_ALPHA} + {_PWR_Z_BETA})
+                * (CAST(s2 AS DOUBLE) / CAST(n_cells AS DOUBLE)
+                   - (CAST(s1 AS DOUBLE) / CAST(n_cells AS DOUBLE))
+                     * (CAST(s1 AS DOUBLE) / CAST(n_cells AS DOUBLE)))
+                / ((0.05e0 * CAST(s1 AS DOUBLE) / CAST(n_cells AS DOUBLE))
+                   * (0.05e0 * CAST(s1 AS DOUBLE)
+                      / CAST(n_cells AS DOUBLE))))
+             AS BIGINT) AS n_days_per_arm_mde5pct,
+           floor(({_PWR_Z_ALPHA} + {_PWR_Z_BETA})
+                 * sqrt(2e0 * (CAST(s2 AS DOUBLE) / CAST(n_cells AS DOUBLE)
+                        - (CAST(s1 AS DOUBLE) / CAST(n_cells AS DOUBLE))
+                          * (CAST(s1 AS DOUBLE) / CAST(n_cells AS DOUBLE)))
+                        / 30e0)
+                 / (CAST(s1 AS DOUBLE) / CAST(n_cells AS DOUBLE))
+                 * 10000 + 0.5) / 10000 AS mde_30_days
+    FROM mom
+    ORDER BY event_type
+    """,
+)
+def events_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B TEST POWER ANALYSIS from observed variance — the calculator
+    every experimentation platform runs before launching: per metric
+    (event type), the required days-per-arm to detect a 5% lift at
+    α = 0.05 / power 0.8 (n = 2(z_α+z_β)²σ²/Δ²), and the minimum
+    detectable effect at a fixed 30-day horizon (the inverse
+    question). events_ab_test reads a finished experiment and
+    events_ab_sprt monitors a running one; this op is the BEFORE
+    stage, closing the experimentation lifecycle.
+
+    Determinism: the z-quantiles are offline literals (the SPRT
+    device); variance comes from exact integer moments over the
+    (type × day × variant) cell relation; every output is one pinned
+    expression over those. Shape: one data-sized groupBy onto the
+    bounded cell domain, then a ≤5-row moment aggregate.
+    """
+    events = load(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").alias(
+            "day_idx"
+        ),
+        (F.col("user_id") % 2).alias("variant"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    mom = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum("cents").cast("bigint").alias("s1"),
+        F.sum(F.expr("CAST(cents AS DECIMAL(28,0)) * cents")).alias("s2"),
+    )
+    mu = "(CAST(s1 AS DOUBLE) / CAST(n_cells AS DOUBLE))"
+    var = f"(CAST(s2 AS DOUBLE) / CAST(n_cells AS DOUBLE) - {mu} * {mu})"
+    zz = f"({_PWR_Z_ALPHA} + {_PWR_Z_BETA})"
+    return mom.selectExpr(
+        "event_type",
+        "n_cells",
+        f"floor({mu} / 100e0 * 100 + 0.5) / 100 AS mean_daily_dollars",
+        f"floor(sqrt({var}) / 100e0 * 100 + 0.5) / 100"
+        " AS sd_daily_dollars",
+        f"CAST(ceil(2e0 * {zz} * {zz} * {var}"
+        f" / ((0.05e0 * {mu}) * (0.05e0 * {mu}))) AS BIGINT)"
+        " AS n_days_per_arm_mde5pct",
+        f"floor({zz} * sqrt(2e0 * {var} / 30e0) / {mu}"
+        " * 10000 + 0.5) / 10000 AS mde_30_days",
+    ).orderBy("event_type")
+
+
+@register(
+    "orders_abc_xyz",
+    category="composite",
+    oracle="""
+    WITH partrev AS MATERIALIZED (
+      SELECT l_partkey,
+             CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS rev
+      FROM lineitem GROUP BY 1
+    ),
+    tot AS MATERIALIZED (
+      SELECT CAST(sum(rev) AS BIGINT) AS trev FROM partrev
+    ),
+    bkt AS MATERIALIZED (
+      SELECT length(bin(rev)) AS b,
+             CAST(sum(rev) AS BIGINT) AS brev
+      FROM partrev GROUP BY 1
+    ),
+    cls AS MATERIALIZED (
+      SELECT b,
+             CASE WHEN (CAST(sum(brev) OVER (ORDER BY b DESC) AS BIGINT)
+                        - brev) * 100 < 80 * (SELECT trev FROM tot)
+                  THEN 'A'
+                  WHEN (CAST(sum(brev) OVER (ORDER BY b DESC) AS BIGINT)
+                        - brev) * 100 < 95 * (SELECT trev FROM tot)
+                  THEN 'B'
+                  ELSE 'C' END AS abc
+      FROM bkt
+    ),
+    weekly AS MATERIALIZED (
+      SELECT l_partkey,
+             CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01'
+                  AS BIGINT) // 7 AS wk,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem GROUP BY 1, 2
+    ),
+    nw AS MATERIALIZED (
+      SELECT CAST(count(DISTINCT wk) AS BIGINT) AS n_weeks FROM weekly
+    ),
+    xyz AS MATERIALIZED (
+      SELECT w.l_partkey,
+             CASE WHEN (nw.n_weeks * CAST(sum(CAST(w.q AS HUGEINT) * w.q)
+                          AS HUGEINT)
+                        - CAST(sum(w.q) AS HUGEINT)
+                          * CAST(sum(w.q) AS HUGEINT)) * 4
+                       < CAST(sum(w.q) AS HUGEINT)
+                         * CAST(sum(w.q) AS HUGEINT)
+                  THEN 'X'
+                  WHEN nw.n_weeks * CAST(sum(CAST(w.q AS HUGEINT) * w.q)
+                         AS HUGEINT)
+                       - CAST(sum(w.q) AS HUGEINT)
+                         * CAST(sum(w.q) AS HUGEINT)
+                       < CAST(sum(w.q) AS HUGEINT)
+                         * CAST(sum(w.q) AS HUGEINT)
+                  THEN 'Y'
+                  ELSE 'Z' END AS xyz
+      FROM weekly w CROSS JOIN nw
+      GROUP BY w.l_partkey, nw.n_weeks
+    )
+    SELECT c.abc AS abc_class, x.xyz AS xyz_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           floor(CAST(sum(p.rev) AS DOUBLE)
+                 / CAST((SELECT trev FROM tot) AS DOUBLE)
+                 * 10000 + 0.5) / 10000 AS rev_share
+    FROM partrev p
+    JOIN cls c ON c.b = length(bin(p.rev))
+    JOIN xyz x ON x.l_partkey = p.l_partkey
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def orders_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC/XYZ INVENTORY SEGMENTATION — the planning matrix every
+    supply chain runs: ABC ranks parts by cumulative revenue share
+    (A ≈ top 80%, B to 95%, C the tail) and XYZ grades demand
+    regularity by the weekly coefficient of variation (X: cv < 0.5
+    steady, Y: cv < 1 variable, Z: erratic); the cross matrix drives
+    stocking policy (AX = automate, CZ = make-to-order).
+
+    At-scale ABC uses the HISTOGRAM-CUTOFF device (orders_rfm_atscale,
+    the round-8 VERDICT item 5 shape): parts bucket by the INTEGER
+    bit-length of their revenue (length(bin(cents)) — ≤ 64 buckets,
+    engine-exact), cumulative shares run over BUCKETS, and every part
+    inherits its bucket's class — no data-sized global window exists
+    anywhere in the plan, where the textbook formulation ranks every
+    part. Boundary semantics are bucket-granular by design (a bucket
+    straddling 80% classes whole as A) — deterministic, documented,
+    and what a planner actually wants at 1e9 parts. XYZ avoids
+    floats entirely: cv thresholds become integer cross-multiplies of
+    exact weekly moments (n·Σq² − (Σq)² vs (Σq)², the Fano device
+    with missing weeks counting as zero via the global week count).
+
+    Shape: two part-keyed aggregates (revenue, weekly moments), one
+    ≤64-row bucket prefix, broadcast class map, final ≤9-row matrix.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    partrev = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("rev")
+        )
+        .persist()
+    )
+    tot = partrev.agg(F.sum("rev").cast("bigint").alias("trev"))
+    bkt = partrev.groupBy(
+        F.expr("length(bin(rev))").alias("b")
+    ).agg(F.sum("rev").cast("bigint").alias("brev"))
+    wcum = Window.orderBy(F.col("b").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cls = (
+        bkt.withColumn("cum", F.sum("brev").over(wcum).cast("bigint"))
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "b",
+            "CASE WHEN (cum - brev) * 100 < 80 * trev THEN 'A'"
+            " WHEN (cum - brev) * 100 < 95 * trev THEN 'B'"
+            " ELSE 'C' END AS abc",
+        )
+    )
+    weekly = li.groupBy(
+        "l_partkey",
+        F.expr(
+            "CAST(datediff(CAST(l_shipdate AS DATE), DATE'1970-01-01')"
+            " AS BIGINT) div 7"
+        ).alias("wk"),
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("q"))
+    nw = weekly.agg(
+        F.countDistinct("wk").cast("bigint").alias("n_weeks")
+    )
+    xyz = (
+        weekly.crossJoin(F.broadcast(nw))
+        .groupBy("l_partkey", "n_weeks")
+        .agg(
+            F.sum("q").cast("decimal(38,0)").alias("s1"),
+            F.sum(F.expr("CAST(q AS DECIMAL(28,0)) * q")).alias("s2"),
+        )
+        .selectExpr(
+            "l_partkey",
+            "CASE WHEN (n_weeks * s2 - s1 * s1) * 4 < s1 * s1 THEN 'X'"
+            " WHEN n_weeks * s2 - s1 * s1 < s1 * s1 THEN 'Y'"
+            " ELSE 'Z' END AS xyz",
+        )
+    )
+    out = (
+        partrev.join(
+            F.broadcast(cls),
+            F.expr("length(bin(rev))") == F.col("b"),
+        )
+        .join(xyz, "l_partkey")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(
+            F.col("abc").alias("abc_class"), F.col("xyz").alias("xyz_class")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.expr(
+                "floor(CAST(sum(rev) AS DOUBLE) / CAST(max(trev) AS DOUBLE)"
+                " * 10000 + 0.5) / 10000"
+            ).alias("rev_share"),
+        )
+        .orderBy("abc_class", "xyz_class")
+    )
+    from cdc_pubsub_spark.tables import finalize_cached
+
+    return finalize_cached(out, partrev)

@@ -725,3 +725,120 @@ def cdc_malformed_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.min("o_orderkey").alias("first_key"),
     )
+
+
+# Two multi-master change feeds over the same key space, rendered from
+# orders (identical SQL text on both engines). Feed A (priority 2) emits
+# even keys; feed B (priority 1) emits keys % 3 == 0 — overlap on
+# keys % 6 == 0 forces real conflicts. HLC: epoch-day * 1000 + a
+# per-feed logical counter, with a deliberate tie population (keys
+# % 12 == 0 get the SAME hlc from both feeds, so the priority and
+# source-id tie-breaks are load-bearing).
+_LWW_FEED_SQL = """
+      SELECT o_orderkey AS k, 'A' AS src, 2 AS prio,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                  AS BIGINT) * 1000
+             + CASE WHEN o_orderkey % 12 = 0 THEN 77
+                    ELSE o_orderkey % 500 END AS hlc,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS val
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderkey, 'B', 1,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                  AS BIGINT) * 1000
+             + CASE WHEN o_orderkey % 12 = 0 THEN 77
+                    ELSE (o_orderkey * 7) % 500 END,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) + 11
+      FROM orders WHERE o_orderkey % 3 = 0
+"""
+
+
+@register(
+    "cdc_conflict_lww",
+    category="cdc",
+    oracle=f"""
+    WITH feed AS MATERIALIZED ({_LWW_FEED_SQL}),
+    ranked AS (
+      SELECT k, src, prio, hlc, val,
+             row_number() OVER (
+               PARTITION BY k ORDER BY hlc DESC, prio DESC, src) AS rn,
+             count(*) OVER (PARTITION BY k) AS n_versions
+      FROM feed
+    )
+    SELECT src AS winning_source,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(CASE WHEN n_versions > 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_conflicted,
+           CAST(sum(val) AS BIGINT) AS val_checksum,
+           CAST(sum(k) AS BIGINT) AS key_checksum
+    FROM ranked WHERE rn = 1
+    GROUP BY src
+    ORDER BY src
+    """,
+)
+def cdc_conflict_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-MASTER CONFLICT RESOLUTION by last-writer-wins: two change
+    feeds over one key space (overlap planted on keys % 6 == 0),
+    resolved per key by the (HLC desc, priority desc, source-id) total
+    order — the deterministic LWW ladder every multi-region CDC
+    replicator implements on top of hybrid logical clocks (the
+    reference's 33-digit HLC path component, cdc.py:57, is exactly
+    this ordering's wire form; this op is what the CONSUMER does when
+    two publishers race). Keys % 12 == 0 carry IDENTICAL HLCs from
+    both feeds, so the priority and source tie-breaks are provably
+    exercised — resolution without them would be nondeterministic,
+    which is the bug this op exists to rule out.
+
+    Output: per winning source, how many keys it won, how many of
+    those were real conflicts (>1 version), and exact value/key
+    checksums of the resolved table. Exactness: integer HLCs, counts,
+    sums. Shape: one shuffle on the key for the per-key rank (the
+    upsert-materialize layout — WindowGroupLimit keeps only the
+    winner per key map-side), then a 2-key aggregate.
+    """
+    orders = load(spark, sf_dir, "orders")
+    a = orders.filter(F.expr("o_orderkey % 2 = 0")).selectExpr(
+        "o_orderkey AS k",
+        "'A' AS src",
+        "2 AS prio",
+        "CAST(datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01')"
+        " AS BIGINT) * 1000"
+        " + CASE WHEN o_orderkey % 12 = 0 THEN 77"
+        "   ELSE o_orderkey % 500 END AS hlc",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS val",
+    )
+    b = orders.filter(F.expr("o_orderkey % 3 = 0")).selectExpr(
+        "o_orderkey AS k",
+        "'B' AS src",
+        "1 AS prio",
+        "CAST(datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01')"
+        " AS BIGINT) * 1000"
+        " + CASE WHEN o_orderkey % 12 = 0 THEN 77"
+        "   ELSE (o_orderkey * 7) % 500 END AS hlc",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) + 11 AS val",
+    )
+    feed = a.unionByName(b)
+    w = Window.partitionBy("k").orderBy(
+        F.col("hlc").desc(), F.col("prio").desc(), "src"
+    )
+    wc = Window.partitionBy("k")
+    ranked = feed.select(
+        "k",
+        "src",
+        "val",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n_versions"),
+    )
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .groupBy(F.col("src").alias("winning_source"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.sum(F.expr("CASE WHEN n_versions > 1 THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_conflicted"),
+            F.sum("val").cast("bigint").alias("val_checksum"),
+            F.sum("k").cast("bigint").alias("key_checksum"),
+        )
+        .orderBy("winning_source")
+    )

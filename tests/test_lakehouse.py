@@ -1001,3 +1001,186 @@ def test_business_days_closed_form_vs_brute_force(spark, sf_dir):
         n, bs, bmin, bmax, cs = agg[r.weeks_bucket]
         assert (r.n, r.biz_days_sum, r.biz_days_min, r.biz_days_max,
                 r.calendar_days_sum) == (n, bs, bmin, bmax, cs)
+
+
+def test_conflict_lww_resolution_matches_python(spark, sf_dir):
+    """Replicate the (hlc desc, priority desc, source) resolution in
+    Python over both synthesized feeds; per-source win counts,
+    conflict counts, and checksums must match exactly — and the
+    planted equal-HLC population must exist and always resolve to the
+    higher-priority feed A."""
+    from collections import defaultdict
+
+    from cdc_pubsub_spark.registry import REGISTRY
+    from cdc_pubsub_spark.tables import load
+
+    orders = load(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey AS k",
+        "CAST(datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01')"
+        " AS BIGINT) AS d",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents",
+    ).collect()
+    versions = defaultdict(list)
+    tie_keys = set()
+    for o in orders:
+        if o.k % 2 == 0:
+            h = o.d * 1000 + (77 if o.k % 12 == 0 else o.k % 500)
+            versions[o.k].append((h, 2, "A", o.cents))
+        if o.k % 3 == 0:
+            h = o.d * 1000 + (77 if o.k % 12 == 0 else (o.k * 7) % 500)
+            versions[o.k].append((h, 1, "B", o.cents + 11))
+        if o.k % 12 == 0:
+            tie_keys.add(o.k)
+    agg = defaultdict(lambda: [0, 0, 0, 0])
+    winner_of = {}
+    for k, vs in versions.items():
+        # engine order: hlc desc, prio desc, src asc  => pick max by
+        # (hlc, prio) then min src
+        best = sorted(vs, key=lambda t: (-t[0], -t[1], t[2]))[0]
+        winner_of[k] = best[2]
+        a = agg[best[2]]
+        a[0] += 1
+        a[1] += 1 if len(vs) > 1 else 0
+        a[2] += best[3]
+        a[3] += k
+    assert tie_keys, "tie population must exist"
+    assert all(winner_of[k] == "A" for k in tie_keys), (
+        "equal HLC must resolve by priority to feed A"
+    )
+    rows = {r.winning_source: r for r in
+            REGISTRY["cdc_conflict_lww"].fn(spark, sf_dir).collect()}
+    assert set(rows) == set(agg)
+    for srcname, (n, nc, vc, kc) in agg.items():
+        r = rows[srcname]
+        assert (r.n_keys, r.n_conflicted, r.val_checksum,
+                r.key_checksum) == (n, nc, vc, kc)
+
+
+def test_power_analysis_matches_python(spark, sf_dir):
+    """Replicate the power formulas in Python from an independent
+    DuckDB cell rollup at the r2/r4 grain; sample sizes must be
+    positive and grow with variance/mean² across event types."""
+    import math
+    from collections import defaultdict
+
+    import duckdb
+
+    from cdc_pubsub_spark.registry import REGISTRY
+
+    ZA, ZB = 1.959963984540054, 0.8416212335729143
+    con = duckdb.connect()
+    cells = con.sql(
+        "SELECT event_type,"
+        " CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)"
+        f" FROM read_parquet('{sf_dir}/events.parquet')"
+        " GROUP BY event_type,"
+        " CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS BIGINT),"
+        " user_id % 2"
+    ).fetchall()
+    mom = defaultdict(lambda: [0, 0, 0])
+    for et, c in cells:
+        m = mom[et]
+        m[0] += 1
+        m[1] += c
+        m[2] += c * c
+    rows = REGISTRY["events_power_analysis"].fn(spark, sf_dir).collect()
+    assert {r.event_type for r in rows} == set(mom)
+    for r in rows:
+        n, s1, s2 = mom[r.event_type]
+        mu = s1 / n
+        var = s2 / n - mu * mu
+        assert r.n_cells == n
+        assert r.mean_daily_dollars == math.floor(mu / 100 * 100 + 0.5) / 100
+        assert r.sd_daily_dollars == math.floor(
+            math.sqrt(var) / 100 * 100 + 0.5
+        ) / 100
+        want_n = math.ceil(2 * (ZA + ZB) ** 2 * var / (0.05 * mu) ** 2)
+        assert r.n_days_per_arm_mde5pct == want_n
+        want_mde = math.floor(
+            (ZA + ZB) * math.sqrt(2 * var / 30.0) / mu * 10000 + 0.5
+        ) / 10000
+        assert r.mde_30_days == want_mde
+        assert r.n_days_per_arm_mde5pct > 0
+
+
+def test_abc_xyz_matches_python(spark, sf_dir):
+    """Replicate the bucket-granular ABC and integer-cross-multiply
+    XYZ classifications in Python from the raw lineitem; the matrix
+    must match exactly and every part must land in exactly one cell."""
+    import math
+    from collections import defaultdict
+
+    import duckdb
+
+    from cdc_pubsub_spark.registry import REGISTRY
+
+    con = duckdb.connect()
+    li = con.sql(
+        "SELECT l_partkey,"
+        " CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT),"
+        " CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT)"
+        " // 7,"
+        " CAST(l_quantity AS BIGINT)"
+        f" FROM read_parquet('{sf_dir}/lineitem.parquet')"
+    ).fetchall()
+    rev = defaultdict(int)
+    weekly = defaultdict(int)
+    weeks = set()
+    for pk, cents, wk, q in li:
+        rev[pk] += cents
+        weekly[(pk, wk)] += q
+        weeks.add(wk)
+    nweeks = len(weeks)
+    trev = sum(rev.values())
+    brev = defaultdict(int)
+    for pk, rv in rev.items():
+        brev[len(bin(rv)) - 2] += rv
+    cls = {}
+    cum = 0
+    for b in sorted(brev, reverse=True):
+        before = cum
+        cum += brev[b]
+        cls[b] = "A" if before * 100 < 80 * trev else (
+            "B" if before * 100 < 95 * trev else "C"
+        )
+    s1 = defaultdict(int)
+    s2 = defaultdict(int)
+    for (pk, wk), q in weekly.items():
+        s1[pk] += q
+        s2[pk] += q * q
+    matrix = defaultdict(lambda: [0, 0])
+    for pk, rv in rev.items():
+        abc = cls[len(bin(rv)) - 2]
+        num = nweeks * s2[pk] - s1[pk] * s1[pk]
+        xyz = "X" if num * 4 < s1[pk] ** 2 else (
+            "Y" if num < s1[pk] ** 2 else "Z"
+        )
+        m = matrix[(abc, xyz)]
+        m[0] += 1
+        m[1] += rv
+    rows = REGISTRY["orders_abc_xyz"].fn(spark, sf_dir).collect()
+    assert {(r.abc_class, r.xyz_class) for r in rows} == set(matrix)
+    for r in rows:
+        n, rv = matrix[(r.abc_class, r.xyz_class)]
+        assert r.n_parts == n
+        assert r.rev_share == math.floor(rv / trev * 10000 + 0.5) / 10000
+    assert sum(r.n_parts for r in rows) == len(rev)
+
+
+def test_column_fingerprint_known_overlaps(spark, sf_dir):
+    """Known-answer pins: orderstatus {O,F,P} vs linestatus {O,F}
+    must score exactly 2/3; semantically unrelated column pairs must
+    score 0; every signature is bounded by k and by the column's
+    distinct count."""
+    from cdc_pubsub_spark.registry import REGISTRY
+
+    rows = {(r.col_a, r.col_b): r for r in
+            REGISTRY["profile_column_fingerprint"].fn(spark, sf_dir).collect()}
+    assert len(rows) == 15
+    r = rows[("lineitem.l_linestatus", "orders.o_orderstatus")]
+    assert r.jaccard == 0.6667 and r.n_common == 2
+    assert rows[("lineitem.l_returnflag", "orders.o_orderstatus")].n_common == 0
+    assert rows[("customer.c_mktsegment", "nation.n_name")].jaccard == 0.0
+    for r in rows.values():
+        assert 0 < r.sig_a <= 32 and 0 < r.sig_b <= 32
+        assert 0.0 <= r.jaccard <= 1.0
