@@ -229,6 +229,10 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     "events_power_analysis",
     "profile_column_fingerprint",
     "orders_abc_xyz",
+    "events_sliding_distinct_users",
+    "fn_luhn_checksum",
+    "multimodal_audio_vad",
+    "profile_pk_discovery",
 }
 
 

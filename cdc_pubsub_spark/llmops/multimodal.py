@@ -1976,3 +1976,162 @@ def multimodal_decode_farbfeld(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="width int, height int, mean_lum16 bigint, alpha_min int,"
         " doc_id bigint, decoded_ok boolean",
     )
+
+
+# --- multimodal_audio_vad: energy-gate voice-activity segmentation --------
+
+
+def _vad_n_samples(doc_id: int) -> int:
+    return 256 + (doc_id % 4) * 64
+
+
+def _vad_sample(doc_id: int, i: int) -> int:
+    """Closed-form 8-bit waveform: 64-sample blocks alternate silence
+    (tiny ±2 jitter around the 128 bias) and activity (full-swing
+    deterministic noise) — so voice segments have a known layout."""
+    if (i // 64) % 2 == 1:
+        return 128 + ((doc_id * 31 + i * 37) % 200) - 100
+    return 128 + ((i * 13) % 5) - 2
+
+
+def _synth_wav_vad(doc_id: int) -> bytes:
+    """Real RIFF/WAVE bytes (8-bit unsigned PCM mono, 8 kHz) carrying
+    the alternating silence/activity raster."""
+    import struct
+
+    n = _vad_n_samples(doc_id)
+    samples = bytes(_vad_sample(doc_id, i) for i in range(n))
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", n)
+        + samples
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def vad_segments(payload: bytes) -> dict:
+    """Genuine WAV parse (RIFF walk via the shared layout) + frame
+    energy gate + run-length segmentation: 16-sample frames, a frame
+    is ACTIVE when its summed |sample − 128| deviation exceeds 256
+    (i.e. mean swing > 16), and consecutive active frames fuse into
+    voice segments."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    if payload[12:16] != b"fmt ":
+        raise ValueError("missing fmt chunk")
+    (fmt_len,) = struct.unpack("<I", payload[16:20])
+    data_off = 20 + fmt_len
+    if payload[data_off : data_off + 4] != b"data":
+        raise ValueError("missing data chunk")
+    if len(payload) < data_off + 8:
+        raise ValueError("truncated data header")
+    (n,) = struct.unpack("<I", payload[data_off + 4 : data_off + 8])
+    samples = payload[data_off + 8 : data_off + 8 + n]
+    if len(samples) < n:
+        raise ValueError("truncated sample data")
+    n_frames = n // 16
+    active = []
+    for f in range(n_frames):
+        e = sum(abs(s - 128) for s in samples[f * 16 : (f + 1) * 16])
+        active.append(e > 256)
+    segs = []
+    run = 0
+    for a in active + [False]:
+        if a:
+            run += 1
+        elif run:
+            segs.append(run)
+            run = 0
+    return {
+        "n_frames": n_frames,
+        "n_active": sum(active),
+        "n_segments": len(segs),
+        "longest_segment": max(segs) if segs else 0,
+    }
+
+
+@register(
+    "multimodal_audio_vad",
+    category="multimodal",
+    bench=False,
+    oracle="""
+    WITH doc AS (
+      SELECT doc_id, 256 + (doc_id % 4) * 64 AS n
+      FROM documents WHERE doc_id <= 400
+    ),
+    frames AS (
+      SELECT d.doc_id, t.f,
+             sum(abs(CASE WHEN ((t.f * 16 + s.k) // 64) % 2 = 1
+                     THEN 128 + (d.doc_id * 31 + (t.f * 16 + s.k) * 37)
+                          % 200 - 100
+                     ELSE 128 + ((t.f * 16 + s.k) * 13) % 5 - 2 END
+                     - 128)) > 256 AS active
+      FROM doc d,
+           LATERAL unnest(range(0, d.n // 16)) AS t(f),
+           LATERAL unnest(range(0, 16)) AS s(k)
+      GROUP BY d.doc_id, t.f
+    ),
+    isl AS (
+      SELECT doc_id, f,
+             f - row_number() OVER (PARTITION BY doc_id ORDER BY f)
+               AS grp
+      FROM frames WHERE active
+    ),
+    segs AS (
+      SELECT doc_id, grp, CAST(count(*) AS BIGINT) AS seg_len
+      FROM isl GROUP BY doc_id, grp
+    )
+    SELECT d.doc_id,
+           CAST(d.n // 16 AS BIGINT) AS n_frames,
+           CAST(coalesce(sum(s.seg_len), 0) AS BIGINT) AS n_active,
+           CAST(count(s.grp) AS BIGINT) AS n_segments,
+           CAST(coalesce(max(s.seg_len), 0) AS BIGINT) AS longest_segment,
+           true AS decoded_ok
+    FROM doc d LEFT JOIN segs s ON s.doc_id = d.doc_id
+    GROUP BY d.doc_id, d.n
+    ORDER BY d.doc_id
+    """,
+)
+def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VOICE-ACTIVITY DETECTION over real WAV containers — the
+    energy-gate + run-length segmenter every speech pipeline runs
+    before transcription (only voiced segments are worth GPU time):
+    16-sample frames gate on summed absolute deviation (> 256 ≡ mean
+    swing > 16 on 8-bit PCM), consecutive active frames fuse into
+    segments. multimodal_wav_energy reports the energy CURVE; this
+    reports the DECISIONS (segment count/lengths), which is what the
+    downstream sampler consumes. The waveform plants alternating
+    64-sample silence/activity blocks, so the segmentation has a
+    closed-form answer the oracle recomputes sample-by-sample.
+
+    Same production plumbing as the codec kernels (in-kernel
+    synthesis, Arrow batches); the gate threshold is integer so the
+    activity verdict is exact on both engines.
+    """
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") <= 400)
+    ids = docs.select("doc_id")
+
+    def vad_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                feats = vad_segments(_synth_wav_vad(int(doc_id)))
+                feats["doc_id"] = doc_id
+                feats["decoded_ok"] = True
+                out.append(feats)
+            yield pd.DataFrame(out)
+
+    return ids.mapInPandas(
+        vad_batches,
+        schema="n_frames bigint, n_active bigint, n_segments bigint,"
+        " longest_segment bigint, doc_id bigint, decoded_ok boolean",
+    )

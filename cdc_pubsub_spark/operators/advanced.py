@@ -2121,3 +2121,84 @@ def profile_column_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_pubsub_spark.tables import finalize_cached
 
     return finalize_cached(out, kept)
+
+
+# Candidate keys probed by the discovery pass: (label, table, cols).
+_PK_CANDIDATES = [
+    ("orders(o_orderkey)", "orders", ["o_orderkey"]),
+    ("orders(o_custkey)", "orders", ["o_custkey"]),
+    ("orders(o_custkey,o_orderdate)", "orders",
+     ["o_custkey", "o_orderdate"]),
+    ("lineitem(l_orderkey)", "lineitem", ["l_orderkey"]),
+    ("lineitem(l_orderkey,l_linenumber)", "lineitem",
+     ["l_orderkey", "l_linenumber"]),
+    ("lineitem(l_partkey,l_suppkey)", "lineitem",
+     ["l_partkey", "l_suppkey"]),
+    ("customer(c_custkey)", "customer", ["c_custkey"]),
+]
+
+
+def _pk_oracle_sql() -> str:
+    sels = []
+    for label, tbl, cols in _PK_CANDIDATES:
+        tup = "(" + ", ".join(cols) + ")"
+        sels.append(
+            f"""
+      SELECT '{label}' AS candidate,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(DISTINCT {tup}) AS BIGINT) AS n_distinct,
+             floor(CAST(count(DISTINCT {tup}) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) * 10000 + 0.5) / 10000
+               AS uniqueness,
+             count(DISTINCT {tup}) = count(*) AS is_key
+      FROM {tbl}"""
+        )
+    return "\n      UNION ALL\n".join(sels) + "\n      ORDER BY candidate"
+
+
+@register(
+    "profile_pk_discovery",
+    category="advanced",
+    oracle=_pk_oracle_sql(),
+)
+def profile_pk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRIMARY-KEY DISCOVERY — the uniqueness probe a data profiler
+    runs over candidate column sets to propose keys (and that a
+    migration tool runs to VERIFY the keys it was promised): for each
+    candidate, exact distinct-vs-rowcount, the uniqueness ratio, and
+    the is_key verdict. On this fixture the probe SURFACES a real
+    schema fact a dbgen-trained intuition gets wrong: o_orderkey and
+    c_custkey verify as keys, but (l_orderkey, l_linenumber) does NOT
+    (the synthetic generator draws linenumbers independently, unlike
+    dbgen's per-order sequence) — exactly the discovery-vs-assumption
+    gap this op exists to close, pinned against an independent DuckDB
+    recount in the invariant test. profile_fd_check probes functional
+    dependencies BETWEEN columns; this probes identity.
+
+    Shape: one exact distinct-aggregate per candidate over its own
+    scan (map-side partial distinct keyed by the candidate itself —
+    the heaviest honest way to answer an exactness question; the
+    sketch shortcut is agg_approx_distinct and must NOT be used for
+    key VERIFICATION). Candidates over the same table share the
+    cached scan.
+    """
+    outs = []
+    for label, tbl, cols in _PK_CANDIDATES:
+        t = load(spark, sf_dir, tbl)
+        outs.append(
+            t.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.countDistinct(*cols).cast("bigint").alias("n_distinct"),
+            ).selectExpr(
+                f"'{label}' AS candidate",
+                "n_rows",
+                "n_distinct",
+                "floor(CAST(n_distinct AS DOUBLE) / CAST(n_rows AS DOUBLE)"
+                " * 10000 + 0.5) / 10000 AS uniqueness",
+                "n_distinct = n_rows AS is_key",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("candidate")

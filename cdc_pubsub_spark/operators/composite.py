@@ -5574,3 +5574,90 @@ def orders_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_pubsub_spark.tables import finalize_cached
 
     return finalize_cached(out, partrev)
+
+
+@register(
+    "events_sliding_distinct_users",
+    category="composite",
+    oracle="""
+    WITH du AS MATERIALIZED (
+      SELECT DISTINCT
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+                  AS BIGINT) AS day_idx,
+             user_id
+      FROM events
+    ),
+    offs(o) AS (VALUES (0), (1), (2), (3), (4), (5), (6)),
+    expanded AS (
+      SELECT du.day_idx + offs.o AS target_day, du.day_idx AS src_day,
+             du.user_id
+      FROM du CROSS JOIN offs
+    ),
+    days AS MATERIALIZED (SELECT DISTINCT day_idx FROM du)
+    SELECT d.day_idx,
+           CAST((SELECT count(DISTINCT u1.user_id) FROM du u1
+                 WHERE u1.day_idx = d.day_idx) AS BIGINT) AS users_1d,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS users_7d,
+           CAST(count(DISTINCT e.src_day) AS BIGINT) AS days_in_window
+    FROM days d
+    JOIN expanded e ON e.target_day = d.day_idx
+    GROUP BY d.day_idx
+    ORDER BY d.day_idx
+    """,
+)
+def events_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING-WINDOW DISTINCT COUNT — trailing-7-day unique users per
+    day, the metric (WAU-by-day) that naive engines get wrong because
+    COUNT DISTINCT does not decompose over window frames: you cannot
+    subtract yesterday's leavers from a running count. The relational
+    solution: dedup to the (day × user) grain once, then EXPAND each
+    appearance to the ≤7 target days it supports (a 7-row broadcast
+    offset join — the hotspot-grid convolution device applied to
+    time) and re-aggregate distinct per target day.
+    events_active_users reports calendar-bucketed uniques; this is
+    the TRAILING variant those dashboards actually plot.
+
+    Exactness: pure integer counts. Scale: the only data-sized pass
+    is the first dedup (map-side partial distinct onto the bounded
+    day × user domain); the expansion is 7× a bounded relation, and
+    the final distinct is keyed by day — at 100 TB this is exactly
+    the day-sharded bitmap-OR layout (agg_bitmap_distinct holds the
+    bitmap variant; the two plans converge at the shuffle).
+    """
+    events = load(spark, sf_dir, "events")
+    du = (
+        events.selectExpr(
+            "unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000"
+            " AS day_idx",
+            "user_id",
+        )
+        .distinct()
+        .persist()
+    )
+    offs = spark.sql(
+        "SELECT * FROM (VALUES (0), (1), (2), (3), (4), (5), (6))"
+        " AS offs(o)"
+    )
+    expanded = du.crossJoin(F.broadcast(offs)).selectExpr(
+        "day_idx + o AS target_day", "day_idx AS src_day", "user_id"
+    )
+    daily = du.groupBy("day_idx").agg(
+        F.countDistinct("user_id").cast("bigint").alias("users_1d")
+    )
+    windowed = (
+        expanded.join(
+            daily.selectExpr("day_idx AS target_day", "users_1d"),
+            "target_day",
+        )
+        .groupBy("target_day", "users_1d")
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("users_7d"),
+            F.countDistinct("src_day").cast("bigint").alias("days_in_window"),
+        )
+    )
+    out = windowed.selectExpr(
+        "target_day AS day_idx", "users_1d", "users_7d", "days_in_window"
+    ).orderBy("day_idx")
+    from cdc_pubsub_spark.tables import finalize_cached
+
+    return finalize_cached(out, du)

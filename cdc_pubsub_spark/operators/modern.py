@@ -811,3 +811,114 @@ def fn_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("weeks_bucket")
     )
+
+
+# Luhn digit-doubling map as identical SQL text: doubled = 2d, minus 9
+# when 2d > 9 — written as a closed form over substring-extracted digits.
+def _luhn_digit_terms(col: str, n_digits: int = 12) -> str:
+    """Sum of Luhn-weighted digits for a fixed-width numeric string:
+    rightmost digit is the check position (weight 1), parity alternates
+    leftward. Identical text on both engines (substring + CAST only)."""
+    terms = []
+    for pos in range(1, n_digits + 1):
+        d = f"CAST(substring({col}, {pos}, 1) AS BIGINT)"
+        if (n_digits - pos) % 2 == 1:  # doubled positions
+            terms.append(f"(2 * {d} - CASE WHEN {d} >= 5 THEN 9 ELSE 0 END)")
+        else:
+            terms.append(d)
+    return " + ".join(terms)
+
+
+_LUHN_NUM_SQL = """
+      SELECT o_orderkey,
+             lpad(CAST(100000000000 + (o_orderkey * 2654435761) % 899999999999
+                       AS VARCHAR), 12, '0') AS raw
+      FROM orders
+"""
+
+
+@register(
+    "fn_luhn_checksum",
+    category="modern",
+    oracle=f"""
+    WITH nums AS ({_LUHN_NUM_SQL}),
+    issued AS (
+      SELECT o_orderkey,
+             substring(raw, 1, 11) ||
+             CAST((10 - ({_luhn_digit_terms("substring(raw, 1, 11) || '0'")})
+                   % 10) % 10 AS VARCHAR) AS account,
+             o_orderkey % 5 = 0 AS corrupted
+      FROM nums
+    ),
+    final AS (
+      SELECT o_orderkey,
+             CASE WHEN corrupted THEN
+               substring(account, 1, 5)
+               || CAST((CAST(substring(account, 6, 1) AS BIGINT) + 1) % 10
+                       AS VARCHAR)
+               || substring(account, 7, 6)
+             ELSE account END AS account,
+             corrupted
+      FROM issued
+    )
+    SELECT ({_luhn_digit_terms("account")}) % 10 = 0 AS luhn_valid,
+           corrupted,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
+    FROM final
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def fn_luhn_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LUHN CHECKSUM issue + validate — the mod-10 digit algorithm
+    behind card/IMEI/account-number validation, as a pure
+    substring-and-integer closed form (no UDF): 12-digit account
+    numbers are ISSUED in-plan (11 payload digits + computed check
+    digit), a planted 20% are then CORRUPTED by a single-digit
+    increment, and the validator recomputes the checksum. The
+    invariant is structural: Luhn detects EVERY single-digit
+    substitution, so the validity column must equal NOT corrupted
+    exactly — the oracle's group-by proves the engine agrees on all
+    four (valid × corrupted) cells, of which exactly two are
+    populated.
+
+    Shape: fixed-width digit extraction unrolls to 12 substring+CAST
+    terms inside whole-stage codegen (the fn_date family pattern);
+    one ≤4-key aggregate. Exactness: all integer arithmetic.
+    """
+    orders = load(spark, sf_dir, "orders")
+    nums = orders.selectExpr(
+        "o_orderkey",
+        "lpad(CAST(100000000000 + (o_orderkey * 2654435761)"
+        " % 899999999999 AS STRING), 12, '0') AS raw",
+    )
+    check_terms = _luhn_digit_terms("concat(substring(raw, 1, 11), '0')")
+    issued = nums.selectExpr(
+        "o_orderkey",
+        f"concat(substring(raw, 1, 11), CAST((10 - ({check_terms}) % 10)"
+        " % 10 AS STRING)) AS account",
+        "o_orderkey % 5 = 0 AS corrupted",
+    )
+    final = issued.selectExpr(
+        "o_orderkey",
+        "CASE WHEN corrupted THEN"
+        " concat(substring(account, 1, 5),"
+        " CAST((CAST(substring(account, 6, 1) AS BIGINT) + 1) % 10"
+        " AS STRING), substring(account, 7, 6))"
+        " ELSE account END AS account",
+        "corrupted",
+    )
+    return (
+        final.selectExpr(
+            f"({_luhn_digit_terms('account')}) % 10 = 0 AS luhn_valid",
+            "corrupted",
+            "o_orderkey",
+        )
+        .groupBy("luhn_valid", "corrupted")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("key_checksum"),
+        )
+        .orderBy("luhn_valid", "corrupted")
+    )

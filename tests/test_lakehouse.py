@@ -1184,3 +1184,87 @@ def test_column_fingerprint_known_overlaps(spark, sf_dir):
     for r in rows.values():
         assert 0 < r.sig_a <= 32 and 0 < r.sig_b <= 32
         assert 0.0 <= r.jaccard <= 1.0
+
+
+def test_sliding_distinct_matches_python(spark, sf_dir):
+    """Replicate the trailing-7-day distinct in Python from an
+    independent DuckDB (day, user) dedup; every day's WAU and window
+    coverage must match exactly, and users_7d must dominate users_1d."""
+    from collections import defaultdict
+
+    import duckdb
+
+    from cdc_pubsub_spark.registry import REGISTRY
+
+    con = duckdb.connect()
+    du = con.sql(
+        "SELECT DISTINCT CAST(epoch_us(CAST(ts AS TIMESTAMP))"
+        " // 86400000000 AS BIGINT) AS d, user_id"
+        f" FROM read_parquet('{sf_dir}/events.parquet')"
+    ).fetchall()
+    by_day = defaultdict(set)
+    for d, u in du:
+        by_day[d].add(u)
+    rows = REGISTRY["events_sliding_distinct_users"].fn(spark, sf_dir).collect()
+    assert {r.day_idx for r in rows} == set(by_day)
+    for r in rows:
+        window_days = [d for d in by_day if r.day_idx - 6 <= d <= r.day_idx]
+        exp7 = set().union(*(by_day[d] for d in window_days))
+        assert r.users_1d == len(by_day[r.day_idx])
+        assert r.users_7d == len(exp7), r.day_idx
+        assert r.days_in_window == len(window_days)
+        assert r.users_7d >= r.users_1d
+
+
+def test_luhn_detects_every_planted_corruption(spark, sf_dir):
+    """Structural pin: Luhn detects every single-digit substitution,
+    so only two (validity × corrupted) cells may exist, with counts
+    matching the %5 planted split exactly."""
+    from cdc_pubsub_spark.registry import REGISTRY
+    from cdc_pubsub_spark.tables import load
+
+    rows = {(r.luhn_valid, r.corrupted): r for r in
+            REGISTRY["fn_luhn_checksum"].fn(spark, sf_dir).collect()}
+    assert set(rows) == {(True, False), (False, True)}
+    keys = [r.o_orderkey for r in
+            load(spark, sf_dir, "orders").select("o_orderkey").collect()]
+    n_corr = sum(1 for k in keys if k % 5 == 0)
+    assert rows[(False, True)].n == n_corr
+    assert rows[(True, False)].n == len(keys) - n_corr
+    assert rows[(False, True)].key_checksum == sum(
+        k for k in keys if k % 5 == 0
+    )
+
+
+def test_pk_discovery_known_keys(spark, sf_dir):
+    """Every candidate's verdict is recomputed from an independent
+    DuckDB distinct count; the known true keys (o_orderkey, c_custkey)
+    must verify, the known non-keys must not, and the fixture's
+    surprising fact — (l_orderkey, l_linenumber) is NOT unique in this
+    generator, unlike dbgen — must be surfaced, not assumed away."""
+    import duckdb
+
+    from cdc_pubsub_spark.operators.advanced import _PK_CANDIDATES
+    from cdc_pubsub_spark.registry import REGISTRY
+
+    con = duckdb.connect()
+    rows = {r.candidate: r for r in
+            REGISTRY["profile_pk_discovery"].fn(spark, sf_dir).collect()}
+    assert set(rows) == {label for label, _t, _c in _PK_CANDIDATES}
+    for label, tbl, cols in _PK_CANDIDATES:
+        tup = "(" + ", ".join(cols) + ")"
+        n, nd = con.sql(
+            f"SELECT count(*), count(DISTINCT {tup})"
+            f" FROM read_parquet('{sf_dir}/{tbl}.parquet')"
+        ).fetchone()
+        r = rows[label]
+        assert (r.n_rows, r.n_distinct) == (n, nd), label
+        assert r.is_key == (n == nd)
+        assert (r.uniqueness == 1.0) == r.is_key or nd != n
+    assert rows["orders(o_orderkey)"].is_key
+    assert rows["customer(c_custkey)"].is_key
+    assert not rows["lineitem(l_orderkey)"].is_key
+    assert not rows["orders(o_custkey)"].is_key
+    assert not rows["lineitem(l_orderkey,l_linenumber)"].is_key, (
+        "fixture generator draws linenumbers independently"
+    )

@@ -1371,3 +1371,43 @@ def test_knn_regression_beats_mean_baseline(spark, sf_dir):
     base_mae = sum(abs(ys[r.vec_id] - ref_mean) for r in rows) / len(rows)
     knn_mae = sum(r.abs_err for r in rows) / len(rows)
     assert knn_mae < 0.5 * base_mae, (knn_mae, base_mae)
+
+
+def test_audio_vad_codec_and_planted_layout():
+    """Unit-level checks on the VAD kernel: real RIFF parse, frame
+    energies, run-length fusion — the planted 64-sample alternation
+    means segment counts are a closed form; corruption dead-letters."""
+    import pytest
+
+    from cdc_pubsub_spark.llmops.multimodal import (
+        _synth_wav_vad,
+        _vad_n_samples,
+        vad_segments,
+    )
+
+    for doc_id in (0, 1, 2, 3, 17, 255, 398):
+        n = _vad_n_samples(doc_id)
+        nf = n // 16
+        exp_active = [((f * 16) // 64) % 2 == 1 for f in range(nf)]
+        segs = []
+        run = 0
+        for a in exp_active + [False]:
+            if a:
+                run += 1
+            elif run:
+                segs.append(run)
+                run = 0
+        m = vad_segments(_synth_wav_vad(doc_id))
+        assert m == {
+            "n_frames": nf,
+            "n_active": sum(exp_active),
+            "n_segments": len(segs),
+            "longest_segment": max(segs) if segs else 0,
+        }, (doc_id, m)
+        assert m["n_segments"] >= 2, "fixture must plant multiple segments"
+        assert m["longest_segment"] == 4, "blocks are exactly 4 frames"
+    raw = _synth_wav_vad(5)
+    with pytest.raises(ValueError):
+        vad_segments(b"RIFX" + raw[4:])
+    with pytest.raises(ValueError):
+        vad_segments(raw[:40])
