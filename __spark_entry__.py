@@ -233,6 +233,10 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     "fn_luhn_checksum",
     "multimodal_audio_vad",
     "profile_pk_discovery",
+    "ts_theil_sen",
+    "fn_uuid_v3",
+    "multimodal_subtitle_srt",
+    "orders_receivables_aging",
 }
 
 

@@ -2135,3 +2135,118 @@ def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="n_frames bigint, n_active bigint, n_segments bigint,"
         " longest_segment bigint, doc_id bigint, decoded_ok boolean",
     )
+
+
+# Closed-form SRT cue layout (shared by render and oracle): doc d has
+# 3 + d % 3 cues; cue i starts at i*4000 + d % 997 ms and lasts
+# 1500 + (d + i * 7) % 2000 ms.
+_SRT_MS_RENDER = (
+    "concat(lpad(CAST(MS div 3600000 AS STRING), 2, '0'), ':',"
+    " lpad(CAST(MS div 60000 % 60 AS STRING), 2, '0'), ':',"
+    " lpad(CAST(MS div 1000 % 60 AS STRING), 2, '0'), ',',"
+    " lpad(CAST(MS % 1000 AS STRING), 3, '0'))"
+)
+
+_SRT_MS_PARSE = (
+    "CAST(substring(TS, 1, 2) AS BIGINT) * 3600000"
+    " + CAST(substring(TS, 4, 2) AS BIGINT) * 60000"
+    " + CAST(substring(TS, 7, 2) AS BIGINT) * 1000"
+    " + CAST(substring(TS, 10, 3) AS BIGINT)"
+)
+
+
+@register(
+    "multimodal_subtitle_srt",
+    category="multimodal",
+    oracle="""
+    WITH doc AS (
+      SELECT doc_id, 3 + doc_id % 3 AS n_cues
+      FROM documents WHERE doc_id <= 300
+    ),
+    cues AS (
+      SELECT d.doc_id, t.i,
+             t.i * 4000 + d.doc_id % 997 AS start_ms,
+             t.i * 4000 + d.doc_id % 997
+               + 1500 + (d.doc_id + t.i * 7) % 2000 AS end_ms
+      FROM doc d, LATERAL unnest(range(0, d.n_cues)) AS t(i)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_cues,
+           CAST(sum(end_ms - start_ms) AS BIGINT) AS speech_ms,
+           CAST(max(end_ms) AS BIGINT) AS last_end_ms,
+           CAST(max(CASE WHEN i > 0 THEN start_ms END)
+                - min(CASE WHEN i > 0 THEN start_ms END) AS BIGINT)
+             AS inner_span_ms,
+           floor(CAST(sum(end_ms - start_ms) AS DOUBLE)
+                 / CAST(max(end_ms) AS DOUBLE) * 10000 + 0.5) / 10000
+             AS speech_ratio
+    FROM cues
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def multimodal_subtitle_srt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUBRIP (.srt) SUBTITLE PARSING, fully relational: cue blocks
+    are RENDERED in-plan (index line, 'HH:MM:SS,mmm --> HH:MM:SS,mmm'
+    time line, text line, blank separator) into one document string,
+    then PARSED back with split + fixed-offset substring arithmetic —
+    no regex, no UDF — into per-document speech statistics (cue
+    count, total speech time, speech ratio). Subtitle sidecars are
+    how video pipelines get speech timing without running ASR, and
+    the timestamp render↔parse round trip is the load-bearing part:
+    an off-by-one in any lpad or offset corrupts the closed-form
+    totals the oracle recomputes directly.
+
+    Shape: render and parse are row-local (the cue explode is bounded
+    by cues-per-doc); one ≤300-doc aggregate. Exactness: pure integer
+    milliseconds; the ratio is one pinned division.
+    """
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") <= 300)
+    start = "(ci * 4000 + doc_id % 997)"
+    end = f"({start} + 1500 + (doc_id + ci * 7) % 2000)"
+    render_start = _SRT_MS_RENDER.replace("MS", start)
+    render_end = _SRT_MS_RENDER.replace("MS", end)
+    srt = docs.selectExpr(
+        "doc_id",
+        "concat_ws('', transform(sequence(0, 2 + doc_id % 3), ci ->"
+        f" concat(CAST(ci + 1 AS STRING), '\\n', {render_start},"
+        f" ' --> ', {render_end}, '\\ncue text ', CAST(ci AS STRING),"
+        " '\\n\\n'))) AS srt_text",
+    )
+    cues = srt.selectExpr(
+        "doc_id",
+        "explode(filter(split(srt_text, '\\n\\n'), b -> b <> '')) AS blk",
+    ).selectExpr(
+        "doc_id",
+        "CAST(element_at(split(blk, '\\n'), 1) AS BIGINT) - 1 AS i",
+        "element_at(split(blk, '\\n'), 2) AS timeline",
+    )
+    parse_start = _SRT_MS_PARSE.replace("TS", "substring(timeline, 1, 12)")
+    parse_end = _SRT_MS_PARSE.replace("TS", "substring(timeline, 18, 12)")
+    parsed = cues.selectExpr(
+        "doc_id",
+        "i",
+        f"{parse_start} AS start_ms",
+        f"{parse_end} AS end_ms",
+    )
+    return (
+        parsed.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cues"),
+            F.sum(F.expr("end_ms - start_ms"))
+            .cast("bigint")
+            .alias("speech_ms"),
+            F.max("end_ms").cast("bigint").alias("last_end_ms"),
+            (
+                F.max(F.expr("CASE WHEN i > 0 THEN start_ms END"))
+                - F.min(F.expr("CASE WHEN i > 0 THEN start_ms END"))
+            )
+            .cast("bigint")
+            .alias("inner_span_ms"),
+            F.expr(
+                "floor(CAST(sum(end_ms - start_ms) AS DOUBLE)"
+                " / CAST(max(end_ms) AS DOUBLE) * 10000 + 0.5) / 10000"
+            ).alias("speech_ratio"),
+        )
+        .orderBy("doc_id")
+    )

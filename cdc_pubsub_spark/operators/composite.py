@@ -5661,3 +5661,245 @@ def events_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
     from cdc_pubsub_spark.tables import finalize_cached
 
     return finalize_cached(out, du)
+
+
+@register(
+    "ts_theil_sen",
+    category="composite",
+    oracle="""
+    WITH daily AS MATERIALIZED (
+      SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+             AS BIGINT) AS d,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS c
+      FROM events GROUP BY 1
+    ),
+    pairs AS MATERIALIZED (
+      SELECT a.d AS di, b.d AS dj,
+             CAST(b.c - a.c AS DOUBLE) / CAST(b.d - a.d AS DOUBLE)
+               AS slope
+      FROM daily a JOIN daily b ON a.d < b.d
+    ),
+    ranked AS (
+      SELECT slope,
+             row_number() OVER (ORDER BY slope, di, dj) AS rk,
+             count(*) OVER () AS n
+      FROM pairs
+    ),
+    ts_slope AS MATERIALIZED (
+      SELECT slope AS med_slope, CAST(n AS BIGINT) AS n_pairs
+      FROM ranked WHERE rk = (n + 1) // 2
+    ),
+    resid AS (
+      SELECT d.c - s.med_slope * d.d AS b0, d.d
+      FROM daily d CROSS JOIN ts_slope s
+    ),
+    rr AS (
+      SELECT b0, row_number() OVER (ORDER BY b0, d) AS rk,
+             count(*) OVER () AS n
+      FROM resid
+    ),
+    ols AS MATERIALIZED (
+      SELECT regr_slope(c, d) AS ols_slope FROM daily
+    )
+    SELECT s.n_pairs,
+           floor(s.med_slope * 10000 + 0.5) / 10000 AS theil_sen_slope,
+           floor(r.b0 * 100 + 0.5) / 100 AS intercept_cents,
+           floor(o.ols_slope * 10000 + 0.5) / 10000 AS ols_slope
+    FROM ts_slope s
+    JOIN rr r ON r.rk = (r.n + 1) // 2
+    CROSS JOIN ols o
+    """,
+)
+def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THEIL-SEN ROBUST TREND — the median of all pairwise slopes over
+    the daily series, with the median-residual intercept: the
+    estimator that tolerates ~29% outliers where OLS tolerates none,
+    and the natural MAGNITUDE companion to orders_mann_kendall_trend
+    (MK answers "is there a monotone trend?" from the same pairwise
+    sign structure; Theil-Sen answers "how steep?"). The op reports
+    the OLS slope beside it — the gap between the two is itself the
+    outlier diagnostic.
+
+    Exactness: each pairwise slope is ONE pinned double division of
+    exact integer deltas; the median is an ORDER STATISTIC over
+    bit-identical doubles with a (slope, i, j) total order — no
+    averaging of middle elements, so even-count frames take the
+    lower-middle element deterministically (the moving-median
+    convention). Shape: the pair relation is calendar² — bounded
+    (≤ ~7M pairs even at a 10-year horizon), built by one range
+    self-join of the daily rollup; the rank runs over that bounded
+    relation, never over events.
+    """
+    events = load(spark, sf_dir, "events")
+    daily = (
+        events.groupBy(
+            F.expr(
+                "unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000"
+            ).alias("d")
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("c")
+        )
+        .persist()
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(b, F.col("a.d") < F.col("b.d")).selectExpr(
+        "a.d AS di",
+        "b.d AS dj",
+        "CAST(b.c - a.c AS DOUBLE) / CAST(b.d - a.d AS DOUBLE) AS slope",
+    )
+    wr = Window.orderBy("slope", "di", "dj")
+    ranked = pairs.select(
+        "slope",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    ts_slope = ranked.filter(
+        F.expr("rk = (n + 1) div 2")
+    ).selectExpr("slope AS med_slope", "CAST(n AS BIGINT) AS n_pairs")
+    resid = daily.crossJoin(F.broadcast(ts_slope)).selectExpr(
+        "c - med_slope * d AS b0", "d", "n_pairs", "med_slope"
+    )
+    wb = Window.orderBy("b0", "d")
+    rr = resid.select(
+        "b0",
+        "n_pairs",
+        "med_slope",
+        F.row_number().over(wb).alias("rk"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("nn"),
+    ).filter(F.expr("rk = (nn + 1) div 2"))
+    ols = daily.agg(F.regr_slope("c", "d").alias("ols_slope"))
+    out = rr.crossJoin(F.broadcast(ols)).selectExpr(
+        "n_pairs",
+        "floor(med_slope * 10000 + 0.5) / 10000 AS theil_sen_slope",
+        "floor(b0 * 100 + 0.5) / 100 AS intercept_cents",
+        "floor(ols_slope * 10000 + 0.5) / 10000 AS ols_slope",
+    )
+    from cdc_pubsub_spark.tables import finalize_cached
+
+    return finalize_cached(out, daily)
+
+
+@register(
+    "orders_receivables_aging",
+    category="composite",
+    oracle="""
+    WITH ledger_asof AS MATERIALIZED (
+      SELECT CAST(max(CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+                  AS BIGINT) AS as_of
+      FROM orders
+    ),
+    open_ar AS MATERIALIZED (
+      SELECT o.o_orderkey,
+             CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             a.as_of
+             - CAST(CAST(o.o_orderdate AS DATE) - DATE '1970-01-01'
+                    AS BIGINT) AS age_days
+      FROM orders o CROSS JOIN ledger_asof a
+      WHERE o.o_orderstatus <> 'F'
+    ),
+    sales AS MATERIALIZED (
+      SELECT CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS total_cents,
+             CAST(max(CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+                  - min(CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+                  + 1 AS BIGINT) AS span_days
+      FROM orders
+    )
+    SELECT CASE WHEN age_days <= 30 THEN '0-030'
+                WHEN age_days <= 60 THEN '031-060'
+                WHEN age_days <= 90 THEN '061-090'
+                ELSE '090+' END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_open,
+           CAST(sum(cents) AS BIGINT) AS ar_cents,
+           floor(CAST(sum(cents) AS DOUBLE)
+                 / CAST((SELECT total_cents FROM sales) AS DOUBLE)
+                 * 10000 + 0.5) / 10000 AS share_of_sales,
+           floor(CAST(sum(cents) AS DOUBLE)
+                 / (CAST((SELECT total_cents FROM sales) AS DOUBLE)
+                    / CAST((SELECT span_days FROM sales) AS DOUBLE))
+                 * 100 + 0.5) / 100 AS dso_days
+    FROM open_ar
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def orders_receivables_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACCOUNTS-RECEIVABLE AGING + DSO — the finance close-report:
+    non-finalized orders (status ≠ 'F' = still owed) bucketed by age
+    against the ledger's as-of day (the max order date — a relative
+    anchor, so the report is deterministic at every sf), with each
+    bucket's days-sales-outstanding equivalent (bucket AR ÷ average
+    daily sales). orders_backlog_timeseries tracks the open-order
+    COUNT over time; this is the MONEY view at one instant, which is
+    what the CFO actually signs.
+
+    Exactness: ages and cents are exact integers; DSO and share are
+    pinned divisions of exact totals. Shape: one filtered scan with a
+    broadcast 1-row as-of, a ≤4-key aggregate, and a broadcast sales
+    total — nothing data-sized after the scan.
+    """
+    orders = load(spark, sf_dir, "orders")
+    asof = orders.agg(
+        F.expr(
+            "CAST(max(datediff(CAST(o_orderdate AS DATE),"
+            " DATE'1970-01-01')) AS BIGINT)"
+        ).alias("as_of")
+    )
+    sales = orders.agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("total_cents"),
+        F.expr(
+            "CAST(max(datediff(CAST(o_orderdate AS DATE),"
+            " DATE'1970-01-01'))"
+            " - min(datediff(CAST(o_orderdate AS DATE),"
+            " DATE'1970-01-01')) + 1 AS BIGINT)"
+        ).alias("span_days"),
+    )
+    open_ar = (
+        orders.filter(F.col("o_orderstatus") != "F")
+        .crossJoin(F.broadcast(asof))
+        .selectExpr(
+            "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents",
+            "as_of - CAST(datediff(CAST(o_orderdate AS DATE),"
+            " DATE'1970-01-01') AS BIGINT) AS age_days",
+        )
+    )
+    return (
+        open_ar.selectExpr(
+            "CASE WHEN age_days <= 30 THEN '0-030'"
+            " WHEN age_days <= 60 THEN '031-060'"
+            " WHEN age_days <= 90 THEN '061-090'"
+            " ELSE '090+' END AS bucket",
+            "cents",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_open"),
+            F.sum("cents").cast("bigint").alias("ar_cents"),
+        )
+        .crossJoin(F.broadcast(sales))
+        .selectExpr(
+            "bucket",
+            "n_open",
+            "ar_cents",
+            "floor(CAST(ar_cents AS DOUBLE) / CAST(total_cents AS DOUBLE)"
+            " * 10000 + 0.5) / 10000 AS share_of_sales",
+            "floor(CAST(ar_cents AS DOUBLE)"
+            " / (CAST(total_cents AS DOUBLE) / CAST(span_days AS DOUBLE))"
+            " * 100 + 0.5) / 100 AS dso_days",
+        )
+        .orderBy("bucket")
+    )

@@ -922,3 +922,111 @@ def fn_luhn_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("luhn_valid", "corrupted")
     )
+
+
+# Shared rendering of an RFC 4122 version-3 (md5, name-based) UUID from a
+# 32-hex digest — identical SQL text on both engines. The version nibble
+# is forced to '3' and the variant nibble to 8|9|a|b by mapping the
+# digest's 17th hex char through a 4-way CASE (hex arithmetic without
+# hex parsing, so no dialect gap).
+def _uuid3_sql(h: str) -> str:
+    variant = (
+        f"CASE WHEN substring({h}, 17, 1) IN ('0','4','8','c') THEN '8'"
+        f" WHEN substring({h}, 17, 1) IN ('1','5','9','d') THEN '9'"
+        f" WHEN substring({h}, 17, 1) IN ('2','6','a','e') THEN 'a'"
+        f" ELSE 'b' END"
+    )
+    return (
+        f"concat(substring({h}, 1, 8), '-', substring({h}, 9, 4), '-3',"
+        f" substring({h}, 14, 3), '-', {variant}, substring({h}, 18, 3),"
+        f" '-', substring({h}, 21, 12))"
+    )
+
+
+@register(
+    "fn_uuid_v3",
+    category="modern",
+    oracle=f"""
+    WITH named AS (
+      SELECT o_orderkey,
+             md5(concat('cdc:orders:', CAST(o_orderkey AS VARCHAR)))
+               AS h
+      FROM orders
+    ),
+    minted AS (
+      SELECT o_orderkey, {_uuid3_sql("h")} AS uuid
+      FROM named
+    )
+    SELECT substring(uuid, 20, 1) AS variant_nibble,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT uuid) AS BIGINT) AS n_distinct,
+           CAST(sum(CASE WHEN substring(uuid, 15, 1) = '3'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_version3,
+           CAST(sum(CASE WHEN length(uuid) = 36
+                    AND substring(uuid, 9, 1) = '-'
+                    AND substring(uuid, 14, 1) = '-'
+                    AND substring(uuid, 19, 1) = '-'
+                    AND substring(uuid, 24, 1) = '-'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_wellformed,
+           min(uuid) AS sample_uuid
+    FROM minted
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def fn_uuid_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC UUID MINTING (RFC 4122 version 3, md5 name-based)
+    — the stable-identifier primitive every CDC pipeline needs when
+    downstream systems demand UUIDs but replays must mint the SAME id
+    for the same business key (a random uuid() would break
+    exactly-once semantics; the reference's uniquer path component,
+    publisher.go:133, exists for the same replay-stability reason).
+    Names are 'cdc:orders:<key>'; the digest is reshaped into the
+    8-4-4-4-12 form with the version nibble forced to 3 and the
+    variant nibble to 8/9/a/b — done with substring + CASE hex
+    arithmetic, so both engines mint byte-identical ids.
+
+    Output: per variant nibble, counts, distinctness (minting must be
+    injective over keys — pinned), version/wellformedness tallies,
+    and the min uuid as a spot sample. Shape: row-local codegen plus
+    one 4-key aggregate.
+    """
+    orders = load(spark, sf_dir, "orders")
+    named = orders.selectExpr(
+        "o_orderkey",
+        "md5(concat('cdc:orders:', CAST(o_orderkey AS STRING))) AS h",
+    )
+    minted = named.selectExpr(
+        "o_orderkey", f"{_uuid3_sql('h')} AS uuid"
+    )
+    return (
+        minted.groupBy(
+            F.expr("substring(uuid, 20, 1)").alias("variant_nibble")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.countDistinct("uuid").cast("bigint").alias("n_distinct"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN substring(uuid, 15, 1) = '3'"
+                    " THEN 1 ELSE 0 END"
+                )
+            )
+            .cast("bigint")
+            .alias("n_version3"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN length(uuid) = 36"
+                    " AND substring(uuid, 9, 1) = '-'"
+                    " AND substring(uuid, 14, 1) = '-'"
+                    " AND substring(uuid, 19, 1) = '-'"
+                    " AND substring(uuid, 24, 1) = '-'"
+                    " THEN 1 ELSE 0 END"
+                )
+            )
+            .cast("bigint")
+            .alias("n_wellformed"),
+            F.min("uuid").alias("sample_uuid"),
+        )
+        .orderBy("variant_nibble")
+    )

@@ -1268,3 +1268,96 @@ def test_pk_discovery_known_keys(spark, sf_dir):
     assert not rows["lineitem(l_orderkey,l_linenumber)"].is_key, (
         "fixture generator draws linenumbers independently"
     )
+
+
+def test_theil_sen_matches_python_and_is_robust(spark, sf_dir):
+    """Replicate the pairwise-slope median in Python from an
+    independent DuckDB daily rollup (exact order statistic, same tie
+    order); also verify the estimator's defining property on a
+    synthetic check: corrupting one point of a clean line leaves the
+    Python Theil-Sen slope at 1 while OLS moves."""
+    import math
+
+    import duckdb
+
+    from cdc_pubsub_spark.registry import REGISTRY
+
+    con = duckdb.connect()
+    daily = sorted(
+        con.sql(
+            "SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000"
+            " AS BIGINT),"
+            " CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)"
+            f" FROM read_parquet('{sf_dir}/events.parquet') GROUP BY 1"
+        ).fetchall()
+    )
+    slopes = []
+    for ii in range(len(daily)):
+        for jj in range(ii + 1, len(daily)):
+            (di, ci), (dj, cj) = daily[ii], daily[jj]
+            slopes.append(((cj - ci) / (dj - di), di, dj))
+    slopes.sort()
+    n = len(slopes)
+    med = slopes[(n + 1) // 2 - 1][0]
+    b0s = sorted((c - med * d, d) for d, c in daily)
+    b0 = b0s[(len(b0s) + 1) // 2 - 1][0]
+    r = REGISTRY["ts_theil_sen"].fn(spark, sf_dir).collect()[0]
+    assert r.n_pairs == n
+    assert r.theil_sen_slope == math.floor(med * 10000 + 0.5) / 10000
+    assert r.intercept_cents == math.floor(b0 * 100 + 0.5) / 100
+    # Robustness canonical check (pure python, defines the estimator):
+    pts = [(x, float(x)) for x in range(1, 12)]
+    pts[5] = (6, 1000.0)
+    sl = sorted(
+        (y2 - y1) / (x2 - x1)
+        for i2, (x1, y1) in enumerate(pts)
+        for x2, y2 in pts[i2 + 1:]
+    )
+    assert abs(sl[(len(sl) + 1) // 2 - 1] - 1.0) < 0.01
+
+
+def test_receivables_aging_matches_python(spark, sf_dir):
+    """Replicate the aging buckets and DSO in Python from the raw
+    orders; bucket totals, shares, and DSO must match exactly, and
+    every open order must land in exactly one bucket."""
+    import math
+    from collections import defaultdict
+
+    import duckdb
+
+    from cdc_pubsub_spark.registry import REGISTRY
+
+    con = duckdb.connect()
+    orders = con.sql(
+        "SELECT o_orderstatus,"
+        " CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT),"
+        " CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+        f" FROM read_parquet('{sf_dir}/orders.parquet')"
+    ).fetchall()
+    as_of = max(d for _s, d, _c in orders)
+    dmin = min(d for _s, d, _c in orders)
+    total = sum(c for _s, _d, c in orders)
+    span = as_of - dmin + 1
+    agg = defaultdict(lambda: [0, 0])
+    n_open = 0
+    for s, d, c in orders:
+        if s == "F":
+            continue
+        n_open += 1
+        age = as_of - d
+        b = ("0-030" if age <= 30 else "031-060" if age <= 60
+             else "061-090" if age <= 90 else "090+")
+        agg[b][0] += 1
+        agg[b][1] += c
+    rows = REGISTRY["orders_receivables_aging"].fn(spark, sf_dir).collect()
+    assert {r.bucket for r in rows} == set(agg)
+    assert sum(r.n_open for r in rows) == n_open
+    for r in rows:
+        n, cents = agg[r.bucket]
+        assert (r.n_open, r.ar_cents) == (n, cents)
+        assert r.share_of_sales == math.floor(
+            cents / total * 10000 + 0.5
+        ) / 10000
+        assert r.dso_days == math.floor(
+            cents / (total / span) * 100 + 0.5
+        ) / 100

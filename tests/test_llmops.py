@@ -1411,3 +1411,64 @@ def test_audio_vad_codec_and_planted_layout():
         vad_segments(b"RIFX" + raw[4:])
     with pytest.raises(ValueError):
         vad_segments(raw[:40])
+
+
+def test_uuid_v3_python_replication_and_rfc_shape(spark, sf_dir):
+    """Mint the same UUIDs in pure Python (md5 of the same names, same
+    nibble surgery) and compare the per-variant aggregates exactly;
+    RFC shape pins: version nibble 3 everywhere, all 36-char
+    wellformed, minting injective."""
+    import hashlib
+    from collections import defaultdict
+
+    from cdc_pubsub_spark.tables import load
+
+    keys = [r.o_orderkey for r in
+            load(spark, sf_dir, "orders").select("o_orderkey").collect()]
+    agg = defaultdict(lambda: [0, set()])
+    for k in keys:
+        h = hashlib.md5(f"cdc:orders:{k}".encode()).hexdigest()
+        variant = "89ab"[int(h[16], 16) % 4]
+        uuid = (f"{h[0:8]}-{h[8:12]}-3{h[13:16]}-{variant}{h[17:20]}"
+                f"-{h[20:32]}")
+        a = agg[variant]
+        a[0] += 1
+        a[1].add(uuid)
+    rows = {r.variant_nibble: r for r in
+            REGISTRY["fn_uuid_v3"].fn(spark, sf_dir).collect()}
+    assert set(rows) == set(agg)
+    for v, (n, uuids) in agg.items():
+        r = rows[v]
+        assert r.n == n and r.n_distinct == len(uuids) == n
+        assert r.n_version3 == n and r.n_wellformed == n
+        assert r.sample_uuid == min(uuids)
+
+
+def test_srt_round_trip_on_handcrafted_cue(spark):
+    """Pin the timestamp render and parse offsets on a handcrafted
+    millisecond value (1h02m03.456s) — independent of the fixture
+    round trip the oracle certifies."""
+    row = spark.sql(
+        "SELECT concat(lpad(CAST(MS div 3600000 AS STRING), 2, '0'), ':',"
+        " lpad(CAST(MS div 60000 % 60 AS STRING), 2, '0'), ':',"
+        " lpad(CAST(MS div 1000 % 60 AS STRING), 2, '0'), ',',"
+        " lpad(CAST(MS % 1000 AS STRING), 3, '0')) AS ts"
+        " FROM (SELECT 3723456 AS MS)"
+    ).collect()[0]
+    assert row.ts == "01:02:03,456"
+    back = spark.sql(
+        "SELECT CAST(substring(ts, 1, 2) AS BIGINT) * 3600000"
+        " + CAST(substring(ts, 4, 2) AS BIGINT) * 60000"
+        " + CAST(substring(ts, 7, 2) AS BIGINT) * 1000"
+        " + CAST(substring(ts, 10, 3) AS BIGINT) AS ms"
+        " FROM (SELECT '01:02:03,456' AS ts)"
+    ).collect()[0]
+    assert back.ms == 3723456
+    rows = REGISTRY["multimodal_subtitle_srt"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows[:50]:
+        assert 3 <= r.n_cues <= 5
+        assert 0 < r.speech_ratio <= 1.0
+        assert r.speech_ms <= r.last_end_ms
