@@ -237,6 +237,10 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     "fn_uuid_v3",
     "multimodal_subtitle_srt",
     "orders_receivables_aging",
+    "graph_ppr_seeded",
+    "events_counter_rollover_repair",
+    "orders_revenue_bridge",
+    "profile_fk_discovery",
 }
 
 

@@ -2202,3 +2202,93 @@ def profile_pk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy("candidate")
+
+
+# Candidate foreign keys probed: (label, child table, child col,
+# parent table, parent col). Includes one planted NON-fk (custkey into
+# supplier) so the probe's negative verdict is exercised.
+_FK_CANDIDATES = [
+    ("lineitem.l_orderkey->orders.o_orderkey",
+     "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part.p_partkey",
+     "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier.s_suppkey",
+     "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer.c_custkey",
+     "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation.n_nationkey",
+     "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("orders.o_custkey->supplier.s_suppkey",
+     "orders", "o_custkey", "supplier", "s_suppkey"),
+]
+
+
+def _fk_oracle_sql() -> str:
+    sels = []
+    for label, ct, cc, pt, pc in _FK_CANDIDATES:
+        sels.append(
+            f"""
+      SELECT '{label}' AS candidate,
+             CAST(count(DISTINCT c.{cc}) AS BIGINT) AS n_child_values,
+             CAST(count(DISTINCT CASE WHEN p.{pc} IS NOT NULL
+                        THEN c.{cc} END) AS BIGINT) AS n_contained,
+             floor(CAST(count(DISTINCT CASE WHEN p.{pc} IS NOT NULL
+                        THEN c.{cc} END) AS DOUBLE)
+                   / CAST(count(DISTINCT c.{cc}) AS DOUBLE)
+                   * 10000 + 0.5) / 10000 AS containment,
+             count(DISTINCT c.{cc})
+               = count(DISTINCT CASE WHEN p.{pc} IS NOT NULL
+                       THEN c.{cc} END) AS is_fk
+      FROM {ct} c LEFT JOIN {pt} p ON p.{pc} = c.{cc}"""
+        )
+    return "\n      UNION ALL\n".join(sels) + "\n      ORDER BY candidate"
+
+
+@register(
+    "profile_fk_discovery",
+    category="advanced",
+    oracle=_fk_oracle_sql(),
+)
+def profile_fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FOREIGN-KEY DISCOVERY by inclusion-dependency probing — the
+    referential half of profile_pk_discovery: for each candidate
+    child→parent column pair, the exact containment coefficient
+    (fraction of distinct child values present in the parent) and the
+    is_fk verdict at containment 1. The candidate list plants one
+    semantically WRONG pair (o_custkey→s_suppkey) whose containment
+    is NONZERO by numeric coincidence (dense small-int surrogate keys
+    overlap at the low end — the classic FK-discovery false-signal) —
+    the op must report the partial coefficient honestly rather than
+    round it to a verdict, which the invariant test pins against an
+    independent recount.
+
+    Exactness: distinct counts and one pinned division. Shape: per
+    candidate one left join keyed on the candidate columns with
+    distinct-count aggregates (map-side partial distinct); parent
+    sides here broadcast. profile_constraints VERIFIES declared FKs
+    row-by-row; this DISCOVERS them value-set-wise.
+    """
+    outs = []
+    for label, ct, cc, pt, pc in _FK_CANDIDATES:
+        c = load(spark, sf_dir, ct).select(F.col(cc).alias("ck")).distinct()
+        p = load(spark, sf_dir, pt).select(F.col(pc).alias("pk")).distinct()
+        outs.append(
+            c.join(F.broadcast(p), F.col("pk") == F.col("ck"), "left")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_child_values"),
+                F.count("pk").cast("bigint").alias("n_contained"),
+            )
+            .selectExpr(
+                f"'{label}' AS candidate",
+                "n_child_values",
+                "n_contained",
+                "floor(CAST(n_contained AS DOUBLE)"
+                " / CAST(n_child_values AS DOUBLE) * 10000 + 0.5) / 10000"
+                " AS containment",
+                "n_contained = n_child_values AS is_fk",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("candidate")

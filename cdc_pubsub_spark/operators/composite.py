@@ -5903,3 +5903,228 @@ def orders_receivables_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "events_counter_rollover_repair",
+    category="composite",
+    oracle="""
+    WITH seq AS MATERIALIZED (
+      SELECT user_id, event_id,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY event_id) AS pos
+      FROM events
+    ),
+    readings AS MATERIALIZED (
+      SELECT user_id, event_id, pos,
+             (pos * 100 + (user_id + pos) % 7) % 3000 AS counter
+      FROM seq
+    ),
+    deltas AS (
+      SELECT user_id, counter,
+             counter - lag(counter) OVER (
+               PARTITION BY user_id ORDER BY pos) AS d
+      FROM readings
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_readings,
+           CAST(sum(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_resets,
+           CAST(sum(CASE WHEN d IS NULL THEN counter
+                    WHEN d < 0 THEN counter
+                    ELSE d END) AS BIGINT) AS true_total,
+           CAST(max(counter) AS BIGINT) AS last_raw
+    FROM deltas
+    GROUP BY user_id
+    HAVING sum(CASE WHEN d < 0 THEN 1 ELSE 0 END) > 0
+    ORDER BY user_id
+    LIMIT 50
+    """,
+)
+def events_counter_rollover_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MONOTONE-COUNTER RESET REPAIR — the telemetry fix every
+    Prometheus/statsd ingest runs: cumulative counters reset to ~0 on
+    process restart, so the true total is Σ(positive deltas) +
+    (post-reset absolute values), recovered with one lag() per
+    source. The readings are synthesized with planted rollovers
+    (mod-3000 wrap every 30 readings per user), so n_resets and the
+    repaired total have closed forms the oracle recomputes; reporting
+    only reset-affected users (HAVING) keeps the op an exception
+    report, as deployed.
+
+    Exactness: integer counters, integer deltas. Shape: one window
+    keyed BY USER over each user's own reading sequence (partitioned,
+    never global — the win_lag_lead layout), then a per-user
+    aggregate; top-50 total-ordered by user. At 100 TB this is the
+    canonical per-series repair: state is one lag value per series.
+    """
+    events = load(spark, sf_dir, "events")
+    wpos = Window.partitionBy("user_id").orderBy("event_id")
+    readings = events.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(wpos).alias("pos"),
+    ).selectExpr(
+        "user_id",
+        "pos",
+        "(pos * 100 + (user_id + pos) % 7) % 3000 AS counter",
+    )
+    wlag = Window.partitionBy("user_id").orderBy("pos")
+    deltas = readings.select(
+        "user_id",
+        "counter",
+        (F.col("counter") - F.lag("counter").over(wlag)).alias("d"),
+    )
+    return (
+        deltas.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_readings"),
+            F.sum(F.expr("CASE WHEN d < 0 THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_resets"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN d IS NULL THEN counter"
+                    " WHEN d < 0 THEN counter ELSE d END"
+                )
+            )
+            .cast("bigint")
+            .alias("true_total"),
+            F.max("counter").cast("bigint").alias("last_raw"),
+        )
+        .filter(F.col("n_resets") > 0)
+        .orderBy("user_id")
+        .limit(50)
+    )
+
+
+@register(
+    "orders_revenue_bridge",
+    category="composite",
+    oracle="""
+    WITH yr AS MATERIALIZED (
+      SELECT CAST(max(extract(year FROM CAST(o_orderdate AS DATE)))
+                  AS BIGINT) AS y1
+      FROM orders
+    ),
+    li AS MATERIALIZED (
+      SELECT p.p_brand AS brand,
+             CAST(extract(year FROM CAST(l.l_shipdate AS DATE))
+                  AS BIGINT) AS yy,
+             CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty,
+             CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS rev
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2
+    ),
+    two AS MATERIALIZED (
+      SELECT b0.brand,
+             b0.qty AS q0, b0.rev AS r0, b1.qty AS q1, b1.rev AS r1
+      FROM (SELECT * FROM li WHERE yy = (SELECT y1 - 1 FROM yr)) b0
+      JOIN (SELECT * FROM li WHERE yy = (SELECT y1 FROM yr)) b1
+        ON b1.brand = b0.brand
+      WHERE b0.qty > 0 AND b1.qty > 0
+    )
+    SELECT brand,
+           CAST(r1 - r0 AS BIGINT) AS delta_cents,
+           CAST(floor((CAST(q1 AS DOUBLE) - CAST(q0 AS DOUBLE))
+                 * (CAST(r0 AS DOUBLE) / CAST(q0 AS DOUBLE))
+                 + 0.5) AS BIGINT) AS volume_effect_cents,
+           CAST(floor((CAST(r1 AS DOUBLE) / CAST(q1 AS DOUBLE)
+                  - CAST(r0 AS DOUBLE) / CAST(q0 AS DOUBLE))
+                 * CAST(q1 AS DOUBLE) + 0.5) AS BIGINT)
+             AS price_effect_cents,
+           CAST(floor((CAST(r1 - r0 AS DOUBLE)
+                  - (CAST(q1 AS DOUBLE) - CAST(q0 AS DOUBLE))
+                    * (CAST(r0 AS DOUBLE) / CAST(q0 AS DOUBLE))
+                  - (CAST(r1 AS DOUBLE) / CAST(q1 AS DOUBLE)
+                     - CAST(r0 AS DOUBLE) / CAST(q0 AS DOUBLE))
+                    * CAST(q1 AS DOUBLE)) + 0.5) AS BIGINT)
+             AS residual_cents
+    FROM two
+    ORDER BY brand
+    """,
+)
+def orders_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REVENUE BRIDGE (price/volume decomposition) — the FP&A
+    waterfall that explains a year-over-year revenue change per
+    brand: volume effect = Δqty × old unit price, price effect =
+    Δunit-price × new qty, and the decomposition residual (exactly
+    zero in this two-factor form up to the rounding grain — the
+    identity r1−r0 = Δq·p0 + Δp·q1 holds algebraically, which the
+    invariant test asserts: the residual column must vanish, proving
+    both effects were computed against the right bases; mixing up
+    old/new anchors is THE classic bridge bug and leaves a nonzero
+    residual).
+
+    Years come from the data (latest vs prior). Exactness: the yearly
+    (brand × year) aggregates are exact integers; each effect is one
+    pinned double expression rounded to whole cents. Shape: one
+    fact-table join+groupBy onto the bounded brand × year domain,
+    then a self-join of two ≤|brands| slices.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    orders = load(spark, sf_dir, "orders")
+    yr = orders.agg(
+        F.expr(
+            "CAST(max(extract(year FROM CAST(o_orderdate AS DATE)))"
+            " AS BIGINT)"
+        ).alias("y1")
+    )
+    yearly = (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.expr(
+                "CAST(extract(year FROM CAST(l_shipdate AS DATE))"
+                " AS BIGINT)"
+            ).alias("yy"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint"))
+            .cast("bigint")
+            .alias("qty"),
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .alias("rev"),
+        )
+        .crossJoin(F.broadcast(yr))
+        .persist()
+    )
+    b0 = yearly.filter(F.expr("yy = y1 - 1")).selectExpr(
+        "brand", "qty AS q0", "rev AS r0"
+    )
+    b1 = yearly.filter(F.expr("yy = y1")).selectExpr(
+        "brand AS brand1", "qty AS q1", "rev AS r1"
+    )
+    two = b0.join(b1, F.col("brand1") == F.col("brand")).filter(
+        "q0 > 0 AND q1 > 0"
+    )
+    vol = (
+        "(CAST(q1 AS DOUBLE) - CAST(q0 AS DOUBLE))"
+        " * (CAST(r0 AS DOUBLE) / CAST(q0 AS DOUBLE))"
+    )
+    prc = (
+        "(CAST(r1 AS DOUBLE) / CAST(q1 AS DOUBLE)"
+        " - CAST(r0 AS DOUBLE) / CAST(q0 AS DOUBLE))"
+        " * CAST(q1 AS DOUBLE)"
+    )
+    out = two.selectExpr(
+        "brand",
+        "CAST(r1 - r0 AS BIGINT) AS delta_cents",
+        f"CAST(floor({vol} + 0.5) AS BIGINT) AS volume_effect_cents",
+        f"CAST(floor({prc} + 0.5) AS BIGINT) AS price_effect_cents",
+        f"CAST(floor((CAST(r1 - r0 AS DOUBLE) - {vol} - {prc}) + 0.5)"
+        " AS BIGINT) AS residual_cents",
+    ).orderBy("brand")
+    from cdc_pubsub_spark.tables import finalize_cached
+
+    return finalize_cached(out, yearly)

@@ -1882,3 +1882,130 @@ def graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("katz_micro").desc(), "user_id")
         .limit(20)
     )
+
+
+def _ppr_oracle_sql(rounds: int = 3) -> str:
+    """Unrolled personalized PageRank: teleport mass returns to the
+    SEED SET (user_id % 50 == 0) instead of spreading uniformly;
+    integer-free floats are avoided by quantizing each round's scores
+    to parts-per-billion BIGINTs (floor(x·1e9+0.5)) before they feed
+    the next round — the ml.py weight-state device — so both engines
+    iterate identical integer state."""
+    parts = [
+        """users AS MATERIALIZED (SELECT DISTINCT user_id FROM events),
+    """
+        + _EDGE_SQL.strip()
+        + """,
+    seeds AS MATERIALIZED (
+      SELECT user_id FROM users WHERE user_id % 50 = 0),
+    ns AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM seeds),
+    pr_0 AS MATERIALIZED (
+      SELECT u.user_id,
+             CAST(CASE WHEN u.user_id % 50 = 0
+                  THEN 1000000000 // (SELECT n FROM ns)
+                  ELSE 0 END AS BIGINT) AS ppb
+      FROM users u)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""
+    pr_{r} AS MATERIALIZED (
+      SELECT u.user_id,
+             CAST(CASE WHEN u.user_id % 50 = 0
+                  THEN (300000000 + (SELECT n FROM ns))
+                       // (2 * (SELECT n FROM ns))
+                  ELSE 0 END
+               + CAST(floor(0.85e0
+                   * CAST(coalesce(sum(p.ppb), 0) AS DOUBLE) / 2e0
+                   + 0.5e0) AS BIGINT) AS BIGINT) AS ppb
+      FROM users u
+      LEFT JOIN edges e ON e.dst = u.user_id
+      LEFT JOIN pr_{r - 1} p ON p.user_id = e.src
+      GROUP BY u.user_id
+    )"""
+        )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+    SELECT user_id, ppb AS ppr_ppb,
+           user_id % 50 = 0 AS is_seed
+    FROM pr_{rounds}
+    WHERE ppb > 0
+    ORDER BY ppr_ppb DESC, user_id
+    LIMIT 25"""
+    )
+
+
+@register(
+    "graph_ppr_seeded",
+    category="graph",
+    oracle=_ppr_oracle_sql(),
+)
+def graph_ppr_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSONALIZED PAGERANK from a seed set (every 50th user) — the
+    recommendation-engine variant of graph_pagerank: teleport mass
+    returns to the SEEDS rather than spreading uniformly, so scores
+    measure proximity TO THE SEEDS (who should these accounts be
+    shown?) instead of global importance. Top-25 by score; non-seed
+    entries in that list are exactly the recommendation candidates.
+
+    Determinism device: pagerank's plain-double rounds survive
+    cross-engine because uniform teleport keeps summands homogeneous;
+    PPR's zero/nonzero mass mix makes float folds brittle, so each
+    round's scores quantize to parts-per-billion BIGINTs before
+    feeding the next round, and the teleport share is a half-up
+    integer division (the ml.py integer-weight-state device) —
+    both engines iterate identical integers and the oracle unrolls
+    the same three rounds. Conservation is intentionally NOT asserted
+    (the modular edge map leaks mass outside small fixtures'
+    vertex sets — the pagerank docstring's caveat); the invariant
+    test replicates the integer path exactly in Python instead.
+
+    Shape: per round one vertex-keyed join+aggregate (the pagerank
+    stage shape); the seed indicator is row-local arithmetic, never a
+    join. Bounded rounds = bounded shuffle stages at 100 TB.
+    """
+    users = load(spark, sf_dir, "events").select("user_id").distinct()
+    edges = users.select(
+        F.col("user_id").alias("src"),
+        ((F.col("user_id") * 7 + 3) % 1000).alias("dst"),
+    ).unionByName(
+        users.select(
+            F.col("user_id").alias("src"),
+            ((F.col("user_id") * 13 + 11) % 1000).alias("dst"),
+        )
+    )
+    n_seeds = users.filter(F.expr("user_id % 50 = 0")).count()
+    pr = users.selectExpr(
+        "user_id",
+        f"CAST(CASE WHEN user_id % 50 = 0 THEN 1000000000 div {n_seeds}"
+        " ELSE 0 END AS BIGINT) AS ppb",
+    )
+    teleport = (300000000 + n_seeds) // (2 * n_seeds)
+    for _r in range(3):
+        pr = (
+            users.alias("u")
+            .join(edges.alias("e"), F.col("e.dst") == F.col("u.user_id"),
+                  "left")
+            .join(pr.alias("p"), F.col("p.user_id") == F.col("e.src"),
+                  "left")
+            .groupBy(F.col("u.user_id").alias("user_id"))
+            .agg(
+                F.expr(
+                    f"CAST(CASE WHEN u.user_id % 50 = 0 THEN {teleport}"
+                    " ELSE 0 END"
+                    " + CAST(floor(0.85e0"
+                    " * CAST(coalesce(sum(p.ppb), 0) AS DOUBLE) / 2e0"
+                    " + 0.5e0) AS BIGINT) AS BIGINT)"
+                ).alias("ppb")
+            )
+        )
+    return (
+        pr.filter(F.col("ppb") > 0)
+        .selectExpr(
+            "user_id", "ppb AS ppr_ppb", "user_id % 50 = 0 AS is_seed"
+        )
+        .orderBy(F.col("ppr_ppb").desc(), "user_id")
+        .limit(25)
+    )

@@ -279,3 +279,48 @@ def test_katz_matches_pure_python_replication(spark, sf_dir):
         for r in rows
     ]
     assert got == exp
+
+
+def test_ppr_matches_pure_python_replication(spark, sf_dir):
+    """Independent replication of the integer PPR path: quantized
+    parts-per-billion state, half-up integer teleport, floor(0.85·m/2)
+    propagation — the top-25 must match exactly, and the top score
+    must belong to a seed (teleport dominates at 3 rounds)."""
+    from cdc_pubsub_spark.tables import load
+
+    users = sorted(
+        r.user_id
+        for r in load(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .collect()
+    )
+    uset = set(users)
+    edges = [(u, (u * 7 + 3) % 1000) for u in users] + [
+        (u, (u * 13 + 11) % 1000) for u in users
+    ]
+    seeds = [u for u in users if u % 50 == 0]
+    assert seeds, "seed set must be non-empty at every sf"
+    n = len(seeds)
+    pr = {u: (1000000000 // n if u % 50 == 0 else 0) for u in users}
+    teleport = (300000000 + n) // (2 * n)
+    import math
+
+    for _r in range(3):
+        nxt = {u: 0 for u in users}
+        for s, d in edges:
+            if d in uset:
+                nxt[d] += pr[s]
+        pr = {
+            u: (teleport if u % 50 == 0 else 0)
+            + int(math.floor(0.85 * float(nxt[u]) / 2.0 + 0.5))
+            for u in users
+        }
+    exp = sorted(
+        ((u, p, u % 50 == 0) for u, p in pr.items() if p > 0),
+        key=lambda t: (-t[1], t[0]),
+    )[:25]
+    rows = REGISTRY["graph_ppr_seeded"].fn(spark, sf_dir).collect()
+    got = [(r.user_id, r.ppr_ppb, r.is_seed) for r in rows]
+    assert got == exp
+    assert rows[0].is_seed

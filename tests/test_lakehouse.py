@@ -1361,3 +1361,111 @@ def test_receivables_aging_matches_python(spark, sf_dir):
         assert r.dso_days == math.floor(
             cents / (total / span) * 100 + 0.5
         ) / 100
+
+
+def test_counter_repair_matches_python(spark, sf_dir):
+    """Replicate the reset-aware repair in Python from an independent
+    DuckDB ordering of each user's readings; totals and reset counts
+    must match exactly, and the repaired total must always exceed the
+    raw last reading (resets guarantee lost mass)."""
+    from collections import defaultdict
+
+    import duckdb
+
+    from cdc_pubsub_spark.registry import REGISTRY
+
+    con = duckdb.connect()
+    seq = con.sql(
+        "SELECT user_id, row_number() OVER ("
+        " PARTITION BY user_id ORDER BY event_id) AS pos"
+        f" FROM read_parquet('{sf_dir}/events.parquet')"
+    ).fetchall()
+    by_user = defaultdict(list)
+    for u, pos in seq:
+        by_user[u].append(pos)
+    exp = {}
+    for u, poss in by_user.items():
+        readings = [
+            (p * 100 + (u + p) % 7) % 3000 for p in sorted(poss)
+        ]
+        resets, total, prev = 0, 0, None
+        for c in readings:
+            if prev is None:
+                total += c
+            elif c - prev < 0:
+                resets += 1
+                total += c
+            else:
+                total += c - prev
+            prev = c
+        if resets > 0:
+            exp[u] = (len(readings), resets, total, max(readings))
+    want = sorted(exp)[:50]
+    rows = REGISTRY["events_counter_rollover_repair"].fn(
+        spark, sf_dir
+    ).collect()
+    assert [r.user_id for r in rows] == want
+    for r in rows:
+        n, resets, total, mx = exp[r.user_id]
+        assert (r.n_readings, r.n_resets, r.true_total, r.last_raw) == (
+            n, resets, total, mx,
+        )
+        assert r.true_total >= mx
+
+
+def test_revenue_bridge_residual_vanishes(spark, sf_dir):
+    """The two-factor bridge identity r1−r0 = Δq·p0 + Δp·q1 is exact,
+    so the residual column must be 0 for every brand and the rounded
+    effects must reassemble the delta within the 1-cent rounding
+    grain — anchoring either effect on the wrong year breaks both."""
+    from cdc_pubsub_spark.registry import REGISTRY
+
+    rows = REGISTRY["orders_revenue_bridge"].fn(spark, sf_dir).collect()
+    assert rows, "two-year overlap must exist at every sf"
+    for r in rows:
+        assert r.residual_cents == 0, r
+        assert abs(
+            r.delta_cents - r.volume_effect_cents - r.price_effect_cents
+        ) <= 1, r
+
+
+def test_fk_discovery_verdicts_and_recount(spark, sf_dir):
+    """The five real FKs must verify at containment 1; the planted
+    wrong pair must come out partial (neither 0 nor 1 — the
+    false-signal case); every coefficient matches an independent
+    DuckDB recount."""
+    import math
+
+    import duckdb
+
+    from cdc_pubsub_spark.operators.advanced import _FK_CANDIDATES
+    from cdc_pubsub_spark.registry import REGISTRY
+
+    con = duckdb.connect()
+    rows = {r.candidate: r for r in
+            REGISTRY["profile_fk_discovery"].fn(spark, sf_dir).collect()}
+    for label, ct, cc, pt, pc in _FK_CANDIDATES:
+        nc, ncont = con.sql(
+            f"SELECT count(DISTINCT c.{cc}),"
+            f" count(DISTINCT CASE WHEN p.{pc} IS NOT NULL"
+            f" THEN c.{cc} END)"
+            f" FROM read_parquet('{sf_dir}/{ct}.parquet') c"
+            f" LEFT JOIN read_parquet('{sf_dir}/{pt}.parquet') p"
+            f" ON p.{pc} = c.{cc}"
+        ).fetchone()
+        r = rows[label]
+        assert (r.n_child_values, r.n_contained) == (nc, ncont), label
+        assert r.containment == math.floor(
+            ncont / nc * 10000 + 0.5
+        ) / 10000
+        assert r.is_fk == (nc == ncont)
+    wrong = rows["orders.o_custkey->supplier.s_suppkey"]
+    assert not wrong.is_fk and 0.0 < wrong.containment < 1.0
+    for label in (
+        "lineitem.l_orderkey->orders.o_orderkey",
+        "orders.o_custkey->customer.c_custkey",
+        "customer.c_nationkey->nation.n_nationkey",
+        "lineitem.l_partkey->part.p_partkey",
+        "lineitem.l_suppkey->supplier.s_suppkey",
+    ):
+        assert rows[label].is_fk, label
