@@ -241,6 +241,9 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     "events_counter_rollover_repair",
     "orders_revenue_bridge",
     "profile_fk_discovery",
+    "stream_windowed_distinct",
+    "orders_order_to_cash",
+    "corpus_shard_balance",
 }
 
 

@@ -715,3 +715,83 @@ def corpus_resample_to_mix(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@register(
+    "corpus_shard_balance",
+    category="corpus",
+    oracle="""
+    WITH assigned AS MATERIALIZED (
+      SELECT CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 16 AS shard,
+             n_chars
+      FROM documents
+    ),
+    per AS MATERIALIZED (
+      SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS chars
+      FROM assigned GROUP BY 1
+    ),
+    tot AS MATERIALIZED (
+      SELECT CAST(sum(n_docs) AS BIGINT) AS td,
+             CAST(sum(chars) AS BIGINT) AS tc,
+             CAST(max(chars) AS BIGINT) AS mx,
+             CAST(count(*) AS BIGINT) AS n_shards
+      FROM per
+    )
+    SELECT p.shard, p.n_docs, p.chars,
+           floor(CAST(p.chars AS DOUBLE) / CAST(t.tc AS DOUBLE)
+                 * 10000 + 0.5) / 10000 AS char_share,
+           floor(CAST(t.mx AS DOUBLE)
+                 / (CAST(t.tc AS DOUBLE) / CAST(t.n_shards AS DOUBLE))
+                 * 10000 + 0.5) / 10000 AS max_skew_ratio
+    FROM per p CROSS JOIN tot t
+    ORDER BY p.shard
+    """,
+)
+def corpus_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHARD-ASSIGNMENT BALANCE AUDIT — hash documents onto 16 shards
+    (md5 prefix mod, the split-twin device) and measure byte-weight
+    balance: per-shard doc/char totals, each shard's share, and the
+    fleet-wide max-skew ratio (heaviest shard ÷ ideal). This is the
+    pre-flight check before any 100 TB repartition: hash sharding
+    balances COUNTS by construction, but byte-weighted balance is
+    data-dependent (a few huge documents skew a shard), and the skew
+    ratio is exactly the number that predicts straggler executors —
+    the planning twin of profile_data_skew (which measures skew the
+    data already HAS; this measures skew an assignment WOULD create).
+
+    Exactness: md5 is bit-identical cross-engine; totals are exact
+    integers; shares are pinned divisions. Shape: one map-side
+    groupBy onto 16 keys plus a broadcast total.
+    """
+    docs = load(spark, sf_dir, "documents")
+    assigned = docs.selectExpr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10)"
+        " AS BIGINT) % 16 AS shard",
+        "n_chars",
+    )
+    per = assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("chars"),
+    )
+    tot = per.agg(
+        F.sum("n_docs").cast("bigint").alias("td"),
+        F.sum("chars").cast("bigint").alias("tc"),
+        F.max("chars").cast("bigint").alias("mx"),
+        F.count(F.lit(1)).cast("bigint").alias("n_shards"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "shard",
+            "n_docs",
+            "chars",
+            "floor(CAST(chars AS DOUBLE) / CAST(tc AS DOUBLE)"
+            " * 10000 + 0.5) / 10000 AS char_share",
+            "floor(CAST(mx AS DOUBLE)"
+            " / (CAST(tc AS DOUBLE) / CAST(n_shards AS DOUBLE))"
+            " * 10000 + 0.5) / 10000 AS max_skew_ratio",
+        )
+        .orderBy("shard")
+    )

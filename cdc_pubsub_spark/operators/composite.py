@@ -6128,3 +6128,93 @@ def orders_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_pubsub_spark.tables import finalize_cached
 
     return finalize_cached(out, yearly)
+
+
+@register(
+    "orders_order_to_cash",
+    category="composite",
+    oracle="""
+    WITH firstship AS MATERIALIZED (
+      SELECT l_orderkey,
+             CAST(min(CAST(l_shipdate AS DATE) - DATE '1970-01-01')
+                  AS BIGINT) AS first_ship
+      FROM lineitem GROUP BY 1
+    ),
+    lat AS MATERIALIZED (
+      SELECT o.o_orderpriority AS priority,
+             f.first_ship
+             - CAST(CAST(o.o_orderdate AS DATE) - DATE '1970-01-01'
+                    AS BIGINT) AS days
+      FROM orders o JOIN firstship f ON f.l_orderkey = o.o_orderkey
+    )
+    SELECT priority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(min(days) AS BIGINT) AS min_days,
+           CAST(max(days) AS BIGINT) AS max_days,
+           floor(CAST(sum(days) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                 * 100 + 0.5) / 100 AS avg_days,
+           CAST(sum(CASE WHEN days <= 7 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_within_week,
+           CAST(sum(CASE WHEN days < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_impossible
+    FROM lat
+    GROUP BY priority
+    ORDER BY priority
+    """,
+)
+def orders_order_to_cash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER-TO-FIRST-SHIP CYCLE TIME per priority class — the
+    fulfillment-latency report (the measurable front half of the
+    order-to-cash cycle): days from order date to the order's FIRST
+    shipment, with the within-a-week service-level tally. tpch_q4
+    counts late lines against a committed date; this measures the
+    latency DISTRIBUTION itself, which is what operations actually
+    tracks week over week. The report also counts IMPOSSIBLE states
+    (first ship before the order date) — on clean data the column is
+    zero; on this fixture the generator draws shipdates independently
+    of order dates, so the column is decisively nonzero and the op
+    doubles as the referential-TIME audit that catches exactly such
+    generator/pipeline bugs (profile_constraints checks key
+    integrity; this checks temporal integrity).
+
+    Exactness: pure integer day arithmetic; the mean is one pinned
+    division of exact sums. Shape: one map-side-combined min per
+    order (keyed on the join key, so the subsequent join is
+    co-partitioned — the classic pre-aggregate-before-join rewrite
+    that at 100 TB cuts the shuffle by the lines-per-order factor),
+    then a ≤5-key rollup.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    firstship = li.groupBy("l_orderkey").agg(
+        F.expr(
+            "CAST(min(datediff(CAST(l_shipdate AS DATE),"
+            " DATE'1970-01-01')) AS BIGINT)"
+        ).alias("first_ship")
+    )
+    lat = orders.join(
+        firstship, F.col("l_orderkey") == F.col("o_orderkey")
+    ).selectExpr(
+        "o_orderpriority AS priority",
+        "first_ship - CAST(datediff(CAST(o_orderdate AS DATE),"
+        " DATE'1970-01-01') AS BIGINT) AS days",
+    )
+    return (
+        lat.groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.min("days").cast("bigint").alias("min_days"),
+            F.max("days").cast("bigint").alias("max_days"),
+            F.expr(
+                "floor(CAST(sum(days) AS DOUBLE)"
+                " / CAST(count(*) AS DOUBLE) * 100 + 0.5) / 100"
+            ).alias("avg_days"),
+            F.sum(F.expr("CASE WHEN days <= 7 THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_within_week"),
+            F.sum(F.expr("CASE WHEN days < 0 THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_impossible"),
+        )
+        .orderBy("priority")
+    )

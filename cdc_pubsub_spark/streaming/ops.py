@@ -1875,3 +1875,55 @@ def stream_topk_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .orderBy("window_start_s", "rk")
     )
+
+
+@register(
+    "stream_windowed_distinct",
+    category="streaming",
+    bench=False,
+    oracle="""
+    SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) * 3600
+             AS window_start_s,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def stream_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING WINDOWED COUNT DISTINCT — hourly unique users over an
+    at-least-once stream: the metric every realtime dashboard wants
+    and the one a naive streaming aggregate CANNOT give you (distinct
+    state does not fold incrementally, and duplicated delivery
+    double-counts). The engine's layout: dedup the stream on the
+    (user, hour-bucket) PAIR with watermark-bounded state —
+    dropDuplicatesWithinWatermark, so per-hour per-user state retires
+    as event time advances — then a plain count per bucket on the
+    exactly-once residue (the stream_dedup two-stage shape;
+    events_sliding_distinct_users is the batch trailing-window twin).
+    Input is every event DUPLICATED, so the dedup stage is
+    load-bearing: without it every count would be exactly 2× wrong,
+    and the batch oracle (plain COUNT DISTINCT per hour over the
+    un-duplicated table) would fail the hash check.
+
+    At 100 TB: dedup state is bounded by watermark × active
+    (user, hour) pairs; the downstream count is stateless per bucket.
+    """
+    input_dir = write_events_ndjson(
+        spark, sf_dir, "windist", duplicate=True
+    )
+    stream = (
+        read_event_stream(spark, input_dir)
+        .withColumn(
+            "window_start_s",
+            F.expr("(unix_seconds(ts) div 3600) * 3600"),
+        )
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "window_start_s"])
+    )
+    sink = run_to_completion(stream, "windist", "append")
+    return (
+        sink.groupBy("window_start_s")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("distinct_users"))
+        .orderBy("window_start_s")
+    )

@@ -1469,3 +1469,81 @@ def test_fk_discovery_verdicts_and_recount(spark, sf_dir):
         "lineitem.l_suppkey->supplier.s_suppkey",
     ):
         assert rows[label].is_fk, label
+
+
+def test_order_to_cash_matches_python(spark, sf_dir):
+    """Replicate first-ship latency stats in Python from raw tables;
+    exact equality per priority, and latencies must be non-negative
+    (shipments cannot precede their order in the generator)."""
+    import math
+    from collections import defaultdict
+
+    import duckdb
+
+    from cdc_pubsub_spark.registry import REGISTRY
+
+    con = duckdb.connect()
+    rows_raw = con.sql(
+        "SELECT o.o_orderpriority,"
+        " CAST(min(CAST(l.l_shipdate AS DATE) - DATE '1970-01-01')"
+        " AS BIGINT)"
+        " - CAST(CAST(o.o_orderdate AS DATE) - DATE '1970-01-01'"
+        " AS BIGINT) AS days"
+        f" FROM read_parquet('{sf_dir}/orders.parquet') o"
+        f" JOIN read_parquet('{sf_dir}/lineitem.parquet') l"
+        " ON l.l_orderkey = o.o_orderkey"
+        " GROUP BY o.o_orderkey, o.o_orderpriority,"
+        " CAST(o.o_orderdate AS DATE)"
+    ).fetchall()
+    agg = defaultdict(list)
+    for pri, days in rows_raw:
+        agg[pri].append(days)
+    rows = REGISTRY["orders_order_to_cash"].fn(spark, sf_dir).collect()
+    assert {r.priority for r in rows} == set(agg)
+    for r in rows:
+        ds = agg[r.priority]
+        assert r.n_orders == len(ds)
+        assert (r.min_days, r.max_days) == (min(ds), max(ds))
+        assert r.avg_days == math.floor(
+            sum(ds) / len(ds) * 100 + 0.5
+        ) / 100
+        assert r.n_within_week == sum(1 for d in ds if d <= 7)
+        assert r.n_impossible == sum(1 for d in ds if d < 0)
+    # The fixture draws shipdates independently of order dates, so the
+    # temporal-integrity column must be decisively nonzero here — the
+    # audit half of the op is exercised, not vacuous.
+    assert sum(r.n_impossible for r in rows) > 0
+
+
+def test_shard_balance_matches_hashlib(spark, sf_dir):
+    """Replicate the assignment with hashlib md5 (same 8-hex prefix
+    mod 16); per-shard totals and the fleet-wide skew ratio must match
+    exactly, shares must sum to ~1, and the hash must actually spread
+    (no shard empty, no shard above 3x ideal at fixture scale)."""
+    import hashlib
+    import math
+    from collections import defaultdict
+
+    from cdc_pubsub_spark.registry import REGISTRY
+    from cdc_pubsub_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    ).collect()
+    agg = defaultdict(lambda: [0, 0])
+    for d in docs:
+        h = int(hashlib.md5(str(d.doc_id).encode()).hexdigest()[:8], 16) % 16
+        agg[h][0] += 1
+        agg[h][1] += d.n_chars
+    tc = sum(c for _n, c in agg.values())
+    mx = max(c for _n, c in agg.values())
+    rows = REGISTRY["corpus_shard_balance"].fn(spark, sf_dir).collect()
+    assert {r.shard for r in rows} == set(agg)
+    skew = math.floor(mx / (tc / len(agg)) * 10000 + 0.5) / 10000
+    for r in rows:
+        n, c = agg[r.shard]
+        assert (r.n_docs, r.chars) == (n, c)
+        assert r.char_share == math.floor(c / tc * 10000 + 0.5) / 10000
+        assert r.max_skew_ratio == skew
+    assert abs(sum(r.char_share for r in rows) - 1.0) < 0.01
+    assert skew < 3.0

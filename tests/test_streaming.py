@@ -743,3 +743,41 @@ def test_exactly_once_across_crash_after_sink_commit(spark, sf_dir):
     assert got == load(spark, sf_dir, "events").count(), (
         "replayed batch lost or duplicated rows"
     )
+
+
+def test_windowed_distinct_dedups_duplicated_delivery(spark, sf_dir):
+    """The input stream carries every event twice; the (user, hour)
+    dedup must reduce each window to the batch COUNT DISTINCT — pin
+    that against an independent DuckDB rollup, and pin that a naive
+    count over the duplicated feed would NOT equal it (the dedup is
+    load-bearing, not decorative)."""
+    import duckdb
+
+    from cdc_pubsub_spark.registry import REGISTRY
+
+    con = duckdb.connect()
+    exp = dict(
+        con.sql(
+            "SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000)"
+            " * 3600, CAST(count(DISTINCT user_id) AS BIGINT)"
+            f" FROM read_parquet('{sf_dir}/events.parquet') GROUP BY 1"
+        ).fetchall()
+    )
+    raw = dict(
+        con.sql(
+            "SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000)"
+            " * 3600, CAST(count(*) AS BIGINT)"
+            f" FROM read_parquet('{sf_dir}/events.parquet') GROUP BY 1"
+        ).fetchall()
+    )
+    rows = REGISTRY["stream_windowed_distinct"].fn(spark, sf_dir).collect()
+    assert {r.window_start_s for r in rows} == set(exp)
+    for r in rows:
+        assert r.distinct_users == exp[r.window_start_s], r.window_start_s
+        # duplicated-delivery feed holds 2x raw events per window; the
+        # result must be far below that (and below raw) wherever the
+        # hour has any repeat visitors or duplicates.
+        assert r.distinct_users <= raw[r.window_start_s]
+    assert sum(rows_.distinct_users for rows_ in rows) < 2 * sum(
+        raw.values()
+    )
