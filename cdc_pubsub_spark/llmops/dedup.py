@@ -954,11 +954,24 @@ def dedup_levenshtein_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the prefix block is an equi-join key, so candidates
     co-partition by block and never leave their bucket — the same
     contract as dedup_minhash_lsh's band join; the length band prunes
-    inside the bucket before the O(m·n) verify runs. A hot block
-    (boilerplate prefix) is planted-skew territory: AQE skew-join
-    splitting absorbs it, and the PPJoin prefix-anchor variant
-    (dedup_containment) is the documented escape hatch when blocks
-    degenerate. All-pairs edit distance is never computed.
+    inside the bucket before the verify runs, the verify itself is
+    guarded into the expression's CASE so the optimizer cannot order
+    it ahead of the cheap predicates (a pushed-into-the-join
+    levenshtein was measured paying |corpus| self-pair evaluations —
+    14.3 s serial at sf0.1; guarded + thresholded: sub-second warm),
+    and Spark's levenshtein(l, r, 16) runs the BANDED O(n·k) DP with
+    early exit (returns −1 past the bound, hence the 0..16 filter).
+    A hot block (boilerplate prefix) is planted-skew territory: AQE
+    skew-join splitting absorbs it, and the PPJoin prefix-anchor
+    variant (dedup_containment) is the documented escape hatch when
+    blocks degenerate. On duplicate-HEAVY corpora the candidate count
+    grows with the square of duplicate-family size because the output
+    itself does (the 10× scale probe measures 234× more true pairs in
+    24.7× the time — sublinear per emitted pair): cost is
+    OUTPUT-bound, which is intrinsic to exact pair emission; the
+    at-scale fix is clustering to canonical ids (dedup_cluster)
+    rather than enumerating pairs. All-pairs edit distance is never
+    computed.
     """
     corpus = dup_corpus(spark, sf_dir)
     blocked = corpus.selectExpr(
@@ -968,6 +981,15 @@ def dedup_levenshtein_block(spark: SparkSession, sf_dir: str) -> DataFrame:
         "substring(text, 1, 32) AS blk",
     )
     a, b = blocked.alias("a"), blocked.alias("b")
+    # The edit distance lives inside a CASE whose guard repeats the
+    # cheap join predicates: Catalyst pushes the dist filter into the
+    # hash-join condition, and WITHOUT the guard it evaluates the
+    # O(m·n) levenshtein FIRST for every same-block probe pair —
+    # including the |corpus| self-pairs — before the (doc_id <,
+    # length-band) conjuncts prune them (measured 14.3 s serial at
+    # sf0.1; guarded: sub-second). The guard makes the expensive
+    # branch unreachable until the cheap ones pass, independent of
+    # the optimizer's conjunct ordering.
     cand = a.join(
         b,
         (F.col("a.blk") == F.col("b.blk"))
@@ -976,12 +998,15 @@ def dedup_levenshtein_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).selectExpr(
         "a.doc_id AS doc_a",
         "b.doc_id AS doc_b",
-        "CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist",
+        "CAST(CASE WHEN a.doc_id < b.doc_id"
+        " AND abs(a.len - b.len) <= 16"
+        " THEN levenshtein(a.text, b.text, 16)"
+        " ELSE 999999 END AS BIGINT) AS dist",
         "a.len AS len_a",
         "b.len AS len_b",
     )
     return (
-        cand.filter(F.col("dist") <= 16)
+        cand.filter(F.expr("dist BETWEEN 0 AND 16"))
         .selectExpr(
             "doc_a",
             "doc_b",

@@ -1357,7 +1357,7 @@ _PIP_POINTS_SQL = """
 
 @register(
     "join_point_in_polygon",
-    category="join",
+    category="joins",
     oracle=f"""
     WITH pts AS ({_PIP_POINTS_SQL})
     SELECT {_pip_zone_case("px", "py")} AS zone,

@@ -749,7 +749,7 @@ _MERGE_ACTION_SQL = """
 
 @register(
     "sink_merge_into",
-    category="lakehouse",
+    category="scans",
     oracle=f"""
     WITH target AS MATERIALIZED ({_MERGE_TARGET_SQL}),
     source AS MATERIALIZED ({_MERGE_SOURCE_SQL}),
