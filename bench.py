@@ -61,6 +61,10 @@ HEAVY_FIRST = [
     "orders_assoc_rules",
     "profile_data_skew",
     "text_keyword_rake",
+    # second-extension addition, seeded by analogy pending a measured
+    # reseed: blocked full-text Levenshtein shares the dedup family's
+    # candidate-join cost shape.
+    "dedup_levenshtein_block",
     "dedup_minhash_banded",  # bench twin of dedup_minhash_lsh since r07
     "dedup_embed_cosine",
     "cdc_malformed_deadletter",
