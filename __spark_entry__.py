@@ -244,6 +244,9 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     "stream_windowed_distinct",
     "orders_order_to_cash",
     "corpus_shard_balance",
+    "ml_conformal_interval",
+    "scan_warc_records",
+    "events_anomaly_shesd",
 }
 
 

@@ -2726,3 +2726,212 @@ def ml_feature_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_pubsub_spark.tables import finalize_cached
 
     return finalize_cached(out, feat)
+
+
+# Split-conformal fixture: the ml_linreg_normal_eq planted rows plus a
+# deterministic md5 three-way split (the corpus SPLIT_CASE device).
+_CONF_ROWS_SQL = """
+      SELECT l_quantity AS q,
+             CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS dd,
+             50000 + 300 * l_quantity
+               + 1200 * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)
+               + (l_orderkey * 2654435761 + l_linenumber * 40503) % 2001
+               - 1000 AS y,
+             CASE
+               WHEN CAST(concat('0x', substr(md5(CAST(l_orderkey * 100000
+                    + l_linenumber AS VARCHAR)), 1, 2)) AS INT) < 154
+                 THEN 'train'
+               WHEN CAST(concat('0x', substr(md5(CAST(l_orderkey * 100000
+                    + l_linenumber AS VARCHAR)), 1, 2)) AS INT) < 205
+                 THEN 'calib'
+               ELSE 'test' END AS split
+      FROM lineitem
+"""
+
+_CONF_PRED = (
+    "(w0 + w1 * CAST(q AS DOUBLE) + w2 * CAST(dd AS DOUBLE))"
+)
+
+
+@register(
+    "ml_conformal_interval",
+    category="similarity",
+    oracle=f"""
+    WITH rows_in AS MATERIALIZED ({_CONF_ROWS_SQL}),
+    mom AS MATERIALIZED (
+      SELECT CAST(count(*) AS BIGINT)     AS n,
+             CAST(sum(q) AS BIGINT)       AS sq,
+             CAST(sum(dd) AS BIGINT)      AS sd,
+             CAST(sum(q * q) AS BIGINT)   AS sqq,
+             CAST(sum(q * dd) AS BIGINT)  AS sqd,
+             CAST(sum(dd * dd) AS BIGINT) AS sdd,
+             CAST(sum(y) AS BIGINT)       AS sy,
+             CAST(sum(q * y) AS BIGINT)   AS sqy,
+             CAST(sum(dd * y) AS BIGINT)  AS sdy
+      FROM rows_in WHERE split = 'train'
+    ),
+    wts AS MATERIALIZED (
+      SELECT n AS n_train,
+             ({_LR_W["det0"]}) / ({_LR_W["detA"]}) AS w0,
+             ({_LR_W["det1"]}) / ({_LR_W["detA"]}) AS w1,
+             ({_LR_W["det2"]}) / ({_LR_W["detA"]}) AS w2
+      FROM mom
+    ),
+    scored AS MATERIALIZED (
+      SELECT r.split,
+             CAST(floor(abs(CAST(r.y AS DOUBLE) - {_CONF_PRED}) + 0.5)
+                  AS BIGINT) AS rq
+      FROM rows_in r CROSS JOIN wts
+      WHERE r.split <> 'train'
+    ),
+    ncal AS MATERIALIZED (
+      SELECT CAST(count(*) AS BIGINT) AS n_cal FROM scored
+      WHERE split = 'calib'
+    ),
+    hist AS MATERIALIZED (
+      SELECT rq, CAST(count(*) AS BIGINT) AS c
+      FROM scored WHERE split = 'calib' GROUP BY rq
+    ),
+    qh AS MATERIALIZED (
+      SELECT min(rq) AS q_hat FROM (
+        SELECT rq,
+               CAST(sum(c) OVER (ORDER BY rq) AS BIGINT) AS cum
+        FROM hist
+      ) h CROSS JOIN ncal
+      WHERE cum >= CAST(ceil(0.9e0 * CAST(n_cal + 1 AS DOUBLE))
+                        AS BIGINT)
+    )
+    SELECT w.n_train,
+           nc.n_cal,
+           CAST(count(*) AS BIGINT) AS n_test,
+           floor(w.w0 * 100 + 0.5) / 100 AS w0,
+           floor(w.w1 * 100 + 0.5) / 100 AS w1,
+           floor(w.w2 * 100 + 0.5) / 100 AS w2,
+           q.q_hat,
+           floor(CAST(sum(CASE WHEN s.rq <= q.q_hat THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                 * 10000 + 0.5) / 10000 AS coverage,
+           0.9e0 AS target_coverage
+    FROM scored s
+    CROSS JOIN wts w CROSS JOIN ncal nc CROSS JOIN qh q
+    WHERE s.split = 'test'
+    GROUP BY w.n_train, nc.n_cal, w.w0, w.w1, w.w2, q.q_hat
+    """,
+)
+def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPLIT-CONFORMAL PREDICTION INTERVALS over the planted OLS model
+    — the distribution-free uncertainty wrapper modern ML-ops puts
+    around ANY point predictor: fit on the train split, take q̂ = the
+    ⌈0.9(n+1)⌉-th smallest absolute calibration residual, and the
+    interval ŷ ± q̂ covers ≥ 90% of fresh points BY CONSTRUCTION (no
+    normality, no variance model — just exchangeability). The op
+    reports the realized test coverage beside the 0.9 target; the
+    invariant test pins it inside the finite-sample band, which is
+    the conformal GUARANTEE, not a hope.
+
+    Exactness devices: the fit is the ml_linreg_normal_eq Cramer
+    solve over exact integer train moments; residuals quantize to
+    integers; and the calibration ORDER STATISTIC is computed as a
+    VALUE-HISTOGRAM threshold (group by residual value, cumulative
+    over the bounded residual domain, min value whose cumulative
+    count reaches k) — never a rank window over the data-sized
+    calibration relation, so the quantile is exact AND scale-safe
+    (the corpus prefix-sum device applied to quantiles). Splits are
+    the md5 three-way twins. Shape: two scans (train moments, scored
+    splits), one bounded-domain histogram, one broadcast of 4 scalar
+    relations.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    rows_in = li.selectExpr(
+        "l_quantity AS q",
+        "CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS dd",
+        "50000 + 300 * l_quantity"
+        " + 1200 * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)"
+        " + (l_orderkey * 2654435761 + l_linenumber * 40503) % 2001"
+        " - 1000 AS y",
+        "CASE WHEN CAST(conv(substring(md5(CAST(l_orderkey * 100000"
+        " + l_linenumber AS STRING)), 1, 2), 16, 10) AS INT) < 154"
+        " THEN 'train'"
+        " WHEN CAST(conv(substring(md5(CAST(l_orderkey * 100000"
+        " + l_linenumber AS STRING)), 1, 2), 16, 10) AS INT) < 205"
+        " THEN 'calib' ELSE 'test' END AS split",
+    ).persist()
+    mom = rows_in.filter("split = 'train'").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("q").cast("bigint").alias("sq"),
+        F.sum("dd").cast("bigint").alias("sd"),
+        F.sum(F.expr("q * q")).cast("bigint").alias("sqq"),
+        F.sum(F.expr("q * dd")).cast("bigint").alias("sqd"),
+        F.sum(F.expr("dd * dd")).cast("bigint").alias("sdd"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.expr("q * y")).cast("bigint").alias("sqy"),
+        F.sum(F.expr("dd * y")).cast("bigint").alias("sdy"),
+    )
+    wts = mom.selectExpr(
+        "n AS n_train",
+        f'({_LR_W["det0"]}) / ({_LR_W["detA"]}) AS w0',
+        f'({_LR_W["det1"]}) / ({_LR_W["detA"]}) AS w1',
+        f'({_LR_W["det2"]}) / ({_LR_W["detA"]}) AS w2',
+    )
+    scored = (
+        rows_in.filter("split <> 'train'")
+        .crossJoin(F.broadcast(wts))
+        .selectExpr(
+            "split",
+            "n_train",
+            "w0",
+            "w1",
+            "w2",
+            f"CAST(floor(abs(CAST(y AS DOUBLE) - {_CONF_PRED}) + 0.5)"
+            " AS BIGINT) AS rq",
+        )
+        .persist()
+    )
+    ncal = scored.filter("split = 'calib'").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cal")
+    )
+    hist = (
+        scored.filter("split = 'calib'")
+        .groupBy("rq")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    wcum = Window.orderBy("rq").rowsBetween(Window.unboundedPreceding, 0)
+    qh = (
+        hist.withColumn("cum", F.sum("c").over(wcum).cast("bigint"))
+        .crossJoin(F.broadcast(ncal))
+        .filter(
+            F.expr(
+                "cum >= CAST(ceil(0.9e0 * CAST(n_cal + 1 AS DOUBLE))"
+                " AS BIGINT)"
+            )
+        )
+        .agg(F.min("rq").alias("q_hat"))
+    )
+    out = (
+        scored.filter("split = 'test'")
+        .crossJoin(F.broadcast(ncal))
+        .crossJoin(F.broadcast(qh))
+        .groupBy("n_train", "n_cal", "w0", "w1", "w2", "q_hat")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.expr(
+                "floor(CAST(sum(CASE WHEN rq <= q_hat THEN 1 ELSE 0 END)"
+                " AS DOUBLE) / CAST(count(*) AS DOUBLE) * 10000 + 0.5)"
+                " / 10000"
+            ).alias("coverage"),
+        )
+        .selectExpr(
+            "n_train",
+            "n_cal",
+            "n_test",
+            "floor(w0 * 100 + 0.5) / 100 AS w0",
+            "floor(w1 * 100 + 0.5) / 100 AS w1",
+            "floor(w2 * 100 + 0.5) / 100 AS w2",
+            "q_hat",
+            "coverage",
+            "0.9e0 AS target_coverage",
+        )
+    )
+    from cdc_pubsub_spark.tables import finalize_cached
+
+    return finalize_cached(out, rows_in, scored)

@@ -6218,3 +6218,157 @@ def orders_order_to_cash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+_SHESD_ROUNDS = 3
+
+
+@register(
+    "events_anomaly_shesd",
+    category="composite",
+    bench=False,  # sequential argmax rounds (events_anomaly_esd rationale).
+    oracle=(
+        lambda: (
+            """WITH daily AS MATERIALIZED (
+      SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+             AS BIGINT) AS day_idx,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM events GROUP BY 1
+    ),
+    dowmed AS MATERIALIZED (
+      SELECT day_idx % 7 AS dow,
+             CAST(list_sort(list(cents))[
+               CAST((count(*) + 1) // 2 AS BIGINT)] AS BIGINT) AS med
+      FROM daily GROUP BY 1
+    ),
+    r_0 AS MATERIALIZED (
+      SELECT d.day_idx, d.cents, d.cents - m.med AS resid
+      FROM daily d JOIN dowmed m ON m.dow = d.day_idx % 7
+    )"""
+            + "".join(
+                f""",
+    s_{k} AS MATERIALIZED (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(resid) AS BIGINT) AS s1,
+             CAST(sum(CAST(resid AS HUGEINT) * resid) AS HUGEINT) AS s2
+      FROM r_{k - 1}
+    ),
+    z_{k} AS MATERIALIZED (
+      SELECT d.day_idx, d.cents, d.resid,
+             abs(CAST(d.resid AS DOUBLE)
+                 - CAST(s.s1 AS DOUBLE) / CAST(s.n AS DOUBLE))
+             / sqrt(CAST(s.s2 AS DOUBLE) / CAST(s.n AS DOUBLE)
+                    - (CAST(s.s1 AS DOUBLE) / CAST(s.n AS DOUBLE))
+                      * (CAST(s.s1 AS DOUBLE) / CAST(s.n AS DOUBLE)))
+               AS z
+      FROM r_{k - 1} d CROSS JOIN s_{k} s
+    ),
+    x_{k} AS MATERIALIZED (
+      SELECT {k} AS shesd_round, day_idx, cents, resid, z
+      FROM z_{k} ORDER BY z DESC, day_idx LIMIT 1
+    ),
+    r_{k} AS MATERIALIZED (
+      SELECT d.day_idx, d.cents, d.resid FROM r_{k - 1} d
+      WHERE d.day_idx <> (SELECT day_idx FROM x_{k})
+    )"""
+                for k in range(1, _SHESD_ROUNDS + 1)
+            )
+            + f"""
+    SELECT CAST(shesd_round AS BIGINT) AS shesd_round,
+           day_idx, cents, CAST(resid AS BIGINT) AS resid_cents,
+           floor(z * 10000 + 0.5) / 10000 AS z,
+           z > 3e0 AS is_significant
+    FROM ({" UNION ALL ".join(f"SELECT * FROM x_{k}" for k in range(1, _SHESD_ROUNDS + 1))})
+    ORDER BY shesd_round"""
+        )
+    )(),
+)
+def events_anomaly_shesd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEASONAL-HYBRID ESD (the Twitter anomaly-detection recipe):
+    subtract each day-of-week's MEDIAN from the daily series, then run
+    generalized-ESD rounds on the RESIDUALS — the composition that
+    catches a weird Tuesday without flagging every ordinary weekend
+    (raw ESD scores weekly rhythm as anomaly; seasonal-median removal
+    is robust to the very outliers being hunted, which a dow-MEAN
+    would absorb). events_anomaly_esd is the non-seasonal member;
+    this is the one monitoring teams actually deploy on weekly-
+    patterned business metrics.
+
+    Determinism: dow medians are lower-middle order statistics over
+    the 7 bounded dow groups (the moving-median convention);
+    residuals are exact integers; each ESD round re-baselines exact
+    moments and takes a (z desc, day asc) argmax — the Lloyd's
+    pattern on the Spark side, unrolled MATERIALIZED CTEs in the
+    oracle. Shape: one data-sized groupBy to days; everything after
+    is calendar-bounded.
+    """
+    events = load(spark, sf_dir, "events")
+    daily = (
+        events.groupBy(
+            F.expr(
+                "unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000"
+            ).alias("day_idx")
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+        .persist()
+    )
+    dowmed = daily.groupBy((F.col("day_idx") % 7).alias("dow")).agg(
+        F.expr(
+            "CAST(element_at(sort_array(collect_list(cents)),"
+            " CAST((count(*) + 1) div 2 AS INT)) AS BIGINT)"
+        ).alias("med")
+    )
+    cur = (
+        daily.join(
+            F.broadcast(dowmed), F.col("dow") == F.col("day_idx") % 7
+        )
+        .selectExpr("day_idx", "cents", "cents - med AS resid")
+        .persist()
+    )
+    removed: list[tuple[int, int, int, int, float]] = []
+    for k in range(1, _SHESD_ROUNDS + 1):
+        s = cur.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("resid").cast("bigint").alias("s1"),
+            F.sum(F.expr("CAST(resid AS DECIMAL(28,0)) * resid")).alias("s2"),
+        )
+        mu = "(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
+        top = (
+            cur.crossJoin(F.broadcast(s))
+            .selectExpr(
+                "day_idx",
+                "cents",
+                "resid",
+                f"abs(CAST(resid AS DOUBLE) - {mu})"
+                f" / sqrt(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)"
+                f" - {mu} * {mu}) AS z",
+            )
+            .orderBy(F.col("z").desc(), "day_idx")
+            .limit(1)
+            .collect()[0]
+        )
+        removed.append(
+            (k, top["day_idx"], top["cents"], top["resid"], top["z"])
+        )
+        cur = cur.filter(F.col("day_idx") != int(top["day_idx"]))
+    rows = [(k, d, c, r, float(z)) for k, d, c, r, z in removed]
+    out = spark.createDataFrame(
+        rows,
+        "shesd_round bigint, day_idx bigint, cents bigint,"
+        " resid_cents bigint, z_raw double",
+    ).selectExpr(
+        "shesd_round",
+        "day_idx",
+        "cents",
+        "resid_cents",
+        "floor(z_raw * 10000 + 0.5) / 10000 AS z",
+        "z_raw > 3e0 AS is_significant",
+    ).orderBy("shesd_round")
+    from cdc_pubsub_spark.tables import finalize_cached
+
+    return finalize_cached(out, daily, cur)

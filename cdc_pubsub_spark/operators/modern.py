@@ -1030,3 +1030,111 @@ def fn_uuid_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("variant_nibble")
     )
+
+
+# Shared WARC record layout rendered from documents (CRLF header block,
+# Content-Length in BYTES of the payload, blank-line separator).
+_WARC_RENDER_SPARK = (
+    "concat('WARC/1.0\\r\\n',"
+    " 'WARC-Type: ', CASE WHEN doc_id % 5 = 0 THEN 'request'"
+    " ELSE 'response' END, '\\r\\n',"
+    " 'WARC-Target-URI: https://', source, '.example.com/',"
+    " CAST(doc_id AS STRING), '\\r\\n',"
+    " 'WARC-Date: 2024-', lpad(CAST(1 + doc_id % 12 AS STRING), 2, '0'),"
+    " '-', lpad(CAST(1 + doc_id % 28 AS STRING), 2, '0'),"
+    " 'T03:14:15Z\\r\\n',"
+    " 'Content-Length: ', CAST(length(text) AS STRING), '\\r\\n',"
+    " '\\r\\n', text)"
+)
+
+
+@register(
+    "scan_warc_records",
+    category="modern",
+    oracle="""
+    SELECT source,
+           CASE WHEN doc_id % 5 = 0 THEN 'request' ELSE 'response' END
+             AS rec_type,
+           CAST(count(*) AS BIGINT) AS n_records,
+           CAST(sum(length(text)) AS BIGINT) AS payload_bytes,
+           CAST(sum(CASE WHEN length(text) = n_chars THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_length_ok,
+           CAST(sum(doc_id) AS BIGINT) AS uri_checksum
+    FROM documents
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def scan_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC (Web ARChive) RECORD INGESTION — the container format the
+    pretraining world actually reads (Common Crawl ships WARC;
+    CCNet/RefinedWeb/FineWeb pipelines all start by walking WARC
+    response records): version line, CRLF header block (record type,
+    target URI, date, Content-Length in payload bytes), blank-line
+    separator, payload. Records are rendered from documents in-plan
+    and parsed back by pure string arithmetic — headers split on
+    CRLF, values after ': ', the payload taken by OFFSET from the
+    double-CRLF boundary so Content-Length is verified against the
+    actual payload (the load-bearing check: WARC consumers that trust
+    the header over the bytes corrupt every downstream offset).
+    Output: per (source × record type) counts, payload bytes, the
+    header-vs-actual length agreement tally, and a URI checksum
+    (doc ids parsed back out of the URIs).
+
+    Scale: render and parse are row-local codegen; one bounded-key
+    aggregate. A real deployment reads WARC segments via
+    spark.read.text with a custom record delimiter — the header
+    parse projection is identical.
+    """
+    docs = load(spark, sf_dir, "documents")
+    recs = docs.selectExpr(
+        "n_chars", f"{_WARC_RENDER_SPARK} AS warc"
+    )
+    hdr_end = "instr(warc, '\\r\\n\\r\\n')"
+    parsed = recs.selectExpr(
+        "n_chars",
+        # header block = everything before the blank line
+        f"substring(warc, 1, {hdr_end} - 1) AS hdrs",
+        f"substring(warc, {hdr_end} + 4) AS payload",
+    ).selectExpr(
+        "n_chars",
+        "payload",
+        "element_at(split(element_at(split(hdrs, '\\r\\n'), 2), ': '), 2)"
+        " AS rec_type",
+        "element_at(split(element_at(split(hdrs, '\\r\\n'), 3), ': '), 2)"
+        " AS uri",
+        "CAST(element_at(split(element_at(split(hdrs, '\\r\\n'), 5),"
+        " ': '), 2) AS BIGINT) AS declared_len",
+    ).selectExpr(
+        "rec_type",
+        "declared_len",
+        "length(payload) AS actual_len",
+        "n_chars",
+        "element_at(split(uri, '[.]'), 1) AS srcpart",
+        "CAST(element_at(split(uri, '/'), 4) AS BIGINT) AS doc_id",
+    )
+    return (
+        parsed.selectExpr(
+            "substring(srcpart, 9) AS source",  # strip 'https://'
+            "rec_type",
+            "declared_len",
+            "actual_len",
+            "n_chars",
+            "doc_id",
+        )
+        .groupBy("source", "rec_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_records"),
+            F.sum("actual_len").cast("bigint").alias("payload_bytes"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN declared_len = actual_len"
+                    " AND actual_len = n_chars THEN 1 ELSE 0 END"
+                )
+            )
+            .cast("bigint")
+            .alias("n_length_ok"),
+            F.sum("doc_id").cast("bigint").alias("uri_checksum"),
+        )
+        .orderBy("source", "rec_type")
+    )

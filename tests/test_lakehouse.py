@@ -1547,3 +1547,87 @@ def test_shard_balance_matches_hashlib(spark, sf_dir):
         assert r.max_skew_ratio == skew
     assert abs(sum(r.char_share for r in rows) - 1.0) < 0.01
     assert skew < 3.0
+
+
+def test_warc_parse_on_handcrafted_record(spark):
+    """Pin the header walk and payload offset on a handcrafted WARC
+    record: type/URI/declared-length extraction and the
+    double-CRLF payload boundary must come out exactly."""
+    warc = (
+        "WARC/1.0\r\nWARC-Type: response\r\n"
+        "WARC-Target-URI: https://web.example.com/42\r\n"
+        "WARC-Date: 2024-03-07T03:14:15Z\r\n"
+        "Content-Length: 11\r\n\r\nhello world"
+    )
+    row = spark.sql(
+        "SELECT"
+        " element_at(split(substring(warc, 1, instr(warc,"
+        " '\\r\\n\\r\\n') - 1), '\\r\\n'), 2) AS type_line,"
+        " substring(warc, instr(warc, '\\r\\n\\r\\n') + 4) AS payload"
+        f" FROM (SELECT '{warc}' AS warc)".replace("\r", "\\r").replace(
+            "\n", "\\n"
+        )
+    ).collect()[0]
+    assert row.type_line == "WARC-Type: response"
+    assert row.payload == "hello world"
+    from cdc_pubsub_spark.registry import REGISTRY
+
+    rows = REGISTRY["scan_warc_records"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r.n_length_ok == r.n_records, (
+            "every record's Content-Length must match its payload"
+        )
+        assert r.rec_type in ("request", "response")
+
+
+def test_shesd_matches_python_rounds(spark, sf_dir):
+    """Replicate seasonal-median removal + 3 ESD rounds in Python from
+    an independent DuckDB daily rollup — all extracted days, residuals
+    and z-scores must match exactly."""
+    import math
+    from collections import defaultdict
+
+    import duckdb
+
+    from cdc_pubsub_spark.registry import REGISTRY
+
+    con = duckdb.connect()
+    daily = dict(
+        con.sql(
+            "SELECT CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000"
+            " AS BIGINT),"
+            " CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)"
+            f" FROM read_parquet('{sf_dir}/events.parquet') GROUP BY 1"
+        ).fetchall()
+    )
+    groups = defaultdict(list)
+    for d, c in daily.items():
+        groups[d % 7].append(c)
+    med = {
+        dow: sorted(cs)[(len(cs) + 1) // 2 - 1] for dow, cs in groups.items()
+    }
+    cur = {d: c - med[d % 7] for d, c in daily.items()}
+    exp = []
+    for k in range(1, 4):
+        n = len(cur)
+        s1 = sum(cur.values())
+        s2 = sum(v * v for v in cur.values())
+        mu = s1 / n
+        sd = math.sqrt(s2 / n - mu * mu)
+        z, d = min((-abs(v - mu) / sd, dd) for dd, v in cur.items())
+        z = -z
+        exp.append(
+            (k, d, daily[d], cur[d], math.floor(z * 10000 + 0.5) / 10000,
+             z > 3.0)
+        )
+        del cur[d]
+    rows = REGISTRY["events_anomaly_shesd"].fn(spark, sf_dir).collect()
+    got = [
+        (r.shesd_round, r.day_idx, r.cents, r.resid_cents, r.z,
+         r.is_significant)
+        for r in rows
+    ]
+    assert got == exp

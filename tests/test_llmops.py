@@ -1472,3 +1472,24 @@ def test_srt_round_trip_on_handcrafted_cue(spark):
         assert 3 <= r.n_cues <= 5
         assert 0 < r.speech_ratio <= 1.0
         assert r.speech_ms <= r.last_end_ms
+
+
+def test_conformal_coverage_guarantee(spark, sf_dir):
+    """The conformal guarantee is finite-sample and distribution-free:
+    realized test coverage must sit in the [0.9 − slack, 1] band
+    (slack from calibration-sample noise); the fit must recover the
+    planted coefficients; q_hat must be consistent with the planted
+    ±1000 noise plus model error."""
+    r = REGISTRY["ml_conformal_interval"].fn(spark, sf_dir).collect()[0]
+    assert r.n_train > r.n_cal > 0 and r.n_test > 0
+    total = r.n_train + r.n_cal + r.n_test
+    assert 0.5 < r.n_train / total < 0.7
+    assert abs(r.w0 - 50000) < 300, r
+    assert abs(r.w1 - 300) < 30, r
+    assert abs(r.w2 - 1200) < 30, r
+    import math
+
+    slack = 2.0 / math.sqrt(r.n_cal)
+    assert 0.9 - slack <= r.coverage <= 1.0, (r.coverage, slack)
+    assert 700 <= r.q_hat <= 1200, r.q_hat
+    assert r.target_coverage == 0.9
