@@ -247,6 +247,8 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     "ml_conformal_interval",
     "scan_warc_records",
     "events_anomaly_shesd",
+    "text_lm_kneser_ney",
+    "multimodal_id3v1",
 }
 
 

@@ -2250,3 +2250,150 @@ def multimodal_subtitle_srt(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- multimodal_id3v1: fixed-layout audio metadata trailer -----------------
+
+
+def _id3_fields(doc_id: int) -> dict:
+    return {
+        "title": f"Track {doc_id:05d}",
+        "artist": f"Artist {doc_id % 40:03d}",
+        "album": f"Album {doc_id % 12:02d}",
+        "year": str(1990 + doc_id % 35),
+        "comment": "synthetic fixture",
+        "track": 1 + doc_id % 20,
+        "genre": doc_id % 80,
+    }
+
+
+def _synth_id3v1(doc_id: int) -> bytes:
+    """Real ID3v1.1 trailer (the last 128 bytes of an MP3): 'TAG' magic,
+    30-byte NUL-padded title/artist/album, 4-byte year, 28-byte
+    comment + NUL + track byte (the v1.1 track convention), genre
+    byte — appended after a fake audio body."""
+    f = _id3_fields(doc_id)
+
+    def pad(s: str, n: int) -> bytes:
+        b = s.encode("ascii")[:n]
+        return b + b"\x00" * (n - len(b))
+
+    tag = (
+        b"TAG"
+        + pad(f["title"], 30)
+        + pad(f["artist"], 30)
+        + pad(f["album"], 30)
+        + f["year"].encode("ascii")
+        + pad(f["comment"], 28)
+        + b"\x00"
+        + bytes((f["track"],))
+        + bytes((f["genre"],))
+    )
+    assert len(tag) == 128
+    body = bytes((doc_id * 31 + i * 7) % 256 for i in range(64 + doc_id % 32))
+    return body + tag
+
+
+def parse_id3v1(payload: bytes) -> dict:
+    """Genuine ID3v1.1 parse: seek to the 128-byte trailer, check the
+    TAG magic, slice the fixed fields, strip NUL padding, dispatch the
+    v1.1 track convention (comment[28] == 0 ⇒ byte 29 is a track
+    number, else the comment runs the full 30 bytes)."""
+    if len(payload) < 128:
+        raise ValueError("shorter than an ID3v1 trailer")
+    tag = payload[-128:]
+    if tag[:3] != b"TAG":
+        raise ValueError("missing TAG magic")
+
+    def unpad(b: bytes) -> str:
+        return b.split(b"\x00", 1)[0].decode("ascii")
+
+    title = unpad(tag[3:33])
+    artist = unpad(tag[33:63])
+    album = unpad(tag[63:93])
+    year = unpad(tag[93:97])
+    if tag[125] == 0 and tag[126] != 0:
+        comment = unpad(tag[97:125])
+        track = tag[126]
+    else:
+        comment = unpad(tag[97:127])
+        track = 0
+    return {
+        "title": title,
+        "artist": artist,
+        "album": album,
+        "year": int(year),
+        "comment": comment,
+        "track": track,
+        "genre": tag[127],
+    }
+
+
+@register(
+    "multimodal_id3v1",
+    category="multimodal",
+    bench=False,
+    oracle="""
+    SELECT concat('Artist ', lpad(CAST(doc_id % 40 AS VARCHAR), 3, '0'))
+             AS artist,
+           CAST(count(*) AS BIGINT) AS n_tracks,
+           CAST(min(1990 + doc_id % 35) AS BIGINT) AS first_year,
+           CAST(max(1990 + doc_id % 35) AS BIGINT) AS last_year,
+           CAST(sum(1 + doc_id % 20) AS BIGINT) AS track_sum,
+           CAST(count(DISTINCT doc_id % 80) AS BIGINT) AS n_genres
+    FROM documents WHERE doc_id <= 400
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def multimodal_id3v1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ID3v1.1 AUDIO METADATA extraction — the fixed-128-byte MP3
+    trailer format (TAG magic, NUL-padded title/artist/album, year,
+    the v1.1 comment/track split where a NUL at comment byte 28 turns
+    byte 29 into a track number): the EIGHTH real binary format in the
+    multimodal family, and the audio sibling of the TIFF/EXIF walk —
+    music-library analytics read this trailer without ever decoding a
+    frame. The v1.1 dispatch is load-bearing (a v1.0-only parser reads
+    the track byte as comment text and the per-artist track sums
+    diverge from the closed-form oracle).
+
+    Same kernel plumbing as the other format ops (in-kernel synthesis
+    after a fake audio body so the -128 SEEK is exercised, Arrow
+    batches); output is the per-artist rollup a library scanner
+    produces.
+    """
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") <= 400)
+    ids = docs.select("doc_id")
+
+    def parse_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                meta = parse_id3v1(_synth_id3v1(int(doc_id)))
+                out.append(
+                    {
+                        "artist": meta["artist"],
+                        "year": meta["year"],
+                        "track": meta["track"],
+                        "genre": meta["genre"],
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    parsed = ids.mapInPandas(
+        parse_batches,
+        schema="artist string, year int, track int, genre int",
+    )
+    return (
+        parsed.groupBy("artist")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tracks"),
+            F.min("year").cast("bigint").alias("first_year"),
+            F.max("year").cast("bigint").alias("last_year"),
+            F.sum("track").cast("bigint").alias("track_sum"),
+            F.countDistinct("genre").cast("bigint").alias("n_genres"),
+        )
+        .orderBy("artist")
+    )

@@ -1959,3 +1959,159 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# Kneser-Ney pieces, identical SQL text both engines: absolute discount
+# D = 0.75 over word bigrams trained on the doc_id % 4 = 0 sample.
+_KN_D = "0.75e0"
+
+
+@register(
+    "text_lm_kneser_ney",
+    category="text",
+    oracle=f"""
+    WITH words AS MATERIALIZED (
+      SELECT doc_id, source, string_split(trim(text), ' ') AS ws
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    bg AS MATERIALIZED (
+      SELECT w.doc_id, w.source,
+             w.ws[u.i] AS w1, w.ws[u.i + 1] AS w2
+      FROM words w, LATERAL unnest(range(1, len(w.ws))) AS u(i)
+    ),
+    cbg AS MATERIALIZED (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+      FROM bg WHERE doc_id % 4 = 0 GROUP BY 1, 2
+    ),
+    cu AS MATERIALIZED (
+      SELECT w1, CAST(sum(c) AS BIGINT) AS cw1,
+             CAST(count(*) AS BIGINT) AS ntypes
+      FROM cbg GROUP BY 1
+    ),
+    cont AS MATERIALIZED (
+      SELECT w2, CAST(count(*) AS BIGINT) AS nleft FROM cbg GROUP BY 1
+    ),
+    nbg AS MATERIALIZED (
+      SELECT CAST(count(*) AS BIGINT) AS total_types FROM cbg
+    ),
+    scored AS MATERIALIZED (
+      SELECT b.source,
+             CAST(floor(-ln(
+               CASE WHEN m.c IS NOT NULL THEN
+                 (CAST(m.c AS DOUBLE) - {_KN_D}) / CAST(u.cw1 AS DOUBLE)
+                 + {_KN_D} * CAST(u.ntypes AS DOUBLE)
+                   / CAST(u.cw1 AS DOUBLE)
+                   * CAST(coalesce(ct.nleft, 0) AS DOUBLE)
+                   / CAST(nb.total_types AS DOUBLE)
+               WHEN u.cw1 IS NOT NULL THEN
+                 {_KN_D} * CAST(u.ntypes AS DOUBLE)
+                   / CAST(u.cw1 AS DOUBLE)
+                   * greatest(CAST(coalesce(ct.nleft, 0) AS DOUBLE)
+                     / CAST(nb.total_types AS DOUBLE), 1e-9)
+               ELSE 1e-6 END) * 1000000 + 0.5) AS BIGINT) AS nllq
+      FROM bg b
+      LEFT JOIN cbg m ON m.w1 = b.w1 AND m.w2 = b.w2
+      LEFT JOIN cu u ON u.w1 = b.w1
+      LEFT JOIN cont ct ON ct.w2 = b.w2
+      CROSS JOIN nbg nb
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           floor(exp(CAST(sum(nllq) AS DOUBLE)
+                     / (1000000e0 * CAST(count(*) AS DOUBLE)))
+                 * 100 + 0.5) / 100 AS kn_perplexity
+    FROM scored
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def text_lm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KNESER-NEY smoothed WORD-bigram language model, trained on the
+    deterministic 25% sample and scored corpus-wide per source — the
+    canonical n-gram smoothing (absolute discount D = 0.75 plus a
+    CONTINUATION-probability backoff: unseen bigrams are scored by how
+    many distinct contexts their target word follows, not by how
+    frequent it is — the insight that 'Francisco' is frequent but only
+    ever follows 'San'). text_lm_perplexity is the character-level
+    add-floor baseline; this is the word-level model a real corpus
+    quality gate would use, and per-source perplexity is the
+    domain-mix diagnostic.
+
+    Determinism: all counts are exact integers; each token's negative
+    log-likelihood is ONE pinned ln over a pinned rational, quantized
+    to micro-units BEFORE the per-source sum (order-free fold — a
+    stronger discipline than the baseline op's float avg), with one
+    exp per source row at the end. Scale: the model relations are
+    vocabulary-bounded and broadcast to the scoring join; the corpus
+    bigram stream shuffles only for the final ≤|sources| aggregate.
+    """
+    docs = load(spark, sf_dir, "documents").filter(
+        "length(trim(text)) > 0"
+    )
+    words = docs.selectExpr(
+        "doc_id", "source", "split(trim(text), ' ') AS ws"
+    )
+    bg = words.selectExpr(
+        "doc_id",
+        "source",
+        "explode(CASE WHEN size(ws) >= 2 THEN"
+        " transform(sequence(1, size(ws) - 1),"
+        " kni -> struct(element_at(ws, kni) AS w1,"
+        " element_at(ws, kni + 1) AS w2)) ELSE array() END) AS p",
+    ).selectExpr("doc_id", "source", "p.w1 AS w1", "p.w2 AS w2")
+    cbg = (
+        bg.filter("doc_id % 4 = 0")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .persist()
+    )
+    cu = cbg.groupBy("w1").agg(
+        F.sum("c").cast("bigint").alias("cw1"),
+        F.count(F.lit(1)).cast("bigint").alias("ntypes"),
+    )
+    cont = cbg.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nleft")
+    )
+    nbg = cbg.agg(F.count(F.lit(1)).cast("bigint").alias("total_types"))
+    m = cbg.selectExpr("w1 AS mw1", "w2 AS mw2", "c")
+    u = cu.selectExpr("w1 AS uw1", "cw1", "ntypes")
+    ct = cont.selectExpr("w2 AS cw2", "nleft")
+    scored = (
+        bg.join(
+            F.broadcast(m),
+            (F.col("mw1") == F.col("w1")) & (F.col("mw2") == F.col("w2")),
+            "left",
+        )
+        .join(F.broadcast(u), F.col("uw1") == F.col("w1"), "left")
+        .join(F.broadcast(ct), F.col("cw2") == F.col("w2"), "left")
+        .crossJoin(F.broadcast(nbg))
+        .selectExpr(
+            "source",
+            f"""CAST(floor(-ln(
+              CASE WHEN c IS NOT NULL THEN
+                (CAST(c AS DOUBLE) - {_KN_D}) / CAST(cw1 AS DOUBLE)
+                + {_KN_D} * CAST(ntypes AS DOUBLE) / CAST(cw1 AS DOUBLE)
+                  * CAST(coalesce(nleft, 0) AS DOUBLE)
+                  / CAST(total_types AS DOUBLE)
+              WHEN cw1 IS NOT NULL THEN
+                {_KN_D} * CAST(ntypes AS DOUBLE) / CAST(cw1 AS DOUBLE)
+                  * greatest(CAST(coalesce(nleft, 0) AS DOUBLE)
+                    / CAST(total_types AS DOUBLE), 1e-9)
+              ELSE 1e-6 END) * 1000000 + 0.5) AS BIGINT) AS nllq""",
+        )
+    )
+    out = (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.expr(
+                "floor(exp(CAST(sum(nllq) AS DOUBLE)"
+                " / (1000000e0 * CAST(count(*) AS DOUBLE)))"
+                " * 100 + 0.5) / 100"
+            ).alias("kn_perplexity"),
+        )
+        .orderBy("source")
+    )
+    from cdc_pubsub_spark.tables import finalize_cached
+
+    return finalize_cached(out, cbg)

@@ -1493,3 +1493,96 @@ def test_conformal_coverage_guarantee(spark, sf_dir):
     assert 0.9 - slack <= r.coverage <= 1.0, (r.coverage, slack)
     assert 700 <= r.q_hat <= 1200, r.q_hat
     assert r.target_coverage == 0.9
+
+
+def test_kneser_ney_matches_python_replication(spark, sf_dir):
+    """Full pure-Python KN replication from an independent DuckDB word
+    stream: same 25% training sample, same discount/backoff algebra,
+    same micro-quantized negative log-likelihoods — per-source
+    perplexities must match exactly at the r2 grain."""
+    import math
+    from collections import defaultdict
+
+    import duckdb
+
+    from cdc_pubsub_spark.registry import REGISTRY
+
+    con = duckdb.connect()
+    docs = con.sql(
+        "SELECT doc_id, source, trim(text)"
+        f" FROM read_parquet('{sf_dir}/documents.parquet')"
+        " WHERE length(trim(text)) > 0"
+    ).fetchall()
+    cbg = defaultdict(int)
+    allbg = []
+    for doc_id, source, t in docs:
+        ws = t.split(" ")
+        for i in range(len(ws) - 1):
+            pair = (ws[i], ws[i + 1])
+            allbg.append((source, pair))
+            if doc_id % 4 == 0:
+                cbg[pair] += 1
+    cw1 = defaultdict(int)
+    ntypes = defaultdict(int)
+    nleft = defaultdict(int)
+    for (w1, w2), c in cbg.items():
+        cw1[w1] += c
+        ntypes[w1] += 1
+        nleft[w2] += 1
+    total_types = len(cbg)
+    D = 0.75
+    agg = defaultdict(lambda: [0, 0])
+    for source, (w1, w2) in allbg:
+        if (w1, w2) in cbg:
+            p = (cbg[(w1, w2)] - D) / cw1[w1] + D * ntypes[w1] / cw1[
+                w1
+            ] * nleft.get(w2, 0) / total_types
+        elif w1 in cw1:
+            p = D * ntypes[w1] / cw1[w1] * max(
+                nleft.get(w2, 0) / total_types, 1e-9
+            )
+        else:
+            p = 1e-6
+        q = math.floor(-math.log(p) * 1000000 + 0.5)
+        a = agg[source]
+        a[0] += 1
+        a[1] += q
+    rows = REGISTRY["text_lm_kneser_ney"].fn(spark, sf_dir).collect()
+    assert {r.source for r in rows} == set(agg)
+    for r in rows:
+        n, sq = agg[r.source]
+        assert r.n_bigrams == n
+        want = math.floor(math.exp(sq / (1000000.0 * n)) * 100 + 0.5) / 100
+        assert r.kn_perplexity == want, (r.source, r.kn_perplexity, want)
+        assert r.kn_perplexity > 1.0
+
+
+def test_id3v1_codec_version_dispatch_and_corruption():
+    """Unit checks on the ID3 parser: v1.1 round-trip, the v1.0
+    full-width-comment dispatch (track must come back 0), and
+    corruption dead-letters (short payload, missing magic)."""
+    import pytest
+
+    from cdc_pubsub_spark.llmops.multimodal import (
+        _id3_fields,
+        _synth_id3v1,
+        parse_id3v1,
+    )
+
+    for d in (0, 7, 39, 255, 400):
+        f = _id3_fields(d)
+        m = parse_id3v1(_synth_id3v1(d))
+        assert m["artist"] == f["artist"] and m["track"] == f["track"]
+        assert m["year"] == int(f["year"]) and m["genre"] == f["genre"]
+    # v1.0-style tag: 30-byte comment with no NUL at byte 28 -> track 0
+    raw = bytearray(_synth_id3v1(3))
+    raw[-31:-1] = b"a full thirty byte comment xyz"
+    m = parse_id3v1(bytes(raw))
+    assert m["track"] == 0
+    assert m["comment"].startswith("a full thirty byte comment")
+    with pytest.raises(ValueError):
+        parse_id3v1(b"\x00" * 100)
+    bad = bytearray(_synth_id3v1(4))
+    bad[-128:-125] = b"XXX"
+    with pytest.raises(ValueError):
+        parse_id3v1(bytes(bad))
