@@ -2735,14 +2735,17 @@ _CONF_ROWS_SQL = """
              CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS dd,
              50000 + 300 * l_quantity
                + 1200 * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)
-               + (l_orderkey * 2654435761 + l_linenumber * 40503) % 2001
+               + ((l_orderkey % 100000) * 2654435761
+                  + l_linenumber * 40503) % 2001
                - 1000 AS y,
              CASE
-               WHEN CAST(concat('0x', substr(md5(CAST(l_orderkey * 100000
-                    + l_linenumber AS VARCHAR)), 1, 2)) AS INT) < 154
+               WHEN CAST(concat('0x', substr(md5(concat(
+                    CAST(l_orderkey AS VARCHAR), '_',
+                    CAST(l_linenumber AS VARCHAR))), 1, 2)) AS INT) < 154
                  THEN 'train'
-               WHEN CAST(concat('0x', substr(md5(CAST(l_orderkey * 100000
-                    + l_linenumber AS VARCHAR)), 1, 2)) AS INT) < 205
+               WHEN CAST(concat('0x', substr(md5(concat(
+                    CAST(l_orderkey AS VARCHAR), '_',
+                    CAST(l_linenumber AS VARCHAR))), 1, 2)) AS INT) < 205
                  THEN 'calib'
                ELSE 'test' END AS split
       FROM lineitem
@@ -2837,7 +2840,11 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     count reaches k) — never a rank window over the data-sized
     calibration relation, so the quantile is exact AND scale-safe
     (the corpus prefix-sum device applied to quantiles). Splits are
-    the md5 three-way twins. Shape: two scans (train moments, scored
+    md5 three-way twins over a CONCATENATED key, and the planted
+    noise hashes the key MOD 1e5 before multiplying — both chosen so
+    the arithmetic survives the 2^40-shifted keys of the 10× scale
+    probe under ANSI overflow checking (the unreduced product was
+    measured overflowing there). Shape: two scans (train moments, scored
     splits), one bounded-domain histogram, one broadcast of 4 scalar
     relations.
     """
@@ -2847,13 +2854,16 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS dd",
         "50000 + 300 * l_quantity"
         " + 1200 * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)"
-        " + (l_orderkey * 2654435761 + l_linenumber * 40503) % 2001"
+        " + ((l_orderkey % 100000) * 2654435761"
+        "    + l_linenumber * 40503) % 2001"
         " - 1000 AS y",
-        "CASE WHEN CAST(conv(substring(md5(CAST(l_orderkey * 100000"
-        " + l_linenumber AS STRING)), 1, 2), 16, 10) AS INT) < 154"
+        "CASE WHEN CAST(conv(substring(md5(concat("
+        "CAST(l_orderkey AS STRING), '_',"
+        " CAST(l_linenumber AS STRING))), 1, 2), 16, 10) AS INT) < 154"
         " THEN 'train'"
-        " WHEN CAST(conv(substring(md5(CAST(l_orderkey * 100000"
-        " + l_linenumber AS STRING)), 1, 2), 16, 10) AS INT) < 205"
+        " WHEN CAST(conv(substring(md5(concat("
+        "CAST(l_orderkey AS STRING), '_',"
+        " CAST(l_linenumber AS STRING))), 1, 2), 16, 10) AS INT) < 205"
         " THEN 'calib' ELSE 'test' END AS split",
     ).persist()
     mom = rows_in.filter("split = 'train'").agg(
