@@ -120,136 +120,27 @@ def _certification_state() -> tuple[set[str], dict[str, int], dict[str, int]]:
 
 # Ops whose implementation or oracle CHANGED this round: their accumulated
 # certification predates the change, so they jump the certified tail until a
-# CORRECTNESS round has hash-checked the new contract. Round 9 set
-# (appended as changes land; the r08 set — tpch_q9_product_profit,
-# sim_ann_binary_hamming, corpus_batch_assembly, corpus_sequence_pack,
-# embed_pca_project — all drew green r08 rows and returned to the
-# stalest-first tail):
+# CORRECTNESS round has hash-checked the new contract. Round 10 set (the r09
+# entries — agg_kmv_theta_distinct, multimodal_binary_ingest — both drew
+# green r09 rows and returned to the stalest-first tail):
 _RECERTIFY = [
-    # Per-group kth-smallest reshaped from a data-sized row_number
-    # window to rank-filter→WindowGroupLimit partial top-64 + windowless
-    # count join (round-8 VERDICT item 2) — same kth value, plan
-    # reshaped:
-    "agg_kmv_theta_distinct",
-    # Graduated from rows-only (r04 cert) to a full SQL oracle
-    # (round-8 VERDICT item 6): real text-sink round-trip re-read by
-    # binaryFile, byte totals replayed from documents:
-    "multimodal_binary_ingest",
-    # NOT listed: agg_theta_set_ops (same reshape, round-8 ADVICE
-    # empty-intersection fix) and corpus_bpe_train (single-token pair
-    # guard) — changed this round but never driver-sampled (r08 defer
-    # set), so they already lead the window as never-certified entries.
+    # Graduated from rows-only to full SQL oracles (round-9 VERDICT
+    # item 8): deterministic batch-twin outputs replace the wall-clock /
+    # free-text columns; liveness+drain contracts moved to in-op raises.
+    "stream_push_ingest",
+    "stream_health_drain",
 ]
 
 # New ops added THIS round, deliberately pushed to the END of the ordering
-# (they lead the NEXT round's window as never-certified ops): the window
-# is a hard 50 slots and round 9's priorities are (1) the 13 never-sampled
-# r08 ops (round-8 VERDICT item 1: certify to close 286/286), (2) the
-# recertify entries, (3) draining the r02-era stale tail to zero
-# (round-8 VERDICT item 4). Deferring this round's additions costs
-# exactly one round (r05→r06→r07→r08 precedent: every deferred op
-# certified green the next round). All are fully suite-covered in the
-# meantime (tests/test_parity.py replicates the driver check for every
-# oracled op). The r08 verdict flagged ml_boosted_stumps slipping in
-# ahead of this set — round 9 adds ALL additions here, no exceptions.
-_DEFER_TO_NEXT_ROUND: set[str] = {
-    # r09 additions (each locally hash-verified via tests/test_parity.py):
-    "orders_rfm_atscale",
-    "ml_naive_bayes",
-    "graph_modularity",
-    "ml_decision_tree",
-    "ts_ewma_smooth",
-    "embed_kmeans_silhouette",
-    "profile_anomaly_mad",
-    "text_keyword_rake",
-    "orders_assoc_rules",
-    "profile_data_skew",
-    "scan_txn_log_vacuum",
-    "corpus_curriculum_order",
-    "ts_seasonal_decompose",
-    "search_eval_ndcg",
-    # post-close additions (land after the r09 snapshot; lead r10):
-    "ml_roc_auc",
-    "ml_kfold_cv",
-    "graph_degree_assortativity",
-    "ts_autocorr",
-    "text_collocations_pmi",
-    "scan_txn_log_changefeed",
-    "ml_calibration_bins",
-    "graph_kcore",
-    "text_ngram_novelty",
-    "ml_linreg_inference",
-    "ts_cross_correlation",
-    "graph_reciprocity",
-    "multimodal_decode_gif",
-    "ml_pr_auc",
-    "events_entropy_rate",
-    "orders_price_index",
-    "text_js_divergence",
-    "scan_csv_permissive_recovery",
-    "graph_clustering_coefficient",
-    "ml_ridge_path",
-    "multimodal_decode_qoi",
-    "ts_moving_median",
-    "events_diff_in_diff",
-    # second-extension additions (land after the second r09 close; lead
-    # r10 alongside the rest of this set):
-    "graph_hits",
-    "ts_periodogram",
-    "ml_gmm_em",
-    "ml_isotonic_calibration",
-    "dedup_levenshtein_block",
-    "multimodal_decode_bmp",
-    "profile_cramers_v",
-    "events_hotspot_grid",
-    "text_readability",
-    "multimodal_exif_tiff",
-    "graph_adamic_adar",
-    "scan_fixed_width",
-    "events_burstiness_fano",
-    "sink_merge_into",
-    "fn_ip_cidr",
-    "events_sax_motifs",
-    "orders_price_elasticity",
-    "orders_croston_intermittent",
-    "subq_exists_decorrelated",
-    "events_alert_debounce",
-    "scan_syslog_rfc3164",
-    "events_ab_sprt",
-    "embed_random_projection",
-    "corpus_bpe_apply",
-    "ml_feature_ablation",
-    "events_anomaly_esd",
-    "multimodal_decode_farbfeld",
-    "graph_katz_centrality",
-    "knn_regression_weighted",
-    "join_point_in_polygon",
-    "fn_business_days",
-    "cdc_conflict_lww",
-    "events_power_analysis",
-    "profile_column_fingerprint",
-    "orders_abc_xyz",
-    "events_sliding_distinct_users",
-    "fn_luhn_checksum",
-    "multimodal_audio_vad",
-    "profile_pk_discovery",
-    "ts_theil_sen",
-    "fn_uuid_v3",
-    "multimodal_subtitle_srt",
-    "orders_receivables_aging",
-    "graph_ppr_seeded",
-    "events_counter_rollover_repair",
-    "orders_revenue_bridge",
-    "profile_fk_discovery",
-    "stream_windowed_distinct",
-    "orders_order_to_cash",
-    "corpus_shard_balance",
-    "ml_conformal_interval",
-    "scan_warc_records",
-    "events_anomaly_shesd",
-    "text_lm_kneser_ney",
-    "multimodal_id3v1",
-}
+# (they lead the NEXT round's window as never-certified ops). Round 10 is a
+# DRAIN round (round-9 VERDICT item 1): the registry is FROZEN at 378 ops and
+# the set below is EMPTY by design — the entire driver window goes to the 92
+# never-sampled r09 additions (now ordinary never-attempted entries in
+# rest_new, ordered ahead of everything certified). The r09 defer list that
+# previously lived here has been released into the normal ordering; the
+# remaining ~44 never-sampled ops after this round's 50-slot window drain in
+# r11 (certification-debt table: STATUS.md).
+_DEFER_TO_NEXT_ROUND: set[str] = set()
 
 
 def _ordered_names() -> list[str]:
