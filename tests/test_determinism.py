@@ -19,13 +19,12 @@ from cdc_pubsub_spark.registry import REGISTRY
 from .parity import canonical_rows
 
 # approx_count_distinct / percentile_approx sketches ARE deterministic in
-# Spark (fixed rsd/accuracy, deterministic merge). The ONLY exclusion is
-# the push-ingest twin: its row counts are a function of wall-clock by
-# design (an unbounded rate source drained after N committed batches) —
-# its deterministic VALUE relation is pinned by the batch-twin test in
-# tests/test_streaming.py instead.
-WALL_CLOCK = {"stream_push_ingest"}
-ALL = sorted(set(REGISTRY) - WALL_CLOCK)
+# Spark (fixed rsd/accuracy, deterministic merge). No exclusions: even the
+# push-ingest twin is deterministic since its r10 oracle graduation — the
+# wall-clock-dependent live aggregate is verified in-op (raises on
+# divergence) and the RETURNED frame is the batch twin over a pinned
+# prefix.
+ALL = sorted(REGISTRY)
 
 
 @pytest.mark.parametrize("name", ALL)
