@@ -984,3 +984,41 @@ def test_hotspot_grid_offsets_broadcast(spark, sf_dir):
     df = q("events_hotspot_grid", spark, sf_dir)
     plan = formatted_plan(df)
     assert "Broadcast" in plan, plan[:2000]
+
+
+def test_levenshtein_only_inside_case_guard(spark, sf_dir):
+    """Every levenshtein call in the physical plan must sit in the THEN
+    branch of the CASE that repeats the cheap join predicates. Catalyst
+    pushes the dist filter into the hash-join condition and orders
+    conjuncts as it likes; an UNGUARDED levenshtein was measured paying
+    |corpus| self-pair evaluations (14.3 s serial at sf0.1, commit
+    4ba1ea6's fix) — a Spark upgrade must not silently reintroduce it
+    (round-9 VERDICT item 4)."""
+    import re
+
+    df = q("dedup_levenshtein_block", spark, sf_dir)
+    plan = formatted_plan(df)
+    # Guarded = "THEN" immediately precedes the call (modulo wrapping
+    # parens/cast): "THEN (levenshtein(", "THEN cast(levenshtein(", ...
+    occurrences = [m.start() for m in re.finditer(r"levenshtein\(", plan)]
+    total = len(occurrences)
+    guarded = sum(1 for i in occurrences if "THEN" in plan[max(0, i - 20) : i])
+    assert total > 0, "levenshtein verify disappeared from the plan"
+    assert total == guarded, (
+        f"{total - guarded} levenshtein call(s) outside a CASE THEN "
+        f"branch — the cheap-predicates-first guard was lost:\n{plan[:3000]}"
+    )
+    # Both the all-pairs and the star side stay equi-joins on blk.
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+
+
+def test_levenshtein_block_windows_partition_on_block_key(spark, sf_dir):
+    """The emission-cap bookkeeping (count / row_number per block) must
+    window over the blk join key — block-local, never a global window
+    (empty partition spec = every row through one task)."""
+    df = q("dedup_levenshtein_block", spark, sf_dir)
+    plan = formatted_plan(df)
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line:
+            assert "windowspecdefinition(blk#" in line, line
