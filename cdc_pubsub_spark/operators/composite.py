@@ -4797,11 +4797,15 @@ _CROSTON_FOLD = "0.25e0 * CAST(cx AS DOUBLE) + 0.75e0 * CAST(cacc AS DOUBLE)"
     ),
     folded AS (
       SELECT m, total_q, first_day, last_day,
-             list_reduce(qs, (cacc, cx) -> {_CROSTON_FOLD}) AS z_hat,
-             list_reduce(
-               list_transform(generate_series(2, CAST(m AS INT)),
-                              ii -> CAST(ds[ii] - ds[ii - 1] AS DOUBLE)),
-               (cacc, cx) -> {_CROSTON_FOLD}) AS p_hat
+             CASE WHEN m >= 1 THEN
+               list_reduce(qs, (cacc, cx) -> {_CROSTON_FOLD})
+             ELSE NULL END AS z_hat,
+             CASE WHEN m >= 2 THEN
+               list_reduce(
+                 list_transform(generate_series(2, CAST(m AS INT)),
+                                ii -> CAST(ds[ii] - ds[ii - 1] AS DOUBLE)),
+                 (cacc, cx) -> {_CROSTON_FOLD})
+             ELSE NULL END AS p_hat
       FROM series
     )
     SELECT m AS n_nonzero_days, total_q, first_day, last_day,
@@ -4856,20 +4860,33 @@ def orders_croston_intermittent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("day_idx").cast("bigint").alias("first_day"),
         F.max("day_idx").cast("bigint").alias("last_day"),
     )
+    # Both folds are CASE-guarded on the series length (the
+    # corpus_bpe_train engine-divergence device, r09 ADVICE): with
+    # m == 1 Spark's sequence(2, 1) DESCENDS and slice(..., 2, m-2)
+    # gets a negative length (runtime error) while DuckDB's
+    # generate_series(2, 1) is empty (and list_reduce on an empty
+    # list raises there); with m == 0 qs[0]/element_at throw under
+    # ANSI. Unreachable at shipped fixtures (the invariant test pins
+    # len(daily) >= 3) but tiny scale factors must degrade to NULL,
+    # identically on both engines, not to an engine-specific error.
     folded = series.selectExpr(
         "m",
         "total_q",
         "first_day",
         "last_day",
-        f"""aggregate(slice(qs, 2, size(qs) - 1), qs[0],
-            (cacc, cx) -> {_CROSTON_FOLD}) AS z_hat""",
-        f"""aggregate(
-              slice(transform(sequence(2, CAST(m AS INT)),
-                    ii -> CAST(element_at(ds, ii) - element_at(ds, ii - 1)
-                               AS DOUBLE)),
-                    2, CAST(m AS INT) - 2),
-              CAST(element_at(ds, 2) - element_at(ds, 1) AS DOUBLE),
-              (cacc, cx) -> {_CROSTON_FOLD}) AS p_hat""",
+        f"""CASE WHEN m >= 1 THEN
+              aggregate(slice(qs, 2, size(qs) - 1), qs[0],
+                        (cacc, cx) -> {_CROSTON_FOLD})
+            ELSE CAST(NULL AS DOUBLE) END AS z_hat""",
+        f"""CASE WHEN m >= 2 THEN
+              aggregate(
+                slice(transform(sequence(2, CAST(m AS INT)),
+                      ii -> CAST(element_at(ds, ii) - element_at(ds, ii - 1)
+                                 AS DOUBLE)),
+                      2, CAST(m AS INT) - 2),
+                CAST(element_at(ds, 2) - element_at(ds, 1) AS DOUBLE),
+                (cacc, cx) -> {_CROSTON_FOLD})
+            ELSE CAST(NULL AS DOUBLE) END AS p_hat""",
     )
     return folded.selectExpr(
         "m AS n_nonzero_days",

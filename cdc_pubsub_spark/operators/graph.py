@@ -1608,13 +1608,23 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- graph_adamic_adar: link prediction over the follow graph ------------
 
 
-def _aa_inv_ln_values(max_deg: int = 64) -> str:
+_AA_MAX_DEG = 1024
+
+
+def _aa_inv_ln_values(max_deg: int = _AA_MAX_DEG) -> str:
     """1e6-quantized 1/ln(k) for k = 2..max_deg, generated once in
     Python and injected into both plans as literals (the periodogram
     trig-table device applied to logarithms) — neither engine
     evaluates ln, and the Adamic-Adar sum becomes an EXACT integer
     fold. Degree-1 common neighbors are excluded by the k >= 2 domain
-    (1/ln(1) diverges; standard AA convention)."""
+    (1/ln(1) diverges; standard AA convention). max_deg=1024 covers
+    this fixture family's maximum possible hub degree up to ~500k
+    distinct users (hub in-degree ≈ 2·n_users/1000 — both affine
+    follow maps are bijections mod 1000); common neighbors beyond it
+    are NOT dropped but clamped to the k=max_deg weight via a left
+    join (see _AA_FLOOR_Q) — the r09 ADVICE fix for the old 64-cap
+    inner join silently deleting high-degree neighbors from both the
+    score and the count."""
     import math as _m
 
     return ", ".join(
@@ -1624,6 +1634,17 @@ def _aa_inv_ln_values(max_deg: int = 64) -> str:
 
 
 _AA_VALUES = _aa_inv_ln_values()
+
+# Clamp weight for degrees beyond the literal table: the k=max_deg value
+# (1/ln is decreasing, so this is a documented UPPER bound on the true
+# contribution of a >max_deg-degree neighbor, never a silent drop).
+def _aa_floor_q() -> int:
+    import math as _m
+
+    return int(_m.floor(1000000.0 / _m.log(_AA_MAX_DEG) + 0.5))
+
+
+_AA_FLOOR_Q = _aa_floor_q()
 
 # Undirected adjacency + degrees from the FIXTURES.md §3 2-regular
 # follow graph — identical SQL text on both engines.
@@ -1666,10 +1687,10 @@ _AA_BASE_SQL = """
     scored AS (
       SELECT n.u, n.v,
              CAST(count(*) AS BIGINT) AS common_neighbors,
-             CAST(sum(i.q) AS BIGINT) AS aa_micro
+             CAST(sum(coalesce(i.q, {_AA_FLOOR_Q})) AS BIGINT) AS aa_micro
       FROM nonedge n
-      JOIN deg d ON d.u = n.w
-      JOIN invln i ON i.k = d.d
+      JOIN deg d ON d.u = n.w AND d.d >= 2
+      LEFT JOIN invln i ON i.k = d.d
       GROUP BY n.u, n.v
     )
     SELECT u, v, common_neighbors, aa_micro,
@@ -1688,9 +1709,13 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     score ignores (Jaccard treats a 2-degree and a 50-degree mutual
     neighbor alike; AA makes the rare mutual friend count more).
 
-    Exactness: 1/ln(k) comes from an injected 63-entry literal table
+    Exactness: 1/ln(k) comes from an injected literal table (k ≤ 1024,
+    every fixture degree this family can produce up to ~500k users)
     quantized to micro-units (the periodogram trig device), so the
     score is an EXACT integer sum — ranking never touches a float.
+    Degrees beyond the table clamp to the k=1024 weight via the LEFT
+    join's coalesce instead of silently dropping the neighbor (r09
+    ADVICE); degree-1 neighbors stay excluded by AA convention.
     Shape: common-neighbor enumeration is the wedge self-join of the
     undirected adjacency (the triangle_count cost class, bounded by
     Σdeg² — fine on bounded-degree graphs); existing edges leave via
@@ -1735,14 +1760,18 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         nonedge.join(
-            F.broadcast(deg.withColumnRenamed("u", "du")),
+            F.broadcast(
+                deg.filter(F.col("d") >= 2).withColumnRenamed("u", "du")
+            ),
             F.col("du") == F.col("w"),
         )
-        .join(F.broadcast(invln), F.col("k") == F.col("d"))
+        .join(F.broadcast(invln), F.col("k") == F.col("d"), "left")
         .groupBy("u", "v")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("common_neighbors"),
-            F.sum("q").cast("bigint").alias("aa_micro"),
+            F.sum(F.coalesce(F.col("q"), F.lit(_AA_FLOOR_Q)))
+            .cast("bigint")
+            .alias("aa_micro"),
         )
     )
     out = (

@@ -10,10 +10,16 @@ code reading (round-8 VERDICT item 7).
 Construction: 10 key-shifted replicas of every FACT table (customer,
 supplier, part, orders, lineitem, events, documents, embeddings), one
 copy of the fixed dims (region, nation). Every key column shifts by
-replica * 2^40 — far above any sf0.1 key, and divisible by every
-modulus the registry takes of a key (16/64/250/...), so per-replica
-distributions are preserved and cross-table joins stay consistent
-(l_orderkey meets its shifted o_orderkey, etc.). Document text gets a
+replica * 2^40 — far above any sf0.1 key, so replicas never collide
+and cross-table joins stay consistent (l_orderkey meets its shifted
+o_orderkey, etc.). NOTE: 2^40 is divisible only by POWER-OF-TWO
+moduli, so `key % 16` / `% 64` distributions are preserved per
+replica while non-power-of-two moduli the registry also uses
+(% 250, % 97, % 11, % 7, ...) are rotated for replicas > 0 —
+planted modular structure is NOT preserved across replicas. That is
+fine for this tree's only use, TIMING (both engines read identical
+data), but do NOT reuse it for correctness fixtures that rely on
+planted `% m` structure. Document text gets a
 per-replica suffix so corpus-dedup group structure is preserved
 (replicas do NOT collapse into 10x duplicate groups, which would grow
 pair output quadratically and measure the wrong thing); n_chars is
@@ -39,7 +45,7 @@ from pyspark.sql import DataFrame, functions as F
 from cdc_pubsub_spark.session import get_spark
 
 REPLICAS = 10
-OFF = 1 << 40  # > any sf0.1 key; divisible by every small modulus used
+OFF = 1 << 40  # > any sf0.1 key; preserves power-of-two `% m` only (see above)
 
 KEY_COLS = {
     "customer": ["c_custkey"],

@@ -971,7 +971,7 @@ def test_exists_subqueries_decorrelate_to_semi_anti(spark, sf_dir):
 
 
 def test_adamic_adar_broadcasts_bounded_sides(spark, sf_dir):
-    """The degree table and the 63-row inverse-log table must
+    """The degree table and the 1023-row inverse-log literal table must
     broadcast; the wedge self-join is the only shuffled join."""
     df = q("graph_adamic_adar", spark, sf_dir)
     plan = formatted_plan(df)
