@@ -228,9 +228,60 @@ def main() -> None:
                 file=sys.stderr,
             )
         else:
-            probe_ops = sorted(
+            # Probe-set selection is CODE, not a hand-seeded list
+            # (round-9 VERDICT item 6 — dedup_levenshtein_block was only
+            # probed after it was already slow): the 10 slowest measured
+            # serial ops PLUS every benched op whose physical plan
+            # carries a risk shape that hides at sf0.1 — a GLOBAL
+            # data-sized window (a `Window` node with an empty partition
+            # spec: it prints `Window [exprs], [order]` with two
+            # top-level bracket groups, vs `Window [exprs], [part],
+            # [order]` with three) or a non-broadcast nested-loop join
+            # (CartesianProduct).
+            slowest = sorted(
                 serial_top or times, key=lambda n: -(serial_top or times)[n]
             )[:10]
+
+            def _bracket_groups(s: str) -> int:
+                depth = groups = 0
+                for ch in s:
+                    if ch == "[":
+                        if depth == 0:
+                            groups += 1
+                        depth += 1
+                    elif ch == "]":
+                        depth = max(0, depth - 1)
+                return groups
+
+            plan_flagged: dict[str, str] = {}
+            from cdc_pubsub_spark import tables as _tables
+
+            for name in sorted(times):
+                try:
+                    _tables.LAZY_PLAN_MODE = True
+                    try:
+                        df = REGISTRY[name].fn(spark, sf_dir)
+                    finally:
+                        _tables.LAZY_PLAN_MODE = False
+                    plan = df._jdf.queryExecution().sparkPlan().toString()
+                except Exception as exc:  # plan build only — never fatal
+                    print(
+                        f"bench: probe-select plan scan failed for "
+                        f"{name}: {exc}",
+                        file=sys.stderr,
+                    )
+                    continue
+                for line in plan.splitlines():
+                    if "CartesianProduct" in line:
+                        plan_flagged[name] = "cartesian_product"
+                        break
+                    node = line.strip().lstrip("+-: ").strip()
+                    if node.startswith("Window [") and _bracket_groups(node) == 2:
+                        plan_flagged[name] = "global_window"
+                        break
+            probe_ops = list(
+                dict.fromkeys(slowest + sorted(plan_flagged))
+            )
             scale_probe: dict[str, dict[str, float]] = {}
             for name in probe_ops:
                 per: dict[str, float] = {}
@@ -244,6 +295,10 @@ def main() -> None:
             detail["scale_probe"] = {
                 "data_multiplier": 10,
                 "ops": scale_probe,
+            }
+            detail["probe_selection"] = {
+                "serial_top10": slowest,
+                "plan_flagged": plan_flagged,
             }
 
     # Optional paired baseline (SPARK_GRAFT_BENCH_PAIR=1): run the
@@ -286,6 +341,25 @@ def main() -> None:
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    # Merge-preserve sidecar blocks this run did NOT recompute (round-9
+    # VERDICT item 7): a driver-style rerun without SCALE/PAIR used to
+    # overwrite the committed artifact and silently drop the
+    # paired-DuckDB and scale-probe tiers. Preserved blocks are listed
+    # under "preserved_blocks" so a reader can tell recomputed from
+    # carried-over.
+    preservable = ("paired_duckdb", "scale_probe", "probe_selection")
+    try:
+        with open(detail_path) as fh:
+            prior = json.load(fh)
+    except (OSError, ValueError):
+        prior = {}
+    carried = [
+        k for k in preservable if k not in detail and isinstance(prior.get(k), dict)
+    ]
+    for k in carried:
+        detail[k] = prior[k]
+    if carried:
+        detail["preserved_blocks"] = carried
     detail_ref: str | None = "BENCH_DETAIL.json"
     try:
         with open(detail_path, "w") as fh:

@@ -1117,6 +1117,9 @@ def basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "orders_rfm_segmentation",
     category="composite",
+    bench=False,  # exact-ntile oracle twin: three GLOBAL data-sized
+    # windows by construction — the benched/probed RFM is the
+    # histogram-cutoff orders_rfm_atscale (round-9 VERDICT item 5).
     oracle="""
     WITH per_cust AS (
       SELECT o_custkey AS custkey,
