@@ -1586,3 +1586,55 @@ def test_id3v1_codec_version_dispatch_and_corruption():
     bad[-128:-125] = b"XXX"
     with pytest.raises(ValueError):
         parse_id3v1(bytes(bad))
+
+
+def test_levenshtein_block_star_cap_on_hot_block(spark, tmp_path):
+    """The r10 pair-emission cap: a planted 12-member hot block (> the
+    8-member cap) must emit STAR pairs only — every row anchored at the
+    block's min doc_id, n-1 rows, never the 66 all-pairs — while a
+    3-member block keeps exact all-pairs; and the DuckDB oracle applies
+    the IDENTICAL cap on the same planted fixture (no shipped sf ever
+    exceeds 6 members, so parity on the capped path needs this planted
+    corpus). Ids avoid the %10/%7 dup-corpus multiples so the corpus is
+    exactly the planted docs."""
+    import duckdb
+
+    big_ids = [11, 13, 23, 29, 31, 37, 41, 43, 53, 59, 61, 67]
+    small_ids = [71, 73, 79]
+    big_prefix = "B" * 40
+    small_prefix = "S" * 40
+    rows = [
+        (i, f"{big_prefix} tail {chr(97 + k)}", "en", "synth", 0)
+        for k, i in enumerate(big_ids)
+    ] + [
+        (i, f"{small_prefix} tail {chr(97 + k)}", "en", "synth", 0)
+        for k, i in enumerate(small_ids)
+    ]
+    rows = [(i, t, lg, s, len(t)) for (i, t, lg, s, _) in rows]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    fixture = str(tmp_path / "fixture")
+    df.coalesce(1).write.parquet(fixture + "/documents.parquet")
+
+    out = REGISTRY["dedup_levenshtein_block"].fn(spark, fixture).toPandas()
+    got = {(a, b): d for a, b, d in zip(out.doc_a, out.doc_b, out.dist)}
+    star = {(a, b) for (a, b) in got if a in big_ids or b in big_ids}
+    assert star == {(11, i) for i in big_ids[1:]}, star
+    allp = {(a, b) for (a, b) in got if a in small_ids}
+    assert allp == {(71, 73), (71, 79), (73, 79)}, allp
+    assert all(0 <= d <= 16 for d in got.values())
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{fixture}/documents.parquet/*.parquet')"
+    )
+    oracle = con.sql(REGISTRY["dedup_levenshtein_block"].oracle).df()
+    cols = sorted(out.columns)
+    assert cols == sorted(oracle.columns)
+    s = sorted(map(str, out[cols].round(4).itertuples(index=False, name=None)))
+    d = sorted(
+        map(str, oracle[cols].round(4).itertuples(index=False, name=None))
+    )
+    assert s == d, "capped-path oracle parity broken on the planted corpus"
