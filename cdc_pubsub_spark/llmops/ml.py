@@ -443,7 +443,7 @@ _LR_ROWS_SQL = """
              CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS dd,
              50000 + 300 * l_quantity
                + 1200 * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)
-               + (l_orderkey * 2654435761 + l_linenumber * 40503) % 2001
+               + ((l_orderkey % 1048576) * 2654435761 + l_linenumber * 40503) % 2001
                - 1000 AS y
       FROM lineitem
 """
@@ -512,7 +512,7 @@ def ml_linreg_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS dd",
         "50000 + 300 * l_quantity"
         " + 1200 * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)"
-        " + (l_orderkey * 2654435761 + l_linenumber * 40503) % 2001"
+        " + ((l_orderkey % 1048576) * 2654435761 + l_linenumber * 40503) % 2001"
         " - 1000 AS y",
     )
     mom = li.selectExpr("q", "dd", "y").groupBy().agg(
@@ -576,7 +576,7 @@ _GB_ROWS_SQL = """
              500 + CASE WHEN l_quantity >= 25 THEN 2000 ELSE 0 END
                  + CASE WHEN CAST(floor(l_discount * 100 + 0.5) AS BIGINT)
                         >= 5 THEN 800 ELSE 0 END
-                 + (l_orderkey * 2654435761 + l_linenumber * 40503) % 201
+                 + ((l_orderkey % 1048576) * 2654435761 + l_linenumber * 40503) % 201
                  - 100 AS y
       FROM lineitem
 """
@@ -721,7 +721,7 @@ def ml_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "500 + CASE WHEN l_quantity >= 25 THEN 2000 ELSE 0 END"
         " + CASE WHEN CAST(floor(l_discount * 100 + 0.5) AS BIGINT) >= 5"
         " THEN 800 ELSE 0 END"
-        " + (l_orderkey * 2654435761 + l_linenumber * 40503) % 201"
+        " + ((l_orderkey % 1048576) * 2654435761 + l_linenumber * 40503) % 201"
         " - 100 AS y",
     )
     mom = li.groupBy().agg(
@@ -1360,7 +1360,7 @@ def ml_decision_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
 # would only certify agreement on noise (the _LR_ROWS_SQL discipline).
 _ROC_ROWS_SQL = """
       SELECT CAST(l_quantity AS BIGINT) AS s,
-             CASE WHEN (l_orderkey * 2654435761 + l_linenumber * 40503)
+             CASE WHEN ((l_orderkey % 1048576) * 2654435761 + l_linenumber * 40503)
                        % 1000
                   < 150 + 14 * CAST(l_quantity AS BIGINT)
                   THEN 1 ELSE 0 END AS label
@@ -1429,7 +1429,7 @@ def ml_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load(spark, sf_dir, "lineitem").selectExpr(
         "CAST(l_quantity AS BIGINT) AS s",
-        "CASE WHEN (l_orderkey * 2654435761 + l_linenumber * 40503)"
+        "CASE WHEN ((l_orderkey % 1048576) * 2654435761 + l_linenumber * 40503)"
         " % 1000 < 150 + 14 * CAST(l_quantity AS BIGINT)"
         " THEN 1 ELSE 0 END AS label",
     )
@@ -1561,7 +1561,7 @@ def ml_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS dd",
         "50000 + 300 * l_quantity"
         " + 1200 * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)"
-        " + (l_orderkey * 2654435761 + l_linenumber * 40503) % 2001"
+        " + ((l_orderkey % 1048576) * 2654435761 + l_linenumber * 40503) % 2001"
         " - 1000 AS y",
         f"{_KF_FOLD_SQL} AS fold",
     )
@@ -1694,7 +1694,7 @@ def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load(spark, sf_dir, "lineitem").selectExpr(
         "CAST(l_quantity AS BIGINT) AS s",
-        "CASE WHEN (l_orderkey * 2654435761 + l_linenumber * 40503)"
+        "CASE WHEN ((l_orderkey % 1048576) * 2654435761 + l_linenumber * 40503)"
         " % 1000 < 150 + 14 * CAST(l_quantity AS BIGINT)"
         " THEN 1 ELSE 0 END AS label",
     )
@@ -1826,7 +1826,7 @@ def ml_linreg_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS dd",
         "50000 + 300 * l_quantity"
         " + 1200 * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)"
-        " + (l_orderkey * 2654435761 + l_linenumber * 40503) % 2001"
+        " + ((l_orderkey % 1048576) * 2654435761 + l_linenumber * 40503) % 2001"
         " - 1000 AS y",
     )
     mom = li.groupBy().agg(
@@ -1939,7 +1939,7 @@ def ml_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load(spark, sf_dir, "lineitem").selectExpr(
         "CAST(l_quantity AS BIGINT) AS s",
-        "CASE WHEN (l_orderkey * 2654435761 + l_linenumber * 40503)"
+        "CASE WHEN ((l_orderkey % 1048576) * 2654435761 + l_linenumber * 40503)"
         " % 1000 < 150 + 14 * CAST(l_quantity AS BIGINT)"
         " THEN 1 ELSE 0 END AS label",
     )
@@ -1977,18 +1977,29 @@ def ml_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Centered second moments scaled by n (exact BIGINTs: n·sqq − sq² =
+# Centered second moments scaled by n (exact integers: n·sqq − sq² =
 # n²·Var(q) etc.), so the ridge normal equations (XcᵀXc + λI)w = Xcᵀy
 # become ((A + nλ·n)w1 + B·w2 = P, ...) with Λ = λ·n² — integer
 # operands, double-pinned Cramer solve (the 2×2 determinant exceeds
-# BIGINT range, exactly like _det3, so it expands in DOUBLE).
-_RIDGE_CM = (
-    "n * sqq - sq * sq AS cm_a",
-    "n * sqd - sq * sd AS cm_b",
-    "n * sdd - sd * sd AS cm_c",
-    "n * sqy - sq * sy AS cm_p",
-    "n * sdy - sd * sy AS cm_q",
-)
+# integer range, exactly like _det3, so it expands in DOUBLE).
+# The moments themselves exceed int64 at ~10× the bench data (n·sqy ≈
+# 2.7e19 at the sf1 probe — ANSI overflow, the r10 probe catch), so
+# each engine computes them in its exact WIDE integer type — Spark
+# DECIMAL(38,0), DuckDB HUGEINT — bit-identical through the final
+# DOUBLE cast in _ridge_w.
+def _ridge_cm(wide: str) -> tuple[str, ...]:
+    def c(col: str) -> str:
+        return f"CAST({col} AS {wide})"
+
+    return (
+        f"{c('n')} * sqq - {c('sq')} * sq AS cm_a",
+        f"{c('n')} * sqd - {c('sq')} * sd AS cm_b",
+        f"{c('n')} * sdd - {c('sd')} * sd AS cm_c",
+        f"{c('n')} * sqy - {c('sq')} * sy AS cm_p",
+        f"{c('n')} * sdy - {c('sd')} * sy AS cm_q",
+    )
+
+
 _RIDGE_KS = (0, 100, 1000)
 
 
@@ -2021,7 +2032,7 @@ def _ridge_oracle_sql() -> str:
       FROM cm"""
         )
     sel = "\n      UNION ALL\n      ".join(rows)
-    cm_cols = ",\n             ".join(_RIDGE_CM)
+    cm_cols = ",\n             ".join(_ridge_cm("HUGEINT"))
     return f"""
     WITH rows_in AS MATERIALIZED ({_LR_ROWS_SQL}),
     mom AS MATERIALIZED ({_LR_MOMS}),
@@ -2067,7 +2078,7 @@ def ml_ridge_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS dd",
         "50000 + 300 * l_quantity"
         " + 1200 * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)"
-        " + (l_orderkey * 2654435761 + l_linenumber * 40503) % 2001"
+        " + ((l_orderkey % 1048576) * 2654435761 + l_linenumber * 40503) % 2001"
         " - 1000 AS y",
     )
     mom = li.groupBy().agg(
@@ -2081,7 +2092,7 @@ def ml_ridge_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("q * y")).cast("bigint").alias("sqy"),
         F.sum(F.expr("dd * y")).cast("bigint").alias("sdy"),
     )
-    cm = mom.selectExpr("n", "sq", "sd", "sy", *_RIDGE_CM)
+    cm = mom.selectExpr("n", "sq", "sd", "sy", *_ridge_cm("DECIMAL(38,0)"))
     out = None
     for k in _RIDGE_KS:
         w = _ridge_w(k)
@@ -2111,7 +2122,7 @@ _GMM_MU0 = (4000, 9000)
 # plus Irwin-Hall(3) noise (sum of three decorrelated multiplicative-hash
 # uniforms, sd ≈ 500 cents). Identical SQL text on both engines.
 _GMM_X_SQL = """
-      SELECT CAST(CASE WHEN (o_orderkey * 2654435761) % 10 < 4
+      SELECT CAST(CASE WHEN ((o_orderkey % 1048576) * 2654435761) % 10 < 4
                   THEN 5000 ELSE 8000 END
              + ((o_orderkey * 48271) % 1000
                 + (o_orderkey * 16807) % 1000
@@ -2240,7 +2251,7 @@ def ml_gmm_em(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     orders = load(spark, sf_dir, "orders")
     xs = orders.selectExpr(
-        "CAST(CASE WHEN (o_orderkey * 2654435761) % 10 < 4"
+        "CAST(CASE WHEN ((o_orderkey % 1048576) * 2654435761) % 10 < 4"
         " THEN 5000 ELSE 8000 END"
         " + ((o_orderkey * 48271) % 1000"
         "    + (o_orderkey * 16807) % 1000"
@@ -2376,7 +2387,7 @@ def ml_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load(spark, sf_dir, "lineitem").selectExpr(
         "CAST(l_quantity AS BIGINT) AS s",
-        "CASE WHEN (l_orderkey * 2654435761 + l_linenumber * 40503)"
+        "CASE WHEN ((l_orderkey % 1048576) * 2654435761 + l_linenumber * 40503)"
         " % 1000 < 150 + 14 * CAST(l_quantity AS BIGINT)"
         " THEN 1 ELSE 0 END AS label",
     )

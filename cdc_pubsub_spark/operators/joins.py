@@ -1113,8 +1113,8 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH users AS (SELECT DISTINCT user_id AS u FROM events),
     pts AS (
-      SELECT u, (u * u * 13 + u * 7 + 3) % 1000 AS x,
-                (u * u * 29 + u * 31 + 17) % 1000 AS y
+      SELECT u, ((u % 1048576) * (u % 1048576) * 13 + u * 7 + 3) % 1000 AS x,
+                ((u % 1048576) * (u % 1048576) * 29 + u * 31 + 17) % 1000 AS y
       FROM users
     ),
     pairs AS (
@@ -1155,14 +1155,19 @@ def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     users = load(spark, sf_dir, "events").select(
         F.col("user_id").alias("u")
     ).distinct()
+    # The quadratic term reduces its key first ((u % 2^20)² ≤ 2.8e15,
+    # never near int64) — an UNREDUCED u² overflowed under ANSI the
+    # moment the 10× scale probe's replica-shifted keys (~2^40) arrived
+    # (the ml_conformal_interval bug class, r10 probe catch). 2^20
+    # exceeds every shipped-sf key, so values are identical at all
+    # certified scales; the linear term keeps the raw key so replica
+    # point sets stay rotated rather than stacking on identical
+    # coordinates (which would make the probe output-quadratic).
+    ur = F.col("u") % 1048576
     pts = users.select(
         "u",
-        ((F.col("u") * F.col("u") * 13 + F.col("u") * 7 + 3) % 1000).alias(
-            "x"
-        ),
-        ((F.col("u") * F.col("u") * 29 + F.col("u") * 31 + 17) % 1000).alias(
-            "y"
-        ),
+        ((ur * ur * 13 + F.col("u") * 7 + 3) % 1000).alias("x"),
+        ((ur * ur * 29 + F.col("u") * 31 + 17) % 1000).alias("y"),
     )
     cell = 100
     build = pts.select(

@@ -831,7 +831,7 @@ def _luhn_digit_terms(col: str, n_digits: int = 12) -> str:
 
 _LUHN_NUM_SQL = """
       SELECT o_orderkey,
-             lpad(CAST(100000000000 + (o_orderkey * 2654435761) % 899999999999
+             lpad(CAST(100000000000 + ((o_orderkey % 1048576) * 2654435761) % 899999999999
                        AS VARCHAR), 12, '0') AS raw
       FROM orders
 """
@@ -890,7 +890,7 @@ def fn_luhn_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     nums = orders.selectExpr(
         "o_orderkey",
-        "lpad(CAST(100000000000 + (o_orderkey * 2654435761)"
+        "lpad(CAST(100000000000 + ((o_orderkey % 1048576) * 2654435761)"
         " % 899999999999 AS STRING), 12, '0') AS raw",
     )
     check_terms = _luhn_digit_terms("concat(substring(raw, 1, 11), '0')")
