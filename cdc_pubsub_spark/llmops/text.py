@@ -1442,7 +1442,8 @@ _CURR_PHASE_SQL = (
            floor(CAST(sum(q_micro) AS DOUBLE) / CAST(count(*) AS DOUBLE)
                  / 100 + 0.5) / 10000      AS mean_quality,
            arg_min(doc_id, h)              AS first_doc,
-           CAST(sum(pos * doc_id) AS BIGINT) AS schedule_checksum
+           CAST(sum(pos * (doc_id % 1048576)) AS BIGINT)
+             AS schedule_checksum
     FROM sched
     GROUP BY phase
     ORDER BY phase
@@ -1521,7 +1522,11 @@ def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " / CAST(count(*) AS DOUBLE) / 100 + 0.5) / 10000"
             ).alias("mean_quality"),
             F.expr("min_by(doc_id, h)").alias("first_doc"),
-            F.sum(F.col("pos") * F.col("doc_id"))
+            # doc_id reduces % 2^20 before the product (identity at
+            # every shipped sf, keeps the permutation-pinning property
+            # there) — the raw product overflowed int64 under ANSI at
+            # the sf1 probe's replica-shifted ids (r10 sweep catch).
+            F.sum(F.col("pos") * (F.col("doc_id") % 1048576))
             .cast("bigint")
             .alias("schedule_checksum"),
         )
