@@ -92,3 +92,35 @@ def test_finalize_cached_modes(spark):
         tables.LAZY_PLAN_MODE = False
     assert "LogicalRDD" not in got2._jdf.queryExecution().optimizedPlan().toString()
     assert got2.count() == 3
+
+
+def test_no_unreduced_multiplicative_key_hashes():
+    """Source lint for the ANSI-overflow class the 10x scale sweeps
+    keep catching (14 ops across r09/r10): any `<key> * 2654435761`
+    hash must reduce the key first (`% 1048576` / `% 100000`), because
+    the probe tree's replica-shifted keys (~2^40) overflow int64 in the
+    raw product. Scans every non-test source file for the Knuth
+    multiplier applied directly to an unreduced column name."""
+    import os
+    import re
+
+    root = os.path.join(os.path.dirname(__file__), "..", "cdc_pubsub_spark")
+    # An allowed use reduces the key in a parenthesized `% m` right
+    # before the multiplier; `l_linenumber` (<= 7 by fixture) is the
+    # one raw column small enough to multiply directly.
+    bad = re.compile(r"([A-Za-z_][A-Za-z0-9_.]*)\s*\*\s*2654435761")
+    offenders = []
+    for dirpath, _dirs, files in os.walk(root):
+        for fname in files:
+            if not fname.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fname)
+            for i, line in enumerate(open(path), 1):
+                for m in bad.finditer(line):
+                    if m.group(1) not in ("l_linenumber",):
+                        offenders.append(f"{path}:{i}: {line.strip()[:90]}")
+    assert not offenders, (
+        "unreduced key multiplied by 2654435761 — overflows int64 at "
+        "replica-shifted probe keys; reduce the key (% 1048576) first:\n"
+        + "\n".join(offenders)
+    )
