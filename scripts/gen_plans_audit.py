@@ -65,6 +65,10 @@ AUDIT = [
     ("graph_clustering_coefficient", "transitivity + avg-local CC (3-join triangles)"),
     ("scan_txn_log_changefeed", "commit-log CDF (per-commit file diff)"),
     ("ml_roc_auc", "binned Mann-Whitney AUC (bounded-bin window)"),
+    ("dedup_levenshtein_block", "blocked edit-distance pairs (star cap >8/block)"),
+    ("orders_rfm_atscale", "RFM via broadcast histogram cutoffs (no data-sized window)"),
+    ("join_spatial_grid", "epsilon-grid L-inf distance join (3x3 cell replicate)"),
+    ("ml_ridge_path", "ridge path from one moment scan (wide-int centered moments)"),
 ]
 
 SF = "/root/testdata/sf0.01"
