@@ -233,34 +233,65 @@ def main() -> None:
             # probed after it was already slow): the 10 slowest measured
             # serial ops PLUS every benched op whose physical plan
             # carries a risk shape that hides at sf0.1 — a GLOBAL
-            # data-sized window (a `Window` node with an empty partition
-            # spec: it prints `Window [exprs], [order]` with two
-            # top-level bracket groups, vs `Window [exprs], [part],
-            # [order]` with three) or a non-broadcast nested-loop join
-            # (CartesianProduct).
+            # data-sized window or a non-broadcast nested-loop join
+            # (CartesianProduct). Spark's Window node prints its three
+            # argument lists but SKIPS empty ones, so the rendered
+            # top-level bracket groups are: [exprs],[part],[order] = 3
+            # (partitioned+ordered), [exprs] = 1 (global, unordered),
+            # and the ambiguous [exprs],[X] = 2 where X is an ORDER
+            # spec (global+ordered — flag) exactly when it carries
+            # ordering markers (ASC/DESC/NULLS), which never appear in
+            # a bare partition-expression list (partitioned, unordered
+            # — don't flag).
             slowest = sorted(
                 serial_top or times, key=lambda n: -(serial_top or times)[n]
             )[:10]
 
-            def _bracket_groups(s: str) -> int:
-                depth = groups = 0
+            def _top_groups(s: str) -> list[str]:
+                groups, depth, buf = [], 0, []
                 for ch in s:
                     if ch == "[":
                         if depth == 0:
-                            groups += 1
+                            buf = []
+                        else:
+                            buf.append(ch)
                         depth += 1
                     elif ch == "]":
                         depth = max(0, depth - 1)
+                        if depth == 0:
+                            groups.append("".join(buf))
+                        else:
+                            buf.append(ch)
+                    elif depth > 0:
+                        buf.append(ch)
                 return groups
+
+            def _is_global_window(node: str) -> bool:
+                groups = _top_groups(node)
+                if len(groups) >= 3:
+                    return False  # explicit partition spec present
+                if len(groups) == 1:
+                    return True  # no partition, no order: global
+                tail = groups[-1]
+                return bool(
+                    re.search(r"\b(ASC|DESC|NULLS (FIRST|LAST))\b", tail)
+                )
 
             plan_flagged: dict[str, str] = {}
             from cdc_pubsub_spark import tables as _tables
 
+            # Plan SHAPE is sf-independent (PLANS.md contract), and
+            # several iterative trainers run driver-side .collect()
+            # loops while BUILDING their final DataFrame — so the scan
+            # builds plans against the tiny smoke tree when present
+            # (~1000x less data for the build-time collects), not the
+            # bench tree.
+            scan_dir = warm_dir if os.path.isdir(warm_dir) else sf_dir
             for name in sorted(times):
                 try:
                     _tables.LAZY_PLAN_MODE = True
                     try:
-                        df = REGISTRY[name].fn(spark, sf_dir)
+                        df = REGISTRY[name].fn(spark, scan_dir)
                     finally:
                         _tables.LAZY_PLAN_MODE = False
                     plan = df._jdf.queryExecution().sparkPlan().toString()
@@ -276,7 +307,7 @@ def main() -> None:
                         plan_flagged[name] = "cartesian_product"
                         break
                     node = line.strip().lstrip("+-: ").strip()
-                    if node.startswith("Window [") and _bracket_groups(node) == 2:
+                    if node.startswith("Window [") and _is_global_window(node):
                         plan_flagged[name] = "global_window"
                         break
             probe_ops = list(

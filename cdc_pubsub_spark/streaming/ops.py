@@ -1332,14 +1332,21 @@ def stream_push_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .collect()
         }
+        if set(live) != set(twin):
+            # A type the twin expects but the snapshot lost (or vice
+            # versa) is exactly the divergence class this raise exists
+            # for — iterating live alone would miss a dropped group.
+            raise RuntimeError(
+                f"push ingest type sets diverged over [0, {n_committed}): "
+                f"live={sorted(live)} twin={sorted(twin)}"
+            )
         for etype, row in live.items():
-            t = twin.get(etype)
-            if t is None or row.n != t.n or abs(row.total_value - t.total_value) > 1e-6:
+            t = twin[etype]
+            if row.n != t.n or abs(row.total_value - t.total_value) > 1e-6:
                 raise RuntimeError(
                     f"push ingest diverged from batch twin for {etype}: "
                     f"live=({row.n}, {row.total_value}) "
-                    f"twin={(t.n, t.total_value) if t else None} "
-                    f"over [0, {n_committed})"
+                    f"twin=({t.n}, {t.total_value}) over [0, {n_committed})"
                 )
     else:
         raise RuntimeError("push ingest committed no rows before drain")

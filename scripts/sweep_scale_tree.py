@@ -39,11 +39,21 @@ def main() -> None:
         sys.exit(f"no scale tree at {scale_dir} (run scripts/gen_scale_probe.py)")
     log_path = os.environ.get("SWEEP_LOG", "/tmp/scale_sweep.log")
     done: set[str] = set()
+    throws = 0
     if "--resume" in sys.argv and os.path.exists(log_path):
-        done = {ln.split(" ")[0] for ln in open(log_path)}
+        # Only `ok` lines are settled; a logged THROW re-runs (it may
+        # have been fixed since) and, if the op is gone from the
+        # registry, still counts toward the exit code — a resumed
+        # sweep must never report clean over a log that recorded
+        # crashes it did not re-examine.
+        for ln in open(log_path):
+            parts = ln.split()
+            if len(parts) >= 2 and parts[1] == "ok":
+                done.add(parts[0])
+            elif len(parts) >= 2 and parts[1] == "THROW" and parts[0] not in REGISTRY:
+                throws += 1
     spark = get_spark("scale-sweep")
     spark.sparkContext.setLogLevel("ERROR")
-    throws = 0
     with open(log_path, "a") as log:
         for name in sorted(REGISTRY):
             if name in done:

@@ -105,19 +105,37 @@ def test_no_unreduced_multiplicative_key_hashes():
     import re
 
     root = os.path.join(os.path.dirname(__file__), "..", "cdc_pubsub_spark")
-    # An allowed use reduces the key in a parenthesized `% m` right
-    # before the multiplier; `l_linenumber` (<= 7 by fixture) is the
-    # one raw column small enough to multiply directly.
-    bad = re.compile(r"([A-Za-z_][A-Za-z0-9_.]*)\s*\*\s*2654435761")
+    # Every OCCURRENCE of the constant must be adjacent to a safe
+    # operand on its multiplication side — a parenthesized `% m`
+    # key reduction, or `l_linenumber` (<= 7 by fixture, the one raw
+    # column small enough to multiply directly). Checking occurrence
+    # context (not just identifier-times-constant) also catches the
+    # multiplier-first form `2654435761 * o_orderkey` and wrapped keys
+    # like `CAST(o_orderkey AS BIGINT) * 2654435761`.
+    safe_left = re.compile(r"(%\s*\d+\s*\)|l_linenumber)\s*\*\s*$")
+    safe_right = re.compile(
+        r"^\s*\*\s*(\(\s*[A-Za-z_][A-Za-z0-9_.]*\s*%\s*\d+\s*\)|l_linenumber)"
+    )
     offenders = []
     for dirpath, _dirs, files in os.walk(root):
+        if "__pycache__" in dirpath:
+            continue
         for fname in files:
             if not fname.endswith(".py"):
                 continue
             path = os.path.join(dirpath, fname)
             for i, line in enumerate(open(path), 1):
-                for m in bad.finditer(line):
-                    if m.group(1) not in ("l_linenumber",):
+                for m in re.finditer(r"2654435761", line):
+                    left = line[: m.start()]
+                    right = line[m.end() :]
+                    mult_left = left.rstrip().endswith("*")
+                    mult_right = right.lstrip().startswith("*")
+                    if not mult_left and not mult_right:
+                        continue  # not a multiplication (comment, doc)
+                    ok = (mult_left and safe_left.search(left)) or (
+                        mult_right and safe_right.search(right)
+                    )
+                    if not ok:
                         offenders.append(f"{path}:{i}: {line.strip()[:90]}")
     assert not offenders, (
         "unreduced key multiplied by 2654435761 — overflows int64 at "
