@@ -96,6 +96,42 @@ HEAVY_FIRST = [
 ]
 
 
+def _top_groups(s: str) -> list[str]:
+    """Top-level [...] groups of a physical-plan node line."""
+    groups, depth, buf = [], 0, []
+    for ch in s:
+        if ch == "[":
+            if depth == 0:
+                buf = []
+            else:
+                buf.append(ch)
+            depth += 1
+        elif ch == "]":
+            depth = max(0, depth - 1)
+            if depth == 0:
+                groups.append("".join(buf))
+            else:
+                buf.append(ch)
+        elif depth > 0:
+            buf.append(ch)
+    return groups
+
+
+def _is_global_window(node: str) -> bool:
+    """True if a rendered `Window [...]` node has an EMPTY partition
+    spec. Spark omits empty argument lists, so the shapes are:
+    [exprs],[part],[order] = partitioned; [exprs] = global unordered;
+    and the ambiguous [exprs],[X] is global exactly when X is an ORDER
+    spec (carries ASC/DESC/NULLS markers, which never appear in a bare
+    partition-expression list). Unit-pinned in tests/test_entry_contract.py."""
+    groups = _top_groups(node)
+    if len(groups) >= 3:
+        return False
+    if len(groups) == 1:
+        return True
+    return bool(re.search(r"\b(ASC|DESC|NULLS (FIRST|LAST))\b", groups[-1]))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # Default 48-way: re-measured makespan-optimal on local[32] for the
@@ -246,36 +282,6 @@ def main() -> None:
             slowest = sorted(
                 serial_top or times, key=lambda n: -(serial_top or times)[n]
             )[:10]
-
-            def _top_groups(s: str) -> list[str]:
-                groups, depth, buf = [], 0, []
-                for ch in s:
-                    if ch == "[":
-                        if depth == 0:
-                            buf = []
-                        else:
-                            buf.append(ch)
-                        depth += 1
-                    elif ch == "]":
-                        depth = max(0, depth - 1)
-                        if depth == 0:
-                            groups.append("".join(buf))
-                        else:
-                            buf.append(ch)
-                    elif depth > 0:
-                        buf.append(ch)
-                return groups
-
-            def _is_global_window(node: str) -> bool:
-                groups = _top_groups(node)
-                if len(groups) >= 3:
-                    return False  # explicit partition spec present
-                if len(groups) == 1:
-                    return True  # no partition, no order: global
-                tail = groups[-1]
-                return bool(
-                    re.search(r"\b(ASC|DESC|NULLS (FIRST|LAST))\b", tail)
-                )
 
             plan_flagged: dict[str, str] = {}
             from cdc_pubsub_spark import tables as _tables

@@ -142,3 +142,40 @@ def test_no_unreduced_multiplicative_key_hashes():
         "replica-shifted probe keys; reduce the key (% 1048576) first:\n"
         + "\n".join(offenders)
     )
+
+
+def test_bench_global_window_detector():
+    """Unit pin for bench.py's probe-selection window classifier: Spark
+    omits EMPTY argument lists when rendering a Window node, so the
+    shapes are 3 groups = partitioned, 1 group = global-unordered, and
+    the ambiguous 2-group case is global exactly when the tail group is
+    an ORDER spec. The first version of this detector got BOTH ambiguous
+    directions wrong (r10 self-review finding #1)."""
+    import bench
+
+    # partitioned + ordered: never flagged
+    assert not bench._is_global_window(
+        "Window [rank() windowspecdefinition(a#1L, b#2 ASC NULLS FIRST, "
+        "specifiedwindowframe(RowFrame, x, y)) AS r#3], [a#1L], "
+        "[b#2 ASC NULLS FIRST]"
+    )
+    # partitioned, NO order (count over partition): 2 groups, bare
+    # partition exprs in the tail — NOT global (the false positive that
+    # put dedup_levenshtein_block in the probe set)
+    assert not bench._is_global_window(
+        "Window [count(1) windowspecdefinition(blk#5, specifiedwindowframe"
+        "(RowFrame, x, y)) AS n_blk#9L], [blk#5]"
+    )
+    # global + ordered (ntile over everything): 2 groups, ordering
+    # markers in the tail — flagged
+    assert bench._is_global_window(
+        "Window [ntile(5) windowspecdefinition(m#9L DESC NULLS LAST, "
+        "specifiedwindowframe(RowFrame, x, y)) AS q#12], "
+        "[m#9L DESC NULLS LAST, k#6L ASC NULLS FIRST]"
+    )
+    # global, NO order (sum over Window.partitionBy()): 1 group —
+    # flagged (the false negative that escaped probing)
+    assert bench._is_global_window(
+        "Window [sum(n#2L) windowspecdefinition(specifiedwindowframe("
+        "RowFrame, x, y)) AS t#7L]"
+    )
