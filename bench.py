@@ -44,55 +44,43 @@ from cdc_pubsub_spark.session import get_spark
 # Launch order seed: known-heavy ops first so they overlap the long tail
 # of sub-second queries instead of serializing at the end.
 HEAVY_FIRST = [
-    # Re-seeded from the r07 sf0.1 paired-run BENCH_DETAIL (heaviest
-    # measured under conc48 contention, descending) — round-7 VERDICT
-    # item 7: dedup_incremental (9.0 s contended / 1.8 s serial) and
-    # sim_ann_pq (8.5 / 1.35) started too late in the old order, which
-    # still reflected r06 weights; the r07-new retrieval/profiling ops
-    # (spatial grid, bloom join, BM25, RRF, jaccard, FD-check) join the
-    # seed for the first time.
-    "dedup_incremental",
-    "sim_ann_pq",
-    "sim_ann_ivf",
-    "basket_brand_pairs",
-    # r09 additions, seeded by analogy pending a measured reseed:
-    # assoc_rules shares basket_brand_pairs' self-join cost; data_skew
-    # unpivots lineitem 3x; rake runs corpus windows + joins.
-    "orders_assoc_rules",
-    "profile_data_skew",
-    "text_keyword_rake",
-    # second-extension addition, seeded by analogy pending a measured
-    # reseed: blocked full-text Levenshtein shares the dedup family's
-    # candidate-join cost shape.
+    # Re-seeded from the r10 close BENCH_DETAIL (measured UNCONTENDED
+    # serial_top descending, then the heaviest contended stragglers) —
+    # serial cost is the right launch-priority signal because contended
+    # per-query times are dominated by queue time, not plan cost. The
+    # r09-era analogy seeds (data_skew, boilerplate, spatial grid) are
+    # replaced by their measured ranks.
     "dedup_levenshtein_block",
-    "dedup_minhash_banded",  # bench twin of dedup_minhash_lsh since r07
-    "dedup_embed_cosine",
-    "cdc_malformed_deadletter",
-    "text_lm_perplexity",
-    "text_boilerplate_spans",
-    "join_spatial_grid",
-    "dedup_containment",
-    "cdc_incremental_view",
-    "events_active_users",
-    "text_tfidf_topk",
-    "graph_pagerank",
-    "events_attribution",
-    "corpus_resample_to_mix",
-    "dedup_simhash",
-    "agg_approx_percentile",
-    "graph_jaccard_neighbors",
-    "search_rrf_fusion",
-    "events_sessionize",
-    "text_contamination",
-    "join_bloom_pruned",
-    "profile_columns",
-    "pipeline_training_data_e2e",
-    "events_funnel",
-    "profile_fd_check",
-    "agg_kmv_theta_distinct",
-    "text_bm25_topk",
-    "cdc_asof_snapshot",
+    "orders_assoc_rules",
+    "basket_brand_pairs",
+    "dedup_incremental",
+    "text_keyword_rake",
+    "profile_cramers_v",
     "tpch_q9_product_profit",
+    "sim_ann_pq",
+    "events_active_users",
+    "dedup_minhash_banded",
+    "text_lm_perplexity",
+    "text_bm25_topk",
+    "dedup_embed_cosine",
+    "profile_fd_check",
+    "graph_pagerank",
+    "agg_kmv_theta_distinct",
+    "dedup_containment",
+    "corpus_resample_to_mix",
+    "events_attribution",
+    "join_bloom_pruned",
+    # heaviest contended beyond the serial-top 20 (queue-pressure tail):
+    "agg_theta_set_ops",
+    "graph_jaccard_neighbors",
+    "text_tfidf_topk",
+    "ml_conformal_interval",
+    "events_sessionize",
+    "orders_abc_xyz",
+    "sim_ann_ivf",
+    "graph_clustering_coefficient",
+    "orders_rfm_atscale",
+    "ml_kfold_cv",
 ]
 
 
@@ -134,14 +122,14 @@ def _is_global_window(node: str) -> bool:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    # Default 48-way: re-measured makespan-optimal on local[32] for the
-    # r07 196-query set (single-pass sweep on one host sitting:
-    # conc16 14.3 / conc20 12.6 / conc24 12.5 / conc28 12.2 /
-    # conc32 11.8 / conc40 11.2 / conc48 10.8 / conc64 10.8 /
-    # conc96 15.0 s — the optimum keeps moving right as the
+    # Default 96-way: re-measured makespan-optimal on local[32] for the
+    # r10 289-query set (single-pass sweep, one host sitting:
+    # conc48 20.3 / conc64 19.6 / conc80 18.2 / conc96 17.5 /
+    # conc112 17.9 s — the optimum keeps moving right as the
     # sub-second tail grows: r04 133q→16, r05 164q→20, r06 185q→24,
-    # r07 196q→48; past ~2 slots/core the scheduler thrash wins).
-    conc = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_CONC", "48")))
+    # r07 196q→48, r10 289q→96; past ~3 slots/core the scheduler
+    # thrash wins).
+    conc = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_CONC", "96")))
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
 
@@ -215,7 +203,17 @@ def main() -> None:
     serial_top: dict[str, float] = {}
     if os.environ.get("SPARK_GRAFT_BENCH_SERIAL", "1") != "0":
         spark.catalog.clearCache()
-        for name in sorted(times, key=lambda n: -times[n])[:20]:
+        # Pool = contended top-20 ∪ the measured-heavy seed head: at
+        # high concurrency the launch-first heavies DRAIN EARLY and can
+        # show small contended times (dedup_levenshtein_block — the
+        # single slowest serial op — fell out of the contended top-20
+        # at conc96 and thereby out of the scale-probe set), so the
+        # known-heavy seed keeps them in the serial pool regardless of
+        # queue dynamics.
+        pool = sorted(times, key=lambda n: -times[n])[:20] + [
+            n for n in HEAVY_FIRST[:12] if n in times
+        ]
+        for name in dict.fromkeys(pool):
             t0 = time.perf_counter()
             REGISTRY[name].fn(spark, sf_dir).collect()
             serial_top[name] = round(time.perf_counter() - t0, 3)
