@@ -37,6 +37,22 @@ SPOT = [
     "sim_ann_pq",            # r06 integer-microunit ADC ranking at 10× vectors
     "events_attribution",    # r06 packed-touch-key windows at 10× events
     "profile_drift_psi",     # r06 signed r4 psi terms at 10× orders
+    # r10 window representatives (the float/ordering-riskiest of the 92
+    # never-driver-sampled r09 additions; a one-shot full-registry
+    # sf0.1 parity run at r10 close measured 377/377 MATCH — these pin
+    # the hardest of them permanently):
+    "ts_theil_sen",          # median-of-slopes at 10× pairs
+    "ml_gmm_em",             # EM responsibilities: float sums at 10× rows
+    "ml_isotonic_calibration",  # PAV pool merges at 10× bins' mass
+    "profile_cramers_v",     # chi2 contingency at 10× cells' mass
+    "text_lm_kneser_ney",    # continuation backoff at 10× bigrams
+    "events_anomaly_shesd",  # iterative ESD deletions at 10× points
+    "orders_croston_intermittent",  # SES folds over a longer series
+    "ts_periodogram",        # injected trig table at 10× samples
+    "events_hotspot_grid",   # Getis-Ord z at 10× cell mass
+    "dedup_levenshtein_block",  # r10 star cap: exact pair set at 10× corpus
+    "ml_conformal_interval", # split-conformal quantile at 10× calib rows
+    "graph_katz_centrality", # integer attenuated paths at 10× edges
 ]
 
 
