@@ -120,37 +120,40 @@ def _certification_state() -> tuple[set[str], dict[str, int], dict[str, int]]:
 
 # Ops whose implementation or oracle CHANGED this round: their accumulated
 # certification predates the change, so they jump the certified tail until a
-# CORRECTNESS round has hash-checked the new contract. Round 10 set (the r09
-# entries — agg_kmv_theta_distinct, multimodal_binary_ingest — both drew
-# green r09 rows and returned to the stalest-first tail):
+# CORRECTNESS round has hash-checked the new contract. Round 11 set (the
+# five r10 entries all drew green r10 rows and returned to the
+# stalest-first tail):
 _RECERTIFY = [
-    # Graduated from rows-only to full SQL oracles (round-9 VERDICT
-    # item 8): deterministic batch-twin outputs replace the wall-clock /
-    # free-text columns; liveness+drain contracts moved to in-op raises.
-    "stream_push_ingest",
-    "stream_health_drain",
-    # The r10 scale-probe sweep caught ANSI int64 overflows at 10× data
-    # in every op hashing a raw key by 2654435761 (the
-    # ml_conformal_interval bug class from r09); keys now reduce
-    # `% 1048576` first. 2^20 exceeds every shipped-sf key (max 149,999
-    # at sf0.1), so certified-scale values are bit-identical — these
-    # three are listed anyway because their source changed and the
-    # certification should postdate it (the other nine affected ops are
-    # never-sampled and already lead the window):
-    "join_spatial_grid",
-    "ml_linreg_normal_eq",
-    "ml_boosted_stumps",
+    # Graduated from rows-only to a full collision-set SQL oracle
+    # (round-10 VERDICT item 2): the op now runs on the engine-portable
+    # md5+affine hash family (llmops/dedup.py BANDED_PAIRS_SQL), so its
+    # r07 `no_oracle` row must be replaced by a hash-checked one — this
+    # closes the registry's last rows-only hole (378 SQL / 0 rows-only).
+    "dedup_minhash_banded",
+    # Round-10 VERDICT item 5: level counts folded into the broadcast
+    # stat frame (no per-pair rt.count()/ct.count() driver actions —
+    # the whole 3-pair matrix is one job). Values unchanged by
+    # construction, but the source changed, so the certification must
+    # postdate it.
+    "profile_cramers_v",
 ]
 
 # New ops added THIS round, deliberately pushed to the END of the ordering
-# (they lead the NEXT round's window as never-certified ops). Round 10 is a
-# DRAIN round (round-9 VERDICT item 1): the registry is FROZEN at 378 ops and
-# the set below is EMPTY by design — the entire driver window goes to the 92
-# never-sampled r09 additions (now ordinary never-attempted entries in
-# rest_new, ordered ahead of everything certified). The r09 defer list that
-# previously lived here has been released into the normal ordering; the
-# remaining ~44 never-sampled ops after this round's 50-slot window drain in
-# r11 (certification-debt table: STATUS.md).
+# (they lead the NEXT round's window as never-certified ops). Round 11
+# finishes the drain (round-10 VERDICT item 1): the registry stays FROZEN at
+# 378 ops and the set below stays EMPTY — the window takes the 1 recertify
+# (minhash_banded's new oracle) + the 47 remaining never-sampled ops + 2
+# stalest-certified backfill slots, completing 378/378-ever-certified.
+#
+# ROLLING RECERTIFICATION POLICY from r12 onward (round-10 VERDICT item 3):
+# with never-sampled at zero, every ~50-slot window is _RECERTIFY entries
+# (changed ops, keep ≲10 per round — large change waves should be split
+# across rounds) followed by the certified tail stalest-first. 378 ops /
+# ~40 stale slots per round ≈ a full registry sweep every ~9 rounds, and
+# no op's latest green row ages past that. The mechanism is already the
+# ordering below (lead + recert + rest_new + certified-stalest-first);
+# the policy is the budget discipline on _RECERTIFY's size and the
+# registry freeze-until-drained rule.
 _DEFER_TO_NEXT_ROUND: set[str] = set()
 
 

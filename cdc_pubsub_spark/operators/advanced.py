@@ -1845,7 +1845,12 @@ def profile_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: per pair, the contingency groupBy is the only data-sized
     pass (map-side combine onto ≤ 35 keys); margins re-aggregate the
     cell relation, NOT the scan. The three pairs share one cached
-    projection of the scan's three columns.
+    projection of the scan's three columns. Level counts (r_levels,
+    c_levels) ride the same 1-row broadcast stat frame as n — no
+    per-pair driver actions, so the whole 3-pair matrix is ONE Spark
+    job at materialization (round-10 VERDICT item 5: the old shape's
+    rt.count()/ct.count() issued 2 extra jobs per pair and made this
+    the slowest benched wall entry under conc96).
     """
     dow = _CRAMERS_DOW_SPARK
     orders = (
@@ -1872,8 +1877,11 @@ def profile_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         caches.append(cont)
         rt = cont.groupBy("r").agg(F.sum("o").cast("bigint").alias("rtot"))
         ct = cont.groupBy("c").agg(F.sum("o").cast("bigint").alias("ctot"))
-        g = cont.agg(F.sum("o").cast("bigint").alias("n"))
-        nr, nc = rt.count(), ct.count()
+        stats = cont.agg(
+            F.sum("o").cast("bigint").alias("n"),
+            F.countDistinct("r").cast("bigint").alias("r_levels"),
+            F.countDistinct("c").cast("bigint").alias("c_levels"),
+        )
         e = (
             "CAST(rtot AS DOUBLE) * CAST(ctot AS DOUBLE)"
             " / CAST(n AS DOUBLE)"
@@ -1881,27 +1889,30 @@ def profile_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         contrib = (
             cont.join(F.broadcast(rt), "r")
             .join(F.broadcast(ct), "c")
-            .crossJoin(F.broadcast(g))
+            .crossJoin(F.broadcast(stats))
             .selectExpr(
                 "n",
+                "r_levels",
+                "c_levels",
                 f"CAST(floor((CAST(o AS DOUBLE) - {e})"
                 f" * (CAST(o AS DOUBLE) - {e}) / ({e})"
                 f" * 1000000 + 0.5) AS BIGINT) AS q",
             )
         )
         outs.append(
-            contrib.groupBy("n")
+            contrib.groupBy("n", "r_levels", "c_levels")
             .agg(F.sum("q").cast("bigint").alias("chi2_micro"))
             .selectExpr(
                 f"'{label}' AS pair",
                 "n AS n_rows",
-                f"CAST({nr} AS BIGINT) AS r_levels",
-                f"CAST({nc} AS BIGINT) AS c_levels",
-                f"CAST({(nr - 1) * (nc - 1)} AS BIGINT) AS dof",
+                "r_levels",
+                "c_levels",
+                "(r_levels - 1) * (c_levels - 1) AS dof",
                 "floor(CAST(chi2_micro AS DOUBLE) / 1000000e0"
                 " * 10000 + 0.5) / 10000 AS chi2",
                 "floor(sqrt(CAST(chi2_micro AS DOUBLE) / 1000000e0"
-                f" / (CAST(n AS DOUBLE) * CAST({min(nr, nc) - 1} AS DOUBLE)))"
+                " / (CAST(n AS DOUBLE)"
+                " * CAST(least(r_levels, c_levels) - 1 AS DOUBLE)))"
                 " * 10000 + 0.5) / 10000 AS cramers_v",
             )
         )

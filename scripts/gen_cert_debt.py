@@ -34,6 +34,59 @@ _spec.loader.exec_module(_entry)
 BEGIN = "<!-- CERT_DEBT_BEGIN (scripts/gen_cert_debt.py) -->"
 END = "<!-- CERT_DEBT_END -->"
 
+README_BEGIN = "<!-- CERT_RISK_BEGIN (scripts/gen_cert_debt.py) -->"
+README_END = "<!-- CERT_RISK_END -->"
+
+
+def _family(name: str) -> str:
+    return name.split("_", 1)[0]
+
+
+def render_readme() -> str:
+    """Compact per-family certification-status block for README.md
+    (round-10 VERDICT item 7): a consumer of OPERATORS.md must not read
+    the registry size as driver-certified coverage. Regenerated at
+    every close alongside the STATUS.md table, from the same
+    _certification_state, so the two can never disagree."""
+    done, _attempts, cert_round = _entry._certification_state()
+    names = sorted(REGISTRY)
+    fams: dict[str, dict[str, int]] = {}
+    for n in names:
+        f = fams.setdefault(_family(n), {"total": 0, "certified": 0})
+        f["total"] += 1
+        f["certified"] += n in done
+    never = [n for n in names if n not in done]
+    lines = [
+        README_BEGIN,
+        "",
+        "## Certification status",
+        "",
+        "Every operator has local DuckDB-parity tests at sf0.01 (and "
+        "registry-wide sf0.001/sf0.1/sf1 sweeps), but the HARD signal is "
+        "the round driver's independent CORRECTNESS row. The two "
+        "coverage numbers differ; read `378 operators` as "
+        f"**{len(names) - len(never)} driver-certified + "
+        f"{len(never)} local-parity-only** "
+        "(full per-op table: top of `STATUS.md`, regenerated each "
+        "round by `scripts/gen_cert_debt.py`).",
+        "",
+        "| Family | Ops | Driver-certified | Local-parity-only |",
+        "|---|---|---|---|",
+    ]
+    for fam in sorted(fams):
+        f = fams[fam]
+        rest = f["total"] - f["certified"]
+        lines.append(
+            f"| `{fam}_*` | {f['total']} | {f['certified']} | {rest} |"
+        )
+    lines += [
+        f"| **total** | **{len(names)}** "
+        f"| **{len(names) - len(never)}** | **{len(never)}** |",
+        "",
+        README_END,
+    ]
+    return "\n".join(lines)
+
 
 def render() -> tuple[str, int, int]:
     done, _attempts, cert_round = _entry._certification_state()
@@ -80,9 +133,23 @@ def main() -> None:
     else:
         text = block + "\n\n" + text
     open(path, "w").write(text)
+
+    rpath = os.path.join(HERE, "README.md")
+    rtext = open(rpath).read()
+    rblock = render_readme()
+    if README_BEGIN in rtext and README_END in rtext:
+        pre = rtext[: rtext.index(README_BEGIN)]
+        post = rtext[rtext.index(README_END) + len(README_END) :]
+        rtext = pre + rblock + post
+    else:
+        # First insertion: before the Layout section.
+        anchor = "\n## Layout"
+        idx = rtext.index(anchor)
+        rtext = rtext[:idx] + "\n" + rblock + "\n" + rtext[idx:]
+    open(rpath, "w").write(rtext)
     print(
         f"cert-debt table regenerated: {n_never}/{n_total} never-sampled, "
-        f"{n_total - n_never} certified"
+        f"{n_total - n_never} certified (STATUS.md + README.md)"
     )
 
 

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import importlib.util
 import os
+import re
 
 _SPEC = importlib.util.spec_from_file_location(
     "__spark_entry__",
@@ -94,28 +95,94 @@ def test_finalize_cached_modes(spark):
     assert got2.count() == 3
 
 
+# Skippable junk between the `*` and its operand when a hash expression
+# wraps across source lines: whitespace/newlines, string-literal breaks
+# (`" ... "` / `' ... '`, optionally f-prefixed), and `+` concatenation.
+# The `f` is only consumed as part of an f-string prefix (`f"`/`f'`), so
+# a genuine one-letter identifier operand is never skipped over.
+_HASH_LINT_JUNK = "(?:\\s|\"|'|\\+|\\\\|f\"|f')*"
+_HASH_MULT_LEFT = re.compile(r"\*" + _HASH_LINT_JUNK + r"$")
+_HASH_MULT_RIGHT = re.compile(r"^" + _HASH_LINT_JUNK + r"\*")
+_HASH_SAFE_LEFT = re.compile(
+    r"(%\s*\d+\s*\)|l_linenumber)" + _HASH_LINT_JUNK + r"\*"
+    + _HASH_LINT_JUNK + r"$"
+)
+_HASH_SAFE_RIGHT = re.compile(
+    r"^" + _HASH_LINT_JUNK + r"\*" + _HASH_LINT_JUNK
+    + r"(\(\s*[A-Za-z_][A-Za-z0-9_.]*\s*%\s*\d+\s*\)|l_linenumber)"
+)
+
+
+def _unreduced_hash_offences(text: str) -> list[int]:
+    """Line numbers of `<unreduced key> * 2654435761` occurrences.
+
+    Scans the WHOLE text with 160-char contexts around each constant so
+    a multiplication whose `*` and constant land on different lines
+    (wrapped SQL string fragments, implicit continuations) is still
+    classified as a multiplication — the round-10 ADVICE hole: the old
+    line-at-a-time scan silently skipped exactly the wrapped unsafe
+    form the lint was built to catch.
+    """
+    offences = []
+    for m in re.finditer(r"2654435761", text):
+        left = text[max(0, m.start() - 160) : m.start()]
+        right = text[m.end() : m.end() + 160]
+        mult_left = bool(_HASH_MULT_LEFT.search(left))
+        mult_right = bool(_HASH_MULT_RIGHT.search(right))
+        if not mult_left and not mult_right:
+            continue  # not a multiplication (comment, doc)
+        ok = (mult_left and _HASH_SAFE_LEFT.search(left)) or (
+            mult_right and _HASH_SAFE_RIGHT.search(right)
+        )
+        if not ok:
+            offences.append(text.count("\n", 0, m.start()) + 1)
+    return offences
+
+
+def test_unreduced_hash_lint_catches_wrapped_multiplications():
+    """Behavior pin for the lint helper (round-10 ADVICE): the `*` and
+    the constant on DIFFERENT lines — line-final `*` before the
+    constant line, line-initial `*` after it, and joined string-literal
+    fragments — must all still register as multiplications, reduced
+    forms must stay safe, and non-multiplication mentions must stay
+    ignored."""
+    # Wrapped unsafe forms — all must be flagged:
+    assert _unreduced_hash_offences("x = key *\n    2654435761\n") == [2]
+    assert _unreduced_hash_offences("x = (key\n * 2654435761)\n") == [2]
+    assert _unreduced_hash_offences(
+        '"SELECT o_orderkey *"\n" 2654435761 AS h"\n'
+    ) == [2]
+    assert _unreduced_hash_offences(
+        'f"SELECT 2654435761 "\n+ f"* o_orderkey"\n'
+    ) == [1]
+    # Wrapped SAFE forms — reduced key adjacent across the break:
+    assert not _unreduced_hash_offences(
+        '"(o_orderkey % 1048576) *"\n" 2654435761"\n'
+    )
+    assert not _unreduced_hash_offences(
+        "x = 2654435761 *\\\n    (key % 1048576)\n"
+    )
+    assert not _unreduced_hash_offences("y = l_linenumber *\n 2654435761\n")
+    # Non-multiplication mention (comment/doc): ignored.
+    assert not _unreduced_hash_offences("# the 2654435761 Knuth constant\n")
+    # One-letter identifier is NOT swallowed by the f-prefix junk rule:
+    assert _unreduced_hash_offences("z = (k % 7) + f *\n 2654435761\n") == [2]
+
+
 def test_no_unreduced_multiplicative_key_hashes():
     """Source lint for the ANSI-overflow class the 10x scale sweeps
     keep catching (14 ops across r09/r10): any `<key> * 2654435761`
     hash must reduce the key first (`% 1048576` / `% 100000`), because
     the probe tree's replica-shifted keys (~2^40) overflow int64 in the
     raw product. Scans every non-test source file for the Knuth
-    multiplier applied directly to an unreduced column name."""
+    multiplier applied directly to an unreduced operand — including
+    multiplications wrapped across lines (see
+    _unreduced_hash_offences). A `% m` reduction or `l_linenumber`
+    (<= 7 by fixture, the one raw column small enough to multiply
+    directly) adjacent on the multiplication side is safe."""
     import os
-    import re
 
     root = os.path.join(os.path.dirname(__file__), "..", "cdc_pubsub_spark")
-    # Every OCCURRENCE of the constant must be adjacent to a safe
-    # operand on its multiplication side — a parenthesized `% m`
-    # key reduction, or `l_linenumber` (<= 7 by fixture, the one raw
-    # column small enough to multiply directly). Checking occurrence
-    # context (not just identifier-times-constant) also catches the
-    # multiplier-first form `2654435761 * o_orderkey` and wrapped keys
-    # like `CAST(o_orderkey AS BIGINT) * 2654435761`.
-    safe_left = re.compile(r"(%\s*\d+\s*\)|l_linenumber)\s*\*\s*$")
-    safe_right = re.compile(
-        r"^\s*\*\s*(\(\s*[A-Za-z_][A-Za-z0-9_.]*\s*%\s*\d+\s*\)|l_linenumber)"
-    )
     offenders = []
     for dirpath, _dirs, files in os.walk(root):
         if "__pycache__" in dirpath:
@@ -124,19 +191,11 @@ def test_no_unreduced_multiplicative_key_hashes():
             if not fname.endswith(".py"):
                 continue
             path = os.path.join(dirpath, fname)
-            for i, line in enumerate(open(path), 1):
-                for m in re.finditer(r"2654435761", line):
-                    left = line[: m.start()]
-                    right = line[m.end() :]
-                    mult_left = left.rstrip().endswith("*")
-                    mult_right = right.lstrip().startswith("*")
-                    if not mult_left and not mult_right:
-                        continue  # not a multiplication (comment, doc)
-                    ok = (mult_left and safe_left.search(left)) or (
-                        mult_right and safe_right.search(right)
-                    )
-                    if not ok:
-                        offenders.append(f"{path}:{i}: {line.strip()[:90]}")
+            with open(path) as fh:
+                text = fh.read()
+            lines = text.splitlines()
+            for ln in _unreduced_hash_offences(text):
+                offenders.append(f"{path}:{ln}: {lines[ln - 1].strip()[:90]}")
     assert not offenders, (
         "unreduced key multiplied by 2654435761 — overflows int64 at "
         "replica-shifted probe keys; reduce the key (% 1048576) first:\n"

@@ -33,14 +33,17 @@ def test_minhash_lsh_matches_exact_near_dup(spark, sf_dir):
 
 def test_minhash_banded_subset_and_recall(spark, sf_dir):
     """dedup_minhash_banded (the bench variant — band tier only, no
-    prefix-filter safety net) is rows-only by design, so its guarantees
-    live here: (1) PRECISION 1 — every emitted pair passes the same
-    exact row-local verify, so the output is a subset of the all-pairs
-    truth with identical jaccard values; (2) RECALL = the b=4,r=4
-    S-curve — measured ≥ 0.95 on the planted corpus (the sf0.001 value
-    is 180/183; a drop below the floor means the fixture or salts
-    changed and the bench variant no longer represents the certified
-    op's cost shape)."""
+    prefix-filter safety net) carries a full collision-set oracle since
+    r11 (the portable md5+affine family, BANDED_PAIRS_SQL), but the
+    oracle replays the same formula — it certifies engine agreement,
+    not the S-curve semantics. Those stay pinned here: (1) PRECISION
+    1 — every emitted pair passes the same exact row-local verify, so
+    the output is a subset of the all-pairs truth with identical
+    jaccard values; (2) RECALL = the b=4,r=4 S-curve — measured ≥ 0.95
+    on the planted corpus (the sf0.001 value is 181/183 under the
+    portable family; a drop below the floor means the fixture or
+    coefficients changed and the bench variant no longer represents
+    the certified op's cost shape)."""
     exact_df = REGISTRY["dedup_near"].fn(spark, sf_dir)
     banded_df = REGISTRY["dedup_minhash_banded"].fn(spark, sf_dir)
     exact = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in exact_df.collect()}
@@ -52,6 +55,36 @@ def test_minhash_banded_subset_and_recall(spark, sf_dir):
     assert not mismatched, f"jaccard mismatch on {mismatched[:5]}"
     recall = len(banded) / len(exact)
     assert recall >= 0.95, f"banded recall {recall:.3f} < 0.95 floor"
+
+
+def test_portable_minhash_base_hash_parity(spark):
+    """The dedup_minhash_banded oracle bridge rests on one cross-engine
+    primitive: int64-of-first-15-md5-hex-chars must agree between Spark
+    (`conv(substr(md5(s),1,15),16,10)`) and DuckDB
+    (`('0x'||substr(md5(s),1,15))::BIGINT`). md5 itself is standardized;
+    this pins the hex-parse halves against each other on strings
+    shaped like real shingles (plus edge shapes: empty, unicode,
+    leading-zero hex digest)."""
+    import duckdb
+
+    samples = [
+        "", "a", "the quick brown", "fox jumps over", "naïve café",
+        "abc", "0", "lorem ipsum dolor", "12 34 56", "x" * 50,
+    ]
+    got = {
+        r["s"]: r["h"]
+        for r in spark.createDataFrame(
+            [(s,) for s in samples], "s string"
+        ).selectExpr(
+            "s", "cast(conv(substr(md5(s), 1, 15), 16, 10) as bigint) AS h"
+        ).collect()
+    }
+    con = duckdb.connect()
+    for s in samples:
+        want = con.sql(
+            "SELECT ('0x' || substr(md5(?), 1, 15))::BIGINT", params=[s]
+        ).fetchone()[0]
+        assert got[s] == want, f"hash divergence on {s!r}: {got[s]} != {want}"
 
 
 def test_ann_lsh_overlaps_brute_force(spark, sf_dir):

@@ -53,6 +53,9 @@ SPOT = [
     "dedup_levenshtein_block",  # r10 star cap: exact pair set at 10× corpus
     "ml_conformal_interval", # split-conformal quantile at 10× calib rows
     "graph_katz_centrality", # integer attenuated paths at 10× edges
+    # r11: the rows-only graduation — portable md5+affine band
+    # collisions must replay identically in DuckDB at 10× corpus:
+    "dedup_minhash_banded",
 ]
 
 
