@@ -20,26 +20,15 @@ def test_oracle_parity(spark, sf_correct, name):
     assert_parity(spark, name, sf_correct)
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY)
-def test_rows_only_runs(spark, sf_dir, name):
-    """Rows-only queries must at least run and return a stable schema."""
-    df = REGISTRY[name].fn(spark, sf_dir)
-    assert len(df.columns) > 0
-    assert df.count() >= 0
-
-
-def test_rows_only_ops_are_covered_by_tests():
-    """Integrity guard for the 'rows = semantics asserted in tests'
-    claim (SURVEY §2.B): every registered operator WITHOUT a SQL oracle
-    must be exercised by name somewhere in the test suite. A new
-    rows-only op without a semantic test fails here, not in a judge
-    review."""
-    import glob
-    import os
-
-    here = os.path.dirname(os.path.abspath(__file__))
-    src = "".join(
-        open(p).read() for p in glob.glob(os.path.join(here, "*.py"))
+def test_registry_is_fully_sql_oracled():
+    """Since r11 (dedup_minhash_banded's portable-family graduation) the
+    registry carries ZERO rows-only ops — every operator is hash-checked
+    against DuckDB. Pin that state: a future op registered without an
+    oracle is a deliberate contract regression and must either get one
+    (portable-hash bridges make even LSH collision sets expressible —
+    BANDED_PAIRS_SQL is the template) or consciously amend this pin AND
+    re-add the rows-only smoke/coverage guards this test replaced."""
+    assert ROWS_ONLY == [], (
+        f"ops registered without a SQL oracle: {ROWS_ONLY} — "
+        "the registry has been 100% SQL-oracled since r11"
     )
-    missing = [n for n in ROWS_ONLY if n not in src]
-    assert not missing, f"rows-only ops with no test coverage: {missing}"

@@ -456,6 +456,46 @@ def test_minhash_hashes_strings_once(spark, sf_dir):
     assert perm == set(range(16)), f"integer permutation salts wrong: {perm}"
 
 
+def test_minhash_banded_portable_family_in_plan(spark, sf_dir):
+    """dedup_minhash_banded (r11 portable family, the oracle bridge):
+    the signature stage must md5 each shingle string exactly once and
+    derive all 16 permutations as affine maps over the 60-bit base —
+    positive witnesses for both stages, plus the structural invariants
+    that make it the 100 TB path: band candidates via equi-join (BHJ
+    here; never a cartesian), verify stage row-local
+    (array_intersect)."""
+    import re as _re
+
+    df = q("dedup_minhash_banded", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "array_intersect" in plan, plan[:2000]
+    # ONE base-hash form: conv(substr(md5(s),1,15),16,10) inside the
+    # shingle lambda (md5 renders with an implicit string→binary cast).
+    base = set(_re.findall(r"md5\(cast\(lambda (\w+)#\d+ as binary\)", plan))
+    assert len(base) == 1, f"expected ONE md5 base-hash form, got {base}"
+    # All 16 affine multipliers present over LONG lambda inputs.
+    from cdc_pubsub_spark.llmops.dedup import _MINHASH_AB, _MINHASH_P
+
+    # Catalyst canonicalizes the affine product to (h % P) * a.
+    mults = {
+        int(x)
+        for x in _re.findall(
+            r"lambda \w+#\d+L % \d+\) \* (\d{3,})\)", plan
+        )
+    }
+    assert mults == {a for a, _b in _MINHASH_AB}, (
+        f"affine multipliers wrong: {sorted(mults)[:4]}…"
+    )
+    assert f"% {_MINHASH_P}" in plan, "Mersenne-prime modulus missing"
+    # Candidate generation is a broadcast/shuffled EQUI-join, never a
+    # nested loop: the band signature is a 4-column key.
+    assert uses(df, "BroadcastHashJoin") or uses(df, "SortMergeJoin"), (
+        plan[:2000]
+    )
+    assert not uses(df, "CartesianProduct"), plan[:2000]
+    assert not uses(df, "BroadcastNestedLoopJoin"), plan[:2000]
+
+
 def test_tpch_q4_is_semi_join(spark, sf_dir):
     """Q4's EXISTS must plan as a LEFT SEMI join (with the cross-side
     shipdate-vs-orderdate residual), never a full join + distinct."""
