@@ -56,43 +56,44 @@ OUTPUT_QUADRATIC = {
 # Launch order seed: known-heavy ops first so they overlap the long tail
 # of sub-second queries instead of serializing at the end.
 HEAVY_FIRST = [
-    # Re-seeded from the r10 close BENCH_DETAIL (measured UNCONTENDED
+    # Re-seeded from the r11 close BENCH_DETAIL (measured UNCONTENDED
     # serial_top descending, then the heaviest contended stragglers) —
     # serial cost is the right launch-priority signal because contended
-    # per-query times are dominated by queue time, not plan cost. The
-    # r09-era analogy seeds (data_skew, boilerplate, spatial grid) are
-    # replaced by their measured ranks.
+    # per-query times are dominated by queue time, not plan cost.
+    # Movers this round: dedup_minhash_banded up to #3 (the portable
+    # md5 family costs ~2.2 s serial vs 0.6 s under xxhash64) and
+    # profile_cramers_v down with its one-job refactor.
     "dedup_levenshtein_block",
-    "orders_assoc_rules",
     "basket_brand_pairs",
+    "dedup_minhash_banded",
+    "orders_assoc_rules",
+    "ml_conformal_interval",
     "dedup_incremental",
     "text_keyword_rake",
-    "profile_cramers_v",
+    "orders_abc_xyz",
     "tpch_q9_product_profit",
+    "profile_cramers_v",
+    "orders_rfm_atscale",
     "sim_ann_pq",
+    "graph_adamic_adar",
     "events_active_users",
-    "dedup_minhash_banded",
+    "graph_clustering_coefficient",
     "text_lm_perplexity",
     "text_bm25_topk",
+    "ml_kfold_cv",
+    "agg_theta_set_ops",
+    "graph_pagerank",
+    # heaviest contended beyond the serial-top 20 (queue-pressure tail):
+    "dedup_containment",
+    "events_ab_sprt",
+    "events_alert_debounce",
+    "corpus_curriculum_order",
+    "corpus_resample_to_mix",
     "dedup_embed_cosine",
     "profile_fd_check",
-    "graph_pagerank",
     "agg_kmv_theta_distinct",
-    "dedup_containment",
-    "corpus_resample_to_mix",
     "events_attribution",
     "join_bloom_pruned",
-    # heaviest contended beyond the serial-top 20 (queue-pressure tail):
-    "agg_theta_set_ops",
-    "graph_jaccard_neighbors",
-    "text_tfidf_topk",
-    "ml_conformal_interval",
-    "events_sessionize",
-    "orders_abc_xyz",
-    "sim_ann_ivf",
-    "graph_clustering_coefficient",
-    "orders_rfm_atscale",
-    "ml_kfold_cv",
 ]
 
 
