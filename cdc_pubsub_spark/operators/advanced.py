@@ -1842,36 +1842,39 @@ def profile_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     disagree on dayofweek() numbering, so the portable integer form
     is the shared definition.
 
-    Scale: per pair, the contingency groupBy is the only data-sized
-    pass (map-side combine onto ≤ 35 keys); margins re-aggregate the
-    cell relation, NOT the scan. The three pairs share one cached
-    projection of the scan's three columns. Level counts (r_levels,
-    c_levels) ride the same 1-row broadcast stat frame as n — no
+    Scale: ONE data-sized pass total — the scan aggregates straight to
+    the full (status × priority × dow) cell cube (map-side combine
+    onto ≤ 245 keys), and every pair's contingency is a re-aggregation
+    of those 245 cells, not of the scan (round-10 VERDICT item 5,
+    second half: the old shape ran one contingency groupBy over the
+    data PER PAIR — 3 full passes; at 100 TB this is 3× the scan and
+    shuffle for information the cube already holds). Level counts
+    (r_levels, c_levels) ride a 1-row broadcast stat frame — no
     per-pair driver actions, so the whole 3-pair matrix is ONE Spark
-    job at materialization (round-10 VERDICT item 5: the old shape's
-    rt.count()/ct.count() issued 2 extra jobs per pair and made this
-    the slowest benched wall entry under conc96).
+    job at materialization.
     """
     dow = _CRAMERS_DOW_SPARK
-    orders = (
+    cells = (
         load(spark, sf_dir, "orders")
         .selectExpr(
             "o_orderstatus",
             "o_orderpriority",
             f"{dow} AS dw",
         )
+        .groupBy("o_orderstatus", "o_orderpriority", "dw")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
         .persist()
     )
     outs = []
-    caches = [orders]
+    caches = [cells]
     for label, rex, cex in _CRAMERS_PAIRS:
         rex = rex.replace("DOW_EXPR", "dw")
         cex = cex.replace("DOW_EXPR", "dw")
         cont = (
-            orders.groupBy(
+            cells.groupBy(
                 F.expr(rex).alias("r"), F.expr(cex).alias("c")
             )
-            .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+            .agg(F.sum("cnt").cast("bigint").alias("o"))
             .persist()
         )
         caches.append(cont)
