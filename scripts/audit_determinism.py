@@ -25,7 +25,11 @@ import cdc_pubsub_spark.all_queries  # noqa: F401
 from cdc_pubsub_spark.registry import REGISTRY
 from cdc_pubsub_spark.session import get_spark
 from tests.parity import canonical_rows
-from tests.test_determinism import WALL_CLOCK  # the one declared exclusion
+
+# No exclusions since r10: the push-ingest twin graduated to a
+# deterministic batch-twin return (the wall-clock-dependent live
+# aggregate is verified in-op), emptying the old WALL_CLOCK set —
+# every registered op must be rerun-identical.
 
 
 def main() -> int:
@@ -34,14 +38,6 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     unstable, errors, skipped = [], [], []
     for name, spec in REGISTRY.items():
-        if name in WALL_CLOCK:
-            skipped.append(name)
-            # stream_push_ingest's row count is wall-clock-dependent BY
-            # DESIGN (rate source drained at a batch boundary) — rerun
-            # equality is not part of its contract, same exclusion as
-            # tests/test_determinism.py.
-            print(f"{name}: skipped (declared wall-clock)", flush=True)
-            continue
         try:
             r1 = canonical_rows(spec.fn(spark, sf).toPandas())
             r2 = canonical_rows(spec.fn(spark, sf).toPandas())
