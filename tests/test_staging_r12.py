@@ -1,0 +1,85 @@
+"""Parity + invariants for the STAGED r12 candidates (unregistered —
+see cdc_pubsub_spark/staging/__init__.py for why). These run the same
+sf0.01 oracle-differential gate as registered ops so that r12's
+promotion is a one-line register() with the evidence already standing.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from cdc_pubsub_spark.staging.r12 import ORACLES, STAGED
+
+from .parity import canonical_rows, duck_connection
+
+SF_CORRECT = "/root/testdata/sf0.01"
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+@pytest.mark.parametrize("name", sorted(STAGED))
+@pytest.mark.parametrize("sf", [SF_SMOKE, SF_CORRECT])
+def test_staged_oracle_parity(spark, name, sf):
+    sdf = STAGED[name](spark, sf).toPandas()
+    con = duck_connection(sf)  # hold the ref: .sql() resolves lazily
+    ddf = con.sql(ORACLES[name]).df()
+    assert sorted(sdf.columns) == sorted(ddf.columns)
+    assert canonical_rows(sdf) == canonical_rows(ddf), name
+
+
+def test_kmv_rollup_monotone_and_bounded(spark):
+    """Cumulative sketches only grow: est/exact are nondecreasing in
+    epoch, the estimate equals the exact count on the below-k branch
+    (sf0.001: 15 users < k=64), and on the estimating branch the
+    relative error stays inside the KMV 3/sqrt(k) envelope."""
+    rows = sorted(
+        STAGED["agg_kmv_epoch_rollup"](spark, SF_CORRECT).collect(),
+        key=lambda r: r["epoch"],
+    )
+    assert len(rows) == 6
+    for a, b in zip(rows, rows[1:]):
+        assert b["exact_users"] >= a["exact_users"]
+        assert b["est_users"] >= a["est_users"]
+    for r in rows:
+        if r["sketch_size"] < 64:
+            assert r["est_users"] == r["exact_users"]
+        else:
+            assert abs(r["est_users"] - r["exact_users"]) <= (
+                3 / 64**0.5
+            ) * r["exact_users"]
+    small = sorted(
+        STAGED["agg_kmv_epoch_rollup"](spark, SF_SMOKE).collect(),
+        key=lambda r: r["epoch"],
+    )
+    assert all(r["est_users"] == r["exact_users"] for r in small), (
+        "below-k prefixes must take the exact branch"
+    )
+
+
+def test_ar2_coefficients_stationary_range(spark):
+    """Fitted AR(2) must satisfy the stationarity triangle
+    (|φ2| < 1, φ2 ± φ1 < 1) for every event_type — daily revenue sums
+    of an i.i.d.-ish fixture are weakly autocorrelated, so wildly
+    out-of-triangle coefficients mean the integer moment algebra
+    broke, not that the data changed."""
+    rows = STAGED["ts_ar2_yule_walker"](spark, SF_CORRECT).collect()
+    assert rows
+    for r in rows:
+        assert abs(r["phi2"]) < 1, r
+        assert r["phi2"] + r["phi1"] < 1, r
+        assert r["phi2"] - r["phi1"] < 1, r
+        assert abs(r["r1"]) <= 1 and abs(r["r2"]) <= 1, r
+
+
+def test_overlay_grid_join_matches_quadratic_truth(spark):
+    """The grid-cell candidate join must lose nothing vs the direct
+    quadratic overlay (recall 1: any intersecting pair shares at least
+    one covering cell) and emit exact areas — compared pairwise
+    against a brute-force recomputation of the fixture geometry."""
+    rows = STAGED["join_polygon_overlay_area"](spark, SF_CORRECT).collect()
+    assert rows
+    con = duck_connection(SF_CORRECT)
+    truth = con.sql(ORACLES["join_polygon_overlay_area"]).fetchall()
+    assert [(r["rid_a"], r["rid_b"], r["area"]) for r in rows] == [
+        tuple(t) for t in truth
+    ]
+    assert all(r["area"] > 0 for r in rows)
