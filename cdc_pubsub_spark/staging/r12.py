@@ -474,14 +474,259 @@ ORACLE_OVERLAY = """
     """
 
 
+def ts_haar_wavelet_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haar wavelet energy spectrum per event_type over the first 16
+    days of the daily-value series — the multi-resolution companion to
+    ts_periodogram (Fourier asks "which frequency", Haar asks "which
+    SCALE carries the variance"; level 1 = day-to-day noise, level 4 =
+    week-scale drift). Four decomposition levels; per level the energy
+    is Σ detail² over the pairwise-difference coefficients.
+
+    Determinism: the series quantizes to integer cents, and all
+    coefficients stay EXACT integers in the wide type (detail² reaches
+    ~1e20 at bench scale — past int64, the ridge DECIMAL(38,0) /
+    HUGEINT pattern again); the reported energy is the exact integer
+    div 10^6 (micro-energy), never a float sum. Series assembly is
+    sort_array(collect_list(struct(day, x))) — the struct sort pins
+    the order, collect_list alone is shuffle-order-dependent. Scale:
+    one data-sized groupBy to the daily grid, then one 16-element
+    array fold per type — no windows, no second pass.
+    """
+    wide = "decimal(38,0)"
+    daily = (
+        load(spark, sf_dir, "events")
+        .selectExpr(
+            "event_type",
+            "CAST(date_trunc('DAY', ts) AS DATE) AS d",
+            "value",
+        )
+        .groupBy("event_type", "d")
+        .agg(
+            F.expr(
+                "CAST(floor(sum(value) * 100 + 0.5) AS BIGINT)"
+            ).alias("x")
+        )
+    )
+    series = (
+        daily.groupBy("event_type")
+        .agg(
+            F.expr(
+                "transform(slice(sort_array(collect_list(struct(d, x))),"
+                f" 1, 16), s -> cast(s.x as {wide}))"
+            ).alias("a0")
+        )
+        .filter(F.size("a0") == 16)
+    )
+    # Four unrolled Haar levels: details d_i = a[2i+1] − a[2i+2],
+    # approximations a'_i = a[2i+1] + a[2i+2] (1-based element_at).
+    cur = "a0"
+    level_frames = []
+    df = series
+    for lvl in range(1, 5):
+        half = 16 >> lvl
+        det = (
+            f"transform(sequence(0, {half - 1}), i ->"
+            f" element_at({cur}, 2*i+1) - element_at({cur}, 2*i+2))"
+        )
+        nxt = (
+            f"transform(sequence(0, {half - 1}), i ->"
+            f" element_at({cur}, 2*i+1) + element_at({cur}, 2*i+2))"
+        )
+        carried = [c for c in df.columns if c != "event_type"]
+        df = df.selectExpr(
+            "event_type", *carried, f"{det} AS det{lvl}",
+            f"{nxt} AS a{lvl}",
+        )
+        cur = f"a{lvl}"
+        energy = (
+            f"aggregate(det{lvl}, cast(0 as {wide}),"
+            " (acc, v) -> acc + v * v)"
+        )
+        level_frames.append(
+            (lvl, f"CAST(({energy}) div 1000000 AS BIGINT)")
+        )
+    outs = [
+        df.selectExpr(
+            "event_type",
+            f"CAST({lvl} AS INT) AS level",
+            f"{e} AS energy_micro",
+        )
+        for lvl, e in level_frames
+    ]
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("event_type", "level")
+
+
+ORACLE_HAAR = """
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    series AS (
+      SELECT event_type,
+             list_transform(
+               (list_sort(list({'d': d, 'x': x})))[1:16],
+               s -> CAST(s.x AS HUGEINT)) AS a0
+      FROM daily GROUP BY event_type
+      HAVING count(*) >= 16
+    ),
+    l1 AS (
+      SELECT event_type,
+        list_transform(range(0, 8), i -> a0[2*i+1] - a0[2*i+2]) AS det1,
+        list_transform(range(0, 8), i -> a0[2*i+1] + a0[2*i+2]) AS a1
+      FROM series
+    ),
+    l2 AS (
+      SELECT event_type, det1,
+        list_transform(range(0, 4), i -> a1[2*i+1] - a1[2*i+2]) AS det2,
+        list_transform(range(0, 4), i -> a1[2*i+1] + a1[2*i+2]) AS a2
+      FROM l1
+    ),
+    l3 AS (
+      SELECT event_type, det1, det2,
+        list_transform(range(0, 2), i -> a2[2*i+1] - a2[2*i+2]) AS det3,
+        list_transform(range(0, 2), i -> a2[2*i+1] + a2[2*i+2]) AS a3
+      FROM l2
+    ),
+    l4 AS (
+      SELECT event_type, det1, det2, det3,
+        list_transform(range(0, 1), i -> a3[2*i+1] - a3[2*i+2]) AS det4
+      FROM l3
+    ),
+    lv AS (
+      SELECT event_type, 1 AS level,
+             list_aggregate(list_transform(det1, v -> v * v), 'sum') AS e
+      FROM l4
+      UNION ALL
+      SELECT event_type, 2,
+             list_aggregate(list_transform(det2, v -> v * v), 'sum')
+      FROM l4
+      UNION ALL
+      SELECT event_type, 3,
+             list_aggregate(list_transform(det3, v -> v * v), 'sum')
+      FROM l4
+      UNION ALL
+      SELECT event_type, 4,
+             list_aggregate(list_transform(det4, v -> v * v), 'sum')
+      FROM l4
+    )
+    SELECT event_type, CAST(level AS INT) AS level,
+           CAST(e // 1000000 AS BIGINT) AS energy_micro
+    FROM lv
+    ORDER BY event_type, level
+    """
+
+
+def ml_quantile_pinball_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinball-loss evaluation of the naive-1 (previous-day) forecast
+    at q ∈ {0.1, 0.5, 0.9} per event_type — the standard scoring step
+    of any quantile-forecast pipeline (the q=0.5 row is half the MAE;
+    asymmetric rows price under/over-forecasting). A registered
+    forecaster (orders_forecast_*) plus this evaluator is the complete
+    train/score loop.
+
+    Determinism: residuals are integer cents and the loss multiplies
+    by 10q (integers 1/5/9), so every per-day loss is an EXACT integer
+    in deci-cent units; the only division is the final mean, floored
+    to 4dp via the house formula. Scale: one data-sized groupBy to the
+    daily grid, one lag window per type (bounded partitions), one
+    8-row output per 10 M input rows.
+    """
+    from pyspark.sql.window import Window
+
+    daily = (
+        load(spark, sf_dir, "events")
+        .selectExpr(
+            "event_type",
+            "CAST(date_trunc('DAY', ts) AS DATE) AS d",
+            "value",
+        )
+        .groupBy("event_type", "d")
+        .agg(
+            F.expr(
+                "CAST(floor(sum(value) * 100 + 0.5) AS BIGINT)"
+            ).alias("y")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    resid = daily.select(
+        "event_type",
+        (F.col("y") - F.lag("y", 1).over(w)).alias("r"),
+    ).filter(F.col("r").isNotNull())
+    qs = [(1, "q10"), (5, "q50"), (9, "q90")]
+    aggs = []
+    for tenq, label in qs:
+        # pinball·10 = max(10q·r, (10q−10)·r) — exact integers.
+        aggs.append(
+            F.sum(
+                F.greatest(
+                    F.col("r") * tenq, F.col("r") * (tenq - 10)
+                )
+            ).alias(f"s_{label}")
+        )
+    g = resid.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), *aggs
+    )
+    out = g.selectExpr(
+        "event_type",
+        "n AS n_days",
+        *[
+            # deci-cent integer sum → mean in currency units, 4dp:
+            # sum / (n · 10 · 100), floor-quantized.
+            f"floor(CAST(s_{label} AS DOUBLE)"
+            f" / (CAST(n AS DOUBLE) * 1000e0)"
+            f" * 10000 + 0.5) / 10000 AS pinball_{label}"
+            for _tenq, label in qs
+        ],
+    ).orderBy("event_type")
+    return out
+
+
+ORACLE_PINBALL = """
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    resid AS (
+      SELECT event_type,
+             y - lag(y, 1) OVER (PARTITION BY event_type ORDER BY d) AS r
+      FROM daily
+    ),
+    g AS (
+      SELECT event_type, count(*) AS n,
+             sum(greatest(r * 1, r * (1 - 10))) AS s_q10,
+             sum(greatest(r * 5, r * (5 - 10))) AS s_q50,
+             sum(greatest(r * 9, r * (9 - 10))) AS s_q90
+      FROM resid WHERE r IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type, n AS n_days,
+           floor(CAST(s_q10 AS DOUBLE) / (CAST(n AS DOUBLE) * 1000e0)
+                 * 10000 + 0.5) / 10000 AS pinball_q10,
+           floor(CAST(s_q50 AS DOUBLE) / (CAST(n AS DOUBLE) * 1000e0)
+                 * 10000 + 0.5) / 10000 AS pinball_q50,
+           floor(CAST(s_q90 AS DOUBLE) / (CAST(n AS DOUBLE) * 1000e0)
+                 * 10000 + 0.5) / 10000 AS pinball_q90
+    FROM g
+    ORDER BY event_type
+    """
+
+
 STAGED = {
     "agg_kmv_epoch_rollup": agg_kmv_epoch_rollup,
     "ts_ar2_yule_walker": ts_ar2_yule_walker,
     "join_polygon_overlay_area": join_polygon_overlay_area,
+    "ts_haar_wavelet_energy": ts_haar_wavelet_energy,
+    "ml_quantile_pinball_eval": ml_quantile_pinball_eval,
 }
 
 ORACLES = {
     "agg_kmv_epoch_rollup": ORACLE_KMV,
     "ts_ar2_yule_walker": ORACLE_AR2,
     "join_polygon_overlay_area": ORACLE_OVERLAY,
+    "ts_haar_wavelet_energy": ORACLE_HAAR,
+    "ml_quantile_pinball_eval": ORACLE_PINBALL,
 }

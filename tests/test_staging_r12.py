@@ -70,6 +70,34 @@ def test_ar2_coefficients_stationary_range(spark):
         assert abs(r["r1"]) <= 1 and abs(r["r2"]) <= 1, r
 
 
+def test_haar_energy_shape_and_nonnegativity(spark):
+    """Each event_type must emit exactly levels 1-4 with nonnegative
+    integer energies, and coarse levels must not all vanish (the
+    fixture's daily sums have real week-scale variation — all-zero
+    coarse energy means the pairwise-sum cascade broke)."""
+    rows = STAGED["ts_haar_wavelet_energy"](spark, SF_CORRECT).collect()
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for t, rs in by_type.items():
+        assert sorted(x["level"] for x in rs) == [1, 2, 3, 4], t
+        assert all(x["energy_micro"] >= 0 for x in rs), t
+        assert sum(x["energy_micro"] for x in rs) > 0, t
+
+
+def test_pinball_symmetry_identity(spark):
+    """Exact pinball identity: L_q(r) + L_{1-q}(r) = |r|, so the q10
+    and q90 means must sum to twice the q50 mean (= MAE) up to the
+    4 dp output quantization — an algebra-level check the oracle's
+    hash pass cannot distinguish from a consistently-wrong formula."""
+    rows = STAGED["ml_quantile_pinball_eval"](spark, SF_CORRECT).collect()
+    assert rows
+    for r in rows:
+        lhs = r["pinball_q10"] + r["pinball_q90"]
+        rhs = 2 * r["pinball_q50"]
+        assert abs(lhs - rhs) <= 3e-4, r
+
+
 def test_overlay_grid_join_matches_quadratic_truth(spark):
     """The grid-cell candidate join must lose nothing vs the direct
     quadratic overlay (recall 1: any intersecting pair shares at least
