@@ -98,6 +98,23 @@ def test_pinball_symmetry_identity(spark):
         assert abs(lhs - rhs) <= 3e-4, r
 
 
+def test_bloom_contamination_no_false_negatives(spark):
+    """Bloom filters must never miss a member: every exact probe-gram
+    hit is bloom-flagged, so per doc n_flagged == n_exact + n_fp (the
+    three sums are aggregated independently in-plan — the identity
+    failing would mean a member gram's bits were NOT all in the bloom,
+    i.e. a false negative). The planted contamination must also
+    actually surface (some doc with n_exact >= 1)."""
+    rows = STAGED["corpus_contamination_bloom"](spark, SF_CORRECT).collect()
+    assert rows
+    for r in rows:
+        assert r["n_flagged"] == r["n_exact"] + r["n_fp"], r
+        assert r["n_flagged"] >= 1
+    assert any(r["n_exact"] >= 1 for r in rows), (
+        "planted probe grams must be found in their source docs"
+    )
+
+
 def test_overlay_grid_join_matches_quadratic_truth(spark):
     """The grid-cell candidate join must lose nothing vs the direct
     quadratic overlay (recall 1: any intersecting pair shares at least
