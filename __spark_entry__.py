@@ -120,9 +120,9 @@ def _certification_state() -> tuple[set[str], dict[str, int], dict[str, int]]:
 
 # Ops whose implementation or oracle CHANGED this round: their accumulated
 # certification predates the change, so they jump the certified tail until a
-# CORRECTNESS round has hash-checked the new contract. Round 11 set (the
-# five r10 entries all drew green r10 rows and returned to the
-# stalest-first tail):
+# CORRECTNESS round has hash-checked the new contract. Round 11 window was
+# 2 recertifies (the two entries below) + 47 never-sampled + 1
+# stalest-certified backfill; all 50 drew green r11 rows:
 _RECERTIFY = [
     # Graduated from rows-only to a full collision-set SQL oracle
     # (round-10 VERDICT item 2): the op now runs on the engine-portable

@@ -53,7 +53,10 @@ def agg_kmv_epoch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines produce the identical integer); when a prefix holds fewer
     than k distinct hashes the estimate is the exact sketch size
     (standard KMV small-cardinality rule — exercised at sf0.001 where
-    only 15 users exist). ``exact_users`` rides along via the
+    only 15 users exist). The reduced divisor is clamped to ≥1 on both
+    engines: hk div 2^20 = 0 needs the k-th smallest 60-bit hash below
+    2^20 (~2^46 distinct users), astronomically unlikely but not a
+    reason to leave a /0 on the estimating branch. ``exact_users`` rides along via the
     first-epoch-per-user trick (min(epoch) per user + running count —
     one distinct agg, no prefix re-scans), so the oracle certifies
     estimate AND truth.
@@ -93,9 +96,13 @@ def agg_kmv_epoch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr(
             "epoch",
             "sketch_size",
+            # greatest(..., 1): the reduced k-th hash is zero only if
+            # hk < 2^20 (≈ requires 2^46 distinct users — but an
+            # unguarded /0 on the estimating branch is still a bug;
+            # round-11 ADVICE). Clamp identically on both engines.
             f"CASE WHEN sketch_size < {_KMV_K} THEN sketch_size "
             f"ELSE ({_KMV_K} - 1) * {_KMV_DOMAIN}L div "
-            f"(hk div {_KMV_SHIFT}) END AS est_users",
+            f"greatest(hk div {_KMV_SHIFT}, 1L) END AS est_users",
         )
     )
     first_epoch = (
@@ -167,7 +174,8 @@ ORACLE_KMV = f"""
     )
     SELECT k.epoch, k.sketch_size,
            CASE WHEN k.sketch_size < {_KMV_K} THEN k.sketch_size
-                ELSE ({_KMV_K} - 1) * {_KMV_DOMAIN} // (k.hk // {_KMV_SHIFT})
+                ELSE ({_KMV_K} - 1) * {_KMV_DOMAIN}
+                     // greatest(k.hk // {_KMV_SHIFT}, 1)
            END AS est_users,
            e.exact_users
     FROM kth k JOIN exact e ON e.epoch = k.epoch
@@ -195,6 +203,11 @@ def ts_ar2_yule_walker(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines). Scale: one data-sized groupBy to the daily grid, then
     per-type windows over ≤31 rows — partitioned, bounded, no global
     window.
+
+    Degenerate-series rule: groups with zero variance (g0 = 0 —
+    constant daily series) are dropped, and |r1| = 1 (zero Yule-Walker
+    denominator) yields NULL phi1/phi2 — identical CASE on both
+    engines, so the contract holds beyond the fixture distributions.
     """
     from pyspark.sql.window import Window
 
@@ -261,6 +274,15 @@ def ts_ar2_yule_walker(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"({g1}) AS g1v",
             f"({g2}) AS g2v",
         )
+        # Degenerate-series rule (round-11 ADVICE): a CONSTANT series
+        # has g0 = 0 (no variance — autocorrelation undefined), and a
+        # perfectly alternating/linear one can hit |r1| = 1 (zero YW
+        # denominator). Neither occurs in the fixtures, but the op's
+        # contract is cross-engine identity at ANY input: g0 = 0 rows
+        # are dropped (Spark `div` NULLs where DuckDB `//` errors —
+        # divergent), and |r1| = 1 emits NULL coefficients via the
+        # same CASE on both engines.
+        .filter("g0 <> 0")
         .selectExpr(
             "event_type",
             "n",
@@ -272,17 +294,21 @@ def ts_ar2_yule_walker(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n AS n_days",
             "floor(CAST(r1m AS DOUBLE) / 1e6 * 10000 + 0.5) / 10000 AS r1",
             "floor(CAST(r2m AS DOUBLE) / 1e6 * 10000 + 0.5) / 10000 AS r2",
-            "floor((CAST(r1m AS DOUBLE) / 1e6)"
+            "CASE WHEN r1m * r1m = 1000000000000"
+            " THEN CAST(NULL AS DOUBLE) ELSE"
+            " floor((CAST(r1m AS DOUBLE) / 1e6)"
             " * (1e0 - CAST(r2m AS DOUBLE) / 1e6)"
             " / (1e0 - (CAST(r1m AS DOUBLE) / 1e6)"
             "         * (CAST(r1m AS DOUBLE) / 1e6))"
-            " * 10000 + 0.5) / 10000 AS phi1",
-            "floor((CAST(r2m AS DOUBLE) / 1e6"
+            " * 10000 + 0.5) / 10000 END AS phi1",
+            "CASE WHEN r1m * r1m = 1000000000000"
+            " THEN CAST(NULL AS DOUBLE) ELSE"
+            " floor((CAST(r2m AS DOUBLE) / 1e6"
             "  - (CAST(r1m AS DOUBLE) / 1e6)"
             "    * (CAST(r1m AS DOUBLE) / 1e6))"
             " / (1e0 - (CAST(r1m AS DOUBLE) / 1e6)"
             "         * (CAST(r1m AS DOUBLE) / 1e6))"
-            " * 10000 + 0.5) / 10000 AS phi2",
+            " * 10000 + 0.5) / 10000 END AS phi2",
         )
         .orderBy("event_type")
     )
@@ -330,21 +356,26 @@ ORACLE_AR2 = """
              CAST(g1v * 1000000 // g0 AS BIGINT) AS r1m,
              CAST(g2v * 1000000 // g0 AS BIGINT) AS r2m
       FROM mom
+      WHERE g0 <> 0
     )
     SELECT event_type, n AS n_days,
            floor(CAST(r1m AS DOUBLE) / 1e6 * 10000 + 0.5) / 10000 AS r1,
            floor(CAST(r2m AS DOUBLE) / 1e6 * 10000 + 0.5) / 10000 AS r2,
+           CASE WHEN r1m * r1m = 1000000000000
+                THEN CAST(NULL AS DOUBLE) ELSE
            floor((CAST(r1m AS DOUBLE) / 1e6)
                  * (1e0 - CAST(r2m AS DOUBLE) / 1e6)
                  / (1e0 - (CAST(r1m AS DOUBLE) / 1e6)
                         * (CAST(r1m AS DOUBLE) / 1e6))
-                 * 10000 + 0.5) / 10000 AS phi1,
+                 * 10000 + 0.5) / 10000 END AS phi1,
+           CASE WHEN r1m * r1m = 1000000000000
+                THEN CAST(NULL AS DOUBLE) ELSE
            floor((CAST(r2m AS DOUBLE) / 1e6
                   - (CAST(r1m AS DOUBLE) / 1e6)
                     * (CAST(r1m AS DOUBLE) / 1e6))
                  / (1e0 - (CAST(r1m AS DOUBLE) / 1e6)
                         * (CAST(r1m AS DOUBLE) / 1e6))
-                 * 10000 + 0.5) / 10000 AS phi2
+                 * 10000 + 0.5) / 10000 END AS phi2
     FROM ratios
     ORDER BY event_type
     """

@@ -142,10 +142,17 @@ def main() -> None:
         post = rtext[rtext.index(README_END) + len(README_END) :]
         rtext = pre + rblock + post
     else:
-        # First insertion: before the Layout section.
+        # First insertion: before the Layout section when present,
+        # else appended at end-of-file — a missing anchor must not
+        # abort the close script after STATUS.md was already rewritten
+        # (round-11 ADVICE: uncaught ValueError left a half-updated
+        # close).
         anchor = "\n## Layout"
-        idx = rtext.index(anchor)
-        rtext = rtext[:idx] + "\n" + rblock + "\n" + rtext[idx:]
+        idx = rtext.find(anchor)
+        if idx >= 0:
+            rtext = rtext[:idx] + "\n" + rblock + "\n" + rtext[idx:]
+        else:
+            rtext = rtext.rstrip("\n") + "\n\n" + rblock + "\n"
     open(rpath, "w").write(rtext)
     print(
         f"cert-debt table regenerated: {n_never}/{n_total} never-sampled, "
