@@ -120,30 +120,20 @@ def _certification_state() -> tuple[set[str], dict[str, int], dict[str, int]]:
 
 # Ops whose implementation or oracle CHANGED this round: their accumulated
 # certification predates the change, so they jump the certified tail until a
-# CORRECTNESS round has hash-checked the new contract. Round 11 window was
-# 2 recertifies (the two entries below) + 47 never-sampled + 1
-# stalest-certified backfill; all 50 drew green r11 rows:
-_RECERTIFY = [
-    # Graduated from rows-only to a full collision-set SQL oracle
-    # (round-10 VERDICT item 2): the op now runs on the engine-portable
-    # md5+affine hash family (llmops/dedup.py BANDED_PAIRS_SQL), so its
-    # r07 `no_oracle` row must be replaced by a hash-checked one — this
-    # closes the registry's last rows-only hole (378 SQL / 0 rows-only).
-    "dedup_minhash_banded",
-    # Round-10 VERDICT item 5: level counts folded into the broadcast
-    # stat frame (no per-pair rt.count()/ct.count() driver actions —
-    # the whole 3-pair matrix is one job). Values unchanged by
-    # construction, but the source changed, so the certification must
-    # postdate it.
-    "profile_cramers_v",
-]
+# CORRECTNESS round has hash-checked the new contract. Round 11's window was
+# 2 recertifies + 47 never-sampled + 1 stalest-certified backfill; all 50
+# drew green r11 rows, completing the drain (every registry op has been
+# driver-certified at least once). Round 12 changes NO certified op, so the
+# set is empty: the window is the 8 new r12 ops (6 staged promotions + 2
+# streaming-state ops — never-certified, they lead via rest_new) + 42
+# stalest-certified slots (the 13 r03 ops, then r04 in registration order),
+# executing the rolling-recertification policy below.
+_RECERTIFY: list[str] = []
 
-# New ops added THIS round, deliberately pushed to the END of the ordering
-# (they lead the NEXT round's window as never-certified ops). Round 11
-# finishes the drain (round-10 VERDICT item 1): the registry stays FROZEN at
-# 378 ops and the set below stays EMPTY — the window takes the 1 recertify
-# (minhash_banded's new oracle) + the 47 remaining never-sampled ops + 2
-# stalest-certified backfill slots, completing 378/378-ever-certified.
+# New ops added THIS round that should be pushed to the END of the ordering
+# (used when the window is already full of higher-priority slots; round 12
+# has 42 free stale slots, so its 8 new ops ride the window directly and
+# the set stays empty).
 #
 # ROLLING RECERTIFICATION POLICY from r12 onward (round-10 VERDICT item 3):
 # with never-sampled at zero, every ~50-slot window is _RECERTIFY entries

@@ -2960,3 +2960,103 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_pubsub_spark.tables import finalize_cached
 
     return finalize_cached(out, rows_in, scored)
+
+
+# --- r12 pinball-loss promotion (from staging/r12 at round 12) --------
+
+ORACLE_PINBALL = """
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    resid AS (
+      SELECT event_type,
+             y - lag(y, 1) OVER (PARTITION BY event_type ORDER BY d) AS r
+      FROM daily
+    ),
+    g AS (
+      SELECT event_type, count(*) AS n,
+             sum(greatest(r * 1, r * (1 - 10))) AS s_q10,
+             sum(greatest(r * 5, r * (5 - 10))) AS s_q50,
+             sum(greatest(r * 9, r * (9 - 10))) AS s_q90
+      FROM resid WHERE r IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type, n AS n_days,
+           floor(CAST(s_q10 AS DOUBLE) / (CAST(n AS DOUBLE) * 1000e0)
+                 * 10000 + 0.5) / 10000 AS pinball_q10,
+           floor(CAST(s_q50 AS DOUBLE) / (CAST(n AS DOUBLE) * 1000e0)
+                 * 10000 + 0.5) / 10000 AS pinball_q50,
+           floor(CAST(s_q90 AS DOUBLE) / (CAST(n AS DOUBLE) * 1000e0)
+                 * 10000 + 0.5) / 10000 AS pinball_q90
+    FROM g
+    ORDER BY event_type
+    """
+
+
+@register(
+    "ml_quantile_pinball_eval",
+    category="ml",
+    oracle=ORACLE_PINBALL,
+)
+def ml_quantile_pinball_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinball-loss evaluation of the naive-1 (previous-day) forecast
+    at q ∈ {0.1, 0.5, 0.9} per event_type — the standard scoring step
+    of any quantile-forecast pipeline (the q=0.5 row is half the MAE;
+    asymmetric rows price under/over-forecasting). A registered
+    forecaster (orders_forecast_*) plus this evaluator is the complete
+    train/score loop.
+
+    Determinism: residuals are integer cents and the loss multiplies
+    by 10q (integers 1/5/9), so every per-day loss is an EXACT integer
+    in deci-cent units; the only division is the final mean, floored
+    to 4dp via the house formula. Scale: one data-sized groupBy to the
+    daily grid, one lag window per type (bounded partitions), one
+    8-row output per 10 M input rows.
+    """
+    daily = (
+        load(spark, sf_dir, "events")
+        .selectExpr(
+            "event_type",
+            "CAST(date_trunc('DAY', ts) AS DATE) AS d",
+            "value",
+        )
+        .groupBy("event_type", "d")
+        .agg(
+            F.expr(
+                "CAST(floor(sum(value) * 100 + 0.5) AS BIGINT)"
+            ).alias("y")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    resid = daily.select(
+        "event_type",
+        (F.col("y") - F.lag("y", 1).over(w)).alias("r"),
+    ).filter(F.col("r").isNotNull())
+    qs = [(1, "q10"), (5, "q50"), (9, "q90")]
+    aggs = []
+    for tenq, label in qs:
+        # pinball·10 = max(10q·r, (10q−10)·r) — exact integers.
+        aggs.append(
+            F.sum(
+                F.greatest(
+                    F.col("r") * tenq, F.col("r") * (tenq - 10)
+                )
+            ).alias(f"s_{label}")
+        )
+    g = resid.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), *aggs
+    )
+    out = g.selectExpr(
+        "event_type",
+        "n AS n_days",
+        *[
+            # deci-cent integer sum → mean in currency units, 4dp:
+            # sum / (n · 10 · 100), floor-quantized.
+            f"floor(CAST(s_{label} AS DOUBLE)"
+            f" / (CAST(n AS DOUBLE) * 1000e0)"
+            f" * 10000 + 0.5) / 10000 AS pinball_{label}"
+            for _tenq, label in qs
+        ],
+    ).orderBy("event_type")
+    return out

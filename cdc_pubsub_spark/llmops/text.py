@@ -2120,3 +2120,172 @@ def text_lm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_pubsub_spark.tables import finalize_cached
 
     return finalize_cached(out, cbg)
+
+
+# --- r12 bloom decontamination promotion (from staging/r12 at round 12) ---
+
+from cdc_pubsub_spark.llmops.dedup import _MINHASH_AB, _MINHASH_P  # noqa: E402
+
+_BLOOM_M = 4096  # bits
+_BLOOM_K = 3  # salts — the first three _MINHASH_AB affine maps
+
+
+_BLOOM_BIT_SQL = ", ".join(
+    f"(({a} * (h % {_MINHASH_P}) + {b}) % {_MINHASH_P}) % {_BLOOM_M}"
+    for a, b in _MINHASH_AB[:_BLOOM_K]
+)
+
+ORACLE_BLOOM = f"""
+    WITH {{corpus_cte}},
+    probes AS (
+      SELECT DISTINCT
+        array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ')
+          AS gram
+      FROM documents
+      WHERE doc_id % 50 = 0 AND len(string_split(text, ' ')) >= 8
+    ),
+    ph AS (
+      SELECT gram,
+             ('0x' || substr(md5(gram), 1, 15))::BIGINT AS h
+      FROM probes
+    ),
+    bloom AS (
+      SELECT list_sort(list(DISTINCT b)) AS bloom_bits
+      FROM (
+        SELECT unnest([{_BLOOM_BIT_SQL}]) AS b FROM ph
+      )
+    ),
+    corpus_grams AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(len(string_split(text, ' ')) - 7),
+               i -> array_to_string(
+                      list_slice(string_split(text, ' '), i + 1, i + 8),
+                      ' ')))
+               AS gram
+      FROM corpus
+      WHERE len(string_split(text, ' ')) >= 8
+    ),
+    gb AS (
+      SELECT doc_id, gram,
+             [{_BLOOM_BIT_SQL}] AS gbits
+      FROM (
+        SELECT doc_id, gram,
+               ('0x' || substr(md5(gram), 1, 15))::BIGINT AS h
+        FROM corpus_grams
+      )
+    ),
+    fl AS (
+      SELECT g.doc_id,
+             list_has_all(bl.bloom_bits, g.gbits) AS bloom_hit,
+             p.gram IS NOT NULL AS exact_hit
+      FROM gb g
+      CROSS JOIN bloom bl
+      LEFT JOIN probes p ON p.gram = g.gram
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged,
+           CAST(sum(CASE WHEN exact_hit THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact,
+           CAST(sum(CASE WHEN bloom_hit AND NOT exact_hit THEN 1
+                         ELSE 0 END) AS BIGINT) AS n_fp
+    FROM fl
+    GROUP BY doc_id
+    HAVING sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) > 0
+    ORDER BY n_flagged DESC, doc_id
+    LIMIT 20
+    """
+
+ORACLE_BLOOM = ORACLE_BLOOM.format(corpus_cte=CORPUS_CTE.strip())
+
+
+@register(
+    "corpus_contamination_bloom",
+    category="corpus",
+    oracle=ORACLE_BLOOM,
+)
+def corpus_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination over the dup-planted corpus — the
+    fixed-size counterpart to text_contamination's exact broadcast
+    join. The benchmark probe set is compressed to an M=4096-bit bloom
+    (K=3 portable affine hashes of the md5 gram hash); corpus 8-grams
+    test membership ROW-LOCALLY against the broadcast bit list —
+    forall(bits) ∈ bloom. This is the shape a 100 TB decontamination
+    pass takes when the benchmark may not ship verbatim (privacy) or
+    when the needle set outgrows a broadcast hash relation: the filter
+    is O(M) bytes regardless of probe count, the corpus is scanned
+    once, and NOTHING shuffles.
+
+    Bloom filters have no false negatives (every exact hit is flagged
+    — asserted in tests) and deterministic false positives under the
+    fixed hash family: the op reports flagged/exact/fp counts per doc
+    so the FP rate is observable data, not a hidden property. The
+    oracle replays the identical bits in DuckDB (list_has_all), so
+    even the FP set is hash-certified — same bridge as
+    dedup_minhash_banded.
+    """
+    from cdc_pubsub_spark.llmops.corpus import dup_corpus, shingle_rows
+
+    P = _MINHASH_P
+    docs = load(spark, sf_dir, "documents")
+    sp = F.split(F.col("text"), " ")
+    probes = (
+        docs.filter((F.col("doc_id") % 50 == 0) & (F.size(sp) >= 8))
+        .select(F.concat_ws(" ", F.slice(sp, 1, 8)).alias("gram"))
+        .distinct()
+    )
+    hash_expr = (
+        "cast(conv(substr(md5(gram), 1, 15), 16, 10) as bigint)"
+    )
+    bit_exprs = [
+        f"(({a}L * (({hash_expr}) % {P}L) + {b}L) % {P}L) % {_BLOOM_M}"
+        for a, b in _MINHASH_AB[:_BLOOM_K]
+    ]
+    bloom = (
+        probes.selectExpr(f"array({', '.join(bit_exprs)}) AS bits")
+        .select(F.explode("bits").alias("b"))
+        .agg(F.expr("sort_array(collect_set(b))").alias("bloom_bits"))
+    )
+    grams = shingle_rows(dup_corpus(spark, sf_dir), 8).withColumnRenamed(
+        "shingle", "gram"
+    ).distinct()
+    flagged = (
+        grams.selectExpr(
+            "doc_id",
+            "gram",
+            f"array({', '.join(bit_exprs)}) AS gbits",
+        )
+        .crossJoin(F.broadcast(bloom))
+        .selectExpr(
+            "doc_id",
+            "gram",
+            "forall(gbits, b -> array_contains(bloom_bits, b))"
+            " AS bloom_hit",
+        )
+    )
+    pg = probes.select(F.col("gram").alias("pgram"))
+    out = (
+        flagged.join(
+            F.broadcast(pg), F.col("gram") == F.col("pgram"), "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("bloom_hit"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_flagged"),
+            F.sum(F.when(F.col("pgram").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_exact"),
+            F.sum(
+                F.when(
+                    F.col("bloom_hit") & F.col("pgram").isNull(), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_fp"),
+        )
+        .filter(F.col("n_flagged") > 0)
+        .orderBy(F.desc("n_flagged"), "doc_id")
+        .limit(20)
+    )
+    return out

@@ -1364,3 +1364,173 @@ def agg_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return finalize_cached(out, ha, hb, un)
+
+
+# --- KMV epoch rollup (promoted from staging/r12 at round 12) ----------
+#
+# Portable 60-bit hash (the r11 dedup_minhash_banded bridge — md5 is the
+# one hash family Spark and DuckDB share bit-for-bit).
+_KMV_HASH_SPARK = (
+    "cast(conv(substr(md5(cast(user_id AS STRING)), 1, 15), 16, 10)"
+    " as bigint)"
+)
+_KMV_HASH_DUCK = (
+    "('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT"
+)
+
+_KMV_K = 64
+# Hashes are uniform on [0, 2^60); the KMV estimate divides (k-1) by
+# the k-th smallest. To keep the numerator in int64 the hash is
+# order-preservingly reduced to [0, 2^40) (integer div by 2^20):
+# (k-1) * 2^40 = 63 * 1.1e12 ≈ 6.9e13 — ANSI-safe at any scale.
+_KMV_DOMAIN = 1 << 40
+_KMV_SHIFT = 1 << 20
+
+ORACLE_KMV = f"""
+    WITH ev AS (
+      SELECT (CAST(dayofmonth(ts) AS INT) - 1) // 5 AS epoch,
+             {_KMV_HASH_DUCK} AS h, user_id
+      FROM events
+    ),
+    hashes AS (SELECT DISTINCT epoch, h FROM ev),
+    sketch AS (
+      SELECT epoch, h FROM (
+        SELECT epoch, h,
+               row_number() OVER (PARTITION BY epoch ORDER BY h) AS rk
+        FROM hashes
+      ) WHERE rk <= {_KMV_K}
+    ),
+    merged AS (
+      SELECT DISTINCT e.epoch, s.h
+      FROM (SELECT DISTINCT epoch FROM hashes) e
+      JOIN sketch s ON s.epoch <= e.epoch
+    ),
+    kth AS (
+      SELECT epoch,
+             CAST(max(rk) AS BIGINT) AS sketch_size,
+             max(CASE WHEN rk = {_KMV_K} THEN h END) AS hk
+      FROM (
+        SELECT epoch, h,
+               row_number() OVER (PARTITION BY epoch ORDER BY h) AS rk
+        FROM merged
+      ) GROUP BY epoch
+    ),
+    fe AS (
+      SELECT min((CAST(dayofmonth(ts) AS INT) - 1) // 5) AS fe
+      FROM events GROUP BY user_id
+    ),
+    fec AS (SELECT fe, count(*) AS nu FROM fe GROUP BY fe),
+    exact AS (
+      SELECT e.epoch, CAST(sum(f.nu) AS BIGINT) AS exact_users
+      FROM (SELECT DISTINCT epoch FROM hashes) e
+      JOIN fec f ON f.fe <= e.epoch
+      GROUP BY e.epoch
+    )
+    SELECT k.epoch, k.sketch_size,
+           CASE WHEN k.sketch_size < {_KMV_K} THEN k.sketch_size
+                ELSE ({_KMV_K} - 1) * {_KMV_DOMAIN}
+                     // greatest(k.hk // {_KMV_SHIFT}, 1)
+           END AS est_users,
+           e.exact_users
+    FROM kth k JOIN exact e ON e.epoch = k.epoch
+    ORDER BY k.epoch
+    """
+
+
+@register(
+    "agg_kmv_epoch_rollup",
+    category="aggregates",
+    oracle=ORACLE_KMV,
+)
+def agg_kmv_epoch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct-user estimation by KMV (k-minimum-values)
+    sketch MERGE across 5-day epochs — the mergeable-sketch rollup a
+    CDC pipeline runs when "distinct users to date" must be cheap at
+    every epoch boundary without rescanning history.
+
+    Per epoch the sketch is the k=64 smallest DISTINCT portable hashes
+    (exact top-k-per-group: one distinct shuffle then a rank ≤ k
+    window — WindowGroupLimit, bounded state, the 100 TB shape). The
+    cumulative sketch for epoch e is the MERGE of epochs 0..e: union
+    the (≤ #epochs × k)-row sketch relation, take the k smallest
+    again — sketch merges never touch the data a second time, which
+    is the entire point of KMV. Estimate = (k−1)·2^40 div h_k
+    (integer division on the order-preservingly reduced hash: both
+    engines produce the identical integer); when a prefix holds fewer
+    than k distinct hashes the estimate is the exact sketch size
+    (standard KMV small-cardinality rule — exercised at sf0.001 where
+    only 15 users exist). The reduced divisor is clamped to ≥1 on both
+    engines: hk div 2^20 = 0 needs the k-th smallest 60-bit hash below
+    2^20 (~2^46 distinct users), astronomically unlikely but not a
+    reason to leave a /0 on the estimating branch. ``exact_users``
+    rides along via the first-epoch-per-user trick (min(epoch) per
+    user + running count — one distinct agg, no prefix re-scans), so
+    the oracle certifies estimate AND truth.
+    """
+    ev = load(spark, sf_dir, "events").selectExpr(
+        "int(dayofmonth(ts) - 1) div 5 AS epoch",
+        f"{_KMV_HASH_SPARK} AS h",
+        "user_id",
+    )
+    hashes = ev.select("epoch", "h").distinct().persist()
+    w = Window.partitionBy("epoch").orderBy("h")
+    sketch = (
+        hashes.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _KMV_K)
+        .select("epoch", "h")
+    )
+    # Merge: every epoch e sees every sketch row from f <= e; the
+    # sketch relation is tiny (#epochs × k), so the theta-join is a
+    # broadcast of sketch rows, never data.
+    epochs = hashes.select("epoch").distinct().alias("e")
+    merged = epochs.join(
+        F.broadcast(sketch.alias("s")),
+        F.col("s.epoch") <= F.col("e.epoch"),
+    ).select(F.col("e.epoch").alias("epoch"), "h").distinct()
+    wm = Window.partitionBy("epoch").orderBy("h")
+    kth = (
+        merged.withColumn("rk", F.row_number().over(wm))
+        .groupBy("epoch")
+        .agg(
+            F.max("rk").cast("bigint").alias("sketch_size"),
+            F.max(
+                F.when(F.col("rk") == _KMV_K, F.col("h"))
+            ).alias("hk"),
+        )
+        .selectExpr(
+            "epoch",
+            "sketch_size",
+            # greatest(..., 1): the reduced k-th hash is zero only if
+            # hk < 2^20 (≈ requires 2^46 distinct users — but an
+            # unguarded /0 on the estimating branch is still a bug;
+            # round-11 ADVICE). Clamp identically on both engines.
+            f"CASE WHEN sketch_size < {_KMV_K} THEN sketch_size "
+            f"ELSE ({_KMV_K} - 1) * {_KMV_DOMAIN}L div "
+            f"greatest(hk div {_KMV_SHIFT}, 1L) END AS est_users",
+        )
+    )
+    first_epoch = (
+        load(spark, sf_dir, "events")
+        .selectExpr("int(dayofmonth(ts) - 1) div 5 AS epoch", "user_id")
+        .groupBy("user_id")
+        .agg(F.min("epoch").alias("fe"))
+        .groupBy("fe")
+        .agg(F.count(F.lit(1)).alias("nu"))
+    )
+    # Every rollup epoch needs its exact row even when no NEW user
+    # appears in it (with a small user domain everyone is seen in
+    # epoch 0): carry the cumulative count to all epochs via the same
+    # tiny broadcast theta-join used for the sketch merge.
+    exact = (
+        epochs.join(
+            F.broadcast(first_epoch), F.col("fe") <= F.col("e.epoch")
+        )
+        .groupBy(F.col("e.epoch").alias("epoch"))
+        .agg(F.sum("nu").cast("bigint").alias("exact_users"))
+    )
+    out = (
+        kth.join(exact, "epoch")
+        .select("epoch", "sketch_size", "est_users", "exact_users")
+        .orderBy("epoch")
+    )
+    return finalize_cached(out, hashes)

@@ -6392,3 +6392,357 @@ def events_anomaly_shesd(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_pubsub_spark.tables import finalize_cached
 
     return finalize_cached(out, daily, cur)
+
+
+# --- r12 time-series promotions (from staging/r12 at round 12) --------
+
+ORACLE_AR2 = """
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT event_type, x,
+             lag(x, 1) OVER (PARTITION BY event_type ORDER BY d) AS x1,
+             lag(x, 2) OVER (PARTITION BY event_type ORDER BY d) AS x2
+      FROM daily
+    ),
+    g AS (
+      SELECT event_type,
+             count(*) AS n,
+             sum(x) AS s,
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(CAST(x AS HUGEINT) * x1) AS sx1,
+             sum(CAST(x AS HUGEINT) * x2) AS sx2,
+             sum(CASE WHEN x1 IS NOT NULL THEN x END) AS sa1,
+             sum(CASE WHEN x1 IS NOT NULL THEN x1 END) AS sb1,
+             sum(CASE WHEN x2 IS NOT NULL THEN x END) AS sa2,
+             sum(CASE WHEN x2 IS NOT NULL THEN x2 END) AS sb2,
+             count(x1) AS n1,
+             count(x2) AS n2
+      FROM lagged GROUP BY event_type
+    ),
+    mom AS (
+      SELECT event_type, n,
+             CAST(n AS HUGEINT) * sxx - CAST(s AS HUGEINT) * s AS g0,
+             CAST(n1 AS HUGEINT) * sx1
+               - CAST(sa1 AS HUGEINT) * sb1 AS g1v,
+             CAST(n2 AS HUGEINT) * sx2
+               - CAST(sa2 AS HUGEINT) * sb2 AS g2v
+      FROM g
+    ),
+    ratios AS (
+      SELECT event_type, n,
+             CAST(g1v * 1000000 // g0 AS BIGINT) AS r1m,
+             CAST(g2v * 1000000 // g0 AS BIGINT) AS r2m
+      FROM mom
+      WHERE g0 <> 0
+    )
+    SELECT event_type, n AS n_days,
+           floor(CAST(r1m AS DOUBLE) / 1e6 * 10000 + 0.5) / 10000 AS r1,
+           floor(CAST(r2m AS DOUBLE) / 1e6 * 10000 + 0.5) / 10000 AS r2,
+           CASE WHEN r1m * r1m = 1000000000000
+                THEN CAST(NULL AS DOUBLE) ELSE
+           floor((CAST(r1m AS DOUBLE) / 1e6)
+                 * (1e0 - CAST(r2m AS DOUBLE) / 1e6)
+                 / (1e0 - (CAST(r1m AS DOUBLE) / 1e6)
+                        * (CAST(r1m AS DOUBLE) / 1e6))
+                 * 10000 + 0.5) / 10000 END AS phi1,
+           CASE WHEN r1m * r1m = 1000000000000
+                THEN CAST(NULL AS DOUBLE) ELSE
+           floor((CAST(r2m AS DOUBLE) / 1e6
+                  - (CAST(r1m AS DOUBLE) / 1e6)
+                    * (CAST(r1m AS DOUBLE) / 1e6))
+                 / (1e0 - (CAST(r1m AS DOUBLE) / 1e6)
+                        * (CAST(r1m AS DOUBLE) / 1e6))
+                 * 10000 + 0.5) / 10000 END AS phi2
+    FROM ratios
+    ORDER BY event_type
+    """
+
+
+@register(
+    "ts_ar2_yule_walker",
+    category="composite",
+    oracle=ORACLE_AR2,
+)
+def ts_ar2_yule_walker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AR(2) coefficients per event_type via Yule-Walker over the
+    daily value series — the first real model-fitting step of a
+    forecasting pipeline (orders_forecast_* are smoothers; this is the
+    autoregressive tier).
+
+    Determinism: the daily series quantizes to integer cents, and the
+    mean-centered autocovariances use the n-scaled integer identity
+    (x_t−μ)(x_{t+k}−μ)·n² = (n·x_t−S)(n·x_{t+k}−S) — exact integers,
+    but the products exceed int64 at bench scale (n·x ≈ 5e9, squared
+    ≈ 2.5e19), so both engines compute them in their exact wide type
+    (Spark DECIMAL(38,0), DuckDB HUGEINT — the ridge-moments pattern,
+    llmops/ml.py). The YW solve uses micro-quantized integer ratios
+    r_k = G_k·10^6 div G_0 (identical integers cross-engine), then
+    φ1 = r1(1−r2)/(1−r1²), φ2 = (r2−r1²)/(1−r1²) in DOUBLE, rounded
+    4dp. Lag alignment is by ROW sequence over the ordered existing
+    days (missing fixture days shift the sequence identically on both
+    engines). Scale: one data-sized groupBy to the daily grid, then
+    per-type windows over ≤31 rows — partitioned, bounded, no global
+    window.
+
+    Degenerate-series rule: groups with zero variance (g0 = 0 —
+    constant daily series) are dropped, and |r1| = 1 (zero Yule-Walker
+    denominator) yields NULL phi1/phi2 — identical CASE on both
+    engines, so the contract holds beyond the fixture distributions.
+    """
+    daily = (
+        load(spark, sf_dir, "events")
+        .selectExpr(
+            "event_type",
+            "CAST(date_trunc('DAY', ts) AS DATE) AS d",
+            "value",
+        )
+        .groupBy("event_type", "d")
+        .agg(
+            F.expr(
+                "CAST(floor(sum(value) * 100 + 0.5) AS BIGINT)"
+            ).alias("x")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    lagged = daily.select(
+        "event_type",
+        "x",
+        F.lag("x", 1).over(w).alias("x1"),
+        F.lag("x", 2).over(w).alias("x2"),
+    )
+    wide = "DECIMAL(38,0)"
+    g = (
+        lagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("s"),
+            F.sum(F.col("x").cast(wide) * F.col("x").cast(wide)).alias("sxx"),
+            F.sum(F.col("x").cast(wide) * F.col("x1").cast(wide)).alias("sx1"),
+            F.sum(F.col("x").cast(wide) * F.col("x2").cast(wide)).alias("sx2"),
+            F.sum(F.when(F.col("x1").isNotNull(), F.col("x"))).alias("sa1"),
+            F.sum(F.when(F.col("x1").isNotNull(), F.col("x1"))).alias("sb1"),
+            F.sum(F.when(F.col("x2").isNotNull(), F.col("x"))).alias("sa2"),
+            F.sum(F.when(F.col("x2").isNotNull(), F.col("x2"))).alias("sb2"),
+            F.count("x1").alias("n1"),
+            F.count("x2").alias("n2"),
+        )
+    )
+    # n-scaled centered moments (exact integers in DECIMAL(38,0)):
+    # G0 = n·Σx² − S², Gk = n·Σ(x_t·x_{t−k}) − S·Σx_t|pairs −
+    #      S·Σx_{t−k}|pairs + m_k·S² scaled consistently — to keep the
+    # algebra simple (and IDENTICAL on both engines) the covariances
+    # use the per-lag pair means: Gk = n_k·Σ(x·x_k) − Σx|k·Σx_k|k,
+    # G0 likewise with n and S. Ratios are micro-quantized integers.
+    expr = (
+        "CAST(n AS DECIMAL(38,0)) * sxx - CAST(s AS DECIMAL(38,0)) * s"
+    )
+    g1 = (
+        "CAST(n1 AS DECIMAL(38,0)) * sx1 -"
+        " CAST(sa1 AS DECIMAL(38,0)) * sb1"
+    )
+    g2 = (
+        "CAST(n2 AS DECIMAL(38,0)) * sx2 -"
+        " CAST(sa2 AS DECIMAL(38,0)) * sb2"
+    )
+    out = (
+        g.selectExpr(
+            "event_type",
+            "n",
+            f"({expr}) AS g0",
+            f"({g1}) AS g1v",
+            f"({g2}) AS g2v",
+        )
+        # Degenerate-series rule (round-11 ADVICE): a CONSTANT series
+        # has g0 = 0 (no variance — autocorrelation undefined), and a
+        # perfectly alternating/linear one can hit |r1| = 1 (zero YW
+        # denominator). Neither occurs in the fixtures, but the op's
+        # contract is cross-engine identity at ANY input: g0 = 0 rows
+        # are dropped (Spark `div` NULLs where DuckDB `//` errors —
+        # divergent), and |r1| = 1 emits NULL coefficients via the
+        # same CASE on both engines.
+        .filter("g0 <> 0")
+        .selectExpr(
+            "event_type",
+            "n",
+            "CAST(g1v * 1000000 div g0 AS BIGINT) AS r1m",
+            "CAST(g2v * 1000000 div g0 AS BIGINT) AS r2m",
+        )
+        .selectExpr(
+            "event_type",
+            "n AS n_days",
+            "floor(CAST(r1m AS DOUBLE) / 1e6 * 10000 + 0.5) / 10000 AS r1",
+            "floor(CAST(r2m AS DOUBLE) / 1e6 * 10000 + 0.5) / 10000 AS r2",
+            "CASE WHEN r1m * r1m = 1000000000000"
+            " THEN CAST(NULL AS DOUBLE) ELSE"
+            " floor((CAST(r1m AS DOUBLE) / 1e6)"
+            " * (1e0 - CAST(r2m AS DOUBLE) / 1e6)"
+            " / (1e0 - (CAST(r1m AS DOUBLE) / 1e6)"
+            "         * (CAST(r1m AS DOUBLE) / 1e6))"
+            " * 10000 + 0.5) / 10000 END AS phi1",
+            "CASE WHEN r1m * r1m = 1000000000000"
+            " THEN CAST(NULL AS DOUBLE) ELSE"
+            " floor((CAST(r2m AS DOUBLE) / 1e6"
+            "  - (CAST(r1m AS DOUBLE) / 1e6)"
+            "    * (CAST(r1m AS DOUBLE) / 1e6))"
+            " / (1e0 - (CAST(r1m AS DOUBLE) / 1e6)"
+            "         * (CAST(r1m AS DOUBLE) / 1e6))"
+            " * 10000 + 0.5) / 10000 END AS phi2",
+        )
+        .orderBy("event_type")
+    )
+    return out
+
+
+ORACLE_HAAR = """
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    series AS (
+      SELECT event_type,
+             list_transform(
+               (list_sort(list({'d': d, 'x': x})))[1:16],
+               s -> CAST(s.x AS HUGEINT)) AS a0
+      FROM daily GROUP BY event_type
+      HAVING count(*) >= 16
+    ),
+    l1 AS (
+      SELECT event_type,
+        list_transform(range(0, 8), i -> a0[2*i+1] - a0[2*i+2]) AS det1,
+        list_transform(range(0, 8), i -> a0[2*i+1] + a0[2*i+2]) AS a1
+      FROM series
+    ),
+    l2 AS (
+      SELECT event_type, det1,
+        list_transform(range(0, 4), i -> a1[2*i+1] - a1[2*i+2]) AS det2,
+        list_transform(range(0, 4), i -> a1[2*i+1] + a1[2*i+2]) AS a2
+      FROM l1
+    ),
+    l3 AS (
+      SELECT event_type, det1, det2,
+        list_transform(range(0, 2), i -> a2[2*i+1] - a2[2*i+2]) AS det3,
+        list_transform(range(0, 2), i -> a2[2*i+1] + a2[2*i+2]) AS a3
+      FROM l2
+    ),
+    l4 AS (
+      SELECT event_type, det1, det2, det3,
+        list_transform(range(0, 1), i -> a3[2*i+1] - a3[2*i+2]) AS det4
+      FROM l3
+    ),
+    lv AS (
+      SELECT event_type, 1 AS level,
+             list_aggregate(list_transform(det1, v -> v * v), 'sum') AS e
+      FROM l4
+      UNION ALL
+      SELECT event_type, 2,
+             list_aggregate(list_transform(det2, v -> v * v), 'sum')
+      FROM l4
+      UNION ALL
+      SELECT event_type, 3,
+             list_aggregate(list_transform(det3, v -> v * v), 'sum')
+      FROM l4
+      UNION ALL
+      SELECT event_type, 4,
+             list_aggregate(list_transform(det4, v -> v * v), 'sum')
+      FROM l4
+    )
+    SELECT event_type, CAST(level AS INT) AS level,
+           CAST(e // 1000000 AS BIGINT) AS energy_micro
+    FROM lv
+    ORDER BY event_type, level
+    """
+
+
+@register(
+    "ts_haar_wavelet_energy",
+    category="composite",
+    oracle=ORACLE_HAAR,
+)
+def ts_haar_wavelet_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Haar wavelet energy spectrum per event_type over the first 16
+    days of the daily-value series — the multi-resolution companion to
+    ts_periodogram (Fourier asks "which frequency", Haar asks "which
+    SCALE carries the variance"; level 1 = day-to-day noise, level 4 =
+    week-scale drift). Four decomposition levels; per level the energy
+    is Σ detail² over the pairwise-difference coefficients.
+
+    Determinism: the series quantizes to integer cents, and all
+    coefficients stay EXACT integers in the wide type (detail² reaches
+    ~1e20 at bench scale — past int64, the ridge DECIMAL(38,0) /
+    HUGEINT pattern again); the reported energy is the exact integer
+    div 10^6 (micro-energy), never a float sum. Series assembly is
+    sort_array(collect_list(struct(day, x))) — the struct sort pins
+    the order, collect_list alone is shuffle-order-dependent. Scale:
+    one data-sized groupBy to the daily grid, then one 16-element
+    array fold per type — no windows, no second pass.
+    """
+    wide = "decimal(38,0)"
+    daily = (
+        load(spark, sf_dir, "events")
+        .selectExpr(
+            "event_type",
+            "CAST(date_trunc('DAY', ts) AS DATE) AS d",
+            "value",
+        )
+        .groupBy("event_type", "d")
+        .agg(
+            F.expr(
+                "CAST(floor(sum(value) * 100 + 0.5) AS BIGINT)"
+            ).alias("x")
+        )
+    )
+    series = (
+        daily.groupBy("event_type")
+        .agg(
+            F.expr(
+                "transform(slice(sort_array(collect_list(struct(d, x))),"
+                f" 1, 16), s -> cast(s.x as {wide}))"
+            ).alias("a0")
+        )
+        .filter(F.size("a0") == 16)
+    )
+    # Four unrolled Haar levels: details d_i = a[2i+1] − a[2i+2],
+    # approximations a'_i = a[2i+1] + a[2i+2] (1-based element_at).
+    cur = "a0"
+    level_frames = []
+    df = series
+    for lvl in range(1, 5):
+        half = 16 >> lvl
+        det = (
+            f"transform(sequence(0, {half - 1}), i ->"
+            f" element_at({cur}, 2*i+1) - element_at({cur}, 2*i+2))"
+        )
+        nxt = (
+            f"transform(sequence(0, {half - 1}), i ->"
+            f" element_at({cur}, 2*i+1) + element_at({cur}, 2*i+2))"
+        )
+        carried = [c for c in df.columns if c != "event_type"]
+        df = df.selectExpr(
+            "event_type", *carried, f"{det} AS det{lvl}",
+            f"{nxt} AS a{lvl}",
+        )
+        cur = f"a{lvl}"
+        energy = (
+            f"aggregate(det{lvl}, cast(0 as {wide}),"
+            " (acc, v) -> acc + v * v)"
+        )
+        level_frames.append(
+            (lvl, f"CAST(({energy}) div 1000000 AS BIGINT)")
+        )
+    outs = [
+        df.selectExpr(
+            "event_type",
+            f"CAST({lvl} AS INT) AS level",
+            f"{e} AS energy_micro",
+        )
+        for lvl, e in level_frames
+    ]
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("event_type", "level")

@@ -1416,3 +1416,135 @@ def join_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("zone")
     )
+
+
+# --- r12 spatial overlay promotion (from staging/r12 at round 12) -----
+
+# Deterministic rectangle fixtures derived from nation/supplier keys —
+# two overlapping 5×5 layouts with different strides so intersections
+# exist but are not total. Keys reduce `% 1048576` FIRST (identity at
+# every shipped sf; the 10×-probe tree's replica-shifted keys ~2^40
+# otherwise overflow the INT rectangle coordinates — this op was the
+# probe's third catch of that class, at staging time).
+_RECT_A_SPARK = (
+    "SELECT n_nationkey AS rid_a,"
+    " ((n_nationkey % 1048576) % 5) * 10 AS x0a,"
+    " ((n_nationkey % 1048576) div 5) * 10 AS y0a,"
+    " ((n_nationkey % 1048576) % 5) * 10 + 8 + (n_nationkey % 3) AS x1a,"
+    " ((n_nationkey % 1048576) div 5) * 10 + 7 + (n_nationkey % 4) AS y1a"
+)
+_RECT_B_SPARK = (
+    "SELECT s_suppkey AS rid_b,"
+    " ((s_suppkey % 1048576) % 6) * 9 + 3 AS x0b,"
+    " ((s_suppkey % 1048576) div 6) * 9 + 2 AS y0b,"
+    " ((s_suppkey % 1048576) % 6) * 9 + 3 + 6 + (s_suppkey % 5) AS x1b,"
+    " ((s_suppkey % 1048576) div 6) * 9 + 2 + 5 + (s_suppkey % 7) AS y1b"
+)
+
+
+ORACLE_OVERLAY = """
+    WITH ra AS (
+      SELECT n_nationkey AS rid_a,
+             ((n_nationkey % 1048576) % 5) * 10 AS x0a,
+             ((n_nationkey % 1048576) // 5) * 10 AS y0a,
+             ((n_nationkey % 1048576) % 5) * 10 + 8
+               + (n_nationkey % 3) AS x1a,
+             ((n_nationkey % 1048576) // 5) * 10 + 7
+               + (n_nationkey % 4) AS y1a
+      FROM nation
+    ),
+    rb AS (
+      SELECT s_suppkey AS rid_b,
+             ((s_suppkey % 1048576) % 6) * 9 + 3 AS x0b,
+             ((s_suppkey % 1048576) // 6) * 9 + 2 AS y0b,
+             ((s_suppkey % 1048576) % 6) * 9 + 3 + 6
+               + (s_suppkey % 5) AS x1b,
+             ((s_suppkey % 1048576) // 6) * 9 + 2 + 5
+               + (s_suppkey % 7) AS y1b
+      FROM supplier
+    )
+    SELECT rid_a, rid_b,
+           CAST(greatest(0, least(x1a, x1b) - greatest(x0a, x0b))
+                * greatest(0, least(y1a, y1b) - greatest(y0a, y0b))
+                AS BIGINT) AS area
+    FROM ra CROSS JOIN rb
+    WHERE greatest(0, least(x1a, x1b) - greatest(x0a, x0b))
+          * greatest(0, least(y1a, y1b) - greatest(y0a, y0b)) > 0
+    ORDER BY area DESC, rid_a, rid_b
+    LIMIT 20
+    """
+
+
+@register(
+    "join_polygon_overlay_area",
+    category="joins",
+    oracle=ORACLE_OVERLAY,
+)
+def join_polygon_overlay_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise overlay AREAS between two axis-aligned rectangle sets
+    (nation-derived layer A × supplier-derived layer B) — the spatial
+    overlay join done the scale way: cover each rectangle with 10×10
+    grid cells (explode of a bounded sequence), EQUI-join on the cell,
+    dedup candidate pairs, then the exact row-local intersection test
+    — never rectangle × rectangle. At 100 TB this is the standard
+    spatial partitioning recipe (grid/quadtree bucket join); fan-out
+    per rectangle is its cell cover, bounded by geometry size, not by
+    layer cardinality. The oracle cross-checks with the direct
+    quadratic overlay (fine at fixture scale — it is the declared
+    ground-truth twin, same relationship as dedup_near to the minhash
+    tiers).
+
+    Output: one row per intersecting pair with the exact integer
+    intersection area, total-ordered (area desc, rid_a, rid_b),
+    top 20.
+    """
+    nation = load(spark, sf_dir, "nation")
+    supplier = load(spark, sf_dir, "supplier")
+    nation.createOrReplaceTempView("nation_tv")
+    supplier.createOrReplaceTempView("supplier_tv")
+    ra = spark.sql(_RECT_A_SPARK + " FROM nation_tv")
+    rb = spark.sql(_RECT_B_SPARK + " FROM supplier_tv")
+    # Cell id = cx·2^32 + cy in BIGINT — collision-free for any
+    # in-range coordinate (an int32-packed id collides across columns
+    # at probe-tree coordinates; collisions only cost extra verified
+    # candidates, but free is free).
+    ca = ra.select(
+        "rid_a", "x0a", "y0a", "x1a", "y1a",
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(y0a div 10,"
+                " (y1a - 1) div 10), cy ->"
+                " transform(sequence(x0a div 10,"
+                " (x1a - 1) div 10), cx ->"
+                " cast(cx as bigint) * 4294967296 + cy)))"
+            )
+        ).alias("cell"),
+    )
+    cb = rb.select(
+        "rid_b", "x0b", "y0b", "x1b", "y1b",
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(y0b div 10,"
+                " (y1b - 1) div 10), cy ->"
+                " transform(sequence(x0b div 10,"
+                " (x1b - 1) div 10), cx ->"
+                " cast(cx as bigint) * 4294967296 + cy)))"
+            )
+        ).alias("cell"),
+    )
+    ix = "greatest(0, least(x1a, x1b) - greatest(x0a, x0b))"
+    iy = "greatest(0, least(y1a, y1b) - greatest(y0a, y0b))"
+    out = (
+        ca.join(cb, "cell")
+        .select("rid_a", "rid_b", "x0a", "y0a", "x1a", "y1a",
+                "x0b", "y0b", "x1b", "y1b")
+        .distinct()
+        .selectExpr(
+            "rid_a", "rid_b",
+            f"CAST(({ix}) * ({iy}) AS BIGINT) AS area",
+        )
+        .filter(F.col("area") > 0)
+        .orderBy(F.desc("area"), "rid_a", "rid_b")
+        .limit(20)
+    )
+    return out

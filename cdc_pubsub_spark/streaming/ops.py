@@ -2023,3 +2023,179 @@ def stream_windowed_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("distinct_users"))
         .orderBy("window_start_s")
     )
+
+
+# --- r12 streaming-state growth (round-11 VERDICT item 4) --------------
+
+
+@register(
+    "stream_interval_join",
+    category="streaming",
+    bench=False,
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_type, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS tus
+      FROM events
+    )
+    SELECT p.user_id AS user_id,
+           CAST(count(*) AS BIGINT)                  AS n_pairs,
+           CAST(count(DISTINCT p.event_id) AS BIGINT) AS n_purchases_hit
+    FROM ev p JOIN ev c
+      ON p.user_id = c.user_id
+     AND c.tus >= p.tus - 300000000
+     AND c.tus <= p.tus + 300000000
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    GROUP BY p.user_id
+    """,
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream INTERVAL join: purchases joined to clicks of the
+    same user within ±5 minutes — the two-sided event-time interval
+    that lets Spark bound state on BOTH sides.
+
+    The sibling `stream_stream_join` is one-sided (errors strictly
+    after the purchase), so only the right buffer gets a state
+    watermark; here the condition brackets the click time from both
+    directions (`p_ts − 5min ≤ c_ts ≤ p_ts + 5min`), which is the
+    canonical requirement for a symmetric stream-stream join whose
+    BOTH buffers evict as the watermark advances — the shape an
+    unbounded 100 TB/day pipeline must use or its join state grows
+    with the stream, not the watermark (state eviction asserted from
+    StreamingQueryProgress in tests/test_streaming.py). Oracle: the
+    batch interval-join twin in epoch-micros.
+    """
+    input_dir = write_events_ndjson(spark, sf_dir, "ivjoin")
+    purchases = (
+        read_event_stream(spark, input_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    clicks = (
+        read_event_stream(spark, input_dir)
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("c_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 5 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts") + F.expr("INTERVAL 5 MINUTES")),
+    ).select("p_user", "p_id", "c_id")
+    sink = run_to_completion(joined, "ivjoin", "append")
+    return sink.groupBy(F.col("p_user").alias("user_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.countDistinct("p_id").cast("bigint").alias("n_purchases_hit"),
+    )
+
+
+@register(
+    "stream_session_join",
+    category="streaming",
+    bench=False,
+    oracle="""
+    WITH typed AS (
+      SELECT user_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      FROM events
+      WHERE event_type IN ('purchase', 'error')
+    ),
+    ordered AS (
+      SELECT user_id, event_type, ts_us,
+             CASE WHEN ts_us - lag(ts_us) OVER (
+                    PARTITION BY user_id, event_type ORDER BY ts_us)
+                  >= 1800000000
+               OR lag(ts_us) OVER (
+                    PARTITION BY user_id, event_type ORDER BY ts_us)
+                  IS NULL
+             THEN 1 ELSE 0 END AS new_session
+      FROM typed
+    ),
+    islands AS (
+      SELECT user_id, event_type, ts_us,
+             sum(new_session) OVER (
+               PARTITION BY user_id, event_type ORDER BY ts_us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS sid
+      FROM ordered
+    ),
+    sessions AS (
+      SELECT user_id, event_type,
+             min(ts_us) AS start_us,
+             max(ts_us) + 1800000000 AS end_us
+      FROM islands GROUP BY user_id, event_type, sid
+    )
+    SELECT p.user_id AS user_id,
+           CAST(count(*) AS BIGINT) AS n_overlaps,
+           CAST(count(DISTINCT p.start_us) AS BIGINT) AS n_p_sessions
+    FROM sessions p JOIN sessions e
+      ON p.user_id = e.user_id
+     AND p.start_us < e.end_us
+     AND e.start_us < p.end_us
+    WHERE p.event_type = 'purchase' AND e.event_type = 'error'
+    GROUP BY p.user_id
+    """,
+)
+def stream_session_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-window JOIN: per-user purchase sessions overlap-joined
+    to the same user's error sessions (30-minute inactivity gap on
+    both) — "did errors cluster while the user was buying?".
+
+    Both session relations are REAL streaming `session_window`
+    aggregations (state-store-merged, watermarked — the stateful
+    operator whose per-key state the RocksDB store exists for; its
+    watermark-driven eviction is asserted from StreamingQueryProgress
+    in tests/test_streaming.py). The overlap join runs on the drained
+    session relations — interval overlap (`p.start < e.end AND
+    e.start < p.end`), the composition a 100 TB pipeline uses because
+    joining two session STREAMS directly is not expressible with
+    bounded state (session assignment itself is the stateful step;
+    the session relation is ~5 orders smaller than the event stream).
+    Oracle: gaps-and-islands twice (the stream_session boundary
+    convention: gap ≥ 30 min starts a new island, session end = last
+    event + gap) + the same overlap join in SQL.
+    """
+    input_dir = write_events_ndjson(spark, sf_dir, "sessjoin")
+
+    def sessions_of(event_type: str, tag: str) -> DataFrame:
+        stream = (
+            read_event_stream(spark, input_dir)
+            .filter(F.col("event_type") == event_type)
+            .withWatermark("ts", "1 hour")
+        )
+        agg = stream.groupBy(
+            F.session_window("ts", "30 minutes"), F.col("user_id")
+        ).agg(F.count(F.lit(1)).alias("n_events"))
+        out = run_to_completion(agg, f"sessjoin_{tag}", "complete")
+        return out.select(
+            F.col("user_id").alias(f"{tag}_user"),
+            F.unix_micros(F.col("session_window.start")).alias(
+                f"{tag}_start_us"
+            ),
+            F.unix_micros(F.col("session_window.end")).alias(
+                f"{tag}_end_us"
+            ),
+        )
+
+    p = sessions_of("purchase", "p")
+    e = sessions_of("error", "e")
+    joined = p.join(
+        e,
+        (F.col("p_user") == F.col("e_user"))
+        & (F.col("p_start_us") < F.col("e_end_us"))
+        & (F.col("e_start_us") < F.col("p_end_us")),
+    )
+    return joined.groupBy(F.col("p_user").alias("user_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_overlaps"),
+        F.countDistinct("p_start_us").cast("bigint").alias("n_p_sessions"),
+    )

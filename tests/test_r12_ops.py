@@ -1,30 +1,24 @@
-"""Parity + invariants for the STAGED r12 candidates (unregistered —
-see cdc_pubsub_spark/staging/__init__.py for why). These run the same
-sf0.01 oracle-differential gate as registered ops so that r12's
-promotion is a one-line register() with the evidence already standing.
+"""Invariant tests for the six r12 operators promoted out of staging/
+(KMV epoch rollup, AR(2) Yule-Walker, Haar energy, pinball eval, bloom
+decontamination, polygon overlay). sf0.01 oracle parity is covered by
+tests/test_parity.py like every registered op; these pin the algebraic
+invariants the hash pass cannot distinguish from consistently-wrong
+formulas.
 """
 
 from __future__ import annotations
 
-import pytest
+import cdc_pubsub_spark.all_queries  # noqa: F401
+from cdc_pubsub_spark.registry import REGISTRY
 
-from cdc_pubsub_spark.staging.r12 import ORACLES, STAGED
-
-from .parity import canonical_rows, duck_connection
+from .parity import duck_connection
 
 SF_CORRECT = "/root/testdata/sf0.01"
 SF_SMOKE = "/root/testdata/sf0.001"
 
 
-@pytest.mark.parametrize("name", sorted(STAGED))
-@pytest.mark.parametrize("sf", [SF_SMOKE, SF_CORRECT])
-def test_staged_oracle_parity(spark, name, sf):
-    sdf = STAGED[name](spark, sf).toPandas()
-    con = duck_connection(sf)  # hold the ref: .sql() resolves lazily
-    ddf = con.sql(ORACLES[name]).df()
-    assert sorted(sdf.columns) == sorted(ddf.columns)
-    assert canonical_rows(sdf) == canonical_rows(ddf), name
-
+def _q(name, spark, sf):
+    return REGISTRY[name].fn(spark, sf)
 
 def test_kmv_rollup_monotone_and_bounded(spark):
     """Cumulative sketches only grow: est/exact are nondecreasing in
@@ -32,7 +26,7 @@ def test_kmv_rollup_monotone_and_bounded(spark):
     (sf0.001: 15 users < k=64), and on the estimating branch the
     relative error stays inside the KMV 3/sqrt(k) envelope."""
     rows = sorted(
-        STAGED["agg_kmv_epoch_rollup"](spark, SF_CORRECT).collect(),
+        _q("agg_kmv_epoch_rollup", spark, SF_CORRECT).collect(),
         key=lambda r: r["epoch"],
     )
     assert len(rows) == 6
@@ -47,7 +41,7 @@ def test_kmv_rollup_monotone_and_bounded(spark):
                 3 / 64**0.5
             ) * r["exact_users"]
     small = sorted(
-        STAGED["agg_kmv_epoch_rollup"](spark, SF_SMOKE).collect(),
+        _q("agg_kmv_epoch_rollup", spark, SF_SMOKE).collect(),
         key=lambda r: r["epoch"],
     )
     assert all(r["est_users"] == r["exact_users"] for r in small), (
@@ -61,7 +55,7 @@ def test_ar2_coefficients_stationary_range(spark):
     of an i.i.d.-ish fixture are weakly autocorrelated, so wildly
     out-of-triangle coefficients mean the integer moment algebra
     broke, not that the data changed."""
-    rows = STAGED["ts_ar2_yule_walker"](spark, SF_CORRECT).collect()
+    rows = _q("ts_ar2_yule_walker", spark, SF_CORRECT).collect()
     assert rows
     for r in rows:
         assert abs(r["phi2"]) < 1, r
@@ -75,7 +69,7 @@ def test_haar_energy_shape_and_nonnegativity(spark):
     integer energies, and coarse levels must not all vanish (the
     fixture's daily sums have real week-scale variation — all-zero
     coarse energy means the pairwise-sum cascade broke)."""
-    rows = STAGED["ts_haar_wavelet_energy"](spark, SF_CORRECT).collect()
+    rows = _q("ts_haar_wavelet_energy", spark, SF_CORRECT).collect()
     by_type: dict = {}
     for r in rows:
         by_type.setdefault(r["event_type"], []).append(r)
@@ -90,7 +84,7 @@ def test_pinball_symmetry_identity(spark):
     and q90 means must sum to twice the q50 mean (= MAE) up to the
     4 dp output quantization — an algebra-level check the oracle's
     hash pass cannot distinguish from a consistently-wrong formula."""
-    rows = STAGED["ml_quantile_pinball_eval"](spark, SF_CORRECT).collect()
+    rows = _q("ml_quantile_pinball_eval", spark, SF_CORRECT).collect()
     assert rows
     for r in rows:
         lhs = r["pinball_q10"] + r["pinball_q90"]
@@ -105,7 +99,7 @@ def test_bloom_contamination_no_false_negatives(spark):
     failing would mean a member gram's bits were NOT all in the bloom,
     i.e. a false negative). The planted contamination must also
     actually surface (some doc with n_exact >= 1)."""
-    rows = STAGED["corpus_contamination_bloom"](spark, SF_CORRECT).collect()
+    rows = _q("corpus_contamination_bloom", spark, SF_CORRECT).collect()
     assert rows
     for r in rows:
         assert r["n_flagged"] == r["n_exact"] + r["n_fp"], r
@@ -120,10 +114,10 @@ def test_overlay_grid_join_matches_quadratic_truth(spark):
     quadratic overlay (recall 1: any intersecting pair shares at least
     one covering cell) and emit exact areas — compared pairwise
     against a brute-force recomputation of the fixture geometry."""
-    rows = STAGED["join_polygon_overlay_area"](spark, SF_CORRECT).collect()
+    rows = _q("join_polygon_overlay_area", spark, SF_CORRECT).collect()
     assert rows
     con = duck_connection(SF_CORRECT)
-    truth = con.sql(ORACLES["join_polygon_overlay_area"]).fetchall()
+    truth = con.sql(REGISTRY["join_polygon_overlay_area"].oracle).fetchall()
     assert [(r["rid_a"], r["rid_b"], r["area"]) for r in rows] == [
         tuple(t) for t in truth
     ]

@@ -768,3 +768,145 @@ def test_windowed_distinct_dedups_duplicated_delivery(spark, sf_dir):
     assert sum(rows_.distinct_users for rows_ in rows) < 2 * sum(
         raw.values()
     )
+
+
+def test_interval_join_state_evicts_both_sides(spark, sf_dir):
+    """The r12 two-sided interval join (stream_interval_join's shape:
+    c_ts ∈ [p_ts − 5min, p_ts + 5min]) must evict join state as the
+    watermark advances — asserted from StreamingQueryProgress like the
+    one-sided sibling. The two-sided bound is what lets Spark compute a
+    state watermark for BOTH buffers, so after a kicker batch advances
+    event time 2 h past every real event the retained state must
+    shrink from its peak."""
+    import json as _json
+    import time as _time
+    import uuid
+
+    from cdc_pubsub_spark.streaming.harness import (
+        BASE,
+        read_event_stream,
+        write_events_ndjson,
+    )
+
+    input_dir = write_events_ndjson(spark, sf_dir, "iv_state_ttl")
+    rows = [
+        _json.loads(line.value)
+        for line in spark.read.schema("value string").text(input_dir).collect()
+    ]
+    max_ts = max(r["ts_us"] for r in rows)
+    kick = [
+        {"event_id": 10**9 + i, "ts_us": max_ts + 2 * 3600 * 1_000_000,
+         "user_id": 10**6 + i, "event_type": et, "value": 0.0, "props": "{}"}
+        for i, et in enumerate(["purchase", "click"])
+    ]
+    dst = os.path.join(input_dir, "zz-kicker.ndjson")
+    with open(dst, "w") as f:
+        f.write("\n".join(_json.dumps(k) for k in kick))
+    now = _time.time()
+    os.utime(dst, (now + 60, now + 60))
+
+    purchases = (
+        read_event_stream(spark, input_dir, max_files_per_trigger=1)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "10 minutes")
+        .select(F.col("event_id").alias("p_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"))
+    )
+    clicks = (
+        read_event_stream(spark, input_dir, max_files_per_trigger=1)
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", "10 minutes")
+        .select(F.col("event_id").alias("c_id"),
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("c_ts"))
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 5 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts") + F.expr("INTERVAL 5 MINUTES")),
+    )
+    qname = f"iv_state_ttl_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation",
+                os.path.join(BASE, "iv_state_ttl", f"ck_{qname}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progresses = [p for p in q.recentProgress if p and p.get("stateOperators")]
+    totals = [p["stateOperators"][0]["numRowsTotal"] for p in progresses]
+    removed = sum(p["stateOperators"][0]["numRowsRemoved"] for p in progresses)
+    assert totals and max(totals) > 0, "join never buffered state"
+    assert removed > 0, "watermark never evicted interval-join state"
+    assert totals[-1] < max(totals), (
+        f"state did not shrink after kicker: {totals}"
+    )
+
+
+def test_session_window_state_evicts_below_watermark(spark, sf_dir):
+    """stream_session_join's stateful step is the session_window agg;
+    in append mode its per-session state must be EMITTED AND EVICTED
+    once the watermark passes session end — the bounded-state property
+    that distinguishes watermark-driven sessionization from buffering
+    the stream. Kicker advances event time 2 h past every real event;
+    the session operator must then report rows removed and the state
+    must shrink from its peak."""
+    import json as _json
+    import time as _time
+    import uuid
+
+    from cdc_pubsub_spark.streaming.harness import (
+        BASE,
+        read_event_stream,
+        write_events_ndjson,
+    )
+
+    input_dir = write_events_ndjson(spark, sf_dir, "sess_state_ttl")
+    rows = [
+        _json.loads(line.value)
+        for line in spark.read.schema("value string").text(input_dir).collect()
+    ]
+    max_ts = max(r["ts_us"] for r in rows)
+    kick = [{"event_id": 10**9, "ts_us": max_ts + 2 * 3600 * 1_000_000,
+             "user_id": 10**6, "event_type": "purchase", "value": 0.0,
+             "props": "{}"}]
+    dst = os.path.join(input_dir, "zz-kicker.ndjson")
+    with open(dst, "w") as f:
+        f.write("\n".join(_json.dumps(k) for k in kick))
+    now = _time.time()
+    os.utime(dst, (now + 60, now + 60))
+
+    stream = (
+        read_event_stream(spark, input_dir, max_files_per_trigger=1)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "10 minutes")
+    )
+    agg = stream.groupBy(
+        F.session_window("ts", "30 minutes"), F.col("user_id")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    qname = f"sess_state_ttl_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation",
+                os.path.join(BASE, "sess_state_ttl", f"ck_{qname}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progresses = [p for p in q.recentProgress if p and p.get("stateOperators")]
+    totals = [p["stateOperators"][0]["numRowsTotal"] for p in progresses]
+    removed = sum(p["stateOperators"][0]["numRowsRemoved"] for p in progresses)
+    emitted = spark.table(qname).count()
+    assert totals and max(totals) > 0, "session agg never buffered state"
+    assert removed > 0, "watermark never evicted session state"
+    assert totals[-1] < max(totals), (
+        f"session state did not shrink after kicker: {totals}"
+    )
+    assert emitted > 0, "append mode emitted no closed sessions"
