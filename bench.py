@@ -37,6 +37,8 @@ from concurrent.futures import ThreadPoolExecutor
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F
+
 import cdc_pubsub_spark.all_queries  # noqa: F401
 from cdc_pubsub_spark.registry import REGISTRY
 from cdc_pubsub_spark.session import get_spark
@@ -51,6 +53,23 @@ from cdc_pubsub_spark.session import get_spark
 OUTPUT_QUADRATIC = {
     "dedup_near",  # exact all-pairs ground-truth twin (dedup.py)
     "dedup_levenshtein_block",  # true-pair output grew 31x at 10x data (r10)
+}
+
+# First-round probe rule (round-11 VERDICT item 7): every op REGISTERED
+# this round enters the scale-probe set once, regardless of serial rank
+# or plan flags — a brand-new op has no probe history, and the classes
+# the probe exists to catch (key-arithmetic overflow, hidden quadratic
+# candidates) hide at sf0.1. Refresh the set each round; after its
+# first probed round an op re-enters only via serial-top/plan flags.
+PROBE_FIRST_ROUND = {
+    "agg_kmv_epoch_rollup",
+    "ts_ar2_yule_walker",
+    "ts_haar_wavelet_energy",
+    "join_polygon_overlay_area",  # declared truth twin is the quadratic overlay
+    "ml_quantile_pinball_eval",
+    "corpus_contamination_bloom",
+    "stream_interval_join",
+    "stream_session_join",
 }
 
 # Launch order seed: known-heavy ops first so they overlap the long tail
@@ -327,8 +346,11 @@ def main() -> None:
                     if node.startswith("Window [") and _is_global_window(node):
                         plan_flagged[name] = "global_window"
                         break
+            first_round = sorted(
+                n for n in PROBE_FIRST_ROUND if n in REGISTRY
+            )
             probe_ops = list(
-                dict.fromkeys(slowest + sorted(plan_flagged))
+                dict.fromkeys(slowest + sorted(plan_flagged) + first_round)
             )
             scale_probe: dict[str, dict[str, float]] = {}
             for name in probe_ops:
@@ -369,6 +391,7 @@ def main() -> None:
             detail["probe_selection"] = {
                 "serial_top10": slowest,
                 "plan_flagged": plan_flagged,
+                "first_round": first_round,
             }
 
     # Optional sf1 headline tier (SPARK_GRAFT_BENCH_SF1=1): serial wall
@@ -408,6 +431,49 @@ def main() -> None:
                 "serial_wall_sec": round(sum(sf1_times.values()), 3),
                 "ops": sf1_times,
             }
+
+    # Host-drift control (round-11 VERDICT item 6): a FIXED synthetic
+    # workload, independent of the registry, timed in the same process
+    # right after the benchmark — so every BENCH_r{N} sidecar carries
+    # its own measure of how fast this host was AT MEASUREMENT TIME.
+    # Round-over-round wall comparisons divide by the control ratio
+    # instead of hand-running worktree A/Bs (the r11 close had to:
+    # 17.88 s read as +4% vs r10 until a same-host A/B showed the host
+    # itself ran 1.2x slower). The three probes cover the three cost
+    # regimes: pure-CPU shuffle agg, wide-key exchange, and parquet
+    # scan I/O on the bench tree. NEVER change these definitions — the
+    # block is only comparable across rounds because it is frozen.
+    def _host_control() -> dict[str, float]:
+        probes = {
+            "cpu_agg_sec": lambda: spark.range(100_000_000)
+            .selectExpr("id % 997 AS k", "id AS v")
+            .groupBy("k")
+            .agg(F.sum("v"), F.count(F.lit(1)))
+            .collect(),
+            "shuffle_sec": lambda: spark.range(20_000_000)
+            .selectExpr("id % 2000000 AS k", "id AS v")
+            .groupBy("k")
+            .agg(F.sum("v"))
+            .selectExpr("count(*) AS n", "sum(`sum(v)`) AS s")
+            .collect(),
+            "scan_sec": lambda: spark.read.parquet(
+                os.path.join(sf_dir, "lineitem.parquet")
+            )
+            .selectExpr("sum(l_extendedprice)", "count(*)")
+            .collect(),
+        }
+        out: dict[str, float] = {}
+        for key, fn in probes.items():
+            best = float("inf")
+            for _ in range(2):  # min-of-2, same policy as the passes
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                fn()
+                best = min(best, time.perf_counter() - t0)
+            out[key] = round(best, 3)
+        return out
+
+    detail["host_control"] = _host_control()
 
     # Optional paired baseline (SPARK_GRAFT_BENCH_PAIR=1): run the
     # IDENTICAL oracle-SQL set serially in single-threaded DuckDB on the

@@ -2996,7 +2996,7 @@ ORACLE_PINBALL = """
 
 @register(
     "ml_quantile_pinball_eval",
-    category="ml",
+    category="similarity",
     oracle=ORACLE_PINBALL,
 )
 def ml_quantile_pinball_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
