@@ -3060,3 +3060,346 @@ def ml_quantile_pinball_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     ).orderBy("event_type")
     return out
+
+
+# --- r12 growth: rank correlation -----------------------------------------
+#
+# Spearman needs average ranks, and ranking 100 TB of rows with a
+# data-sized window is exactly the anti-pattern this repo bans. The
+# device is the same one ml_roc_auc uses for Mann-Whitney: ranks of a
+# BINNED domain are a pure function of the bin-count relation —
+# avg_rank(v) = (#below v) + (#at v + 1)/2 — so the only pass over data
+# is one hash aggregate to joint bin counts, and every rank/moment after
+# that lives on the bounded bin relation. Doubled ranks (2·avg_rank)
+# keep the half-integers exact in BIGINT; the ts_autocorr pre-centering
+# trick (d = n·r − Σw·r, an exact integer) kills the catastrophic
+# n·Σxy − Σx·Σy cancellation, and the wide products ride DECIMAL(38,0)/
+# HUGEINT per the r10 overflow discipline (bound ≈ n·max|dx|·|dy| ≈
+# n·(2n)² < 10^33 at sf1000 — headroom to 10^38).
+
+_SPEAR_BINS_SQL = """
+      SELECT l_returnflag AS grp,
+             CAST(l_quantity AS BIGINT) AS x,
+             CAST(floor(l_quantity * l_extendedprice / 1000) AS BIGINT) AS y,
+             CAST(count(*) AS BIGINT) AS w
+      FROM lineitem
+      GROUP BY 1, 2, 3
+"""
+
+
+@register(
+    "ml_spearman_rho",
+    category="similarity",
+    oracle=f"""
+    WITH joint AS ({_SPEAR_BINS_SQL}),
+    xmarg AS (
+      SELECT grp, x, CAST(sum(w) AS BIGINT) AS cnt FROM joint GROUP BY 1, 2
+    ),
+    xrank AS (
+      SELECT grp, x,
+             2 * coalesce(sum(cnt) OVER (PARTITION BY grp ORDER BY x
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + cnt + 1 AS rx2
+      FROM xmarg
+    ),
+    ymarg AS (
+      SELECT grp, y, CAST(sum(w) AS BIGINT) AS cnt FROM joint GROUP BY 1, 2
+    ),
+    yrank AS (
+      SELECT grp, y,
+             2 * coalesce(sum(cnt) OVER (PARTITION BY grp ORDER BY y
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + cnt + 1 AS ry2
+      FROM ymarg
+    ),
+    ranked AS (
+      SELECT j.grp, j.w, xr.rx2, yr.ry2
+      FROM joint j
+      JOIN xrank xr ON xr.grp = j.grp AND xr.x = j.x
+      JOIN yrank yr ON yr.grp = j.grp AND yr.y = j.y
+    ),
+    tot AS (
+      SELECT grp,
+             CAST(sum(w) AS BIGINT) AS n,
+             CAST(sum(w * rx2) AS BIGINT) AS sx,
+             CAST(sum(w * ry2) AS BIGINT) AS sy
+      FROM ranked GROUP BY 1
+    ),
+    dev AS (
+      SELECT r.grp, r.w,
+             t.n * r.rx2 - t.sx AS dx,
+             t.n * r.ry2 - t.sy AS dy,
+             t.n AS n
+      FROM ranked r JOIN tot t ON t.grp = r.grp
+    ),
+    mom AS (
+      SELECT grp,
+             CAST(max(n) AS BIGINT) AS n,
+             CAST(sum(CAST(w AS HUGEINT) * dx * dy) AS HUGEINT) AS sxy,
+             CAST(sum(CAST(w AS HUGEINT) * dx * dx) AS HUGEINT) AS sxx,
+             CAST(sum(CAST(w AS HUGEINT) * dy * dy) AS HUGEINT) AS syy
+      FROM dev GROUP BY 1
+    )
+    SELECT grp AS l_returnflag, n AS n_rows,
+           CASE WHEN sxx = 0 OR syy = 0 THEN CAST(0 AS DOUBLE)
+                ELSE floor(CAST(sxy AS DOUBLE)
+                     / sqrt(CAST(sxx AS DOUBLE) * CAST(syy AS DOUBLE))
+                     * 10000 + 0.5) / 10000
+           END AS spearman_rho
+    FROM mom
+    ORDER BY l_returnflag
+    """,
+)
+def ml_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPEARMAN RANK CORRELATION (tie-corrected, per l_returnflag)
+    between order quantity and total line revenue (qty · price) — the monotone-
+    association diagnostic feature stores run before committing to a
+    linear model (Pearson sees only linearity; Spearman sees any
+    monotone link). Tie handling is the textbook average-rank
+    convention, and since Spearman-with-ties IS Pearson on average
+    ranks, the whole statistic reduces to integer moment algebra on
+    the binned-domain rank relation (doubled ranks: 2·avg_rank =
+    2·cum_below + cnt + 1, exact in BIGINT).
+
+    Scale shape: ONE hash aggregate collapses the scan to the joint
+    (quantity × deca-dollar price) bin relation — bounded by the value
+    DOMAIN (≤50 × ~10k bins), not row count; marginal-rank windows run
+    over those bins, never over rows (the ml_roc_auc binned Mann-
+    Whitney device). Deviations pre-center via the ts_autocorr
+    n·r − Σ trick so all sums are exact integers, wide products in
+    DECIMAL(38,0)/HUGEINT (r10 overflow discipline); the only float
+    op is the final r4-floored ratio. Degenerate guard: a group with
+    zero rank variance (all-tied) reports rho = 0 via an explicit
+    CASE on both engines rather than a divergent 0/0.
+    """
+    from cdc_pubsub_spark.tables import finalize_cached
+
+    li = load(spark, sf_dir, "lineitem")
+    joint = li.selectExpr(
+        "l_returnflag AS grp",
+        "CAST(l_quantity AS BIGINT) AS x",
+        "CAST(floor(l_quantity * l_extendedprice / 1000) AS BIGINT) AS y",
+    ).groupBy("grp", "x", "y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("w")
+    )
+    joint = joint.persist()
+
+    def _marginal_rank(col: str, out: str) -> DataFrame:
+        marg = joint.groupBy("grp", col).agg(
+            F.sum("w").cast("bigint").alias("cnt")
+        )
+        w = (
+            Window.partitionBy("grp")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return marg.select(
+            "grp",
+            col,
+            (
+                2 * F.coalesce(F.sum("cnt").over(w), F.lit(0))
+                + F.col("cnt")
+                + 1
+            ).alias(out),
+        )
+
+    ranked = (
+        joint.join(_marginal_rank("x", "rx2"), ["grp", "x"])
+        .join(_marginal_rank("y", "ry2"), ["grp", "y"])
+        .select("grp", "w", "rx2", "ry2")
+    )
+    tot = ranked.groupBy("grp").agg(
+        F.sum("w").cast("bigint").alias("n"),
+        F.sum(F.expr("w * rx2")).cast("bigint").alias("sx"),
+        F.sum(F.expr("w * ry2")).cast("bigint").alias("sy"),
+    )
+    dev = ranked.join(tot, "grp").selectExpr(
+        "grp",
+        "w",
+        "n",
+        "n * rx2 - sx AS dx",
+        "n * ry2 - sy AS dy",
+    )
+    mom = dev.groupBy("grp").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.sum(F.expr("CAST(w AS DECIMAL(38,0)) * dx * dy")).alias("sxy"),
+        F.sum(F.expr("CAST(w AS DECIMAL(38,0)) * dx * dx")).alias("sxx"),
+        F.sum(F.expr("CAST(w AS DECIMAL(38,0)) * dy * dy")).alias("syy"),
+    )
+    out = mom.selectExpr(
+        "grp AS l_returnflag",
+        "n AS n_rows",
+        "CASE WHEN sxx = 0 OR syy = 0 THEN CAST(0 AS DOUBLE)"
+        " ELSE floor(CAST(sxy AS DOUBLE)"
+        " / sqrt(CAST(sxx AS DOUBLE) * CAST(syy AS DOUBLE))"
+        " * 10000 + 0.5) / 10000 END AS spearman_rho",
+    ).orderBy("l_returnflag")
+    return finalize_cached(out, joint)
+
+
+# --- r12 growth: multiclass evaluation report ------------------------------
+#
+# Predicted labels are a planted deterministic corruption of the truth
+# (keep with p≈0.7 on a Weyl-style integer hash, else rotate by
+# 1 + vec_id%3 classes), so the report's recovered accuracy is testable
+# against the planted rate instead of certifying noise — the ml_roc_auc
+# planted-signal convention.
+_CLS_PRED_SQL = (
+    "CASE WHEN (vec_id * 2654435761) % 10 < 7 THEN label"
+    " ELSE (label + 1 + vec_id % 3) % 10 END"
+)
+
+
+@register(
+    "ml_classification_report",
+    category="similarity",
+    oracle=f"""
+    WITH preds AS (
+      SELECT label AS t, {_CLS_PRED_SQL} AS p
+      FROM embeddings
+    ),
+    cm AS (
+      SELECT t, p, CAST(count(*) AS BIGINT) AS c FROM preds GROUP BY 1, 2
+    ),
+    classes AS (
+      SELECT t AS cls FROM cm UNION SELECT p AS cls FROM cm
+    ),
+    rowt AS (SELECT t AS cls, CAST(sum(c) AS BIGINT) AS rt FROM cm GROUP BY 1),
+    colt AS (SELECT p AS cls, CAST(sum(c) AS BIGINT) AS ct FROM cm GROUP BY 1),
+    diag AS (
+      SELECT t AS cls, CAST(sum(c) AS BIGINT) AS tp FROM cm
+      WHERE t = p GROUP BY 1
+    ),
+    percls AS (
+      SELECT k.cls,
+             coalesce(d.tp, 0) AS tp,
+             coalesce(r.rt, 0) AS support,
+             coalesce(c.ct, 0) - coalesce(d.tp, 0) AS fp,
+             coalesce(r.rt, 0) - coalesce(d.tp, 0) AS fn
+      FROM classes k
+      LEFT JOIN rowt r ON r.cls = k.cls
+      LEFT JOIN colt c ON c.cls = k.cls
+      LEFT JOIN diag d ON d.cls = k.cls
+    ),
+    gtot AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN t = p THEN c ELSE 0 END) AS BIGINT) AS ntp
+      FROM cm
+    ),
+    pe AS (
+      SELECT CAST(sum(r.rt * c.ct) AS BIGINT) AS pe_num
+      FROM rowt r JOIN colt c ON c.cls = r.cls
+    )
+    SELECT pc.cls AS label, pc.support, pc.tp, pc.fp, pc.fn,
+           CASE WHEN pc.tp + pc.fp = 0 THEN CAST(0 AS DOUBLE)
+                ELSE floor(CAST(pc.tp AS DOUBLE)
+                     / (pc.tp + pc.fp) * 10000 + 0.5) / 10000
+           END AS precision_,
+           CASE WHEN pc.support = 0 THEN CAST(0 AS DOUBLE)
+                ELSE floor(CAST(pc.tp AS DOUBLE)
+                     / pc.support * 10000 + 0.5) / 10000
+           END AS recall_,
+           CASE WHEN 2 * pc.tp + pc.fp + pc.fn = 0 THEN CAST(0 AS DOUBLE)
+                ELSE floor(CAST(2 * pc.tp AS DOUBLE)
+                     / (2 * pc.tp + pc.fp + pc.fn) * 10000 + 0.5) / 10000
+           END AS f1,
+           floor(CAST(g.ntp AS DOUBLE) / g.n * 10000 + 0.5) / 10000
+             AS accuracy,
+           floor((CAST(g.n AS DOUBLE) * g.ntp - e.pe_num)
+                 / (CAST(g.n AS DOUBLE) * g.n - e.pe_num)
+                 * 10000 + 0.5) / 10000 AS cohens_kappa
+    FROM percls pc CROSS JOIN gtot g CROSS JOIN pe e
+    ORDER BY label
+    """,
+)
+def ml_classification_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTICLASS CLASSIFICATION REPORT (per-class precision / recall /
+    F1 + support, global accuracy and Cohen's kappa) — the sklearn
+    `classification_report` + `cohen_kappa_score` pair as a pure
+    relational program, the eval stage every labeling / distillation
+    pipeline runs after batch-scoring a corpus. All counts come from
+    ONE hash aggregate to the (true, pred) confusion relation —
+    bounded by the label-domain square (≤100 cells), not row count —
+    and every metric is integer arithmetic over those cells with one
+    r4-floored division each. Kappa's chance-agreement term uses the
+    exact integer identity (N·Σtp − Σ_c row_c·col_c) / (N² − Σ_c
+    row_c·col_c), so no float accumulates across cells. Classes seen
+    only in predictions still get a row (recall 0 by CASE, not 0/0 —
+    engines diverge on bare /0, the r11 ADVICE class).
+
+    Scale shape: one map-side-combined groupBy over the scan, then
+    all joins/windows live on the ≤(k²+2k)-cell relation broadcast
+    everywhere — at 100 TB the confusion matrix still has 100 cells.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    cm = (
+        emb.selectExpr("label AS t", f"{_CLS_PRED_SQL} AS p")
+        .groupBy("t", "p")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .persist()
+    )
+    classes = (
+        cm.selectExpr("t AS cls").union(cm.selectExpr("p AS cls")).distinct()
+    )
+    rowt = cm.groupBy(F.col("t").alias("cls")).agg(
+        F.sum("c").cast("bigint").alias("rt")
+    )
+    colt = cm.groupBy(F.col("p").alias("cls")).agg(
+        F.sum("c").cast("bigint").alias("ct")
+    )
+    diag = (
+        cm.filter("t = p")
+        .groupBy(F.col("t").alias("cls"))
+        .agg(F.sum("c").cast("bigint").alias("tp"))
+    )
+    percls = (
+        classes.join(F.broadcast(rowt), "cls", "left")
+        .join(F.broadcast(colt), "cls", "left")
+        .join(F.broadcast(diag), "cls", "left")
+        .selectExpr(
+            "cls",
+            "coalesce(tp, 0L) AS tp",
+            "coalesce(rt, 0L) AS support",
+            "coalesce(ct, 0L) - coalesce(tp, 0L) AS fp",
+            "coalesce(rt, 0L) - coalesce(tp, 0L) AS fn",
+        )
+    )
+    glob = cm.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.expr("CASE WHEN t = p THEN c ELSE 0 END"))
+        .cast("bigint")
+        .alias("ntp"),
+    )
+    pe = (
+        rowt.join(colt, "cls")
+        .agg(F.sum(F.expr("rt * ct")).cast("bigint").alias("pe_num"))
+    )
+    out = (
+        percls.crossJoin(F.broadcast(glob))
+        .crossJoin(F.broadcast(pe))
+        .selectExpr(
+            "cls AS label",
+            "support",
+            "tp",
+            "fp",
+            "fn",
+            "CASE WHEN tp + fp = 0 THEN CAST(0 AS DOUBLE)"
+            " ELSE floor(CAST(tp AS DOUBLE) / (tp + fp) * 10000 + 0.5)"
+            " / 10000 END AS precision_",
+            "CASE WHEN support = 0 THEN CAST(0 AS DOUBLE)"
+            " ELSE floor(CAST(tp AS DOUBLE) / support * 10000 + 0.5)"
+            " / 10000 END AS recall_",
+            "CASE WHEN 2 * tp + fp + fn = 0 THEN CAST(0 AS DOUBLE)"
+            " ELSE floor(CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn)"
+            " * 10000 + 0.5) / 10000 END AS f1",
+            "floor(CAST(ntp AS DOUBLE) / n * 10000 + 0.5) / 10000"
+            " AS accuracy",
+            "floor((CAST(n AS DOUBLE) * ntp - pe_num)"
+            " / (CAST(n AS DOUBLE) * n - pe_num) * 10000 + 0.5) / 10000"
+            " AS cohens_kappa",
+        )
+        .orderBy("label")
+    )
+    from cdc_pubsub_spark.tables import finalize_cached
+
+    return finalize_cached(out, cm)
