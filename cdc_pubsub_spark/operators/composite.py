@@ -6746,3 +6746,449 @@ def ts_haar_wavelet_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy("event_type", "level")
+
+
+# --- r12 growth: engagement / interval / indicator / changepoint ops -------
+
+
+@register(
+    "events_stickiness_dau_mau",
+    category="composite",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST((dayofmonth(ts) - 1) // 7 AS BIGINT) AS week,
+             CAST(ts AS DATE) AS d,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+      FROM events GROUP BY 1, 2
+    ),
+    weekly AS (
+      SELECT CAST((dayofmonth(ts) - 1) // 7 AS BIGINT) AS week,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+      FROM events GROUP BY 1
+    ),
+    davg AS (
+      SELECT week,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(dau) AS BIGINT) AS dau_sum
+      FROM daily GROUP BY 1
+    )
+    SELECT w.week, d.n_days, w.wau,
+           floor(CAST(d.dau_sum AS DOUBLE) / d.n_days * 10000 + 0.5)
+             / 10000 AS avg_dau,
+           floor(CAST(d.dau_sum AS DOUBLE) / d.n_days / w.wau
+                 * 10000 + 0.5) / 10000 AS stickiness
+    FROM weekly w JOIN davg d ON d.week = w.week
+    ORDER BY w.week
+    """,
+)
+def events_stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU STICKINESS — the product-engagement ratio (how much of
+    the weekly audience shows up on an average day) every growth
+    dashboard tracks; the DAU/MAU variant is identical algebra with a
+    wider bucket, so the week keeps the fixture's single-month span
+    meaningful. avg_dau averages per-day DISTINCT user counts over the
+    days actually present (sparse convention, identical both engines);
+    stickiness = avg_dau / wau with the wau denominator guaranteed
+    nonzero by construction (a week with a day of events has a user).
+
+    Scale shape: two count-distinct aggregates over the scan (per-day
+    and per-week, both map-side partial on (week/day, user) pairs) and
+    a ≤5-row join — no windows, no data-sized state. At 100 TB the
+    distincts become the repo's HLL/bitmap family if approximation is
+    acceptable; the exact shape still holds (user_id shuffle bounded
+    by the user domain per bucket).
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.selectExpr(
+        "CAST((dayofmonth(ts) - 1) div 7 AS BIGINT) AS week",
+        "CAST(ts AS DATE) AS d",
+        "user_id",
+    ).groupBy("week", "d").agg(
+        F.countDistinct("user_id").cast("bigint").alias("dau")
+    )
+    weekly = ev.selectExpr(
+        "CAST((dayofmonth(ts) - 1) div 7 AS BIGINT) AS week", "user_id"
+    ).groupBy("week").agg(
+        F.countDistinct("user_id").cast("bigint").alias("wau")
+    )
+    davg = daily.groupBy("week").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("dau").cast("bigint").alias("dau_sum"),
+    )
+    return (
+        weekly.join(davg, "week")
+        .selectExpr(
+            "week",
+            "n_days",
+            "wau",
+            "floor(CAST(dau_sum AS DOUBLE) / n_days * 10000 + 0.5)"
+            " / 10000 AS avg_dau",
+            "floor(CAST(dau_sum AS DOUBLE) / n_days / wau * 10000 + 0.5)"
+            " / 10000 AS stickiness",
+        )
+        .orderBy("week")
+    )
+
+
+@register(
+    "events_peak_concurrency",
+    category="composite",
+    oracle="""
+    WITH sessions AS (
+      SELECT event_type,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 60000000 AS BIGINT)
+               AS start_min,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 60000000 AS BIGINT)
+               + 1 + CAST(floor(value) AS BIGINT) % 30 AS end_min
+      FROM events
+    ),
+    deltas AS (
+      SELECT event_type, m, CAST(sum(d) AS BIGINT) AS delta
+      FROM (
+        SELECT event_type, start_min AS m, 1 AS d FROM sessions
+        UNION ALL
+        SELECT event_type, end_min AS m, -1 AS d FROM sessions
+      ) GROUP BY 1, 2
+    ),
+    running AS (
+      SELECT event_type, m,
+             CAST(sum(delta) OVER (PARTITION BY event_type ORDER BY m
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS active
+      FROM deltas
+    ),
+    peak AS (
+      SELECT event_type, CAST(max(active) AS BIGINT) AS peak_active
+      FROM running GROUP BY 1
+    ),
+    n AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_sessions
+      FROM sessions GROUP BY 1
+    )
+    SELECT p.event_type, n.n_sessions, p.peak_active,
+           CAST(min(r.m) AS BIGINT) AS peak_minute
+    FROM peak p
+    JOIN running r ON r.event_type = p.event_type
+                  AND r.active = p.peak_active
+    JOIN n ON n.event_type = p.event_type
+    GROUP BY 1, 2, 3
+    ORDER BY 1
+    """,
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PEAK CONCURRENCY by sweep-line — the capacity-planning question
+    ("how many sessions were open at once, and when?") answered
+    without expanding intervals: each session (start = event minute,
+    duration = 1 + floor(value) % 30 minutes, a planted deterministic
+    length) contributes +1 at its start minute and −1 at its end
+    minute (half-open [start, end)), deltas aggregate per minute, and
+    a running sum over the MINUTE relation recovers the active count.
+    Peak = max of the running sum; peak_minute = earliest minute
+    attaining it (deterministic tie-break).
+
+    Scale shape: the sweep-line's only pass over data is the
+    delta aggregate (map-side combined, two rows per session before
+    combining); the running-sum window runs over the minute-grain
+    delta relation, bounded by the CALENDAR (43,200 minutes/month ×
+    5 types), not by row count — the same bounded-domain window
+    sanctioned for the daily ts_ composites. Interval expansion
+    (minute × session cross product) is exactly what this op avoids;
+    at 100 TB the delta relation is still calendar-sized.
+    """
+    ev = load(spark, sf_dir, "events")
+    sessions = ev.selectExpr(
+        "event_type",
+        "unix_micros(CAST(ts AS TIMESTAMP)) div 60000000 AS start_min",
+        "unix_micros(CAST(ts AS TIMESTAMP)) div 60000000"
+        " + 1 + CAST(floor(value) AS BIGINT) % 30 AS end_min",
+    )
+    deltas = (
+        sessions.selectExpr("event_type", "start_min AS m", "1 AS d")
+        .unionAll(
+            sessions.selectExpr("event_type", "end_min AS m", "-1 AS d")
+        )
+        .groupBy("event_type", "m")
+        .agg(F.sum("d").cast("bigint").alias("delta"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("m")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = deltas.select(
+        "event_type",
+        "m",
+        F.sum("delta").over(w).cast("bigint").alias("active"),
+    )
+    peak = running.groupBy("event_type").agg(
+        F.max("active").cast("bigint").alias("peak_active")
+    )
+    n = sessions.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions")
+    )
+    return (
+        peak.join(
+            running.withColumnRenamed("active", "r_active"),
+            ["event_type"],
+        )
+        .filter("r_active = peak_active")
+        .join(F.broadcast(n), "event_type")
+        .groupBy("event_type", "n_sessions", "peak_active")
+        .agg(F.min("m").cast("bigint").alias("peak_minute"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "ts_technical_indicators",
+    category="composite",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS BIGINT)
+               AS day_idx,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS x
+      FROM events GROUP BY 1, 2
+    ),
+    framed AS (
+      SELECT event_type, day_idx, x,
+             CAST(count(*) OVER w7 AS BIGINT) AS n7,
+             CAST(sum(x) OVER w7 AS BIGINT) AS s7,
+             CAST(sum(CAST(x AS HUGEINT) * x) OVER w7 AS HUGEINT) AS q7,
+             lag(x, 7) OVER wo AS x_lag7,
+             CAST(count(*) OVER w14 AS BIGINT) AS n14,
+             CAST(min(x) OVER w14 AS BIGINT) AS lo14,
+             CAST(max(x) OVER w14 AS BIGINT) AS hi14
+      FROM daily
+      WINDOW wo AS (PARTITION BY event_type ORDER BY day_idx),
+             w7 AS (PARTITION BY event_type ORDER BY day_idx
+                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+             w14 AS (PARTITION BY event_type ORDER BY day_idx
+                     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, day_idx,
+           floor(CAST(x AS DOUBLE) / 100 * 100 + 0.5) / 100 AS close,
+           CASE WHEN n7 = 7 THEN
+             floor(CAST(s7 AS DOUBLE) / 700 * 100 + 0.5) / 100 END AS sma7,
+           CASE WHEN n7 = 7 THEN
+             floor((CAST(s7 AS DOUBLE) / 700
+                    + 2 * sqrt(CAST(7 * q7 - CAST(s7 AS HUGEINT) * s7
+                               AS DOUBLE)) / 700)
+                   * 100 + 0.5) / 100 END AS boll_upper,
+           CASE WHEN n7 = 7 THEN
+             floor((CAST(s7 AS DOUBLE) / 700
+                    - 2 * sqrt(CAST(7 * q7 - CAST(s7 AS HUGEINT) * s7
+                               AS DOUBLE)) / 700)
+                   * 100 + 0.5) / 100 END AS boll_lower,
+           CASE WHEN x_lag7 IS NOT NULL THEN
+             floor((CAST(x AS DOUBLE) - x_lag7) / 100 * 100 + 0.5) / 100
+           END AS momentum7,
+           CASE WHEN n14 = 14 AND hi14 > lo14 THEN
+             floor(CAST(x - lo14 AS DOUBLE) / (hi14 - lo14)
+                   * 10000 + 0.5) / 10000 END AS stoch_k14
+    FROM framed
+    ORDER BY event_type, day_idx
+    """,
+)
+def ts_technical_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TECHNICAL-INDICATOR PANEL over the daily revenue series per
+    event_type — the moving-window feature block (SMA, Bollinger
+    bands, 7-period momentum, stochastic %K) that converts a raw
+    series into model inputs; textbook definitions: SMA7 = trailing
+    7-row mean, bands = SMA ± 2σ (population σ over the same frame,
+    from exact integer Σx/Σx² via the 7·Σx² − (Σx)² identity),
+    momentum = x − x_{t−7} (row-lag, sparse-day convention), %K =
+    (x − min14)/(max14 − min14) with an explicit flat-window guard
+    (engines diverge on bare 0/0). Indicators emit NULL until their
+    frame fills (n7/n14 CASE) — the pandas.rolling(min_periods=n)
+    convention, identical both engines.
+
+    Exactness: daily closes are integer cents; every frame statistic
+    is an exact integer (wide products in HUGEINT/DECIMAL(38,0) — at
+    sf1000 a daily-cent sum squared clears int64), and each output is
+    ONE float expression r2/r4-floored. Scale shape: one map-side
+    aggregate collapses the scan to the calendar-bounded daily
+    relation; all windows run there (≤31 rows per type × 5 types).
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.selectExpr(
+        "event_type",
+        "unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000 AS day_idx",
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents",
+    ).groupBy("event_type", "day_idx").agg(
+        F.sum("cents").cast("bigint").alias("x")
+    )
+    wo = Window.partitionBy("event_type").orderBy("day_idx")
+    w7 = wo.rowsBetween(-6, 0)
+    w14 = wo.rowsBetween(-13, 0)
+    framed = daily.select(
+        "event_type",
+        "day_idx",
+        "x",
+        F.count(F.lit(1)).over(w7).cast("bigint").alias("n7"),
+        F.sum("x").over(w7).cast("bigint").alias("s7"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).over(w7).alias("q7"),
+        F.lag("x", 7).over(wo).alias("x_lag7"),
+        F.count(F.lit(1)).over(w14).cast("bigint").alias("n14"),
+        F.min("x").over(w14).cast("bigint").alias("lo14"),
+        F.max("x").over(w14).cast("bigint").alias("hi14"),
+    )
+    return framed.selectExpr(
+        "event_type",
+        "day_idx",
+        "floor(CAST(x AS DOUBLE) / 100 * 100 + 0.5) / 100 AS close",
+        "CASE WHEN n7 = 7 THEN"
+        " floor(CAST(s7 AS DOUBLE) / 700 * 100 + 0.5) / 100 END AS sma7",
+        "CASE WHEN n7 = 7 THEN"
+        " floor((CAST(s7 AS DOUBLE) / 700"
+        " + 2 * sqrt(CAST(7 * q7 - CAST(s7 AS DECIMAL(38,0)) * s7"
+        " AS DOUBLE)) / 700) * 100 + 0.5) / 100 END AS boll_upper",
+        "CASE WHEN n7 = 7 THEN"
+        " floor((CAST(s7 AS DOUBLE) / 700"
+        " - 2 * sqrt(CAST(7 * q7 - CAST(s7 AS DECIMAL(38,0)) * s7"
+        " AS DOUBLE)) / 700) * 100 + 0.5) / 100 END AS boll_lower",
+        "CASE WHEN x_lag7 IS NOT NULL THEN"
+        " floor((CAST(x AS DOUBLE) - x_lag7) / 100 * 100 + 0.5) / 100"
+        " END AS momentum7",
+        "CASE WHEN n14 = 14 AND hi14 > lo14 THEN"
+        " floor(CAST(x - lo14 AS DOUBLE) / (hi14 - lo14)"
+        " * 10000 + 0.5) / 10000 END AS stoch_k14",
+    ).orderBy("event_type", "day_idx")
+
+
+@register(
+    "ts_pettitt_changepoint",
+    category="composite",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS BIGINT)
+               AS day_idx,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS x
+      FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.event_type, a.day_idx AS i, b.day_idx AS j,
+             CASE WHEN a.x > b.x THEN 1 WHEN a.x < b.x THEN -1 ELSE 0 END
+               AS s
+      FROM daily a
+      JOIN daily b ON b.event_type = a.event_type
+                  AND b.day_idx > a.day_idx
+    ),
+    spine AS (
+      SELECT d.event_type, d.day_idx AS t FROM daily d
+      WHERE d.day_idx < (SELECT max(day_idx) FROM daily x
+                         WHERE x.event_type = d.event_type)
+    ),
+    u AS (
+      SELECT sp.event_type, sp.t, CAST(sum(p.s) AS BIGINT) AS u_t
+      FROM spine sp
+      JOIN pairs p ON p.event_type = sp.event_type
+                  AND p.i <= sp.t AND p.j > sp.t
+      GROUP BY 1, 2
+    ),
+    nn AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+      FROM daily GROUP BY 1
+    ),
+    k AS (
+      SELECT event_type, CAST(max(abs(u_t)) AS BIGINT) AS k_stat FROM u
+      GROUP BY 1
+    )
+    SELECT k.event_type, nn.n_days, k.k_stat,
+           CAST(min(u.t) AS BIGINT) AS t_star_day,
+           floor(6.0 * k.k_stat * k.k_stat
+                 / (CAST(nn.n_days AS DOUBLE) * nn.n_days * nn.n_days
+                    + CAST(nn.n_days AS DOUBLE) * nn.n_days)
+                 * 1000000 + 0.5) / 1000000 AS pettitt_exponent
+    FROM k
+    JOIN nn ON nn.event_type = k.event_type
+    JOIN u ON u.event_type = k.event_type AND abs(u.u_t) = k.k_stat
+    GROUP BY 1, 2, 3
+    ORDER BY 1
+    """,
+)
+def ts_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PETTITT CHANGEPOINT TEST per event_type on the daily revenue
+    series — the standard nonparametric single-changepoint detector
+    (Pettitt 1979): U_t = Σ_{i≤t} Σ_{j>t} sgn(x_i − x_j), K =
+    max|U_t|, changepoint at the earliest argmax (deterministic
+    tie-break). The p-value is p ≈ 2·exp(−E) with E = 6K²/(n³+n²);
+    the op emits E itself (`pettitt_exponent`, r6-floored) rather
+    than exp(−E) — exp() is libm-dependent and this repo certifies
+    bit-stable integers + single float expressions only (the rational-
+    sigmoid precedent in llmops/ml.py); consumers threshold E ≥
+    ln(2/α) exactly as they would threshold p ≤ α.
+
+    Scale shape: the scan collapses to the calendar-bounded daily
+    relation (≤31 rows/type); sign pairs are a self-join of that tiny
+    relation (≤465 pairs/type) and U_t folds the pairs against a
+    ≤30-row spine — all cost is O(calendar²·types), independent of
+    row count, the bounded-domain argument every ts_ op here uses.
+    All statistics are exact BIGINTs; the exponent is the single
+    float op.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.selectExpr(
+        "event_type",
+        "unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000 AS day_idx",
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents",
+    ).groupBy("event_type", "day_idx").agg(
+        F.sum("cents").cast("bigint").alias("x")
+    ).persist()
+    a = daily.selectExpr("event_type", "day_idx AS i", "x AS xi")
+    b = daily.selectExpr("event_type AS et_b", "day_idx AS j", "x AS xj")
+    pairs = a.join(
+        b, (F.col("event_type") == F.col("et_b")) & (F.col("j") > F.col("i"))
+    ).selectExpr(
+        "event_type",
+        "i",
+        "j",
+        "CASE WHEN xi > xj THEN 1 WHEN xi < xj THEN -1 ELSE 0 END AS s",
+    )
+    last = daily.groupBy("event_type").agg(F.max("day_idx").alias("mx"))
+    spine = (
+        daily.join(F.broadcast(last), "event_type")
+        .filter("day_idx < mx")
+        .selectExpr("event_type AS et_s", "day_idx AS t")
+    )
+    u = (
+        pairs.join(
+            F.broadcast(spine),
+            (F.col("event_type") == F.col("et_s"))
+            & (F.col("i") <= F.col("t"))
+            & (F.col("j") > F.col("t")),
+        )
+        .groupBy("event_type", "t")
+        .agg(F.sum("s").cast("bigint").alias("u_t"))
+    )
+    nn = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days")
+    )
+    k = u.groupBy("event_type").agg(
+        F.max(F.abs(F.col("u_t"))).cast("bigint").alias("k_stat")
+    )
+    out = (
+        k.join(F.broadcast(nn), "event_type")
+        .join(
+            u.selectExpr("event_type AS et_u", "t", "u_t"),
+            (F.col("event_type") == F.col("et_u"))
+            & (F.abs(F.col("u_t")) == F.col("k_stat")),
+        )
+        .groupBy("event_type", "n_days", "k_stat")
+        .agg(F.min("t").cast("bigint").alias("t_star_day"))
+        .selectExpr(
+            "event_type",
+            "n_days",
+            "k_stat",
+            "t_star_day",
+            "floor(6.0D * k_stat * k_stat"
+            " / (CAST(n_days AS DOUBLE) * n_days * n_days"
+            " + CAST(n_days AS DOUBLE) * n_days)"
+            " * 1000000 + 0.5) / 1000000 AS pettitt_exponent",
+        )
+        .orderBy("event_type")
+    )
+    return finalize_cached(out, daily)

@@ -100,3 +100,92 @@ def test_classification_report_planted_accuracy(spark):
             )
             assert abs(r["f1"] - hm) < 2e-3
         assert r["tp"] + r["fn"] == r["support"]
+
+
+def test_stickiness_bounds(spark):
+    """stickiness = avg_dau/wau must sit in (0, 1]; avg_dau can never
+    exceed wau (a day's users are a subset of the week's); full weeks
+    have 7 days except the truncated trailing week of a 30-day month."""
+    rows = _q("events_stickiness_dau_mau", spark, SF_CORRECT).collect()
+    assert len(rows) == 5  # Jan 1-30 => weeks 0..4
+    for r in rows:
+        assert 0 < r["stickiness"] <= 1.0
+        assert r["avg_dau"] <= r["wau"]
+        assert r["n_days"] == (7 if r["week"] < 4 else 2)
+
+
+def test_peak_concurrency_sweep_line(spark):
+    """Peak active sessions can never exceed the total session count
+    and must be ≥ 1; the peak minute must fall inside the fixture's
+    January window. Cross-check one type against a brute-force
+    interval count at the reported peak minute."""
+    rows = _q("events_peak_concurrency", spark, SF_CORRECT).collect()
+    assert len(rows) == 5
+    jan0 = 1704067200 // 60  # 2024-01-01 epoch minute
+    for r in rows:
+        assert 1 <= r["peak_active"] <= r["n_sessions"]
+        assert jan0 <= r["peak_minute"] < jan0 + 31 * 1440
+    import duckdb
+
+    con = duckdb.connect()
+    got = {r["event_type"]: r for r in rows}
+    for et in ["click"]:
+        m = got[et]["peak_minute"]
+        brute = con.sql(f"""
+            SELECT count(*) FROM (
+              SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 60000000 AS s,
+                     epoch_us(CAST(ts AS TIMESTAMP)) // 60000000
+                     + 1 + CAST(floor(value) AS BIGINT) % 30 AS e
+              FROM read_parquet('{SF_CORRECT}/events.parquet')
+              WHERE event_type = '{et}'
+            ) WHERE s <= {m} AND e > {m}
+        """).fetchone()[0]
+        assert brute == got[et]["peak_active"]
+    con.close()
+
+
+def test_technical_indicators_frame_semantics(spark):
+    """Bands must bracket the SMA symmetrically; %K sits in [0,1];
+    warm-up rows (first 6 / first 13 per type) must be NULL exactly;
+    close equals the daily revenue to the cent."""
+    import math
+
+    rows = _q("ts_technical_indicators", spark, SF_CORRECT).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["event_type"], []).append(r)
+    assert len(per) == 5
+    for et, series in per.items():
+        series.sort(key=lambda r: r["day_idx"])
+        for i, r in enumerate(series):
+            if i < 6:
+                assert r["sma7"] is None and r["boll_upper"] is None
+            else:
+                assert r["boll_upper"] >= r["sma7"] >= r["boll_lower"]
+                mid = (r["boll_upper"] + r["boll_lower"]) / 2
+                assert math.isclose(mid, r["sma7"], abs_tol=0.02)
+            if i < 7:
+                assert r["momentum7"] is None
+            if i < 13:
+                assert r["stoch_k14"] is None
+            elif r["stoch_k14"] is not None:
+                assert 0.0 <= r["stoch_k14"] <= 1.0
+
+
+def test_pettitt_statistic_bounds(spark):
+    """K ≤ t*(n−t) maximized at n²/4; the changepoint day must lie
+    strictly inside the series; the exponent must be the exact
+    6K²/(n³+n²) of the reported integers."""
+    rows = _q("ts_pettitt_changepoint", spark, SF_CORRECT).collect()
+    assert len(rows) == 5
+    for r in rows:
+        n = r["n_days"]
+        assert 0 <= r["k_stat"] <= n * n // 4 + 1
+        e = 6.0 * r["k_stat"] ** 2 / (float(n) ** 3 + float(n) ** 2)
+        import math
+
+        assert math.isclose(
+            r["pettitt_exponent"],
+            math.floor(e * 1e6 + 0.5) / 1e6,
+            abs_tol=1e-9,
+        )
