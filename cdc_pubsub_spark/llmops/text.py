@@ -2289,3 +2289,129 @@ def corpus_contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
     )
     return out
+
+
+# --- r12 growth: Gopher-style quality gate ----------------------------------
+
+
+@register(
+    "text_gopher_quality_rules",
+    category="text",
+    oracle="""
+    WITH docs AS (
+      SELECT source, string_split(text, ' ') AS ws FROM documents
+    ),
+    stats AS (
+      SELECT source,
+             len(ws) AS wc,
+             list_sum(list_transform(ws, w -> length(w))) AS chars,
+             len(list_filter(ws, w -> w IN ('the', 'be', 'to', 'of',
+                                            'and', 'that', 'have',
+                                            'with', 'a'))) AS stop_cnt,
+             len(list_distinct(ws)) AS dc,
+             list_max(list_transform(list_distinct(ws),
+                      d -> len(list_filter(ws, w -> w = d)))) AS topf
+      FROM docs
+    ),
+    flags AS (
+      SELECT source,
+             CASE WHEN wc BETWEEN 20 AND 80 THEN 1 ELSE 0 END AS r1,
+             CASE WHEN chars >= 4 * wc AND chars <= 10 * wc
+                  THEN 1 ELSE 0 END AS r2,
+             CASE WHEN stop_cnt >= 2 THEN 1 ELSE 0 END AS r3,
+             CASE WHEN 2 * dc >= wc THEN 1 ELSE 0 END AS r4,
+             CASE WHEN 10 * topf <= wc THEN 1 ELSE 0 END AS r5
+      FROM stats
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(r1 * r2 * r3 * r4 * r5) AS BIGINT) AS n_pass,
+           CAST(sum(1 - r1) AS BIGINT) AS fail_word_count,
+           CAST(sum(1 - r2) AS BIGINT) AS fail_mean_word_len,
+           CAST(sum(1 - r3) AS BIGINT) AS fail_stopwords,
+           CAST(sum(1 - r4) AS BIGINT) AS fail_type_token,
+           CAST(sum(1 - r5) AS BIGINT) AS fail_top_word_freq,
+           floor(CAST(sum(r1 * r2 * r3 * r4 * r5) AS DOUBLE) / count(*)
+                 * 10000 + 0.5) / 10000 AS pass_rate
+    FROM flags
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def text_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GOPHER-STYLE QUALITY GATE (Rae et al. 2021, "Scaling Language
+    Models: ... Gopher", §A1.1 heuristics) — the rule battery
+    pretraining pipelines run before a corpus is allowed near a
+    model: word-count bounds, mean-word-length bounds, a minimum
+    stop-word presence, and two repetition screens (type/token ratio,
+    top-word frequency — the paper's duplicate-n-gram family adapted
+    to the fixture's single-line documents). Thresholds are recast as
+    INTEGER inequalities (chars ≥ 4·wc instead of chars/wc ≥ 4 — the
+    paper's 3-char floor never fires on this fixture's 3.7–5.3 range, so
+    the gate pins the discriminating bound instead; 2·dc
+    ≥ wc for TTR ≥ 0.5, 10·topf ≤ wc for ≤10% top-word mass) so every
+    flag is exact on both engines; the only float is the final
+    pass_rate.
+
+    Scale shape: every per-doc statistic is a row-local array
+    higher-order function over ONE hoisted split (no explode — a
+    100 TB corpus pays zero shuffle until the per-source aggregate,
+    which is map-side combined over ≤20 source keys). The top-word
+    scan is O(words · distinct) per doc, bounded by the 99-word doc
+    cap; the split is projected once and consumed by five HOFs
+    (CollapseProject keeps multi-consumer projections materialized —
+    the SKILL.md inline-split trap this layout avoids).
+    """
+    docs = load(spark, sf_dir, "documents").selectExpr(
+        "source", "split(text, ' ') AS ws"
+    )
+    stats = docs.selectExpr(
+        "source",
+        "size(ws) AS wc",
+        "aggregate(ws, 0, (acc, w) -> acc + length(w)) AS chars",
+        "size(filter(ws, w -> w IN ('the', 'be', 'to', 'of', 'and',"
+        " 'that', 'have', 'with', 'a'))) AS stop_cnt",
+        "size(array_distinct(ws)) AS dc",
+        "array_max(transform(array_distinct(ws),"
+        " d -> size(filter(ws, w -> w = d)))) AS topf",
+    )
+    flags = stats.selectExpr(
+        "source",
+        "CASE WHEN wc BETWEEN 20 AND 80 THEN 1 ELSE 0 END AS r1",
+        "CASE WHEN chars >= 4 * wc AND chars <= 10 * wc THEN 1 ELSE 0 END"
+        " AS r2",
+        "CASE WHEN stop_cnt >= 2 THEN 1 ELSE 0 END AS r3",
+        "CASE WHEN 2 * dc >= wc THEN 1 ELSE 0 END AS r4",
+        "CASE WHEN 10 * topf <= wc THEN 1 ELSE 0 END AS r5",
+    )
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.expr("r1 * r2 * r3 * r4 * r5"))
+            .cast("bigint")
+            .alias("n_pass"),
+            F.sum(F.expr("1 - r1")).cast("bigint").alias("fail_word_count"),
+            F.sum(F.expr("1 - r2"))
+            .cast("bigint")
+            .alias("fail_mean_word_len"),
+            F.sum(F.expr("1 - r3")).cast("bigint").alias("fail_stopwords"),
+            F.sum(F.expr("1 - r4")).cast("bigint").alias("fail_type_token"),
+            F.sum(F.expr("1 - r5"))
+            .cast("bigint")
+            .alias("fail_top_word_freq"),
+        )
+        .selectExpr(
+            "source",
+            "n_docs",
+            "n_pass",
+            "fail_word_count",
+            "fail_mean_word_len",
+            "fail_stopwords",
+            "fail_type_token",
+            "fail_top_word_freq",
+            "floor(CAST(n_pass AS DOUBLE) / n_docs * 10000 + 0.5) / 10000"
+            " AS pass_rate",
+        )
+        .orderBy("source")
+    )

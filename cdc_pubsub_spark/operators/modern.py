@@ -1138,3 +1138,110 @@ def scan_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "rec_type")
     )
+
+
+# --- r12 growth: NCSA combined access-log ingestion -------------------------
+#
+# Status synthesis shared by the Spark render and the oracle: errors map
+# to 5xx, purchases to 201, a planted 1/17 hash slice to 404, the rest
+# 200. event_id is reduced before any multiply per the scale-probe rule.
+_ACCESS_STATUS_SQL = (
+    "CASE WHEN event_type = 'error' THEN 500 + (event_id % 2) * 3"
+    " WHEN event_type = 'purchase' THEN 201"
+    " WHEN event_id % 17 = 0 THEN 404 ELSE 200 END"
+)
+
+
+@register(
+    "scan_apache_access_log",
+    category="modern",
+    oracle=f"""
+    WITH src AS (
+      SELECT {_ACCESS_STATUS_SQL} AS status,
+             event_type || '/' || CAST(event_id % 100 AS VARCHAR) AS path,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS bytes,
+             hour(ts) AS hr,
+             -- the synthesized dotted quad is injective in user_id % 256
+             -- (every octet reduces mod 256), so distinct-IP == distinct
+             -- residue, NOT distinct user_id once the domain tops 256
+             user_id % 256 AS client
+      FROM events
+    )
+    SELECT CAST(status AS BIGINT) AS status,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT path) AS BIGINT) AS n_paths,
+           CAST(count(DISTINCT client) AS BIGINT) AS n_clients,
+           CAST(sum(bytes) AS BIGINT) AS bytes_sum,
+           CAST(min(hr) AS BIGINT) AS hr_min,
+           CAST(max(hr) AS BIGINT) AS hr_max
+    FROM src
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def scan_apache_access_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NCSA COMBINED ACCESS-LOG INGESTION — the web-analytics staple:
+    `ip - user [dd/MMM/yyyy:HH:mm:ss +0000] "GET /path HTTP/1.1"
+    status bytes "referer" "ua"` lines rendered from events in-plan,
+    then parsed back by QUOTE-AWARE splitting (the format's defining
+    hazard: the request / referer / UA fields may contain spaces, so
+    token positions are only stable AFTER splitting on '\"' —
+    odd-indexed fragments are quoted fields, even-indexed fragments
+    carry the space-token fields). The parse recovers ip (token 1 of
+    the prefix), the hour (fixed offset 13 inside the bracketed
+    zero-padded timestamp), path (token 2 of the request), status and
+    bytes (tokens 1-2 of the mid fragment). The oracle recomputes the
+    same per-status aggregate from the source columns, so every
+    offset and split index is load-bearing; the status map plants
+    5xx/404 slices (scan_syslog_rfc3164's render-parse convention).
+
+    Scale shape: render and parse are row-local codegen (split/
+    substring — no regex backtracking); the only shuffle is the
+    ≤5-key status aggregate with two count-distincts bounded by the
+    path (500) and client domains. A deployment replaces the render
+    with spark.read.text over the collector's files; the parse
+    projection is identical.
+    """
+    ev = load(spark, sf_dir, "events")
+    lines = ev.selectExpr(
+        "concat("
+        "  CAST(10 + user_id % 4 * 60 AS STRING), '.',"
+        "  CAST(user_id % 256 AS STRING), '.',"
+        "  CAST(user_id * 7 % 256 AS STRING), '.',"
+        "  CAST(user_id * 13 % 256 AS STRING),"
+        "  ' - u', CAST(user_id AS STRING),"
+        "  ' [', date_format(CAST(ts AS TIMESTAMP),"
+        "        'dd/MMM/yyyy:HH:mm:ss'), ' +0000]',"
+        "  ' \"GET /', event_type, '/', CAST(event_id % 100 AS STRING),"
+        "  ' HTTP/1.1\" ',"
+        f" CAST({_ACCESS_STATUS_SQL} AS STRING),"
+        "  ' ', CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS STRING),"
+        "  ' \"https://ref.example/', CAST(user_id % 7 AS STRING), '\"',"
+        "  ' \"Mozilla/5.0 (agent ', CAST(event_id % 13 AS STRING), ')\"'"
+        ") AS line"
+    )
+    parsed = lines.selectExpr(
+        "element_at(split(line, '\"'), 1) AS prefix",
+        "element_at(split(line, '\"'), 2) AS request",
+        "element_at(split(line, '\"'), 3) AS mid",
+        "element_at(split(line, '\"'), 4) AS referer",
+    ).selectExpr(
+        "element_at(split(prefix, ' '), 1) AS ip",
+        "CAST(substring(element_at(split(prefix, '\\\\['), 2), 13, 2)"
+        " AS BIGINT) AS hr",
+        "substring(element_at(split(request, ' '), 2), 2) AS path",
+        "CAST(element_at(split(trim(mid), ' '), 1) AS BIGINT) AS status",
+        "CAST(element_at(split(trim(mid), ' '), 2) AS BIGINT) AS bytes",
+    )
+    return (
+        parsed.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.countDistinct("path").cast("bigint").alias("n_paths"),
+            F.countDistinct("ip").cast("bigint").alias("n_clients"),
+            F.sum("bytes").cast("bigint").alias("bytes_sum"),
+            F.min("hr").cast("bigint").alias("hr_min"),
+            F.max("hr").cast("bigint").alias("hr_max"),
+        )
+        .orderBy("status")
+    )

@@ -189,3 +189,57 @@ def test_pettitt_statistic_bounds(spark):
             math.floor(e * 1e6 + 0.5) / 1e6,
             abs_tol=1e-9,
         )
+
+
+def test_gopher_rules_discriminate(spark):
+    """Every rule except the length-cap side must actually fire
+    somewhere on the fixture (a gate whose rules never fail certifies
+    nothing), totals must reconcile, and pass_rate must match
+    n_pass/n_docs."""
+    rows = _q("text_gopher_quality_rules", spark, SF_CORRECT).collect()
+    assert len(rows) == 20  # src0..src19
+    tot = {
+        k: sum(r[k] for r in rows)
+        for k in (
+            "n_docs",
+            "n_pass",
+            "fail_word_count",
+            "fail_mean_word_len",
+            "fail_stopwords",
+            "fail_type_token",
+            "fail_top_word_freq",
+        )
+    }
+    assert tot["n_docs"] == 500
+    assert 0 < tot["n_pass"] < tot["n_docs"]
+    for k in (
+        "fail_word_count",
+        "fail_mean_word_len",
+        "fail_stopwords",
+        "fail_type_token",
+        "fail_top_word_freq",
+    ):
+        assert tot[k] > 0, f"rule {k} never fires — not load-bearing"
+    for r in rows:
+        assert abs(r["pass_rate"] - r["n_pass"] / r["n_docs"]) < 1e-3
+
+
+def test_access_log_parse_roundtrip(spark):
+    """Status domain must be exactly the planted map {200, 201, 404,
+    500, 503}; per-status client counts are bounded by the /24-residue
+    domain (256); bytes_sum over all statuses equals the cents total
+    of the whole events table; hours span the full day."""
+    import duckdb
+
+    rows = _q("scan_apache_access_log", spark, SF_CORRECT).collect()
+    assert sorted(r["status"] for r in rows) == [200, 201, 404, 500, 503]
+    for r in rows:
+        assert 0 < r["n_clients"] <= 256
+        assert 0 <= r["hr_min"] <= r["hr_max"] <= 23
+    con = duckdb.connect()
+    cents = con.sql(
+        f"SELECT sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) FROM "
+        f"read_parquet('{SF_CORRECT}/events.parquet')"
+    ).fetchone()[0]
+    con.close()
+    assert sum(r["bytes_sum"] for r in rows) == cents
