@@ -3245,7 +3245,7 @@ def ml_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
 # against the planted rate instead of certifying noise — the ml_roc_auc
 # planted-signal convention.
 _CLS_PRED_SQL = (
-    "CASE WHEN (vec_id * 2654435761) % 10 < 7 THEN label"
+    "CASE WHEN (vec_id % 1048576) * 2654435761 % 10 < 7 THEN label"
     " ELSE (label + 1 + vec_id % 3) % 10 END"
 )
 
