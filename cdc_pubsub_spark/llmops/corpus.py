@@ -795,3 +795,180 @@ def corpus_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# --- r12 growth: URL canonicalization dedup ----------------------------------
+
+
+@register(
+    "corpus_url_dedup_normalize",
+    category="corpus",
+    oracle="""
+    WITH urls AS (
+      SELECT source,
+             (CASE WHEN (doc_id // 20) % 2 = 0 THEN 'HTTPS' ELSE 'https' END)
+             || '://'
+             || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+             || source || '.Example.COM'
+             || (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END)
+             || '/articles/' || CAST(doc_id // 40 AS VARCHAR)
+             || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+             || (CASE WHEN (doc_id // 20) % 2 = 0
+                 THEN '?utm_source=feed&id=' || CAST(doc_id // 40 AS VARCHAR)
+                      || '&utm_campaign=x'
+                 ELSE '?id=' || CAST(doc_id // 40 AS VARCHAR) END)
+             || (CASE WHEN doc_id % 6 = 0 THEN '#sec2' ELSE '' END) AS url
+      FROM documents
+    ),
+    parts AS (
+      SELECT source, url,
+             lower(string_split(url, '://')[1]) AS scheme,
+             string_split(url, '://')[2] AS rest
+      FROM urls
+    ),
+    hostsplit AS (
+      SELECT source, url, scheme,
+             lower(string_split(rest, '/')[1]) AS hostport,
+             substr(rest, length(string_split(rest, '/')[1]) + 1) AS pathq
+      FROM parts
+    ),
+    pieces AS (
+      SELECT source, url, scheme,
+             CASE WHEN hostport LIKE 'www.%'
+                  THEN substr(hostport, 5) ELSE hostport END AS h1,
+             string_split(string_split(pathq, '?')[1], '#')[1] AS rawpath,
+             CASE WHEN contains(pathq, '?')
+                  THEN string_split(string_split(pathq, '?')[2], '#')[1]
+                  ELSE '' END AS query
+      FROM hostsplit
+    ),
+    normed AS (
+      SELECT source, url,
+             scheme || '://'
+             || (CASE WHEN h1 LIKE '%:443' AND scheme = 'https'
+                 THEN substr(h1, 1, length(h1) - 4) ELSE h1 END)
+             || (CASE WHEN rawpath <> '/' AND rawpath LIKE '%/'
+                 THEN substr(rawpath, 1, length(rawpath) - 1)
+                 ELSE rawpath END)
+             || (CASE WHEN length(array_to_string(list_sort(
+                        list_filter(string_split(query, '&'),
+                                    p -> p NOT LIKE 'utm_%')), '&')) > 0
+                 THEN '?' || array_to_string(list_sort(
+                        list_filter(string_split(query, '&'),
+                                    p -> p NOT LIKE 'utm_%')), '&')
+                 ELSE '' END) AS canonical,
+             CASE WHEN len(list_filter(string_split(query, '&'),
+                           p -> p LIKE 'utm_%')) > 0
+                  THEN 1 ELSE 0 END AS has_tracking
+      FROM pieces
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(count(DISTINCT canonical) AS BIGINT) AS n_canonical,
+           CAST(count(*) - count(DISTINCT canonical) AS BIGINT) AS n_dupes,
+           CAST(sum(has_tracking) AS BIGINT) AS n_tracking,
+           floor((CAST(count(*) AS DOUBLE) - count(DISTINCT canonical))
+                 / count(*) * 10000 + 0.5) / 10000 AS dup_rate
+    FROM normed
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def corpus_url_dedup_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL CANONICALIZATION DEDUP — the first pass of every web-corpus
+    pipeline (CCNet / RefinedWeb lineage): crawl frontiers emit the
+    same resource under scheme-case, www-prefix, default-port,
+    trailing-slash, tracking-param (utm_*), param-order, and fragment
+    variants, and exact-dup removal only works after those collapse.
+    URLs are synthesized per document with all seven variant axes
+    planted (deterministic doc_id arithmetic), then PARSED BACK —
+    scheme split on '://', host/port lowered with www./:443 stripped,
+    path de-slashed, the query decomposed to params with utm_*
+    dropped and the survivors lexicographically re-ordered, fragment
+    cut — and deduplicated on the canonical string. The parse is the
+    product: the oracle builds the identical URLs and re-derives the
+    canonical form through DuckDB's own string/list kernel, so every
+    split index and normalization branch is load-bearing.
+
+    Scale shape: parsing is row-local codegen (split/substr/HOFs over
+    a ≤6-element param list — no regex, no explode); the dedup is one
+    count-distinct per source (map-side partial on (source, canonical)
+    pairs). At 100 TB this is the same shape as dedup_exact with the
+    canonical string in place of the raw key — hash-partitionable,
+    no skew beyond the host distribution itself.
+    """
+    docs = load(spark, sf_dir, "documents")
+    urls = docs.selectExpr(
+        "source",
+        "concat("
+        " CASE WHEN (doc_id div 20) % 2 = 0 THEN 'HTTPS' ELSE 'https' END, '://',"
+        " CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END,"
+        " source, '.Example.COM',"
+        " CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END,"
+        " '/articles/', CAST(doc_id div 40 AS STRING),"
+        " CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END,"
+        " CASE WHEN (doc_id div 20) % 2 = 0"
+        " THEN concat('?utm_source=feed&id=', CAST(doc_id div 40 AS STRING),"
+        "             '&utm_campaign=x')"
+        " ELSE concat('?id=', CAST(doc_id div 40 AS STRING)) END,"
+        " CASE WHEN doc_id % 6 = 0 THEN '#sec2' ELSE '' END"
+        ") AS url",
+    )
+    parts = urls.selectExpr(
+        "source",
+        "lower(element_at(split(url, '://'), 1)) AS scheme",
+        "element_at(split(url, '://'), 2) AS rest",
+    )
+    hostsplit = parts.selectExpr(
+        "source",
+        "scheme",
+        "lower(element_at(split(rest, '/'), 1)) AS hostport",
+        "substring(rest, length(element_at(split(rest, '/'), 1)) + 1)"
+        " AS pathq",
+    )
+    pieces = hostsplit.selectExpr(
+        "source",
+        "scheme",
+        "CASE WHEN hostport LIKE 'www.%' THEN substring(hostport, 5)"
+        " ELSE hostport END AS h1",
+        "element_at(split(element_at(split(pathq, '[?]'), 1), '#'), 1)"
+        " AS rawpath",
+        "CASE WHEN pathq LIKE '%?%'"
+        " THEN element_at(split(element_at(split(pathq, '[?]'), 2), '#'), 1)"
+        " ELSE '' END AS query",
+    )
+    normed = pieces.selectExpr(
+        "source",
+        "concat("
+        " scheme, '://',"
+        " CASE WHEN h1 LIKE '%:443' AND scheme = 'https'"
+        " THEN substring(h1, 1, length(h1) - 4) ELSE h1 END,"
+        " CASE WHEN rawpath <> '/' AND rawpath LIKE '%/'"
+        " THEN substring(rawpath, 1, length(rawpath) - 1) ELSE rawpath END,"
+        " CASE WHEN length(array_join(array_sort("
+        "   filter(split(query, '&'), p -> p NOT LIKE 'utm_%')), '&')) > 0"
+        " THEN concat('?', array_join(array_sort("
+        "   filter(split(query, '&'), p -> p NOT LIKE 'utm_%')), '&'))"
+        " ELSE '' END"
+        ") AS canonical",
+        "CASE WHEN size(filter(split(query, '&'), p -> p LIKE 'utm_%')) > 0"
+        " THEN 1 ELSE 0 END AS has_tracking",
+    )
+    return (
+        normed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_urls"),
+            F.countDistinct("canonical").cast("bigint").alias("n_canonical"),
+            F.sum("has_tracking").cast("bigint").alias("n_tracking"),
+        )
+        .selectExpr(
+            "source",
+            "n_urls",
+            "n_canonical",
+            "n_urls - n_canonical AS n_dupes",
+            "n_tracking",
+            "floor((CAST(n_urls AS DOUBLE) - n_canonical) / n_urls"
+            " * 10000 + 0.5) / 10000 AS dup_rate",
+        )
+        .orderBy("source")
+    )

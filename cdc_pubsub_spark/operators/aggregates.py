@@ -1534,3 +1534,88 @@ def agg_kmv_epoch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("epoch")
     )
     return finalize_cached(out, hashes)
+
+
+# --- r12 growth: linear counting sketch -------------------------------------
+
+
+@register(
+    "agg_linear_counting",
+    category="aggregates",
+    oracle=f"""
+    WITH buckets AS (
+      SELECT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+               % 1024 AS b
+      FROM events
+    ),
+    occ AS (
+      SELECT event_type, CAST(count(DISTINCT b) AS BIGINT) AS occupied
+      FROM buckets GROUP BY 1
+    ),
+    exact AS (
+      SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT)
+               AS exact_users
+      FROM events GROUP BY 1
+    )
+    SELECT o.event_type, CAST(1024 AS BIGINT) AS m, o.occupied,
+           e.exact_users,
+           CASE WHEN o.occupied >= 1024 THEN false
+                ELSE abs(-1024.0 * ln(1.0 - o.occupied / 1024.0)
+                         - e.exact_users)
+                     <= 0.05 * greatest(e.exact_users, 20)
+           END AS est_within_5pct
+    FROM occ o JOIN exact e ON e.event_type = o.event_type
+    ORDER BY o.event_type
+    """,
+)
+def agg_linear_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR COUNTING distinct estimator (Whang et al. 1990) per
+    event_type — the small-cardinality sketch HLL implementations
+    switch to below ~5m/2 distincts: hash each key into one of
+    m = 1024 buckets, count occupied buckets V, estimate
+    n̂ = −m·ln(1 − V/m). The hash is the repo's PORTABLE md5-derived
+    60-bit integer (dedup_minhash_banded bridge), so the sketch STATE
+    (per-type occupancy) is bit-identical across engines and rides the
+    driver hash directly; the ln()-based estimate — libm-dependent in
+    its last ulp, the one float this repo never certifies raw — is
+    folded into an in-plan tolerance verdict instead (|n̂ − n| within
+    5% of max(n, 20)), the agg_hll_sketch_union convention. The
+    V = m saturation branch (ln(0): DuckDB raises, Spark returns
+    NULL — the SKILL.md divergence) is CASE-guarded identically on
+    both engines before the logarithm can evaluate.
+
+    Scale shape: ONE map-side-combined aggregate to (type, bucket)
+    pairs — ≤ 5·1024 rows cross the wire regardless of corpus size —
+    then a ≤5-row join against the exact rollup (the certification
+    ride-along; production drops it and keeps the 1 KiB sketch).
+    Sketches merge by bucket-set union, the same mergeability contract
+    as the KMV/HLL/theta family.
+    """
+    ev = load(spark, sf_dir, "events")
+    occ = (
+        ev.selectExpr(
+            "event_type",
+            "cast(conv(substr(md5(cast(user_id AS STRING)), 1, 15), 16, 10)"
+            " as bigint) % 1024 AS b",
+        )
+        .groupBy("event_type")
+        .agg(F.countDistinct("b").cast("bigint").alias("occupied"))
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_users")
+    )
+    return (
+        occ.join(exact, "event_type")
+        .selectExpr(
+            "event_type",
+            "CAST(1024 AS BIGINT) AS m",
+            "occupied",
+            "exact_users",
+            "CASE WHEN occupied >= 1024 THEN false"
+            " ELSE abs(-1024.0D * ln(1.0D - occupied / 1024.0D)"
+            " - exact_users) <= 0.05D * greatest(exact_users, 20L)"
+            " END AS est_within_5pct",
+        )
+        .orderBy("event_type")
+    )

@@ -243,3 +243,34 @@ def test_access_log_parse_roundtrip(spark):
     ).fetchone()[0]
     con.close()
     assert sum(r["bytes_sum"] for r in rows) == cents
+
+
+def test_linear_counting_sketch_state(spark):
+    """Occupancy can never exceed min(m, exact) ... well, exact users
+    map ≥1 per bucket, so occupied ≤ exact AND occupied ≤ m; the
+    tolerance verdict must hold everywhere on the fixture (load
+    factor ≤ ~1.5 keeps LC well inside 5%)."""
+    rows = _q("agg_linear_counting", spark, SF_CORRECT).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["m"] == 1024
+        assert 0 < r["occupied"] <= min(1024, r["exact_users"])
+        assert r["est_within_5pct"] is True
+
+
+def test_url_dedup_variant_axes(spark):
+    """The planted variants guarantee duplicates (7 docs share a path
+    stem per source-modulus) — every source must report n_dupes > 0 and
+    n_canonical < n_urls; tracking params ride on even doc_ids only
+    (≈half); canonicalization can never INCREASE distinct count."""
+    rows = _q("corpus_url_dedup_normalize", spark, SF_CORRECT).collect()
+    assert len(rows) == 20
+    tot_urls = sum(r["n_urls"] for r in rows)
+    tot_track = sum(r["n_tracking"] for r in rows)
+    assert tot_urls == 500
+    assert 200 <= tot_track <= 300  # div-20 parity => ~half carry utm
+    for r in rows:
+        assert r["n_dupes"] > 0, "dedup axis not load-bearing"
+        assert r["n_canonical"] <= r["n_urls"]
+        assert r["n_dupes"] == r["n_urls"] - r["n_canonical"]
+        assert 0 <= r["dup_rate"] < 1
