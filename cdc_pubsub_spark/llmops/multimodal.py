@@ -2397,3 +2397,142 @@ def multimodal_id3v1(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("artist")
     )
+
+
+# --- r12 growth: PGM (P5 binary / P2 ASCII) decode ---------------------------
+
+
+def _pgm_px(doc_id: int, j: int) -> int:
+    return (doc_id * 37 + j * 97) % 256
+
+
+def _synth_pgm(doc_id: int) -> bytes:
+    """Real netpbm grayscale bytes: even doc_ids emit binary P5, odd
+    emit PLAIN-TEXT P2 (ASCII decimal raster — a different parser
+    path, not a header flag); doc_id % 3 == 0 plants a `#` comment
+    inside the header. w = 5 + doc_id%6, h = 4 + doc_id%4, maxval 255,
+    pixel j = (doc_id·37 + j·97) % 256."""
+    w, h = 5 + doc_id % 6, 4 + doc_id % 4
+    comment = b"# synthetic fixture\n" if doc_id % 3 == 0 else b""
+    px = [_pgm_px(doc_id, j) for j in range(w * h)]
+    if doc_id % 2 == 0:
+        head = b"P5\n" + comment + b"%d %d\n255\n" % (w, h)
+        return head + bytes(px)
+    head = b"P2\n" + comment + b"%d %d\n255\n" % (w, h)
+    body = "\n".join(
+        " ".join(str(v) for v in px[r * w : (r + 1) * w]) for r in range(h)
+    )
+    return head + body.encode("ascii") + b"\n"
+
+
+def decode_pgm(payload: bytes) -> dict:
+    """Genuine netpbm grayscale parse for BOTH encodings: the header
+    tokenizer (magic, `#`-comment skip, three whitespace-separated
+    ints) is shared; the raster read dispatches on the magic — P5
+    slices w·h raw bytes, P2 tokenizes w·h ASCII decimals (the plain
+    format permits arbitrary whitespace, so the reader splits, not
+    slices). Emits dimensions, the format tag, and integer luminance
+    stats."""
+    magic = payload[:2]
+    if magic not in (b"P5", b"P2"):
+        raise ValueError("not a PGM payload")
+    pos = 2
+    vals: list[int] = []
+    while len(vals) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and payload[pos : pos + 1].isdigit():
+            pos += 1
+        if pos == start:
+            raise ValueError("malformed PGM header")
+        vals.append(int(payload[start:pos]))
+    w, h, maxval = vals
+    pos += 1  # exactly one whitespace byte before the raster
+    n = w * h
+    if magic == b"P5":
+        px = list(payload[pos : pos + n])
+        if len(px) < n:
+            raise ValueError("truncated raster")
+    else:
+        toks = payload[pos:].split()
+        if len(toks) < n:
+            raise ValueError("truncated ASCII raster")
+        px = [int(t) for t in toks[:n]]
+    if any(v > maxval for v in px):
+        raise ValueError("sample exceeds maxval")
+    return {
+        "width": w,
+        "height": h,
+        "fmt": magic.decode("ascii"),
+        "mean_lum": sum(px) // n,
+        "px_min": min(px),
+        "px_max": max(px),
+    }
+
+
+@register(
+    "multimodal_decode_pgm",
+    category="multimodal",
+    bench=False,
+    oracle="""
+    WITH img AS (
+      SELECT doc_id, 5 + doc_id % 6 AS w, 4 + doc_id % 4 AS h
+      FROM documents WHERE doc_id <= 400
+    )
+    SELECT i.doc_id,
+           CAST(i.w AS INT) AS width,
+           CAST(i.h AS INT) AS height,
+           CASE WHEN i.doc_id % 2 = 0 THEN 'P5' ELSE 'P2' END AS fmt,
+           CAST(sum((i.doc_id * 37 + t.j * 97) % 256) // (i.w * i.h)
+                AS BIGINT) AS mean_lum,
+           CAST(min((i.doc_id * 37 + t.j * 97) % 256) AS INT) AS px_min,
+           CAST(max((i.doc_id * 37 + t.j * 97) % 256) AS INT) AS px_max,
+           true AS decoded_ok
+    FROM img i, LATERAL unnest(range(0, i.w * i.h)) AS t(j)
+    GROUP BY i.doc_id, i.w, i.h
+    """,
+)
+def multimodal_decode_pgm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed REAL netpbm-grayscale decode via Arrow mapInPandas —
+    the family's first DUAL-ENCODING format: the same image arrives as
+    binary P5 (even doc_ids) or plain-text P2 (odd doc_ids, ASCII
+    decimal raster), and a third of the headers carry `#` comments, so
+    the header tokenizer's whitespace/comment handling AND the raster
+    dispatch (slice vs tokenize) are both load-bearing against the
+    closed-form oracle — a reader that assumes one encoding or skips
+    comment lines wrongly produces garbage on half the corpus rather
+    than erroring. P2 is the format netpbm tools emit for
+    human-inspectable pipelines; a real corpus mixes both, which is
+    exactly the hazard planted here.
+
+    Same production plumbing as the other codec kernels: payload
+    synthesized in-kernel (closed-form bytes), Arrow batch iteration,
+    per-row cost proportional to pixel count, zero shuffles before the
+    driver's own collect — at 100 TB the kernel reads a parquet binary
+    column instead (multimodal_binary_ingest is the ingest twin).
+    """
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") <= 400)
+    ids = docs.select("doc_id")
+
+    def decode_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                feats = decode_pgm(_synth_pgm(int(doc_id)))
+                feats["doc_id"] = doc_id
+                feats["decoded_ok"] = True
+                out.append(feats)
+            yield pd.DataFrame(out)
+
+    return ids.mapInPandas(
+        decode_batches,
+        schema="width int, height int, fmt string, mean_lum bigint,"
+        " px_min int, px_max int, doc_id bigint, decoded_ok boolean",
+    )

@@ -2038,3 +2038,105 @@ def graph_ppr_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("ppr_ppb").desc(), "user_id")
         .limit(25)
     )
+
+
+# --- r12 growth: bounded-radius harmonic centrality -------------------------
+
+_HC_ROUNDS = 4
+
+
+def _hc_oracle_sql(rounds: int = _HC_ROUNDS) -> str:
+    """Unrolled multi-source min-plus twin. Each round references the
+    previous pair frame twice (carry + relax), so every step is AS
+    MATERIALIZED (the bfs/mmr CTE-inlining gotcha)."""
+    ctes = [
+        "users AS MATERIALIZED (SELECT DISTINCT user_id FROM events)",
+        _EDGE_SQL.strip().replace("edges AS (", "edges AS MATERIALIZED (", 1),
+        "p0 AS MATERIALIZED (SELECT user_id AS src, user_id AS v,"
+        " 0 AS d FROM users)",
+    ]
+    for t in range(1, rounds + 1):
+        ctes.append(
+            f"p{t} AS MATERIALIZED (SELECT src, v, CAST(min(d) AS BIGINT)"
+            " AS d FROM ("
+            f"  SELECT src, v, d FROM p{t-1}"
+            "   UNION ALL"
+            f"  SELECT p.src, e.dst AS v, p.d + 1 AS d"
+            f"  FROM p{t-1} p JOIN edges e ON e.src = p.v"
+            f") GROUP BY src, v)"
+        )
+    body = ",\n".join(ctes)
+    return f"""
+    WITH {body}
+    SELECT v AS node,
+           CAST(count(*) AS BIGINT) AS n_sources,
+           CAST(sum(12 // d) AS BIGINT) AS harmonic_12ths
+    FROM p{rounds}
+    WHERE d > 0
+    GROUP BY v
+    ORDER BY harmonic_12ths DESC, node
+    LIMIT 20
+    """
+
+
+@register(
+    "graph_harmonic_centrality",
+    category="graph",
+    bench=False,  # like bfs_layers: unrolled tiny AQE stages, scheduling floor
+    oracle=_hc_oracle_sql(),
+)
+def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOUNDED-RADIUS HARMONIC CENTRALITY over the deterministic
+    2-regular user graph: C_H(v) = Σ_{u reaches v, d ≤ 4} 1/d(u, v) —
+    the centrality variant that, unlike closeness, handles
+    disconnected graphs gracefully (Boldi & Vigna 2014, "Axioms for
+    Centrality": unreachable pairs contribute 0, no ∞ bookkeeping).
+    Four statically-unrolled multi-source min-plus rounds carry the
+    sparse (source, node, dist) pair relation; the radius cap is the
+    standard big-graph compromise (full APSP is quadratic state —
+    bounded-radius harmonic is what HyperBall approximates at web
+    scale with HLL counters; here the 1000-node edge domain keeps the
+    exact pair relation small enough to certify).
+
+    Exactness device: with d ∈ {1..4}, every reciprocal is exact in
+    TWELFTHS (12/d ∈ {12, 6, 4, 3}), so the centrality is an exact
+    BIGINT and no float ever forms — the integer-cents discipline
+    applied to 1/d. Top-20 output is total-ordered (score desc, node
+    asc). Scale shape: pair state is bounded by nodes × (2-regular
+    4-hop ball ≤ 31) ≈ 31k rows; each round is one shuffle (min-group)
+    + one equi-join; the oracle replays identical rounds AS
+    MATERIALIZED. Self-distances (d = 0) are excluded by definition.
+    """
+    users = load(spark, sf_dir, "events").select("user_id").distinct()
+    edges = users.select(
+        F.col("user_id").alias("e_src"),
+        ((F.col("user_id") * 7 + 3) % 1000).alias("e_dst"),
+    ).unionByName(
+        users.select(
+            F.col("user_id").alias("e_src"),
+            ((F.col("user_id") * 13 + 11) % 1000).alias("e_dst"),
+        )
+    )
+    pairs = users.selectExpr(
+        "user_id AS src", "user_id AS v", "CAST(0 AS BIGINT) AS d"
+    )
+    for _ in range(_HC_ROUNDS):
+        relaxed = (
+            pairs.join(edges, F.col("v") == F.col("e_src"))
+            .selectExpr("src", "e_dst AS v", "d + 1 AS d")
+        )
+        pairs = (
+            pairs.unionByName(relaxed)
+            .groupBy("src", "v")
+            .agg(F.min("d").cast("bigint").alias("d"))
+        )
+    return (
+        pairs.filter("d > 0")
+        .groupBy(F.col("v").alias("node"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+            F.sum(F.expr("12 div d")).cast("bigint").alias("harmonic_12ths"),
+        )
+        .orderBy(F.col("harmonic_12ths").desc(), "node")
+        .limit(20)
+    )

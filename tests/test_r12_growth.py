@@ -274,3 +274,44 @@ def test_url_dedup_variant_axes(spark):
         assert r["n_canonical"] <= r["n_urls"]
         assert r["n_dupes"] == r["n_urls"] - r["n_canonical"]
         assert 0 <= r["dup_rate"] < 1
+
+
+def test_harmonic_centrality_twelfths_exact(spark):
+    """Scores must be positive multiples representable in twelfths
+    with the 4-hop cap: max per-source contribution is 12 (d=1), so
+    harmonic_12ths ≤ 12·n_sources; ordering must be total (desc score,
+    asc node) and all 20 rows distinct nodes."""
+    rows = _q("graph_harmonic_centrality", spark, SF_CORRECT).collect()
+    assert len(rows) == 20
+    seen = set()
+    prev = None
+    for r in rows:
+        assert r["node"] not in seen
+        seen.add(r["node"])
+        assert 0 < r["harmonic_12ths"] <= 12 * r["n_sources"]
+        if prev is not None:
+            assert (r["harmonic_12ths"], -r["node"]) <= (
+                prev["harmonic_12ths"],
+                -prev["node"],
+            ) or r["harmonic_12ths"] < prev["harmonic_12ths"]
+        prev = r
+
+
+def test_pgm_decoder_handles_both_encodings_and_comments(spark):
+    """P5 and P2 must both appear; a truncated raster and a bad magic
+    must raise; the comment-bearing headers (doc_id % 3 == 0) must
+    decode identically to comment-free ones."""
+    import pytest
+
+    from cdc_pubsub_spark.llmops.multimodal import _synth_pgm, decode_pgm
+
+    rows = _q("multimodal_decode_pgm", spark, SF_SMOKE).collect()
+    fmts = {r["fmt"] for r in rows}
+    assert fmts == {"P5", "P2"}
+    for r in rows:
+        assert 0 <= r["px_min"] <= r["px_max"] <= 255
+        assert r["px_min"] <= r["mean_lum"] <= r["px_max"]
+    with pytest.raises(ValueError):
+        decode_pgm(b"P4\n2 2\n255\n\x00\x01\x02\x03")
+    with pytest.raises(ValueError):
+        decode_pgm(_synth_pgm(6)[:-3])  # truncated binary raster
