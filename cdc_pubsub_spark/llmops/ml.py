@@ -3403,3 +3403,112 @@ def ml_classification_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_pubsub_spark.tables import finalize_cached
 
     return finalize_cached(out, cm)
+
+
+# --- r12 growth: banded gains/lift table ------------------------------------
+
+
+@register(
+    "ml_lift_curve_deciles",
+    category="similarity",
+    oracle=f"""
+    WITH rows_in AS ({_ROC_ROWS_SQL}),
+    banded AS (
+      SELECT (s - 1) // 5 AS band,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(label) AS BIGINT) AS n_pos
+      FROM rows_in GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(n_pos) AS BIGINT) AS np
+      FROM banded
+    ),
+    cum AS (
+      SELECT band, n, n_pos,
+             CAST(sum(n) OVER (ORDER BY band DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_n,
+             CAST(sum(n_pos) OVER (ORDER BY band DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_pos
+      FROM banded
+    )
+    SELECT c.band, c.n, c.n_pos,
+           floor(CAST(c.n_pos AS DOUBLE) / c.n * 10000 + 0.5) / 10000
+             AS response_rate,
+           floor(CAST(c.n_pos AS DOUBLE) * t.nn
+                 / (CAST(c.n AS DOUBLE) * t.np) * 10000 + 0.5) / 10000
+             AS lift,
+           floor(CAST(c.cum_pos AS DOUBLE) / t.np * 10000 + 0.5) / 10000
+             AS cum_capture,
+           floor(CAST(c.cum_pos AS DOUBLE) * t.nn
+                 / (CAST(c.cum_n AS DOUBLE) * t.np) * 10000 + 0.5) / 10000
+             AS cum_lift
+    FROM cum c CROSS JOIN tot t
+    ORDER BY c.band DESC
+    """,
+)
+def ml_lift_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GAINS / LIFT TABLE over score bands — the campaign-targeting
+    eval (who do we contact first?) that complements ROC/PR: scores
+    band into 10 equal-width buckets of the bounded quantity domain
+    (band = (s−1) div 5 over s ∈ 1..50 — the BANDED variant; true
+    equal-POPULATION deciles need a global rank, which this repo's
+    bounded-domain discipline replaces with domain bands exactly as
+    ml_roc_auc bins Mann-Whitney), and each band reports response
+    rate, lift vs the global rate, and top-down cumulative capture /
+    lift (descending-band cumulative window over the ≤10-row band
+    relation). Labels are ml_roc_auc's planted monotone signal, so
+    the invariant test asserts monotone-ish lift rather than noise.
+
+    Exactness: every statistic is a ratio of exact BIGINTs with one
+    r4-floored float division each — counts aggregate map-side to the
+    10-band relation; no row-level window, no float accumulates.
+    Scale: ONE scan → ≤10 rows; everything after is free at any size.
+    """
+    li = load(spark, sf_dir, "lineitem").selectExpr(
+        "CAST(l_quantity AS BIGINT) AS s",
+        "CASE WHEN ((l_orderkey % 1048576) * 2654435761"
+        " + l_linenumber * 40503) % 1000"
+        " < 150 + 14 * CAST(l_quantity AS BIGINT) THEN 1 ELSE 0 END"
+        " AS label",
+    )
+    banded = li.selectExpr("(s - 1) div 5 AS band", "label").groupBy(
+        "band"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("label").cast("bigint").alias("n_pos"),
+    )
+    tot = banded.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("n_pos").cast("bigint").alias("np"),
+    )
+    w = (
+        Window.orderBy(F.col("band").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = banded.select(
+        "band",
+        "n",
+        "n_pos",
+        F.sum("n").over(w).cast("bigint").alias("cum_n"),
+        F.sum("n_pos").over(w).cast("bigint").alias("cum_pos"),
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "band",
+            "n",
+            "n_pos",
+            "floor(CAST(n_pos AS DOUBLE) / n * 10000 + 0.5) / 10000"
+            " AS response_rate",
+            "floor(CAST(n_pos AS DOUBLE) * nn / (CAST(n AS DOUBLE) * np)"
+            " * 10000 + 0.5) / 10000 AS lift",
+            "floor(CAST(cum_pos AS DOUBLE) / np * 10000 + 0.5) / 10000"
+            " AS cum_capture",
+            "floor(CAST(cum_pos AS DOUBLE) * nn"
+            " / (CAST(cum_n AS DOUBLE) * np) * 10000 + 0.5) / 10000"
+            " AS cum_lift",
+        )
+        .orderBy(F.col("band").desc())
+    )

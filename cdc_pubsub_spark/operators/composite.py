@@ -7192,3 +7192,294 @@ def ts_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("event_type")
     )
     return finalize_cached(out, daily)
+
+
+@register(
+    "orders_net_revenue_retention",
+    category="composite",
+    oracle="""
+    WITH yearly AS (
+      SELECT o_custkey,
+             CAST(year(o_orderdate) AS BIGINT) AS y,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT b.y AS base_year,
+             CAST(count(*) AS BIGINT) AS n_base_cust,
+             CAST(sum(b.cents) AS BIGINT) AS base_cents,
+             CAST(count(n.o_custkey) AS BIGINT) AS n_retained_cust,
+             CAST(coalesce(sum(n.cents), 0) AS BIGINT) AS retained_cents
+      FROM yearly b
+      LEFT JOIN yearly n ON n.o_custkey = b.o_custkey AND n.y = b.y + 1
+      GROUP BY 1
+    ),
+    newrev AS (
+      SELECT n.y - 1 AS base_year,
+             CAST(sum(n.cents) AS BIGINT) AS new_cents
+      FROM yearly n
+      LEFT JOIN yearly b ON b.o_custkey = n.o_custkey AND b.y = n.y - 1
+      WHERE b.o_custkey IS NULL
+      GROUP BY 1
+    )
+    SELECT p.base_year, p.n_base_cust, p.n_retained_cust,
+           p.base_cents, p.retained_cents,
+           coalesce(nr.new_cents, 0) AS new_cents,
+           floor(CAST(p.retained_cents AS DOUBLE) / p.base_cents
+                 * 10000 + 0.5) / 10000 AS nrr,
+           floor(CAST(p.n_retained_cust AS DOUBLE) / p.n_base_cust
+                 * 10000 + 0.5) / 10000 AS logo_retention
+    FROM pairs p
+    LEFT JOIN newrev nr ON nr.base_year = p.base_year
+    WHERE p.base_year < (SELECT max(y) FROM yearly)
+    ORDER BY p.base_year
+    """,
+)
+def orders_net_revenue_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NET REVENUE RETENTION / LOGO RETENTION by customer-year cohort —
+    the SaaS-finance staple (NRR = next-year revenue from THIS year's
+    customers ÷ this year's revenue; logo retention = fraction of
+    customers who return; new_cents = next-year revenue from customers
+    with no base-year activity, the expansion decomposition's other
+    leg). Revenue is integer cents throughout; each rate is one
+    r4-floored division. The final year is excluded as a base (its
+    retention is structurally zero — a truncation artifact, not
+    churn; the standard cohort-analysis right-censoring rule).
+
+    Scale shape: ONE aggregate collapses orders to the (customer,
+    year) relation — bounded by customers × 7 years, the natural
+    retention grain; the self-joins run there on (custkey, year) keys
+    (co-partitioned equi-joins, no skew beyond the customer
+    distribution), and the output is ≤6 rows. At 100 TB the yearly
+    rollup is the only data-sized stage, exactly as a production
+    finance mart materializes it.
+    """
+    yearly = (
+        load(spark, sf_dir, "orders")
+        .selectExpr(
+            "o_custkey",
+            "CAST(year(o_orderdate) AS BIGINT) AS y",
+            "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents",
+        )
+        .groupBy("o_custkey", "y")
+        .agg(F.sum("cents").cast("bigint").alias("cents"))
+        .persist()
+    )
+    nxt = yearly.selectExpr(
+        "o_custkey AS n_cust", "y AS n_y", "cents AS n_cents"
+    )
+    pairs = (
+        yearly.join(
+            nxt,
+            (F.col("n_cust") == F.col("o_custkey"))
+            & (F.col("n_y") == F.col("y") + 1),
+            "left",
+        )
+        .groupBy(F.col("y").alias("base_year"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_base_cust"),
+            F.sum("cents").cast("bigint").alias("base_cents"),
+            F.count("n_cust").cast("bigint").alias("n_retained_cust"),
+            F.coalesce(F.sum("n_cents"), F.lit(0))
+            .cast("bigint")
+            .alias("retained_cents"),
+        )
+    )
+    base_alias = yearly.selectExpr(
+        "o_custkey AS b_cust", "y AS b_y"
+    )
+    newrev = (
+        yearly.join(
+            base_alias,
+            (F.col("b_cust") == F.col("o_custkey"))
+            & (F.col("b_y") == F.col("y") - 1),
+            "left",
+        )
+        .filter(F.col("b_cust").isNull())
+        .groupBy((F.col("y") - 1).alias("base_year"))
+        .agg(F.sum("cents").cast("bigint").alias("new_cents"))
+    )
+    last = yearly.agg(F.max("y").alias("max_y"))
+    out = (
+        pairs.join(F.broadcast(newrev), "base_year", "left")
+        .crossJoin(F.broadcast(last))
+        .filter("base_year < max_y")
+        .selectExpr(
+            "base_year",
+            "n_base_cust",
+            "n_retained_cust",
+            "base_cents",
+            "retained_cents",
+            "coalesce(new_cents, 0L) AS new_cents",
+            "floor(CAST(retained_cents AS DOUBLE) / base_cents"
+            " * 10000 + 0.5) / 10000 AS nrr",
+            "floor(CAST(n_retained_cust AS DOUBLE) / n_base_cust"
+            " * 10000 + 0.5) / 10000 AS logo_retention",
+        )
+        .orderBy("base_year")
+    )
+    return finalize_cached(out, yearly)
+
+
+@register(
+    "ts_hurst_rescaled_range",
+    category="composite",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS BIGINT)
+               AS day_idx,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS x
+      FROM events GROUP BY 1, 2
+    ),
+    indexed AS (
+      SELECT event_type, x,
+             row_number() OVER (PARTITION BY event_type ORDER BY day_idx)
+               - 1 AS rn
+      FROM daily
+    ),
+    sizes AS (SELECT unnest([4, 8, 16]) AS m),
+    blocks AS (
+      SELECT i.event_type, s.m, i.rn // s.m AS blk, i.rn % s.m AS k, i.x
+      FROM indexed i CROSS JOIN sizes s
+    ),
+    btot AS (
+      SELECT event_type, m, blk,
+             CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+      FROM blocks GROUP BY 1, 2, 3
+    ),
+    cum AS (
+      SELECT b.event_type, b.m, b.blk, b.k,
+             CAST(sum(b.m * b.x) OVER (PARTITION BY b.event_type, b.m, b.blk
+                    ORDER BY b.k ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW) AS BIGINT)
+             - (b.k + 1) * t.sx AS cumdev
+      FROM blocks b
+      JOIN btot t ON t.event_type = b.event_type AND t.m = b.m
+                 AND t.blk = b.blk
+      WHERE t.cnt = b.m
+    ),
+    ranges AS (
+      SELECT c.event_type, c.m, c.blk,
+             CAST(max(c.cumdev) - min(c.cumdev) AS BIGINT) AS r_scaled
+      FROM cum c GROUP BY 1, 2, 3
+    ),
+    per_block AS (
+      SELECT r.event_type, r.m, r.blk,
+             CAST(floor(r.r_scaled
+                  / sqrt(CAST(t.m * t.sxx
+                         - CAST(t.sx AS HUGEINT) * t.sx AS DOUBLE))
+                  * 1000000 + 0.5) AS BIGINT) AS rs_ppm
+      FROM ranges r
+      JOIN btot t ON t.event_type = r.event_type AND t.m = r.m
+                 AND t.blk = r.blk
+      WHERE t.cnt = r.m AND t.m * t.sxx > CAST(t.sx AS HUGEINT) * t.sx
+    )
+    SELECT event_type, m,
+           CAST(count(*) AS BIGINT) AS n_blocks,
+           floor(CAST(sum(rs_ppm) AS DOUBLE) / count(*) / 1000000
+                 * 10000 + 0.5) / 10000 AS rs_mean
+    FROM per_block
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def ts_hurst_rescaled_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESCALED-RANGE (R/S) STATISTIC per event_type at block sizes
+    m ∈ {4, 8, 16} — the measurement underlying the Hurst exponent
+    (Mandelbrot & Wallis's R/S analysis: H is the log-log slope of
+    E[R/S] vs m; random walks give R/S ∝ m^0.5, long-memory series
+    more). The op emits the per-size R/S means and leaves the 3-point
+    slope to the consumer — the same emit-the-exponent-not-exp()
+    stance as ts_pettitt_changepoint, since the slope needs log().
+
+    Exactness devices stack three deep: (1) block statistics are
+    exact integers (Σx, Σx² in HUGEINT/DECIMAL(38,0)); (2) cumulative
+    deviations scale by m BEFORE subtraction (cumdev_k = Σ m·x − (k+1)
+    ·Σx — the ts_autocorr pre-centering trick, so R is an exact
+    BIGINT with the m² factor cancelling against S's); (3) each
+    block's R/S ratio — the one float op — quantizes to integer ppm
+    BEFORE the cross-block mean, so the mean is again an exact
+    integer sum (float-sum partition-order noise cannot arise).
+    Degenerate blocks (zero variance — constant 4-day revenue run)
+    are excluded by the same integer predicate on both engines;
+    partial trailing blocks (cnt < m) are dropped per R/S convention.
+
+    Scale shape: one aggregate to the calendar-bounded daily relation,
+    then all block windows run over ≤31 rows × 3 sizes per type.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.selectExpr(
+        "event_type",
+        "unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000 AS day_idx",
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents",
+    ).groupBy("event_type", "day_idx").agg(
+        F.sum("cents").cast("bigint").alias("x")
+    )
+    wo = Window.partitionBy("event_type").orderBy("day_idx")
+    indexed = daily.select(
+        "event_type", "x", (F.row_number().over(wo) - 1).alias("rn")
+    )
+    sizes = spark.sql("SELECT explode(array(4, 8, 16)) AS m")
+    blocks = indexed.crossJoin(F.broadcast(sizes)).selectExpr(
+        "event_type", "m", "rn div m AS blk", "rn % m AS k", "x"
+    )
+    btot = blocks.groupBy("event_type", "m", "blk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("sxx"),
+    )
+    wb = (
+        Window.partitionBy("event_type", "m", "blk")
+        .orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        blocks.join(btot, ["event_type", "m", "blk"])
+        .filter("cnt = m")
+        .select(
+            "event_type",
+            "m",
+            "blk",
+            "k",
+            (
+                F.sum(F.expr("m * x")).over(wb).cast("bigint")
+                - (F.col("k") + 1) * F.col("sx")
+            ).alias("cumdev"),
+        )
+    )
+    ranges = cum.groupBy("event_type", "m", "blk").agg(
+        (F.max("cumdev") - F.min("cumdev"))
+        .cast("bigint")
+        .alias("r_scaled")
+    )
+    per_block = (
+        ranges.join(btot, ["event_type", "m", "blk"])
+        .filter("cnt = m AND m * sxx > CAST(sx AS DECIMAL(38,0)) * sx")
+        .selectExpr(
+            "event_type",
+            "m",
+            "CAST(floor(r_scaled"
+            " / sqrt(CAST(m * sxx - CAST(sx AS DECIMAL(38,0)) * sx"
+            " AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS rs_ppm",
+        )
+    )
+    return (
+        per_block.groupBy("event_type", "m")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+            F.sum("rs_ppm").cast("bigint").alias("rs_sum"),
+        )
+        .selectExpr(
+            "event_type",
+            "m",
+            "n_blocks",
+            "floor(CAST(rs_sum AS DOUBLE) / n_blocks / 1000000"
+            " * 10000 + 0.5) / 10000 AS rs_mean",
+        )
+        .orderBy("event_type", "m")
+    )

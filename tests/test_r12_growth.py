@@ -315,3 +315,60 @@ def test_pgm_decoder_handles_both_encodings_and_comments(spark):
         decode_pgm(b"P4\n2 2\n255\n\x00\x01\x02\x03")
     with pytest.raises(ValueError):
         decode_pgm(_synth_pgm(6)[:-3])  # truncated binary raster
+
+
+def test_lift_table_planted_monotone_signal(spark):
+    """The planted positive rate rises with quantity, so higher score
+    bands must show higher response rates (monotone across the 10
+    bands), the top band's lift must exceed 1, cumulative capture must
+    end at 1.0, and cumulative lift must decay toward 1."""
+    rows = _q("ml_lift_curve_deciles", spark, SF_CORRECT).collect()
+    assert len(rows) == 10
+    # rows ordered band desc: response_rate should decrease going down
+    rates = [r["response_rate"] for r in rows]
+    assert all(a >= b - 0.02 for a, b in zip(rates, rates[1:])), rates
+    assert rows[0]["lift"] > 1.2
+    assert abs(rows[-1]["cum_capture"] - 1.0) < 1e-9
+    assert abs(rows[-1]["cum_lift"] - 1.0) < 1e-9
+
+
+def test_nrr_cohort_accounting(spark):
+    """Retained customers are a subset of base customers; retained +
+    new revenue must reconcile to the next year's total revenue; the
+    truncated final year must not appear as a base."""
+    import duckdb
+
+    rows = _q("orders_net_revenue_retention", spark, SF_CORRECT).collect()
+    years = [r["base_year"] for r in rows]
+    assert years == sorted(years) and 2001 not in years
+    con = duckdb.connect()
+    tot = dict(
+        con.sql(
+            f"SELECT CAST(year(o_orderdate) AS BIGINT),"
+            f" sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))"
+            f" FROM read_parquet('{SF_CORRECT}/orders.parquet') GROUP BY 1"
+        ).fetchall()
+    )
+    con.close()
+    for r in rows:
+        assert r["n_retained_cust"] <= r["n_base_cust"]
+        assert 0 < r["nrr"] <= 2.0
+        assert 0 < r["logo_retention"] <= 1.0
+        nxt = r["base_year"] + 1
+        assert r["retained_cents"] + r["new_cents"] == tot[nxt]
+
+
+def test_hurst_rs_scaling(spark):
+    """R/S must grow with block size (longer windows accumulate wider
+    ranges): for each type rs_mean(16) > rs_mean(8) > rs_mean(4); a
+    near-random daily series should scale roughly like sqrt(m), so the
+    16/4 ratio must land near 2 (loose envelope [1.2, 3.5])."""
+    rows = _q("ts_hurst_rescaled_range", spark, SF_CORRECT).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["event_type"], {})[r["m"]] = r["rs_mean"]
+    assert len(per) == 5
+    for et, d in per.items():
+        assert set(d) == {4, 8, 16}
+        assert d[16] > d[8] > d[4] > 0, (et, d)
+        assert 1.2 <= d[16] / d[4] <= 3.5, (et, d)
