@@ -7483,3 +7483,443 @@ def ts_hurst_rescaled_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "m")
     )
+
+
+@register(
+    "events_time_to_convert",
+    category="composite",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t1
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    conv AS (
+      SELECT s1.user_id,
+             CAST((dayofmonth(s1.t1) - 1) // 7 AS BIGINT) AS cohort_week,
+             CAST(min(epoch_us(CAST(e.ts AS TIMESTAMP))
+                      - epoch_us(s1.t1)) // 60000000 AS BIGINT) AS delta_min
+      FROM s1
+      LEFT JOIN events e ON e.user_id = s1.user_id
+                        AND e.event_type = 'purchase'
+                        AND CAST(e.ts AS TIMESTAMP) > s1.t1
+      GROUP BY 1, 2
+    ),
+    base AS (
+      SELECT cohort_week,
+             CAST(count(*) AS BIGINT) AS n_signups,
+             CAST(count(delta_min) AS BIGINT) AS n_converted
+      FROM conv GROUP BY 1
+    ),
+    bins AS (
+      SELECT cohort_week, delta_min, CAST(count(*) AS BIGINT) AS c
+      FROM conv WHERE delta_min IS NOT NULL GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT cohort_week, delta_min, c,
+             CAST(sum(c) OVER (PARTITION BY cohort_week ORDER BY delta_min
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cc
+      FROM bins
+    )
+    SELECT b.cohort_week, b.n_signups, b.n_converted,
+           floor(CAST(b.n_converted AS DOUBLE) / b.n_signups
+                 * 10000 + 0.5) / 10000 AS conv_rate,
+           CAST(min(CASE WHEN 2 * u.cc >= b.n_converted
+                    THEN u.delta_min END) AS BIGINT) AS median_min,
+           CAST(min(CASE WHEN 10 * u.cc >= 9 * b.n_converted
+                    THEN u.delta_min END) AS BIGINT) AS p90_min
+    FROM base b
+    LEFT JOIN cum u ON u.cohort_week = b.cohort_week
+    GROUP BY 1, 2, 3
+    ORDER BY 1
+    """,
+)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-TO-CONVERT DISTRIBUTION by signup-week cohort — the funnel
+    family's latency leg (events_funnel counts WHO converts; this op
+    answers HOW FAST): per user, first signup → earliest subsequent
+    purchase, delta in whole minutes; per cohort the conversion rate
+    and EXACT median / p90 of the delta distribution. Percentiles use
+    the cumulative-bin identity (smallest delta with 2·cum ≥ n, resp.
+    10·cum ≥ 9n — integer comparisons, lower-interpolation convention,
+    identical both engines) over the minute-binned delta relation —
+    the ml_roc_auc bounded-domain device: no row-level rank, the bin
+    domain is calendar-capped at 43,200 minutes.
+
+    Scale shape: two aggregates (first-signup, first-qualifying-
+    purchase via an equi-join on user + a min) collapse the scan to
+    per-user rows; bins bound the percentile state by the minute
+    domain per cohort. Non-converting users ride the LEFT JOIN as
+    NULL deltas (counted in n_signups, excluded from percentiles) —
+    the funnel right-censoring convention.
+    """
+    ev = load(spark, sf_dir, "events")
+    s1 = (
+        ev.filter("event_type = 'signup'")
+        .groupBy("user_id")
+        .agg(F.min(F.col("ts").cast("timestamp")).alias("t1"))
+    )
+    purch = ev.filter("event_type = 'purchase'").selectExpr(
+        "user_id AS p_user", "CAST(ts AS TIMESTAMP) AS pt"
+    )
+    conv = (
+        s1.join(
+            purch,
+            (F.col("p_user") == F.col("user_id")) & (F.col("pt") > F.col("t1")),
+            "left",
+        )
+        .groupBy(
+            "user_id",
+            F.expr("CAST((dayofmonth(t1) - 1) div 7 AS BIGINT)").alias(
+                "cohort_week"
+            ),
+        )
+        .agg(
+            F.expr(
+                "CAST(min(unix_micros(pt) - unix_micros(t1)) div 60000000"
+                " AS BIGINT)"
+            ).alias("delta_min")
+        )
+    )
+    base = conv.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_signups"),
+        F.count("delta_min").cast("bigint").alias("n_converted"),
+    )
+    bins = (
+        conv.filter("delta_min IS NOT NULL")
+        .groupBy("cohort_week", "delta_min")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    wc = (
+        Window.partitionBy("cohort_week")
+        .orderBy("delta_min")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = bins.select(
+        "cohort_week",
+        "delta_min",
+        F.sum("c").over(wc).cast("bigint").alias("cc"),
+    )
+    return (
+        base.join(cum, "cohort_week", "left")
+        .groupBy("cohort_week", "n_signups", "n_converted")
+        .agg(
+            F.min(
+                F.expr(
+                    "CASE WHEN 2 * cc >= n_converted THEN delta_min END"
+                )
+            )
+            .cast("bigint")
+            .alias("median_min"),
+            F.min(
+                F.expr(
+                    "CASE WHEN 10 * cc >= 9 * n_converted THEN delta_min END"
+                )
+            )
+            .cast("bigint")
+            .alias("p90_min"),
+        )
+        .selectExpr(
+            "cohort_week",
+            "n_signups",
+            "n_converted",
+            "floor(CAST(n_converted AS DOUBLE) / n_signups * 10000 + 0.5)"
+            " / 10000 AS conv_rate",
+            "median_min",
+            "p90_min",
+        )
+        .orderBy("cohort_week")
+    )
+
+
+@register(
+    "events_bounce_rate",
+    category="composite",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id % 10 AS client, CAST(ts AS TIMESTAMP) AS t,
+             lag(CAST(ts AS TIMESTAMP)) OVER (
+               PARTITION BY user_id % 10 ORDER BY ts, event_id
+             ) AS prev_t,
+             event_id
+      FROM events
+    ),
+    marked AS (
+      SELECT client, t, event_id,
+             CASE WHEN prev_t IS NULL
+                  OR epoch_us(t) - epoch_us(prev_t) > 1800000000
+                  THEN 1 ELSE 0 END AS is_start
+      FROM ordered
+    ),
+    sessions AS (
+      SELECT client, t, event_id,
+             CAST(sum(is_start) OVER (PARTITION BY client ORDER BY t,
+                    event_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+                    CURRENT ROW) AS BIGINT) AS sess_no
+      FROM marked
+    ),
+    per_sess AS (
+      SELECT client, sess_no,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(CAST(min(t) AS DATE) AS VARCHAR) AS d
+      FROM sessions GROUP BY 1, 2
+    )
+    SELECT d,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounce,
+           floor(CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                 AS DOUBLE) / count(*) * 10000 + 0.5) / 10000
+             AS bounce_rate,
+           floor(CAST(sum(n_events) AS DOUBLE) / count(*) * 10000 + 0.5)
+             / 10000 AS avg_events_per_session
+    FROM per_sess
+    GROUP BY d
+    ORDER BY d
+    """,
+)
+def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SESSION BOUNCE RATE per day — the web-analytics KPI derived
+    from gap-based sessionization (30-minute inactivity boundary, the
+    events_sessionize convention): a session is a BOUNCE when it
+    contains exactly one event; sessions date to their first event's
+    day (VARCHAR-rendered — engines disagree on DATE canon through
+    pandas). Streams sessionize at the DEVICE grain (client = user_id
+    % 10 — the planted shared-device rollup; per-user streams on this
+    fixture average one event per 10 hours, which makes every session
+    a bounce and the KPI degenerate), and the lag/cumulative-flag pair
+    is the canonical gaps-and-islands sessionizer with a deterministic
+    (ts, event_id) tie-break so same-timestamp events order
+    identically on both engines.
+
+    Scale shape: both windows partition by the client key — per-key
+    state bounded by one device's events, the sanctioned window form
+    (a GLOBAL session window would be the anti-pattern); the day
+    rollup is map-side combined to ≤31 rows. At 100 TB this is
+    events_sessionize's exact shape with a different final aggregate,
+    which is why the sessionizer convention is shared rather than
+    re-invented.
+    """
+    ev = load(spark, sf_dir, "events")
+    wu = Window.partitionBy("client").orderBy("ts", "event_id")
+    ordered = ev.selectExpr(
+        "user_id % 10 AS client", "ts", "event_id"
+    ).select(
+        "client",
+        F.col("ts").cast("timestamp").alias("t"),
+        "event_id",
+        F.lag(F.col("ts").cast("timestamp")).over(wu).alias("prev_t"),
+    )
+    marked = ordered.select(
+        "client",
+        "t",
+        "event_id",
+        F.expr(
+            "CASE WHEN prev_t IS NULL"
+            " OR unix_micros(t) - unix_micros(prev_t) > 1800000000"
+            " THEN 1 ELSE 0 END"
+        ).alias("is_start"),
+    )
+    wc = (
+        Window.partitionBy("client")
+        .orderBy("t", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = marked.select(
+        "client",
+        "t",
+        F.sum("is_start").over(wc).cast("bigint").alias("sess_no"),
+    )
+    per_sess = sessions.groupBy("client", "sess_no").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.expr("CAST(CAST(min(t) AS DATE) AS STRING)").alias("d"),
+    )
+    return (
+        per_sess.groupBy("d")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.sum(F.expr("CASE WHEN n_events = 1 THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_bounce"),
+            F.sum("n_events").cast("bigint").alias("tot_events"),
+        )
+        .selectExpr(
+            "d",
+            "n_sessions",
+            "n_bounce",
+            "floor(CAST(n_bounce AS DOUBLE) / n_sessions * 10000 + 0.5)"
+            " / 10000 AS bounce_rate",
+            "floor(CAST(tot_events AS DOUBLE) / n_sessions * 10000 + 0.5)"
+            " / 10000 AS avg_events_per_session",
+        )
+        .orderBy("d")
+    )
+
+
+@register(
+    "orders_demand_classification",
+    category="composite",
+    oracle="""
+    WITH demand AS (
+      SELECT l.l_partkey,
+             CAST(year(l.l_shipdate) * 4
+                  + (month(l.l_shipdate) - 1) // 3 AS BIGINT) AS q_idx,
+             CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem l GROUP BY 1, 2
+    ),
+    per_part AS (
+      SELECT d.l_partkey,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(max(d.q_idx) - min(d.q_idx) AS BIGINT) AS span_q,
+             CAST(sum(d.q) AS BIGINT) AS sq,
+             CAST(sum(CAST(d.q AS HUGEINT) * d.q) AS HUGEINT) AS sqq
+      FROM demand d GROUP BY 1
+      HAVING count(*) >= 2
+    ),
+    classified AS (
+      SELECT pp.l_partkey, p.p_type,
+             CASE WHEN 100 * pp.span_q >= 132 * (pp.n - 1)
+                  THEN 1 ELSE 0 END AS intermittent_axis,
+             CASE WHEN 100 * (pp.n * pp.sqq
+                              - CAST(pp.sq AS HUGEINT) * pp.sq)
+                       >= 49 * CAST(pp.sq AS HUGEINT) * pp.sq
+                  THEN 1 ELSE 0 END AS erratic_axis,
+             CAST(floor(CAST(pp.span_q AS DOUBLE) / (pp.n - 1)
+                  * 1000000 + 0.5) AS BIGINT) AS adi_ppm,
+             CAST(floor(CAST(pp.n * pp.sqq
+                             - CAST(pp.sq AS HUGEINT) * pp.sq AS DOUBLE)
+                  / (CAST(pp.sq AS DOUBLE) * pp.sq)
+                  * 1000000 + 0.5) AS BIGINT) AS cv2_ppm
+      FROM per_part pp JOIN part p ON p.p_partkey = pp.l_partkey
+    )
+    SELECT p_type,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(CASE WHEN intermittent_axis = 0 AND erratic_axis = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_smooth,
+           CAST(sum(CASE WHEN intermittent_axis = 1 AND erratic_axis = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_intermittent,
+           CAST(sum(CASE WHEN intermittent_axis = 0 AND erratic_axis = 1
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_erratic,
+           CAST(sum(CASE WHEN intermittent_axis = 1 AND erratic_axis = 1
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_lumpy,
+           floor(CAST(sum(adi_ppm) AS DOUBLE) / count(*) / 1000000
+                 * 10000 + 0.5) / 10000 AS adi_mean,
+           floor(CAST(sum(cv2_ppm) AS DOUBLE) / count(*) / 1000000
+                 * 10000 + 0.5) / 10000 AS cv2_mean
+    FROM classified
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def orders_demand_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SYNTETOS-BOYLAN DEMAND CLASSIFICATION per part type — the
+    supply-chain quadrant (smooth / intermittent / erratic / lumpy)
+    that decides WHICH forecaster each SKU gets (smooth → SES/Holt,
+    intermittent → Croston — this op is orders_croston_intermittent's
+    routing front-end): ADI (average inter-demand interval in REVIEW
+    PERIODS — quarters here, the grain at which this catalog's demand
+    becomes plannable; SBC's 1.32 is period-relative and daily/monthly
+    grains leave every TPC-H-style part trivially intermittent —
+    computed exactly as demand-quarter span over n−1 intervals)
+    against CV² of the per-quarter demand size, cut at the published
+    1.32 / 0.49 thresholds; on this fixture the cuts land all four
+    quadrants (282/1051/144/523 at sf0.01).
+    Both cuts are INTEGER inequalities (100·span ≥ 132·(n−1);
+    100·(n·Σq² − (Σq)²) ≥ 49·(Σq)², wide products in HUGEINT/
+    DECIMAL(38,0)) — no float touches a classification decision; the
+    reported per-type ADI/CV² means quantize each part's rational to
+    ppm BEFORE averaging (the hurst/per-block device) so the mean is
+    an exact integer sum. Single-demand parts (n < 2: ADI undefined,
+    0/0) are excluded by the same HAVING on both engines.
+
+    Scale shape: one aggregate to (part, day) demand, one to per-part
+    moments (both map-side combined, keyed on the natural partkey
+    distribution), a broadcast-sized dim join to p_type, and a ≤5-row
+    rollup. The window-free layout is deliberate — inter-demand
+    intervals via span/(n−1) instead of a per-part lag chain, which
+    is the identity mean-of-gaps == span/(n−1) on sorted days.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    demand = li.selectExpr(
+        "l_partkey",
+        "CAST(year(l_shipdate) * 4 + (month(l_shipdate) - 1) div 3"
+        " AS BIGINT) AS q_idx",
+        "CAST(l_quantity AS BIGINT) AS q",
+    ).groupBy("l_partkey", "q_idx").agg(
+        F.sum("q").cast("bigint").alias("q")
+    )
+    per_part = (
+        demand.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            (F.max("q_idx") - F.min("q_idx"))
+            .cast("bigint")
+            .alias("span_q"),
+            F.sum("q").cast("bigint").alias("sq"),
+            F.sum(F.expr("CAST(q AS DECIMAL(38,0)) * q")).alias("sqq"),
+        )
+        .filter("n >= 2")
+    )
+    p = load(spark, sf_dir, "part").select(
+        F.col("p_partkey"), F.col("p_type")
+    )
+    classified = per_part.join(
+        F.broadcast(p), F.col("p_partkey") == F.col("l_partkey")
+    ).selectExpr(
+        "p_type",
+        "CASE WHEN 100 * span_q >= 132 * (n - 1) THEN 1 ELSE 0 END"
+        " AS intermittent_axis",
+        "CASE WHEN 100 * (n * sqq - CAST(sq AS DECIMAL(38,0)) * sq)"
+        " >= 49 * CAST(sq AS DECIMAL(38,0)) * sq THEN 1 ELSE 0 END"
+        " AS erratic_axis",
+        "CAST(floor(CAST(span_q AS DOUBLE) / (n - 1) * 1000000 + 0.5)"
+        " AS BIGINT) AS adi_ppm",
+        "CAST(floor(CAST(n * sqq - CAST(sq AS DECIMAL(38,0)) * sq"
+        " AS DOUBLE) / (CAST(sq AS DOUBLE) * sq) * 1000000 + 0.5)"
+        " AS BIGINT) AS cv2_ppm",
+    )
+    return (
+        classified.groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN intermittent_axis = 0 AND erratic_axis = 0"
+                    " THEN 1 ELSE 0 END"
+                )
+            ).cast("bigint").alias("n_smooth"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN intermittent_axis = 1 AND erratic_axis = 0"
+                    " THEN 1 ELSE 0 END"
+                )
+            ).cast("bigint").alias("n_intermittent"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN intermittent_axis = 0 AND erratic_axis = 1"
+                    " THEN 1 ELSE 0 END"
+                )
+            ).cast("bigint").alias("n_erratic"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN intermittent_axis = 1 AND erratic_axis = 1"
+                    " THEN 1 ELSE 0 END"
+                )
+            ).cast("bigint").alias("n_lumpy"),
+            F.sum("adi_ppm").cast("bigint").alias("adi_sum"),
+            F.sum("cv2_ppm").cast("bigint").alias("cv2_sum"),
+        )
+        .selectExpr(
+            "p_type",
+            "n_parts",
+            "n_smooth",
+            "n_intermittent",
+            "n_erratic",
+            "n_lumpy",
+            "floor(CAST(adi_sum AS DOUBLE) / n_parts / 1000000"
+            " * 10000 + 0.5) / 10000 AS adi_mean",
+            "floor(CAST(cv2_sum AS DOUBLE) / n_parts / 1000000"
+            " * 10000 + 0.5) / 10000 AS cv2_mean",
+        )
+        .orderBy("p_type")
+    )

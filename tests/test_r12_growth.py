@@ -372,3 +372,54 @@ def test_hurst_rs_scaling(spark):
         assert set(d) == {4, 8, 16}
         assert d[16] > d[8] > d[4] > 0, (et, d)
         assert 1.2 <= d[16] / d[4] <= 3.5, (et, d)
+
+
+def test_time_to_convert_censoring_and_percentiles(spark):
+    """Median ≤ p90 wherever both exist; converted ≤ signups; deltas
+    are strictly positive minutes bounded by the month span."""
+    rows = _q("events_time_to_convert", spark, SF_CORRECT).collect()
+    assert rows
+    assert any(r["n_converted"] > 0 for r in rows)
+    for r in rows:
+        assert r["n_converted"] <= r["n_signups"]
+        if r["n_converted"] > 0:
+            assert 0 <= r["median_min"] <= r["p90_min"] < 31 * 1440
+            assert 0 < r["conv_rate"] <= 1.0
+
+
+def test_bounce_rate_discriminative(spark):
+    """The device-grain sessionization must yield a bounce rate
+    strictly inside (0, 1) that actually varies across days —
+    a constant-1.0 rate means the grain degenerated back to
+    one-event sessions."""
+    rows = _q("events_bounce_rate", spark, SF_CORRECT).collect()
+    assert len(rows) == 30
+    rates = [r["bounce_rate"] for r in rows]
+    assert all(0.0 < x < 1.0 for x in rates)
+    assert max(rates) - min(rates) > 0.02
+    for r in rows:
+        assert r["n_bounce"] <= r["n_sessions"]
+        assert r["avg_events_per_session"] >= 1.0
+
+
+def test_demand_classification_quadrants_partition(spark):
+    """The four quadrants must partition the classified parts; both
+    axes must fire somewhere (otherwise the 1.32/0.49 cuts are not
+    load-bearing on this fixture); ADI ≥ 1 by construction (distinct
+    demand days)."""
+    rows = _q("orders_demand_classification", spark, SF_CORRECT).collect()
+    assert len(rows) == 6  # six p_type values in the fixture
+    tot = {
+        k: sum(r[k] for r in rows)
+        for k in ("n_parts", "n_smooth", "n_intermittent", "n_erratic",
+                  "n_lumpy")
+    }
+    assert tot["n_parts"] == (
+        tot["n_smooth"] + tot["n_intermittent"] + tot["n_erratic"]
+        + tot["n_lumpy"]
+    )
+    for k in ("n_smooth", "n_intermittent", "n_erratic", "n_lumpy"):
+        assert tot[k] > 0, f"{k} quadrant empty — cut not load-bearing"
+    for r in rows:
+        assert r["adi_mean"] >= 1.0
+        assert r["cv2_mean"] >= 0.0
