@@ -7923,3 +7923,237 @@ def orders_demand_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_type")
     )
+
+
+@register(
+    "ts_ljung_box",
+    category="composite",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS BIGINT)
+               AS day_idx,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS s
+      FROM daily GROUP BY 1
+    ),
+    dev AS (
+      SELECT d.event_type, d.day_idx, t.n, t.n * d.x - t.s AS dv
+      FROM daily d JOIN tot t ON t.event_type = d.event_type
+    ),
+    den AS (
+      SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+             CAST(sum(dv * dv) AS BIGINT) AS den
+      FROM dev GROUP BY 1
+    ),
+    lags AS (SELECT unnest(range(1, 8)) AS lag),
+    num AS (
+      SELECT a.event_type, l.lag, CAST(sum(a.dv * b.dv) AS BIGINT) AS num
+      FROM lags l
+      JOIN dev a ON TRUE
+      JOIN dev b ON b.event_type = a.event_type
+                AND b.day_idx = a.day_idx + l.lag
+      GROUP BY 1, 2
+    ),
+    terms AS (
+      SELECT n.event_type, n.lag,
+             CAST(floor(CAST(CAST(n.num AS HUGEINT) * n.num AS DOUBLE)
+                  * 1000000000
+                  / (CAST(d.den AS DOUBLE) * d.den * (d.n - n.lag)) + 0.5)
+                  AS BIGINT) AS t_ppb,
+             d.n
+      FROM num n JOIN den d ON d.event_type = n.event_type
+    )
+    SELECT event_type, CAST(max(n) AS BIGINT) AS n_days,
+           CAST(count(*) AS BIGINT) AS m_lags,
+           floor(CAST(max(n) AS DOUBLE) * (max(n) + 2)
+                 * sum(t_ppb) / 1000000000 * 10000 + 0.5) / 10000 AS q_stat
+    FROM terms
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LJUNG-BOX PORTMANTEAU TEST per event_type on the daily count
+    series — the whiteness check every forecaster runs on residuals
+    (Box-Jenkins): Q = n(n+2)·Σ_{k=1..7} r_k²/(n−k), compared against
+    χ²(m) by the consumer (the repo's emit-the-statistic-not-the-
+    libm-tail stance, as with ts_pettitt_changepoint's exponent).
+    Autocorrelations reuse ts_autocorr's exact-integer machinery
+    (n-scaled deviations; r_k = num_k/den with both sides BIGINT);
+    each lag's r_k²/(n−k) term quantizes to integer ppb through ONE
+    identical float expression (num² exact in HUGEINT/DECIMAL(38,0)
+    before the double cast — num can reach ~3·10⁹ on this fixture and
+    num² overflows int64), so the cross-lag sum is exact integer
+    addition and partition order cannot perturb Q.
+
+    Scale shape: identical to ts_autocorr — calendar-bounded daily
+    relation, 7-row broadcast lag spine, every aggregate map-side
+    combined; Q adds only the ≤7-row terms rollup.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.selectExpr(
+        "event_type",
+        "unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000 AS day_idx",
+    ).groupBy("event_type", "day_idx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+    )
+    dev = daily.join(F.broadcast(tot), "event_type").selectExpr(
+        "event_type", "day_idx", "n", "n * x - s AS dv"
+    )
+    den = dev.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.sum(F.expr("dv * dv")).cast("bigint").alias("den"),
+    )
+    spine = spark.range(1, 8).selectExpr("id AS lag")
+    num = (
+        dev.crossJoin(F.broadcast(spine))
+        .selectExpr("event_type", "day_idx + lag AS tgt", "lag", "dv AS dva")
+        .join(
+            dev.selectExpr(
+                "event_type AS et_b", "day_idx AS tgt", "dv AS dvb"
+            ),
+            ["tgt"],
+        )
+        .filter("event_type = et_b")
+        .groupBy("event_type", "lag")
+        .agg(F.sum(F.expr("dva * dvb")).cast("bigint").alias("num"))
+    )
+    terms = num.join(F.broadcast(den), "event_type").selectExpr(
+        "event_type",
+        "n",
+        "CAST(floor(CAST(CAST(num AS DECIMAL(38,0)) * num AS DOUBLE)"
+        " * 1000000000"
+        " / (CAST(den AS DOUBLE) * den * (n - lag)) + 0.5) AS BIGINT)"
+        " AS t_ppb",
+    )
+    return (
+        terms.groupBy("event_type")
+        .agg(
+            F.max("n").cast("bigint").alias("n_days"),
+            F.count(F.lit(1)).cast("bigint").alias("m_lags"),
+            F.sum("t_ppb").cast("bigint").alias("t_sum"),
+        )
+        .selectExpr(
+            "event_type",
+            "n_days",
+            "m_lags",
+            "floor(CAST(n_days AS DOUBLE) * (n_days + 2)"
+            " * t_sum / 1000000000 * 10000 + 0.5) / 10000 AS q_stat",
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "orders_fill_rate_otif",
+    category="composite",
+    oracle="""
+    WITH lines AS (
+      SELECT l.l_orderkey,
+             CASE WHEN CAST(l.l_shipdate AS DATE)
+                       <= CAST(o.o_orderdate AS DATE) + 30
+                  THEN 1 ELSE 0 END AS on_time
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    per_order AS (
+      SELECT l.l_orderkey,
+             CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum(l.on_time) AS BIGINT) AS n_on_time
+      FROM lines l GROUP BY 1
+    ),
+    flagged AS (
+      SELECT o.o_orderpriority,
+             CAST(year(o.o_orderdate) AS BIGINT) AS y,
+             CASE WHEN p.n_on_time = p.n_lines THEN 1 ELSE 0 END AS otif,
+             p.n_lines, p.n_on_time
+      FROM per_order p JOIN orders o ON o.o_orderkey = p.l_orderkey
+    )
+    SELECT o_orderpriority, y,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(otif) AS BIGINT) AS n_otif,
+           floor(CAST(sum(otif) AS DOUBLE) / count(*) * 10000 + 0.5)
+             / 10000 AS otif_rate,
+           floor(CAST(sum(n_on_time) AS DOUBLE) / sum(n_lines)
+                 * 10000 + 0.5) / 10000 AS line_fill_rate
+    FROM flagged
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def orders_fill_rate_otif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTIF / LINE FILL RATE by priority and year — the supply-chain
+    service-level pair (On-Time-In-Full: an order counts only when
+    EVERY line ships within the 30-day promise window; line fill rate
+    is the per-line ratio ops dashboards track alongside it —
+    the all-or-nothing vs proportional distinction is the whole
+    point of reporting both). Dates compare as exact DATE arithmetic
+    (orderdate + 30, identical both engines); every rate is a ratio
+    of exact BIGINTs, one r4-floored division each.
+
+    Scale shape: one fact-fact equi-join on the natural orderkey
+    (co-partitioned — lineitem and orders share the key distribution,
+    the bucketed-join candidate at 100 TB), one per-order aggregate on
+    the same key (no second shuffle under AQE's partitioning reuse),
+    a re-join to the order dims, and a ≤(5 priorities × 7 years)-row
+    rollup.
+    """
+    li = load(spark, sf_dir, "lineitem").selectExpr(
+        "l_orderkey", "CAST(l_shipdate AS DATE) AS ship_d"
+    )
+    orders = load(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey",
+        "o_orderpriority",
+        "CAST(o_orderdate AS DATE) AS order_d",
+        "CAST(year(o_orderdate) AS BIGINT) AS y",
+    )
+    lines = li.join(
+        orders.select("o_orderkey", "order_d"),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    ).selectExpr(
+        "l_orderkey",
+        "CASE WHEN ship_d <= date_add(order_d, 30) THEN 1 ELSE 0 END"
+        " AS on_time",
+    )
+    per_order = lines.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum("on_time").cast("bigint").alias("n_on_time"),
+    )
+    flagged = per_order.join(
+        orders.select("o_orderkey", "o_orderpriority", "y"),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    ).selectExpr(
+        "o_orderpriority",
+        "y",
+        "CASE WHEN n_on_time = n_lines THEN 1 ELSE 0 END AS otif",
+        "n_lines",
+        "n_on_time",
+    )
+    return (
+        flagged.groupBy("o_orderpriority", "y")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("otif").cast("bigint").alias("n_otif"),
+            F.sum("n_on_time").cast("bigint").alias("sum_on_time"),
+            F.sum("n_lines").cast("bigint").alias("sum_lines"),
+        )
+        .selectExpr(
+            "o_orderpriority",
+            "y",
+            "n_orders",
+            "n_otif",
+            "floor(CAST(n_otif AS DOUBLE) / n_orders * 10000 + 0.5)"
+            " / 10000 AS otif_rate",
+            "floor(CAST(sum_on_time AS DOUBLE) / sum_lines * 10000 + 0.5)"
+            " / 10000 AS line_fill_rate",
+        )
+        .orderBy("o_orderpriority", "y")
+    )

