@@ -1608,12 +1608,11 @@ def join_knn_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     epsilon-ANN contract) — users with an empty neighborhood simply
     drop out, exactly like an LSH bucket miss.
 
-    Scale shape: the probe side never replicates (the DIM side would
-    replicate 9× under the classic explode variant; here the ±1-cell
-    BETWEEN rides the broadcast instead), work is Σ_cell |Q_cell| ·
-    |S_3×3|, shuffle-free after the broadcast; the per-user window
-    partitions on user (bounded per-key candidates ≤ |S| in 9 cells).
-    Top-20 output is total-ordered (d2, user).
+    Scale shape: the probe side never replicates — the 9× explode
+    rides the broadcast-sized DIM side; work is Σ_cell |Q_cell| ·
+    |S_3×3| hash probes, shuffle-free after the broadcast; the
+    per-user window partitions on user (bounded per-key candidates
+    ≤ |S| in 9 cells). Top-20 output is total-ordered (d2, user).
     """
     users = load(spark, sf_dir, "events").select("user_id").distinct()
     qpts = users.selectExpr(
@@ -1630,13 +1629,26 @@ def join_knn_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "((s_suppkey % 1048576) * (s_suppkey % 1048576) * 41"
         " + s_suppkey * 19 + 23) % 1000 AS sy",
     )
-    cand = qpts.join(
-        F.broadcast(spts),
-        F.expr(
-            "(sx div 100) BETWEEN (x div 100) - 1 AND (x div 100) + 1"
-            " AND (sy div 100) BETWEEN (y div 100) - 1 AND (y div 100) + 1"
-        ),
+    # Dim-side 9-cell replication => the join is a HASH join on the
+    # composite cell key (BroadcastHashJoin), not a nested loop over
+    # the BETWEEN condition — candidates are identical (supplier in
+    # the probe's 3x3 neighborhood) but probe-side work is per-cell
+    # hash lookups instead of |Q|x|S| predicate scans.
+    cells = spts.selectExpr(
+        "s",
+        "sx",
+        "sy",
+        "explode(array(-1, 0, 1)) AS dx",
     ).selectExpr(
+        "s",
+        "sx",
+        "sy",
+        "sx div 100 + dx AS cx",
+        "explode(array(-1, 0, 1)) AS dy",
+    ).selectExpr("s", "sx", "sy", "cx", "sy div 100 + dy AS cy")
+    cand = qpts.selectExpr(
+        "u", "x", "y", "x div 100 AS cx", "y div 100 AS cy"
+    ).join(F.broadcast(cells), ["cx", "cy"]).selectExpr(
         "u", "s", "(x - sx) * (x - sx) + (y - sy) * (y - sy) AS d2"
     )
     wu = Window.partitionBy("u").orderBy("d2", "s")
