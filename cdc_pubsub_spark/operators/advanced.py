@@ -2306,3 +2306,222 @@ def profile_fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out.orderBy("candidate")
+
+
+# --- r12 growth: equi-depth histogram + Poisson-bootstrap CI -----------------
+
+
+@register(
+    "profile_histogram_equi_depth",
+    category="advanced",
+    oracle="""
+    WITH cents AS (
+      SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+      FROM lineitem
+    ),
+    bins AS (
+      SELECT c, CAST(count(*) AS BIGINT) AS cnt FROM cents GROUP BY 1
+    ),
+    cum AS (
+      SELECT c, cnt,
+             CAST(sum(cnt) OVER (ORDER BY c
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cc
+      FROM bins
+    ),
+    n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM bins),
+    assigned AS (
+      SELECT c.c, c.cnt,
+             CAST((c.cc - 1) * 8 // n.n + 1 AS BIGINT) AS bucket
+      FROM cum c CROSS JOIN n
+    )
+    SELECT bucket,
+           CAST(min(c) AS BIGINT) AS lo_cents,
+           CAST(max(c) AS BIGINT) AS hi_cents,
+           CAST(sum(cnt) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_distinct
+    FROM assigned
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def profile_histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQUI-DEPTH (equi-height) HISTOGRAM of line extended price — the
+    optimizer-statistics twin of profile_histogram's equi-WIDTH
+    buckets, and what every modern CBO actually stores (selectivity
+    from equal-population buckets degrades gracefully under skew;
+    equal-width buckets do not). Bucket assignment is the exact
+    with-ties rule b(v) = ⌊(cum(v)−1)·8 / n⌋ + 1 over the cumulative
+    bin counts — all rows of one distinct value share a bucket, so
+    populated depths deviate from n/8 exactly where ties force them
+    to (the real estimator's behavior, not an idealization). Every
+    quantity is an exact BIGINT; there is no float anywhere.
+
+    Scale shape: one map-side aggregate collapses the scan to the
+    distinct-cents bin relation (bounded by the PRICE DOMAIN, not row
+    count); the cumulative window and the 8-bucket rollup run there.
+    This is the ml_roc_auc binned-domain device applied to quantile
+    statistics — the same layout computes any equi-depth bucket count
+    at 100 TB with one scan.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    bins = li.selectExpr(
+        "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c"
+    ).groupBy("c").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    w = Window.orderBy("c").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = bins.select(
+        "c", "cnt", F.sum("cnt").over(w).cast("bigint").alias("cc")
+    )
+    n = bins.agg(F.sum("cnt").cast("bigint").alias("n"))
+    assigned = cum.crossJoin(F.broadcast(n)).selectExpr(
+        "c", "cnt", "CAST((cc - 1) * 8 div n + 1 AS BIGINT) AS bucket"
+    )
+    return (
+        assigned.groupBy("bucket")
+        .agg(
+            F.min("c").cast("bigint").alias("lo_cents"),
+            F.max("c").cast("bigint").alias("hi_cents"),
+            F.sum("cnt").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# Poisson(1) multiplicities from a planted integer hash: pmf slices
+# 368/368/184/80 per mille approximate e^{-1}{1, 1, 1/2, tail} — the
+# deterministic Poisson bootstrap (one pass, B simultaneous resamples).
+_BOOT_B = 40
+_BOOT_M_SQL = (
+    "CASE WHEN h < 368 THEN 0 WHEN h < 736 THEN 1"
+    " WHEN h < 920 THEN 2 ELSE 3 END"
+)
+
+
+@register(
+    "ml_bootstrap_poisson_ci",
+    category="advanced",
+    oracle=f"""
+    WITH rows_in AS (
+      SELECT o_orderkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    expanded AS (
+      SELECT b.b, r.cents,
+             ((r.o_orderkey % 1048576) * 2654435761 + b.b * 40503) % 1000
+               AS h
+      FROM rows_in r
+      CROSS JOIN (SELECT unnest(range(1, {_BOOT_B + 1})) AS b) b
+    ),
+    resampled AS (
+      SELECT b,
+             CAST(sum({_BOOT_M_SQL} * cents) AS BIGINT) AS sm_cents,
+             CAST(sum({_BOOT_M_SQL}) AS BIGINT) AS sm
+      FROM expanded GROUP BY b
+    ),
+    means AS (
+      SELECT b,
+             floor(CAST(sm_cents AS DOUBLE) / sm / 100 * 100 + 0.5) / 100
+               AS mean_price,
+             sm
+      FROM resampled
+    ),
+    ranked AS (
+      SELECT mean_price, sm,
+             row_number() OVER (ORDER BY mean_price, b) AS rk
+      FROM means
+    ),
+    point AS (
+      SELECT floor(CAST(sum(cents) AS DOUBLE) / count(*) / 100 * 100 + 0.5)
+               / 100 AS point_mean
+      FROM rows_in
+    )
+    SELECT CAST({_BOOT_B} AS BIGINT) AS n_resamples,
+           p.point_mean,
+           max(CASE WHEN r.rk = 2 THEN r.mean_price END) AS ci_lo,
+           max(CASE WHEN r.rk = {_BOOT_B - 1} THEN r.mean_price END)
+             AS ci_hi,
+           CAST(min(r.sm) AS BIGINT) AS min_resample_n
+    FROM ranked r CROSS JOIN point p
+    GROUP BY p.point_mean
+    """,
+)
+def ml_bootstrap_poisson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POISSON-BOOTSTRAP CONFIDENCE INTERVAL for the mean order value —
+    the one-pass bootstrap that actually runs at cluster scale (Chamandy
+    et al. 2012, "Estimating Uncertainty for Massive Data Streams":
+    resampling WITH replacement is unshardable, but each row's
+    multiplicity in resample b is ~Poisson(1) independently, so B
+    resamples materialize as a B-way map-side expansion in ONE scan).
+    Multiplicities here are a planted integer hash slicing the
+    Poisson(1) pmf (368/368/184/80‰ ≈ e⁻¹·{1,1,½,tail}) — fully
+    deterministic, so the driver hash-certifies a bootstrap: per-
+    resample sums are exact BIGINTs, each resample mean quantizes
+    through ONE identical float expression, and the 5%/95% bounds are
+    exact order statistics (ranks 2 and B−1 of B=40) of those
+    quantized means with a (mean, b) tie-break.
+
+    Scale shape: the expansion is a broadcast 40-row spine crossing
+    the scan map-side (no shuffle until the 40-group aggregate whose
+    state is two BIGINTs per resample); the CI extraction is a window
+    over 40 rows. At 100 TB: identical — that is the entire point of
+    the Poisson bootstrap.
+    """
+    orders = load(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents",
+    )
+    spine = spark.range(1, _BOOT_B + 1).selectExpr("id AS b")
+    expanded = orders.crossJoin(F.broadcast(spine)).selectExpr(
+        "b",
+        "cents",
+        "((o_orderkey % 1048576) * 2654435761 + b * 40503) % 1000 AS h",
+    )
+    resampled = expanded.groupBy("b").agg(
+        F.sum(F.expr(f"{_BOOT_M_SQL} * cents"))
+        .cast("bigint")
+        .alias("sm_cents"),
+        F.sum(F.expr(_BOOT_M_SQL)).cast("bigint").alias("sm"),
+    )
+    means = resampled.selectExpr(
+        "b",
+        "floor(CAST(sm_cents AS DOUBLE) / sm / 100 * 100 + 0.5) / 100"
+        " AS mean_price",
+        "sm",
+    )
+    ranked = means.select(
+        "mean_price",
+        "sm",
+        F.row_number()
+        .over(Window.orderBy("mean_price", "b"))
+        .alias("rk"),
+    )
+    point = orders.agg(
+        F.expr(
+            "floor(CAST(sum(cents) AS DOUBLE) / count(*) / 100 * 100 + 0.5)"
+            " / 100"
+        ).alias("point_mean")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(point))
+        .groupBy("point_mean")
+        .agg(
+            F.max(
+                F.expr("CASE WHEN rk = 2 THEN mean_price END")
+            ).alias("ci_lo"),
+            F.max(
+                F.expr(f"CASE WHEN rk = {_BOOT_B - 1} THEN mean_price END")
+            ).alias("ci_hi"),
+            F.min("sm").cast("bigint").alias("min_resample_n"),
+        )
+        .selectExpr(
+            f"CAST({_BOOT_B} AS BIGINT) AS n_resamples",
+            "point_mean",
+            "ci_lo",
+            "ci_hi",
+            "min_resample_n",
+        )
+    )

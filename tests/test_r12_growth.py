@@ -458,3 +458,30 @@ def test_otif_all_or_nothing_vs_line_rate(spark):
     for r in rows:
         assert 0 < r["otif_rate"] <= r["line_fill_rate"] <= 1.0
         assert r["n_otif"] <= r["n_orders"]
+
+
+def test_equi_depth_buckets_balanced_modulo_ties(spark):
+    """All 8 buckets must be populated, contiguous, and ordered
+    (hi < next lo); depths must be within one distinct-value clump of
+    n/8 (exact balance is impossible with ties, gross imbalance means
+    the cumulative rule is wrong)."""
+    rows = _q("profile_histogram_equi_depth", spark, SF_CORRECT).collect()
+    assert [r["bucket"] for r in rows] == list(range(1, 9))
+    n = sum(r["n_rows"] for r in rows)
+    for a, b in zip(rows, rows[1:]):
+        assert a["hi_cents"] < b["lo_cents"]
+    for r in rows:
+        assert abs(r["n_rows"] - n / 8) < n / 16, rows
+
+
+def test_bootstrap_ci_brackets_point(spark):
+    """The CI must bracket the point estimate, be ordered, and be
+    non-degenerate; every resample must draw a healthy share of rows
+    (Poisson(1) keeps ~63% of rows with m >= 1)."""
+    rows = _q("ml_bootstrap_poisson_ci", spark, SF_CORRECT).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_resamples"] == 40
+    assert r["ci_lo"] < r["ci_hi"]
+    assert r["ci_lo"] <= r["point_mean"] <= r["ci_hi"]
+    assert r["min_resample_n"] > 0.8 * 15000  # E[sum m] = n
