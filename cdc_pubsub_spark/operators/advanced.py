@@ -2525,3 +2525,154 @@ def ml_bootstrap_poisson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_resample_n",
         )
     )
+
+
+@register(
+    "ml_winsorized_trimmed_mean",
+    category="advanced",
+    oracle="""
+    WITH bins AS (
+      SELECT l_returnflag AS grp,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT grp, c, cnt,
+             CAST(sum(cnt) OVER (PARTITION BY grp ORDER BY c
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cc
+      FROM bins
+    ),
+    tot AS (
+      SELECT grp, CAST(sum(cnt) AS BIGINT) AS n,
+             CAST(sum(cnt) AS BIGINT) // 20 AS k
+      FROM bins GROUP BY 1
+    ),
+    thresh AS (
+      SELECT c.grp,
+             CAST(min(CASE WHEN 20 * c.cc >= t.n THEN c.c END) AS BIGINT)
+               AS p05,
+             CAST(min(CASE WHEN 20 * c.cc >= 19 * t.n THEN c.c END)
+                  AS BIGINT) AS p95
+      FROM cum c JOIN tot t ON t.grp = c.grp
+      GROUP BY c.grp
+    ),
+    pieces AS (
+      SELECT c.grp, t.n, t.k,
+             c.cnt * least(greatest(c.c, th.p05), th.p95) AS wins_sum,
+             c.cnt * c.c AS raw_sum,
+             (c.cnt
+              - least(greatest(t.k - (c.cc - c.cnt), 0), c.cnt)
+              - least(greatest(c.cc - (t.n - t.k), 0), c.cnt)) * c.c
+               AS trim_sum,
+             c.cnt
+             - least(greatest(t.k - (c.cc - c.cnt), 0), c.cnt)
+             - least(greatest(c.cc - (t.n - t.k), 0), c.cnt) AS trim_cnt
+      FROM cum c
+      JOIN tot t ON t.grp = c.grp
+      JOIN thresh th ON th.grp = c.grp
+    )
+    SELECT grp AS l_returnflag,
+           CAST(max(n) AS BIGINT) AS n_rows,
+           CAST(max(k) AS BIGINT) AS k_trim,
+           floor(CAST(sum(raw_sum) AS DOUBLE) / max(n) / 100 * 100 + 0.5)
+             / 100 AS mean_price,
+           floor(CAST(sum(wins_sum) AS DOUBLE) / max(n) / 100 * 100 + 0.5)
+             / 100 AS winsorized_mean,
+           floor(CAST(sum(trim_sum) AS DOUBLE) / sum(trim_cnt) / 100
+                 * 100 + 0.5) / 100 AS trimmed_mean
+    FROM pieces
+    GROUP BY grp
+    ORDER BY l_returnflag
+    """,
+)
+def ml_winsorized_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBUST LOCATION ESTIMATORS per return flag — the 5% winsorized
+    mean (outliers CLAMPED to the p05/p95 fences) and the 5% trimmed
+    mean (outliers DROPPED), the two standard robust alternatives a
+    metrics platform offers when heavy tails make the plain mean lie.
+    Everything runs on the binned price-cents domain: fences are exact
+    lower-quantile order statistics (smallest value with 20·cum ≥ n /
+    ≥ 19n — integer comparisons); trimming removes exactly k = ⌊n/20⌋
+    rows per side WITH tie-splitting (a boundary bin sheds only
+    min(max(k − cum_below, 0), cnt) rows — the fractional-bin
+    arithmetic real trimmed means require, all in BIGINT); each
+    estimator is one r2-floored division at the end.
+
+    Scale shape: one map-side aggregate to (flag, cents) bins —
+    bounded by the price domain per flag, not row count; quantile
+    fences, clamp sums and trim accounting all live on that bin
+    relation (the ml_roc_auc device again). At 100 TB: same one-scan
+    layout; this is how exact percentile-fenced estimators are
+    actually computed on massive data (no global sort anywhere).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    bins = li.selectExpr(
+        "l_returnflag AS grp",
+        "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c",
+    ).groupBy("grp", "c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = bins.select(
+        "grp", "c", "cnt", F.sum("cnt").over(w).cast("bigint").alias("cc")
+    )
+    tot = bins.groupBy("grp").agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.expr("sum(cnt) div 20L").cast("bigint").alias("k"),
+    )
+    thresh = (
+        cum.join(F.broadcast(tot), "grp")
+        .groupBy("grp")
+        .agg(
+            F.min(F.expr("CASE WHEN 20 * cc >= n THEN c END"))
+            .cast("bigint")
+            .alias("p05"),
+            F.min(F.expr("CASE WHEN 20 * cc >= 19 * n THEN c END"))
+            .cast("bigint")
+            .alias("p95"),
+        )
+    )
+    pieces = (
+        cum.join(F.broadcast(tot), "grp")
+        .join(F.broadcast(thresh), "grp")
+        .selectExpr(
+            "grp",
+            "n",
+            "k",
+            "cnt * least(greatest(c, p05), p95) AS wins_sum",
+            "cnt * c AS raw_sum",
+            "(cnt - least(greatest(k - (cc - cnt), 0L), cnt)"
+            " - least(greatest(cc - (n - k), 0L), cnt)) * c AS trim_sum",
+            "cnt - least(greatest(k - (cc - cnt), 0L), cnt)"
+            " - least(greatest(cc - (n - k), 0L), cnt) AS trim_cnt",
+        )
+    )
+    return (
+        pieces.groupBy("grp")
+        .agg(
+            F.max("n").cast("bigint").alias("n_rows"),
+            F.max("k").cast("bigint").alias("k_trim"),
+            F.sum("raw_sum").cast("bigint").alias("raw"),
+            F.sum("wins_sum").cast("bigint").alias("wins"),
+            F.sum("trim_sum").cast("bigint").alias("trim"),
+            F.sum("trim_cnt").cast("bigint").alias("tcnt"),
+        )
+        .selectExpr(
+            "grp AS l_returnflag",
+            "n_rows",
+            "k_trim",
+            "floor(CAST(raw AS DOUBLE) / n_rows / 100 * 100 + 0.5) / 100"
+            " AS mean_price",
+            "floor(CAST(wins AS DOUBLE) / n_rows / 100 * 100 + 0.5) / 100"
+            " AS winsorized_mean",
+            "floor(CAST(trim AS DOUBLE) / tcnt / 100 * 100 + 0.5) / 100"
+            " AS trimmed_mean",
+        )
+        .orderBy("l_returnflag")
+    )

@@ -8157,3 +8157,92 @@ def orders_fill_rate_otif(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority", "y")
     )
+
+
+@register(
+    "events_velocity_flags",
+    category="composite",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t,
+             CAST(ts AS DATE) AS d,
+             lag(CAST(ts AS TIMESTAMP), 4) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS t4
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, d,
+             CASE WHEN t4 IS NOT NULL
+                  AND epoch_us(t) - epoch_us(t4) <= 36000000000
+                  THEN 1 ELSE 0 END AS vflag
+      FROM ordered
+    )
+    SELECT CAST(d AS VARCHAR) AS day,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(vflag) AS BIGINT) AS n_flag_events,
+           CAST(count(DISTINCT CASE WHEN vflag = 1 THEN user_id END)
+                AS BIGINT) AS n_flagged_users,
+           floor(CAST(sum(vflag) AS DOUBLE) / count(*) * 10000 + 0.5)
+             / 10000 AS flag_rate
+    FROM flagged
+    GROUP BY d
+    ORDER BY day
+    """,
+)
+def events_velocity_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VELOCITY RULE SCREENING — the fraud/abuse primitive ("5 events
+    within 10 hours from one account") evaluated the scalable way: an
+    event is velocity-flagged when the 4th-previous event of the SAME
+    user lies within the window (lag(t, 4) ≥ t − 10h), which is
+    exactly "≥5 events in a trailing 10-hour span" without any
+    interval self-join — one ordered pass per user. The (ts, event_id)
+    tie-break keeps same-timestamp ordering identical on both engines;
+    day rollup reports event- and user-level flag incidence
+    (VARCHAR-rendered dates — the DATE-canon convention).
+
+    Scale shape: the lag window partitions by user_id (per-key state
+    = 4 timestamps, millions of parallel partitions — the sanctioned
+    window form); the day aggregate is map-side combined with a
+    distinct bounded by flagged users per day. The naive formulation
+    is a t BETWEEN t' AND t'+10h self-join — quadratic per hot user,
+    precisely what a fraud stream cannot afford; lag(k) is the
+    standard trick.
+    """
+    ev = load(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("timestamp").alias("t"),
+        F.col("ts").cast("date").alias("d"),
+        F.lag(F.col("ts").cast("timestamp"), 4).over(wu).alias("t4"),
+    )
+    flagged = ordered.selectExpr(
+        "user_id",
+        "d",
+        "CASE WHEN t4 IS NOT NULL"
+        " AND unix_micros(t) - unix_micros(t4) <= 36000000000"
+        " THEN 1 ELSE 0 END AS vflag",
+    )
+    return (
+        flagged.groupBy("d")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("vflag").cast("bigint").alias("n_flag_events"),
+            F.countDistinct(
+                F.expr("CASE WHEN vflag = 1 THEN user_id END")
+            )
+            .cast("bigint")
+            .alias("n_flagged_users"),
+        )
+        .selectExpr(
+            "CAST(d AS STRING) AS day",
+            "n_events",
+            "n_flag_events",
+            "n_flagged_users",
+            "floor(CAST(n_flag_events AS DOUBLE) / n_events * 10000 + 0.5)"
+            " / 10000 AS flag_rate",
+        )
+        .orderBy("day")
+    )

@@ -485,3 +485,43 @@ def test_bootstrap_ci_brackets_point(spark):
     assert r["ci_lo"] < r["ci_hi"]
     assert r["ci_lo"] <= r["point_mean"] <= r["ci_hi"]
     assert r["min_resample_n"] > 0.8 * 15000  # E[sum m] = n
+
+
+def test_velocity_flags_lag_semantics(spark):
+    """Flag rate must be strictly between 0 and 1 (the 10h/5-event
+    rule fires on this fixture but not universally); flagged users
+    per day can never exceed... the user domain; events reconcile to
+    the table total."""
+    import duckdb
+
+    rows = _q("events_velocity_flags", spark, SF_CORRECT).collect()
+    assert len(rows) == 30
+    tot = sum(r["n_events"] for r in rows)
+    con = duckdb.connect()
+    n = con.sql(
+        f"SELECT count(*) FROM read_parquet('{SF_CORRECT}/events.parquet')"
+    ).fetchone()[0]
+    con.close()
+    assert tot == n
+    rates = [r["flag_rate"] for r in rows]
+    assert all(0 <= x < 1 for x in rates)
+    assert any(x > 0 for x in rates)
+    for r in rows:
+        assert r["n_flag_events"] <= r["n_events"]
+        assert r["n_flagged_users"] <= 150
+
+
+def test_robust_means_ordering(spark):
+    """On any distribution: trimmed and winsorized means live inside
+    the [p-fenced] envelope — here all three must be close (prices are
+    bounded) but NOT identical (the fences must actually clamp/drop
+    something), and k_trim = n // 20 exactly."""
+    rows = _q("ml_winsorized_trimmed_mean", spark, SF_CORRECT).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["k_trim"] == r["n_rows"] // 20
+        assert r["winsorized_mean"] != r["mean_price"]
+        assert r["trimmed_mean"] != r["mean_price"]
+        # robust estimators stay within 10% of the mean on this fixture
+        assert abs(r["winsorized_mean"] - r["mean_price"]) < 0.1 * r["mean_price"]
+        assert abs(r["trimmed_mean"] - r["mean_price"]) < 0.1 * r["mean_price"]
