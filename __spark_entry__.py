@@ -124,10 +124,10 @@ def _certification_state() -> tuple[set[str], dict[str, int], dict[str, int]]:
 # 2 recertifies + 47 never-sampled + 1 stalest-certified backfill; all 50
 # drew green r11 rows, completing the drain (every registry op has been
 # driver-certified at least once). Round 12 changes NO certified op, so the
-# set is empty: the window is the 26 new r12 ops (6 staged promotions + 2
-# streaming-state ops + 18 growth ops — never-certified, they lead via
-# rest_new) + ~24 stalest-certified slots (the 13 r03 ops, then r04 in
-# registration order), executing the rolling-recertification policy below.
+# set is empty: the window is the 33 new r12 ops (6 staged promotions + 2
+# streaming-state ops + 25 growth ops — never-certified, they lead via
+# rest_new) + ~17 stalest-certified slots (the 13 r03 ops, then the oldest
+# r04 ops), executing the rolling-recertification policy below.
 _RECERTIFY: list[str] = []
 
 # New ops added THIS round that should be pushed to the END of the ordering
