@@ -70,6 +70,31 @@ PROBE_FIRST_ROUND = {
     "corpus_contamination_bloom",
     "stream_interval_join",
     "stream_session_join",
+    # r12 growth wave (benched members; bench=False ops are outside the
+    # probe universe): every one probes once this round per the rule.
+    "ml_spearman_rho",
+    "ml_classification_report",
+    "events_stickiness_dau_mau",
+    "events_peak_concurrency",
+    "ts_technical_indicators",
+    "ts_pettitt_changepoint",
+    "text_gopher_quality_rules",
+    "scan_apache_access_log",
+    "agg_linear_counting",
+    "corpus_url_dedup_normalize",
+    "ml_lift_curve_deciles",
+    "orders_net_revenue_retention",
+    "ts_hurst_rescaled_range",
+    "events_time_to_convert",
+    "events_bounce_rate",
+    "orders_demand_classification",
+    "join_knn_spatial_grid",
+    "ts_ljung_box",
+    "orders_fill_rate_otif",
+    "profile_histogram_equi_depth",
+    "ml_bootstrap_poisson_ci",
+    "events_velocity_flags",
+    "ml_winsorized_trimmed_mean",
 }
 
 # Launch order seed: known-heavy ops first so they overlap the long tail
