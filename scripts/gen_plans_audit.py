@@ -69,6 +69,14 @@ AUDIT = [
     ("orders_rfm_atscale", "RFM via broadcast histogram cutoffs (no data-sized window)"),
     ("join_spatial_grid", "epsilon-grid L-inf distance join (3x3 cell replicate)"),
     ("ml_ridge_path", "ridge path from one moment scan (wide-int centered moments)"),
+    # r12 growth representatives — one per new plan shape
+    ("ml_spearman_rho", "binned average-rank Spearman (domain windows, wide-int moments)"),
+    ("events_peak_concurrency", "sweep-line peak concurrency (minute-delta cumsum)"),
+    ("join_knn_spatial_grid", "grid 1-NN assignment (9-cell dim replicate, BHJ)"),
+    ("ml_bootstrap_poisson_ci", "40-resample Poisson bootstrap (one scan, spine cross)"),
+    ("ml_winsorized_trimmed_mean", "robust means on binned domain (tie-split trim)"),
+    ("events_velocity_flags", "lag(4) velocity rule (per-user window, no self-join)"),
+    ("ts_hurst_rescaled_range", "R/S blocks (calendar relation, ppm-quantized means)"),
 ]
 
 SF = "/root/testdata/sf0.01"
