@@ -131,9 +131,11 @@ def _certification_state() -> tuple[set[str], dict[str, int], dict[str, int]]:
 _RECERTIFY: list[str] = []
 
 # New ops added THIS round that should be pushed to the END of the ordering
-# (used when the window is already full of higher-priority slots; round 12
-# has 42 free stale slots, so its 8 new ops ride the window directly and
-# the set stays empty).
+# (used when the window is already full of higher-priority slots). The r12
+# EXTENSION session's ops land here: the planned r12 window (33 growth ops
+# + 13 r03 + 4 oldest-r04 stalest) is already sized to exactly 50 slots,
+# so post-close additions defer and lead the r13 window instead (the r09
+# extension precedent).
 #
 # ROLLING RECERTIFICATION POLICY from r12 onward (round-10 VERDICT item 3):
 # with never-sampled at zero, every ~50-slot window is _RECERTIFY entries
@@ -144,7 +146,18 @@ _RECERTIFY: list[str] = []
 # ordering below (lead + recert + rest_new + certified-stalest-first);
 # the policy is the budget discipline on _RECERTIFY's size and the
 # registry freeze-until-drained rule.
-_DEFER_TO_NEXT_ROUND: set[str] = set()
+_DEFER_TO_NEXT_ROUND: set[str] = {
+    # r12 extension wave A
+    "ts_arma11_moments",
+    "scan_mbox",
+    "multimodal_decode_ico",
+    "cdc_tombstone_compaction",
+    # r12 extension wave B (ML-eval depth)
+    "ml_brier_decomposition",
+    "ml_mcnemar_paired",
+    "ml_kendall_tau",
+    "orders_newsvendor_quantile",
+}
 
 
 def _ordered_names() -> list[str]:

@@ -95,6 +95,15 @@ PROBE_FIRST_ROUND = {
     "ml_bootstrap_poisson_ci",
     "events_velocity_flags",
     "ml_winsorized_trimmed_mean",
+    # r12 extension wave (registered post-close, deferred to the r13
+    # certification window; probe now per the first-round rule).
+    "ts_arma11_moments",
+    "scan_mbox",
+    "cdc_tombstone_compaction",
+    "ml_brier_decomposition",
+    "ml_mcnemar_paired",
+    "ml_kendall_tau",
+    "orders_newsvendor_quantile",
 }
 
 # Launch order seed: known-heavy ops first so they overlap the long tail

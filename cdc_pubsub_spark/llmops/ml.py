@@ -3512,3 +3512,526 @@ def ml_lift_curve_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("band").desc())
     )
+
+
+# --- r12 extension wave: Murphy decomposition of the Brier score -------------
+
+
+@register(
+    "ml_brier_decomposition",
+    category="similarity",
+    oracle=f"""
+    WITH rows_in AS ({{roc_rows}}),
+    bins AS (
+      SELECT (150 + 14 * s) // 100 AS bin,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(label) AS BIGINT) AS pos,
+             CAST(sum(150 + 14 * s) AS BIGINT) AS sp,
+             CAST(sum(CAST(150 + 14 * s AS HUGEINT)
+                      * (150 + 14 * s)) AS HUGEINT) AS spp,
+             CAST(sum((150 + 14 * s) * label) AS BIGINT) AS spy
+      FROM rows_in GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nn,
+             CAST(sum(pos) AS BIGINT) AS p,
+             CAST(sum(spp) AS HUGEINT) AS sum_spp,
+             CAST(sum(spy) AS BIGINT) AS sum_spy,
+             CAST(count(*) AS BIGINT) AS n_bins
+      FROM bins
+    ),
+    terms AS (
+      SELECT b.bin,
+             CAST(floor(CAST((CAST(b.pos AS HUGEINT) * 1000 - b.sp)
+                             * (CAST(b.pos AS HUGEINT) * 1000 - b.sp)
+                        AS DOUBLE) / CAST(b.n AS DOUBLE) + 0.5)
+                  AS BIGINT) AS rel_q,
+             CAST(floor(CAST((CAST(b.pos AS HUGEINT) * t.nn
+                              - CAST(b.n AS HUGEINT) * t.p)
+                             * (CAST(b.pos AS HUGEINT) * t.nn
+                                - CAST(b.n AS HUGEINT) * t.p)
+                        AS DOUBLE) / CAST(b.n AS DOUBLE)
+                        / (CAST(t.nn AS DOUBLE) * CAST(t.nn AS DOUBLE))
+                        * 1000000e0 + 0.5) AS BIGINT) AS res_q,
+             CAST(floor(CAST(CAST(b.n AS HUGEINT) * b.spp
+                             - CAST(b.sp AS HUGEINT) * b.sp
+                        AS DOUBLE) / CAST(b.n AS DOUBLE) + 0.5)
+                  AS BIGINT) AS wbv_q,
+             CAST(floor(CAST(1000 * (CAST(b.n AS HUGEINT) * b.spy
+                             - CAST(b.sp AS HUGEINT) * b.pos)
+                        AS DOUBLE) / CAST(b.n AS DOUBLE) + 0.5)
+                  AS BIGINT) AS wbc_q
+      FROM bins b CROSS JOIN tot t
+    )
+    SELECT t.nn AS n_rows,
+           t.n_bins,
+           floor((CAST(t.sum_spp AS DOUBLE)
+                  - 2000e0 * CAST(t.sum_spy AS DOUBLE)
+                  + 1000000e0 * CAST(t.p AS DOUBLE))
+                 / (CAST(t.nn AS DOUBLE) * 1000000e0)
+                 * 1000000 + 0.5) / 1000000 AS brier,
+           floor(CAST(s.rel AS DOUBLE)
+                 / (CAST(t.nn AS DOUBLE) * 1000000e0)
+                 * 1000000 + 0.5) / 1000000 AS reliability,
+           floor(CAST(s.res AS DOUBLE)
+                 / (CAST(t.nn AS DOUBLE) * 1000000e0)
+                 * 1000000 + 0.5) / 1000000 AS resolution,
+           floor(CAST(t.p AS DOUBLE) * (t.nn - t.p)
+                 / (CAST(t.nn AS DOUBLE) * CAST(t.nn AS DOUBLE))
+                 * 1000000 + 0.5) / 1000000 AS uncertainty,
+           floor(CAST(s.wbv AS DOUBLE)
+                 / (CAST(t.nn AS DOUBLE) * 1000000e0)
+                 * 1000000 + 0.5) / 1000000 AS within_bin_var,
+           floor(CAST(s.wbc AS DOUBLE)
+                 / (CAST(t.nn AS DOUBLE) * 1000000e0)
+                 * 1000000 + 0.5) / 1000000 AS within_bin_cov
+    FROM tot t
+    CROSS JOIN (SELECT CAST(sum(rel_q) AS BIGINT) AS rel,
+                       CAST(sum(res_q) AS BIGINT) AS res,
+                       CAST(sum(wbv_q) AS BIGINT) AS wbv,
+                       CAST(sum(wbc_q) AS BIGINT) AS wbc
+                FROM terms) s
+    """.format(roc_rows=_ROC_ROWS_SQL),
+)
+def ml_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MURPHY DECOMPOSITION of the Brier score for the planted
+    probability model behind ml_roc_auc / ml_calibration_bins:
+    Brier = REL − RES + UNC + WBV − 2·WBC, where reliability
+    penalizes miscalibration per forecast bin, resolution rewards bins
+    whose outcome rate departs from the base rate, uncertainty is the
+    irreducible y(1−y) variance of the outcome, and the within-bin
+    variance/covariance terms account for grouping NON-CONSTANT
+    forecasts into decile bins (the generalized decomposition of
+    Stephenson, Coelho & Jolliffe 2008 — Murphy's 3-term textbook
+    identity only holds when forecasts are constant within bins, and
+    silently fails to add up otherwise, which is exactly the subtlety
+    this op surfaces). The op emits all six; the invariant test
+    re-derives the identity EXACTLY with python Fractions from the
+    same integer aggregates, so a transposed moment or a dropped term
+    cannot survive.
+
+    Determinism: per-bin aggregates are exact integers (milli-prob
+    sums, their squares in DECIMAL(38,0)/HUGEINT); Brier and
+    uncertainty come from GLOBAL integer sums in one pinned double
+    expression each; reliability/resolution/within-bin-variance
+    quantize each per-bin term to integer units before the cross-bin
+    sum (the ml_calibration_bins ECE device), so every emitted number
+    is one final division over exact integers on both engines.
+
+    Scale shape: ONE map-side-combinable groupBy collapses the scan to
+    <= 9 decile bins; everything after is bin-sized. The only float
+    ops are the final display divisions.
+    """
+    li = load(spark, sf_dir, "lineitem").selectExpr(
+        "CAST(l_quantity AS BIGINT) AS s",
+        "CASE WHEN ((l_orderkey % 1048576) * 2654435761"
+        " + l_linenumber * 40503) % 1000"
+        " < 150 + 14 * CAST(l_quantity AS BIGINT) THEN 1 ELSE 0 END AS label",
+    )
+    wide = "DECIMAL(38,0)"
+    bins = li.groupBy(F.expr("(150 + 14 * s) div 100").alias("bin")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("label").cast("bigint").alias("pos"),
+        F.sum(F.expr("150 + 14 * s")).cast("bigint").alias("sp"),
+        F.sum(
+            F.expr(f"CAST(150 + 14 * s AS {wide}) * (150 + 14 * s)")
+        ).alias("spp"),
+        F.sum(F.expr("(150 + 14 * s) * label")).cast("bigint").alias("spy"),
+    )
+    tot = bins.groupBy().agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("pos").cast("bigint").alias("p"),
+        F.sum("spp").cast(wide).alias("sum_spp"),
+        F.sum("spy").cast("bigint").alias("sum_spy"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+    )
+    terms = bins.crossJoin(F.broadcast(tot)).selectExpr(
+        "bin",
+        f"CAST(floor(CAST((CAST(pos AS {wide}) * 1000 - sp)"
+        f" * (CAST(pos AS {wide}) * 1000 - sp) AS DOUBLE)"
+        " / CAST(n AS DOUBLE) + 0.5) AS BIGINT) AS rel_q",
+        f"CAST(floor(CAST((CAST(pos AS {wide}) * nn"
+        f" - CAST(n AS {wide}) * p)"
+        f" * (CAST(pos AS {wide}) * nn - CAST(n AS {wide}) * p)"
+        " AS DOUBLE) / CAST(n AS DOUBLE)"
+        " / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE))"
+        " * 1000000e0 + 0.5) AS BIGINT) AS res_q",
+        f"CAST(floor(CAST(CAST(n AS {wide}) * spp"
+        f" - CAST(sp AS {wide}) * sp AS DOUBLE)"
+        " / CAST(n AS DOUBLE) + 0.5) AS BIGINT) AS wbv_q",
+        f"CAST(floor(CAST(1000 * (CAST(n AS {wide}) * spy"
+        f" - CAST(sp AS {wide}) * pos) AS DOUBLE)"
+        " / CAST(n AS DOUBLE) + 0.5) AS BIGINT) AS wbc_q",
+    )
+    sums = terms.groupBy().agg(
+        F.sum("rel_q").cast("bigint").alias("rel"),
+        F.sum("res_q").cast("bigint").alias("res"),
+        F.sum("wbv_q").cast("bigint").alias("wbv"),
+        F.sum("wbc_q").cast("bigint").alias("wbc"),
+    )
+    return tot.crossJoin(F.broadcast(sums)).selectExpr(
+        "nn AS n_rows",
+        "n_bins",
+        "floor((CAST(sum_spp AS DOUBLE) - 2000e0 * CAST(sum_spy AS DOUBLE)"
+        " + 1000000e0 * CAST(p AS DOUBLE))"
+        " / (CAST(nn AS DOUBLE) * 1000000e0)"
+        " * 1000000 + 0.5) / 1000000 AS brier",
+        "floor(CAST(rel AS DOUBLE) / (CAST(nn AS DOUBLE) * 1000000e0)"
+        " * 1000000 + 0.5) / 1000000 AS reliability",
+        "floor(CAST(res AS DOUBLE) / (CAST(nn AS DOUBLE) * 1000000e0)"
+        " * 1000000 + 0.5) / 1000000 AS resolution",
+        "floor(CAST(p AS DOUBLE) * (nn - p)"
+        " / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE))"
+        " * 1000000 + 0.5) / 1000000 AS uncertainty",
+        "floor(CAST(wbv AS DOUBLE) / (CAST(nn AS DOUBLE) * 1000000e0)"
+        " * 1000000 + 0.5) / 1000000 AS within_bin_var",
+        "floor(CAST(wbc AS DOUBLE) / (CAST(nn AS DOUBLE) * 1000000e0)"
+        " * 1000000 + 0.5) / 1000000 AS within_bin_cov",
+    )
+
+
+# --- r12 extension wave: McNemar's paired classifier test --------------------
+
+# Paired predictions over the planted outcome: classifier A thresholds
+# the generative score itself (quantity >= 25 <=> p >= 0.5), classifier
+# B thresholds a feature the generator never consults (discount >= 5%),
+# so A beats B and the off-diagonal asymmetry b >> c is real. Both
+# engines see the identical relation.
+_MCNEMAR_ROWS_SQL = """
+      SELECT l_returnflag AS grp,
+             CASE WHEN ((l_orderkey % 1048576) * 2654435761
+                        + l_linenumber * 40503) % 1000
+                  < 150 + 14 * CAST(l_quantity AS BIGINT)
+                  THEN 1 ELSE 0 END AS y,
+             CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END AS pred_a,
+             CASE WHEN CAST(floor(l_discount * 100 + 0.5) AS BIGINT) >= 5
+                  THEN 1 ELSE 0 END AS pred_b
+      FROM lineitem
+"""
+
+
+@register(
+    "ml_mcnemar_paired",
+    category="similarity",
+    oracle=f"""
+    WITH rows_in AS ({_MCNEMAR_ROWS_SQL}),
+    cells AS (
+      SELECT grp,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN pred_a = y AND pred_b = y
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+             CAST(sum(CASE WHEN pred_a = y AND pred_b <> y
+                           THEN 1 ELSE 0 END) AS BIGINT) AS b_only_a,
+             CAST(sum(CASE WHEN pred_a <> y AND pred_b = y
+                           THEN 1 ELSE 0 END) AS BIGINT) AS c_only_b,
+             CAST(sum(CASE WHEN pred_a <> y AND pred_b <> y
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_neither
+      FROM rows_in GROUP BY grp
+    )
+    SELECT grp AS l_returnflag, n, n_both, b_only_a, c_only_b, n_neither,
+           floor(CAST(n_both + b_only_a AS DOUBLE) / n * 10000 + 0.5)
+             / 10000 AS acc_a,
+           floor(CAST(n_both + c_only_b AS DOUBLE) / n * 10000 + 0.5)
+             / 10000 AS acc_b,
+           CASE WHEN b_only_a + c_only_b > 0 THEN
+             floor(CAST((b_only_a - c_only_b) * (b_only_a - c_only_b)
+                   AS DOUBLE) / (b_only_a + c_only_b) * 10000 + 0.5)
+               / 10000
+           END AS chi2,
+           b_only_a + c_only_b > 0
+             AND CAST((b_only_a - c_only_b) * (b_only_a - c_only_b)
+                 AS DOUBLE) / (b_only_a + c_only_b) > 3.8415e0
+             AS significant
+    FROM cells
+    ORDER BY l_returnflag
+    """,
+)
+def ml_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNEMAR'S TEST for paired classifiers — the correct significance
+    test when two models are evaluated on the SAME rows (a two-
+    proportion z-test ignores the pairing and is anticonservative):
+    only the discordant off-diagonal counts carry information,
+    chi2 = (b−c)²/(b+c) with b = A-right/B-wrong, c = A-wrong/B-right,
+    1 df, 5% critical value 3.8415. Classifier A thresholds the
+    planted generative feature (quantity ≥ 25 ⟺ p ≥ 0.5), classifier
+    B thresholds discount — a feature the label generator never reads —
+    so the asymmetry is real by construction and the invariant test
+    can assert both the winner and the 2×2 partition identity
+    (n_both + b + c + n_neither = n per group).
+
+    Exactness: the whole statistic is a ratio of exact integer counts;
+    the only float ops are the two r4 display divisions and the fixed
+    3.8415 threshold comparison (both sides compute the same double
+    from the same integers). NULL chi2 when b + c = 0 — the degenerate
+    identical-classifiers case, same CASE both engines.
+
+    Scale shape: one map-side-combinable groupBy over the scan to 3
+    grp rows; nothing downstream is data-sized.
+    """
+    li = load(spark, sf_dir, "lineitem").selectExpr(
+        "l_returnflag AS grp",
+        "CASE WHEN ((l_orderkey % 1048576) * 2654435761"
+        " + l_linenumber * 40503) % 1000"
+        " < 150 + 14 * CAST(l_quantity AS BIGINT) THEN 1 ELSE 0 END AS y",
+        "CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END AS pred_a",
+        "CASE WHEN CAST(floor(l_discount * 100 + 0.5) AS BIGINT) >= 5"
+        " THEN 1 ELSE 0 END AS pred_b",
+    )
+    cells = li.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.expr("CASE WHEN pred_a = y AND pred_b = y THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("n_both"),
+        F.sum(
+            F.expr("CASE WHEN pred_a = y AND pred_b <> y THEN 1 ELSE 0 END")
+        )
+        .cast("bigint")
+        .alias("b_only_a"),
+        F.sum(
+            F.expr("CASE WHEN pred_a <> y AND pred_b = y THEN 1 ELSE 0 END")
+        )
+        .cast("bigint")
+        .alias("c_only_b"),
+        F.sum(
+            F.expr("CASE WHEN pred_a <> y AND pred_b <> y THEN 1 ELSE 0 END")
+        )
+        .cast("bigint")
+        .alias("n_neither"),
+    )
+    return cells.selectExpr(
+        "grp AS l_returnflag",
+        "n",
+        "n_both",
+        "b_only_a",
+        "c_only_b",
+        "n_neither",
+        "floor(CAST(n_both + b_only_a AS DOUBLE) / n * 10000 + 0.5)"
+        " / 10000 AS acc_a",
+        "floor(CAST(n_both + c_only_b AS DOUBLE) / n * 10000 + 0.5)"
+        " / 10000 AS acc_b",
+        "CASE WHEN b_only_a + c_only_b > 0 THEN"
+        " floor(CAST((b_only_a - c_only_b) * (b_only_a - c_only_b)"
+        " AS DOUBLE) / (b_only_a + c_only_b) * 10000 + 0.5) / 10000"
+        " END AS chi2",
+        "b_only_a + c_only_b > 0"
+        " AND CAST((b_only_a - c_only_b) * (b_only_a - c_only_b)"
+        " AS DOUBLE) / (b_only_a + c_only_b) > 3.8415e0 AS significant",
+    ).orderBy("l_returnflag")
+
+
+# --- r12 extension wave: Kendall tau-b rank correlation ----------------------
+
+
+@register(
+    "ml_kendall_tau",
+    category="similarity",
+    oracle="""
+    WITH joint AS (
+      SELECT l_returnflag AS grp,
+             CAST(l_quantity AS BIGINT) AS x,
+             CAST(floor(l_quantity * l_extendedprice / 10000) AS BIGINT)
+               AS y,
+             CAST(count(*) AS BIGINT) AS w
+      FROM lineitem GROUP BY 1, 2, 3
+    ),
+    xs AS (SELECT DISTINCT grp, x FROM joint),
+    ys AS (SELECT DISTINCT grp, y FROM joint),
+    grid AS (
+      SELECT xs.grp, xs.x, ys.y, coalesce(j.w, 0) AS w
+      FROM xs JOIN ys ON ys.grp = xs.grp
+      LEFT JOIN joint j ON j.grp = xs.grp AND j.x = xs.x AND j.y = ys.y
+    ),
+    p AS (
+      SELECT grp, x, y, w,
+             coalesce(sum(w) OVER (PARTITION BY grp, y ORDER BY x
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_xlt
+      FROM grid
+    ),
+    d AS (
+      SELECT grp, x, y, w, cum_xlt,
+             coalesce(sum(cum_xlt) OVER (PARTITION BY grp, x ORDER BY y
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS dom,
+             sum(cum_xlt) OVER (PARTITION BY grp, x) AS tx
+      FROM p
+    ),
+    sums AS (
+      SELECT grp,
+             CAST(sum(w) AS BIGINT) AS n,
+             CAST(sum(CAST(w AS HUGEINT) * dom) AS HUGEINT) AS conc,
+             CAST(sum(CAST(w AS HUGEINT) * (tx - dom - cum_xlt))
+                  AS HUGEINT) AS disc,
+             CAST(sum(CAST(w AS HUGEINT) * (w - 1) // 2) AS HUGEINT)
+               AS tie_xy
+      FROM d GROUP BY grp
+    ),
+    tiex AS (
+      SELECT grp, CAST(sum(CAST(t AS HUGEINT) * (t - 1) // 2) AS HUGEINT)
+               AS tie_x
+      FROM (SELECT grp, x, sum(w) AS t FROM joint GROUP BY 1, 2)
+      GROUP BY grp
+    ),
+    tiey AS (
+      SELECT grp, CAST(sum(CAST(t AS HUGEINT) * (t - 1) // 2) AS HUGEINT)
+               AS tie_y
+      FROM (SELECT grp, y, sum(w) AS t FROM joint GROUP BY 1, 2)
+      GROUP BY grp
+    )
+    SELECT s.grp AS l_returnflag,
+           s.n AS n_rows,
+           CAST(s.conc AS BIGINT) AS concordant,
+           CAST(s.disc AS BIGINT) AS discordant,
+           CAST(tx.tie_x AS BIGINT) AS tie_x_pairs,
+           CAST(ty.tie_y AS BIGINT) AS tie_y_pairs,
+           CAST(s.tie_xy AS BIGINT) AS tie_xy_pairs,
+           CASE WHEN CAST(s.n AS HUGEINT) * (s.n - 1) // 2 > tx.tie_x
+                 AND CAST(s.n AS HUGEINT) * (s.n - 1) // 2 > ty.tie_y
+                THEN floor(
+                  (CAST(s.conc AS DOUBLE) - CAST(s.disc AS DOUBLE))
+                  / sqrt(
+                      CAST(CAST(s.n AS HUGEINT) * (s.n - 1) // 2 - tx.tie_x
+                           AS DOUBLE)
+                      * CAST(CAST(s.n AS HUGEINT) * (s.n - 1) // 2 - ty.tie_y
+                             AS DOUBLE))
+                  * 10000 + 0.5) / 10000
+           END AS tau_b
+    FROM sums s
+    JOIN tiex tx ON tx.grp = s.grp
+    JOIN tiey ty ON ty.grp = s.grp
+    ORDER BY s.grp
+    """,
+)
+def ml_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KENDALL TAU-B (tie-corrected, per l_returnflag) between order
+    quantity and line revenue (qty x price, the ml_spearman_rho
+    pair; raw price is INDEPENDENT of quantity under this generator —
+    measured tau 0.005 — so revenue is the planted monotone link) —
+    the concordance-based companion to
+    ml_spearman_rho (tau is more robust to outliers and has a direct
+    probabilistic reading: P(concordant) − P(discordant)). The whole
+    statistic reduces to exact integer pair counting on the bounded
+    joint domain via a DENSE-GRID DOUBLE CUMULATIVE: materialize the
+    (quantity × deka-dollar-revenue) grid (≤ 50 × ~500 cells/group), take the
+    running sum over x within each y column (cum_xlt = pairs strictly
+    below in x at that y), then the running sum of THAT over y within
+    each x row (dom = pairs strictly below in both coordinates).
+    Concordant pairs C = Σ w·dom; discordant pairs fall out by
+    complement within the x-dominated slab (tx − dom − cum_xlt, where
+    tx = all pairs with smaller x); tie corrections from the marginals.
+    tau_b = (C − D)/sqrt((n0 − n1)(n0 − n2)). Every pair of rows is
+    counted exactly once at its larger-x cell, which the invariant
+    test pins via the exhaustive identity C + D + ties = n(n−1)/2.
+
+    Exactness: all counts are integers (wide products in
+    DECIMAL(38,0)/HUGEINT); the only float op is the final r4-floored
+    ratio whose sqrt sees identical integers on both engines.
+    Degenerate guard: a group fully tied on either variable emits NULL
+    tau via the same CASE both sides.
+
+    Scale shape: ONE data-sized hash aggregate collapses the scan to
+    the joint-domain cells; the grid (a per-group cartesian of two
+    bounded DOMAINS, not data) and its three window passes are
+    O(|x-domain| × |y-domain|) regardless of row count — the
+    ml_spearman_rho bounded-domain argument with a 2-D cumulative
+    instead of rank windows.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    joint = (
+        li.selectExpr(
+            "l_returnflag AS grp",
+            "CAST(l_quantity AS BIGINT) AS x",
+            "CAST(floor(l_quantity * l_extendedprice / 10000)"
+            " AS BIGINT) AS y",
+        )
+        .groupBy("grp", "x", "y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+        .persist()
+    )
+    xs = joint.select("grp", "x").distinct()
+    ys = joint.select("grp", "y").distinct()
+    grid = (
+        xs.join(ys, "grp")
+        .join(joint, ["grp", "x", "y"], "left")
+        .selectExpr("grp", "x", "y", "coalesce(w, 0) AS w")
+    )
+    w_xlt = (
+        Window.partitionBy("grp", "y")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    p = grid.select(
+        "grp",
+        "x",
+        "y",
+        "w",
+        F.coalesce(F.sum("w").over(w_xlt), F.lit(0)).alias("cum_xlt"),
+    )
+    w_dom = (
+        Window.partitionBy("grp", "x")
+        .orderBy("y")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_tx = Window.partitionBy("grp", "x")
+    d = p.select(
+        "grp",
+        "x",
+        "y",
+        "w",
+        "cum_xlt",
+        F.coalesce(F.sum("cum_xlt").over(w_dom), F.lit(0)).alias("dom"),
+        F.sum("cum_xlt").over(w_tx).alias("tx"),
+    )
+    wide = "DECIMAL(38,0)"
+    sums = d.groupBy("grp").agg(
+        F.sum("w").cast("bigint").alias("n"),
+        F.sum(F.expr(f"CAST(w AS {wide}) * dom")).alias("conc"),
+        F.sum(F.expr(f"CAST(w AS {wide}) * (tx - dom - cum_xlt)")).alias(
+            "disc"
+        ),
+        F.sum(F.expr(f"CAST(w AS {wide}) * (w - 1) div 2")).alias("tie_xy"),
+    )
+    tiex = (
+        joint.groupBy("grp", "x")
+        .agg(F.sum("w").alias("t"))
+        .groupBy("grp")
+        .agg(
+            F.sum(F.expr(f"CAST(t AS {wide}) * (t - 1) div 2")).alias(
+                "tie_x"
+            )
+        )
+    )
+    tiey = (
+        joint.groupBy("grp", "y")
+        .agg(F.sum("w").alias("t"))
+        .groupBy("grp")
+        .agg(
+            F.sum(F.expr(f"CAST(t AS {wide}) * (t - 1) div 2")).alias(
+                "tie_y"
+            )
+        )
+    )
+    n0 = f"CAST(n AS {wide}) * (n - 1) div 2"
+    out = (
+        sums.join(F.broadcast(tiex), "grp")
+        .join(F.broadcast(tiey), "grp")
+        .selectExpr(
+            "grp AS l_returnflag",
+            "n AS n_rows",
+            "CAST(conc AS BIGINT) AS concordant",
+            "CAST(disc AS BIGINT) AS discordant",
+            "CAST(tie_x AS BIGINT) AS tie_x_pairs",
+            "CAST(tie_y AS BIGINT) AS tie_y_pairs",
+            "CAST(tie_xy AS BIGINT) AS tie_xy_pairs",
+            f"CASE WHEN {n0} > tie_x AND {n0} > tie_y THEN"
+            " floor((CAST(conc AS DOUBLE) - CAST(disc AS DOUBLE))"
+            f" / sqrt(CAST({n0} - tie_x AS DOUBLE)"
+            f"        * CAST({n0} - tie_y AS DOUBLE))"
+            " * 10000 + 0.5) / 10000"
+            " END AS tau_b",
+        )
+        .orderBy("l_returnflag")
+    )
+    from cdc_pubsub_spark.tables import finalize_cached
+
+    return finalize_cached(out, joint)

@@ -8246,3 +8246,360 @@ def events_velocity_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --- r12 extension wave: ARMA(1,1) method-of-moments ------------------------
+
+ORACLE_ARMA11 = """
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT event_type, x,
+             lag(x, 1) OVER (PARTITION BY event_type ORDER BY d) AS x1,
+             lag(x, 2) OVER (PARTITION BY event_type ORDER BY d) AS x2
+      FROM daily
+    ),
+    g AS (
+      SELECT event_type,
+             count(*) AS n,
+             sum(x) AS s,
+             sum(CAST(x AS HUGEINT) * x) AS sxx,
+             sum(CAST(x AS HUGEINT) * x1) AS sx1,
+             sum(CAST(x AS HUGEINT) * x2) AS sx2,
+             sum(CASE WHEN x1 IS NOT NULL THEN x END) AS sa1,
+             sum(CASE WHEN x1 IS NOT NULL THEN x1 END) AS sb1,
+             sum(CASE WHEN x2 IS NOT NULL THEN x END) AS sa2,
+             sum(CASE WHEN x2 IS NOT NULL THEN x2 END) AS sb2,
+             count(x1) AS n1,
+             count(x2) AS n2
+      FROM lagged GROUP BY event_type
+    ),
+    mom AS (
+      SELECT event_type, n,
+             CAST(n AS HUGEINT) * sxx - CAST(s AS HUGEINT) * s AS g0,
+             CAST(n1 AS HUGEINT) * sx1
+               - CAST(sa1 AS HUGEINT) * sb1 AS g1v,
+             CAST(n2 AS HUGEINT) * sx2
+               - CAST(sa2 AS HUGEINT) * sb2 AS g2v
+      FROM g
+    ),
+    ratios AS (
+      SELECT event_type, n,
+             CAST(g1v * 1000000 // g0 AS BIGINT) AS r1m,
+             CAST(g2v * 1000000 // g0 AS BIGINT) AS r2m
+      FROM mom
+      WHERE g0 <> 0
+    ),
+    fitted AS (
+      SELECT event_type, n, r1m, r2m,
+             CASE WHEN r1m <> 0
+                  THEN CAST(CAST(r2m AS HUGEINT) * 1000000 // r1m AS BIGINT)
+             END AS phim
+      FROM ratios
+    ),
+    bstat AS (
+      SELECT event_type, n, r1m, r2m, phim,
+             CASE WHEN phim IS NOT NULL AND r1m <> phim THEN
+               CAST(floor(
+                 (1e0 + (CAST(phim AS DOUBLE) / 1e6)
+                        * (CAST(phim AS DOUBLE) / 1e6)
+                  - 2e0 * (CAST(r1m AS DOUBLE) / 1e6)
+                        * (CAST(phim AS DOUBLE) / 1e6))
+                 / (CAST(r1m AS DOUBLE) / 1e6
+                    - CAST(phim AS DOUBLE) / 1e6)
+                 * 1000000 + 0.5) AS BIGINT)
+             END AS bm
+      FROM fitted
+    )
+    SELECT event_type, n AS n_days,
+           floor(CAST(r1m AS DOUBLE) / 1e6 * 10000 + 0.5) / 10000 AS r1,
+           floor(CAST(r2m AS DOUBLE) / 1e6 * 10000 + 0.5) / 10000 AS r2,
+           CASE WHEN phim IS NOT NULL THEN
+             floor(CAST(phim AS DOUBLE) / 1e6 * 10000 + 0.5) / 10000
+           END AS phi,
+           CASE WHEN bm IS NOT NULL
+                 AND CAST(bm AS HUGEINT) * bm >= 4000000000000 THEN
+             floor(
+               (CAST(bm AS DOUBLE) / 1e6
+                - CASE WHEN bm >= 0 THEN 1e0 ELSE -1e0 END
+                  * sqrt((CAST(bm AS DOUBLE) / 1e6)
+                         * (CAST(bm AS DOUBLE) / 1e6) - 4e0)) / 2e0
+               * 10000 + 0.5) / 10000
+           END AS theta,
+           bm IS NOT NULL
+             AND CAST(bm AS HUGEINT) * bm >= 4000000000000 AS invertible
+    FROM bstat
+    ORDER BY event_type
+    """
+
+
+@register(
+    "ts_arma11_moments",
+    category="composite",
+    oracle=ORACLE_ARMA11,
+)
+def ts_arma11_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARMA(1,1) METHOD-OF-MOMENTS fit per event_type on the daily
+    value series — the mixed autoregressive/moving-average tier above
+    ts_ar2_yule_walker (same daily relation, same exact wide-integer
+    autocovariances). The MoM estimators are the textbook ones
+    (Box-Jenkins ch.6): phi-hat = rho2/rho1 (ARMA(1,1) implies
+    rho2 = phi*rho1), then theta from the rho1 relation
+    rho1 = (1+phi*theta)(phi+theta)/(1+2*phi*theta+theta^2), which
+    reduces to the monic quadratic theta^2 - B*theta + 1 = 0 with
+    B = (1 + phi^2 - 2*rho1*phi)/(rho1 - phi); the two roots multiply
+    to 1 and the INVERTIBLE root (|theta| <= 1) is
+    theta = (B - sign(B)*sqrt(B^2-4))/2.
+
+    Determinism stack (the ts_ar2 pattern): integer-cent daily series;
+    n-scaled centered autocovariances in each engine's exact wide type
+    (DECIMAL(38,0) / HUGEINT); autocorrelations micro-quantized as
+    integer ratios r_k = G_k*10^6 div G_0, phi likewise
+    phim = r2m*10^6 div r1m, and B floor-quantized to ppm from ONE
+    double expression — so the sqrt branch sees bit-identical inputs
+    on both engines and the B^2 >= 4 realness gate is an exact integer
+    comparison (bm^2 vs 4e12), never a float-boundary coin flip.
+
+    Degenerate-series ladder: g0 = 0 (constant series) rows are
+    dropped; r1m = 0 yields NULL phi/theta; rho1 = phi (zero B
+    denominator) and B^2 < 4 (complex roots — no real invertible MA
+    term) yield NULL theta with invertible = false. Identical CASE
+    ladders on both engines.
+
+    Scale shape: one data-sized groupBy collapses the scan to the
+    calendar-bounded daily grid; the lag windows run per-type over
+    <= 31 rows; everything after the first aggregate is
+    calendar-sized. No global windows, no collects.
+    """
+    daily = (
+        load(spark, sf_dir, "events")
+        .selectExpr(
+            "event_type",
+            "CAST(date_trunc('DAY', ts) AS DATE) AS d",
+            "value",
+        )
+        .groupBy("event_type", "d")
+        .agg(
+            F.expr(
+                "CAST(floor(sum(value) * 100 + 0.5) AS BIGINT)"
+            ).alias("x")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    lagged = daily.select(
+        "event_type",
+        "x",
+        F.lag("x", 1).over(w).alias("x1"),
+        F.lag("x", 2).over(w).alias("x2"),
+    )
+    wide = "DECIMAL(38,0)"
+    g = lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x").cast(wide) * F.col("x").cast(wide)).alias("sxx"),
+        F.sum(F.col("x").cast(wide) * F.col("x1").cast(wide)).alias("sx1"),
+        F.sum(F.col("x").cast(wide) * F.col("x2").cast(wide)).alias("sx2"),
+        F.sum(F.when(F.col("x1").isNotNull(), F.col("x"))).alias("sa1"),
+        F.sum(F.when(F.col("x1").isNotNull(), F.col("x1"))).alias("sb1"),
+        F.sum(F.when(F.col("x2").isNotNull(), F.col("x"))).alias("sa2"),
+        F.sum(F.when(F.col("x2").isNotNull(), F.col("x2"))).alias("sb2"),
+        F.count("x1").alias("n1"),
+        F.count("x2").alias("n2"),
+    )
+    g0 = "CAST(n AS DECIMAL(38,0)) * sxx - CAST(s AS DECIMAL(38,0)) * s"
+    g1 = (
+        "CAST(n1 AS DECIMAL(38,0)) * sx1 -"
+        " CAST(sa1 AS DECIMAL(38,0)) * sb1"
+    )
+    g2 = (
+        "CAST(n2 AS DECIMAL(38,0)) * sx2 -"
+        " CAST(sa2 AS DECIMAL(38,0)) * sb2"
+    )
+    ratios = (
+        g.selectExpr(
+            "event_type",
+            "n",
+            f"({g0}) AS g0",
+            f"({g1}) AS g1v",
+            f"({g2}) AS g2v",
+        )
+        .filter("g0 <> 0")
+        .selectExpr(
+            "event_type",
+            "n",
+            "CAST(g1v * 1000000 div g0 AS BIGINT) AS r1m",
+            "CAST(g2v * 1000000 div g0 AS BIGINT) AS r2m",
+        )
+    )
+    fitted = ratios.selectExpr(
+        "event_type",
+        "n",
+        "r1m",
+        "r2m",
+        "CASE WHEN r1m <> 0 THEN CAST(CAST(r2m AS DECIMAL(38,0)) * 1000000"
+        " div r1m AS BIGINT) END AS phim",
+    )
+    bstat = fitted.selectExpr(
+        "event_type",
+        "n",
+        "r1m",
+        "r2m",
+        "phim",
+        "CASE WHEN phim IS NOT NULL AND r1m <> phim THEN"
+        " CAST(floor("
+        "   (1e0 + (CAST(phim AS DOUBLE) / 1e6)"
+        "        * (CAST(phim AS DOUBLE) / 1e6)"
+        "    - 2e0 * (CAST(r1m AS DOUBLE) / 1e6)"
+        "          * (CAST(phim AS DOUBLE) / 1e6))"
+        "   / (CAST(r1m AS DOUBLE) / 1e6 - CAST(phim AS DOUBLE) / 1e6)"
+        "   * 1000000 + 0.5) AS BIGINT)"
+        " END AS bm",
+    )
+    return bstat.selectExpr(
+        "event_type",
+        "n AS n_days",
+        "floor(CAST(r1m AS DOUBLE) / 1e6 * 10000 + 0.5) / 10000 AS r1",
+        "floor(CAST(r2m AS DOUBLE) / 1e6 * 10000 + 0.5) / 10000 AS r2",
+        "CASE WHEN phim IS NOT NULL THEN"
+        " floor(CAST(phim AS DOUBLE) / 1e6 * 10000 + 0.5) / 10000"
+        " END AS phi",
+        "CASE WHEN bm IS NOT NULL"
+        " AND CAST(bm AS DECIMAL(38,0)) * bm >= 4000000000000 THEN"
+        " floor((CAST(bm AS DOUBLE) / 1e6"
+        "  - CASE WHEN bm >= 0 THEN 1e0 ELSE -1e0 END"
+        "    * sqrt((CAST(bm AS DOUBLE) / 1e6)"
+        "           * (CAST(bm AS DOUBLE) / 1e6) - 4e0)) / 2e0"
+        " * 10000 + 0.5) / 10000"
+        " END AS theta",
+        "bm IS NOT NULL"
+        " AND CAST(bm AS DECIMAL(38,0)) * bm >= 4000000000000"
+        " AS invertible",
+    ).orderBy("event_type")
+
+
+# --- r12 extension wave: newsvendor critical-fractile stocking ---------------
+
+
+@register(
+    "orders_newsvendor_quantile",
+    category="composite",
+    oracle="""
+    WITH weekly AS (
+      SELECT p.p_brand,
+             CAST(epoch_us(l.l_shipdate) // 604800000000 AS BIGINT) AS wk,
+             CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS demand
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT p_brand, wk, demand,
+             row_number() OVER (PARTITION BY p_brand
+                                ORDER BY demand, wk) AS rn,
+             count(*) OVER (PARTITION BY p_brand) AS n_weeks
+      FROM weekly
+    ),
+    level AS (
+      SELECT p_brand, max(n_weeks) AS n_weeks,
+             max(CASE WHEN rn = CAST(ceil(0.75 * n_weeks) AS BIGINT)
+                      THEN demand END) AS stock_level
+      FROM ranked GROUP BY p_brand
+    )
+    SELECT l.p_brand,
+           CAST(l.n_weeks AS BIGINT) AS n_weeks,
+           CAST(l.stock_level AS BIGINT) AS stock_level,
+           CAST(sum(CASE WHEN w.demand > l.stock_level THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_stockout_weeks,
+           CAST(sum(least(w.demand, l.stock_level)) AS BIGINT)
+             AS units_sold_capped,
+           floor(CAST(sum(CASE WHEN w.demand <= l.stock_level
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / l.n_weeks * 10000 + 0.5) / 10000 AS achieved_service
+    FROM level l JOIN weekly w ON w.p_brand = l.p_brand
+    GROUP BY l.p_brand, l.n_weeks, l.stock_level
+    ORDER BY l.p_brand
+    """,
+)
+def orders_newsvendor_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEWSVENDOR CRITICAL-FRACTILE STOCKING per brand — the canonical
+    single-period inventory decision: with underage cost c_u = 3 and
+    overage cost c_o = 1, the optimal stocking level is the
+    q* = c_u/(c_u + c_o) = 0.75 quantile of weekly demand
+    (Arrow-Harris-Marschak). The quantile is the EXACT with-ties order
+    statistic (percentile_disc semantics: the demand value at sorted
+    position ceil(0.75·n), realized as an explicit row_number on both
+    engines — never a float interpolation), so the level is always an
+    observed integer demand and both engines agree bit-for-bit. The op
+    then audits the decision against the same history: stockout weeks
+    (demand above the level), capped units sold, and the achieved
+    service level, which must come out >= 75% by construction — the
+    invariant test pins that lower bound and the order-statistic
+    definition itself.
+
+    Scale shape: one data-sized join+aggregate collapses lineitem to
+    the (brand × week) grid (bounded: ~25 brands × ~360 weeks); the
+    ranking window and the level join run on that grid, partitioned by
+    brand. The part-side join is a broadcast (dim table). The only
+    float op is the final r4 service ratio.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    weekly = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .selectExpr(
+            "p_brand",
+            "unix_micros(CAST(l_shipdate AS TIMESTAMP))"
+            " div 604800000000 AS wk",
+            "CAST(l_quantity AS BIGINT) AS q",
+        )
+        .groupBy("p_brand", "wk")
+        .agg(F.sum("q").cast("bigint").alias("demand"))
+        .persist()
+    )
+    wr = Window.partitionBy("p_brand").orderBy("demand", "wk")
+    wc = Window.partitionBy("p_brand")
+    ranked = weekly.select(
+        "p_brand",
+        "demand",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n_weeks"),
+    )
+    level = ranked.groupBy("p_brand").agg(
+        F.max("n_weeks").alias("n_weeks"),
+        F.max(
+            F.expr(
+                "CASE WHEN rn = CAST(ceil(0.75 * n_weeks) AS BIGINT)"
+                " THEN demand END"
+            )
+        ).alias("stock_level"),
+    )
+    out = (
+        weekly.join(F.broadcast(level), "p_brand")
+        .groupBy("p_brand", "n_weeks", "stock_level")
+        .agg(
+            F.sum(
+                F.expr("CASE WHEN demand > stock_level THEN 1 ELSE 0 END")
+            )
+            .cast("bigint")
+            .alias("n_stockout_weeks"),
+            F.sum(F.expr("least(demand, stock_level)"))
+            .cast("bigint")
+            .alias("units_sold_capped"),
+            F.sum(
+                F.expr("CASE WHEN demand <= stock_level THEN 1 ELSE 0 END")
+            ).alias("n_ok"),
+        )
+        .selectExpr(
+            "p_brand",
+            "CAST(n_weeks AS BIGINT) AS n_weeks",
+            "CAST(stock_level AS BIGINT) AS stock_level",
+            "n_stockout_weeks",
+            "units_sold_capped",
+            "floor(CAST(n_ok AS DOUBLE) / n_weeks * 10000 + 0.5)"
+            " / 10000 AS achieved_service",
+        )
+        .orderBy("p_brand")
+    )
+    return finalize_cached(out, weekly)

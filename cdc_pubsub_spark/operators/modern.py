@@ -1245,3 +1245,127 @@ def scan_apache_access_log(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+# --- r12 extension wave: RFC 4155 mbox mailbox ingestion ---------------------
+
+
+@register(
+    "scan_mbox",
+    category="modern",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_msgs,
+           CAST(count(DISTINCT doc_id // 100) AS BIGINT) AS n_blobs,
+           CAST(sum(doc_id) AS BIGINT) AS msgid_checksum,
+           CAST(sum(CASE WHEN doc_id % 9 = 0 THEN 1 ELSE 0 END
+                    + CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_quoted_lines,
+           CAST(sum(CASE WHEN doc_id % 9 = 0 THEN 58
+                         ELSE least(60, length(text)) END
+                    + 1
+                    + CASE WHEN doc_id % 4 = 0 THEN 15 ELSE 7 END)
+                AS BIGINT) AS body_bytes
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def scan_mbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 4155 MBOX MAILBOX INGESTION — the classic email-corpus
+    format (and a staple LLM pretraining source: Enron, mailing-list
+    archives). Messages are rendered from documents in-plan into
+    multi-message mailbox blobs (~5 messages per (source, bucket)
+    blob, the bounded
+    collect_list group pattern), then parsed back by the format's
+    defining rule: a message starts at a line beginning ``From `` (the
+    postmark), and body lines that would collide are ``>``-escaped by
+    the writer (mboxo convention), so the reader must BOTH split on
+    unescaped postmarks and unquote ``>From `` body lines. Two escape
+    populations are planted: doc_id % 4 == 0 bodies carry a literal
+    ``From tracker ok`` line, and doc_id % 9 == 0 bodies START with
+    ``From the archive: …`` — a parser that splits on every ``From ``
+    (ignoring escapes) over-counts messages on both slices; one that
+    forgets to unquote inflates body_bytes by the escape bytes. The
+    oracle recomputes every aggregate (message count, blob count,
+    Message-ID checksum, quoted-line count, unquoted body bytes) in
+    closed form from the source columns, so the postmark split, the
+    header walk (Message-ID), the header/body blank-line boundary,
+    and the unquote are each load-bearing.
+
+    Scale shape: blob assembly is a bounded groupBy (~5 msgs per
+    blob — at 100 TB the renderer is replaced by spark.read.text with
+    a custom line delimiter over collector files, the parse projection
+    is identical); parse is row-local codegen (split/regexp_extract);
+    the only data-sized shuffle is the 20-key source aggregate.
+    """
+    docs = load(spark, sf_dir, "documents")
+    msgs = docs.selectExpr(
+        "source",
+        "doc_id div 100 AS bucket",
+        "doc_id",
+        "CASE WHEN doc_id % 9 = 0"
+        " THEN 'From the archive: ' || substring(text, 1, 40)"
+        " ELSE substring(text, 1, 60) END AS body1",
+        "CASE WHEN doc_id % 4 = 0 THEN 'From tracker ok'"
+        " ELSE 'Body ok' END AS body2",
+    ).selectExpr(
+        "source",
+        "bucket",
+        "doc_id",
+        # mboxo writer: >-escape body lines that begin with the postmark.
+        "concat("
+        " 'From daemon@', source, ' Thu Jan  1 00:00:00 2024\\n',"
+        " 'Message-ID: <', CAST(doc_id AS STRING), '@', source, '>\\n',"
+        " 'Subject: doc ', CAST(doc_id AS STRING), '\\n',"
+        " '\\n',"
+        " CASE WHEN body1 LIKE 'From %' THEN '>' || body1 ELSE body1 END,"
+        " '\\n',"
+        " CASE WHEN body2 LIKE 'From %' THEN '>' || body2 ELSE body2 END,"
+        " '\\n\\n'"
+        ") AS msg",
+    )
+    blobs = msgs.groupBy("source", "bucket").agg(
+        F.expr(
+            "concat_ws('', transform(sort_array(collect_list("
+            "struct(doc_id, msg))), s -> s.msg))"
+        ).alias("blob")
+    )
+    frags = blobs.selectExpr(
+        "source",
+        "bucket",
+        # A fragment per postmark: escaped '>From ' body lines survive
+        # the split untouched, exactly the mboxo guarantee.
+        "explode(split('\\n' || blob, '\\nFrom ')) AS frag",
+    ).filter("frag <> '' AND frag <> '\\n'")
+    parsed = frags.selectExpr(
+        "source",
+        "bucket",
+        "CAST(regexp_extract(frag, 'Message-ID: <(\\\\d+)@', 1)"
+        " AS BIGINT) AS msg_id",
+        "split(element_at(split(frag, '\\n\\n'), 2), '\\n') AS rawlines",
+    ).selectExpr(
+        "source",
+        "bucket",
+        "msg_id",
+        "filter(rawlines, l -> l <> '') AS qlines",
+    ).selectExpr(
+        "source",
+        "bucket",
+        "msg_id",
+        "size(filter(qlines, l -> l LIKE '>From %')) AS n_quoted",
+        "length(concat_ws('\\n', transform(qlines,"
+        " l -> CASE WHEN l LIKE '>From %' THEN substring(l, 2)"
+        " ELSE l END))) AS body_len",
+    )
+    return (
+        parsed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_msgs"),
+            F.countDistinct("bucket").cast("bigint").alias("n_blobs"),
+            F.sum("msg_id").cast("bigint").alias("msgid_checksum"),
+            F.sum("n_quoted").cast("bigint").alias("n_quoted_lines"),
+            F.sum("body_len").cast("bigint").alias("body_bytes"),
+        )
+        .orderBy("source")
+    )

@@ -842,3 +842,134 @@ def cdc_conflict_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("winning_source")
     )
+
+
+# Multi-generation change feed for tombstone compaction, rendered from
+# orders (identical algebra on both engines): each key carries
+# 1 + (key % 3) generations at hlc = epoch_day*1000 + g*7; the FINAL
+# generation is a tombstone (after = NULL) on the key % 5 slice, and a
+# SUPERSEDED tombstone is planted at generation 0 on the key % 7 slice
+# (where a later re-insert exists) so the latest-version rank is
+# provably load-bearing — a compactor that purges on "any tombstone
+# version" instead of "latest version is a tombstone" corrupts those
+# re-inserted keys.
+_TOMBSTONE_FEED_SQL = """
+      SELECT o_orderkey AS k,
+             g.g AS gen,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                  AS BIGINT) * 1000 + g.g * 7 AS hlc,
+             CASE WHEN (g.g = o_orderkey % 3 AND o_orderkey % 5 = 0)
+                    OR (g.g = 0 AND o_orderkey % 7 = 0
+                        AND o_orderkey % 3 >= 1)
+                  THEN NULL
+                  ELSE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) + g.g
+             END AS val
+      FROM orders, LATERAL unnest(range(0, o_orderkey % 3 + 1)) AS g(g)
+"""
+
+_TOMBSTONE_WM = "9496000"  # epoch_day('1996-01-01') * 1000
+
+
+@register(
+    "cdc_tombstone_compaction",
+    category="cdc",
+    oracle=f"""
+    WITH feed AS ({_TOMBSTONE_FEED_SQL}),
+    ranked AS (
+      SELECT k, hlc, val,
+             row_number() OVER (PARTITION BY k ORDER BY hlc DESC) AS rn,
+             count(*) OVER (PARTITION BY k) AS n_versions
+      FROM feed
+    ),
+    latest AS (
+      SELECT k, hlc, val, n_versions,
+             CASE WHEN val IS NOT NULL THEN 'live'
+                  WHEN hlc > {_TOMBSTONE_WM} THEN 'tombstone_retained'
+                  ELSE 'tombstone_purged' END AS status
+      FROM ranked WHERE rn = 1
+    )
+    SELECT status,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(k) AS BIGINT) AS key_checksum,
+           CAST(sum(hlc) AS BIGINT) AS hlc_checksum,
+           CAST(sum(coalesce(val, 0)) AS BIGINT) AS val_checksum,
+           CAST(sum(n_versions - 1) AS BIGINT) AS n_superseded_dropped
+    FROM latest
+    GROUP BY status
+    ORDER BY status
+    """,
+)
+def cdc_tombstone_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOMBSTONE COMPACTION over a multi-generation CDC feed — the
+    storage-reclamation step every log-structured CDC consumer runs
+    (Cassandra's gc_grace_seconds, Delta's delete-vector vacuum, Kafka
+    compacted-topic tombstone retention): a delete event must survive
+    as a TOMBSTONE long enough for every lagging replica to observe it
+    (hlc > watermark => retained), after which the compactor may drop
+    the key entirely (hlc <= watermark => purged); live keys keep only
+    their latest version. The grace watermark here is the fixed HLC of
+    1996-01-01 — both purge and retain populations are nonempty across
+    the fixture's 1992-1998 span.
+
+    The compaction rule is about the LATEST version only: the key % 7
+    slice plants tombstones at generation 0 that a later generation
+    re-inserts — a compactor keyed on "has any tombstone" instead of
+    "latest is a tombstone" would misclassify those keys, and the
+    oracle's checksums (key/hlc/value, plus the superseded-version
+    drop count) would diverge. Exactness: integer HLCs, cents, counts
+    throughout.
+
+    Scale shape: generation fan-out is a bounded explode (<= 3 per
+    key); one shuffle on the key for the per-key rank (WindowGroupLimit
+    keeps only the winner map-side — the cdc_upsert_materialize
+    layout); then a 3-key status aggregate. At 100 TB the feed is the
+    ingested changelog and the watermark comes from the replication
+    low-water mark; the plan is unchanged.
+    """
+    orders = load(spark, sf_dir, "orders")
+    feed = orders.selectExpr(
+        "o_orderkey AS k",
+        "explode(sequence(0, CAST(o_orderkey % 3 AS INT))) AS gen",
+        "CAST(datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01')"
+        " AS BIGINT) * 1000 AS hlc_base",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents",
+    ).selectExpr(
+        "k",
+        "hlc_base + gen * 7 AS hlc",
+        "CASE WHEN (gen = k % 3 AND k % 5 = 0)"
+        " OR (gen = 0 AND k % 7 = 0 AND k % 3 >= 1)"
+        " THEN NULL ELSE cents + gen END AS val",
+    )
+    w = Window.partitionBy("k").orderBy(F.col("hlc").desc())
+    wc = Window.partitionBy("k")
+    ranked = feed.select(
+        "k",
+        "hlc",
+        "val",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n_versions"),
+    )
+    latest = ranked.filter(F.col("rn") == 1).selectExpr(
+        "k",
+        "hlc",
+        "val",
+        "n_versions",
+        "CASE WHEN val IS NOT NULL THEN 'live'"
+        f" WHEN hlc > {_TOMBSTONE_WM} THEN 'tombstone_retained'"
+        " ELSE 'tombstone_purged' END AS status",
+    )
+    return (
+        latest.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.sum("k").cast("bigint").alias("key_checksum"),
+            F.sum("hlc").cast("bigint").alias("hlc_checksum"),
+            F.sum(F.expr("coalesce(val, 0)"))
+            .cast("bigint")
+            .alias("val_checksum"),
+            F.sum(F.expr("n_versions - 1"))
+            .cast("bigint")
+            .alias("n_superseded_dropped"),
+        )
+        .orderBy("status")
+    )
