@@ -157,6 +157,11 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     "ml_mcnemar_paired",
     "ml_kendall_tau",
     "orders_newsvendor_quantile",
+    # r12 extension wave C
+    "text_vocab_growth",
+    "graph_rich_club",
+    "scan_ics_calendar",
+    "multimodal_decode_pbm",
 }
 
 

@@ -104,6 +104,9 @@ PROBE_FIRST_ROUND = {
     "ml_mcnemar_paired",
     "ml_kendall_tau",
     "orders_newsvendor_quantile",
+    "text_vocab_growth",
+    "graph_rich_club",
+    "scan_ics_calendar",
 }
 
 # Launch order seed: known-heavy ops first so they overlap the long tail

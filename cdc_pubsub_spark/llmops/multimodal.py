@@ -2752,3 +2752,157 @@ def multimodal_decode_ico(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="icon_idx int, width int, height int, kind string,"
         " mean_lum bigint, n_transparent int, doc_id bigint",
     )
+
+
+# --- r12 extension wave: PBM (P4 bit-packed / P1 ASCII) decode ---------------
+
+
+def _pbm_bit(doc_id: int, j: int) -> int:
+    return 1 if (doc_id * 7 + j * 3) % 5 < 2 else 0
+
+
+def _synth_pbm(doc_id: int) -> bytes:
+    """Real netpbm BITMAP bytes: even doc_ids emit binary P4 (bits
+    packed MSB-first, each ROW padded to a byte boundary — the format
+    hazard PGM doesn't have), odd emit plain-text P1 whose digits run
+    CONTIGUOUSLY within a row (P1 explicitly allows no separators, so
+    a split()-based reader breaks). doc_id % 3 == 0 plants a header
+    comment. w = 9 + doc_id % 9 (never a multiple of 8: the padding
+    bits are always present), h = 3 + doc_id % 5; pixel j is black
+    iff (doc_id*7 + j*3) % 5 < 2."""
+    w, h = 9 + doc_id % 9, 3 + doc_id % 5
+    comment = b"# synthetic bitmap\n" if doc_id % 3 == 0 else b""
+    if doc_id % 2 == 0:
+        head = b"P4\n" + comment + b"%d %d\n" % (w, h)
+        stride = (w + 7) // 8
+        raster = bytearray(h * stride)
+        for r in range(h):
+            for c in range(w):
+                if _pbm_bit(doc_id, r * w + c):
+                    raster[r * stride + c // 8] |= 0x80 >> (c % 8)
+        return head + bytes(raster)
+    head = b"P1\n" + comment + b"%d %d\n" % (w, h)
+    body = "\n".join(
+        "".join(str(_pbm_bit(doc_id, r * w + c)) for c in range(w))
+        for r in range(h)
+    )
+    return head + body.encode("ascii") + b"\n"
+
+
+def decode_pbm(payload: bytes) -> dict:
+    """Genuine netpbm bitmap parse for BOTH encodings: the shared
+    header tokenizer reads magic + TWO ints (PBM has no maxval — a
+    PGM-shaped reader would eat the first raster byte as one); P4
+    unpacks MSB-first bits with per-ROW byte padding discarded; P1
+    scans digit characters individually (digits may be contiguous —
+    the plain format needs no separators). Emits dimensions, the
+    format tag, the black-pixel count, and the positional checksum
+    sum(j over black pixels) — the checksum breaks under any bit-order
+    or padding slip even when the count survives."""
+    magic = payload[:2]
+    if magic not in (b"P4", b"P1"):
+        raise ValueError("not a PBM payload")
+    pos = 2
+    vals: list[int] = []
+    while len(vals) < 2:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and payload[pos : pos + 1].isdigit():
+            pos += 1
+        if pos == start:
+            raise ValueError("malformed PBM header")
+        vals.append(int(payload[start:pos]))
+    w, h = vals
+    pos += 1  # exactly one whitespace byte before the raster
+    bits: list[int] = []
+    if magic == b"P4":
+        stride = (w + 7) // 8
+        if len(payload) - pos < h * stride:
+            raise ValueError("truncated raster")
+        for r in range(h):
+            row = payload[pos + r * stride : pos + (r + 1) * stride]
+            for c in range(w):
+                bits.append((row[c // 8] >> (7 - c % 8)) & 1)
+    else:
+        for ch in payload[pos:]:
+            if ch in (0x30, 0x31):
+                bits.append(ch - 0x30)
+            elif chr(ch).isspace():
+                continue
+            else:
+                raise ValueError("bad P1 raster character")
+        if len(bits) < w * h:
+            raise ValueError("truncated ASCII raster")
+        bits = bits[: w * h]
+    return {
+        "width": w,
+        "height": h,
+        "fmt": magic.decode("ascii"),
+        "n_black": sum(bits),
+        "black_j_checksum": sum(j for j, b in enumerate(bits) if b),
+    }
+
+
+@register(
+    "multimodal_decode_pbm",
+    category="multimodal",
+    bench=False,
+    oracle="""
+    WITH img AS (
+      SELECT doc_id, 9 + doc_id % 9 AS w, 3 + doc_id % 5 AS h
+      FROM documents WHERE doc_id <= 400
+    )
+    SELECT i.doc_id,
+           CAST(i.w AS INT) AS width,
+           CAST(i.h AS INT) AS height,
+           CASE WHEN i.doc_id % 2 = 0 THEN 'P4' ELSE 'P1' END AS fmt,
+           CAST(sum(CASE WHEN (i.doc_id * 7 + t.j * 3) % 5 < 2
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_black,
+           CAST(sum(CASE WHEN (i.doc_id * 7 + t.j * 3) % 5 < 2
+                    THEN t.j ELSE 0 END) AS BIGINT) AS black_j_checksum,
+           true AS decoded_ok
+    FROM img i, LATERAL unnest(range(0, i.w * i.h)) AS t(j)
+    GROUP BY i.doc_id, i.w, i.h
+    """,
+)
+def multimodal_decode_pbm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed netpbm BITMAP decode via Arrow mapInPandas — the
+    1-bit companion to multimodal_decode_pgm with two hazards that
+    format lacks: P4 packs pixels EIGHT per byte MSB-first with each
+    ROW padded to a byte boundary (widths here are never multiples of
+    8, so the padding discard is always load-bearing), and P1's plain
+    digits run contiguously (a whitespace-split reader under-reads
+    every row). The oracle recomputes both the black count AND the
+    positional checksum sum(j over black pixels) in closed form — the
+    checksum is what catches an LSB-first unpack or an off-by-one
+    padding slip whose black COUNT happens to survive.
+
+    Same production plumbing as the sibling codecs: closed-form bytes
+    synthesized in-kernel, Arrow batch iteration, per-row cost
+    proportional to pixel count, zero pre-aggregate shuffles.
+    """
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") <= 400)
+    ids = docs.select("doc_id")
+
+    def decode_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                feats = decode_pbm(_synth_pbm(int(doc_id)))
+                feats["doc_id"] = doc_id
+                feats["decoded_ok"] = True
+                out.append(feats)
+            yield pd.DataFrame(out)
+
+    return ids.mapInPandas(
+        decode_batches,
+        schema="width int, height int, fmt string, n_black bigint,"
+        " black_j_checksum bigint, doc_id bigint, decoded_ok boolean",
+    )

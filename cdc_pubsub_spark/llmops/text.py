@@ -2415,3 +2415,118 @@ def text_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- r12 extension wave: vocabulary growth (Heaps-law checkpoints) -----------
+
+
+@register(
+    "text_vocab_growth",
+    category="llm",
+    oracle="""
+    WITH maxdoc AS (
+      SELECT CAST(max(doc_id) AS BIGINT) AS mx FROM documents
+    ),
+    toks AS (
+      SELECT d.doc_id, unnest(string_split(d.text, ' ')) AS w
+      FROM documents d
+    ),
+    firsts AS (
+      SELECT w, CAST(min(doc_id) AS BIGINT) AS first_doc FROM toks
+      GROUP BY w
+    ),
+    ck AS (
+      SELECT c.c AS checkpoint_pct,
+             CAST((m.mx + 1) * c.c // 10 - 1 AS BIGINT) AS cutoff
+      FROM (SELECT unnest(range(1, 11)) AS c) c CROSS JOIN maxdoc m
+    )
+    SELECT CAST(ck.checkpoint_pct * 10 AS BIGINT) AS checkpoint_pct,
+           ck.cutoff AS last_doc_id,
+           (SELECT CAST(count(*) AS BIGINT) FROM documents d
+            WHERE d.doc_id <= ck.cutoff) AS n_docs,
+           (SELECT CAST(count(*) AS BIGINT) FROM toks t
+            WHERE t.doc_id <= ck.cutoff) AS tokens_seen,
+           (SELECT CAST(count(*) AS BIGINT) FROM firsts f
+            WHERE f.first_doc <= ck.cutoff) AS vocab_size,
+           floor((SELECT CAST(count(*) AS DOUBLE) FROM firsts f
+                  WHERE f.first_doc <= ck.cutoff)
+                 / (SELECT count(*) FROM toks t
+                    WHERE t.doc_id <= ck.cutoff)
+                 * 10000 + 0.5) / 10000 AS type_token_ratio
+    FROM ck
+    ORDER BY checkpoint_pct
+    """,
+)
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VOCABULARY GROWTH CURVE (Heaps/Herdan law empirics) — cumulative
+    distinct-type count at ten corpus checkpoints (10%…100% of docs in
+    doc_id order), with cumulative token counts and the type-token
+    ratio. This is the curve a pretraining-data team reads to decide
+    whether more of a source still buys new vocabulary or only
+    repeats it (Heaps: V ~ K·n^beta, beta < 1 — so TTR must FALL as
+    the corpus grows, which the invariant test pins).
+
+    The cumulative-distinct problem is solved without any windowed
+    DISTINCT: a token contributes to vocab at checkpoint c iff its
+    FIRST occurrence (min doc_id per type — one data-sized aggregate,
+    output bounded by VOCABULARY size, not rows) lands at or before
+    the cutoff. Checkpoint joins are range-joins of two tiny
+    broadcast relations (10 checkpoints x vocabulary histogram).
+    Exactness: integer counts end to end; the TTR is the single
+    r4-floored float per row.
+
+    Scale shape: one explode + min-aggregate (vocabulary-bounded),
+    one token-count-per-doc aggregate (doc-bounded), then everything
+    is checkpoint-sized. No global windows; the checkpoint cum-sums
+    run over <= vocabulary-histogram rows partitioned by nothing but
+    sized by the checkpoint count.
+    """
+    docs = load(spark, sf_dir, "documents")
+    mx = docs.agg(F.max("doc_id").cast("bigint").alias("mx"))
+    toks = docs.selectExpr("doc_id", "explode(split(text, ' ')) AS w")
+    firsts = toks.groupBy("w").agg(
+        F.min("doc_id").cast("bigint").alias("first_doc")
+    )
+    ck = (
+        spark.range(1, 11)
+        .selectExpr("id AS c")
+        .crossJoin(F.broadcast(mx))
+        .selectExpr(
+            "CAST(c * 10 AS BIGINT) AS checkpoint_pct",
+            "CAST((mx + 1) * c div 10 - 1 AS BIGINT) AS cutoff",
+        )
+    )
+    doc_counts = docs.selectExpr("doc_id").crossJoin(F.broadcast(ck)).filter(
+        "doc_id <= cutoff"
+    ).groupBy("checkpoint_pct", "cutoff").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    # Token/vocab tallies fold tiny histograms (per-doc token counts,
+    # per-type first docs) against the 10-checkpoint broadcast.
+    tok_per_doc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nt")
+    )
+    tok_counts = tok_per_doc.crossJoin(F.broadcast(ck)).filter(
+        "doc_id <= cutoff"
+    ).groupBy("checkpoint_pct").agg(
+        F.sum("nt").cast("bigint").alias("tokens_seen")
+    )
+    vocab_counts = firsts.crossJoin(F.broadcast(ck)).filter(
+        "first_doc <= cutoff"
+    ).groupBy("checkpoint_pct").agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size")
+    )
+    return (
+        doc_counts.join(tok_counts, "checkpoint_pct")
+        .join(vocab_counts, "checkpoint_pct")
+        .selectExpr(
+            "checkpoint_pct",
+            "cutoff AS last_doc_id",
+            "n_docs",
+            "tokens_seen",
+            "vocab_size",
+            "floor(CAST(vocab_size AS DOUBLE) / tokens_seen"
+            " * 10000 + 0.5) / 10000 AS type_token_ratio",
+        )
+        .orderBy("checkpoint_pct")
+    )

@@ -2140,3 +2140,136 @@ def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("harmonic_12ths").desc(), "node")
         .limit(20)
     )
+
+
+# --- r12 extension wave: rich-club coefficient --------------------------------
+
+
+@register(
+    "graph_rich_club",
+    category="graph",
+    oracle="""
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    edges AS (
+      SELECT user_id AS src, (user_id * 7 + 3) % 256 AS dst FROM users
+      UNION ALL SELECT user_id, (user_id * 13 + 11) % 256 FROM users
+      UNION ALL SELECT user_id, (user_id * 17 + 5) % 256 FROM users
+      UNION ALL SELECT user_id, (user_id * 23 + 1) % 256 FROM users
+    ),
+    simple AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM edges WHERE src <> dst
+    ),
+    deg AS (
+      SELECT v, CAST(count(*) AS BIGINT) AS d
+      FROM (SELECT a AS v FROM simple UNION ALL SELECT b FROM simple)
+      GROUP BY v
+    ),
+    ks AS (SELECT unnest([2, 3, 4, 6, 10]) AS k),
+    nk AS (
+      SELECT ks.k, CAST(count(deg.v) AS BIGINT) AS n_rich
+      FROM ks LEFT JOIN deg ON deg.d > ks.k
+      GROUP BY ks.k
+    ),
+    ek AS (
+      SELECT ks.k, CAST(count(*) AS BIGINT) AS e_rich
+      FROM ks
+      LEFT JOIN simple s ON true
+      JOIN deg da ON da.v = s.a AND da.d > ks.k
+      JOIN deg db ON db.v = s.b AND db.d > ks.k
+      GROUP BY ks.k
+    )
+    SELECT nk.k,
+           nk.n_rich,
+           coalesce(ek.e_rich, 0) AS e_rich,
+           CASE WHEN nk.n_rich >= 2 THEN
+             floor(2e0 * coalesce(ek.e_rich, 0)
+                   / (CAST(nk.n_rich AS DOUBLE) * (nk.n_rich - 1))
+                   * 10000 + 0.5) / 10000
+           END AS phi
+    FROM nk LEFT JOIN ek ON ek.k = nk.k
+    ORDER BY nk.k
+    """,
+)
+def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RICH-CLUB COEFFICIENT phi(k) of the interaction graph — do
+    high-degree nodes preferentially link to EACH OTHER? phi(k) =
+    2·E_k / (N_k·(N_k−1)) over the subgraph induced by nodes of degree
+    > k, for k in {2,3,4,6,10} (Zhou & Mondragon 2004; the backbone
+    diagnostic for hub-interconnection in communication graphs). Runs
+    on the UNDIRECTED SIMPLE projection of a 4-out functional follow
+    graph with a COMPRESSED target space (four affine maps mod 256 —
+    every user follows four of 256 hub slots, so hub in-degree grows
+    with the user population and the fixture has a real degree tail:
+    max degree 5/8/28 at sf0.001/0.01/0.1). Canonical least/greatest
+    endpoint ordering, self-loops dropped, parallel edges collapsed —
+    each a real graph-hygiene step the oracle replicates. Small-k
+    clubs are populated at every sf; the k=10 club is empty below
+    sf0.1, exercising the < 2-member NULL guard in-fixture.
+
+    Exactness: node counts, induced-edge counts, and degrees are exact
+    integers; phi is the single r4-floored ratio per k, NULL when the
+    club has < 2 members (0/0 guard, same CASE both engines).
+
+    Scale shape: degrees and the induced-edge filter are joins of the
+    edge relation against the broadcast degree table (node-domain-
+    bounded, = 1000 here); the k fan-out is a 5-row broadcast. At
+    social-graph scale the same plan holds with degree as a bucketed
+    dimension — no pair enumeration anywhere.
+    """
+    ev = load(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    edges = users.selectExpr(
+        "user_id AS src",
+        "explode(array((user_id * 7 + 3) % 256, (user_id * 13 + 11) % 256,"
+        " (user_id * 17 + 5) % 256, (user_id * 23 + 1) % 256)) AS dst",
+    )
+    simple = (
+        edges.filter("src <> dst")
+        .selectExpr("least(src, dst) AS a", "greatest(src, dst) AS b")
+        .distinct()
+        .persist()
+    )
+    deg = (
+        simple.selectExpr("a AS v")
+        .unionByName(simple.selectExpr("b AS v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    ks = spark.range(0, 5).selectExpr(
+        "element_at(array(2, 3, 4, 6, 10), CAST(id + 1 AS INT)) AS k"
+    )
+    nk = (
+        ks.join(F.broadcast(deg), F.col("d") > F.col("k"), "left")
+        .groupBy("k")
+        .agg(F.count("v").cast("bigint").alias("n_rich"))
+    )
+    ek = (
+        simple.crossJoin(F.broadcast(ks))
+        .join(
+            F.broadcast(deg.selectExpr("v AS va", "d AS da")),
+            F.expr("va = a AND da > k"),
+        )
+        .join(
+            F.broadcast(deg.selectExpr("v AS vb", "d AS db")),
+            F.expr("vb = b AND db > k"),
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("e_rich"))
+    )
+    out = (
+        nk.join(ek, "k", "left")
+        .selectExpr(
+            "k",
+            "n_rich",
+            "coalesce(e_rich, 0) AS e_rich",
+            "CASE WHEN n_rich >= 2 THEN"
+            " floor(2e0 * coalesce(e_rich, 0)"
+            " / (CAST(n_rich AS DOUBLE) * (n_rich - 1))"
+            " * 10000 + 0.5) / 10000 END AS phi",
+        )
+        .orderBy("k")
+    )
+    from cdc_pubsub_spark.tables import finalize_cached
+
+    return finalize_cached(out, simple)

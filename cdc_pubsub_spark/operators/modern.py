@@ -1369,3 +1369,113 @@ def scan_mbox(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- r12 extension wave: iCalendar (RFC 5545) ingestion ----------------------
+
+
+@register(
+    "scan_ics_calendar",
+    category="modern",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN 35 + length(event_type)
+                         + length(CAST(user_id AS VARCHAR))
+                         + event_id % 70 > 75
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_folded,
+           CAST(sum(event_id) AS BIGINT) AS uid_checksum,
+           CAST(sum(user_id) AS BIGINT) AS user_checksum,
+           CAST(min(hour(ts)) AS BIGINT) AS hr_min,
+           CAST(max(hour(ts)) AS BIGINT) AS hr_max
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def scan_ics_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """iCALENDAR (RFC 5545) INGESTION with real CONTENT-LINE FOLDING —
+    the format's defining hazard: any content line longer than 75
+    octets is folded by inserting CRLF + one space, possibly mid-token
+    (here the fold can land inside ``user=<id>``), and a reader MUST
+    unfold (strip every CRLF-space) before parsing properties.
+    VEVENTs are rendered from events in-plan (UID/DTSTART/SUMMARY,
+    variable-length SUMMARY so BOTH folded and unfolded populations
+    exist — the fold condition 35 + len(type) + len(uid) + id%70 > 75
+    is replicated in the oracle, making n_folded load-bearing),
+    assembled into bounded multi-event VCALENDAR blobs, split on
+    BEGIN:VEVENT, and parsed back. A reader that skips unfolding
+    truncates SUMMARY at the fold and loses the trailing user id —
+    user_checksum diverges immediately; one that unfolds by stripping
+    CRLF alone (without the space) corrupts every folded token.
+
+    Scale shape: render, fold, unfold, and property extraction are
+    row-local codegen (concat/substring/replace/regexp_extract, no
+    backtracking); blob assembly is a bounded groupBy (~50 events per
+    (type, bucket) blob); the only data-sized shuffle is the 5-key
+    event_type aggregate. A deployment replaces the render with
+    spark.read.text over .ics exports; the unfold + parse projection
+    is identical.
+    """
+    ev = load(spark, sf_dir, "events")
+    vevents = ev.selectExpr(
+        "event_type",
+        "event_id div 50 AS bucket",
+        "event_id",
+        "concat('SUMMARY:type=', event_type,"
+        " ' note=', repeat('x', CAST(10 + event_id % 70 AS INT)),"
+        " ' user=', CAST(user_id AS STRING)) AS summary_line",
+        "concat('UID:', CAST(event_id AS STRING), '@cal.example')"
+        " AS uid_line",
+        "concat('DTSTART:', date_format(CAST(ts AS TIMESTAMP),"
+        " 'yyyyMMdd'), 'T', date_format(CAST(ts AS TIMESTAMP),"
+        " 'HHmmss'), 'Z') AS dt_line",
+    ).selectExpr(
+        "event_type",
+        "bucket",
+        "event_id",
+        # RFC 5545 fold: insert CRLF + space after octet 75.
+        "concat('BEGIN:VEVENT\\r\\n', uid_line, '\\r\\n', dt_line,"
+        " '\\r\\n',"
+        " CASE WHEN length(summary_line) > 75 THEN"
+        " concat(substring(summary_line, 1, 75), '\\r\\n ',"
+        " substring(summary_line, 76)) ELSE summary_line END,"
+        " '\\r\\nEND:VEVENT\\r\\n') AS vevent",
+    )
+    blobs = vevents.groupBy("event_type", "bucket").agg(
+        F.expr(
+            "concat('BEGIN:VCALENDAR\\r\\n', concat_ws('',"
+            " transform(sort_array(collect_list(struct(event_id, vevent))),"
+            " s -> s.vevent)), 'END:VCALENDAR\\r\\n') AS cal"
+        ).alias("cal")
+    )
+    frags = blobs.selectExpr(
+        "explode(split(cal, 'BEGIN:VEVENT\\r\\n')) AS frag"
+    ).filter("frag LIKE '%END:VEVENT%'")
+    parsed = frags.selectExpr(
+        "frag LIKE '%\\r\\n %' AS was_folded",
+        "replace(frag, '\\r\\n ', '') AS unfolded",
+    ).selectExpr(
+        "was_folded",
+        "CAST(regexp_extract(unfolded, 'UID:(\\\\d+)@', 1) AS BIGINT)"
+        " AS uid",
+        "CAST(substring(regexp_extract(unfolded,"
+        " 'DTSTART:([0-9T]+Z)', 1), 10, 2) AS BIGINT) AS hr",
+        "regexp_extract(unfolded, 'SUMMARY:type=([a-z]+) ', 1) AS etype",
+        "CAST(regexp_extract(unfolded, ' user=(\\\\d+)', 1) AS BIGINT)"
+        " AS uid_user",
+    )
+    return (
+        parsed.groupBy(F.col("etype").alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.expr("CASE WHEN was_folded THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_folded"),
+            F.sum("uid").cast("bigint").alias("uid_checksum"),
+            F.sum("uid_user").cast("bigint").alias("user_checksum"),
+            F.min("hr").cast("bigint").alias("hr_min"),
+            F.max("hr").cast("bigint").alias("hr_max"),
+        )
+        .orderBy("event_type")
+    )

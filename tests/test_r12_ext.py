@@ -377,3 +377,141 @@ def test_newsvendor_service_floor_and_order_statistic(spark):
         assert (r["p_brand"], r["stock_level"]) in observed
         served = r["n_weeks"] - r["n_stockout_weeks"]
         assert abs(r["achieved_service"] - round(served / r["n_weeks"], 4)) < 2e-4
+
+
+# --- text_vocab_growth -------------------------------------------------------
+
+
+def test_vocab_growth_is_monotone_and_heaps_shaped(spark):
+    """Cumulative vocabulary is nondecreasing, the final checkpoint
+    equals the exact corpus-wide distinct-type count, and the
+    type-token ratio FALLS as the corpus grows (Heaps beta < 1) —
+    a broken first-occurrence aggregate violates one of these
+    immediately."""
+    from pyspark.sql import functions as F
+    from cdc_pubsub_spark.tables import load
+
+    rows = sorted(
+        _q("text_vocab_growth", spark, SF_CORRECT).collect(),
+        key=lambda r: r["checkpoint_pct"],
+    )
+    assert [r["checkpoint_pct"] for r in rows] == list(range(10, 101, 10))
+    for a, b in zip(rows, rows[1:]):
+        assert b["vocab_size"] >= a["vocab_size"]
+        assert b["tokens_seen"] > a["tokens_seen"]
+        assert b["n_docs"] > a["n_docs"]
+        assert b["type_token_ratio"] <= a["type_token_ratio"] + 1e-9
+    docs = load(spark, SF_CORRECT, "documents")
+    truth_vocab = (
+        docs.selectExpr("explode(split(text, ' ')) AS w")
+        .select("w")
+        .distinct()
+        .count()
+    )
+    truth_tokens = docs.selectExpr(
+        "size(split(text, ' ')) AS n"
+    ).agg(F.sum("n")).collect()[0][0]
+    assert rows[-1]["vocab_size"] == truth_vocab
+    assert rows[-1]["tokens_seen"] == truth_tokens
+
+
+# --- graph_rich_club ---------------------------------------------------------
+
+
+def test_rich_club_monotone_and_guarded(spark):
+    """Raising k can only shrink the club: n_rich and e_rich are
+    non-increasing in k; phi stays in [0,1]; and the planted degree
+    ceiling (max 8 at sf0.01) leaves the k=10 club empty, so the
+    < 2-member NULL guard fires in-fixture."""
+    rows = sorted(
+        _q("graph_rich_club", spark, SF_CORRECT).collect(),
+        key=lambda r: r["k"],
+    )
+    assert [r["k"] for r in rows] == [2, 3, 4, 6, 10]
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_rich"] <= a["n_rich"]
+        assert b["e_rich"] <= a["e_rich"]
+    for r in rows:
+        if r["phi"] is not None:
+            assert 0.0 <= r["phi"] <= 1.0
+    assert rows[0]["phi"] is not None and rows[0]["n_rich"] > 2
+    assert rows[-1]["n_rich"] < 2 and rows[-1]["phi"] is None
+
+
+# --- scan_ics_calendar -------------------------------------------------------
+
+
+def test_ics_folding_populations_and_checksums(spark):
+    """Both folded and unfolded VEVENTs must exist (the fold condition
+    is length-dependent by construction), and the parsed UID checksum
+    must equal the source event_id sum per type — i.e. every event
+    survives the render -> fold -> blob -> split -> unfold -> parse
+    round trip exactly once."""
+    from pyspark.sql import functions as F
+    from cdc_pubsub_spark.tables import load
+
+    ev = load(spark, SF_CORRECT, "events")
+    truth = {
+        r["event_type"]: (r["n"], r["s_id"], r["s_user"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("event_id").alias("s_id"),
+            F.sum("user_id").alias("s_user"),
+        )
+        .collect()
+    }
+    rows = _q("scan_ics_calendar", spark, SF_CORRECT).collect()
+    assert len(rows) == len(truth)
+    for r in rows:
+        n, s_id, s_user = truth[r["event_type"]]
+        assert r["n_events"] == n
+        assert r["uid_checksum"] == s_id
+        assert r["user_checksum"] == s_user
+        assert 0 < r["n_folded"] < n  # both populations planted
+
+
+# --- multimodal_decode_pbm ---------------------------------------------------
+
+
+def test_pbm_decoder_unit_known_bits():
+    """Hand-check the P4 bit unpack on a 9x1 bitmap with a known
+    pattern: 9 columns need 2 bytes per row, the second byte carries
+    ONE pixel (MSB) and 7 padding bits — an LSB-first reader or one
+    that forgets the row pad lands different black positions."""
+    from cdc_pubsub_spark.llmops.multimodal import decode_pbm
+
+    # bits: 1 0 1 0 0 0 0 0 | 1 (j=0,2,8 black)
+    payload = b"P4\n9 1\n" + bytes([0b10100000, 0b10000000])
+    out = decode_pbm(payload)
+    assert (out["width"], out["height"]) == (9, 1)
+    assert out["n_black"] == 3
+    assert out["black_j_checksum"] == 0 + 2 + 8
+
+
+def test_pbm_roundtrip_and_corruption():
+    """Synth/decode agree with the closed form for both encodings;
+    truncation and alien raster characters raise (dead-letter
+    stance)."""
+    import pytest as _pytest
+
+    from cdc_pubsub_spark.llmops.multimodal import (
+        _pbm_bit,
+        _synth_pbm,
+        decode_pbm,
+    )
+
+    for doc in (6, 7, 12, 13):  # P4 even / P1 odd, with/without comment
+        w, h = 9 + doc % 9, 3 + doc % 5
+        out = decode_pbm(_synth_pbm(doc))
+        assert (out["width"], out["height"]) == (w, h)
+        assert out["n_black"] == sum(
+            _pbm_bit(doc, j) for j in range(w * h)
+        )
+        assert out["black_j_checksum"] == sum(
+            j for j in range(w * h) if _pbm_bit(doc, j)
+        )
+    with _pytest.raises(ValueError):
+        decode_pbm(_synth_pbm(6)[:-1])
+    with _pytest.raises(ValueError):
+        decode_pbm(b"P1\n2 2\n01x1\n")
