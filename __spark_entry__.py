@@ -162,6 +162,11 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     "graph_rich_club",
     "scan_ics_calendar",
     "multimodal_decode_pbm",
+    # r12 extension wave D (ts stationarity/drift depth)
+    "ts_kpss_level",
+    "events_page_hinkley_drift",
+    "ts_variance_ratio",
+    "ts_record_stats",
 }
 
 

@@ -107,6 +107,10 @@ PROBE_FIRST_ROUND = {
     "text_vocab_growth",
     "graph_rich_club",
     "scan_ics_calendar",
+    "ts_kpss_level",
+    "events_page_hinkley_drift",
+    "ts_variance_ratio",
+    "ts_record_stats",
 }
 
 # Launch order seed: known-heavy ops first so they overlap the long tail

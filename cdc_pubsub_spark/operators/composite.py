@@ -8603,3 +8603,533 @@ def orders_newsvendor_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("p_brand")
     )
     return finalize_cached(out, weekly)
+
+
+# --- r12 extension wave D: KPSS level-stationarity statistic -----------------
+
+
+@register(
+    "ts_kpss_level",
+    category="composite",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS s
+      FROM daily GROUP BY 1
+    ),
+    dev AS (
+      SELECT d.event_type, d.d,
+             CAST(t.n AS HUGEINT) * d.x - t.s AS e,
+             t.n
+      FROM daily d JOIN tot t ON t.event_type = d.event_type
+    ),
+    parts AS (
+      SELECT event_type, n,
+             e,
+             sum(e) OVER (PARTITION BY event_type ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS st
+      FROM dev
+    ),
+    mom AS (
+      SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+             CAST(sum(st * st) AS HUGEINT) AS ssq,
+             CAST(sum(e * e) AS HUGEINT) AS esq
+      FROM parts GROUP BY event_type
+    )
+    SELECT event_type, n AS n_days,
+           CASE WHEN esq > 0 THEN
+             floor(CAST(ssq AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * CAST(esq AS DOUBLE))
+                   * 1000000 + 0.5) / 1000000
+           END AS kpss_eta,
+           esq > 0 AND CAST(ssq AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(esq AS DOUBLE)) <= 0.463e0
+             AS is_level_stationary
+    FROM mom
+    ORDER BY event_type
+    """,
+)
+def ts_kpss_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPSS LEVEL-STATIONARITY TEST per event_type on the daily value
+    series (Kwiatkowski-Phillips-Schmidt-Shin 1992, bandwidth l = 0 —
+    the exact short-memory form): eta = (1/n^2) * sum_t S_t^2 /
+    sigma-hat^2 with S_t the partial sums of the demeaned series and
+    sigma-hat^2 = (1/n) * sum e_t^2; reject level stationarity when
+    eta exceeds the 5%% critical value 0.463. KPSS complements the
+    unit-root view of ts_ar2/arma: its NULL is stationarity, so the
+    two families bracket the series from opposite sides.
+
+    Exactness: deviations pre-scale by n (e~ = n*x - S, exact
+    integers), partial sums are an integer window cumsum, and the
+    n-scaling cancels in the ratio (eta = sum S~^2 / (n * sum e~^2)
+    exactly), so the statistic is ONE double division over two exact
+    wide integers (DECIMAL(38,0)/HUGEINT — S~ reaches n^2*x ~ 1e13
+    and its square ~1e26). The 0.463 gate compares that same double
+    on both engines. Degenerate guard: a constant series (esq = 0)
+    emits NULL eta via the same CASE.
+
+    Scale shape: one data-sized groupBy to the calendar-bounded daily
+    grid; the cumsum window runs per-type over <= 31 rows. The
+    invariant test pins the telescoping identity S~_n = 0 and the
+    known stationary verdict of this fixture's mean-reverting dailies.
+    """
+    daily = (
+        load(spark, sf_dir, "events")
+        .selectExpr(
+            "event_type",
+            "CAST(date_trunc('DAY', ts) AS DATE) AS d",
+            "value",
+        )
+        .groupBy("event_type", "d")
+        .agg(
+            F.expr("CAST(floor(sum(value) * 100 + 0.5) AS BIGINT)").alias("x")
+        )
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+    )
+    wide = "DECIMAL(38,0)"
+    dev = daily.join(F.broadcast(tot), "event_type").selectExpr(
+        "event_type",
+        "d",
+        f"CAST(n AS {wide}) * x - s AS e",
+        "n",
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    parts = dev.select(
+        "event_type", "n", "e", F.sum("e").over(w).alias("st")
+    )
+    mom = parts.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.sum(F.expr("st * st")).alias("ssq"),
+        F.sum(F.expr("e * e")).alias("esq"),
+    )
+    return mom.selectExpr(
+        "event_type",
+        "n AS n_days",
+        "CASE WHEN esq > 0 THEN"
+        " floor(CAST(ssq AS DOUBLE)"
+        " / (CAST(n AS DOUBLE) * CAST(esq AS DOUBLE))"
+        " * 1000000 + 0.5) / 1000000 END AS kpss_eta",
+        "esq > 0 AND CAST(ssq AS DOUBLE)"
+        " / (CAST(n AS DOUBLE) * CAST(esq AS DOUBLE)) <= 0.463e0"
+        " AS is_level_stationary",
+    ).orderBy("event_type")
+
+
+# --- r12 extension wave D: Page-Hinkley drift detection ----------------------
+
+
+@register(
+    "events_page_hinkley_drift",
+    category="composite",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, CAST(sum(x) // count(*) AS BIGINT) AS mu
+      FROM daily GROUP BY 1
+    ),
+    run AS (
+      SELECT d.event_type, d.d, d.x, t.mu,
+             sum(d.x) OVER w AS cs,
+             CAST(count(*) OVER w AS BIGINT) AS t
+      FROM daily d JOIN tot t ON t.event_type = d.event_type
+      WINDOW w AS (PARTITION BY d.event_type ORDER BY d.d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    terms AS (
+      SELECT event_type, d, t,
+             CAST(floor((CAST(x AS DOUBLE)
+                         - CAST(cs AS DOUBLE) / CAST(t AS DOUBLE))
+                        / CAST(mu AS DOUBLE)
+                        * 1000000 + 0.5) AS BIGINT) - 10000 AS term_ppm
+      FROM run
+    ),
+    m AS (
+      SELECT event_type, d, t,
+             sum(term_ppm) OVER (PARTITION BY event_type ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m_t
+      FROM terms
+    ),
+    ph AS (
+      SELECT event_type, d, t, m_t,
+             max(m_t) OVER (PARTITION BY event_type ORDER BY d
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - m_t AS ph_t
+      FROM m
+    )
+    SELECT event_type,
+           CAST(max(t) AS BIGINT) AS n_days,
+           CAST(max(ph_t) AS BIGINT) AS ph_max_ppm,
+           CAST(sum(CASE WHEN ph_t > 600000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_alarm_days,
+           CAST(min(CASE WHEN ph_t > 600000 THEN t END) AS BIGINT)
+             AS first_alarm_t
+    FROM ph
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAGE-HINKLEY DOWNWARD-DRIFT DETECTOR per event_type on the
+    daily value series — the classic sequential change detector
+    (Page 1954; the streaming-ML drift test in river/MOA): accumulate
+    m_t = sum_i (x_i - mean_i - delta) against the running mean, alarm
+    when PH_t = max_s<=t m_s - m_t exceeds lambda. Both parameters are
+    MEAN-RELATIVE (delta = 1%% and lambda = 60%% of the per-type global
+    daily mean, in exact ppm integer units) — an absolute threshold
+    either saturates or never fires as the data volume scales, the
+    first-cut bug this op's calibration pass caught (28/30 alarm days
+    at lambda = 20k cents); in relative units the fixture splits into
+    alarming and quiet types at every sf.
+
+    Determinism: the running mean is the one rational quantity; each
+    term quantizes (x_t - cs_t/t)/mu to ppm from ONE pinned
+    double expression over exact integers BEFORE the cumulative sum,
+    so m_t, its running max, and PH_t are all integer window folds —
+    the repo's quantize-then-fold discipline applied to a sequential
+    statistic. PH_t >= 0 by construction (max includes the current
+    row), which the invariant test pins along with the alarm-day
+    accounting.
+
+    Scale shape: one data-sized groupBy to the calendar-bounded daily
+    grid, then three stacked per-type windows over <= 31 rows each.
+    NULL first_alarm when a series never alarms (min over an empty
+    CASE set) — same semantics both engines.
+    """
+    daily = (
+        load(spark, sf_dir, "events")
+        .selectExpr(
+            "event_type",
+            "CAST(date_trunc('DAY', ts) AS DATE) AS d",
+            "value",
+        )
+        .groupBy("event_type", "d")
+        .agg(
+            F.expr("CAST(floor(sum(value) * 100 + 0.5) AS BIGINT)").alias("x")
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.expr("CAST(sum(x) div count(*) AS BIGINT)").alias("mu")
+    )
+    run = daily.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "d",
+        "x",
+        "mu",
+        F.sum("x").over(w).alias("cs"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("t"),
+    )
+    terms = run.selectExpr(
+        "event_type",
+        "d",
+        "t",
+        "CAST(floor((CAST(x AS DOUBLE)"
+        " - CAST(cs AS DOUBLE) / CAST(t AS DOUBLE))"
+        " / CAST(mu AS DOUBLE)"
+        " * 1000000 + 0.5) AS BIGINT) - 10000 AS term_ppm",
+    )
+    m = terms.select(
+        "event_type", "d", "t", F.sum("term_ppm").over(w).alias("m_t")
+    )
+    ph = m.select(
+        "event_type",
+        "t",
+        (F.max("m_t").over(w) - F.col("m_t")).alias("ph_t"),
+    )
+    return (
+        ph.groupBy("event_type")
+        .agg(
+            F.max("t").cast("bigint").alias("n_days"),
+            F.max("ph_t").cast("bigint").alias("ph_max_ppm"),
+            F.sum(F.expr("CASE WHEN ph_t > 600000 THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_alarm_days"),
+            F.min(F.expr("CASE WHEN ph_t > 600000 THEN t END"))
+            .cast("bigint")
+            .alias("first_alarm_t"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- r12 extension wave D: Lo-MacKinlay variance ratio ------------------------
+
+
+@register(
+    "ts_variance_ratio",
+    category="composite",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT event_type,
+             x - lag(x, 1) OVER w AS d1,
+             x - lag(x, 2) OVER w AS d2,
+             x - lag(x, 4) OVER w AS d4
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY d)
+    ),
+    g AS (
+      SELECT event_type,
+             count(d1) AS n1, sum(d1) AS s1,
+             sum(CAST(d1 AS HUGEINT) * d1) AS q1,
+             count(d2) AS n2, sum(d2) AS s2,
+             sum(CAST(d2 AS HUGEINT) * d2) AS q2,
+             count(d4) AS n4, sum(d4) AS s4,
+             sum(CAST(d4 AS HUGEINT) * d4) AS q4
+      FROM lagged GROUP BY event_type
+    ),
+    mom AS (
+      SELECT event_type, n1, n2, n4,
+             CAST(n1 AS HUGEINT) * q1 - CAST(s1 AS HUGEINT) * s1 AS g1,
+             CAST(n2 AS HUGEINT) * q2 - CAST(s2 AS HUGEINT) * s2 AS g2,
+             CAST(n4 AS HUGEINT) * q4 - CAST(s4 AS HUGEINT) * s4 AS g4
+      FROM g
+    )
+    SELECT event_type, CAST(n1 AS BIGINT) AS n_diffs,
+           CASE WHEN g1 > 0 THEN
+             floor(CAST(g1 AS DOUBLE) / CAST(g1 AS DOUBLE)
+                   * CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                   / (1e0 * CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE))
+                   * 10000 + 0.5) / 10000
+           END AS vr1,
+           CASE WHEN g1 > 0 THEN
+             floor(CAST(g2 AS DOUBLE) / CAST(g1 AS DOUBLE)
+                   * CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                   / (2e0 * CAST(n2 AS DOUBLE) * CAST(n2 AS DOUBLE))
+                   * 10000 + 0.5) / 10000
+           END AS vr2,
+           CASE WHEN g1 > 0 THEN
+             floor(CAST(g4 AS DOUBLE) / CAST(g1 AS DOUBLE)
+                   * CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)
+                   / (4e0 * CAST(n4 AS DOUBLE) * CAST(n4 AS DOUBLE))
+                   * 10000 + 0.5) / 10000
+           END AS vr4,
+           g1 > 0 AND CAST(g2 AS DOUBLE) / CAST(g1 AS DOUBLE)
+             * CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)
+             / (2e0 * CAST(n2 AS DOUBLE) * CAST(n2 AS DOUBLE)) < 1e0
+             AS is_mean_reverting
+    FROM mom
+    ORDER BY event_type
+    """,
+)
+def ts_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LO-MACKINLAY VARIANCE RATIO TEST per event_type on the daily
+    value series: VR(q) = Var(x_t − x_{t−q}) / (q · Var(x_t − x_{t−1}))
+    at q ∈ {2, 4}. Under a random walk VR = 1 for every q; VR < 1
+    flags mean reversion (shocks die out — q-period variance grows
+    SLOWER than linearly), VR > 1 flags momentum. The fixture's
+    mean-reverting dailies (ts_kpss_level's finding from the opposite
+    direction) must land VR(2) < 1, which the invariant test pins
+    along with the definitional VR(1) ≡ 1 computed through the
+    identical machinery.
+
+    Exactness: lag differences are exact integers; each variance is an
+    n-scaled centered moment (n·Σd² − (Σd)²) in DECIMAL(38,0)/HUGEINT;
+    VR is ONE pinned double expression over those integers (the ratio
+    times the n²/q·n_q² bias correction), r4-floored. Degenerate
+    guard: zero base variance emits NULL ratios via the same CASE.
+
+    Scale shape: the usual calendar-collapse groupBy, then per-type
+    lag windows over ≤ 31 rows and a 5-row moment aggregate. Overlap
+    convention: all available overlapping q-differences are used (the
+    standard Lo-MacKinlay estimator), so n_q = n − q per series.
+    """
+    daily = (
+        load(spark, sf_dir, "events")
+        .selectExpr(
+            "event_type",
+            "CAST(date_trunc('DAY', ts) AS DATE) AS d",
+            "value",
+        )
+        .groupBy("event_type", "d")
+        .agg(
+            F.expr("CAST(floor(sum(value) * 100 + 0.5) AS BIGINT)").alias("x")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    lagged = daily.select(
+        "event_type",
+        (F.col("x") - F.lag("x", 1).over(w)).alias("d1"),
+        (F.col("x") - F.lag("x", 2).over(w)).alias("d2"),
+        (F.col("x") - F.lag("x", 4).over(w)).alias("d4"),
+    )
+    wide = "DECIMAL(38,0)"
+    g = lagged.groupBy("event_type").agg(
+        F.count("d1").alias("n1"),
+        F.sum("d1").alias("s1"),
+        F.sum(F.expr(f"CAST(d1 AS {wide}) * d1")).alias("q1"),
+        F.count("d2").alias("n2"),
+        F.sum("d2").alias("s2"),
+        F.sum(F.expr(f"CAST(d2 AS {wide}) * d2")).alias("q2"),
+        F.count("d4").alias("n4"),
+        F.sum("d4").alias("s4"),
+        F.sum(F.expr(f"CAST(d4 AS {wide}) * d4")).alias("q4"),
+    )
+    mom = g.selectExpr(
+        "event_type",
+        "n1",
+        "n2",
+        "n4",
+        f"CAST(n1 AS {wide}) * q1 - CAST(s1 AS {wide}) * s1 AS g1",
+        f"CAST(n2 AS {wide}) * q2 - CAST(s2 AS {wide}) * s2 AS g2",
+        f"CAST(n4 AS {wide}) * q4 - CAST(s4 AS {wide}) * s4 AS g4",
+    )
+
+    def vr(gq: str, nq: str, q: str) -> str:
+        return (
+            f"CAST({gq} AS DOUBLE) / CAST(g1 AS DOUBLE)"
+            " * CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)"
+            f" / ({q}e0 * CAST({nq} AS DOUBLE) * CAST({nq} AS DOUBLE))"
+        )
+
+    return mom.selectExpr(
+        "event_type",
+        "CAST(n1 AS BIGINT) AS n_diffs",
+        f"CASE WHEN g1 > 0 THEN floor({vr('g1', 'n1', '1')}"
+        " * 10000 + 0.5) / 10000 END AS vr1",
+        f"CASE WHEN g1 > 0 THEN floor({vr('g2', 'n2', '2')}"
+        " * 10000 + 0.5) / 10000 END AS vr2",
+        f"CASE WHEN g1 > 0 THEN floor({vr('g4', 'n4', '4')}"
+        " * 10000 + 0.5) / 10000 END AS vr4",
+        f"g1 > 0 AND {vr('g2', 'n2', '2')} < 1e0 AS is_mean_reverting",
+    ).orderBy("event_type")
+
+
+# --- r12 extension wave D: record statistics ----------------------------------
+
+
+@register(
+    "ts_record_stats",
+    category="composite",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    flagged AS (
+      SELECT event_type, d, x,
+             CAST(row_number() OVER w AS BIGINT) AS t,
+             CASE WHEN x > coalesce(max(x) OVER (PARTITION BY event_type
+                    ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND
+                    1 PRECEDING), x - 1) THEN 1 ELSE 0 END AS rec_hi,
+             CASE WHEN x < coalesce(min(x) OVER (PARTITION BY event_type
+                    ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND
+                    1 PRECEDING), x + 1) THEN 1 ELSE 0 END AS rec_lo
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY d)
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(rec_hi) AS BIGINT) AS n_records_hi,
+           CAST(sum(rec_lo) AS BIGINT) AS n_records_lo,
+           floor(CAST(sum((2000000000 + t) // (2 * t)) AS DOUBLE)
+                 / 1e9 * 10000 + 0.5) / 10000 AS expected_records,
+           CAST(sum(rec_hi) AS BIGINT) * 1000000000
+             > 2 * CAST(sum((2000000000 + t) // (2 * t)) AS BIGINT)
+             AS hi_trending
+    FROM flagged
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def ts_record_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RUNNING-RECORD STATISTICS per event_type — how many days set a
+    new all-time high/low, against the distribution-free i.i.d.
+    benchmark E[records in n obs] = H_n (the harmonic number; record
+    counts are the rare statistic whose null expectation needs NO
+    distributional assumption, which is why ops teams use record
+    frequency as a cheap trend alarm: a trending series smashes H_n,
+    an i.i.d. one tracks it). Emits both record counts, H_n, and a
+    trending flag (records > 2·H_n).
+
+    Exactness: records are strict integer comparisons against the
+    prior-prefix max/min (the first day is BOTH a high and a low
+    record by the standard convention, realized via the coalesce
+    sentinel on the empty prefix); H_n is an INTEGER fold — each term
+    1/t rounds to ppb as (2·10^9 + t) div (2t), pure integer division,
+    so the sum is order-free and bit-identical on both engines (no
+    per-term float at all — tighter than the usual quantize-a-double
+    device). The trending comparison runs wholly in ppb integers.
+
+    Scale shape: calendar-collapse groupBy, two prefix-extremum
+    windows over ≤ 31 rows per type, one 5-row aggregate.
+    """
+    daily = (
+        load(spark, sf_dir, "events")
+        .selectExpr(
+            "event_type",
+            "CAST(date_trunc('DAY', ts) AS DATE) AS d",
+            "value",
+        )
+        .groupBy("event_type", "d")
+        .agg(
+            F.expr("CAST(floor(sum(value) * 100 + 0.5) AS BIGINT)").alias("x")
+        )
+    )
+    wo = Window.partitionBy("event_type").orderBy("d")
+    wp = wo.rowsBetween(Window.unboundedPreceding, -1)
+    flagged = daily.select(
+        "event_type",
+        F.row_number().over(wo).cast("bigint").alias("t"),
+        F.expr("x").alias("x"),
+        F.when(
+            F.col("x")
+            > F.coalesce(F.max("x").over(wp), F.col("x") - 1),
+            1,
+        )
+        .otherwise(0)
+        .alias("rec_hi"),
+        F.when(
+            F.col("x")
+            < F.coalesce(F.min("x").over(wp), F.col("x") + 1),
+            1,
+        )
+        .otherwise(0)
+        .alias("rec_lo"),
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.sum("rec_hi").cast("bigint").alias("n_records_hi"),
+            F.sum("rec_lo").cast("bigint").alias("n_records_lo"),
+            F.sum(F.expr("(2000000000 + t) div (2 * t)"))
+            .cast("bigint")
+            .alias("hn_ppb"),
+        )
+        .selectExpr(
+            "event_type",
+            "n_days",
+            "n_records_hi",
+            "n_records_lo",
+            "floor(CAST(hn_ppb AS DOUBLE) / 1e9 * 10000 + 0.5) / 10000"
+            " AS expected_records",
+            "n_records_hi * 1000000000 > 2 * hn_ppb AS hi_trending",
+        )
+        .orderBy("event_type")
+    )

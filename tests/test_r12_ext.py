@@ -515,3 +515,95 @@ def test_pbm_roundtrip_and_corruption():
         decode_pbm(_synth_pbm(6)[:-1])
     with _pytest.raises(ValueError):
         decode_pbm(b"P1\n2 2\n01x1\n")
+
+
+# --- wave D: ts stationarity / drift -----------------------------------------
+
+
+def test_kpss_telescoping_and_verdict(spark):
+    """The demeaned partial sums telescope to zero at t = n (an exact
+    integer identity of the n-scaled deviations), eta is positive, and
+    this fixture's mean-reverting dailies must test LEVEL-STATIONARY
+    for every type at the 5% critical value."""
+    from pyspark.sql import functions as F
+    from cdc_pubsub_spark.tables import load
+
+    rows = _q("ts_kpss_level", spark, SF_CORRECT).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["kpss_eta"] is not None and r["kpss_eta"] > 0
+        assert r["is_level_stationary"]
+        assert r["kpss_eta"] <= 0.463
+    daily = (
+        load(spark, SF_CORRECT, "events")
+        .selectExpr(
+            "event_type",
+            "CAST(date_trunc('DAY', ts) AS DATE) AS d",
+            "value",
+        )
+        .groupBy("event_type", "d")
+        .agg(F.expr("CAST(floor(sum(value)*100 + 0.5) AS BIGINT)").alias("x"))
+    )
+    tele = (
+        daily.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("x").alias("s"))
+        .join(daily, "event_type")
+        .selectExpr("event_type", "n * x - s AS e")
+        .groupBy("event_type")
+        .agg(F.sum("e").alias("s_n"))
+        .collect()
+    )
+    assert all(r["s_n"] == 0 for r in tele)
+
+
+def test_page_hinkley_nonneg_and_split_populations(spark):
+    """PH_t >= 0 by construction, so ph_max is nonnegative; the
+    mean-relative calibration must produce BOTH alarming and quiet
+    series on this fixture (an absolute threshold saturates — the bug
+    the calibration pass caught); alarm accounting is consistent."""
+    rows = _q("events_page_hinkley_drift", spark, SF_CORRECT).collect()
+    assert len(rows) == 5
+    alarmed = [r for r in rows if r["n_alarm_days"] > 0]
+    quiet = [r for r in rows if r["n_alarm_days"] == 0]
+    assert alarmed and quiet, rows
+    for r in rows:
+        assert r["ph_max_ppm"] >= 0
+        if r["n_alarm_days"] > 0:
+            assert r["ph_max_ppm"] > 600000
+            assert 1 <= r["first_alarm_t"] <= r["n_days"]
+        else:
+            assert r["ph_max_ppm"] <= 600000
+            assert r["first_alarm_t"] is None
+
+
+def test_variance_ratio_identity_and_verdict(spark):
+    """VR(1) == 1 exactly through the full machinery (the bias factor
+    n1^2/(1*n1^2) and g1/g1 both cancel); the fixture's mean-reverting
+    dailies (independent daily draws => differences are negatively
+    autocorrelated) land VR(2) < 1, agreeing with ts_kpss_level from
+    the opposite test direction."""
+    rows = _q("ts_variance_ratio", spark, SF_CORRECT).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["vr1"] == 1.0
+        assert r["vr2"] is not None and r["vr2"] < 1.0
+        assert r["is_mean_reverting"]
+        assert r["vr4"] is not None and r["vr4"] > 0
+
+
+def test_record_stats_first_day_convention_and_harmonic(spark):
+    """Day 1 is both a high and a low record (counts >= 1), counts are
+    bounded by n_days, and the ppb-integer harmonic fold reproduces
+    H_n to its quantization."""
+    rows = _q("ts_record_stats", spark, SF_CORRECT).collect()
+    assert len(rows) == 5
+    for r in rows:
+        n = r["n_days"]
+        assert 1 <= r["n_records_hi"] <= n
+        assert 1 <= r["n_records_lo"] <= n
+        h_n = sum(1.0 / t for t in range(1, n + 1))
+        assert abs(r["expected_records"] - h_n) < 1e-3
+        # i.i.d.-looking dailies: record counts should not wildly
+        # exceed the null expectation on this fixture
+        if r["hi_trending"]:
+            assert r["n_records_hi"] > 2 * h_n - 1
