@@ -167,6 +167,11 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     "events_page_hinkley_drift",
     "ts_variance_ratio",
     "ts_record_stats",
+    # r12 extension wave E (plan-shape variety)
+    "events_interval_stabbing",
+    "corpus_token_budget_allocation",
+    "profile_fd_confidence",
+    "orders_greedy_knapsack",
 }
 
 

@@ -111,6 +111,10 @@ PROBE_FIRST_ROUND = {
     "events_page_hinkley_drift",
     "ts_variance_ratio",
     "ts_record_stats",
+    "events_interval_stabbing",
+    "corpus_token_budget_allocation",
+    "profile_fd_confidence",
+    "orders_greedy_knapsack",
 }
 
 # Launch order seed: known-heavy ops first so they overlap the long tail

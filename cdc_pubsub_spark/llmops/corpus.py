@@ -972,3 +972,108 @@ def corpus_url_dedup_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- r12 extension wave E: greedy token-budget allocation --------------------
+
+
+@register(
+    "corpus_token_budget_allocation",
+    category="llm",
+    oracle="""
+    WITH per_src AS (
+      SELECT source,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks,
+             CAST(sum(len(list_filter(string_split(text, ' '),
+                  w -> length(w) >= 5))) AS BIGINT) AS long_toks
+      FROM documents GROUP BY source
+    ),
+    scored AS (
+      SELECT source, toks,
+             CAST(long_toks * 1000000 // toks AS BIGINT) AS quality_ppm,
+             CAST(toks * 6 // 10 AS BIGINT) AS cap
+      FROM per_src
+    ),
+    tot AS (
+      SELECT CAST(sum(toks) * 4 // 10 AS BIGINT) AS budget FROM scored
+    ),
+    ranked AS (
+      SELECT s.*, t.budget,
+             CAST(row_number() OVER (ORDER BY s.quality_ppm DESC, s.source)
+                  AS BIGINT) AS rnk,
+             coalesce(sum(s.cap) OVER (ORDER BY s.quality_ppm DESC, s.source
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_before
+      FROM scored s CROSS JOIN tot t
+    )
+    SELECT source, rnk, quality_ppm, toks AS tokens_available, cap,
+           CAST(greatest(least(cap, budget - cum_before), 0) AS BIGINT)
+             AS allocated,
+           least(cap, budget - cum_before) >= cap AS fully_taken
+    FROM ranked
+    ORDER BY rnk
+    """,
+)
+def corpus_token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GREEDY TOKEN-BUDGET ALLOCATION across sources — the mixing
+    decision every pretraining run makes: given a token budget (40% of
+    the corpus), a per-source diversity cap (60% of each source's
+    tokens — no source may dominate), and a per-source quality score
+    (ppm of tokens with length >= 5, an exact integer proxy in the
+    text_quality_score family), fill the budget greedily from the
+    highest-quality source down. The allocation is the classic
+    fractional-knapsack prefix rule: every source before the knee gets
+    its full cap, the knee source gets the remainder, everything after
+    gets zero — realized as ONE window prefix sum over the
+    quality-ranked source relation with a greatest/least clamp (no
+    loop, no driver logic).
+
+    Exactness: token counts, ppm scores, caps, and the budget are all
+    integer floors; the allocation arithmetic is pure integer
+    min/max. Total order on (quality_ppm DESC, source) makes the rank
+    deterministic under ties.
+
+    Scale shape: one data-sized aggregate collapses documents to the
+    20-row per-source relation; the ranking window and clamp run
+    there. At 100 TB sources number in the thousands at most — the
+    window stays domain-bounded; the scan does all the work map-side.
+    """
+    docs = load(spark, sf_dir, "documents")
+    per_src = docs.selectExpr(
+        "source",
+        "size(split(text, ' ')) AS nt",
+        "size(filter(split(text, ' '), w -> length(w) >= 5)) AS nl",
+    ).groupBy("source").agg(
+        F.sum("nt").cast("bigint").alias("toks"),
+        F.sum("nl").cast("bigint").alias("long_toks"),
+    )
+    scored = per_src.selectExpr(
+        "source",
+        "toks",
+        "CAST(long_toks * 1000000 div toks AS BIGINT) AS quality_ppm",
+        "CAST(toks * 6 div 10 AS BIGINT) AS cap",
+    )
+    tot = scored.agg(
+        F.expr("CAST(sum(toks) * 4 div 10 AS BIGINT)").alias("budget")
+    )
+    w_ord = Window.orderBy(F.col("quality_ppm").desc(), "source")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    ranked = scored.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "toks",
+        "quality_ppm",
+        "cap",
+        "budget",
+        F.row_number().over(w_ord).cast("bigint").alias("rnk"),
+        F.coalesce(F.sum("cap").over(w_cum), F.lit(0)).alias("cum_before"),
+    )
+    return ranked.selectExpr(
+        "source",
+        "rnk",
+        "quality_ppm",
+        "toks AS tokens_available",
+        "cap",
+        "CAST(greatest(least(cap, budget - cum_before), 0) AS BIGINT)"
+        " AS allocated",
+        "least(cap, budget - cum_before) >= cap AS fully_taken",
+    ).orderBy("rnk")

@@ -2676,3 +2676,107 @@ def ml_winsorized_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# --- r12 extension wave E: approximate FD confidence --------------------------
+
+
+@register(
+    "profile_fd_confidence",
+    category="profile",
+    oracle="""
+    WITH cand AS (
+      SELECT 'orderkey_to_status' AS fd_name,
+             CAST(o_orderkey AS VARCHAR) AS x, o_orderstatus AS y
+      FROM orders
+      UNION ALL
+      SELECT 'custkey_to_priority', CAST(o_custkey AS VARCHAR),
+             o_orderpriority FROM orders
+      UNION ALL
+      SELECT 'custkey_to_status', CAST(o_custkey AS VARCHAR),
+             o_orderstatus FROM orders
+      UNION ALL
+      SELECT 'year_to_priority',
+             CAST(year(o_orderdate) AS VARCHAR), o_orderpriority
+      FROM orders
+    ),
+    cells AS (
+      SELECT fd_name, x, y, CAST(count(*) AS BIGINT) AS c
+      FROM cand GROUP BY 1, 2, 3
+    ),
+    per_x AS (
+      SELECT fd_name, x, CAST(max(c) AS BIGINT) AS modal,
+             CAST(sum(c) AS BIGINT) AS n_x
+      FROM cells GROUP BY 1, 2
+    )
+    SELECT fd_name,
+           CAST(sum(n_x) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_lhs_groups,
+           CAST(sum(modal) AS BIGINT) AS n_conforming,
+           floor(CAST(sum(modal) AS DOUBLE) / sum(n_x) * 10000 + 0.5)
+             / 10000 AS confidence,
+           sum(modal) = sum(n_x) AS is_exact_fd
+    FROM per_x
+    GROUP BY fd_name
+    ORDER BY fd_name
+    """,
+)
+def profile_fd_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPROXIMATE FUNCTIONAL-DEPENDENCY CONFIDENCE (the g3 error
+    measure of Huhtala et al.'s TANE, as a confidence): for each
+    candidate X -> Y, confidence = (rows kept after keeping only each
+    X-group's MODAL Y) / N — i.e. the largest fraction of the table on
+    which the FD holds exactly. Complements profile_fd_check (which
+    answers yes/no): real data has almost-FDs, and the repair decision
+    needs the number. Four planted candidates span the spectrum:
+    orderkey -> status is exact (key LHS — the is_exact control),
+    custkey -> status is strong-ish (2-3 statuses per customer),
+    custkey -> priority and year -> priority are near-independent
+    (confidence ~ the modal marginal share). Only the modal COUNT
+    enters the statistic, so Y-tie-breaking cannot affect the result —
+    no arbitrary tie decision exists to diverge on.
+
+    Exactness: counts end to end; one r4 display ratio per candidate.
+
+    Scale shape: the candidate fan-out is a 4x row-local projection
+    (union of stacked column pairs); ONE hash aggregate collapses it
+    to the (fd, x, y) cell relation (bounded by the attribute domains,
+    not rows); modal extraction and the confidence roll-up run on
+    cells. No windows over data, no joins.
+    """
+    orders = load(spark, sf_dir, "orders")
+    cand = orders.selectExpr(
+        "stack(4,"
+        " 'orderkey_to_status', CAST(o_orderkey AS STRING), o_orderstatus,"
+        " 'custkey_to_priority', CAST(o_custkey AS STRING),"
+        " o_orderpriority,"
+        " 'custkey_to_status', CAST(o_custkey AS STRING), o_orderstatus,"
+        " 'year_to_priority', CAST(year(o_orderdate) AS STRING),"
+        " o_orderpriority"
+        ") AS (fd_name, x, y)"
+    )
+    cells = cand.groupBy("fd_name", "x", "y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    per_x = cells.groupBy("fd_name", "x").agg(
+        F.max("c").cast("bigint").alias("modal"),
+        F.sum("c").cast("bigint").alias("n_x"),
+    )
+    return (
+        per_x.groupBy("fd_name")
+        .agg(
+            F.sum("n_x").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lhs_groups"),
+            F.sum("modal").cast("bigint").alias("n_conforming"),
+        )
+        .selectExpr(
+            "fd_name",
+            "n_rows",
+            "n_lhs_groups",
+            "n_conforming",
+            "floor(CAST(n_conforming AS DOUBLE) / n_rows * 10000 + 0.5)"
+            " / 10000 AS confidence",
+            "n_conforming = n_rows AS is_exact_fd",
+        )
+        .orderBy("fd_name")
+    )

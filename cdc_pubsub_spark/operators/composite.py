@@ -9133,3 +9133,295 @@ def ts_record_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- r12 extension wave E: interval stabbing via prefix sums -----------------
+
+
+@register(
+    "events_interval_stabbing",
+    category="composite",
+    oracle="""
+    WITH raw AS (
+      SELECT CASE WHEN event_id % 50 = 0
+                  THEN CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000
+                       // 3600 * 3600 AS BIGINT)
+                  ELSE CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000
+                       AS BIGINT) END AS start_s,
+             event_id
+      FROM events
+    ),
+    iv AS (
+      SELECT start_s,
+             start_s + (1 + event_id % 120) * 60 AS end_s
+      FROM raw
+    ),
+    hrs AS (
+      SELECT CAST(h.h AS BIGINT) AS hr
+      FROM (SELECT unnest(range(
+             (SELECT min(start_s) // 3600 FROM iv),
+             (SELECT max(end_s) // 3600 FROM iv) + 2)) AS h) h
+    ),
+    sbuck AS (
+      SELECT start_s // 3600 AS b,
+             CAST(count(*) AS BIGINT) AS n_all,
+             CAST(sum(CASE WHEN start_s % 3600 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_bound
+      FROM iv GROUP BY 1
+    ),
+    ebuck AS (
+      SELECT end_s // 3600 AS b,
+             CAST(count(*) AS BIGINT) AS n_all,
+             CAST(sum(CASE WHEN end_s % 3600 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_bound
+      FROM iv GROUP BY 1
+    ),
+    grid AS (
+      SELECT h.hr,
+             coalesce(sum(s.n_all) OVER (ORDER BY h.hr
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + coalesce(s.n_bound, 0) AS a_le,
+             coalesce(sum(e.n_all) OVER (ORDER BY h.hr
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + coalesce(e.n_bound, 0) AS b_le
+      FROM hrs h
+      LEFT JOIN sbuck s ON s.b = h.hr
+      LEFT JOIN ebuck e ON e.b = h.hr
+    )
+    SELECT hr AS hour_idx,
+           CAST(a_le AS BIGINT) AS n_started,
+           CAST(b_le AS BIGINT) AS n_ended,
+           CAST(a_le - b_le AS BIGINT) AS n_stabbing
+    FROM grid
+    WHERE a_le - b_le > 0
+    ORDER BY hr
+    """,
+)
+def events_interval_stabbing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL STABBING QUERY with ZERO JOINS — how many event
+    intervals [ts, ts + (1 + id%120) min] cover each hour boundary?
+    The naive form is a point-in-interval theta-join (points ×
+    intervals); this op computes the exact same counts from two
+    cumulative histograms: stab(p) = #{start <= p} − #{end <= p}, with
+    each side split into "strictly earlier bucket" (a prefix sum over
+    the hour-bucketed counts) + "exactly at the boundary" (a planted
+    population: the event_id % 50 slice's starts snap to the hour, so
+    the <= / > boundary conventions are load-bearing, not vacuous). This is the O(n + buckets) sweep that
+    replaces an O(n·q) join at any scale — the 100 TB answer to
+    point-in-interval analytics, and the plan has no join of
+    data-sized relations at all (the hour spine is calendar-bounded).
+
+    Exactness: pure integer second arithmetic and counts; no floats
+    anywhere. The invariant test brute-forces stab counts on a small
+    slice against the histogram answer and pins the boundary
+    conventions (start <= p counts, end <= p excludes).
+
+    Scale shape: one map-side-combinable groupBy per side to the
+    hour-bucket histograms (calendar-bounded), one window prefix sum
+    over the ~745-row hour spine, LEFT-joined (broadcast) onto it.
+    """
+    ev = load(spark, sf_dir, "events")
+    iv = ev.selectExpr(
+        "CASE WHEN event_id % 50 = 0"
+        " THEN unix_micros(CAST(ts AS TIMESTAMP)) div 1000000"
+        " div 3600 * 3600"
+        " ELSE unix_micros(CAST(ts AS TIMESTAMP)) div 1000000"
+        " END AS start_s",
+        "event_id",
+    ).selectExpr(
+        "start_s",
+        "start_s + (1 + event_id % 120) * 60 AS end_s",
+    ).persist()
+    bounds = iv.agg(
+        F.expr("min(start_s) div 3600").alias("lo"),
+        F.expr("max(end_s) div 3600 + 2").alias("hi"),
+    ).collect()[0]
+    hrs = spark.range(int(bounds["lo"]), int(bounds["hi"])).selectExpr(
+        "id AS hr"
+    )
+    sbuck = iv.groupBy(F.expr("start_s div 3600").alias("b")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("s_all"),
+        F.sum(F.expr("CASE WHEN start_s % 3600 = 0 THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("s_bound"),
+    )
+    ebuck = iv.groupBy(F.expr("end_s div 3600").alias("b")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("e_all"),
+        F.sum(F.expr("CASE WHEN end_s % 3600 = 0 THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("e_bound"),
+    )
+    w = Window.orderBy("hr").rowsBetween(Window.unboundedPreceding, -1)
+    grid = (
+        hrs.join(F.broadcast(sbuck), F.col("b") == F.col("hr"), "left")
+        .drop("b")
+        .join(F.broadcast(ebuck), F.col("b") == F.col("hr"), "left")
+        .drop("b")
+        .select(
+            "hr",
+            (
+                F.coalesce(F.sum("s_all").over(w), F.lit(0))
+                + F.coalesce(F.col("s_bound"), F.lit(0))
+            ).alias("a_le"),
+            (
+                F.coalesce(F.sum("e_all").over(w), F.lit(0))
+                + F.coalesce(F.col("e_bound"), F.lit(0))
+            ).alias("b_le"),
+        )
+    )
+    out = (
+        grid.filter("a_le - b_le > 0")
+        .selectExpr(
+            "hr AS hour_idx",
+            "CAST(a_le AS BIGINT) AS n_started",
+            "CAST(b_le AS BIGINT) AS n_ended",
+            "CAST(a_le - b_le AS BIGINT) AS n_stabbing",
+        )
+        .orderBy("hour_idx")
+    )
+    return finalize_cached(out, iv)
+
+
+# --- r12 extension wave E: greedy knapsack via two-level prefix sums ----------
+
+
+@register(
+    "orders_greedy_knapsack",
+    category="composite",
+    oracle="""
+    WITH items AS (
+      SELECT o_orderkey AS k,
+             6 - CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS density,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS w
+      FROM orders
+    ),
+    cap AS (SELECT CAST(sum(w) // 10 AS BIGINT) AS c FROM items),
+    ranked AS (
+      SELECT i.k, i.density, i.w, cap.c,
+             sum(i.w) OVER (ORDER BY i.density DESC, i.k
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_w
+      FROM items i CROSS JOIN cap
+    )
+    SELECT density,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CASE WHEN cum_w <= c THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_taken,
+           CAST(sum(CASE WHEN cum_w <= c THEN w ELSE 0 END) AS BIGINT)
+             AS weight_taken,
+           CAST(sum(CASE WHEN cum_w <= c THEN w * density ELSE 0 END)
+                AS BIGINT) AS value_taken,
+           CASE WHEN sum(CASE WHEN cum_w <= c THEN 1 ELSE 0 END)
+                     = count(*) THEN 'full'
+                WHEN sum(CASE WHEN cum_w <= c THEN 1 ELSE 0 END) > 0
+                     THEN 'partial'
+                ELSE 'none' END AS class_status
+    FROM ranked
+    GROUP BY density
+    ORDER BY density DESC
+    """,
+)
+def orders_greedy_knapsack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GREEDY PREFIX KNAPSACK — fill 10% of total order weight with the
+    most urgent orders first (density = 6 − priority digit, value =
+    weight · density; the fractional-knapsack greedy rule truncated to
+    the whole-item prefix: take items in (density DESC, key) order
+    while the running weight fits). The interesting part is the SCALE
+    SHAPE: the natural implementation is one GLOBAL data-sized window
+    (the oracle does exactly that — fine for DuckDB), but a global
+    cumulative sum is the single worst window at 100 TB, so the Spark
+    plan decomposes it into THREE bounded tiers (the
+    corpus_sequence_pack two-level prefix-sum device, one level
+    deeper): (1) per-class totals (5 rows) give the class-level
+    prefix; (2) per-(class, 1024-key bucket) totals give the bucket
+    prefix within each class (keyspace/1024 rows, partitioned by
+    class); (3) a row-level running sum only WITHIN each bucket
+    (≤ ~1024 rows per partition). take ⟺ class_prefix + bucket_prefix
+    + row_cum ≤ C — algebraically identical to the global window,
+    never materializing it. The plan carries no global data-sized
+    window; the invariant test additionally pins greedy optimality
+    structure (classes above the knee fully taken, below it empty,
+    and the first untaken item would overflow).
+
+    Exactness: integer cents, counts, and products throughout.
+    """
+    orders = load(spark, sf_dir, "orders")
+    items = orders.selectExpr(
+        "o_orderkey AS k",
+        "6 - CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS density",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS w",
+        "o_orderkey div 1024 AS bkt",
+    ).persist()
+    cap = items.agg(F.expr("CAST(sum(w) div 10 AS BIGINT)").alias("c"))
+    class_tot = items.groupBy("density").agg(
+        F.sum("w").cast("bigint").alias("cw")
+    )
+    w_class = Window.orderBy(F.col("density").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    class_pre = class_tot.select(
+        "density",
+        F.coalesce(F.sum("cw").over(w_class), F.lit(0)).alias("class_pre"),
+    )
+    bkt_tot = items.groupBy("density", "bkt").agg(
+        F.sum("w").cast("bigint").alias("bw")
+    )
+    w_bkt = (
+        Window.partitionBy("density")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bkt_pre = bkt_tot.select(
+        "density",
+        "bkt",
+        F.coalesce(F.sum("bw").over(w_bkt), F.lit(0)).alias("bkt_pre"),
+    )
+    w_row = (
+        Window.partitionBy("density", "bkt")
+        .orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = (
+        items.join(F.broadcast(class_pre), "density")
+        .join(F.broadcast(bkt_pre), ["density", "bkt"])
+        .crossJoin(F.broadcast(cap))
+        .select(
+            "density",
+            "w",
+            (
+                F.col("class_pre")
+                + F.col("bkt_pre")
+                + F.sum("w").over(w_row)
+            ).alias("cum_w"),
+            "c",
+        )
+    )
+    out = (
+        flagged.groupBy("density")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.sum(F.expr("CASE WHEN cum_w <= c THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_taken"),
+            F.sum(F.expr("CASE WHEN cum_w <= c THEN w ELSE 0 END"))
+            .cast("bigint")
+            .alias("weight_taken"),
+            F.sum(
+                F.expr("CASE WHEN cum_w <= c THEN w * density ELSE 0 END")
+            )
+            .cast("bigint")
+            .alias("value_taken"),
+        )
+        .selectExpr(
+            "density",
+            "n_items",
+            "n_taken",
+            "weight_taken",
+            "value_taken",
+            "CASE WHEN n_taken = n_items THEN 'full'"
+            " WHEN n_taken > 0 THEN 'partial'"
+            " ELSE 'none' END AS class_status",
+        )
+        .orderBy(F.col("density").desc())
+    )
+    return finalize_cached(out, items)

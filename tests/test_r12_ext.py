@@ -607,3 +607,147 @@ def test_record_stats_first_day_convention_and_harmonic(spark):
         # exceed the null expectation on this fixture
         if r["hi_trending"]:
             assert r["n_records_hi"] > 2 * h_n - 1
+
+
+# --- wave E: plan-shape variety ----------------------------------------------
+
+
+def test_interval_stabbing_matches_brute_force(spark):
+    """The two-histogram sweep must equal the brute-force
+    point-in-interval count on a sample of hours — including boundary
+    hours where starts land exactly on the hour (the planted 3-minute
+    grid makes start % 3600 == 0 real), pinning the <= / > boundary
+    conventions."""
+    from cdc_pubsub_spark.tables import load
+
+    iv = [
+        (r["start_s"], r["end_s"])
+        for r in load(spark, SF_SMOKE, "events")
+        .selectExpr(
+            "CASE WHEN event_id % 50 = 0"
+            " THEN unix_micros(CAST(ts AS TIMESTAMP)) div 1000000"
+            " div 3600 * 3600"
+            " ELSE unix_micros(CAST(ts AS TIMESTAMP)) div 1000000"
+            " END AS start_s",
+            "event_id",
+        )
+        .selectExpr(
+            "start_s",
+            "start_s + (1 + event_id % 120) * 60 AS end_s",
+        )
+        .collect()
+    ]
+    got = {
+        r["hour_idx"]: r["n_stabbing"]
+        for r in _q("events_interval_stabbing", spark, SF_SMOKE).collect()
+    }
+    assert any(s % 3600 == 0 for s, _ in iv)  # boundary starts planted
+    hours = sorted(got)
+    for h in hours[:3] + hours[len(hours) // 2 : len(hours) // 2 + 3]:
+        p = h * 3600
+        brute = sum(1 for s, e in iv if s <= p < e)
+        assert got[h] == brute, (h, got[h], brute)
+    # hours with zero stabbing are filtered out
+    assert all(v > 0 for v in got.values())
+
+
+def test_token_budget_prefix_rule(spark):
+    """Fractional-knapsack prefix structure: full caps before the
+    knee, zero after, exactly one partial knee at most; the grand
+    total equals min(budget, sum of caps)."""
+    rows = sorted(
+        _q("corpus_token_budget_allocation", spark, SF_CORRECT).collect(),
+        key=lambda r: r["rnk"],
+    )
+    assert len(rows) == 20
+    total_alloc = sum(r["allocated"] for r in rows)
+    budget = sum(r["tokens_available"] for r in rows) * 4 // 10
+    cap_sum = sum(r["cap"] for r in rows)
+    assert total_alloc == min(budget, cap_sum)
+    seen_partial = False
+    for r in rows:
+        if r["fully_taken"]:
+            assert not seen_partial  # full caps form a prefix
+            assert r["allocated"] == r["cap"]
+        else:
+            if r["allocated"] > 0:
+                assert not seen_partial  # at most one knee
+                seen_partial = True
+            assert r["allocated"] < r["cap"]
+
+
+def test_fd_confidence_spectrum(spark):
+    """The key-LHS candidate is exactly functional (confidence 1.0,
+    is_exact); the near-independent candidates sit strictly below; and
+    confidence is always >= the reciprocal-domain floor and <= 1."""
+    rows = {r["fd_name"]: r for r in _q("profile_fd_confidence", spark, SF_CORRECT).collect()}
+    assert set(rows) == {
+        "orderkey_to_status",
+        "custkey_to_priority",
+        "custkey_to_status",
+        "year_to_priority",
+    }
+    assert rows["orderkey_to_status"]["is_exact_fd"]
+    assert rows["orderkey_to_status"]["confidence"] == 1.0
+    for name in ("custkey_to_priority", "year_to_priority"):
+        r = rows[name]
+        assert not r["is_exact_fd"]
+        assert r["confidence"] < 0.9
+        assert r["confidence"] > 0.1
+    # orderkey LHS has one group per row (the PK control)
+    assert (
+        rows["orderkey_to_status"]["n_lhs_groups"]
+        == rows["orderkey_to_status"]["n_rows"]
+    )
+
+
+def test_knapsack_prefix_structure_and_capacity(spark):
+    """Greedy structure: classes are taken full from the highest
+    density down to a single partial knee, nothing after; the taken
+    weight never exceeds capacity but taking ONE more item from the
+    knee would overflow (prefix maximality)."""
+    from pyspark.sql import functions as F
+    from cdc_pubsub_spark.tables import load
+
+    rows = sorted(
+        _q("orders_greedy_knapsack", spark, SF_CORRECT).collect(),
+        key=lambda r: -r["density"],
+    )
+    assert [r["density"] for r in rows] == [5, 4, 3, 2, 1]
+    items = load(spark, SF_CORRECT, "orders").selectExpr(
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS w"
+    )
+    cap = items.agg(F.expr("sum(w) div 10")).collect()[0][0]
+    taken = sum(r["weight_taken"] for r in rows)
+    assert taken <= cap
+    statuses = [r["class_status"] for r in rows]
+    # full* [partial] none* — a prefix pattern
+    import re
+
+    assert re.fullmatch(r"(full )*(partial )?(none ?)*", " ".join(statuses) + " ")
+    # exact replay: recompute the greedy prefix in python and match
+    # per-class taken counts/weights item for item
+    its = sorted(
+        (
+            (-int(r["density"]), int(r["k"]), int(r["w"]))
+            for r in load(spark, SF_CORRECT, "orders")
+            .selectExpr(
+                "o_orderkey AS k",
+                "6 - CAST(substring(o_orderpriority, 1, 1) AS BIGINT)"
+                " AS density",
+                "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS w",
+            )
+            .collect()
+        )
+    )
+    cum, by_class = 0, {}
+    for negd, _, w in its:
+        cum += w
+        if cum <= cap:
+            n, tw = by_class.get(-negd, (0, 0))
+            by_class[-negd] = (n + 1, tw + w)
+    for r in rows:
+        n, tw = by_class.get(r["density"], (0, 0))
+        assert r["n_taken"] == n, (r["density"], r["n_taken"], n)
+        assert r["weight_taken"] == tw
+        assert r["value_taken"] == tw * r["density"]
