@@ -172,6 +172,11 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     "corpus_token_budget_allocation",
     "profile_fd_confidence",
     "orders_greedy_knapsack",
+    # r12 extension wave F
+    "ts_max_drawdown",
+    "orders_wilson_ci_conversion",
+    "multimodal_mime_qp",
+    "events_ab_cuped",
 }
 
 

@@ -115,6 +115,9 @@ PROBE_FIRST_ROUND = {
     "corpus_token_budget_allocation",
     "profile_fd_confidence",
     "orders_greedy_knapsack",
+    "ts_max_drawdown",
+    "orders_wilson_ci_conversion",
+    "events_ab_cuped",
 }
 
 # Launch order seed: known-heavy ops first so they overlap the long tail

@@ -2906,3 +2906,130 @@ def multimodal_decode_pbm(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="width int, height int, fmt string, n_black bigint,"
         " black_j_checksum bigint, doc_id bigint, decoded_ok boolean",
     )
+
+
+# --- r12 extension wave F: MIME quoted-printable decode -----------------------
+
+
+def _synth_qp(doc_id: int, text: str) -> bytes:
+    """Real RFC 2045 quoted-printable bytes for the first 80 chars of
+    the doc: positions with (doc_id + j) % 7 == 0 are =XX-escaped
+    (legal for ANY octet, and the closed-form population the oracle
+    replays), and the encoded stream wraps into lines of <= 42 chars
+    with '=\\r\\n' soft breaks that NEVER split an =XX triple — the
+    RFC rule a naive fixed-width wrapper violates."""
+    src = text[:80]
+    units = []
+    for j, ch in enumerate(src):
+        if (doc_id + j) % 7 == 0:
+            units.append("=%02X" % ord(ch))
+        else:
+            units.append(ch)
+    lines, cur = [], ""
+    for u in units:
+        if len(cur) + len(u) > 42:
+            lines.append(cur)
+            cur = u
+        else:
+            cur += u
+    if cur:
+        lines.append(cur)
+    return "=\r\n".join(lines).encode("ascii")
+
+
+def decode_qp(payload: bytes) -> dict:
+    """Genuine quoted-printable decode: strip soft line breaks
+    ('=\\r\\n'), then replace each =XX hex escape with its octet;
+    a bare '=' not followed by two hex digits (or a split escape a
+    broken encoder produced) raises — dead-letter stance. Emits the
+    decoded length, the escape count, and the decoded codepoint
+    checksum."""
+    s = payload.decode("ascii").replace("=\r\n", "")
+    out: list[str] = []
+    n_escaped = 0
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c == "=":
+            hx = s[i + 1 : i + 3]
+            if len(hx) < 2 or any(
+                ch not in "0123456789ABCDEF" for ch in hx
+            ):
+                raise ValueError("malformed =XX escape")
+            out.append(chr(int(hx, 16)))
+            n_escaped += 1
+            i += 3
+        else:
+            out.append(c)
+            i += 1
+    decoded = "".join(out)
+    return {
+        "decoded_len": len(decoded),
+        "n_escaped": n_escaped,
+        "char_checksum": sum(ord(c) for c in decoded),
+    }
+
+
+@register(
+    "multimodal_mime_qp",
+    category="multimodal",
+    bench=False,
+    oracle="""
+    WITH src AS (
+      SELECT doc_id, substr(text, 1, 80) AS s
+      FROM documents WHERE doc_id <= 400
+    )
+    SELECT d.doc_id,
+           CAST(length(d.s) AS BIGINT) AS decoded_len,
+           CAST(sum(CASE WHEN (d.doc_id + t.j) % 7 = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_escaped,
+           CAST(sum(ascii(substr(d.s, CAST(t.j + 1 AS INT), 1)))
+                AS BIGINT) AS char_checksum,
+           true AS decoded_ok
+    FROM src d, LATERAL unnest(range(0, length(d.s))) AS t(j)
+    GROUP BY d.doc_id, d.s
+    """,
+)
+def multimodal_mime_qp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIME QUOTED-PRINTABLE round trip via Arrow mapInPandas — the
+    email/HTML-corpus transfer encoding (RFC 2045 §6.7), whose two
+    hazards are both planted: =XX hex escapes on the closed-form
+    (doc_id + j) % 7 position slice (any octet may be escaped, so a
+    reader that only unescapes non-ASCII misses most of them), and
+    soft line breaks ('=\\r\\n') wrapped so they never split an escape
+    triple — the decoder strips breaks FIRST and then walks escapes,
+    and a decoder that processes '=' before unwrapping sees the break
+    as a malformed escape and (correctly) dead-letters. The oracle
+    recomputes decoded length, escape count, and the decoded
+    codepoint checksum in closed form from the document text, so the
+    break-stripping order, the hex parse, and the escape population
+    are each load-bearing.
+
+    Scale shape: the encode/decode kernel is row-local python over
+    Arrow batches (cost ~ bytes per doc); no shuffle before the
+    driver's collect. At 100 TB the kernel reads a parquet
+    binary/string column from the MIME extractor instead.
+    """
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") <= 400)
+        .select("doc_id", "text")
+    )
+
+    def decode_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                feats = decode_qp(_synth_qp(int(doc_id), str(text)))
+                feats["doc_id"] = doc_id
+                feats["decoded_ok"] = True
+                out.append(feats)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        decode_batches,
+        schema="decoded_len bigint, n_escaped bigint, char_checksum bigint,"
+        " doc_id bigint, decoded_ok boolean",
+    )

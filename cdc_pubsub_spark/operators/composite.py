@@ -9425,3 +9425,426 @@ def orders_greedy_knapsack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("density").desc())
     )
     return finalize_cached(out, items)
+
+
+# --- r12 extension wave F: maximum drawdown -----------------------------------
+
+
+@register(
+    "ts_max_drawdown",
+    category="composite",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(epoch_us(date_trunc('day', ts)) // 86400000000
+                  AS BIGINT) AS day_idx,
+             CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2, 3
+    ),
+    runpeak AS (
+      SELECT event_type, day_idx, x,
+             max(x) OVER (PARTITION BY event_type ORDER BY day_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pk
+      FROM daily
+    ),
+    dd AS (
+      SELECT event_type, day_idx, x, pk, pk - x AS draw
+      FROM runpeak
+    ),
+    mx AS (
+      SELECT event_type, CAST(max(draw) AS BIGINT) AS max_dd FROM dd
+      GROUP BY event_type
+    ),
+    trough AS (
+      SELECT d.event_type, m.max_dd,
+             CAST(min(d.day_idx) AS BIGINT) AS trough_day,
+             CAST(min(d.pk) AS BIGINT) AS peak_val
+      FROM dd d JOIN mx m ON m.event_type = d.event_type
+                         AND d.draw = m.max_dd
+      GROUP BY d.event_type, m.max_dd
+    ),
+    peakday AS (
+      SELECT t.event_type, t.max_dd, t.trough_day, t.peak_val,
+             CAST(min(d.day_idx) AS BIGINT) AS peak_day
+      FROM trough t
+      JOIN daily d ON d.event_type = t.event_type
+                  AND d.x = t.peak_val AND d.day_idx <= t.trough_day
+      GROUP BY t.event_type, t.max_dd, t.trough_day, t.peak_val
+    )
+    SELECT p.event_type, p.max_dd AS max_drawdown_cents,
+           p.peak_day, p.trough_day,
+           p.trough_day - p.peak_day AS drawdown_days,
+           CAST(coalesce(sum(CASE WHEN d.day_idx > p.trough_day
+                             AND d.x >= p.peak_val THEN 1 ELSE 0 END), 0)
+                AS BIGINT) > 0 AS recovered
+    FROM peakday p
+    LEFT JOIN daily d ON d.event_type = p.event_type
+    GROUP BY p.event_type, p.max_dd, p.peak_day, p.trough_day
+    ORDER BY p.event_type
+    """,
+)
+def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMUM DRAWDOWN per event_type on the daily value series — the
+    risk metric every monitoring and finance stack reports: the
+    largest peak-to-trough fall of the running maximum, with the peak
+    day, trough day, duration, and whether the series ever recovered
+    to its pre-drawdown peak. Tie-breaks are total: the EARLIEST
+    trough achieving the maximum drawdown, then the EARLIEST prior day
+    attaining that peak value — both pinned as min() over exact
+    integer day indexes, so the result is deterministic even when the
+    drawdown is achieved twice.
+
+    Exactness: integer cents and day indexes end to end; there is no
+    float anywhere in this op. Scale shape: the usual calendar-
+    collapse groupBy, a per-type running-max window over <= 31 rows,
+    then argmax/lookup joins against the tiny daily relation
+    (broadcast). The recovery check is one more pass over the daily
+    relation, not the scan.
+    """
+    daily = (
+        load(spark, sf_dir, "events")
+        .selectExpr(
+            "event_type",
+            "unix_micros(date_trunc('DAY', CAST(ts AS TIMESTAMP)))"
+            " div 86400000000 AS day_idx",
+            "value",
+        )
+        .groupBy("event_type", "day_idx")
+        .agg(
+            F.expr("CAST(floor(sum(value) * 100 + 0.5) AS BIGINT)").alias("x")
+        )
+        .persist()
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dd = daily.select(
+        "event_type",
+        "day_idx",
+        "x",
+        F.max("x").over(w).alias("pk"),
+    ).selectExpr("event_type", "day_idx", "x", "pk", "pk - x AS draw")
+    mx = dd.groupBy("event_type").agg(
+        F.max("draw").cast("bigint").alias("max_dd")
+    )
+    trough = (
+        dd.join(
+            F.broadcast(mx.selectExpr("event_type AS et_m", "max_dd")),
+            (F.col("event_type") == F.col("et_m"))
+            & (F.col("draw") == F.col("max_dd")),
+        )
+        .groupBy("event_type", "max_dd")
+        .agg(
+            F.min("day_idx").cast("bigint").alias("trough_day"),
+            F.min("pk").cast("bigint").alias("peak_val"),
+        )
+    )
+    peakday = (
+        daily.join(
+            F.broadcast(
+                trough.selectExpr(
+                    "event_type AS et_t", "max_dd", "trough_day", "peak_val"
+                )
+            ),
+            (F.col("event_type") == F.col("et_t"))
+            & (F.col("x") == F.col("peak_val"))
+            & (F.col("day_idx") <= F.col("trough_day")),
+        )
+        .groupBy("event_type", "max_dd", "trough_day", "peak_val")
+        .agg(F.min("day_idx").cast("bigint").alias("peak_day"))
+    )
+    out = (
+        daily.join(
+            F.broadcast(
+                peakday.selectExpr(
+                    "event_type AS et_p",
+                    "max_dd",
+                    "trough_day",
+                    "peak_val",
+                    "peak_day",
+                )
+            ),
+            F.col("event_type") == F.col("et_p"),
+            "right",
+        )
+        .groupBy("et_p", "max_dd", "peak_day", "trough_day")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN day_idx > trough_day AND x >= peak_val"
+                    " THEN 1 ELSE 0 END"
+                )
+            ).alias("n_rec")
+        )
+        .selectExpr(
+            "et_p AS event_type",
+            "max_dd AS max_drawdown_cents",
+            "peak_day",
+            "trough_day",
+            "trough_day - peak_day AS drawdown_days",
+            "coalesce(n_rec, 0) > 0 AS recovered",
+        )
+        .orderBy("event_type")
+    )
+    return finalize_cached(out, daily)
+
+
+# --- r12 extension wave F: Wilson score intervals ------------------------------
+
+
+@register(
+    "orders_wilson_ci_conversion",
+    category="composite",
+    oracle="""
+    WITH conv AS (
+      SELECT c.c_mktsegment AS segment, c.c_custkey,
+             max(CASE WHEN o.o_orderstatus = 'P' THEN 1 ELSE 0 END)
+               AS converted
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT segment, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(converted) AS BIGINT) AS k
+      FROM conv GROUP BY segment
+    )
+    SELECT segment, n, k,
+           floor(CAST(k AS DOUBLE) / n * 10000 + 0.5) / 10000 AS rate,
+           floor((CAST(k AS DOUBLE) / n
+                  - 1.96e0 * sqrt(CAST(k AS DOUBLE) / n
+                    * (1e0 - CAST(k AS DOUBLE) / n) / n))
+                 * 10000 + 0.5) / 10000 AS wald_lo,
+           floor(((CAST(k AS DOUBLE) / n + 1.9208e0 / n
+                   - 1.96e0 * sqrt(CAST(k AS DOUBLE) / n
+                     * (1e0 - CAST(k AS DOUBLE) / n) / n
+                     + 0.9604e0 / (CAST(n AS DOUBLE) * n)))
+                  / (1e0 + 3.8416e0 / n))
+                 * 10000 + 0.5) / 10000 AS wilson_lo,
+           floor(((CAST(k AS DOUBLE) / n + 1.9208e0 / n
+                   + 1.96e0 * sqrt(CAST(k AS DOUBLE) / n
+                     * (1e0 - CAST(k AS DOUBLE) / n) / n
+                     + 0.9604e0 / (CAST(n AS DOUBLE) * n)))
+                  / (1e0 + 3.8416e0 / n))
+                 * 10000 + 0.5) / 10000 AS wilson_hi
+    FROM agg
+    ORDER BY segment
+    """,
+)
+def orders_wilson_ci_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WILSON SCORE INTERVALS for per-segment conversion rates (share
+    of customers with at least one 'P'-status order) — the binomial CI
+    every experimentation platform uses instead of the Wald interval,
+    whose failure mode is emitted alongside for contrast: Wald's lower
+    bound goes NEGATIVE (or degenerately zero-width) at small k/n,
+    while Wilson's stays in [0, 1] by construction
+    (lo = (p + z²/2n − z·sqrt(p(1−p)/n + z²/4n²)) / (1 + z²/n),
+    z = 1.96 with z² = 3.8416 and z²/2 = 1.9208 as exact literals).
+    The invariant test pins the containment lo <= rate <= hi, the
+    [0,1] clamp property, Wilson ⊂ sanity vs Wald, and monotone
+    narrowing with n.
+
+    Exactness: n and k are exact integer counts (the LEFT join keeps
+    zero-order customers in the denominator — a real analytics bug
+    class when conversion joins drop non-converters); each bound is
+    ONE pinned double expression over (k, n), r4-floored identically
+    on both engines.
+
+    Scale shape: one join orders→customer (broadcast dim at this
+    scale; co-partitioned on custkey at 100 TB), a per-customer max,
+    then a 5-row segment aggregate. Nothing downstream is data-sized.
+    """
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    conv = (
+        cust.join(
+            orders, cust.c_custkey == orders.o_custkey, "left"
+        )
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(
+            F.max(
+                F.expr("CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END")
+            ).alias("converted")
+        )
+    )
+    agg = conv.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("converted").cast("bigint").alias("k"),
+    )
+    p = "CAST(k AS DOUBLE) / n"
+    return agg.selectExpr(
+        "segment",
+        "n",
+        "k",
+        f"floor({p} * 10000 + 0.5) / 10000 AS rate",
+        f"floor(({p} - 1.96e0 * sqrt({p} * (1e0 - {p}) / n))"
+        " * 10000 + 0.5) / 10000 AS wald_lo",
+        f"floor((({p} + 1.9208e0 / n"
+        f" - 1.96e0 * sqrt({p} * (1e0 - {p}) / n"
+        " + 0.9604e0 / (CAST(n AS DOUBLE) * n)))"
+        " / (1e0 + 3.8416e0 / n))"
+        " * 10000 + 0.5) / 10000 AS wilson_lo",
+        f"floor((({p} + 1.9208e0 / n"
+        f" + 1.96e0 * sqrt({p} * (1e0 - {p}) / n"
+        " + 0.9604e0 / (CAST(n AS DOUBLE) * n)))"
+        " / (1e0 + 3.8416e0 / n))"
+        " * 10000 + 0.5) / 10000 AS wilson_hi",
+    ).orderBy("segment")
+
+
+# --- r12 extension wave F: CUPED variance reduction ---------------------------
+
+
+@register(
+    "events_ab_cuped",
+    category="composite",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, CAST(user_id % 2 AS BIGINT) AS variant,
+             CAST(sum(CASE WHEN CAST(date_trunc('day', ts) AS DATE)
+                        < DATE '2024-01-16'
+                      THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS x,
+             CAST(sum(CASE WHEN CAST(date_trunc('day', ts) AS DATE)
+                        >= DATE '2024-01-16'
+                      THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    vm AS (
+      SELECT variant, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+             CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+      FROM per_user GROUP BY variant
+    ),
+    g AS (
+      SELECT CAST(sum(n) AS BIGINT) AS n, CAST(sum(sx) AS BIGINT) AS sx,
+             CAST(sum(sy) AS BIGINT) AS sy,
+             CAST(sum(sxy) AS HUGEINT) AS sxy,
+             CAST(sum(sxx) AS HUGEINT) AS sxx
+      FROM vm
+    ),
+    th AS (
+      SELECT n AS ng, sx AS sxg,
+             CAST((CAST(n AS HUGEINT) * sxy
+                   - CAST(sx AS HUGEINT) * sy) * 1000000
+                  // (CAST(n AS HUGEINT) * sxx
+                      - CAST(sx AS HUGEINT) * sx) AS BIGINT) AS thm
+      FROM g
+      WHERE CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx <> 0
+    )
+    SELECT v.variant, v.n AS n_users,
+           floor(CAST(v.sy AS DOUBLE) / v.n + 0.5) AS mean_post_cents,
+           floor(CAST(v.sy AS DOUBLE) / v.n
+                 - CAST(t.thm AS DOUBLE) / 1e6
+                   * (CAST(v.sx AS DOUBLE) / v.n
+                      - CAST(t.sxg AS DOUBLE) / t.ng) + 0.5)
+             AS mean_adj_cents,
+           floor(CAST(t.thm AS DOUBLE) / 1e6 * 1000000 + 0.5) / 1000000
+             AS theta,
+           floor((CAST(CAST(v.n AS HUGEINT) * v.syy
+                       - CAST(v.sy AS HUGEINT) * v.sy AS DOUBLE)
+                  - 2e0 * CAST(t.thm AS DOUBLE) / 1e6
+                    * CAST(CAST(v.n AS HUGEINT) * v.sxy
+                           - CAST(v.sx AS HUGEINT) * v.sy AS DOUBLE)
+                  + (CAST(t.thm AS DOUBLE) / 1e6)
+                    * (CAST(t.thm AS DOUBLE) / 1e6)
+                    * CAST(CAST(v.n AS HUGEINT) * v.sxx
+                           - CAST(v.sx AS HUGEINT) * v.sx AS DOUBLE))
+                 / (CAST(CAST(v.n AS HUGEINT) * v.syy
+                         - CAST(v.sy AS HUGEINT) * v.sy AS DOUBLE))
+                 * 10000 + 0.5) / 10000 AS var_ratio
+    FROM vm v CROSS JOIN th t
+    ORDER BY v.variant
+    """,
+)
+def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED VARIANCE REDUCTION for an A/B readout (Deng et al. 2013 —
+    the standard pre-experiment-covariate adjustment): per user,
+    x = pre-period revenue (days before 2024-01-16), y = post-period
+    revenue; theta = cov(x,y)/var(x) pooled across variants; the
+    adjusted metric y − theta·(x − x̄) has the same expectation per
+    variant (assignment is independent of x) but variance shrunk by
+    the squared correlation. The whole analysis reduces to MOMENT
+    ALGEBRA: var(y − θx) = var(y) − 2θ·cov(x,y) + θ²·var(x), so no
+    per-user adjusted pass (or its square, which would overflow even
+    DECIMAL38 at scale) ever materializes — the op emits per-variant
+    adjusted means and the var_ratio = var_adj/var_y directly from
+    per-variant integer moments and the micro-quantized pooled theta.
+
+    Exactness: per-user revenues are integer cents; all moments are
+    exact wide integers (DECIMAL(38,0)/HUGEINT); theta is the
+    micro-quantized integer ratio; every emitted number is a pinned
+    double expression over those integers. Degenerate guard: zero
+    pre-period variance drops the theta row (no CUPED possible).
+
+    Scale shape: one data-sized groupBy to per-user rows (bounded by
+    the user domain), one 2-row variant aggregate, broadcast theta.
+    The invariant test re-derives theta with Fractions and pins
+    var_ratio < 1 (pre/post revenue correlate through per-user
+    activity) plus the unbiasedness identity on the adjusted means.
+    """
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.selectExpr(
+        "user_id",
+        "CAST(user_id % 2 AS BIGINT) AS variant",
+        "CASE WHEN CAST(date_trunc('DAY', ts) AS DATE)"
+        " < DATE'2024-01-16'"
+        " THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END AS xc",
+        "CASE WHEN CAST(date_trunc('DAY', ts) AS DATE)"
+        " >= DATE'2024-01-16'"
+        " THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END AS yc",
+    ).groupBy("user_id", "variant").agg(
+        F.sum("xc").cast("bigint").alias("x"),
+        F.sum("yc").cast("bigint").alias("y"),
+    )
+    wide = "DECIMAL(38,0)"
+    vm = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.expr(f"CAST(x AS {wide}) * y")).alias("sxy"),
+        F.sum(F.expr(f"CAST(x AS {wide}) * x")).alias("sxx"),
+        F.sum(F.expr(f"CAST(y AS {wide}) * y")).alias("syy"),
+    )
+    g = vm.groupBy().agg(
+        F.sum("n").cast("bigint").alias("ng"),
+        F.sum("sx").cast("bigint").alias("sxg"),
+        F.sum("sy").cast("bigint").alias("syg"),
+        F.sum("sxy").cast(wide).alias("sxyg"),
+        F.sum("sxx").cast(wide).alias("sxxg"),
+    )
+    th = g.filter(
+        f"CAST(ng AS {wide}) * sxxg - CAST(sxg AS {wide}) * sxg <> 0"
+    ).selectExpr(
+        "ng",
+        "sxg",
+        f"CAST((CAST(ng AS {wide}) * sxyg - CAST(sxg AS {wide}) * syg)"
+        " * 1000000"
+        f" div (CAST(ng AS {wide}) * sxxg - CAST(sxg AS {wide}) * sxg)"
+        " AS BIGINT) AS thm",
+    )
+    theta = "CAST(thm AS DOUBLE) / 1e6"
+    vary = f"CAST(CAST(n AS {wide}) * syy - CAST(sy AS {wide}) * sy AS DOUBLE)"
+    covv = f"CAST(CAST(n AS {wide}) * sxy - CAST(sx AS {wide}) * sy AS DOUBLE)"
+    varx = f"CAST(CAST(n AS {wide}) * sxx - CAST(sx AS {wide}) * sx AS DOUBLE)"
+    return (
+        vm.crossJoin(F.broadcast(th))
+        .selectExpr(
+            "variant",
+            "n AS n_users",
+            "floor(CAST(sy AS DOUBLE) / n + 0.5) AS mean_post_cents",
+            f"floor(CAST(sy AS DOUBLE) / n - {theta}"
+            " * (CAST(sx AS DOUBLE) / n - CAST(sxg AS DOUBLE) / ng)"
+            " + 0.5) AS mean_adj_cents",
+            f"floor({theta} * 1000000 + 0.5) / 1000000 AS theta",
+            f"floor(({vary} - 2e0 * {theta} * {covv}"
+            f" + {theta} * {theta} * {varx}) / ({vary})"
+            " * 10000 + 0.5) / 10000 AS var_ratio",
+        )
+        .orderBy("variant")
+    )

@@ -751,3 +751,131 @@ def test_knapsack_prefix_structure_and_capacity(spark):
         assert r["n_taken"] == n, (r["density"], r["n_taken"], n)
         assert r["weight_taken"] == tw
         assert r["value_taken"] == tw * r["density"]
+
+
+# --- wave F ------------------------------------------------------------------
+
+
+def test_max_drawdown_brute_force_replay(spark):
+    """Recompute max drawdown, earliest trough, earliest prior peak,
+    and recovery in python from the daily series — the op must match
+    exactly (all-integer op, so equality is exact)."""
+    from pyspark.sql import functions as F
+    from cdc_pubsub_spark.tables import load
+
+    daily = (
+        load(spark, SF_CORRECT, "events")
+        .selectExpr(
+            "event_type",
+            "unix_micros(date_trunc('DAY', CAST(ts AS TIMESTAMP)))"
+            " div 86400000000 AS day_idx",
+            "value",
+        )
+        .groupBy("event_type", "day_idx")
+        .agg(F.expr("CAST(floor(sum(value)*100+0.5) AS BIGINT)").alias("x"))
+        .collect()
+    )
+    series: dict = {}
+    for r in daily:
+        series.setdefault(r["event_type"], []).append(
+            (r["day_idx"], r["x"])
+        )
+    got = {r["event_type"]: r for r in _q("ts_max_drawdown", spark, SF_CORRECT).collect()}
+    for et, pts in series.items():
+        pts.sort()
+        peak, best, trough_day, peak_val = None, -1, None, None
+        run = -(10**18)
+        for d, x in pts:
+            run = max(run, x)
+            if run - x > best:
+                best, trough_day, peak_val = run - x, d, run
+        peak_day = min(d for d, x in pts if x == peak_val and d <= trough_day)
+        recovered = any(
+            x >= peak_val for d, x in pts if d > trough_day
+        )
+        g = got[et]
+        assert g["max_drawdown_cents"] == best
+        assert g["trough_day"] == trough_day
+        assert g["peak_day"] == peak_day
+        assert g["recovered"] == recovered
+
+
+def test_wilson_contains_rate_and_clamps(spark):
+    """Containment lo <= rate <= hi; Wilson bounds stay in [0, 1];
+    with rates near 1 on this fixture, Wilson's lower bound sits BELOW
+    Wald's (the score interval pulls toward 1/2 — the asymmetry Wald
+    lacks), and the interval narrows as n grows across segments."""
+    rows = _q("orders_wilson_ci_conversion", spark, SF_CORRECT).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0.0 <= r["wilson_lo"] <= r["rate"] <= r["wilson_hi"] <= 1.0
+        assert r["wilson_lo"] < r["wald_lo"] or r["rate"] < 0.5
+        width = r["wilson_hi"] - r["wilson_lo"]
+        assert width > 0
+
+
+def test_qp_kernel_roundtrip_and_hazards():
+    """The encoder actually plants soft breaks and escapes; the
+    decoder reproduces the source text's length/checksum; processing
+    escapes before unwrapping breaks (the classic QP bug) is
+    detected as malformed input."""
+    import pytest as _pytest
+
+    from cdc_pubsub_spark.llmops.multimodal import _synth_qp, decode_qp
+
+    text = "word " * 30
+    enc = _synth_qp(7, text)
+    assert b"=\r\n" in enc  # soft breaks planted
+    out = decode_qp(enc)
+    src = text[:80]
+    assert out["decoded_len"] == len(src)
+    assert out["char_checksum"] == sum(ord(c) for c in src)
+    assert out["n_escaped"] == sum(
+        1 for j in range(len(src)) if (7 + j) % 7 == 0
+    )
+    with _pytest.raises(ValueError):
+        decode_qp(b"abc=Z9def")
+    # a soft break mid-stream must NOT be treated as an escape
+    assert decode_qp(b"ab=\r\ncd")["decoded_len"] == 4
+
+
+def test_cuped_theta_exact_and_variance_identity(spark):
+    """Re-derive pooled theta with Fractions from per-user integer
+    revenues; the op's theta matches to its micro quantization, the
+    adjusted-mean identity holds, and the POOLED variance ratio is
+    <= 1 (pooled theta is the pooled-OLS minimizer; per-variant ratios
+    may wobble above 1 only by quantization)."""
+    from fractions import Fraction as Fr
+
+    from pyspark.sql import functions as F
+    from cdc_pubsub_spark.tables import load
+
+    pu = (
+        load(spark, SF_CORRECT, "events")
+        .selectExpr(
+            "user_id",
+            "CASE WHEN CAST(date_trunc('DAY', ts) AS DATE)"
+            " < DATE'2024-01-16'"
+            " THEN CAST(floor(value*100+0.5) AS BIGINT) ELSE 0 END AS xc",
+            "CASE WHEN CAST(date_trunc('DAY', ts) AS DATE)"
+            " >= DATE'2024-01-16'"
+            " THEN CAST(floor(value*100+0.5) AS BIGINT) ELSE 0 END AS yc",
+        )
+        .groupBy("user_id")
+        .agg(F.sum("xc").alias("x"), F.sum("yc").alias("y"))
+        .collect()
+    )
+    n = len(pu)
+    sx = sum(int(r["x"]) for r in pu)
+    sy = sum(int(r["y"]) for r in pu)
+    sxy = sum(int(r["x"]) * int(r["y"]) for r in pu)
+    sxx = sum(int(r["x"]) ** 2 for r in pu)
+    theta = Fr(n * sxy - sx * sy, n * sxx - sx * sx)
+    rows = _q("events_ab_cuped", spark, SF_CORRECT).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert abs(r["theta"] - float(theta)) < 2e-6
+        assert r["var_ratio"] <= 1.01  # per-variant wobble bound
+    # pooled reduction: weighted ratio strictly below 1 when theta != 0
+    if theta != 0:
+        assert any(r["var_ratio"] < 1.0 for r in rows)
