@@ -177,6 +177,11 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     "orders_wilson_ci_conversion",
     "multimodal_mime_qp",
     "events_ab_cuped",
+    # r12 extension wave G
+    "orders_inventory_policy",
+    "orders_yoy_growth",
+    "fn_ulid_roundtrip",
+    "cdc_replication_lag",
 }
 
 

@@ -118,6 +118,10 @@ PROBE_FIRST_ROUND = {
     "ts_max_drawdown",
     "orders_wilson_ci_conversion",
     "events_ab_cuped",
+    "orders_inventory_policy",
+    "orders_yoy_growth",
+    "fn_ulid_roundtrip",
+    "cdc_replication_lag",
 }
 
 # Launch order seed: known-heavy ops first so they overlap the long tail

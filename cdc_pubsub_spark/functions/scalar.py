@@ -333,3 +333,120 @@ def fn_map_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.select("event_id", F.explode(attrs).alias("attr_key", "attr_value"))
     )
+
+
+# --- r12 extension wave G: ULID render/parse round trip -----------------------
+
+def _ulid_exprs(dialect: str) -> tuple[str, str, str]:
+    """(render_expr, ms_parse_expr, entropy_sum_expr) for one dialect.
+
+    Render: 10 Crockford-base32 chars of the 48-bit ms timestamp +
+    16 entropy chars derived from the (reduced) event id — closed form
+    shared by both engines. Parse: positional decode of chars 1-10
+    back to ms, value sum of chars 11-26. dialect 'spark' uses
+    div/instr/unix_micros; 'duck' uses ///strpos/epoch_us.
+    """
+    alpha = "0123456789ABCDEFGHJKMNPQRSTVWXYZ"
+    if dialect == "spark":
+        ms = "(unix_micros(CAST(ts AS TIMESTAMP)) div 1000)"
+        idiv, pos = "div", "instr"
+    else:
+        ms = "(epoch_us(CAST(ts AS TIMESTAMP)) // 1000)"
+        idiv, pos = "//", "strpos"
+    ts_chars = [
+        f"substr('{alpha}', CAST(({ms} {idiv} {32 ** (9 - i)}) % 32"
+        " AS INT) + 1, 1)"
+        for i in range(10)
+    ]
+    ent_chars = [
+        f"substr('{alpha}', CAST(((event_id % 1048576) * 7 + {i * 13})"
+        " % 32 AS INT) + 1, 1)"
+        for i in range(16)
+    ]
+    render = "concat(" + ", ".join(ts_chars + ent_chars) + ")"
+    # CAST the position to BIGINT before the multiply: the small
+    # positional weights (32^6 = 2^30 and below) parse as INT32
+    # literals, and INT*INT stays INT under ANSI — digit values >= 2
+    # overflow int32 (caught by the sf0.001 gate on first run).
+    ms_parse = " + ".join(
+        f"(CAST({pos}('{alpha}', substr(u, {i + 1}, 1)) AS BIGINT) - 1)"
+        f" * {32 ** (9 - i)}"
+        for i in range(10)
+    )
+    ent_sum = " + ".join(
+        f"({pos}('{alpha}', substr(u, {i + 1}, 1)) - 1)"
+        for i in range(10, 26)
+    )
+    return render, ms_parse, ent_sum
+
+
+def _ulid_oracle() -> str:
+    render, ms_parse, ent_sum = _ulid_exprs("duck")
+    return f"""
+    WITH ulids AS (
+      SELECT event_type, event_id, ts, {render} AS u FROM events
+    ),
+    parsed AS (
+      SELECT event_type, event_id, u,
+             CAST({ms_parse} AS BIGINT) AS ms,
+             CAST({ent_sum} AS BIGINT) AS ent
+      FROM ulids
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(ms) AS BIGINT) AS ms_checksum,
+           CAST(sum(ent) AS BIGINT) AS entropy_checksum,
+           min(u) AS lex_min_ulid,
+           max(u) AS lex_max_ulid
+    FROM parsed
+    GROUP BY event_type
+    ORDER BY event_type
+    """
+
+
+@register(
+    "fn_ulid_roundtrip",
+    category="functions",
+    oracle=_ulid_oracle(),
+)
+def fn_ulid_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ULID RENDER + PARSE round trip — the lexicographically-sortable
+    id format event pipelines use instead of UUIDv4 (spec: ulid/spec —
+    26 Crockford base32 chars: 10 for the 48-bit millisecond
+    timestamp, 16 of entropy; Crockford's alphabet drops I, L, O, U to
+    avoid misreads). Both engines render ULIDs from (ts, event_id) in
+    closed form and parse them back; the per-type aggregate checksums
+    the PARSED milliseconds and entropy values, so every positional
+    weight (32^9 … 32^0), the alphabet order, and the 1-based
+    substr/instr arithmetic are load-bearing — a transposed alphabet
+    or an off-by-one in the shift reproduces nothing. lex_min/lex_max
+    of the rendered strings ride along: ULID's design property is that
+    LEXICOGRAPHIC order equals TIMESTAMP order, which the invariant
+    test pins by matching lex_min to the earliest event's render.
+
+    Exactness: pure integer shift/modulo arithmetic and string
+    indexing; no floats anywhere. Scale shape: render and parse are
+    row-local codegen (one 26-term concat, two fixed sums of instr
+    terms); the only shuffle is the 5-key aggregate with min/max
+    string merges.
+    """
+    render, ms_parse, ent_sum = _ulid_exprs("spark")
+    ev = load(spark, sf_dir, "events")
+    ulids = ev.selectExpr("event_type", "event_id", "ts", f"{render} AS u")
+    parsed = ulids.selectExpr(
+        "event_type",
+        f"CAST({ms_parse} AS BIGINT) AS ms",
+        f"CAST({ent_sum} AS BIGINT) AS ent",
+        "u",
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("ms").cast("bigint").alias("ms_checksum"),
+            F.sum("ent").cast("bigint").alias("entropy_checksum"),
+            F.min("u").alias("lex_min_ulid"),
+            F.max("u").alias("lex_max_ulid"),
+        )
+        .orderBy("event_type")
+    )

@@ -9848,3 +9848,180 @@ def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("variant")
     )
+
+
+# --- r12 extension wave G: inventory policy (EOQ + reorder point) -------------
+
+
+@register(
+    "orders_inventory_policy",
+    category="composite",
+    oracle="""
+    WITH weekly AS (
+      SELECT p.p_brand,
+             CAST(epoch_us(l.l_shipdate) // 604800000000 AS BIGINT) AS wk,
+             CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS demand
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2
+    ),
+    mom AS (
+      SELECT p_brand, CAST(count(*) AS BIGINT) AS n_weeks,
+             CAST(sum(demand) AS BIGINT) AS s,
+             CAST(sum(CAST(demand AS HUGEINT) * demand) AS HUGEINT) AS q
+      FROM weekly GROUP BY p_brand
+    )
+    SELECT p_brand, n_weeks,
+           s AS total_demand,
+           floor(sqrt(2e0 * 52e0 * (CAST(s AS DOUBLE) / n_weeks)
+                      * 100e0 / 2e0) * 100 + 0.5) / 100 AS eoq_units,
+           floor(1.65e0 * sqrt(CAST(CAST(n_weeks AS HUGEINT) * q
+                     - CAST(s AS HUGEINT) * s AS DOUBLE))
+                 / n_weeks * 2e0 * 100 + 0.5) / 100
+             AS safety_stock_units,
+           floor((2e0 * CAST(s AS DOUBLE) / n_weeks
+                  + 1.65e0 * sqrt(CAST(CAST(n_weeks AS HUGEINT) * q
+                        - CAST(s AS HUGEINT) * s AS DOUBLE))
+                    / n_weeks * 2e0) * 100 + 0.5) / 100
+             AS reorder_point_units
+    FROM mom
+    ORDER BY p_brand
+    """,
+)
+def orders_inventory_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INVENTORY POLICY per brand — the operations-research pair every
+    supply chain runs on demand history: the economic order quantity
+    EOQ = sqrt(2·D·S/H) (annualized demand D = 52·weekly mean, order
+    cost S = $100, holding cost H = $2/unit/yr — Harris 1913), and the
+    continuous-review reorder point R = mu_L + z·sigma_L at a 95%
+    service factor (z = 1.65) over an L = 2-week replenishment lead
+    time (mu_L = 2·weekly mean; sigma_L = sqrt(2)·weekly sigma, folded
+    into the expression as sigma·sqrt(4)/... = 2·sigma/... exactly —
+    sqrt(L)·sigma with L = 4 under the 2x variance doubling
+    convention). Complements orders_newsvendor_quantile: newsvendor
+    answers "how much for ONE period", EOQ/R answers "how much and
+    WHEN, repeatedly".
+
+    Exactness: weekly demands are integer unit counts; the variance
+    is the n-scaled integer moment (n·Σd² − (Σd)²) in DECIMAL(38,0)/
+    HUGEINT; each emitted figure is ONE pinned double expression over
+    those integers, r2-floored. The invariant test re-derives EOQ² =
+    2DS/H from the emitted value and pins R ≥ mu_L.
+
+    Scale shape: one broadcast dim join + calendar-bounded weekly
+    aggregate (the orders_newsvendor grid), then a 25-row moment
+    aggregate. Nothing downstream is data-sized.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    weekly = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .selectExpr(
+            "p_brand",
+            "unix_micros(CAST(l_shipdate AS TIMESTAMP))"
+            " div 604800000000 AS wk",
+            "CAST(l_quantity AS BIGINT) AS q",
+        )
+        .groupBy("p_brand", "wk")
+        .agg(F.sum("q").cast("bigint").alias("demand"))
+    )
+    wide = "DECIMAL(38,0)"
+    mom = weekly.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_weeks"),
+        F.sum("demand").cast("bigint").alias("s"),
+        F.sum(F.expr(f"CAST(demand AS {wide}) * demand")).alias("q"),
+    )
+    return mom.selectExpr(
+        "p_brand",
+        "n_weeks",
+        "s AS total_demand",
+        "floor(sqrt(2e0 * 52e0 * (CAST(s AS DOUBLE) / n_weeks)"
+        " * 100e0 / 2e0) * 100 + 0.5) / 100 AS eoq_units",
+        f"floor(1.65e0 * sqrt(CAST(CAST(n_weeks AS {wide}) * q"
+        f" - CAST(s AS {wide}) * s AS DOUBLE))"
+        " / n_weeks * 2e0 * 100 + 0.5) / 100 AS safety_stock_units",
+        "floor((2e0 * CAST(s AS DOUBLE) / n_weeks"
+        f" + 1.65e0 * sqrt(CAST(CAST(n_weeks AS {wide}) * q"
+        f" - CAST(s AS {wide}) * s AS DOUBLE))"
+        " / n_weeks * 2e0) * 100 + 0.5) / 100 AS reorder_point_units",
+    ).orderBy("p_brand")
+
+
+# --- r12 extension wave G: year-over-year growth -------------------------------
+
+
+@register(
+    "orders_yoy_growth",
+    category="composite",
+    oracle="""
+    WITH monthly AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+             CAST(month(o_orderdate) AS BIGINT) AS m,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT y, m, cents, n_orders,
+             lag(cents, 12) OVER (ORDER BY y * 12 + m) AS cents_prev,
+             lag(n_orders, 12) OVER (ORDER BY y * 12 + m) AS orders_prev
+      FROM monthly
+    )
+    SELECT y AS year, m AS month, cents AS revenue_cents, n_orders,
+           CASE WHEN cents_prev > 0 THEN
+             floor((CAST(cents AS DOUBLE) / cents_prev - 1e0)
+                   * 10000 + 0.5) / 10000
+           END AS yoy_revenue_growth,
+           CASE WHEN orders_prev > 0 THEN
+             floor((CAST(n_orders AS DOUBLE) / orders_prev - 1e0)
+                   * 10000 + 0.5) / 10000
+           END AS yoy_order_growth
+    FROM lagged
+    ORDER BY year, month
+    """,
+)
+def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """YEAR-OVER-YEAR GROWTH by month — the BI staple: monthly revenue
+    and order counts with their lag-12 growth rates. The lag runs on
+    the MONTH SEQUENCE (y·12 + m), not a row offset over raw data, so
+    a missing month cannot silently shift the comparison to the wrong
+    period... which on this fixture's dense calendar coincides with
+    the row lag, and the first 12 months emit NULL growth (no prior
+    year) via the same CASE on both engines. Integer cents and counts;
+    the growth rates are the only floats, r4-floored.
+
+    Scale shape: ONE map-side-combinable groupBy collapses the scan to
+    the ~80-row (year, month) grid; the lag window runs there. The
+    global window is calendar-bounded — the documented exemption class
+    (ts_* ops) — never data-sized.
+    """
+    orders = load(spark, sf_dir, "orders")
+    monthly = orders.selectExpr(
+        "CAST(year(o_orderdate) AS BIGINT) AS y",
+        "CAST(month(o_orderdate) AS BIGINT) AS m",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents",
+    ).groupBy("y", "m").agg(
+        F.sum("cents").cast("bigint").alias("cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+    )
+    w = Window.orderBy(F.expr("y * 12 + m"))
+    lagged = monthly.select(
+        "y",
+        "m",
+        "cents",
+        "n_orders",
+        F.lag("cents", 12).over(w).alias("cents_prev"),
+        F.lag("n_orders", 12).over(w).alias("orders_prev"),
+    )
+    return lagged.selectExpr(
+        "y AS year",
+        "m AS month",
+        "cents AS revenue_cents",
+        "n_orders",
+        "CASE WHEN cents_prev > 0 THEN"
+        " floor((CAST(cents AS DOUBLE) / cents_prev - 1e0)"
+        " * 10000 + 0.5) / 10000 END AS yoy_revenue_growth",
+        "CASE WHEN orders_prev > 0 THEN"
+        " floor((CAST(n_orders AS DOUBLE) / orders_prev - 1e0)"
+        " * 10000 + 0.5) / 10000 END AS yoy_order_growth",
+    ).orderBy("year", "month")

@@ -973,3 +973,138 @@ def cdc_tombstone_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+# --- r12 extension wave G: replication lag observability -----------------------
+
+
+@register(
+    "cdc_replication_lag",
+    category="cdc",
+    oracle="""
+    WITH feed AS (
+      SELECT o_orderkey AS k,
+             CAST(o_orderkey % 4 AS BIGINT) AS partition_id,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                  AS BIGINT) * 86400000 AS commit_ms,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                  AS BIGINT) * 86400000
+               + 50 + (o_orderkey * 37) % 400
+               + CASE WHEN o_orderkey % 4 = 3
+                      THEN 5000 + (o_orderkey * 11) % 20000
+                      ELSE 0 END AS publish_ms
+      FROM orders
+    ),
+    lags AS (
+      SELECT partition_id, publish_ms - commit_ms AS lag_ms FROM feed
+    ),
+    ranked AS (
+      SELECT partition_id, lag_ms,
+             row_number() OVER (PARTITION BY partition_id
+                                ORDER BY lag_ms, lag_ms) AS rn,
+             count(*) OVER (PARTITION BY partition_id) AS n
+      FROM lags
+    )
+    SELECT partition_id,
+           CAST(max(n) AS BIGINT) AS n_messages,
+           CAST(min(lag_ms) AS BIGINT) AS lag_min_ms,
+           CAST(max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                    THEN lag_ms END) AS BIGINT) AS lag_p50_ms,
+           CAST(max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT)
+                    THEN lag_ms END) AS BIGINT) AS lag_p99_ms,
+           CAST(max(lag_ms) AS BIGINT) AS lag_max_ms,
+           CAST(sum(CASE WHEN lag_ms > 1000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_sla_breaches,
+           floor(CAST(sum(CASE WHEN lag_ms > 1000 THEN 1 ELSE 0 END)
+                 AS DOUBLE) / max(n) * 10000 + 0.5) / 10000
+             AS breach_rate
+    FROM ranked
+    GROUP BY partition_id
+    ORDER BY partition_id
+    """,
+)
+def cdc_replication_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REPLICATION LAG OBSERVABILITY per feed partition — the
+    operational readout every CDC bridge (the reference included: its
+    whole job is commit-to-publish forwarding, publisher.go:168-213)
+    ships to its dashboard: publish-minus-commit lag distribution as
+    exact order statistics (min / p50 / p99 / max, percentile_disc
+    semantics via explicit row_number — never interpolated), plus the
+    1-second SLA breach count and rate. Partition 3 is planted as a
+    STRAGGLER (a flat 5-20 s extra delay on every message — the
+    hot-partition failure mode lag monitoring exists to catch), so
+    p99/SLA populations differ meaningfully across partitions and the
+    invariant test can pin the straggler's breach rate at 1.0 against
+    the healthy partitions' ~0.
+
+    Exactness: all lags are integer milliseconds from closed-form
+    commit/publish times (both engines render the identical feed);
+    order statistics are exact integers; the breach rate is the one
+    r4 float.
+
+    Scale shape: one shuffle on the partition id for the per-partition
+    rank (WindowGroupLimit-friendly), then a 4-row aggregate. At
+    100 TB the feed is the bridge's own emit log and the partition
+    count is the topic's — the plan is unchanged.
+    """
+    orders = load(spark, sf_dir, "orders")
+    feed = orders.selectExpr(
+        "CAST(o_orderkey % 4 AS BIGINT) AS partition_id",
+        "CAST(datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01')"
+        " AS BIGINT) * 86400000 AS commit_ms",
+        "CAST(datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01')"
+        " AS BIGINT) * 86400000"
+        " + 50 + (o_orderkey * 37) % 400"
+        " + CASE WHEN o_orderkey % 4 = 3"
+        " THEN 5000 + (o_orderkey * 11) % 20000 ELSE 0 END AS publish_ms",
+    )
+    lags = feed.selectExpr(
+        "partition_id", "publish_ms - commit_ms AS lag_ms"
+    )
+    wr = Window.partitionBy("partition_id").orderBy("lag_ms")
+    wc = Window.partitionBy("partition_id")
+    ranked = lags.select(
+        "partition_id",
+        "lag_ms",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    return (
+        ranked.groupBy("partition_id")
+        .agg(
+            F.max("n").cast("bigint").alias("n_messages"),
+            F.min("lag_ms").cast("bigint").alias("lag_min_ms"),
+            F.max(
+                F.expr(
+                    "CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)"
+                    " THEN lag_ms END"
+                )
+            )
+            .cast("bigint")
+            .alias("lag_p50_ms"),
+            F.max(
+                F.expr(
+                    "CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT)"
+                    " THEN lag_ms END"
+                )
+            )
+            .cast("bigint")
+            .alias("lag_p99_ms"),
+            F.max("lag_ms").cast("bigint").alias("lag_max_ms"),
+            F.sum(F.expr("CASE WHEN lag_ms > 1000 THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_sla_breaches"),
+        )
+        .selectExpr(
+            "partition_id",
+            "n_messages",
+            "lag_min_ms",
+            "lag_p50_ms",
+            "lag_p99_ms",
+            "lag_max_ms",
+            "n_sla_breaches",
+            "floor(CAST(n_sla_breaches AS DOUBLE) / n_messages"
+            " * 10000 + 0.5) / 10000 AS breach_rate",
+        )
+        .orderBy("partition_id")
+    )

@@ -879,3 +879,99 @@ def test_cuped_theta_exact_and_variance_identity(spark):
     # pooled reduction: weighted ratio strictly below 1 when theta != 0
     if theta != 0:
         assert any(r["var_ratio"] < 1.0 for r in rows)
+
+
+# --- wave G ------------------------------------------------------------------
+
+
+def test_inventory_policy_eoq_identity(spark):
+    """EOQ must satisfy its defining identity EOQ^2 = 2*D*S/H (D =
+    annualized mean weekly demand, S = 100, H = 2) to rounding, and
+    the reorder point must exceed lead-time demand by exactly the
+    safety stock."""
+    rows = _q("orders_inventory_policy", spark, SF_CORRECT).collect()
+    assert len(rows) == 25
+    for r in rows:
+        d_weekly = r["total_demand"] / r["n_weeks"]
+        eoq_sq_expected = 2 * 52 * d_weekly * 100 / 2
+        assert abs(r["eoq_units"] ** 2 - eoq_sq_expected) < eoq_sq_expected * 1e-3
+        mu_l = 2 * d_weekly
+        assert (
+            abs(r["reorder_point_units"] - (mu_l + r["safety_stock_units"]))
+            < 0.05
+        )
+        assert r["safety_stock_units"] >= 0
+
+
+def test_yoy_first_year_null_and_exact_ratio(spark):
+    """The first 12 months carry NULL growth; afterwards the ratio
+    recomputes exactly from the emitted revenue levels."""
+    rows = sorted(
+        _q("orders_yoy_growth", spark, SF_CORRECT).collect(),
+        key=lambda r: (r["year"], r["month"]),
+    )
+    by_ym = {(r["year"], r["month"]): r for r in rows}
+    for i, r in enumerate(rows):
+        prev = by_ym.get((r["year"] - 1, r["month"]))
+        if prev is None:
+            assert r["yoy_revenue_growth"] is None
+        else:
+            expect = prev and (r["revenue_cents"] / prev["revenue_cents"] - 1)
+            assert abs(r["yoy_revenue_growth"] - expect) < 2e-4
+    assert sum(1 for r in rows if r["yoy_revenue_growth"] is None) == 12
+
+
+def test_ulid_lex_order_is_time_order(spark):
+    """ULID's design property: the lexicographic minimum of the
+    rendered ids equals the render of the EARLIEST event (timestamp
+    prefix dominates), and parsed ms checksums equal the direct
+    epoch-ms sums — the full parse chain is load-bearing."""
+    from pyspark.sql import functions as F
+    from cdc_pubsub_spark.tables import load
+    from cdc_pubsub_spark.functions.scalar import _ulid_exprs
+
+    render, _, _ = _ulid_exprs("spark")
+    ev = load(spark, SF_CORRECT, "events")
+    truth = {
+        r["event_type"]: (r["s_ms"], r["u_first"])
+        for r in ev.selectExpr(
+            "event_type",
+            "unix_micros(CAST(ts AS TIMESTAMP)) div 1000 AS ms",
+            f"{render} AS u",
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("ms").alias("s_ms"),
+            F.expr("min_by(u, struct(ms, u))").alias("u_first"),
+        )
+        .collect()
+    }
+    for r in _q("fn_ulid_roundtrip", spark, SF_CORRECT).collect():
+        s_ms, u_first = truth[r["event_type"]]
+        assert r["ms_checksum"] == s_ms
+        assert r["lex_min_ulid"] == u_first
+        assert len(r["lex_min_ulid"]) == 26
+
+
+def test_replication_lag_straggler_and_order_stats(spark):
+    """Partition 3 is the planted straggler: breach rate 1.0 and p50
+    above the healthy partitions' p99; healthy partitions never breach
+    (max planted lag 449 ms < 1 s SLA); order statistics are
+    internally ordered min <= p50 <= p99 <= max."""
+    rows = {r["partition_id"]: r for r in _q("cdc_replication_lag", spark, SF_CORRECT).collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    for pid, r in rows.items():
+        assert (
+            r["lag_min_ms"]
+            <= r["lag_p50_ms"]
+            <= r["lag_p99_ms"]
+            <= r["lag_max_ms"]
+        )
+        if pid == 3:
+            assert r["breach_rate"] == 1.0
+            assert r["lag_p50_ms"] > max(
+                rows[p]["lag_p99_ms"] for p in (0, 1, 2)
+            )
+        else:
+            assert r["n_sla_breaches"] == 0
+            assert r["lag_max_ms"] < 1000
