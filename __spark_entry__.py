@@ -182,6 +182,11 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     "orders_yoy_growth",
     "fn_ulid_roundtrip",
     "cdc_replication_lag",
+    # r12 extension wave H
+    "fn_phone_e164_normalize",
+    "orders_duplicate_payments",
+    "text_ngram_saturation",
+    "events_anova_dow",
 }
 
 

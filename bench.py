@@ -122,6 +122,10 @@ PROBE_FIRST_ROUND = {
     "orders_yoy_growth",
     "fn_ulid_roundtrip",
     "cdc_replication_lag",
+    "fn_phone_e164_normalize",
+    "orders_duplicate_payments",
+    "text_ngram_saturation",
+    "events_anova_dow",
 }
 
 # Launch order seed: known-heavy ops first so they overlap the long tail

@@ -450,3 +450,114 @@ def fn_ulid_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- r12 extension wave H: phone number normalization --------------------------
+
+
+@register(
+    "fn_phone_e164_normalize",
+    category="functions",
+    oracle="""
+    WITH raw AS (
+      SELECT user_id,
+             CAST(user_id % 3 AS BIGINT) AS fmt,
+             200 + user_id % 800 AS area,
+             200 + (user_id * 7) % 800 AS exch,
+             1000 + (user_id * 13) % 9000 AS line
+      FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    rendered AS (
+      SELECT user_id, fmt,
+             CASE fmt
+               WHEN 0 THEN '+1 (' || area || ') ' || exch || '-' || line
+               WHEN 1 THEN area || '.' || exch || '.' || line
+               ELSE '1-' || area || '-' || exch || '-' || line
+             END AS phone,
+             area, exch, line
+      FROM raw
+    ),
+    normalized AS (
+      SELECT user_id, fmt, phone,
+             '+1' || right(regexp_replace(phone, '[^0-9]', '', 'g'), 10)
+               AS e164,
+             area, exch, line
+      FROM rendered
+    )
+    SELECT fmt AS format_class,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN e164 = '+1' || area || exch || line
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_normalized_ok,
+           CAST(sum(length(phone)) AS BIGINT) AS raw_len_sum,
+           CAST(sum(CAST(substr(e164, 3) AS BIGINT)) AS BIGINT)
+             AS digits_checksum
+    FROM normalized
+    GROUP BY fmt
+    ORDER BY fmt
+    """,
+)
+def fn_phone_e164_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PHONE-NUMBER NORMALIZATION to E.164 — the data-cleaning staple:
+    three real North American formats are rendered per user
+    ('+1 (415) 555-1234', '415.555.1234', '1-415-555-1234'), then
+    normalized by the standard recipe (strip every non-digit, keep the
+    LAST 10 digits, prefix '+1') — keeping the last 10 is what makes
+    the recipe immune to the optional leading country code, which two
+    of the three formats carry in different shapes. The oracle
+    reconstructs the expected E.164 from the source components, so the
+    regex strip, the right-10 slice, and the prefix are each
+    load-bearing per format class; a normalizer that keeps the FIRST
+    10 digits corrupts every format-0 and format-2 number.
+
+    Exactness: integer counts and a digits checksum (the 10-digit
+    number parsed back as a BIGINT). Scale shape: render and normalize
+    are row-local codegen (regexp_replace + slicing); one 3-key
+    aggregate after a distinct over the user domain.
+    """
+    ev = load(spark, sf_dir, "events")
+    raw = ev.select("user_id").distinct().selectExpr(
+        "user_id",
+        "CAST(user_id % 3 AS BIGINT) AS fmt",
+        "200 + user_id % 800 AS area",
+        "200 + (user_id * 7) % 800 AS exch",
+        "1000 + (user_id * 13) % 9000 AS line",
+    )
+    rendered = raw.selectExpr(
+        "user_id",
+        "fmt",
+        "CASE fmt"
+        " WHEN 0 THEN '+1 (' || area || ') ' || exch || '-' || line"
+        " WHEN 1 THEN area || '.' || exch || '.' || line"
+        " ELSE '1-' || area || '-' || exch || '-' || line"
+        " END AS phone",
+        "area",
+        "exch",
+        "line",
+    )
+    normalized = rendered.selectExpr(
+        "fmt",
+        "phone",
+        "'+1' || right(regexp_replace(phone, '[^0-9]', ''), 10) AS e164",
+        "area",
+        "exch",
+        "line",
+    )
+    return (
+        normalized.groupBy(F.col("fmt").alias("format_class"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN e164 = '+1' || area || exch || line"
+                    " THEN 1 ELSE 0 END"
+                )
+            )
+            .cast("bigint")
+            .alias("n_normalized_ok"),
+            F.sum(F.expr("length(phone)")).cast("bigint").alias("raw_len_sum"),
+            F.sum(F.expr("CAST(substring(e164, 3) AS BIGINT)"))
+            .cast("bigint")
+            .alias("digits_checksum"),
+        )
+        .orderBy("format_class")
+    )

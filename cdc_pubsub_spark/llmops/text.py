@@ -2530,3 +2530,96 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("checkpoint_pct")
     )
+
+
+# --- r12 extension wave H: n-gram saturation curve -----------------------------
+
+
+@register(
+    "text_ngram_saturation",
+    category="llm",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+    ),
+    grams AS (
+      SELECT n.n, unnest(
+               CASE WHEN len(t.ts) >= n.n THEN
+                 list_transform(range(0, len(t.ts) - n.n + 1),
+                   i -> array_to_string(t.ts[i + 1 : i + n.n], ' '))
+               ELSE [] END) AS g
+      FROM toks t CROSS JOIN (SELECT unnest([1, 2, 3]) AS n) n
+    ),
+    cells AS (
+      SELECT n, g, CAST(count(*) AS BIGINT) AS c FROM grams GROUP BY 1, 2
+    )
+    SELECT n AS ngram_order,
+           CAST(sum(c) AS BIGINT) AS total_ngrams,
+           CAST(count(*) AS BIGINT) AS distinct_ngrams,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS singleton_ngrams,
+           floor(CAST(count(*) AS DOUBLE) / sum(c) * 10000 + 0.5)
+             / 10000 AS saturation,
+           floor(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*) * 10000 + 0.5) / 10000 AS singleton_share
+    FROM cells
+    GROUP BY n
+    ORDER BY n
+    """,
+)
+def text_ngram_saturation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-GRAM SATURATION CURVE (n = 1, 2, 3) — the repeat-content
+    diagnostic behind dedup thresholds and contamination budgets: as n
+    grows, distinct/total must RISE toward 1 (higher-order contexts
+    repeat less) and the singleton share with it — the two curves a
+    data team reads to pick the shingle size where near-dup detection
+    stops paying. Both monotonicities are pinned in the invariant
+    test, along with the exact identity total_2gram = total_1gram −
+    n_docs (each doc contributes len−1 bigrams).
+
+    Determinism/plan notes: the token split is HOISTED into its own
+    projection before the n-gram transform (the inline-split-in-
+    lambda O(words²) trap, SKILL gotcha), short docs are guarded with
+    the same size >= n CASE on both engines (Spark's sequence()
+    DESCENDS on negative ranges and throws), and counts are exact
+    integers with two r4 display ratios.
+
+    Scale shape: one explode per n (a 3x fan-out of the token stream),
+    ONE hash aggregate to the (n, gram) cell relation — bounded by
+    vocabulary^n observed, not rows — then a 3-row roll-up.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.selectExpr("doc_id", "split(text, ' ') AS ts")
+    grams = toks.crossJoin(
+        spark.range(1, 4).selectExpr("CAST(id AS INT) AS n")
+    ).selectExpr(
+        "n",
+        "explode(CASE WHEN size(ts) >= n THEN"
+        " transform(sequence(0, size(ts) - n),"
+        " i -> concat_ws(' ', slice(ts, i + 1, n)))"
+        " ELSE array() END) AS g",
+    )
+    cells = grams.groupBy("n", "g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    return (
+        cells.groupBy("n")
+        .agg(
+            F.sum("c").cast("bigint").alias("total_ngrams"),
+            F.count(F.lit(1)).cast("bigint").alias("distinct_ngrams"),
+            F.sum(F.expr("CASE WHEN c = 1 THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("singleton_ngrams"),
+        )
+        .selectExpr(
+            "n AS ngram_order",
+            "total_ngrams",
+            "distinct_ngrams",
+            "singleton_ngrams",
+            "floor(CAST(distinct_ngrams AS DOUBLE) / total_ngrams"
+            " * 10000 + 0.5) / 10000 AS saturation",
+            "floor(CAST(singleton_ngrams AS DOUBLE) / distinct_ngrams"
+            " * 10000 + 0.5) / 10000 AS singleton_share",
+        )
+        .orderBy("ngram_order")
+    )

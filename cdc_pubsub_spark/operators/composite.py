@@ -10025,3 +10025,255 @@ def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         " floor((CAST(n_orders AS DOUBLE) / orders_prev - 1e0)"
         " * 10000 + 0.5) / 10000 END AS yoy_order_growth",
     ).orderBy("year", "month")
+
+
+# --- r12 extension wave H: duplicate payment detection -------------------------
+
+
+@register(
+    "orders_duplicate_payments",
+    category="composite",
+    oracle="""
+    WITH pay AS (
+      SELECT o_orderkey AS k, o_custkey AS cust,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                  AS BIGINT) AS day_idx,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    pairs AS (
+      SELECT a.cust,
+             a.k AS k_a, b.k AS k_b,
+             b.day_idx - a.day_idx AS day_gap,
+             CASE WHEN abs(b.cents - a.cents) * 100 <= a.cents
+                  THEN 1 ELSE 0 END AS amt_close
+      FROM pay a
+      JOIN pay b ON b.cust = a.cust
+                AND b.day_idx // 7 BETWEEN a.day_idx // 7
+                                       AND a.day_idx // 7 + 1
+                AND (b.day_idx > a.day_idx
+                     OR (b.day_idx = a.day_idx AND b.k > a.k))
+      WHERE b.day_idx - a.day_idx <= 7
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_candidate_pairs,
+           CAST(sum(amt_close) AS BIGINT) AS n_suspect_pairs,
+           CAST(count(DISTINCT CASE WHEN amt_close = 1 THEN cust END)
+                AS BIGINT) AS n_flagged_customers,
+           CAST(sum(CASE WHEN amt_close = 1 THEN k_a + k_b ELSE 0 END)
+                AS BIGINT) AS pair_checksum,
+           CAST(min(CASE WHEN amt_close = 1 THEN day_gap END) AS BIGINT)
+             AS min_gap_days,
+           CAST(max(CASE WHEN amt_close = 1 THEN day_gap END) AS BIGINT)
+             AS max_gap_days
+    FROM pairs
+    """,
+)
+def orders_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DUPLICATE-PAYMENT AUDIT — the accounts-payable fraud/error
+    check: two orders by the SAME customer within 7 days whose amounts
+    differ by <= 1% are suspect double-bookings. The candidate space is
+    pruned the scale-safe way (pairs oriented earlier-first by
+    (day, key), so date order never silently drops a pair whose key
+    order disagrees): an EQUI-join on (customer, week bucket)
+    with each left row probing its own and the NEXT week bucket (the
+    banded-join device — a 7-day window can span at most two 7-day
+    buckets, so recall is exactly 1 by the pigeonhole argument, pinned
+    in the invariant test against a direct small-slice replay), and
+    the 1% amount predicate is integer algebra
+    (|delta| * 100 <= cents) evaluated only on same-bucket candidates.
+    A naive day-range theta-join would be a BroadcastNestedLoop over
+    the fact table; this plan is hash joins end to end.
+
+    Exactness: integer cents, day indexes, counts, and an order-key
+    checksum of the suspect pairs; no floats at all. Output is the
+    one-row audit summary (pair counts, flagged customers, gap
+    bounds).
+
+    Scale shape: self-join co-partitioned on (cust, week) with fanout
+    bounded by per-customer weekly order counts (the basket_brand_pairs
+    argument); one global aggregate after.
+    """
+    orders = load(spark, sf_dir, "orders")
+    pay = orders.selectExpr(
+        "o_orderkey AS k",
+        "o_custkey AS cust",
+        "CAST(datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01')"
+        " AS BIGINT) AS day_idx",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents",
+    )
+    a = pay.selectExpr(
+        "k AS k_a",
+        "cust",
+        "day_idx AS day_a",
+        "cents AS cents_a",
+        "day_idx div 7 AS wk_a",
+    )
+    b = pay.selectExpr(
+        "k AS k_b",
+        "cust AS cust_b",
+        "day_idx AS day_b",
+        "cents AS cents_b",
+        "explode(array(day_idx div 7, day_idx div 7 - 1)) AS wk_probe",
+    )
+    pairs = a.join(
+        b,
+        (F.col("cust") == F.col("cust_b"))
+        & (F.col("wk_a") == F.col("wk_probe"))
+        & F.expr(
+            "day_b > day_a OR (day_b = day_a AND k_b > k_a)"
+        ),
+    ).filter("day_b - day_a <= 7").selectExpr(
+        "cust",
+        "k_a",
+        "k_b",
+        "day_b - day_a AS day_gap",
+        "CASE WHEN abs(cents_b - cents_a) * 100 <= cents_a"
+        " THEN 1 ELSE 0 END AS amt_close",
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidate_pairs"),
+        F.sum("amt_close").cast("bigint").alias("n_suspect_pairs"),
+        F.countDistinct(
+            F.expr("CASE WHEN amt_close = 1 THEN cust END")
+        )
+        .cast("bigint")
+        .alias("n_flagged_customers"),
+        F.sum(F.expr("CASE WHEN amt_close = 1 THEN k_a + k_b ELSE 0 END"))
+        .cast("bigint")
+        .alias("pair_checksum"),
+        F.min(F.expr("CASE WHEN amt_close = 1 THEN day_gap END"))
+        .cast("bigint")
+        .alias("min_gap_days"),
+        F.max(F.expr("CASE WHEN amt_close = 1 THEN day_gap END"))
+        .cast("bigint")
+        .alias("max_gap_days"),
+    )
+
+
+# --- r12 extension wave H: one-way ANOVA across weekdays ------------------------
+
+
+@register(
+    "events_anova_dow",
+    category="composite",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(epoch_us(date_trunc('day', ts)) // 86400000000
+                  AS BIGINT) % 7 AS dow,
+             CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    grp AS (
+      SELECT dow, CAST(count(*) AS BIGINT) AS n_g,
+             CAST(sum(x) AS BIGINT) AS s_g,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS q_g
+      FROM daily GROUP BY dow
+    ),
+    tot AS (
+      SELECT CAST(sum(n_g) AS BIGINT) AS n, CAST(sum(s_g) AS BIGINT) AS s,
+             CAST(sum(q_g) AS HUGEINT) AS q,
+             CAST(count(*) AS BIGINT) AS k
+      FROM grp
+    ),
+    ss AS (
+      SELECT t.n, t.k,
+             CAST(t.n AS HUGEINT) * t.q - CAST(t.s AS HUGEINT) * t.s
+               AS sst_n,
+             CAST(sum(CAST(floor(
+               CAST((CAST(g.s_g AS HUGEINT) * t.n
+                     - CAST(g.n_g AS HUGEINT) * t.s)
+                    * (CAST(g.s_g AS HUGEINT) * t.n
+                       - CAST(g.n_g AS HUGEINT) * t.s) AS DOUBLE)
+               / (CAST(g.n_g AS DOUBLE) * t.n) + 0.5) AS BIGINT))
+               AS BIGINT) AS ssb_n
+      FROM grp g CROSS JOIN tot t
+      GROUP BY t.n, t.k, sst_n
+    )
+    SELECT n AS n_days, k AS n_groups,
+           floor(CAST(ssb_n AS DOUBLE) / CAST(sst_n AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000 AS eta_squared,
+           floor((CAST(ssb_n AS DOUBLE) / (k - 1))
+                 / ((CAST(sst_n AS DOUBLE) - CAST(ssb_n AS DOUBLE))
+                    / (n - k))
+                 * 10000 + 0.5) / 10000 AS f_stat,
+           (CAST(ssb_n AS DOUBLE) / (k - 1))
+             / ((CAST(sst_n AS DOUBLE) - CAST(ssb_n AS DOUBLE))
+                / (n - k)) > 2.51e0 AS significant_5pct
+    FROM ss
+    """,
+)
+def events_anova_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE-WAY ANOVA of daily revenue across weekday groups — the
+    k-group generalization of events_ab_test's two-sample t: does the
+    day of week explain revenue variance? F = (SSB/(k−1)) /
+    (SSW/(n−k)) with the 5% critical value 2.51 for df ≈ (6, 23), and
+    eta² = SSB/SST as the effect size. The variance decomposition
+    SST = SSB + SSW is EXACT in rational arithmetic — the invariant
+    test re-derives all three sums of squares with Fractions and pins
+    the identity plus both emitted statistics.
+
+    Determinism: group and total moments are exact wide integers;
+    SSB's per-group term (s_g·n − n_g·s)²/(n_g·n) is the one rational
+    quantity, quantized to the integer n-scaled unit per group BEFORE
+    the cross-group sum (the ml_calibration_bins device), so the F
+    ratio is a pinned double over two integers. Weekday comes from the
+    epoch-day index mod 7 — timezone-free and identical on both
+    engines.
+
+    Scale shape: calendar-collapse groupBy, a 7-row group-moment
+    aggregate, one broadcast total. Nothing data-sized after the
+    first aggregate.
+    """
+    daily = (
+        load(spark, sf_dir, "events")
+        .selectExpr(
+            "CAST(date_trunc('DAY', ts) AS DATE) AS d",
+            "(unix_micros(date_trunc('DAY', CAST(ts AS TIMESTAMP)))"
+            " div 86400000000) % 7 AS dow",
+            "value",
+        )
+        .groupBy("d", "dow")
+        .agg(
+            F.expr("CAST(floor(sum(value) * 100 + 0.5) AS BIGINT)").alias("x")
+        )
+    )
+    wide = "DECIMAL(38,0)"
+    grp = daily.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum("x").cast("bigint").alias("s_g"),
+        F.sum(F.expr(f"CAST(x AS {wide}) * x")).alias("q_g"),
+    )
+    tot = grp.groupBy().agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum("s_g").cast("bigint").alias("s"),
+        F.sum("q_g").cast(wide).alias("q"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    ss = (
+        grp.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "n",
+            "k",
+            f"CAST(n AS {wide}) * q - CAST(s AS {wide}) * s AS sst_n",
+            f"CAST(floor(CAST((CAST(s_g AS {wide}) * n"
+            f" - CAST(n_g AS {wide}) * s)"
+            f" * (CAST(s_g AS {wide}) * n - CAST(n_g AS {wide}) * s)"
+            " AS DOUBLE) / (CAST(n_g AS DOUBLE) * n) + 0.5)"
+            " AS BIGINT) AS ssb_term",
+        )
+        .groupBy("n", "k", "sst_n")
+        .agg(F.sum("ssb_term").cast("bigint").alias("ssb_n"))
+    )
+    f_expr = (
+        "(CAST(ssb_n AS DOUBLE) / (k - 1))"
+        " / ((CAST(sst_n AS DOUBLE) - CAST(ssb_n AS DOUBLE)) / (n - k))"
+    )
+    return ss.selectExpr(
+        "n AS n_days",
+        "k AS n_groups",
+        "floor(CAST(ssb_n AS DOUBLE) / CAST(sst_n AS DOUBLE)"
+        " * 1000000 + 0.5) / 1000000 AS eta_squared",
+        f"floor({f_expr} * 10000 + 0.5) / 10000 AS f_stat",
+        f"{f_expr} > 2.51e0 AS significant_5pct",
+    )

@@ -975,3 +975,129 @@ def test_replication_lag_straggler_and_order_stats(spark):
         else:
             assert r["n_sla_breaches"] == 0
             assert r["lag_max_ms"] < 1000
+
+
+# --- wave H ------------------------------------------------------------------
+
+
+def test_phone_normalize_all_formats_ok(spark):
+    """Every rendered number in every format class must normalize to
+    its exact expected E.164 (n_normalized_ok == n), and the three
+    format classes partition the user population."""
+    from cdc_pubsub_spark.tables import load
+
+    rows = _q("fn_phone_e164_normalize", spark, SF_CORRECT).collect()
+    assert {r["format_class"] for r in rows} == {0, 1, 2}
+    n_users = (
+        load(spark, SF_CORRECT, "events").select("user_id").distinct().count()
+    )
+    assert sum(r["n"] for r in rows) == n_users
+    for r in rows:
+        assert r["n_normalized_ok"] == r["n"]
+        assert r["digits_checksum"] > 0
+
+
+def test_duplicate_payments_banded_recall_replay(spark):
+    """Recall-1 of the (customer, week)-banded candidate join: a
+    direct python replay over one customer slice finds exactly the
+    suspect pairs the op counts (pigeonhole: a <=7-day window spans at
+    most two 7-day buckets)."""
+    from pyspark.sql import functions as F
+    from cdc_pubsub_spark.tables import load
+
+    pay = (
+        load(spark, SF_CORRECT, "orders")
+        .selectExpr(
+            "o_orderkey AS k",
+            "o_custkey AS cust",
+            "CAST(datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01')"
+            " AS BIGINT) AS day_idx",
+            "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents",
+        )
+        .collect()
+    )
+    by_cust: dict = {}
+    for r in pay:
+        by_cust.setdefault(r["cust"], []).append(
+            (r["day_idx"], r["k"], r["cents"])
+        )
+    n_suspect = checksum = 0
+    for pts in by_cust.values():
+        pts.sort()
+        for i in range(len(pts)):
+            for j in range(i + 1, len(pts)):
+                da, ka, ca = pts[i]
+                db, kb, cb = pts[j]
+                if db - da > 7:
+                    break
+                if abs(cb - ca) * 100 <= ca:
+                    n_suspect += 1
+                    checksum += ka + kb
+    got = _q("orders_duplicate_payments", spark, SF_CORRECT).collect()[0]
+    assert got["n_suspect_pairs"] == n_suspect
+    assert got["pair_checksum"] == checksum
+    assert got["n_suspect_pairs"] > 0  # population exists at sf0.01
+
+
+def test_ngram_saturation_monotone_and_bigram_identity(spark):
+    """Saturation and singleton share rise with n; the exact identity
+    total_2gram = total_1gram - n_docs holds (each doc of L tokens
+    contributes L-1 bigrams)."""
+    from cdc_pubsub_spark.tables import load
+
+    rows = {r["ngram_order"]: r for r in _q("text_ngram_saturation", spark, SF_CORRECT).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["saturation"] < rows[2]["saturation"] < rows[3]["saturation"]
+    assert (
+        rows[1]["singleton_share"]
+        < rows[2]["singleton_share"]
+        < rows[3]["singleton_share"]
+    )
+    n_docs = load(spark, SF_CORRECT, "documents").count()
+    assert rows[2]["total_ngrams"] == rows[1]["total_ngrams"] - n_docs
+    assert rows[3]["total_ngrams"] == rows[2]["total_ngrams"] - n_docs
+
+
+def test_anova_decomposition_exact(spark):
+    """SST = SSB + SSW exactly in Fractions from the daily series; the
+    emitted F and eta^2 match the exact values to quantization."""
+    from fractions import Fraction as Fr
+
+    from pyspark.sql import functions as F
+    from cdc_pubsub_spark.tables import load
+
+    daily = (
+        load(spark, SF_CORRECT, "events")
+        .selectExpr(
+            "(unix_micros(date_trunc('DAY', CAST(ts AS TIMESTAMP)))"
+            " div 86400000000) % 7 AS dow",
+            "CAST(date_trunc('DAY', ts) AS DATE) AS d",
+            "value",
+        )
+        .groupBy("d", "dow")
+        .agg(F.expr("CAST(floor(sum(value)*100+0.5) AS BIGINT)").alias("x"))
+        .collect()
+    )
+    xs = [(int(r["dow"]), int(r["x"])) for r in daily]
+    n = len(xs)
+    s = sum(x for _, x in xs)
+    groups: dict = {}
+    for g, x in xs:
+        groups.setdefault(g, []).append(x)
+    k = len(groups)
+    sst = sum(Fr(x, 1) ** 2 for _, x in xs) - Fr(s * s, n)
+    ssb = sum(
+        Fr(sum(v) ** 2, len(v)) for v in groups.values()
+    ) - Fr(s * s, n)
+    ssw = sum(
+        sum(Fr(x, 1) ** 2 for x in v) - Fr(sum(v) ** 2, len(v))
+        for v in groups.values()
+    )
+    assert sst == ssb + ssw  # exact decomposition
+    f_exact = (ssb / (k - 1)) / (ssw / (n - k))
+    eta_exact = ssb / sst
+    got = _q("events_anova_dow", spark, SF_CORRECT).collect()[0]
+    assert got["n_days"] == n and got["n_groups"] == k
+    assert abs(got["f_stat"] - float(f_exact)) < 5e-3
+    assert abs(got["eta_squared"] - float(eta_exact)) < 5e-5
+    assert got["significant_5pct"] == (float(f_exact) > 2.51)
