@@ -187,6 +187,11 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     "orders_duplicate_payments",
     "text_ngram_saturation",
     "events_anova_dow",
+    # r12 extension wave I
+    "scan_robots_txt_compliance",
+    "orders_fx_normalize",
+    "ml_learning_curve_ols",
+    "profile_join_cardinality_estimate",
 }
 
 

@@ -126,6 +126,10 @@ PROBE_FIRST_ROUND = {
     "orders_duplicate_payments",
     "text_ngram_saturation",
     "events_anova_dow",
+    "scan_robots_txt_compliance",
+    "orders_fx_normalize",
+    "ml_learning_curve_ols",
+    "profile_join_cardinality_estimate",
 }
 
 # Launch order seed: known-heavy ops first so they overlap the long tail

@@ -4035,3 +4035,137 @@ def ml_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_pubsub_spark.tables import finalize_cached
 
     return finalize_cached(out, joint)
+
+
+# --- r12 extension wave I: OLS learning curve -----------------------------------
+
+
+@register(
+    "ml_learning_curve_ols",
+    category="similarity",
+    oracle="""
+    WITH rows_in AS (
+      SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS x,
+             CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                  AS BIGINT) AS y,
+             ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-'
+                || CAST(l_linenumber AS VARCHAR)), 1, 15))::BIGINT % 4
+               AS h
+      FROM lineitem
+    ),
+    fracs AS (
+      SELECT f.f AS frac_pct,
+             CAST(count(*) FILTER (WHERE r.h < f.f * 4 // 100)
+                  AS BIGINT) AS n,
+             CAST(sum(r.x) FILTER (WHERE r.h < f.f * 4 // 100)
+                  AS BIGINT) AS sx,
+             CAST(sum(r.y) FILTER (WHERE r.h < f.f * 4 // 100)
+                  AS BIGINT) AS sy,
+             CAST(sum(CAST(r.x AS HUGEINT) * r.y)
+                  FILTER (WHERE r.h < f.f * 4 // 100) AS HUGEINT) AS sxy,
+             CAST(sum(CAST(r.x AS HUGEINT) * r.x)
+                  FILTER (WHERE r.h < f.f * 4 // 100) AS HUGEINT) AS sxx,
+             CAST(sum(CAST(r.y AS HUGEINT) * r.y)
+                  FILTER (WHERE r.h < f.f * 4 // 100) AS HUGEINT) AS syy
+      FROM rows_in r CROSS JOIN (SELECT unnest([25, 50, 100]) AS f) f
+      GROUP BY f.f
+    ),
+    fitted AS (
+      SELECT frac_pct, n,
+             CAST((CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)
+                  * 1000000
+                  // (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+                  AS BIGINT) AS slope_micro,
+             CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS gyy,
+             CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS gxy,
+             CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS gxx
+      FROM fracs
+    )
+    SELECT frac_pct, n AS n_train,
+           floor(CAST(slope_micro AS DOUBLE) / 1e6 * 10000 + 0.5) / 10000
+             AS slope_net_per_gross,
+           floor(sqrt((CAST(gyy AS DOUBLE)
+                       - CAST(slope_micro AS DOUBLE) / 1e6
+                         * CAST(gxy AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * n)) / 100 * 100 + 0.5) / 100
+             AS rmse_dollars,
+           floor(CAST(gxy AS DOUBLE) * CAST(gxy AS DOUBLE)
+                 / (CAST(gxx AS DOUBLE) * CAST(gyy AS DOUBLE))
+                 * 10000 + 0.5) / 10000 AS r_squared
+    FROM fitted
+    ORDER BY frac_pct
+    """,
+)
+def ml_learning_curve_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS LEARNING CURVE — model quality vs training-set size (25%,
+    50%, 100% nested portable-hash slices): the diagnostic that
+    separates "need more data" from "need more features" (train error
+    flat across sizes = bias-limited; here R² must be stable while the
+    SLOPE estimate converges, both pinned). The fitted pair is gross
+    line price → discounted price, whose true slope is the mean
+    discount complement (~0.95) — a strongly-linear planted relation,
+    chosen after the first cut (quantity → price) measured slope
+    swings of 60% between nested samples: unit price dominates that
+    pair and the convergence pin was unverifiable. The scale trick: all three
+    fits come from ONE pass — per-fraction moments are FILTER-ed
+    conditional aggregates over the same scan (nested slices h < 1,
+    h < 2, h < 4 of the md5 % 4 bucket), so the learning curve costs
+    one aggregate regardless of how many fractions it sweeps.
+
+    Determinism: slices use the cross-engine md5 hash family (the
+    dedup_minhash_banded bridge); moments are exact wide integers;
+    the slope is a micro-quantized integer ratio; RMSE and R² are
+    pinned double expressions over those integers (R² via the
+    gxy²/(gxx·gyy) identity — no per-row residual pass).
+
+    Scale shape: one map-side-combinable aggregate (3-row output);
+    nothing else touches data.
+    """
+    li = load(spark, sf_dir, "lineitem").selectExpr(
+        "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS x",
+        "CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)"
+        " AS BIGINT) AS y",
+        "CAST(conv(substr(md5(CAST(l_orderkey AS STRING) || '-'"
+        " || CAST(l_linenumber AS STRING)), 1, 15), 16, 10) AS BIGINT)"
+        " % 4 AS h",
+    )
+    wide = "DECIMAL(38,0)"
+    fracs = li.crossJoin(
+        F.broadcast(
+            spark.range(0, 3).selectExpr(
+                "element_at(array(25, 50, 100), CAST(id + 1 AS INT))"
+                " AS frac_pct"
+            )
+        )
+    ).filter("h < frac_pct * 4 div 100").groupBy("frac_pct").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.expr(f"CAST(x AS {wide}) * y")).alias("sxy"),
+        F.sum(F.expr(f"CAST(x AS {wide}) * x")).alias("sxx"),
+        F.sum(F.expr(f"CAST(y AS {wide}) * y")).alias("syy"),
+    )
+    fitted = fracs.selectExpr(
+        "frac_pct",
+        "n",
+        f"CAST((CAST(n AS {wide}) * sxy - CAST(sx AS {wide}) * sy)"
+        " * 1000000"
+        f" div (CAST(n AS {wide}) * sxx - CAST(sx AS {wide}) * sx)"
+        " AS BIGINT) AS slope_micro",
+        f"CAST(n AS {wide}) * syy - CAST(sy AS {wide}) * sy AS gyy",
+        f"CAST(n AS {wide}) * sxy - CAST(sx AS {wide}) * sy AS gxy",
+        f"CAST(n AS {wide}) * sxx - CAST(sx AS {wide}) * sx AS gxx",
+    )
+    return fitted.selectExpr(
+        "frac_pct",
+        "n AS n_train",
+        "floor(CAST(slope_micro AS DOUBLE) / 1e6 * 10000 + 0.5) / 10000"
+        " AS slope_net_per_gross",
+        "floor(sqrt((CAST(gyy AS DOUBLE)"
+        " - CAST(slope_micro AS DOUBLE) / 1e6 * CAST(gxy AS DOUBLE))"
+        " / (CAST(n AS DOUBLE) * n)) / 100 * 100 + 0.5) / 100"
+        " AS rmse_dollars",
+        "floor(CAST(gxy AS DOUBLE) * CAST(gxy AS DOUBLE)"
+        " / (CAST(gxx AS DOUBLE) * CAST(gyy AS DOUBLE))"
+        " * 10000 + 0.5) / 10000 AS r_squared",
+    ).orderBy("frac_pct")

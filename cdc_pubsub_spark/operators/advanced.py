@@ -2780,3 +2780,103 @@ def profile_fd_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fd_name")
     )
+
+
+# --- r12 extension wave I: histogram join-cardinality estimation ----------------
+
+
+@register(
+    "profile_join_cardinality_estimate",
+    category="profile",
+    oracle="""
+    WITH widths AS (SELECT unnest([1, 64, 4096]) AS w),
+    ho AS (
+      SELECT w.w, o_orderkey // w.w AS b, CAST(count(*) AS BIGINT) AS c
+      FROM orders CROSS JOIN widths w GROUP BY 1, 2
+    ),
+    hl AS (
+      SELECT w.w, l_orderkey // w.w AS b, CAST(count(*) AS BIGINT) AS c
+      FROM lineitem CROSS JOIN widths w GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT ho.w,
+             CAST(sum(CAST(ho.c AS HUGEINT) * hl.c) // max(ho.w)
+                  AS BIGINT) AS est_rows
+      FROM ho JOIN hl ON hl.w = ho.w AND hl.b = ho.b
+      GROUP BY ho.w
+    ),
+    actual AS (
+      SELECT CAST(count(*) AS BIGINT) AS actual_rows
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT e.w AS bucket_width, e.est_rows, a.actual_rows,
+           floor(abs(CAST(e.est_rows AS DOUBLE) - a.actual_rows)
+                 / a.actual_rows * 10000 + 0.5) / 10000 AS rel_error
+    FROM est e CROSS JOIN actual a
+    ORDER BY e.w
+    """,
+)
+def profile_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HISTOGRAM JOIN-CARDINALITY ESTIMATION — the optimizer statistic
+    behind every cost-based join order: estimate |orders ⋈ lineitem|
+    from per-side equi-width key histograms as est = Σ_b h_o(b)·h_l(b)
+    / width (the uniform-within-bucket assumption of System R
+    descendants), swept at widths {1, 64, 4096} against the true join
+    count. Width 1 is the per-value histogram, whose estimate is
+    EXACTLY the join size (Σ_k c_o(k)·c_l(k) — the identity the
+    invariant test pins); wider buckets trade memory for error, and
+    the emitted rel_error curve is the quantitative version of "why
+    your optimizer wants bigger stats". Division happens ONCE after
+    the exact integer product sum (never per-bucket), so est is a pure
+    integer on both engines.
+
+    Scale shape: each histogram is one map-side-combinable aggregate
+    (3x width fan-out); the estimate is an equi-join of the two
+    histograms on (width, bucket) — bucket-domain-sized; the actual
+    count is the real join once, for ground truth. At 100 TB the
+    histograms ARE the cheap pass and the actual-join column is what
+    the estimator saves you from computing.
+    """
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    widths = spark.range(0, 3).selectExpr(
+        "element_at(array(1, 64, 4096), CAST(id + 1 AS INT)) AS w"
+    )
+    ho = (
+        orders.crossJoin(F.broadcast(widths))
+        .groupBy("w", F.expr("o_orderkey div w").alias("b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    hl = (
+        li.crossJoin(F.broadcast(widths))
+        .groupBy("w", F.expr("l_orderkey div w").alias("b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    est = (
+        ho.join(
+            hl.selectExpr("w AS w_l", "b AS b_l", "c AS c_l"),
+            (F.col("w") == F.col("w_l")) & (F.col("b") == F.col("b_l")),
+        )
+        .groupBy("w")
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(c AS DECIMAL(38,0)) * c_l) div max(w)"
+                " AS BIGINT)"
+            ).alias("est_rows")
+        )
+    )
+    actual = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("actual_rows"))
+    )
+    return (
+        est.crossJoin(F.broadcast(actual))
+        .selectExpr(
+            "w AS bucket_width",
+            "est_rows",
+            "actual_rows",
+            "floor(abs(CAST(est_rows AS DOUBLE) - actual_rows)"
+            " / actual_rows * 10000 + 0.5) / 10000 AS rel_error",
+        )
+        .orderBy("bucket_width")
+    )

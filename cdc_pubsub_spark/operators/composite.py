@@ -10277,3 +10277,97 @@ def events_anova_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"floor({f_expr} * 10000 + 0.5) / 10000 AS f_stat",
         f"{f_expr} > 2.51e0 AS significant_5pct",
     )
+
+
+# --- r12 extension wave I: multi-currency normalization -------------------------
+
+
+@register(
+    "orders_fx_normalize",
+    category="composite",
+    oracle="""
+    WITH fx AS (
+      SELECT c.c AS curr_id,
+             CASE WHEN c.c = 0 THEN 1000000
+                  ELSE 200000 + c.c * 337000 END AS rate_ppm
+      FROM (SELECT unnest(range(0, 5)) AS c) c
+    ),
+    booked AS (
+      SELECT o.o_orderkey,
+             CAST(cu.c_nationkey % 5 AS BIGINT) AS curr_id,
+             CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders o JOIN customer cu ON cu.c_custkey = o.o_custkey
+    ),
+    conv AS (
+      SELECT b.curr_id, b.cents,
+             CAST(b.cents AS HUGEINT) * f.rate_ppm // 1000000 AS usd_cents,
+             CAST(b.cents AS HUGEINT) * f.rate_ppm
+               // (SELECT rate_ppm FROM fx WHERE curr_id = 3) AS eur_cents
+      FROM booked b JOIN fx f ON f.curr_id = b.curr_id
+    )
+    SELECT curr_id,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS native_cents,
+           CAST(sum(usd_cents) AS BIGINT) AS usd_cents,
+           CAST(sum(eur_cents) AS BIGINT) AS eur_cents
+    FROM conv
+    GROUP BY curr_id
+    ORDER BY curr_id
+    """,
+)
+def orders_fx_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-CURRENCY NORMALIZATION with CROSS-RATE TRIANGULATION — the
+    finance-pipeline staple: orders book in the customer's currency
+    (nation-derived, 5 currencies; id 0 is the USD base with rate
+    exactly 1.0), and every amount is restated in USD (via the ppm
+    rate table) and in currency 3 by triangulating THROUGH the ppm
+    rates (amount · rate_c / rate_3) — the way real FX normalization
+    works when only base-currency rates are published. All conversion
+    arithmetic is integer: cents × rate_ppm is exact in
+    DECIMAL(38,0)/HUGEINT and the ppm divisions truncate identically
+    on both engines, so there is no float anywhere. The invariant test
+    pins the base-rate identity (usd == native for currency 0) and
+    triangulation consistency (per-order EUR sums vs the aggregate
+    conversion agree to accumulated truncation, < 1 cent per order).
+
+    Scale shape: one broadcast dim join (customer at this sf;
+    co-partitioned at 100 TB), a broadcast 5-row rate table (with the
+    scalar rate_3 folded in as a second broadcast), one 5-key
+    aggregate.
+    """
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    fx = spark.range(0, 5).selectExpr(
+        "CAST(id AS BIGINT) AS curr_id",
+        "CASE WHEN id = 0 THEN 1000000"
+        " ELSE 200000 + id * 337000 END AS rate_ppm",
+    )
+    rate3 = fx.filter("curr_id = 3").selectExpr("rate_ppm AS rate3_ppm")
+    booked = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).selectExpr(
+        "CAST(c_nationkey % 5 AS BIGINT) AS curr_id",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents",
+    )
+    conv = (
+        booked.join(F.broadcast(fx), "curr_id")
+        .crossJoin(F.broadcast(rate3))
+        .selectExpr(
+            "curr_id",
+            "cents",
+            "CAST(cents AS DECIMAL(38,0)) * rate_ppm div 1000000"
+            " AS usd_cents",
+            "CAST(cents AS DECIMAL(38,0)) * rate_ppm div rate3_ppm"
+            " AS eur_cents",
+        )
+    )
+    return (
+        conv.groupBy("curr_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("native_cents"),
+            F.sum("usd_cents").cast("bigint").alias("usd_cents"),
+            F.sum("eur_cents").cast("bigint").alias("eur_cents"),
+        )
+        .orderBy("curr_id")
+    )

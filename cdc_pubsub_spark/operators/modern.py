@@ -1479,3 +1479,169 @@ def scan_ics_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- r12 extension wave I: robots.txt compliance evaluation --------------------
+
+
+@register(
+    "scan_robots_txt_compliance",
+    category="modern",
+    oracle="""
+    WITH rules AS (
+      -- per source: directives derived in closed form; rule_id 0 is
+      -- the broad disallow, 1 a deeper allow that overrides it by
+      -- LONGEST MATCH, 2 an unrelated disallow.
+      SELECT s.source,
+             r.r AS rule_id,
+             CASE r.r
+               WHEN 0 THEN '/data/'
+               WHEN 1 THEN '/data/public/'
+               ELSE '/tmp' || CAST(s.src_num % 4 AS VARCHAR) || '/'
+             END AS path_prefix,
+             CASE r.r WHEN 1 THEN 'allow' ELSE 'disallow' END AS verb
+      FROM (SELECT DISTINCT source,
+                   CAST(substr(source, 4) AS BIGINT) AS src_num
+            FROM documents) s
+      CROSS JOIN (SELECT unnest(range(0, 3)) AS r) r
+    ),
+    reqs AS (
+      SELECT doc_id, source,
+             CASE CAST(doc_id % 4 AS BIGINT)
+               WHEN 0 THEN '/data/file' || CAST(doc_id AS VARCHAR)
+               WHEN 1 THEN '/data/public/file' || CAST(doc_id AS VARCHAR)
+               WHEN 2 THEN '/tmp' || CAST(doc_id % 4 AS VARCHAR)
+                          || '/f' || CAST(doc_id AS VARCHAR)
+               ELSE '/open/f' || CAST(doc_id AS VARCHAR)
+             END AS path
+      FROM documents
+    ),
+    matched AS (
+      SELECT q.doc_id, q.source, q.path,
+             max(CASE WHEN q.path LIKE r.path_prefix || '%'
+                      THEN length(r.path_prefix) ELSE -1 END) AS best_len
+      FROM reqs q
+      JOIN rules r ON r.source = q.source
+      GROUP BY 1, 2, 3
+    ),
+    verdicts AS (
+      SELECT m.doc_id, m.source,
+             CASE WHEN m.best_len = -1 THEN 'allow'
+                  ELSE max(CASE WHEN m.path LIKE r.path_prefix || '%'
+                            AND length(r.path_prefix) = m.best_len
+                           THEN r.verb END)
+             END AS verdict
+      FROM matched m
+      JOIN rules r ON r.source = m.source
+      GROUP BY m.doc_id, m.source, m.best_len, m.path
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_requests,
+           CAST(sum(CASE WHEN verdict = 'allow' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_allowed,
+           CAST(sum(CASE WHEN verdict = 'disallow' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_disallowed,
+           CAST(sum(CASE WHEN verdict = 'allow' THEN doc_id ELSE 0 END)
+                AS BIGINT) AS allowed_checksum
+    FROM verdicts
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def scan_robots_txt_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBOTS.TXT COMPLIANCE EVALUATION — the crawl-governance step a
+    web-corpus pipeline runs before fetching (and re-runs when
+    policies change): each source publishes three directives (a broad
+    `Disallow: /data/`, a deeper `Allow: /data/public/` that must WIN
+    by the longest-match rule — the google/REP semantics, RFC 9309 —
+    and a source-specific disallow), and every document URL is
+    evaluated against its source's ruleset. The doc_id % 4 == 1 slice
+    lands exactly in the allow-overrides-disallow shadow: a
+    first-match or shortest-match evaluator flags those as blocked and
+    the allowed checksum diverges immediately — longest-match is the
+    load-bearing semantics, with no-match defaulting to allow.
+
+    Exactness: verdicts are string algebra over exact prefix lengths;
+    counts and the doc_id checksum are integers.
+
+    Scale shape: rules are a 3-per-source broadcast relation; the
+    evaluation is an equi-join on source with prefix predicates
+    evaluated row-locally, then a two-phase longest-match argmax
+    (max length, then the verb at that length) — both aggregates keyed
+    by (doc, source), map-side combinable. At crawl scale the rules
+    side stays tiny and broadcast; the requests side is the scan.
+    """
+    docs = load(spark, sf_dir, "documents")
+    rules = (
+        docs.selectExpr(
+            "source", "CAST(substring(source, 4) AS BIGINT) AS src_num"
+        )
+        .distinct()
+        .selectExpr(
+            "source",
+            "stack(3,"
+            " 0, '/data/', 'disallow',"
+            " 1, '/data/public/', 'allow',"
+            " 2, '/tmp' || CAST(src_num % 4 AS STRING) || '/', 'disallow'"
+            ") AS (rule_id, path_prefix, verb)",
+        )
+    )
+    reqs = docs.selectExpr(
+        "doc_id",
+        "source",
+        "CASE CAST(doc_id % 4 AS BIGINT)"
+        " WHEN 0 THEN '/data/file' || CAST(doc_id AS STRING)"
+        " WHEN 1 THEN '/data/public/file' || CAST(doc_id AS STRING)"
+        " WHEN 2 THEN '/tmp' || CAST(doc_id % 4 AS STRING)"
+        "  || '/f' || CAST(doc_id AS STRING)"
+        " ELSE '/open/f' || CAST(doc_id AS STRING) END AS path",
+    )
+    joined = reqs.join(F.broadcast(rules), "source").selectExpr(
+        "doc_id",
+        "source",
+        "path",
+        "verb",
+        "CASE WHEN path LIKE path_prefix || '%'"
+        " THEN length(path_prefix) ELSE -1 END AS match_len",
+    )
+    matched = joined.groupBy("doc_id", "source", "path").agg(
+        F.max("match_len").alias("best_len")
+    )
+    verdicts = (
+        joined.join(F.broadcast(matched), ["doc_id", "source", "path"])
+        .groupBy("doc_id", "source", "best_len")
+        .agg(
+            F.max(
+                F.expr(
+                    "CASE WHEN match_len = best_len AND match_len >= 0"
+                    " THEN verb END"
+                )
+            ).alias("verb_at_best")
+        )
+        .selectExpr(
+            "doc_id",
+            "source",
+            "CASE WHEN best_len = -1 THEN 'allow'"
+            " ELSE verb_at_best END AS verdict",
+        )
+    )
+    return (
+        verdicts.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_requests"),
+            F.sum(F.expr("CASE WHEN verdict = 'allow' THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_allowed"),
+            F.sum(
+                F.expr("CASE WHEN verdict = 'disallow' THEN 1 ELSE 0 END")
+            )
+            .cast("bigint")
+            .alias("n_disallowed"),
+            F.sum(
+                F.expr("CASE WHEN verdict = 'allow' THEN doc_id ELSE 0 END")
+            )
+            .cast("bigint")
+            .alias("allowed_checksum"),
+        )
+        .orderBy("source")
+    )

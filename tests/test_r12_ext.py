@@ -1101,3 +1101,81 @@ def test_anova_decomposition_exact(spark):
     assert abs(got["f_stat"] - float(f_exact)) < 5e-3
     assert abs(got["eta_squared"] - float(eta_exact)) < 5e-5
     assert got["significant_5pct"] == (float(f_exact) > 2.51)
+
+
+# --- wave I ------------------------------------------------------------------
+
+
+def test_robots_longest_match_shadow(spark):
+    """The doc_id % 4 == 1 slice lives in the allow-overrides-disallow
+    shadow (/data/public/ under /data/): every one of those requests
+    must be ALLOWED — a first-match or shortest-match evaluator blocks
+    them all. The %4==0 slice is blocked, %4==3 is untouched
+    (no-match default allow)."""
+    from cdc_pubsub_spark.tables import load
+
+    docs = load(spark, SF_SMOKE, "documents").selectExpr(
+        "source", "doc_id", "doc_id % 4 AS cls"
+    ).collect()
+    expect_allowed: dict = {}
+    for r in docs:
+        src = r["source"]
+        a, d = expect_allowed.get(src, (0, 0))
+        # cls 1 (shadow allow) and cls 3 (no match) are allowed;
+        # cls 0 (broad disallow) and cls 2 (tmp disallow) blocked.
+        if r["cls"] in (1, 3):
+            a += 1
+        else:
+            d += 1
+        expect_allowed[src] = (a, d)
+    for r in _q("scan_robots_txt_compliance", spark, SF_SMOKE).collect():
+        a, d = expect_allowed[r["source"]]
+        assert r["n_allowed"] == a, r
+        assert r["n_disallowed"] == d, r
+
+
+def test_fx_base_identity_and_triangulation(spark):
+    """Currency 0 (USD, rate 1.0) converts to itself exactly; the
+    triangulated EUR totals agree with converting the aggregate (the
+    per-order truncation is < 1 cent per order)."""
+    rows = {r["curr_id"]: r for r in _q("orders_fx_normalize", spark, SF_CORRECT).collect()}
+    assert set(rows) == {0, 1, 2, 3, 4}
+    assert rows[0]["usd_cents"] == rows[0]["native_cents"]
+    rate = {c: (1000000 if c == 0 else 200000 + c * 337000) for c in range(5)}
+    for c, r in rows.items():
+        agg_eur = r["native_cents"] * rate[c] // rate[3]
+        assert abs(r["eur_cents"] - agg_eur) <= r["n_orders"]
+        # currency 3 to itself: rate_c/rate_3 == 1
+        if c == 3:
+            assert abs(r["eur_cents"] - r["native_cents"]) <= r["n_orders"]
+
+
+def test_learning_curve_nested_and_converging(spark):
+    """Slices are nested md5 buckets: n grows ~2x per step; the slope
+    estimate converges (25% within 5% of the full fit) and R^2 is
+    stable — the flat-curve signature of a bias-limited model."""
+    rows = {r["frac_pct"]: r for r in _q("ml_learning_curve_ols", spark, SF_CORRECT).collect()}
+    assert set(rows) == {25, 50, 100}
+    assert rows[25]["n_train"] < rows[50]["n_train"] < rows[100]["n_train"]
+    assert abs(rows[50]["n_train"] / rows[25]["n_train"] - 2) < 0.2
+    full = rows[100]["slope_net_per_gross"]
+    assert abs(rows[25]["slope_net_per_gross"] - full) / abs(full) < 0.02
+    for r in rows.values():
+        assert 0 <= r["r_squared"] <= 1
+        # net price rises with gross at ~ the mean discount complement
+        assert 0.9 < r["slope_net_per_gross"] < 1.0
+        assert r["r_squared"] > 0.98
+    assert abs(rows[25]["r_squared"] - rows[100]["r_squared"]) < 0.02
+
+
+def test_join_estimate_width1_exact_and_degrading(spark):
+    """The per-value histogram (width 1) estimates the join size
+    EXACTLY (Sum c_o(k)*c_l(k) IS the join size); wider buckets only
+    add error (weakly monotone here)."""
+    rows = {r["bucket_width"]: r for r in _q("profile_join_cardinality_estimate", spark, SF_CORRECT).collect()}
+    assert set(rows) == {1, 64, 4096}
+    assert rows[1]["est_rows"] == rows[1]["actual_rows"]
+    assert rows[1]["rel_error"] == 0.0
+    assert rows[64]["rel_error"] <= rows[4096]["rel_error"] + 1e-9
+    actual = {r["actual_rows"] for r in rows.values()}
+    assert len(actual) == 1  # same ground truth every row
