@@ -979,7 +979,7 @@ def corpus_url_dedup_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "corpus_token_budget_allocation",
-    category="llm",
+    category="corpus",
     oracle="""
     WITH per_src AS (
       SELECT source,

@@ -2422,7 +2422,7 @@ def text_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_vocab_growth",
-    category="llm",
+    category="text",
     oracle="""
     WITH maxdoc AS (
       SELECT CAST(max(doc_id) AS BIGINT) AS mx FROM documents
@@ -2537,7 +2537,7 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_ngram_saturation",
-    category="llm",
+    category="text",
     oracle="""
     WITH toks AS (
       SELECT doc_id, string_split(text, ' ') AS ts FROM documents

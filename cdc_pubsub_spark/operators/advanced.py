@@ -2683,7 +2683,7 @@ def ml_winsorized_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "profile_fd_confidence",
-    category="profile",
+    category="advanced",
     oracle="""
     WITH cand AS (
       SELECT 'orderkey_to_status' AS fd_name,
@@ -2787,7 +2787,7 @@ def profile_fd_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "profile_join_cardinality_estimate",
-    category="profile",
+    category="advanced",
     oracle="""
     WITH widths AS (SELECT unnest([1, 64, 4096]) AS w),
     ho AS (

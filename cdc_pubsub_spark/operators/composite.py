@@ -9738,11 +9738,12 @@ def orders_wilson_ci_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx <> 0
     )
     SELECT v.variant, v.n AS n_users,
-           floor(CAST(v.sy AS DOUBLE) / v.n + 0.5) AS mean_post_cents,
-           floor(CAST(v.sy AS DOUBLE) / v.n
+           CAST(floor(CAST(v.sy AS DOUBLE) / v.n + 0.5) AS BIGINT)
+             AS mean_post_cents,
+           CAST(floor(CAST(v.sy AS DOUBLE) / v.n
                  - CAST(t.thm AS DOUBLE) / 1e6
                    * (CAST(v.sx AS DOUBLE) / v.n
-                      - CAST(t.sxg AS DOUBLE) / t.ng) + 0.5)
+                      - CAST(t.sxg AS DOUBLE) / t.ng) + 0.5) AS BIGINT)
              AS mean_adj_cents,
            floor(CAST(t.thm AS DOUBLE) / 1e6 * 1000000 + 0.5) / 1000000
              AS theta,

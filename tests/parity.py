@@ -88,6 +88,26 @@ def assert_parity(spark: SparkSession, name: str, sf_dir: str) -> None:
         f"{name}: column mismatch spark={sorted(spark_pdf.columns)} "
         f"duck={sorted(duck_pdf.columns)}"
     )
+    # Kind-strict dtype check: the driver's comparator stringifies raw
+    # cells, so a Spark BIGINT column paired with a DuckDB DOUBLE
+    # oracle column ('167338' vs '167338.0') hash-fails at the driver
+    # even when every value is numerically identical — Spark's
+    # floor() returns BIGINT while DuckDB's returns DOUBLE, the exact
+    # trap events_ab_cuped hit in the r12 extension session. Catch the
+    # integer-vs-float kind split here instead of at the driver.
+    for col in spark_pdf.columns:
+        sk = spark_pdf[col].dtype.kind
+        dk = duck_pdf[col].dtype.kind
+        if {sk, dk} <= {"i", "u"} or sk == dk:
+            continue
+        # object columns (strings, lists) and empty frames are out of
+        # scope; a float/int split on a numeric column is the bug.
+        if {sk, dk} == {"f", "i"} or {sk, dk} == {"f", "u"}:
+            raise AssertionError(
+                f"{name}.{col}: dtype kind mismatch spark={sk} duck={dk}"
+                " (int-vs-float stringifies differently at the driver;"
+                " CAST the oracle or the Spark column)"
+            )
     assert len(spark_pdf) == len(duck_pdf), (
         f"{name}: rowcount mismatch spark={len(spark_pdf)} duck={len(duck_pdf)}"
     )
