@@ -146,53 +146,14 @@ _RECERTIFY: list[str] = []
 # ordering below (lead + recert + rest_new + certified-stalest-first);
 # the policy is the budget discipline on _RECERTIFY's size and the
 # registry freeze-until-drained rule.
-_DEFER_TO_NEXT_ROUND: set[str] = {
-    # r12 extension wave A
-    "ts_arma11_moments",
-    "scan_mbox",
-    "multimodal_decode_ico",
-    "cdc_tombstone_compaction",
-    # r12 extension wave B (ML-eval depth)
-    "ml_brier_decomposition",
-    "ml_mcnemar_paired",
-    "ml_kendall_tau",
-    "orders_newsvendor_quantile",
-    # r12 extension wave C
-    "text_vocab_growth",
-    "graph_rich_club",
-    "scan_ics_calendar",
-    "multimodal_decode_pbm",
-    # r12 extension wave D (ts stationarity/drift depth)
-    "ts_kpss_level",
-    "events_page_hinkley_drift",
-    "ts_variance_ratio",
-    "ts_record_stats",
-    # r12 extension wave E (plan-shape variety)
-    "events_interval_stabbing",
-    "corpus_token_budget_allocation",
-    "profile_fd_confidence",
-    "orders_greedy_knapsack",
-    # r12 extension wave F
-    "ts_max_drawdown",
-    "orders_wilson_ci_conversion",
-    "multimodal_mime_qp",
-    "events_ab_cuped",
-    # r12 extension wave G
-    "orders_inventory_policy",
-    "orders_yoy_growth",
-    "fn_ulid_roundtrip",
-    "cdc_replication_lag",
-    # r12 extension wave H
-    "fn_phone_e164_normalize",
-    "orders_duplicate_payments",
-    "text_ngram_saturation",
-    "events_anova_dow",
-    # r12 extension wave I
-    "scan_robots_txt_compliance",
-    "orders_fx_normalize",
-    "ml_learning_curve_ols",
-    "profile_join_cardinality_estimate",
-}
+_DEFER_TO_NEXT_ROUND: set[str] = set()
+# r13 session-open: the 36 r12-EXTENSION ops deferred here last round are
+# released — with CORRECTNESS_r12 ingested they are the only never-sampled
+# ops, so they lead the r13 window via rest_new automatically (the r12
+# window itself landed exactly as queued: 50/50 green). The 3 staged r13
+# promotions (ts_matrix_profile, ml_shapley_linear2,
+# agg_moment_rollup_mergeable) join rest_new behind them in registration
+# order; the remaining ~11 slots recertify the stalest r04 rows.
 
 
 def _ordered_names() -> list[str]:

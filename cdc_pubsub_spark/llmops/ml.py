@@ -4169,3 +4169,155 @@ def ml_learning_curve_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         " / (CAST(gxx AS DOUBLE) * CAST(gyy AS DOUBLE))"
         " * 10000 + 0.5) / 10000 AS r_squared",
     ).orderBy("frac_pct")
+
+
+# --- r13 Shapley-attribution promotion (from staging/r13 at round 13) ----
+@register(
+    "ml_shapley_linear2",
+    category="similarity",
+    oracle="""
+    WITH rows_in AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x1,
+             CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS x2,
+             CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                  AS BIGINT) AS y
+      FROM lineitem
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x1) AS BIGINT) AS s1, CAST(sum(x2) AS BIGINT) AS s2,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(CAST(x1 AS HUGEINT) * x1) AS HUGEINT) AS s11,
+             CAST(sum(CAST(x2 AS HUGEINT) * x2) AS HUGEINT) AS s22,
+             CAST(sum(CAST(x1 AS HUGEINT) * x2) AS HUGEINT) AS s12,
+             CAST(sum(CAST(x1 AS HUGEINT) * y) AS HUGEINT) AS s1y,
+             CAST(sum(CAST(x2 AS HUGEINT) * y) AS HUGEINT) AS s2y,
+             CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+      FROM rows_in
+    ),
+    g AS (
+      SELECT n,
+             CAST(n AS HUGEINT) * s11 - CAST(s1 AS HUGEINT) * s1 AS g11,
+             CAST(n AS HUGEINT) * s22 - CAST(s2 AS HUGEINT) * s2 AS g22,
+             CAST(n AS HUGEINT) * s12 - CAST(s1 AS HUGEINT) * s2 AS g12,
+             CAST(n AS HUGEINT) * s1y - CAST(s1 AS HUGEINT) * sy AS g1y,
+             CAST(n AS HUGEINT) * s2y - CAST(s2 AS HUGEINT) * sy AS g2y,
+             CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS gyy
+      FROM m
+    ),
+    r2 AS (
+      SELECT n,
+             CAST(g1y AS DOUBLE) * CAST(g1y AS DOUBLE)
+               / (CAST(g11 AS DOUBLE) * CAST(gyy AS DOUBLE)) AS v1,
+             CAST(g2y AS DOUBLE) * CAST(g2y AS DOUBLE)
+               / (CAST(g22 AS DOUBLE) * CAST(gyy AS DOUBLE)) AS v2,
+             (CAST(g11 AS DOUBLE) * (CAST(g2y AS DOUBLE)
+                                     * CAST(g2y AS DOUBLE))
+              + CAST(g22 AS DOUBLE) * (CAST(g1y AS DOUBLE)
+                                       * CAST(g1y AS DOUBLE))
+              - 2e0 * CAST(g12 AS DOUBLE) * CAST(g1y AS DOUBLE)
+                    * CAST(g2y AS DOUBLE))
+             / ((CAST(g11 AS DOUBLE) * CAST(g22 AS DOUBLE)
+                 - CAST(g12 AS DOUBLE) * CAST(g12 AS DOUBLE))
+                * CAST(gyy AS DOUBLE)) AS v12
+      FROM g
+    )
+    SELECT f.feature,
+           CAST(r2.n AS BIGINT) AS n_rows,
+           floor(CASE f.feature WHEN 'quantity' THEN r2.v1
+                 ELSE r2.v2 END * 1000000 + 0.5) / 1000000 AS r2_alone,
+           floor(CASE f.feature
+                 WHEN 'quantity' THEN
+                   0.5e0 * (r2.v1 + (r2.v12 - r2.v2))
+                 ELSE 0.5e0 * (r2.v2 + (r2.v12 - r2.v1)) END
+                 * 1000000 + 0.5) / 1000000 AS shapley_r2,
+           floor(r2.v12 * 1000000 + 0.5) / 1000000 AS r2_full
+    FROM r2 CROSS JOIN (SELECT unnest(['quantity', 'discount'])
+                        AS feature) f
+    ORDER BY f.feature
+    """,
+)
+def ml_shapley_linear2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT SHAPLEY ATTRIBUTION of R² between two features (quantity,
+    discount) explaining net line price — the LMG / Shapley-
+    regression-values decomposition (Lipovetsky & Conklin 2001), which
+    is exactly computable with two features: phi_1 = ((v({1}) − v(∅))
+    + (v({1,2}) − v({2})))/2 over the R² game, and symmetrically for
+    phi_2. Every submodel R² comes in CLOSED FORM from one moment
+    aggregate: v({i}) = g_iy²/(g_ii·g_yy) and the two-feature R² from
+    the 2×2 normal-equation determinant identity — so the whole
+    explanation costs ONE scan pass, no refits.
+
+    Exactness: all moments are exact wide integers; the three R²
+    values and both Shapley shares are pinned double expressions over
+    them, r6-floored. The invariant test pins the EFFICIENCY axiom
+    (phi_1 + phi_2 = R²_full, the Shapley property that makes this
+    decomposition meaningful) and the dominance of discount (the
+    generator's y literally multiplies by (1 − discount), while
+    quantity only correlates through the price column).
+
+    Scale shape: one map-side-combinable aggregate to a single moment
+    row; the 2-row feature fan-out is a broadcast literal.
+    """
+    li = load(spark, sf_dir, "lineitem").selectExpr(
+        "CAST(l_quantity AS BIGINT) AS x1",
+        "CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS x2",
+        "CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)"
+        " AS BIGINT) AS y",
+    )
+    wide = "DECIMAL(38,0)"
+    m = li.groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x1").cast("bigint").alias("s1"),
+        F.sum("x2").cast("bigint").alias("s2"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.expr(f"CAST(x1 AS {wide}) * x1")).alias("s11"),
+        F.sum(F.expr(f"CAST(x2 AS {wide}) * x2")).alias("s22"),
+        F.sum(F.expr(f"CAST(x1 AS {wide}) * x2")).alias("s12"),
+        F.sum(F.expr(f"CAST(x1 AS {wide}) * y")).alias("s1y"),
+        F.sum(F.expr(f"CAST(x2 AS {wide}) * y")).alias("s2y"),
+        F.sum(F.expr(f"CAST(y AS {wide}) * y")).alias("syy"),
+    )
+    g = m.selectExpr(
+        "n",
+        f"CAST(n AS {wide}) * s11 - CAST(s1 AS {wide}) * s1 AS g11",
+        f"CAST(n AS {wide}) * s22 - CAST(s2 AS {wide}) * s2 AS g22",
+        f"CAST(n AS {wide}) * s12 - CAST(s1 AS {wide}) * s2 AS g12",
+        f"CAST(n AS {wide}) * s1y - CAST(s1 AS {wide}) * sy AS g1y",
+        f"CAST(n AS {wide}) * s2y - CAST(s2 AS {wide}) * sy AS g2y",
+        f"CAST(n AS {wide}) * syy - CAST(sy AS {wide}) * sy AS gyy",
+    )
+    r2m = g.selectExpr(
+        "n",
+        "CAST(g1y AS DOUBLE) * CAST(g1y AS DOUBLE)"
+        " / (CAST(g11 AS DOUBLE) * CAST(gyy AS DOUBLE)) AS v1",
+        "CAST(g2y AS DOUBLE) * CAST(g2y AS DOUBLE)"
+        " / (CAST(g22 AS DOUBLE) * CAST(gyy AS DOUBLE)) AS v2",
+        "(CAST(g11 AS DOUBLE) * (CAST(g2y AS DOUBLE)"
+        " * CAST(g2y AS DOUBLE))"
+        " + CAST(g22 AS DOUBLE) * (CAST(g1y AS DOUBLE)"
+        " * CAST(g1y AS DOUBLE))"
+        " - 2e0 * CAST(g12 AS DOUBLE) * CAST(g1y AS DOUBLE)"
+        " * CAST(g2y AS DOUBLE))"
+        " / ((CAST(g11 AS DOUBLE) * CAST(g22 AS DOUBLE)"
+        " - CAST(g12 AS DOUBLE) * CAST(g12 AS DOUBLE))"
+        " * CAST(gyy AS DOUBLE)) AS v12",
+    )
+    feats = spark.range(0, 2).selectExpr(
+        "CASE id WHEN 0 THEN 'discount' ELSE 'quantity' END AS feature"
+    )
+    return (
+        r2m.crossJoin(F.broadcast(feats))
+        .selectExpr(
+            "feature",
+            "CAST(n AS BIGINT) AS n_rows",
+            "floor(CASE feature WHEN 'quantity' THEN v1 ELSE v2 END"
+            " * 1000000 + 0.5) / 1000000 AS r2_alone",
+            "floor(CASE feature"
+            " WHEN 'quantity' THEN 0.5e0 * (v1 + (v12 - v2))"
+            " ELSE 0.5e0 * (v2 + (v12 - v1)) END"
+            " * 1000000 + 0.5) / 1000000 AS shapley_r2",
+            "floor(v12 * 1000000 + 0.5) / 1000000 AS r2_full",
+        )
+        .orderBy("feature")
+    )

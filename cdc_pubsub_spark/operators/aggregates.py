@@ -1619,3 +1619,114 @@ def agg_linear_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- r13 mergeable moment-rollup promotion (from staging/r13) -----------
+_MOMENT_DAILY_DUCK = """
+      SELECT event_type,
+             CAST(epoch_us(date_trunc('day', ts)) // 86400000000
+                  AS BIGINT) AS day_idx,
+             CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+"""
+
+
+@register(
+    "agg_moment_rollup_mergeable",
+    category="aggregates",
+    oracle=f"""
+    WITH daily AS ({_MOMENT_DAILY_DUCK}),
+    epochs AS (
+      SELECT event_type, day_idx // 5 AS epoch,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS s,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS q
+      FROM daily GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT event_type, epoch,
+             CAST(sum(n) OVER w AS BIGINT) AS cn,
+             CAST(sum(s) OVER w AS BIGINT) AS cs,
+             CAST(sum(q) OVER w AS HUGEINT) AS cq
+      FROM epochs
+      WINDOW w AS (PARTITION BY event_type ORDER BY epoch
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, CAST(epoch AS BIGINT) AS epoch, cn AS n_days,
+           floor(CAST(cs AS DOUBLE) / cn * 100 + 0.5) / 100
+             AS mean_cents,
+           CASE WHEN cn >= 2 THEN
+             floor(sqrt(CAST(CAST(cn AS HUGEINT) * cq
+                             - CAST(cs AS HUGEINT) * cs AS DOUBLE))
+                   / cn * 100 + 0.5) / 100
+           END AS pop_std_cents
+    FROM cum
+    ORDER BY event_type, epoch
+    """,
+)
+def agg_moment_rollup_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE MOMENT-SKETCH ROLLUP — running mean and population
+    std of the daily series at every 5-day epoch boundary, computed by
+    MERGING per-epoch moment triples (n, Σx, Σx²) instead of
+    rescanning history: the (count, sum, sum-of-squares) triple is the
+    simplest mergeable sketch there is, and this op is the exact-
+    moments companion to agg_kmv_epoch_rollup (distinct counts) —
+    together they demonstrate the epoch-rollup pattern for both sketch
+    classes a CDC consumer needs. The merge is ONE window prefix sum
+    over the per-epoch triples (epoch-domain-sized), after which every
+    epoch's cumulative mean/std is closed-form.
+
+    Exactness: the triples are exact integers (wide Σx²); mean and
+    std are one pinned double expression each over the cumulative
+    integers (n-scaled variance identity under the sqrt), r2-floored.
+    The invariant test re-derives a boundary epoch's output from the
+    RAW daily rows and pins merge-vs-rescan equality — the defining
+    property of a mergeable sketch.
+
+    Scale shape: calendar-collapse groupBy, a <= 6-row-per-type epoch
+    aggregate, one bounded window. Nothing data-sized after the scan.
+    """
+    daily = (
+        load(spark, sf_dir, "events")
+        .selectExpr(
+            "event_type",
+            "unix_micros(date_trunc('DAY', CAST(ts AS TIMESTAMP)))"
+            " div 86400000000 AS day_idx",
+            "value",
+        )
+        .groupBy("event_type", "day_idx")
+        .agg(
+            F.expr("CAST(floor(sum(value) * 100 + 0.5) AS BIGINT)").alias("x")
+        )
+    )
+    wide = "DECIMAL(38,0)"
+    epochs = daily.groupBy(
+        "event_type", F.expr("day_idx div 5").alias("epoch")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+        F.sum(F.expr(f"CAST(x AS {wide}) * x")).alias("q"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("epoch")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = epochs.select(
+        "event_type",
+        "epoch",
+        F.sum("n").over(w).cast("bigint").alias("cn"),
+        F.sum("s").over(w).cast("bigint").alias("cs"),
+        F.sum("q").over(w).cast(wide).alias("cq"),
+    )
+    return cum.selectExpr(
+        "event_type",
+        "CAST(epoch AS BIGINT) AS epoch",
+        "cn AS n_days",
+        "floor(CAST(cs AS DOUBLE) / cn * 100 + 0.5) / 100 AS mean_cents",
+        "CASE WHEN cn >= 2 THEN"
+        f" floor(sqrt(CAST(CAST(cn AS {wide}) * cq"
+        f" - CAST(cs AS {wide}) * cs AS DOUBLE))"
+        " / cn * 100 + 0.5) / 100"
+        " END AS pop_std_cents",
+    ).orderBy("event_type", "epoch")

@@ -10372,3 +10372,206 @@ def orders_fx_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("curr_id")
     )
+
+
+# --- r13 matrix-profile promotion (from staging/r13 at round 13) --------
+#
+# Shared daily relation (the ts_* calendar collapse) scoped to this op.
+_MP_DAILY_DUCK = """
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(epoch_us(date_trunc('day', ts)) // 86400000000
+                  AS BIGINT) AS day_idx,
+             CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2, 3
+"""
+
+_MP_W = 4  # matrix-profile window length (days)
+
+
+@register(
+    "ts_matrix_profile",
+    category="composite",
+    oracle=f"""
+    WITH daily AS ({_MP_DAILY_DUCK}),
+    seq AS (
+      SELECT event_type, x,
+             CAST(row_number() OVER (PARTITION BY event_type
+                                     ORDER BY day_idx) AS BIGINT) AS t
+      FROM daily
+    ),
+    windows AS (
+      SELECT a.event_type, a.t AS w_start,
+             list(b.x ORDER BY b.t) AS vec
+      FROM seq a
+      JOIN seq b ON b.event_type = a.event_type
+                AND b.t BETWEEN a.t AND a.t + {_MP_W} - 1
+      GROUP BY a.event_type, a.t
+      HAVING count(*) = {_MP_W}
+    ),
+    dists AS (
+      SELECT p.event_type, p.w_start,
+             q.w_start AS other_start,
+             CAST(list_sum(list_transform(range(1, {_MP_W} + 1),
+               i -> CAST(p.vec[i] - q.vec[i] AS HUGEINT)
+                    * (p.vec[i] - q.vec[i]))) AS HUGEINT) AS d2
+      FROM windows p
+      JOIN windows q ON q.event_type = p.event_type
+                    AND abs(q.w_start - p.w_start) >= {_MP_W}
+    ),
+    profile AS (
+      SELECT event_type, w_start,
+             CAST(min(d2) AS BIGINT) AS mp_d2,
+             CAST(min(other_start) FILTER (
+               WHERE d2 = (SELECT min(d2) FROM dists dd
+                           WHERE dd.event_type = dists.event_type
+                             AND dd.w_start = dists.w_start))
+               AS BIGINT) AS nn_start
+      FROM dists
+      GROUP BY event_type, w_start
+    ),
+    motif AS (
+      SELECT event_type,
+             CAST(min(mp_d2) AS BIGINT) AS motif_d2,
+             CAST(min(w_start) FILTER (WHERE mp_d2 = (
+               SELECT min(mp_d2) FROM profile p2
+               WHERE p2.event_type = profile.event_type))
+               AS BIGINT) AS motif_start,
+             CAST(max(mp_d2) AS BIGINT) AS discord_d2,
+             CAST(min(w_start) FILTER (WHERE mp_d2 = (
+               SELECT max(mp_d2) FROM profile p2
+               WHERE p2.event_type = profile.event_type))
+               AS BIGINT) AS discord_start,
+             CAST(count(*) AS BIGINT) AS n_windows
+      FROM profile
+      GROUP BY event_type
+    )
+    SELECT m.event_type, m.n_windows, m.motif_start, m.motif_d2,
+           p.nn_start AS motif_nn_start,
+           m.discord_start, m.discord_d2
+    FROM motif m
+    JOIN profile p ON p.event_type = m.event_type
+                  AND p.w_start = m.motif_start
+    ORDER BY m.event_type
+    """,
+)
+def ts_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATRIX PROFILE (STAMP family, Yeh et al. 2016) over the daily
+    value series — for every length-4 day window, the squared
+    euclidean distance to its nearest NON-OVERLAPPING neighbor window
+    (exclusion zone |offset| >= window length, the standard trivial-
+    match guard). The profile's minimum is the top MOTIF (the most
+    repeated shape, with its matching window's position emitted too)
+    and its maximum is the top DISCORD (the least repeated shape —
+    the matrix-profile anomaly definition). Tie-breaks are total:
+    earliest window start at the extremal distance, earliest neighbor
+    at the motif's distance.
+
+    Exactness: windows are exact integer-cent vectors; distances are
+    exact integer sums of squares (wide type); there are NO floats in
+    this op at all (z-normalization — the usual float hazard of STAMP
+    — is deliberately out of scope: the raw-distance profile is the
+    certifiable core).
+
+    Scale shape: the calendar collapse bounds the series at <= 31
+    points per type, so windows (<= 28/type) and the all-pairs
+    distance relation (<= 28^2/type) are DOMAIN-bounded — the
+    ts_pettitt argument; at production lengths the same plan applies
+    per bounded segment with the documented banded-join extension.
+    """
+    daily = (
+        load(spark, sf_dir, "events")
+        .selectExpr(
+            "event_type",
+            "unix_micros(date_trunc('DAY', CAST(ts AS TIMESTAMP)))"
+            " div 86400000000 AS day_idx",
+            "value",
+        )
+        .groupBy("event_type", "day_idx")
+        .agg(
+            F.expr("CAST(floor(sum(value) * 100 + 0.5) AS BIGINT)").alias("x")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day_idx")
+    seq = daily.select(
+        "event_type",
+        "x",
+        F.row_number().over(w).cast("bigint").alias("t"),
+    ).persist()
+    a = seq.selectExpr("event_type", "t AS w_start")
+    b = seq.selectExpr("event_type AS et_b", "t AS tb", "x AS xb")
+    windows = (
+        a.join(
+            b,
+            (F.col("event_type") == F.col("et_b"))
+            & (F.col("tb") >= F.col("w_start"))
+            & (F.col("tb") <= F.col("w_start") + _MP_W - 1),
+        )
+        .groupBy("event_type", "w_start")
+        .agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(tb, xb))),"
+                " s -> s.xb) AS vec"
+            ).alias("vec"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter(F.col("n") == _MP_W)
+        .drop("n")
+        .persist()
+    )
+    q = windows.selectExpr(
+        "event_type AS et_q", "w_start AS other_start", "vec AS vec_q"
+    )
+    dists = windows.join(
+        q,
+        (F.col("event_type") == F.col("et_q"))
+        & (
+            F.abs(F.col("other_start") - F.col("w_start")) >= _MP_W
+        ),
+    ).selectExpr(
+        "event_type",
+        "w_start",
+        "other_start",
+        "aggregate(sequence(1, {w}), CAST(0 AS DECIMAL(38,0)),"
+        " (acc, i) -> acc + CAST(element_at(vec, i)"
+        " - element_at(vec_q, i) AS DECIMAL(38,0))"
+        " * (element_at(vec, i) - element_at(vec_q, i))) AS d2".format(
+            w=_MP_W
+        ),
+    )
+    profile = dists.groupBy("event_type", "w_start").agg(
+        F.min("d2").cast("bigint").alias("mp_d2"),
+        F.expr(
+            "CAST(min_by(other_start, struct(d2, other_start)) AS BIGINT)"
+        ).alias("nn_start"),
+    )
+    motif = profile.groupBy("event_type").agg(
+        F.min("mp_d2").cast("bigint").alias("motif_d2"),
+        F.expr(
+            "CAST(min_by(w_start, struct(mp_d2, w_start)) AS BIGINT)"
+        ).alias("motif_start"),
+        F.max("mp_d2").cast("bigint").alias("discord_d2"),
+        F.expr(
+            "CAST(min_by(w_start, struct(-mp_d2, w_start)) AS BIGINT)"
+        ).alias("discord_start"),
+        F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+    )
+    out = (
+        motif.join(
+            profile.selectExpr(
+                "event_type AS et_p", "w_start", "nn_start"
+            ),
+            (F.col("event_type") == F.col("et_p"))
+            & (F.col("w_start") == F.col("motif_start")),
+        )
+        .selectExpr(
+            "event_type",
+            "n_windows",
+            "motif_start",
+            "motif_d2",
+            "nn_start AS motif_nn_start",
+            "discord_start",
+            "discord_d2",
+        )
+        .orderBy("event_type")
+    )
+    return finalize_cached(out, seq, windows)

@@ -1,14 +1,20 @@
-"""Parity + invariants for the STAGED r13 candidates (unregistered —
-see cdc_pubsub_spark/staging/__init__.py). Same sf0.01 oracle gate as
-registered ops, so promotion is a one-line register() with evidence
-standing.
+"""Parity + invariants for the three r13-promoted ops (matrix profile,
+exact 2-feature Shapley, mergeable moment rollup) — converted from the
+staging tests at promotion (the r12 precedent): same sf0.001 + sf0.01
+oracle gate as every registered op, plus the op-specific invariants.
 """
 
 from __future__ import annotations
 
 import pytest
 
-from cdc_pubsub_spark.staging.r13 import ORACLES, STAGED
+import cdc_pubsub_spark.all_queries  # noqa: F401  (populates REGISTRY)
+from cdc_pubsub_spark.registry import REGISTRY
+
+R13_OPS = ("agg_moment_rollup_mergeable", "ml_shapley_linear2",
+           "ts_matrix_profile")
+STAGED = {n: REGISTRY[n].fn for n in R13_OPS}
+ORACLES = {n: REGISTRY[n].oracle for n in R13_OPS}
 
 from .parity import canonical_rows, duck_connection
 
@@ -16,9 +22,9 @@ SF_CORRECT = "/root/testdata/sf0.01"
 SF_SMOKE = "/root/testdata/sf0.001"
 
 
-@pytest.mark.parametrize("name", sorted(STAGED))
+@pytest.mark.parametrize("name", R13_OPS)
 @pytest.mark.parametrize("sf", [SF_SMOKE, SF_CORRECT])
-def test_staged_oracle_parity(spark, name, sf):
+def test_r13_oracle_parity(spark, name, sf):
     sdf = STAGED[name](spark, sf).toPandas()
     con = duck_connection(sf)  # hold the ref: .sql() resolves lazily
     ddf = con.sql(ORACLES[name]).df()
