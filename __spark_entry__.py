@@ -120,15 +120,16 @@ def _certification_state() -> tuple[set[str], dict[str, int], dict[str, int]]:
 
 # Ops whose implementation or oracle CHANGED this round: their accumulated
 # certification predates the change, so they jump the certified tail until a
-# CORRECTNESS round has hash-checked the new contract. Round 11's window was
-# 2 recertifies + 47 never-sampled + 1 stalest-certified backfill; all 50
-# drew green r11 rows, completing the drain (every registry op has been
-# driver-certified at least once). Round 12 changes NO certified op, so the
-# set is empty: the window is the 33 new r12 ops (6 staged promotions + 2
-# streaming-state ops + 25 growth ops — never-certified, they lead via
-# rest_new) + ~17 stalest-certified slots (the 13 r03 ops, then the oldest
-# r04 ops), executing the rolling-recertification policy below.
-_RECERTIFY: list[str] = []
+# CORRECTNESS round has hash-checked the new contract. Round 13's window:
+# 2 recertifies (below) + 39 never-sampled (36 released r12-extension ops
+# + 3 staged promotions) + ~9 stalest-r04 slots.
+_RECERTIFY: list[str] = [
+    # r13: live-transport harnesses rewrote their sender buffering
+    # (toLocalIterator bounded chunks instead of a full driver collect,
+    # r12 verdict item 5) — same oracle, changed implementation.
+    "stream_socket_ingest",
+    "stream_http_ingest",
+]
 
 # New ops added THIS round that should be pushed to the END of the ordering
 # (used when the window is already full of higher-priority slots). The r12

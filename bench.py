@@ -535,6 +535,37 @@ def main() -> None:
 
     detail["host_control"] = _host_control()
 
+    # Automatic drift annotation (round-12 VERDICT item 8): compare this
+    # run's control block against the PREVIOUS committed sidecar's and
+    # carry the computed factor, so the round-over-round wall comparison
+    # is drift-corrected in the artifact itself instead of hand-run.
+    # factor > 1 means this host ran SLOWER than at the previous
+    # measurement; divide wall deltas by it before reading them as real.
+    try:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "BENCH_DETAIL.json",
+            )
+        ) as fh:
+            _prev_ctl = json.load(fh).get("host_control") or {}
+    except (OSError, ValueError):
+        _prev_ctl = {}
+    _ratios = {
+        k: round(detail["host_control"][k] / _prev_ctl[k], 3)
+        for k in detail["host_control"]
+        if isinstance(_prev_ctl.get(k), (int, float)) and _prev_ctl[k] > 0
+    }
+    if _ratios:
+        _prod = 1.0
+        for r in _ratios.values():
+            _prod *= r
+        detail["host_drift"] = {
+            "prev_control": _prev_ctl,
+            "probe_ratios": _ratios,
+            "host_drift_factor": round(_prod ** (1.0 / len(_ratios)), 3),
+        }
+
     # Optional paired baseline (SPARK_GRAFT_BENCH_PAIR=1): run the
     # IDENTICAL oracle-SQL set serially in single-threaded DuckDB on the
     # same host state, immediately after the Spark passes — the judge's

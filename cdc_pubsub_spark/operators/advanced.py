@@ -2880,3 +2880,93 @@ def profile_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy("bucket_width")
     )
+
+
+@register(
+    "compat_ack_on_failure",
+    category="advanced",
+    oracle="""
+    WITH msgs AS (
+      SELECT event_type,
+             user_id % 16 AS batch_id,
+             CASE WHEN ('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+                                       1, 1))::BIGINT = 0
+                  THEN 1 ELSE 0 END AS future_failed,
+             value
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_sent,
+           CAST(sum(1 - future_failed) AS BIGINT) AS n_delivered,
+           CAST(sum(future_failed) AS BIGINT) AS n_lost,
+           CAST(count(DISTINCT batch_id) AS BIGINT) AS acked_batches,
+           CAST(count(DISTINCT CASE WHEN future_failed = 1
+                                    THEN batch_id END) AS BIGINT)
+             AS should_have_nacked,
+           round(sum(CASE WHEN future_failed = 0 THEN value
+                          ELSE 0 END), 2) AS delivered_value
+    FROM msgs
+    GROUP BY event_type
+    """,
+)
+def compat_ack_on_failure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPT-IN fidelity emulation of the reference's ACK-despite-failure
+    bug (publisher.go:204-211, SURVEY.md §2.A9) — the fidelity twin of
+    sink_exactly_once_manifest's FIX, the way compat_line_truncation
+    twins the A5 64 KiB bug.
+
+    The reference's handler collects async publish futures and then
+    checks them with `if err != nil { err = ferr }` — a dead branch
+    (err is provably nil at that point: a non-nil sync error returned
+    out of the scan loop already), so a failed future NEVER reaches the
+    deferred status writer and the request ACKs 201 Created anyway.
+    The changefeed sender treats 201 as durable and advances its
+    checkpoint: every message whose future failed is lost FOREVER —
+    at-most-once delivery wearing an exactly-once status code.
+
+    The model: each events row is one published message; bodies batch
+    by `user_id % 16` (one HTTP request per batch); futures fail
+    deterministically for the md5-nibble slice (first hex digit of
+    md5(event_id) = 0, ~1/16 of messages — the engine-portable hash
+    bridge, so the oracle replays the identical loss set). Per type
+    the op reports sent/delivered/lost counts, `acked_batches` (ALL
+    batches — the bug: each acked 201), and `should_have_nacked` (the
+    batches a correct handler would have 500'd). The invariant test
+    pins the data-loss delta against sink_exactly_once_manifest, whose
+    manifest protocol delivers every one of these messages exactly
+    once from the same fixture.
+
+    Scale shape: one conditional-aggregate scan pass; the two distinct
+    batch counts are over a 16-value domain. Nothing data-sized after
+    the scan.
+    """
+    ev = load(spark, sf_dir, "events")
+    msgs = ev.selectExpr(
+        "event_type",
+        "user_id % 16 AS batch_id",
+        "CASE WHEN cast(conv(substr(md5(CAST(event_id AS STRING)), 1, 1),"
+        " 16, 10) as bigint) = 0 THEN 1 ELSE 0 END AS future_failed",
+        "value",
+    )
+    return (
+        msgs.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sent"),
+            F.sum(F.expr("1 - future_failed"))
+            .cast("bigint")
+            .alias("n_delivered"),
+            F.sum("future_failed").cast("bigint").alias("n_lost"),
+            F.countDistinct("batch_id").cast("bigint").alias("acked_batches"),
+            F.countDistinct(
+                F.expr("CASE WHEN future_failed = 1 THEN batch_id END")
+            )
+            .cast("bigint")
+            .alias("should_have_nacked"),
+            F.round(
+                F.sum(F.expr("CASE WHEN future_failed = 0 THEN value"
+                             " ELSE 0D END")),
+                2,
+            ).alias("delivered_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -1589,22 +1589,39 @@ def stream_socket_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import time as _time
     import uuid as _uuid
 
-    lines = [r["value"] for r in _event_lines(spark, sf_dir).collect()]
-    expected = len(lines)
+    lines_df = _event_lines(spark, sf_dir)
+    expected = lines_df.count()
 
     srv = _socket.socket(_socket.AF_INET, _socket.SOCK_STREAM)
     srv.setsockopt(_socket.SOL_SOCKET, _socket.SO_REUSEADDR, 1)
     srv.bind(("127.0.0.1", 0))
     srv.listen(1)
     port = srv.getsockname()[1]
-    payload = ("\n".join(lines) + "\n").encode("utf-8")
+
+    # Sender memory is O(_SEND_LINES), not O(fixture) (r12 verdict item
+    # 5): each accepted connection re-streams the lines from a fresh
+    # toLocalIterator (one partition buffered driver-side at a time)
+    # in bounded sendall chunks instead of one pre-collected payload.
+    _SEND_LINES = 8192
+
+    def _stream_payload(conn: _socket.socket) -> None:
+        buf: list[str] = []
+        for row in lines_df.toLocalIterator():
+            buf.append(row["value"])
+            if len(buf) >= _SEND_LINES:
+                conn.sendall(("\n".join(buf) + "\n").encode("utf-8"))
+                buf = []
+            if done_evt.is_set():
+                return
+        if buf:
+            conn.sendall(("\n".join(buf) + "\n").encode("utf-8"))
 
     def serve() -> None:
         # Accept-and-resend LOOP, not a single accept: the socket source's
         # normal recovery path is to reconnect (receiver task retry), and
         # a one-shot server would leave the reconnect in the listen
         # backlog with no data — a guaranteed drain timeout. Each accepted
-        # connection gets the full payload (a reconnect therefore
+        # connection gets the full line stream (a reconnect therefore
         # re-receives; the drain poll gates on >= expected), then stays
         # open until the query has drained — closing early risks
         # dropping buffered rows.
@@ -1618,7 +1635,7 @@ def stream_socket_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                     continue
                 conns.append(conn)
                 try:
-                    conn.sendall(payload)
+                    _stream_payload(conn)
                 except OSError:
                     pass
         finally:
@@ -1720,12 +1737,13 @@ def stream_http_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     reject count rides the output as `rejected_unauthorized`, pinned
     to 3 by the oracle.
 
-    Like stream_socket_ingest, the in-process sender materializes the
-    event lines on the driver — inherent to the harness (someone must
-    play the remote publisher); the production topology is many
-    publishers POSTing to many receivers landing on shared storage,
-    where the engine side of this op scales with the landing volume
-    only.
+    Like stream_socket_ingest, an in-process sender plays the remote
+    publisher — but its buffering is O(one body), not O(fixture): the
+    lines stream through toLocalIterator and each POST body holds at
+    most _HTTP_BODY_LINES lines (r12 verdict item 5). The production
+    topology is many publishers POSTing to many receivers landing on
+    shared storage, where the engine side of this op scales with the
+    landing volume only.
     """
     import http.server as _httpserver
     import threading as _threading
@@ -1733,7 +1751,8 @@ def stream_http_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import urllib.request as _urlreq
     import uuid as _uuid
 
-    lines = [r["value"] for r in _event_lines(spark, sf_dir).collect()]
+    lines_df = _event_lines(spark, sf_dir)
+    n_lines = lines_df.count()
 
     root = os.path.join(BASE, "http_ingest")
     shutil.rmtree(root, ignore_errors=True)
@@ -1788,17 +1807,33 @@ def stream_http_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     try:
-        n_chunks = 16
-        per = max(1, -(-len(lines) // n_chunks))
+        # 16 bodies at fixture scale, capped at _HTTP_BODY_LINES lines
+        # per body at any scale — the sender buffers one body at a time.
+        _HTTP_BODY_LINES = 4096
+        per = max(1, min(_HTTP_BODY_LINES, -(-n_lines // 16)))
         base_url = f"http://127.0.0.1:{port}/v1/feed"
         url = base_url + "?sharedKey=s3kr1t-beta"
-        chunks = [
-            ("\n".join(lines[i : i + per]) + "\n").encode("utf-8")
-            for i in range(0, len(lines), per)
-        ]
-        for body in chunks:
+
+        def _post(body: bytes) -> None:
             with _urlreq.urlopen(_urlreq.Request(url, data=body)) as resp:
                 assert resp.status == 200
+
+        first_body: bytes | None = None
+        buf: list[str] = []
+        for row in lines_df.toLocalIterator():
+            buf.append(row["value"])
+            if len(buf) >= per:
+                body = ("\n".join(buf) + "\n").encode("utf-8")
+                if first_body is None:
+                    first_body = body
+                _post(body)
+                buf = []
+        if buf:
+            body = ("\n".join(buf) + "\n").encode("utf-8")
+            if first_body is None:
+                first_body = body
+            _post(body)
+        assert first_body is not None, "events fixture was empty"
 
         # Unauthorized senders replay REAL payloads: a broken 401 tier
         # would land these duplicates and hash-fail the exact oracle.
@@ -1809,8 +1844,8 @@ def stream_http_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             except _urlreq.HTTPError as err:
                 assert err.code == code, f"got {err.code}, want {code}"
 
-        _expect(401, base_url, chunks[0])  # missing key
-        _expect(401, base_url + "?sharedKey=wrong", chunks[0])  # bad key
+        _expect(401, base_url, first_body)  # missing key
+        _expect(401, base_url + "?sharedKey=wrong", first_body)  # bad key
         _expect(401, f"http://127.0.0.1:{port}/nope?sharedKey=bad", b"x")
         # Keyed but unregistered route: auth passes, mux 404s.
         _expect(404, f"http://127.0.0.1:{port}/nope?sharedKey=s3kr1t-alpha", b"x")

@@ -327,3 +327,42 @@ def test_protobuf_codec_property_roundtrip(rows):
     )
 
     assert _pb_decode_supplier_stream(_pb_encode_supplier_stream(rows)) == rows
+
+
+def test_ack_on_failure_loss_delta_vs_exactly_once(spark, sf_dir):
+    """The A9 fidelity pair (publisher.go:204-211): compat_ack_on_failure
+    models the dead `if err != nil` future-check — every batch ACKs 201
+    even when futures failed, so the failed slice is lost forever —
+    while sink_exactly_once_manifest's commit protocol delivers every
+    message from the same fixture exactly once. Pin (a) the bug actually
+    loses data, (b) every batch acked despite failures to nack, and
+    (c) bug losses + bug deliveries == the fixed sink's per-type counts.
+    """
+    import cdc_pubsub_spark.all_queries  # noqa: F401
+    from cdc_pubsub_spark.registry import REGISTRY
+
+    bug = {
+        r["event_type"]: r
+        for r in REGISTRY["compat_ack_on_failure"].fn(spark, sf_dir).collect()
+    }
+    fixed = {
+        r["event_type"]: r
+        for r in REGISTRY["sink_exactly_once_manifest"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert set(bug) == set(fixed)
+    assert sum(r["n_lost"] for r in bug.values()) > 0, (
+        "fixture must exercise the failing-future slice"
+    )
+    for et, r in bug.items():
+        # The bug: every batch a type appeared in was ACKed, including
+        # every batch that had a failed future and should have 500'd.
+        assert r["should_have_nacked"] <= r["acked_batches"]
+        assert r["n_delivered"] + r["n_lost"] == r["n_sent"]
+        # The fixed sink delivers ALL sent messages for the same fixture.
+        assert fixed[et]["n"] == r["n_sent"]
+        if r["n_lost"] > 0:
+            assert fixed[et]["n"] > r["n_delivered"], (
+                f"{et}: exactly-once must out-deliver the buggy ACK path"
+            )
