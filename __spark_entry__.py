@@ -147,7 +147,15 @@ _RECERTIFY: list[str] = [
 # ordering below (lead + recert + rest_new + certified-stalest-first);
 # the policy is the budget discipline on _RECERTIFY's size and the
 # registry freeze-until-drained rule.
-_DEFER_TO_NEXT_ROUND: set[str] = set()
+_DEFER_TO_NEXT_ROUND: set[str] = {
+    # r13 growth ops: the r13 window is fully committed (2 recertifies +
+    # 39 never-sampled + stalest-r04 tail), so ops built this round
+    # defer and lead the r14 window (the r09/r12-extension precedent).
+    # wave A
+    "agg_ddsketch_quantile",
+    "ts_pacf_durbin_levinson",
+    "ml_cohen_kappa_mcc",
+}
 # r13 session-open: the 36 r12-EXTENSION ops deferred here last round are
 # released — with CORRECTNESS_r12 ingested they are the only never-sampled
 # ops, so they lead the r13 window via rest_new automatically (the r12

@@ -4321,3 +4321,130 @@ def ml_shapley_linear2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("feature")
     )
+
+
+# --- r13 growth: chance-corrected agreement (kappa + MCC) ---------------
+@register(
+    "ml_cohen_kappa_mcc",
+    category="similarity",
+    oracle=f"""
+    WITH rows_in AS ({_MCNEMAR_ROWS_SQL}),
+    cells AS (
+      SELECT grp,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN pred_a = 1 AND y = 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN pred_a = 1 AND y = 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN pred_a = 0 AND y = 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+             CAST(sum(CASE WHEN pred_a = 0 AND y = 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      FROM rows_in GROUP BY grp
+    )
+    SELECT grp AS l_returnflag, n, tp, fp, fn, tn,
+           floor(CAST(tp + tn AS DOUBLE) / n * 1000000 + 0.5)
+             / 1000000 AS accuracy,
+           CASE WHEN CAST(n AS HUGEINT) * n
+                     - (CAST(tp + fp AS HUGEINT) * (tp + fn)
+                        + CAST(fn + tn AS HUGEINT) * (fp + tn)) <> 0
+             THEN floor(
+               CAST(2 * (CAST(tp AS HUGEINT) * tn
+                         - CAST(fp AS HUGEINT) * fn) AS DOUBLE)
+               / CAST(CAST(n AS HUGEINT) * n
+                      - (CAST(tp + fp AS HUGEINT) * (tp + fn)
+                         + CAST(fn + tn AS HUGEINT) * (fp + tn))
+                      AS DOUBLE) * 1000000 + 0.5) / 1000000
+           END AS kappa,
+           CASE WHEN tp + fp <> 0 AND tp + fn <> 0
+                 AND tn + fp <> 0 AND tn + fn <> 0
+             THEN floor(
+               CAST(CAST(tp AS HUGEINT) * tn
+                    - CAST(fp AS HUGEINT) * fn AS DOUBLE)
+               / sqrt(CAST(CAST(tp + fp AS HUGEINT) * (tp + fn)
+                           AS DOUBLE)
+                      * CAST(CAST(tn + fp AS HUGEINT) * (tn + fn)
+                             AS DOUBLE)) * 1000000 + 0.5) / 1000000
+           END AS mcc
+    FROM cells
+    ORDER BY l_returnflag
+    """,
+)
+def ml_cohen_kappa_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHEN'S KAPPA and the MATTHEWS CORRELATION COEFFICIENT for the
+    planted classifier (the mcnemar fixture's pred_a vs its generative
+    label) per returnflag group — the two standard chance-corrected
+    agreement summaries accuracy cannot replace on imbalanced labels:
+    kappa = (p_o − p_e)/(1 − p_e) rewritten over raw counts as
+    2(TP·TN − FP·FN) / (n² − (TP+FP)(TP+FN) − (FN+TN)(FP+TN)), and
+    MCC = (TP·TN − FP·FN)/sqrt((TP+FP)(TP+FN)(TN+FP)(TN+FN)) — the
+    phi coefficient of the 2×2 table. Both share the same numerator
+    sign, so they must agree on better/worse-than-chance (pinned).
+
+    Exactness: the confusion matrix is exact integer counts from one
+    conditional-aggregate pass; every product runs in wide integers
+    (n² and the four marginal products exceed int64 at the probe
+    tree's scale), and kappa/MCC are single pinned double expressions
+    over them, r6-floored. Degenerate marginals (an all-positive or
+    all-negative prediction or label column) NULL out via the same
+    CASE both engines. The invariant test replays both statistics in
+    exact Fractions from the collected cells and pins the
+    kappa <= |MCC| inequality (kappa is MCC times a symmetry factor
+    <= 1 for 2x2 tables).
+
+    Scale shape: one map-side-combinable groupBy to 3 group rows;
+    everything downstream is per-row closed form.
+    """
+    li = load(spark, sf_dir, "lineitem").selectExpr(
+        "l_returnflag AS grp",
+        "CASE WHEN ((l_orderkey % 1048576) * 2654435761"
+        " + l_linenumber * 40503) % 1000"
+        " < 150 + 14 * CAST(l_quantity AS BIGINT) THEN 1 ELSE 0 END AS y",
+        "CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END AS pred_a",
+    )
+    cells = li.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.expr("CASE WHEN pred_a = 1 AND y = 1 THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("tp"),
+        F.sum(F.expr("CASE WHEN pred_a = 1 AND y = 0 THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("fp"),
+        F.sum(F.expr("CASE WHEN pred_a = 0 AND y = 1 THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("fn"),
+        F.sum(F.expr("CASE WHEN pred_a = 0 AND y = 0 THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("tn"),
+    )
+    wide = "DECIMAL(38,0)"
+    return cells.selectExpr(
+        "grp AS l_returnflag",
+        "n",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        "floor(CAST(tp + tn AS DOUBLE) / n * 1000000 + 0.5)"
+        " / 1000000 AS accuracy",
+        f"CASE WHEN CAST(n AS {wide}) * n"
+        f" - (CAST(tp + fp AS {wide}) * (tp + fn)"
+        f" + CAST(fn + tn AS {wide}) * (fp + tn)) <> 0"
+        " THEN floor("
+        f"CAST(2 * (CAST(tp AS {wide}) * tn"
+        f" - CAST(fp AS {wide}) * fn) AS DOUBLE)"
+        f" / CAST(CAST(n AS {wide}) * n"
+        f" - (CAST(tp + fp AS {wide}) * (tp + fn)"
+        f" + CAST(fn + tn AS {wide}) * (fp + tn))"
+        " AS DOUBLE) * 1000000 + 0.5) / 1000000"
+        " END AS kappa",
+        "CASE WHEN tp + fp <> 0 AND tp + fn <> 0"
+        " AND tn + fp <> 0 AND tn + fn <> 0"
+        " THEN floor("
+        f"CAST(CAST(tp AS {wide}) * tn"
+        f" - CAST(fp AS {wide}) * fn AS DOUBLE)"
+        f" / sqrt(CAST(CAST(tp + fp AS {wide}) * (tp + fn) AS DOUBLE)"
+        f" * CAST(CAST(tn + fp AS {wide}) * (tn + fn) AS DOUBLE))"
+        " * 1000000 + 0.5) / 1000000"
+        " END AS mcc",
+    ).orderBy("l_returnflag")

@@ -1730,3 +1730,129 @@ def agg_moment_rollup_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         " / cn * 100 + 0.5) / 100"
         " END AS pop_std_cents",
     ).orderBy("event_type", "epoch")
+
+
+# --- r13 growth: DDSketch relative-error quantile rollup ----------------
+#
+# gamma = (1+alpha)/(1-alpha) with alpha = 1% -> 101/99 exactly; both
+# engines spell the constant as CAST(101 AS DOUBLE)/99 so the bucket
+# boundary doubles are bit-identical.
+_DD_LGAMMA = "ln(CAST(101 AS DOUBLE) / 99)"
+_DD_GAMMA = "(CAST(101 AS DOUBLE) / 99)"
+_DD_QS = (50, 95, 99)  # integer percent targets (exact rank arithmetic)
+
+
+@register(
+    "agg_ddsketch_quantile",
+    category="aggregates",
+    oracle=f"""
+    WITH vals AS (
+      SELECT l_returnflag,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM lineitem
+    ),
+    buckets AS (
+      SELECT l_returnflag,
+             CAST(ceil(ln(CAST(cents AS DOUBLE)) / {_DD_LGAMMA})
+                  AS BIGINT) AS i,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM vals GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT l_returnflag, i, cnt,
+             CAST(sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS c,
+             CAST(sum(cnt) OVER (PARTITION BY l_returnflag)
+               AS BIGINT) AS n
+      FROM buckets
+    ),
+    hits AS (
+      SELECT l_returnflag, q_pct,
+             CAST(min(i) AS BIGINT) AS bucket_idx,
+             CAST(min(n) AS BIGINT) AS n_rows
+      FROM cum
+      CROSS JOIN (SELECT unnest([{", ".join(str(q) for q in _DD_QS)}])
+                  AS q_pct) qs
+      WHERE c >= (n * q_pct + 99) // 100
+      GROUP BY 1, 2
+    )
+    SELECT l_returnflag, CAST(q_pct AS BIGINT) AS q_pct, bucket_idx,
+           n_rows,
+           floor(2e0 * pow({_DD_GAMMA}, bucket_idx)
+                 / ({_DD_GAMMA} + 1) + 0.5) / 100 AS est_price
+    FROM hits
+    ORDER BY l_returnflag, q_pct
+    """,
+)
+def agg_ddsketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSKETCH quantile rollup (Masson, Lee & Rim, VLDB 2019) — the
+    relative-error quantile sketch: values land in log-spaced buckets
+    i = ceil(log_gamma(x)) with gamma = (1+a)/(1-a) at a = 1%, and any
+    quantile is answered from the bucket histogram with guaranteed
+    relative error <= a (the estimate 2·gamma^i/(gamma+1) is the
+    geometric midpoint of bucket i's [gamma^(i-1), gamma^i] range).
+    Unlike rank-error sketches (agg_approx_percentile's KLL family),
+    the guarantee is on the VALUE axis — the p99 of a heavy-tailed
+    price distribution is within 1% of truth no matter how stretched
+    the tail — and the bucket histogram is trivially MERGEABLE
+    (integer adds), the property that makes it the per-shard rollup
+    sketch at 100 TB: map-side partial histograms merge through one
+    tiny shuffle keyed on (group, bucket), never on rows.
+
+    Exactness: bucket assignment is the only float step (identical
+    ln-ratio expression both engines, boundary collisions measure-
+    zero); ranks are exact integer ceil arithmetic ((n*q+99) div 100,
+    positive operands so Spark's truncating div == DuckDB's floor //);
+    the invariant test pins the <= 1% relative-error guarantee against
+    exact per-group percentiles. Scale shape: one groupBy to a
+    domain-sized (group x ~400 bucket) histogram, one bounded window,
+    a 3-row quantile fan-out.
+    """
+    vals = load(spark, sf_dir, "lineitem").selectExpr(
+        "l_returnflag",
+        "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents",
+    )
+    buckets = (
+        vals.selectExpr(
+            "l_returnflag",
+            f"CAST(ceil(ln(CAST(cents AS DOUBLE)) / {_DD_LGAMMA})"
+            " AS BIGINT) AS i",
+        )
+        .groupBy("l_returnflag", "i")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("l_returnflag")
+    cum = buckets.select(
+        "l_returnflag",
+        "i",
+        F.sum("cnt").over(wcum).cast("bigint").alias("c"),
+        F.sum("cnt").over(wall).cast("bigint").alias("n"),
+    )
+    qs = spark.range(0, len(_DD_QS)).selectExpr(
+        "CASE id " + " ".join(
+            f"WHEN {j} THEN {q}L" for j, q in enumerate(_DD_QS)
+        ) + " END AS q_pct"
+    )
+    hits = (
+        cum.crossJoin(F.broadcast(qs))
+        .filter(F.expr("c >= (n * q_pct + 99) div 100"))
+        .groupBy("l_returnflag", "q_pct")
+        .agg(
+            F.min("i").cast("bigint").alias("bucket_idx"),
+            F.min("n").cast("bigint").alias("n_rows"),
+        )
+    )
+    return hits.selectExpr(
+        "l_returnflag",
+        "CAST(q_pct AS BIGINT) AS q_pct",
+        "bucket_idx",
+        "n_rows",
+        f"floor(2e0 * power({_DD_GAMMA}, bucket_idx)"
+        f" / ({_DD_GAMMA} + 1) + 0.5) / 100 AS est_price",
+    ).orderBy("l_returnflag", "q_pct")

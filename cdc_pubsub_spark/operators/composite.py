@@ -10575,3 +10575,252 @@ def ts_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("event_type")
     )
     return finalize_cached(out, seq, windows)
+
+
+# --- r13 growth: PACF via Durbin-Levinson ------------------------------
+_PACF_DAILY_DUCK = """
+      SELECT event_type,
+             CAST(epoch_us(date_trunc('day', ts)) // 86400000000
+                  AS BIGINT) AS day_idx,
+             CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+"""
+
+
+@register(
+    "ts_pacf_durbin_levinson",
+    category="composite",
+    oracle=f"""
+    WITH daily AS ({_PACF_DAILY_DUCK}),
+    seq AS (
+      SELECT event_type, x,
+             CAST(row_number() OVER w AS BIGINT) AS t,
+             lead(x, 1) OVER w AS x1,
+             lead(x, 2) OVER w AS x2,
+             lead(x, 3) OVER w AS x3,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day_idx)
+    ),
+    m AS (
+      SELECT event_type, max(n) AS n,
+             CAST(sum(x) AS BIGINT) AS s,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS q,
+             CAST(coalesce(sum(CAST(x AS HUGEINT) * x1), 0)
+                  AS HUGEINT) AS p1,
+             CAST(coalesce(sum(CAST(x AS HUGEINT) * x2), 0)
+                  AS HUGEINT) AS p2,
+             CAST(coalesce(sum(CAST(x AS HUGEINT) * x3), 0)
+                  AS HUGEINT) AS p3,
+             CAST(coalesce(sum(x) FILTER (WHERE t <= n - 1), 0)
+                  AS BIGINT) AS sa1,
+             CAST(coalesce(sum(x) FILTER (WHERE t <= n - 2), 0)
+                  AS BIGINT) AS sa2,
+             CAST(coalesce(sum(x) FILTER (WHERE t <= n - 3), 0)
+                  AS BIGINT) AS sa3,
+             CAST(coalesce(sum(x) FILTER (WHERE t > 1), 0)
+                  AS BIGINT) AS sb1,
+             CAST(coalesce(sum(x) FILTER (WHERE t > 2), 0)
+                  AS BIGINT) AS sb2,
+             CAST(coalesce(sum(x) FILTER (WHERE t > 3), 0)
+                  AS BIGINT) AS sb3
+      FROM seq GROUP BY event_type
+    ),
+    a AS (
+      SELECT event_type, n,
+             CAST(n AS HUGEINT) * n * q - CAST(n AS HUGEINT) * s * s
+               AS a0,
+             CAST(n AS HUGEINT) * n * p1
+               - CAST(n AS HUGEINT) * s * (sa1 + sb1)
+               + CAST(n - 1 AS HUGEINT) * s * s AS a1,
+             CAST(n AS HUGEINT) * n * p2
+               - CAST(n AS HUGEINT) * s * (sa2 + sb2)
+               + CAST(n - 2 AS HUGEINT) * s * s AS a2,
+             CAST(n AS HUGEINT) * n * p3
+               - CAST(n AS HUGEINT) * s * (sa3 + sb3)
+               + CAST(n - 3 AS HUGEINT) * s * s AS a3
+      FROM m
+    ),
+    r AS (
+      SELECT event_type, n,
+             CASE WHEN a0 <> 0 THEN CAST(a1 AS DOUBLE)
+                  / CAST(a0 AS DOUBLE) END AS r1,
+             CASE WHEN a0 <> 0 THEN CAST(a2 AS DOUBLE)
+                  / CAST(a0 AS DOUBLE) END AS r2,
+             CASE WHEN a0 <> 0 THEN CAST(a3 AS DOUBLE)
+                  / CAST(a0 AS DOUBLE) END AS r3
+      FROM a
+    ),
+    dl AS (
+      SELECT event_type, n, r1, r2, r3,
+             CASE WHEN 1e0 - r1 * r1 <> 0e0
+                  THEN (r2 - r1 * r1) / (1e0 - r1 * r1) END AS phi22
+      FROM r
+    ),
+    dl2 AS (
+      SELECT event_type, n, r1, r2, r3, phi22,
+             r1 - phi22 * r1 AS phi21
+      FROM dl
+    )
+    SELECT event_type, n AS n_days,
+           floor(r1 * 1000000 + 0.5) / 1000000 AS r1,
+           floor(r2 * 1000000 + 0.5) / 1000000 AS r2,
+           floor(r3 * 1000000 + 0.5) / 1000000 AS r3,
+           floor(r1 * 1000000 + 0.5) / 1000000 AS pacf1,
+           floor(phi22 * 1000000 + 0.5) / 1000000 AS pacf2,
+           CASE WHEN 1e0 - phi21 * r1 - phi22 * r2 <> 0e0 THEN
+             floor((r3 - phi21 * r2 - phi22 * r1)
+                   / (1e0 - phi21 * r1 - phi22 * r2)
+                   * 1000000 + 0.5) / 1000000
+           END AS pacf3
+    FROM dl2
+    ORDER BY event_type
+    """,
+)
+def ts_pacf_durbin_levinson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTIAL AUTOCORRELATION (lags 1-3) of the daily value series via
+    the DURBIN-LEVINSON recursion — the AR-order-selection readout (a
+    sharp PACF cutoff at lag p identifies AR(p), the Box-Jenkins
+    identification step that the ACF alone cannot provide because AR
+    autocorrelation decays geometrically instead of cutting off).
+    phi11 = r1; phi22 = (r2 - r1²)/(1 - r1²); phi33 from the level-3
+    recursion with phi21 = phi11 - phi22·phi11 — each level's
+    coefficients are closed-form in the previous level's, so three
+    lags cost zero matrix solves.
+
+    Exactness: the biased-ACF numerators are computed as EXACT wide
+    integers — n²·Σx_t·x_{t+k} − n·S·(Sa_k + Sb_k) + (n−k)·S² where
+    Sa/Sb are the lag-trimmed prefix/suffix sums, i.e. the covariance
+    identity cleared of the x̄ = S/n rational — and every r_k / phi is
+    one pinned double expression over them (r6-floored). Degenerate
+    guards (constant series a0 = 0; |r1| = 1; zero level-3
+    denominator) emit NULL via the same CASE on both engines. The
+    invariant test re-derives phi33 from the Yule-Walker 3x3 system by
+    Cramer's rule in python — an independent derivation the recursion
+    must reproduce.
+
+    Scale shape: calendar-collapse groupBy, one bounded window for the
+    three leads, one moment aggregate to a per-type row. The recursion
+    itself is O(p²) per SERIES, not per row — the reason
+    Durbin-Levinson (not a regression per lag) is the 100 TB shape:
+    p=3 PACF over a million series is a million tiny closed-form
+    evaluations after one shuffle.
+    """
+    daily = (
+        load(spark, sf_dir, "events")
+        .selectExpr(
+            "event_type",
+            "unix_micros(date_trunc('DAY', CAST(ts AS TIMESTAMP)))"
+            " div 86400000000 AS day_idx",
+            "value",
+        )
+        .groupBy("event_type", "day_idx")
+        .agg(
+            F.expr("CAST(floor(sum(value) * 100 + 0.5) AS BIGINT)").alias("x")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day_idx")
+    wn = Window.partitionBy("event_type")
+    seq = daily.select(
+        "event_type",
+        "x",
+        F.row_number().over(w).cast("bigint").alias("t"),
+        F.lead("x", 1).over(w).alias("x1"),
+        F.lead("x", 2).over(w).alias("x2"),
+        F.lead("x", 3).over(w).alias("x3"),
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("n"),
+    )
+    wide = "DECIMAL(38,0)"
+    m = seq.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+        F.sum(F.expr(f"CAST(x AS {wide}) * x")).alias("q"),
+        F.expr(
+            f"CAST(coalesce(sum(CAST(x AS {wide}) * x1), 0)"
+            f" AS {wide})"
+        ).alias("p1"),
+        F.expr(
+            f"CAST(coalesce(sum(CAST(x AS {wide}) * x2), 0)"
+            f" AS {wide})"
+        ).alias("p2"),
+        F.expr(
+            f"CAST(coalesce(sum(CAST(x AS {wide}) * x3), 0)"
+            f" AS {wide})"
+        ).alias("p3"),
+        F.expr(
+            "CAST(coalesce(sum(CASE WHEN t <= n - 1 THEN x END), 0)"
+            " AS BIGINT)"
+        ).alias("sa1"),
+        F.expr(
+            "CAST(coalesce(sum(CASE WHEN t <= n - 2 THEN x END), 0)"
+            " AS BIGINT)"
+        ).alias("sa2"),
+        F.expr(
+            "CAST(coalesce(sum(CASE WHEN t <= n - 3 THEN x END), 0)"
+            " AS BIGINT)"
+        ).alias("sa3"),
+        F.expr(
+            "CAST(coalesce(sum(CASE WHEN t > 1 THEN x END), 0) AS BIGINT)"
+        ).alias("sb1"),
+        F.expr(
+            "CAST(coalesce(sum(CASE WHEN t > 2 THEN x END), 0) AS BIGINT)"
+        ).alias("sb2"),
+        F.expr(
+            "CAST(coalesce(sum(CASE WHEN t > 3 THEN x END), 0) AS BIGINT)"
+        ).alias("sb3"),
+    )
+    a = m.selectExpr(
+        "event_type",
+        "n",
+        f"CAST(n AS {wide}) * n * q - CAST(n AS {wide}) * s * s AS a0",
+        f"CAST(n AS {wide}) * n * p1"
+        f" - CAST(n AS {wide}) * s * (sa1 + sb1)"
+        f" + CAST(n - 1 AS {wide}) * s * s AS a1",
+        f"CAST(n AS {wide}) * n * p2"
+        f" - CAST(n AS {wide}) * s * (sa2 + sb2)"
+        f" + CAST(n - 2 AS {wide}) * s * s AS a2",
+        f"CAST(n AS {wide}) * n * p3"
+        f" - CAST(n AS {wide}) * s * (sa3 + sb3)"
+        f" + CAST(n - 3 AS {wide}) * s * s AS a3",
+    )
+    r = a.selectExpr(
+        "event_type",
+        "n",
+        "CASE WHEN a0 <> 0 THEN CAST(a1 AS DOUBLE)"
+        " / CAST(a0 AS DOUBLE) END AS r1",
+        "CASE WHEN a0 <> 0 THEN CAST(a2 AS DOUBLE)"
+        " / CAST(a0 AS DOUBLE) END AS r2",
+        "CASE WHEN a0 <> 0 THEN CAST(a3 AS DOUBLE)"
+        " / CAST(a0 AS DOUBLE) END AS r3",
+    )
+    dl = r.selectExpr(
+        "event_type",
+        "n",
+        "r1",
+        "r2",
+        "r3",
+        "CASE WHEN 1D - r1 * r1 <> 0D"
+        " THEN (r2 - r1 * r1) / (1D - r1 * r1) END AS phi22",
+    ).selectExpr(
+        "event_type",
+        "n",
+        "r1",
+        "r2",
+        "r3",
+        "phi22",
+        "r1 - phi22 * r1 AS phi21",
+    )
+    return dl.selectExpr(
+        "event_type",
+        "n AS n_days",
+        "floor(r1 * 1000000 + 0.5) / 1000000 AS r1",
+        "floor(r2 * 1000000 + 0.5) / 1000000 AS r2",
+        "floor(r3 * 1000000 + 0.5) / 1000000 AS r3",
+        "floor(r1 * 1000000 + 0.5) / 1000000 AS pacf1",
+        "floor(phi22 * 1000000 + 0.5) / 1000000 AS pacf2",
+        "CASE WHEN 1D - phi21 * r1 - phi22 * r2 <> 0D THEN"
+        " floor((r3 - phi21 * r2 - phi22 * r1)"
+        " / (1D - phi21 * r1 - phi22 * r2)"
+        " * 1000000 + 0.5) / 1000000"
+        " END AS pacf3",
+    ).orderBy("event_type")
