@@ -155,6 +155,10 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     "agg_ddsketch_quantile",
     "ts_pacf_durbin_levinson",
     "ml_cohen_kappa_mcc",
+    # wave B (text analysis)
+    "text_lexical_richness",
+    "text_burrows_delta",
+    "text_dispersion_dp",
 }
 # r13 session-open: the 36 r12-EXTENSION ops deferred here last round are
 # released — with CORRECTNESS_r12 ingested they are the only never-sampled

@@ -2651,3 +2651,396 @@ def text_ngram_saturation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ngram_order")
     )
+
+
+# --- r13 growth: lexical-richness profile -------------------------------
+@register(
+    "text_lexical_richness",
+    category="text",
+    oracle="""
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ),
+    freqs AS (
+      SELECT source, w, CAST(count(*) AS BIGINT) AS f
+      FROM toks GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT source,
+             CAST(sum(f) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS hapax,
+             CAST(sum(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS dis_legomena,
+             CAST(sum(CAST(f AS HUGEINT) * f) AS HUGEINT) AS sum_f2
+      FROM freqs GROUP BY source
+    )
+    SELECT source, n_tokens, n_types, hapax, dis_legomena,
+           floor(CAST(n_types AS DOUBLE) / n_tokens * 1000000 + 0.5)
+             / 1000000 AS ttr,
+           floor(1e4 * CAST(sum_f2 - n_tokens AS DOUBLE)
+                 / (CAST(n_tokens AS DOUBLE) * n_tokens)
+                 * 1000000 + 0.5) / 1000000 AS yule_k,
+           CASE WHEN n_tokens >= 2 THEN
+             floor(CAST(sum_f2 - n_tokens AS DOUBLE)
+                   / (CAST(n_tokens AS DOUBLE) * (n_tokens - 1))
+                   * 1000000 + 0.5) / 1000000
+           END AS simpson_d,
+           CASE WHEN n_tokens >= 2 AND n_types >= 1 THEN
+             floor(ln(CAST(n_types AS DOUBLE))
+                   / ln(CAST(n_tokens AS DOUBLE))
+                   * 1000000 + 0.5) / 1000000
+           END AS herdan_c
+    FROM m
+    ORDER BY source
+    """,
+)
+def text_lexical_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEXICAL-RICHNESS profile per source — the vocabulary-diversity
+    summaries stylometry and corpus-quality triage use because raw TTR
+    is length-confounded: Yule's K = 10^4·(Σf² − N)/N² (the
+    length-invariant repeat-rate characteristic), Simpson's D =
+    Σf(f−1)/(N(N−1)) (the probability two random tokens are the same
+    type), Herdan's C = ln V / ln N (log-log TTR), plus the hapax /
+    dis-legomena counts that drive Good-Turing mass estimates. A
+    quality gate reads these as fingerprints: template-generated spam
+    has pathologically low K-complement diversity, boilerplate farms
+    show hapax starvation.
+
+    Exactness: all frequency moments are exact integers (wide Σf²);
+    each statistic is one pinned double expression, r6-floored, with
+    degenerate-N CASE guards identical on both engines.
+
+    Scale shape: explode → (source, word) groupBy → per-source moment
+    aggregate. The (source, word) relation is the only shuffle and is
+    vocabulary-bounded per source; no data-sized state follows.
+    """
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split(F.col("text"), " ")).alias("w"))
+    )
+    freqs = toks.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("f")
+    )
+    wide = "DECIMAL(38,0)"
+    m = freqs.groupBy("source").agg(
+        F.sum("f").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum(F.expr("CASE WHEN f = 1 THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("hapax"),
+        F.sum(F.expr("CASE WHEN f = 2 THEN 1 ELSE 0 END"))
+        .cast("bigint")
+        .alias("dis_legomena"),
+        F.sum(F.expr(f"CAST(f AS {wide}) * f")).alias("sum_f2"),
+    )
+    return m.selectExpr(
+        "source",
+        "n_tokens",
+        "n_types",
+        "hapax",
+        "dis_legomena",
+        "floor(CAST(n_types AS DOUBLE) / n_tokens * 1000000 + 0.5)"
+        " / 1000000 AS ttr",
+        "floor(1e4 * CAST(sum_f2 - n_tokens AS DOUBLE)"
+        " / (CAST(n_tokens AS DOUBLE) * n_tokens)"
+        " * 1000000 + 0.5) / 1000000 AS yule_k",
+        "CASE WHEN n_tokens >= 2 THEN"
+        " floor(CAST(sum_f2 - n_tokens AS DOUBLE)"
+        " / (CAST(n_tokens AS DOUBLE) * (n_tokens - 1))"
+        " * 1000000 + 0.5) / 1000000"
+        " END AS simpson_d",
+        "CASE WHEN n_tokens >= 2 AND n_types >= 1 THEN"
+        " floor(ln(CAST(n_types AS DOUBLE))"
+        " / ln(CAST(n_tokens AS DOUBLE))"
+        " * 1000000 + 0.5) / 1000000"
+        " END AS herdan_c",
+    ).orderBy("source")
+
+
+# --- r13 growth: Burrows' Delta stylometric distance ---------------------
+_BURROWS_W = 8  # marker words (top global frequencies, word-asc ties)
+
+
+@register(
+    "text_burrows_delta",
+    category="text",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ),
+    counts AS (
+      SELECT source, w, CAST(count(*) AS BIGINT) AS cnt
+      FROM toks GROUP BY 1, 2
+    ),
+    totals AS (
+      SELECT source, CAST(sum(cnt) AS BIGINT) AS tot FROM counts
+      GROUP BY source
+    ),
+    markers AS (
+      SELECT w FROM (
+        SELECT w, sum(cnt) AS g FROM counts GROUP BY w
+        ORDER BY g DESC, w ASC LIMIT {_BURROWS_W}
+      )
+    ),
+    grid AS (
+      SELECT t.source, m.w,
+             CAST(coalesce(c.cnt, 0) * 1000000 // t.tot AS BIGINT)
+               AS f_pm
+      FROM totals t
+      CROSS JOIN markers m
+      LEFT JOIN counts c ON c.source = t.source AND c.w = m.w
+    ),
+    wstats AS (
+      SELECT w,
+             CAST(count(*) AS BIGINT) AS ns,
+             CAST(sum(f_pm) AS BIGINT) AS s,
+             CAST(sum(CAST(f_pm AS HUGEINT) * f_pm) AS HUGEINT) AS q
+      FROM grid GROUP BY w
+    ),
+    contrib AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CASE WHEN ws.ns * ws.q - CAST(ws.s AS HUGEINT) * ws.s > 0
+               THEN CAST(floor(
+                 CAST(ws.ns AS DOUBLE) * abs(a.f_pm - b.f_pm)
+                 / sqrt(CAST(ws.ns * ws.q
+                             - CAST(ws.s AS HUGEINT) * ws.s AS DOUBLE))
+                 * 1000000 + 0.5) AS BIGINT)
+             END AS zq
+      FROM grid a
+      JOIN grid b ON b.w = a.w AND a.source < b.source
+      JOIN wstats ws ON ws.w = a.w
+    )
+    SELECT source_a, source_b,
+           CAST(count(zq) AS BIGINT) AS n_markers,
+           floor(CAST(sum(zq) AS DOUBLE) / count(zq) + 0.5) / 1000000
+             AS burrows_delta
+    FROM contrib
+    GROUP BY 1, 2
+    HAVING count(zq) > 0
+    ORDER BY source_a, source_b
+    """,
+)
+def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BURROWS' DELTA (Burrows 2002) between every source pair — the
+    standard stylometric attribution distance: each source is a vector
+    of marker-word rates (the {_BURROWS_W} globally most frequent
+    words — function words in real corpora), each rate is z-scored
+    against the across-source distribution of that word, and Delta is
+    the mean absolute z difference. Sources with the same generator
+    profile cluster near zero; an injected style (or a template farm)
+    stands off. The mean terms cancel in z_a − z_b, so the statistic
+    reduces to n·|f_a − f_b| / sqrt(n·Σf² − (Σf)²) per word — exact
+    integers under one sqrt.
+
+    Exactness: rates are floor-quantized integer per-mille-of-mille
+    (cnt·10^6 div tot — positive operands, so truncating div ==
+    floor //); word moments are exact wide ints; each word's
+    contribution is quantized to an INTEGER ppm BEFORE the cross-word
+    sum (the anova_dow device — cross-engine float-sum order noise
+    cannot arise), and the final mean is one pinned double division.
+    Zero-variance markers NULL out of both engines identically.
+
+    Scale shape: the (source, word) count relation is the only
+    data-sized shuffle; markers are a broadcast LIMIT-{_BURROWS_W}
+    relation; the pair join runs on the (sources × markers) grid —
+    profile-domain-sized, never row-sized.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    counts = toks.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    totals = counts.groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("tot")
+    )
+    markers = (
+        counts.groupBy("w")
+        .agg(F.sum("cnt").alias("g"))
+        .orderBy(F.desc("g"), F.asc("w"))
+        .limit(_BURROWS_W)
+        .select("w")
+    )
+    grid = (
+        totals.crossJoin(F.broadcast(markers))
+        .join(counts, ["source", "w"], "left")
+        .selectExpr(
+            "source",
+            "w",
+            "CAST(coalesce(cnt, 0L) * 1000000 div tot AS BIGINT) AS f_pm",
+        )
+    )
+    wide = "DECIMAL(38,0)"
+    wstats = grid.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ns"),
+        F.sum("f_pm").cast("bigint").alias("s"),
+        F.sum(F.expr(f"CAST(f_pm AS {wide}) * f_pm")).alias("q"),
+    )
+    a = grid.selectExpr("source AS source_a", "w", "f_pm AS fa")
+    b = grid.selectExpr("source AS source_b", "w AS wb", "f_pm AS fb")
+    contrib = (
+        a.join(
+            b,
+            (F.col("w") == F.col("wb"))
+            & (F.col("source_a") < F.col("source_b")),
+        )
+        .join(F.broadcast(wstats), "w")
+        .selectExpr(
+            "source_a",
+            "source_b",
+            f"CASE WHEN ns * q - CAST(s AS {wide}) * s > 0"
+            " THEN CAST(floor("
+            " CAST(ns AS DOUBLE) * abs(fa - fb)"
+            f" / sqrt(CAST(ns * q - CAST(s AS {wide}) * s AS DOUBLE))"
+            " * 1000000 + 0.5) AS BIGINT)"
+            " END AS zq",
+        )
+    )
+    return (
+        contrib.groupBy("source_a", "source_b")
+        .agg(
+            F.count("zq").cast("bigint").alias("n_markers"),
+            F.expr(
+                "floor(CAST(sum(zq) AS DOUBLE) / count(zq) + 0.5)"
+                " / 1000000"
+            ).alias("burrows_delta"),
+        )
+        .filter(F.col("n_markers") > 0)
+        .orderBy("source_a", "source_b")
+    )
+
+
+# --- r13 growth: Gries' deviation of proportions --------------------------
+_DP_TOPK = 10  # profiled words (top global frequencies, word-asc ties)
+
+
+@register(
+    "text_dispersion_dp",
+    category="text",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ),
+    counts AS (
+      SELECT source, w, CAST(count(*) AS BIGINT) AS cnt
+      FROM toks GROUP BY 1, 2
+    ),
+    totals AS (
+      SELECT source, CAST(sum(cnt) AS BIGINT) AS tot FROM counts
+      GROUP BY source
+    ),
+    corpus AS (
+      SELECT CAST(sum(tot) AS BIGINT) AS t,
+             CAST(min(tot) AS BIGINT) AS min_tot
+      FROM totals
+    ),
+    words AS (
+      SELECT w, CAST(sum(cnt) AS BIGINT) AS cw FROM counts GROUP BY w
+      ORDER BY cw DESC, w ASC LIMIT {_DP_TOPK}
+    ),
+    terms AS (
+      SELECT wd.w, wd.cw,
+             CAST(abs(CAST(coalesce(c.cnt, 0) AS HUGEINT) * corpus.t
+                      - CAST(tt.tot AS HUGEINT) * wd.cw)
+                  AS HUGEINT) AS num,
+             corpus.t AS t, corpus.min_tot AS min_tot
+      FROM words wd
+      CROSS JOIN totals tt
+      CROSS JOIN corpus
+      LEFT JOIN counts c ON c.w = wd.w AND c.source = tt.source
+    )
+    SELECT w, CAST(min(cw) AS BIGINT) AS c_total,
+           floor(CAST(sum(num) AS DOUBLE)
+                 / (2e0 * CAST(min(cw) AS DOUBLE) * min(t))
+                 * 1000000 + 0.5) / 1000000 AS dp,
+           CASE WHEN min(t) > min(min_tot) THEN
+             floor(CAST(sum(num) AS DOUBLE)
+                   / (2e0 * CAST(min(cw) AS DOUBLE) * min(t))
+                   * CAST(min(t) AS DOUBLE) / (min(t) - min(min_tot))
+                   * 1000000 + 0.5) / 1000000
+           END AS dp_norm
+    FROM terms
+    GROUP BY w
+    ORDER BY c_total DESC, w ASC
+    """,
+)
+def text_dispersion_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRIES' DEVIATION OF PROPORTIONS (DP, Gries 2008) for the
+    {_DP_TOPK} globally most frequent words — the corpus-linguistics
+    dispersion measure that asks: is this word's usage spread across
+    the corpus parts (sources) like the parts' token shares, or
+    concentrated in a few? DP = 0.5·Σ_parts |v_i − s_i| with v_i the
+    word's proportion in part i and s_i the part's corpus share; 0 =
+    perfectly proportional, →1 = concentrated in one tiny part.
+    DPnorm divides by (1 − min s_i), the attainable maximum. A
+    training-mix auditor reads high-DP frequent words as domain
+    markers (vocabulary owned by one source) vs true function words.
+
+    Exactness: v_i − s_i is cleared to the common denominator C_w·T,
+    so every |numerator| is an exact wide integer, the part sum is an
+    exact integer sum, and DP is ONE pinned double division (the same
+    no-float-accumulation device as burrows_delta, taken further — no
+    per-part quantization needed at all). Scale shape: (source, word)
+    counts are the only data-sized shuffle; the term grid is
+    {_DP_TOPK} × parts — domain-sized.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    counts = toks.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    totals = counts.groupBy("source").agg(
+        F.sum("cnt").cast("bigint").alias("tot")
+    )
+    corpus = totals.groupBy().agg(
+        F.sum("tot").cast("bigint").alias("t"),
+        F.min("tot").cast("bigint").alias("min_tot"),
+    )
+    words = (
+        counts.groupBy("w")
+        .agg(F.sum("cnt").cast("bigint").alias("cw"))
+        .orderBy(F.desc("cw"), F.asc("w"))
+        .limit(_DP_TOPK)
+    )
+    wide = "DECIMAL(38,0)"
+    terms = (
+        words.crossJoin(totals)
+        .crossJoin(F.broadcast(corpus))
+        .join(counts, ["w", "source"], "left")
+        .selectExpr(
+            "w",
+            "cw",
+            f"CAST(abs(CAST(coalesce(cnt, 0L) AS {wide}) * t"
+            f" - CAST(tot AS {wide}) * cw) AS {wide}) AS num",
+            "t",
+            "min_tot",
+        )
+    )
+    return (
+        terms.groupBy("w")
+        .agg(
+            F.min("cw").cast("bigint").alias("c_total"),
+            F.expr(
+                "floor(CAST(sum(num) AS DOUBLE)"
+                " / (2D * CAST(min(cw) AS DOUBLE) * min(t))"
+                " * 1000000 + 0.5) / 1000000"
+            ).alias("dp"),
+            F.expr(
+                "CASE WHEN min(t) > min(min_tot) THEN"
+                " floor(CAST(sum(num) AS DOUBLE)"
+                " / (2D * CAST(min(cw) AS DOUBLE) * min(t))"
+                " * CAST(min(t) AS DOUBLE) / (min(t) - min(min_tot))"
+                " * 1000000 + 0.5) / 1000000"
+                " END"
+            ).alias("dp_norm"),
+        )
+        .orderBy(F.desc("c_total"), F.asc("w"))
+    )

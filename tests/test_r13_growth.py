@@ -103,3 +103,89 @@ def test_kappa_mcc_fraction_replay_and_inequality(spark):
         # the planted classifier thresholds the generative feature:
         # agreement must be far above chance
         assert r["kappa"] > 0.2, r
+
+
+def _word_counts(spark, sf):
+    from pyspark.sql import functions as F
+    from cdc_pubsub_spark.tables import load
+
+    rows = (
+        load(spark, sf, "documents")
+        .select("source", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("source", "w")
+        .count()
+        .collect()
+    )
+    counts: dict = {}
+    for r in rows:
+        counts[(r["source"], r["w"])] = r["count"]
+    return counts
+
+
+def test_lexical_richness_python_replay(spark):
+    """Exact replay of Yule's K and Simpson's D from the raw (source,
+    word) counts, plus structural identities."""
+    counts = _word_counts(spark, SF)
+    rows = REGISTRY["text_lexical_richness"].fn(spark, SF).collect()
+    per_source: dict = {}
+    for (s, _w), c in counts.items():
+        per_source.setdefault(s, []).append(c)
+    assert len(rows) == len(per_source)
+    for r in rows:
+        fs = per_source[r["source"]]
+        n, v = sum(fs), len(fs)
+        assert r["n_tokens"] == n and r["n_types"] == v
+        assert r["hapax"] == sum(1 for f in fs if f == 1)
+        assert r["hapax"] + r["dis_legomena"] <= v
+        sum_f2 = sum(f * f for f in fs)
+        import math
+
+        yule = 1e4 * (sum_f2 - n) / (n * n)
+        simpson = (sum_f2 - n) / (n * (n - 1))
+        assert abs(r["yule_k"] - yule) < 5e-6
+        assert abs(r["simpson_d"] - simpson) < 5e-6
+        assert abs(r["herdan_c"] - math.log(v) / math.log(n)) < 5e-6
+
+
+def test_burrows_delta_metric_properties(spark):
+    """Delta is a mean of per-word metrics, so the triangle inequality
+    must hold on every source triple; deltas are non-negative and every
+    pair sees the full marker panel on this fixture."""
+    rows = REGISTRY["text_burrows_delta"].fn(spark, SF).collect()
+    d = {}
+    for r in rows:
+        assert r["burrows_delta"] >= 0
+        assert r["n_markers"] == 8
+        d[(r["source_a"], r["source_b"])] = r["burrows_delta"]
+
+    def dd(a, b):
+        return d[(a, b)] if (a, b) in d else d[(b, a)]
+
+    sources = sorted({s for pair in d for s in pair})
+    assert len(d) == len(sources) * (len(sources) - 1) // 2
+    import itertools
+
+    for a, b, c in itertools.islice(itertools.combinations(sources, 3), 200):
+        # quantization adds <= 1e-6 per term; allow 4 ulps of slack
+        assert dd(a, c) <= dd(a, b) + dd(b, c) + 4e-6, (a, b, c)
+
+
+def test_dispersion_dp_bounds_and_replay(spark):
+    """DP in [0, 1); DPnorm >= DP; exact replay for every profiled word
+    from the raw counts (the cleared-denominator identity)."""
+    counts = _word_counts(spark, SF)
+    tot: dict = {}
+    for (s, _w), c in counts.items():
+        tot[s] = tot.get(s, 0) + c
+    T = sum(tot.values())
+    rows = REGISTRY["text_dispersion_dp"].fn(spark, SF).collect()
+    assert len(rows) == 10
+    for r in rows:
+        w, cw = r["w"], r["c_total"]
+        num = sum(
+            abs(counts.get((s, w), 0) * T - tot[s] * cw) for s in tot
+        )
+        dp = num / (2 * cw * T)
+        assert 0 <= r["dp"] < 1
+        assert abs(r["dp"] - dp) < 5e-6
+        assert r["dp_norm"] >= r["dp"] - 5e-6
