@@ -159,6 +159,10 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     "text_lexical_richness",
     "text_burrows_delta",
     "text_dispersion_dp",
+    # wave C (business / chains / graph)
+    "orders_bullwhip_ratio",
+    "events_markov_absorption",
+    "graph_eccentricity_sample",
 }
 # r13 session-open: the 36 r12-EXTENSION ops deferred here last round are
 # released — with CORRECTNESS_r12 ingested they are the only never-sampled

@@ -10824,3 +10824,359 @@ def ts_pacf_durbin_levinson(spark: SparkSession, sf_dir: str) -> DataFrame:
         " * 1000000 + 0.5) / 1000000"
         " END AS pacf3",
     ).orderBy("event_type")
+
+
+# --- r13 growth: bullwhip variance amplification -------------------------
+@register(
+    "orders_bullwhip_ratio",
+    category="composite",
+    oracle="""
+    WITH demand AS (
+      SELECT o_orderpriority AS prio,
+             CAST(date_part('year', o_orderdate) * 12
+                  + date_part('month', o_orderdate) AS BIGINT) AS m,
+             CAST(count(*) AS BIGINT) AS x
+      FROM orders GROUP BY 1, 2
+    ),
+    supply AS (
+      SELECT o.o_orderpriority AS prio,
+             CAST(date_part('year', l.l_shipdate) * 12
+                  + date_part('month', l.l_shipdate) AS BIGINT) AS m,
+             CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS x
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1, 2
+    ),
+    dm AS (
+      SELECT prio, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS s,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS q
+      FROM demand GROUP BY prio
+    ),
+    sm AS (
+      SELECT prio, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS s,
+             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS q
+      FROM supply GROUP BY prio
+    )
+    SELECT dm.prio AS o_orderpriority,
+           dm.n AS n_demand_months, sm.n AS n_supply_months,
+           floor(CAST(dm.n * dm.q - CAST(dm.s AS HUGEINT) * dm.s
+                      AS DOUBLE)
+                 / (CAST(dm.s AS DOUBLE) * dm.s) * 1000000 + 0.5)
+             / 1000000 AS cv2_demand,
+           floor(CAST(sm.n * sm.q - CAST(sm.s AS HUGEINT) * sm.s
+                      AS DOUBLE)
+                 / (CAST(sm.s AS DOUBLE) * sm.s) * 1000000 + 0.5)
+             / 1000000 AS cv2_supply,
+           CASE WHEN dm.n * dm.q - CAST(dm.s AS HUGEINT) * dm.s <> 0
+             THEN floor(
+               (CAST(sm.n * sm.q - CAST(sm.s AS HUGEINT) * sm.s
+                     AS DOUBLE) / (CAST(sm.s AS DOUBLE) * sm.s))
+               / (CAST(dm.n * dm.q - CAST(dm.s AS HUGEINT) * dm.s
+                       AS DOUBLE) / (CAST(dm.s AS DOUBLE) * dm.s))
+               * 1000000 + 0.5) / 1000000
+           END AS bullwhip_ratio,
+           CASE WHEN dm.n * dm.q - CAST(dm.s AS HUGEINT) * dm.s <> 0
+             THEN (CAST(sm.n * sm.q - CAST(sm.s AS HUGEINT) * sm.s
+                        AS DOUBLE) / (CAST(sm.s AS DOUBLE) * sm.s))
+                  > (CAST(dm.n * dm.q - CAST(dm.s AS HUGEINT) * dm.s
+                          AS DOUBLE) / (CAST(dm.s AS DOUBLE) * dm.s))
+           END AS amplified
+    FROM dm JOIN sm ON sm.prio = dm.prio
+    ORDER BY o_orderpriority
+    """,
+)
+def orders_bullwhip_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BULLWHIP RATIO per order priority — the supply-chain variance-
+    amplification diagnostic (Lee, Padmanabhan & Whang 1997): the
+    squared coefficient of variation of the UPSTREAM signal (monthly
+    shipped quantity, lineitem side) over that of the DOWNSTREAM
+    demand signal (monthly order counts). CV² — not raw variance —
+    because the two series live on different scales; ratio > 1 means
+    the chain amplifies demand noise into shipment noise (batching,
+    rationing, forecast-chasing), the effect inventory policy exists
+    to damp.
+
+    Exactness: both monthly series are exact integers (counts;
+    whole-unit quantities), CV² = (nQ − S²)/S² over exact wide
+    moments, and the ratio is one pinned double expression with the
+    zero-variance CASE identical on both engines (r6-floored).
+
+    Scale shape: the only data-sized work is the lineitem-orders
+    equi-join (priority lives on the order) and two calendar-collapse
+    groupBys to priority x month; moments aggregate the ~80-month
+    domain. At 100 TB the join shuffles once on orderkey and the rest
+    is domain-sized.
+    """
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    demand = (
+        orders.selectExpr(
+            "o_orderpriority AS prio",
+            "CAST(year(o_orderdate) * 12 + month(o_orderdate)"
+            " AS BIGINT) AS m",
+        )
+        .groupBy("prio", "m")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    supply = (
+        li.join(
+            orders.select("o_orderkey", "o_orderpriority"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .selectExpr(
+            "o_orderpriority AS prio",
+            "CAST(year(l_shipdate) * 12 + month(l_shipdate)"
+            " AS BIGINT) AS m",
+            "CAST(l_quantity AS BIGINT) AS qty",
+        )
+        .groupBy("prio", "m")
+        .agg(F.sum("qty").cast("bigint").alias("x"))
+    )
+    wide = "DECIMAL(38,0)"
+
+    def moments(df: DataFrame) -> DataFrame:
+        return df.groupBy("prio").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("x").cast("bigint").alias("s"),
+            F.sum(F.expr(f"CAST(x AS {wide}) * x")).alias("q"),
+        )
+
+    dm = moments(demand).selectExpr(
+        "prio", "n AS dn", "s AS ds", "q AS dq"
+    )
+    sm = moments(supply).selectExpr(
+        "prio AS sprio", "n AS sn", "s AS ss", "q AS sq"
+    )
+    cv2_d = (
+        f"CAST(dn * dq - CAST(ds AS {wide}) * ds AS DOUBLE)"
+        " / (CAST(ds AS DOUBLE) * ds)"
+    )
+    cv2_s = (
+        f"CAST(sn * sq - CAST(ss AS {wide}) * ss AS DOUBLE)"
+        " / (CAST(ss AS DOUBLE) * ss)"
+    )
+    return (
+        dm.join(sm, F.col("sprio") == F.col("prio"))
+        .selectExpr(
+            "prio AS o_orderpriority",
+            "dn AS n_demand_months",
+            "sn AS n_supply_months",
+            f"floor({cv2_d} * 1000000 + 0.5) / 1000000 AS cv2_demand",
+            f"floor({cv2_s} * 1000000 + 0.5) / 1000000 AS cv2_supply",
+            f"CASE WHEN dn * dq - CAST(ds AS {wide}) * ds <> 0"
+            f" THEN floor(({cv2_s}) / ({cv2_d}) * 1000000 + 0.5)"
+            " / 1000000 END AS bullwhip_ratio",
+            f"CASE WHEN dn * dq - CAST(ds AS {wide}) * ds <> 0"
+            f" THEN ({cv2_s}) > ({cv2_d}) END AS amplified",
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --- r13 growth: absorbing-chain funnel probabilities --------------------
+#
+# Transient states s1..s3 (alphabetical) and the two absorbing outcomes;
+# shared by the Spark plan, the oracle, and the invariant test.
+_ABS_TRANSIENT = ("click", "signup", "view")
+_ABS_WIN = ("purchase", "error")
+
+# The 3x3 inverse of M = I - Q via the adjugate: the table below holds
+# ADJUGATE entries adj[i][j] = (-1)^(i+j) * minor(j, i) directly (already
+# transposed), so inv[i][k] = _ABS_COF[(i, k)] / det.
+_ABS_COF = {
+    (1, 1): "(m22 * m33 - m23 * m32)",
+    (1, 2): "-(m12 * m33 - m13 * m32)",
+    (1, 3): "(m12 * m23 - m13 * m22)",
+    (2, 1): "-(m21 * m33 - m23 * m31)",
+    (2, 2): "(m11 * m33 - m13 * m31)",
+    (2, 3): "-(m11 * m23 - m13 * m21)",
+    (3, 1): "(m21 * m32 - m22 * m31)",
+    (3, 2): "-(m11 * m32 - m12 * m31)",
+    (3, 3): "(m11 * m22 - m12 * m21)",
+}
+_ABS_DET = (
+    "m11 * (m22 * m33 - m23 * m32)"
+    " - m12 * (m21 * m33 - m23 * m31)"
+    " + m13 * (m21 * m32 - m22 * m31)"
+)
+
+
+def _abs_moment_cols(q: str) -> list[str]:
+    """Conditional-aggregate SQL for the 15 transition counts + 3 row
+    totals; identical text both engines (q = quote style, unused)."""
+    cols = []
+    for i, si in enumerate(_ABS_TRANSIENT, 1):
+        for j, sj in enumerate(_ABS_TRANSIENT, 1):
+            cols.append(
+                f"CAST(sum(CASE WHEN prev = '{si}' AND nxt = '{sj}'"
+                f" THEN 1 ELSE 0 END) AS BIGINT) AS c{i}{j}"
+            )
+        for a, sa in zip(("p", "e"), _ABS_WIN):
+            cols.append(
+                f"CAST(sum(CASE WHEN prev = '{si}' AND nxt = '{sa}'"
+                f" THEN 1 ELSE 0 END) AS BIGINT) AS r{a}{i}"
+            )
+        cols.append(
+            f"CAST(sum(CASE WHEN prev = '{si}' THEN 1 ELSE 0 END)"
+            f" AS BIGINT) AS t{i}"
+        )
+    return cols
+
+
+def _abs_m_cols() -> list[str]:
+    cols = []
+    for i in range(1, 4):
+        for j in range(1, 4):
+            d = "1e0" if i == j else "0e0"
+            cols.append(
+                f"{d} - CAST(c{i}{j} AS DOUBLE) / t{i} AS m{i}{j}"
+            )
+        cols.append(f"CAST(rp{i} AS DOUBLE) / t{i} AS rp{i}")
+        cols.append(f"CAST(re{i} AS DOUBLE) / t{i} AS re{i}")
+        cols.append(f"t{i}")
+    return cols
+
+
+def _abs_inv_cols() -> list[str]:
+    cols = [f"{_ABS_DET} AS det"]
+    for i in range(1, 4):
+        for k in range(1, 4):
+            cols.append(f"{_ABS_COF[(i, k)]} AS a{i}{k}")
+        cols += [f"rp{i}", f"re{i}", f"t{i}"]
+    return cols
+
+
+_ABS_ORACLE = f"""
+    WITH ev AS (
+      SELECT user_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_id
+      FROM events
+    ),
+    trans AS (
+      SELECT event_type AS prev,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts_us, event_id) AS nxt
+      FROM ev
+    ),
+    moments AS (
+      SELECT {", ".join(_abs_moment_cols("'"))}
+      FROM trans
+      WHERE nxt IS NOT NULL
+        AND prev IN ('click', 'signup', 'view')
+    ),
+    mm AS (SELECT {", ".join(_abs_m_cols())} FROM moments),
+    inv AS (SELECT {", ".join(_abs_inv_cols())} FROM mm),
+    fan AS (
+      SELECT unnest([1, 2, 3]) AS i
+    )
+    SELECT CASE i WHEN 1 THEN 'click' WHEN 2 THEN 'signup'
+                  ELSE 'view' END AS state,
+           CAST(CASE i WHEN 1 THEN t1 WHEN 2 THEN t2 ELSE t3 END
+                AS BIGINT) AS n_out,
+           floor(CASE i
+             WHEN 1 THEN (a11 * rp1 + a12 * rp2 + a13 * rp3) / det
+             WHEN 2 THEN (a21 * rp1 + a22 * rp2 + a23 * rp3) / det
+             ELSE (a31 * rp1 + a32 * rp2 + a33 * rp3) / det END
+             * 1000000 + 0.5) / 1000000 AS p_purchase,
+           floor(CASE i
+             WHEN 1 THEN (a11 * re1 + a12 * re2 + a13 * re3) / det
+             WHEN 2 THEN (a21 * re1 + a22 * re2 + a23 * re3) / det
+             ELSE (a31 * re1 + a32 * re2 + a33 * re3) / det END
+             * 1000000 + 0.5) / 1000000 AS p_error,
+           floor(CASE i
+             WHEN 1 THEN (a11 + a12 + a13) / det
+             WHEN 2 THEN (a21 + a22 + a23) / det
+             ELSE (a31 + a32 + a33) / det END
+             * 1000000 + 0.5) / 1000000 AS expected_steps
+    FROM inv CROSS JOIN fan
+    ORDER BY state
+    """
+
+
+@register(
+    "events_markov_absorption",
+    category="composite",
+    oracle=_ABS_ORACLE,
+)
+def events_markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABSORBING MARKOV-CHAIN funnel analysis — from per-user event
+    transitions, the probability that a session in each transient
+    state (click/signup/view) eventually ABSORBS into purchase vs
+    error, plus the expected number of steps to absorption: B =
+    (I − Q)⁻¹R and t = (I − Q)⁻¹1, the fundamental-matrix identities
+    (Kemeny & Snell). This answers what the raw transition matrix
+    (events_markov_transition) cannot: multi-hop conversion odds — a
+    user three states away from purchase contributes through every
+    path the chain can take, not just the next click.
+
+    The 3×3 fundamental matrix is inverted in CLOSED FORM (adjugate /
+    determinant — nine 2×2 cofactors), so the whole analysis is one
+    transition-count aggregate and per-row arithmetic: no iteration,
+    no linear-algebra library, and the oracle replays the identical
+    cofactor expressions. Transitions out of absorbing states are
+    excluded (the chain-restart rows a continuing event log adds).
+
+    Exactness: transition counts are exact integers; Q and R entries
+    are single divisions by the row totals; the cofactor/determinant
+    algebra is pinned double expressions shared verbatim (module
+    constants) between the Spark plan and the oracle, r6-floored.
+    The invariant test solves the same system with numpy and pins
+    p_purchase + p_error = 1 (the chain absorbs almost surely — a
+    REAL property of the fixture's strongly-exploring transition
+    graph, not an assumption).
+
+    Scale shape: one window (lead) per user partition, one
+    conditional-aggregate pass to a SINGLE moment row, a 3-row
+    broadcast fan-out. The 100 TB form is identical — the state space
+    is the domain, not the data.
+    """
+    ev = load(spark, sf_dir, "events").selectExpr(
+        "user_id",
+        "event_type",
+        "unix_micros(CAST(ts AS TIMESTAMP)) AS ts_us",
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    trans = ev.select(
+        F.col("event_type").alias("prev"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(
+        F.col("nxt").isNotNull()
+        & F.col("prev").isin(*_ABS_TRANSIENT)
+    )
+    # one conditional-aggregate pass to the single moment row
+    row = trans.groupBy().agg(
+        *[
+            F.expr(c.rsplit(" AS ", 1)[0]).alias(c.rsplit(" AS ", 1)[1])
+            for c in _abs_moment_cols("'")
+        ]
+    )
+    mm = row.selectExpr(*_abs_m_cols())
+    inv = mm.selectExpr(*_abs_inv_cols())
+    fan = spark.range(1, 4).selectExpr("CAST(id AS INT) AS i")
+    return (
+        inv.crossJoin(F.broadcast(fan))
+        .selectExpr(
+            "CASE i WHEN 1 THEN 'click' WHEN 2 THEN 'signup'"
+            " ELSE 'view' END AS state",
+            "CAST(CASE i WHEN 1 THEN t1 WHEN 2 THEN t2 ELSE t3 END"
+            " AS BIGINT) AS n_out",
+            "floor(CASE i"
+            " WHEN 1 THEN (a11 * rp1 + a12 * rp2 + a13 * rp3) / det"
+            " WHEN 2 THEN (a21 * rp1 + a22 * rp2 + a23 * rp3) / det"
+            " ELSE (a31 * rp1 + a32 * rp2 + a33 * rp3) / det END"
+            " * 1000000 + 0.5) / 1000000 AS p_purchase",
+            "floor(CASE i"
+            " WHEN 1 THEN (a11 * re1 + a12 * re2 + a13 * re3) / det"
+            " WHEN 2 THEN (a21 * re1 + a22 * re2 + a23 * re3) / det"
+            " ELSE (a31 * re1 + a32 * re2 + a33 * re3) / det END"
+            " * 1000000 + 0.5) / 1000000 AS p_error",
+            "floor(CASE i"
+            " WHEN 1 THEN (a11 + a12 + a13) / det"
+            " WHEN 2 THEN (a21 + a22 + a23) / det"
+            " ELSE (a31 + a32 + a33) / det END"
+            " * 1000000 + 0.5) / 1000000 AS expected_steps",
+        )
+        .orderBy("state")
+    )

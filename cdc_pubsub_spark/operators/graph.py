@@ -2273,3 +2273,116 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_pubsub_spark.tables import finalize_cached
 
     return finalize_cached(out, simple)
+
+
+# --- r13 growth: sampled eccentricity over the follow graph --------------
+_ECC_H = 8  # BFS horizon (rounds); also the eccentricity cap
+_ECC_SEED_MOD = 4  # seeds = users with user_id % 4 == 0
+
+
+def _ecc_round_sql(k: int) -> str:
+    """One sparse min-plus BFS round as a MATERIALIZED DuckDB CTE."""
+    return f"""
+    d{k} AS MATERIALIZED (
+      SELECT seed, node, CAST(min(d) AS BIGINT) AS d FROM (
+        SELECT seed, node, d FROM d{k - 1}
+        UNION ALL
+        SELECT p.seed, e.dst AS node, p.d + 1 AS d
+        FROM d{k - 1} p JOIN edges e ON e.src = p.node
+        WHERE p.d = {k - 1}
+      ) GROUP BY seed, node
+    )"""
+
+
+@register(
+    "graph_eccentricity_sample",
+    category="graph",
+    oracle=f"""
+    WITH users AS MATERIALIZED (SELECT DISTINCT user_id FROM events),
+    edges AS MATERIALIZED (
+      SELECT user_id AS src, (user_id * 7 + 3) % 1000 AS dst FROM users
+      UNION ALL
+      SELECT user_id, (user_id * 13 + 11) % 1000 FROM users
+    ),
+    d0 AS MATERIALIZED (
+      SELECT user_id AS seed, user_id AS node, CAST(0 AS BIGINT) AS d
+      FROM users WHERE user_id % {_ECC_SEED_MOD} = 0
+    ),
+    {", ".join(_ecc_round_sql(k).strip() for k in range(1, _ECC_H + 1))}
+    SELECT seed,
+           CAST(max(d) AS BIGINT) AS ecc_capped,
+           CAST(count(*) AS BIGINT) AS n_reached,
+           max(d) < {_ECC_H} AS frontier_exhausted
+    FROM d{_ECC_H}
+    GROUP BY seed
+    ORDER BY seed
+    """,
+)
+def graph_eccentricity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLED ECCENTRICITY over the directed follow graph: for every
+    seed user (deterministic 1/{_ECC_SEED_MOD} sample), the maximum
+    forward BFS distance within an {_ECC_H}-hop horizon plus the
+    reached-set size — the per-node ingredient of diameter/radius
+    estimation (the max/min of eccentricities) and of the
+    hop-plot/effective-diameter readouts ANF-style systems compute.
+    The horizon is part of the CONTRACT, not an approximation bug:
+    `frontier_exhausted` says whether BFS saturated before the cap
+    (true eccentricity) or was truncated at {_ECC_H}, so the consumer
+    can tell measured-exact rows from bounded ones.
+
+    Plan shape: sparse min-plus BFS — the distance relation holds only
+    (seed, reached-node) pairs; each round expands the FRONTIER ONLY
+    (rows at d = k-1) through the 2-out edge relation and re-minimizes,
+    localCheckpoint-per-round (graph_cc_converged's discipline — at
+    {_ECC_H} rounds a statically-unrolled lazy plan would double per
+    round past Catalyst comfort). The oracle replays the identical
+    rounds as MATERIALIZED CTEs. The invariant test replays BFS in
+    python per seed — exact equality, including the cap semantics.
+
+    Scale shape: the distance relation is (seeds x reachable-set)-
+    bounded — with the fixture's mod-1000 target compression that is
+    domain-sized at every sf; on an uncompressed 100 TB follow graph
+    the same plan is the standard distributed multi-source BFS (one
+    shuffle per round, frontier-proportional work).
+    """
+    users = load(spark, sf_dir, "events").select("user_id").distinct()
+    edges = users.select(
+        F.col("user_id").alias("src"),
+        ((F.col("user_id") * 7 + 3) % 1000).alias("dst"),
+    ).unionByName(
+        users.select(
+            F.col("user_id").alias("src"),
+            ((F.col("user_id") * 13 + 11) % 1000).alias("dst"),
+        )
+    )
+    dist = (
+        users.filter(F.col("user_id") % _ECC_SEED_MOD == 0)
+        .selectExpr(
+            "user_id AS seed",
+            "user_id AS node",
+            "CAST(0 AS BIGINT) AS d",
+        )
+        .localCheckpoint(eager=True)
+    )
+    for k in range(1, _ECC_H + 1):
+        frontier = dist.filter(F.col("d") == k - 1)
+        step = frontier.join(
+            edges, frontier.node == edges.src
+        ).selectExpr("seed", "dst AS node", f"CAST({k} AS BIGINT) AS d")
+        prev = dist
+        dist = (
+            dist.unionByName(step)
+            .groupBy("seed", "node")
+            .agg(F.min("d").cast("bigint").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+        prev.unpersist()
+    return (
+        dist.groupBy("seed")
+        .agg(
+            F.max("d").cast("bigint").alias("ecc_capped"),
+            F.count(F.lit(1)).cast("bigint").alias("n_reached"),
+            (F.max("d") < _ECC_H).alias("frontier_exhausted"),
+        )
+        .orderBy("seed")
+    )

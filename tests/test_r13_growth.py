@@ -189,3 +189,128 @@ def test_dispersion_dp_bounds_and_replay(spark):
         assert 0 <= r["dp"] < 1
         assert abs(r["dp"] - dp) < 5e-6
         assert r["dp_norm"] >= r["dp"] - 5e-6
+
+
+def test_bullwhip_cv2_python_replay(spark):
+    """Replay CV^2 of both monthly series exactly from raw rows; pin
+    the ratio identity and the amplified flag."""
+    from pyspark.sql import functions as F
+    from cdc_pubsub_spark.tables import load
+
+    orders = load(spark, SF, "orders")
+    li = load(spark, SF, "lineitem")
+    dem = (
+        orders.selectExpr(
+            "o_orderpriority AS p",
+            "year(o_orderdate) * 12 + month(o_orderdate) AS m",
+        )
+        .groupBy("p", "m")
+        .count()
+        .collect()
+    )
+    sup = (
+        li.join(orders.select("o_orderkey", "o_orderpriority"),
+                li.l_orderkey == F.col("o_orderkey"))
+        .selectExpr(
+            "o_orderpriority AS p",
+            "year(l_shipdate) * 12 + month(l_shipdate) AS m",
+            "CAST(l_quantity AS BIGINT) AS q",
+        )
+        .groupBy("p", "m")
+        .agg(F.sum("q").alias("x"))
+        .collect()
+    )
+
+    def cv2(vals):
+        n, s, q = len(vals), sum(vals), sum(v * v for v in vals)
+        return (n * q - s * s) / (s * s)
+
+    dser: dict = {}
+    for r in dem:
+        dser.setdefault(r["p"], []).append(r["count"])
+    sser: dict = {}
+    for r in sup:
+        sser.setdefault(r["p"], []).append(r["x"])
+    rows = REGISTRY["orders_bullwhip_ratio"].fn(spark, SF).collect()
+    assert len(rows) == 5
+    for r in rows:
+        cd, cs = cv2(dser[r["o_orderpriority"]]), cv2(sser[r["o_orderpriority"]])
+        assert abs(r["cv2_demand"] - cd) < 5e-6
+        assert abs(r["cv2_supply"] - cs) < 5e-6
+        assert abs(r["bullwhip_ratio"] - cs / cd) < max(5e-6, 2e-5 * cs / cd)
+        assert r["amplified"] == (cs > cd)
+
+
+def test_markov_absorption_numpy_solve_and_total_probability(spark):
+    """Solve (I-Q)B = R and (I-Q)t = 1 with numpy from the raw
+    transition counts; absorption probabilities must sum to 1 (the
+    fixture's chain reaches an absorbing state from everywhere)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    from cdc_pubsub_spark.tables import load
+
+    ev = load(spark, SF, "events").selectExpr(
+        "user_id", "event_type",
+        "unix_micros(CAST(ts AS TIMESTAMP)) AS ts_us", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    trans = (
+        ev.select(F.col("event_type").alias("prev"),
+                  F.lead("event_type").over(w).alias("nxt"))
+        .filter(F.col("nxt").isNotNull())
+        .groupBy("prev", "nxt").count().collect()
+    )
+    states = ("click", "signup", "view")
+    absorbing = ("purchase", "error")
+    c = {(r["prev"], r["nxt"]): r["count"] for r in trans}
+    t = {s: sum(v for (p, _n), v in c.items() if p == s) for s in states}
+    Q = np.array([[c.get((i, j), 0) / t[i] for j in states] for i in states])
+    R = np.array([[c.get((i, a), 0) / t[i] for a in absorbing] for i in states])
+    B = np.linalg.solve(np.eye(3) - Q, R)
+    steps = np.linalg.solve(np.eye(3) - Q, np.ones(3))
+    rows = {r["state"]: r for r in
+            REGISTRY["events_markov_absorption"].fn(spark, SF).collect()}
+    for i, s in enumerate(states):
+        r = rows[s]
+        assert r["n_out"] == t[s]
+        assert abs(r["p_purchase"] - B[i][0]) < 5e-6
+        assert abs(r["p_error"] - B[i][1]) < 5e-6
+        assert abs(r["p_purchase"] + r["p_error"] - 1.0) < 1e-5, r
+        assert abs(r["expected_steps"] - steps[i]) < 5e-5
+        assert r["expected_steps"] >= 1
+
+
+def test_eccentricity_python_bfs_replay(spark):
+    """Exact python BFS replay per seed, including the horizon-cap and
+    frontier_exhausted semantics."""
+    from collections import deque
+    from cdc_pubsub_spark.tables import load
+
+    users = sorted(
+        r["user_id"]
+        for r in load(spark, SF, "events").select("user_id").distinct().collect()
+    )
+    uset = set(users)
+    out = {u: [(u * 7 + 3) % 1000, (u * 13 + 11) % 1000] for u in users}
+    rows = {r["seed"]: r for r in
+            REGISTRY["graph_eccentricity_sample"].fn(spark, SF).collect()}
+    seeds = [u for u in users if u % 4 == 0]
+    assert set(rows) == set(seeds)
+    H = 8
+    for s in seeds:
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            if dist[u] >= H or u not in uset:
+                continue
+            for v in out[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        # cap: nodes at distance > H are unreachable within horizon
+        reached = {n: d for n, d in dist.items() if d <= H}
+        r = rows[s]
+        assert r["n_reached"] == len(reached), s
+        assert r["ecc_capped"] == max(reached.values()), s
+        assert r["frontier_exhausted"] == (max(reached.values()) < H), s
