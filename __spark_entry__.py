@@ -163,6 +163,10 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     "orders_bullwhip_ratio",
     "events_markov_absorption",
     "graph_eccentricity_sample",
+    # wave D (codecs + permutation importance)
+    "multimodal_decode_ppm",
+    "multimodal_decode_tga",
+    "ml_permutation_importance_ols",
 }
 # r13 session-open: the 36 r12-EXTENSION ops deferred here last round are
 # released — with CORRECTNESS_r12 ingested they are the only never-sampled

@@ -4448,3 +4448,193 @@ def ml_cohen_kappa_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
         " * 1000000 + 0.5) / 1000000"
         " END AS mcc",
     ).orderBy("l_returnflag")
+
+
+# --- r13 growth: permutation feature importance ---------------------------
+_PERM_ROWS_SQL = """
+      SELECT CAST(l_quantity AS BIGINT) AS x1,
+             CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS x2,
+             CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                  AS BIGINT) AS y,
+             ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-'
+                                 || CAST(l_linenumber AS VARCHAR)),
+                             1, 15))::BIGINT AS h
+      FROM lineitem
+"""
+
+
+@register(
+    "ml_permutation_importance_ols",
+    category="similarity",
+    oracle=f"""
+    WITH rows_in AS ({_PERM_ROWS_SQL}),
+    shifted AS (
+      SELECT x1, x2, y,
+             coalesce(lag(x1) OVER w,
+                      last_value(x1) OVER wf) AS xp1,
+             coalesce(lag(x2) OVER w,
+                      last_value(x2) OVER wf) AS xp2
+      FROM rows_in
+      WINDOW w AS (PARTITION BY h % 4096 ORDER BY h, x1, x2, y),
+             wf AS (PARTITION BY h % 4096 ORDER BY h, x1, x2, y
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND UNBOUNDED FOLLOWING)
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+             CAST(sum(x1) AS BIGINT) AS s1,
+             CAST(sum(CAST(x1 AS HUGEINT) * x1) AS HUGEINT) AS s11,
+             CAST(sum(CAST(x1 AS HUGEINT) * y) AS HUGEINT) AS s1y,
+             CAST(sum(CAST(xp1 AS HUGEINT) * y) AS HUGEINT) AS s1py,
+             CAST(sum(x2) AS BIGINT) AS s2,
+             CAST(sum(CAST(x2 AS HUGEINT) * x2) AS HUGEINT) AS s22,
+             CAST(sum(CAST(x2 AS HUGEINT) * y) AS HUGEINT) AS s2y,
+             CAST(sum(CAST(xp2 AS HUGEINT) * y) AS HUGEINT) AS s2py
+      FROM shifted
+    ),
+    g AS (
+      SELECT n,
+             CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS gyy,
+             CAST(n AS HUGEINT) * s11 - CAST(s1 AS HUGEINT) * s1 AS g11,
+             CAST(n AS HUGEINT) * s1y - CAST(s1 AS HUGEINT) * sy AS g1y,
+             CAST(n AS HUGEINT) * s1py - CAST(s1 AS HUGEINT) * sy
+               AS g1py,
+             CAST(n AS HUGEINT) * s22 - CAST(s2 AS HUGEINT) * s2 AS g22,
+             CAST(n AS HUGEINT) * s2y - CAST(s2 AS HUGEINT) * sy AS g2y,
+             CAST(n AS HUGEINT) * s2py - CAST(s2 AS HUGEINT) * sy
+               AS g2py
+      FROM m
+    )
+    SELECT f.feature, g.n AS n_rows,
+           floor(CASE f.feature WHEN 'quantity'
+             THEN CAST(g1y AS DOUBLE) * CAST(g1y AS DOUBLE)
+                  / (CAST(g11 AS DOUBLE) * CAST(gyy AS DOUBLE))
+             ELSE CAST(g2y AS DOUBLE) * CAST(g2y AS DOUBLE)
+                  / (CAST(g22 AS DOUBLE) * CAST(gyy AS DOUBLE)) END
+             * 1000000 + 0.5) / 1000000 AS r2_orig,
+           floor(CASE f.feature WHEN 'quantity'
+             THEN CAST(g1py AS DOUBLE) * CAST(g1py AS DOUBLE)
+                  / (CAST(g11 AS DOUBLE) * CAST(gyy AS DOUBLE))
+             ELSE CAST(g2py AS DOUBLE) * CAST(g2py AS DOUBLE)
+                  / (CAST(g22 AS DOUBLE) * CAST(gyy AS DOUBLE)) END
+             * 1000000 + 0.5) / 1000000 AS r2_perm,
+           floor((CASE f.feature WHEN 'quantity'
+             THEN CAST(g1y AS DOUBLE) * CAST(g1y AS DOUBLE)
+                  / (CAST(g11 AS DOUBLE) * CAST(gyy AS DOUBLE))
+             ELSE CAST(g2y AS DOUBLE) * CAST(g2y AS DOUBLE)
+                  / (CAST(g22 AS DOUBLE) * CAST(gyy AS DOUBLE)) END
+             - CASE f.feature WHEN 'quantity'
+             THEN CAST(g1py AS DOUBLE) * CAST(g1py AS DOUBLE)
+                  / (CAST(g11 AS DOUBLE) * CAST(gyy AS DOUBLE))
+             ELSE CAST(g2py AS DOUBLE) * CAST(g2py AS DOUBLE)
+                  / (CAST(g22 AS DOUBLE) * CAST(gyy AS DOUBLE)) END)
+             * 1000000 + 0.5) / 1000000 AS importance
+    FROM g CROSS JOIN (SELECT unnest(['quantity', 'discount'])
+                       AS feature) f
+    ORDER BY f.feature
+    """,
+)
+def ml_permutation_importance_ols(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PERMUTATION FEATURE IMPORTANCE (Breiman 2001) for the two-
+    feature OLS setting, fully deterministic: each feature's
+    single-variable R² is compared against the R² after the feature
+    column is PERMUTED — re-paired with other rows' targets — by a
+    hash-keyed cyclic shift (rows bucket by md5(key) % 4096; within a
+    bucket, ordered by the hash, every row takes its predecessor's
+    feature value and the first row wraps to the last's). The shift
+    is a true permutation (marginals exactly preserved — pinned in
+    the invariant test via Σx and Σx²), is independent of the
+    features (hash of the row KEY), and needs NO global sort: 4096
+    bounded window partitions instead of one data-sized one — the
+    100 TB-safe way to permute.
+
+    Importance = R²_orig − R²_perm; the label generator multiplies by
+    (1 − discount) while quantity only correlates incidentally, so
+    discount must dominate (pinned). R²_perm itself collapses toward
+    0 — what "permutation breaks the signal" means, measured.
+
+    Exactness: all moments are exact wide integers; each R² is one
+    pinned double expression (r6-floored); the md5-order tie-break is
+    total (hash, then the feature tuple).
+    """
+    li = load(spark, sf_dir, "lineitem").selectExpr(
+        "CAST(l_quantity AS BIGINT) AS x1",
+        "CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS x2",
+        "CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)"
+        " AS BIGINT) AS y",
+        "cast(conv(substr(md5(concat(CAST(l_orderkey AS STRING), '-',"
+        " CAST(l_linenumber AS STRING))), 1, 15), 16, 10) as bigint)"
+        " AS h",
+    )
+    w = Window.partitionBy(F.expr("h % 4096")).orderBy("h", "x1", "x2", "y")
+    wf = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    shifted = li.select(
+        "x1",
+        "x2",
+        "y",
+        F.coalesce(
+            F.lag("x1").over(w), F.last("x1").over(wf)
+        ).alias("xp1"),
+        F.coalesce(
+            F.lag("x2").over(w), F.last("x2").over(wf)
+        ).alias("xp2"),
+    )
+    wide = "DECIMAL(38,0)"
+    m = shifted.groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.expr(f"CAST(y AS {wide}) * y")).alias("syy"),
+        F.sum("x1").cast("bigint").alias("s1"),
+        F.sum(F.expr(f"CAST(x1 AS {wide}) * x1")).alias("s11"),
+        F.sum(F.expr(f"CAST(x1 AS {wide}) * y")).alias("s1y"),
+        F.sum(F.expr(f"CAST(xp1 AS {wide}) * y")).alias("s1py"),
+        F.sum("x2").cast("bigint").alias("s2"),
+        F.sum(F.expr(f"CAST(x2 AS {wide}) * x2")).alias("s22"),
+        F.sum(F.expr(f"CAST(x2 AS {wide}) * y")).alias("s2y"),
+        F.sum(F.expr(f"CAST(xp2 AS {wide}) * y")).alias("s2py"),
+    )
+    g = m.selectExpr(
+        "n",
+        f"CAST(n AS {wide}) * syy - CAST(sy AS {wide}) * sy AS gyy",
+        f"CAST(n AS {wide}) * s11 - CAST(s1 AS {wide}) * s1 AS g11",
+        f"CAST(n AS {wide}) * s1y - CAST(s1 AS {wide}) * sy AS g1y",
+        f"CAST(n AS {wide}) * s1py - CAST(s1 AS {wide}) * sy AS g1py",
+        f"CAST(n AS {wide}) * s22 - CAST(s2 AS {wide}) * s2 AS g22",
+        f"CAST(n AS {wide}) * s2y - CAST(s2 AS {wide}) * sy AS g2y",
+        f"CAST(n AS {wide}) * s2py - CAST(s2 AS {wide}) * sy AS g2py",
+    )
+    feats = spark.range(0, 2).selectExpr(
+        "CASE id WHEN 0 THEN 'discount' ELSE 'quantity' END AS feature"
+    )
+    r2o = (
+        "CASE feature WHEN 'quantity'"
+        " THEN CAST(g1y AS DOUBLE) * CAST(g1y AS DOUBLE)"
+        " / (CAST(g11 AS DOUBLE) * CAST(gyy AS DOUBLE))"
+        " ELSE CAST(g2y AS DOUBLE) * CAST(g2y AS DOUBLE)"
+        " / (CAST(g22 AS DOUBLE) * CAST(gyy AS DOUBLE)) END"
+    )
+    r2p = (
+        "CASE feature WHEN 'quantity'"
+        " THEN CAST(g1py AS DOUBLE) * CAST(g1py AS DOUBLE)"
+        " / (CAST(g11 AS DOUBLE) * CAST(gyy AS DOUBLE))"
+        " ELSE CAST(g2py AS DOUBLE) * CAST(g2py AS DOUBLE)"
+        " / (CAST(g22 AS DOUBLE) * CAST(gyy AS DOUBLE)) END"
+    )
+    return (
+        g.crossJoin(F.broadcast(feats))
+        .selectExpr(
+            "feature",
+            "n AS n_rows",
+            f"floor({r2o} * 1000000 + 0.5) / 1000000 AS r2_orig",
+            f"floor({r2p} * 1000000 + 0.5) / 1000000 AS r2_perm",
+            f"floor(({r2o} - {r2p}) * 1000000 + 0.5) / 1000000"
+            " AS importance",
+        )
+        .orderBy("feature")
+    )

@@ -3033,3 +3033,349 @@ def multimodal_mime_qp(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="decoded_len bigint, n_escaped bigint, char_checksum bigint,"
         " doc_id bigint, decoded_ok boolean",
     )
+
+
+# --- r13 growth: PPM color decode (completes the netpbm family) ----------
+def _ppm_px(doc_id: int, j: int) -> tuple[int, int, int]:
+    return (
+        (doc_id * 31 + j * 89) % 256,
+        (doc_id * 53 + j * 71) % 256,
+        (doc_id * 29 + j * 101) % 256,
+    )
+
+
+def _synth_ppm(doc_id: int) -> bytes:
+    """Real netpbm RGB bytes: even doc_ids emit binary P6, odd emit
+    plain-text P3 (ASCII decimal raster, one parser path per magic);
+    doc_id % 3 == 0 plants a `#` header comment. w = 4 + doc_id%5,
+    h = 3 + doc_id%4, maxval 255, pixel j = _ppm_px(doc_id, j)."""
+    w, h = 4 + doc_id % 5, 3 + doc_id % 4
+    comment = b"# synthetic fixture\n" if doc_id % 3 == 0 else b""
+    px = [_ppm_px(doc_id, j) for j in range(w * h)]
+    flat = [c for p in px for c in p]
+    if doc_id % 2 == 0:
+        return b"P6\n" + comment + b"%d %d\n255\n" % (w, h) + bytes(flat)
+    head = b"P3\n" + comment + b"%d %d\n255\n" % (w, h)
+    body = "\n".join(
+        " ".join(str(v) for v in flat[r * 3 * w : (r + 1) * 3 * w])
+        for r in range(h)
+    )
+    return head + body.encode("ascii") + b"\n"
+
+
+def decode_ppm(payload: bytes) -> dict:
+    """Genuine netpbm RGB parse for BOTH encodings: shared header
+    tokenizer (magic, `#`-comment skip, three whitespace-separated
+    ints), raster dispatch on the magic — P6 slices 3·w·h raw bytes,
+    P3 tokenizes 3·w·h ASCII decimals. Emits dimensions, the format
+    tag, per-channel integer means, and a position-weighted luminance
+    checksum (sensitive to any channel/order scramble)."""
+    magic = payload[:2]
+    if magic not in (b"P6", b"P3"):
+        raise ValueError("not a PPM payload")
+    pos = 2
+    vals: list[int] = []
+    while len(vals) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and payload[pos : pos + 1].isdigit():
+            pos += 1
+        if pos == start:
+            raise ValueError("malformed PPM header")
+        vals.append(int(payload[start:pos]))
+    w, h, maxval = vals
+    if maxval != 255:
+        raise ValueError("unsupported maxval")
+    n = 3 * w * h
+    if magic == b"P6":
+        raster = payload[pos + 1 : pos + 1 + n]
+        if len(raster) != n:
+            raise ValueError("truncated P6 raster")
+        flat = list(raster)
+    else:
+        toks = payload[pos:].split()
+        if len(toks) != n:
+            raise ValueError("P3 token count mismatch")
+        flat = [int(t) for t in toks]
+    rs, gs, bs = flat[0::3], flat[1::3], flat[2::3]
+    poschk = sum(
+        (j + 1) * (rs[j] + gs[j] + bs[j]) for j in range(w * h)
+    )
+    return {
+        "width": w,
+        "height": h,
+        "fmt": magic.decode("ascii"),
+        "mean_r": sum(rs) // len(rs),
+        "mean_g": sum(gs) // len(gs),
+        "mean_b": sum(bs) // len(bs),
+        "poschk": poschk,
+    }
+
+
+@register(
+    "multimodal_decode_ppm",
+    category="multimodal",
+    bench=False,
+    oracle="""
+    WITH img AS (
+      SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+      FROM documents WHERE doc_id <= 400
+    )
+    SELECT i.doc_id,
+           CAST(i.w AS INT) AS width,
+           CAST(i.h AS INT) AS height,
+           CASE WHEN i.doc_id % 2 = 0 THEN 'P6' ELSE 'P3' END AS fmt,
+           CAST(sum((i.doc_id * 31 + t.j * 89) % 256) // (i.w * i.h)
+                AS BIGINT) AS mean_r,
+           CAST(sum((i.doc_id * 53 + t.j * 71) % 256) // (i.w * i.h)
+                AS BIGINT) AS mean_g,
+           CAST(sum((i.doc_id * 29 + t.j * 101) % 256) // (i.w * i.h)
+                AS BIGINT) AS mean_b,
+           CAST(sum((t.j + 1) * ((i.doc_id * 31 + t.j * 89) % 256
+                                 + (i.doc_id * 53 + t.j * 71) % 256
+                                 + (i.doc_id * 29 + t.j * 101) % 256))
+                AS BIGINT) AS poschk,
+           true AS decoded_ok
+    FROM img i, LATERAL unnest(range(0, i.w * i.h)) AS t(j)
+    GROUP BY i.doc_id, i.w, i.h
+    """,
+)
+def multimodal_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed REAL netpbm COLOR decode via Arrow mapInPandas —
+    completes the netpbm family (PBM 1-bit, PGM gray, now PPM RGB)
+    with the same dual-encoding hazard: binary P6 on even doc_ids,
+    plain-text P3 on odd (3·w·h ASCII decimals — slice vs tokenize
+    dispatch), `#` header comments on every third id. The RGB raster
+    interleaves three channels per pixel, so the de-interleave stride
+    is load-bearing: a reader that strides wrong produces plausible
+    per-channel means but fails the position-weighted checksum (the
+    oracle pins both).
+
+    Same production plumbing as the other codec kernels: payload
+    synthesized in-kernel (closed-form bytes), Arrow batch iteration,
+    per-row cost proportional to pixel count, zero shuffles before
+    the driver's own collect — at 100 TB the kernel reads a parquet
+    binary column instead (multimodal_binary_ingest is the ingest
+    twin).
+    """
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") <= 400)
+    ids = docs.select("doc_id")
+
+    def decode_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                feats = decode_ppm(_synth_ppm(int(doc_id)))
+                feats["doc_id"] = doc_id
+                feats["decoded_ok"] = True
+                out.append(feats)
+            yield pd.DataFrame(out)
+
+    return ids.mapInPandas(
+        decode_batches,
+        schema="width int, height int, fmt string, mean_r bigint,"
+        " mean_g bigint, mean_b bigint, poschk bigint, doc_id bigint,"
+        " decoded_ok boolean",
+    )
+
+
+# --- r13 growth: TGA (Targa) truecolor decode -----------------------------
+def _tga_group_px(doc_id: int, g: int) -> tuple[int, int, int]:
+    """(B, G, R) of value-group g — file storage order is BGR."""
+    return (
+        (doc_id * 19 + g * 57) % 256,
+        (doc_id * 23 + g * 73) % 256,
+        (doc_id * 41 + g * 91) % 256,
+    )
+
+
+def _synth_tga(doc_id: int) -> bytes:
+    """Real Targa bytes with three planted hazards: (1) pixels are
+    stored BGR (every TGA); (2) odd doc_ids are imagetype 10 (RLE)
+    with a mix of RLE and RAW packets — run length r = 1 + doc_id%3,
+    every 4th value-group emitted as a RAW packet; (3) doc_id%5 == 0
+    images are BOTTOM-UP (descriptor bit5 clear — the TGA default!),
+    so a reader that ignores the origin bit flips those images."""
+    w, h = 4 + doc_id % 5, 3 + doc_id % 4
+    rle = doc_id % 2 == 1
+    bottom_up = doc_id % 5 == 0
+    r = 1 + doc_id % 3 if rle else 1
+    n = w * h
+    head = bytes(
+        [0, 0, 10 if rle else 2, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+    ) + bytes([w % 256, w // 256, h % 256, h // 256, 24,
+               0x00 if bottom_up else 0x20])
+    if not rle:
+        body = b"".join(bytes(_tga_group_px(doc_id, jf)) for jf in range(n))
+        return head + body
+    out = bytearray()
+    jf = 0
+    while jf < n:
+        g = jf // r
+        ln = min(r, n - jf)
+        px = bytes(_tga_group_px(doc_id, g))
+        if g % 4 == 3:  # RAW packet: header ln-1, then ln literal pixels
+            out.append(ln - 1)
+            out += px * ln
+        else:  # RLE packet: header 0x80 | (ln-1), one pixel
+            out.append(0x80 | (ln - 1))
+            out += px
+        jf += ln
+    return head + bytes(out)
+
+
+def decode_tga(payload: bytes) -> dict:
+    """Genuine Targa truecolor parse: 18-byte little-endian header
+    (id-length skip honored), imagetype dispatch (2 = raw slice,
+    10 = packet loop over RLE and RAW packets), BGR→RGB channel swap,
+    and descriptor-bit-5 origin handling (bottom-up files are
+    row-flipped to logical top-down before stats). Emits dimensions,
+    flags, per-channel means, and a position-weighted checksum over
+    the LOGICAL top-down pixel order — wrong on any un-flipped
+    bottom-up image or un-swapped channel."""
+    if len(payload) < 18:
+        raise ValueError("truncated TGA header")
+    idlen, cmap, itype = payload[0], payload[1], payload[2]
+    if cmap != 0 or itype not in (2, 10):
+        raise ValueError("unsupported TGA variant")
+    w = payload[12] | (payload[13] << 8)
+    h = payload[14] | (payload[15] << 8)
+    depth, desc = payload[16], payload[17]
+    if depth != 24:
+        raise ValueError("unsupported depth")
+    top_down = bool(desc & 0x20)
+    pos = 18 + idlen
+    n = w * h
+    file_px: list[tuple[int, int, int]] = []
+    if itype == 2:
+        raster = payload[pos : pos + 3 * n]
+        if len(raster) != 3 * n:
+            raise ValueError("truncated raster")
+        file_px = [
+            (raster[3 * j], raster[3 * j + 1], raster[3 * j + 2])
+            for j in range(n)
+        ]
+    else:
+        while len(file_px) < n:
+            hdr = payload[pos]
+            pos += 1
+            ln = (hdr & 0x7F) + 1
+            if hdr & 0x80:
+                b, g, rr = payload[pos], payload[pos + 1], payload[pos + 2]
+                pos += 3
+                file_px += [(b, g, rr)] * ln
+            else:
+                for _ in range(ln):
+                    file_px.append(
+                        (payload[pos], payload[pos + 1], payload[pos + 2])
+                    )
+                    pos += 3
+        if len(file_px) != n:
+            raise ValueError("RLE overrun")
+    # logical top-down order
+    if top_down:
+        logical = file_px
+    else:
+        logical = [
+            file_px[(h - 1 - (j // w)) * w + (j % w)] for j in range(n)
+        ]
+    rs = [p[2] for p in logical]
+    gs = [p[1] for p in logical]
+    bs = [p[0] for p in logical]
+    return {
+        "width": w,
+        "height": h,
+        "rle": itype == 10,
+        "bottom_up": not top_down,
+        "mean_r": sum(rs) // n,
+        "mean_g": sum(gs) // n,
+        "mean_b": sum(bs) // n,
+        "poschk": sum((j + 1) * (rs[j] + gs[j] + bs[j]) for j in range(n)),
+    }
+
+
+@register(
+    "multimodal_decode_tga",
+    category="multimodal",
+    bench=False,
+    oracle="""
+    WITH img AS (
+      SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+             doc_id % 2 = 1 AS rle,
+             doc_id % 5 = 0 AS bottom_up,
+             CASE WHEN doc_id % 2 = 1 THEN 1 + doc_id % 3 ELSE 1 END AS r
+      FROM documents WHERE doc_id <= 400
+    ),
+    px AS (
+      SELECT i.doc_id, i.w, i.h, i.rle, i.bottom_up, t.j,
+             CASE WHEN i.bottom_up
+               THEN (i.h - 1 - t.j // i.w) * i.w + t.j % i.w
+               ELSE t.j END // i.r AS g
+      FROM img i, LATERAL unnest(range(0, i.w * i.h)) AS t(j)
+    )
+    SELECT doc_id,
+           CAST(min(w) AS INT) AS width,
+           CAST(min(h) AS INT) AS height,
+           bool_and(rle) AS rle,
+           bool_and(bottom_up) AS bottom_up,
+           CAST(sum((doc_id * 41 + g * 91) % 256) // (min(w) * min(h))
+                AS BIGINT) AS mean_r,
+           CAST(sum((doc_id * 23 + g * 73) % 256) // (min(w) * min(h))
+                AS BIGINT) AS mean_g,
+           CAST(sum((doc_id * 19 + g * 57) % 256) // (min(w) * min(h))
+                AS BIGINT) AS mean_b,
+           CAST(sum((j + 1) * ((doc_id * 41 + g * 91) % 256
+                               + (doc_id * 23 + g * 73) % 256
+                               + (doc_id * 19 + g * 57) % 256))
+                AS BIGINT) AS poschk,
+           true AS decoded_ok
+    FROM px
+    GROUP BY doc_id
+    """,
+)
+def multimodal_decode_tga(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed REAL Targa (TGA) truecolor decode via Arrow
+    mapInPandas — the run-length family member with TGA's three
+    classic traps, all planted and all pinned by the closed-form
+    oracle: pixels are stored BGR (a decoder that forgets the swap
+    passes mean-luminance checks but fails per-channel means);
+    imagetype 10 bodies interleave RLE packets with RAW literal
+    packets (every 4th value-group) so a packets-are-all-RLE reader
+    desyncs; and the descriptor's bit-5 origin flag — bottom-up is
+    the FORMAT DEFAULT — flips every fifth image, which only the
+    position-weighted checksum over logical top-down order can catch
+    (means are row-order invariant; poschk is not).
+
+    Same production plumbing as the other codec kernels: payload
+    synthesized in-kernel, Arrow batch iteration, per-row cost
+    proportional to pixel count, zero shuffles — the parquet binary
+    column ingest twin is multimodal_binary_ingest.
+    """
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") <= 400)
+    ids = docs.select("doc_id")
+
+    def decode_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                feats = decode_tga(_synth_tga(int(doc_id)))
+                feats["doc_id"] = doc_id
+                feats["decoded_ok"] = True
+                out.append(feats)
+            yield pd.DataFrame(out)
+
+    return ids.mapInPandas(
+        decode_batches,
+        schema="width int, height int, rle boolean, bottom_up boolean,"
+        " mean_r bigint, mean_g bigint, mean_b bigint, poschk bigint,"
+        " doc_id bigint, decoded_ok boolean",
+    )

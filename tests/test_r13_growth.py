@@ -314,3 +314,107 @@ def test_eccentricity_python_bfs_replay(spark):
         assert r["n_reached"] == len(reached), s
         assert r["ecc_capped"] == max(reached.values()), s
         assert r["frontier_exhausted"] == (max(reached.values()) < H), s
+
+
+def test_ppm_tga_decoders_reject_corruption(spark):
+    """The decode kernels are real parsers: corrupt payloads raise
+    instead of returning plausible stats (magic, truncation, RLE
+    overrun, maxval)."""
+    from cdc_pubsub_spark.llmops.multimodal import (
+        _synth_ppm,
+        _synth_tga,
+        decode_ppm,
+        decode_tga,
+    )
+
+    good = _synth_ppm(4)
+    with pytest.raises(ValueError):
+        decode_ppm(b"P4" + good[2:])  # PBM magic is not a PPM
+    with pytest.raises(ValueError):
+        decode_ppm(good[:-3])  # truncated P6 raster
+    bad_maxval = good.replace(b"255", b"100", 1)
+    with pytest.raises(ValueError):
+        decode_ppm(bad_maxval)
+    tga = _synth_tga(7)  # odd -> RLE
+    with pytest.raises(ValueError):
+        decode_tga(tga[:10])  # truncated header
+    with pytest.raises(ValueError):
+        decode_tga(bytes([0, 1]) + tga[2:])  # colormapped unsupported
+    # flipping one RLE header's length desyncs the packet walk
+    broken = bytearray(tga)
+    broken[18] = 0x80 | 0x7F  # 128-pixel run overruns the image
+    with pytest.raises(ValueError):
+        decode_tga(bytes(broken))
+
+
+def test_tga_hazards_are_load_bearing(spark):
+    """A no-BGR-swap reader and a no-row-flip reader must each fail on
+    the planted fixtures (means differ / poschk differs)."""
+    from cdc_pubsub_spark.llmops.multimodal import _synth_tga, decode_tga
+
+    # doc 5: bottom-up (5 % 5 == 0), RLE (odd)
+    f = decode_tga(_synth_tga(5))
+    assert f["bottom_up"] and f["rle"]
+    # replay WITHOUT the row flip: poschk must differ, means must not
+    d, w, h = 5, 4 + 5 % 5, 3 + 5 % 4
+    r = 1 + d % 3
+    n = w * h
+    rs = [(d * 41 + (j // r) * 91) % 256 for j in range(n)]
+    gs = [(d * 23 + (j // r) * 73) % 256 for j in range(n)]
+    bs = [(d * 19 + (j // r) * 57) % 256 for j in range(n)]
+    poschk_noflip = sum((j + 1) * (rs[j] + gs[j] + bs[j]) for j in range(n))
+    assert f["mean_r"] == sum(rs) // n  # row-order invariant
+    assert f["poschk"] != poschk_noflip  # row-order sensitive
+    # doc 2: top-down raw; un-swapped channels flip mean_r/mean_b
+    f2 = decode_tga(_synth_tga(2))
+    d = 2
+    n2 = (4 + d % 5) * (3 + d % 4)
+    mean_b_as_r = sum((d * 19 + j * 57) % 256 for j in range(n2)) // n2
+    assert f2["mean_r"] != mean_b_as_r
+
+
+def test_permutation_importance_marginals_and_dominance(spark):
+    """The hash-cyclic shift is a true permutation (marginals exactly
+    preserved) and permutation collapses the planted signal."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    from cdc_pubsub_spark.tables import load
+
+    li = load(spark, SF, "lineitem").selectExpr(
+        "CAST(l_quantity AS BIGINT) AS x1",
+        "CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS x2",
+        "cast(conv(substr(md5(concat(CAST(l_orderkey AS STRING), '-',"
+        " CAST(l_linenumber AS STRING))), 1, 15), 16, 10) as bigint)"
+        " AS h",
+    )
+    w = Window.partitionBy(F.expr("h % 4096")).orderBy("h", "x1", "x2")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    sums = (
+        li.select(
+            "x1",
+            F.coalesce(F.lag("x1").over(w), F.last("x1").over(wf)).alias(
+                "xp1"
+            ),
+        )
+        .agg(
+            F.sum("x1").alias("s"),
+            F.sum("xp1").alias("sp"),
+            F.sum(F.expr("x1 * x1")).alias("q"),
+            F.sum(F.expr("xp1 * xp1")).alias("qp"),
+            F.count(F.lit(1)).alias("n"),
+            F.count("xp1").alias("np"),
+        )
+        .collect()[0]
+    )
+    assert sums["s"] == sums["sp"] and sums["q"] == sums["qp"]
+    assert sums["n"] == sums["np"]
+    rows = {
+        r["feature"]: r
+        for r in REGISTRY["ml_permutation_importance_ols"]
+        .fn(spark, SF)
+        .collect()
+    }
+    assert rows["discount"]["importance"] > rows["quantity"]["importance"]
+    for r in rows.values():
+        assert r["r2_perm"] < 0.01, r  # permutation kills the signal
+        assert abs(r["importance"] - (r["r2_orig"] - r["r2_perm"])) < 2e-6
