@@ -167,6 +167,9 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     "multimodal_decode_ppm",
     "multimodal_decode_tga",
     "ml_permutation_importance_ols",
+    # wave E (frequency-domain + causality)
+    "ts_spectral_entropy",
+    "ts_granger_lag1",
 }
 # r13 session-open: the 36 r12-EXTENSION ops deferred here last round are
 # released — with CORRECTNESS_r12 ingested they are the only never-sampled

@@ -11180,3 +11180,355 @@ def events_markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("state")
     )
+
+
+# --- r13 growth: spectral entropy / flatness over the periodogram --------
+_SE_K = 27  # periods 2..28, the ts_periodogram grid
+
+
+@register(
+    "ts_spectral_entropy",
+    category="composite",
+    oracle=f"""
+    WITH daily AS MATERIALIZED (
+      SELECT event_type,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+                  AS BIGINT) AS day_idx,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS MATERIALIZED (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(cents) AS BIGINT) AS sx
+      FROM daily GROUP BY event_type
+    ),
+    trig(p, r, cq, sq) AS (VALUES {{PGRAM_VALUES}}),
+    spec AS (
+      SELECT d.event_type, t.p AS period,
+             CAST(sum(CAST(s.n_days * d.cents - s.sx AS HUGEINT) * t.cq)
+                  AS HUGEINT) AS sdc,
+             CAST(sum(CAST(s.n_days * d.cents - s.sx AS HUGEINT) * t.sq)
+                  AS HUGEINT) AS sds
+      FROM daily d
+      JOIN stats s ON s.event_type = d.event_type
+      JOIN trig t ON t.r = d.day_idx % t.p
+      GROUP BY d.event_type, t.p
+    ),
+    energy AS (
+      SELECT event_type, period,
+             sdc * sdc + sds * sds AS e,
+             CAST(sum(sdc * sdc + sds * sds)
+                  OVER (PARTITION BY event_type) AS HUGEINT) AS tot
+      FROM spec
+    ),
+    terms AS (
+      SELECT event_type,
+             CASE WHEN e > 0 AND tot > 0 THEN CAST(floor(
+               -(CAST(e AS DOUBLE) / CAST(tot AS DOUBLE))
+               * ln(CAST(e AS DOUBLE) / CAST(tot AS DOUBLE))
+               * 1000000000 + 0.5) AS BIGINT) ELSE 0 END AS hq,
+             CASE WHEN e > 0 AND tot > 0 THEN CAST(floor(
+               ln(CAST(e AS DOUBLE) / CAST(tot AS DOUBLE))
+               * 1000000000 + 0.5) AS BIGINT) END AS lq
+      FROM energy
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_periods,
+           CAST(count(lq) AS BIGINT) AS n_active,
+           floor(CAST(sum(hq) AS DOUBLE) / (1000000000e0 * ln({_SE_K}e0))
+                 * 1000000 + 0.5) / 1000000 AS spectral_entropy_norm,
+           CASE WHEN count(lq) = count(*) THEN
+             floor(exp(CAST(sum(lq) AS DOUBLE)
+                       / (1000000000e0 * count(*)))
+                   * CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000
+           END AS spectral_flatness
+    FROM terms
+    GROUP BY event_type
+    ORDER BY event_type
+    """.replace("{PGRAM_VALUES}", _PGRAM_VALUES),
+)
+def ts_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPECTRAL ENTROPY and WIENER FLATNESS of each event type's daily
+    series over the ts_periodogram frequency grid (periods 2-28):
+    entropy of the normalized power spectrum −Σ p_k ln p_k / ln K
+    (0 = one pure tone, 1 = white noise) and the flatness ratio
+    geometric-mean(p)/arithmetic-mean(p). Together they summarize a
+    whole periodogram in two scalars — the standard features for
+    "does this series have structure worth a seasonal model" triage
+    across a million series, where shipping 27 power values each is
+    the expensive form.
+
+    Exactness: powers are EXACT wide integers sdc² + sds² over the
+    shared quantized trig table (the ts_periodogram device — no
+    engine evaluates cos/sin); each −p ln p and ln p term is
+    quantized to an INTEGER nano-unit per period BEFORE the
+    cross-period sum (float-order noise cannot arise), and the final
+    normalizations are single pinned double expressions. Flatness is
+    NULL if any grid period has exactly zero energy (geometric mean
+    degenerates) — same CASE both engines.
+
+    Scale shape: identical to ts_periodogram — calendar-collapse
+    groupBy, the 377-row trig broadcast join, a 27-row-per-type
+    window — nothing data-sized past the scan.
+    """
+    daily = (
+        load(spark, sf_dir, "events")
+        .selectExpr(
+            "event_type",
+            "unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000"
+            " AS day_idx",
+            "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents0",
+        )
+        .groupBy("event_type", "day_idx")
+        .agg(F.sum("cents0").cast("bigint").alias("cents"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("cents").cast("bigint").alias("sx"),
+    )
+    trig = spark.sql(
+        f"SELECT * FROM (VALUES {_PGRAM_VALUES}) AS trig(p, r, cq, sq)"
+    )
+    wide = "DECIMAL(38,0)"
+    spec = (
+        daily.join(stats, "event_type")
+        .join(
+            F.broadcast(trig),
+            F.col("r") == F.col("day_idx") % F.col("p"),
+        )
+        .groupBy("event_type", F.col("p").alias("period"))
+        .agg(
+            F.sum(
+                F.expr(f"CAST(n_days * cents - sx AS {wide}) * cq")
+            ).alias("sdc"),
+            F.sum(
+                F.expr(f"CAST(n_days * cents - sx AS {wide}) * sq")
+            ).alias("sds"),
+        )
+    )
+    wtot = Window.partitionBy("event_type")
+    energy = spec.select(
+        "event_type",
+        (F.col("sdc") * F.col("sdc") + F.col("sds") * F.col("sds")).alias(
+            "e"
+        ),
+    ).withColumn("tot", F.sum("e").over(wtot))
+    terms = energy.selectExpr(
+        "event_type",
+        "CASE WHEN e > 0 AND tot > 0 THEN CAST(floor("
+        " -(CAST(e AS DOUBLE) / CAST(tot AS DOUBLE))"
+        " * ln(CAST(e AS DOUBLE) / CAST(tot AS DOUBLE))"
+        " * 1000000000 + 0.5) AS BIGINT) ELSE 0L END AS hq",
+        "CASE WHEN e > 0 AND tot > 0 THEN CAST(floor("
+        " ln(CAST(e AS DOUBLE) / CAST(tot AS DOUBLE))"
+        " * 1000000000 + 0.5) AS BIGINT) END AS lq",
+    )
+    return (
+        terms.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_periods"),
+            F.count("lq").cast("bigint").alias("n_active"),
+            F.expr(
+                f"floor(CAST(sum(hq) AS DOUBLE)"
+                f" / (1000000000D * ln({_SE_K}D))"
+                " * 1000000 + 0.5) / 1000000"
+            ).alias("spectral_entropy_norm"),
+            F.expr(
+                "CASE WHEN count(lq) = count(*) THEN"
+                " floor(exp(CAST(sum(lq) AS DOUBLE)"
+                " / (1000000000D * count(*)))"
+                " * CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000"
+                " END"
+            ).alias("spectral_flatness"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- r13 growth: pairwise Granger causality (lag 1) -----------------------
+#
+# Fixed 5% critical value for F(1, ~25) — part of the op's contract
+# (documented, identical constant both engines).
+_GRANGER_F_CRIT = "4.3e0"
+
+
+@register(
+    "ts_granger_lag1",
+    category="composite",
+    oracle=f"""
+    WITH daily AS MATERIALIZED (
+      SELECT event_type,
+             CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+                  AS BIGINT) AS day_idx,
+             CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    lagged AS MATERIALIZED (
+      SELECT event_type, day_idx, x,
+             lag(x) OVER (PARTITION BY event_type ORDER BY day_idx)
+               AS xl
+      FROM daily
+    ),
+    pairs AS (
+      SELECT y.event_type AS effect, c.event_type AS cause,
+             y.x AS a, y.xl AS b, c.xl AS cc
+      FROM lagged y
+      JOIN lagged c ON c.day_idx = y.day_idx
+                   AND c.event_type <> y.event_type
+      WHERE y.xl IS NOT NULL AND c.xl IS NOT NULL
+    ),
+    m AS (
+      SELECT effect, cause, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(a) AS BIGINT) AS sa, CAST(sum(b) AS BIGINT) AS sb,
+             CAST(sum(cc) AS BIGINT) AS sc,
+             CAST(sum(CAST(a AS HUGEINT) * a) AS HUGEINT) AS saa,
+             CAST(sum(CAST(b AS HUGEINT) * b) AS HUGEINT) AS sbb,
+             CAST(sum(CAST(cc AS HUGEINT) * cc) AS HUGEINT) AS scc,
+             CAST(sum(CAST(a AS HUGEINT) * b) AS HUGEINT) AS sab,
+             CAST(sum(CAST(a AS HUGEINT) * cc) AS HUGEINT) AS sac,
+             CAST(sum(CAST(b AS HUGEINT) * cc) AS HUGEINT) AS sbc
+      FROM pairs GROUP BY effect, cause
+    ),
+    g AS (
+      SELECT effect, cause, n,
+             CAST(n AS HUGEINT) * saa - CAST(sa AS HUGEINT) * sa AS gaa,
+             CAST(n AS HUGEINT) * sbb - CAST(sb AS HUGEINT) * sb AS gbb,
+             CAST(n AS HUGEINT) * scc - CAST(sc AS HUGEINT) * sc AS gcc,
+             CAST(n AS HUGEINT) * sab - CAST(sa AS HUGEINT) * sb AS gab,
+             CAST(n AS HUGEINT) * sac - CAST(sa AS HUGEINT) * sc AS gac,
+             CAST(n AS HUGEINT) * sbc - CAST(sb AS HUGEINT) * sc AS gbc
+      FROM m
+    ),
+    f AS (
+      SELECT effect, cause, n,
+             CAST(gaa AS DOUBLE) AS gaa, CAST(gbb AS DOUBLE) AS gbb,
+             CAST(gcc AS DOUBLE) AS gcc, CAST(gab AS DOUBLE) AS gab,
+             CAST(gac AS DOUBLE) AS gac, CAST(gbc AS DOUBLE) AS gbc
+      FROM g
+    ),
+    r AS (
+      SELECT effect, cause, n,
+             CASE WHEN gbb > 0e0 THEN gaa - gab * gab / gbb END AS rss_r,
+             CASE WHEN gbb * gcc - gbc * gbc > 0e0 THEN
+               gaa - (gcc * gab * gab - 2e0 * gbc * gab * gac
+                      + gbb * gac * gac)
+                     / (gbb * gcc - gbc * gbc) END AS rss_u
+      FROM f
+    )
+    SELECT cause, effect, n AS n_obs,
+           CASE WHEN rss_u > 0e0 AND rss_r IS NOT NULL THEN
+             floor((n - 3) * (rss_r - rss_u) / rss_u * 10000 + 0.5)
+               / 10000 END AS f_stat,
+           CASE WHEN rss_u > 0e0 AND rss_r IS NOT NULL THEN
+             (n - 3) * (rss_r - rss_u) / rss_u > {_GRANGER_F_CRIT}
+           END AS granger_causal
+    FROM r
+    ORDER BY cause, effect
+    """,
+)
+def ts_granger_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAIRWISE GRANGER CAUSALITY (lag 1) between every ordered pair
+    of event-type daily series: does yesterday's CAUSE series improve
+    the one-step forecast of the EFFECT series beyond the effect's
+    own yesterday? F = (n−3)·(RSS_restricted − RSS_unrestricted) /
+    RSS_unrestricted with the restricted model y_t ~ y_{{t-1}} and the
+    unrestricted y_t ~ y_{{t-1}} + x_{{t-1}} — both solved in CLOSED
+    FORM from centered moments (the 2×2 normal-equation identity), so
+    the whole 5×4 pair matrix costs one day-aligned self-join and one
+    moment aggregate. The 5% verdict uses the fixed critical value
+    {_GRANGER_F_CRIT} (F(1, 25df)) — a documented contract constant,
+    not a computed tail probability.
+
+    Exactness: daily series are integer cents; all ten moments and
+    the six n-cleared Gram entries are exact wide integers; RSS and F
+    are pinned double expressions with degenerate CASEs (zero
+    predictor variance, singular 2×2, zero residual) identical on
+    both engines, r4-floored. The invariant test refits both models
+    with numpy lstsq per pair and pins F plus the RSS_u <= RSS_r
+    monotonicity the nesting guarantees.
+
+    Scale shape: calendar-collapse groupBy, one lag window, a
+    day-keyed self-join whose output is (days × type²) — domain-
+    bounded — and a map-side-combinable moment aggregate per pair.
+    """
+    daily = (
+        load(spark, sf_dir, "events")
+        .selectExpr(
+            "event_type",
+            "unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000"
+            " AS day_idx",
+            "value",
+        )
+        .groupBy("event_type", "day_idx")
+        .agg(
+            F.expr("CAST(floor(sum(value) * 100 + 0.5) AS BIGINT)").alias(
+                "x"
+            )
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day_idx")
+    lagged = daily.select(
+        "event_type", "day_idx", "x", F.lag("x").over(w).alias("xl")
+    )
+    y = lagged.selectExpr(
+        "event_type AS effect", "day_idx", "x AS a", "xl AS b"
+    ).filter(F.col("b").isNotNull())
+    c = lagged.selectExpr(
+        "event_type AS cause", "day_idx AS cd", "xl AS cc"
+    ).filter(F.col("cc").isNotNull())
+    pairs = y.join(
+        c,
+        (F.col("cd") == F.col("day_idx"))
+        & (F.col("cause") != F.col("effect")),
+    )
+    wide = "DECIMAL(38,0)"
+    m = pairs.groupBy("effect", "cause").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("a").cast("bigint").alias("sa"),
+        F.sum("b").cast("bigint").alias("sb"),
+        F.sum("cc").cast("bigint").alias("sc"),
+        F.sum(F.expr(f"CAST(a AS {wide}) * a")).alias("saa"),
+        F.sum(F.expr(f"CAST(b AS {wide}) * b")).alias("sbb"),
+        F.sum(F.expr(f"CAST(cc AS {wide}) * cc")).alias("scc"),
+        F.sum(F.expr(f"CAST(a AS {wide}) * b")).alias("sab"),
+        F.sum(F.expr(f"CAST(a AS {wide}) * cc")).alias("sac"),
+        F.sum(F.expr(f"CAST(b AS {wide}) * cc")).alias("sbc"),
+    )
+    g = m.selectExpr(
+        "effect",
+        "cause",
+        "n",
+        f"CAST(CAST(n AS {wide}) * saa - CAST(sa AS {wide}) * sa"
+        " AS DOUBLE) AS gaa",
+        f"CAST(CAST(n AS {wide}) * sbb - CAST(sb AS {wide}) * sb"
+        " AS DOUBLE) AS gbb",
+        f"CAST(CAST(n AS {wide}) * scc - CAST(sc AS {wide}) * sc"
+        " AS DOUBLE) AS gcc",
+        f"CAST(CAST(n AS {wide}) * sab - CAST(sa AS {wide}) * sb"
+        " AS DOUBLE) AS gab",
+        f"CAST(CAST(n AS {wide}) * sac - CAST(sa AS {wide}) * sc"
+        " AS DOUBLE) AS gac",
+        f"CAST(CAST(n AS {wide}) * sbc - CAST(sb AS {wide}) * sc"
+        " AS DOUBLE) AS gbc",
+    )
+    r = g.selectExpr(
+        "effect",
+        "cause",
+        "n",
+        "CASE WHEN gbb > 0D THEN gaa - gab * gab / gbb END AS rss_r",
+        "CASE WHEN gbb * gcc - gbc * gbc > 0D THEN"
+        " gaa - (gcc * gab * gab - 2D * gbc * gab * gac"
+        " + gbb * gac * gac) / (gbb * gcc - gbc * gbc) END AS rss_u",
+    )
+    return r.selectExpr(
+        "cause",
+        "effect",
+        "n AS n_obs",
+        "CASE WHEN rss_u > 0D AND rss_r IS NOT NULL THEN"
+        " floor((n - 3) * (rss_r - rss_u) / rss_u * 10000 + 0.5)"
+        " / 10000 END AS f_stat",
+        "CASE WHEN rss_u > 0D AND rss_r IS NOT NULL THEN"
+        f" (n - 3) * (rss_r - rss_u) / rss_u > {_GRANGER_F_CRIT}"
+        " END AS granger_causal",
+    ).orderBy("cause", "effect")

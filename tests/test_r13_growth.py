@@ -418,3 +418,101 @@ def test_permutation_importance_marginals_and_dominance(spark):
     for r in rows.values():
         assert r["r2_perm"] < 0.01, r  # permutation kills the signal
         assert abs(r["importance"] - (r["r2_orig"] - r["r2_perm"])) < 2e-6
+
+
+def test_spectral_entropy_bounds_and_replay(spark):
+    """0 <= normalized entropy <= 1; python replay of entropy and
+    flatness from the exact integer energies (same trig table)."""
+    import math
+    from pyspark.sql import functions as F
+    from cdc_pubsub_spark.tables import load
+
+    daily = (
+        load(spark, SF, "events")
+        .selectExpr(
+            "event_type",
+            "unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000 AS d",
+            "CAST(floor(value * 100 + 0.5) AS BIGINT) AS c0",
+        )
+        .groupBy("event_type", "d")
+        .agg(F.sum("c0").alias("cents"))
+        .collect()
+    )
+    series: dict = {}
+    for r in daily:
+        series.setdefault(r["event_type"], []).append((r["d"], r["cents"]))
+    rows = {r["event_type"]: r for r in
+            REGISTRY["ts_spectral_entropy"].fn(spark, SF).collect()}
+    for et, pts in series.items():
+        n = len(pts)
+        sx = sum(c for _, c in pts)
+        energies = []
+        for p in range(2, 29):
+            cqs = {r_: int(math.floor(math.cos(2 * math.pi * r_ / p) * 10000 + 0.5)) for r_ in range(p)}
+            sqs = {r_: int(math.floor(math.sin(2 * math.pi * r_ / p) * 10000 + 0.5)) for r_ in range(p)}
+            sdc = sum((n * c - sx) * cqs[d % p] for d, c in pts)
+            sds = sum((n * c - sx) * sqs[d % p] for d, c in pts)
+            energies.append(sdc * sdc + sds * sds)
+        tot = sum(energies)
+        hq = sum(
+            int(math.floor(-(e / tot) * math.log(e / tot) * 1e9 + 0.5))
+            for e in energies if e > 0
+        )
+        se = hq / (1e9 * math.log(27))
+        r = rows[et]
+        assert 0.0 <= r["spectral_entropy_norm"] <= 1.0 + 1e-9
+        assert abs(r["spectral_entropy_norm"] - se) < 5e-6
+        assert r["n_periods"] == 27
+        if r["spectral_flatness"] is not None:
+            assert 0.0 <= r["spectral_flatness"] <= 1.0 + 1e-9
+
+
+def test_granger_numpy_refit(spark):
+    """Refit both nested models with numpy per pair; pin F and the
+    RSS_u <= RSS_r monotonicity nesting guarantees."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from cdc_pubsub_spark.tables import load
+
+    daily = (
+        load(spark, SF, "events")
+        .selectExpr(
+            "event_type",
+            "unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000 AS d",
+            "value",
+        )
+        .groupBy("event_type", "d")
+        .agg(F.expr("CAST(floor(sum(value)*100+0.5) AS BIGINT)").alias("x"))
+        .collect()
+    )
+    series: dict = {}
+    for r in daily:
+        series.setdefault(r["event_type"], {})[r["d"]] = r["x"]
+    rows = REGISTRY["ts_granger_lag1"].fn(spark, SF).collect()
+    assert len(rows) == 20
+    for r in rows:
+        ys, cs = series[r["effect"]], series[r["cause"]]
+        days = sorted(ys)
+        prev = {days[i]: days[i - 1] for i in range(1, len(days))}
+        cdays = sorted(cs)
+        cprev = {cdays[i]: cdays[i - 1] for i in range(1, len(cdays))}
+        rows_abc = [
+            (ys[d], ys[prev[d]], cs[cprev[d]])
+            for d in days
+            if d in prev and d in cprev
+        ]
+        # op pairs on the SAME day carrying each series' own lag
+        a = np.array([t[0] for t in rows_abc], dtype=float)
+        b = np.array([t[1] for t in rows_abc], dtype=float)
+        c = np.array([t[2] for t in rows_abc], dtype=float)
+        n = len(a)
+        assert r["n_obs"] == n
+        Xr = np.column_stack([np.ones(n), b])
+        Xu = np.column_stack([np.ones(n), b, c])
+        rss_r = np.sum((a - Xr @ np.linalg.lstsq(Xr, a, rcond=None)[0]) ** 2)
+        rss_u = np.sum((a - Xu @ np.linalg.lstsq(Xu, a, rcond=None)[0]) ** 2)
+        assert rss_u <= rss_r + 1e-6
+        fstat = (n - 3) * (rss_r - rss_u) / rss_u
+        assert abs(r["f_stat"] - fstat) < max(1e-3, 1e-3 * abs(fstat)), (
+            r, fstat)
+        assert r["granger_causal"] == (fstat > 4.3)
