@@ -170,6 +170,10 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     # wave E (frequency-domain + causality)
     "ts_spectral_entropy",
     "ts_granger_lag1",
+    # wave F (spoof dedup, class migration, forecast eval)
+    "text_homoglyph_dedup",
+    "orders_abc_migration",
+    "events_forecast_backtest_mase",
 }
 # r13 session-open: the 36 r12-EXTENSION ops deferred here last round are
 # released — with CORRECTNESS_r12 ingested they are the only never-sampled

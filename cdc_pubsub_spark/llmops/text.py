@@ -3044,3 +3044,114 @@ def text_dispersion_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("c_total"), F.asc("w"))
     )
+
+
+# --- r13 growth: homoglyph-spoof detection --------------------------------
+#
+# Cyrillic confusables for five ascii letters (the IDN-spoof classics);
+# one literal pair shared by the planting and the skeleton direction.
+_HOMO_ASCII = "aeopc"
+_HOMO_CYR = "аеорс"
+
+
+@register(
+    "text_homoglyph_dedup",
+    category="text",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, source, text FROM documents
+      UNION ALL
+      SELECT doc_id + 3000000, source,
+             translate(text, '{_HOMO_ASCII}', '{_HOMO_CYR}')
+      FROM documents WHERE doc_id % 9 = 0
+    ),
+    sk AS (
+      SELECT doc_id, source, text,
+             translate(text, '{_HOMO_CYR}', '{_HOMO_ASCII}') AS skeleton
+      FROM corpus
+    ),
+    groups AS (
+      SELECT source, md5(skeleton) AS gh,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_raw
+      FROM sk GROUP BY 1, 2
+    )
+    SELECT s.source,
+           CAST(count(DISTINCT s.doc_id) AS BIGINT) AS n_docs_total,
+           CAST(sum(CASE WHEN s.text <> s.skeleton THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_spoofed_docs,
+           CAST(count(DISTINCT md5(s.skeleton)) AS BIGINT)
+             AS n_skeleton_groups,
+           CAST(count(DISTINCT CASE WHEN g.n_raw > 1 THEN g.gh END)
+                AS BIGINT) AS n_collision_groups
+    FROM sk s
+    JOIN groups g ON g.source = s.source AND g.gh = md5(s.skeleton)
+    GROUP BY s.source
+    ORDER BY s.source
+    """,
+)
+def text_homoglyph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOMOGLYPH-SPOOF detection — exact dedup that a Unicode
+    confusable attack defeats, fixed by SKELETON NORMALIZATION (the
+    UTS #39 idea, scoped to five Cyrillic/Latin confusable pairs):
+    every ninth document is re-planted with its lookalike-substituted
+    twin (visually identical, byte-distinct — md5/minhash/simhash all
+    see a brand-new document), and the op folds each text to its
+    confusable skeleton, groups by skeleton hash, and reports the
+    collision groups where DISTINCT raw bytes share one skeleton —
+    exactly the spoofed pairs. A 100 TB training-data dedup that skips
+    this normalization silently double-counts every homoglyph-spoofed
+    page; this op measures how much.
+
+    Exactness: pure counting over md5 group keys; the confusable maps
+    are one shared literal pair (plant and skeleton are inverse
+    translate() calls on both engines). Scale shape: one md5-keyed
+    groupBy (16-byte shuffle keys) and a skeleton-hash join back —
+    the dedup_exact plan with a normalization step; nothing
+    data-sized beyond the dedup shuffle itself.
+    """
+    docs = load(spark, sf_dir, "documents")
+    spoofed = docs.filter(F.col("doc_id") % 9 == 0).selectExpr(
+        "doc_id + 3000000 AS doc_id",
+        "source",
+        f"translate(text, '{_HOMO_ASCII}', '{_HOMO_CYR}') AS text",
+    )
+    corpus = docs.select("doc_id", "source", "text").unionByName(spoofed)
+    sk = corpus.selectExpr(
+        "doc_id",
+        "source",
+        "text",
+        f"translate(text, '{_HOMO_CYR}', '{_HOMO_ASCII}') AS skeleton",
+    )
+    groups = sk.groupBy(
+        "source", F.md5("skeleton").alias("gh")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct(F.md5("text")).cast("bigint").alias("n_raw"),
+    )
+    return (
+        sk.join(
+            groups,
+            (groups.source == sk.source)
+            & (F.col("gh") == F.md5(sk.skeleton)),
+        )
+        .drop(groups.source)
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs_total"),
+            F.sum(
+                F.expr("CASE WHEN text <> skeleton THEN 1 ELSE 0 END")
+            )
+            .cast("bigint")
+            .alias("n_spoofed_docs"),
+            F.countDistinct(F.md5("skeleton"))
+            .cast("bigint")
+            .alias("n_skeleton_groups"),
+            F.countDistinct(
+                F.expr("CASE WHEN n_raw > 1 THEN gh END")
+            )
+            .cast("bigint")
+            .alias("n_collision_groups"),
+        )
+        .orderBy("source")
+    )

@@ -11532,3 +11532,277 @@ def ts_granger_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" (n - 3) * (rss_r - rss_u) / rss_u > {_GRANGER_F_CRIT}"
         " END AS granger_causal",
     ).orderBy("cause", "effect")
+
+
+# --- r13 growth: ABC class migration ---------------------------------------
+_ABC_SPLIT = "1998-07-01"  # timeline midpoint of the orders fixture
+
+
+@register(
+    "orders_abc_migration",
+    category="composite",
+    oracle=f"""
+    WITH halves AS (
+      SELECT o_custkey AS cust,
+             CASE WHEN o_orderdate < TIMESTAMP '{_ABC_SPLIT}'
+                  THEN 1 ELSE 2 END AS half,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    rev AS (
+      SELECT half, cust, CAST(sum(cents) AS BIGINT) AS rev
+      FROM halves GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT half, cust, rev,
+             CAST(sum(rev) OVER (PARTITION BY half
+               ORDER BY rev DESC, cust
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS HUGEINT) AS cum,
+             CAST(sum(rev) OVER (PARTITION BY half) AS HUGEINT) AS tot
+      FROM rev
+    ),
+    classed AS (
+      SELECT half, cust,
+             CASE WHEN cum * 100 <= tot * 70 THEN 'A'
+                  WHEN cum * 100 <= tot * 90 THEN 'B'
+                  ELSE 'C' END AS cls
+      FROM ranked
+    )
+    SELECT a.cls AS class_from, b.cls AS class_to,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           floor(CAST(count(*) AS DOUBLE)
+                 / sum(count(*)) OVER (PARTITION BY a.cls)
+                 * 10000 + 0.5) / 10000 AS frac_of_from
+    FROM classed a
+    JOIN classed b ON b.cust = a.cust AND a.half = 1 AND b.half = 2
+    GROUP BY a.cls, b.cls
+    ORDER BY class_from, class_to
+    """,
+)
+def orders_abc_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC-CLASS MIGRATION MATRIX — Pareto-class each customer by
+    cumulative revenue share (A = the head that carries 70% of
+    revenue, B = to 90%, C = tail) INDEPENDENTLY in each half of the
+    order timeline, then cross-tabulate: the 3×3 matrix whose diagonal
+    is class stability and whose off-diagonal flows are the churn-risk
+    (A→C) and growth (C→A) readouts an account team works from. The
+    static classifier is orders_abc_xyz; this op adds the TIME
+    dimension that makes the classification actionable.
+
+    Exactness: revenue is integer cents; the class boundary test is
+    pure integer arithmetic (cum·100 ≤ tot·70 — no percentage
+    floats), the cumulative window is total-ordered (rev DESC, cust),
+    and the only float is the r4 row-share display division.
+
+    Scale shape: one groupBy to (half, customer) revenue, two
+    bounded windows partitioned by half, a customer-keyed self-join
+    of the two halves, a 9-row aggregate. The window over customers
+    within a half is the plan's widest operator — at 100 TB it is a
+    sort of the CUSTOMER dimension (not the fact table), the same
+    cost class as orders_pareto_share.
+    """
+    halves = load(spark, sf_dir, "orders").selectExpr(
+        "o_custkey AS cust",
+        f"CASE WHEN o_orderdate < TIMESTAMP '{_ABC_SPLIT}'"
+        " THEN 1 ELSE 2 END AS half",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents",
+    )
+    rev = halves.groupBy("half", "cust").agg(
+        F.sum("cents").cast("bigint").alias("rev")
+    )
+    wcum = (
+        Window.partitionBy("half")
+        .orderBy(F.desc("rev"), F.asc("cust"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("half")
+    wide = "DECIMAL(38,0)"
+    classed = (
+        rev.select(
+            "half",
+            "cust",
+            F.sum("rev").over(wcum).cast(wide).alias("cum"),
+            F.sum("rev").over(wtot).cast(wide).alias("tot"),
+        )
+        .selectExpr(
+            "half",
+            "cust",
+            "CASE WHEN cum * 100 <= tot * 70 THEN 'A'"
+            " WHEN cum * 100 <= tot * 90 THEN 'B'"
+            " ELSE 'C' END AS cls",
+        )
+    )
+    a = classed.filter(F.col("half") == 1).selectExpr(
+        "cust", "cls AS class_from"
+    )
+    b = classed.filter(F.col("half") == 2).selectExpr(
+        "cust AS cust2", "cls AS class_to"
+    )
+    wfrom = Window.partitionBy("class_from")
+    return (
+        a.join(b, F.col("cust2") == F.col("cust"))
+        .groupBy("class_from", "class_to")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+        .select(
+            "class_from",
+            "class_to",
+            "n_customers",
+            F.expr(
+                "floor(CAST(n_customers AS DOUBLE)"
+                " / sum(n_customers) OVER (PARTITION BY class_from)"
+                " * 10000 + 0.5) / 10000"
+            ).alias("frac_of_from"),
+        )
+        .orderBy("class_from", "class_to")
+    )
+
+
+# --- r13 growth: forecast backtest (relative MAE vs naive) ----------------
+@register(
+    "events_forecast_backtest_mase",
+    category="composite",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(epoch_us(date_trunc('day', ts)) // 86400000000
+                  AS BIGINT) AS d,
+             CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    joined AS (
+      SELECT a.event_type, a.d, a.x,
+             b.x AS x_lag1, c.x AS x_lag7
+      FROM daily a
+      LEFT JOIN daily b ON b.event_type = a.event_type
+                       AND b.d = a.d - 1
+      LEFT JOIN daily c ON c.event_type = a.event_type
+                       AND c.d = a.d - 7
+    )
+    SELECT event_type,
+           CAST(count(CASE WHEN x_lag1 IS NOT NULL
+                            AND x_lag7 IS NOT NULL THEN 1 END)
+                AS BIGINT) AS n_backtest,
+           CAST(sum(CASE WHEN x_lag1 IS NOT NULL AND x_lag7 IS NOT NULL
+                         THEN abs(x - x_lag7) END) AS BIGINT)
+             AS sae_seasonal,
+           CAST(sum(CASE WHEN x_lag1 IS NOT NULL AND x_lag7 IS NOT NULL
+                         THEN abs(x - x_lag1) END) AS BIGINT)
+             AS sae_naive,
+           CASE WHEN sum(CASE WHEN x_lag1 IS NOT NULL
+                               AND x_lag7 IS NOT NULL
+                              THEN abs(x - x_lag1) END) > 0 THEN
+             floor(CAST(sum(CASE WHEN x_lag1 IS NOT NULL
+                                  AND x_lag7 IS NOT NULL
+                                 THEN abs(x - x_lag7) END) AS DOUBLE)
+                   / sum(CASE WHEN x_lag1 IS NOT NULL
+                               AND x_lag7 IS NOT NULL
+                              THEN abs(x - x_lag1) END)
+                   * 1000000 + 0.5) / 1000000
+           END AS relative_mae,
+           CASE WHEN sum(CASE WHEN x_lag1 IS NOT NULL
+                               AND x_lag7 IS NOT NULL
+                              THEN abs(x - x_lag1) END) > 0 THEN
+             CAST(sum(CASE WHEN x_lag1 IS NOT NULL
+                            AND x_lag7 IS NOT NULL
+                           THEN abs(x - x_lag7) END) AS DOUBLE)
+             / sum(CASE WHEN x_lag1 IS NOT NULL AND x_lag7 IS NOT NULL
+                        THEN abs(x - x_lag1) END) < 1e0
+           END AS seasonal_wins
+    FROM joined
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_forecast_backtest_mase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FORECAST BACKTEST with a MASE-style relative error — the
+    evaluation harness every forecasting op in the registry (ses,
+    holt, holt-winters, croston) needs before anyone trusts it: on
+    each backtest day, compare the SEASONAL-NAIVE forecast (x̂_t =
+    x_{t-7}, the model under test) against the NAIVE-1 benchmark
+    (x̂_t = x_{t-1}) on the identical day set — days where BOTH lags
+    exist, so neither model gets free wins from the other's missing
+    history. relative_mae < 1 (the MASE verdict) means weekly
+    structure is real and worth a seasonal model; the same two-lag
+    LEFT-join scaffold re-targets any forecast column.
+
+    Exactness: daily series are integer cents; both sum-of-absolute-
+    error aggregates are exact integers over the SHARED day set; the
+    ratio is one pinned double division with the zero-denominator
+    CASE identical both engines.
+
+    Scale shape: calendar-collapse groupBy, two self-equi-joins on
+    (type, day) — domain-sized — and one conditional aggregate.
+    """
+    daily = (
+        load(spark, sf_dir, "events")
+        .selectExpr(
+            "event_type",
+            "unix_micros(date_trunc('DAY', CAST(ts AS TIMESTAMP)))"
+            " div 86400000000 AS d",
+            "value",
+        )
+        .groupBy("event_type", "d")
+        .agg(
+            F.expr("CAST(floor(sum(value) * 100 + 0.5) AS BIGINT)").alias(
+                "x"
+            )
+        )
+        # the three-way self-join below would otherwise re-scan and
+        # re-aggregate events once per join side (measured 7.4x at the
+        # 10x probe); the daily relation is domain-sized, so persist it
+        .persist()
+    )
+    b = daily.selectExpr("event_type AS et1", "d AS d1", "x AS x_lag1")
+    c = daily.selectExpr("event_type AS et7", "d AS d7", "x AS x_lag7")
+    joined = (
+        daily.join(
+            b,
+            (F.col("et1") == F.col("event_type"))
+            & (F.col("d1") == F.col("d") - 1),
+            "left",
+        )
+        .join(
+            c,
+            (F.col("et7") == F.col("event_type"))
+            & (F.col("d7") == F.col("d") - 7),
+            "left",
+        )
+        .select("event_type", "x", "x_lag1", "x_lag7")
+    )
+    both = "x_lag1 IS NOT NULL AND x_lag7 IS NOT NULL"
+    out = (
+        joined.groupBy("event_type")
+        .agg(
+            F.expr(f"CAST(count(CASE WHEN {both} THEN 1 END) AS BIGINT)")
+            .alias("n_backtest"),
+            F.expr(
+                f"CAST(sum(CASE WHEN {both} THEN abs(x - x_lag7) END)"
+                " AS BIGINT)"
+            ).alias("sae_seasonal"),
+            F.expr(
+                f"CAST(sum(CASE WHEN {both} THEN abs(x - x_lag1) END)"
+                " AS BIGINT)"
+            ).alias("sae_naive"),
+            F.expr(
+                f"CASE WHEN sum(CASE WHEN {both} THEN abs(x - x_lag1)"
+                " END) > 0 THEN"
+                f" floor(CAST(sum(CASE WHEN {both} THEN abs(x - x_lag7)"
+                " END) AS DOUBLE)"
+                f" / sum(CASE WHEN {both} THEN abs(x - x_lag1) END)"
+                " * 1000000 + 0.5) / 1000000 END"
+            ).alias("relative_mae"),
+            F.expr(
+                f"CASE WHEN sum(CASE WHEN {both} THEN abs(x - x_lag1)"
+                " END) > 0 THEN"
+                f" CAST(sum(CASE WHEN {both} THEN abs(x - x_lag7) END)"
+                " AS DOUBLE)"
+                f" / sum(CASE WHEN {both} THEN abs(x - x_lag1) END)"
+                " < 1D END"
+            ).alias("seasonal_wins"),
+        )
+        .orderBy("event_type")
+    )
+    return finalize_cached(out, daily)

@@ -516,3 +516,115 @@ def test_granger_numpy_refit(spark):
         assert abs(r["f_stat"] - fstat) < max(1e-3, 1e-3 * abs(fstat)), (
             r, fstat)
         assert r["granger_causal"] == (fstat > 4.3)
+
+
+def test_homoglyph_collisions_match_plant(spark):
+    """Every planted spoof must surface as a collision group; sources
+    without planted ids must report zero collisions; raw exact-dedup
+    (no skeleton) must NOT see the spoofs as duplicates."""
+    from pyspark.sql import functions as F
+    from cdc_pubsub_spark.tables import load
+
+    docs = load(spark, SF, "documents").select("doc_id", "source")
+    planted = (
+        docs.filter(F.col("doc_id") % 9 == 0)
+        .groupBy("source")
+        .count()
+        .collect()
+    )
+    planted_by_source = {r["source"]: r["count"] for r in planted}
+    rows = {r["source"]: r for r in
+            REGISTRY["text_homoglyph_dedup"].fn(spark, SF).collect()}
+    for src, r in rows.items():
+        expect = planted_by_source.get(src, 0)
+        assert r["n_spoofed_docs"] == expect, src
+        # each planted doc forms exactly one {original, spoof} collision
+        # group (original texts are unique within a source fixture)
+        assert r["n_collision_groups"] == expect, src
+        assert r["n_skeleton_groups"] == r["n_docs_total"] - expect, src
+
+
+def test_abc_migration_marginals_and_replay(spark):
+    """Row fractions sum to 1 per from-class; the full 3x3 matrix must
+    equal an exact python replay of the integer class-boundary rule
+    over both halves (cum*100 <= tot*70 / 90, rev-desc cust-asc)."""
+    from pyspark.sql import functions as F
+    from cdc_pubsub_spark.tables import load
+
+    rows = REGISTRY["orders_abc_migration"].fn(spark, SF).collect()
+    from collections import defaultdict
+
+    frac = defaultdict(float)
+    for r in rows:
+        frac[r["class_from"]] += r["frac_of_from"]
+    for cls, s in frac.items():
+        assert abs(s - 1.0) < 5e-4, (cls, s)
+
+    raw = (
+        load(spark, SF, "orders")
+        .selectExpr(
+            "o_custkey AS cust",
+            "CASE WHEN o_orderdate < TIMESTAMP '1998-07-01'"
+            " THEN 1 ELSE 2 END AS half",
+            "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents",
+        )
+        .groupBy("half", "cust")
+        .agg(F.sum("cents").alias("rev"))
+        .collect()
+    )
+    halves: dict = {1: [], 2: []}
+    for r in raw:
+        halves[r["half"]].append((r["rev"], r["cust"]))
+    cls_of: dict = {}
+    for h, lst in halves.items():
+        lst.sort(key=lambda t: (-t[0], t[1]))
+        tot = sum(r for r, _ in lst)
+        cum = 0
+        for rev, cust in lst:
+            cum += rev
+            cls_of[(h, cust)] = (
+                "A" if cum * 100 <= tot * 70
+                else "B" if cum * 100 <= tot * 90 else "C"
+            )
+    expect = defaultdict(int)
+    for (h, cust), c1 in cls_of.items():
+        if h == 1 and (2, cust) in cls_of:
+            expect[(c1, cls_of[(2, cust)])] += 1
+    got = {(r["class_from"], r["class_to"]): r["n_customers"] for r in rows}
+    assert got == dict(expect)
+
+
+def test_mase_python_replay(spark):
+    """Replay both backtests exactly from the daily series; pin the
+    shared-day-set rule and the ratio."""
+    from pyspark.sql import functions as F
+    from cdc_pubsub_spark.tables import load
+
+    daily = (
+        load(spark, SF, "events")
+        .selectExpr(
+            "event_type",
+            "unix_micros(date_trunc('DAY', CAST(ts AS TIMESTAMP)))"
+            " div 86400000000 AS d",
+            "value",
+        )
+        .groupBy("event_type", "d")
+        .agg(F.expr("CAST(floor(sum(value)*100+0.5) AS BIGINT)").alias("x"))
+        .collect()
+    )
+    series: dict = {}
+    for r in daily:
+        series.setdefault(r["event_type"], {})[r["d"]] = r["x"]
+    rows = {r["event_type"]: r for r in
+            REGISTRY["events_forecast_backtest_mase"].fn(spark, SF).collect()}
+    for et, s in series.items():
+        days = [d for d in s if d - 1 in s and d - 7 in s]
+        sae7 = sum(abs(s[d] - s[d - 7]) for d in days)
+        sae1 = sum(abs(s[d] - s[d - 1]) for d in days)
+        r = rows[et]
+        assert r["n_backtest"] == len(days)
+        assert r["sae_seasonal"] == sae7
+        assert r["sae_naive"] == sae1
+        if sae1 > 0:
+            assert abs(r["relative_mae"] - sae7 / sae1) < 5e-6
+            assert r["seasonal_wins"] == (sae7 / sae1 < 1.0)
