@@ -3044,7 +3044,7 @@ def _ppm_px(doc_id: int, j: int) -> tuple[int, int, int]:
     )
 
 
-def _synth_ppm(doc_id: int) -> bytes:
+def _synth_ppm_dual(doc_id: int) -> bytes:
     """Real netpbm RGB bytes: even doc_ids emit binary P6, odd emit
     plain-text P3 (ASCII decimal raster, one parser path per magic);
     doc_id % 3 == 0 plants a `#` header comment. w = 4 + doc_id%5,
@@ -3063,7 +3063,7 @@ def _synth_ppm(doc_id: int) -> bytes:
     return head + body.encode("ascii") + b"\n"
 
 
-def decode_ppm(payload: bytes) -> dict:
+def decode_ppm_dual(payload: bytes) -> dict:
     """Genuine netpbm RGB parse for BOTH encodings: shared header
     tokenizer (magic, `#`-comment skip, three whitespace-separated
     ints), raster dispatch on the magic — P6 slices 3·w·h raw bytes,
@@ -3145,7 +3145,7 @@ def decode_ppm(payload: bytes) -> dict:
     GROUP BY i.doc_id, i.w, i.h
     """,
 )
-def multimodal_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+def multimodal_decode_ppm_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed REAL netpbm COLOR decode via Arrow mapInPandas —
     completes the netpbm family (PBM 1-bit, PGM gray, now PPM RGB)
     with the same dual-encoding hazard: binary P6 on even doc_ids,
@@ -3172,7 +3172,7 @@ def multimodal_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             out = []
             for doc_id in pdf["doc_id"]:
-                feats = decode_ppm(_synth_ppm(int(doc_id)))
+                feats = decode_ppm_dual(_synth_ppm_dual(int(doc_id)))
                 feats["doc_id"] = doc_id
                 feats["decoded_ok"] = True
                 out.append(feats)

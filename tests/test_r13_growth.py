@@ -321,20 +321,20 @@ def test_ppm_tga_decoders_reject_corruption(spark):
     instead of returning plausible stats (magic, truncation, RLE
     overrun, maxval)."""
     from cdc_pubsub_spark.llmops.multimodal import (
-        _synth_ppm,
+        _synth_ppm_dual,
         _synth_tga,
-        decode_ppm,
+        decode_ppm_dual,
         decode_tga,
     )
 
-    good = _synth_ppm(4)
+    good = _synth_ppm_dual(4)
     with pytest.raises(ValueError):
-        decode_ppm(b"P4" + good[2:])  # PBM magic is not a PPM
+        decode_ppm_dual(b"P4" + good[2:])  # PBM magic is not a PPM
     with pytest.raises(ValueError):
-        decode_ppm(good[:-3])  # truncated P6 raster
+        decode_ppm_dual(good[:-3])  # truncated P6 raster
     bad_maxval = good.replace(b"255", b"100", 1)
     with pytest.raises(ValueError):
-        decode_ppm(bad_maxval)
+        decode_ppm_dual(bad_maxval)
     tga = _synth_tga(7)  # odd -> RLE
     with pytest.raises(ValueError):
         decode_tga(tga[:10])  # truncated header
