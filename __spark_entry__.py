@@ -174,6 +174,10 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     "text_homoglyph_dedup",
     "orders_abc_migration",
     "events_forecast_backtest_mase",
+    # wave G (fuzzy join, archive scan, feature engineering)
+    "join_fuzzy_trigram",
+    "scan_tar_members",
+    "ml_target_encoding_kfold",
 }
 # r13 session-open: the 36 r12-EXTENSION ops deferred here last round are
 # released — with CORRECTNESS_r12 ingested they are the only never-sampled

@@ -4638,3 +4638,109 @@ def ml_permutation_importance_ols(
         )
         .orderBy("feature")
     )
+
+
+# --- r13 growth: leakage-free k-fold target encoding -----------------------
+_TE_FOLDS = 5
+
+
+@register(
+    "ml_target_encoding_kfold",
+    category="similarity",
+    oracle=f"""
+    WITH rows_in AS (
+      SELECT l_returnflag || '/' || l_linestatus AS cat,
+             CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-'
+                                   || CAST(l_linenumber AS VARCHAR)),
+                                  1, 15))::BIGINT % {_TE_FOLDS}
+                  AS BIGINT) AS fold,
+             CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                  AS BIGINT) AS y
+      FROM lineitem
+    ),
+    per_fold AS (
+      SELECT cat, fold, CAST(count(*) AS BIGINT) AS n_f,
+             CAST(sum(y) AS BIGINT) AS s_f
+      FROM rows_in GROUP BY 1, 2
+    ),
+    per_cat AS (
+      SELECT cat, CAST(sum(n_f) AS BIGINT) AS n_c,
+             CAST(sum(s_f) AS BIGINT) AS s_c
+      FROM per_fold GROUP BY cat
+    )
+    SELECT f.cat, f.fold, f.n_f AS n_rows,
+           CASE WHEN c.n_c - f.n_f > 0 THEN
+             CAST(floor(CAST(c.s_c - f.s_f AS DOUBLE) / (c.n_c - f.n_f)
+                        + 0.5) AS BIGINT) END AS oof_mean_cents,
+           CAST(floor(CAST(c.s_c AS DOUBLE) / c.n_c + 0.5) AS BIGINT)
+             AS full_mean_cents,
+           CASE WHEN c.n_c - f.n_f > 0 THEN
+             floor(abs(CAST(c.s_c - f.s_f AS DOUBLE) / (c.n_c - f.n_f)
+                       - CAST(c.s_c AS DOUBLE) / c.n_c) * 100 + 0.5)
+               / 100 END AS leakage_gap_cents
+    FROM per_fold f JOIN per_cat c ON c.cat = f.cat
+    ORDER BY f.cat, f.fold
+    """,
+)
+def ml_target_encoding_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-FREE K-FOLD TARGET ENCODING — the feature-engineering
+    op every tabular training pipeline needs and most get wrong: the
+    encoding for a row in fold f is the category's target mean
+    computed EXCLUDING fold f (out-of-fold), e(cat, f) =
+    (S_cat − S_cat,f) / (N_cat − N_cat,f), so no row's own target
+    leaks into its own feature. Folds are the md5-of-key hash the
+    permutation-importance op uses — deterministic, reproducible
+    across runs/engines/cluster sizes, and stable under incremental
+    ingestion (the properties a 100 TB feature store requires of fold
+    assignment). `leakage_gap_cents` quantifies per (cat, fold) how
+    far the OOF mean sits from the naive full mean — the bias a
+    leaky encoder would have injected, reported as data.
+
+    Exactness: fold sums and counts are exact integers; the
+    complement arithmetic is exact integer subtraction; each mean is
+    one pinned double division (cents-floored). The invariant test
+    recomputes every OOF mean from raw rows and pins the complement
+    identity N_c = Σ_f N_f.
+
+    Scale shape: one map-side-combinable groupBy to (cat × fold) —
+    domain-sized — then a broadcast-scale join of the per-cat totals
+    back onto it. The row-level encoded column is a broadcast-join
+    away (intentionally not materialized here: the certified artifact
+    is the encoding TABLE, the thing a feature store actually ships).
+    """
+    li = load(spark, sf_dir, "lineitem").selectExpr(
+        "concat(l_returnflag, '/', l_linestatus) AS cat",
+        "cast(conv(substr(md5(concat(CAST(l_orderkey AS STRING), '-',"
+        " CAST(l_linenumber AS STRING))), 1, 15), 16, 10) as bigint)"
+        f" % {_TE_FOLDS} AS fold",
+        "CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)"
+        " AS BIGINT) AS y",
+    )
+    per_fold = li.groupBy("cat", "fold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_f"),
+        F.sum("y").cast("bigint").alias("s_f"),
+    ).persist()  # domain-sized (cat x fold); per_cat derives from it
+    per_cat = per_fold.groupBy("cat").agg(
+        F.sum("n_f").cast("bigint").alias("n_c"),
+        F.sum("s_f").cast("bigint").alias("s_c"),
+    )
+    out = (
+        per_fold.join(F.broadcast(per_cat), "cat")
+        .selectExpr(
+            "cat",
+            "fold",
+            "n_f AS n_rows",
+            "CASE WHEN n_c - n_f > 0 THEN"
+            " floor(CAST(s_c - s_f AS DOUBLE) / (n_c - n_f) + 0.5)"
+            " END AS oof_mean_cents",
+            "floor(CAST(s_c AS DOUBLE) / n_c + 0.5) AS full_mean_cents",
+            "CASE WHEN n_c - n_f > 0 THEN"
+            " floor(abs(CAST(s_c - s_f AS DOUBLE) / (n_c - n_f)"
+            " - CAST(s_c AS DOUBLE) / n_c) * 100 + 0.5) / 100"
+            " END AS leakage_gap_cents",
+        )
+        .orderBy("cat", "fold")
+    )
+    from cdc_pubsub_spark.tables import finalize_cached
+
+    return finalize_cached(out, per_fold)

