@@ -178,6 +178,10 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     "join_fuzzy_trigram",
     "scan_tar_members",
     "ml_target_encoding_kfold",
+    # wave H (CDC frontier, OD profiling, decomposition strength)
+    "cdc_resolved_frontier",
+    "profile_order_dependency",
+    "ts_stl_strength",
 }
 # r13 session-open: the 36 r12-EXTENSION ops deferred here last round are
 # released — with CORRECTNESS_r12 ingested they are the only never-sampled

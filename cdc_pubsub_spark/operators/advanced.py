@@ -2970,3 +2970,105 @@ def compat_ack_on_failure(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- r13 growth: order-dependency discovery ---------------------------------
+#
+# Candidate ODs validated (A "orders" B iff sorting by A sorts B).
+_OD_CANDIDATES = (
+    ("o_orderdate_orders_o_orderkey", "o_orderdate", "o_orderkey"),
+    ("o_orderkey_orders_o_orderdate", "o_orderkey", "o_orderdate"),
+    ("o_orderdate_orders_o_totalprice", "o_orderdate", "o_totalprice"),
+    ("o_totalprice_orders_o_custkey", "o_totalprice", "o_custkey"),
+)
+
+
+def _od_duck_cte(name: str, a: str, b: str) -> str:
+    return f"""
+    od_{name} AS (
+      SELECT '{name}' AS candidate,
+             CAST(count(*) AS BIGINT) AS n_adjacent,
+             CAST(sum(CASE WHEN nb < b THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violations
+      FROM (
+        SELECT {b} AS b,
+               lead({b}) OVER (PARTITION BY o_orderpriority
+                 ORDER BY {a}, o_orderkey) AS nb
+        FROM orders
+      ) WHERE nb IS NOT NULL
+    )"""
+
+
+@register(
+    "profile_order_dependency",
+    category="advanced",
+    oracle=f"""
+    WITH {", ".join(_od_duck_cte(n, a, b) for n, a, b in _OD_CANDIDATES)}
+    SELECT candidate, n_adjacent, n_violations,
+           floor(CAST(n_violations AS DOUBLE) / n_adjacent
+                 * 1000000 + 0.5) / 1000000 AS violation_rate,
+           n_violations = 0 AS od_holds
+    FROM ({" UNION ALL ".join(f"SELECT * FROM od_{n}"
+                              for n, _, _ in _OD_CANDIDATES)})
+    ORDER BY candidate
+    """,
+)
+def profile_order_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER-DEPENDENCY discovery (Szlichta et al.) — does sorting by
+    column A sort column B? The profiling question behind interesting
+    physical-design wins (a B index is redundant if A orders B;
+    zone maps on A prune B predicates) and behind data-quality checks
+    like "order keys are assigned in date order". Validation is the
+    textbook adjacent-inversion count: sort by (A, key) and count
+    descents in B — zero descents ⟺ the OD holds on this instance;
+    the violation RATE grades near-ODs, which is what real data has.
+    Four candidates over orders are validated per priority partition
+    (conditional ODs — the partitioned form is both the scalable plan
+    and the more useful finding).
+
+    Exactness: pure integer/date comparisons and counts; the only
+    float is the r6 display rate.
+
+    Scale shape: one window sort per candidate, PARTITIONED by
+    priority (a distributed sort, never a single-reducer global
+    window — the plan a 100 TB OD validator must have), then a
+    4-row aggregate. Candidates share one scan via the unioned
+    conditional projections.
+    """
+    orders = load(spark, sf_dir, "orders")
+    outs = []
+    for name, a, b in _OD_CANDIDATES:
+        w = Window.partitionBy("o_orderpriority").orderBy(
+            a, "o_orderkey"
+        )
+        adj = (
+            orders.select(
+                F.col(b).alias("b"), F.lead(b).over(w).alias("nb")
+            )
+            .filter(F.col("nb").isNotNull())
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_adjacent"),
+                F.sum(
+                    F.expr("CASE WHEN nb < b THEN 1 ELSE 0 END")
+                )
+                .cast("bigint")
+                .alias("n_violations"),
+            )
+            .selectExpr(
+                f"'{name}' AS candidate",
+                "n_adjacent",
+                "n_violations",
+            )
+        )
+        outs.append(adj)
+    allc = outs[0]
+    for o in outs[1:]:
+        allc = allc.unionByName(o)
+    return allc.selectExpr(
+        "candidate",
+        "n_adjacent",
+        "n_violations",
+        "floor(CAST(n_violations AS DOUBLE) / n_adjacent"
+        " * 1000000 + 0.5) / 1000000 AS violation_rate",
+        "n_violations = 0 AS od_holds",
+    ).orderBy("candidate")

@@ -11806,3 +11806,163 @@ def events_forecast_backtest_mase(
         .orderBy("event_type")
     )
     return finalize_cached(out, daily)
+
+
+# --- r13 growth: trend/seasonal strength indices ---------------------------
+@register(
+    "ts_stl_strength",
+    category="composite",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(epoch_us(date_trunc('day', ts)) // 86400000000
+                  AS BIGINT) AS day_idx,
+             CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    tr AS (
+      SELECT event_type, day_idx, x, day_idx % 7 AS dow,
+             CASE WHEN count(*) OVER w = 7
+                  THEN CAST(sum(x) OVER w AS BIGINT) END AS sum7
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day_idx
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    dtr AS (
+      SELECT event_type, dow,
+             x * 7000 AS xu,
+             (x * 7 - sum7) * 1000 AS du,
+             sum7 * 1000 AS tu
+      FROM tr WHERE sum7 IS NOT NULL
+    ),
+    sdow AS (
+      SELECT event_type, dow,
+             CAST(floor(avg(CAST(du AS DOUBLE)) + 0.5) AS BIGINT) AS su
+      FROM dtr GROUP BY 1, 2
+    ),
+    comps AS (
+      SELECT d.event_type,
+             d.du - s.su AS ru,
+             d.du AS sru,
+             d.xu - s.su AS tru
+      FROM dtr d JOIN sdow s ON s.event_type = d.event_type
+                            AND s.dow = d.dow
+    ),
+    m AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(ru) AS HUGEINT) AS s_r,
+             CAST(sum(CAST(ru AS HUGEINT) * ru) AS HUGEINT) AS q_r,
+             CAST(sum(sru) AS HUGEINT) AS s_sr,
+             CAST(sum(CAST(sru AS HUGEINT) * sru) AS HUGEINT) AS q_sr,
+             CAST(sum(tru) AS HUGEINT) AS s_tr,
+             CAST(sum(CAST(tru AS HUGEINT) * tru) AS HUGEINT) AS q_tr
+      FROM comps GROUP BY event_type
+    )
+    SELECT event_type, n AS n_used,
+           CASE WHEN n * q_sr - s_sr * s_sr > 0 THEN
+             floor(greatest(0e0, 1e0
+               - CAST(n * q_r - s_r * s_r AS DOUBLE)
+                 / CAST(n * q_sr - s_sr * s_sr AS DOUBLE))
+               * 1000000 + 0.5) / 1000000 END AS f_seasonal,
+           CASE WHEN n * q_tr - s_tr * s_tr > 0 THEN
+             floor(greatest(0e0, 1e0
+               - CAST(n * q_r - s_r * s_r AS DOUBLE)
+                 / CAST(n * q_tr - s_tr * s_tr AS DOUBLE))
+               * 1000000 + 0.5) / 1000000 END AS f_trend
+    FROM m
+    ORDER BY event_type
+    """,
+)
+def ts_stl_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TREND & SEASONAL STRENGTH indices (Hyndman & Athanasopoulos,
+    fpp3 §4.3) for each event type's daily series: F_seasonal =
+    max(0, 1 − Var(R)/Var(S+R)) and F_trend = max(0, 1 −
+    Var(R)/Var(T+R)) over a classical decomposition — trend T =
+    centered 7-day moving average (full windows only), weekly
+    seasonal S = day-of-week mean of the detrended series, remainder
+    R = x − T − S. Near 1 = the component dominates; near 0 = noise.
+    These two scalars are the triage features that decide, across a
+    million series, which get a seasonal model (the
+    ts_spectral_entropy twin from the decomposition side).
+
+    Exactness: all series arithmetic runs in integer micro-units —
+    x·7000, detrended 1000·(7x − Σ7), seasonal means floor-quantized
+    to the same unit — so every variance moment is an exact wide
+    integer and each F is one pinned double expression (r6-floored,
+    zero-variance CASEs shared).
+
+    Scale shape: calendar-collapse groupBy, one bounded ±3 window
+    per type, a dow-mean broadcast join, one moment aggregate.
+    """
+    daily = (
+        load(spark, sf_dir, "events")
+        .selectExpr(
+            "event_type",
+            "unix_micros(date_trunc('DAY', CAST(ts AS TIMESTAMP)))"
+            " div 86400000000 AS day_idx",
+            "value",
+        )
+        .groupBy("event_type", "day_idx")
+        .agg(
+            F.expr("CAST(floor(sum(value) * 100 + 0.5) AS BIGINT)").alias(
+                "x"
+            )
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_idx")
+        .rowsBetween(-3, 3)
+    )
+    tr = daily.select(
+        "event_type",
+        "day_idx",
+        "x",
+        (F.col("day_idx") % 7).alias("dow"),
+        F.when(
+            F.count(F.lit(1)).over(w) == 7,
+            F.sum("x").over(w).cast("bigint"),
+        ).alias("sum7"),
+    )
+    dtr = tr.filter(F.col("sum7").isNotNull()).selectExpr(
+        "event_type",
+        "dow",
+        "x * 7000 AS xu",
+        "(x * 7 - sum7) * 1000 AS du",
+    ).persist()
+    sdow = dtr.groupBy("event_type", "dow").agg(
+        F.expr(
+            "CAST(floor(avg(CAST(du AS DOUBLE)) + 0.5) AS BIGINT)"
+        ).alias("su")
+    )
+    comps = dtr.join(F.broadcast(sdow), ["event_type", "dow"]).selectExpr(
+        "event_type",
+        "du - su AS ru",
+        "du AS sru",
+        "xu - su AS tru",
+    )
+    wide = "DECIMAL(38,0)"
+    m = comps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("ru").cast(wide).alias("s_r"),
+        F.sum(F.expr(f"CAST(ru AS {wide}) * ru")).alias("q_r"),
+        F.sum("sru").cast(wide).alias("s_sr"),
+        F.sum(F.expr(f"CAST(sru AS {wide}) * sru")).alias("q_sr"),
+        F.sum("tru").cast(wide).alias("s_tr"),
+        F.sum(F.expr(f"CAST(tru AS {wide}) * tru")).alias("q_tr"),
+    )
+    out = m.selectExpr(
+        "event_type",
+        "n AS n_used",
+        "CASE WHEN n * q_sr - s_sr * s_sr > 0 THEN"
+        " floor(greatest(0D, 1D"
+        " - CAST(n * q_r - s_r * s_r AS DOUBLE)"
+        " / CAST(n * q_sr - s_sr * s_sr AS DOUBLE))"
+        " * 1000000 + 0.5) / 1000000 END AS f_seasonal",
+        "CASE WHEN n * q_tr - s_tr * s_tr > 0 THEN"
+        " floor(greatest(0D, 1D"
+        " - CAST(n * q_r - s_r * s_r AS DOUBLE)"
+        " / CAST(n * q_tr - s_tr * s_tr AS DOUBLE))"
+        " * 1000000 + 0.5) / 1000000 END AS f_trend",
+    ).orderBy("event_type")
+    return finalize_cached(out, dtr)

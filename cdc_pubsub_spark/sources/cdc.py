@@ -1108,3 +1108,123 @@ def cdc_replication_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("partition_id")
     )
+
+
+# --- r13 growth: multi-partition resolved frontier -------------------------
+@register(
+    "cdc_resolved_frontier",
+    category="cdc",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type AS topic,
+             user_id % 4 AS part,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      FROM events
+    ),
+    per_part AS (
+      SELECT topic, part,
+             CAST(max(ts_us) AS BIGINT) AS part_high,
+             CAST(count(*) AS BIGINT) AS n
+      FROM ev GROUP BY 1, 2
+    ),
+    fr AS (
+      SELECT topic,
+             CAST(min(part_high) AS BIGINT) AS frontier_us,
+             CAST(max(part_high) AS BIGINT) AS high_us,
+             CAST(count(*) AS BIGINT) AS n_parts,
+             CAST(min(part) FILTER (WHERE part_high = (
+               SELECT min(p2.part_high) FROM per_part p2
+               WHERE p2.topic = per_part.topic)) AS BIGINT)
+               AS straggler_part
+      FROM per_part GROUP BY topic
+    )
+    SELECT f.topic, f.n_parts, f.frontier_us, f.high_us,
+           f.high_us - f.frontier_us AS frontier_lag_us,
+           f.straggler_part,
+           CAST(sum(CASE WHEN e.ts_us <= f.frontier_us THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_resolved,
+           CAST(sum(CASE WHEN e.ts_us > f.frontier_us THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_unresolved
+    FROM fr f JOIN ev e ON e.topic = f.topic
+    GROUP BY 1, 2, 3, 4, 5, 6
+    ORDER BY f.topic
+    """,
+)
+def cdc_resolved_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESOLVED-TIMESTAMP FRONTIER per topic — the multi-partition
+    semantics behind the reference's RESOLVED messages
+    (publisher.go:134, 155-157): a changefeed may emit a resolved
+    timestamp T only when EVERY partition's high-water mark has
+    passed T, so the emittable frontier is min-over-partitions of
+    max-over-rows — the lattice meet that turns per-partition
+    progress into a global consistency point. The op reports each
+    topic's frontier, its lag behind the fastest partition (the
+    straggler cost — one slow partition holds the whole topic's
+    resolved stream back, exactly the situation the reference's
+    consumer would see as a stalled RESOLVED suffix), WHICH partition
+    is the straggler, and how many events are at-or-below vs above
+    the frontier (the resolved/unresolved split a downstream
+    materializer can and cannot apply).
+
+    Exactness: pure integer max/min/count lattice arithmetic on
+    microsecond timestamps; ties on the straggler break to the
+    lowest partition id via the same FILTER/min_by device both
+    engines.
+
+    Scale shape: one groupBy to (topic × partition) highs —
+    domain-sized — a topic-level meet, and one conditional-aggregate
+    pass for the resolved split (broadcast of the 5-row frontier
+    relation onto the scan). At 100 TB this is the shape of a real
+    resolved-timestamp tracker: partition highs are the only shuffled
+    state.
+    """
+    ev = load(spark, sf_dir, "events").selectExpr(
+        "event_type AS topic",
+        "user_id % 4 AS part",
+        "unix_micros(CAST(ts AS TIMESTAMP)) AS ts_us",
+    )
+    per_part = ev.groupBy("topic", "part").agg(
+        F.max("ts_us").cast("bigint").alias("part_high"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    fr = per_part.groupBy("topic").agg(
+        F.min("part_high").cast("bigint").alias("frontier_us"),
+        F.max("part_high").cast("bigint").alias("high_us"),
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.expr(
+            "CAST(min_by(part, struct(part_high, part)) AS BIGINT)"
+        ).alias("straggler_part"),
+    )
+    return (
+        ev.join(F.broadcast(fr), "topic")
+        .groupBy(
+            "topic",
+            "n_parts",
+            "frontier_us",
+            "high_us",
+            "straggler_part",
+        )
+        .agg(
+            F.sum(
+                F.expr("CASE WHEN ts_us <= frontier_us THEN 1 ELSE 0 END")
+            )
+            .cast("bigint")
+            .alias("n_resolved"),
+            F.sum(
+                F.expr("CASE WHEN ts_us > frontier_us THEN 1 ELSE 0 END")
+            )
+            .cast("bigint")
+            .alias("n_unresolved"),
+        )
+        .selectExpr(
+            "topic",
+            "n_parts",
+            "frontier_us",
+            "high_us",
+            "high_us - frontier_us AS frontier_lag_us",
+            "straggler_part",
+            "n_resolved",
+            "n_unresolved",
+        )
+        .orderBy("topic")
+    )

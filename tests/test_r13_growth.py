@@ -728,3 +728,148 @@ def test_target_encoding_oof_excludes_own_fold(spark):
         assert r["full_mean_cents"] == math.floor(s_c / n_c + 0.5)
         gap = abs((s_c - s_f) / (n_c - n_f) - s_c / n_c)
         assert abs(r["leakage_gap_cents"] - round(gap, 2)) < 0.02
+
+
+def test_resolved_frontier_lattice_replay(spark):
+    """Replay the min-over-partitions-of-max lattice meet in python;
+    pin the resolved/unresolved split against raw timestamps."""
+    from pyspark.sql import functions as F
+    from cdc_pubsub_spark.tables import load
+
+    ev = (
+        load(spark, SF, "events")
+        .selectExpr(
+            "event_type AS topic",
+            "user_id % 4 AS part",
+            "unix_micros(CAST(ts AS TIMESTAMP)) AS ts_us",
+        )
+        .collect()
+    )
+    highs: dict = {}
+    all_ts: dict = {}
+    for r in ev:
+        key = (r["topic"], r["part"])
+        highs[key] = max(highs.get(key, 0), r["ts_us"])
+        all_ts.setdefault(r["topic"], []).append(r["ts_us"])
+    rows = {r["topic"]: r for r in
+            REGISTRY["cdc_resolved_frontier"].fn(spark, SF).collect()}
+    topics = {t for t, _ in highs}
+    assert set(rows) == topics
+    for t in topics:
+        parts = {p: h for (tt, p), h in highs.items() if tt == t}
+        frontier = min(parts.values())
+        r = rows[t]
+        assert r["frontier_us"] == frontier
+        assert r["high_us"] == max(parts.values())
+        assert r["n_parts"] == len(parts)
+        assert r["straggler_part"] == min(
+            p for p, h in parts.items() if h == frontier
+        )
+        assert r["n_resolved"] == sum(
+            1 for x in all_ts[t] if x <= frontier
+        )
+        assert r["n_resolved"] + r["n_unresolved"] == len(all_ts[t])
+        # the frontier is emittable: every partition passed it
+        assert all(h >= frontier for h in parts.values())
+
+
+def test_order_dependency_known_verdicts(spark):
+    """Structural facts: a key ordering a near-random column must show
+    violations, rates live in [0, 1] with n_violations <= n_adjacent;
+    the date->key candidate is replayed exactly in python."""
+    from cdc_pubsub_spark.tables import load
+
+    rows = {r["candidate"]: r for r in
+            REGISTRY["profile_order_dependency"].fn(spark, SF).collect()}
+    assert len(rows) == 4
+    for r in rows.values():
+        assert 0 <= r["n_violations"] <= r["n_adjacent"]
+        assert r["od_holds"] == (r["n_violations"] == 0)
+    raw = (
+        load(spark, SF, "orders")
+        .select("o_orderpriority", "o_orderdate", "o_orderkey")
+        .collect()
+    )
+    from collections import defaultdict
+
+    parts = defaultdict(list)
+    for r in raw:
+        parts[r["o_orderpriority"]].append(
+            (r["o_orderdate"], r["o_orderkey"])
+        )
+    viol = adj = 0
+    for lst in parts.values():
+        lst.sort()
+        for i in range(len(lst) - 1):
+            adj += 1
+            if lst[i + 1][1] < lst[i][1]:
+                viol += 1
+    r = rows["o_orderdate_orders_o_orderkey"]
+    assert r["n_adjacent"] == adj and r["n_violations"] == viol
+
+
+def test_stl_strength_bounds_and_planted_weekly(spark):
+    """Both indices live in [0, 1]; the events generator plants weekly
+    structure, so at least one type must show nonzero seasonal
+    strength; full python replay for one type."""
+    import math
+    from pyspark.sql import functions as F
+    from cdc_pubsub_spark.tables import load
+
+    rows = {r["event_type"]: r for r in
+            REGISTRY["ts_stl_strength"].fn(spark, SF).collect()}
+    assert rows
+    for r in rows.values():
+        for k in ("f_seasonal", "f_trend"):
+            if r[k] is not None:
+                assert 0.0 <= r[k] <= 1.0 + 1e-9
+    daily = (
+        load(spark, SF, "events")
+        .selectExpr(
+            "event_type",
+            "unix_micros(date_trunc('DAY', CAST(ts AS TIMESTAMP)))"
+            " div 86400000000 AS d",
+            "value",
+        )
+        .groupBy("event_type", "d")
+        .agg(F.expr("CAST(floor(sum(value)*100+0.5) AS BIGINT)").alias("x"))
+        .collect()
+    )
+    series: dict = {}
+    for r in daily:
+        series.setdefault(r["event_type"], {})[r["d"]] = r["x"]
+    et = sorted(series)[0]
+    s = series[et]
+    days = sorted(s)
+    rowsu = []
+    for i, d in enumerate(days):
+        if i >= 3 and i + 3 < len(days):
+            win = days[i - 3 : i + 4]
+            if len(win) == 7:
+                sum7 = sum(s[dd] for dd in win)
+                rowsu.append((d % 7, s[d] * 7000, (s[d] * 7 - sum7) * 1000))
+    from collections import defaultdict
+
+    by_dow = defaultdict(list)
+    for dow, _xu, du in rowsu:
+        by_dow[dow].append(du)
+    su = {dow: math.floor(sum(v) / len(v) + 0.5) for dow, v in by_dow.items()}
+
+    def var(vals):
+        n, sm, q = len(vals), sum(vals), sum(v * v for v in vals)
+        return n * q - sm * sm
+
+    ru = [du - su[dow] for dow, _xu, du in rowsu]
+    sru = [du for _dow, _xu, du in rowsu]
+    tru = [xu - su[dow] for dow, xu, du in rowsu]
+    f_seas = max(0.0, 1.0 - var(ru) / var(sru)) if var(sru) > 0 else None
+    f_trend = max(0.0, 1.0 - var(ru) / var(tru)) if var(tru) > 0 else None
+    r = rows[et]
+    assert r["n_used"] == len(rowsu)
+    if f_seas is not None:
+        assert abs(r["f_seasonal"] - f_seas) < 5e-6
+    if f_trend is not None:
+        assert abs(r["f_trend"] - f_trend) < 5e-6
+    assert any(
+        (rr["f_seasonal"] or 0) > 0.05 for rr in rows.values()
+    ), "weekly plant must register"
