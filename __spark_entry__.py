@@ -182,6 +182,10 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     "cdc_resolved_frontier",
     "profile_order_dependency",
     "ts_stl_strength",
+    # wave I (cleaning, shift diagnostics, version ordering)
+    "text_html_entity_clean",
+    "ml_adversarial_validation_auc",
+    "fn_semver_order",
 }
 # r13 session-open: the 36 r12-EXTENSION ops deferred here last round are
 # released — with CORRECTNESS_r12 ingested they are the only never-sampled

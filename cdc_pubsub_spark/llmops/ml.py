@@ -4744,3 +4744,152 @@ def ml_target_encoding_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_pubsub_spark.tables import finalize_cached
 
     return finalize_cached(out, per_fold)
+
+
+# --- r13 growth: adversarial-validation AUC --------------------------------
+@register(
+    "ml_adversarial_validation_auc",
+    category="similarity",
+    oracle=f"""
+    WITH rows_in AS ({_MCNEMAR_ROWS_SQL.replace("l_returnflag AS grp",
+                      "l_returnflag AS grp,"
+                      " ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)"
+                      " || '-' || CAST(l_linenumber AS VARCHAR)), 1,"
+                      " 15))::BIGINT % 2 AS hsplit,"
+                      " CAST(l_quantity AS BIGINT) AS qty,"
+                      " CAST(floor(l_discount * 100 + 0.5) AS BIGINT)"
+                      " AS disc")}
+    ),
+    long AS (
+      SELECT 'quantity' AS feature, 'hash_split' AS split_kind,
+             qty AS v, hsplit AS g FROM rows_in
+      UNION ALL
+      SELECT 'discount', 'hash_split', disc, hsplit FROM rows_in
+      UNION ALL
+      SELECT 'quantity', 'label_split', qty, y FROM rows_in
+      UNION ALL
+      SELECT 'discount', 'label_split', disc, y FROM rows_in
+    ),
+    vals AS (
+      SELECT feature, split_kind, v,
+             CAST(sum(g) AS BIGINT) AS n1,
+             CAST(sum(1 - g) AS BIGINT) AS n0
+      FROM long GROUP BY 1, 2, 3
+    ),
+    cum AS (
+      SELECT feature, split_kind, v, n1, n0,
+             CAST(coalesce(sum(n0) OVER (
+               PARTITION BY feature, split_kind ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum0_less
+      FROM vals
+    )
+    SELECT feature, split_kind,
+           CAST(sum(n1) AS BIGINT) AS n_pos,
+           CAST(sum(n0) AS BIGINT) AS n_neg,
+           floor(CAST(sum(CAST(n1 AS HUGEINT)
+                          * (2 * cum0_less + n0)) AS DOUBLE)
+                 / (2e0 * CAST(sum(n1) AS DOUBLE) * sum(n0))
+                 * 1000000 + 0.5) / 1000000 AS auc,
+           abs(CAST(sum(CAST(n1 AS HUGEINT) * (2 * cum0_less + n0))
+                    AS DOUBLE)
+               / (2e0 * CAST(sum(n1) AS DOUBLE) * sum(n0)) - 0.5e0)
+             > 0.02e0 AS distinguishable
+    FROM cum
+    GROUP BY feature, split_kind
+    ORDER BY feature, split_kind
+    """,
+)
+def ml_adversarial_validation_auc(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ADVERSARIAL VALIDATION via exact Mann-Whitney AUC — the
+    train/test-shift diagnostic: if ANY feature separates two data
+    splits with AUC far from 0.5, the splits are distributionally
+    different and models will leak split identity. Two splits are
+    tested per feature: the md5-hash split (the NULL control — a
+    correct hash split must be indistinguishable, AUC ≈ 0.5) and the
+    planted LABEL split (the positive control — quantity generates
+    the label, so its AUC must be far from 0.5, while discount's
+    stays near it). AUC is computed exactly as the normalized
+    rank-sum with midrank tie handling, in pure integer arithmetic:
+    per distinct value, 2U accumulates n1·(2·cum0_below + n0), and
+    AUC = 2U / (2·N1·N0) is the one pinned double division.
+
+    Scale shape: one union of four scan projections, a groupBy to the
+    (feature × split × distinct-value) domain, a bounded window over
+    value order, a 4-row aggregate. No sort of the fact table — the
+    rank arithmetic runs on the VALUE DOMAIN (quantity has ~50
+    distinct values, discount ~11), which is what makes exact AUC
+    computable at 100 TB where a row-level rank would shuffle
+    everything.
+    """
+    li = load(spark, sf_dir, "lineitem").selectExpr(
+        "CASE WHEN ((l_orderkey % 1048576) * 2654435761"
+        " + l_linenumber * 40503) % 1000"
+        " < 150 + 14 * CAST(l_quantity AS BIGINT) THEN 1 ELSE 0 END AS y",
+        "cast(conv(substr(md5(concat(CAST(l_orderkey AS STRING), '-',"
+        " CAST(l_linenumber AS STRING))), 1, 15), 16, 10) as bigint)"
+        " % 2 AS hsplit",
+        "CAST(l_quantity AS BIGINT) AS qty",
+        "CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS disc",
+    ).persist()
+    parts = []
+    for feat, col in (("quantity", "qty"), ("discount", "disc")):
+        for split, g in (("hash_split", "hsplit"), ("label_split", "y")):
+            parts.append(
+                li.selectExpr(
+                    f"'{feat}' AS feature",
+                    f"'{split}' AS split_kind",
+                    f"{col} AS v",
+                    f"{g} AS g",
+                )
+            )
+    long = parts[0]
+    for p in parts[1:]:
+        long = long.unionByName(p)
+    vals = long.groupBy("feature", "split_kind", "v").agg(
+        F.sum("g").cast("bigint").alias("n1"),
+        F.sum(F.expr("1 - g")).cast("bigint").alias("n0"),
+    )
+    w = (
+        Window.partitionBy("feature", "split_kind")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = vals.select(
+        "feature",
+        "split_kind",
+        "n1",
+        "n0",
+        F.coalesce(F.sum("n0").over(w), F.lit(0))
+        .cast("bigint")
+        .alias("cum0_less"),
+    )
+    wide = "DECIMAL(38,0)"
+    out = (
+        cum.groupBy("feature", "split_kind")
+        .agg(
+            F.sum("n1").cast("bigint").alias("n_pos"),
+            F.sum("n0").cast("bigint").alias("n_neg"),
+            F.sum(
+                F.expr(f"CAST(n1 AS {wide}) * (2 * cum0_less + n0)")
+            ).alias("u2"),
+        )
+        .selectExpr(
+            "feature",
+            "split_kind",
+            "n_pos",
+            "n_neg",
+            "floor(CAST(u2 AS DOUBLE)"
+            " / (2D * CAST(n_pos AS DOUBLE) * n_neg)"
+            " * 1000000 + 0.5) / 1000000 AS auc",
+            "abs(CAST(u2 AS DOUBLE)"
+            " / (2D * CAST(n_pos AS DOUBLE) * n_neg) - 0.5D)"
+            " > 0.02D AS distinguishable",
+        )
+        .orderBy("feature", "split_kind")
+    )
+    from cdc_pubsub_spark.tables import finalize_cached
+
+    return finalize_cached(out, li)

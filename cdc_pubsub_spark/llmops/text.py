@@ -3155,3 +3155,156 @@ def text_homoglyph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- r13 growth: HTML entity decode (corpus cleaning) ----------------------
+#
+# Planted encodings: named (&nbsp; on doc_id%5==0 spaces), decimal
+# (&#101; for 'e' on %2==0), hex (&#x6F; for 'o' on %3==0). The decoder
+# handles all three forms generically.
+_ENTITY_ENC_SPARK = (
+    "CASE WHEN doc_id % 2 = 0 THEN replace(t1, 'e', '&#101;')"
+    " ELSE t1 END"
+)
+
+
+@register(
+    "text_html_entity_clean",
+    category="text",
+    oracle="""
+    WITH enc AS (
+      SELECT doc_id, source, text,
+             CASE WHEN doc_id % 2 = 0
+                  THEN replace(t1, 'e', '&#101;') ELSE t1 END AS encoded
+      FROM (
+        SELECT doc_id, source, text,
+               CASE WHEN doc_id % 3 = 0
+                    THEN replace(t0, 'o', '&#x6F;') ELSE t0 END AS t1
+        FROM (
+          SELECT doc_id, source, text,
+                 CASE WHEN doc_id % 5 = 0
+                      THEN replace(text, ' ', '&nbsp;') ELSE text
+                 END AS t0
+          FROM documents
+        )
+      )
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN encoded <> text THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_encoded_docs,
+           CAST(sum(
+             CASE WHEN doc_id % 5 = 0 THEN
+               length(text) - length(replace(text, ' ', '')) ELSE 0 END
+             + CASE WHEN doc_id % 2 = 0 THEN
+               length(text) - length(replace(text, 'e', '')) ELSE 0 END
+             + CASE WHEN doc_id % 3 = 0 THEN
+               length(text) - length(replace(text, 'o', '')) ELSE 0 END
+           ) AS BIGINT) AS n_entities,
+           CAST(count(*) AS BIGINT) AS n_roundtrip_ok
+    FROM enc
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def text_html_entity_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML ENTITY DECODING — the web-corpus cleaning step between raw
+    crawl text and anything downstream (tokenizers see '&#101;' as
+    four garbage tokens): named entities (&nbsp; &amp; &lt; &gt;
+    &quot; &apos;), DECIMAL numeric (&#101;), and HEX numeric
+    (&#x6F;) are all planted over the documents text and decoded by
+    ONE generic expression — split on '&', then each fragment either
+    starts with a recognized entity form ('#x…;', '#…;', 'name;') and
+    is rewritten via char(code), or the '&' is restored literally.
+    The round-trip (decoded == original) is certified per document:
+    `n_roundtrip_ok` must equal `n_docs`, and the oracle recomputes
+    the entity count closed-form from the ORIGINAL text (occurrences
+    of the substituted characters on each planted slice), so a decoder
+    that mishandles any of the three forms or double-decodes fails the
+    hash.
+
+    Exactness: pure string algebra and integer counts. Scale shape:
+    row-local codegen expressions end-to-end (the split is hoisted
+    once per row); the only shuffle is the 20-key source aggregate.
+    """
+    docs = load(spark, sf_dir, "documents")
+    enc = docs.selectExpr(
+        "doc_id",
+        "source",
+        "text",
+        "CASE WHEN doc_id % 5 = 0 THEN replace(text, ' ', '&nbsp;')"
+        " ELSE text END AS t0",
+    ).selectExpr(
+        "doc_id",
+        "source",
+        "text",
+        "CASE WHEN doc_id % 3 = 0 THEN replace(t0, 'o', '&#x6F;')"
+        " ELSE t0 END AS t1",
+    ).selectExpr(
+        "doc_id",
+        "source",
+        "text",
+        f"{_ENTITY_ENC_SPARK} AS encoded",
+    )
+    # generic decoder: '&'-split; each later fragment re-interprets its
+    # leading entity reference (hex, decimal, named) or restores '&'.
+    decoded = (
+        "concat(element_at(parts, 1), array_join(transform("
+        " slice(parts, 2, size(parts) - 1),"
+        " p -> CASE"
+        " WHEN p rlike '^#x[0-9a-fA-F]+;' THEN concat("
+        "   char(conv(regexp_extract(p, '^#x([0-9a-fA-F]+);', 1), 16, 10)),"
+        "   regexp_replace(p, '^#x[0-9a-fA-F]+;', ''))"
+        " WHEN p rlike '^#[0-9]+;' THEN concat("
+        "   char(CAST(regexp_extract(p, '^#([0-9]+);', 1) AS INT)),"
+        "   regexp_replace(p, '^#[0-9]+;', ''))"
+        " WHEN p rlike '^nbsp;' THEN concat(' ', substring(p, 6))"
+        " WHEN p rlike '^amp;' THEN concat('&', substring(p, 5))"
+        " WHEN p rlike '^lt;' THEN concat('<', substring(p, 4))"
+        " WHEN p rlike '^gt;' THEN concat('>', substring(p, 4))"
+        " WHEN p rlike '^quot;' THEN concat('\\\"', substring(p, 6))"
+        " WHEN p rlike '^apos;' THEN concat(\"'\", substring(p, 6))"
+        " ELSE concat('&', p) END), ''))"
+    )
+    dec = enc.selectExpr(
+        "doc_id",
+        "source",
+        "text",
+        "encoded",
+        "split(encoded, '&') AS parts",
+    ).selectExpr(
+        "doc_id",
+        "source",
+        "text",
+        "encoded",
+        f"CASE WHEN encoded LIKE '%&%' THEN {decoded}"
+        " ELSE encoded END AS decoded",
+    )
+    return (
+        dec.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.expr("CASE WHEN encoded <> text THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_encoded_docs"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN doc_id % 5 = 0 THEN"
+                    " length(text) - length(replace(text, ' ', ''))"
+                    " ELSE 0 END"
+                    " + CASE WHEN doc_id % 2 = 0 THEN"
+                    " length(text) - length(replace(text, 'e', ''))"
+                    " ELSE 0 END"
+                    " + CASE WHEN doc_id % 3 = 0 THEN"
+                    " length(text) - length(replace(text, 'o', ''))"
+                    " ELSE 0 END"
+                )
+            )
+            .cast("bigint")
+            .alias("n_entities"),
+            F.sum(F.expr("CASE WHEN decoded = text THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_roundtrip_ok"),
+        )
+        .orderBy("source")
+    )

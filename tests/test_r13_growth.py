@@ -873,3 +873,94 @@ def test_stl_strength_bounds_and_planted_weekly(spark):
     assert any(
         (rr["f_seasonal"] or 0) > 0.05 for rr in rows.values()
     ), "weekly plant must register"
+
+
+def test_semver_key_vs_reference_comparator(spark):
+    """The lexical sort key must reproduce SemVer 2.0 §11 precedence
+    for EVERY pair of planted versions (reference comparator written
+    independently of the key scheme)."""
+    import itertools
+
+    rows = REGISTRY["fn_semver_order"].fn(spark, SF).collect()
+
+    def parse(ver):
+        core, _, pre = ver.partition("-")
+        nums = tuple(int(x) for x in core.split("."))
+        return nums, (pre.split(".") if pre else None)
+
+    def cmp_ref(a, b):
+        (ca, pa), (cb, pb) = parse(a), parse(b)
+        if ca != cb:
+            return -1 if ca < cb else 1
+        if pa is None and pb is None:
+            return 0
+        if pa is None:
+            return 1
+        if pb is None:
+            return -1
+        for x, y in zip(pa, pb):
+            xd, yd = x.isdigit(), y.isdigit()
+            if xd and yd:
+                if int(x) != int(y):
+                    return -1 if int(x) < int(y) else 1
+            elif xd != yd:
+                return -1 if xd else 1
+            elif x != y:
+                return -1 if x < y else 1
+        if len(pa) != len(pb):
+            return -1 if len(pa) < len(pb) else 1
+        return 0
+
+    ranked = [(r["precedence_rank"], r["ver"]) for r in rows]
+    for (ra, va), (rb, vb) in itertools.combinations(ranked, 2):
+        c = cmp_ref(va, vb)
+        if c == 0:
+            assert ra == rb, (va, vb)
+        else:
+            assert (ra < rb) == (c < 0), (va, vb, ra, rb)
+    # releases outrank every prerelease at the same core
+    by_core: dict = {}
+    for r in rows:
+        core = r["ver"].split("-")[0]
+        by_core.setdefault(core, []).append(r)
+    for core, lst in by_core.items():
+        rel = [r for r in lst if not r["is_prerelease"]]
+        pre = [r for r in lst if r["is_prerelease"]]
+        if rel and pre:
+            assert min(r["precedence_rank"] for r in rel) > max(
+                r["precedence_rank"] for r in pre
+            ), core
+
+
+def test_entity_clean_roundtrip_and_hazards(spark):
+    """Round-trip must hold for every doc; a decoder that ignored hex
+    entities would break docs on the %3 slice (checked by construction:
+    those docs really contain &#x6F;)."""
+    from pyspark.sql import functions as F
+    from cdc_pubsub_spark.tables import load
+
+    rows = REGISTRY["text_html_entity_clean"].fn(spark, SF).collect()
+    for r in rows:
+        assert r["n_roundtrip_ok"] == r["n_docs"], r
+        assert r["n_encoded_docs"] > 0
+    docs = load(spark, SF, "documents")
+    assert (
+        docs.filter(F.col("text").contains("&")).count() == 0
+    ), "fixture must be &-free for the plant to round-trip"
+
+
+def test_adversarial_auc_controls(spark):
+    """The hash split is the null control (AUC ~ 0.5, never
+    'distinguishable'); the label split is the positive control for
+    quantity (generates the label) and stays mild for discount."""
+    rows = {(r["feature"], r["split_kind"]): r for r in
+            REGISTRY["ml_adversarial_validation_auc"].fn(spark, SF).collect()}
+    assert len(rows) == 4
+    for feat in ("quantity", "discount"):
+        r = rows[(feat, "hash_split")]
+        assert abs(r["auc"] - 0.5) < 0.02, r
+        assert not r["distinguishable"]
+    q = rows[("quantity", "label_split")]
+    assert q["distinguishable"] and q["auc"] > 0.7, q
+    d = rows[("discount", "label_split")]
+    assert abs(d["auc"] - 0.5) < abs(q["auc"] - 0.5), (d, q)
