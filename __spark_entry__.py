@@ -186,6 +186,10 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     "text_html_entity_clean",
     "ml_adversarial_validation_auc",
     "fn_semver_order",
+    # wave J (concentration, randomness screen, ROUGE eval)
+    "orders_hhi_concentration",
+    "ts_turning_points",
+    "text_rouge_pairs",
 }
 # r13 session-open: the 36 r12-EXTENSION ops deferred here last round are
 # released — with CORRECTNESS_r12 ingested they are the only never-sampled

@@ -3308,3 +3308,215 @@ def text_html_entity_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- r13 growth: ROUGE-N over the planted duplicate pairs ------------------
+_ROUGE_GRAMS_DUCK = """
+      SELECT doc_id,
+             CASE WHEN n = 1 THEN w
+                  ELSE w || ' ' || lead(w) OVER (PARTITION BY doc_id, n
+                    ORDER BY pos) END AS g,
+             n
+      FROM (
+        SELECT doc_id, n, u.w AS w, u.pos
+        FROM corpus
+        CROSS JOIN (SELECT unnest([1, 2]) AS n) ns,
+        LATERAL (
+          SELECT unnest(string_split(text, ' ')) AS w,
+                 generate_subscripts(string_split(text, ' '), 1) AS pos
+        ) u
+      )
+"""
+
+
+@register(
+    "text_rouge_pairs",
+    category="text",
+    oracle=f"""
+    WITH {{corpus_cte}},
+    grams0 AS ({_ROUGE_GRAMS_DUCK}),
+    grams AS (
+      SELECT doc_id, g, n, CAST(count(*) AS BIGINT) AS c
+      FROM grams0 WHERE g IS NOT NULL GROUP BY 1, 2, 3
+    ),
+    totals AS (
+      SELECT doc_id, n, CAST(sum(c) AS BIGINT) AS tot FROM grams
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_id AS cand_id,
+             doc_id % 1000000 AS ref_id,
+             CASE WHEN doc_id >= 2000000 THEN 'near' ELSE 'exact' END
+               AS kind
+      FROM (SELECT DISTINCT doc_id FROM corpus WHERE doc_id >= 1000000)
+    ),
+    overlap AS (
+      SELECT p.cand_id, p.ref_id, p.kind, gc.n,
+             CAST(sum(least(gc.c, gr.c)) AS BIGINT) AS ov
+      FROM pairs p
+      JOIN grams gc ON gc.doc_id = p.cand_id
+      JOIN grams gr ON gr.doc_id = p.ref_id AND gr.g = gc.g
+                   AND gr.n = gc.n
+      GROUP BY 1, 2, 3, 4
+    ),
+    scored AS (
+      SELECT o.kind, o.n, d.source,
+             CAST(floor(CAST(o.ov AS DOUBLE) / tr.tot * 1000000 + 0.5)
+                  AS BIGINT) AS rec_q,
+             CAST(floor(CAST(o.ov AS DOUBLE) / tc.tot * 1000000 + 0.5)
+                  AS BIGINT) AS prec_q
+      FROM overlap o
+      JOIN totals tr ON tr.doc_id = o.ref_id AND tr.n = o.n
+      JOIN totals tc ON tc.doc_id = o.cand_id AND tc.n = o.n
+      JOIN documents d ON d.doc_id = o.ref_id
+    )
+    SELECT source, kind, CAST(n AS BIGINT) AS gram_n,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           floor(CAST(sum(rec_q) AS DOUBLE) / count(*) + 0.5) / 1000000
+             AS rouge_recall,
+           floor(CAST(sum(prec_q) AS DOUBLE) / count(*) + 0.5) / 1000000
+             AS rouge_precision
+    FROM scored
+    GROUP BY 1, 2, 3
+    ORDER BY source, kind, gram_n
+    """.replace("{corpus_cte}", CORPUS_CTE.strip()),
+)
+def text_rouge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-1 / ROUGE-2 (clipped n-gram overlap recall & precision,
+    Lin 2004) between every planted duplicate and its source document
+    — the summarization/paraphrase evaluation metric, certified on
+    pairs whose true overlap structure is KNOWN by construction:
+    exact copies must score 1.0 on every axis; near copies (suffix-
+    appended) must score recall 1.0 (every reference n-gram survives)
+    with precision strictly below 1 by exactly the suffix-gram count.
+    The invariant test pins both closed forms per pair.
+
+    Counts are CLIPPED multiset overlaps (Σ min(c_cand, c_ref)) — the
+    detail naive implementations get wrong on repeated n-grams, and
+    the fixture's repetitive synthetic vocabulary makes any unclipped
+    implementation hash-fail immediately.
+
+    Exactness: gram counts and overlaps are exact integers; per-pair
+    recall/precision are quantized to INTEGER ppm before the
+    per-source mean (no float accumulation), one pinned division at
+    the end. Scale shape: gram explode → (doc, gram) counts (the
+    dedup-shaped shuffle), a gram-keyed pair join, domain-sized
+    aggregates after.
+    """
+    from cdc_pubsub_spark.llmops.corpus import NEAR_SUFFIX, shingle_rows
+
+    # The pair corpus is rebuilt LOCALLY from documents (the same
+    # construction dup_corpus uses: %10 -> exact copy at +1e6, %7 ->
+    # near copy at +2e6) so pair identity comes from the construction
+    # itself, never from id-magnitude conventions — and only pair
+    # PARTICIPANTS are gram-exploded (a ~4x volume cut at the scan).
+    # Gram strings reduce to 64-bit hashes before the count shuffle
+    # (the bloom-op device; a cross-gram collision would need ~2^32
+    # distinct grams and would hash-fail the sf gates
+    # deterministically).
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    near = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(NEAR_SUFFIX)).alias("text"),
+    )
+    refs = docs.filter(
+        (F.col("doc_id") % 10 == 0) | (F.col("doc_id") % 7 == 0)
+    )
+    corpus = refs.unionByName(exact).unionByName(near)
+    uni = shingle_rows(corpus, 1).withColumnRenamed("shingle", "g")
+    bi = shingle_rows(corpus, 2).withColumnRenamed("shingle", "g")
+    grams = (
+        uni.withColumn("n", F.lit(1))
+        .unionByName(bi.withColumn("n", F.lit(2)))
+        .select("doc_id", "n", F.xxhash64("g", "n").alias("g"))
+        .groupBy("doc_id", "g", "n")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .persist()
+    )
+    totals = grams.groupBy("doc_id", "n").agg(
+        F.sum("c").cast("bigint").alias("tot")
+    )
+    pairs = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .selectExpr(
+            "doc_id + 1000000 AS cand_id",
+            "doc_id AS ref_id",
+            "'exact' AS kind",
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 7 == 0).selectExpr(
+                "doc_id + 2000000 AS cand_id",
+                "doc_id AS ref_id",
+                "'near' AS kind",
+            )
+        )
+    )
+    gc = grams.selectExpr("doc_id AS gcd", "g", "n", "c AS cc")
+    gr = grams.selectExpr("doc_id AS grd", "g AS gg", "n AS nn", "c AS cr")
+    overlap = (
+        pairs.join(gc, F.col("gcd") == F.col("cand_id"))
+        .join(
+            gr,
+            (F.col("grd") == F.col("ref_id"))
+            & (F.col("gg") == F.col("g"))
+            & (F.col("nn") == F.col("n")),
+        )
+        .groupBy("cand_id", "ref_id", "kind", "n")
+        .agg(F.sum(F.least("cc", "cr")).cast("bigint").alias("ov"))
+    )
+    tr = totals.selectExpr("doc_id AS trd", "n AS trn", "tot AS ref_tot")
+    tc = totals.selectExpr("doc_id AS tcd", "n AS tcn", "tot AS cand_tot")
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("dd"), "source"
+    )
+    scored = (
+        overlap.join(
+            tr,
+            (F.col("trd") == F.col("ref_id"))
+            & (F.col("trn") == F.col("n")),
+        )
+        .join(
+            tc,
+            (F.col("tcd") == F.col("cand_id"))
+            & (F.col("tcn") == F.col("n")),
+        )
+        .join(docs, F.col("dd") == F.col("ref_id"))
+        .selectExpr(
+            "kind",
+            "n",
+            "source",
+            "CAST(floor(CAST(ov AS DOUBLE) / ref_tot * 1000000 + 0.5)"
+            " AS BIGINT) AS rec_q",
+            "CAST(floor(CAST(ov AS DOUBLE) / cand_tot * 1000000 + 0.5)"
+            " AS BIGINT) AS prec_q",
+        )
+    )
+    out = (
+        scored.groupBy("source", "kind", F.col("n").alias("gram_n"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.expr(
+                "floor(CAST(sum(rec_q) AS DOUBLE) / count(*) + 0.5)"
+                " / 1000000"
+            ).alias("rouge_recall"),
+            F.expr(
+                "floor(CAST(sum(prec_q) AS DOUBLE) / count(*) + 0.5)"
+                " / 1000000"
+            ).alias("rouge_precision"),
+        )
+        .selectExpr(
+            "source",
+            "kind",
+            "CAST(gram_n AS BIGINT) AS gram_n",
+            "n_pairs",
+            "rouge_recall",
+            "rouge_precision",
+        )
+        .orderBy("source", "kind", "gram_n")
+    )
+    from cdc_pubsub_spark.tables import finalize_cached
+
+    return finalize_cached(out, grams)

@@ -11966,3 +11966,224 @@ def ts_stl_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         " * 1000000 + 0.5) / 1000000 END AS f_trend",
     ).orderBy("event_type")
     return finalize_cached(out, dtr)
+
+
+# --- r13 growth: market-concentration HHI ----------------------------------
+@register(
+    "orders_hhi_concentration",
+    category="composite",
+    oracle="""
+    WITH rev AS (
+      SELECT CAST(date_part('year', l.l_shipdate) AS BIGINT) AS yr,
+             p.p_brand AS brand,
+             CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                                 * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT yr, CAST(sum(cents) AS BIGINT) AS t,
+             CAST(count(*) AS BIGINT) AS n_brands
+      FROM rev GROUP BY yr
+    )
+    SELECT r.yr AS year, min(t.n_brands) AS n_brands,
+           floor(CAST(sum(CAST(r.cents AS HUGEINT) * r.cents) AS DOUBLE)
+                 / (CAST(min(t.t) AS DOUBLE) * min(t.t))
+                 * 10000 * 1000000 + 0.5) / 1000000 AS hhi,
+           floor(10000e0 / min(t.n_brands) * 1000000 + 0.5) / 1000000
+             AS hhi_floor,
+           CASE
+             WHEN CAST(sum(CAST(r.cents AS HUGEINT) * r.cents) AS DOUBLE)
+                  / (CAST(min(t.t) AS DOUBLE) * min(t.t)) * 10000
+                  > 2500e0 THEN 'concentrated'
+             WHEN CAST(sum(CAST(r.cents AS HUGEINT) * r.cents) AS DOUBLE)
+                  / (CAST(min(t.t) AS DOUBLE) * min(t.t)) * 10000
+                  > 1500e0 THEN 'moderate'
+             ELSE 'competitive' END AS verdict
+    FROM rev r JOIN tot t ON t.yr = r.yr
+    GROUP BY r.yr
+    ORDER BY year
+    """,
+)
+def orders_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HERFINDAHL-HIRSCHMAN INDEX of brand revenue concentration per
+    ship year — the antitrust/market-structure summary: HHI = 10000 ×
+    Σ share², from 10000/n (perfectly even n brands — emitted as
+    `hhi_floor`) up to 10000 (monopoly), with the DOJ thresholds
+    (1500/2500) as the verdict bands. The Pareto/Gini ops rank the
+    head; HHI is the single concentration scalar regulators and
+    category managers track over time.
+
+    Exactness: brand revenues are exact integer cents; Σ share² is
+    computed as Σ cents² / T² — one exact wide-integer sum of squares
+    over the brand domain and ONE double division (no per-brand float
+    shares to accumulate), r6-floored; thresholds compare the same
+    double on both engines.
+
+    Scale shape: the lineitem-part equi-join is the only data-sized
+    work (broadcastable dim); then a (year × brand) groupBy —
+    domain-sized — and a year-level aggregate.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev = (
+        li.join(F.broadcast(part), li.l_partkey == F.col("p_partkey"))
+        .selectExpr(
+            "CAST(year(l_shipdate) AS BIGINT) AS yr",
+            "p_brand AS brand",
+            "CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)"
+            " AS BIGINT) AS cents0",
+        )
+        .groupBy("yr", "brand")
+        .agg(F.sum("cents0").cast("bigint").alias("cents"))
+        .persist()
+    )
+    tot = rev.groupBy("yr").agg(
+        F.sum("cents").cast("bigint").alias("t"),
+        F.count(F.lit(1)).cast("bigint").alias("n_brands"),
+    )
+    wide = "DECIMAL(38,0)"
+    hhi_expr = (
+        f"CAST(sum(CAST(cents AS {wide}) * cents) AS DOUBLE)"
+        " / (CAST(min(t) AS DOUBLE) * min(t)) * 10000"
+    )
+    out = (
+        rev.join(F.broadcast(tot), "yr")
+        .groupBy("yr")
+        .agg(
+            F.min("n_brands").cast("bigint").alias("n_brands"),
+            F.expr(
+                f"floor({hhi_expr} * 1000000 + 0.5) / 1000000"
+            ).alias("hhi"),
+            F.expr(
+                "floor(10000D / min(n_brands) * 1000000 + 0.5) / 1000000"
+            ).alias("hhi_floor"),
+            F.expr(
+                f"CASE WHEN {hhi_expr} > 2500D THEN 'concentrated'"
+                f" WHEN {hhi_expr} > 1500D THEN 'moderate'"
+                " ELSE 'competitive' END"
+            ).alias("verdict"),
+        )
+        .selectExpr(
+            "yr AS year",
+            "n_brands",
+            "hhi",
+            "hhi_floor",
+            "verdict",
+        )
+        .orderBy("year")
+    )
+    return finalize_cached(out, rev)
+
+
+# --- r13 growth: turning-points randomness test ----------------------------
+@register(
+    "ts_turning_points",
+    category="composite",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(epoch_us(date_trunc('day', ts)) // 86400000000
+                  AS BIGINT) AS d,
+             CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    tri AS (
+      SELECT event_type, x,
+             lag(x) OVER w AS xp, lead(x) OVER w AS xn
+      FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY d)
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) + 2 AS n,
+             CAST(sum(CASE WHEN (x > xp AND x > xn)
+                             OR (x < xp AND x < xn)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS tp
+      FROM tri WHERE xp IS NOT NULL AND xn IS NOT NULL
+      GROUP BY event_type
+    )
+    SELECT event_type, n AS n_days, tp AS turning_points,
+           floor(2e0 * (n - 2) / 3 * 1000000 + 0.5) / 1000000
+             AS expected_tp,
+           CASE WHEN 16 * n - 29 > 0 THEN
+             floor((tp - 2e0 * (n - 2) / 3)
+                   / sqrt((16e0 * n - 29) / 90)
+                   * 1000000 + 0.5) / 1000000 END AS z_score,
+           CASE WHEN 16 * n - 29 > 0 THEN
+             abs((tp - 2e0 * (n - 2) / 3)
+                 / sqrt((16e0 * n - 29) / 90)) > 1.96e0 END
+             AS reject_randomness
+    FROM m
+    ORDER BY event_type
+    """,
+)
+def ts_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TURNING-POINTS TEST of randomness (Kendall) per event type's
+    daily series: an interior point is a turning point iff it is a
+    strict local max or min; under the IID null the count is
+    asymptotically normal with mean 2(n−2)/3 and variance
+    (16n−29)/90, so the z-score flags structure in EITHER direction —
+    too few turning points = trend/persistence, too many =
+    negative autocorrelation — complementing ts_record_stats (which
+    only sees monotone structure) and ts_ljung_box (which needs lag
+    choices). One more cheap, closed-form screen for the
+    million-series triage tier.
+
+    Exactness: strict integer comparisons on cent values; the mean,
+    variance, and z are single pinned double expressions (r6) with
+    the degenerate-n CASE shared. Ties (equal neighbors) are NOT
+    turning points under the strict inequality — the documented
+    convention, identical both engines.
+
+    Scale shape: calendar-collapse groupBy, one lag/lead window per
+    type, a per-type count. Nothing data-sized past the scan.
+    """
+    daily = (
+        load(spark, sf_dir, "events")
+        .selectExpr(
+            "event_type",
+            "unix_micros(date_trunc('DAY', CAST(ts AS TIMESTAMP)))"
+            " div 86400000000 AS d",
+            "value",
+        )
+        .groupBy("event_type", "d")
+        .agg(
+            F.expr("CAST(floor(sum(value) * 100 + 0.5) AS BIGINT)").alias(
+                "x"
+            )
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    tri = daily.select(
+        "event_type",
+        "x",
+        F.lag("x").over(w).alias("xp"),
+        F.lead("x").over(w).alias("xn"),
+    ).filter(F.col("xp").isNotNull() & F.col("xn").isNotNull())
+    m = tri.groupBy("event_type").agg(
+        (F.count(F.lit(1)) + 2).cast("bigint").alias("n"),
+        F.sum(
+            F.expr(
+                "CASE WHEN (x > xp AND x > xn) OR (x < xp AND x < xn)"
+                " THEN 1 ELSE 0 END"
+            )
+        )
+        .cast("bigint")
+        .alias("tp"),
+    )
+    return m.selectExpr(
+        "event_type",
+        "n AS n_days",
+        "tp AS turning_points",
+        "floor(2D * (n - 2) / 3 * 1000000 + 0.5) / 1000000"
+        " AS expected_tp",
+        "CASE WHEN 16 * n - 29 > 0 THEN"
+        " floor((tp - 2D * (n - 2) / 3)"
+        " / sqrt((16D * n - 29) / 90)"
+        " * 1000000 + 0.5) / 1000000 END AS z_score",
+        "CASE WHEN 16 * n - 29 > 0 THEN"
+        " abs((tp - 2D * (n - 2) / 3)"
+        " / sqrt((16D * n - 29) / 90)) > 1.96D END"
+        " AS reject_randomness",
+    ).orderBy("event_type")

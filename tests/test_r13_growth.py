@@ -964,3 +964,92 @@ def test_adversarial_auc_controls(spark):
     assert q["distinguishable"] and q["auc"] > 0.7, q
     d = rows[("discount", "label_split")]
     assert abs(d["auc"] - 0.5) < abs(q["auc"] - 0.5), (d, q)
+
+
+def test_hhi_python_replay_and_bounds(spark):
+    """HHI in [10000/n, 10000]; exact replay from brand revenues."""
+    from pyspark.sql import functions as F
+    from cdc_pubsub_spark.tables import load
+
+    li = load(spark, SF, "lineitem")
+    part = load(spark, SF, "part").select("p_partkey", "p_brand")
+    raw = (
+        li.join(part, li.l_partkey == F.col("p_partkey"))
+        .selectExpr(
+            "year(l_shipdate) AS yr",
+            "p_brand AS brand",
+            "CAST(floor(l_extendedprice*(1-l_discount)*100+0.5)"
+            " AS BIGINT) AS c",
+        )
+        .groupBy("yr", "brand")
+        .agg(F.sum("c").alias("cents"))
+        .collect()
+    )
+    byyr: dict = {}
+    for r in raw:
+        byyr.setdefault(r["yr"], []).append(r["cents"])
+    rows = {r["year"]: r for r in
+            REGISTRY["orders_hhi_concentration"].fn(spark, SF).collect()}
+    assert set(rows) == set(byyr)
+    for yr, cents in byyr.items():
+        t = sum(cents)
+        hhi = sum(c * c for c in cents) / (t * t) * 10000
+        r = rows[yr]
+        assert abs(r["hhi"] - hhi) < 5e-4
+        assert r["hhi_floor"] <= r["hhi"] + 1e-9 <= 10000
+        assert r["n_brands"] == len(cents)
+
+
+def test_turning_points_python_replay(spark):
+    """Exact turning-point count replay; mean/variance formulas."""
+    import math
+    from pyspark.sql import functions as F
+    from cdc_pubsub_spark.tables import load
+
+    daily = (
+        load(spark, SF, "events")
+        .selectExpr(
+            "event_type",
+            "unix_micros(date_trunc('DAY', CAST(ts AS TIMESTAMP)))"
+            " div 86400000000 AS d",
+            "value",
+        )
+        .groupBy("event_type", "d")
+        .agg(F.expr("CAST(floor(sum(value)*100+0.5) AS BIGINT)").alias("x"))
+        .collect()
+    )
+    series: dict = {}
+    for r in daily:
+        series.setdefault(r["event_type"], []).append((r["d"], r["x"]))
+    rows = {r["event_type"]: r for r in
+            REGISTRY["ts_turning_points"].fn(spark, SF).collect()}
+    for et, pts in series.items():
+        xs = [x for _, x in sorted(pts)]
+        tp = sum(
+            1
+            for i in range(1, len(xs) - 1)
+            if (xs[i] > xs[i - 1] and xs[i] > xs[i + 1])
+            or (xs[i] < xs[i - 1] and xs[i] < xs[i + 1])
+        )
+        n = len(xs)
+        r = rows[et]
+        assert r["n_days"] == n and r["turning_points"] == tp
+        z = (tp - 2 * (n - 2) / 3) / math.sqrt((16 * n - 29) / 90)
+        assert abs(r["z_score"] - z) < 5e-6
+        assert r["reject_randomness"] == (abs(z) > 1.96)
+
+
+def test_rouge_closed_forms_on_planted_pairs(spark):
+    """Exact copies score 1.0 everywhere; near copies score recall 1.0
+    and precision strictly < 1 (the suffix grams dilute the candidate
+    side); ROUGE-2 precision <= ROUGE-1 precision is NOT guaranteed,
+    so only construction facts are pinned."""
+    rows = REGISTRY["text_rouge_pairs"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        if r["kind"] == "exact":
+            assert r["rouge_recall"] == 1.0 and r["rouge_precision"] == 1.0
+        else:
+            assert r["rouge_recall"] == 1.0, r  # suffix only ADDS grams
+            assert r["rouge_precision"] < 1.0, r
+        assert r["n_pairs"] > 0
