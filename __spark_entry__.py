@@ -190,6 +190,9 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     "orders_hhi_concentration",
     "ts_turning_points",
     "text_rouge_pairs",
+    # wave K (checksums, MIME envelopes)
+    "fn_crc32c_checksum",
+    "scan_mime_multipart",
 }
 # r13 session-open: the 36 r12-EXTENSION ops deferred here last round are
 # released — with CORRECTNESS_r12 ingested they are the only never-sampled

@@ -674,3 +674,119 @@ def fn_semver_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("ver LIKE '%-%'").alias("is_prerelease"),
         F.rank().over(w).cast("bigint").alias("precedence_rank"),
     ).orderBy("precedence_rank", "ver")
+
+
+# --- r13 growth: CRC32C (Castagnoli) checksum -------------------------------
+#
+# 16-entry nibble-driven table for the reflected Castagnoli polynomial
+# 0x82F63B78, generated once in Python and embedded as literals in both
+# plans (the quantized-trig device applied to a bit-twiddling table).
+# Verified against the canonical test vector crc32c('123456789') =
+# 0xE3069283 in tests/test_r13_growth.py.
+_CRC32C_TBL = (
+    0, 274646895, 549293790, 820201905, 1098587580, 1361435347,
+    1640403810, 1905808397, 2197175160, 2460548119, 2722870694,
+    2987750089, 3280807620, 3553878443, 3811616794, 4084100981,
+)
+_CRC_TBL_SPARK = "array(" + ", ".join(f"{v}L" for v in _CRC32C_TBL) + ")"
+_CRC_TBL_DUCK = "[" + ", ".join(str(v) for v in _CRC32C_TBL) + "]"
+
+# One nibble step: crc' = (crc >> 4) XOR T[(crc XOR nib) & 15].
+_CRC_STEP_SPARK = (
+    "(CAST({crc} AS BIGINT) div 16) ^ element_at({tbl},"
+    " CAST(({crc} ^ {nib}) % 16 AS INT) + 1)"
+)
+_CRC_STEP_DUCK = (
+    "xor(({crc} // 16), {tbl}[CAST(xor({crc}, {nib}) % 16 AS INT) + 1])"
+)
+
+
+def _crc_fold(step: str, tbl: str, ch_expr: str) -> str:
+    """Two nibble steps per byte folded over the char array."""
+    low = step.format(crc="acc", nib=f"({ch_expr} % 16)", tbl=tbl)
+    return step.format(
+        crc=f"({low})", nib=f"({ch_expr} div 16)", tbl=tbl
+    )
+
+
+_CRC_SPARK = (
+    "CAST(aggregate(transform(chs, ch -> CAST(ascii(ch) AS BIGINT)),"
+    " CAST(4294967295 AS BIGINT),"
+    " (acc, b) -> " + _crc_fold(
+        _CRC_STEP_SPARK, _CRC_TBL_SPARK, "b"
+    )
+    + ") ^ 4294967295L AS BIGINT)"
+)
+_CRC_DUCK = (
+    "CAST(xor(list_reduce(list_prepend(CAST(4294967295 AS BIGINT),"
+    " list_transform(chs, ch -> CAST(ord(ch) AS BIGINT))),"
+    " (acc, b) -> " + _crc_fold(
+        _CRC_STEP_DUCK.replace(" div ", " // "),
+        _CRC_TBL_DUCK,
+        "b",
+    ).replace(" div ", " // ")
+    + "), 4294967295) AS BIGINT)"
+)
+
+
+@register(
+    "fn_crc32c_checksum",
+    category="functions",
+    oracle=f"""
+    WITH rows_in AS (
+      SELECT doc_id, source, string_split_regex(text, '') AS chs
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    crcs AS (
+      SELECT doc_id, source, {_CRC_DUCK} AS crc FROM rows_in
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(crc) AS BIGINT) AS crc_sum,
+           CAST(min(crc) AS BIGINT) AS crc_min,
+           CAST(max(crc) AS BIGINT) AS crc_max,
+           CAST(count(DISTINCT crc) AS BIGINT) AS n_distinct
+    FROM crcs
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def fn_crc32c_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRC32C (Castagnoli) — the checksum inside Parquet pages,
+    Iceberg manifests, gRPC, and ext4 — computed natively in SQL via
+    a 16-entry nibble table shared as literals between both engines
+    (no UDF, no library): two table-driven steps per byte folded over
+    the hoisted character array. Useful as an integrity column for
+    CDC payloads precisely because it matches what storage systems
+    compute; the invariant test pins the canonical '123456789' →
+    0xE3069283 vector against an independent python implementation
+    and replays a sample of documents byte-for-byte.
+
+    Exactness: pure integer bit algebra (div/mod/xor — no shifts
+    needed past the table construction); per-source sum/min/max of
+    32-bit values in int64. The fold is an interpreted HOF (the slow
+    path, documented): the op therefore runs on the 1/7 doc_id
+    sample (co-prime with the 20-source layout, so every source is hit) — the demonstration scope; the 100 TB-scale form of this
+    kernel is a JVM-codegen expression or the columnar reader's own
+    checksum, not a per-row lambda.
+
+    Scale shape: scan-local projection (split hoisted once), then the
+    20-key source aggregate — nothing else shuffles.
+    """
+    rows = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 7 == 0)
+        .selectExpr("doc_id", "source", "split(text, '') AS chs")
+    )
+    crcs = rows.selectExpr("doc_id", "source", f"{_CRC_SPARK} AS crc")
+    return (
+        crcs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("crc").cast("bigint").alias("crc_sum"),
+            F.min("crc").cast("bigint").alias("crc_min"),
+            F.max("crc").cast("bigint").alias("crc_max"),
+            F.countDistinct("crc").cast("bigint").alias("n_distinct"),
+        )
+        .orderBy("source")
+    )

@@ -1816,3 +1816,119 @@ def scan_tar_members(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- r13 growth: MIME multipart parse ---------------------------------------
+@register(
+    "scan_mime_multipart",
+    category="modern",
+    oracle="""
+    SELECT source,
+           CAST(count(DISTINCT doc_id // 50) AS BIGINT) AS n_bodies,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_base64_parts,
+           CAST(sum(length(text)) AS BIGINT) AS decoded_bytes,
+           CAST(count(*) AS BIGINT) AS n_roundtrip_ok
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def scan_mime_multipart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIME MULTIPART body parsing (RFC 2046) — the envelope format of
+    form uploads and email attachments: documents render into
+    multipart bodies (~50 parts per (source, bucket) body) with a
+    declared boundary, per-part headers, and MIXED transfer encodings
+    (every third part base64, the rest 7bit verbatim), then ONE SQL
+    projection parses each body back: split on the dash-dash boundary
+    delimiter, drop the preamble and the '--'-terminated epilogue,
+    split each part at the blank header/body line, dispatch the
+    decode on the Content-Transfer-Encoding header, and verify the
+    round-trip per part. A parser that splits on the bare boundary
+    string (forgetting the leading '--'), mishandles the closing
+    delimiter, or decodes every part as base64 fails the per-source
+    counts against the closed-form oracle.
+
+    Exactness: pure string algebra and integer counts; base64 decode
+    is the engines' builtin (unbase64 / from_base64).
+
+    Scale shape: body assembly is a bounded groupBy (the scan_mbox
+    blob pattern); parsing is row-local codegen (split, substring,
+    unbase64); the only shuffle is the 20-key source aggregate.
+    """
+    docs = load(spark, sf_dir, "documents")
+    parts = docs.selectExpr(
+        "source",
+        "doc_id div 50 AS bucket",
+        "doc_id",
+        # part = headers + blank line + payload (no trailing newline;
+        # the boundary delimiter below carries the line breaks, RFC
+        # 2046's CRLF-before-delimiter rule in \n form)
+        "CASE WHEN doc_id % 3 = 0 THEN concat("
+        " 'Content-Type: text/plain\\n',"
+        " 'Content-Transfer-Encoding: base64\\n',"
+        " '\\n', base64(encode(text, 'utf-8')))"
+        " ELSE concat("
+        " 'Content-Type: text/plain\\n',"
+        " 'Content-Transfer-Encoding: 7bit\\n',"
+        " '\\n', text) END AS part",
+        "text",
+    )
+    bodies = parts.groupBy("source", "bucket").agg(
+        F.expr(
+            "concat('preamble is ignored',"
+            " '\\n--frontier-813\\n',"
+            " array_join(transform(sort_array(collect_list("
+            " struct(doc_id, part))), s -> s.part),"
+            " '\\n--frontier-813\\n'),"
+            " '\\n--frontier-813--\\nepilogue ignored')"
+        ).alias("body"),
+        F.expr(
+            "sort_array(collect_list(struct(doc_id, text)))"
+        ).alias("originals"),
+    )
+    parsed = bodies.selectExpr(
+        "source",
+        "originals",
+        # split on the full delimiter; fragment 1 is the preamble and
+        # the LAST fragment still carries the closing '--' delimiter +
+        # epilogue, stripped by substring_index per fragment.
+        "transform(slice(split(body, '\\n--frontier-813\\n'), 2,"
+        " size(split(body, '\\n--frontier-813\\n')) - 1),"
+        " fr -> substring_index(fr, '\\n--frontier-813--', 1))"
+        " AS rawparts",
+    ).selectExpr(
+        "source",
+        "originals",
+        "transform(rawparts, rp -> struct("
+        " CASE WHEN rp LIKE '%Content-Transfer-Encoding: base64%'"
+        " THEN decode(unbase64(substring_index(rp, '\\n\\n', -1)),"
+        " 'utf-8')"
+        " ELSE substring_index(rp, '\\n\\n', -1) END AS decoded,"
+        " CASE WHEN rp LIKE '%Content-Transfer-Encoding: base64%'"
+        " THEN 1 ELSE 0 END AS is_b64)) AS decoded_parts",
+    )
+    out = (
+        parsed.selectExpr(
+            "source",
+            "size(decoded_parts) AS n_parts",
+            "aggregate(decoded_parts, 0L,"
+            " (acc, dp) -> acc + dp.is_b64) AS n_b64",
+            "aggregate(decoded_parts, 0L,"
+            " (acc2, dp2) -> acc2 + length(dp2.decoded)) AS dec_bytes",
+            "size(filter(zip_with(decoded_parts, originals,"
+            " (dp3, og) -> dp3.decoded = og.text), x -> x))"
+            " AS n_ok",
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bodies"),
+            F.sum("n_parts").cast("bigint").alias("n_parts"),
+            F.sum("n_b64").cast("bigint").alias("n_base64_parts"),
+            F.sum("dec_bytes").cast("bigint").alias("decoded_bytes"),
+            F.sum("n_ok").cast("bigint").alias("n_roundtrip_ok"),
+        )
+        .orderBy("source")
+    )
+    return out

@@ -1053,3 +1053,66 @@ def test_rouge_closed_forms_on_planted_pairs(spark):
             assert r["rouge_recall"] == 1.0, r  # suffix only ADDS grams
             assert r["rouge_precision"] < 1.0, r
         assert r["n_pairs"] > 0
+
+
+def test_crc32c_vector_and_python_replay(spark):
+    """Canonical vector crc32c('123456789') = 0xE3069283 through the
+    SAME SQL expression, plus byte-for-byte python replay of sampled
+    documents through an independent implementation."""
+    from cdc_pubsub_spark.functions.scalar import _CRC_SPARK, _CRC32C_TBL
+    from cdc_pubsub_spark.tables import load
+    from pyspark.sql import functions as F
+
+    def crc32c_py(data: bytes) -> int:
+        crc = 0xFFFFFFFF
+        for b in data:
+            crc = (crc >> 4) ^ _CRC32C_TBL[(crc ^ b) & 0xF]
+            crc = (crc >> 4) ^ _CRC32C_TBL[(crc ^ (b >> 4)) & 0xF]
+        return crc ^ 0xFFFFFFFF
+
+    assert crc32c_py(b"123456789") == 0xE3069283
+    vec = (
+        spark.range(1)
+        .selectExpr("'123456789' AS s")
+        .selectExpr("split(s, '') AS chs")
+        .selectExpr(f"{_CRC_SPARK} AS crc")
+        .collect()[0]["crc"]
+    )
+    assert vec == 0xE3069283, hex(vec)
+    sample = (
+        load(spark, SF, "documents")
+        .filter(F.col("doc_id") % 70 == 0)
+        .selectExpr("text", "split(text, '') AS chs")
+        .selectExpr("text", f"{_CRC_SPARK} AS crc")
+        .collect()
+    )
+    assert sample
+    for r in sample:
+        assert r["crc"] == crc32c_py(r["text"].encode()), r["text"][:40]
+
+
+def test_mime_multipart_roundtrip_and_structure(spark):
+    """Every part must round-trip (n_roundtrip_ok == n_parts); base64
+    share matches the %3 plant; decoded bytes equal original bytes."""
+    from pyspark.sql import functions as F
+    from cdc_pubsub_spark.tables import load
+
+    rows = REGISTRY["scan_mime_multipart"].fn(spark, SF).collect()
+    docs = (
+        load(spark, SF, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END"))
+            .alias("b64"),
+            F.sum(F.length("text")).alias("bytes"),
+        )
+        .collect()
+    )
+    exp = {r["source"]: r for r in docs}
+    for r in rows:
+        e = exp[r["source"]]
+        assert r["n_parts"] == e["n"]
+        assert r["n_roundtrip_ok"] == e["n"], r
+        assert r["n_base64_parts"] == e["b64"]
+        assert r["decoded_bytes"] == e["bytes"]
