@@ -120,9 +120,10 @@ def _certification_state() -> tuple[set[str], dict[str, int], dict[str, int]]:
 
 # Ops whose implementation or oracle CHANGED this round: their accumulated
 # certification predates the change, so they jump the certified tail until a
-# CORRECTNESS round has hash-checked the new contract. Round 13's window:
-# 2 recertifies (below) + 39 never-sampled (36 released r12-extension ops
-# + 3 staged promotions) + ~9 stalest-r04 slots.
+# CORRECTNESS round has hash-checked the new contract. Round 13's final
+# window: 2 recertifies (below) + 40 never-sampled (36 released
+# r12-extension ops + 3 staged promotions + compat_ack_on_failure) + 8
+# stalest-r04 slots — verified at close. The 31 r13 wave ops defer to r14.
 _RECERTIFY: list[str] = [
     # r13: live-transport harnesses rewrote their sender buffering
     # (toLocalIterator bounded chunks instead of a full driver collect,
