@@ -194,6 +194,10 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     # wave K (checksums, MIME envelopes)
     "fn_crc32c_checksum",
     "scan_mime_multipart",
+    # wave L (tail exponents, geo keys, retention decay)
+    "graph_powerlaw_hill",
+    "fn_geohash_encode",
+    "events_retention_halflife",
 }
 # r13 session-open: the 36 r12-EXTENSION ops deferred here last round are
 # released — with CORRECTNESS_r12 ingested they are the only never-sampled

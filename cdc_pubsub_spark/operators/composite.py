@@ -12187,3 +12187,152 @@ def ts_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         " / sqrt((16D * n - 29) / 90)) > 1.96D END"
         " AS reject_randomness",
     ).orderBy("event_type")
+
+
+# --- r13 growth: retention half-life fit ------------------------------------
+_RET_MAX_OFFSET = 14
+
+
+@register(
+    "events_retention_halflife",
+    category="composite",
+    oracle=f"""
+    WITH act AS (
+      SELECT DISTINCT user_id,
+             CAST(epoch_us(date_trunc('day', ts)) // 86400000000
+                  AS BIGINT) AS day_idx
+      FROM events
+    ),
+    firsts AS (
+      SELECT user_id, CAST(min(day_idx) AS BIGINT) AS first_day
+      FROM act GROUP BY user_id
+    ),
+    cohort AS (SELECT CAST(count(*) AS BIGINT) AS n FROM firsts),
+    offs AS (
+      SELECT a.day_idx - f.first_day AS off,
+             CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+      FROM act a JOIN firsts f ON f.user_id = a.user_id
+      WHERE a.day_idx - f.first_day BETWEEN 1 AND {_RET_MAX_OFFSET}
+      GROUP BY 1
+    ),
+    pts AS (
+      SELECT off, n_active,
+             CAST(n_active * 1000000 // c.n AS BIGINT) AS rate_ppm,
+             CAST(floor(ln(CAST(n_active AS DOUBLE) / c.n)
+                        * 1000000000 + 0.5) AS BIGINT) AS lnq
+      FROM offs CROSS JOIN cohort c
+      WHERE n_active > 0
+    ),
+    fit AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(off) AS BIGINT) AS sd,
+             CAST(sum(off * off) AS BIGINT) AS sdd,
+             CAST(sum(lnq) AS BIGINT) AS sl,
+             CAST(sum(off * lnq) AS BIGINT) AS sdl
+      FROM pts
+    )
+    SELECT p.off AS day_offset, p.n_active,
+           floor(CAST(p.rate_ppm AS DOUBLE) / 1000000 * 1000000 + 0.5)
+             / 1000000 AS retention_rate,
+           CASE WHEN f.k >= 2 AND f.k * f.sdd - f.sd * f.sd <> 0 THEN
+             floor(CAST(f.k * f.sdl - f.sd * f.sl AS DOUBLE)
+                   / (f.k * f.sdd - f.sd * f.sd) / 1000000000
+                   * 1000000 + 0.5) / 1000000 END AS decay_slope,
+           CASE WHEN f.k >= 2 AND f.k * f.sdd - f.sd * f.sd <> 0
+                 AND f.k * f.sdl - f.sd * f.sl < 0 THEN
+             floor(ln(2e0) / (-(CAST(f.k * f.sdl - f.sd * f.sl
+                                     AS DOUBLE)
+                   / (f.k * f.sdd - f.sd * f.sd) / 1000000000))
+                   * 10000 + 0.5) / 10000 END AS half_life_days
+    FROM pts p CROSS JOIN fit f
+    ORDER BY day_offset
+    """,
+)
+def events_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETENTION HALF-LIFE — the exponential-decay summary of the
+    day-N retention curve: rate(d) = |users active on day first+d| /
+    cohort for d = 1..{_RET_MAX_OFFSET}, fit log-linearly (ln rate =
+    a + b·d, closed-form OLS) so the curve compresses to one decay
+    slope and its half-life ln2/(−b) — the single number growth teams
+    quote where events_cohort_retention ships the whole matrix. The
+    per-offset rows carry the raw curve AND the fitted summary, so
+    the artifact is self-auditing (a reader can see how exponential
+    the curve actually is).
+
+    Exactness: activity/cohort counts are exact; each offset's
+    ln(rate) is quantized to an integer nano-unit BEFORE the OLS sums
+    (the anova device), so the normal-equation sums are exact
+    integers and slope/half-life are single pinned double expressions
+    with degenerate CASEs (k < 2, zero variance, non-negative slope)
+    shared by both engines.
+
+    Scale shape: distinct (user, day) activity, a first-day groupBy,
+    one join back, a {_RET_MAX_OFFSET}-row offset aggregate — the
+    cohort-retention plan with a closed-form fit on the domain-sized
+    tail.
+    """
+    act = (
+        load(spark, sf_dir, "events")
+        .selectExpr(
+            "user_id",
+            "unix_micros(date_trunc('DAY', CAST(ts AS TIMESTAMP)))"
+            " div 86400000000 AS day_idx",
+        )
+        .distinct()
+    )
+    firsts = act.groupBy("user_id").agg(
+        F.min("day_idx").cast("bigint").alias("first_day")
+    )
+    cohort = firsts.groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    offs = (
+        act.join(firsts, "user_id")
+        .selectExpr("user_id", "day_idx - first_day AS off")
+        .filter(
+            (F.col("off") >= 1) & (F.col("off") <= _RET_MAX_OFFSET)
+        )
+        .groupBy("off")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_active"))
+    )
+    pts = (
+        offs.crossJoin(F.broadcast(cohort))
+        .filter(F.col("n_active") > 0)
+        .selectExpr(
+            "off",
+            "n_active",
+            "CAST(n_active * 1000000 div n AS BIGINT) AS rate_ppm",
+            "CAST(floor(ln(CAST(n_active AS DOUBLE) / n)"
+            " * 1000000000 + 0.5) AS BIGINT) AS lnq",
+        )
+        .persist()
+    )
+    fit = pts.groupBy().agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("off").cast("bigint").alias("sd"),
+        F.sum(F.expr("off * off")).cast("bigint").alias("sdd"),
+        F.sum("lnq").cast("bigint").alias("sl"),
+        F.sum(F.expr("off * lnq")).cast("bigint").alias("sdl"),
+    )
+    slope = (
+        "CAST(k * sdl - sd * sl AS DOUBLE)"
+        " / (k * sdd - sd * sd) / 1000000000"
+    )
+    out = (
+        pts.crossJoin(F.broadcast(fit))
+        .selectExpr(
+            "off AS day_offset",
+            "n_active",
+            "floor(CAST(rate_ppm AS DOUBLE) / 1000000 * 1000000 + 0.5)"
+            " / 1000000 AS retention_rate",
+            "CASE WHEN k >= 2 AND k * sdd - sd * sd <> 0 THEN"
+            f" floor({slope} * 1000000 + 0.5) / 1000000"
+            " END AS decay_slope",
+            "CASE WHEN k >= 2 AND k * sdd - sd * sd <> 0"
+            " AND k * sdl - sd * sl < 0 THEN"
+            f" floor(ln(2D) / (-({slope})) * 10000 + 0.5) / 10000"
+            " END AS half_life_days",
+        )
+        .orderBy("day_offset")
+    )
+    return finalize_cached(out, pts)

@@ -2386,3 +2386,129 @@ def graph_eccentricity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seed")
     )
+
+
+# --- r13 growth: Hill power-law tail estimator -----------------------------
+_HILL_XMINS = (2, 3, 5)
+
+
+@register(
+    "graph_powerlaw_hill",
+    category="graph",
+    oracle=f"""
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    edges AS (
+      SELECT user_id AS src, (user_id * 7 + 3) % 256 AS dst FROM users
+      UNION ALL SELECT user_id, (user_id * 13 + 11) % 256 FROM users
+      UNION ALL SELECT user_id, (user_id * 17 + 5) % 256 FROM users
+      UNION ALL SELECT user_id, (user_id * 23 + 1) % 256 FROM users
+    ),
+    simple AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM edges WHERE src <> dst
+    ),
+    deg AS (
+      SELECT v, CAST(count(*) AS BIGINT) AS d
+      FROM (SELECT a AS v FROM simple UNION ALL SELECT b FROM simple)
+      GROUP BY v
+    ),
+    dist AS (
+      SELECT d, CAST(count(*) AS BIGINT) AS cnt FROM deg GROUP BY d
+    ),
+    xs AS (SELECT unnest([{", ".join(str(x) for x in _HILL_XMINS)}])
+           AS xmin),
+    tail AS (
+      SELECT xs.xmin,
+             CAST(sum(dist.cnt) AS BIGINT) AS n_tail,
+             CAST(sum(dist.cnt * CAST(floor(
+               ln(CAST(dist.d AS DOUBLE) / xs.xmin)
+               * 1000000000 + 0.5) AS BIGINT)) AS BIGINT) AS lnsum_q,
+             CAST(sum(dist.cnt * dist.d) AS BIGINT) AS dsum
+      FROM xs JOIN dist ON dist.d >= xs.xmin
+      GROUP BY xs.xmin
+    )
+    SELECT CAST(xmin AS BIGINT) AS xmin, n_tail,
+           floor(CAST(dsum AS DOUBLE) / n_tail * 10000 + 0.5) / 10000
+             AS mean_tail_degree,
+           CASE WHEN lnsum_q > 0 THEN
+             floor((1e0 + CAST(n_tail AS DOUBLE) * 1000000000 / lnsum_q)
+                   * 1000000 + 0.5) / 1000000 END AS alpha_hill
+    FROM tail
+    ORDER BY xmin
+    """,
+)
+def graph_powerlaw_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HILL MLE of the degree-distribution power-law exponent
+    (Clauset/Shalizi/Newman's continuous-MLE screen): alpha(xmin) =
+    1 + n / Σ ln(d_i / xmin) over tail nodes with degree >= xmin, at
+    three xmin choices — the stability of alpha across xmin IS the
+    diagnostic (a true power law plateaus; exponential tails drift).
+    Runs on the rich-club fixture graph (compressed 256-slot targets,
+    real hub tail) — the estimator that quantifies what
+    graph_rich_club localizes.
+
+    Exactness: the degree DISTRIBUTION (not per-node rows) carries
+    the sum — each distinct degree's ln(d/xmin) is quantized to an
+    integer nano-unit once and multiplied by its exact count, so the
+    tail sum is exact integer arithmetic and alpha is one pinned
+    double expression (r6). Degenerate all-at-xmin tails (lnsum = 0,
+    alpha undefined) NULL out identically.
+
+    Scale shape: degree groupBy → degree-DOMAIN-sized distribution
+    (the device that makes exact Hill estimation O(distinct degrees)
+    per xmin at any scale); the xmin fan-out is a 3-row broadcast.
+    """
+    users = load(spark, sf_dir, "events").select("user_id").distinct()
+    edges = None
+    for a, b in ((7, 3), (13, 11), (17, 5), (23, 1)):
+        e = users.selectExpr(
+            "user_id AS src", f"(user_id * {a} + {b}) % 256 AS dst"
+        )
+        edges = e if edges is None else edges.unionByName(e)
+    simple = (
+        edges.filter("src <> dst")
+        .selectExpr("least(src, dst) AS a", "greatest(src, dst) AS b")
+        .distinct()
+    )
+    deg = (
+        simple.selectExpr("a AS v")
+        .unionByName(simple.selectExpr("b AS v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    dist = deg.groupBy("d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    xs = spark.range(0, len(_HILL_XMINS)).selectExpr(
+        "CASE id "
+        + " ".join(
+            f"WHEN {i} THEN {x}L" for i, x in enumerate(_HILL_XMINS)
+        )
+        + " END AS xmin"
+    )
+    tail = (
+        dist.crossJoin(F.broadcast(xs))
+        .filter(F.col("d") >= F.col("xmin"))
+        .groupBy("xmin")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_tail"),
+            F.sum(
+                F.expr(
+                    "cnt * CAST(floor(ln(CAST(d AS DOUBLE) / xmin)"
+                    " * 1000000000 + 0.5) AS BIGINT)"
+                )
+            )
+            .cast("bigint")
+            .alias("lnsum_q"),
+            F.sum(F.expr("cnt * d")).cast("bigint").alias("dsum"),
+        )
+    )
+    return tail.selectExpr(
+        "CAST(xmin AS BIGINT) AS xmin",
+        "n_tail",
+        "floor(CAST(dsum AS DOUBLE) / n_tail * 10000 + 0.5) / 10000"
+        " AS mean_tail_degree",
+        "CASE WHEN lnsum_q > 0 THEN"
+        " floor((1D + CAST(n_tail AS DOUBLE) * 1000000000 / lnsum_q)"
+        " * 1000000 + 0.5) / 1000000 END AS alpha_hill",
+    ).orderBy("xmin")

@@ -1116,3 +1116,151 @@ def test_mime_multipart_roundtrip_and_structure(spark):
         assert r["n_roundtrip_ok"] == e["n"], r
         assert r["n_base64_parts"] == e["b64"]
         assert r["decoded_bytes"] == e["bytes"]
+
+
+def test_hill_estimator_python_replay(spark):
+    """Replay alpha from the exact degree distribution; monotone tail
+    sizes across xmin."""
+    import math
+    from pyspark.sql import functions as F
+    from cdc_pubsub_spark.tables import load
+
+    users = [r["user_id"] for r in load(spark, SF, "events")
+             .select("user_id").distinct().collect()]
+    edges = set()
+    for u in users:
+        for a, b in ((7, 3), (13, 11), (17, 5), (23, 1)):
+            v = (u * a + b) % 256
+            if v != u:
+                edges.add((min(u, v), max(u, v)))
+    from collections import Counter
+
+    deg = Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    rows = {r["xmin"]: r for r in
+            REGISTRY["graph_powerlaw_hill"].fn(spark, SF).collect()}
+    prev_n = None
+    for xmin in (2, 3, 5):
+        tail = [d for d in deg.values() if d >= xmin]
+        lnsum_q = sum(
+            int(math.floor(math.log(d / xmin) * 1e9 + 0.5))
+            for d in tail
+        )
+        r = rows[xmin]
+        assert r["n_tail"] == len(tail)
+        if lnsum_q > 0:
+            alpha = 1 + len(tail) * 1e9 / lnsum_q
+            assert abs(r["alpha_hill"] - alpha) < 5e-6
+        if prev_n is not None:
+            assert r["n_tail"] <= prev_n
+        prev_n = r["n_tail"]
+
+
+def test_geohash_matches_bisection_reference(spark):
+    """The integer-interleave encoding must equal the textbook 40-round
+    bisection geohash for every distinct planted coordinate."""
+    from cdc_pubsub_spark.functions.scalar import _GH_SPARK
+    from cdc_pubsub_spark.tables import load
+
+    ALPHA = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+    def ref(lat, lon, nchars=8):
+        latlo, lathi, lonlo, lonhi = -90.0, 90.0, -180.0, 180.0
+        bits = []
+        even = True
+        while len(bits) < nchars * 5:
+            if even:
+                mid = (lonlo + lonhi) / 2
+                bits.append(1 if lon >= mid else 0)
+                if lon >= mid:
+                    lonlo = mid
+                else:
+                    lonhi = mid
+            else:
+                mid = (latlo + lathi) / 2
+                bits.append(1 if lat >= mid else 0)
+                if lat >= mid:
+                    latlo = mid
+                else:
+                    lathi = mid
+            even = not even
+        return "".join(
+            ALPHA[int("".join(map(str, bits[5 * k : 5 * k + 5])), 2)]
+            for k in range(nchars)
+        )
+
+    rows = (
+        load(spark, SF, "events")
+        .select("user_id")
+        .distinct()
+        .selectExpr(
+            "user_id",
+            "CAST(user_id % 1777 AS DOUBLE) / 10 - 88.0 AS lat",
+            "CAST((user_id * 31) % 3555 AS DOUBLE) / 10 - 177.7 AS lon",
+        )
+        .selectExpr(
+            "lat",
+            "lon",
+            "CAST(floor((lon + 180.0) / 360.0 * 1048576) AS BIGINT)"
+            " AS ix",
+            "CAST(floor((lat + 90.0) / 180.0 * 1048576) AS BIGINT)"
+            " AS iy",
+        )
+        .selectExpr("lat", "lon", f"{_GH_SPARK} AS gh")
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert r["gh"] == ref(r["lat"], r["lon"]), (r["lat"], r["lon"])
+
+
+def test_retention_halflife_python_replay(spark):
+    """Replay the curve and the log-linear fit exactly."""
+    import math
+    from pyspark.sql import functions as F
+    from cdc_pubsub_spark.tables import load
+
+    act = (
+        load(spark, SF, "events")
+        .selectExpr(
+            "user_id",
+            "unix_micros(date_trunc('DAY', CAST(ts AS TIMESTAMP)))"
+            " div 86400000000 AS d",
+        )
+        .distinct()
+        .collect()
+    )
+    from collections import defaultdict
+
+    days = defaultdict(set)
+    for r in act:
+        days[r["user_id"]].add(r["d"])
+    cohort = len(days)
+    n_active = defaultdict(int)
+    for u, ds in days.items():
+        f = min(ds)
+        for d in ds:
+            if 1 <= d - f <= 14:
+                n_active[d - f] += 1
+    pts = [
+        (off, int(math.floor(math.log(n / cohort) * 1e9 + 0.5)))
+        for off, n in sorted(n_active.items())
+        if n > 0
+    ]
+    k = len(pts)
+    sd = sum(o for o, _ in pts)
+    sdd = sum(o * o for o, _ in pts)
+    sl = sum(l for _, l in pts)
+    sdl = sum(o * l for o, l in pts)
+    slope = (k * sdl - sd * sl) / (k * sdd - sd * sd) / 1e9
+    rows = {r["day_offset"]: r for r in
+            REGISTRY["events_retention_halflife"].fn(spark, SF).collect()}
+    assert set(rows) == set(n_active)
+    for off, n in n_active.items():
+        r = rows[off]
+        assert r["n_active"] == n
+        assert abs(r["decay_slope"] - slope) < 5e-6
+        if slope < 0:
+            assert abs(r["half_life_days"] - math.log(2) / -slope) < 1e-3
