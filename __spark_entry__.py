@@ -198,6 +198,10 @@ _DEFER_TO_NEXT_ROUND: set[str] = {
     "graph_powerlaw_hill",
     "fn_geohash_encode",
     "events_retention_halflife",
+    # wave M (regularity, vocabulary overlap, CDC disorder)
+    "ts_sample_entropy",
+    "text_source_vocab_jaccard",
+    "cdc_out_of_order_stats",
 }
 # r13 session-open: the 36 r12-EXTENSION ops deferred here last round are
 # released — with CORRECTNESS_r12 ingested they are the only never-sampled

@@ -3520,3 +3520,94 @@ def text_rouge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_pubsub_spark.tables import finalize_cached
 
     return finalize_cached(out, grams)
+
+
+# --- r13 growth: source vocabulary similarity matrix ------------------------
+@register(
+    "text_source_vocab_jaccard",
+    category="text",
+    oracle="""
+    WITH vocab AS (
+      SELECT DISTINCT source, unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ),
+    sizes AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS nv FROM vocab
+      GROUP BY source
+    ),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(count(*) AS BIGINT) AS inter
+      FROM vocab a JOIN vocab b ON b.w = a.w AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT i.source_a, i.source_b, i.inter,
+           sa.nv + sb.nv - i.inter AS uni,
+           floor(CAST(i.inter AS DOUBLE) / (sa.nv + sb.nv - i.inter)
+                 * 1000000 + 0.5) / 1000000 AS vocab_jaccard,
+           floor(CAST(i.inter AS DOUBLE) / least(sa.nv, sb.nv)
+                 * 1000000 + 0.5) / 1000000 AS containment
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.source_a
+    JOIN sizes sb ON sb.source = i.source_b
+    ORDER BY source_a, source_b
+    """,
+)
+def text_source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOURCE-LEVEL VOCABULARY OVERLAP matrix — Jaccard and overlap
+    (containment) coefficients between every source pair's word SETS:
+    the corpus-curation companion to text_burrows_delta (Delta reads
+    marker-word RATES — style; this reads vocabulary IDENTITY —
+    domain). High containment with asymmetric sizes flags a source
+    that is a topical subset of another (the mix-design signal for
+    corpus_domain_mix); near-1 Jaccard everywhere flags a template
+    corpus.
+
+    Exactness: set sizes and intersections are exact integer counts
+    over distinct (source, word); both coefficients are single pinned
+    divisions (r6). Candidate generation is the word-keyed equi-join
+    (sources sharing >= 1 word), never an all-pairs scan.
+
+    Scale shape: the distinct (source, word) vocabulary relation is
+    the only data-sized shuffle (dictionary-bounded per source); the
+    pair join runs on word keys with source-domain-sized output.
+    """
+    vocab = (
+        load(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split("text", " ")).alias("w"))
+        .distinct()
+        .persist()
+    )
+    sizes = vocab.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nv")
+    )
+    b = vocab.selectExpr("source AS source_b", "w AS wb")
+    inter = (
+        vocab.join(
+            b,
+            (F.col("wb") == F.col("w"))
+            & (F.col("source") < F.col("source_b")),
+        )
+        .groupBy(F.col("source").alias("source_a"), "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
+    )
+    sa = sizes.selectExpr("source AS sa", "nv AS nva")
+    sb = sizes.selectExpr("source AS sb", "nv AS nvb")
+    out = (
+        inter.join(F.broadcast(sa), F.col("sa") == F.col("source_a"))
+        .join(F.broadcast(sb), F.col("sb") == F.col("source_b"))
+        .selectExpr(
+            "source_a",
+            "source_b",
+            "inter",
+            "nva + nvb - inter AS uni",
+            "floor(CAST(inter AS DOUBLE) / (nva + nvb - inter)"
+            " * 1000000 + 0.5) / 1000000 AS vocab_jaccard",
+            "floor(CAST(inter AS DOUBLE) / least(nva, nvb)"
+            " * 1000000 + 0.5) / 1000000 AS containment",
+        )
+        .orderBy("source_a", "source_b")
+    )
+    from cdc_pubsub_spark.tables import finalize_cached
+
+    return finalize_cached(out, vocab)

@@ -12336,3 +12336,166 @@ def events_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("day_offset")
     )
     return finalize_cached(out, pts)
+
+
+# --- r13 growth: sample entropy ---------------------------------------------
+_SAMPEN_M = 2  # template length; B counts m-matches, A counts (m+1)-matches
+
+
+@register(
+    "ts_sample_entropy",
+    category="composite",
+    oracle=f"""
+    WITH daily AS ({_PACF_DAILY_DUCK}),
+    seq AS (
+      SELECT event_type, x,
+             CAST(row_number() OVER (PARTITION BY event_type
+                                     ORDER BY day_idx) AS BIGINT) AS t
+      FROM daily
+    ),
+    spread AS (
+      SELECT event_type,
+             CAST(max(x) - min(x) AS BIGINT) AS rng,
+             CAST(count(*) AS BIGINT) AS n
+      FROM seq GROUP BY event_type
+    ),
+    tpl AS (
+      SELECT a.event_type, a.t,
+             a.x AS x0, b.x AS x1, c.x AS x2
+      FROM seq a
+      JOIN seq b ON b.event_type = a.event_type AND b.t = a.t + 1
+      LEFT JOIN seq c ON c.event_type = a.event_type AND c.t = a.t + 2
+    ),
+    pairs AS (
+      SELECT p.event_type,
+             CAST(sum(CASE WHEN greatest(abs(p.x0 - q.x0),
+                                         abs(p.x1 - q.x1)) * 5
+                            <= s.rng THEN 1 ELSE 0 END) AS BIGINT) AS b,
+             CAST(sum(CASE WHEN p.x2 IS NOT NULL AND q.x2 IS NOT NULL
+                            AND greatest(abs(p.x0 - q.x0),
+                                         abs(p.x1 - q.x1),
+                                         abs(p.x2 - q.x2)) * 5
+                            <= s.rng THEN 1 ELSE 0 END) AS BIGINT) AS a
+      FROM tpl p
+      JOIN tpl q ON q.event_type = p.event_type AND q.t > p.t
+      JOIN spread s ON s.event_type = p.event_type
+      GROUP BY p.event_type
+    )
+    SELECT pr.event_type, s.n AS n_days, pr.b AS m_matches,
+           pr.a AS m1_matches,
+           CASE WHEN pr.a > 0 AND pr.b > 0 THEN
+             floor(-ln(CAST(pr.a AS DOUBLE) / pr.b) * 1000000 + 0.5)
+               / 1000000 END AS sample_entropy
+    FROM pairs pr JOIN spread s ON s.event_type = pr.event_type
+    ORDER BY pr.event_type
+    """,
+)
+def ts_sample_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLE ENTROPY (Richman & Moorman 2000) of each event type's
+    daily series — the regularity statistic physiology and anomaly
+    pipelines use where spectral measures fail on short series:
+    SampEn = −ln(A/B), where B counts template pairs of length m = 2
+    within Chebyshev tolerance r and A counts those still matching at
+    length m+1. Low SampEn = self-similar/regular; high = unpredictable.
+    Self-matches are excluded by construction (pairs require q.t >
+    p.t, the definition's own rule). Tolerance r = range/5 — stated
+    as the INTEGER comparison |Δ|·5 <= range, so no float tolerance
+    exists anywhere.
+
+    Exactness: templates are integer-cent tuples; match predicates
+    are pure integer arithmetic; the only float is the final
+    −ln(A/B), one pinned expression with the zero-match CASE shared.
+    The invariant test replays A, B, and SampEn per type in python.
+
+    Scale shape: the calendar collapse bounds each series (the
+    matrix-profile argument), so the template pair relation is
+    domain-bounded; at production lengths the same plan runs per
+    bounded segment.
+    """
+    daily = (
+        load(spark, sf_dir, "events")
+        .selectExpr(
+            "event_type",
+            "unix_micros(date_trunc('DAY', CAST(ts AS TIMESTAMP)))"
+            " div 86400000000 AS day_idx",
+            "value",
+        )
+        .groupBy("event_type", "day_idx")
+        .agg(
+            F.expr("CAST(floor(sum(value) * 100 + 0.5) AS BIGINT)").alias(
+                "x"
+            )
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("day_idx")
+    seq = daily.select(
+        "event_type",
+        "x",
+        F.row_number().over(w).cast("bigint").alias("t"),
+    ).persist()
+    spread = seq.groupBy("event_type").agg(
+        (F.max("x") - F.min("x")).cast("bigint").alias("rng"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    b1 = seq.selectExpr("event_type AS e1", "t AS t1", "x AS xb")
+    c1 = seq.selectExpr("event_type AS e2", "t AS t2", "x AS xc")
+    tpl = (
+        seq.join(
+            b1,
+            (F.col("e1") == F.col("event_type"))
+            & (F.col("t1") == F.col("t") + 1),
+        )
+        .join(
+            c1,
+            (F.col("e2") == F.col("event_type"))
+            & (F.col("t2") == F.col("t") + 2),
+            "left",
+        )
+        .selectExpr("event_type", "t", "x AS x0", "xb AS x1", "xc AS x2")
+        .persist()
+    )
+    q = tpl.selectExpr(
+        "event_type AS eq", "t AS tq", "x0 AS q0", "x1 AS q1", "x2 AS q2"
+    )
+    pairs = (
+        tpl.join(
+            q,
+            (F.col("eq") == F.col("event_type"))
+            & (F.col("tq") > F.col("t")),
+        )
+        .join(F.broadcast(spread), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN greatest(abs(x0 - q0), abs(x1 - q1)) * 5"
+                    " <= rng THEN 1 ELSE 0 END"
+                )
+            )
+            .cast("bigint")
+            .alias("b"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN x2 IS NOT NULL AND q2 IS NOT NULL"
+                    " AND greatest(abs(x0 - q0), abs(x1 - q1),"
+                    " abs(x2 - q2)) * 5 <= rng THEN 1 ELSE 0 END"
+                )
+            )
+            .cast("bigint")
+            .alias("a"),
+        )
+    )
+    out = (
+        pairs.join(F.broadcast(spread), "event_type")
+        .selectExpr(
+            "event_type",
+            "n AS n_days",
+            "b AS m_matches",
+            "a AS m1_matches",
+            "CASE WHEN a > 0 AND b > 0 THEN"
+            " floor(-ln(CAST(a AS DOUBLE) / b) * 1000000 + 0.5)"
+            " / 1000000 END AS sample_entropy",
+        )
+        .orderBy("event_type")
+    )
+    return finalize_cached(out, seq, tpl)

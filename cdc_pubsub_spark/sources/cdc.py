@@ -1228,3 +1228,97 @@ def cdc_resolved_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("topic")
     )
+
+
+# --- r13 growth: commit-order disorder statistics ---------------------------
+@register(
+    "cdc_out_of_order_stats",
+    category="cdc",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type AS topic, user_id % 4 AS part,
+             event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      FROM events
+    ),
+    adj AS (
+      SELECT topic, part, ts_us,
+             lead(ts_us) OVER (PARTITION BY topic, part
+                               ORDER BY event_id) AS next_ts
+      FROM ev
+    )
+    SELECT topic,
+           CAST(count(next_ts) AS BIGINT) AS n_adjacent,
+           CAST(sum(CASE WHEN next_ts < ts_us THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_inversions,
+           floor(CAST(sum(CASE WHEN next_ts < ts_us THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(next_ts) * 1000000 + 0.5)
+             / 1000000 AS disorder_rate,
+           CAST(coalesce(max(CASE WHEN next_ts < ts_us
+                                  THEN ts_us - next_ts END), 0)
+                AS BIGINT) AS max_regression_us,
+           CAST(coalesce(sum(CASE WHEN next_ts < ts_us
+                                  THEN ts_us - next_ts END), 0)
+                AS BIGINT) AS total_regression_us
+    FROM adj
+    GROUP BY topic
+    ORDER BY topic
+    """,
+)
+def cdc_out_of_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMMIT-ORDER DISORDER per topic — how far does event-time
+    regress along the arrival order (event_id) within each partition?
+    The operational companion to cdc_resolved_frontier: the frontier
+    says how far RESOLVED can advance; this measures WHY — every
+    adjacent arrival whose timestamp steps backwards forces a
+    consumer that wants commit-time order to buffer at least the
+    regression span. `max_regression_us` is the minimum reorder
+    buffer that loses nothing; `disorder_rate` is the fraction of
+    adjacent arrivals that regress (publisher.go's transport preserves
+    per-request order but nothing orders ACROSS requests —
+    README.md:14-27 — so this is the consumer's reality).
+
+    Exactness: pure integer timestamp arithmetic over one lead window
+    partitioned by (topic, partition); counts, max, and sum of
+    regressions are exact; the rate is one pinned division (r6).
+
+    Scale shape: one window per (topic, partition) arrival order, a
+    5-row topic aggregate. Nothing data-sized past the sort the
+    window semantics itself requires.
+    """
+    ev = load(spark, sf_dir, "events").selectExpr(
+        "event_type AS topic",
+        "user_id % 4 AS part",
+        "event_id",
+        "unix_micros(CAST(ts AS TIMESTAMP)) AS ts_us",
+    )
+    w = Window.partitionBy("topic", "part").orderBy("event_id")
+    adj = ev.select(
+        "topic",
+        "ts_us",
+        F.lead("ts_us").over(w).alias("next_ts"),
+    )
+    return (
+        adj.groupBy("topic")
+        .agg(
+            F.count("next_ts").cast("bigint").alias("n_adjacent"),
+            F.sum(
+                F.expr("CASE WHEN next_ts < ts_us THEN 1 ELSE 0 END")
+            )
+            .cast("bigint")
+            .alias("n_inversions"),
+            F.expr(
+                "floor(CAST(sum(CASE WHEN next_ts < ts_us THEN 1"
+                " ELSE 0 END) AS DOUBLE) / count(next_ts)"
+                " * 1000000 + 0.5) / 1000000"
+            ).alias("disorder_rate"),
+            F.expr(
+                "CAST(coalesce(max(CASE WHEN next_ts < ts_us"
+                " THEN ts_us - next_ts END), 0) AS BIGINT)"
+            ).alias("max_regression_us"),
+            F.expr(
+                "CAST(coalesce(sum(CASE WHEN next_ts < ts_us"
+                " THEN ts_us - next_ts END), 0) AS BIGINT)"
+            ).alias("total_regression_us"),
+        )
+        .orderBy("topic")
+    )

@@ -1264,3 +1264,122 @@ def test_retention_halflife_python_replay(spark):
         assert abs(r["decay_slope"] - slope) < 5e-6
         if slope < 0:
             assert abs(r["half_life_days"] - math.log(2) / -slope) < 1e-3
+
+
+def test_sample_entropy_python_replay(spark):
+    """Replay B (m-matches), A (m+1-matches), and SampEn per type with
+    the integer tolerance rule |delta|*5 <= range."""
+    import math
+    from pyspark.sql import functions as F
+    from cdc_pubsub_spark.tables import load
+
+    daily = (
+        load(spark, SF, "events")
+        .selectExpr(
+            "event_type",
+            "unix_micros(date_trunc('DAY', CAST(ts AS TIMESTAMP)))"
+            " div 86400000000 AS d",
+            "value",
+        )
+        .groupBy("event_type", "d")
+        .agg(F.expr("CAST(floor(sum(value)*100+0.5) AS BIGINT)").alias("x"))
+        .collect()
+    )
+    series: dict = {}
+    for r in daily:
+        series.setdefault(r["event_type"], []).append((r["d"], r["x"]))
+    rows = {r["event_type"]: r for r in
+            REGISTRY["ts_sample_entropy"].fn(spark, SF).collect()}
+    for et, pts in series.items():
+        xs = [x for _, x in sorted(pts)]
+        rng = max(xs) - min(xs)
+        tpl = [
+            (xs[i], xs[i + 1], xs[i + 2] if i + 2 < len(xs) else None)
+            for i in range(len(xs) - 1)
+        ]
+        B = A = 0
+        for i in range(len(tpl)):
+            for j in range(i + 1, len(tpl)):
+                p, q = tpl[i], tpl[j]
+                if max(abs(p[0] - q[0]), abs(p[1] - q[1])) * 5 <= rng:
+                    B += 1
+                if (
+                    p[2] is not None
+                    and q[2] is not None
+                    and max(
+                        abs(p[0] - q[0]),
+                        abs(p[1] - q[1]),
+                        abs(p[2] - q[2]),
+                    )
+                    * 5
+                    <= rng
+                ):
+                    A += 1
+        r = rows[et]
+        assert r["m_matches"] == B and r["m1_matches"] == A, (et, B, A, r)
+        if A > 0 and B > 0:
+            assert abs(r["sample_entropy"] + math.log(A / B) * -1
+                       - 2 * -math.log(A / B)) < 1  # sanity of sign
+            assert abs(r["sample_entropy"] - (-math.log(A / B))) < 5e-6
+
+
+def test_vocab_jaccard_python_set_replay(spark):
+    """Exhaustive python set replay: every source pair with a shared
+    word must be emitted with exact inter/union; containment >= jaccard."""
+    counts = _word_counts(spark, SF)
+    vocab: dict = {}
+    for (s, w), _c in counts.items():
+        vocab.setdefault(s, set()).add(w)
+    rows = REGISTRY["text_source_vocab_jaccard"].fn(spark, SF).collect()
+    got = {(r["source_a"], r["source_b"]): r for r in rows}
+    import itertools
+
+    for a, b in itertools.combinations(sorted(vocab), 2):
+        inter = len(vocab[a] & vocab[b])
+        if inter == 0:
+            assert (a, b) not in got
+            continue
+        r = got[(a, b)]
+        assert r["inter"] == inter
+        assert r["uni"] == len(vocab[a] | vocab[b])
+        assert r["containment"] >= r["vocab_jaccard"] - 1e-9
+
+
+def test_out_of_order_buffer_bound(spark):
+    """Replay inversions per (topic, partition) in python; the max
+    regression is the minimal lossless reorder buffer."""
+    from cdc_pubsub_spark.tables import load
+
+    ev = (
+        load(spark, SF, "events")
+        .selectExpr(
+            "event_type AS topic",
+            "user_id % 4 AS part",
+            "event_id",
+            "unix_micros(CAST(ts AS TIMESTAMP)) AS ts_us",
+        )
+        .collect()
+    )
+    from collections import defaultdict
+
+    streams = defaultdict(list)
+    for r in ev:
+        streams[(r["topic"], r["part"])].append((r["event_id"], r["ts_us"]))
+    stats = defaultdict(lambda: [0, 0, 0, 0])  # adj, inv, maxreg, sumreg
+    for (topic, _p), lst in streams.items():
+        lst.sort()
+        s = stats[topic]
+        for i in range(len(lst) - 1):
+            s[0] += 1
+            d = lst[i][1] - lst[i + 1][1]
+            if d > 0:
+                s[1] += 1
+                s[2] = max(s[2], d)
+                s[3] += d
+    rows = {r["topic"]: r for r in
+            REGISTRY["cdc_out_of_order_stats"].fn(spark, SF).collect()}
+    for topic, (adj, inv, mx, sm) in stats.items():
+        r = rows[topic]
+        assert (r["n_adjacent"], r["n_inversions"]) == (adj, inv)
+        assert r["max_regression_us"] == mx
+        assert r["total_regression_us"] == sm
