@@ -576,6 +576,14 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_BENCH_PAIR"):
         import duckdb
 
+        # Stop the Spark JVM BEFORE the single-thread baseline runs:
+        # with the 128 GiB executor JVM alive, the duck pass measured
+        # 2.5-3x slower than the identical oracles standalone (r13
+        # close: 269-324 s in-process vs 108.6 s standalone) — GC /
+        # daemon-thread and page-cache interference, not query cost.
+        # Nothing after this point uses Spark (the sidecar write and
+        # the summary print consume only collected dicts).
+        spark.stop()
         con = duckdb.connect()
         con.execute("SET threads TO 1")
         for t in (
