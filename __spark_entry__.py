@@ -120,16 +120,16 @@ def _certification_state() -> tuple[set[str], dict[str, int], dict[str, int]]:
 
 # Ops whose implementation or oracle CHANGED this round: their accumulated
 # certification predates the change, so they jump the certified tail until a
-# CORRECTNESS round has hash-checked the new contract. Round 13's final
-# window: 2 recertifies (below) + 40 never-sampled (36 released
-# r12-extension ops + 3 staged promotions + compat_ack_on_failure) + 8
-# stalest-r04 slots — verified at close. The 31 r13 wave ops defer to r14.
+# CORRECTNESS round has hash-checked the new contract. Round 14's planned
+# window: 37 never-sampled r13 wave ops (released from the defer set below,
+# they lead via rest_new) + the recertifies below + stalest-r04 tail slots
+# (~12 with a 50-slot window) — counts derived from
+# len(CORRECTNESS never-sampled) at session open, not hand-tracked.
 _RECERTIFY: list[str] = [
-    # r13: live-transport harnesses rewrote their sender buffering
-    # (toLocalIterator bounded chunks instead of a full driver collect,
-    # r12 verdict item 5) — same oracle, changed implementation.
+    # r14: socket harness gained per-connection send timeouts + main-thread
+    # connection cleanup (r13 ADVICE item 5) — same oracle, changed
+    # transport implementation.
     "stream_socket_ingest",
-    "stream_http_ingest",
 ]
 
 # New ops added THIS round that should be pushed to the END of the ordering
@@ -148,61 +148,11 @@ _RECERTIFY: list[str] = [
 # ordering below (lead + recert + rest_new + certified-stalest-first);
 # the policy is the budget discipline on _RECERTIFY's size and the
 # registry freeze-until-drained rule.
-_DEFER_TO_NEXT_ROUND: set[str] = {
-    # r13 growth ops: the r13 window is fully committed (2 recertifies +
-    # 39 never-sampled + stalest-r04 tail), so ops built this round
-    # defer and lead the r14 window (the r09/r12-extension precedent).
-    # wave A
-    "agg_ddsketch_quantile",
-    "ts_pacf_durbin_levinson",
-    "ml_cohen_kappa_mcc",
-    # wave B (text analysis)
-    "text_lexical_richness",
-    "text_burrows_delta",
-    "text_dispersion_dp",
-    # wave C (business / chains / graph)
-    "orders_bullwhip_ratio",
-    "events_markov_absorption",
-    "graph_eccentricity_sample",
-    # wave D (codecs + permutation importance)
-    "multimodal_decode_ppm",
-    "multimodal_decode_tga",
-    "ml_permutation_importance_ols",
-    # wave E (frequency-domain + causality)
-    "ts_spectral_entropy",
-    "ts_granger_lag1",
-    # wave F (spoof dedup, class migration, forecast eval)
-    "text_homoglyph_dedup",
-    "orders_abc_migration",
-    "events_forecast_backtest_mase",
-    # wave G (fuzzy join, archive scan, feature engineering)
-    "join_fuzzy_trigram",
-    "scan_tar_members",
-    "ml_target_encoding_kfold",
-    # wave H (CDC frontier, OD profiling, decomposition strength)
-    "cdc_resolved_frontier",
-    "profile_order_dependency",
-    "ts_stl_strength",
-    # wave I (cleaning, shift diagnostics, version ordering)
-    "text_html_entity_clean",
-    "ml_adversarial_validation_auc",
-    "fn_semver_order",
-    # wave J (concentration, randomness screen, ROUGE eval)
-    "orders_hhi_concentration",
-    "ts_turning_points",
-    "text_rouge_pairs",
-    # wave K (checksums, MIME envelopes)
-    "fn_crc32c_checksum",
-    "scan_mime_multipart",
-    # wave L (tail exponents, geo keys, retention decay)
-    "graph_powerlaw_hill",
-    "fn_geohash_encode",
-    "events_retention_halflife",
-    # wave M (regularity, vocabulary overlap, CDC disorder)
-    "ts_sample_entropy",
-    "text_source_vocab_jaccard",
-    "cdc_out_of_order_stats",
-}
+_DEFER_TO_NEXT_ROUND: set[str] = set()
+# r14 session-open: the 37 r13 wave ops deferred here last round are
+# released — with CORRECTNESS_r13 ingested (50/50 green) they are the only
+# never-sampled ops and lead the r14 window via rest_new automatically
+# (the r12/r13 precedent). Growth this round, if any, defers here again.
 # r13 session-open: the 36 r12-EXTENSION ops deferred here last round are
 # released — with CORRECTNESS_r12 ingested they are the only never-sampled
 # ops, so they lead the r13 window via rest_new automatically (the r12
