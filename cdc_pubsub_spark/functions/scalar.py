@@ -579,7 +579,7 @@ _SEMVER_KEY_SPARK = (
     " 10, '0'),"
     " CASE WHEN ver NOT LIKE '%-%' THEN '~'"
     " ELSE concat('!', array_join(transform("
-    "   split(substring_index(ver, '-', -1), '\\\\.'),"
+    "   split(regexp_extract(ver, '-(.*)$', 1), '\\\\.'),"
     "   f -> CASE WHEN f rlike '^[0-9]+$'"
     "        THEN concat('0', lpad(f, 11, '0'))"
     "        ELSE concat('1', f) END), '#'), '\\\"') END)"
@@ -602,7 +602,7 @@ _SEMVER_VER_SQL = (
     " CAST(doc_id % 5 AS STRING), '.', CAST(doc_id % 7 AS STRING),"
     " CASE doc_id % 4"
     " WHEN 0 THEN concat('-alpha.', CAST(doc_id % 3 AS STRING))"
-    " WHEN 1 THEN '-alpha.beta'"
+    " WHEN 1 THEN '-alpha-1.beta'"
     " WHEN 3 THEN concat('-rc.', CAST(doc_id % 2 AS STRING), '.x')"
     " ELSE '' END)"
 )
@@ -612,7 +612,7 @@ _SEMVER_VER_DUCK = (
     " CAST(doc_id % 7 AS VARCHAR) ||"
     " CASE doc_id % 4"
     " WHEN 0 THEN '-alpha.' || CAST(doc_id % 3 AS VARCHAR)"
-    " WHEN 1 THEN '-alpha.beta'"
+    " WHEN 1 THEN '-alpha-1.beta'"
     " WHEN 3 THEN '-rc.' || CAST(doc_id % 2 AS VARCHAR) || '.x'"
     " ELSE '' END"
 )

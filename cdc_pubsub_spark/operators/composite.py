@@ -10090,46 +10090,54 @@ def orders_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-row audit summary (pair counts, flagged customers, gap
     bounds).
 
-    Scale shape: self-join co-partitioned on (cust, week) with fanout
-    bounded by per-customer weekly order counts (the basket_brand_pairs
-    argument); one global aggregate after.
+    Scale shape (r14, was a (cust, week)-banded self-join probing two
+    buckets — 3.64× at the 10× probe from the doubled explode+shuffle
+    of the fact table): ONE shuffle of the fact rows into per-customer
+    groups, then row-local pair enumeration over each customer's
+    day-sorted order array — TPC-H order counts per customer are
+    BOUNDED (~10-30, scale-invariant), so the local loop is O(k²) with
+    tiny constant k while the distributed cost is a single hash
+    aggregate — the basket_brand_pairs bounded-group device. The pair
+    orientation (earlier (day, key) first) falls out of the sorted
+    array for free.
     """
     orders = load(spark, sf_dir, "orders")
     pay = orders.selectExpr(
-        "o_orderkey AS k",
         "o_custkey AS cust",
-        "CAST(datediff(CAST(o_orderdate AS DATE), DATE'1970-01-01')"
-        " AS BIGINT) AS day_idx",
-        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents",
+        "struct(CAST(datediff(CAST(o_orderdate AS DATE),"
+        " DATE'1970-01-01') AS BIGINT) AS day_idx,"
+        " o_orderkey AS k,"
+        " CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents)"
+        " AS rec",
     )
-    a = pay.selectExpr(
-        "k AS k_a",
+    grouped = pay.groupBy("cust").agg(
+        F.expr("sort_array(collect_list(rec))").alias("arr")
+    )
+    # Pair enumeration is row-local codegen: outer index i, inner j>i,
+    # both over the (day, key)-sorted array; sequence() is guarded by
+    # the n >= 2 CASE because sequence(2, 1) DESCENDS (registry-wide
+    # gotcha). k ~ 10-30 so the quadratic stays in-register.
+    pairs = grouped.selectExpr(
         "cust",
-        "day_idx AS day_a",
-        "cents AS cents_a",
-        "day_idx div 7 AS wk_a",
-    )
-    b = pay.selectExpr(
-        "k AS k_b",
-        "cust AS cust_b",
-        "day_idx AS day_b",
-        "cents AS cents_b",
-        "explode(array(day_idx div 7, day_idx div 7 - 1)) AS wk_probe",
-    )
-    pairs = a.join(
-        b,
-        (F.col("cust") == F.col("cust_b"))
-        & (F.col("wk_a") == F.col("wk_probe"))
-        & F.expr(
-            "day_b > day_a OR (day_b = day_a AND k_b > k_a)"
-        ),
-    ).filter("day_b - day_a <= 7").selectExpr(
+        "CASE WHEN size(arr) >= 2 THEN"
+        " filter(flatten(transform(sequence(1, size(arr) - 1),"
+        "   i -> transform(sequence(i + 1, size(arr)),"
+        "     j -> struct(element_at(arr, i).k AS k_a,"
+        "                 element_at(arr, j).k AS k_b,"
+        "                 element_at(arr, j).day_idx"
+        "                   - element_at(arr, i).day_idx AS day_gap,"
+        "                 CASE WHEN abs(element_at(arr, j).cents"
+        "                          - element_at(arr, i).cents) * 100"
+        "                        <= element_at(arr, i).cents"
+        "                      THEN 1 ELSE 0 END AS amt_close)))),"
+        "   p -> p.day_gap <= 7)"
+        " ELSE array() END AS ps",
+    ).selectExpr("cust", "explode(ps) AS p").selectExpr(
         "cust",
-        "k_a",
-        "k_b",
-        "day_b - day_a AS day_gap",
-        "CASE WHEN abs(cents_b - cents_a) * 100 <= cents_a"
-        " THEN 1 ELSE 0 END AS amt_close",
+        "p.k_a AS k_a",
+        "p.k_b AS k_b",
+        "p.day_gap AS day_gap",
+        "p.amt_close AS amt_close",
     )
     return pairs.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_candidate_pairs"),

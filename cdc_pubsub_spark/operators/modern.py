@@ -1726,8 +1726,8 @@ def _tar_walk(blob: bytes) -> list[dict]:
            CAST(count(*) AS BIGINT) AS n_members,
            CAST(sum(CASE WHEN doc_id % 37 = 0 THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_chksum_bad,
-           CAST(sum(length(text)) AS BIGINT) AS member_bytes,
-           CAST(sum(512 + 512 * ((length(text) + 511) // 512))
+           CAST(sum(strlen(text)) AS BIGINT) AS member_bytes,
+           CAST(sum(512 + 512 * ((strlen(text) + 511) // 512))
                 AS BIGINT)
              + 1024 * CAST(count(DISTINCT doc_id // 100) AS BIGINT)
              AS archive_bytes
@@ -1754,7 +1754,9 @@ def scan_tar_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes, and the EXACT archive byte size (per-member 512-header +
     padded-data arithmetic + per-blob terminator) closed-form from
     the source columns — the walker's block arithmetic is certified
-    byte-for-byte.
+    byte-for-byte. Member sizes are UTF-8 OCTETS on both sides
+    (DuckDB strlen = bytes, vs length = characters), so parity holds
+    for non-ASCII text too (r13 ADVICE).
 
     Scale shape: blob assembly is a bounded groupBy; the walk is an
     Arrow mapInPandas kernel, per-blob cost linear in archive bytes;
@@ -1901,12 +1903,20 @@ def scan_mime_multipart(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).selectExpr(
         "source",
         "originals",
-        "transform(rawparts, rp -> struct("
-        " CASE WHEN rp LIKE '%Content-Transfer-Encoding: base64%'"
-        " THEN decode(unbase64(substring_index(rp, '\\n\\n', -1)),"
-        " 'utf-8')"
-        " ELSE substring_index(rp, '\\n\\n', -1) END AS decoded,"
-        " CASE WHEN rp LIKE '%Content-Transfer-Encoding: base64%'"
+        # Headers end at the FIRST blank line (RFC 2046 — the payload
+        # may itself contain '\n\n', so substring_index(rp,...,-1)
+        # would truncate it; r13 ADVICE). The encoding dispatch reads
+        # ONLY the header block, so a 7bit payload that happens to
+        # contain the literal header string cannot mis-dispatch.
+        "transform(transform(rawparts, rp -> struct("
+        " substring_index(rp, '\\n\\n', 1) AS hdr,"
+        " substring(rp,"
+        "   length(substring_index(rp, '\\n\\n', 1)) + 3) AS payload)),"
+        " hp -> struct("
+        " CASE WHEN hp.hdr LIKE '%Content-Transfer-Encoding: base64%'"
+        " THEN decode(unbase64(hp.payload), 'utf-8')"
+        " ELSE hp.payload END AS decoded,"
+        " CASE WHEN hp.hdr LIKE '%Content-Transfer-Encoding: base64%'"
         " THEN 1 ELSE 0 END AS is_b64)) AS decoded_parts",
     )
     out = (

@@ -1607,13 +1607,13 @@ def stream_socket_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _stream_payload(conn: _socket.socket) -> None:
         buf: list[str] = []
         for row in lines_df.toLocalIterator():
+            if done_evt.is_set():
+                return
             buf.append(row["value"])
             if len(buf) >= _SEND_LINES:
                 conn.sendall(("\n".join(buf) + "\n").encode("utf-8"))
                 buf = []
-            if done_evt.is_set():
-                return
-        if buf:
+        if buf and not done_evt.is_set():
             conn.sendall(("\n".join(buf) + "\n").encode("utf-8"))
 
     def serve() -> None:
@@ -1626,25 +1626,33 @@ def stream_socket_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         # open until the query has drained — closing early risks
         # dropping buffered rows.
         srv.settimeout(0.5)
-        conns = []
         try:
             while not done_evt.is_set():
                 try:
                     conn, _ = srv.accept()
                 except _socket.timeout:
                     continue
+                # Bounded sendall (r13 ADVICE item 5): if the query dies
+                # while the TCP buffer is full, a timeout-less sendall
+                # blocks forever INSIDE the toLocalIterator loop — the
+                # thread then pins a live Spark job and an open
+                # connection until process exit. With a 2 s send timeout
+                # the blocked send raises, the loop re-checks done_evt,
+                # and the iterator job is released.
+                conn.settimeout(2.0)
                 conns.append(conn)
                 try:
                     _stream_payload(conn)
                 except OSError:
                     pass
         finally:
-            for c in conns:
-                try:
-                    c.close()
-                except OSError:
-                    pass
             srv.close()
+
+    # Accepted connections are owned by the MAIN thread's finally (not
+    # serve()'s): closing them there unblocks a sendall immediately when
+    # the query stops, instead of waiting out send timeouts on a thread
+    # whose finally may never run.
+    conns: list = []
 
     done_evt = _threading.Event()
     t = _threading.Thread(target=serve, daemon=True)
@@ -1691,6 +1699,14 @@ def stream_socket_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
     finally:
         done_evt.set()
+        # Closing accepted connections from HERE aborts any sendall the
+        # server thread is blocked in (its own finally can't run while
+        # it is blocked), releasing the toLocalIterator job promptly.
+        for c in conns:
+            try:
+                c.close()
+            except OSError:
+                pass
         # stop() interrupts the stream execution thread (no promise to
         # finish an in-flight batch); safe because the drain condition
         # was already verified and the memory sink commits atomically.

@@ -1116,6 +1116,44 @@ def test_mime_multipart_roundtrip_and_structure(spark):
         assert r["n_roundtrip_ok"] == e["n"], r
         assert r["n_base64_parts"] == e["b64"]
         assert r["decoded_bytes"] == e["bytes"]
+    # The boundary delimiter is the ONE string the parser cannot
+    # tolerate inside a 7bit payload (RFC 2046 makes the sender pick a
+    # boundary absent from all parts) — pin that invariant on the
+    # fixture so a future testdata change fails loudly here instead of
+    # silently corrupting the split (r13 ADVICE).
+    n_hazard = (
+        load(spark, SF, "documents")
+        .filter(F.col("text").contains("frontier-813"))
+        .count()
+    )
+    assert n_hazard == 0, "fixture text must not contain the boundary"
+
+
+def test_mime_multipart_payload_blank_lines_survive(spark):
+    """A payload containing '\\n\\n' must round-trip: headers split at
+    the FIRST blank line, not the last (r13 ADVICE item 2)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    body = (
+        "preamble is ignored"
+        "\n--frontier-813\n"
+        "Content-Type: text/plain\n"
+        "Content-Transfer-Encoding: 7bit\n"
+        "\n"
+        "para one\n\npara two\n\npara three"
+        "\n--frontier-813--\nepilogue ignored"
+    )
+    df = spark.range(1).selectExpr(f"'{body}'".replace("\n", "\\n") + " AS body")
+    got = df.selectExpr(
+        "transform(slice(split(body, '\\n--frontier-813\\n'), 2,"
+        " size(split(body, '\\n--frontier-813\\n')) - 1),"
+        " fr -> substring_index(fr, '\\n--frontier-813--', 1))"
+        " AS rawparts"
+    ).selectExpr(
+        "transform(rawparts, rp -> substring(rp,"
+        " length(substring_index(rp, '\\n\\n', 1)) + 3))[0] AS payload"
+    ).collect()[0]["payload"]
+    assert got == "para one\n\npara two\n\npara three"
 
 
 def test_hill_estimator_python_replay(spark):
