@@ -67,74 +67,14 @@ OUTPUT_QUADRATIC = {
 # candidates) hide at sf0.1. Refresh the set each round; after its
 # first probed round an op re-enters only via serial-top/plan flags.
 PROBE_FIRST_ROUND = {
-    "agg_kmv_epoch_rollup",
-    "ts_ar2_yule_walker",
-    "ts_haar_wavelet_energy",
-    "join_polygon_overlay_area",  # declared truth twin is the quadratic overlay
-    "ml_quantile_pinball_eval",
-    "corpus_contamination_bloom",
-    "stream_interval_join",
-    "stream_session_join",
-    # r12 growth wave (benched members; bench=False ops are outside the
-    # probe universe): every one probes once this round per the rule.
-    "ml_spearman_rho",
-    "ml_classification_report",
-    "events_stickiness_dau_mau",
-    "events_peak_concurrency",
-    "ts_technical_indicators",
-    "ts_pettitt_changepoint",
-    "text_gopher_quality_rules",
-    "scan_apache_access_log",
-    "agg_linear_counting",
-    "corpus_url_dedup_normalize",
-    "ml_lift_curve_deciles",
-    "orders_net_revenue_retention",
-    "ts_hurst_rescaled_range",
-    "events_time_to_convert",
-    "events_bounce_rate",
-    "orders_demand_classification",
-    "join_knn_spatial_grid",
-    "ts_ljung_box",
-    "orders_fill_rate_otif",
-    "profile_histogram_equi_depth",
-    "ml_bootstrap_poisson_ci",
-    "events_velocity_flags",
-    "ml_winsorized_trimmed_mean",
-    # r12 extension wave (registered post-close, deferred to the r13
-    # certification window; probe now per the first-round rule).
-    "ts_arma11_moments",
-    "scan_mbox",
-    "cdc_tombstone_compaction",
-    "ml_brier_decomposition",
-    "ml_mcnemar_paired",
-    "ml_kendall_tau",
-    "orders_newsvendor_quantile",
-    "text_vocab_growth",
-    "graph_rich_club",
-    "scan_ics_calendar",
-    "ts_kpss_level",
-    "events_page_hinkley_drift",
-    "ts_variance_ratio",
-    "ts_record_stats",
-    "events_interval_stabbing",
-    "corpus_token_budget_allocation",
-    "profile_fd_confidence",
-    "orders_greedy_knapsack",
-    "ts_max_drawdown",
-    "orders_wilson_ci_conversion",
-    "events_ab_cuped",
-    "orders_inventory_policy",
-    "orders_yoy_growth",
-    "fn_ulid_roundtrip",
-    "cdc_replication_lag",
-    "fn_phone_e164_normalize",
+    # r14: no new registrations (growth held debt-neutral while the r13
+    # wave certifies) — the slots instead RE-probe the three ops whose
+    # scale shape changed this round (duplicate-payments bounded-group
+    # rewrite, spatial-grid adaptive pitch, minhash-banded now gated
+    # per output row) so the committed block shows the fixed curves.
     "orders_duplicate_payments",
-    "text_ngram_saturation",
-    "events_anova_dow",
-    "scan_robots_txt_compliance",
-    "orders_fx_normalize",
-    "ml_learning_curve_ols",
-    "profile_join_cardinality_estimate",
+    "join_spatial_grid",
+    "dedup_minhash_banded",
 }
 
 # Launch order seed: known-heavy ops first so they overlap the long tail

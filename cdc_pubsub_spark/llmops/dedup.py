@@ -1155,6 +1155,15 @@ def dedup_levenshtein_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     members on the same equi-key, so nothing leaves its bucket.
     """
     corpus = dup_corpus(spark, sf_dir)
+    # persist(): the blocked projection feeds FOUR join legs (both
+    # sides of the small-block pair join and of the hot-block star
+    # join), and without the cache each leg re-runs the corpus build
+    # and the block window shuffle — measured 4× the one-traversal
+    # cost at the 10× probe (33 s -> ~11 s; the levenshtein verify
+    # itself is ~1.5 s of that, r14 profile). The cached frame is
+    # (doc_id, text, len, blk, n_blk, rn) — corpus-sized rows, the
+    # same bounded footprint every multi-consumer dedup op caches;
+    # released via finalize_cached.
     blocked = corpus.selectExpr(
         "doc_id",
         "text",
@@ -1164,7 +1173,7 @@ def dedup_levenshtein_block(spark: SparkSession, sf_dir: str) -> DataFrame:
         "*",
         "count(1) OVER (PARTITION BY blk) AS n_blk",
         "row_number() OVER (PARTITION BY blk ORDER BY doc_id) AS rn",
-    )
+    ).persist()
     # The edit distance lives inside a CASE whose guard repeats the
     # cheap join predicates: Catalyst pushes the dist filter into the
     # hash-join condition, and WITHOUT the guard it evaluates the
@@ -1207,7 +1216,7 @@ def dedup_levenshtein_block(spark: SparkSession, sf_dir: str) -> DataFrame:
         "a.len AS len_a",
         "b.len AS len_b",
     )
-    return (
+    out = (
         pairs_small.unionByName(pairs_star)
         .filter(F.expr("dist BETWEEN 0 AND 16"))
         .selectExpr(
@@ -1222,3 +1231,4 @@ def dedup_levenshtein_block(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+    return finalize_cached(out, blocked)

@@ -950,6 +950,20 @@ def test_spatial_grid_join_is_equi_join_on_cells(spark, sf_dir):
     assert "SortMergeJoin" in plan or "HashJoin" in plan, plan
 
 
+def test_duplicate_payments_is_single_shuffle_no_join(spark, sf_dir):
+    """orders_duplicate_payments' r14 contract: the banded SELF-JOIN is
+    gone — ONE hash aggregate shuffles the fact rows into per-customer
+    groups and the pair enumeration is row-local codegen over the
+    bounded sorted array (TPC-H order counts per customer are
+    scale-invariant). Any Join node reappearing here is the 3.64×
+    probe regression coming back."""
+    df = q("orders_duplicate_payments", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Join" not in plan, plan
+    # groupBy(cust) + the final global agg: two exchanges, no more.
+    assert count_exchanges(df) <= 2, plan
+
+
 def test_interval_overlap_is_equi_join_on_cells(spark, sf_dir):
     """The overlap θ-predicate must ride an EQUI-join on the grid cell
     (hash or sort-merge), never a nested-loop/cartesian — and the
