@@ -1055,10 +1055,12 @@ def basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Baskets are order → DISTINCT brand (dedup before pairing, so a
     6-line order with 2 brands contributes ONE pair). Pair generation
-    is a self-join co-partitioned on the order key — fan-out is
-    C(brands-per-order, 2), bounded by basket width, never by catalog
-    size; the singles table and the scalar order count broadcast back
-    onto the ~300-row pair aggregate. Lift = P(ab)/(P(a)P(b))
+    (r14, was a self-join on the order key — two extra fact-sized
+    shuffles) is ONE hash aggregate into per-order brand arrays
+    followed by row-local pair enumeration — fan-out is
+    C(brands-per-order, 2), bounded by basket width (~7), never by
+    catalog size; the singles table and the scalar order count
+    broadcast back onto the ~300-row pair aggregate. Lift = P(ab)/(P(a)P(b))
     separates genuinely associated pairs from popularity — both
     ratios are division-created, so floor-formula r4 in both engines.
     Top-15 is total-ordered (count desc, then pair). At 100 TB the
@@ -1066,31 +1068,45 @@ def basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     widening — the same bounded self-join shape per level.
     """
     part = F.broadcast(load(spark, sf_dir, "part").select("p_partkey", "p_brand"))
-    # persist: baskets feeds FOUR consumers (order count, singles, and
-    # both self-join sides) — without the cache the lineitem scan, the
-    # part join, and the distinct shuffle re-execute per consumer
-    # (~4x this op's runtime; same reuse discipline as dedup's sets).
-    baskets = (
+    # ONE fact-sized shuffle total (r14; was distinct + persist of the
+    # (order, brand) pairs + a self-join — three fact-sized exchanges):
+    # the broadcast part join flows straight into groupBy(order) with
+    # collect_set doing the per-basket brand dedup map-side, and the
+    # persisted frame is the ~4x smaller per-order array table that
+    # every downstream consumer (order count, singles, pair
+    # enumeration) derives from locally.
+    grouped = (
         load(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .join(part, F.col("l_partkey") == F.col("p_partkey"))
-        .select("l_orderkey", "p_brand")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.expr("sort_array(collect_set(p_brand))").alias("bs"))
         .persist()
     )
     n = F.broadcast(
-        baskets.agg(
-            F.countDistinct("l_orderkey").cast("double").alias("n_orders")
-        )
+        grouped.agg(F.count(F.lit(1)).cast("double").alias("n_orders"))
     )
     singles = F.broadcast(
-        baskets.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_single"))
+        grouped.select(F.explode("bs").alias("p_brand"))
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_single"))
     )
-    a = baskets.select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand_a"))
-    b = baskets.select(F.col("l_orderkey").alias("ok2"), F.col("p_brand").alias("brand_b"))
+    # Bounded-group pair enumeration (the orders_duplicate_payments
+    # device): sorted brand array per order, nested-sequence transform
+    # for i<j pairs — sequence() guarded by size>=2 (descending-
+    # sequence gotcha). brand_a < brand_b falls out of the sort.
     pairs = (
-        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("brand_a") < F.col("brand_b")))
-        .groupBy("brand_a", "brand_b")
+        grouped.selectExpr(
+            "CASE WHEN size(bs) >= 2 THEN"
+            " flatten(transform(sequence(1, size(bs) - 1),"
+            "   i -> transform(sequence(i + 1, size(bs)),"
+            "     j -> struct(element_at(bs, i) AS brand_a,"
+            "                 element_at(bs, j) AS brand_b))))"
+            " ELSE array() END AS ps"
+        )
+        .selectExpr("explode(ps) AS p")
+        .groupBy(F.col("p.brand_a").alias("brand_a"),
+                 F.col("p.brand_b").alias("brand_b"))
         .agg(F.count(F.lit(1)).alias("n_both"))
     )
     sa = singles.select(F.col("p_brand").alias("brand_a"), F.col("n_single").alias("na"))
@@ -1111,7 +1127,7 @@ def basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_both"), "brand_a", "brand_b")
         .limit(15)
     )
-    return finalize_cached(out, baskets)
+    return finalize_cached(out, grouped)
 
 
 @register(
@@ -3310,37 +3326,52 @@ def orders_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule miner prunes.
 
     Same scale shape as the pair pass it extends: baskets dedup to
-    (order, brand), the rule join is co-partitioned on the order key
-    with fan-out bounded by basket width (both directions of each pair
-    — rules are asymmetric), and the singles/order-count tables ride
-    broadcast joins back on. All metrics are ratios of exact BIGINTs
+    (order, brand), directed pair generation (r14, was a self-join on
+    the order key) is ONE hash aggregate into per-order brand arrays
+    plus row-local enumeration of both directions of each pair —
+    fan-out bounded by basket width, rules are asymmetric — and the
+    singles/order-count tables ride broadcast joins back on. All metrics are ratios of exact BIGINTs
     computed in fixed expression order; conviction of a confidence-1
     rule is NULL (division by zero is a miner bug, not a rule). Top-15
     by (confidence, antecedent, consequent) via TakeOrdered.
     """
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    baskets = (
-        li.join(part, li.l_partkey == part.p_partkey)
-        .select("l_orderkey", "p_brand")
-        .distinct()
+    part = F.broadcast(
+        load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    )
+    # ONE fact-sized shuffle total (r14; was distinct + persist of the
+    # (order, brand) pairs + a self-join): collect_set dedups brands
+    # per basket inside the single groupBy; order count, singles, and
+    # the directed pair enumeration all derive from the persisted
+    # per-order array frame (same shape as basket_brand_pairs).
+    grouped = (
+        li.join(part, li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_orderkey")
+        .agg(F.expr("sort_array(collect_set(p_brand))").alias("bs"))
         .persist()
     )
-    n = baskets.agg(
-        F.countDistinct("l_orderkey").cast("bigint").alias("n_orders")
+    n = grouped.agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    singles = (
+        grouped.select(F.explode("bs").alias("p_brand"))
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_single"))
     )
-    singles = baskets.groupBy("p_brand").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_single")
-    )
-    b2 = baskets.select(
-        F.col("l_orderkey").alias("k2"), F.col("p_brand").alias("consequent")
-    )
+    # Bounded-group directed pairs (the orders_duplicate_payments
+    # device): per-order sorted brand array, i != j enumeration —
+    # sequence() guarded by size >= 2 (descending-sequence gotcha).
     pairs = (
-        baskets.join(b2, (F.col("l_orderkey") == F.col("k2")))
-        .filter(F.col("p_brand") != F.col("consequent"))
-        .groupBy(
-            F.col("p_brand").alias("antecedent"), "consequent"
+        grouped.selectExpr(
+            "CASE WHEN size(bs) >= 2 THEN"
+            " flatten(transform(sequence(1, size(bs)),"
+            "   i -> transform(filter(sequence(1, size(bs)),"
+            "                         jj -> jj != i),"
+            "     j -> struct(element_at(bs, i) AS antecedent,"
+            "                 element_at(bs, j) AS consequent))))"
+            " ELSE array() END AS ps"
         )
+        .selectExpr("explode(ps) AS p")
+        .groupBy(F.col("p.antecedent").alias("antecedent"),
+                 F.col("p.consequent").alias("consequent"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
         .filter(F.col("n_both") >= 20)
     )
@@ -3379,7 +3410,7 @@ def orders_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("confidence"), "antecedent", "consequent")
         .limit(15)
     )
-    return finalize_cached(out, baskets)
+    return finalize_cached(out, grouped)
 
 
 @register(

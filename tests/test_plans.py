@@ -762,12 +762,16 @@ def test_moving_zscore_single_user_shuffle(spark, sf_dir):
     assert count_exchanges(df) <= 2, plan
 
 
-def test_basket_pairs_copartitioned_self_join(spark, sf_dir):
-    """Pair generation must be an equi-join on the order key (fan-out
-    bounded by basket width); singles and the order count broadcast."""
+def test_basket_pairs_bounded_group_no_fact_join(spark, sf_dir):
+    """Pair generation (r14 shape) is a bounded-group enumeration over
+    per-order brand arrays — the only joins left are the BROADCAST
+    singles/order-count joins on the ~300-row pair aggregate; a
+    SortMergeJoin reappearing means the fact-sized self-join came
+    back."""
     df = q("basket_brand_pairs", spark, sf_dir)
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
     assert "BroadcastExchange" in plan, plan
     assert uses(df, "TakeOrderedAndProject"), plan
 
@@ -960,8 +964,10 @@ def test_duplicate_payments_is_single_shuffle_no_join(spark, sf_dir):
     df = q("orders_duplicate_payments", spark, sf_dir)
     plan = formatted_plan(df)
     assert "Join" not in plan, plan
-    # groupBy(cust) + the final global agg: two exchanges, no more.
-    assert count_exchanges(df) <= 2, plan
+    # groupBy(cust) + the countDistinct two-phase rewrite + the final
+    # SinglePartition gather — all on post-enumeration pair rows (tiny),
+    # never on the fact table.
+    assert count_exchanges(df) <= 4, plan
 
 
 def test_interval_overlap_is_equi_join_on_cells(spark, sf_dir):
