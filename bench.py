@@ -80,33 +80,37 @@ PROBE_FIRST_ROUND = {
 # Launch order seed: known-heavy ops first so they overlap the long tail
 # of sub-second queries instead of serializing at the end.
 HEAVY_FIRST = [
-    # Re-seeded from the r11 close BENCH_DETAIL (measured UNCONTENDED
-    # serial_top descending, then the heaviest contended stragglers) —
-    # serial cost is the right launch-priority signal because contended
-    # per-query times are dominated by queue time, not plan cost.
-    # Movers this round: dedup_minhash_banded up to #3 (the portable
-    # md5 family costs ~2.2 s serial vs 0.6 s under xxhash64) and
-    # profile_cramers_v down with its one-job refactor.
-    "dedup_levenshtein_block",
+    # Re-seeded r14 from a same-session serial sweep of the r13 heavy
+    # pool AFTER this round's rewrites (levenshtein persist, basket
+    # single-shuffle) — serial cost is the right launch-priority signal
+    # because contended per-query times are dominated by queue time,
+    # not plan cost. Movers: dedup_levenshtein_block drops from #1 to
+    # mid-pack (5.4 s -> 1.8 s), graph_eccentricity_sample enters the
+    # head (r13 wave op, 3.2 s).
     "basket_brand_pairs",
     "dedup_minhash_banded",
-    "orders_assoc_rules",
-    "ml_conformal_interval",
-    "dedup_incremental",
+    "graph_eccentricity_sample",
     "text_keyword_rake",
+    "orders_assoc_rules",
+    "dedup_incremental",
+    "ml_conformal_interval",
+    "orders_rfm_atscale",
+    "profile_cramers_v",
     "orders_abc_xyz",
     "tpch_q9_product_profit",
-    "profile_cramers_v",
-    "orders_rfm_atscale",
     "sim_ann_pq",
+    "graph_rich_club",
     "graph_adamic_adar",
+    "dedup_levenshtein_block",
     "events_active_users",
     "graph_clustering_coefficient",
-    "text_lm_perplexity",
-    "text_bm25_topk",
-    "ml_kfold_cv",
     "agg_theta_set_ops",
+    "agg_kmv_epoch_rollup",
     "graph_pagerank",
+    "text_lm_perplexity",
+    "ml_kfold_cv",
+    "events_retention_halflife",
+    "text_bm25_topk",
     # heaviest contended beyond the serial-top 20 (queue-pressure tail):
     "dedup_containment",
     "events_ab_sprt",

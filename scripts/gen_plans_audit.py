@@ -77,6 +77,10 @@ AUDIT = [
     ("ml_winsorized_trimmed_mean", "robust means on binned domain (tie-split trim)"),
     ("events_velocity_flags", "lag(4) velocity rule (per-user window, no self-join)"),
     ("ts_hurst_rescaled_range", "R/S blocks (calendar relation, ppm-quantized means)"),
+    # r14 rewrites — the bounded-group pair-enumeration family
+    ("basket_brand_pairs", "bounded-group brand pairs (one shuffle, no self-join)"),
+    ("orders_duplicate_payments", "bounded-group payment pairs (one shuffle, no self-join)"),
+    ("orders_assoc_rules", "bounded-group directed rules (one shuffle, no self-join)"),
 ]
 
 SF = "/root/testdata/sf0.01"
