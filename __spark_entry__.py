@@ -148,11 +148,16 @@ _RECERTIFY: list[str] = [
 # ordering below (lead + recert + rest_new + certified-stalest-first);
 # the policy is the budget discipline on _RECERTIFY's size and the
 # registry freeze-until-drained rule.
-_DEFER_TO_NEXT_ROUND: set[str] = set()
-# r14 session-open: the 37 r13 wave ops deferred here last round are
+_DEFER_TO_NEXT_ROUND: set[str] = {
+    # r14 post-close extension (the r12-extension precedent): the r14
+    # window is fully committed (1 recertify + 37 never-sampled + 12
+    # stalest-r04), so the one extension op defers and leads r15.
+    "graph_stress_sample",
+}
+# r14 session-open: the 37 r13 wave ops deferred here last round were
 # released — with CORRECTNESS_r13 ingested (50/50 green) they are the only
 # never-sampled ops and lead the r14 window via rest_new automatically
-# (the r12/r13 precedent). Growth this round, if any, defers here again.
+# (the r12/r13 precedent). Growth this round defers here (above).
 # r13 session-open: the 36 r12-EXTENSION ops deferred here last round are
 # released — with CORRECTNESS_r12 ingested they are the only never-sampled
 # ops, so they lead the r13 window via rest_new automatically (the r12

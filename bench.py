@@ -75,6 +75,8 @@ PROBE_FIRST_ROUND = {
     "orders_duplicate_payments",
     "join_spatial_grid",
     "dedup_minhash_banded",
+    # r14 post-close extension op — first probe due at the r15 close.
+    "graph_stress_sample",
 }
 
 # Launch order seed: known-heavy ops first so they overlap the long tail

@@ -2512,3 +2512,215 @@ def graph_powerlaw_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
         " floor((1D + CAST(n_tail AS DOUBLE) * 1000000000 / lnsum_q)"
         " * 1000000 + 0.5) / 1000000 END AS alpha_hill",
     ).orderBy("xmin")
+
+
+# --- r14 extension: sampled stress centrality (integer Brandes) -----------
+_STRESS_H = 4  # BFS horizon: stress is counted over shortest paths <= H hops
+_STRESS_SEED_MOD = 4  # sources = users with user_id % 4 == 0
+
+
+def _stress_fwd_sql(k: int) -> str:
+    """One forward Brandes round (distances + path counts) as a
+    MATERIALIZED DuckDB CTE: new nodes first reached at distance k get
+    sigma = SUM of parent sigmas (every shortest path arrives through a
+    parent at k-1, all of which are final by round k)."""
+    return f"""
+    f{k} AS MATERIALIZED (
+      SELECT seed, node, d, sigma FROM f{k - 1}
+      UNION ALL
+      SELECT c.seed, c.node, CAST({k} AS BIGINT) AS d, c.sigma
+      FROM (
+        SELECT p.seed, e.dst AS node, CAST(sum(p.sigma) AS BIGINT) AS sigma
+        FROM f{k - 1} p JOIN sedges e ON e.src = p.node
+        WHERE p.d = {k - 1}
+        GROUP BY p.seed, e.dst
+      ) c
+      WHERE NOT EXISTS (
+        SELECT 1 FROM f{k - 1} o
+        WHERE o.seed = c.seed AND o.node = c.node
+      )
+    )"""
+
+
+def _stress_bwd_sql(k: int) -> str:
+    """One backward accumulation level: g(v at d=k) = SUM over DAG
+    children w (edges v->w with d(w)=k+1) of (1 + g(w)); nodes whose
+    edges all leave the DAG aggregate NULLs away to 0."""
+    return f"""
+    g{k} AS MATERIALIZED (
+      SELECT f.seed, f.node,
+             CAST(coalesce(sum(1 + c.g), 0) AS BIGINT) AS g
+      FROM (SELECT seed, node FROM f{_STRESS_H} WHERE d = {k}) f
+      LEFT JOIN sedges e ON e.src = f.node
+      LEFT JOIN g{k + 1} c ON c.seed = f.seed AND c.node = e.dst
+      GROUP BY f.seed, f.node
+    )"""
+
+
+@register(
+    "graph_stress_sample",
+    category="graph",
+    oracle=f"""
+    WITH users AS MATERIALIZED (SELECT DISTINCT user_id FROM events),
+    sedges AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM (
+        SELECT user_id AS src, (user_id * 7 + 3) % 1000 AS dst FROM users
+        UNION ALL
+        SELECT user_id, (user_id * 13 + 11) % 1000 FROM users
+      ) WHERE src <> dst
+    ),
+    f0 AS MATERIALIZED (
+      SELECT user_id AS seed, user_id AS node,
+             CAST(0 AS BIGINT) AS d, CAST(1 AS BIGINT) AS sigma
+      FROM users WHERE user_id % {_STRESS_SEED_MOD} = 0
+    ),
+    {", ".join(_stress_fwd_sql(k).strip() for k in range(1, _STRESS_H + 1))},
+    g{_STRESS_H} AS MATERIALIZED (
+      SELECT seed, node, CAST(0 AS BIGINT) AS g
+      FROM f{_STRESS_H} WHERE d = {_STRESS_H}
+    ),
+    {", ".join(_stress_bwd_sql(k).strip()
+               for k in range(_STRESS_H - 1, 0, -1))},
+    gall AS MATERIALIZED (
+      {" UNION ALL ".join(f"SELECT * FROM g{k}"
+                          for k in range(1, _STRESS_H + 1))}
+    )
+    SELECT f.node,
+           CAST(sum(f.sigma * g.g) AS BIGINT) AS stress,
+           CAST(count(DISTINCT CASE WHEN g.g > 0 THEN f.seed END)
+                AS BIGINT) AS n_seeds
+    FROM f{_STRESS_H} f
+    JOIN gall g ON g.seed = f.seed AND g.node = f.node
+    WHERE f.d >= 1
+    GROUP BY f.node
+    HAVING sum(f.sigma * g.g) > 0
+    ORDER BY stress DESC, f.node
+    LIMIT 20
+    """,
+)
+def graph_stress_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLED STRESS CENTRALITY (Shimbel 1953) over the directed
+    follow graph: for every interior node v, the NUMBER of shortest
+    source->target paths (within an {_STRESS_H}-hop horizon, sources =
+    the deterministic 1/{_STRESS_SEED_MOD} seed sample) that pass
+    through v — the betweenness family's integer-exact member, and the
+    missing rung between the registry's reach metrics (eccentricity,
+    harmonic) and its flow metrics (pagerank, katz): stress measures
+    how much shortest-path TRAFFIC a node carries.
+
+    Two-pass Brandes (1999) structure, all-integer by construction —
+    chosen over classic betweenness deltas precisely because those are
+    float RATIOS whose cross-partition/cross-engine sum order is not
+    reproducible, while path COUNTS sum exactly:
+      forward: BFS rounds carry sigma(s,v) = number of shortest s->v
+      paths (new node's sigma = SUM of parent sigmas — every parent at
+      d-1 is final before round d);
+      backward: g(v) = SUM over DAG children w of (1 + g(w)) counts
+      the (shortest-path, target) pairs strictly downstream of v, so
+      stress(v) = SUM over seeds of sigma(s,v) * g_s(v), seeds' own
+      rows (d=0) excluded. Top-20 nodes total-ordered (stress DESC,
+      node).
+
+    Exactness: sigma <= out_degree^H = 2^{_STRESS_H} and every
+    aggregate is a BIGINT sum — no floats anywhere; the DuckDB oracle
+    replays the identical rounds as MATERIALIZED CTEs (the
+    sim_rerank_mmr unrolled-fixpoint template; the eccentricity op's
+    BFS oracle is the forward-pass precedent).
+
+    Scale shape: per-round state is (seed, reached-node) rows — seeds
+    x bounded reach (out-degree 2, horizon {_STRESS_H}), shuffled on
+    the node key per relaxation join against the broadcast edge
+    relation; each forward round localCheckpoints (lineage-doubling
+    guard, the graph_bfs_layers discipline) and the backward pass is
+    {_STRESS_H} bounded joins. At 100 TB: seeds partition the work
+    embarrassingly (Brandes pivots), edges broadcast or bucket-join,
+    and the horizon caps state exactly like the production
+    hop-bounded betweenness samplers (Riondato-Kornaropoulos).
+    """
+    users = load(spark, sf_dir, "events").select("user_id").distinct()
+    # Materialize the edge relation ONCE: it feeds seven joins (four
+    # forward relaxations + three backward levels), and a bare
+    # F.broadcast(build) would re-run the events scan and both distinct
+    # shuffles per join (the r14 multi-leg-recompute lesson, measured
+    # 9.4 s -> ~3 s serial at sf0.1).
+    edges_cp = (
+        users.selectExpr(
+            "user_id AS src",
+            "explode(array((user_id * 7 + 3) % 1000,"
+            " (user_id * 13 + 11) % 1000)) AS dst",
+        )
+        .filter("src <> dst")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    edges = F.broadcast(edges_cp)
+    dist = (
+        users.filter(F.col("user_id") % _STRESS_SEED_MOD == 0)
+        .selectExpr(
+            "user_id AS seed",
+            "user_id AS node",
+            "CAST(0 AS BIGINT) AS d",
+            "CAST(1 AS BIGINT) AS sigma",
+        )
+        .localCheckpoint(eager=True)
+    )
+    for k in range(1, _STRESS_H + 1):
+        frontier = dist.filter(F.col("d") == k - 1)
+        reached = frontier.join(edges, frontier.node == edges.src).groupBy(
+            "seed", F.col("dst").alias("node")
+        ).agg(F.sum("sigma").cast("bigint").alias("sigma"))
+        new = reached.join(
+            dist.selectExpr("seed AS s2", "node AS n2"),
+            (reached.seed == F.col("s2")) & (reached.node == F.col("n2")),
+            "left_anti",
+        ).selectExpr("seed", "node", f"CAST({k} AS BIGINT) AS d", "sigma")
+        prev = dist
+        dist = dist.unionByName(new).localCheckpoint(eager=True)
+        release_checkpoint(prev)
+    # Backward: g at the horizon is 0; each level k pulls (1 + g) from
+    # its DAG children at k+1 (LEFT joins so leaf nodes aggregate to 0).
+    g = dist.filter(F.col("d") == _STRESS_H).selectExpr(
+        "seed", "node", "CAST(0 AS BIGINT) AS g"
+    )
+    g_all = g
+    g_cps: list[DataFrame] = []
+    for k in range(_STRESS_H - 1, 0, -1):
+        level = dist.filter(F.col("d") == k).select("seed", "node")
+        contrib = (
+            level.join(edges, level.node == edges.src, "left")
+            .join(
+                g.selectExpr("seed AS gs", "node AS gn", "g AS gg"),
+                (F.col("seed") == F.col("gs")) & (F.col("dst") == F.col("gn")),
+                "left",
+            )
+            .groupBy("seed", "node")
+            .agg(
+                F.expr("CAST(coalesce(sum(1 + gg), 0) AS BIGINT)").alias("g")
+            )
+        )
+        g = contrib.localCheckpoint(eager=True)
+        g_cps.append(g)
+        g_all = g_all.unionByName(g)
+    out = (
+        dist.filter(F.col("d") >= 1)
+        .join(
+            g_all.selectExpr("seed AS as_", "node AS an", "g"),
+            (F.col("seed") == F.col("as_")) & (F.col("node") == F.col("an")),
+        )
+        .groupBy("node")
+        .agg(
+            F.sum(F.expr("sigma * g")).cast("bigint").alias("stress"),
+            F.countDistinct(F.expr("CASE WHEN g > 0 THEN seed END"))
+            .cast("bigint")
+            .alias("n_seeds"),
+        )
+        .filter(F.col("stress") > 0)
+        .orderBy(F.desc("stress"), "node")
+        .limit(20)
+    )
+    out = out.localCheckpoint(eager=True)
+    release_checkpoint(dist)
+    release_checkpoint(edges_cp)
+    for cp in g_cps:
+        release_checkpoint(cp)
+    return out
