@@ -2346,15 +2346,26 @@ def graph_eccentricity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle per round, frontier-proportional work).
     """
     users = load(spark, sf_dir, "events").select("user_id").distinct()
-    edges = users.select(
-        F.col("user_id").alias("src"),
-        ((F.col("user_id") * 7 + 3) % 1000).alias("dst"),
-    ).unionByName(
+    # Materialize the edge relation ONCE and broadcast it: the 8 BFS
+    # rounds are separate eager-checkpoint jobs, so cross-job exchange
+    # reuse never applies and a lazy edges frame re-ran the events scan
+    # + distinct per round (the r14 multi-leg-recompute lesson; same
+    # fix as graph_stress_sample — measured 3.2 s -> ~1.3 s serial at
+    # sf0.1, 6.6 s -> ~2.4 s at the 10x tree).
+    edges_cp = (
         users.select(
             F.col("user_id").alias("src"),
-            ((F.col("user_id") * 13 + 11) % 1000).alias("dst"),
+            ((F.col("user_id") * 7 + 3) % 1000).alias("dst"),
         )
+        .unionByName(
+            users.select(
+                F.col("user_id").alias("src"),
+                ((F.col("user_id") * 13 + 11) % 1000).alias("dst"),
+            )
+        )
+        .localCheckpoint(eager=True)
     )
+    edges = F.broadcast(edges_cp)
     dist = (
         users.filter(F.col("user_id") % _ECC_SEED_MOD == 0)
         .selectExpr(
@@ -2364,6 +2375,11 @@ def graph_eccentricity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
+    # One eager checkpoint per round (A/B'd r14 against a lazy
+    # 4-round-segment cadence: the segment plan's 2^4 dist references
+    # recompute within the segment faster than they reuse — 4.0 s vs
+    # 3.2 s at sf0.1, worse again at 10x; per-round materialization of
+    # the tiny state wins).
     for k in range(1, _ECC_H + 1):
         frontier = dist.filter(F.col("d") == k - 1)
         step = frontier.join(
@@ -2376,7 +2392,8 @@ def graph_eccentricity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("d").cast("bigint").alias("d"))
             .localCheckpoint(eager=True)
         )
-        prev.unpersist()
+        release_checkpoint(prev)
+    release_checkpoint(edges_cp)
     return (
         dist.groupBy("seed")
         .agg(
