@@ -1364,13 +1364,14 @@ def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("phrase"),
         F.count(F.lit(1)).cast("bigint").alias("plen"),
     )
-    wstats = (
-        nonstop.join(phrases, ["doc_id", "island"])
-        .groupBy("w")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("freq"),
-            F.sum("plen").cast("bigint").alias("deg"),
-        )
+    # member = (word occurrence x its phrase) feeds BOTH the word-stat
+    # aggregate and the phrase-score join; without the persist the
+    # phrase window+groupBy and the member join re-executed per leg
+    # (the r14 multi-leg-recompute lesson).
+    member = nonstop.join(phrases, ["doc_id", "island"]).persist()
+    wstats = member.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+        F.sum("plen").cast("bigint").alias("deg"),
     )
     wscore = wstats.selectExpr(
         "w",
@@ -1378,8 +1379,7 @@ def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         " * 1000000 + 0.5) AS BIGINT) AS s_micro",
     )
     pscore = (
-        nonstop.join(phrases, ["doc_id", "island"])
-        .join(wscore, "w")
+        member.join(wscore, "w")
         .groupBy("doc_id", "island", "phrase", "plen")
         .agg(F.sum("s_micro").cast("bigint").alias("score_micro"))
     )
@@ -1398,7 +1398,7 @@ def text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from cdc_pubsub_spark.tables import finalize_cached
 
-    return finalize_cached(out, nonstop)
+    return finalize_cached(out, nonstop, member)
 
 
 _CURR_Q_SQL = (
