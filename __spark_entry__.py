@@ -126,10 +126,9 @@ def _certification_state() -> tuple[set[str], dict[str, int], dict[str, int]]:
 # (~12 with a 50-slot window) — counts derived from
 # len(CORRECTNESS never-sampled) at session open, not hand-tracked.
 _RECERTIFY: list[str] = [
-    # r14: socket harness gained per-connection send timeouts + main-thread
-    # connection cleanup (r13 ADVICE item 5) — same oracle, changed
-    # transport implementation.
-    "stream_socket_ingest",
+    # r15 changed-op recertifies accumulate here as the round's fixes land
+    # (r14's socket recertify landed green in CORRECTNESS_r14 and rotated
+    # out at session open).
 ]
 
 # New ops added THIS round that should be pushed to the END of the ordering
@@ -149,11 +148,11 @@ _RECERTIFY: list[str] = [
 # the policy is the budget discipline on _RECERTIFY's size and the
 # registry freeze-until-drained rule.
 _DEFER_TO_NEXT_ROUND: set[str] = {
-    # r14 post-close extension (the r12-extension precedent): the r14
-    # window is fully committed (1 recertify + 37 never-sampled + 12
-    # stalest-r04), so the one extension op defers and leads r15.
-    "graph_stress_sample",
+    # r15 growth defers here if the window fills (the r12/r14 precedent).
 }
+# r15 session-open: graph_stress_sample (the r14 post-close extension, the
+# registry's only never-sampled op) was released from the defer set — it
+# leads the r15 window via rest_new (r14 VERDICT item 1).
 # r14 session-open: the 37 r13 wave ops deferred here last round were
 # released — with CORRECTNESS_r13 ingested (50/50 green) they are the only
 # never-sampled ops and lead the r14 window via rest_new automatically
