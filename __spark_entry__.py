@@ -126,9 +126,17 @@ def _certification_state() -> tuple[set[str], dict[str, int], dict[str, int]]:
 # (~12 with a 50-slot window) — counts derived from
 # len(CORRECTNESS never-sampled) at session open, not hand-tracked.
 _RECERTIFY: list[str] = [
-    # r15 changed-op recertifies accumulate here as the round's fixes land
-    # (r14's socket recertify landed green in CORRECTNESS_r14 and rotated
-    # out at session open).
+    # r15 changed-op recertifies (r14's socket recertify landed green in
+    # CORRECTNESS_r14 and rotated out at session open).
+    # r14 ADVICE item 2: shutdown-race connection sweep in the socket
+    # server (transport change, same oracle).
+    "stream_socket_ingest",
+    # r14 ADVICE item 1: edge-relation broadcast hint now gated on
+    # measured row count (plan change, same semantics).
+    "graph_eccentricity_sample",
+    # r14 ADVICE item 4: per-pass candidate frame persisted; recall check
+    # and final top-20 share one grid join (plan change, same output).
+    "join_spatial_grid",
 ]
 
 # New ops added THIS round that should be pushed to the END of the ordering

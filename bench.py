@@ -509,12 +509,17 @@ def main() -> None:
             except Exception as exc:
                 streaming_tier[name] = {"error": str(exc)[:160]}
                 continue
-            sec = round(time.perf_counter() - t0, 3)
+            elapsed = time.perf_counter() - t0
+            sec = round(elapsed, 3)
             entry: dict = {"wall_sec": sec, "out_rows": out_rows}
             if in_tbl:
                 entry["input_table"] = in_tbl
                 entry["input_rows"] = _tbl_rows[in_tbl]
-                entry["rows_per_sec"] = round(_tbl_rows[in_tbl] / sec, 1)
+                # Throughput from the UNROUNDED wall (r14 ADVICE item 3):
+                # a sub-millisecond wall rounds to 0.0 and would abort the
+                # whole bench run with ZeroDivisionError.
+                if elapsed > 0:
+                    entry["rows_per_sec"] = round(_tbl_rows[in_tbl] / elapsed, 1)
             streaming_tier[name] = entry
         detail["streaming_tier"] = {
             "sf_dir": stream_dir,

@@ -2279,6 +2279,27 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ECC_H = 8  # BFS horizon (rounds); also the eccentricity cap
 _ECC_SEED_MOD = 4  # seeds = users with user_id % 4 == 0
 
+# Broadcast gate for fact-derived edge relations (r14 ADVICE item 1): the
+# sampled-centrality BFS loops want the edge relation broadcast (it feeds
+# 7-8 separate eager-checkpoint jobs, so AQE's per-query stats never
+# carry over), but the relation's row count scales with distinct users —
+# an unconditional F.broadcast would bypass Spark's size threshold and
+# OOM the driver at large scale factors instead of falling back to a
+# shuffle join. 4M rows of two BIGINTs ≈ 64 MB serialized — comfortably
+# inside default driver headroom, far under the 8 GB broadcast hard cap.
+_EDGE_BCAST_ROW_GATE = 4_000_000
+
+
+def _gated_broadcast(df: DataFrame) -> DataFrame:
+    """Apply F.broadcast only when the measured row count is under the
+    gate; the caller passes an already-localCheckpointed relation, so
+    the count is a cheap local-block scan, not a recompute. Over the
+    gate the hint is dropped and AQE picks the join strategy from
+    actual sizes (shuffle join / skew split as needed)."""
+    if df.count() <= _EDGE_BCAST_ROW_GATE:
+        return F.broadcast(df)
+    return df
+
 
 def _ecc_round_sql(k: int) -> str:
     """One sparse min-plus BFS round as a MATERIALIZED DuckDB CTE."""
@@ -2365,7 +2386,7 @@ def graph_eccentricity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    edges = F.broadcast(edges_cp)
+    edges = _gated_broadcast(edges_cp)
     dist = (
         users.filter(F.col("user_id") % _ECC_SEED_MOD == 0)
         .selectExpr(
@@ -2670,7 +2691,7 @@ def graph_stress_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
-    edges = F.broadcast(edges_cp)
+    edges = _gated_broadcast(edges_cp)
     dist = (
         users.filter(F.col("user_id") % _STRESS_SEED_MOD == 0)
         .selectExpr(

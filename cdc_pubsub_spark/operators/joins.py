@@ -1244,9 +1244,16 @@ def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # it runs all the way up).
     r0 = max(4, min(100, 5500 // max(n_pts, 1) + 1))
     schedule = sorted({r0, min(100, r0 * 4), 100})
+    # Persist each pass's candidate frame so the recall check and the
+    # final top-20 share ONE grid-join computation (r14 ADVICE item 4:
+    # the winning pairs frame was recomputed from scratch for the final
+    # orderBy/limit — a full extra grid pass per invocation). A losing
+    # pass's cache is dropped before escalating.
     pairs = None
     for cell in schedule:
-        pairs = pairs_at(cell)
+        if pairs is not None:
+            pairs.unpersist(blocking=False)
+        pairs = pairs_at(cell).persist()
         if cell >= 100 or pairs.limit(20).count() >= 20:
             break
     w = Window.orderBy("cheb", "ua", "ub")
@@ -1255,7 +1262,7 @@ def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .withColumn("rnk", F.row_number().over(w))
     )
-    return finalize_cached(out, pts)
+    return finalize_cached(out, pts, pairs)
 
 
 @register(

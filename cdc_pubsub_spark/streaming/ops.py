@@ -1640,6 +1640,16 @@ def stream_socket_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # the blocked send raises, the loop re-checks done_evt,
                 # and the iterator job is released.
                 conn.settimeout(2.0)
+                if done_evt.is_set():
+                    # Accepted in the race window after shutdown began:
+                    # the main thread's close loop may already have run,
+                    # so close here instead of appending a conn nobody
+                    # will reap (r14 ADVICE item 2).
+                    try:
+                        conn.close()
+                    except OSError:
+                        pass
+                    continue
                 conns.append(conn)
                 try:
                     _stream_payload(conn)
@@ -1702,6 +1712,16 @@ def stream_socket_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Closing accepted connections from HERE aborts any sendall the
         # server thread is blocked in (its own finally can't run while
         # it is blocked), releasing the toLocalIterator job promptly.
+        for c in conns:
+            try:
+                c.close()
+            except OSError:
+                pass
+        # A conn accepted BEFORE done_evt.set() but appended AFTER the
+        # loop above raced past the cleanup — join the server thread
+        # (bounded by its 0.5 s accept timeout + 2 s send timeout) and
+        # sweep again so nothing leaks to process exit (r14 ADVICE).
+        t.join(timeout=4.0)
         for c in conns:
             try:
                 c.close()
