@@ -137,6 +137,10 @@ _RECERTIFY: list[str] = [
     # r14 ADVICE item 4: per-pass candidate frame persisted; recall check
     # and final top-20 share one grid join (plan change, same output).
     "join_spatial_grid",
+    # r14 VERDICT item 2: single-pass rewrite — marginal ranks via
+    # shared-sort RANGE window frames on the joint bin relation, moments
+    # from the integer centering identities (no joins; 3.6 s -> 1.8 s).
+    "ml_spearman_rho",
 ]
 
 # New ops added THIS round that should be pushed to the END of the ordering

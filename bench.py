@@ -367,10 +367,21 @@ def main() -> None:
             for name in probe_ops:
                 per: dict[str, float] = {}
                 for key, d in (("sf01", sf_dir), ("sf1", scale_dir)):
-                    spark.catalog.clearCache()
-                    t0 = time.perf_counter()
-                    n_rows = len(REGISTRY[name].fn(spark, d).collect())
-                    per[f"{key}_sec"] = round(time.perf_counter() - t0, 3)
+                    # Min-of-2 per (op, sf) from r15: the ratio gate was
+                    # repeatedly tripped by single-shot noise (r14 read
+                    # basket_brand_pairs at 2.75x; an interleaved
+                    # min-of-4 A/B re-measured 1.45x). The first pass
+                    # additionally pays codegen-compile for the op's
+                    # nested lambdas — min-of-2 removes both artifacts
+                    # for ~2x probe-tier cost, paid once per close.
+                    walls = []
+                    for _pass in range(2):
+                        spark.catalog.clearCache()
+                        t0 = time.perf_counter()
+                        n_rows = len(REGISTRY[name].fn(spark, d).collect())
+                        walls.append(time.perf_counter() - t0)
+                    per[f"{key}_sec"] = round(min(walls), 3)
+                    per[f"{key}_walls"] = [round(w, 3) for w in walls]
                     per[f"{key}_rows"] = n_rows
                 per["ratio"] = round(per["sf1_sec"] / per["sf01_sec"], 2)
                 # Output-quadratic pair emitters (round-10 VERDICT item
@@ -403,6 +414,76 @@ def main() -> None:
                 "serial_top10": slowest,
                 "plan_flagged": plan_flagged,
                 "first_round": first_round,
+            }
+
+    # Optional 100x-direction probe (SPARK_GRAFT_BENCH_SCALE10=1, r14
+    # VERDICT item 6): the 10x tree is too small to expose super-linear
+    # terms in the heaviest ops (graph horizon joins, collect_set
+    # baskets) — re-time the top-10 serial ops at 100x the bench data
+    # (the sf10 tree from `SPARK_GRAFT_SCALE_REPLICAS=100
+    # scripts/gen_scale_probe.py`). Gate: raw ratio <= the 100x data
+    # multiplier for linear ops (per-output-row for declared
+    # output-quadratic emitters). Single-shot at sf10 (the 100x gate
+    # has ~2 decades of headroom over timing noise); the sf0.1 side
+    # reuses min-of-2.
+    if os.environ.get("SPARK_GRAFT_BENCH_SCALE10"):
+        scale10_dir = os.environ.get(
+            "SPARK_GRAFT_SCALE10_DIR",
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                ".scale_probe",
+                "sf10",
+            ),
+        )
+        if not os.path.isdir(scale10_dir):
+            print(
+                f"bench: sf10 probe skipped, no tree at {scale10_dir} "
+                "(run SPARK_GRAFT_SCALE_REPLICAS=100 "
+                "SPARK_GRAFT_SCALE_DIR=.scale_probe/sf10 "
+                "scripts/gen_scale_probe.py)",
+                file=sys.stderr,
+            )
+        else:
+            slowest10 = sorted(
+                serial_top or times, key=lambda n: -(serial_top or times)[n]
+            )[:10]
+            probe10: dict[str, dict[str, float]] = {}
+            for name in slowest10:
+                per = {}
+                walls = []
+                for _pass in range(2):
+                    spark.catalog.clearCache()
+                    t0 = time.perf_counter()
+                    n_rows = len(
+                        REGISTRY[name].fn(spark, sf_dir).collect()
+                    )
+                    walls.append(time.perf_counter() - t0)
+                per["sf01_sec"] = round(min(walls), 3)
+                per["sf01_rows"] = n_rows
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                n_rows10 = len(
+                    REGISTRY[name].fn(spark, scale10_dir).collect()
+                )
+                per["sf10_sec"] = round(time.perf_counter() - t0, 3)
+                per["sf10_rows"] = n_rows10
+                per["ratio"] = round(per["sf10_sec"] / per["sf01_sec"], 2)
+                if name in OUTPUT_QUADRATIC and per["sf01_rows"] > 0 and (
+                    per["sf10_rows"] > 0
+                ):
+                    per["ratio_per_output_row"] = round(
+                        (per["sf10_sec"] / per["sf10_rows"])
+                        / (per["sf01_sec"] / per["sf01_rows"]),
+                        3,
+                    )
+                probe10[name] = per
+            detail["scale_probe_sf10"] = {
+                "data_multiplier": 100,
+                "gate": (
+                    "ratio <= 100 (data multiplier) for linear ops; "
+                    "ratio_per_output_row ~O(1) for output_quadratic"
+                ),
+                "ops": probe10,
             }
 
     # Optional sf1 headline tier (SPARK_GRAFT_BENCH_SF1=1): serial wall
@@ -531,6 +612,53 @@ def main() -> None:
             ),
             "ops": streaming_tier,
         }
+        # Round-over-round teeth (r14 VERDICT item 7): compare this
+        # run's per-op rows/s against the previous committed sidecar's
+        # streaming_tier and flag >30% throughput regressions, so a
+        # transport-harness slowdown surfaces in the artifact instead
+        # of waiting for a judge's hand diff. Raw-wall noise on these
+        # sub-second harnesses is real — the flag list is a triage
+        # queue, not a gate.
+        try:
+            with open(
+                os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "BENCH_DETAIL.json",
+                )
+            ) as fh:
+                _prev_st = (
+                    json.load(fh).get("streaming_tier") or {}
+                ).get("ops") or {}
+        except (OSError, ValueError):
+            _prev_st = {}
+        _st_deltas: dict[str, dict] = {}
+        _st_flags: list[str] = []
+        for name, entry in streaming_tier.items():
+            prev = _prev_st.get(name) or {}
+            cur_rps, prev_rps = entry.get("rows_per_sec"), prev.get(
+                "rows_per_sec"
+            )
+            if not (
+                isinstance(cur_rps, (int, float))
+                and isinstance(prev_rps, (int, float))
+                and prev_rps > 0
+            ):
+                continue
+            ratio = round(cur_rps / prev_rps, 3)
+            _st_deltas[name] = {
+                "rows_per_sec_prev": prev_rps,
+                "rows_per_sec_now": cur_rps,
+                "throughput_ratio": ratio,
+            }
+            if ratio < 0.7:
+                _st_flags.append(name)
+        if _st_deltas:
+            detail["streaming_tier_delta"] = {
+                "vs": "previous committed BENCH_DETAIL.json",
+                "regression_gate": "throughput_ratio < 0.7 flags",
+                "flagged": sorted(_st_flags),
+                "ops": _st_deltas,
+            }
 
     # Host-drift control (round-11 VERDICT item 6): a FIXED synthetic
     # workload, independent of the registry, timed in the same process
@@ -649,6 +777,12 @@ def main() -> None:
             "serial_wall_sec": duck_wall,
             "n_queries": len(orcs),
             "threads": 1,
+            # The Spark wall THIS ratio was computed against (r14 VERDICT
+            # item 5): the sidecar's top-level "value" can be overwritten
+            # by a later driver re-run that merge-preserves this block,
+            # so without the stamp the committed ratio and the committed
+            # wall can silently refer to different sittings.
+            "spark_wall_used": wall,
             "ratio_spark_over_duckdb": round(wall / duck_wall, 3),
         }
     detail_path = os.path.join(
@@ -663,9 +797,11 @@ def main() -> None:
     preservable = (
         "paired_duckdb",
         "scale_probe",
+        "scale_probe_sf10",
         "probe_selection",
         "sf1_headline",
         "streaming_tier",
+        "streaming_tier_delta",
     )
     try:
         with open(detail_path) as fh:

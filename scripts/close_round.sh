@@ -28,5 +28,5 @@ if [[ "${1:-}" != "--no-bench" ]]; then
   # First run after boot reads cold page cache — discard it.
   python bench.py > /dev/null 2>&1 || true
   SPARK_GRAFT_BENCH_SCALE=1 SPARK_GRAFT_BENCH_PAIR=1 SPARK_GRAFT_BENCH_SF1=1 \
-    SPARK_GRAFT_BENCH_STREAM=1 python bench.py
+    SPARK_GRAFT_BENCH_STREAM=1 SPARK_GRAFT_BENCH_SCALE10=1 python bench.py
 fi

@@ -44,7 +44,14 @@ from pyspark.sql import DataFrame, functions as F
 
 from cdc_pubsub_spark.session import get_spark
 
-REPLICAS = 10
+# Replica count is env-tunable from r15: REPLICAS=10 builds the standard
+# 10x tree (.scale_probe/sf1); REPLICAS=100 with SPARK_GRAFT_SCALE_DIR
+# pointed at .scale_probe/sf10 builds the 100x-direction tree for the
+# heavy-tier probe (r14 VERDICT item 6 — the 10x tree is too small to
+# expose super-linear terms in the graph horizon joins / collect_set
+# baskets). Key shifts stay replica * 2^40: at 100 replicas the max key
+# is ~1.1e14, far inside int64 for every reduced-key hash site.
+REPLICAS = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICAS", "10"))
 OFF = 1 << 40  # > any sf0.1 key; preserves power-of-two `% m` only (see above)
 
 KEY_COLS = {
@@ -61,17 +68,35 @@ DIMS = ["region", "nation"]
 
 
 def replicate(df: DataFrame, table: str) -> DataFrame:
-    out = None
-    for i in range(REPLICAS):
-        rep = df
-        for k in KEY_COLS[table]:
-            rep = rep.withColumn(k, F.col(k) + F.lit(i * OFF))
-        if table == "documents" and i > 0:
-            rep = rep.withColumn(
-                "text", F.concat(F.col("text"), F.lit(f" r{i}"))
-            ).withColumn("n_chars", F.length("text").cast("bigint"))
-        out = rep if out is None else out.unionByName(rep)
-    return out
+    # ONE scan with an exploded replica index (r15; the old per-replica
+    # unionByName built an N-branch plan that re-read the source N times
+    # — fine at N=10, pathological at N=100).
+    rep = df.withColumn(
+        "_r", F.explode(F.expr(f"sequence(0, {REPLICAS - 1})"))
+    )
+    for k in KEY_COLS[table]:
+        rep = rep.withColumn(k, F.col(k) + F.col("_r") * F.lit(OFF))
+    if table == "documents":
+        # Per-replica text suffix (replica 0 byte-identical to the
+        # source) so corpus-dedup group structure is preserved — see
+        # module docstring.
+        rep = rep.withColumn(
+            "text",
+            F.when(
+                F.col("_r") > 0,
+                F.concat(
+                    F.col("text"),
+                    F.lit(" r"),
+                    F.col("_r").cast("string"),
+                ),
+            ).otherwise(F.col("text")),
+        ).withColumn(
+            "n_chars",
+            F.when(F.col("_r") > 0, F.length("text").cast("bigint")).otherwise(
+                F.col("n_chars")
+            ),
+        )
+    return rep.drop("_r")
 
 
 def main() -> None:
@@ -103,11 +128,12 @@ def main() -> None:
     for t in KEY_COLS:
         df = spark.read.parquet(f"{src}/{t}.parquet")
         rep = replicate(df, t)
-        # 10x sf0.1 in ~8-16 files per table: big enough for parallel
-        # scans, small enough that listing stays trivial.
-        rep.repartition(8).write.mode("overwrite").parquet(
-            f"{dst}/{t}.parquet"
-        )
+        # 10x sf0.1 in ~8-16 files per table (32 for the 100x tree):
+        # big enough for parallel scans, small enough that listing
+        # stays trivial.
+        rep.repartition(8 if REPLICAS <= 10 else 32).write.mode(
+            "overwrite"
+        ).parquet(f"{dst}/{t}.parquet")
         n = spark.read.parquet(f"{dst}/{t}.parquet").count()
         print(f"{t}: {n} rows")
     print(f"scale probe tree written to {dst}")
