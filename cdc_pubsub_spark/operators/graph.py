@@ -2762,3 +2762,231 @@ def graph_stress_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     for cp in g_cps:
         release_checkpoint(cp)
     return out
+
+
+# --- r15 growth: sampled betweenness (canonical-path RK estimator) ---------
+_BTW_H = 4  # BFS horizon: paths longer than H hops are outside the sample
+_BTW_SEED_MOD = 4  # sources = users with user_id % 4 == 0
+_BTW_TGT_MOD = 8  # targets = edge-destination nodes with dst % 8 == 0
+
+
+def _btw_fwd_sql(k: int) -> str:
+    """One canonical-parent BFS round as a MATERIALIZED DuckDB CTE: a
+    node first reached at distance k records par = MIN(frontier
+    predecessor) — the lexicographic tie-break that makes the sampled
+    path canonical (deterministic), so membership counts are integers
+    both engines replay exactly."""
+    return f"""
+    b{k} AS MATERIALIZED (
+      SELECT seed, node, d, par FROM b{k - 1}
+      UNION ALL
+      SELECT c.seed, c.node, CAST({k} AS BIGINT) AS d, c.par
+      FROM (
+        SELECT p.seed, e.dst AS node, CAST(min(p.node) AS BIGINT) AS par
+        FROM b{k - 1} p JOIN sedges e ON e.src = p.node
+        WHERE p.d = {k - 1}
+        GROUP BY p.seed, e.dst
+      ) c
+      WHERE NOT EXISTS (
+        SELECT 1 FROM b{k - 1} o
+        WHERE o.seed = c.seed AND o.node = c.node
+      )
+    )"""
+
+
+def _btw_walk_sql(i: int) -> str:
+    """One backward step of the canonical-path walk: follow the parent
+    pointer of the previous walk row; d >= 1 keeps interior nodes only
+    (the walk stops when it reaches the seed at d = 0)."""
+    prev = "w1" if i == 2 else f"w{i - 1}"
+    return f"""
+    w{i} AS MATERIALIZED (
+      SELECT w.seed, f.node, f.d, f.par
+      FROM {prev} w JOIN b{_BTW_H} f
+        ON f.seed = w.seed AND f.node = w.par
+      WHERE f.d >= 1
+    )"""
+
+
+@register(
+    "graph_betweenness_sample",
+    category="graph",
+    oracle=f"""
+    WITH users AS MATERIALIZED (SELECT DISTINCT user_id FROM events),
+    sedges AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM (
+        SELECT user_id AS src, (user_id * 7 + 3) % 1000 AS dst FROM users
+        UNION ALL
+        SELECT user_id, (user_id * 13 + 11) % 1000 FROM users
+      ) WHERE src <> dst
+    ),
+    b0 AS MATERIALIZED (
+      SELECT user_id AS seed, user_id AS node,
+             CAST(0 AS BIGINT) AS d, CAST(NULL AS BIGINT) AS par
+      FROM users WHERE user_id % {_BTW_SEED_MOD} = 0
+    ),
+    {", ".join(_btw_fwd_sql(k).strip() for k in range(1, _BTW_H + 1))},
+    targets AS MATERIALIZED (
+      SELECT s.seed, g.t
+      FROM (SELECT user_id AS seed FROM users
+            WHERE user_id % {_BTW_SEED_MOD} = 0) s
+      CROSS JOIN (SELECT DISTINCT dst AS t FROM sedges
+                  WHERE dst % {_BTW_TGT_MOD} = 0) g
+      WHERE g.t <> s.seed
+    ),
+    npairs AS MATERIALIZED (
+      SELECT CAST(count(*) AS BIGINT) AS n_pairs
+      FROM targets tg JOIN b{_BTW_H} f
+        ON f.seed = tg.seed AND f.node = tg.t
+    ),
+    w1 AS MATERIALIZED (
+      SELECT tg.seed, f2.node, f2.d, f2.par
+      FROM targets tg
+      JOIN b{_BTW_H} f ON f.seed = tg.seed AND f.node = tg.t
+      JOIN b{_BTW_H} f2 ON f2.seed = tg.seed AND f2.node = f.par
+      WHERE f2.d >= 1
+    ),
+    {", ".join(_btw_walk_sql(i).strip() for i in range(2, _BTW_H))},
+    interior AS MATERIALIZED (
+      {" UNION ALL ".join(f"SELECT seed, node FROM w{i}"
+                          for i in range(1, _BTW_H))}
+    )
+    SELECT node,
+           CAST(count(*) AS BIGINT) AS paths_through,
+           n_pairs AS n_pairs_sampled,
+           floor(count(*) / CAST(n_pairs AS DOUBLE) * 10000 + 0.5) / 10000
+             AS btw_hat
+    FROM interior CROSS JOIN npairs
+    GROUP BY node, n_pairs
+    ORDER BY paths_through DESC, node
+    LIMIT 20
+    """,
+)
+def graph_betweenness_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLED BETWEENNESS CENTRALITY via the Riondato-Kornaropoulos
+    device (VLDB 2016: estimate betweenness from r sampled shortest
+    paths, epsilon bounded by the VC dimension of the path range space)
+    over the same directed follow graph as graph_stress_sample — the
+    flow-centrality rung the r14 verdict asked for next. For each
+    sampled (source, target) pair, ONE shortest path is selected and
+    every interior node's membership counter increments;
+    betweenness_hat(v) = paths_through(v) / n_pairs_sampled.
+
+    INTEGER-EXACT by construction (the graph_stress_sample discipline:
+    the float members of the betweenness family sum ratio deltas whose
+    cross-partition order is not reproducible): where RK picks the
+    path uniformly at random among sigma_st ties, this op picks the
+    CANONICAL path — each node's parent pointer is the MINIMUM
+    frontier predecessor (lexicographic tie-break), so the sampled
+    path is a pure function of the graph, membership counts are exact
+    BIGINTs, and the DuckDB oracle replays the identical BFS rounds
+    and parent-chain walk as MATERIALIZED CTEs. The only float is the
+    final division-created estimate (floor-formula r4 both engines).
+    The estimator bias vs uniform tie-sampling is the documented
+    trade: determinism buys a hash-certifiable oracle; the RK accuracy
+    frame (r pairs => additive-epsilon guarantee) is unchanged because
+    pair SELECTION, not path tie-breaking, carries the sampling
+    theorem.
+
+    Sample design: sources = the deterministic 1/{_BTW_SEED_MOD} seed
+    sample; targets = the deterministic 1/{_BTW_TGT_MOD} grid over the
+    edge-destination node domain, crossed with the sources (self-pairs
+    excluded; pairs whose target the source cannot reach within the
+    horizon drop out of the inner join against the distance relation)
+    — r = |reached pairs| is recorded as n_pairs_sampled so the
+    estimate's denominator is data, not convention. A single
+    affine-mapped target per source was built first and REJECTED by
+    the sf0.001 invariant test: a source's horizon reach is <=31 of
+    1000 nodes, so one target per source sampled ~zero reachable
+    pairs at small sf. Interior nodes exclude both endpoints (d >= 1
+    and the walk stops before the seed).
+
+    Scale shape: forward pass = the stress op's multi-source BFS (one
+    shuffle per round, frontier-proportional, localCheckpoint per
+    round, edge relation checkpointed once and broadcast under the
+    row-count gate); backward pass = {_BTW_H - 1} bounded joins of the
+    walk frontier (<= one row per sampled pair) against the final
+    distance relation — at 100 TB both passes partition by seed
+    (Brandes pivots) exactly like the production RK samplers.
+    """
+    users = load(spark, sf_dir, "events").select("user_id").distinct()
+    edges_cp = (
+        users.selectExpr(
+            "user_id AS src",
+            "explode(array((user_id * 7 + 3) % 1000,"
+            " (user_id * 13 + 11) % 1000)) AS dst",
+        )
+        .filter("src <> dst")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    edges = _gated_broadcast(edges_cp)
+    seeds = users.filter(F.col("user_id") % _BTW_SEED_MOD == 0)
+    dist = seeds.selectExpr(
+        "user_id AS seed",
+        "user_id AS node",
+        "CAST(0 AS BIGINT) AS d",
+        "CAST(NULL AS BIGINT) AS par",
+    ).localCheckpoint(eager=True)
+    for k in range(1, _BTW_H + 1):
+        frontier = dist.filter(F.col("d") == k - 1)
+        cand = (
+            frontier.join(edges, frontier.node == edges.src)
+            .groupBy("seed", F.col("dst").alias("nnode"))
+            .agg(F.min(frontier.node).cast("bigint").alias("npar"))
+        )
+        new = cand.join(
+            dist.selectExpr("seed AS s2", "node AS n2"),
+            (cand.seed == F.col("s2")) & (cand.nnode == F.col("n2")),
+            "left_anti",
+        ).selectExpr(
+            "seed", "nnode AS node", f"CAST({k} AS BIGINT) AS d", "npar AS par"
+        )
+        prev = dist
+        dist = dist.unionByName(new).localCheckpoint(eager=True)
+        release_checkpoint(prev)
+    grid = edges_cp.filter(F.col("dst") % _BTW_TGT_MOD == 0).select(
+        F.col("dst").alias("t")
+    ).distinct()
+    targets = (
+        seeds.selectExpr("user_id AS seed")
+        .crossJoin(F.broadcast(grid))
+        .filter(F.col("t") != F.col("seed"))
+    )
+    d_t = dist.selectExpr("seed AS ds", "node AS dn", "d", "par")
+    reached = targets.join(
+        d_t, (F.col("seed") == F.col("ds")) & (F.col("t") == F.col("dn"))
+    ).select("seed", "par")
+    n_pairs = F.broadcast(
+        reached.agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
+    walk = reached.select("seed", F.col("par").alias("cur"))
+    interiors = []
+    for _step in range(1, _BTW_H):
+        hop = walk.join(
+            d_t,
+            (F.col("seed") == F.col("ds")) & (F.col("cur") == F.col("dn")),
+        ).filter(F.col("d") >= 1)
+        interiors.append(hop.select("seed", F.col("cur").alias("node")))
+        walk = hop.select("seed", F.col("par").alias("cur"))
+    interior = interiors[0]
+    for extra in interiors[1:]:
+        interior = interior.unionByName(extra)
+    out = (
+        interior.groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("paths_through"))
+        .crossJoin(n_pairs)
+        .selectExpr(
+            "node",
+            "paths_through",
+            "n_pairs AS n_pairs_sampled",
+            "floor(paths_through / CAST(n_pairs AS DOUBLE) * 10000 + 0.5)"
+            " / 10000 AS btw_hat",
+        )
+        .orderBy(F.desc("paths_through"), "node")
+        .limit(20)
+    )
+    out = out.localCheckpoint(eager=True)
+    release_checkpoint(dist)
+    release_checkpoint(edges_cp)
+    return out
