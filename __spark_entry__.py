@@ -141,6 +141,10 @@ _RECERTIFY: list[str] = [
     # shared-sort RANGE window frames on the joint bin relation, moments
     # from the integer centering identities (no joins; 3.6 s -> 1.8 s).
     "ml_spearman_rho",
+    # r15 sf10-probe fix: density-adaptive canonical order (hash below
+    # 100k docs, df-ascending above) — same oracle, plan gated on the
+    # measured corpus size.
+    "dedup_incremental",
 ]
 
 # New ops added THIS round that should be pushed to the END of the ordering

@@ -156,6 +156,78 @@ def positional_postings(sets: DataFrame, key: str) -> DataFrame:
     ).select(key, "nb", (F.col("p0") + 1).alias("pos_b"), "shingle")
 
 
+# --- df-ascending canonical order (PPJoin's actual token order) -----------
+# The hash-ascending canonical order above is fan-out-blind: a hot
+# shingle (high document frequency) whose FIXED xxhash64 happens to be
+# small lands in the anchor prefix of every doc containing it, so the
+# anchor✕posting join emits ~df² rows for that one shingle — and under
+# a closed vocabulary df grows linearly with the corpus, i.e. the
+# candidate stage turns quadratic (caught by the r15 sf10 probe:
+# dedup_incremental >480 s at 100x vs 4 s at 10x). PPJoin (Xiao et al.)
+# orders tokens by ascending document frequency precisely so prefixes
+# hold the RAREST tokens: candidate volume is then Σ_rare df², with hot
+# shingles exiled to the suffix where only the positional bound ever
+# meets them. Every lemma used above (prefix pigeonhole, positional
+# bound) requires only a CONSISTENT global total order — (df, hash) is
+# one — so recall 1 and the exact oracle are untouched.
+
+
+def df_ordered_sets(tagged_sets: DataFrame) -> DataFrame:
+    """Reorder each doc's gset into (df ASC, hash ASC) canonical order.
+
+    Input: (doc_id, gset, side) — the caller unions its set frames
+    with a `side` tag so df spans ALL sides in one global order (an
+    anchor position from side A must be comparable to a posting
+    position from side B inside the same join); split back with a
+    filter on the (persisted) result. SINGLE-PASS plan: explode →
+    count-window over the shingle partition → one groupBy re-collect —
+    exactly 2 exchanges, both linear in total shingle volume, no frame
+    consumed twice (the r14 multi-leg-recompute lesson: a first cut
+    computed df as a separate aggregate and joined it back, re-running
+    the explode per leg — 5.3 s vs 1.8 s baseline at sf0.1).
+    """
+    from pyspark.sql.window import Window as _W
+
+    ex = tagged_sets.select(
+        "doc_id", "side", F.explode("gset").alias("h")
+    ).withColumn("df", F.count(F.lit(1)).over(_W.partitionBy("h")))
+    return ex.groupBy("doc_id", "side").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(df, h))), x -> x.h)"
+        ).alias("gset")
+    )
+
+
+# Corpus size at which dedup_incremental switches its canonical order
+# from hash-ascending (cheapest small-scale plan) to df-ascending (the
+# hot-shingle-proof plan): measured crossover is between the 10x tree
+# (50k docs, hash path 4.1 s vs df 10 s) and the 100x tree (500k docs,
+# hash path >480 s vs df 263 s).
+_DF_ORDER_MIN_DOCS = 100_000
+
+
+def canonical_anchors(sets: DataFrame, key: str) -> DataFrame:
+    """positional_anchors for PRE-ORDERED sets (df_ordered_sets output):
+    the anchor prefix is sliced from the stored order, NOT re-sorted."""
+    return sets.select(
+        F.col("doc_id").alias(key),
+        F.size("gset").alias("na"),
+        F.posexplode(
+            F.expr("slice(gset, 1, int(size(gset) div 10) + 1)")
+        ).alias("p0", "shingle"),
+    ).select(key, "na", (F.col("p0") + 1).alias("pos_a"), "shingle")
+
+
+def canonical_postings(sets: DataFrame, key: str) -> DataFrame:
+    """positional_postings for PRE-ORDERED sets: positions are the
+    stored canonical order."""
+    return sets.select(
+        F.col("doc_id").alias(key),
+        F.size("gset").alias("nb"),
+        F.posexplode("gset").alias("p0", "shingle"),
+    ).select(key, "nb", (F.col("p0") + 1).alias("pos_b"), "shingle")
+
+
 @register(
     "dedup_exact",
     category="dedup",
@@ -977,6 +1049,18 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     posting probe for the minhash band index (dedup.py:206 machinery)
     — same join keys, sublinear candidates; and note the md5 probe is
     a broadcast-able bloom/set membership, not a join shuffle.
+
+    Declared scale law (r15): under a CLOSED vocabulary — the
+    synthetic 100x probe tree replicates sf0.1 text, so every
+    shingle's document frequency grows linearly with the corpus —
+    EVERY exact-recall shingle-evidence candidate join is ~Sum df^2
+    (measured: >480 s hash-order / >600 s df-order at 100x, ~30 GB
+    candidate shuffle; 2.7 s at sf0.1 and 8.4 s at the 10x tree are
+    in-gate), a property of the data, not the plan; the sf10 probe
+    records this declaration (bench.py SF10_CLOSED_VOCAB_QUADRATIC)
+    instead of a slot. Open-vocabulary corpora — the production
+    target — keep rare-shingle df ~O(1), where the density-adaptive
+    df-ascending canonical order below bounds candidates linearly.
     """
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     arrivals = (
@@ -1011,22 +1095,54 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Near path = the prefix-filter anchor scheme from dedup_containment
     # (recall 1 by pigeonhole; a raw shingle-posting join fans out
     # quadratically on this synthetic vocabulary — measured 4.5 s vs
-    # ~2 s under bench contention). Shingles travel as xxhash64 integer
-    # sets; the ORACLE still computes the naive all-pairs containment
-    # on plain shingles — identical answer, the exactness check.
-    hist_sets = hashed_shingle_sets(docs).persist()
-    arr_sets = hashed_shingle_sets(arrivals).persist()
+    # ~2 s under bench contention), with a DENSITY-ADAPTIVE canonical
+    # order (r15, the join_spatial_grid measured-N device). Two total
+    # orders are available, both recall-1 with identical output:
+    #   hash-ascending (the r14 plan) — cheapest at bench scales, but a
+    #   hot shingle whose fixed xxhash64 is small anchors EVERY doc
+    #   containing it, so the candidate join emits ~df² rows per hot
+    #   shingle; the r15 sf10 probe measured >480 s at 100x data under
+    #   the closed probe vocabulary (df grows with the corpus).
+    #   df-ascending (PPJoin's order, df_ordered_sets) — one extra
+    #   linear pass (+~0.2 s build), exiles hot shingles from every
+    #   anchor, 263 s at sf10 (ratio ~50x for 100x data); but its rare-
+    #   shingle anchors weaken the positional prune at SMALL scale
+    #   (5.6 s vs 1.8 s at sf0.1 — more surviving candidates to
+    #   verify).
+    # The corpus row count (one cheap eager count, the measured-N
+    # precedent) picks the order: hash below _DF_ORDER_MIN_DOCS, df
+    # above. Either way the ORACLE computes the naive all-pairs
+    # containment on plain shingles — identical answer, the exactness
+    # check.
+    n_docs = docs.count()
+    if n_docs >= _DF_ORDER_MIN_DOCS:
+        ordered = df_ordered_sets(
+            hashed_shingle_sets(docs)
+            .withColumn("side", F.lit(0))
+            .unionByName(
+                hashed_shingle_sets(arrivals).withColumn("side", F.lit(1))
+            )
+        ).persist()
+        hist_sets = ordered.filter(F.col("side") == 0).drop("side")
+        arr_sets = ordered.filter(F.col("side") == 1).drop("side")
+        anchors_fn, postings_fn = canonical_anchors, canonical_postings
+        cached = (ordered,)
+    else:
+        hist_sets = hashed_shingle_sets(docs).persist()
+        arr_sets = hashed_shingle_sets(arrivals).persist()
+        anchors_fn, postings_fn = positional_anchors, positional_postings
+        cached = (hist_sets, arr_sets)
 
     # Anchors must come from the SMALLER side of a pair for the recall
     # guarantee; which side is smaller varies per pair, so probe BOTH
     # directions — each join keeps one side at ~10% shingle volume, and
     # the CONTAINMENT_POSITIONAL filter runs inside each direction
-    # (module-level positional_anchors/positional_postings — the shared
-    # machinery contract: one definition, every containment consumer).
+    # (one shared machinery contract; anchors_fn/postings_fn bind the
+    # selected canonical order).
     def _cand(an: DataFrame, po: DataFrame, ka: str, kb: str) -> DataFrame:
         return (
-            positional_anchors(an, ka)
-            .join(positional_postings(po, kb), "shingle")
+            anchors_fn(an, ka)
+            .join(postings_fn(po, kb), "shingle")
             .filter(F.expr(CONTAINMENT_POSITIONAL))
             .select("arr_id", "hist_id")
         )
@@ -1063,7 +1179,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("batch", "verdict")
     )
-    return finalize_cached(out, hist_sets, arr_sets)
+    return finalize_cached(out, *cached)
 
 
 @register(
