@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from cdc_pubsub_spark.llmops.corpus import (
     CORPUS_CTE,
@@ -1348,3 +1349,103 @@ def dedup_levenshtein_block(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_a", "doc_b")
     )
     return finalize_cached(out, blocked)
+
+
+# --- r15 growth: ExactSubstr duplicated-span rate --------------------------
+_SPAN_W = 64  # character window width (Lee et al. use 50-token spans)
+_SPAN_STRIDE = 16  # window stride: 4x overlap, bounded volume
+
+
+@register(
+    "text_dup_span_rate",
+    category="dedup",
+    oracle=f"""
+    WITH {CORPUS_CTE.strip()},
+    wins AS (
+      SELECT doc_id,
+             CAST(doc_id // 1000000 AS BIGINT) AS batch,
+             ('0x' || substr(md5(substr(text, CAST(i AS INT), {_SPAN_W})),
+                             1, 15))::BIGINT AS h
+      FROM corpus,
+           LATERAL unnest(range(1, length(text) - {_SPAN_W - 2},
+                                {_SPAN_STRIDE})) AS u(i)
+      WHERE length(text) >= {_SPAN_W}
+    ),
+    flag AS (
+      SELECT batch, doc_id,
+             CASE WHEN min(doc_id) OVER (PARTITION BY h)
+                       <> max(doc_id) OVER (PARTITION BY h)
+                  THEN 1 ELSE 0 END AS dup
+      FROM wins
+    )
+    SELECT batch,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(sum(dup) AS BIGINT) AS n_dup,
+           floor(sum(dup) / CAST(count(*) AS DOUBLE) * 10000 + 0.5) / 10000
+             AS dup_rate
+    FROM flag
+    GROUP BY batch
+    ORDER BY batch
+    """,
+)
+def text_dup_span_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr DUPLICATED-SPAN RATE (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better": substring-level
+    duplication is what suffix-array ExactSubstr dedup removes): the
+    fraction of {_SPAN_W}-char rolling windows (stride {_SPAN_STRIDE})
+    that occur in MORE THAN ONE document, reported per corpus batch
+    over the shared dup corpus (0 = originals, 1 = planted exact
+    copies, 2 = planted near copies) — the measurement a training-data
+    pipeline runs BEFORE deciding whether span-level dedup is worth a
+    pass, and the planted batches make the recovered rates a pure
+    function of the data (exact copies duplicate every window; near
+    copies share all but the suffix-adjacent tail).
+
+    Scale shape — the reason this op exists beside the pair-emitting
+    dedup family: cross-doc duplication is detected with ZERO pair
+    enumeration. Windows hash to portable 60-bit md5 keys (the
+    dedup_minhash_banded hex-parse device, bit-identical in both
+    engines); ONE exchange on the hash key and two shared-sort window
+    aggregates (min/max doc_id over the hash partition — distinct-doc
+    evidence without count-distinct) mark each window instance dup or
+    unique in place; ONE exchange on the batch key aggregates the
+    rates. Work is linear in total window volume even when every span
+    is duplicated 100x (the r15 sf10 tree's replica regime, where the
+    anchorsxpostings containment join goes ~Sum df^2 and had to be
+    declared) — a hot span only widens its sort partition, it never
+    joins. The window extraction is a bounded transform-sequence
+    lambda (~(len-{_SPAN_W})/{_SPAN_STRIDE} windows/doc); at 100 TB
+    the hash exchange is the only fact-sized shuffle and partitions
+    by an effectively uniform 60-bit key — no skew, no salting needed.
+    """
+    corpus = dup_corpus(spark, sf_dir)
+    wins = corpus.filter(F.length("text") >= _SPAN_W).selectExpr(
+        "doc_id",
+        "CAST(doc_id div 1000000 AS BIGINT) AS batch",
+        f"explode(transform(sequence(1, length(text) - {_SPAN_W - 1},"
+        f" {_SPAN_STRIDE}),"
+        f" i -> cast(conv(substr(md5(substring(text, i, {_SPAN_W})),"
+        " 1, 15), 16, 10) as bigint))) AS h",
+    )
+    wh = Window.partitionBy("h")
+    flag = wins.select(
+        "batch",
+        "doc_id",
+        (
+            F.min("doc_id").over(wh) != F.max("doc_id").over(wh)
+        ).cast("int").alias("dup"),
+    )
+    return (
+        flag.groupBy("batch")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+            F.sum("dup").cast("bigint").alias("n_dup"),
+            F.expr(
+                "floor(sum(dup) / CAST(count(1) AS DOUBLE) * 10000 + 0.5)"
+                " / 10000"
+            ).alias("dup_rate"),
+        )
+        .orderBy("batch")
+    )

@@ -113,3 +113,82 @@ def test_betweenness_canonical_path_is_subset_of_stress_support(spark):
     # min_stress — so only assert the overlap is non-empty and that the
     # heaviest betweenness node carries stress.
     assert btw & stress, (btw, stress, min_stress)
+
+
+def _python_dup_span(
+    docs: list[tuple[int, str]],
+    near_suffix: str,
+    w: int = 64,
+    stride: int = 16,
+):
+    """Independent reference for text_dup_span_rate: literal substring
+    windows + a dict of window->docs, no hashing; the near-copy suffix
+    comes straight from corpus.py so the replay can never diverge from
+    the planted fixture."""
+    from collections import defaultdict
+
+    corpus = list(docs)
+    corpus += [(d + 1000000, t) for d, t in docs if d % 10 == 0]
+    corpus += [
+        (d + 2000000, t + near_suffix) for d, t in docs if d % 7 == 0
+    ]
+    owners = defaultdict(set)
+    wins = []
+    for d, t in corpus:
+        if len(t) < w:
+            continue
+        for i in range(0, len(t) - w + 1, stride):
+            s = t[i : i + w]
+            owners[s].add(d)
+            wins.append((d, s))
+    agg: dict[int, list[int]] = {}
+    docs_per_batch: dict[int, set] = {}
+    for d, s in wins:
+        b = d // 1000000
+        n_win, n_dup = agg.get(b, (0, 0))
+        agg[b] = [n_win + 1, n_dup + (1 if len(owners[s]) > 1 else 0)]
+        docs_per_batch.setdefault(b, set()).add(d)
+    return {
+        b: (
+            len(docs_per_batch[b]),
+            n_win,
+            n_dup,
+            int(n_dup / n_win * 10000 + 0.5) / 10000,
+        )
+        for b, (n_win, n_dup) in agg.items()
+    }
+
+
+def test_dup_span_rate_matches_python_replay(spark):
+    from cdc_pubsub_spark.llmops.corpus import NEAR_SUFFIX
+
+    docs = [
+        (r["doc_id"], r["text"])
+        for r in load(spark, SF, "documents").select("doc_id", "text").collect()
+    ]
+    expected = _python_dup_span(docs, NEAR_SUFFIX)
+    got = {
+        r["batch"]: (
+            r["n_docs"],
+            r["n_windows"],
+            r["n_dup"],
+            r["dup_rate"],
+        )
+        for r in REGISTRY["text_dup_span_rate"].fn(spark, SF).collect()
+    }
+    assert got == expected, (got, expected)
+
+
+def test_dup_span_rate_planted_structure(spark):
+    rows = {
+        r["batch"]: r
+        for r in REGISTRY["text_dup_span_rate"].fn(
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+    }
+    # exact-copy batch: every window exists in the original too
+    assert rows[1]["dup_rate"] == 1.0
+    # near-copy batch: all but the suffix-adjacent tail duplicated
+    assert rows[2]["dup_rate"] > 0.8
+    # originals: only the 1-in-10 / 1-in-7 copied docs carry dup spans
+    assert 0.0 < rows[0]["dup_rate"] < 0.5
