@@ -23,7 +23,7 @@ from pyspark.sql.window import Window
 
 from cdc_pubsub_spark.functions.rounding import r2, r4
 from cdc_pubsub_spark.registry import register
-from cdc_pubsub_spark.tables import finalize_cached, load
+from cdc_pubsub_spark.tables import finalize_cached, load, release_checkpoint
 
 _Q3_CUTOFF = "1998-03-15"
 _Q10_START = "1996-01-01"
@@ -12547,3 +12547,161 @@ def ts_sample_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("event_type")
     )
     return finalize_cached(out, seq, tpl)
+
+
+# --- r15 growth: dynamic time warping (unrolled exact DP) ------------------
+_DTW_N = 12  # series length: monthly buckets of one year
+
+
+def _dtw_row_cells(i: int) -> list[str]:
+    """DTW DP row i as an expression list: cell (i, j) references the
+    previous ROW's cells as ordinary columns (a prior CTE / select
+    stage) and the previous cell of its OWN row via a LATERAL COLUMN
+    ALIAS — supported by BOTH Spark 4 and DuckDB, so the IDENTICAL
+    generated text runs on the two engines and the oracle is the
+    computation, not a re-derivation. One row per stage keeps the
+    alias-inlining linear (a single flat 144-cell SELECT hung DuckDB:
+    it inlines lateral aliases textually and the min-plus references
+    expand transitively). All-integer: costs are abs(count - count),
+    accumulation is min-plus — exact BIGINT algebra end to end (the
+    graph_stress_sample discipline: no float sums anywhere)."""
+    cells = []
+    for j in range(1, _DTW_N + 1):
+        cost = f"abs(a{i} - b{j})"
+        if i == 1 and j == 1:
+            prev = ""
+        elif i == 1:
+            prev = f" + d{i}_{j - 1}"
+        elif j == 1:
+            prev = f" + d{i - 1}_{j}"
+        else:
+            prev = (
+                f" + least(d{i - 1}_{j}, d{i}_{j - 1}, d{i - 1}_{j - 1})"
+            )
+        cells.append(f"{cost}{prev} AS d{i}_{j}")
+    return cells
+
+
+def _dtw_series_exprs(year: int, prefix: str) -> str:
+    """a1..a12 / b1..b12: monthly order counts of one year as pivoted
+    BIGINT columns (sum-of-indicator pivot — one hash aggregate)."""
+    return ", ".join(
+        f"CAST(sum(CASE WHEN yr = {year} AND mo = {m} THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS {prefix}{m}"
+        for m in range(1, _DTW_N + 1)
+    )
+
+
+def _dtw_row_ctes() -> str:
+    """One MATERIALIZED CTE per DP row for the DuckDB oracle; row 1
+    selects from the pivoted series, each later row from its
+    predecessor (carrying the a/b columns forward)."""
+    ctes = []
+    for i in range(1, _DTW_N + 1):
+        src = "series" if i == 1 else f"dp{i - 1}"
+        ctes.append(
+            f"dp{i} AS MATERIALIZED (SELECT *, "
+            + ", ".join(_dtw_row_cells(i))
+            + f" FROM {src})"
+        )
+    return ",\n    ".join(ctes)
+
+
+_DTW_L1 = (
+    "(" + " + ".join(f"abs(a{m} - b{m})" for m in range(1, _DTW_N + 1))
+    + ") AS l1_aligned"
+)
+
+
+@register(
+    "ts_dtw_distance",
+    category="composite",
+    oracle=f"""
+    WITH months AS MATERIALIZED (
+      SELECT o_orderpriority AS priority,
+             CAST(date_part('year', o_orderdate) AS BIGINT) AS yr,
+             CAST(date_part('month', o_orderdate) AS BIGINT) AS mo
+      FROM orders
+      WHERE date_part('year', o_orderdate) IN (1995, 1996)
+    ),
+    series AS MATERIALIZED (
+      SELECT priority,
+             {_dtw_series_exprs(1995, "a")},
+             {_dtw_series_exprs(1996, "b")}
+      FROM months GROUP BY priority
+    ),
+    {_dtw_row_ctes()}
+    SELECT priority,
+           CAST(d{_DTW_N}_{_DTW_N} AS BIGINT) AS dtw,
+           CAST({_DTW_L1.split(" AS ")[0]} AS BIGINT) AS l1_aligned,
+           CAST({_DTW_L1.split(" AS ")[0]} - d{_DTW_N}_{_DTW_N} AS BIGINT)
+             AS warp_gain
+    FROM dp{_DTW_N}
+    ORDER BY priority
+    """,
+)
+def ts_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC TIME WARPING distance (Sakoe & Chiba 1978) between each
+    order priority's 1995 and 1996 monthly demand series — the
+    alignment-tolerant series distance demand planners use where
+    Euclidean misreads a one-month seasonal shift as a regime change.
+    Reported beside the aligned L1 distance; warp_gain = how much of
+    the apparent year-over-year change was really a time shift
+    (>= 0 always: warping can only shrink a min-plus path cost).
+
+    Engine shape: the quadratic DP is over the TIME GRID (12x12), not
+    the data — so it unrolls into 144 integer min-plus expressions
+    evaluated once per group, and the DATA cost is exactly one hash
+    aggregate (sum-of-indicator pivot to a1..a12/b1..b12) over the
+    year-filtered scan, shuffling only (priority, yr, mo) triples.
+    The SAME generated per-row expression text (_dtw_row_cells) runs
+    on Spark 4 (chained selectExpr stages) and DuckDB (chained
+    MATERIALIZED CTEs), making the oracle the identical computation;
+    all quantities are BIGINT counts and min-plus sums, so matches
+    are exact. At 100 TB: the pivot aggregate is the only fact-sized
+    stage (map-side partial on a 5-value key), and the DP stays per
+    group, constant work — series length growth moves cost as O(n^2)
+    per group, the declared DTW law, with the Sakoe-Chiba band the
+    standard cut when n outgrows the unroll.
+    """
+    months = (
+        load(spark, sf_dir, "orders")
+        .selectExpr(
+            "o_orderpriority AS priority",
+            "CAST(year(o_orderdate) AS BIGINT) AS yr",
+            "CAST(month(o_orderdate) AS BIGINT) AS mo",
+        )
+        .filter(F.col("yr").isin(1995, 1996))
+    )
+    series = months.groupBy("priority").agg(
+        *[
+            F.expr(
+                f"CAST(sum(CASE WHEN yr = {y} AND mo = {m} THEN 1 ELSE 0"
+                " END) AS BIGINT)"
+            ).alias(f"{p}{m}")
+            for y, p in ((1995, "a"), (1996, "b"))
+            for m in range(1, _DTW_N + 1)
+        ]
+    )
+    # Materialize the pivot (5 rows) and cut the DP plan every 4 rows:
+    # a single 12-stage lateral-alias project chain costs ~4 s of
+    # optimizer/codegen time on 5 rows of data (CollapseProject has to
+    # duplication-check 144 nested projects); three 4-stage segments
+    # over a checkpointed leaf optimize in ~1 s total (measured r15,
+    # the graph_cc_converged cadence A/B discipline applied to plan-
+    # BUILD cost — the data here is group-domain-sized, so eager
+    # checkpoints are O(groups) rows each).
+    dp = series.localCheckpoint(eager=True)
+    for i in range(1, _DTW_N + 1):
+        dp = dp.selectExpr("*", *_dtw_row_cells(i))
+        if i % 4 == 0 and i < _DTW_N:
+            prev = dp
+            dp = dp.localCheckpoint(eager=True)
+            release_checkpoint(prev)
+    l1 = _DTW_L1.split(" AS ")[0]
+    return dp.selectExpr(
+        "priority",
+        f"CAST(d{_DTW_N}_{_DTW_N} AS BIGINT) AS dtw",
+        f"CAST({l1} AS BIGINT) AS l1_aligned",
+        f"CAST({l1} - d{_DTW_N}_{_DTW_N} AS BIGINT) AS warp_gain",
+    ).orderBy("priority")

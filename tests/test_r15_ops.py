@@ -192,3 +192,48 @@ def test_dup_span_rate_planted_structure(spark):
     assert rows[2]["dup_rate"] > 0.8
     # originals: only the 1-in-10 / 1-in-7 copied docs carry dup spans
     assert 0.0 < rows[0]["dup_rate"] < 0.5
+
+
+def _python_dtw(a: list[int], b: list[int]) -> int:
+    """Textbook O(n^2) DTW with |.| cost, no band — independent of the
+    unrolled SQL expression generator."""
+    import math
+
+    n = len(a)
+    d = [[math.inf] * (n + 1) for _ in range(n + 1)]
+    d[0][0] = 0
+    for i in range(1, n + 1):
+        for j in range(1, n + 1):
+            d[i][j] = abs(a[i - 1] - b[j - 1]) + min(
+                d[i - 1][j], d[i][j - 1], d[i - 1][j - 1]
+            )
+    return int(d[n][n])
+
+
+def test_dtw_matches_python_replay(spark):
+    from collections import Counter
+
+    orders = load(spark, SF, "orders").selectExpr(
+        "o_orderpriority AS p",
+        "year(o_orderdate) AS yr",
+        "month(o_orderdate) AS mo",
+    ).collect()
+    series: dict[str, dict[int, Counter]] = {}
+    for r in orders:
+        if r["yr"] in (1995, 1996):
+            series.setdefault(r["p"], {1995: Counter(), 1996: Counter()})[
+                r["yr"]
+            ][r["mo"]] += 1
+    got = {
+        r["priority"]: (r["dtw"], r["l1_aligned"], r["warp_gain"])
+        for r in REGISTRY["ts_dtw_distance"].fn(spark, SF).collect()
+    }
+    assert set(got) == set(series)
+    for p, by_year in series.items():
+        a = [by_year[1995].get(m, 0) for m in range(1, 13)]
+        b = [by_year[1996].get(m, 0) for m in range(1, 13)]
+        dtw = _python_dtw(a, b)
+        l1 = sum(abs(x - y) for x, y in zip(a, b))
+        assert got[p] == (dtw, l1, l1 - dtw), (p, got[p], (dtw, l1))
+        # warping can only shrink a min-plus path cost
+        assert dtw <= l1
