@@ -89,16 +89,16 @@ SF10_CLOSED_VOCAB_QUADRATIC = {
 # candidates) hide at sf0.1. Refresh the set each round; after its
 # first probed round an op re-enters only via serial-top/plan flags.
 PROBE_FIRST_ROUND = {
-    # r14: no new registrations (growth held debt-neutral while the r13
-    # wave certifies) — the slots instead RE-probe the three ops whose
-    # scale shape changed this round (duplicate-payments bounded-group
-    # rewrite, spatial-grid adaptive pitch, minhash-banded now gated
-    # per output row) so the committed block shows the fixed curves.
-    "orders_duplicate_payments",
-    "join_spatial_grid",
-    "dedup_minhash_banded",
     # r14 post-close extension op — first probe due at the r15 close.
     "graph_stress_sample",
+    # r15 registrations (each also sf10-previewed this session, see
+    # SCALING.md: betweenness 3.5x, dup-span 4x, dtw constant-work at
+    # 100x) plus the two ops whose scale shape changed this round.
+    "graph_betweenness_sample",
+    "text_dup_span_rate",
+    "ts_dtw_distance",
+    "ml_spearman_rho",
+    "dedup_incremental",
 }
 
 # Launch order seed: known-heavy ops first so they overlap the long tail
@@ -115,6 +115,12 @@ HEAVY_FIRST = [
     "dedup_minhash_banded",
     "graph_eccentricity_sample",
     "text_keyword_rake",
+    # r15 additions: sampled-centrality siblings + the unrolled-DP op
+    # (serial 2.3-3.2 s at sf0.1 this session; spearman dropped out of
+    # the head after its single-pass rewrite, 1.8 s).
+    "graph_stress_sample",
+    "graph_betweenness_sample",
+    "ts_dtw_distance",
     "orders_assoc_rules",
     "dedup_incremental",
     "ml_conformal_interval",
