@@ -2864,23 +2864,32 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     relations.
     """
     li = load(spark, sf_dir, "lineitem")
-    rows_in = li.selectExpr(
-        "l_quantity AS q",
-        "CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS dd",
-        "50000 + 300 * l_quantity"
-        " + 1200 * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)"
-        " + ((l_orderkey % 100000) * 2654435761"
-        "    + l_linenumber * 40503) % 2001"
-        " - 1000 AS y",
-        "CASE WHEN CAST(conv(substring(md5(concat("
-        "CAST(l_orderkey AS STRING), '_',"
-        " CAST(l_linenumber AS STRING))), 1, 2), 16, 10) AS INT) < 154"
-        " THEN 'train'"
-        " WHEN CAST(conv(substring(md5(concat("
-        "CAST(l_orderkey AS STRING), '_',"
-        " CAST(l_linenumber AS STRING))), 1, 2), 16, 10) AS INT) < 205"
-        " THEN 'calib' ELSE 'test' END AS split",
-    ).persist()
+    # r15: the split hash byte is projected ONCE and the CASE reads it
+    # (the original inlined the md5+conv expression into both CASE
+    # branches — two md5 evaluations per row; guide §4 applies to
+    # expensive JVM expressions too).
+    rows_in = (
+        li.selectExpr(
+            "l_quantity AS q",
+            "CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS dd",
+            "50000 + 300 * l_quantity"
+            " + 1200 * CAST(floor(l_discount * 100 + 0.5) AS BIGINT)"
+            " + ((l_orderkey % 100000) * 2654435761"
+            "    + l_linenumber * 40503) % 2001"
+            " - 1000 AS y",
+            "CAST(conv(substring(md5(concat("
+            "CAST(l_orderkey AS STRING), '_',"
+            " CAST(l_linenumber AS STRING))), 1, 2), 16, 10) AS INT) AS hb",
+        )
+        .selectExpr(
+            "q",
+            "dd",
+            "y",
+            "CASE WHEN hb < 154 THEN 'train'"
+            " WHEN hb < 205 THEN 'calib' ELSE 'test' END AS split",
+        )
+        .persist()
+    )
     mom = rows_in.filter("split = 'train'").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("q").cast("bigint").alias("sq"),
@@ -2898,6 +2907,11 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         f'({_LR_W["det1"]}) / ({_LR_W["detA"]}) AS w1',
         f'({_LR_W["det2"]}) / ({_LR_W["detA"]}) AS w2',
     )
+    # r15: `scored` is NOT persisted — it is one broadcast crossJoin +
+    # row-local arithmetic over the already-cached rows_in, so its
+    # three consumers recompute it from cache more cheaply than a
+    # second lineitem-sized materialization (guide §5: cache only when
+    # recomputing costs more than the memory pressure).
     scored = (
         rows_in.filter("split <> 'train'")
         .crossJoin(F.broadcast(wts))
@@ -2910,16 +2924,24 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(floor(abs(CAST(y AS DOUBLE) - {_CONF_PRED}) + 0.5)"
             " AS BIGINT) AS rq",
         )
-        .persist()
     )
-    ncal = scored.filter("split = 'calib'").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_cal")
-    )
+    # r15: the calibration histogram is domain-bounded (~2k distinct
+    # residual values) — eager-checkpoint it once and derive BOTH the
+    # calibration count and q_hat from the checkpointed leaf. Before,
+    # ncal and qh were lazy scalar frames consumed as broadcast
+    # subtrees, so the final coverage job re-ran the calibration
+    # aggregate (and qh's, which nested ncal's) inside its own
+    # execution — three extra cache passes per materialization.
+    from cdc_pubsub_spark import tables as _tables
+
     hist = (
         scored.filter("split = 'calib'")
         .groupBy("rq")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
+    if not _tables.LAZY_PLAN_MODE:  # plan pins need the real subtree
+        hist = hist.localCheckpoint(eager=True)
+    ncal = hist.agg(F.sum("c").cast("bigint").alias("n_cal"))
     wcum = Window.orderBy("rq").rowsBetween(Window.unboundedPreceding, 0)
     qh = (
         hist.withColumn("cum", F.sum("c").over(wcum).cast("bigint"))
@@ -2957,9 +2979,12 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "0.9e0 AS target_coverage",
         )
     )
-    from cdc_pubsub_spark.tables import finalize_cached
+    from cdc_pubsub_spark.tables import finalize_cached, release_checkpoint
 
-    return finalize_cached(out, rows_in, scored)
+    try:
+        return finalize_cached(out, rows_in)
+    finally:
+        release_checkpoint(hist)
 
 
 # --- r12 pinball-loss promotion (from staging/r12 at round 12) --------

@@ -12654,15 +12654,28 @@ def ts_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     evaluated once per group, and the DATA cost is exactly one hash
     aggregate (sum-of-indicator pivot to a1..a12/b1..b12) over the
     year-filtered scan, shuffling only (priority, yr, mo) triples.
-    The SAME generated per-row expression text (_dtw_row_cells) runs
-    on Spark 4 (chained selectExpr stages) and DuckDB (chained
-    MATERIALIZED CTEs), making the oracle the identical computation;
-    all quantities are BIGINT counts and min-plus sums, so matches
-    are exact. At 100 TB: the pivot aggregate is the only fact-sized
-    stage (map-side partial on a 5-value key), and the DP stays per
-    group, constant work — series length growth moves cost as O(n^2)
-    per group, the declared DTW law, with the Sakoe-Chiba band the
-    standard cut when n outgrows the unroll.
+    The DuckDB oracle replays the unrolled per-cell expression text
+    (_dtw_row_cells) as chained MATERIALIZED CTEs; all quantities are
+    BIGINT counts and min-plus sums, so matches are exact regardless
+    of evaluation order. At 100 TB: the pivot aggregate is the only
+    fact-sized stage (map-side partial on a 5-value key), and the DP
+    stays per group, constant work — series length growth moves cost
+    as O(n^2) per group, the declared DTW law, with the Sakoe-Chiba
+    band the standard cut when n outgrows the unroll.
+
+    r15 optimization (guide §3.3/§7.3 — planning time IS the
+    bottleneck on tiny relations): the original engine shape unrolled
+    the DP into 12 chained selectExpr stages (144 lateral-alias
+    cells) with a localCheckpoint every 4 rows; Catalyst's
+    CollapseProject duplication-check on that chain cost ~2 s of pure
+    driver/optimizer time per build on 5 rows of data. The DP is now
+    ONE nested integer fold (SQL-parsed HOF lambdas, distinct
+    variable names per nesting level per the repo pitfall): row 1 is
+    a cumulative fold over j, rows 2..12 fold over (prev_row, i) with
+    an inner fold over j building each row left-to-right — identical
+    min-plus recurrence, exact BIGINT algebra, zero checkpoints, and
+    the whole op optimizes as one ordinary aggregate + project plan
+    (serial 2.0 s -> ~0.6 s; plan build ~2 s -> ~0.1 s).
     """
     months = (
         load(spark, sf_dir, "orders")
@@ -12683,25 +12696,48 @@ def ts_dtw_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             for m in range(1, _DTW_N + 1)
         ]
     )
-    # Materialize the pivot (5 rows) and cut the DP plan every 4 rows:
-    # a single 12-stage lateral-alias project chain costs ~4 s of
-    # optimizer/codegen time on 5 rows of data (CollapseProject has to
-    # duplication-check 144 nested projects); three 4-stage segments
-    # over a checkpointed leaf optimize in ~1 s total (measured r15,
-    # the graph_cc_converged cadence A/B discipline applied to plan-
-    # BUILD cost — the data here is group-domain-sized, so eager
-    # checkpoints are O(groups) rows each).
-    dp = series.localCheckpoint(eager=True)
-    for i in range(1, _DTW_N + 1):
-        dp = dp.selectExpr("*", *_dtw_row_cells(i))
-        if i % 4 == 0 and i < _DTW_N:
-            prev = dp
-            dp = dp.localCheckpoint(eager=True)
-            release_checkpoint(prev)
-    l1 = _DTW_L1.split(" AS ")[0]
-    return dp.selectExpr(
+    n = _DTW_N
+    arrs = series.selectExpr(
         "priority",
-        f"CAST(d{_DTW_N}_{_DTW_N} AS BIGINT) AS dtw",
-        f"CAST({l1} AS BIGINT) AS l1_aligned",
-        f"CAST({l1} - d{_DTW_N}_{_DTW_N} AS BIGINT) AS warp_gain",
-    ).orderBy("priority")
+        "array(" + ", ".join(f"a{m}" for m in range(1, n + 1)) + ") AS av",
+        "array(" + ", ".join(f"b{m}" for m in range(1, n + 1)) + ") AS bv",
+    )
+    # Row 1: d(1,j) = |a1-bj| + d(1,j-1) — a left cumulative fold.
+    row1 = (
+        f"aggregate(sequence(2, {n}),"
+        " array(abs(element_at(av, 1) - element_at(bv, 1))),"
+        " (r1, j1) -> concat(r1, array("
+        "   abs(element_at(av, 1) - element_at(bv, j1))"
+        "   + element_at(r1, j1 - 1))))"
+    )
+    # Rows 2..n: fold over i carrying the previous DP row; each row is
+    # itself a left fold over j (j = 1 seeds from d(i-1, 1)).
+    dp_expr = (
+        f"aggregate(sequence(2, {n}), {row1},"
+        " (prev, i) -> aggregate("
+        f"   sequence(2, {n}),"
+        "   array(abs(element_at(av, i) - element_at(bv, 1))"
+        "         + element_at(prev, 1)),"
+        "   (cur, j) -> concat(cur, array("
+        "     abs(element_at(av, i) - element_at(bv, j))"
+        "     + least(element_at(prev, j), element_at(cur, j - 1),"
+        "             element_at(prev, j - 1))))))"
+    )
+    l1_expr = (
+        f"aggregate(sequence(1, {n}), CAST(0 AS BIGINT),"
+        " (s, m) -> s + abs(element_at(av, m) - element_at(bv, m)))"
+    )
+    return (
+        arrs.selectExpr(
+            "priority",
+            f"element_at({dp_expr}, {n}) AS dtw_raw",
+            f"{l1_expr} AS l1_raw",
+        )
+        .selectExpr(
+            "priority",
+            "CAST(dtw_raw AS BIGINT) AS dtw",
+            "CAST(l1_raw AS BIGINT) AS l1_aligned",
+            "CAST(l1_raw - dtw_raw AS BIGINT) AS warp_gain",
+        )
+        .orderBy("priority")
+    )

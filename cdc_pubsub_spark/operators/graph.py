@@ -2239,23 +2239,45 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     ks = spark.range(0, 5).selectExpr(
         "element_at(array(2, 3, 4, 6, 10), CAST(id + 1 AS INT)) AS k"
     )
-    nk = (
-        ks.join(F.broadcast(deg), F.col("d") > F.col("k"), "left")
-        .groupBy("k")
-        .agg(F.count("v").cast("bigint").alias("n_rich"))
+    # r15 optimization (guide §2.3 — shuffle/join fewer rows): both
+    # curves reduce to DEGREE-DOMAIN distributions before the k
+    # thresholds ever appear. n_rich(k) counts nodes with d > k, so it
+    # needs only the degree histogram; e_rich(k) counts edges whose
+    # BOTH endpoints have d > k, i.e. least(da, db) > k, so one pass
+    # over the edge relation (two broadcast degree joins) reduces to a
+    # min-endpoint-degree histogram. The old shape crossJoined the
+    # edge relation with all 5 k values FIRST (5x the join input) and
+    # re-ran the degree legs per threshold; now every k evaluates on
+    # the tiny histograms and the per-edge work happens exactly once.
+    degdist = deg.groupBy("d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nd")
     )
-    ek = (
-        simple.crossJoin(F.broadcast(ks))
-        .join(
+    edist = (
+        simple.join(
             F.broadcast(deg.selectExpr("v AS va", "d AS da")),
-            F.expr("va = a AND da > k"),
+            F.expr("va = a"),
         )
         .join(
             F.broadcast(deg.selectExpr("v AS vb", "d AS db")),
-            F.expr("vb = b AND db > k"),
+            F.expr("vb = b"),
         )
+        .selectExpr("least(da, db) AS m")
+        .groupBy("m")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ne"))
+    )
+    nk = (
+        ks.join(F.broadcast(degdist), F.col("d") > F.col("k"), "left")
         .groupBy("k")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("e_rich"))
+        .agg(
+            F.coalesce(F.sum("nd"), F.lit(0))
+            .cast("bigint")
+            .alias("n_rich")
+        )
+    )
+    ek = (
+        ks.join(F.broadcast(edist), F.col("m") > F.col("k"))
+        .groupBy("k")
+        .agg(F.sum("ne").cast("bigint").alias("e_rich"))
     )
     out = (
         nk.join(ek, "k", "left")
