@@ -3953,10 +3953,13 @@ def ml_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: ONE data-sized hash aggregate collapses the scan to
     the joint-domain cells; the grid (a per-group cartesian of two
-    bounded DOMAINS, not data) and its three window passes are
-    O(|x-domain| × |y-domain|) regardless of row count — the
-    ml_spearman_rho bounded-domain argument with a 2-D cumulative
-    instead of rank windows.
+    bounded DOMAINS built from collect_set arrays, not data) and its
+    two layered window passes are O(|x-domain| × |y-domain|)
+    regardless of row count — the ml_spearman_rho bounded-domain
+    argument with a 2-D cumulative instead of rank windows. The tie
+    marginals ride the same window partitions via representative rows
+    (rn = 1), so the whole statistic is one aggregate + two window
+    exchanges with no side joins.
     """
     li = load(spark, sf_dir, "lineitem")
     joint = (
@@ -3968,26 +3971,47 @@ def ml_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("grp", "x", "y")
         .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
-        .persist()
     )
-    xs = joint.select("grp", "x").distinct()
-    ys = joint.select("grp", "y").distinct()
+    # joint stays LAZY: its two consumers (doms, the grid left join)
+    # share an identical subtree, so ReuseExchange deduplicates the
+    # fact aggregate at runtime — persist() measured 0.5 s slower
+    # (materialization job + cache write for a relation each consumer
+    # only streams once).
+    # Dense grid from per-group DOMAIN ARRAYS (one tiny 3-row aggregate
+    # + two explodes) instead of two distinct() legs joined per group —
+    # r15: removes two exchanges and one join from the plan.
+    doms = joint.groupBy("grp").agg(
+        F.array_sort(F.collect_set("x")).alias("xa"),
+        F.array_sort(F.collect_set("y")).alias("ya"),
+    )
     grid = (
-        xs.join(ys, "grp")
+        doms.select("grp", F.explode("xa").alias("x"), "ya")
+        .select("grp", "x", F.explode("ya").alias("y"))
         .join(joint, ["grp", "x", "y"], "left")
         .selectExpr("grp", "x", "y", "coalesce(w, 0) AS w")
     )
+    # Layered windows: the tie marginals (tie_y per (grp,y) column,
+    # tie_x per (grp,x) row) ride the SAME two window partitions the
+    # double cumulative already needs — a representative row (rn = 1)
+    # carries each marginal's t(t-1)/2 term into the final aggregate,
+    # replacing the two aggregate legs + broadcast joins of the
+    # pre-r15 shape (profile_cramers_v device).
     w_xlt = (
         Window.partitionBy("grp", "y")
         .orderBy("x")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    w_ycol = Window.partitionBy("grp", "y")
     p = grid.select(
         "grp",
         "x",
         "y",
         "w",
         F.coalesce(F.sum("w").over(w_xlt), F.lit(0)).alias("cum_xlt"),
+        F.row_number()
+        .over(Window.partitionBy("grp", "y").orderBy("x"))
+        .alias("rn_y"),
+        F.sum("w").over(w_ycol).alias("t_y"),
     )
     w_dom = (
         Window.partitionBy("grp", "x")
@@ -4001,8 +4025,14 @@ def ml_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         "y",
         "w",
         "cum_xlt",
+        "rn_y",
+        "t_y",
         F.coalesce(F.sum("cum_xlt").over(w_dom), F.lit(0)).alias("dom"),
         F.sum("cum_xlt").over(w_tx).alias("tx"),
+        F.row_number()
+        .over(Window.partitionBy("grp", "x").orderBy("y"))
+        .alias("rn_x"),
+        F.sum("w").over(w_tx).alias("t_x"),
     )
     wide = "DECIMAL(38,0)"
     sums = d.groupBy("grp").agg(
@@ -4012,32 +4042,22 @@ def ml_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
             "disc"
         ),
         F.sum(F.expr(f"CAST(w AS {wide}) * (w - 1) div 2")).alias("tie_xy"),
-    )
-    tiex = (
-        joint.groupBy("grp", "x")
-        .agg(F.sum("w").alias("t"))
-        .groupBy("grp")
-        .agg(
-            F.sum(F.expr(f"CAST(t AS {wide}) * (t - 1) div 2")).alias(
-                "tie_x"
+        F.sum(
+            F.expr(
+                "CASE WHEN rn_x = 1 THEN"
+                f" CAST(t_x AS {wide}) * (t_x - 1) div 2 ELSE 0 END"
             )
-        )
-    )
-    tiey = (
-        joint.groupBy("grp", "y")
-        .agg(F.sum("w").alias("t"))
-        .groupBy("grp")
-        .agg(
-            F.sum(F.expr(f"CAST(t AS {wide}) * (t - 1) div 2")).alias(
-                "tie_y"
+        ).alias("tie_x"),
+        F.sum(
+            F.expr(
+                "CASE WHEN rn_y = 1 THEN"
+                f" CAST(t_y AS {wide}) * (t_y - 1) div 2 ELSE 0 END"
             )
-        )
+        ).alias("tie_y"),
     )
     n0 = f"CAST(n AS {wide}) * (n - 1) div 2"
     out = (
-        sums.join(F.broadcast(tiex), "grp")
-        .join(F.broadcast(tiey), "grp")
-        .selectExpr(
+        sums.selectExpr(
             "grp AS l_returnflag",
             "n AS n_rows",
             "CAST(conc AS BIGINT) AS concordant",
@@ -4054,9 +4074,7 @@ def ml_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
-    from cdc_pubsub_spark.tables import finalize_cached
-
-    return finalize_cached(out, joint)
+    return out
 
 
 # --- r12 extension wave I: OLS learning curve -----------------------------------
@@ -4838,41 +4856,46 @@ def ml_adversarial_validation_auc(
     per distinct value, 2U accumulates n1·(2·cum0_below + n0), and
     AUC = 2U / (2·N1·N0) is the one pinned double division.
 
-    Scale shape: one union of four scan projections, a groupBy to the
-    (feature × split × distinct-value) domain, a bounded window over
-    value order, a 4-row aggregate. No sort of the fact table — the
-    rank arithmetic runs on the VALUE DOMAIN (quantity has ~50
-    distinct values, discount ~11), which is what makes exact AUC
-    computable at 100 TB where a row-level rank would shuffle
-    everything.
+    Scale shape: ONE fact-sized groupBy to the joint
+    (qty × disc × hsplit × y) cell domain (~50 × 11 × 2 × 2 cells —
+    map-side combined, so the md5 split hash is computed exactly once
+    per row and the shuffle carries cells, not rows), a 4-way stack()
+    of that tiny relation into the (feature × split) legs, a bounded
+    window over value order, a 4-row aggregate. No persist, no
+    repeated cache passes — the r15 rewrite of the previous
+    persist + 4-leg-union shape (equivalence: Σ_rows g =
+    Σ_cells w·g for every (feature, split, v) cell). No sort of the
+    fact table — the rank arithmetic runs on the VALUE DOMAIN
+    (quantity has ~50 distinct values, discount ~11), which is what
+    makes exact AUC computable at 100 TB where a row-level rank would
+    shuffle everything.
     """
     li = load(spark, sf_dir, "lineitem").selectExpr(
-        "CASE WHEN ((l_orderkey % 1048576) * 2654435761"
+        "CAST(CASE WHEN ((l_orderkey % 1048576) * 2654435761"
         " + l_linenumber * 40503) % 1000"
-        " < 150 + 14 * CAST(l_quantity AS BIGINT) THEN 1 ELSE 0 END AS y",
+        " < 150 + 14 * CAST(l_quantity AS BIGINT) THEN 1 ELSE 0 END"
+        " AS BIGINT) AS y",
         "cast(conv(substr(md5(concat(CAST(l_orderkey AS STRING), '-',"
         " CAST(l_linenumber AS STRING))), 1, 15), 16, 10) as bigint)"
         " % 2 AS hsplit",
         "CAST(l_quantity AS BIGINT) AS qty",
         "CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS disc",
-    ).persist()
-    parts = []
-    for feat, col in (("quantity", "qty"), ("discount", "disc")):
-        for split, g in (("hash_split", "hsplit"), ("label_split", "y")):
-            parts.append(
-                li.selectExpr(
-                    f"'{feat}' AS feature",
-                    f"'{split}' AS split_kind",
-                    f"{col} AS v",
-                    f"{g} AS g",
-                )
-            )
-    long = parts[0]
-    for p in parts[1:]:
-        long = long.unionByName(p)
+    )
+    cells = li.groupBy("qty", "disc", "hsplit", "y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("w")
+    )
+    long = cells.selectExpr(
+        "stack(4,"
+        " 'quantity', 'hash_split', qty, hsplit,"
+        " 'discount', 'hash_split', disc, hsplit,"
+        " 'quantity', 'label_split', qty, y,"
+        " 'discount', 'label_split', disc, y"
+        ") AS (feature, split_kind, v, g)",
+        "w",
+    )
     vals = long.groupBy("feature", "split_kind", "v").agg(
-        F.sum("g").cast("bigint").alias("n1"),
-        F.sum(F.expr("1 - g")).cast("bigint").alias("n0"),
+        F.sum(F.expr("g * w")).cast("bigint").alias("n1"),
+        F.sum(F.expr("(1 - g) * w")).cast("bigint").alias("n0"),
     )
     w = (
         Window.partitionBy("feature", "split_kind")
@@ -4912,6 +4935,4 @@ def ml_adversarial_validation_auc(
         )
         .orderBy("feature", "split_kind")
     )
-    from cdc_pubsub_spark.tables import finalize_cached
-
-    return finalize_cached(out, li)
+    return out

@@ -3414,18 +3414,31 @@ def text_rouge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (the bloom-op device; a cross-gram collision would need ~2^32
     # distinct grams and would hash-fail the sf gates
     # deterministically).
+    # r15: ONE documents scan emits ref + exact + near variants via a
+    # per-row variant array + explode (was a 3-branch union = 3 scans
+    # of the doc table; guide §6 — scan the bytes once).
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    exact = docs.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    corpus = (
+        docs.filter(
+            (F.col("doc_id") % 10 == 0) | (F.col("doc_id") % 7 == 0)
+        )
+        .select(
+            F.explode(
+                F.expr(
+                    "concat("
+                    " array(named_struct('doc_id', doc_id, 'text', text)),"
+                    " IF(doc_id % 10 = 0,"
+                    "    array(named_struct('doc_id', doc_id + 1000000,"
+                    "          'text', text)), array()),"
+                    " IF(doc_id % 7 = 0,"
+                    "    array(named_struct('doc_id', doc_id + 2000000,"
+                    f"         'text', concat(text, {NEAR_SUFFIX!r}))),"
+                    "    array()))"
+                )
+            ).alias("r")
+        )
+        .select("r.doc_id", "r.text")
     )
-    near = docs.filter(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + 2000000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(NEAR_SUFFIX)).alias("text"),
-    )
-    refs = docs.filter(
-        (F.col("doc_id") % 10 == 0) | (F.col("doc_id") % 7 == 0)
-    )
-    corpus = refs.unionByName(exact).unionByName(near)
     uni = shingle_rows(corpus, 1).withColumnRenamed("shingle", "g")
     bi = shingle_rows(corpus, 2).withColumnRenamed("shingle", "g")
     grams = (
@@ -3439,26 +3452,24 @@ def text_rouge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = grams.groupBy("doc_id", "n").agg(
         F.sum("c").cast("bigint").alias("tot")
     )
-    pairs = (
-        docs.filter(F.col("doc_id") % 10 == 0)
-        .selectExpr(
-            "doc_id + 1000000 AS cand_id",
-            "doc_id AS ref_id",
-            "'exact' AS kind",
-        )
-        .unionByName(
-            docs.filter(F.col("doc_id") % 7 == 0).selectExpr(
-                "doc_id + 2000000 AS cand_id",
-                "doc_id AS ref_id",
-                "'near' AS kind",
-            )
-        )
+    # r15: the pair relation is ARITHMETIC, not a join — a candidate
+    # doc's partner and kind are functions of its id by construction
+    # (ref_id = cand_id % 1e6; kind by id range), so the former
+    # pairs-union (2 more documents scans) joined onto the candidate
+    # grams is replaced by a projection on the gram relation itself.
+    gc = grams.filter(F.col("doc_id") >= 1000000).selectExpr(
+        "doc_id AS cand_id",
+        "doc_id % 1000000 AS ref_id",
+        "CASE WHEN doc_id >= 2000000 THEN 'near' ELSE 'exact' END AS kind",
+        "g",
+        "n",
+        "c AS cc",
     )
-    gc = grams.selectExpr("doc_id AS gcd", "g", "n", "c AS cc")
-    gr = grams.selectExpr("doc_id AS grd", "g AS gg", "n AS nn", "c AS cr")
+    gr = grams.filter(F.col("doc_id") < 1000000).selectExpr(
+        "doc_id AS grd", "g AS gg", "n AS nn", "c AS cr"
+    )
     overlap = (
-        pairs.join(gc, F.col("gcd") == F.col("cand_id"))
-        .join(
+        gc.join(
             gr,
             (F.col("grd") == F.col("ref_id"))
             & (F.col("gg") == F.col("g"))

@@ -1263,6 +1263,13 @@ def agg_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
     ).cast("bigint")
     FULL = 1152921504606846976
+    # r15 negative result, measured and reverted: fusing the six
+    # events scans (two per-type distincts, the 3-way expand
+    # countDistinct, the two-scan INTERSECT) into one user-keyed
+    # membership aggregate ran 1.04 s -> 2.17 s (interleaved A/B) —
+    # the replaced scans are cheap column-pruned reads with map-side
+    # partial dedup, while the fused shape pays a user-grain hash
+    # aggregate, a persist, and three extra distinct exchanges.
     ha = (
         events.filter(F.col("event_type") == "click")
         .select(h.alias("h"))
@@ -1467,6 +1474,12 @@ def agg_kmv_epoch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     user + running count — one distinct agg, no prefix re-scans), so
     the oracle certifies estimate AND truth.
     """
+    # r15 negative result, measured and reverted: deduping to the
+    # (epoch, user) grain first (md5 after dedup, first_epoch off the
+    # same cached relation) ran ~1.0-1.2 s -> ~1.3-1.6 s across four
+    # interleaved A/B alternations — the extra fact-grain distinct
+    # exchange costs more than the saved events scan + per-event md5
+    # at this scale.
     ev = load(spark, sf_dir, "events").selectExpr(
         "int(dayofmonth(ts) - 1) div 5 AS epoch",
         f"{_KMV_HASH_SPARK} AS h",

@@ -1332,18 +1332,24 @@ def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     days, and per trailing 30 days — the growth-metrics staple.
 
     Trailing-window DISTINCT does not decompose like a sum, so the op
-    inverts the window: each deduped (day, user) pair is EXPLODED onto
-    every day it keeps the user "active" (7 or 30 covered days), after
-    which the rolling distinct is a plain per-day COUNT(DISTINCT) —
-    equi-grouped, no range join, no per-day rescan. The explode
-    multiplies the day-user PAIRS (already collapsed from raw events,
-    orders of magnitude smaller), not the event stream; the three
-    grains then equi-join on the day key. At extreme user cardinality
-    swap exact distinct for per-day HLL sketches merged over the
-    trailing window (agg_hll_sketch_union's rollup pattern) —
-    mergeable sketches are the only way rolling-distinct scales past
-    memory. Day indexes are integral epoch-micros division; output is
-    restricted to days with activity via the dau inner join.
+    turns each user's activity-day set into COVERAGE INTERVAL DELTAS
+    (r15, guide §2.2 — shuffle fewer bytes): a user covers days
+    [d, d+k-1] for every activity day d; a maximal covered run starts
+    at d when the previous activity is more than k days back (and ends
+    at d+k when the next is more than k ahead), so each (user, day)
+    row emits at most one +1/−1 boundary per grain from ONE lag/lead
+    window pass over the per-user day sequence. The per-day rolling
+    distinct count is then the running sum of those deltas over the
+    (tiny) day domain — no 7×/30× pair explode, no per-day
+    COUNT(DISTINCT) shuffle of the multiplied pairs. The pre-r15
+    explode shape shuffled 37× the day-user pairs through two distinct
+    aggregates; this plan shuffles the pairs once (user-partitioned
+    window) plus a day-domain-sized delta relation. At extreme user
+    cardinality the same deltas stream into a stateful running sum —
+    mergeable by construction. Day indexes are integral epoch-micros
+    division; output is restricted to days with activity via the dau
+    inner join (a day with activity always covers itself, so the
+    inner join drops nothing the old explode emitted).
     """
     ev = load(spark, sf_dir, "events").select(
         F.expr(
@@ -1351,30 +1357,57 @@ def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("d"),
         "user_id",
     )
-    # persist: three consumers (dau + two rolling explodes) would each
-    # re-run the events scan and the distinct shuffle otherwise; and
+    # persist: two consumers (dau + the boundary-delta window) would
+    # each re-run the events scan and the distinct shuffle otherwise;
     # day_users is ALREADY distinct on (d, user), so the per-day count
     # is a plain count, not a second dedup pass.
     day_users = ev.distinct().persist()
     dau = day_users.groupBy(F.col("d").alias("day_idx")).agg(
         F.count(F.lit(1)).alias("dau")
     )
-
-    def rolling(n: int, name: str) -> DataFrame:
-        return (
-            day_users.select(
-                F.explode(F.expr(f"sequence(d, d + {n - 1})")).alias("day_idx"),
-                "user_id",
-            )
-            .groupBy("day_idx")
-            .agg(F.countDistinct("user_id").alias(name))
-        )
-
-    out = (
-        dau.join(rolling(7, "wau"), "day_idx")
-        .join(rolling(30, "mau"), "day_idx")
-        .orderBy("day_idx")
+    w = Window.partitionBy("user_id").orderBy("d")
+    marked = day_users.select(
+        "d",
+        F.lag("d").over(w).alias("pd"),
+        F.lead("d").over(w).alias("nd"),
     )
+    deltas = (
+        marked.select(
+            F.explode(
+                F.expr(
+                    "array("
+                    " named_struct('day_idx', d,"
+                    "   'e7', IF(pd IS NULL OR d - pd > 7, 1, 0),"
+                    "   'e30', IF(pd IS NULL OR d - pd > 30, 1, 0)),"
+                    " named_struct('day_idx', d + 7,"
+                    "   'e7', IF(nd IS NULL OR nd - d > 7, -1, 0),"
+                    "   'e30', 0),"
+                    " named_struct('day_idx', d + 30,"
+                    "   'e7', 0,"
+                    "   'e30', IF(nd IS NULL OR nd - d > 30, -1, 0)))"
+                )
+            ).alias("r")
+        )
+        .select("r.day_idx", "r.e7", "r.e30")
+        .groupBy("day_idx")
+        .agg(F.sum("e7").alias("d7"), F.sum("e30").alias("d30"))
+    )
+    # Running sum over the DAY DOMAIN (one bounded single-partition
+    # window over ~calendar-sized rows), then restrict to active days.
+    wrun = Window.orderBy("day_idx").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    spine = (
+        dau.join(deltas, "day_idx", "full_outer")
+        .select(
+            "day_idx",
+            "dau",
+            F.sum(F.coalesce(F.col("d7"), F.lit(0))).over(wrun).alias("wau"),
+            F.sum(F.coalesce(F.col("d30"), F.lit(0))).over(wrun).alias("mau"),
+        )
+        .filter(F.col("dau").isNotNull())
+    )
+    out = spine.orderBy("day_idx")
     return finalize_cached(out, day_users)
 
 
@@ -5556,6 +5589,13 @@ def orders_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: two part-keyed aggregates (revenue, weekly moments), one
     ≤64-row bucket prefix, broadcast class map, final ≤9-row matrix.
+    (r15 negative result, measured and reverted: fusing the two fact
+    aggregates into one (part × week)-grain shuffle carrying both
+    partials ran 1.4 s -> 3.1 s — the (part, week) grain is nearly
+    1:1 with lineitem here, so the "one scan" variant replaced a
+    map-side-combined part-grain shuffle with a fact-sized shuffle +
+    cache. Shuffled bytes, not scan count, are the cost — guide §2.2
+    cuts both ways.)
     """
     li = load(spark, sf_dir, "lineitem")
     partrev = (

@@ -176,7 +176,22 @@ def finalize_cached(result: DataFrame, *cached: DataFrame) -> DataFrame:
             df.unpersist(blocking=False)
         return result
     try:
+        # r15: materialize through the normal AQE query path FIRST
+        # (persist + count), then checkpoint off the in-memory blocks.
+        # localCheckpoint(eager) alone compiles the plan through the
+        # non-adaptive RDD conversion path — no AQE broadcast/coalesce,
+        # static 32-partition SMJ cascades — which measured 6-8 s of
+        # pure re-execution overhead on join-heavy finals
+        # (text_rouge_pairs 8.0 s -> 1.7 s end-to-end from this change
+        # alone). With the result persisted, the checkpoint's RDD scan
+        # is an InMemoryTableScan over already-computed batches, so the
+        # lineage truncation (which is what lets the caller unpersist
+        # the data-sized inputs) keeps its original purpose at ~zero
+        # added cost.
+        result = result.persist()
+        result.count()
         return result.localCheckpoint(eager=True)
     finally:
+        result.unpersist(blocking=False)
         for df in cached:
             df.unpersist(blocking=False)

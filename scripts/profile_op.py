@@ -36,6 +36,12 @@ def main() -> None:
     ap.add_argument("--suffix", default="", help="filename suffix, e.g. _before")
     ap.add_argument("--noop", action="store_true")
     ap.add_argument(
+        "--lazy",
+        action="store_true",
+        help="dump explain with tables.LAZY_PLAN_MODE so finalize_cached"
+        " ops show their true operator tree instead of Scan ExistingRDD",
+    )
+    ap.add_argument(
         "--no-warm",
         action="store_true",
         help="skip the sf0.001 warm passes (bench.py warms identically)",
@@ -64,7 +70,16 @@ def main() -> None:
         fn = REGISTRY[name].fn
         if args.explain:
             os.makedirs(args.explain, exist_ok=True)
-            df = fn(spark, args.sf)
+            if args.lazy:
+                from cdc_pubsub_spark import tables
+
+                tables.LAZY_PLAN_MODE = True
+                try:
+                    df = fn(spark, args.sf)
+                finally:
+                    tables.LAZY_PLAN_MODE = False
+            else:
+                df = fn(spark, args.sf)
             txt = df._sc._jvm.PythonSQLUtils.explainString(
                 df._jdf.queryExecution(), "formatted"
             )
