@@ -348,11 +348,42 @@ def _ulid_exprs(dialect: str) -> tuple[str, str, str]:
     """
     alpha = "0123456789ABCDEFGHJKMNPQRSTVWXYZ"
     if dialect == "spark":
+        # r15: the 10-char timestamp leg renders/parses through
+        # conv+translate (base-32 digits 0-9A-V mapped onto Crockford's
+        # I/L/O/U-free alphabet) and the two 26-term parse sums fold
+        # into aggregate() HOFs. The unrolled 26-term forms compiled
+        # into a whole-stage method past HotSpot's 8000-byte JIT limit
+        # (DontCompileHugeMethods), so the stage ran as INTERPRETED
+        # bytecode: 2.41 s at sf0.1 vs 1.04 s with wholestage codegen
+        # disabled for the identical query. This shape keeps codegen
+        # methods small instead (1.2-1.4 s end-to-end, bit-identical
+        # output — exceptAll both directions = 0 at sf0.1). Session-wide
+        # spark.sql.codegen.hugeMethodLimit=8000 was measured as the
+        # alternative and REJECTED: it fixes this op (2.42 -> 1.32) but
+        # regresses other big-expression ops whose huge methods still
+        # run faster fused (text_keyword_rake 1.25 -> 2.58 s).
         ms = "(unix_micros(CAST(ts AS TIMESTAMP)) div 1000)"
-        idiv, pos = "div", "instr"
-    else:
-        ms = "(epoch_us(CAST(ts AS TIMESTAMP)) // 1000)"
-        idiv, pos = "//", "strpos"
+        std22, cro22 = "ABCDEFGHIJKLMNOPQRSTUV", "ABCDEFGHJKMNPQRSTVWXYZ"
+        ent_chars = [
+            f"substr('{alpha}', CAST(((event_id % 1048576) * 7 + {i * 13})"
+            " % 32 AS INT) + 1, 1)"
+            for i in range(16)
+        ]
+        render = (
+            f"concat(translate(lpad(conv({ms}, 10, 32), 10, '0'),"
+            f" '{std22}', '{cro22}'), " + ", ".join(ent_chars) + ")"
+        )
+        ms_parse = (
+            f"CAST(conv(translate(substr(u, 1, 10), '{cro22}',"
+            f" '{std22}'), 32, 10) AS BIGINT)"
+        )
+        ent_sum = (
+            "aggregate(sequence(11, 26), 0L, (acc, ulidi) -> acc"
+            f" + CAST(instr('{alpha}', substr(u, ulidi, 1)) AS BIGINT) - 1)"
+        )
+        return render, ms_parse, ent_sum
+    ms = "(epoch_us(CAST(ts AS TIMESTAMP)) // 1000)"
+    idiv, pos = "//", "strpos"
     ts_chars = [
         f"substr('{alpha}', CAST(({ms} {idiv} {32 ** (9 - i)}) % 32"
         " AS INT) + 1, 1)"

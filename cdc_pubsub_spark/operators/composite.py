@@ -7203,12 +7203,12 @@ def ts_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ln(2/α) exactly as they would threshold p ≤ α.
 
     Scale shape: the scan collapses to the calendar-bounded daily
-    relation (≤31 rows/type); sign pairs are a self-join of that tiny
-    relation (≤465 pairs/type) and U_t folds the pairs against a
-    ≤30-row spine — all cost is O(calendar²·types), independent of
-    row count, the bounded-domain argument every ts_ op here uses.
-    All statistics are exact BIGINTs; the exponent is the single
-    float op.
+    relation (≤31 rows/type); U_t comes from the rank recurrence
+    (U_t − U_{t−1} = rank_asc − rank_desc, see inline comment) so the
+    whole statistic is layered windows over ONE event_type partition —
+    O(calendar·log·types) instead of the naive O(calendar²·types)
+    pair join, independent of row count either way. All statistics
+    are exact BIGINTs; the exponent is the single float op.
     """
     ev = load(spark, sf_dir, "events")
     daily = ev.selectExpr(
@@ -7217,48 +7217,49 @@ def ts_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents",
     ).groupBy("event_type", "day_idx").agg(
         F.sum("cents").cast("bigint").alias("x")
-    ).persist()
-    a = daily.selectExpr("event_type", "day_idx AS i", "x AS xi")
-    b = daily.selectExpr("event_type AS et_b", "day_idx AS j", "x AS xj")
-    pairs = a.join(
-        b, (F.col("event_type") == F.col("et_b")) & (F.col("j") > F.col("i"))
-    ).selectExpr(
+    )
+    # r15: U_t via the rank recurrence instead of the pair self-join —
+    # U_t − U_{t−1} = Σ_j sgn(x_t − x_j) = #{x_j < x_t} − #{x_j > x_t}
+    # = rank_asc(x_t) − rank_desc(x_t) (RANK ties share the min position,
+    # so rank_asc = 1 + #strictly-less), hence U_t is the running sum of
+    # (rank_asc − rank_desc) in day order; U at the first day equals its
+    # delta because no j < t exists. Every layer (both ranks, the
+    # cumulative sum, n_days/mx, k_stat) rides ONE event_type window
+    # partitioning — the pairs self-join, the spine range-join and the
+    # three broadcast mini-jobs (last/spine/nn) all disappear, identical
+    # integers out (the oracle keeps the O(n²) pair definition).
+    w = Window.partitionBy("event_type")
+    ranked = daily.select(
         "event_type",
-        "i",
-        "j",
-        "CASE WHEN xi > xj THEN 1 WHEN xi < xj THEN -1 ELSE 0 END AS s",
+        "day_idx",
+        (
+            F.rank().over(w.orderBy("x"))
+            - F.rank().over(w.orderBy(F.col("x").desc()))
+        ).alias("d"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_days"),
+        F.max("day_idx").over(w).alias("mx"),
     )
-    last = daily.groupBy("event_type").agg(F.max("day_idx").alias("mx"))
-    spine = (
-        daily.join(F.broadcast(last), "event_type")
-        .filter("day_idx < mx")
-        .selectExpr("event_type AS et_s", "day_idx AS t")
-    )
-    u = (
-        pairs.join(
-            F.broadcast(spine),
-            (F.col("event_type") == F.col("et_s"))
-            & (F.col("i") <= F.col("t"))
-            & (F.col("j") > F.col("t")),
+    u = ranked.select(
+        "event_type",
+        "day_idx",
+        "n_days",
+        "mx",
+        F.sum("d")
+        .over(
+            w.orderBy("day_idx").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
         )
-        .groupBy("event_type", "t")
-        .agg(F.sum("s").cast("bigint").alias("u_t"))
-    )
-    nn = daily.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_days")
-    )
-    k = u.groupBy("event_type").agg(
-        F.max(F.abs(F.col("u_t"))).cast("bigint").alias("k_stat")
+        .cast("bigint")
+        .alias("u_t"),
+    ).filter(F.col("day_idx") < F.col("mx"))
+    k = u.withColumn(
+        "k_stat", F.max(F.abs(F.col("u_t"))).over(w).cast("bigint")
     )
     out = (
-        k.join(F.broadcast(nn), "event_type")
-        .join(
-            u.selectExpr("event_type AS et_u", "t", "u_t"),
-            (F.col("event_type") == F.col("et_u"))
-            & (F.abs(F.col("u_t")) == F.col("k_stat")),
-        )
+        k.filter(F.abs(F.col("u_t")) == F.col("k_stat"))
         .groupBy("event_type", "n_days", "k_stat")
-        .agg(F.min("t").cast("bigint").alias("t_star_day"))
+        .agg(F.min("day_idx").cast("bigint").alias("t_star_day"))
         .selectExpr(
             "event_type",
             "n_days",
@@ -7271,7 +7272,7 @@ def ts_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
-    return finalize_cached(out, daily)
+    return finalize_cached(out)
 
 
 @register(

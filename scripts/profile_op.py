@@ -87,6 +87,8 @@ def main() -> None:
             with open(path, "w") as fh:
                 fh.write(txt)
             print(f"{name}: explain -> {path}", flush=True)
+        if args.passes <= 0:
+            continue
         walls = []
         rows = None
         for _ in range(args.passes):
