@@ -145,6 +145,24 @@ _RECERTIFY: list[str] = [
     # 100k docs, df-ascending above) — same oracle, plan gated on the
     # measured corpus size.
     "dedup_incremental",
+    # r15 OPTIMIZATION-round rewrites (OPTIMIZATION_r15.md per-op log;
+    # every one re-verified MATCH vs its oracle at sf0.001/0.01/0.1
+    # before commit — these slots get the official driver rows onto the
+    # changed implementations; the wave exceeds the ≲10 guideline
+    # because this and r16 are the only remaining rounds):
+    "ml_winsorized_trimmed_mean",  # layered-window single pass
+    "ts_dtw_distance",  # DP as one nested SQL fold
+    "ml_conformal_interval",  # hash byte projected once, calib checkpoint
+    "profile_cramers_v",  # marginals via pair-partitioned windows
+    "graph_rich_club",  # degree-domain histogram thresholds
+    "ml_adversarial_validation_auc",  # domain aggregate + stack unpivot
+    "ml_kendall_tau",  # tie marginals folded into grid windows
+    "text_rouge_pairs",  # one-scan variant corpus, arithmetic pairs
+    "events_active_users",  # interval-boundary deltas
+    "ts_pettitt_changepoint",  # U_t via the rank recurrence
+    "ml_learning_curve_ols",  # md5-bucket aggregate + prefix rollup
+    "fn_ulid_roundtrip",  # conv/translate render+parse (JIT-sized)
+    "profile_histogram_equi_depth",  # n rides the global window
 ]
 
 # New ops added THIS round that should be pushed to the END of the ordering

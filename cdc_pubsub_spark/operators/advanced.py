@@ -2386,11 +2386,21 @@ def profile_histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("c").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    cum = bins.select(
-        "c", "cnt", F.sum("cnt").over(w).cast("bigint").alias("cc")
+    # r15: n rides the SAME global window as an unbounded-frame sum
+    # (one Window exec hosts both frames) instead of a second bins
+    # aggregate leg crossJoined back via broadcast — the n leg re-ran
+    # the lineitem scan+aggregate subtree and paid a broadcast build
+    # job per invocation (the ml_winsorized n-from-max(cc) device).
+    w_all = Window.orderBy("c").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    n = bins.agg(F.sum("cnt").cast("bigint").alias("n"))
-    assigned = cum.crossJoin(F.broadcast(n)).selectExpr(
+    cum = bins.select(
+        "c",
+        "cnt",
+        F.sum("cnt").over(w).cast("bigint").alias("cc"),
+        F.sum("cnt").over(w_all).cast("bigint").alias("n"),
+    )
+    assigned = cum.selectExpr(
         "c", "cnt", "CAST((cc - 1) * 8 div n + 1 AS BIGINT) AS bucket"
     )
     return (
