@@ -126,43 +126,19 @@ def _certification_state() -> tuple[set[str], dict[str, int], dict[str, int]]:
 # (~12 with a 50-slot window) — counts derived from
 # len(CORRECTNESS never-sampled) at session open, not hand-tracked.
 _RECERTIFY: list[str] = [
-    # r15 changed-op recertifies (r14's socket recertify landed green in
-    # CORRECTNESS_r14 and rotated out at session open).
-    # r14 ADVICE item 2: shutdown-race connection sweep in the socket
-    # server (transport change, same oracle).
-    "stream_socket_ingest",
-    # r14 ADVICE item 1: edge-relation broadcast hint now gated on
-    # measured row count (plan change, same semantics).
-    "graph_eccentricity_sample",
-    # r14 ADVICE item 4: per-pass candidate frame persisted; recall check
-    # and final top-20 share one grid join (plan change, same output).
-    "join_spatial_grid",
-    # r14 VERDICT item 2: single-pass rewrite — marginal ranks via
-    # shared-sort RANGE window frames on the joint bin relation, moments
-    # from the integer centering identities (no joins; 3.6 s -> 1.8 s).
-    "ml_spearman_rho",
-    # r15 sf10-probe fix: density-adaptive canonical order (hash below
-    # 100k docs, df-ascending above) — same oracle, plan gated on the
-    # measured corpus size.
-    "dedup_incremental",
-    # r15 OPTIMIZATION-round rewrites (OPTIMIZATION_r15.md per-op log;
+    # r16 OPTIMIZATION-round rewrites (OPTIMIZATION_r16.md per-op log;
     # every one re-verified MATCH vs its oracle at sf0.001/0.01/0.1
-    # before commit — these slots get the official driver rows onto the
-    # changed implementations; the wave exceeds the ≲10 guideline
-    # because this and r16 are the only remaining rounds):
-    "ml_winsorized_trimmed_mean",  # layered-window single pass
-    "ts_dtw_distance",  # DP as one nested SQL fold
-    "ml_conformal_interval",  # hash byte projected once, calib checkpoint
-    "profile_cramers_v",  # marginals via pair-partitioned windows
-    "graph_rich_club",  # degree-domain histogram thresholds
-    "ml_adversarial_validation_auc",  # domain aggregate + stack unpivot
-    "ml_kendall_tau",  # tie marginals folded into grid windows
-    "text_rouge_pairs",  # one-scan variant corpus, arithmetic pairs
-    "events_active_users",  # interval-boundary deltas
-    "ts_pettitt_changepoint",  # U_t via the rank recurrence
-    "ml_learning_curve_ols",  # md5-bucket aggregate + prefix rollup
-    "fn_ulid_roundtrip",  # conv/translate render+parse (JIT-sized)
-    "profile_histogram_equi_depth",  # n rides the global window
+    # before commit, plus a full 492-query driver-sim per commit batch).
+    # The r15 wave (13 ops) landed green in CORRECTNESS_r15 and rotated
+    # out; this wave is 6 ops — within the ≲10/round guideline (r15
+    # ADVICE item 1) — so ~40+ window slots flow to the stalest
+    # certified tail (r15 VERDICT item 8).
+    "ts_pettitt_changepoint",  # lazy return — no caches to truncate
+    "ml_conformal_interval",  # one (split, rq) cell pass off the cache
+    "graph_rich_club",  # degree relation checkpointed once
+    "orders_rfm_atscale",  # one stacked (axis, bin) histogram pass
+    "orders_assoc_rules",  # n_orders rides the singles pass (NULL marker)
+    "sim_ann_pq",  # row-local HOF encode/ADC off one broadcast codebook
 ]
 
 # New ops added THIS round that should be pushed to the END of the ordering

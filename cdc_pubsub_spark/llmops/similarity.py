@@ -1478,6 +1478,20 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load(spark, sf_dir, "embeddings")
     sub = spark.range(8).select(F.col("id").cast("int").alias("s"))
+    # r16: the encode/ADC stages were a 128x crossJoin fan-out of every
+    # vector into a (vec_id, s)-window argmin — the whole multiplied
+    # relation shuffled through one Window exchange — plus a lut join
+    # and a re-aggregate. PQ's actual query shape is ROW-LOCAL: the
+    # 128-entry codebook and the 128-entry query lookup table are ONE
+    # broadcast row (sorted struct array + (s,c)-keyed map), and each
+    # vector computes its 8 argmin codes and the additive distance in
+    # a single nested-HOF projection — zero shuffles until the top-10
+    # TakeOrdered. Arithmetic is unchanged (same zip_with fold, same
+    # floor(d2*1e6+0.5) BIGINT micro-units) and the fold keeps the
+    # window's (d2u, c) tie-break: entries iterate c-ascending within
+    # each subspace and only a STRICTLY smaller distance replaces the
+    # running argmin. SQL-parsed lambdas with per-level names (the
+    # CollapseProject mis-binding trap).
     cb = (
         emb.filter(F.col("vec_id") <= 16)
         .crossJoin(sub)
@@ -1487,41 +1501,47 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("slice(embedding, s * 8 + 1, 8)").alias("cw"),
         )
     )
-    subvec = F.expr("slice(embedding, s * 8 + 1, 8)")
-    d2u = F.floor(_l2sq(subvec, F.col("cw")) * F.lit(1e6) + F.lit(0.5)).cast(
-        "bigint"
-    )
-    scored = emb.crossJoin(F.broadcast(cb)).select(
-        "vec_id", "s", "c", d2u.alias("d2u")
-    )
-    w = Window.partitionBy("vec_id", "s").orderBy("d2u", "c")
-    enc = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "s", "c")
-    )
     probe = emb.filter(F.col("vec_id") == 1).select(
         F.col("embedding").alias("pvec")
     )
-    lut = (
-        cb.crossJoin(F.broadcast(probe))
-        .select(
-            "s",
-            "c",
-            F.floor(
-                _l2sq(F.expr("slice(pvec, s * 8 + 1, 8)"), F.col("cw"))
-                * F.lit(1e6)
-                + F.lit(0.5)
-            )
-            .cast("bigint")
-            .alias("qd2u"),
+    _D2 = (
+        "CAST(floor(aggregate(zip_with({a}, {b},"
+        " (zx{t}, zy{t}) -> (CAST(zx{t} AS DOUBLE) - CAST(zy{t} AS DOUBLE))"
+        " * (CAST(zx{t} AS DOUBLE) - CAST(zy{t} AS DOUBLE))),"
+        " CAST(0.0 AS DOUBLE), (zacc{t}, zv{t}) -> zacc{t} + zv{t})"
+        " * 1000000.0D + 0.5D) AS BIGINT)"
+    )
+    book = (
+        cb.agg(F.expr("array_sort(collect_list(struct(s, c, cw))) AS cbe"))
+        .crossJoin(F.broadcast(probe))
+        .selectExpr(
+            "cbe",
+            "map_from_entries(transform(cbe, le -> struct("
+            " CAST(le.s AS BIGINT) * 100 + le.c, "
+            + _D2.format(a="slice(pvec, le.s * 8 + 1, 8)", b="le.cw", t="q")
+            + "))) AS qlut",
         )
     )
     adc = (
-        enc.filter(F.col("vec_id") != 1)
-        .join(F.broadcast(lut), ["s", "c"])
-        .groupBy("vec_id")
-        .agg(F.sum("qd2u").cast("bigint").alias("adc_ud2"))
+        emb.filter(F.col("vec_id") != 1)
+        .crossJoin(F.broadcast(book))
+        .selectExpr(
+            "vec_id",
+            "aggregate(sequence(0, 7), 0L, (sacc, sx) -> sacc +"
+            " element_at(qlut, CAST(sx AS BIGINT) * 100 +"
+            "  aggregate("
+            "   transform(filter(cbe, fe -> fe.s = sx), te -> named_struct("
+            "    'd', "
+            + _D2.format(
+                a="slice(embedding, sx * 8 + 1, 8)", b="te.cw", t="e"
+            )
+            + ", 'c', te.c)),"
+            "   named_struct('bd', CAST(NULL AS BIGINT),"
+            "                'bc', CAST(NULL AS BIGINT)),"
+            "   (macc, me) -> CASE WHEN macc.bd IS NULL OR me.d < macc.bd"
+            "    THEN named_struct('bd', me.d, 'bc', me.c)"
+            "    ELSE macc END).bc)) AS adc_ud2",
+        )
     )
     top = adc.orderBy("adc_ud2", "vec_id").limit(10)
     rescored = (

@@ -23,6 +23,7 @@ from pyspark.sql.window import Window
 
 from cdc_pubsub_spark.functions.rounding import r2, r4
 from cdc_pubsub_spark.registry import register
+from cdc_pubsub_spark import tables
 from cdc_pubsub_spark.tables import finalize_cached, load, release_checkpoint
 
 _Q3_CUTOFF = "1998-03-15"
@@ -3045,38 +3046,12 @@ def orders_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finalize_cached(out, daily)
 
 
+# Cutoff edges per axis: c{k} = smallest bin whose cumulative count
+# reaches ceil(k·n/5) — exact integer arithmetic ((k·n+4) div 5) so both
+# engines pick identical edges. Computed in one stacked-histogram pass
+# inside orders_rfm_atscale (r16; was one histogram+window+broadcast-n
+# leg per axis).
 _RFM_KS = (1, 2, 3, 4)
-
-
-def _rfm_cutoff_cols(prefix: str) -> list:
-    """Conditional-min cutoffs: c{k} = smallest bin whose cumulative
-    count reaches ceil(k·n/5), computed as ONE aggregate over the
-    bounded bin relation — exact integer arithmetic ((k·n+4) div 5)
-    so both engines pick identical edges."""
-    return [
-        F.min(
-            F.when(
-                F.col("cum") >= F.expr(f"({k} * n_cust + 4) div 5"),
-                F.col("bin"),
-            )
-        ).alias(f"{prefix}{k}")
-        for k in _RFM_KS
-    ]
-
-
-def _rfm_hist_cutoffs(binned: DataFrame, col: str, prefix: str, n) -> DataFrame:
-    """Histogram → cumulative → quintile edges for one RFM axis.
-
-    The histogram is a map-side-combinable groupBy on the quantized
-    bin; the cumulative window runs over the BIN relation (bounded by
-    the domain/width, never by row count — the agg_quantile_bin_sketch
-    argument), and the result is a 1-row, 4-column cutoff table."""
-    hist = binned.groupBy(F.col(col).alias("bin")).agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    wc = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
-    cum = hist.select("bin", F.sum("c").over(wc).alias("cum"))
-    return cum.crossJoin(F.broadcast(n)).agg(*_rfm_cutoff_cols(prefix))
 
 
 def _rfm_tile(bin_col: str, prefix: str) -> str:
@@ -3199,11 +3174,47 @@ def orders_rfm_atscale(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("monetary_cents div 100000"), F.lit(9999).cast("bigint")
         ).alias("m_bin"),
     ).persist()
-    n = rb.agg(F.count(F.lit(1)).alias("n_cust"))
-    cuts = (
-        _rfm_hist_cutoffs(rb, "r_bin", "r", n)
-        .crossJoin(F.broadcast(_rfm_hist_cutoffs(rb, "f_bin", "f", n)))
-        .crossJoin(F.broadcast(_rfm_hist_cutoffs(rb, "m_bin", "m", n)))
+    # r16 (the profile_cramers_v device): the three axis cutoffs were
+    # three separate histogram+window+crossJoin(broadcast n) legs — each
+    # its own cache pass, exchange and broadcast build, with the n_cust
+    # scalar re-aggregated per leg. One stack() unpivot feeds ONE
+    # (axis, bin) histogram; the cumulative AND the per-axis total ride
+    # the same ax-partitioned Window exec (n as the unbounded frame —
+    # every rb row emits exactly one bin per axis, so the per-axis sum
+    # equals n_cust); the 12 cutoffs collapse in one aggregate row.
+    # Cache passes 7 -> 3, broadcast builds 4 -> 1. Cutoff integers are
+    # unchanged: identical per-axis histograms, identical cum order.
+    axes = rb.selectExpr(
+        "stack(3, 'r', r_bin, 'f', f_bin, 'm', m_bin) AS (ax, bin)"
+    )
+    hist = axes.groupBy("ax", "bin").agg(F.count(F.lit(1)).alias("c"))
+    wc = (
+        Window.partitionBy("ax")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = Window.partitionBy("ax").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        "ax",
+        "bin",
+        F.sum("c").over(wc).alias("cum"),
+        F.sum("c").over(wn).alias("n_cust"),
+    )
+    cuts = cum.agg(
+        *[
+            F.min(
+                F.when(
+                    F.expr(
+                        f"ax = '{prefix}' AND cum >= ({k} * n_cust + 4) div 5"
+                    ),
+                    F.col("bin"),
+                )
+            ).alias(f"{prefix}{k}")
+            for prefix in ("r", "f", "m")
+            for k in _RFM_KS
+        ]
     )
     tiles = rb.crossJoin(F.broadcast(cuts)).selectExpr(
         "monetary_cents",
@@ -3404,12 +3415,25 @@ def orders_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.expr("sort_array(collect_set(p_brand))").alias("bs"))
         .persist()
     )
-    n = grouped.agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
-    singles = (
-        grouped.select(F.explode("bs").alias("p_brand"))
+    # r16: n_orders and the singles table shared two separate cache
+    # passes (plus per-broadcast recomputes when the sa/sb builds don't
+    # canonicalize together). ONE pass now counts both — each basket
+    # emits its brands plus a NULL marker element, so the NULL group's
+    # count is exactly n_orders — and the ~|brands|+1-row result is
+    # checkpointed once; n, sa and sb all broadcast off the leaf.
+    counts = (
+        grouped.selectExpr(
+            "explode(concat(bs, array(CAST(NULL AS STRING)))) AS p_brand"
+        )
         .groupBy("p_brand")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_single"))
     )
+    if not tables.LAZY_PLAN_MODE:
+        counts = counts.localCheckpoint(eager=True)
+    n = counts.filter("p_brand IS NULL").selectExpr(
+        "n_single AS n_orders"
+    )
+    singles = counts.filter("p_brand IS NOT NULL")
     # Bounded-group directed pairs (the orders_duplicate_payments
     # device): per-order sorted brand array, i != j enumeration —
     # sequence() guarded by size >= 2 (descending-sequence gotcha).
@@ -3464,7 +3488,10 @@ def orders_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("confidence"), "antecedent", "consequent")
         .limit(15)
     )
-    return finalize_cached(out, grouped)
+    try:
+        return finalize_cached(out, grouped)
+    finally:
+        release_checkpoint(counts)
 
 
 @register(

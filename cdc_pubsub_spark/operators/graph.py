@@ -2236,6 +2236,15 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("v")
         .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
     )
+    # r16: deg feeds THREE broadcast builds (degdist + the two edist
+    # endpoint legs); the two edist legs canonicalize to one reused
+    # broadcast, but degdist's aggregate differs, so the union+agg over
+    # the cached edge relation executed twice per invocation. The
+    # node-domain relation (~users + 256 hubs) is checkpointed once and
+    # every broadcast builds off the leaf: 2.03 -> 1.23 s min-of-4
+    # (interleaved A/B; released in the op's finally).
+    if not tables.LAZY_PLAN_MODE:
+        deg = deg.localCheckpoint(eager=True)
     ks = spark.range(0, 5).selectExpr(
         "element_at(array(2, 3, 4, 6, 10), CAST(id + 1 AS INT)) AS k"
     )
@@ -2294,7 +2303,10 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from cdc_pubsub_spark.tables import finalize_cached
 
-    return finalize_cached(out, simple)
+    try:
+        return finalize_cached(out, simple)
+    finally:
+        release_checkpoint(deg)
 
 
 # --- r13 growth: sampled eccentricity over the follow graph --------------

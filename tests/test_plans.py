@@ -1004,9 +1004,12 @@ def test_theta_set_ops_has_no_window_at_all(spark, sf_dir):
 
 def test_rfm_atscale_windows_only_over_bin_histograms(spark, sf_dir):
     """The at-scale RFM must carry NO data-sized window: zero ntile,
-    and every Window in the plan is the cumulative sum over a bounded
-    bin-histogram relation (ordered by bin#); cutoffs ride broadcast
-    nested-loop 1-row crossJoins onto the per-customer side."""
+    and every Window in the plan runs over the bounded (axis, bin)
+    histogram relation — r16 fused the three per-axis cumulative legs
+    into ONE stacked histogram whose windows partition by ax# (the
+    per-axis total rides the same Window exec as an unbounded frame);
+    cutoffs ride a broadcast nested-loop 1-row crossJoin onto the
+    per-customer side."""
     from cdc_pubsub_spark.plans.inspect import simple_plan
 
     df = q("orders_rfm_atscale", spark, sf_dir)
@@ -1014,7 +1017,7 @@ def test_rfm_atscale_windows_only_over_bin_histograms(spark, sf_dir):
     assert "ntile" not in plan, plan
     for line in plan.splitlines():
         if "windowspecdefinition" in line:
-            assert "windowspecdefinition(bin#" in line, line
+            assert "windowspecdefinition(ax#" in line, line
     assert "BroadcastNestedLoopJoin" in plan, plan
 
 
