@@ -152,6 +152,21 @@ HEAVY_FIRST = [
     "agg_kmv_theta_distinct",
     "events_attribution",
     "join_bloom_pruned",
+    # r16 re-seed from this round's full-registry serial sweep (227 s /
+    # 393 queries): the sweep's 1.3-2.7 s band included ten ops the seed
+    # missed — launch-priority only, additions not removals.
+    "ml_winsorized_trimmed_mean",
+    "ml_kendall_tau",
+    "ml_spearman_rho",
+    "text_rouge_pairs",
+    "ml_permutation_importance_ols",
+    "text_ngram_saturation",
+    "ml_learning_curve_ols",
+    "agg_approx_percentile",
+    "fn_ulid_roundtrip",
+    "corpus_contamination_bloom",
+    "profile_fd_confidence",
+    "ml_target_encoding_kfold",
 ]
 
 
