@@ -139,6 +139,7 @@ _RECERTIFY: list[str] = [
     "orders_rfm_atscale",  # one stacked (axis, bin) histogram pass
     "orders_assoc_rules",  # n_orders rides the singles pass (NULL marker)
     "sim_ann_pq",  # row-local HOF encode/ADC off one broadcast codebook
+    "ml_permutation_importance_ols",  # per-row products BIGINT, acc wide
 ]
 
 # New ops added THIS round that should be pushed to the END of the ordering

@@ -4658,18 +4658,23 @@ def ml_permutation_importance_ols(
         ).alias("xp2"),
     )
     wide = "DECIMAL(38,0)"
+    # r16 (the ml_learning_curve_ols lesson): per-row products run in
+    # BIGINT — y is domain-bounded price cents (≤ ~1.1e7 at any SF, the
+    # scale probe shifts KEYS, never prices), so y*y ≤ ~1.2e14 and every
+    # cross product is far under 2^63 per row — and only the ACCUMULATORS
+    # stay DECIMAL(38,0) (sum of y² crosses int64 past ~sf1).
     m = shifted.groupBy().agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("y").cast("bigint").alias("sy"),
-        F.sum(F.expr(f"CAST(y AS {wide}) * y")).alias("syy"),
+        F.sum(F.expr(f"CAST(y * y AS {wide})")).alias("syy"),
         F.sum("x1").cast("bigint").alias("s1"),
-        F.sum(F.expr(f"CAST(x1 AS {wide}) * x1")).alias("s11"),
-        F.sum(F.expr(f"CAST(x1 AS {wide}) * y")).alias("s1y"),
-        F.sum(F.expr(f"CAST(xp1 AS {wide}) * y")).alias("s1py"),
+        F.sum(F.expr(f"CAST(x1 * x1 AS {wide})")).alias("s11"),
+        F.sum(F.expr(f"CAST(x1 * y AS {wide})")).alias("s1y"),
+        F.sum(F.expr(f"CAST(xp1 * y AS {wide})")).alias("s1py"),
         F.sum("x2").cast("bigint").alias("s2"),
-        F.sum(F.expr(f"CAST(x2 AS {wide}) * x2")).alias("s22"),
-        F.sum(F.expr(f"CAST(x2 AS {wide}) * y")).alias("s2y"),
-        F.sum(F.expr(f"CAST(xp2 AS {wide}) * y")).alias("s2py"),
+        F.sum(F.expr(f"CAST(x2 * x2 AS {wide})")).alias("s22"),
+        F.sum(F.expr(f"CAST(x2 * y AS {wide})")).alias("s2y"),
+        F.sum(F.expr(f"CAST(xp2 * y AS {wide})")).alias("s2py"),
     )
     g = m.selectExpr(
         "n",
